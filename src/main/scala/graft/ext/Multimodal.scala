@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct alongside. The Spark-side
+  * mechanics (schema, partition-preserving batch transforms, deterministic
+  * fakes for the codec step) are real and tested; the actual byte decoding
+  * is STUBBED — this container has no image/audio libraries, so
+  * `decodeStub` derives deterministic fake metadata from the bytes.
+  * Swap `decodeStub`'s body for a real codec (e.g. javax.imageio /
+  * ffmpeg-over-mapPartitions) in production; every signature stays the same.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to each binary payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** Wrap a string column as a binary payload (test stand-in for real image
+    * bytes; production reads `binaryFile` sources instead). */
+  def asBinary(df: DataFrame, src: String, as: String = "payload"): DataFrame =
+    df.withColumn(as, encode(col(src), "UTF-8"))
+
+  /** Read a directory of opaque files as (path, modificationTime, length,
+    * content) — Spark's binaryFile source; the real ingest path for media. */
+  def readBinaryFiles(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+
+  /** STUB "decode": deterministic fake metadata derived purely from payload
+    * bytes. Replace with a real codec; pure column expressions so it stays
+    * in whole-stage codegen. */
+  def decodeStub(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nb = length(payload).cast("long")
+    struct(
+      nb.as("n_bytes"),
+      (nb % 640).as("width"),
+      ((nb / lit(7)).cast("long") % 480).as("height"),
+      lit(3L).as("channels"),
+      when(nb % 3 === 0, "png").when(nb % 3 === 1, "jpeg").otherwise("webp").as("format"))
+  }
+
+  /** Partition-parallel "frame sampling" stub: emits `n` per-frame rows per
+    * payload (explode over a deterministic frame index). Mirrors the shape
+    * of a real mapPartitions decoder: one input row → n output rows,
+    * partitioning preserved, no shuffle. */
+  def sampleFrames(df: DataFrame, payload: String, n: Int): DataFrame =
+    df.withColumn("frame_idx", explode(sequence(lit(0L), lit(n.toLong - 1))))
+      .withColumn("frame_hash", xxhash64(col(payload), col("frame_idx")))
+
+  /** "Feature extraction" stub over binary payloads via mapPartitions —
+    * demonstrates the imperative per-partition escape hatch (real codecs
+    * hold per-partition native state: decoder contexts, model sessions).
+    * Deterministic fake: 8 doubles folded from payload bytes. */
+  def extractFeatures(df: DataFrame, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add("features", ArrayType(DoubleType, containsNull = false))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val feats = Array.tabulate(8) { i =>
+          var h = 1125899906842597L + i
+          var j = 0
+          while (j < bytes.length) { h = 31 * h + bytes(j); j += 1 }
+          (h % 10007).toDouble / 10007.0
+        }
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

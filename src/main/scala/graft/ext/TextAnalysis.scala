@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID, quality scoring,
+  * token counting, fingerprinting. Pure expression pipelines (codegen'd
+  * narrow projections — zero shuffles until the caller aggregates).
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish piece count: runs of letters, runs of digits, single other
+    * non-space chars — a cheap proxy for subword token counts. */
+  def piecesCount(text: Column): Column =
+    size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long")
+
+  private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  /** Fraction of tokens that are stopwords (int-ratio → deterministic). */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(filter(t, x => x.isInCollection(stopwords))).cast("double") / size(t)
+  }
+
+  /** Fraction of characters that are ascii letters. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") / length(text)
+
+  /** Mean token length, 2 decimals. */
+  def avgTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    round(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t), 2)
+  }
+
+  /** Composite quality score in [0,1]: length component + lexical diversity
+    * + alpha ratio. Deterministic double arithmetic. */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val lenComponent = least(size(t).cast("double") / 100.0, lit(1.0))
+    val diversity = size(array_distinct(t)).cast("double") / size(t)
+    round(lenComponent * 0.4 + diversity * 0.3 + alphaRatio(text) * 0.3, 3)
+  }
+
+  /** Marker-word language ID (n-gram/stopword heuristic). Deterministic
+    * tie-break: first language in fixed (alphabetical) order wins on ≥. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "les", "est", "et", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), x => x.isInCollection(markers))).cast("long")
+
+  def predictedLang(text: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> langScore(text, m) }
+    // lang wins if its score >= max of all later langs (earlier-listed wins ties)
+    scores.init.zipWithIndex.foldLeft(null.asInstanceOf[Column]) { case (acc, ((l, s), i)) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      val cond = s >= (if (rest.size == 1) rest.head else greatest(rest: _*))
+      if (acc == null) when(cond, l) else acc.when(cond, l)
+    }.otherwise(scores.last._1)
+  }
+
+  /** Stable content fingerprint (md5 of lowercased text, 16 hex chars). */
+  def fingerprint(text: Column): Column = substring(md5(lower(text).cast("binary")), 1, 16)
+
+  /** Rolling polynomial hash (Rabin-Karp style) over character codes:
+    * h = (h * 31 + code) mod 1e9+7 — the building block for shingle
+    * fingerprinting; exact long arithmetic. */
+  def rollingHash(text: Column): Column =
+    aggregate(transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Word n-grams (non-distinct, order-preserving). */
+  def ngrams(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= k,
+      transform(sequence(lit(1), size(t) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(t, i + o)): _*)))
+      .otherwise(array())
+  }
+}

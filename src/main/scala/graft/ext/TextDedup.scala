@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication: exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash. All are pure Catalyst expression pipelines (whole-stage codegen,
+  * no UDFs); the only shuffles are the final candidate joins / group-bys.
+  *
+  * Scale posture (100 TB): exact dedup is a hash group-by on a digest —
+  * one shuffle of (digest, id). MinHash-LSH turns the quadratic all-pairs
+  * problem into an equi-join on (band, signature) — shuffle is O(rows ×
+  * bands), candidates verified exactly afterwards. SimHash gives a compact
+  * 64-bit sketch joinable on rotated prefixes.
+  */
+object TextDedup {
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct k-word shingles (1-based element_at; empty when < k tokens). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) >= k,
+      array_distinct(transform(sequence(lit(1), size(t) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(t, i + o)): _*))))
+      .otherwise(array_distinct(array(concat_ws(" ", t))))
+  }
+
+  /** Exact set Jaccard of two shingle arrays — integer size ratio, so the
+    * double result is bit-deterministic across engines. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Content digest for exact dedup (md5 hex of the raw text). */
+  def digest(text: Column): Column = md5(text.cast("binary"))
+
+  /** Exact dedup: keep the min-`order` row per text digest. One shuffle. */
+  def dedupExact(df: DataFrame, text: Column, order: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(digest(text)).orderBy(order.asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature: `numHashes` permutation-min values over the shingle
+    * set. One xxhash64 per shingle, then cheap affine re-hashes — all inside
+    * codegen. */
+  def minhashSignature(shingleSet: Column, numHashes: Int = 64): Column = {
+    // one permutation per seed: xxhash64(seed, shingle-hash); pure codegen,
+    // no overflow (ANSI-safe)
+    val base = transform(shingleSet, s => xxhash64(s))
+    array((0 until numHashes).map { i =>
+      array_min(transform(base, h => xxhash64(lit(i), h)))
+    }: _*)
+  }
+
+  /** LSH banding: candidate pairs whose signatures agree on ≥1 band of
+    * `rowsPerBand` consecutive minhashes. Returns (idA, idB) with idA < idB,
+    * distinct. Equi-join on (band index, band hash) — linear shuffle.
+    */
+  def lshCandidates(df: DataFrame, id: Column, sig: Column, rowsPerBand: Int = 2): DataFrame = {
+    val withSig = df.select(id.as("__id"), sig.as("__sig"))
+      .withColumn("__nb", (size(col("__sig")) / rowsPerBand).cast("int"))
+      .withColumn("__band", explode(sequence(lit(0), col("__nb") - 1)))
+      .withColumn("__bh", xxhash64(col("__band"),
+        slice(col("__sig"), col("__band") * rowsPerBand + 1, lit(rowsPerBand))))
+      .select(col("__id"), col("__band"), col("__bh"))
+    val a = withSig.as("a")
+    val b = withSig.as("b")
+    a.join(b, col("a.__band") === col("b.__band") && col("a.__bh") === col("b.__bh")
+        && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline with exact-Jaccard verification:
+    * returns (id_a, id_b, jacc) for pairs with Jaccard ≥ threshold.
+    * False positives from banding are removed by the exact check; recall is
+    * 1-(1-s^r)^b (≈1 for s ≥ threshold with r=2, b=32).
+    */
+  def minhashNearDups(df: DataFrame, id: Column, text: Column,
+                      k: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 2,
+                      threshold: Double = 0.8): DataFrame = {
+    val prepared = df.select(id.as("__id"), shingles(text, k).as("__sh"))
+    val sigs = prepared.withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+    val cands = lshCandidates(sigs, col("__id"), col("__sig"), rowsPerBand)
+    val sh = prepared.select(col("__id"), col("__sh"))
+    cands
+      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
+      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
+      .withColumn("jacc", jaccard(col("__sha"), col("__shb")))
+      .filter(col("jacc") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jacc"))
+  }
+
+  /** All-pairs exact shingle-Jaccard within a blocking key (for oracle-sized
+    * data / verification; quadratic within blocks — use LSH at scale). */
+  def exactNearDups(df: DataFrame, id: Column, text: Column, block: Column,
+                    k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val p = df.select(id.as("__id"), block.as("__blk"), shingles(text, k).as("__sh"))
+    val a = p.as("a")
+    val b = p.as("b")
+    a.join(b, col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
+      .withColumn("jacc", jaccard(col("a.__sh"), col("b.__sh")))
+      .filter(col("jacc") >= threshold)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("jacc"))
+  }
+
+  /** 64-bit SimHash over the token multiset: bit i of the sketch is the
+    * sign of Σ_tokens (bit i of xxhash64(token) ? +1 : −1). */
+  def simhash(text: Column): Column = {
+    val th = transform(tokens(text), t => xxhash64(t))
+    val counts = aggregate(th,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map(i =>
+          when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)): _*),
+        (c, b) => c + b))
+    // pack sign bits: sum of distinct powers of two ≡ bitwise OR
+    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+    aggregate(zip_with(counts, powers, (c, p) => when(c > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** SimHash near-dup pairs within a blocking key: hamming(sketch) ≤ maxDist. */
+  def simhashNearDups(df: DataFrame, id: Column, text: Column, block: Column,
+                      maxDist: Int = 8): DataFrame = {
+    val p = df.select(id.as("__id"), block.as("__blk"), simhash(text).as("__sh"))
+    val a = p.as("a")
+    val b = p.as("b")
+    a.join(b, col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
+      .withColumn("hamming", bit_count(col("a.__sh").bitwiseXOR(col("b.__sh"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.incremental
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+
+/** Batch-mode incremental file processing (SURVEY §2.10, ST1-ST6):
+  * a persisted low-watermark plus a processed-files tracker give
+  * exactly-once *file*-granularity processing, like the reference's
+  * `_metadata/last_processed_watermark.txt` + `processed_files.json`
+  * (`data_processing.py:226-307,342-380`) — re-expressed on Hadoop FS.
+  *
+  * The tracker is a tiny parquet table anti-joined (broadcast) against the
+  * discovered listing; the watermark is a driver-side mtime filter. For the
+  * streaming-native equivalent (checkpoint subsumes both) see
+  * graft.streaming.IncrementalStream.
+  */
+object Incremental {
+  final case class FileMeta(path: String, mtime: Long, size: Long)
+
+  private def fs(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** S2/P1/P2/O1 — recursive listing, pattern + watermark filter, mtime asc. */
+  def discover(spark: SparkSession, dir: String, pattern: String = ".*\\.parquet$",
+               watermark: Long = 0L): Seq[FileMeta] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) return Seq.empty
+    val it = f.listFiles(p, true)
+    val out = scala.collection.mutable.ArrayBuffer[FileMeta]()
+    while (it.hasNext) {
+      val s: FileStatus = it.next()
+      if (s.isFile && s.getPath.getName.matches(pattern) && s.getModificationTime > watermark)
+        out += FileMeta(s.getPath.toString, s.getModificationTime, s.getLen)
+    }
+    out.sortBy(m => (m.mtime, m.path)).toSeq
+  }
+
+  // ST1 — watermark as a one-line text file.
+  def readWatermark(spark: SparkSession, stateDir: String): Long = {
+    val p = new Path(s"$stateDir/watermark.txt")
+    val f = fs(spark, stateDir)
+    if (!f.exists(p)) 0L
+    else {
+      val in = f.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  def writeWatermark(spark: SparkSession, stateDir: String, wm: Long): Unit = {
+    val f = fs(spark, stateDir)
+    val out = f.create(new Path(s"$stateDir/watermark.txt"), true)
+    try out.write(wm.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  // ST2 — processed-files tracker as a tiny parquet table.
+  def readTracker(spark: SparkSession, stateDir: String): DataFrame = {
+    val p = s"$stateDir/tracker.parquet"
+    if (fs(spark, stateDir).exists(new Path(p))) spark.read.parquet(p)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType))))
+  }
+
+  def appendTracker(spark: SparkSession, stateDir: String, paths: Seq[String]): Unit = {
+    import spark.implicits._
+    val merged = readTracker(spark, stateDir).select("path")
+      .union(paths.toDF("path")).distinct()
+    // write-then-rename so a crash mid-write never corrupts the tracker
+    val tmp = s"$stateDir/tracker.tmp.parquet"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val f = fs(spark, stateDir)
+    val dst = new Path(s"$stateDir/tracker.parquet")
+    if (f.exists(dst)) f.delete(dst, true)
+    f.rename(new Path(tmp), dst)
+  }
+
+  /** One incremental run: discover → anti-join tracker (J1) → process new
+    * files through `transform` → append to `outDir` → update tracker +
+    * watermark. Idempotent: re-running with no new files is a no-op.
+    * Returns the number of files processed this run.
+    */
+  def run(spark: SparkSession, srcDir: String, stateDir: String, outDir: String)
+         (transform: DataFrame => DataFrame): Int = {
+    import spark.implicits._
+    val wm = readWatermark(spark, stateDir)
+    val discovered = discover(spark, srcDir, watermark = 0L) // watermark is an optimization; tracker is authority
+    if (discovered.isEmpty) return 0
+    val tracker = readTracker(spark, stateDir)
+    val fresh = discovered.toDF()
+      .join(broadcast(tracker), Seq("path"), "left_anti")
+      .as[FileMeta].collect().sortBy(m => (m.mtime, m.path))
+    if (fresh.isEmpty) { writeWatermark(spark, stateDir, Instant.now.toEpochMilli); return 0 }
+    val batch = spark.read.parquet(fresh.map(_.path): _*)
+    transform(batch).write.mode("append").parquet(outDir)
+    appendTracker(spark, stateDir, fresh.map(_.path).toSeq)
+    writeWatermark(spark, stateDir, math.max(wm, fresh.map(_.mtime).max))
+    fresh.length
+  }
+}

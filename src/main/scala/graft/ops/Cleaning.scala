@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Global-aggregate-parameterized column rewrites — the cleaning operator
+  * family of the reference (`data_processing.py:73-210`, SURVEY §2.5).
+  *
+  * The reference computes a scalar (median / mode / p99) eagerly over the
+  * whole batch and then mutates columns in place. The Spark-native shape is
+  * a 2-phase plan: one aggregation job producing O(#columns) scalars on the
+  * driver, then a single projection using those scalars as literals. The
+  * scalar collect is O(1) data (not a `.collect()` of rows), so this scales
+  * to any input size; the aggregation itself is a map-side-combined
+  * partial+final agg with one shuffle of #partitions rows.
+  *
+  * Scale note (SURVEY §7.5.5): `percentile` is exact (sort-based, pandas
+  * parity). At very large scale flip `exact = false` to use
+  * `percentile_approx` (t-digest, single pass, no sort).
+  */
+object Cleaning {
+
+  def percentileOf(c: Column, p: Double, exact: Boolean = true): Column =
+    if (exact) percentile(c, lit(p)) else percentile_approx(c, lit(p), lit(10000))
+
+  /** C1 — median imputation for several numeric columns in ONE aggregation
+    * pass (pandas `fillna(col.median())`, `DP:86-95`). Exact interpolating
+    * median, nulls excluded — matches pandas.
+    */
+  def imputeMedian(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) df
+    else {
+      val aggs = present.map(c => percentileOf(col(c), 0.5, exact).as(c))
+      val row = df.agg(aggs.head, aggs.tail: _*).first()
+      val medians = present.zipWithIndex.collect {
+        case (c, i) if !row.isNullAt(i) => c -> row.getDouble(i)
+      }.toMap
+      df.na.fill(medians)
+    }
+  }
+
+  /** C2 — mode imputation with the pandas tie-break (smallest value wins,
+    * `DP:97-105`). Spark's builtin `mode()` agg is tie-nondeterministic, so
+    * we take `groupBy(col).count` ordered by (count desc, value asc).
+    * Fallback when the column is entirely null: `fallback`.
+    */
+  def modeOf(df: DataFrame, c: String): Option[Any] = {
+    val top = df.filter(col(c).isNotNull)
+      .groupBy(col(c)).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col(c).asc)
+      .limit(1).collect()
+    top.headOption.map(_.get(0))
+  }
+
+  def imputeMode(df: DataFrame, cols: Seq[String], fallback: String = "Unknown"): DataFrame =
+    cols.filter(df.columns.contains).foldLeft(df) { (d, c) =>
+      modeOf(d, c) match {
+        case Some(m) => d.withColumn(c, coalesce(col(c), lit(m)))
+        case None    => d.withColumn(c, coalesce(col(c), lit(fallback)))
+      }
+    }
+
+  /** C3 — constant imputation (`fillna(k)`, `DP:107-114`). */
+  def imputeConstant(df: DataFrame, cols: Seq[String], value: Any): DataFrame = {
+    val present = cols.filter(df.columns.contains)
+    value match {
+      case v: Int    => df.na.fill(v.toLong, present)
+      case v: Long   => df.na.fill(v, present)
+      case v: Double => df.na.fill(v, present)
+      case v: String => df.na.fill(v, present)
+      case other     => present.foldLeft(df)((d, c) => d.withColumn(c, coalesce(col(c), lit(other))))
+    }
+  }
+
+  /** C4/C5 — quantile-cap outliers (`DP:126-144`): rows matching `bad` get
+    * the quantile of `basis` (whole column for C4; a filtered subset for C5
+    * — pass `basis = when(cond, col)`). The quantile includes the outliers
+    * themselves when `basis` does, exactly like the reference.
+    */
+  def quantileCap(df: DataFrame, target: String, bad: Column, basis: Column,
+                  q: Double, exact: Boolean = true): DataFrame = {
+    val cap = df.agg(percentileOf(basis, q, exact)).first() match {
+      case r if r.isNullAt(0) => return df
+      case r                  => r.getDouble(0)
+    }
+    df.withColumn(target, when(bad, lit(cap)).otherwise(col(target)))
+  }
+
+  /** C6 — clamp to [lo, hi] with null passthrough (`DP:146-154`). */
+  def clamp(c: Column, lo: Column, hi: Column): Column = greatest(least(c, hi), lo)
+
+  /** C7 — component-sum consistency rewrite (`DP:156-174`): where
+    * |reported − computed| > tol, overwrite reported with computed.
+    */
+  def consistencyRewrite(reported: Column, computed: Column, tol: Double): Column =
+    when(abs(reported - computed) > tol, computed).otherwise(reported)
+
+  /** C8 — ordering repair (`DP:176-185`): where `end < start`,
+    * `end := start + interval`.
+    */
+  def repairOrder(start: Column, end: Column, interval: String): Column =
+    when(end < start, start + expr(s"INTERVAL $interval")).otherwise(end)
+}

@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Cleaning, Dedup, Metrics, Transforms}
+import graft.util.Det._
+
+/** Reference-parity operators (SURVEY §2) demonstrated on the synthetic
+  * TPC-H-ish tables, each with a DuckDB oracle. Mapping per FIXTURES.md §2.
+  */
+object CoreQueries {
+
+  // DuckDB-side fixed-point aggregates (see graft.util.Det for why).
+  private def sqlMoneySum(x: String) = s"sum(CAST(round(($x)*100) AS BIGINT))/100.0"
+  // exact integer half-up rounding at 1e-4 — see graft.util.Det.moneyAvg
+  private def sqlMoneyAvg(x: String) =
+    s"floor((sum(CAST(round(($x)*100) AS BIGINT))*100 + count(*)//2)/count(*))/10000.0"
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ------------------------------------------------------------------
+    // A2/D3 — hourly demand (flagship; SURVEY §7.3).
+    QuerySpec("q01_hourly_demand",
+      (s, d) => Metrics.demand(Tables.events(s, d), hour(col("ts")).cast("long").as("event_hour"), col("value"))
+        .withColumnRenamed("trip_count", "event_count")
+        .orderBy("event_hour"),
+      Some(s"""SELECT CAST(hour(ts) AS BIGINT) AS event_hour,
+              |       count(*) AS event_count,
+              |       ${sqlMoneySum("value")} AS total_value,
+              |       ${sqlMoneyAvg("value")} AS avg_value
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A1 — multi-aggregate pricing summary (TPC-H Q1 shape) incl. exact median.
+    QuerySpec("q02_pricing_summary",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .withColumn("disc_price", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .withColumn("charge", col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneySum(col("disc_price")).as("sum_disc_price"),
+          moneySum(col("charge")).as("sum_charge"),
+          moneyAvg(col("l_quantity")).as("avg_qty"),
+          moneyAvg(col("l_extendedprice")).as("avg_price"),
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
+          n.as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |       ${sqlMoneySum("l_quantity")} AS sum_qty,
+              |       ${sqlMoneySum("l_extendedprice")} AS sum_base_price,
+              |       ${sqlMoneySum("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+              |       ${sqlMoneySum("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+              |       ${sqlMoneyAvg("l_quantity")} AS avg_qty,
+              |       ${sqlMoneyAvg("l_extendedprice")} AS avg_price,
+              |       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+              |       count(*) AS count_order
+              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // P4/P5 — predicate + projection pushdown into the parquet scan.
+    QuerySpec("q03_filter_project",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2001-01-01") && col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |       l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '2001-01-01' AND l_quantity >= 45
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // DD2 — exact distinct (null-safe).
+    QuerySpec("q04_dedup_exact",
+      (s, d) => Dedup.exact(Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus", "l_quantity"))
+        .orderBy("l_returnflag", "l_linestatus", "l_quantity"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus, l_quantity
+             |FROM lineitem ORDER BY 1, 2, 3""".stripMargin)),
+
+    // DD1 — argmax dedup: latest event per user (window row_number).
+    QuerySpec("q05_latest_per_user",
+      (s, d) => Dedup.latestPerKey(Tables.events(s, d),
+        Seq(col("user_id")), col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, event_id, event_type,
+             |       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+             |FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id
+             |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // J1 — anti-join: customers with no recent orders (tracker shape).
+    QuerySpec("q06_anti_join",
+      (s, d) => Dedup.antiJoin(Tables.customer(s, d),
+        Tables.orders(s, d).filter(col("o_orderdate") >= lit("2001-01-01")),
+        col("c_custkey") === col("o_custkey"), broadcastRight = false)
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+             |                  AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // J1b — semi-join + rollup by segment.
+    QuerySpec("q07_semi_join",
+      (s, d) => Dedup.semiJoin(Tables.customer(s, d), Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(n.as("n_customers"), moneySum(col("c_acctbal")).as("total_acctbal"))
+        .orderBy("c_mktsegment"),
+      Some(s"""SELECT c_mktsegment, count(*) AS n_customers,
+              |       ${sqlMoneySum("c_acctbal")} AS total_acctbal
+              |FROM customer c
+              |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // C1/A1 — exact interpolating percentiles per group (pandas parity).
+    QuerySpec("q08_group_median",
+      (s, d) => Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 2).as("p90_price"),
+          n.as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             |       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+             |       count(*) AS n_rows
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // C4 — two-phase quantile cap: global p99, capped rewrite, re-aggregate.
+    QuerySpec("q09_quantile_cap",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val p99 = math.rint(li.agg(percentile(col("l_extendedprice"), lit(0.99))).first().getDouble(0) * 100) / 100.0
+        li.withColumn("capped", when(col("l_extendedprice") > p99, lit(p99)).otherwise(col("l_extendedprice")))
+          .groupBy("l_returnflag")
+          .agg(moneySum(col("capped")).as("capped_total"),
+            sum(when(col("l_extendedprice") > p99, 1L).otherwise(0L)).as("n_capped"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH p AS (SELECT round(quantile_cont(l_extendedprice, 0.99), 2) AS v FROM lineitem)
+              |SELECT l_returnflag,
+              |       ${sqlMoneySum("CASE WHEN l_extendedprice > p.v THEN p.v ELSE l_extendedprice END")} AS capped_total,
+              |       CAST(sum(CASE WHEN l_extendedprice > p.v THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
+              |FROM lineitem, p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // C2 — mode with pandas tie-break (count desc, value asc).
+    QuerySpec("q10_mode",
+      (s, d) => Tables.orders(s, d).groupBy("o_orderpriority")
+        .agg(n.as("cnt"))
+        .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+        .limit(1),
+      Some("""SELECT o_orderpriority, count(*) AS cnt FROM orders
+             |GROUP BY 1 ORDER BY cnt DESC, o_orderpriority ASC LIMIT 1""".stripMargin)),
+
+    // C6 — clamp to [10, 40].
+    QuerySpec("q11_clamp",
+      (s, d) => Tables.part(s, d)
+        .select(Cleaning.clamp(col("p_size"), lit(10), lit(40)).cast("long").as("clamped_size"))
+        .groupBy("clamped_size").agg(n.as("n_parts"))
+        .orderBy("clamped_size"),
+      Some("""SELECT CAST(greatest(least(p_size, 40), 10) AS BIGINT) AS clamped_size,
+             |       count(*) AS n_parts
+             |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // C7 — consistency rewrite: |reported − computed| > tol → computed.
+    QuerySpec("q12_consistency_rewrite",
+      (s, d) => {
+        val charge = col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))
+        Tables.lineitem(s, d)
+          .withColumn("corrected", Cleaning.consistencyRewrite(col("l_extendedprice"), charge, 0.1))
+          .withColumn("rewritten", (abs(col("l_extendedprice") - charge) > 0.1).cast("long"))
+          .groupBy("l_linestatus")
+          .agg(moneySum(col("corrected")).as("corrected_total"), sum(col("rewritten")).as("n_rewritten"))
+          .orderBy("l_linestatus")
+      },
+      Some(s"""SELECT l_linestatus,
+              |       ${sqlMoneySum("CASE WHEN abs(l_extendedprice - l_extendedprice*(1-l_discount)*(1+l_tax)) > 0.1 THEN l_extendedprice*(1-l_discount)*(1+l_tax) ELSE l_extendedprice END")} AS corrected_total,
+              |       CAST(sum(CASE WHEN abs(l_extendedprice - l_extendedprice*(1-l_discount)*(1+l_tax)) > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rewritten
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // D1-D6 — calendar features incl. right-closed time-of-day buckets.
+    QuerySpec("q13_time_features",
+      (s, d) => Tables.events(s, d)
+        .select(
+          year(col("ts")).cast("long").as("y"),
+          month(col("ts")).cast("long").as("m"),
+          Transforms.dayName(col("ts")).as("day_name"),
+          Transforms.timeOfDay(hour(col("ts"))).as("time_of_day"))
+        .groupBy("y", "m", "day_name", "time_of_day").agg(n.as("n_events"))
+        .orderBy("y", "m", "day_name", "time_of_day"),
+      Some("""SELECT CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+             |       dayname(ts) AS day_name,
+             |       CASE WHEN hour(ts) <= 6 THEN 'Night'
+             |            WHEN hour(ts) <= 12 THEN 'Morning'
+             |            WHEN hour(ts) <= 18 THEN 'Afternoon'
+             |            ELSE 'Evening' END AS time_of_day,
+             |       count(*) AS n_events
+             |FROM events GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin)),
+
+    // D10 — revenue segmentation (right-closed buckets, ≤0 → null; absent here).
+    QuerySpec("q14_revenue_segment",
+      (s, d) => Tables.orders(s, d)
+        .select(Transforms.segment(col("o_totalprice"),
+          Seq(50000.0, 150000.0, 300000.0),
+          Seq("Low", "Medium", "High", "Very High")).as("revenue_segment"),
+          col("o_totalprice"))
+        .groupBy("revenue_segment")
+        .agg(n.as("n_orders"), moneySum(col("o_totalprice")).as("total_revenue"))
+        .orderBy("revenue_segment"),
+      Some(s"""SELECT CASE WHEN o_totalprice <= 0 THEN NULL
+              |            WHEN o_totalprice <= 50000 THEN 'Low'
+              |            WHEN o_totalprice <= 150000 THEN 'Medium'
+              |            WHEN o_totalprice <= 300000 THEN 'High'
+              |            ELSE 'Very High' END AS revenue_segment,
+              |       count(*) AS n_orders,
+              |       ${sqlMoneySum("o_totalprice")} AS total_revenue
+              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A5 — multi-key monthly summary.
+    QuerySpec("q15_monthly_summary",
+      (s, d) => Metrics.monthlySummary(Tables.orders(s, d),
+        year(col("o_orderdate")), month(col("o_orderdate")), col("o_totalprice"))
+        .withColumnRenamed("trip_count", "n_orders")
+        .orderBy("year", "month"),
+      Some(s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+              |       CAST(month(o_orderdate) AS BIGINT) AS month,
+              |       count(*) AS n_orders,
+              |       ${sqlMoneySum("o_totalprice")} AS total_value,
+              |       ${sqlMoneyAvg("o_totalprice")} AS avg_value
+              |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // A4 — per-status analysis.
+    QuerySpec("q16_status_analysis",
+      (s, d) => Tables.orders(s, d).groupBy("o_orderstatus")
+        .agg(n.as("n_orders"),
+          moneySum(col("o_totalprice")).as("total_revenue"),
+          moneyAvg(col("o_totalprice")).as("avg_revenue"))
+        .orderBy("o_orderstatus"),
+      Some(s"""SELECT o_orderstatus, count(*) AS n_orders,
+              |       ${sqlMoneySum("o_totalprice")} AS total_revenue,
+              |       ${sqlMoneyAvg("o_totalprice")} AS avg_revenue
+              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // O2 — top-k with deterministic tie-break; broadcast-joined dimension.
+    QuerySpec("q17_top_customers",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(moneySum(col("o_totalprice")).as("revenue"), n.as("n_orders"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(10),
+      Some(s"""SELECT c_custkey, c_name,
+              |       ${sqlMoneySum("o_totalprice")} AS revenue, count(*) AS n_orders
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin)),
+
+    // O5 — unionByName with missing columns (schema-drift union).
+    QuerySpec("q18_union_align",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_returnflag", "l_tax")
+        val even = li.filter(col("l_orderkey") % 2 === 0)
+        val odd = li.filter(col("l_orderkey") % 2 =!= 0).drop("l_tax")
+        even.unionByName(odd, allowMissingColumns = true)
+          .groupBy("l_returnflag")
+          .agg(n.as("n_rows"), (n - count(col("l_tax"))).as("n_null_tax"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH u AS (
+             |  SELECT l_orderkey, l_returnflag, l_tax FROM lineitem WHERE l_orderkey % 2 = 0
+             |  UNION ALL BY NAME
+             |  SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_orderkey % 2 <> 0)
+             |SELECT l_returnflag, count(*) AS n_rows,
+             |       count(*) - count(l_tax) AS n_null_tax
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A6 — sorted distinct.
+    QuerySpec("q19_distinct_sorted",
+      (s, d) => Metrics.distinctSorted(Tables.lineitem(s, d), col("l_returnflag")),
+      Some("SELECT DISTINCT l_returnflag FROM lineitem ORDER BY 1")),
+
+    // Multi-way broadcast join: revenue per region/nation.
+    QuerySpec("q20_revenue_by_nation",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(n.as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("r_name", "n_name"),
+      Some(s"""SELECT r_name, n_name, count(*) AS n_orders,
+              |       ${sqlMoneySum("o_totalprice")} AS revenue
+              |FROM orders
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Window ranking: top-3 orders per customer (custkey < 100).
+    QuerySpec("q21_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d).filter(col("o_custkey") < 100)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_custkey", "rk")
+      },
+      Some("""SELECT o_custkey,
+             |       CAST(row_number() OVER (PARTITION BY o_custkey
+             |            ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk,
+             |       o_orderkey, o_totalprice
+             |FROM orders WHERE o_custkey < 100
+             |QUALIFY rk <= 3 ORDER BY o_custkey, rk""".stripMargin)),
+
+    // Rollup (grouping-set) summary.
+    QuerySpec("q22_rollup",
+      (s, d) => Tables.orders(s, d)
+        .rollup(year(col("o_orderdate")).cast("long").as("y"), col("o_orderstatus"))
+        .agg(n.as("n_orders"), moneySum(col("o_totalprice")).as("total_revenue"))
+        .select(coalesce(col("y"), lit(-1L)).as("y"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("total_revenue"))
+        .orderBy("y", "status"),
+      Some(s"""SELECT coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS y,
+              |       coalesce(o_orderstatus, 'ALL') AS status,
+              |       count(*) AS n_orders,
+              |       ${sqlMoneySum("o_totalprice")} AS total_revenue
+              |FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // O3 — min/max bounds → range string (filename-range analog).
+    QuerySpec("q23_range_bounds",
+      (s, d) => Tables.orders(s, d).agg(
+        date_format(min(col("o_orderdate")), "yyyy-MM").as("first_month"),
+        date_format(max(col("o_orderdate")), "yyyy-MM").as("last_month"),
+        concat(date_format(min(col("o_orderdate")), "yyyy-MM"), lit("_"),
+          date_format(max(col("o_orderdate")), "yyyy-MM")).as("date_range")),
+      Some("""SELECT strftime(min(o_orderdate), '%Y-%m') AS first_month,
+             |       strftime(max(o_orderdate), '%Y-%m') AS last_month,
+             |       strftime(min(o_orderdate), '%Y-%m') || '_' || strftime(max(o_orderdate), '%Y-%m') AS date_range
+             |FROM orders""".stripMargin))
+  )
+}

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.incremental.Incremental
+import graft.util.Det._
+
+/** North-star extension operators (training-data pipeline): dedup family,
+  * similarity search, text analysis, multimodal plumbing, incremental
+  * processing — each demonstrated on `documents` / `embeddings` / `events`
+  * with a DuckDB oracle where the semantics are SQL-expressible.
+  */
+object ExtQueries {
+
+  /** documents ∪ exact duplicates (ids shifted by 1e6) — exercises dedup. */
+  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+  private val dupCorpusSql =
+    """SELECT * FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents""".stripMargin
+
+  /** documents ∪ near-duplicate variants (every 25th doc gets a tail). */
+  private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val variants = docs.filter(col("doc_id") % 25 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" graft dedup probe tail")))
+    docs.unionByName(variants)
+  }
+  private val nearDupCorpusSql =
+    """SELECT doc_id, text, source FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, text || ' graft dedup probe tail', source
+      |FROM documents WHERE doc_id % 25 = 0""".stripMargin
+
+  private val neardupOracle =
+    s"""WITH u AS ($nearDupCorpusSql),
+       |tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM u),
+       |sh AS (SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(t) - 1),
+       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |       FROM tok)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) AS jacc
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+       |ORDER BY 1, 2""".stripMargin
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Exact dedup at scale: hash group-by on content digest, keep min id.
+    QuerySpec("x01_dedup_exact",
+      (s, d) => TextDedup.dedupExact(dupCorpus(s, d), col("text"), col("doc_id"))
+        .groupBy("source").agg(n.as("n_docs"))
+        .orderBy("source"),
+      Some(s"""WITH u AS ($dupCorpusSql),
+              |c AS (SELECT * FROM u
+              |      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+              |SELECT source, count(*) AS n_docs FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact n-gram-Jaccard near-dup pairs (global all-pairs at oracle scale;
+    // block or LSH at production scale).
+    QuerySpec("x02_neardup_jaccard",
+      (s, d) => TextDedup.exactNearDups(nearDupCorpus(s, d),
+        col("doc_id"), col("text"), lit(1), k = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some(neardupOracle)),
+
+    // MinHash+LSH near-dup: banding candidates + exact verification.
+    // Same oracle as x02 — LSH recall at j≥0.8 with r=2,b=32 is ≈1-1e-14.
+    QuerySpec("x03_minhash_lsh",
+      (s, d) => TextDedup.minhashNearDups(nearDupCorpus(s, d),
+        col("doc_id"), col("text"), k = 3, numHashes = 64, rowsPerBand = 2,
+        threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some(neardupOracle)),
+
+    // SimHash near-dup sketch (64-bit, hamming ≤ 8). Hash-function-specific
+    // → rows-only driver check; semantics pinned in SimHashSpec.
+    QuerySpec("x04_simhash",
+      (s, d) => TextDedup.simhashNearDups(nearDupCorpus(s, d),
+        col("doc_id"), col("text"), lit(1), maxDist = 8)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // Brute-force cosine top-k (exact ANN baseline).
+    QuerySpec("x05_knn_bruteforce",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+          .select(col("query_id"), col("rk"), col("neighbor_id"))
+          .orderBy("query_id", "rk")
+      },
+      Some("""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |           FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |      FROM embeddings)
+             |SELECT q.vec_id AS query_id,
+             |       CAST(row_number() OVER (PARTITION BY q.vec_id
+             |         ORDER BY list_dot_product(q.v, c.v) /
+             |                  (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+             |         c.vec_id ASC) AS BIGINT) AS rk,
+             |       c.vec_id AS neighbor_id
+             |FROM q JOIN c ON c.vec_id <> q.vec_id
+             |QUALIFY rk <= 5
+             |ORDER BY query_id, rk""".stripMargin)),
+
+    // LSH-bucketed approximate NN (the scale path). Approximate → rows-only
+    // driver check; recall vs brute force pinned in SimilaritySpec.
+    QuerySpec("x06_ann_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, 5, dim = 64)
+          .select(col("query_id"), col("rk"), col("neighbor_id"))
+          .orderBy("query_id", "rk")
+      },
+      None),
+
+    // Marker-based language ID — confusion matrix vs the labeled lang col.
+    QuerySpec("x07_lang_id",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.predictedLang(col("text")).as("predicted"))
+        .groupBy("lang", "predicted").agg(n.as("n_docs"))
+        .orderBy("lang", "predicted"),
+      Some("""WITH sc AS (
+             |  SELECT lang,
+             |    len(list_filter(string_split(lower(text),' '), x -> x IN ('der','die','das','und','ist'))) AS s_de,
+             |    len(list_filter(string_split(lower(text),' '), x -> x IN ('the','a','of','and','is'))) AS s_en,
+             |    len(list_filter(string_split(lower(text),' '), x -> x IN ('el','los','las','es','y'))) AS s_es,
+             |    len(list_filter(string_split(lower(text),' '), x -> x IN ('le','les','est','et','une'))) AS s_fr,
+             |    len(list_filter(string_split(lower(text),' '), x -> x IN ('的','是','了','在','和'))) AS s_zh
+             |  FROM documents)
+             |SELECT lang,
+             |       CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+             |            WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+             |            WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+             |            WHEN s_fr >= s_zh THEN 'fr'
+             |            ELSE 'zh' END AS predicted,
+             |       count(*) AS n_docs
+             |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Quality scoring: length / diversity / alpha-ratio components.
+    QuerySpec("x08_quality_score",
+      (s, d) => Tables.documents(s, d).filter(col("doc_id") <= 100)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.avgTokenLength(col("text")).as("avg_token_len"),
+          round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+          round(TextAnalysis.alphaRatio(col("text")), 4).as("alpha_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS tk
+             |           FROM documents WHERE doc_id <= 100)
+             |SELECT doc_id,
+             |  CAST(len(tk) AS BIGINT) AS n_tokens,
+             |  round(list_sum(list_transform(tk, x -> len(x))) * 1.0 / len(tk), 2) AS avg_token_len,
+             |  round(len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in'))) * 1.0 / len(tk), 4) AS stopword_ratio,
+             |  round(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 / len(text), 4) AS alpha_ratio,
+             |  round(least(len(tk) * 1.0 / 100, 1.0) * 0.4
+             |      + (len(list_distinct(tk)) * 1.0 / len(tk)) * 0.3
+             |      + (len(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 / len(text)) * 0.3, 3) AS quality
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // Token counting: whitespace tokens + BPE-ish pieces, per source.
+    QuerySpec("x09_token_count",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+          sum(TextAnalysis.piecesCount(col("text"))).as("total_pieces"))
+        .orderBy("source"),
+      Some("""SELECT source,
+             |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+             |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_pieces
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Content fingerprinting (md5-16); rolling-hash variant in TextSpec.
+    QuerySpec("x10_fingerprint",
+      (s, d) => Tables.documents(s, d).filter(col("doc_id") <= 100)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fingerprint
+             |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal plumbing: binary payload + typed metadata (decode STUBBED).
+    QuerySpec("x11_multimodal_meta",
+      (s, d) => Multimodal.asBinary(Tables.documents(s, d).filter(col("doc_id") <= 100), "text")
+        .withColumn("meta", Multimodal.decodeStub(col("payload")))
+        .select(col("doc_id"), col("meta.n_bytes"), col("meta.width"),
+          col("meta.height"), col("meta.channels"), col("meta.format"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+             |  CAST((octet_length(encode(text)) // 7) % 480 AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS channels,
+             |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
+             |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
+             |       ELSE 'webp' END AS format
+             |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin)),
+
+    // n-gram profile: top-20 bigrams corpus-wide.
+    QuerySpec("x12_top_bigrams",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(TextAnalysis.ngrams(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(n.as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("bigram").asc)
+        .limit(20),
+      Some("""SELECT bigram, count(*) AS n_occurrences
+             |FROM (SELECT unnest(list_transform(range(1, len(t)),
+             |              i -> t[i] || ' ' || t[i+1])) AS bigram
+             |      FROM (SELECT string_split(lower(text), ' ') AS t FROM documents))
+             |GROUP BY 1 ORDER BY n_occurrences DESC, bigram ASC LIMIT 20""".stripMargin)),
+
+    // ST1/ST2 — incremental batch processing with watermark + tracker:
+    // 3 file batches, run twice (idempotency) — totals must equal the
+    // single-shot aggregation, which is exactly what the oracle computes.
+    QuerySpec("st01_incremental",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_inc").toString
+        val ev = Tables.events(s, d)
+        (0 until 3).foreach { i =>
+          ev.filter(col("event_id") % 3 === i).coalesce(1)
+            .write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+        }
+        Incremental.run(s, s"$tmp/src", s"$tmp/state", s"$tmp/out")(identity)
+        Incremental.run(s, s"$tmp/src", s"$tmp/state", s"$tmp/out")(identity) // no-op rerun
+        s.read.parquet(s"$tmp/out")
+          .groupBy(hour(col("ts")).cast("long").as("h"))
+          .agg(n.as("n_events"), sum(col("event_id")).as("id_sum"))
+          .orderBy("h")
+      },
+      Some("""SELECT CAST(hour(ts) AS BIGINT) AS h, count(*) AS n_events,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One demonstrable operator from SURVEY §2 (or a north-star extension):
+  * a Spark implementation plus (when SQL-expressible) a DuckDB oracle query
+  * producing the identical result on the same parquet tables.
+  *
+  * Output conventions for exact cross-engine hash parity:
+  *   - every output column is STRING, BIGINT, or DOUBLE;
+  *   - float aggregates use fixed-point cents (see graft.util.Det);
+  *   - every query ends in a total ORDER BY (both sides).
+  */
+final case class QuerySpec(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  def all: Seq[QuerySpec] =
+    CoreQueries.all ++ ExtQueries.all
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  /** Benchmark set: everything except the deliberately-quadratic exact
+    * all-pairs verifiers (x02/x04 exist to oracle-check the LSH/sketch
+    * scale paths x03/x06 — brute force is not the operator we'd run at
+    * scale, so it isn't the operator we benchmark). */
+  val quadraticVerifiers: Set[String] = Set("x02_neardup_jaccard", "x04_simhash")
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    all.filterNot(q => quadraticVerifiers(q.name)).map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
