@@ -26,7 +26,10 @@ object Similarity {
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** try_divide: a zero-norm vector yields null similarity (ranked last)
+    * instead of an ANSI divide-by-zero error. */
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), l2Norm(a) * l2Norm(b))
 
   /** Exact brute-force top-k: for each query row, the k nearest corpus rows
     * by cosine (ties broken by corpus id asc). `queries` must be small

@@ -27,9 +27,10 @@ object TextAnalysis {
     size(filter(t, x => x.isInCollection(stopwords))).cast("double") / size(t)
   }
 
-  /** Fraction of characters that are ascii letters. */
+  /** Fraction of characters that are ascii letters (null for empty text —
+    * try_divide keeps ANSI mode from throwing on length 0). */
   def alphaRatio(text: Column): Column =
-    length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") / length(text)
+    try_divide(length(regexp_replace(lower(text), "[^a-z]", "")).cast("double"), length(text))
 
   /** Mean token length, 2 decimals. */
   def avgTokenLength(text: Column): Column = {

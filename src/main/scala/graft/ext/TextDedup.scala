@@ -18,14 +18,12 @@ object TextDedup {
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), " ")
 
-  /** Distinct k-word shingles (1-based element_at; empty when < k tokens). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val t = tokens(text)
-    when(size(t) >= k,
-      array_distinct(transform(sequence(lit(1), size(t) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(o => element_at(t, i + o)): _*))))
-      .otherwise(array_distinct(array(concat_ws(" ", t))))
-  }
+  /** Distinct k-word shingles. Native expression (graft.functions.TextExprs)
+    * — the HOF formulation (`transform` over `sequence` with per-position
+    * `concat_ws`) is interpreted, not codegen'd, and dominated the dedup
+    * runtime. */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.TextExprs.wordShingles(text, k)
 
   /** Exact set Jaccard of two shingle arrays — integer size ratio, so the
     * double result is bit-deterministic across engines. */
@@ -43,16 +41,11 @@ object TextDedup {
   }
 
   /** MinHash signature: `numHashes` permutation-min values over the shingle
-    * set. One xxhash64 per shingle, then cheap affine re-hashes — all inside
-    * codegen. */
-  def minhashSignature(shingleSet: Column, numHashes: Int = 64): Column = {
-    // one permutation per seed: xxhash64(seed, shingle-hash); pure codegen,
-    // no overflow (ANSI-safe)
-    val base = transform(shingleSet, s => xxhash64(s))
-    array((0 until numHashes).map { i =>
-      array_min(transform(base, h => xxhash64(lit(i), h)))
-    }: _*)
-  }
+    * set. Native single-pass expression — one XXH64 per shingle plus a
+    * cheap per-permutation remix, in a compiled loop (the HOF fold was
+    * interpreted and ~100× slower). */
+  def minhashSignature(shingleSet: Column, numHashes: Int = 64): Column =
+    graft.functions.TextExprs.minhashSig(shingleSet, numHashes)
 
   /** LSH banding: candidate pairs whose signatures agree on ≥1 band of
     * `rowsPerBand` consecutive minhashes. Returns (idA, idB) with idA < idB,
@@ -107,20 +100,10 @@ object TextDedup {
   }
 
   /** 64-bit SimHash over the token multiset: bit i of the sketch is the
-    * sign of Σ_tokens (bit i of xxhash64(token) ? +1 : −1). */
-  def simhash(text: Column): Column = {
-    val th = transform(tokens(text), t => xxhash64(t))
-    val counts = aggregate(th,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc,
-        array((0 until 64).map(i =>
-          when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)): _*),
-        (c, b) => c + b))
-    // pack sign bits: sum of distinct powers of two ≡ bitwise OR
-    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
-    aggregate(zip_with(counts, powers, (c, p) => when(c > 0, p).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-  }
+    * sign of Σ_tokens (bit i of hash(token) ? +1 : −1). Native expression
+    * (compiled loop; the HOF formulation allocated a 64-element array per
+    * token per row). */
+  def simhash(text: Column): Column = graft.functions.TextExprs.simhash64(text)
 
   /** SimHash near-dup pairs within a blocking key: hamming(sketch) ≤ maxDist. */
   def simhashNearDups(df: DataFrame, id: Column, text: Column, block: Column,

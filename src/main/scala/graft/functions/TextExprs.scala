@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{column => _}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** Native Catalyst expressions for the text-dedup hot path.
+  *
+  * Why: Spark's higher-order functions (`transform` / `aggregate` /
+  * `zip_with`) are evaluated INTERPRETED — they don't participate in
+  * whole-stage codegen — so a minhash signature written as HOF folds costs
+  * millions of interpreted expression-node evaluations per partition. These
+  * expressions compute the same results in tight compiled loops
+  * (CodegenFallback: one virtual `eval` call per row, then plain JVM code).
+  * Hashing uses Spark's own XXH64 so behavior is stable across JVMs.
+  */
+object TextExprs {
+
+  /** Lower-cased whitespace tokens → distinct k-word shingles.
+    * Matches the semantics of `split(lower(text), " ")` + sliding concat:
+    * consecutive spaces yield empty tokens (kept, like Spark's `split`);
+    * texts with fewer than k tokens collapse to one whole-text shingle. */
+  case class WordShingles(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val tokens = input.asInstanceOf[UTF8String].toString.toLowerCase.split(" ", -1)
+      val out = new mutable.LinkedHashSet[String]
+      if (tokens.length < k) out += tokens.mkString(" ")
+      else {
+        var i = 0
+        val sb = new java.lang.StringBuilder(64)
+        while (i + k <= tokens.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(tokens(i + j))
+            j += 1
+          }
+          out += sb.toString
+          i += 1
+        }
+      }
+      new GenericArrayData(out.iterator.map(UTF8String.fromString).toArray[Any])
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): WordShingles =
+      copy(child = newChild)
+  }
+
+  /** MinHash signature over an array<string> shingle set: for permutation i,
+    * sig[i] = min over shingles s of XXH64(XXH64(bytes(s), 42), seed_i)
+    * where seed_i = XXH64(i, 42). One pass over the shingles; 64-bit
+    * min-wise independent enough for LSH banding. */
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(numHashes >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+
+    private lazy val seeds: Array[Long] =
+      Array.tabulate(numHashes)(i => XXH64.hashLong(i.toLong, 42L))
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var p = 0
+        while (p < numHashes) {
+          val h = XXH64.hashLong(base, seeds(p))
+          if (h < sig(p)) sig(p) = h
+          p += 1
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sig)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash over the token multiset: bit i of the result is set
+    * when Σ_tokens (±1 by bit i of XXH64(token)) is positive. Same
+    * semantics as the HOF formulation in TextDedup.simhash, ~100× cheaper. */
+  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val tokens = input.asInstanceOf[UTF8String].toString.toLowerCase.split(" ", -1)
+      val counts = new Array[Int](64)
+      var t = 0
+      while (t < tokens.length) {
+        val u = UTF8String.fromString(tokens(t))
+        val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        t += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  // Column-level wrappers
+  import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn => column, toExpression => expression}
+  def wordShingles(text: Column, k: Int): Column = column(WordShingles(expression(text), k))
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    column(MinHashSig(expression(shingles), numHashes))
+  def simhash64(text: Column): Column = column(SimHash64(expression(text)))
+}

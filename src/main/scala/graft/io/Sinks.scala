@@ -1,0 +1,56 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sink-side operators (SURVEY §2.1 S4-S8).
+  *
+  * The reference writes a versioned object per run and copies it to a
+  * stable `latest/` key (`data_processing.py:465-538`, `s3_uploader.py:
+  * 185-203`). Here: parquet/CSV writers plus a Hadoop-FS copy for the
+  * "latest symlink" — identical layout on any Hadoop FS (s3a://, file://).
+  */
+object Sinks {
+
+  /** S4 — versioned parquet sink (snappy is Spark's default codec). */
+  def parquet(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").parquet(dir)
+
+  /** S5 — single-file CSV metric sink with header (`df.to_csv`,
+    * `DP:508-514`). Metric tables are small aggregates — coalesce(1) is
+    * deliberate and safe. */
+  def metricsCsv(df: DataFrame, dir: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+
+  /** S8 — "latest" copy: replicate a written directory to a stable path
+    * (`s3.copy_object` → FS-level copy; works on s3a/file/hdfs alike). */
+  def copyToLatest(spark: SparkSession, srcDir: String, latestDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(srcDir)
+    val dst = new Path(latestDir)
+    val fs: FileSystem = src.getFileSystem(conf)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    FileUtil.copy(fs, src, fs, dst, false, true, conf)
+  }
+
+  /** S6 — one-line text artifact (the reference's watermark file shape). */
+  def writeText(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readText(spark: SparkSession, path: String): Option[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+}

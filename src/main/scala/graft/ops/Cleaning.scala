@@ -87,8 +87,12 @@ object Cleaning {
     df.withColumn(target, when(bad, lit(cap)).otherwise(col(target)))
   }
 
-  /** C6 — clamp to [lo, hi] with null passthrough (`DP:146-154`). */
-  def clamp(c: Column, lo: Column, hi: Column): Column = greatest(least(c, hi), lo)
+  /** C6 — clamp to [lo, hi] with null passthrough (`DP:146-154`).
+    * Spark's `greatest`/`least` SKIP null arguments (they return the
+    * non-null extreme), unlike pandas `clip` which propagates NaN — so the
+    * null case must be handled explicitly. */
+  def clamp(c: Column, lo: Column, hi: Column): Column =
+    when(c.isNull, lit(null)).otherwise(greatest(least(c, hi), lo))
 
   /** C7 — component-sum consistency rewrite (`DP:156-174`): where
     * |reported − computed| > tol, overwrite reported with computed.

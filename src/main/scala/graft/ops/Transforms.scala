@@ -52,10 +52,12 @@ object Transforms {
     mid.otherwise(labels.last)
   }
 
-  /** D11 — ratio with pandas inf/NaN → 0 semantics: Spark x/0 → NULL so a
-    * single coalesce covers both. */
+  /** D11 — ratio with pandas inf/NaN → 0 semantics. Spark 4 runs ANSI by
+    * default (x/0 THROWS, not NULL — SURVEY §7.5.3 predates that default),
+    * so the division must be `try_divide`; the coalesce then maps the
+    * null-on-zero (pandas inf/NaN) to 0. */
   def safeRatio(num: Column, den: Column, scale: Double = 100.0): Column =
-    coalesce(num / den * scale, lit(0.0))
+    coalesce(try_divide(num, den) * scale, lit(0.0))
 
   /** Calendar features D3/D5 in one map. */
   def calendar(ts: Column): Map[String, Column] = Map(

@@ -25,6 +25,8 @@ object IncrementalStream {
     val in = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      // the reference's listing is recursive (SURVEY S2 "incl. subfolders")
+      .option("recursiveFileLookup", "true")
       .parquet(srcDir)
     val q = transform(in).writeStream
       .format("parquet")

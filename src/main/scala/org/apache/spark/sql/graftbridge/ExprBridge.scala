@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. `ExpressionUtils` is `private[sql]` in
+  * Spark 4, so the conversion must live under `org.apache.spark.sql`;
+  * everything else in this repo stays in the public `graft` namespace and
+  * goes through these two calls. */
+object ExprBridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,72 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Vector similarity: exact cosine math, brute-force top-k ordering, and
+  * LSH recall against the exact baseline on a deterministic corpus.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of parallel vectors is 1, orthogonal is 0, antiparallel is -1") {
+    val df = Seq((
+      Seq(1.0f, 0.0f), Seq(2.0f, 0.0f), Seq(0.0f, 3.0f), Seq(-1.0f, 0.0f)
+    )).toDF("a", "b", "c", "d")
+    def cos(x: String, y: String) =
+      df.select(Similarity.cosine(Similarity.toDouble(col(x)), Similarity.toDouble(col(y))))
+        .first().getDouble(0)
+    assert(math.abs(cos("a", "b") - 1.0) < 1e-12)
+    assert(math.abs(cos("a", "c")) < 1e-12)
+    assert(math.abs(cos("a", "d") + 1.0) < 1e-12)
+  }
+
+  // deterministic pseudo-random corpus: 80 vectors in 16 dims
+  private def corpus = {
+    val rnd = new scala.util.Random(7)
+    (0L until 80L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK returns k neighbors ranked by descending cosine") {
+    val c = corpus
+    val out = Similarity.bruteForceTopK(c.filter($"vec_id" === 0), c, 5)
+    val rows = out.orderBy("rk").collect()
+    assert(rows.length === 5)
+    val sims = rows.map(_.getDouble(3))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    assert(!rows.map(_.getLong(2)).contains(0L)) // self excluded
+  }
+
+  test("lshTopK achieves ≥60% average recall@5 vs brute force on the corpus") {
+    val c = corpus
+    val q = c.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, c, 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // bits=4 on 16-dim gaussian noise: p(bucket hit) ≈ (2/3)^4 per table
+    // → expected recall ≈ 1-(1-0.2)^8 ≈ 0.83; bits=6 would sit near 0.5
+    val approx = Similarity.lshTopK(q, c, 5, dim = 16, bits = 4, tables = 8)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (qid, nbrs) =>
+      approx.getOrElse(qid, Set.empty).intersect(nbrs).size.toDouble / nbrs.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.6, s"avg recall@5 = $avg")
+  }
+
+  test("cosineNearDups finds planted duplicates") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 20L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    // plant: vec 100 = exact copy of vec 0; vec 101 = slightly perturbed vec 1
+    val planted = base ++ Seq(
+      (100L, base(0)._2),
+      (101L, base(1)._2.map(x => x + 0.01f)))
+    val df = planted.toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDups(df, 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)))
+    assert(pairs.contains((1L, 101L)))
+  }
+}

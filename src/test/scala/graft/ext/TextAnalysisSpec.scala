@@ -1,0 +1,76 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Text analysis: token/piece counting, ratios, quality score bounds,
+  * language ID on marker-bearing snippets, fingerprint stability.
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount counts whitespace tokens; piecesCount splits runs") {
+    val df = Seq("Hello world 123 foo-bar").toDF("text")
+    val r = df.select(TextAnalysis.tokenCount($"text"),
+      TextAnalysis.piecesCount($"text")).first()
+    assert(r.getLong(0) === 4L)
+    // pieces: hello, world, 123, foo, -, bar
+    assert(r.getLong(1) === 6L)
+  }
+
+  test("stopwordRatio and alphaRatio are exact fractions") {
+    val df = Seq("the cat and dog").toDF("text")
+    val r = df.select(TextAnalysis.stopwordRatio($"text"),
+      TextAnalysis.alphaRatio($"text")).first()
+    assert(r.getDouble(0) === 0.5) // the, and of 4 tokens
+    assert(r.getDouble(1) === 12.0 / 15.0) // 12 letters of 15 chars
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val df = Seq("short", ("word " * 200).trim, "!!! ??? ###").toDF("text")
+    val scores = df.select(TextAnalysis.qualityScore($"text")).collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("predictedLang identifies marker-heavy snippets deterministically") {
+    val df = Seq(
+      ("en", "the cat is on the mat and a dog is here"),
+      ("de", "der hund und die katze das ist gut und schön"),
+      ("es", "el perro y los gatos es bueno y las casas"),
+      ("fr", "le chien est petit et les chats est une merveille"),
+      ("zh", "这 是 一只 猫 和 一只 狗 在 家 的 里面")
+    ).toDF("expected", "text")
+    val out = df.select($"expected", TextAnalysis.predictedLang($"text").as("got")).collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("fingerprint is 16 hex chars, stable, case-insensitive") {
+    val df = Seq(("Hello World", "hello world", "other")).toDF("a", "b", "c")
+    val r = df.select(TextAnalysis.fingerprint($"a"), TextAnalysis.fingerprint($"b"),
+      TextAnalysis.fingerprint($"c")).first()
+    assert(r.getString(0).length === 16)
+    assert(r.getString(0) === r.getString(1)) // lowercased before hashing
+    assert(r.getString(0) !== r.getString(2))
+  }
+
+  test("rollingHash is deterministic and order-sensitive") {
+    val df = Seq(("abc", "abc", "cba")).toDF("a", "b", "c")
+    val r = df.select(TextAnalysis.rollingHash($"a"), TextAnalysis.rollingHash($"b"),
+      TextAnalysis.rollingHash($"c")).first()
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.getLong(0) !== r.getLong(2))
+    // h("abc") = (('a'*31 + 'b')*31 + 'c') mod 1e9+7
+    val expected = ((97L * 31 + 98) * 31 + 99) % 1000000007L
+    assert(r.getLong(0) === expected)
+  }
+
+  test("ngrams yields ordered non-distinct n-grams; short text → empty") {
+    val df = Seq("a b a b").toDF("text")
+    val grams = df.select(TextAnalysis.ngrams($"text", 2)).first().getSeq[String](0)
+    assert(grams === Seq("a b", "b a", "a b")) // duplicates preserved
+    val short = Seq("one").toDF("text")
+      .select(TextAnalysis.ngrams($"text", 2)).first().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection semantics: shingling, exact Jaccard, the
+  * MinHash-LSH candidate pipeline (recall vs the exact all-pairs result),
+  * and SimHash hamming properties.
+  */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today extra"), // near-dup of 1
+    (3L, "completely different text about apples oranges bananas and citrus fruit markets"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "yet another unrelated document mentioning quantum computing and lattice cryptography research")
+  ).toDF("doc_id", "text")
+
+  test("shingles produces distinct k-word shingles; short docs collapse to one") {
+    val sh = docs.filter($"doc_id" === 1)
+      .select(TextDedup.shingles($"text", 3).as("s")).first().getSeq[String](0)
+    assert(sh.contains("the quick brown"))
+    assert(sh.contains("quick brown fox"))
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+      .select(TextDedup.shingles($"text", 3).as("s")).first().getSeq[String](0)
+    assert(short === Seq("two words"))
+  }
+
+  test("jaccard of identical sets is 1.0, of disjoint sets is 0.0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("c", "d"))).toDF("x", "y", "z")
+    val r = df.select(TextDedup.jaccard($"x", $"y"), TextDedup.jaccard($"x", $"z")).first()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+  }
+
+  test("dedupExact keeps one row per identical text (min order)") {
+    val out = TextDedup.dedupExact(docs, $"text", $"doc_id")
+    assert(out.count() === 4) // doc 4 removed
+    assert(out.filter($"doc_id" === 4).count() === 0)
+    assert(out.filter($"doc_id" === 1).count() === 1)
+  }
+
+  test("exactNearDups finds the near pair and the exact pair, not unrelated docs") {
+    val pairs = TextDedup.exactNearDups(docs, $"doc_id", $"text", lit(1), k = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhashNearDups reproduces the exact near-dup pairs (recall ≈ 1 at j≥0.8)") {
+    val exact = TextDedup.exactNearDups(docs, $"doc_id", $"text", lit(1), k = 3, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minhashNearDups(docs, $"doc_id", $"text", k = 3,
+      numHashes = 64, rowsPerBand = 2, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+    assert(exact.nonEmpty) // 1-4 are identical → jaccard 1.0 must be found
+  }
+
+  test("LSH verification removes banding false positives (no pair below threshold)") {
+    val out = TextDedup.minhashNearDups(docs, $"doc_id", $"text", k = 3,
+      numHashes = 64, rowsPerBand = 2, threshold = 0.8)
+    assert(out.filter($"jacc" < 0.8).count() === 0)
+  }
+
+  test("simhash of identical texts is identical; near-dups within small hamming") {
+    val sh = docs.select($"doc_id", TextDedup.simhash($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) <= 8)   // near-dup: few bits differ
+    assert(ham(sh(1L), sh(3L)) > 8)    // unrelated: many bits differ
+  }
+
+  test("simhashNearDups surfaces exact+near pairs under maxDist") {
+    val pairs = TextDedup.simhashNearDups(docs, $"doc_id", $"text", lit(1), maxDist = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+}

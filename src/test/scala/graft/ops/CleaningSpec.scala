@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the SURVEY §2.5 cleaning semantics: two-pass global-aggregate
+  * rewrites, pandas-parity medians/modes, cap-includes-outliers, and the
+  * impute→dedup→cap→fix→remove ordering (§7.5.2).
+  */
+class CleaningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("C1 imputeMedian uses the exact interpolating median, nulls excluded") {
+    // values 1,2,3,100 → median = 2.5 (interpolated), nulls not counted
+    val df = Seq(Some(1.0), Some(2.0), None, Some(3.0), Some(100.0)).toDF("v")
+    val out = Cleaning.imputeMedian(df, Seq("v"))
+    assert(out.filter($"v" === 2.5).count() === 1)
+    assert(out.filter($"v".isNull).count() === 0)
+  }
+
+  test("C1 imputeMedian leaves an all-null column untouched") {
+    val df = Seq[Option[Double]](None, None).toDF("v")
+    assert(Cleaning.imputeMedian(df, Seq("v")).filter($"v".isNull).count() === 2)
+  }
+
+  test("C1 imputeMedian skips absent columns") {
+    val df = Seq(1.0).toDF("v")
+    assert(Cleaning.imputeMedian(df, Seq("nope")).collect().map(_.getDouble(0)).toSeq === Seq(1.0))
+  }
+
+  test("C2 imputeMode breaks count ties by smallest value (pandas mode()[0])") {
+    // 5 and 7 both appear twice → pandas mode picks 5
+    val df = Seq(Some(5), Some(5), Some(7), Some(7), None).toDF("v")
+    val out = Cleaning.imputeMode(df, Seq("v"))
+    assert(out.filter($"v" === 5).count() === 3)
+  }
+
+  test("C2 imputeMode falls back to 'Unknown' when the column is all null") {
+    val df = Seq[Option[String]](None, None).toDF("v")
+    val out = Cleaning.imputeMode(df, Seq("v"))
+    assert(out.filter($"v" === "Unknown").count() === 2)
+  }
+
+  test("C3 imputeConstant fills only nulls") {
+    val df = Seq(Some(3), None).toDF("v")
+    val out = Cleaning.imputeConstant(df, Seq("v"), 0)
+    assert(out.orderBy($"v").collect().map(_.getInt(0)).toSeq === Seq(0, 3))
+  }
+
+  test("C4 quantileCap computes the quantile INCLUDING the outliers (DP:126-134)") {
+    // p99 over all 101 values 0..100 is 100*0.99 = 99.0 — outlier included
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val out = Cleaning.quantileCap(df, "v", bad = $"v" > 99.0, basis = $"v", q = 0.99)
+    assert(out.agg(max($"v")).first().getDouble(0) === 99.0)
+  }
+
+  test("C5 quantileCap with a filtered basis (fare p99 over non-negative subset)") {
+    val df = Seq(-50.0, 1.0, 2.0, 3.0, 1000.0).toDF("v")
+    // basis = non-negative values only: {1,2,3,1000}; p99 = interpolated near 1000
+    val out = Cleaning.quantileCap(df, "v",
+      bad = $"v" < 0 || $"v" > 500, basis = when($"v" >= 0, $"v"), q = 0.5)
+    // median of {1,2,3,1000} = 2.5; both -50 and 1000 become 2.5
+    assert(out.filter($"v" === 2.5).count() === 2)
+  }
+
+  test("C6 clamp bounds both ends and passes nulls through") {
+    val df = Seq(Some(-5), Some(3), Some(99), None).toDF("v")
+    val out = df.select(Cleaning.clamp($"v", lit(1), lit(6)).as("v"))
+    assert(out.filter($"v".isNull).count() === 1)
+    assert(out.filter($"v" === 1).count() === 1) // -5 → 1
+    assert(out.filter($"v" === 6).count() === 1) // 99 → 6
+    assert(out.filter($"v" === 3).count() === 1) // in range, unchanged
+  }
+
+  test("C7 consistencyRewrite only fires beyond the tolerance") {
+    val df = Seq((10.0, 10.05), (10.0, 10.2)).toDF("computed", "reported")
+    val out = df.select(Cleaning.consistencyRewrite($"reported", $"computed", 0.1).as("v"))
+    assert(out.orderBy($"v").collect().map(_.getDouble(0)).toSeq === Seq(10.0, 10.05))
+  }
+
+  test("C8 repairOrder rewrites only inverted intervals (end := start + 5 min)") {
+    val df = Seq(
+      ("2024-01-01 10:00:00", "2024-01-01 09:00:00"), // inverted
+      ("2024-01-01 10:00:00", "2024-01-01 11:00:00")  // fine
+    ).toDF("s", "e").select(to_timestamp($"s").as("s"), to_timestamp($"e").as("e"))
+    val out = df.select(date_format(
+      Cleaning.repairOrder($"s", $"e", "5 MINUTES"), "HH:mm").as("e"))
+    assert(out.orderBy($"e").collect().map(_.getString(0)).toSeq === Seq("10:05", "11:00"))
+  }
+
+  test("§7.5.2 cleaning order: median computed pre-dedup includes duplicate rows") {
+    // with dups {1,1,1,10} median=1; dedup-first {1,10} would give 5.5
+    val df = Seq(Some(1.0), Some(1.0), Some(1.0), Some(10.0), None).toDF("v")
+    val imputedThenDeduped = Dedup.exact(Cleaning.imputeMedian(df, Seq("v")))
+    assert(imputedThenDeduped.filter($"v" === 1.0).count() === 1)
+    assert(imputedThenDeduped.filter($"v" === 5.5).count() === 0)
+  }
+
+  test("percentileOf approximate mode stays close to exact at scale") {
+    val df = (1 to 10000).map(_.toDouble).toDF("v")
+    val exact = df.agg(Cleaning.percentileOf($"v", 0.99)).first().getDouble(0)
+    val approx = df.agg(Cleaning.percentileOf($"v", 0.99, exact = false)).first().getDouble(0)
+    assert(math.abs(exact - approx) / exact < 0.01)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.util.Det
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3/§2.4/§2.7 — dedup family, anti/semi joins, metric rollups,
+  * and the Det fixed-point aggregate convention.
+  */
+class DedupMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DD1 latestPerKey keeps the max-ord row with deterministic tie-break") {
+    val df = Seq(
+      ("a", 1L, "old"), ("a", 5L, "new"),
+      ("b", 3L, "x1"), ("b", 3L, "x2") // tie on ord → tieBreak (payload desc)
+    ).toDF("k", "ord", "payload")
+    val out = Dedup.latestPerKey(df, Seq($"k"), $"ord", $"payload")
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getString(2))).toSeq ===
+      Seq(("a", "new"), ("b", "x2")))
+  }
+
+  test("DD2 exact dedup is null-safe (null == null like pandas)") {
+    val df = Seq(Some(1), None, None, Some(1)).toDF("v")
+    assert(Dedup.exact(df).count() === 2)
+  }
+
+  test("DD2 exactByKey keeps the min-keep row per key") {
+    val df = Seq(("k", 2, "second"), ("k", 1, "first")).toDF("k", "ord", "v")
+    val out = Dedup.exactByKey(df, Seq($"k"), $"ord")
+    assert(out.first().getString(2) === "first")
+  }
+
+  test("J1 antiJoin keeps only unmatched left rows") {
+    val left = Seq(1, 2, 3).toDF("id")
+    val right = Seq(2).toDF("rid")
+    val out = Dedup.antiJoin(left, right, $"id" === $"rid")
+    assert(out.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 3))
+  }
+
+  test("semiJoin keeps only matched left rows, no duplication from multi-match") {
+    val left = Seq(1, 2).toDF("id")
+    val right = Seq(2, 2, 2).toDF("rid")
+    val out = Dedup.semiJoin(left, right, $"id" === $"rid")
+    assert(out.collect().map(_.getInt(0)).toSeq === Seq(2))
+  }
+
+  test("Det.moneySum is exact in cents; moneyAvg matches integer half-up at 1e-4") {
+    // 0.1 + 0.2 in doubles is 0.30000000000000004; cents arithmetic is exact
+    val df = Seq(0.1, 0.2).toDF("v")
+    val r = df.agg(Det.moneySum($"v"), Det.moneyAvg($"v")).first()
+    assert(r.getDouble(0) === 0.3)
+    assert(r.getDouble(1) === 0.15)
+    // avg of {0.01, 0.02} = 0.015 exactly on the 1e-4 grid
+    val r2 = Seq(0.01, 0.02).toDF("v").agg(Det.moneyAvg($"v")).first()
+    assert(r2.getDouble(0) === 0.015)
+  }
+
+  test("A1 performance rollup: count/sum/avg/median per key") {
+    val df = Seq(("a", 10.0, 5.0), ("a", 20.0, 15.0), ("b", 7.0, 1.0))
+      .toDF("k", "value", "dur")
+    val out = Metrics.performance(df, $"k", $"value", $"dur").orderBy("k").collect()
+    val a = out(0)
+    assert(a.getLong(1) === 2L)            // trip_count
+    assert(a.getDouble(2) === 30.0)        // total_value
+    assert(a.getDouble(3) === 15.0)        // avg_value
+    assert(a.getDouble(4) === 15.0)        // median_value
+    assert(a.getDouble(5) === 10.0)        // avg_duration
+  }
+
+  test("A6 distinctSorted returns ordered distinct values") {
+    val df = Seq("b", "a", "b", "c").toDF("v")
+    assert(Metrics.distinctSorted(df, $"v").collect().map(_.getString(0)).toSeq ===
+      Seq("a", "b", "c"))
+  }
+}
