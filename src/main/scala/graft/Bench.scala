@@ -14,6 +14,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/parquet-reader warmup outside the timed loop: steady-state
+    // per-query numbers, not first-query JIT cost.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    graft.queries.Registry.queries("q02_pricing_summary")(spark, sfDir).count()
     val results = graft.queries.Registry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

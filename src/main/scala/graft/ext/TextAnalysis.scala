@@ -60,7 +60,12 @@ object TextAnalysis {
     size(filter(tokens(text), x => x.isInCollection(markers))).cast("long")
 
   def predictedLang(text: Column): Column = {
-    val scores = langMarkers.map { case (l, m) => l -> langScore(text, m) }
+    // one native tokenize+count pass for all languages (the per-language
+    // HOF filters re-tokenized the text per language, interpreted)
+    val counts = graft.functions.TextExprs.markerCounts(text, langMarkers.map(_._2))
+    val scores = langMarkers.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(counts, i + 1)
+    }
     // lang wins if its score >= max of all later langs (earlier-listed wins ties)
     scores.init.zipWithIndex.foldLeft(null.asInstanceOf[Column]) { case (acc, ((l, s), i)) =>
       val rest = scores.drop(i + 1).map(_._2)
@@ -79,12 +84,8 @@ object TextAnalysis {
     aggregate(transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
 
-  /** Word n-grams (non-distinct, order-preserving). */
-  def ngrams(text: Column, k: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= k,
-      transform(sequence(lit(1), size(t) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(o => element_at(t, i + o)): _*)))
-      .otherwise(array())
-  }
+  /** Word n-grams (non-distinct, order-preserving; < k tokens → empty).
+    * Native expression — the HOF sliding-concat is interpreted. */
+  def ngrams(text: Column, k: Int): Column =
+    graft.functions.TextExprs.wordNgrams(text, k)
 }

@@ -23,11 +23,14 @@ import scala.collection.mutable
   */
 object TextExprs {
 
-  /** Lower-cased whitespace tokens → distinct k-word shingles.
+  /** Lower-cased whitespace tokens → k-word shingles / n-grams.
     * Matches the semantics of `split(lower(text), " ")` + sliding concat:
-    * consecutive spaces yield empty tokens (kept, like Spark's `split`);
-    * texts with fewer than k tokens collapse to one whole-text shingle. */
-  case class WordShingles(child: Expression, k: Int)
+    * consecutive spaces yield empty tokens (kept, like Spark's `split`).
+    * `distinct` keeps first occurrences only (shingle sets); texts with
+    * fewer than k tokens collapse to one whole-text shingle when
+    * `collapseShort`, else yield an empty array (n-gram semantics). */
+  case class WordShingles(child: Expression, k: Int,
+                          distinct: Boolean = true, collapseShort: Boolean = true)
       extends UnaryExpression with CodegenFallback {
     require(k >= 1)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -35,27 +38,67 @@ object TextExprs {
 
     override protected def nullSafeEval(input: Any): Any = {
       val tokens = input.asInstanceOf[UTF8String].toString.toLowerCase.split(" ", -1)
-      val out = new mutable.LinkedHashSet[String]
-      if (tokens.length < k) out += tokens.mkString(" ")
-      else {
-        var i = 0
-        val sb = new java.lang.StringBuilder(64)
-        while (i + k <= tokens.length) {
-          sb.setLength(0)
-          var j = 0
-          while (j < k) {
-            if (j > 0) sb.append(' ')
-            sb.append(tokens(i + j))
-            j += 1
+      val out =
+        if (tokens.length < k) {
+          if (collapseShort) Array[String](tokens.mkString(" ")) else Array.empty[String]
+        } else {
+          val buf = new mutable.ArrayBuffer[String](tokens.length)
+          val seen = if (distinct) new mutable.HashSet[String] else null
+          var i = 0
+          val sb = new java.lang.StringBuilder(64)
+          while (i + k <= tokens.length) {
+            sb.setLength(0)
+            var j = 0
+            while (j < k) {
+              if (j > 0) sb.append(' ')
+              sb.append(tokens(i + j))
+              j += 1
+            }
+            val s = sb.toString
+            if (seen == null || seen.add(s)) buf += s
+            i += 1
           }
-          out += sb.toString
-          i += 1
+          buf.toArray
         }
-      }
-      new GenericArrayData(out.iterator.map(UTF8String.fromString).toArray[Any])
+      new GenericArrayData(out.map(UTF8String.fromString).toArray[Any])
     }
 
     override protected def withNewChildInternal(newChild: Expression): WordShingles =
+      copy(child = newChild)
+  }
+
+  /** Per-marker-set token membership counts: tokenizes once, returns
+    * array<long> with count of tokens contained in each marker set —
+    * the language-ID scoring loop as one compiled pass (the HOF version
+    * re-tokenized and re-filtered per language). */
+  case class MarkerCounts(child: Expression, markerSets: Seq[Seq[String]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "marker_counts"
+
+    @transient private lazy val sets: Array[java.util.HashSet[String]] =
+      markerSets.map { m =>
+        val h = new java.util.HashSet[String]()
+        m.foreach(h.add)
+        h
+      }.toArray
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val tokens = input.asInstanceOf[UTF8String].toString.toLowerCase.split(" ", -1)
+      val counts = new Array[Long](sets.length)
+      var t = 0
+      while (t < tokens.length) {
+        var i = 0
+        while (i < sets.length) {
+          if (sets(i).contains(tokens(t))) counts(i) += 1
+          i += 1
+        }
+        t += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(counts)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MarkerCounts =
       copy(child = newChild)
   }
 
@@ -132,7 +175,11 @@ object TextExprs {
   // Column-level wrappers
   import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn => column, toExpression => expression}
   def wordShingles(text: Column, k: Int): Column = column(WordShingles(expression(text), k))
+  def wordNgrams(text: Column, k: Int): Column =
+    column(WordShingles(expression(text), k, distinct = false, collapseShort = false))
   def minhashSig(shingles: Column, numHashes: Int): Column =
     column(MinHashSig(expression(shingles), numHashes))
   def simhash64(text: Column): Column = column(SimHash64(expression(text)))
+  def markerCounts(text: Column, markerSets: Seq[Seq[String]]): Column =
+    column(MarkerCounts(expression(text), markerSets))
 }

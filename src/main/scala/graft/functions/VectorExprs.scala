@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native vector math for similarity search. The HOF formulations
+  * (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`) are interpreted — one
+  * expression-tree walk per element — which dominates ANN runtime. These
+  * evaluate in compiled loops with IDENTICAL IEEE semantics: left-to-right
+  * sequential summation, so results are bit-equal to the sequential-fold
+  * HOF versions (and to DuckDB's list_dot_product loop).
+  */
+object VectorExprs {
+
+  /** cosine(a, b) over two array<double> in one pass (dot, |a|, |b|).
+    * Null (not an error) when either norm is zero, matching try_divide. */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_sim"
+    override def nullable: Boolean = true
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0
+      var nx = 0.0
+      var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getDouble(i)
+        val yi = y.getDouble(i)
+        dot += xi * yi
+        nx += xi * xi
+        ny += yi * yi
+        i += 1
+      }
+      val denom = math.sqrt(nx) * math.sqrt(ny)
+      if (denom == 0.0) null else dot / denom
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
+  /** Random-hyperplane LSH signatures: for each table t, a long whose bit b
+    * is the sign of v · planes(t)(b). One compiled pass over all
+    * tables × bits × dims; input array<double>, output array<long> of
+    * length `tables`. */
+  case class HyperplaneSigs(child: Expression, planes: Array[Array[Array[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "hyperplane_sigs"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      val out = new Array[Long](planes.length)
+      var t = 0
+      while (t < planes.length) {
+        val table = planes(t)
+        var sig = 0L
+        var b = 0
+        while (b < table.length) {
+          val plane = table(b)
+          val d = math.min(dim, plane.length)
+          var proj = 0.0
+          var i = 0
+          while (i < d) {
+            proj += v.getDouble(i) * plane(i)
+            i += 1
+          }
+          if (proj >= 0) sig |= (1L << b)
+          b += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
+      copy(child = newChild)
+  }
+
+  import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn => column, toExpression => expression}
+  def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+  def hyperplaneSigs(v: Column, planes: Array[Array[Array[Double]]]): Column =
+    column(HyperplaneSigs(expression(v), planes))
+}

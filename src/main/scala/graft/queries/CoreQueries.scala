@@ -338,6 +338,88 @@ object CoreQueries {
               |FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
               |ORDER BY 1, 2""".stripMargin)),
 
+    // §2.5 — the reference's full cleaning lifecycle composed in order
+    // (impute median → impute mode → dedup → quantile-cap → remove invalid
+    // → aggregate), with nulls injected deterministically so every step
+    // has work to do. Mirrors DP:73-210's step order exactly.
+    QuerySpec("q24_clean_pipeline",
+      (s, d) => {
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"),
+          when(col("l_orderkey") % 97 === 0, lit(null)).otherwise(col("l_quantity")).as("q"),
+          col("l_extendedprice").as("p"),
+          when(col("l_orderkey") % 89 === 0, lit(null)).otherwise(col("l_returnflag")).as("f"))
+        val imputed = Cleaning.imputeMode(Cleaning.imputeMedian(base, Seq("q")), Seq("f"))
+        val deduped = Dedup.exact(imputed)
+        val p99 = math.rint(deduped.agg(percentile(col("p"), lit(0.99))).first().getDouble(0) * 100) / 100.0
+        val capped = deduped.withColumn("p", when(col("p") > p99, lit(p99)).otherwise(col("p")))
+        capped.filter(col("q") > 2)
+          .groupBy("f")
+          .agg(n.as("n_rows"), moneySum(col("p")).as("total_price"),
+            moneyAvg(col("q")).as("avg_qty"))
+          .orderBy("f")
+      },
+      Some(s"""WITH inj AS (
+              |  SELECT l_orderkey,
+              |         CASE WHEN l_orderkey % 97 = 0 THEN NULL ELSE l_quantity END AS q,
+              |         l_extendedprice AS p,
+              |         CASE WHEN l_orderkey % 89 = 0 THEN NULL ELSE l_returnflag END AS f
+              |  FROM lineitem),
+              |med AS (SELECT quantile_cont(q, 0.5) AS m FROM inj),
+              |mo AS (SELECT f AS mf FROM inj WHERE f IS NOT NULL
+              |       GROUP BY f ORDER BY count(*) DESC, f ASC LIMIT 1),
+              |imp AS (SELECT l_orderkey, coalesce(q, (SELECT m FROM med)) AS q, p,
+              |               coalesce(f, (SELECT mf FROM mo)) AS f FROM inj),
+              |ded AS (SELECT DISTINCT l_orderkey, q, p, f FROM imp),
+              |p99 AS (SELECT round(quantile_cont(p, 0.99), 2) AS v FROM ded),
+              |fin AS (SELECT q, CASE WHEN p > (SELECT v FROM p99) THEN (SELECT v FROM p99) ELSE p END AS p, f
+              |        FROM ded WHERE q > 2)
+              |SELECT f, count(*) AS n_rows,
+              |       ${sqlMoneySum("p")} AS total_price,
+              |       ${sqlMoneyAvg("q")} AS avg_qty
+              |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S9/P1/P3/P4 — filename lifecycle: stage one file per month named
+    // yellow_tripdata_YYYY-MM.parquet (with wrong-month rows poisoned into
+    // the first file), then pattern-filter, regex-extract year/month from
+    // input_file_name, and drop rows whose event time disagrees with their
+    // file's encoded month (DP:27-71). The poisoned copies are dropped, so
+    // the oracle is the plain per-month aggregate.
+    QuerySpec("q25_filename_validate",
+      (s, d) => {
+        import graft.io.Sources
+        val tmp = java.nio.file.Files.createTempDirectory("graft_files").toString
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+        val orders = Tables.orders(s, d).filter(year(col("o_orderdate")) === 2001)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        val months = orders.select(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .distinct().collect().map(_.getString(0)).sorted
+        months.foreach { m =>
+          val slice = orders.filter(date_format(col("o_orderdate"), "yyyy-MM") === m)
+          // poison the first month's file with copies of next-month rows
+          val withPoison =
+            if (m == months.head && months.length > 1)
+              slice.unionByName(orders
+                .filter(date_format(col("o_orderdate"), "yyyy-MM") === months(1))
+                .filter(col("o_orderkey") % 50 === 0))
+            else slice
+          withPoison.coalesce(1).write.mode("overwrite").parquet(s"$tmp/stage/$m")
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/stage/$m/part-*.parquet"))(0).getPath
+          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/raw"))
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$tmp/raw/yellow_tripdata_$m.parquet"))
+        }
+        val raw = s.read.parquet(s"$tmp/raw").withColumn("file", input_file_name())
+          .filter(Sources.filenamePatternFilter(col("file"), "yellow_tripdata_", ".parquet"))
+        Sources.validateAgainstFilename(raw, col("o_orderdate"), col("file"))
+          .groupBy(month(col("o_orderdate")).cast("long").as("m"))
+          .agg(n.as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
+          .orderBy("m")
+      },
+      Some(s"""SELECT CAST(month(o_orderdate) AS BIGINT) AS m, count(*) AS n_orders,
+              |       ${sqlMoneySum("o_totalprice")} AS total_price
+              |FROM orders WHERE year(o_orderdate) = 2001
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // O3 — min/max bounds → range string (filename-range analog).
     QuerySpec("q23_range_bounds",
       (s, d) => Tables.orders(s, d).agg(

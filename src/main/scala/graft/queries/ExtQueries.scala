@@ -216,6 +216,69 @@ object ExtQueries {
              |      FROM (SELECT string_split(lower(text), ' ') AS t FROM documents))
              |GROUP BY 1 ORDER BY n_occurrences DESC, bigram ASC LIMIT 20""".stripMargin)),
 
+    // Embedding-cosine near-duplicate pairs: exact duplicates planted by
+    // copying vec_id < 20 (shifted ids). All-pairs exact verification —
+    // the quadratic oracle twin of the LSH scale path (x06).
+    QuerySpec("x13_cosine_neardup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val planted = emb.unionByName(
+          emb.filter(col("vec_id") < 20).withColumn("vec_id", col("vec_id") + 100000L))
+        Similarity.cosineNearDups(planted, 0.95)
+          .select("id_a", "id_b")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH u AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+             |  FROM embeddings WHERE vec_id < 20)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |FROM u a JOIN u b ON a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.v, b.v) /
+             |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Multimodal frame sampling: one payload row → n deterministic frame
+    // rows (explode), partitioning preserved — the shape of a real
+    // per-frame decoder; frame hashes are checked for distinctness.
+    QuerySpec("x14_frame_sample",
+      (s, d) => {
+        val docs = Multimodal.asBinary(Tables.documents(s, d).filter(col("doc_id") <= 50), "text")
+        Multimodal.sampleFrames(docs, "payload", 4)
+          .groupBy("doc_id")
+          .agg(n.as("n_frames"),
+            count_distinct(col("frame_hash")).as("n_distinct_frames"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(4 AS BIGINT) AS n_frames, CAST(4 AS BIGINT) AS n_distinct_frames
+             |FROM documents WHERE doc_id <= 50 ORDER BY doc_id""".stripMargin)),
+
+    // ST5 — Structured-Streaming incremental drain: the file-source
+    // checkpoint gives exactly-once file handling (subsumes watermark +
+    // tracker); AvailableNow drains the backlog and stops, and a second
+    // drain is a no-op — totals must equal the single-shot aggregate.
+    QuerySpec("st02_stream_incremental",
+      (s, d) => {
+        import graft.streaming.IncrementalStream
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+        val ev = Tables.events(s, d)
+        (0 until 3).foreach { i =>
+          ev.filter(col("event_id") % 3 === i).coalesce(1)
+            .write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+        }
+        IncrementalStream.drain(s, s"$tmp/src", ev.schema, s"$tmp/chk", s"$tmp/out")(identity)
+        IncrementalStream.drain(s, s"$tmp/src", ev.schema, s"$tmp/chk", s"$tmp/out")(identity)
+        s.read.parquet(s"$tmp/out")
+          .groupBy(hour(col("ts")).cast("long").as("h"))
+          .agg(n.as("n_events"), sum(col("event_id")).as("id_sum"))
+          .orderBy("h")
+      },
+      Some("""SELECT CAST(hour(ts) AS BIGINT) AS h, count(*) AS n_events,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ST1/ST2 — incremental batch processing with watermark + tracker:
     // 3 file batches, run twice (idempotency) — totals must equal the
     // single-shot aggregation, which is exactly what the oracle computes.

@@ -27,7 +27,8 @@ object Registry {
     * all-pairs verifiers (x02/x04 exist to oracle-check the LSH/sketch
     * scale paths x03/x06 — brute force is not the operator we'd run at
     * scale, so it isn't the operator we benchmark). */
-  val quadraticVerifiers: Set[String] = Set("x02_neardup_jaccard", "x04_simhash")
+  val quadraticVerifiers: Set[String] =
+    Set("x02_neardup_jaccard", "x04_simhash", "x13_cosine_neardup")
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     all.filterNot(q => quadraticVerifiers(q.name)).map(q => q.name -> q.fn).toMap
 

@@ -1,0 +1,72 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Scan/sink operators: filename pattern filters and year/month extraction
+  * (P1/P3), filename-vs-data validation (P4), CSV metric sink (S5), latest
+  * copy (S8), text artifacts (S6).
+  */
+class SourcesSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P1/P3 filename pattern filter and year/month extraction") {
+    val df = Seq(
+      "raw/yellow_tripdata_2024-03.parquet",
+      "raw/yellow_tripdata_2023-11.parquet",
+      "raw/green_tripdata_2024-03.parquet",
+      "raw/yellow_tripdata_2024-03.csv").toDF("key")
+    val kept = df.filter(Sources.filenamePatternFilter($"key", "yellow_tripdata_", ".parquet"))
+    assert(kept.count() === 2)
+    val ym = kept.select(
+      Sources.yearFromFilename(Sources.basename($"key")).as("y"),
+      Sources.monthFromFilename(Sources.basename($"key")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(ym === Set((2024, 3), (2023, 11)))
+  }
+
+  test("P3 extraction yields null on non-matching names") {
+    val r = Seq("something_else.parquet").toDF("key")
+      .select(Sources.yearFromFilename($"key")).first()
+    assert(r.isNullAt(0))
+  }
+
+  test("P4 mismatchReport counts offending rows with distinct bad years/months") {
+    val df = Seq(
+      ("2024-03-01 10:00:00", "yellow_tripdata_2024-03.parquet"),
+      ("2024-04-02 10:00:00", "yellow_tripdata_2024-03.parquet"), // bad month
+      ("2023-03-02 10:00:00", "yellow_tripdata_2024-03.parquet")  // bad year
+    ).toDF("ts", "file").select(to_timestamp($"ts").as("ts"), $"file")
+    val valid = Sources.validateAgainstFilename(df, $"ts", $"file")
+    assert(valid.count() === 1)
+    val rep = Sources.mismatchReport(df, $"ts", $"file").first()
+    assert(rep.getLong(0) === 2L)
+    assert(rep.getSeq[Int](1).toSet === Set(2023, 2024))
+  }
+
+  test("S5 metricsCsv writes a single headered csv readable back") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/metrics"
+    Sinks.metricsCsv(Seq(("a", 1.5), ("b", 2.5)).toDF("k", "v"), dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.columns.toSeq === Seq("k", "v"))
+    assert(back.count() === 2)
+  }
+
+  test("S8 copyToLatest replicates a written dir; re-copy overwrites") {
+    val root = Files.createTempDirectory("graft_latest").toString
+    Seq(1, 2).toDF("v").write.parquet(s"$root/v1")
+    Sinks.copyToLatest(spark, s"$root/v1", s"$root/latest")
+    assert(spark.read.parquet(s"$root/latest").count() === 2)
+    Seq(1, 2, 3).toDF("v").write.parquet(s"$root/v2")
+    Sinks.copyToLatest(spark, s"$root/v2", s"$root/latest")
+    assert(spark.read.parquet(s"$root/latest").count() === 3)
+  }
+
+  test("S6 text artifact round-trips; absent path reads None") {
+    val root = Files.createTempDirectory("graft_txt").toString
+    Sinks.writeText(spark, s"$root/wm.txt", "2024-01-01T00:00:00Z")
+    assert(Sinks.readText(spark, s"$root/wm.txt") === Some("2024-01-01T00:00:00Z"))
+    assert(Sinks.readText(spark, s"$root/nope.txt") === None)
+  }
+}
