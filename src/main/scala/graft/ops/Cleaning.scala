@@ -84,7 +84,10 @@ object Cleaning {
       case r if r.isNullAt(0) => return df
       case r                  => r.getDouble(0)
     }
-    df.withColumn(target, when(bad, lit(cap)).otherwise(col(target)))
+    // cast back: the double quantile literal must not widen a float32
+    // column (float32 end-to-end parity, SURVEY §7.5.4)
+    df.withColumn(target,
+      when(bad, lit(cap)).otherwise(col(target)).cast(df.schema(target).dataType))
   }
 
   /** C6 — clamp to [lo, hi] with null passthrough (`DP:146-154`).

@@ -18,7 +18,7 @@ final case class QuerySpec(
 
 object Registry {
   def all: Seq[QuerySpec] =
-    CoreQueries.all ++ ExtQueries.all
+    CoreQueries.all ++ Seq(TaxiE2E.spec) ++ ExtQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

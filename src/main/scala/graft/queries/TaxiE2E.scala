@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.TaxiPipeline
+
+/** The flagship end-to-end demonstration: the ENTIRE reference lifecycle
+  * (schema → C1-C3 impute → DD2 → C4-C6 cap/clamp → C7-C8 consistency →
+  * P5 → D1-D12 → A1 vendor metric) on a taxi-shaped frame derived
+  * deterministically from `events`, verified against a DuckDB oracle that
+  * replays the same lifecycle in SQL.
+  *
+  * Exact cross-engine parity is by construction: every money/distance value
+  * sits on a dyadic grid (quarters; fares are powers of two), so float32
+  * arithmetic in Spark and float64 arithmetic in DuckDB are both EXACT —
+  * sums are order-independent, median/mid interpolations stay dyadic, and
+  * `round(x, 2)` is the identity. Aggregates that leave the grid (raw
+  * means) are exercised by the golden specs instead (TaxiPipelineSpec).
+  */
+object TaxiE2E {
+
+  // Derivation rules, shared between the Spark frame and the SQL oracle:
+  //   VendorID        null @ %31, else 1 + id%2
+  //   pickup          ts
+  //   dropoff         pickup − 30 min @ %41 (inverted, C8), else + (id%200) min
+  //   passenger_count null @ %23, else id%9 (0..8 — exercises C6 clamp)
+  //   trip_distance   null @ %19, else (⌊value·4⌋ % 396)/4 + 0.25 ∈ [0.25, 99]
+  //   RatecodeID      null @ %17, else 1 + id%6
+  //   store_and_fwd   null @ %13, else N/Y by id%2
+  //   PULocationID    null @ %11 (C3 → 0), else id%250
+  //   DOLocationID    null @ %11, else id%199
+  //   payment_type    null @ %29, else 1 + id%3
+  //   fare            null @ %43, else 2^(3 + id%3) ∈ {8,16,32}
+  //   extra           null @ %37, else (id%5)/4
+  //   mta_tax         (id%3)/4;  tip: (⌊value·8⌋ % 16)/4;  tolls: (id%2)·1.25
+  //   improvement     0.25; congestion (id%2)/2.0; airport (id%4)/4
+  //   total           comp + 5 @ %7 (C7 rewrite), else comp (null if any comp null)
+
+  val spec: QuerySpec = QuerySpec("q26_taxi_e2e",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val id = col("event_id")
+      def nullAt(m: Int, v: org.apache.spark.sql.Column) =
+        when(id % m === 0, lit(null)).otherwise(v)
+      val fare = nullAt(43, when(id % 3 === 0, 8.0).when(id % 3 === 1, 16.0).otherwise(32.0))
+      val extra = nullAt(37, (id % 5).cast("double") / 4)
+      val mta = (id % 3).cast("double") / 4
+      val tip = (floor(col("value") * 8).cast("long") % 16).cast("double") / 4
+      val tolls = (id % 2).cast("double") * 1.25
+      val improvement = lit(0.25)
+      val congestion = (id % 2).cast("double") / 2
+      val airport = (id % 4).cast("double") / 4
+      val comp = fare + extra + mta + tip + tolls + improvement + congestion + airport
+      val taxi = ev.select(
+        nullAt(31, (id % 2 + 1)).cast("tinyint").as("VendorID"),
+        col("ts").as("tpep_pickup_datetime"),
+        when(id % 41 === 0, expr("ts - INTERVAL 30 MINUTES"))
+          .otherwise(expr("ts + make_interval(0, 0, 0, 0, 0, CAST(event_id % 200 AS INT), 0)"))
+          .as("tpep_dropoff_datetime"),
+        nullAt(23, id % 9).cast("tinyint").as("passenger_count"),
+        nullAt(19, (floor(col("value") * 4).cast("long") % 396).cast("double") / 4 + 0.25)
+          .cast("float").as("trip_distance"),
+        nullAt(17, id % 6 + 1).cast("tinyint").as("RatecodeID"),
+        nullAt(13, when(id % 2 === 0, "N").otherwise("Y")).as("store_and_fwd_flag"),
+        nullAt(11, id % 250).cast("smallint").as("PULocationID"),
+        nullAt(11, id % 199).cast("smallint").as("DOLocationID"),
+        nullAt(29, id % 3 + 1).cast("tinyint").as("payment_type"),
+        fare.cast("float").as("fare_amount"),
+        extra.cast("float").as("extra"),
+        mta.cast("float").as("mta_tax"),
+        tip.cast("float").as("tip_amount"),
+        tolls.cast("float").as("tolls_amount"),
+        improvement.cast("float").as("improvement_surcharge"),
+        (comp + when(id % 7 === 0, 5.0).otherwise(0.0)).cast("float").as("total_amount"),
+        congestion.cast("float").as("congestion_surcharge"),
+        airport.cast("float").as("airport_fee"))
+      val (_, metrics) = TaxiPipeline.process(Seq(taxi))
+      metrics("vendor_performance")
+        .select(col("VendorID").cast("long").as("VendorID"), col("trip_count"),
+          col("total_revenue"), col("median_revenue"), col("median_distance"))
+        .orderBy("VendorID")
+    },
+    Some("""WITH tx AS (
+      |  SELECT
+      |    CASE WHEN event_id % 31 = 0 THEN NULL ELSE event_id % 2 + 1 END AS VendorID,
+      |    ts AS pu,
+      |    CASE WHEN event_id % 41 = 0 THEN ts - to_minutes(30)
+      |         ELSE ts + to_minutes(event_id % 200) END AS dof,
+      |    CASE WHEN event_id % 23 = 0 THEN NULL ELSE event_id % 9 END AS pc,
+      |    CASE WHEN event_id % 19 = 0 THEN NULL
+      |         ELSE (CAST(floor(value * 4) AS BIGINT) % 396) / 4.0 + 0.25 END AS dist,
+      |    CASE WHEN event_id % 17 = 0 THEN NULL ELSE event_id % 6 + 1 END AS rc,
+      |    CASE WHEN event_id % 13 = 0 THEN NULL
+      |         WHEN event_id % 2 = 0 THEN 'N' ELSE 'Y' END AS saf,
+      |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_id % 250 END AS pul,
+      |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_id % 199 END AS dol,
+      |    CASE WHEN event_id % 29 = 0 THEN NULL ELSE event_id % 3 + 1 END AS pt,
+      |    CASE WHEN event_id % 43 = 0 THEN NULL
+      |         WHEN event_id % 3 = 0 THEN 8.0 WHEN event_id % 3 = 1 THEN 16.0
+      |         ELSE 32.0 END AS fare,
+      |    CASE WHEN event_id % 37 = 0 THEN NULL ELSE (event_id % 5) / 4.0 END AS extra,
+      |    (event_id % 3) / 4.0 AS mta,
+      |    (CAST(floor(value * 8) AS BIGINT) % 16) / 4.0 AS tip,
+      |    (event_id % 2) * 1.25 AS tolls,
+      |    0.25 AS impr,
+      |    (event_id % 2) / 2.0 AS cong,
+      |    (event_id % 4) / 4.0 AS airp,
+      |    CASE WHEN event_id % 7 = 0 THEN 5.0 ELSE 0.0 END AS twist
+      |  FROM events),
+      |tx2 AS (SELECT *, fare + extra + mta + tip + tolls + impr + cong + airp + twist AS total FROM tx),
+      |-- C1: per-column medians computed over the ORIGINAL (pre-fill) frame
+      |med AS (SELECT quantile_cont(pc, 0.5) AS m_pc, quantile_cont(dist, 0.5) AS m_dist,
+      |               quantile_cont(fare, 0.5) AS m_fare, quantile_cont(extra, 0.5) AS m_extra,
+      |               quantile_cont(tip, 0.5) AS m_tip, quantile_cont(total, 0.5) AS m_total
+      |        FROM tx2),
+      |-- C2 modes with the pandas tie-break (count desc, value asc)
+      |mo_rc AS (SELECT rc AS v FROM tx2 WHERE rc IS NOT NULL GROUP BY rc ORDER BY count(*) DESC, rc ASC LIMIT 1),
+      |mo_saf AS (SELECT saf AS v FROM tx2 WHERE saf IS NOT NULL GROUP BY saf ORDER BY count(*) DESC, saf ASC LIMIT 1),
+      |mo_pt AS (SELECT pt AS v FROM tx2 WHERE pt IS NOT NULL GROUP BY pt ORDER BY count(*) DESC, pt ASC LIMIT 1),
+      |imp AS (SELECT
+      |    VendorID, pu, dof,
+      |    coalesce(pc, (SELECT m_pc FROM med)) AS pc,
+      |    coalesce(dist, (SELECT m_dist FROM med)) AS dist,
+      |    coalesce(rc, (SELECT v FROM mo_rc)) AS rc,
+      |    coalesce(saf, (SELECT v FROM mo_saf)) AS saf,
+      |    coalesce(pul, 0) AS pul, coalesce(dol, 0) AS dol,
+      |    coalesce(pt, (SELECT v FROM mo_pt)) AS pt,
+      |    coalesce(fare, (SELECT m_fare FROM med)) AS fare,
+      |    coalesce(extra, (SELECT m_extra FROM med)) AS extra,
+      |    mta, coalesce(tip, (SELECT m_tip FROM med)) AS tip, tolls, impr, cong, airp,
+      |    coalesce(total, (SELECT m_total FROM med)) AS total
+      |  FROM tx2),
+      |ded AS (SELECT DISTINCT * FROM imp),
+      |-- C4/C5 never fire on this fixture (dist ∈ [0.25,99], fare ∈ {8,16,32})
+      |c6 AS (SELECT *, greatest(least(pc, 6), 1) AS pc2 FROM ded),
+      |c7 AS (SELECT *, CASE WHEN abs(total - (fare+extra+mta+tip+tolls+impr+cong+airp)) > 0.1
+      |                      THEN fare+extra+mta+tip+tolls+impr+cong+airp ELSE total END AS total2 FROM c6),
+      |c8 AS (SELECT *, CASE WHEN dof < pu THEN pu + to_minutes(5) ELSE dof END AS dof2 FROM c7),
+      |p5 AS (SELECT * FROM c8 WHERE fare > 0 AND dist > 0 AND pu IS NOT NULL AND dof2 IS NOT NULL),
+      |tr AS (SELECT *, date_diff('second', pu, dof2) / 60.0 AS dur FROM p5),
+      |valid AS (SELECT * FROM tr
+      |          WHERE dur > 0 AND dur < 180 AND dist > 0 AND dist < 100
+      |            AND fare >= 0 AND total2 >= 0 AND VendorID IS NOT NULL)
+      |SELECT CAST(VendorID AS BIGINT) AS VendorID,
+      |       count(dur) AS trip_count,
+      |       round(sum(total2), 2) AS total_revenue,
+      |       round(quantile_cont(total2, 0.5), 2) AS median_revenue,
+      |       round(quantile_cont(dist, 0.5), 2) AS median_distance
+      |FROM valid GROUP BY 1 ORDER BY 1""".stripMargin))
+}
