@@ -53,13 +53,20 @@ object Cleaning {
     top.headOption.map(_.get(0))
   }
 
-  def imputeMode(df: DataFrame, cols: Seq[String], fallback: String = "Unknown"): DataFrame =
-    cols.filter(df.columns.contains).foldLeft(df) { (d, c) =>
-      modeOf(d, c) match {
-        case Some(m) => d.withColumn(c, coalesce(col(c), lit(m)))
-        case None    => d.withColumn(c, coalesce(col(c), lit(fallback)))
-      }
+  def imputeMode(df: DataFrame, cols: Seq[String], fallback: String = "Unknown"): DataFrame = {
+    // one mode job per column, but submitted CONCURRENTLY — wall-clock is
+    // the slowest job, not the sum (SparkSession actions are thread-safe)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val present = cols.filter(df.columns.contains)
+    val modes = Await.result(
+      Future.sequence(present.map(c => Future(c -> modeOf(df, c)))), Duration.Inf)
+    modes.foldLeft(df) {
+      case (d, (c, Some(m))) => d.withColumn(c, coalesce(col(c), lit(m)))
+      case (d, (c, None))    => d.withColumn(c, coalesce(col(c), lit(fallback)))
     }
+  }
 
   /** C3 — constant imputation (`fillna(k)`, `DP:107-114`). */
   def imputeConstant(df: DataFrame, cols: Seq[String], value: Any): DataFrame = {

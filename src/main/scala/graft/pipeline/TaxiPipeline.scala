@@ -48,25 +48,44 @@ object TaxiPipeline {
       Cleaning.imputeConstant(mo, TaxiSchema.zeroFilled, 0)
     }
 
-    // DD2 — full-row dedup (null-safe, like pandas drop_duplicates)
-    val deduped = Dedup.exact(imputed)
+    // DD2 — full-row dedup (null-safe, like pandas drop_duplicates).
+    // Persisted: the frame feeds the C4/C5 scalar job AND the final
+    // consumer; without it the dedup shuffle would run twice.
+    val deduped = Dedup.exact(imputed).persist()
 
-    // C4 — trip_distance: d<=0 ∨ d>100 → p99 of the WHOLE column
-    val capDist =
+    // C4 + C5 — both p99 scalars in ONE aggregation job:
+    //   C4: trip_distance d<=0 ∨ d>100 → p99 of the WHOLE column
+    //   C5: fare_amount   f<0 ∨ f>500 → p99 of the NON-NEGATIVE subset
+    val capAggs = Seq(
       if (cols("trip_distance"))
-        Cleaning.quantileCap(deduped, "trip_distance",
-          bad = col("trip_distance") <= 0 || col("trip_distance") > 100,
-          basis = col("trip_distance"), q = 0.99, exact = exactPercentiles)
-      else deduped
-
-    // C5 — fare_amount: f<0 ∨ f>500 → p99 of the NON-NEGATIVE subset
-    val capFare =
+        Some("trip_distance" -> Cleaning.percentileOf(col("trip_distance"), 0.99, exactPercentiles))
+      else None,
       if (cols("fare_amount"))
-        Cleaning.quantileCap(capDist, "fare_amount",
-          bad = col("fare_amount") < 0 || col("fare_amount") > 500,
-          basis = when(col("fare_amount") >= 0, col("fare_amount")),
-          q = 0.99, exact = exactPercentiles)
-      else capDist
+        Some("fare_amount" -> Cleaning.percentileOf(
+          when(col("fare_amount") >= 0, col("fare_amount")), 0.99, exactPercentiles))
+      else None).flatten
+    val capFare =
+      if (capAggs.isEmpty) deduped
+      else {
+        val row = deduped.agg(capAggs.head._2, capAggs.tail.map(_._2): _*).first()
+        val caps = capAggs.zipWithIndex.collect {
+          case ((c, _), i) if !row.isNullAt(i) => c -> row.getDouble(i)
+        }.toMap
+        val afterDist = caps.get("trip_distance") match {
+          case Some(p) => deduped.withColumn("trip_distance",
+            when(col("trip_distance") <= 0 || col("trip_distance") > 100, lit(p))
+              .otherwise(col("trip_distance"))
+              .cast(deduped.schema("trip_distance").dataType))
+          case None => deduped
+        }
+        caps.get("fare_amount") match {
+          case Some(p) => afterDist.withColumn("fare_amount",
+            when(col("fare_amount") < 0 || col("fare_amount") > 500, lit(p))
+              .otherwise(col("fare_amount"))
+              .cast(deduped.schema("fare_amount").dataType))
+          case None => afterDist
+        }
+      }
 
     // C6 — passenger_count clamped to [1, 6]
     val clamped =

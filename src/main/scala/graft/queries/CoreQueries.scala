@@ -350,7 +350,10 @@ object CoreQueries {
           col("l_extendedprice").as("p"),
           when(col("l_orderkey") % 89 === 0, lit(null)).otherwise(col("l_returnflag")).as("f"))
         val imputed = Cleaning.imputeMode(Cleaning.imputeMedian(base, Seq("q")), Seq("f"))
-        val deduped = Dedup.exact(imputed)
+        // persist: the deduped frame feeds both the p99 scalar job and the
+        // final aggregate — without it the scan+impute+dedup runs twice
+        // (exactly what you'd persist on a cluster before a 2-pass clean)
+        val deduped = Dedup.exact(imputed).persist()
         val p99 = math.rint(deduped.agg(percentile(col("p"), lit(0.99))).first().getDouble(0) * 100) / 100.0
         val capped = deduped.withColumn("p", when(col("p") > p99, lit(p99)).otherwise(col("p")))
         capped.filter(col("q") > 2)
@@ -394,18 +397,22 @@ object CoreQueries {
           .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
         val months = orders.select(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
           .distinct().collect().map(_.getString(0)).sorted
+        // one partitioned write for every month (not a job per month):
+        // repartition by month → exactly one file per partition directory;
+        // poison rows carry the WRONG month label so they land in the
+        // first month's file
+        val labeled = orders.withColumn("ym", date_format(col("o_orderdate"), "yyyy-MM"))
+        val poison =
+          if (months.length > 1)
+            orders.filter(date_format(col("o_orderdate"), "yyyy-MM") === months(1) &&
+                col("o_orderkey") % 50 === 0)
+              .withColumn("ym", lit(months.head))
+          else labeled.limit(0)
+        labeled.unionByName(poison).repartition(col("ym"))
+          .write.partitionBy("ym").mode("overwrite").parquet(s"$tmp/stage")
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/raw"))
         months.foreach { m =>
-          val slice = orders.filter(date_format(col("o_orderdate"), "yyyy-MM") === m)
-          // poison the first month's file with copies of next-month rows
-          val withPoison =
-            if (m == months.head && months.length > 1)
-              slice.unionByName(orders
-                .filter(date_format(col("o_orderdate"), "yyyy-MM") === months(1))
-                .filter(col("o_orderkey") % 50 === 0))
-            else slice
-          withPoison.coalesce(1).write.mode("overwrite").parquet(s"$tmp/stage/$m")
-          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/stage/$m/part-*.parquet"))(0).getPath
-          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/raw"))
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/stage/ym=$m/part-*.parquet"))(0).getPath
           fs.rename(part, new org.apache.hadoop.fs.Path(s"$tmp/raw/yellow_tripdata_$m.parquet"))
         }
         val raw = s.read.parquet(s"$tmp/raw").withColumn("file", input_file_name())
