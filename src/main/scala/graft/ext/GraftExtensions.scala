@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.ExprBridge
+import graft.functions.{TextExprs, VectorExprs}
+
+/** SQL registration of the engine's native expressions, so
+  * `spark.sql("SELECT minhash_sig(word_shingles(text, 3), 64) ...")` works
+  * anywhere the Column API does. Two paths:
+  *   - config-time: `.config("spark.sql.extensions", "graft.ext.GraftExtensions")`
+  *   - runtime: `GraftFunctions.register(spark)` on an existing session
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("word_shingles",
+      new ExpressionInfo(classOf[TextExprs.WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => TextExprs.WordShingles(args.head, intArg(args(1), "k"))),
+    ("word_ngrams",
+      new ExpressionInfo(classOf[TextExprs.WordShingles].getName, "word_ngrams"),
+      (args: Seq[Expression]) => TextExprs.WordShingles(args.head, intArg(args(1), "k"),
+        distinct = false, collapseShort = false)),
+    ("minhash_sig",
+      new ExpressionInfo(classOf[TextExprs.MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => TextExprs.MinHashSig(args.head, intArg(args(1), "numHashes"))),
+    ("simhash64",
+      new ExpressionInfo(classOf[TextExprs.SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => TextExprs.SimHash64(args.head)),
+    ("cosine_sim",
+      new ExpressionInfo(classOf[VectorExprs.CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => VectorExprs.CosineSim(args.head, args(1))))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, info, builder) =>
+      ExprBridge.registerFunction(spark, name, info, builder)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name), info, builder))
+    }
+}

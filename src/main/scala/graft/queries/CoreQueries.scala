@@ -427,6 +427,18 @@ object CoreQueries {
               |FROM orders WHERE year(o_orderdate) = 2001
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Skew-proof two-phase salted aggregation — results identical to the
+    // plain group-by (the oracle), partial state spread over 32 salts.
+    QuerySpec("q27_salted_agg",
+      (s, d) => graft.ops.Skew.saltedSumCount(Tables.lineitem(s, d),
+        Seq(col("l_returnflag")), col("l_orderkey"), saltBuckets = 32)
+        .select(col("l_returnflag"), col("sum_value").cast("long").as("sum_value"),
+          col("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, CAST(sum(l_orderkey) AS BIGINT) AS sum_value,
+             |       count(*) AS n_rows
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // O3 — min/max bounds → range string (filename-range analog).
     QuerySpec("q23_range_bounds",
       (s, d) => Tables.orders(s, d).agg(

@@ -1,0 +1,34 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** The SQL surface of the native expressions (runtime registration path;
+  * the config-time path applies the same builders via injectFunction).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("word_shingles / minhash_sig / simhash64 / cosine_sim are SQL-callable") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  word_shingles('the quick brown fox', 2) AS sh,
+        |  size(minhash_sig(word_shingles('the quick brown fox', 2), 16)) AS nsig,
+        |  simhash64('the quick brown fox') AS sim,
+        |  cosine_sim(array(1.0d, 0.0d), array(2.0d, 0.0d)) AS cos
+        |""".stripMargin).first()
+    assert(r.getSeq[String](0) === Seq("the quick", "quick brown", "brown fox"))
+    assert(r.getInt(1) === 16)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("word_ngrams keeps duplicates; SQL matches the Column API") {
+    GraftFunctions.register(spark)
+    val sql = spark.sql("SELECT word_ngrams('a b a b', 2) AS g").first().getSeq[String](0)
+    assert(sql === Seq("a b", "b a", "a b"))
+  }
+
+  test("the SparkSessionExtensions injector applies the same function set") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; builders shared with register()
+  }
+}
