@@ -279,6 +279,32 @@ object ExtQueries {
              |       CAST(sum(event_id) AS BIGINT) AS id_sum
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Gap-based sessionization (absent in the reference; the canonical
+    // stateful operator at pipeline scale). Batch shape: lag + running sum
+    // over a per-key window — one shuffle; oracle = the same windows in SQL.
+    QuerySpec("st03_sessionize",
+      (s, d) => {
+        import graft.streaming.Sessionize
+        Sessionize.sessionSummary(Tables.events(s, d), "user_id", "ts", gapSeconds = 3600)
+          .groupBy("user_id")
+          .agg(n.as("n_sessions"), sum(col("n_events")).as("n_events"),
+            max(col("n_events")).as("max_session_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |s AS (SELECT user_id, ts,
+             |        CASE WHEN lag(ts) OVER w IS NULL THEN 1
+             |             WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000 THEN 1
+             |             ELSE 0 END AS news
+             |      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |g AS (SELECT user_id, ts,
+             |        sum(news) OVER (PARTITION BY user_id ORDER BY ts
+             |                        ROWS UNBOUNDED PRECEDING) - 1 AS sid FROM s),
+             |sess AS (SELECT user_id, sid, count(*) AS n FROM g GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
+             |       CAST(max(n) AS BIGINT) AS max_session_events
+             |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ST1/ST2 — incremental batch processing with watermark + tracker:
     // 3 file batches, run twice (idempotency) — totals must equal the
     // single-shot aggregation, which is exactly what the oracle computes.
