@@ -36,7 +36,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => TextExprs.SimHash64(args.head)),
     ("cosine_sim",
       new ExpressionInfo(classOf[VectorExprs.CosineSim].getName, "cosine_sim"),
-      (args: Seq[Expression]) => VectorExprs.CosineSim(args.head, args(1))))
+      (args: Seq[Expression]) => VectorExprs.CosineSim(args.head, args(1))),
+    ("jaccard_sim",
+      new ExpressionInfo(classOf[TextExprs.JaccardSim].getName, "jaccard_sim"),
+      (args: Seq[Expression]) => TextExprs.JaccardSim(args.head, args(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, info, builder) =>

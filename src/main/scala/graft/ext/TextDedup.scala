@@ -26,9 +26,11 @@ object TextDedup {
     graft.functions.TextExprs.wordShingles(text, k)
 
   /** Exact set Jaccard of two shingle arrays — integer size ratio, so the
-    * double result is bit-deterministic across engines. */
+    * double result is bit-deterministic across engines. Native compiled
+    * expression (the array_intersect/array_union formulation was the
+    * all-pairs-verifier bottleneck). */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    graft.functions.TextExprs.jaccardSim(a, b)
 
   /** Content digest for exact dedup (md5 hex of the raw text). */
   def digest(text: Column): Column = md5(text.cast("binary"))

@@ -138,6 +138,38 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** Exact set Jaccard of two string arrays in one compiled pass (hash-set
+    * intersection). The `array_intersect`/`array_union` formulation builds
+    * two intermediate arrays per pair through interpreted expressions —
+    * ruinous inside an all-pairs verifier. Inputs are treated as sets
+    * (duplicates ignored), matching array_distinct'd shingles. */
+  case class JaccardSim(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaccard_sim"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val xs = new java.util.HashSet[UTF8String](x.numElements() * 2)
+      var i = 0
+      while (i < x.numElements()) { xs.add(x.getUTF8String(i)); i += 1 }
+      val ys = new java.util.HashSet[UTF8String](y.numElements() * 2)
+      var inter = 0
+      var j = 0
+      while (j < y.numElements()) {
+        val s = y.getUTF8String(j)
+        if (ys.add(s) && xs.contains(s)) inter += 1
+        j += 1
+      }
+      val union = xs.size + ys.size - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+      copy(left = l, right = r)
+  }
+
   /** 64-bit SimHash over the token multiset: bit i of the result is set
     * when Σ_tokens (±1 by bit i of XXH64(token)) is positive. Same
     * semantics as the HOF formulation in TextDedup.simhash, ~100× cheaper. */
@@ -180,6 +212,8 @@ object TextExprs {
   def minhashSig(shingles: Column, numHashes: Int): Column =
     column(MinHashSig(expression(shingles), numHashes))
   def simhash64(text: Column): Column = column(SimHash64(expression(text)))
+  def jaccardSim(a: Column, b: Column): Column =
+    column(JaccardSim(expression(a), expression(b)))
   def markerCounts(text: Column, markerSets: Seq[Seq[String]]): Column =
     column(MarkerCounts(expression(text), markerSets))
 }
