@@ -1,0 +1,33 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Storage-layout operators for the 100 TB posture (SURVEY §7.4):
+  * hive-style partitioned writes (reads prune partitions from the path
+  * tree) and bucketed+sorted tables (equi-joins on the bucket key need no
+  * shuffle at all).
+  */
+object Layout {
+
+  /** Partitioned parquet write — `partitionBy` columns become directory
+    * levels (`.../col=value/...`); a filter on them prunes whole
+    * directories at planning time (shows as PartitionFilters in explain,
+    * with PartitionCount < total). */
+  def writePartitioned(df: DataFrame, dir: String, partitionCols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(dir)
+
+  /** Bucketed + sorted table write: rows are hash-bucketed on `bucketCol`
+    * into `numBuckets` files per partition and sorted within each. Joins
+    * and aggregations keyed on `bucketCol` between same-bucketed tables
+    * reuse the layout — no Exchange in the plan. Requires the session
+    * catalog (saveAsTable), which is how Spark persists bucket metadata. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Convenience: read a catalog table (bucketed layout honored). */
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}
