@@ -33,8 +33,11 @@ object Cleaning {
     else {
       val aggs = present.map(c => percentileOf(col(c), 0.5, exact).as(c))
       val row = df.agg(aggs.head, aggs.tail: _*).first()
+      // exact percentile returns DOUBLE; percentile_approx returns the
+      // INPUT type (e.g. TINYINT) — normalize via Number
       val medians = present.zipWithIndex.collect {
-        case (c, i) if !row.isNullAt(i) => c -> row.getDouble(i)
+        case (c, i) if !row.isNullAt(i) =>
+          c -> row.get(i).asInstanceOf[Number].doubleValue()
       }.toMap
       df.na.fill(medians)
     }
@@ -89,7 +92,7 @@ object Cleaning {
                   q: Double, exact: Boolean = true): DataFrame = {
     val cap = df.agg(percentileOf(basis, q, exact)).first() match {
       case r if r.isNullAt(0) => return df
-      case r                  => r.getDouble(0)
+      case r                  => r.get(0).asInstanceOf[Number].doubleValue()
     }
     // cast back: the double quantile literal must not widen a float32
     // column (float32 end-to-end parity, SURVEY §7.5.4)

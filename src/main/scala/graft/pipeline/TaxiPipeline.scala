@@ -69,7 +69,8 @@ object TaxiPipeline {
       else {
         val row = deduped.agg(capAggs.head._2, capAggs.tail.map(_._2): _*).first()
         val caps = capAggs.zipWithIndex.collect {
-          case ((c, _), i) if !row.isNullAt(i) => c -> row.getDouble(i)
+          case ((c, _), i) if !row.isNullAt(i) =>
+            c -> row.get(i).asInstanceOf[Number].doubleValue()
         }.toMap
         val afterDist = caps.get("trip_distance") match {
           case Some(p) => deduped.withColumn("trip_distance",
