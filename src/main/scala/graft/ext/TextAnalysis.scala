@@ -77,6 +77,24 @@ object TextAnalysis {
   /** Stable content fingerprint (md5 of lowercased text, 16 hex chars). */
   def fingerprint(text: Column): Column = substring(md5(lower(text).cast("binary")), 1, 16)
 
+  /** PII redaction: emails → [EMAIL], long digit runs (phone-ish) → [NUM].
+    * Character-class-only regexes so Java (Spark) and RE2 (DuckDB oracle)
+    * agree. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+      "[0-9(][0-9 ()+.-]{7,}[0-9]", "[NUM]")
+
+  /** Deterministic hash split: assigns a stable bucket in [0, 256) from the
+    * first two hex chars of md5(key) — reproducible across engines, runs,
+    * and partitionings (md5 hex is identical in Spark and DuckDB).
+    * `train/test` split = threshold on the bucket. */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 2), 16, 10).cast("long")
+
+  def hashSplit(key: Column, trainBuckets: Int = 205): Column =
+    when(hashBucket(key) < trainBuckets, "train").otherwise("test")
+
   /** Rolling polynomial hash (Rabin-Karp style) over character codes:
     * h = (h * 31 + code) mod 1e9+7 — the building block for shingle
     * fingerprinting; exact long arithmetic. */

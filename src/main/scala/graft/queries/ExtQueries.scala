@@ -279,6 +279,46 @@ object ExtQueries {
              |       CAST(sum(event_id) AS BIGINT) AS id_sum
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // PII redaction over documents with planted emails/phones; the oracle
+    // replays the same regexes in DuckDB (character classes only, so the
+    // Java and RE2 dialects agree).
+    QuerySpec("x15_redact_pii",
+      (s, d) => Tables.documents(s, d).filter(col("doc_id") <= 200)
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com or 555-123-4567")))
+            .as("redacted"))
+        .select(col("doc_id"),
+          (length(col("redacted")) - length(regexp_replace(col("redacted"), "\\[EMAIL\\]", "")))
+            .cast("long").as("email_marks"),
+          (length(col("redacted")) - length(regexp_replace(col("redacted"), "\\[NUM\\]", "")))
+            .cast("long").as("num_marks"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(r) - len(regexp_replace(r, '\[EMAIL\]', '', 'g')) AS BIGINT) AS email_marks,
+             |  CAST(len(r) - len(regexp_replace(r, '\[NUM\]', '', 'g')) AS BIGINT) AS num_marks
+             |FROM (
+             |  SELECT doc_id,
+             |    regexp_replace(
+             |      regexp_replace(text || ' contact user' || doc_id || '@example.com or 555-123-4567',
+             |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |      '[0-9(][0-9 ()+.-]{7,}[0-9]', '[NUM]', 'g') AS r
+             |  FROM documents WHERE doc_id <= 200)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic hash-based train/test split: md5-hex bucket per doc —
+    // stable across engines/partitionings, so the oracle reproduces the
+    // exact assignment (the scale-safe alternative to random sampling).
+    QuerySpec("x16_hash_split",
+      (s, d) => Tables.documents(s, d)
+        .select(TextAnalysis.hashSplit(col("doc_id")).as("split"), col("source"))
+        .groupBy("split", "source").agg(n.as("n_docs"))
+        .orderBy("split", "source"),
+      Some("""SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 205
+             |            THEN 'train' ELSE 'test' END AS split,
+             |       source, count(*) AS n_docs
+             |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Gap-based sessionization (absent in the reference; the canonical
     // stateful operator at pipeline scale). Batch shape: lag + running sum
     // over a per-key window — one shuffle; oracle = the same windows in SQL.

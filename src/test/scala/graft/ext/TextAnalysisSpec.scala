@@ -65,6 +65,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(0) === expected)
   }
 
+  test("redactPii masks emails and phone-like digit runs, leaves prose alone") {
+    val df = Seq("mail me at jane.doe+x@sub.example.org or call (555) 123-4567 today",
+      "no pii here, just 42 words").toDF("text")
+    val out = df.select(TextAnalysis.redactPii($"text")).collect().map(_.getString(0))
+    assert(out(0) === "mail me at [EMAIL] or call [NUM] today")
+    assert(out(1) === "no pii here, just 42 words")
+  }
+
+  test("hashSplit is deterministic, stable across evaluation, ~80/20") {
+    val df = (1L to 2000L).toDF("id")
+    val a = df.select($"id", TextAnalysis.hashSplit($"id").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = df.repartition(7).select($"id", TextAnalysis.hashSplit($"id").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b) // partitioning-independent
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.75 && frac < 0.85)
+  }
+
   test("ngrams yields ordered non-distinct n-grams; short text → empty") {
     val df = Seq("a b a b").toDF("text")
     val grams = df.select(TextAnalysis.ngrams($"text", 2)).first().getSeq[String](0)
