@@ -35,6 +35,33 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(out.agg(sum("value")).first().getDouble(0) === 120.0)
   }
 
+  test("windowedCounts runs as a REAL stream: watermark finalizes windows, late row dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = IncrementalStream.windowedCounts(
+      mem.toDF().toDF("ts", "value"), "ts", "1 hour", lateness = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("graft_win")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData((t("2024-01-01 10:05:00"), 1.0), (t("2024-01-01 10:50:00"), 2.0))
+      q.processAllAvailable()
+      // watermark = 10:50 - 30min = 10:20 → window [10,11) still open
+      assert(spark.table("graft_win").count() === 0)
+      // advance event time far enough to close [10,11); then a LATE row
+      // for the closed window must be dropped
+      mem.addData((t("2024-01-01 12:00:00"), 4.0))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 10:10:00"), 8.0)) // late beyond watermark
+      q.processAllAvailable()
+      val rows = spark.table("graft_win")
+        .select(col("window.start").cast("string"), col("n"), col("total_value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSet === Set(("2024-01-01 10:00:00", 2L, 3.0))) // late 8.0 absent
+    } finally q.stop()
+  }
+
   test("windowedCounts groups into tumbling event-time windows") {
     val events = Seq(
       ("2024-01-01 10:05:00", 1.0),
