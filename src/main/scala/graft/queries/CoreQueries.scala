@@ -350,10 +350,10 @@ object CoreQueries {
           col("l_extendedprice").as("p"),
           when(col("l_orderkey") % 89 === 0, lit(null)).otherwise(col("l_returnflag")).as("f"))
         val imputed = Cleaning.imputeMode(Cleaning.imputeMedian(base, Seq("q")), Seq("f"))
-        // persist: the deduped frame feeds both the p99 scalar job and the
-        // final aggregate — without it the scan+impute+dedup runs twice
-        // (exactly what you'd persist on a cluster before a 2-pass clean)
-        val deduped = Dedup.exact(imputed).persist()
+        // NOT persisted: profiling showed the in-memory-columnar cache write
+        // (+2.2s) costs more than recomputing the dedup shuffle (1.7s) at
+        // this scale; on a cluster with a wider upstream you'd persist here
+        val deduped = Dedup.exact(imputed)
         val p99 = math.rint(deduped.agg(percentile(col("p"), lit(0.99))).first().getDouble(0) * 100) / 100.0
         val capped = deduped.withColumn("p", when(col("p") > p99, lit(p99)).otherwise(col("p")))
         capped.filter(col("q") > 2)
