@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions for the core queries — the properties that
+  * matter at 100 TB, checked at any scale: filters/projections reach the
+  * parquet scan, small dimensions broadcast, top-k never globally sorts,
+  * and shuffle counts stay at the theoretical minimum.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    "(?<!Broadcast)Exchange".r.findAllIn(p).size
+
+  test("q03: predicate AND projection pushed into the parquet scan") {
+    val p = plan("q03_filter_project")
+    // (toString truncates long fields — assert on stable prefixes)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity)"), p)
+    // pruned scan: only the 5 referenced columns appear in the FileScan list
+    assert(p.contains("FileScan parquet [l_orderkey#"), p)
+    assert(!p.contains("l_tax"), s"q03 scan must prune unreferenced columns:\n$p")
+  }
+
+  test("q17: dimension broadcast + TakeOrderedAndProject (no global sort)") {
+    val p = plan("q17_top_customers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q20: multi-way join keeps small dims on the broadcast side") {
+    val p = plan("q20_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q02: single-shuffle aggregation with map-side partial aggregation") {
+    val p = plan("q02_pricing_summary")
+    // partial + final aggregation pairs around exactly one agg exchange
+    // (plus the presentation sort's range exchange)
+    assert(p.contains("partial_"), p)
+    assert(exchanges(p) <= 2, s"expected ≤2 shuffles (agg + orderBy), got:\n$p")
+  }
+
+  test("q06: anti-join is a join, not a cartesian filter") {
+    val p = plan("q06_anti_join")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q01 events scan prunes to the referenced columns") {
+    val p = plan("q01_hourly_demand")
+    // only ts and value are needed
+    assert(!p.contains("props"), s"events scan should prune the wide props column:\n$p")
+  }
+
+  test("x03: LSH candidate generation contains no cartesian product") {
+    val p = plan("x03_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
