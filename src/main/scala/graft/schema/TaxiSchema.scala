@@ -44,6 +44,36 @@ object TaxiSchema {
     StructField("payment_type", ByteType)) ++
     moneyColumns.map(StructField(_, FloatType)))
 
+  /** Typed view of the 19-column row (SURVEY §1.1: "optionally a
+    * Dataset[TaxiTrip] case class for the core 19 columns"). Boxed types
+    * mirror the schema's nullability; `toTyped` below binds the encoder. */
+  final case class TaxiTrip(
+      VendorID: Option[Byte],
+      tpep_pickup_datetime: Option[java.sql.Timestamp],
+      tpep_dropoff_datetime: Option[java.sql.Timestamp],
+      passenger_count: Option[Byte],
+      trip_distance: Option[Float],
+      RatecodeID: Option[Byte],
+      store_and_fwd_flag: Option[String],
+      PULocationID: Option[Short],
+      DOLocationID: Option[Short],
+      payment_type: Option[Byte],
+      fare_amount: Option[Float],
+      extra: Option[Float],
+      mta_tax: Option[Float],
+      tip_amount: Option[Float],
+      tolls_amount: Option[Float],
+      improvement_surcharge: Option[Float],
+      total_amount: Option[Float],
+      congestion_surcharge: Option[Float],
+      airport_fee: Option[Float])
+
+  /** Bind the case-class encoder to a schema-conforming DataFrame. */
+  def toTyped(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[TaxiTrip] = {
+    import org.apache.spark.sql.Encoders
+    df.as(Encoders.product[TaxiTrip])
+  }
+
   /** Code tables (`README.md:33-77`). */
   val rateCodes: Map[Int, String] = Map(
     1 -> "Standard rate", 2 -> "JFK", 3 -> "Newark",

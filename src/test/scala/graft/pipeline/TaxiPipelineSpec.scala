@@ -185,6 +185,18 @@ class TaxiPipelineSpec extends SparkSpec {
     assert(m("monthly_summary").first().getAs[Int]("pickup_year") === 2024)
   }
 
+  test("Dataset[TaxiTrip] typed view: encoder binds, typed ops compose with the pipeline") {
+    val ds = TaxiSchema.toTyped(frame(row(), row("VendorID" -> 2.toByte)))
+    // typed filter + map run through the case class
+    val fares = ds.filter((t: TaxiSchema.TaxiTrip) => t.VendorID.exists(_ == 1))
+      .map((t: TaxiSchema.TaxiTrip) => t.fare_amount.getOrElse(0.0f))(
+        org.apache.spark.sql.Encoders.scalaFloat)
+      .collect()
+    assert(fares.toSeq === Seq(20.0f))
+    // and the untyped pipeline accepts the typed view's frame back
+    assert(TaxiPipeline.clean(ds.toDF()).count() === 2)
+  }
+
   test("cleaning is idempotent on already-clean data (reference's rerun-safety claim)") {
     val df = frame(row(), row("VendorID" -> 2.toByte))
     val once = TaxiPipeline.clean(df)
