@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.incremental.Incremental
+import graft.io.{Sinks, Sources}
+
+/** The reference's whole program (SURVEY §3.1, `incremental_taxi_data_
+  * processing` / `process_incremental_files`) as one callable: discover
+  * files past the tracker, load them with filename validation, run the
+  * clean→transform→metrics pipeline as ONE lazy plan, write versioned
+  * parquet + metric CSVs + `latest/` copies, then advance tracker and
+  * watermark. Returns a status summary like the reference's status dict
+  * (`PF:993-1018`).
+  *
+  * Steps 3-7 and 16 of the reference are driver-side metadata ops; steps
+  * 8-13 are a single Catalyst plan per output — no intermediate
+  * materialization (the reference fully materializes between every step).
+  */
+object TaxiJob {
+
+  final case class JobResult(
+      status: String,
+      filesProcessed: Seq[String],
+      rowsOut: Long,
+      metricTables: Seq[String],
+      processingId: String)
+
+  /** One incremental run over a raw-file directory tree. `clock` is
+    * injectable (SURVEY §7.5.8: the reference's processing_id timestamps
+    * are nondeterminism to quarantine). */
+  def run(spark: SparkSession, rawDir: String, stateDir: String, outDir: String,
+          filenameStem: String = "yellow_tripdata",
+          maxFiles: Int = 10,
+          exactPercentiles: Boolean = true,
+          clock: () => Long = () => java.time.Instant.now.toEpochMilli): JobResult = {
+
+    // 3-5: watermark + tracker + discovery (S2/P1/P2/O1), oldest-first
+    val discovered = Incremental.discover(spark, rawDir,
+      pattern = s"$filenameStem.*\\.parquet$$")
+    if (discovered.isEmpty)
+      return JobResult("no_new_files", Nil, 0, Nil, "")
+
+    // 6-7: tracker anti-join (J1) + top-k batch limit (O2)
+    val tracker = Incremental.readTracker(spark, stateDir)
+      .collect().map(_.getString(0)).toSet
+    val fresh = discovered.filterNot(m => tracker(m.path)).take(maxFiles)
+    if (fresh.isEmpty) {
+      Incremental.writeWatermark(spark, stateDir, clock())
+      return JobResult("all_files_processed", Nil, 0, Nil, "")
+    }
+
+    // 8-10: schema-enforced scan of ALL new files in one pass (the
+    // reference downloads and reads them one at a time), P4 validation
+    // against each row's own source file, schema-drift tolerated by the
+    // reader (missing columns → null via the explicit schema)
+    val raw = spark.read
+      .schema(graft.schema.TaxiSchema.schema)
+      .parquet(fresh.map(_.path): _*)
+      .withColumn("__file", input_file_name())
+    val validated = Sources
+      .validateAgainstFilename(raw, col("tpep_pickup_datetime"), col("__file"), filenameStem)
+      .drop("__file")
+
+    // 11-13: clean → transform → metrics, one lazy plan per sink
+    val (transformed, metrics) = {
+      val cleaned = TaxiPipeline.clean(TaxiPipeline.applySchema(validated), exactPercentiles)
+      val t = TaxiPipeline.transform(cleaned)
+      (t, TaxiPipeline.metrics(t))
+    }
+
+    // 14: processing id + date range from FILENAMES, not data (SURVEY §4
+    // "FAST" trick) — deterministic under the injected clock
+    val months = fresh.map(_.path).flatMap { p =>
+      s"${filenameStem}_(\\d{4}-\\d{2})\\.parquet$$".r.findFirstMatchIn(p).map(_.group(1))
+    }.sorted
+    val dateRange = if (months.nonEmpty) s"${months.head}_${months.last}" else "unknown"
+    val processingId = s"${clock()}_$dateRange"
+
+    // 15: versioned parquet + metric CSVs + latest copies (S4/S5/S8)
+    val dataDir = s"$outDir/processed/taxi/$processingId"
+    Sinks.parquet(transformed, dataDir)
+    Sinks.copyToLatest(spark, dataDir, s"$outDir/processed/taxi/latest")
+    val metricNames = metrics.keys.toSeq.sorted
+    metricNames.foreach { name =>
+      val dir = s"$outDir/processed/metrics/$processingId/$name"
+      Sinks.metricsCsv(metrics(name), dir)
+      Sinks.copyToLatest(spark, dir, s"$outDir/processed/metrics/latest/$name")
+    }
+    val rowsOut = spark.read.parquet(dataDir).count()
+
+    // 16: exactly-once bookkeeping (ST1/ST2)
+    Incremental.appendTracker(spark, stateDir, fresh.map(_.path))
+    Incremental.writeWatermark(spark, stateDir,
+      math.max(Incremental.readWatermark(spark, stateDir), fresh.map(_.mtime).max))
+
+    JobResult("success", fresh.map(_.path), rowsOut, metricNames, processingId)
+  }
+}
