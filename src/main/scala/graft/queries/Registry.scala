@@ -18,19 +18,22 @@ final case class QuerySpec(
 
 object Registry {
   def all: Seq[QuerySpec] =
-    CoreQueries.all ++ Seq(TaxiE2E.spec) ++ ExtQueries.all
+    CoreQueries.all ++ Seq(TaxiE2E.spec, TaxiE2E.jobSpec) ++ ExtQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
 
-  /** Benchmark set: everything except the deliberately-quadratic exact
-    * all-pairs verifiers (x02/x04 exist to oracle-check the LSH/sketch
+  /** Benchmark set: everything except (a) the deliberately-quadratic exact
+    * all-pairs verifiers (x02/x04/x13 exist to oracle-check the LSH/sketch
     * scale paths x03/x06 — brute force is not the operator we'd run at
-    * scale, so it isn't the operator we benchmark). */
+    * scale, so it isn't the operator we benchmark) and (b) st04, which
+    * re-runs q26's exact pipeline plus file staging purely as a
+    * whole-program correctness check. */
   val quadraticVerifiers: Set[String] =
     Set("x02_neardup_jaccard", "x04_simhash", "x13_cosine_neardup")
+  val benchExcluded: Set[String] = quadraticVerifiers + "st04_taxi_job"
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    all.filterNot(q => quadraticVerifiers(q.name)).map(q => q.name -> q.fn).toMap
+    all.filterNot(q => benchExcluded(q.name)).map(q => q.name -> q.fn).toMap
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -36,8 +36,9 @@ object TaxiE2E {
   //   improvement     0.25; congestion (id%2)/2.0; airport (id%4)/4
   //   total           comp + 5 @ %7 (C7 rewrite), else comp (null if any comp null)
 
-  val spec: QuerySpec = QuerySpec("q26_taxi_e2e",
-    (s, d) => {
+  /** The dyadic-grid taxi frame derived from `events` (shared by q26 and
+    * the whole-job st04). */
+  def taxiFrame(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
       val ev = Tables.events(s, d)
       val id = col("event_id")
       def nullAt(m: Int, v: org.apache.spark.sql.Column) =
@@ -74,13 +75,58 @@ object TaxiE2E {
         (comp + when(id % 7 === 0, 5.0).otherwise(0.0)).cast("float").as("total_amount"),
         congestion.cast("float").as("congestion_surcharge"),
         airport.cast("float").as("airport_fee"))
-      val (_, metrics) = TaxiPipeline.process(Seq(taxi))
-      metrics("vendor_performance")
-        .select(col("VendorID").cast("long").as("VendorID"), col("trip_count"),
-          col("total_revenue"), col("median_revenue"), col("median_distance"))
-        .orderBy("VendorID")
+      taxi
+  }
+
+  /** Shared 5-column projection of the vendor_performance metric. */
+  private def vendorProjection(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("VendorID").cast("long").as("VendorID"),
+        col("trip_count").cast("long").as("trip_count"),
+        col("total_revenue").cast("double").as("total_revenue"),
+        col("median_revenue").cast("double").as("median_revenue"),
+        col("median_distance").cast("double").as("median_distance"))
+      .orderBy("VendorID")
+
+  val spec: QuerySpec = QuerySpec("q26_taxi_e2e",
+    (s, d) => {
+      val (_, metrics) = TaxiPipeline.process(Seq(taxiFrame(s, d)))
+      vendorProjection(metrics("vendor_performance"))
     },
-    Some("""WITH tx AS (
+    oracleSql)
+
+  /** The WHOLE reference program (graft.pipeline.TaxiJob): stage the same
+    * frame as monthly `yellow_tripdata_*.parquet` files, run discovery →
+    * validated load → pipeline → versioned sinks + latest copies →
+    * tracker/watermark, then read the vendor metric back FROM ITS CSV —
+    * verified against the identical oracle as q26 (the job adds file
+    * staging, P4 validation, sinks, and a CSV round-trip on top, all of
+    * which must be value-preserving).
+    */
+  val jobSpec: QuerySpec = QuerySpec("st04_taxi_job",
+    (s, d) => {
+      import org.apache.hadoop.fs.Path
+      val tmp = java.nio.file.Files.createTempDirectory("graft_job_q").toString
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      val labeled = taxiFrame(s, d)
+        .withColumn("ym", date_format(col("tpep_pickup_datetime"), "yyyy-MM"))
+      labeled.repartition(col("ym")).write.partitionBy("ym")
+        .mode("overwrite").parquet(s"$tmp/stage")
+      fs.mkdirs(new Path(s"$tmp/raw"))
+      fs.globStatus(new Path(s"$tmp/stage/ym=*")).foreach { st =>
+        val m = st.getPath.getName.stripPrefix("ym=")
+        val part = fs.globStatus(new Path(s"${st.getPath}/part-*.parquet"))(0).getPath
+        fs.rename(part, new Path(s"$tmp/raw/yellow_tripdata_$m.parquet"))
+      }
+      val res = graft.pipeline.TaxiJob.run(s, s"$tmp/raw", s"$tmp/state", s"$tmp/out",
+        maxFiles = 100, clock = () => 42L)
+      require(res.status == "success", s"job status: ${res.status}")
+      val csv = s.read.option("header", "true")
+        .csv(s"$tmp/out/processed/metrics/latest/vendor_performance")
+      vendorProjection(csv)
+    },
+    oracleSql)
+
+  private lazy val oracleSql = Some("""WITH tx AS (
       |  SELECT
       |    CASE WHEN event_id % 31 = 0 THEN NULL ELSE event_id % 2 + 1 END AS VendorID,
       |    ts AS pu,
@@ -146,5 +192,5 @@ object TaxiE2E {
       |       round(sum(total2), 2) AS total_revenue,
       |       round(quantile_cont(total2, 0.5), 2) AS median_revenue,
       |       round(quantile_cont(dist, 0.5), 2) AS median_distance
-      |FROM valid GROUP BY 1 ORDER BY 1""".stripMargin))
+      |FROM valid GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -14,12 +14,12 @@ class RegistrySpec extends AnyFunSuite {
     assert(Registry.oracleSql.keySet.subsetOf(Registry.queries.keySet))
   }
 
-  test("bench set excludes exactly the quadratic verifiers") {
+  test("bench set excludes exactly the declared exclusions") {
     assert(Registry.queries.keySet -- Registry.benchQueries.keySet ===
-      Registry.quadraticVerifiers)
+      Registry.benchExcluded)
   }
 
-  test("quadratic verifiers name real queries") {
-    assert(Registry.quadraticVerifiers.subsetOf(Registry.queries.keySet))
+  test("excluded names reference real queries") {
+    assert(Registry.benchExcluded.subsetOf(Registry.queries.keySet))
   }
 }
