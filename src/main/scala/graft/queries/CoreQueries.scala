@@ -439,6 +439,23 @@ object CoreQueries {
              |       count(*) AS n_rows
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // CUBE grouping sets — all four (year × status) aggregation levels in
+    // one pass (rollup's sibling; completes the grouping-set family).
+    QuerySpec("q28_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube(year(col("o_orderdate")).cast("long").as("y"), col("o_orderstatus"))
+        .agg(n.as("n_orders"), moneySum(col("o_totalprice")).as("total_revenue"))
+        .select(coalesce(col("y"), lit(-1L)).as("y"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("total_revenue"))
+        .orderBy("y", "status"),
+      Some(s"""SELECT coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS y,
+              |       coalesce(o_orderstatus, 'ALL') AS status,
+              |       count(*) AS n_orders,
+              |       ${sqlMoneySum("o_totalprice")} AS total_revenue
+              |FROM orders GROUP BY CUBE(year(o_orderdate), o_orderstatus)
+              |ORDER BY 1, 2""".stripMargin)),
+
     // O3 — min/max bounds → range string (filename-range analog).
     QuerySpec("q23_range_bounds",
       (s, d) => Tables.orders(s, d).agg(

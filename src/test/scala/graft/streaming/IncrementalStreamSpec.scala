@@ -62,6 +62,24 @@ class IncrementalStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupedStream drops duplicate ids arriving within the watermark horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val dedup = IncrementalStream.dedupedStream(
+      mem.toDF().toDF("id", "ts"), Seq("id"), "ts", lateness = "1 hour")
+    val q = dedup.writeStream.format("memory").queryName("graft_dedup")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      mem.addData((1L, t("2024-01-01 10:02:00"))) // dup id within horizon
+      q.processAllAvailable()
+      assert(spark.table("graft_dedup").count() === 2)
+    } finally q.stop()
+  }
+
   test("windowedCounts groups into tumbling event-time windows") {
     val events = Seq(
       ("2024-01-01 10:05:00", 1.0),
