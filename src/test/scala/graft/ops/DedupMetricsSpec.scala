@@ -69,6 +69,14 @@ class DedupMetricsSpec extends SparkSpec {
     assert(a.getDouble(5) === 10.0)        // avg_duration
   }
 
+  test("approx_count_distinct (HLL) lands within 5% of exact at 50k keys") {
+    val df = (1 to 50000).map(i => i % 9173).toDF("v")
+    val r = df.agg(countDistinct($"v"), approx_count_distinct($"v")).first()
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
   test("A6 distinctSorted returns ordered distinct values") {
     val df = Seq("b", "a", "b", "c").toDF("v")
     assert(Metrics.distinctSorted(df, $"v").collect().map(_.getString(0)).toSeq ===
