@@ -32,10 +32,17 @@ object TextAnalysis {
   def alphaRatio(text: Column): Column =
     try_divide(length(regexp_replace(lower(text), "[^a-z]", "")).cast("double"), length(text))
 
-  /** Mean token length, 2 decimals. */
+  /** Mean token length, 2 decimals — exact integer half-up rounding
+    * (⌊(chars·100 + n/2)/n⌋/100): `round(sum/n, 2)` diverges between
+    * engines when the quotient lands on a half-cent representation
+    * boundary (bit at sf0.001, doc 77). */
   def avgTokenLength(text: Column): Column = {
     val t = tokens(text)
-    round(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t), 2)
+    val chars = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val n = size(t).cast("long")
+    // same exact-integer shape as Det.moneyAvg (int / on longs would yield
+    // double in Spark; shiftright keeps it integral)
+    floor((chars * 100 + shiftright(n, 1)).cast("double") / n) / 100.0
   }
 
   /** Composite quality score in [0,1]: length component + lexical diversity

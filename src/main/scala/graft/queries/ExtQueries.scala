@@ -158,7 +158,7 @@ object ExtQueries {
              |           FROM documents WHERE doc_id <= 100)
              |SELECT doc_id,
              |  CAST(len(tk) AS BIGINT) AS n_tokens,
-             |  round(list_sum(list_transform(tk, x -> len(x))) * 1.0 / len(tk), 2) AS avg_token_len,
+             |  ((list_sum(list_transform(tk, x -> len(x))) * 100 + len(tk) // 2) // len(tk)) / 100.0 AS avg_token_len,
              |  round(len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in'))) * 1.0 / len(tk), 4) AS stopword_ratio,
              |  round(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 / len(text), 4) AS alpha_ratio,
              |  round(least(len(tk) * 1.0 / 100, 1.0) * 0.4

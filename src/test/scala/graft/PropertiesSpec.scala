@@ -58,6 +58,26 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: native shingles equal the HOF formulation on fuzzed strings") {
+    import org.apache.spark.sql.functions._
+    val chars = Gen.oneOf(('a' to 'e') ++ Seq(' ', ' ', 'Z', '0', 'ß', '中'))
+    val texts = Gen.listOfN(14, chars).map(_.mkString)
+    val inputs = samples(texts, 40)
+    val df = inputs.toDF("text")
+    val t = split(lower(col("text")), " ")
+    val k = 2
+    val hof = array_distinct(
+      when(size(t) >= k,
+        transform(sequence(lit(1), size(t) - (k - 1)),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+        .otherwise(array(concat_ws(" ", t))))
+    val rows = df.select(
+      graft.functions.TextExprs.wordShingles(col("text"), k).as("native"), hof.as("ref")).collect()
+    rows.zip(inputs).foreach { case (r, in) =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), s"input='$in'")
+    }
+  }
+
   test("property: moneySum equals exact cents arithmetic") {
     samples(doubleLists, 8).foreach { vs =>
       val got = vs.toDF("v").agg(util.Det.moneySum(col("v"))).first().getDouble(0)
