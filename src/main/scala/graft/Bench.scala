@@ -28,7 +28,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","master":"local[$cpus]","shuffle_partitions":$cpus}"""
+    // stdout arrives wrapped in sbt's [info]/[error] log prefixes, which
+    // broke the driver's JSON parse in round 1 — the FILE is the durable,
+    // machine-readable record (mirrors Verify.scala's oracle_sql.json).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -15,9 +15,12 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** BPE-ish piece count: runs of letters, runs of digits, single other
-    * non-space chars — a cheap proxy for subword token counts. */
+    * non-space chars — a cheap proxy for subword token counts. Built with
+    * call_function so the `text` PARAMETER is used (an expr("...text...")
+    * string would capture whatever column happens to be named "text"). */
   def piecesCount(text: Column): Column =
-    size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long")
+    size(call_function("regexp_extract_all",
+      lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
 
   private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
 

@@ -37,21 +37,28 @@ object Sources {
 
   /** P4 — filename-vs-data validation (`DP:27-71`): rows whose event-time
     * year/month disagree with the year/month encoded in the file they came
-    * from are dropped. `fileCol` is typically `input_file_name()`. */
+    * from are dropped. `fileCol` is typically `input_file_name()`.
+    * A file whose basename does NOT parse as `stem_YYYY-MM.parquet` passes
+    * through unfiltered — the reference returns the frame unchanged when it
+    * can't extract year/month (`DP:27-33`); an equality against the null
+    * extraction would otherwise silently drop every row of such a file. */
   def validateAgainstFilename(df: DataFrame, ts: Column, fileCol: Column,
                               stem: String = "yellow_tripdata"): DataFrame = {
     val base = basename(fileCol)
-    df.filter(year(ts) === yearFromFilename(base, stem) &&
-      month(ts) === monthFromFilename(base, stem))
+    df.filter(yearFromFilename(base, stem).isNull ||
+      (year(ts) === yearFromFilename(base, stem) &&
+        month(ts) === monthFromFilename(base, stem)))
   }
 
   /** P4's mismatch *report* (`DP:51-64`): count + distinct offending
-    * years/months of the rows the validation filter would drop. */
+    * years/months of the rows the validation filter would drop (rows from
+    * unparseable filenames are never mismatches — they pass through). */
   def mismatchReport(df: DataFrame, ts: Column, fileCol: Column,
                      stem: String = "yellow_tripdata"): DataFrame = {
     val base = basename(fileCol)
-    df.filter(!(year(ts) === yearFromFilename(base, stem) &&
-        month(ts) === monthFromFilename(base, stem)))
+    df.filter(yearFromFilename(base, stem).isNotNull &&
+        !(year(ts) === yearFromFilename(base, stem) &&
+          month(ts) === monthFromFilename(base, stem)))
       .agg(count(lit(1)).as("n_mismatched"),
         sort_array(collect_set(year(ts))).as("bad_years"),
         sort_array(collect_set(month(ts))).as("bad_months"))

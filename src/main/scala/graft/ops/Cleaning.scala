@@ -46,7 +46,10 @@ object Cleaning {
   /** C2 — mode imputation with the pandas tie-break (smallest value wins,
     * `DP:97-105`). Spark's builtin `mode()` agg is tie-nondeterministic, so
     * we take `groupBy(col).count` ordered by (count desc, value asc).
-    * Fallback when the column is entirely null: `fallback`.
+    * An entirely-null column is left untouched — the reference's
+    * `notna().any()` guard (`DP:100`) skips imputation there, making its
+    * `'Unknown'` branch unreachable (and a string fill would be a type
+    * hazard on tinyint categoricals like RatecodeID anyway).
     */
   def modeOf(df: DataFrame, c: String): Option[Any] = {
     val top = df.filter(col(c).isNotNull)
@@ -56,7 +59,7 @@ object Cleaning {
     top.headOption.map(_.get(0))
   }
 
-  def imputeMode(df: DataFrame, cols: Seq[String], fallback: String = "Unknown"): DataFrame = {
+  def imputeMode(df: DataFrame, cols: Seq[String]): DataFrame = {
     // one mode job per column, but submitted CONCURRENTLY — wall-clock is
     // the slowest job, not the sum (SparkSession actions are thread-safe)
     import scala.concurrent.{Await, Future}
@@ -67,7 +70,7 @@ object Cleaning {
       Future.sequence(present.map(c => Future(c -> modeOf(df, c)))), Duration.Inf)
     modes.foldLeft(df) {
       case (d, (c, Some(m))) => d.withColumn(c, coalesce(col(c), lit(m)))
-      case (d, (c, None))    => d.withColumn(c, coalesce(col(c), lit(fallback)))
+      case (d, (_, None))    => d // all-null column: nulls survive (DP:100)
     }
   }
 

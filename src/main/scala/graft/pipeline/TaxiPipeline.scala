@@ -24,12 +24,15 @@ object TaxiPipeline {
 
   /** §1.2 — apply the declared 19-column schema by best-effort cast;
     * unparseable values become null (pandas `errors='coerce'`); columns
-    * outside the known 19 survive with their inferred types (`DP:682-725`). */
+    * outside the known 19 survive with their inferred types (`DP:682-725`).
+    * `try_cast`, not `cast`: Spark 4 runs ANSI mode by default, where a
+    * plain cast THROWS on a malformed value (e.g. a non-numeric string in a
+    * drifted column) instead of coercing to null. */
   def applySchema(df: DataFrame): DataFrame = {
     val known = TaxiSchema.schema.fields.map(f => f.name -> f.dataType).toMap
     df.select(df.columns.map { c =>
       known.get(c) match {
-        case Some(t) if df.schema(c).dataType != t => col(c).cast(t).as(c)
+        case Some(t) if df.schema(c).dataType != t => col(c).try_cast(t).as(c)
         case _                                     => col(c)
       }
     }: _*)
@@ -37,8 +40,17 @@ object TaxiPipeline {
 
   /** C1-C9 + DD2 + P5 in the reference's order (SURVEY §2.5):
     * impute → dedup → cap → consistency → remove. Each guard mimics the
-    * reference's "column exists" checks (`DP:91,100,127,160,177`). */
-  def clean(df: DataFrame, exactPercentiles: Boolean = true): DataFrame = {
+    * reference's "column exists" checks (`DP:91,100,127,160,177`).
+    *
+    * `persistDeduped`: the deduped frame feeds the C4/C5 scalar job AND the
+    * final consumer, so caching it saves one dedup-shuffle recompute — but
+    * profiling (q24, commit 292f15b) showed the in-memory-columnar cache
+    * WRITE costs more than the recompute at sf0.1, and an unconditional
+    * persist of the full deduped frame is a cluster-wide cache write of the
+    * entire dataset at 100 TB. Default: no persist. A caller that does pass
+    * a level owns the release (`unpersist()` after its terminal action). */
+  def clean(df: DataFrame, exactPercentiles: Boolean = true,
+            persistDeduped: Option[org.apache.spark.storage.StorageLevel] = None): DataFrame = {
     val cols = df.columns.toSet
 
     // C1-C3 — imputation (medians over the pre-dedup batch, §7.5.1)
@@ -48,10 +60,10 @@ object TaxiPipeline {
       Cleaning.imputeConstant(mo, TaxiSchema.zeroFilled, 0)
     }
 
-    // DD2 — full-row dedup (null-safe, like pandas drop_duplicates).
-    // Persisted: the frame feeds the C4/C5 scalar job AND the final
-    // consumer; without it the dedup shuffle would run twice.
-    val deduped = Dedup.exact(imputed).persist()
+    // DD2 — full-row dedup (null-safe, like pandas drop_duplicates)
+    val deduped = persistDeduped
+      .map(Dedup.exact(imputed).persist)
+      .getOrElse(Dedup.exact(imputed))
 
     // C4 + C5 — both p99 scalars in ONE aggregation job:
     //   C4: trip_distance d<=0 ∨ d>100 → p99 of the WHOLE column
@@ -170,17 +182,21 @@ object TaxiPipeline {
         count(col("VendorID")).as("trip_count"),
         round(sum(col("total_amount")), 2).as("total_revenue"),
         round(avg(dur), 2).as("avg_duration")),
+      // trip_count in the remaining tables aggregates 'VendorID': 'count'
+      // (DP:858-900) — pandas count() skips NaN, so null-VendorID rows
+      // (which survive into valid trips; VendorID is in no imputation list)
+      // are excluded from the count, like hourly_demand above
       "pickup_location_analysis" -> v.groupBy("PULocationID").agg(
-        count(lit(1)).as("trip_count"),
+        count(col("VendorID")).as("trip_count"),
         round(sum(col("total_amount")), 2).as("total_revenue"),
         round(avg(dur), 2).as("avg_duration")),
       "payment_analysis" -> v.groupBy("payment_type").agg(
-        count(lit(1)).as("trip_count"),
+        count(col("VendorID")).as("trip_count"),
         round(sum(col("total_amount")), 2).as("total_revenue"),
         round(sum(col("tip_amount")), 2).as("total_tips"),
         round(avg(col("tip_percentage")), 2).as("avg_tip_percentage")),
       "monthly_summary" -> v.groupBy("pickup_year", "pickup_month").agg(
-        count(lit(1)).as("trip_count"),
+        count(col("VendorID")).as("trip_count"),
         round(sum(col("total_amount")), 2).as("total_revenue"),
         round(avg(dur), 2).as("avg_duration"),
         round(avg(col("trip_distance")), 2).as("avg_distance")))

@@ -18,6 +18,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(1) === 6L)
   }
 
+  test("piecesCount reads its Column parameter, not a column named 'text'") {
+    // regression: an expr("...text...") body silently bound to whatever
+    // column was literally named "text"
+    val df = Seq(("decoy", "Hello world 123")).toDF("text", "body")
+    assert(df.select(TextAnalysis.piecesCount($"body")).first().getLong(0) === 3L)
+  }
+
   test("stopwordRatio and alphaRatio are exact fractions") {
     val df = Seq("the cat and dog").toDF("text")
     val r = df.select(TextAnalysis.stopwordRatio($"text"),

@@ -45,6 +45,19 @@ class SourcesSinksSpec extends SparkSpec {
     assert(rep.getSeq[Int](1).toSet === Set(2023, 2024))
   }
 
+  test("P4 validation passes rows through when the filename doesn't parse (DP:27-33)") {
+    // reference returns the frame UNCHANGED when year/month can't be
+    // extracted; a null-extraction equality would drop every row
+    val df = Seq(
+      ("2024-03-01 10:00:00", "oddly_named.parquet"),
+      ("2019-07-02 10:00:00", "oddly_named.parquet"),
+      ("2024-04-02 10:00:00", "yellow_tripdata_2024-03.parquet") // real mismatch
+    ).toDF("ts", "file").select(to_timestamp($"ts").as("ts"), $"file")
+    assert(Sources.validateAgainstFilename(df, $"ts", $"file").count() === 2)
+    // and unparseable-file rows are never counted as mismatches
+    assert(Sources.mismatchReport(df, $"ts", $"file").first().getLong(0) === 1L)
+  }
+
   test("S5 metricsCsv writes a single headered csv readable back") {
     val dir = Files.createTempDirectory("graft_sink").toString + "/metrics"
     Sinks.metricsCsv(Seq(("a", 1.5), ("b", 2.5)).toDF("k", "v"), dir)

@@ -35,10 +35,14 @@ class CleaningSpec extends SparkSpec {
     assert(out.filter($"v" === 5).count() === 3)
   }
 
-  test("C2 imputeMode falls back to 'Unknown' when the column is all null") {
-    val df = Seq[Option[String]](None, None).toDF("v")
+  test("C2 imputeMode leaves an all-null column untouched (DP:100 notna().any() guard)") {
+    // the reference SKIPS imputation when a column has no non-null values —
+    // its 'Unknown' branch is dead code; nulls must survive, and the column
+    // type (here tinyint, like RatecodeID/payment_type) must not widen
+    val df = Seq[Option[Byte]](None, None).toDF("v")
     val out = Cleaning.imputeMode(df, Seq("v"))
-    assert(out.filter($"v" === "Unknown").count() === 2)
+    assert(out.filter($"v".isNull).count() === 2)
+    assert(out.schema("v").dataType === org.apache.spark.sql.types.ByteType)
   }
 
   test("C3 imputeConstant fills only nulls") {
