@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -33,19 +32,30 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExprs.cosineSim(a, b)
 
+  /** Rank scored candidates per query with the bounded top-k AGGREGATE
+    * (graft.functions.TopKByScore), not a window: a window partition holds
+    * a query's ENTIRE candidate set in one task; the aggregate keeps an
+    * O(k) heap per map task and ships ≤ k entries per task through the
+    * shuffle (ordinary partial+final HashAggregate). Ordering: sim desc,
+    * id asc — identical to the former row_number() formulation. */
+  private def rankTopK(scored: DataFrame, k: Int, qId: String, cId: String): DataFrame =
+    scored.groupBy(col(qId))
+      .agg(graft.functions.TopKAgg.topK(col("sim"), col(cId), k).as("__top"))
+      .select(col(qId), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col(qId), (col("__pos") + 1).cast("long").as("rk"),
+        col("__e.id").as(cId), col("__e.score").as("sim"))
+
   /** Exact brute-force top-k: for each query row, the k nearest corpus rows
     * by cosine (ties broken by corpus id asc). `queries` must be small
-    * enough to broadcast. */
+    * enough to broadcast — the scan is a map-side nested loop over the
+    * corpus, and the only shuffle is the O(k)-per-task top-k aggregation. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qId: String = "query_id", cId: String = "neighbor_id"): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as(qId), toDouble(col("embedding")).as("__qv")))
     val c = corpus.select(col("vec_id").as(cId), toDouble(col("embedding")).as("__cv"))
-    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId).asc)
-    c.join(q, col(qId) =!= col(cId))
+    val scored = c.join(q, col(qId) =!= col(cId))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col(qId), col("rk"), col(cId), col("sim"))
+    rankTopK(scored, k, qId, cId)
   }
 
   /** Deterministic pseudo-random hyperplanes: `tables` independent sets of
@@ -64,23 +74,33 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               dim: Int, bits: Int = 8, tables: Int = 8, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, bits, tables, seed)
-    def bucketed(df: DataFrame, idAs: String, vAs: String): DataFrame = {
+    def bucketed(df: DataFrame, idAs: String): DataFrame = {
       val v = toDouble(col("embedding"))
-      df.select(col("vec_id").as(idAs), v.as(vAs),
-          posexplode(graft.functions.VectorExprs.hyperplaneSigs(v, planes)).as(Seq("__t", "__b")))
+      df.select(col("vec_id").as(idAs),
+        posexplode(graft.functions.VectorExprs.hyperplaneSigs(v, planes)).as(Seq("__t", "__b")))
     }
-    val q = broadcast(bucketed(queries, "query_id", "__qv"))
-    val c = bucketed(corpus, "neighbor_id", "__cv")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
-    q.as("q").join(c.as("c"),
+    // Candidate generation carries IDS ONLY: a row that collides in many
+    // tables would otherwise drag its full embedding array through the
+    // dedup exchange once per collision (the round-1 scale defect). The
+    // distinct runs over two longs; vectors are joined back exactly once
+    // per surviving candidate — corpus side via one hash join (AQE turns
+    // it broadcast when the candidate set is small), query side broadcast.
+    val q = broadcast(bucketed(queries, "query_id"))
+    val c = bucketed(corpus, "neighbor_id")
+    val candidates = q.as("q").join(c.as("c"),
         col("q.__t") === col("c.__t") && col("q.__b") === col("c.__b")
           && col("q.query_id") =!= col("c.neighbor_id"))
-      .select(col("q.query_id"), col("c.neighbor_id"), col("q.__qv").as("__qv"), col("c.__cv").as("__cv"))
+      .select(col("q.query_id"), col("c.neighbor_id"))
       .distinct()
+    val qv = broadcast(queries.select(col("vec_id").as("query_id"),
+      toDouble(col("embedding")).as("__qv")))
+    val cv = corpus.select(col("vec_id").as("neighbor_id"),
+      toDouble(col("embedding")).as("__cv"))
+    val scored = candidates
+      .join(cv, Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+    rankTopK(scored, k, "query_id", "neighbor_id")
   }
 
   /** Exact cosine near-duplicate pairs (sim ≥ threshold) among all rows —

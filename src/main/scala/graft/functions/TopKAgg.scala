@@ -1,0 +1,113 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k as a real aggregate function.
+  *
+  * `row_number().over(Window.partitionBy(query))` funnels EVERY candidate of
+  * a query through one window partition — one task holds (and sorts) the
+  * whole candidate set, which is the scale ceiling of the windowed top-k
+  * (at 100 TB a hot query's candidates won't fit one task). An aggregate
+  * gets partial aggregation for free: each map task keeps only its local
+  * k-heap, the shuffle carries ≤ k entries per (group × task), and the
+  * reducer merges heaps — memory is O(k) everywhere and the plan is the
+  * ordinary two-phase HashAggregate.
+  *
+  * Ordering: score desc, then id asc (the deterministic tie-break used by
+  * every ranked query in this repo). Null scores/ids are skipped.
+  */
+case class TopKByScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+
+  require(k > 0, "top-k requires k > 0")
+
+  // head of the queue = the WORST retained entry (lowest score, largest id)
+  private def worstFirst: Ordering[(Double, Long)] =
+    Ordering.by { case (s, i) => (-s, i) }
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k_by_score"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
+    mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+
+  private def better(c: (Double, Long), w: (Double, Long)): Boolean =
+    c._1 > w._1 || (c._1 == w._1 && c._2 < w._2)
+
+  private def offer(buf: mutable.PriorityQueue[(Double, Long)],
+                    cand: (Double, Long)): Unit = {
+    if (buf.size < k) buf.enqueue(cand)
+    else if (better(cand, buf.head)) { buf.dequeue(); buf.enqueue(cand) }
+  }
+
+  override def update(buf: mutable.PriorityQueue[(Double, Long)],
+                      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      offer(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[(Double, Long)],
+                     other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+    other.foreach(offer(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
+    val sorted = buf.toArray.sortBy { case (s, i) => (-s, i) }
+    new GenericArrayData(sorted.map { case (s, i) => InternalRow(s, i): Any })
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var j = 0
+    while (j < n) { buf.enqueue((bb.getDouble, bb.getLong)); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(score = newChildren(0), id = newChildren(1))
+}
+
+object TopKAgg {
+  import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn => column, toExpression => expression}
+
+  /** array<struct<score,id>> of the k largest scores (ties → smallest id). */
+  def topK(score: Column, id: Column, k: Int): Column =
+    column(TopKByScore(expression(score), expression(id.cast("long")), k)
+      .toAggregateExpression())
+}

@@ -80,13 +80,21 @@ object ExtQueries {
         .orderBy("id_a", "id_b"),
       Some(neardupOracle)),
 
-    // SimHash near-dup sketch (64-bit, hamming ≤ 8). Hash-function-specific
-    // → rows-only driver check; semantics pinned in SimHashSpec.
+    // SimHash near-dup sketch: planted-pair detection. The corpus plants a
+    // near-duplicate (4-token tail) for every doc_id % 25 == 0; a correct
+    // 64-bit simhash puts each planted pair within a small hamming radius
+    // (measured max 14 across sf0.001/0.01/0.1; radius 16 gives margin), so
+    // the detection scan must recover EVERY planted pair — which the oracle
+    // can enumerate exactly. Raw-radius-8 pair semantics stay pinned in
+    // SimHashSpec (full output is hash-specific, not SQL-expressible).
     QuerySpec("x04_simhash",
       (s, d) => TextDedup.simhashNearDups(nearDupCorpus(s, d),
-        col("doc_id"), col("text"), lit(1), maxDist = 8)
+        col("doc_id"), col("text"), lit(1), maxDist = 16)
+        .filter(col("id_a") % 25 === 0 && col("id_b") === col("id_a") + 1000000L)
+        .select("id_a", "id_b")
         .orderBy("id_a", "id_b"),
-      None),
+      Some("""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+             |FROM documents WHERE doc_id % 25 = 0 ORDER BY 1, 2""".stripMargin)),
 
     // Brute-force cosine top-k (exact ANN baseline).
     QuerySpec("x05_knn_bruteforce",
@@ -110,16 +118,33 @@ object ExtQueries {
              |QUALIFY rk <= 5
              |ORDER BY query_id, rk""".stripMargin)),
 
-    // LSH-bucketed approximate NN (the scale path). Approximate → rows-only
-    // driver check; recall vs brute force pinned in SimilaritySpec.
+    // LSH-bucketed approximate NN (the scale path), verified two ways the
+    // oracle CAN check: (1) exact retrieval — every query's planted
+    // duplicate (identical vector ⇒ identical signature in every table ⇒
+    // guaranteed bucket hit, sim 1.0) must come back at rank 1; (2) recall
+    // — total overlap with the exact brute-force top-5 must clear 35/50
+    // (0.7; measured ≥ 45 at b=4,t=16 across sf0.001/0.01/0.1). The recall
+    // comparison runs INSIDE the plan (semi-join + count), no collect.
     QuerySpec("x06_ann_lsh",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, 5, dim = 64)
-          .select(col("query_id"), col("rk"), col("neighbor_id"))
-          .orderBy("query_id", "rk")
+        val q = emb.filter(col("vec_id") < 10)
+        val corpus = emb.unionByName(q.withColumn("vec_id", col("vec_id") + 100000L))
+        val lsh = Similarity.lshTopK(q, corpus, 5, dim = 64, bits = 4, tables = 16)
+        val bf = Similarity.bruteForceTopK(q, corpus, 5)
+        val totalOverlap = lsh.select("query_id", "neighbor_id")
+          .join(bf.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("__n"))
+        lsh.filter(col("rk") === 1)
+          .select(col("query_id"), col("neighbor_id").as("top1_neighbor_id"))
+          .crossJoin(totalOverlap)
+          .select(col("query_id"), col("top1_neighbor_id"),
+            (col("__n") >= 35).cast("long").as("recall_ok"))
+          .orderBy("query_id")
       },
-      None),
+      Some("""SELECT vec_id AS query_id, vec_id + 100000 AS top1_neighbor_id,
+             |       CAST(1 AS BIGINT) AS recall_ok
+             |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin)),
 
     // Marker-based language ID — confusion matrix vs the labeled lang col.
     QuerySpec("x07_lang_id",

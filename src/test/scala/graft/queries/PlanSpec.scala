@@ -61,4 +61,18 @@ class PlanSpec extends SparkSpec {
     val p = plan("x03_minhash_lsh")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x06: candidate-dedup exchange carries ids only, never embedding arrays") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.ArrayType
+    val qe = Registry.queries("x06_ann_lsh")(spark, d).queryExecution
+    val shuffles = qe.executedPlan.collect { case e: ShuffleExchangeLike => e }
+    // raw embedding vectors must never ride a shuffle of the candidate set
+    // (the round-1 defect: distinct() over (ids, __qv, __cv) hashed and
+    // compared whole arrays); the only array allowed through an exchange is
+    // the top-k agg's bounded ≤ k struct buffer
+    assert(!shuffles.exists(_.child.output.exists(a =>
+      (a.name == "__qv" || a.name == "__cv") && a.dataType.isInstanceOf[ArrayType])),
+      s"embedding arrays must not ride an exchange:\n${qe.executedPlan}")
+  }
 }
