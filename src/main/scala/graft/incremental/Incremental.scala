@@ -39,44 +39,71 @@ object Incremental {
     out.sortBy(m => (m.mtime, m.path)).toSeq
   }
 
-  // ST1 — watermark as a one-line text file.
+  /** The reference's first-run watermark: `datetime(2000, 1, 1, tzinfo=utc)`
+    * (`DP:234`), as epoch millis. */
+  val DefaultWatermarkMillis: Long =
+    Instant.parse("2000-01-01T00:00:00Z").toEpochMilli
+
+  // ST1 — watermark as a one-line ISO-8601 text file, the reference's
+  // artifact format (`DP:226-249` persists `datetime.isoformat()` and
+  // defaults to 2000-01-01 when absent). A legacy all-digits epoch-millis
+  // file (this repo's round-1 format) still parses.
   def readWatermark(spark: SparkSession, stateDir: String): Long = {
     val p = new Path(s"$stateDir/watermark.txt")
     val f = fs(spark, stateDir)
-    if (!f.exists(p)) 0L
+    if (!f.exists(p)) DefaultWatermarkMillis
     else {
       val in = f.open(p)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
+      val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8).trim
+        finally in.close()
+      if (s.forall(_.isDigit)) s.toLong else Instant.parse(s).toEpochMilli
     }
   }
 
   def writeWatermark(spark: SparkSession, stateDir: String, wm: Long): Unit = {
     val f = fs(spark, stateDir)
     val out = f.create(new Path(s"$stateDir/watermark.txt"), true)
-    try out.write(wm.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try out.write(Instant.ofEpochMilli(wm).toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
-  // ST2 — processed-files tracker as a tiny parquet table.
+  // ST2 — processed-files tracker as an APPEND-ONLY parquet directory:
+  // each run adds one small file holding just that run's paths. No
+  // read-merge-rewrite (the round-1 shape was O(all files) per run) and —
+  // critically for object stores — no rename/delete of live state: on s3a,
+  // rename is a non-atomic copy+delete, so a crash mid-"rename" could lose
+  // the whole tracker. A PUT of a new object is atomic everywhere.
+  // Readers ignore in-flight `_temporary` output and dedup on read.
   def readTracker(spark: SparkSession, stateDir: String): DataFrame = {
-    val p = s"$stateDir/tracker.parquet"
-    if (fs(spark, stateDir).exists(new Path(p))) spark.read.parquet(p)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType))))
+    val f = fs(spark, stateDir)
+    val sources = Seq(s"$stateDir/tracker", s"$stateDir/tracker.parquet")
+      .filter(p => f.exists(new Path(p))) // legacy single-file layout still read
+    if (sources.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType))))
+    else spark.read.parquet(sources: _*).select("path").distinct()
   }
 
   def appendTracker(spark: SparkSession, stateDir: String, paths: Seq[String]): Unit = {
     import spark.implicits._
-    val merged = readTracker(spark, stateDir).select("path")
-      .union(paths.toDF("path")).distinct()
-    // write-then-rename so a crash mid-write never corrupts the tracker
-    val tmp = s"$stateDir/tracker.tmp.parquet"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    paths.toDF("path").coalesce(1).write.mode("append").parquet(s"$stateDir/tracker")
+  }
+
+  /** Optional maintenance: fold the append-only tracker directory (plus any
+    * legacy single file) into one compacted file. Writes the compacted
+    * generation FIRST, deletes the old pieces after — a crash in between
+    * leaves duplicate paths, which readers dedup, never a lost entry. */
+  def compactTracker(spark: SparkSession, stateDir: String): Unit = {
     val f = fs(spark, stateDir)
-    val dst = new Path(s"$stateDir/tracker.parquet")
-    if (f.exists(dst)) f.delete(dst, true)
-    f.rename(new Path(tmp), dst)
+    val dir = new Path(s"$stateDir/tracker")
+    val legacy = new Path(s"$stateDir/tracker.parquet")
+    if (!f.exists(dir) && !f.exists(legacy)) return
+    val old =
+      (if (f.exists(dir)) f.listStatus(dir).toSeq.filter(_.isFile) else Nil).map(_.getPath)
+    readTracker(spark, stateDir).coalesce(1).write.mode("append").parquet(dir.toString)
+    old.foreach(p => f.delete(p, false))
+    if (f.exists(legacy)) f.delete(legacy, true) // legacy layout is a directory
   }
 
   /** One incremental run: discover → anti-join tracker (J1) → process new

@@ -24,7 +24,8 @@ object TaxiJob {
       filesProcessed: Seq[String],
       rowsOut: Long,
       metricTables: Seq[String],
-      processingId: String)
+      processingId: String,
+      rowCounts: Map[String, Long] = Map.empty)
 
   /** One incremental run over a raw-file directory tree. `clock` is
     * injectable (SURVEY §7.5.8: the reference's processing_id timestamps
@@ -58,42 +59,57 @@ object TaxiJob {
       .schema(graft.schema.TaxiSchema.schema)
       .parquet(fresh.map(_.path): _*)
       .withColumn("__file", input_file_name())
-    val validated = Sources
-      .validateAgainstFilename(raw, col("tpep_pickup_datetime"), col("__file"), filenameStem)
-      .drop("__file")
 
-    // 11-13: clean → transform → metrics, one lazy plan per sink
-    val (transformed, metrics) = {
-      val cleaned = TaxiPipeline.clean(TaxiPipeline.applySchema(validated), exactPercentiles)
-      val t = TaxiPipeline.transform(cleaned)
-      (t, TaxiPipeline.metrics(t))
-    }
-
-    // 14: processing id + date range from FILENAMES, not data (SURVEY §4
-    // "FAST" trick) — deterministic under the injected clock
+    // 14 (hoisted): processing id + date range from FILENAMES, not data
+    // (SURVEY §4 "FAST" trick) — deterministic under the injected clock
     val months = fresh.map(_.path).flatMap { p =>
       s"${filenameStem}_(\\d{4}-\\d{2})\\.parquet$$".r.findFirstMatchIn(p).map(_.group(1))
     }.sorted
     val dateRange = if (months.nonEmpty) s"${months.head}_${months.last}" else "unknown"
     val processingId = s"${clock()}_$dateRange"
 
-    // 15: versioned parquet + metric CSVs + latest copies (S4/S5/S8)
+    // C9: stage counts ride along as observe() metrics with the actions
+    // this job already runs (the first cleaning scalar job scans the
+    // validated frame; the parquet write scans the transformed frame) —
+    // zero extra passes, unlike the reference's len() after every step.
+    val (validated, inObs) = graft.ops.Accounting.observe(
+      Sources.validateAgainstFilename(raw, col("tpep_pickup_datetime"), col("__file"), filenameStem)
+        .drop("__file"),
+      s"rows_validated_$processingId", "rows" -> count(lit(1)))
+
+    // 11-13: clean → transform → metrics, one lazy plan per sink
+    val (transformed, outObs, metrics) = {
+      val cleaned = TaxiPipeline.clean(TaxiPipeline.applySchema(validated), exactPercentiles)
+      val (t, obs) = graft.ops.Accounting.observe(TaxiPipeline.transform(cleaned),
+        s"rows_out_$processingId", "rows" -> count(lit(1)))
+      (t, obs, TaxiPipeline.metrics(t))
+    }
+
+    // 15: versioned parquet + metric CSVs + latest copies (S4/S5/S8).
+    // Metric keys mirror the reference's object layout exactly
+    // (`DP:505-538`): processed/metrics/date={range}/{processing_id}_{name}.csv
+    // versioned, processed/metrics/latest/{name}.csv stable.
     val dataDir = s"$outDir/processed/taxi/$processingId"
     Sinks.parquet(transformed, dataDir)
     Sinks.copyToLatest(spark, dataDir, s"$outDir/processed/taxi/latest")
     val metricNames = metrics.keys.toSeq.sorted
     metricNames.foreach { name =>
-      val dir = s"$outDir/processed/metrics/$processingId/$name"
+      val dir = s"$outDir/processed/metrics/date=$dateRange/${processingId}_$name.csv"
       Sinks.metricsCsv(metrics(name), dir)
-      Sinks.copyToLatest(spark, dir, s"$outDir/processed/metrics/latest/$name")
+      Sinks.copyToLatest(spark, dir, s"$outDir/processed/metrics/latest/$name.csv")
     }
-    val rowsOut = spark.read.parquet(dataDir).count()
+    // observe() metrics are complete once the write action finished —
+    // no post-write re-read of the output (the round-1 shape scanned the
+    // whole written dataset again just to count it)
+    val rowsIn = inObs.get("rows").asInstanceOf[Long]
+    val rowsOut = outObs.get("rows").asInstanceOf[Long]
 
     // 16: exactly-once bookkeeping (ST1/ST2)
     Incremental.appendTracker(spark, stateDir, fresh.map(_.path))
     Incremental.writeWatermark(spark, stateDir,
       math.max(Incremental.readWatermark(spark, stateDir), fresh.map(_.mtime).max))
 
-    JobResult("success", fresh.map(_.path), rowsOut, metricNames, processingId)
+    JobResult("success", fresh.map(_.path), rowsOut, metricNames, processingId,
+      rowCounts = Map("rows_validated" -> rowsIn, "rows_out" -> rowsOut))
   }
 }

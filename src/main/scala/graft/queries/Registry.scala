@@ -18,7 +18,8 @@ final case class QuerySpec(
 
 object Registry {
   def all: Seq[QuerySpec] =
-    CoreQueries.all ++ Seq(TaxiE2E.spec, TaxiE2E.jobSpec) ++ ExtQueries.all
+    CoreQueries.all ++ Seq(TaxiE2E.spec, TaxiE2E.jobSpec,
+      TaxiE2E.flagsSpec, TaxiE2E.paymentSpec, TaxiE2E.pickupSpec) ++ ExtQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

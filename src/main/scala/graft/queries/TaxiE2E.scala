@@ -121,12 +121,94 @@ object TaxiE2E {
         maxFiles = 100, clock = () => 42L)
       require(res.status == "success", s"job status: ${res.status}")
       val csv = s.read.option("header", "true")
-        .csv(s"$tmp/out/processed/metrics/latest/vendor_performance")
+        .csv(s"$tmp/out/processed/metrics/latest/vendor_performance.csv")
       vendorProjection(csv)
     },
     oracleSql)
 
-  private lazy val oracleSql = Some("""WITH tx AS (
+  /** D2/D7/D8/D9/D11 made oracle-visible: per-vendor flag counts plus
+    * fixed-point sums of the two derived ratios. Averaging the raw doubles
+    * would be summation-order-dependent; summing per-row centi-units
+    * (`floor(x*100 + 0.5)`, exact in both engines because every input is
+    * bit-identical) is order-independent, so the hash check is exact.
+    * Speed replays `clippedSpeed` (D2); tip replays `safeRatio` (D11);
+    * the three flags are D7/D8/D9 on the post-imputation columns. */
+  val flagsSpec: QuerySpec = QuerySpec("q29_vendor_flags",
+    (s, d) => {
+      val (transformed, _) = TaxiPipeline.process(Seq(taxiFrame(s, d)))
+      transformed.filter(col("is_valid_trip") && col("VendorID").isNotNull)
+        .groupBy(col("VendorID").cast("long").as("VendorID"))
+        .agg(
+          count(lit(1)).as("n_trips"),
+          sum(col("is_weekend").cast("long")).as("n_weekend"),
+          sum(col("is_credit_card_payment").cast("long")).as("n_credit"),
+          sum(col("is_airport_trip").cast("long")).as("n_airport"),
+          sum(floor(col("average_speed_mph") * 100 + 0.5)).as("speed_centisum"),
+          sum(floor(col("tip_percentage") * 100 + 0.5)).as("tippct_centisum"))
+        .orderBy("VendorID")
+    },
+    Some(s"""$lifecycleCte
+        |SELECT CAST(VendorID AS BIGINT) AS VendorID,
+        |       count(*) AS n_trips,
+        |       CAST(sum(CASE WHEN isodow(pu) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+        |       CAST(sum(CASE WHEN pt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_credit,
+        |       CAST(sum(CASE WHEN rc IN (2, 3) THEN 1 ELSE 0 END) AS BIGINT) AS n_airport,
+        |       CAST(sum(CAST(floor(least(greatest(dist / (dur / 60.0), 0), 100) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS speed_centisum,
+        |       CAST(sum(CAST(floor((tip / fare) * 100 * 100 + 0.5) AS BIGINT)) AS BIGINT) AS tippct_centisum
+        |FROM valid GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** A4 payment_analysis verified from the REAL pipeline table: pandas
+    * `'VendorID': 'count'` skips nulls, so trip_count excludes the
+    * null-vendor rows that still contribute to the sums. (The rounded
+    * avg_tip_percentage column stays spec-pinned — `round(mean, 2)` lands
+    * on representation boundaries across engines; D11 is oracled through
+    * q29's fixed-point sum instead.) */
+  val paymentSpec: QuerySpec = QuerySpec("q30_payment_analysis",
+    (s, d) => {
+      val (_, metrics) = TaxiPipeline.process(Seq(taxiFrame(s, d)))
+      metrics("payment_analysis")
+        .select(col("payment_type").cast("long").as("payment_type"),
+          col("trip_count").cast("long").as("trip_count"),
+          col("total_revenue").cast("double").as("total_revenue"),
+          col("total_tips").cast("double").as("total_tips"))
+        .orderBy("payment_type")
+    },
+    Some(s"""$lifecycleCte
+        |SELECT CAST(pt AS BIGINT) AS payment_type,
+        |       count(VendorID) AS trip_count,
+        |       round(sum(total2), 2) AS total_revenue,
+        |       round(sum(tip), 2) AS total_tips
+        |FROM valid0 GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** A3 pickup_location_analysis verified from the real pipeline table. */
+  val pickupSpec: QuerySpec = QuerySpec("q31_pickup_locations",
+    (s, d) => {
+      val (_, metrics) = TaxiPipeline.process(Seq(taxiFrame(s, d)))
+      metrics("pickup_location_analysis")
+        .select(col("PULocationID").cast("long").as("PULocationID"),
+          col("trip_count").cast("long").as("trip_count"),
+          col("total_revenue").cast("double").as("total_revenue"))
+        .orderBy("PULocationID")
+    },
+    Some(s"""$lifecycleCte
+        |SELECT CAST(pul AS BIGINT) AS PULocationID,
+        |       count(VendorID) AS trip_count,
+        |       round(sum(total2), 2) AS total_revenue
+        |FROM valid0 GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private lazy val oracleSql = Some(s"""$lifecycleCte
+      |SELECT CAST(VendorID AS BIGINT) AS VendorID,
+      |       count(dur) AS trip_count,
+      |       round(sum(total2), 2) AS total_revenue,
+      |       round(quantile_cont(total2, 0.5), 2) AS median_revenue,
+      |       round(quantile_cont(dist, 0.5), 2) AS median_distance
+      |FROM valid GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** The reference lifecycle replayed in SQL up to the valid-trips set:
+    * `valid0` = all valid trips (A3/A4/A5 read this — pandas keeps
+    * null-VendorID rows in those tables), `valid` = the vendor-keyed subset
+    * (groupby drops null keys). Shared by q26/st04/q29/q30/q31. */
+  private lazy val lifecycleCte = """WITH tx AS (
       |  SELECT
       |    CASE WHEN event_id % 31 = 0 THEN NULL ELSE event_id % 2 + 1 END AS VendorID,
       |    ts AS pu,
@@ -183,14 +265,10 @@ object TaxiE2E {
       |                      THEN fare+extra+mta+tip+tolls+impr+cong+airp ELSE total END AS total2 FROM c6),
       |c8 AS (SELECT *, CASE WHEN dof < pu THEN pu + to_minutes(5) ELSE dof END AS dof2 FROM c7),
       |p5 AS (SELECT * FROM c8 WHERE fare > 0 AND dist > 0 AND pu IS NOT NULL AND dof2 IS NOT NULL),
-      |tr AS (SELECT *, date_diff('second', pu, dof2) / 60.0 AS dur FROM p5),
-      |valid AS (SELECT * FROM tr
-      |          WHERE dur > 0 AND dur < 180 AND dist > 0 AND dist < 100
-      |            AND fare >= 0 AND total2 >= 0 AND VendorID IS NOT NULL)
-      |SELECT CAST(VendorID AS BIGINT) AS VendorID,
-      |       count(dur) AS trip_count,
-      |       round(sum(total2), 2) AS total_revenue,
-      |       round(quantile_cont(total2, 0.5), 2) AS median_revenue,
-      |       round(quantile_cont(dist, 0.5), 2) AS median_distance
-      |FROM valid GROUP BY 1 ORDER BY 1""".stripMargin)
+      |-- µs-exact duration, matching Spark's unix_micros(end)-unix_micros(start) / 6e7
+      |tr AS (SELECT *, (epoch_us(dof2) - epoch_us(pu)) / 60000000.0 AS dur FROM p5),
+      |valid0 AS (SELECT * FROM tr
+      |           WHERE dur > 0 AND dur < 180 AND dist > 0 AND dist < 100
+      |             AND fare >= 0 AND total2 >= 0),
+      |valid AS (SELECT * FROM valid0 WHERE VendorID IS NOT NULL)""".stripMargin
 }

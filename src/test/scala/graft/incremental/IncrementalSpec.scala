@@ -57,6 +57,59 @@ class IncrementalSpec extends SparkSpec {
     assert(vals === Seq(10, 20))
   }
 
+  test("watermark artifact is ISO-8601 text with the reference's 2000-01-01 default") {
+    val root = tmp()
+    // first run: the reference's datetime(2000, 1, 1) default (DP:234)
+    assert(Incremental.readWatermark(spark, s"$root/state") === Incremental.DefaultWatermarkMillis)
+    Incremental.writeWatermark(spark, s"$root/state", 1700000000000L)
+    val raw = Files.readString(java.nio.file.Paths.get(root, "state", "watermark.txt"))
+    assert(raw === "2023-11-14T22:13:20Z") // isoformat artifact, not epoch digits
+    assert(Incremental.readWatermark(spark, s"$root/state") === 1700000000000L)
+    // a legacy all-digits epoch-millis artifact still parses (written via
+    // the Hadoop API — an NIO overwrite would leave a stale .crc sidecar)
+    graft.io.Sinks.writeText(spark, s"$root/state/watermark.txt", "12345")
+    assert(Incremental.readWatermark(spark, s"$root/state") === 12345L)
+  }
+
+  test("tracker is append-only: a run never rewrites or renames live state") {
+    val root = tmp()
+    Incremental.appendTracker(spark, s"$root/state", Seq("a", "b"))
+    def gen() = new java.io.File(s"$root/state/tracker").list()
+      .filter(_.endsWith(".parquet")).toSet
+    val g1 = gen()
+    Incremental.appendTracker(spark, s"$root/state", Seq("c"))
+    // object-store safety: earlier objects are untouched (PUT-only growth)
+    assert(g1.subsetOf(gen()))
+    def paths() = Incremental.readTracker(spark, s"$root/state")
+      .collect().map(_.getString(0)).toSet
+    assert(paths() === Set("a", "b", "c"))
+    Incremental.compactTracker(spark, s"$root/state")
+    assert(gen().size === 1)
+    assert(paths() === Set("a", "b", "c"))
+  }
+
+  test("legacy single-file tracker layout is read alongside and folded by compaction") {
+    val root = tmp()
+    Seq("x").toDF("path").write.parquet(s"$root/state/tracker.parquet")
+    Incremental.appendTracker(spark, s"$root/state", Seq("y"))
+    def paths() = Incremental.readTracker(spark, s"$root/state")
+      .collect().map(_.getString(0)).toSet
+    assert(paths() === Set("x", "y"))
+    Incremental.compactTracker(spark, s"$root/state")
+    assert(!new java.io.File(s"$root/state/tracker.parquet").exists())
+    assert(paths() === Set("x", "y"))
+  }
+
+  test("state artifacts resolve through the Hadoop Path scheme (explicit file: URI)") {
+    // every state op goes Path → Path.getFileSystem(conf) — the same code
+    // path an s3a://bucket/prefix URI takes once CloudConf is applied
+    val root = "file:" + tmp()
+    Seq(1).toDF("v").write.parquet(s"$root/src/f1")
+    assert(Incremental.run(spark, s"$root/src", s"$root/state", s"$root/out")(identity) === 1)
+    assert(Incremental.run(spark, s"$root/src", s"$root/state", s"$root/out")(identity) === 0)
+    assert(Incremental.readWatermark(spark, s"$root/state") > Incremental.DefaultWatermarkMillis)
+  }
+
   test("discover filters by pattern and sorts by mtime") {
     val root = tmp()
     Seq(1).toDF("v").write.parquet(s"$root/src/a")

@@ -80,8 +80,16 @@ class TaxiJobSpec extends SparkSpec {
     // imputed the null with the column median (0.0 from the March rows)
     assert(latest.filter(month($"tpep_pickup_datetime") === 4 && $"airport_fee" === 0.0f).count() === 1)
     val monthly = spark.read.option("header", "true")
-      .csv(s"$root/out/processed/metrics/latest/monthly_summary")
+      .csv(s"$root/out/processed/metrics/latest/monthly_summary.csv")
     assert(monthly.count() === 2) // one row per (year, month)
+    // versioned metric keys mirror the reference layout (DP:505-538)
+    val versioned = new java.io.File(
+      s"$root/out/processed/metrics/date=2024-03_2024-04").list()
+    assert(versioned.exists(_.matches(raw"\d+_2024-03_2024-04_vendor_performance\.csv")),
+      versioned.mkString(","))
+    // C9: stage counts observed on the job's own actions, no extra pass
+    assert(r1.rowCounts("rows_validated") === 4L)
+    assert(r1.rowCounts("rows_out") === 4L)
 
     // rerun with nothing new: no-op, watermark advanced
     val r2 = TaxiJob.run(spark, raw, s"$root/state", s"$root/out",
