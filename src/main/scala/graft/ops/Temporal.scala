@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins. The reference has none (single-table monthly batches),
+  * but any event-shaped pipeline at scale needs the as-of join, and Spark
+  * lacks a native one — the naive formulation (`l.key = r.key AND r.t <=
+  * l.t` + argmax) plans as a range join whose candidate set is quadratic
+  * in rows-per-key.
+  */
+object Temporal {
+
+  /** Backward as-of join: for each left row, the single right row with the
+    * greatest `rightTime <= leftTime` for the same key; left rows with no
+    * prior right row keep null payload columns.
+    *
+    * Implemented as a tagged UNION + one window pass: shuffle both sides
+    * once on the key, sort each partition by (time, side, tie), and carry
+    * the last-seen right payload forward with `last(_, ignoreNulls)`.
+    * Cost is one exchange + one in-partition sort — linear, no candidate
+    * explosion; skew only where a single key's full history is hot (the
+    * same boundary any per-key window has).
+    *
+    * At equal timestamps the right row sorts FIRST (side 0 < side 1), so a
+    * same-instant right row IS matched (`<=`, DuckDB ASOF parity); right
+    * ties on time resolve to the greatest `tieBreak`.
+    *
+    * `payload` are the right-side columns to surface; they must not collide
+    * with left column names. */
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+                   leftTime: String, rightTime: String,
+                   payload: Seq[String], tieBreak: Column): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadStruct = struct(payload.map(col): _*)
+    val r = right.select(
+      col(key),
+      col(rightTime).as("__t"),
+      lit(0).as("__side"),
+      tieBreak.as("__tb"),
+      payloadStruct.as("__p"))
+    val l = left.select(
+      col(key) +: col(leftTime).as("__t") +: lit(1).as("__side") +:
+        lit(null).cast(r.schema("__tb").dataType).as("__tb") +:
+        lit(null).cast(r.schema("__p").dataType).as("__p") +:
+        leftCols.filterNot(_ == key).map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r.select(l.columns.map { c =>
+        if (r.columns.contains(c)) col(c) else lit(null).cast(l.schema(c).dataType).as(c)
+      }: _*))
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val out = leftCols.map(col) ++ payload.map(p => col(s"__match.$p").as(p))
+    matched.select(out: _*)
+  }
+}

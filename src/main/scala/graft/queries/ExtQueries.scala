@@ -344,6 +344,31 @@ object ExtQueries {
              |       source, count(*) AS n_docs
              |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Backward as-of join (absent in the reference and in Spark itself):
+    // each purchase matched to the user's latest view at-or-before it.
+    // Union+window formulation — one key shuffle, no range-join explosion.
+    // DuckDB verifies with its native ASOF JOIN.
+    QuerySpec("x17_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+        graft.ops.Temporal.asofBackward(purchases, views,
+            key = "user_id", leftTime = "ts", rightTime = "view_ts",
+            payload = Seq("view_id"), tieBreak = col("view_id"))
+          .select(col("event_id"), coalesce(col("view_id"), lit(-1L)).as("view_id"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, coalesce(r.event_id, -1) AS view_id
+             |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+             |      FROM events WHERE event_type = 'purchase') l
+             |ASOF LEFT JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+             |                FROM events WHERE event_type = 'view') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
     // Gap-based sessionization (absent in the reference; the canonical
     // stateful operator at pipeline scale). Batch shape: lag + running sum
     // over a per-key window — one shuffle; oracle = the same windows in SQL.

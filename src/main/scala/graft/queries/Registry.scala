@@ -27,12 +27,16 @@ object Registry {
   /** Benchmark set: everything except (a) the deliberately-quadratic exact
     * all-pairs verifiers (x02/x04/x13 exist to oracle-check the LSH/sketch
     * scale paths x03/x06 — brute force is not the operator we'd run at
-    * scale, so it isn't the operator we benchmark) and (b) st04, which
-    * re-runs q26's exact pipeline plus file staging purely as a
-    * whole-program correctness check. */
+    * scale, so it isn't the operator we benchmark) and (b) the queries that
+    * re-run q26's exact pipeline purely as additional correctness
+    * projections of it: st04 (whole-program + file staging + CSV
+    * round-trip) and q29/q30/q31 (flag/metric-table projections). q26
+    * itself carries the pipeline's bench signal. */
   val quadraticVerifiers: Set[String] =
     Set("x02_neardup_jaccard", "x04_simhash", "x13_cosine_neardup")
-  val benchExcluded: Set[String] = quadraticVerifiers + "st04_taxi_job"
+  val pipelineReplays: Set[String] =
+    Set("st04_taxi_job", "q29_vendor_flags", "q30_payment_analysis", "q31_pickup_locations")
+  val benchExcluded: Set[String] = quadraticVerifiers ++ pipelineReplays
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     all.filterNot(q => benchExcluded(q.name)).map(q => q.name -> q.fn).toMap
 
