@@ -103,6 +103,52 @@ object Similarity {
     rankTopK(scored, k, "query_id", "neighbor_id")
   }
 
+  /** IVF coarse quantizer: k-means centroids by spherical Lloyd iterations.
+    * Deterministic: seeds are the `nlist` lowest-id vectors; each iteration
+    * is ONE distributed pass (assign via the native NearestCentroids
+    * expression, re-center via a (cell, dim)-keyed average); only
+    * O(nlist × dim) values ever reach the driver. */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5): Array[Array[Double]] = {
+    val vecs = corpus.select(col("vec_id"), toDouble(col("embedding")).as("__v"))
+    var centroids = vecs.orderBy("vec_id").limit(nlist)
+      .select("__v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = vecs.withColumn("__cell",
+        element_at(graft.functions.VectorExprs.nearestCentroids(col("__v"), centroids, 1), 1))
+      val means = assigned
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+        .groupBy("__cell", "__dim").agg(avg(col("__x")).as("__m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF approximate top-k: corpus rows land in their nearest-centroid
+    * cell (ONE cell each — the inverted file); each query probes its
+    * `nprobe` nearest cells and scores those cells' rows exactly. The join
+    * is a plain equi-join on the cell id: shuffle is linear in corpus rows
+    * (corpus side keyed once) + queries × nprobe. Recall grows with
+    * nprobe; nprobe = nlist degenerates to exact brute force. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    import graft.functions.VectorExprs.nearestCentroids
+    val c = corpus.select(col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("__cv"))
+      .withColumn("__cell", element_at(nearestCentroids(col("__cv"), centroids, 1), 1))
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("__qv"))
+      .withColumn("__cell", explode(nearestCentroids(col("__qv"), centroids, nprobe))))
+    val scored = c.join(q, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    rankTopK(scored, k, "query_id", "neighbor_id")
+  }
+
   /** Exact cosine near-duplicate pairs (sim ≥ threshold) among all rows —
     * brute force within blocks for verification; LSH at scale. */
   def cosineNearDups(df: DataFrame, threshold: Double): DataFrame = {

@@ -87,8 +87,60 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** The `nprobe` nearest centroids of `v` by cosine, most-similar first
+    * (ties → lowest centroid index). One compiled pass over centroids ×
+    * dims; input array<double>, output array<int> of length
+    * min(nprobe, #centroids). The IVF coarse quantizer: corpus rows use
+    * nprobe=1 (their cell), queries probe several. */
+  case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(nprobe > 0)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "nearest_centroids"
+
+    // centroid norms are data-independent — precompute once per expression
+    @transient private lazy val norms: Array[Double] = centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      val vec = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { vec(i) = v.getDouble(i); i += 1 }
+      var vn = 0.0
+      i = 0
+      while (i < dim) { vn += vec(i) * vec(i); i += 1 }
+      vn = math.sqrt(vn)
+      val sims = new Array[Double](centroids.length)
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        val d = math.min(dim, cent.length)
+        var dot = 0.0
+        i = 0
+        while (i < d) { dot += vec(i) * cent(i); i += 1 }
+        val denom = vn * norms(c)
+        sims(c) = if (denom == 0.0) Double.NegativeInfinity else dot / denom
+        c += 1
+      }
+      val k = math.min(nprobe, centroids.length)
+      val idx = Array.range(0, centroids.length)
+        .sortBy(j => (-sims(j), j)).take(k)
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(idx)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn => column, toExpression => expression}
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
   def hyperplaneSigs(v: Column, planes: Array[Array[Array[Double]]]): Column =
     column(HyperplaneSigs(expression(v), planes))
+  def nearestCentroids(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    column(NearestCentroids(expression(v), centroids, nprobe))
 }

@@ -344,6 +344,35 @@ object ExtQueries {
              |       source, count(*) AS n_docs
              |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // IVF approximate NN — the second ANN scale path (coarse k-means
+    // quantizer + inverted cells; nprobe cells scored exactly per query).
+    // Verified like x06: planted duplicates must return at rank 1 (an
+    // identical vector lands in exactly the query's nearest cell, which is
+    // always probed first), and total recall vs brute-force top-5 must
+    // clear 40/50 (measured 50/50 at nlist=16, nprobe=6 across
+    // sf0.001/0.01/0.1 — spherical k-means, deterministic lowest-id seeds).
+    QuerySpec("x18_ann_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 10)
+        val corpus = emb.unionByName(q.withColumn("vec_id", col("vec_id") + 100000L))
+        val centroids = Similarity.kmeansCentroids(corpus, nlist = 16)
+        val ivf = Similarity.ivfTopK(q, corpus, 5, centroids, nprobe = 6)
+        val bf = Similarity.bruteForceTopK(q, corpus, 5)
+        val totalOverlap = ivf.select("query_id", "neighbor_id")
+          .join(bf.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("__n"))
+        ivf.filter(col("rk") === 1)
+          .select(col("query_id"), col("neighbor_id").as("top1_neighbor_id"))
+          .crossJoin(totalOverlap)
+          .select(col("query_id"), col("top1_neighbor_id"),
+            (col("__n") >= 40).cast("long").as("recall_ok"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, vec_id + 100000 AS top1_neighbor_id,
+             |       CAST(1 AS BIGINT) AS recall_ok
+             |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin)),
+
     // Backward as-of join (absent in the reference and in Spark itself):
     // each purchase matched to the user's latest view at-or-before it.
     // Union+window formulation — one key shuffle, no range-join explosion.

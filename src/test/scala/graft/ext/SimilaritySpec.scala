@@ -56,6 +56,29 @@ class SimilaritySpec extends SparkSpec {
     assert(avg >= 0.6, s"avg recall@5 = $avg")
   }
 
+  test("ivfTopK: planted duplicate lands in the probed cell and ranks first") {
+    val c = corpus
+    val q = c.filter($"vec_id" < 5)
+    val planted = c.unionByName(q.withColumn("vec_id", $"vec_id" + 1000L))
+    val cents = Similarity.kmeansCentroids(planted, nlist = 8)
+    assert(cents.length === 8)
+    val out = Similarity.ivfTopK(q, planted, 3, cents, nprobe = 3)
+      .filter($"rk" === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 5L).foreach(qid => assert(out(qid) === qid + 1000L))
+  }
+
+  test("ivfTopK with nprobe = nlist degenerates to exact brute force") {
+    val c = corpus
+    val q = c.filter($"vec_id" < 5)
+    val cents = Similarity.kmeansCentroids(c, nlist = 4)
+    val ivf = Similarity.ivfTopK(q, c, 5, cents, nprobe = 4)
+      .select("query_id", "rk", "neighbor_id")
+    val bf = Similarity.bruteForceTopK(q, c, 5)
+      .select("query_id", "rk", "neighbor_id")
+    assert(ivf.exceptAll(bf).isEmpty && bf.exceptAll(ivf).isEmpty)
+  }
+
   test("cosineNearDups finds planted duplicates") {
     val rnd = new scala.util.Random(11)
     val base = (0L until 20L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
