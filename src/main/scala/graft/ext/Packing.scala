@@ -1,0 +1,36 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining: documents are concatenated in
+  * ascending id order into one token stream, which is cut into fixed
+  * `ctxLen` context windows (a document may straddle a cut — the standard
+  * concat-and-chunk layout, not bin packing). Downstream, a trainer reads
+  * window w by scanning the docs whose [start_window, start_window +
+  * windows_spanned) interval covers w.
+  *
+  * Scale posture: the global token offsets come from
+  * [[graft.ops.PrefixSum]] — one bucket shuffle, parallel per-bucket
+  * windows, no single-partition window over data rows. Everything else is
+  * per-row arithmetic inside whole-stage codegen.
+  */
+object Packing {
+
+  /** Per-document packing coordinates: n_tokens, start_offset_global (the
+    * doc's first token's position in the concatenated stream), start_window
+    * (= start_offset_global / ctxLen), start_offset (position within that
+    * window), windows_spanned (≥1; empty docs count as 1 token wide for the
+    * span so every doc lands somewhere). Deterministic given unique ids. */
+  def packWindows(df: DataFrame, id: String, tokens: Column, ctxLen: Long,
+                  buckets: Int = 256): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    val t = df.select(col(id), tokens.cast("long").as("n_tokens"))
+    graft.ops.PrefixSum.exclusivePrefixSum(t, id, "n_tokens", "start_offset_global", buckets)
+      .withColumn("start_window", (col("start_offset_global") / ctxLen).cast("long"))
+      .withColumn("start_offset", col("start_offset_global") % ctxLen)
+      .withColumn("windows_spanned",
+        ((col("start_offset_global") + greatest(col("n_tokens"), lit(1L)) - 1) / ctxLen)
+          .cast("long") - col("start_window") + 1)
+  }
+}

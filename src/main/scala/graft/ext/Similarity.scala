@@ -109,7 +109,10 @@ object Similarity {
     * expression, re-center via a (cell, dim)-keyed average); only
     * O(nlist × dim) values ever reach the driver. */
   def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5): Array[Array[Double]] = {
+    // every Lloyd iteration re-reads the working set — persist it once for
+    // the loop and release before returning (iters+1 scans otherwise)
     val vecs = corpus.select(col("vec_id"), toDouble(col("embedding")).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids = vecs.orderBy("vec_id").limit(nlist)
       .select("__v").collect()
       .map(_.getSeq[Double](0).toArray)
@@ -126,6 +129,7 @@ object Similarity {
       centroids = next
       it += 1
     }
+    vecs.unpersist()
     centroids
   }
 

@@ -101,6 +101,58 @@ object TextDedup {
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("jacc"))
   }
 
+  /** Connected components over near-dup pairs by hash-min label
+    * propagation: each node's component label starts at its own id and
+    * iteratively drops to the smallest id among itself and its neighbours,
+    * so the fixpoint labels every node with the minimum id reachable in its
+    * component — turning pairwise near-dup hits into dedup GROUPS (keep the
+    * min-id canonical doc per group, drop the rest).
+    *
+    * Each round is one edge→label equi-join plus one min-aggregate — both
+    * linear shuffles on ids only (two longs per row; no payloads ride the
+    * exchange). Rounds needed = the largest component's diameter; near-dup
+    * clusters are shallow (planted chains converge in 2-3). Convergence is
+    * detected by the strictly-decreasing Σcomp (decimal — no overflow), one
+    * scalar agg per round. The returned frame is persisted so the fixpoint
+    * loop's actions don't recompute the chain — the caller owns the release
+    * (unpersist after the terminal action); at production scale checkpoint
+    * every ~10 rounds to cut lineage.
+    *
+    * `nodes`/`nodeCol`: the full id universe (singletons label themselves).
+    * `pairs`: (id_a, id_b) edges, e.g. [[minhashNearDups]] output. */
+  def connectedComponents(nodes: DataFrame, nodeCol: Column, pairs: DataFrame,
+                          maxIters: Int = 25): DataFrame = {
+    // materialize the (two-longs-per-row) edge list once: every round joins
+    // it, and without the persist each round would recompute the upstream
+    // pair pipeline (e.g. the whole MinHash-LSH run) from scratch
+    val edges = pairs.select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("u"), col("id_a").cast("long").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(nodeCol.cast("long").as("node")).distinct()
+      .withColumn("comp", col("node")).persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      val nbrMin = edges.join(labels, edges("v") === labels("node"))
+        .groupBy(col("u")).agg(min(col("comp")).as("__nbrComp"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
+        .select(labels("node"),
+          least(col("comp"), coalesce(col("__nbrComp"), col("comp"))).as("comp"))
+        .persist()
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      done = s.compareTo(prevSum) == 0
+      prevSum = s
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash over the token multiset: bit i of the sketch is the
     * sign of Σ_tokens (bit i of hash(token) ? +1 : −1). Native expression
     * (compiled loop; the HOF formulation allocated a 64-element array per

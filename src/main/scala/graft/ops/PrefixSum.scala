@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix sums: the global running total in key order WITHOUT
+  * the single-partition global window (a `Window.orderBy` with no
+  * `partitionBy` funnels every row through one task — the classic Spark
+  * scale trap, fine at sf0.01 and fatal at 100 TB).
+  *
+  * Two-phase formulation: rows land in `buckets` contiguous key ranges
+  * (equal width over [min, max] — monotone in the key, so bucket order IS
+  * key order); phase 1 cumsums within each bucket in parallel; phase 2 adds
+  * each bucket's starting offset, computed from the per-bucket totals. The
+  * only unpartitioned window runs over that ≤`buckets`-row frame, never
+  * over data rows. Cost: one tiny min/max agg, one shuffle by bucket, one
+  * ≤`buckets`-row agg, one broadcast join.
+  */
+object PrefixSum {
+
+  /** Adds `out` = the EXCLUSIVE running total of `value` in ascending
+    * `key` order (first row gets 0). `key` must be unique (it is the total
+    * order) and fit in a long; `value` is summed as long. Equal-width
+    * buckets assume ids without extreme clustering — pass a larger
+    * `buckets` for skewed key spaces. */
+  def exclusivePrefixSum(df: DataFrame, key: String, value: String, out: String,
+                         buckets: Int = 256): DataFrame = {
+    val bounds = df.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head()
+    if (bounds.isNullAt(0)) return df.withColumn(out, lit(0L))
+    val lo = bounds.getLong(0)
+    val width = math.max(1L, (bounds.getLong(1) - lo) / buckets + 1)
+    // (key - lo)/width truncated = floor (non-negative); exact below 2^53
+    val bkt = ((col(key) - lit(lo)) / lit(width)).cast("long").cast("int")
+    val withB = df.withColumn("__bkt", bkt)
+    val offsets = withB.groupBy("__bkt").agg(sum(col(value).cast("long")).as("__tot"))
+      .withColumn("__off", coalesce(
+        sum(col("__tot")).over(
+          Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    val local = Window.partitionBy("__bkt").orderBy(col(key))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(broadcast(offsets), "__bkt")
+      .withColumn(out,
+        coalesce(sum(col(value).cast("long")).over(local), lit(0L)) + col("__off"))
+      .drop("__bkt", "__off")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.ext.{Curation, Multimodal, Packing, Similarity, TextAnalysis, TextDedup}
 import graft.incremental.Incremental
 import graft.util.Det._
 
@@ -50,6 +50,19 @@ object ExtQueries {
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
        |ORDER BY 1, 2""".stripMargin
+
+  /** Same shingle/Jaccard machinery as [[neardupOracle]] but ending in a
+    * `pairs` CTE, for oracles that post-process the near-dup graph. */
+  private val neardupPairsCtes =
+    s"""u AS ($nearDupCorpusSql),
+       |tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM u),
+       |sh AS (SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(t) - 1),
+       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |       FROM tok),
+       |pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |          WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)""".stripMargin
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -372,6 +385,90 @@ object ExtQueries {
       Some("""SELECT vec_id AS query_id, vec_id + 100000 AS top1_neighbor_id,
              |       CAST(1 AS BIGINT) AS recall_ok
              |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin)),
+
+    // Sequence packing (concat-and-chunk into fixed context windows — the
+    // standard LLM pretraining layout). The distributed prefix sum behind
+    // it (graft.ops.PrefixSum: bucketed two-phase cumsum) is exact, so the
+    // oracle is DuckDB's global running-total window over the same token
+    // counts.
+    QuerySpec("x19_seq_pack",
+      (s, d) => Packing.packWindows(Tables.documents(s, d), "doc_id",
+          TextAnalysis.tokenCount(col("text")), ctxLen = 1024)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |            CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+             |          FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sog
+             |      FROM t)
+             |SELECT doc_id, n_tokens, sog AS start_offset_global,
+             |       sog // 1024 AS start_window,
+             |       sog % 1024 AS start_offset,
+             |       (sog + GREATEST(n_tokens, 1) - 1) // 1024 - sog // 1024 + 1 AS windows_spanned
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Near-dup GROUPS: pairwise MinHash-LSH hits → connected components
+    // (hash-min label propagation) → canonical doc per group. The oracle
+    // recomputes the exact-Jaccard pair graph and its components with a
+    // recursive CTE (min reachable id per node).
+    QuerySpec("x20_dedup_groups",
+      (s, d) => {
+        val corpus = nearDupCorpus(s, d)
+        val pairs = TextDedup.minhashNearDups(corpus, col("doc_id"), col("text"),
+          k = 3, numHashes = 64, rowsPerBand = 2, threshold = 0.8)
+        TextDedup.connectedComponents(corpus, col("doc_id"), pairs)
+          .select(col("node").as("doc_id"), col("comp").as("group_id"),
+            (col("node") === col("comp")).cast("long").as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $neardupPairsCtes,
+              |edges AS (SELECT id_a AS eu, id_b AS ev FROM pairs
+              |          UNION SELECT id_b, id_a FROM pairs),
+              |reach(node, r) AS (
+              |  SELECT doc_id, doc_id FROM u
+              |  UNION
+              |  SELECT e.ev, reach.r FROM reach JOIN edges e ON e.eu = reach.node)
+              |SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS group_id,
+              |       CAST(node = MIN(r) AS BIGINT) AS is_canonical
+              |FROM reach GROUP BY node ORDER BY 1""".stripMargin)),
+
+    // Deterministic data mixing: per-language downsampling quotas as a
+    // pure md5-bucket filter (en halved harder than the rest) — stable
+    // across runs/engines, no sampling RNG.
+    QuerySpec("x21_stratified_sample",
+      (s, d) => Curation.stratifiedSample(Tables.documents(s, d),
+          col("lang"), col("doc_id"), Map("en" -> 64), defaultQuota = 192)
+        .groupBy("lang").agg(n.as("n_docs"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs FROM documents
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+             |      < CASE WHEN lang = 'en' THEN 64 ELSE 192 END
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Per-language quality top-n curation via the bounded top-k aggregate
+    // (same quality formula x08 proved bit-exact cross-engine).
+    QuerySpec("x22_quality_topn",
+      (s, d) => Curation.topNPerGroup(Tables.documents(s, d),
+          col("lang"), TextAnalysis.qualityScore(col("text")), col("doc_id"), nTop = 10)
+        .select(col("group").as("lang"), col("rk"),
+          col("id").as("doc_id"), col("score").as("quality"))
+        .orderBy("lang", "rk"),
+      Some("""WITH q AS (
+             |  SELECT doc_id, lang,
+             |    round(least(len(string_split(lower(text), ' ')) * 1.0 / 100, 1.0) * 0.4
+             |      + (len(list_distinct(string_split(lower(text), ' '))) * 1.0
+             |         / len(string_split(lower(text), ' '))) * 0.3
+             |      + (len(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0
+             |         / len(text)) * 0.3, 3) AS quality
+             |  FROM documents)
+             |SELECT lang,
+             |       CAST(row_number() OVER (PARTITION BY lang
+             |                               ORDER BY quality DESC, doc_id) AS BIGINT) AS rk,
+             |       doc_id, quality
+             |FROM q
+             |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) <= 10
+             |ORDER BY lang, rk""".stripMargin)),
 
     // Backward as-of join (absent in the reference and in Spark itself):
     // each purchase matched to the user's latest view at-or-before it.

@@ -83,4 +83,28 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)))
   }
+
+  private def components(nodes: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val n = nodes.toDF("id")
+    val p = pairs.toDF("id_a", "id_b")
+    TextDedup.connectedComponents(n, $"id", p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connectedComponents labels a chain with its minimum id (propagation across hops)") {
+    // path 1-2-3-4-5 needs multiple hash-min rounds: 5's label walks down one hop per round
+    val got = components(1L to 5L, Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("connectedComponents keeps separate components and singletons apart") {
+    val got = components(1L to 7L, Seq((1L, 3L), (5L, 6L)))
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connectedComponents merges clusters linked through a shared node") {
+    // two planted clusters joined by one bridge edge collapse to one group
+    val got = components(Seq(10L, 11L, 20L, 21L), Seq((10L, 11L), (20L, 21L), (11L, 20L)))
+    assert(got.values.toSet === Set(10L))
+  }
 }

@@ -75,4 +75,18 @@ class PlanSpec extends SparkSpec {
       (a.name == "__qv" || a.name == "__cv") && a.dataType.isInstanceOf[ArrayType])),
       s"embedding arrays must not ride an exchange:\n${qe.executedPlan}")
   }
+
+  test("x19: no single-partition window ever runs over the document rows") {
+    val p = plan("x19_seq_pack")
+    // the per-row cumsum must be partitioned by bucket; the only
+    // unpartitioned window is the ≤`buckets`-row offsets frame
+    val rowWindows = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("doc_id#")).toSeq
+    assert(rowWindows.nonEmpty, p)
+    assert(rowWindows.forall(_.contains("__bkt#")),
+      s"row-level window lost its bucket partitioning:\n$p")
+    // and the bucket totals reach the rows via broadcast, not a shuffled join
+    assert(p.contains("BroadcastHashJoin [__bkt"),
+      s"bucket offsets must broadcast, not shuffle:\n$p")
+  }
 }
