@@ -101,6 +101,37 @@ object TextDedup {
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("jacc"))
   }
 
+  /** Line-level boilerplate removal (the C4/RefinedWeb trick): a non-empty
+    * line occurring in ≥ `minDocs` DISTINCT documents is boilerplate
+    * (headers, footers, "subscribe" calls); strip it from every document,
+    * preserving surviving-line order. Returns (doc_id, clean_text) for
+    * every input doc (all-boilerplate docs yield "").
+    *
+    * Scale posture: explode → per-line distinct-doc count (two-shuffle
+    * partial agg; the boilerplate lines ARE the hot keys, and partial
+    * aggregation collapses them map-side) → anti-join (boilerplate set is
+    * small → AQE broadcasts) → one groupBy(doc) rebuild. All linear; no
+    * driver-side text. */
+  def dedupLines(df: DataFrame, id: Column, text: Column, minDocs: Long,
+                 sep: String = ". "): DataFrame = {
+    val ids = df.select(id.as("doc_id"))
+    val lines = df.select(id.as("doc_id"),
+      posexplode(split(text, java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+    // empty lines never count as boilerplate: stripping them would collapse
+    // separator runs and mangle the rejoin
+    val boiler = lines.filter(length(col("line")) > 0)
+      .groupBy("line").agg(countDistinct(col("doc_id")).as("__n"))
+      .filter(col("__n") >= minDocs)
+      .select("line")
+    val rebuilt = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        e => e.getField("line")), sep).as("clean_text"))
+    ids.join(rebuilt, Seq("doc_id"), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+  }
+
   /** Connected components over near-dup pairs by hash-min label
     * propagation: each node's component label starts at its own id and
     * iteratively drops to the smallest id among itself and its neighbours,

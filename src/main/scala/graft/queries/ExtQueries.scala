@@ -433,6 +433,23 @@ object ExtQueries {
               |       CAST(node = MIN(r) AS BIGINT) AS is_canonical
               |FROM reach GROUP BY node ORDER BY 1""".stripMargin)),
 
+    // Line-level boilerplate removal: a "subscribe" line is injected into
+    // every 10th doc, so it occurs in ~10% of docs and minDocs=3 must strip
+    // it EXACTLY — and nothing else (measured: no organic line is shared by
+    // ≥3 docs at any SF; max is 2). The trivial oracle is therefore a
+    // complete char-exact check: every clean_text must equal the
+    // pre-injection text, which also proves the split/rejoin is lossless.
+    QuerySpec("x23_line_dedup",
+      (s, d) => {
+        val planted = Tables.documents(s, d).withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(". Subscribe to our newsletter for daily updates")))
+            .otherwise(col("text")))
+        TextDedup.dedupLines(planted, col("doc_id"), col("text"), minDocs = 3)
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text AS clean_text FROM documents ORDER BY doc_id")),
+
     // Deterministic data mixing: per-language downsampling quotas as a
     // pure md5-bucket filter (en halved harder than the rest) — stable
     // across runs/engines, no sampling RNG.

@@ -84,6 +84,34 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("dedupLines strips cross-doc boilerplate, keeps order, handles edge docs") {
+    val corpus = Seq(
+      (1L, "alpha beta. SUBSCRIBE NOW. gamma delta"),
+      (2L, "epsilon. SUBSCRIBE NOW. zeta"),
+      (3L, "SUBSCRIBE NOW. eta theta"),
+      (4L, "SUBSCRIBE NOW"), // all-boilerplate doc → empty
+      (5L, "unique text only")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.dedupLines(corpus, $"doc_id", $"text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "alpha beta. gamma delta")
+    assert(out(2L) === "epsilon. zeta")
+    assert(out(3L) === "eta theta")
+    assert(out(4L) === "")
+    assert(out(5L) === "unique text only")
+  }
+
+  test("dedupLines under minDocs leaves every doc byte-identical (lossless rejoin)") {
+    val corpus = Seq(
+      (1L, "a. b. . c"), // consecutive separators → empty token survives
+      (2L, "a. b"),      // 'a'/'b' shared by only 2 docs < minDocs=3
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.dedupLines(corpus, $"doc_id", $"text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "a. b. . c", 2L -> "a. b", 3L -> "solo"))
+  }
+
   private def components(nodes: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val n = nodes.toDF("id")
     val p = pairs.toDF("id_a", "id_b")
