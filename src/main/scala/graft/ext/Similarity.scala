@@ -153,6 +153,30 @@ object Similarity {
     rankTopK(scored, k, "query_id", "neighbor_id")
   }
 
+  /** Per-group embedding centroid (dimension-wise mean). One shuffle of
+    * (group, dim) pairs with map-side partial aggregation; output is
+    * O(#groups × dim) — broadcastable. */
+  def groupCentroids(df: DataFrame, group: Column, vec: Column): DataFrame =
+    df.select(group.as("group"), posexplode(toDouble(vec)).as(Seq("__dim", "__x")))
+      .groupBy("group", "__dim").agg(avg(col("__x")).as("__m"))
+      .groupBy("group")
+      .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__m")))),
+        e => e.getField("__m")).as("centroid"))
+
+  /** Embedding outlier detection: rows whose cosine to their own group's
+    * centroid falls below `threshold` (mislabeled, corrupted, or poisoned
+    * vectors). Centroids broadcast back — the scan stays one pass, no
+    * per-group window. Returns (group, id, sim). */
+  def centroidOutliers(df: DataFrame, group: Column, id: Column, vec: Column,
+                       threshold: Double): DataFrame = {
+    val cents = groupCentroids(df, group, vec)
+    df.select(group.as("group"), id.as("id"), toDouble(vec).as("__v"))
+      .join(broadcast(cents), "group")
+      .withColumn("sim", cosine(col("__v"), col("centroid")))
+      .filter(col("sim") < threshold)
+      .select(col("group"), col("id"), col("sim"))
+  }
+
   /** Exact cosine near-duplicate pairs (sim ≥ threshold) among all rows —
     * brute force within blocks for verification; LSH at scale. */
   def cosineNearDups(df: DataFrame, threshold: Double): DataFrame = {

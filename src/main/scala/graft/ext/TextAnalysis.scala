@@ -116,4 +116,15 @@ object TextAnalysis {
     * Native expression — the HOF sliding-concat is interpreted. */
   def ngrams(text: Column, k: Int): Column =
     graft.functions.TextExprs.wordNgrams(text, k)
+
+  /** Gopher-style repetition signal: the fraction of word k-grams that are
+    * duplicates within the document (1 − distinct/total, 4 dp; 0 when the
+    * doc has no k-gram). High values flag boilerplate-stuffed or
+    * degenerate generated text. Integer-ratio arithmetic → bit-exact
+    * cross-engine. */
+  def repetitionRatio(text: Column, k: Int = 3): Column = {
+    val g = ngrams(text, k)
+    when(size(g) <= 0, lit(0.0))
+      .otherwise(round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 4))
+  }
 }

@@ -487,6 +487,59 @@ object ExtQueries {
              |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) <= 10
              |ORDER BY lang, rk""".stripMargin)),
 
+    // Repetition-ratio quality signal (Gopher-style duplicate-trigram
+    // fraction). A 10×-repeated phrase is stuffed into every 20th doc:
+    // planted rep3 ≥ ~0.29 (worst case: the longest 100-token doc),
+    // organic max is 0.077 (measured across SFs) — threshold 0.15 has ≥2×
+    // margin both ways, so the flag column is deterministic.
+    QuerySpec("x24_repetition",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("text",
+          when(col("doc_id") % 20 === 0,
+            concat(col("text"), repeat(lit(" click here to win now"), 10)))
+            .otherwise(col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("text"), 3).as("rep3"))
+        .withColumn("is_repetitive", (col("rep3") > 0.15).cast("long"))
+        .orderBy("doc_id"),
+      Some("""WITH u AS (SELECT doc_id,
+             |            CASE WHEN doc_id % 20 = 0
+             |                 THEN text || repeat(' click here to win now', 10)
+             |                 ELSE text END AS text
+             |          FROM documents),
+             |g AS (SELECT doc_id, list_transform(range(1, len(t) - 1),
+             |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g
+             |      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM u)),
+             |r AS (SELECT doc_id,
+             |        CASE WHEN len(g) <= 0 THEN 0.0
+             |             ELSE round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4) END AS rep3
+             |      FROM g)
+             |SELECT doc_id, rep3, CAST(rep3 > 0.15 AS BIGINT) AS is_repetitive
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Embedding outlier detection: each label group's centroid, then rows
+    // whose cosine to their own centroid is far negative. Planted: one
+    // NEGATED CENTROID per label (sim ≈ −1); organic minimum is −0.38
+    // (measured) — threshold −0.7 splits them with ≥0.3 margin on both
+    // sides, so ulp-level centroid differences between engines can't flip
+    // the detected set, which the oracle enumerates exactly.
+    QuerySpec("x25_embedding_outliers",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), Similarity.toDouble(col("embedding")).as("embedding"))
+        val planted = Similarity.groupCentroids(emb, col("label"), col("embedding"))
+          .select((lit(20000L) + col("group").cast("long")).as("vec_id"),
+            col("group").as("label"),
+            transform(col("centroid"), x => -x).as("embedding"))
+        Similarity.centroidOutliers(emb.unionByName(planted),
+            col("label"), col("vec_id"), col("embedding"), threshold = -0.7)
+          .select(col("group").cast("long").as("label"), col("id").as("outlier_id"))
+          .orderBy("label", "outlier_id")
+      },
+      Some("""SELECT DISTINCT CAST(label AS BIGINT) AS label,
+             |       20000 + CAST(label AS BIGINT) AS outlier_id
+             |FROM embeddings ORDER BY 1, 2""".stripMargin)),
+
     // Backward as-of join (absent in the reference and in Spark itself):
     // each purchase matched to the user's latest view at-or-before it.
     // Union+window formulation — one key shuffle, no range-join explosion.

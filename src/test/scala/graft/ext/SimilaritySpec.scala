@@ -79,6 +79,21 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.exceptAll(bf).isEmpty && bf.exceptAll(ivf).isEmpty)
   }
 
+  test("groupCentroids averages per dimension in order; centroidOutliers flags negations") {
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(3.0f, 0.0f)),
+      (3L, 1, Seq(0.0f, 2.0f)), (4L, 1, Seq(0.0f, 4.0f)),
+      (5L, 1, Seq(0.0f, -5.0f)) // negated: cosine to centroid = -1
+    ).toDF("vec_id", "label", "embedding")
+    val cents = Similarity.groupCentroids(df, $"label", $"embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cents(0) === Seq(2.0, 0.0))
+    assert(cents(1) === Seq(0.0, 1.0 / 3))
+    val out = Similarity.centroidOutliers(df, $"label", $"vec_id", $"embedding", -0.7)
+      .select("id").as[Long].collect().toSeq
+    assert(out === Seq(5L))
+  }
+
   test("cosineNearDups finds planted duplicates") {
     val rnd = new scala.util.Random(11)
     val base = (0L until 20L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))

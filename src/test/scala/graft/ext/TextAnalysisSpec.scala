@@ -99,4 +99,13 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.ngrams($"text", 2)).first().getSeq[String](0)
     assert(short.isEmpty)
   }
+
+  test("repetitionRatio: 0 for all-distinct and too-short docs, high for stuffed text") {
+    def rep(t: String) = Seq(t).toDF("text")
+      .select(TextAnalysis.repetitionRatio($"text", 3)).first().getDouble(0)
+    assert(rep("every word here is used exactly once") === 0.0)
+    assert(rep("hi") === 0.0) // no trigram at all
+    // "spam spam spam spam spam" → 3 trigrams, 1 distinct → 1 - 1/3
+    assert(rep("spam spam spam spam spam") === 0.6667)
+  }
 }
