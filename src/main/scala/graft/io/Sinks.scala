@@ -22,6 +22,16 @@ object Sinks {
   def metricsCsv(df: DataFrame, dir: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
 
+  /** JSON-lines sink — the interchange format LLM-corpus pipelines speak
+    * (one JSON object per line; newlines inside strings are escaped). */
+  def jsonl(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").json(dir)
+
+  /** ORC sink (columnar alternative when the downstream stack is
+    * Hive/ORC-native; Spark's reader is vectorized for both). */
+  def orc(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").orc(dir)
+
   /** S8 — "latest" copy: replicate a written directory to a stable path
     * (`s3.copy_object` → FS-level copy; works on s3a/file/hdfs alike). */
   def copyToLatest(spark: SparkSession, srcDir: String, latestDir: String): Unit = {

@@ -18,6 +18,15 @@ object Sources {
   def parquet(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
     spark.read.schema(schema).parquet(paths: _*)
 
+  /** JSON-lines scan, schema-enforced (no inference pass — an inference
+    * scan over 100 TB of JSONL is a full extra read). */
+  def jsonl(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
+    spark.read.schema(schema).json(paths: _*)
+
+  /** ORC scan (vectorized; schema optional — ORC is self-describing). */
+  def orc(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.orc(paths: _*)
+
   /** P1 — filename pattern predicate on a path/filename column
     * (`'yellow_tripdata_' in key and key.endswith('.parquet')`,
     * `DP:293-297`). */

@@ -540,6 +540,33 @@ object ExtQueries {
              |       20000 + CAST(label AS BIGINT) AS outlier_id
              |FROM embeddings ORDER BY 1, 2""".stripMargin)),
 
+    // Format round-trip: documents → JSONL and ORC sinks → schema-enforced
+    // re-read → identical per-source aggregates. The oracle computes the
+    // same aggregates straight from the parquet table, so any loss or
+    // corruption in either format path (string escaping, type widening)
+    // breaks the hash.
+    QuerySpec("x26_format_roundtrip",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+        graft.io.Sinks.jsonl(docs, s"$tmp/docs_jsonl")
+        graft.io.Sinks.orc(docs, s"$tmp/docs_orc")
+        val back = graft.io.Sources.jsonl(s, docs.schema, s"$tmp/docs_jsonl")
+          .withColumn("fmt", lit("jsonl"))
+          .unionByName(graft.io.Sources.orc(s, s"$tmp/docs_orc")
+            .withColumn("fmt", lit("orc")))
+        back.groupBy("fmt", "source")
+          .agg(n.as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"),
+            sum(length(col("text"))).cast("long").as("total_text_len"))
+          .orderBy("fmt", "source")
+      },
+      Some("""SELECT fmt, source, count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |       CAST(sum(len(text)) AS BIGINT) AS total_text_len
+             |FROM documents
+             |CROSS JOIN (SELECT unnest(['jsonl', 'orc']) AS fmt)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Backward as-of join (absent in the reference and in Spark itself):
     // each purchase matched to the user's latest view at-or-before it.
     // Union+window formulation — one key shuffle, no range-join explosion.

@@ -85,4 +85,19 @@ class PropertiesSpec extends SparkSpec {
       assert(got === exact)
     }
   }
+
+  test("property: bucketed prefix sum equals the sequential scan for any keys/buckets") {
+    val gen = for {
+      keys <- Gen.nonEmptyListOf(Gen.chooseNum(-100000L, 100000L)).map(_.distinct)
+      vals <- Gen.listOfN(keys.length, Gen.chooseNum(0L, 1000L))
+      buckets <- Gen.chooseNum(1, 64)
+    } yield (keys, vals, buckets)
+    samples(gen, 8).foreach { case (keys, vals, buckets) =>
+      val df = keys.zip(vals).toDF("k", "v")
+      val got = graft.ops.PrefixSum.exclusivePrefixSum(df, "k", "v", "cum", buckets)
+        .orderBy("k").select("cum").as[Long].collect().toSeq
+      val expected = keys.zip(vals).sortBy(_._1).map(_._2).scanLeft(0L)(_ + _).init
+      assert(got === expected, s"buckets=$buckets n=${keys.length}")
+    }
+  }
 }

@@ -66,6 +66,23 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back.count() === 2)
   }
 
+  test("JSONL and ORC round-trip adversarial strings and types byte-exactly") {
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    val rows = Seq(
+      (1L, "plain ascii"),
+      (2L, "newline\nand\ttab"),
+      (3L, "quotes \" and backslash \\ and {json: \"braces\"}"),
+      (4L, "unicode: café 中文 😀"),
+      (5L, "")
+    ).toDF("id", "text")
+    Sinks.jsonl(rows, s"$dir/j")
+    Sinks.orc(rows, s"$dir/o")
+    val fromJ = Sources.jsonl(spark, rows.schema, s"$dir/j")
+    val fromO = Sources.orc(spark, s"$dir/o")
+    assert(fromJ.exceptAll(rows).isEmpty && rows.exceptAll(fromJ).isEmpty)
+    assert(fromO.exceptAll(rows).isEmpty && rows.exceptAll(fromO).isEmpty)
+  }
+
   test("S8 copyToLatest replicates a written dir; re-copy overwrites") {
     val root = Files.createTempDirectory("graft_latest").toString
     Seq(1, 2).toDF("v").write.parquet(s"$root/v1")
