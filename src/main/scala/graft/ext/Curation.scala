@@ -35,9 +35,5 @@ object Curation {
     * id, score), rk 1-based by descending score. */
   def topNPerGroup(df: DataFrame, group: Column, score: Column, id: Column,
                    nTop: Int): DataFrame =
-    df.groupBy(group.as("group"))
-      .agg(graft.functions.TopKAgg.topK(score, id, nTop).as("__top"))
-      .select(col("group"), posexplode(col("__top")).as(Seq("__pos", "__e")))
-      .select(col("group"), (col("__pos") + 1).cast("long").as("rk"),
-        col("__e.id").as("id"), col("__e.score").as("score"))
+    graft.functions.TopKAgg.rankTopK(df, group, score, id, nTop)
 }

@@ -33,17 +33,16 @@ object Similarity {
     graft.functions.VectorExprs.cosineSim(a, b)
 
   /** Rank scored candidates per query with the bounded top-k AGGREGATE
-    * (graft.functions.TopKByScore), not a window: a window partition holds
-    * a query's ENTIRE candidate set in one task; the aggregate keeps an
-    * O(k) heap per map task and ships ≤ k entries per task through the
-    * shuffle (ordinary partial+final HashAggregate). Ordering: sim desc,
-    * id asc — identical to the former row_number() formulation. */
+    * (graft.functions.TopKAgg.rankTopK), not a window: a window partition
+    * holds a query's ENTIRE candidate set in one task; the aggregate keeps
+    * an O(k) heap per map task and ships ≤ k entries per task through the
+    * shuffle. Ordering: sim desc, id asc. NULL sims (zero-norm vectors)
+    * are deliberately excluded — an unknowable similarity is not a
+    * neighbor, so unlike a nulls-last window the output never pads a
+    * query's top-k with them. */
   private def rankTopK(scored: DataFrame, k: Int, qId: String, cId: String): DataFrame =
-    scored.groupBy(col(qId))
-      .agg(graft.functions.TopKAgg.topK(col("sim"), col(cId), k).as("__top"))
-      .select(col(qId), posexplode(col("__top")).as(Seq("__pos", "__e")))
-      .select(col(qId), (col("__pos") + 1).cast("long").as("rk"),
-        col("__e.id").as(cId), col("__e.score").as("sim"))
+    graft.functions.TopKAgg.rankTopK(scored, col(qId), col("sim"), col(cId), k)
+      .select(col("group").as(qId), col("rk"), col("id").as(cId), col("score").as("sim"))
 
   /** Exact brute-force top-k: for each query row, the k nearest corpus rows
     * by cosine (ties broken by corpus id asc). `queries` must be small

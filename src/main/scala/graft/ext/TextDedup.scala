@@ -181,6 +181,14 @@ object TextDedup {
       it += 1
     }
     edges.unpersist()
+    if (!done) {
+      labels.unpersist()
+      // silently-partial labels would split one true component into several
+      // "groups", each keeping its own canonical doc — fail loudly instead
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(a component's diameter exceeds maxIters); raise maxIters")
+    }
     labels
   }
 

@@ -106,8 +106,27 @@ case class TopKByScore(
 object TopKAgg {
   import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn => column, toExpression => expression}
 
-  /** array<struct<score,id>> of the k largest scores (ties → smallest id). */
+  /** array<struct<score,id>> of the k largest scores (ties → smallest id).
+    * Score is cast to double and id to long — the buffer's fixed physical
+    * types — so any numeric input column works. */
   def topK(score: Column, id: Column, k: Int): Column =
-    column(TopKByScore(expression(score), expression(id.cast("long")), k)
+    column(TopKByScore(expression(score.cast("double")), expression(id.cast("long")), k)
       .toAggregateExpression())
+
+  /** The ranked-unfold companion: per `group`, the k best (score, id)
+    * pairs as rows (group, rk 1-based, id, score). The aggregate keeps an
+    * O(k) heap per map task and ships ≤ k entries per task through an
+    * ordinary partial+final HashAggregate — never a per-group window over
+    * the group's full candidate set. Rows with a NULL score carry no
+    * rankable information and are excluded (a group with only null scores
+    * emits nothing). */
+  def rankTopK(df: org.apache.spark.sql.DataFrame, group: Column, score: Column,
+               id: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    df.groupBy(group.as("group"))
+      .agg(topK(score, id, k).as("__top"))
+      .select(col("group"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("group"), (col("__pos") + 1).cast("long").as("rk"),
+        col("__e.id").as("id"), col("__e.score").as("score"))
+  }
 }

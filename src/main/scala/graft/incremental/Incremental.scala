@@ -56,7 +56,17 @@ object Incremental {
       val in = f.open(p)
       val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8).trim
         finally in.close()
-      if (s.forall(_.isDigit)) s.toLong else Instant.parse(s).toEpochMilli
+      // self-heal an empty/truncated file (crash between create's truncate
+      // and write): fall back to the initial watermark instead of wedging
+      // every later run. Reprocessing is safe — the tracker anti-join (ST2)
+      // keeps the pipeline exactly-once.
+      try {
+        if (s.nonEmpty && s.forall(_.isDigit)) s.toLong else Instant.parse(s).toEpochMilli
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[incremental] unreadable watermark '$s' (${e.getMessage}); using default")
+          DefaultWatermarkMillis
+      }
     }
   }
 
@@ -74,15 +84,20 @@ object Incremental {
   // rename is a non-atomic copy+delete, so a crash mid-"rename" could lose
   // the whole tracker. A PUT of a new object is atomic everywhere.
   // Readers ignore in-flight `_temporary` output and dedup on read.
+  private val trackerSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType)))
+
   def readTracker(spark: SparkSession, stateDir: String): DataFrame = {
     val f = fs(spark, stateDir)
     val sources = Seq(s"$stateDir/tracker", s"$stateDir/tracker.parquet")
       .filter(p => f.exists(new Path(p))) // legacy single-file layout still read
     if (sources.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType))))
-    else spark.read.parquet(sources: _*).select("path").distinct()
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], trackerSchema)
+    else
+      // explicit schema, not inference: a tracker dir left with zero
+      // committed part files (crash on the very first append) must read as
+      // empty, not throw "unable to infer schema" and wedge every run
+      spark.read.schema(trackerSchema).parquet(sources: _*).select("path").distinct()
   }
 
   def appendTracker(spark: SparkSession, stateDir: String, paths: Seq[String]): Unit = {

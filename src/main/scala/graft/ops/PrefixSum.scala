@@ -26,13 +26,17 @@ object PrefixSum {
     * `buckets` for skewed key spaces. */
   def exclusivePrefixSum(df: DataFrame, key: String, value: String, out: String,
                          buckets: Int = 256): DataFrame = {
-    val bounds = df.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head()
-    if (bounds.isNullAt(0)) return df.withColumn(out, lit(0L))
+    // a null key has no place in a total order: unfiltered it would land in
+    // a null bucket whose total inflates every real bucket's offset while
+    // the row itself vanishes in the equi-join — exclude it explicitly
+    val rows = df.filter(col(key).isNotNull)
+    val bounds = rows.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head()
+    if (bounds.isNullAt(0)) return rows.withColumn(out, lit(0L))
     val lo = bounds.getLong(0)
     val width = math.max(1L, (bounds.getLong(1) - lo) / buckets + 1)
     // (key - lo)/width truncated = floor (non-negative); exact below 2^53
     val bkt = ((col(key) - lit(lo)) / lit(width)).cast("long").cast("int")
-    val withB = df.withColumn("__bkt", bkt)
+    val withB = rows.withColumn("__bkt", bkt)
     val offsets = withB.groupBy("__bkt").agg(sum(col(value).cast("long")).as("__tot"))
       .withColumn("__off", coalesce(
         sum(col("__tot")).over(

@@ -34,7 +34,10 @@ object Temporal {
                    payload: Seq[String], tieBreak: Column): DataFrame = {
     val leftCols = left.columns.toSeq
     val payloadStruct = struct(payload.map(col): _*)
-    val r = right.select(
+    // a null right time never matches anything (ASOF `l.t >= r.t` is null →
+    // false); unfiltered it would sort nulls-first and become the running
+    // payload for every left row before the first real right row
+    val r = right.filter(col(rightTime).isNotNull).select(
       col(key),
       col(rightTime).as("__t"),
       lit(0).as("__side"),

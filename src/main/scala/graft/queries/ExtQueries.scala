@@ -548,7 +548,9 @@ object ExtQueries {
     QuerySpec("x26_format_roundtrip",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+        // fixed per-JVM dir, overwritten each run — a fresh createTempDirectory
+        // per invocation would leak two corpus copies per Verify/Bench run
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_roundtrip"
         graft.io.Sinks.jsonl(docs, s"$tmp/docs_jsonl")
         graft.io.Sinks.orc(docs, s"$tmp/docs_orc")
         val back = graft.io.Sources.jsonl(s, docs.schema, s"$tmp/docs_jsonl")

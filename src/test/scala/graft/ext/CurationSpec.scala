@@ -47,4 +47,11 @@ class CurationSpec extends SparkSpec {
     val out = Curation.topNPerGroup(df, $"g", $"score", $"id", nTop = 5).collect()
     assert(out.length === 1)
   }
+
+  test("topNPerGroup accepts integer score columns (cast, not crash)") {
+    val df = Seq(("a", 1L, 7), ("a", 2L, 9)).toDF("g", "id", "score")
+    val out = Curation.topNPerGroup(df, $"g", $"score", $"id", nTop = 1)
+      .select("id").as[Long].collect().toSeq
+    assert(out === Seq(2L))
+  }
 }

@@ -135,4 +135,12 @@ class TextDedupSpec extends SparkSpec {
     val got = components(Seq(10L, 11L, 20L, 21L), Seq((10L, 11L), (20L, 21L), (11L, 20L)))
     assert(got.values.toSet === Set(10L))
   }
+
+  test("connectedComponents fails loudly when maxIters is too small to converge") {
+    val n = (1L to 6L).toDF("id")
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      TextDedup.connectedComponents(n, $"id", p, maxIters = 2)
+    }
+  }
 }

@@ -69,6 +69,18 @@ class IncrementalSpec extends SparkSpec {
     // the Hadoop API — an NIO overwrite would leave a stale .crc sidecar)
     graft.io.Sinks.writeText(spark, s"$root/state/watermark.txt", "12345")
     assert(Incremental.readWatermark(spark, s"$root/state") === 12345L)
+    // a truncated/garbled artifact (crash between create and write)
+    // self-heals to the default instead of wedging every later run
+    graft.io.Sinks.writeText(spark, s"$root/state/watermark.txt", "")
+    assert(Incremental.readWatermark(spark, s"$root/state") === Incremental.DefaultWatermarkMillis)
+    graft.io.Sinks.writeText(spark, s"$root/state/watermark.txt", "2023-11-1")
+    assert(Incremental.readWatermark(spark, s"$root/state") === Incremental.DefaultWatermarkMillis)
+  }
+
+  test("a tracker dir with zero committed part files reads as empty, not an error") {
+    val root = tmp()
+    Files.createDirectories(java.nio.file.Paths.get(root, "state", "tracker"))
+    assert(Incremental.readTracker(spark, s"$root/state").count() === 0)
   }
 
   test("tracker is append-only: a run never rewrites or renames live state") {

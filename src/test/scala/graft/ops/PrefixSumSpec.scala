@@ -30,6 +30,14 @@ class PrefixSumSpec extends SparkSpec {
     assert(got.toSeq === Seq(0L, 5L, 8L, 10L))
   }
 
+  test("null keys are excluded and never distort other rows' sums") {
+    val df = Seq((Some(10L), 100L), (None, 999L), (Some(20L), 5L))
+      .toDF("k", "v")
+    val got = PrefixSum.exclusivePrefixSum(df, "k", "v", "cum", buckets = 4)
+      .orderBy("k").select("k", "cum").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((10L, 0L), (20L, 100L))) // the 999 never leaks into offsets
+  }
+
   test("empty input yields an empty frame with the output column") {
     val df = rows(0)
     val got = PrefixSum.exclusivePrefixSum(df, "k", "v", "cum")

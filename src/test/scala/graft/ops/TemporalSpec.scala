@@ -35,6 +35,22 @@ class TemporalSpec extends SparkSpec {
     assert(out("other-key") === Some(50.0))
   }
 
+  test("asofBackward never matches a null right time (ASOF null-comparison parity)") {
+    val quotes = Seq(
+      (1L, Option.empty[java.sql.Timestamp], 999.0), // must match nothing
+      (1L, Some(ts("2024-01-01 10:05:00")), 101.0)
+    ).toDF("k", "qt", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "before-any-real"), // null payload, NOT 999
+      (1L, ts("2024-01-01 10:06:00"), "after")
+    ).toDF("k", "tt", "label")
+    val out = Temporal.asofBackward(trades, quotes, "k", "tt", "qt",
+        Seq("price"), tieBreak = col("price"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(out("before-any-real") === None)
+    assert(out("after") === Some(101.0))
+  }
+
   test("asofBackward breaks right-side time ties by the greatest tieBreak") {
     val right = Seq(
       (1L, ts("2024-01-01 10:00:00"), 7L),
