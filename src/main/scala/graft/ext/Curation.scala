@@ -36,4 +36,22 @@ object Curation {
   def topNPerGroup(df: DataFrame, group: Column, score: Column, id: Column,
                    nTop: Int): DataFrame =
     graft.functions.TopKAgg.rankTopK(df, group, score, id, nTop)
+
+  /** Exact heavy hitters without an exact-everything shuffle: a Misra-Gries
+    * sketch ([[graft.functions.FreqAgg]], O(k) state per task) nominates ≤k
+    * candidates, then ONE filtered pass counts just those candidates
+    * exactly (broadcast semi-join — the candidate set is tiny). Provided
+    * `minCount > n/(k+1)` (n = total items), the sketch cannot miss a true
+    * heavy hitter, so the output is EXACTLY the items with true count ≥
+    * `minCount` — deterministic even though sketch estimates are not.
+    * Returns (item, n_occurrences). */
+  def heavyHitters(df: DataFrame, item: Column, k: Int, minCount: Long): DataFrame = {
+    val items = df.select(item.cast("string").as("item"))
+    val cands = items.agg(graft.functions.FreqAgg.freqSketch(col("item"), k).as("__sk"))
+      .select(explode(col("__sk")).as("__e"))
+      .select(col("__e.item").as("item"))
+    items.join(broadcast(cands), Seq("item"), "left_semi")
+      .groupBy("item").agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+  }
 }

@@ -569,6 +569,26 @@ object ExtQueries {
              |CROSS JOIN (SELECT unnest(['jsonl', 'orc']) AS fmt)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Heavy hitters over the token stream via Misra-Gries sketch + exact
+    // verification of the ≤k candidates. With k=999 the miss bound is
+    // n/(k+1) ≈ 300 at sf0.1 (~300k tokens) < minCount=1000, so the sketch
+    // provably nominates every true ≥1000-count token and the exact pass
+    // makes the output deterministic — hashable against plain exact SQL.
+    // A planted token (3 per doc) guarantees non-empty output at every SF.
+    QuerySpec("x27_heavy_hitters",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .withColumn("text", concat(col("text"), repeat(lit(" graftheavytoken"), 3)))
+          .select(explode(graft.ext.TextDedup.tokens(col("text"))).as("token"))
+        Curation.heavyHitters(toks, col("token"), k = 999, minCount = 1000L)
+          .withColumnRenamed("item", "token")
+          .orderBy("token")
+      },
+      Some("""WITH u AS (SELECT text || repeat(' graftheavytoken', 3) AS text FROM documents),
+             |tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM u)
+             |SELECT token, count(*) AS n_occurrences
+             |FROM tok GROUP BY 1 HAVING count(*) >= 1000 ORDER BY 1""".stripMargin)),
+
     // Backward as-of join (absent in the reference and in Spark itself):
     // each purchase matched to the user's latest view at-or-before it.
     // Union+window formulation — one key shuffle, no range-join explosion.
