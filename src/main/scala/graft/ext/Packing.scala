@@ -33,4 +33,22 @@ object Packing {
         ((col("start_offset_global") + greatest(col("n_tokens"), lit(1L)) - 1) / ctxLen)
           .cast("long") - col("start_window") + 1)
   }
+
+  /** Sliding-window document chunking (RAG / embedding prep): whitespace
+    * tokens cut into `chunkSize`-token chunks every `stride` tokens
+    * (stride < chunkSize ⇒ overlap; the final chunk may be short). Pure
+    * per-row explode + slice — embarrassingly parallel, no shuffle at all;
+    * original casing/spacing within tokens is preserved. Output:
+    * (id, chunk_idx, n_chunk_tokens, chunk_text). */
+  def chunkTokens(df: DataFrame, id: String, text: Column,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    df.select(col(id), split(text, " ").as("__tk"))
+      .withColumn("__cs",
+        explode(sequence(lit(0), greatest(size(col("__tk")) - 1, lit(0)), lit(stride))))
+      .select(col(id),
+        (col("__cs") / stride).cast("long").as("chunk_idx"),
+        size(slice(col("__tk"), col("__cs") + 1, lit(chunkSize))).cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("__tk"), col("__cs") + 1, lit(chunkSize)), " ").as("chunk_text"))
+  }
 }

@@ -589,6 +589,20 @@ object ExtQueries {
              |SELECT token, count(*) AS n_occurrences
              |FROM tok GROUP BY 1 HAVING count(*) >= 1000 ORDER BY 1""".stripMargin)),
 
+    // Sliding-window chunking (32-token chunks, stride 16 → 50% overlap),
+    // char-exact against DuckDB's list slicing — catches off-by-ones in
+    // start positions, end clamping, and join spacing.
+    QuerySpec("x28_chunking",
+      (s, d) => Packing.chunkTokens(Tables.documents(s, d), "doc_id", col("text"),
+          chunkSize = 32, stride = 16)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |s AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk), 1), 16)) AS cs FROM t)
+             |SELECT doc_id, cs // 16 AS chunk_idx,
+             |       CAST(len(tk[cs+1:cs+32]) AS BIGINT) AS n_chunk_tokens,
+             |       array_to_string(tk[cs+1:cs+32], ' ') AS chunk_text
+             |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Backward as-of join (absent in the reference and in Spark itself):
     // each purchase matched to the user's latest view at-or-before it.
     // Union+window formulation — one key shuffle, no range-join explosion.

@@ -23,6 +23,26 @@ class PackingSpec extends SparkSpec {
       (4L, 17L, 2L, 1L, 1L)))
   }
 
+  test("chunkTokens slides with overlap, clamps the tail, keeps casing") {
+    val docs = Seq((1L, "A b c d e f g")).toDF("doc_id", "text") // 7 tokens
+    val out = Packing.chunkTokens(docs, "doc_id", $"text", chunkSize = 4, stride = 2)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (0L, 4L, "A b c d"),
+      (1L, 4L, "c d e f"),
+      (2L, 3L, "e f g"),
+      (3L, 1L, "g")))
+  }
+
+  test("chunkTokens on a short doc emits exactly one full-copy chunk") {
+    val docs = Seq((1L, "only three words")).toDF("doc_id", "text")
+    val out = Packing.chunkTokens(docs, "doc_id", $"text", chunkSize = 32, stride = 16)
+      .select("chunk_idx", "chunk_text").as[(Long, String)].collect().toSeq
+    assert(out === Seq((0L, "only three words")))
+  }
+
   test("a zero-token doc occupies one window slot and shifts nothing") {
     val docs = Seq((1L, 5L), (2L, 0L), (3L, 5L)).toDF("doc_id", "nt")
     val out = Packing.packWindows(docs, "doc_id", $"nt", ctxLen = 4)
