@@ -47,10 +47,18 @@ object Curation {
     * Returns (item, n_occurrences). */
   def heavyHitters(df: DataFrame, item: Column, k: Int, minCount: Long): DataFrame = {
     val items = df.select(item.cast("string").as("item"))
-    val cands = items.agg(graft.functions.FreqAgg.freqSketch(col("item"), k).as("__sk"))
-      .select(explode(col("__sk")).as("__e"))
-      .select(col("__e.item").as("item"))
-    items.join(broadcast(cands), Seq("item"), "left_semi")
+    // n rides the same aggregation as the sketch (no extra pass) so the
+    // exactness precondition is ENFORCED, not just documented: with
+    // minCount ≤ n/(k+1) the sketch may evict a true heavy hitter during
+    // partial merges and the output would be silently merge-order-dependent
+    val agg = items.agg(graft.functions.FreqAgg.freqSketch(col("item"), k).as("__sk"),
+      count(col("item")).as("__n")).head()
+    val n = agg.getLong(1)
+    require(minCount > n / (k + 1).toLong,
+      s"minCount=$minCount is not > n/(k+1) = $n/${k + 1}: raise k or minCount " +
+        "or the sketch cannot guarantee every true heavy hitter is nominated")
+    val cands = agg.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    items.filter(col("item").isin(cands: _*))
       .groupBy("item").agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") >= minCount)
   }

@@ -36,16 +36,22 @@ object Packing {
 
   /** Sliding-window document chunking (RAG / embedding prep): whitespace
     * tokens cut into `chunkSize`-token chunks every `stride` tokens
-    * (stride < chunkSize ⇒ overlap; the final chunk may be short). Pure
-    * per-row explode + slice — embarrassingly parallel, no shuffle at all;
-    * original casing/spacing within tokens is preserved. Output:
-    * (id, chunk_idx, n_chunk_tokens, chunk_text). */
+    * (stride < chunkSize ⇒ overlap; the final chunk may be short but is
+    * never fully contained in its predecessor — starts stop at the last
+    * window that reaches the end, so no duplicate content is embedded
+    * twice). Null-text docs emit no chunks. Pure per-row explode + slice —
+    * embarrassingly parallel, no shuffle; original casing preserved.
+    * Output: (id, chunk_idx, n_chunk_tokens, chunk_text). */
   def chunkTokens(df: DataFrame, id: String, text: Column,
                   chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
-    df.select(col(id), split(text, " ").as("__tk"))
-      .withColumn("__cs",
-        explode(sequence(lit(0), greatest(size(col("__tk")) - 1, lit(0)), lit(stride))))
+    val n = size(col("__tk"))
+    // last start = ceil((n - chunkSize)/stride)*stride, floored at 0
+    val lastStart = when(n <= chunkSize, lit(0))
+      .otherwise(((n - chunkSize + stride - 1) / stride).cast("int") * stride)
+    df.filter(text.isNotNull)
+      .select(col(id), split(text, " ").as("__tk"))
+      .withColumn("__cs", explode(sequence(lit(0), lastStart, lit(stride))))
       .select(col(id),
         (col("__cs") / stride).cast("long").as("chunk_idx"),
         size(slice(col("__tk"), col("__cs") + 1, lit(chunkSize))).cast("long").as("n_chunk_tokens"),

@@ -117,9 +117,9 @@ object TopKAgg {
     * pairs as rows (group, rk 1-based, id, score). The aggregate keeps an
     * O(k) heap per map task and ships ≤ k entries per task through an
     * ordinary partial+final HashAggregate — never a per-group window over
-    * the group's full candidate set. Rows with a NULL score carry no
-    * rankable information and are excluded (a group with only null scores
-    * emits nothing). */
+    * the group's full candidate set. Rows with a NULL score or NULL id are
+    * excluded — no rankable information / no addressable result (a group
+    * with only such rows emits nothing). */
   def rankTopK(df: org.apache.spark.sql.DataFrame, group: Column, score: Column,
                id: Column, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, posexplode}

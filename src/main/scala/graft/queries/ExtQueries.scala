@@ -548,9 +548,11 @@ object ExtQueries {
     QuerySpec("x26_format_roundtrip",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // fixed per-JVM dir, overwritten each run — a fresh createTempDirectory
-        // per invocation would leak two corpus copies per Verify/Bench run
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_roundtrip"
+        // one dir per Spark app, overwritten on re-runs within the app: no
+        // per-invocation leak, and the applicationId component keeps two
+        // concurrent JVMs (e.g. parallel Verify at two SFs) from clobbering
+        // each other's files mid-read
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_${s.sparkContext.applicationId}"
         graft.io.Sinks.jsonl(docs, s"$tmp/docs_jsonl")
         graft.io.Sinks.orc(docs, s"$tmp/docs_orc")
         val back = graft.io.Sources.jsonl(s, docs.schema, s"$tmp/docs_jsonl")
@@ -596,8 +598,12 @@ object ExtQueries {
       (s, d) => Packing.chunkTokens(Tables.documents(s, d), "doc_id", col("text"),
           chunkSize = 32, stride = 16)
         .orderBy("doc_id", "chunk_idx"),
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-             |s AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk), 1), 16)) AS cs FROM t)
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+             |            CASE WHEN len(string_split(text, ' ')) <= 32 THEN 0
+             |                 ELSE ((len(string_split(text, ' ')) - 32 + 15) // 16) * 16
+             |            END AS last_start
+             |          FROM documents),
+             |s AS (SELECT doc_id, tk, unnest(range(0, last_start + 1, 16)) AS cs FROM t)
              |SELECT doc_id, cs // 16 AS chunk_idx,
              |       CAST(len(tk[cs+1:cs+32]) AS BIGINT) AS n_chunk_tokens,
              |       array_to_string(tk[cs+1:cs+32], ' ') AS chunk_text

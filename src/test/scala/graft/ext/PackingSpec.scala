@@ -23,24 +23,32 @@ class PackingSpec extends SparkSpec {
       (4L, 17L, 2L, 1L, 1L)))
   }
 
-  test("chunkTokens slides with overlap, clamps the tail, keeps casing") {
+  test("chunkTokens slides with overlap, stops at the last end-reaching start, keeps casing") {
     val docs = Seq((1L, "A b c d e f g")).toDF("doc_id", "text") // 7 tokens
     val out = Packing.chunkTokens(docs, "doc_id", $"text", chunkSize = 4, stride = 2)
       .orderBy("chunk_idx")
       .select("chunk_idx", "n_chunk_tokens", "chunk_text")
       .as[(Long, Long, String)].collect().toSeq
+    // start 6 ("g") would be wholly contained in chunk 2 — never emitted
     assert(out === Seq(
       (0L, 4L, "A b c d"),
       (1L, 4L, "c d e f"),
-      (2L, 3L, "e f g"),
-      (3L, 1L, "g")))
+      (2L, 3L, "e f g")))
   }
 
-  test("chunkTokens on a short doc emits exactly one full-copy chunk") {
-    val docs = Seq((1L, "only three words")).toDF("doc_id", "text")
+  test("chunkTokens on a short doc emits exactly one full-copy chunk; null text emits none") {
+    val docs = Seq((1L, Some("only three words")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
     val out = Packing.chunkTokens(docs, "doc_id", $"text", chunkSize = 32, stride = 16)
-      .select("chunk_idx", "chunk_text").as[(Long, String)].collect().toSeq
-    assert(out === Seq((0L, "only three words")))
+      .select("doc_id", "chunk_idx", "chunk_text").as[(Long, Long, String)].collect().toSeq
+    assert(out === Seq((1L, 0L, "only three words")))
+  }
+
+  test("chunkTokens exact-multiple length emits no redundant tail start") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text") // 6 tokens
+    val out = Packing.chunkTokens(docs, "doc_id", $"text", chunkSize = 4, stride = 2)
+      .select("chunk_text").as[String].collect().toSeq
+    assert(out === Seq("a b c d", "c d e f")) // start 4 ("e f") is contained
   }
 
   test("a zero-token doc occupies one window slot and shifts nothing") {

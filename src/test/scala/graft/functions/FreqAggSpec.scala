@@ -43,6 +43,14 @@ class FreqAggSpec extends SparkSpec {
     assert(empty === 0)
   }
 
+  test("heavyHitters rejects a minCount at/below the n/(k+1) guarantee bound") {
+    val df = (1 to 1000).map(i => s"item_$i").toDF("item")
+    // n=1000, k=9 → bound 100; minCount 50 would be silently unreliable
+    intercept[IllegalArgumentException] {
+      graft.ext.Curation.heavyHitters(df, $"item", k = 9, minCount = 50L)
+    }
+  }
+
   test("heavyHitters returns exactly the items at/above minCount when the bound holds") {
     val rows = Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++
       (1 to 100).map(i => s"noise_$i")
