@@ -139,15 +139,21 @@ object TextDedup {
     * component — turning pairwise near-dup hits into dedup GROUPS (keep the
     * min-id canonical doc per group, drop the rest).
     *
-    * Each round is one edge→label equi-join plus one min-aggregate — both
-    * linear shuffles on ids only (two longs per row; no payloads ride the
-    * exchange). Rounds needed = the largest component's diameter; near-dup
-    * clusters are shallow (planted chains converge in 2-3). Convergence is
-    * detected by the strictly-decreasing Σcomp (decimal — no overflow), one
-    * scalar agg per round. The returned frame is persisted so the fixpoint
-    * loop's actions don't recompute the chain — the caller owns the release
-    * (unpersist after the terminal action); at production scale checkpoint
-    * every ~10 rounds to cut lineage.
+    * Each round is one edge→label equi-join plus one min-aggregate, then a
+    * POINTER-JUMPING compression (comp(n) ← comp(comp(n)), one more
+    * self-equi-join) — all linear shuffles on ids only (two longs per row;
+    * no payloads ride the exchange). Compression makes the reach double
+    * per round, so rounds needed ≈ log₂(largest component diameter) — a
+    * million-node chain converges in ~20 rounds, not a million (the 100×
+    * scale answer; near-dup clusters themselves are shallow anyway).
+    * Convergence is detected by the strictly-decreasing Σcomp (decimal —
+    * no overflow), one scalar agg per round. Each round's labels are
+    * EAGERLY localCheckpoint'ed: the self-join would otherwise double the
+    * logical plan per round (2^rounds lineage — plan stringification alone
+    * OOMs past ~8 rounds), and checkpointing is the canonical truncation
+    * for iterative Spark. The returned frame reads from checkpoint blocks;
+    * on a real cluster prefer `spark.sparkContext.setCheckpointDir` +
+    * reliable checkpoints if executor loss must be survivable mid-job.
     *
     * `nodes`/`nodeCol`: the full id universe (singletons label themselves).
     * `pairs`: (id_a, id_b) edges, e.g. [[minhashNearDups]] output. */
@@ -160,7 +166,7 @@ object TextDedup {
       .unionByName(pairs.select(col("id_b").cast("long").as("u"), col("id_a").cast("long").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.select(nodeCol.cast("long").as("node")).distinct()
-      .withColumn("comp", col("node")).persist()
+      .withColumn("comp", col("node")).localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
@@ -169,12 +175,20 @@ object TextDedup {
     while (!done && it < maxIters) {
       val nbrMin = edges.join(labels, edges("v") === labels("node"))
         .groupBy(col("u")).agg(min(col("comp")).as("__nbrComp"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
+      val stepped = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
         .select(labels("node"),
           least(col("comp"), coalesce(col("__nbrComp"), col("comp"))).as("comp"))
-        .persist()
+      // pointer jumping: follow the label one more hop (comp is itself a
+      // node id, so its own label exists); labels only ever decrease, so
+      // compression preserves the fixpoint while doubling reach per round.
+      // The eager localCheckpoint cuts the 2×-per-round lineage the
+      // self-join would otherwise build.
+      val next = stepped.as("a")
+        .join(stepped.as("b"), col("a.comp") === col("b.node"), "left")
+        .select(col("a.node").as("node"),
+          coalesce(col("b.comp"), col("a.comp")).as("comp"))
+        .localCheckpoint(true)
       val s = labelSum(next)
-      labels.unpersist()
       labels = next
       done = s.compareTo(prevSum) == 0
       prevSum = s
@@ -182,12 +196,11 @@ object TextDedup {
     }
     edges.unpersist()
     if (!done) {
-      labels.unpersist()
       // silently-partial labels would split one true component into several
       // "groups", each keeping its own canonical doc — fail loudly instead
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds " +
-          "(a component's diameter exceeds maxIters); raise maxIters")
+        s"connectedComponents did not converge in $maxIters rounds of " +
+          "doubling reach; the graph is pathological — raise maxIters")
     }
     labels
   }

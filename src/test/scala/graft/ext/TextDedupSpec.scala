@@ -137,10 +137,21 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("connectedComponents fails loudly when maxIters is too small to converge") {
-    val n = (1L to 6L).toDF("id")
-    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val n = (1L to 40L).toDF("id")
+    val p = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
       TextDedup.connectedComponents(n, $"id", p, maxIters = 2)
     }
+  }
+
+  test("pointer jumping converges a 40-node chain in O(log diameter) rounds") {
+    // plain hash-min would need 39 rounds; with compression ≤ 8 suffice
+    val got = components(1L to 40L, (1L until 40L).map(i => (i, i + 1)))
+    assert(got.values.toSet === Set(1L))
+    val n = (1L to 40L).toDF("id")
+    val p = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val fast = TextDedup.connectedComponents(n, $"id", p, maxIters = 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(fast === Set(1L))
   }
 }
