@@ -43,6 +43,13 @@ class FreqAggSpec extends SparkSpec {
     assert(empty === 0)
   }
 
+  test("sketch plans as a two-phase object aggregate (partial before the shuffle)") {
+    val df = (1 to 100).map(i => s"i$i").toDF("item").repartition(4)
+    val p = df.agg(FreqAgg.freqSketch($"item", 9))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_freq_sketch"), p)
+  }
+
   test("heavyHitters rejects a minCount at/below the n/(k+1) guarantee bound") {
     val df = (1 to 1000).map(i => s"item_$i").toDF("item")
     // n=1000, k=9 → bound 100; minCount 50 would be silently unreliable

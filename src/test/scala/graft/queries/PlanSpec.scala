@@ -76,6 +76,21 @@ class PlanSpec extends SparkSpec {
       s"embedding arrays must not ride an exchange:\n${qe.executedPlan}")
   }
 
+  test("x22: per-group top-n is a two-phase bounded aggregate, not a window") {
+    val p = plan("x22_quality_topn")
+    assert(p.contains("partial_top_k_by_score"), p) // map-side O(k) heaps
+    assert(!p.contains("Window"), s"top-n must not fall back to a window:\n$p")
+  }
+
+  test("x27: verify pass filters by candidate set pre-aggregation, no join shuffle") {
+    // (the sketch itself runs eagerly inside heavyHitters — its two-phase
+    // partial_freq_sketch shape is pinned in FreqAggSpec)
+    val p = plan("x27_heavy_hitters")
+    assert(p.contains("INSET") || p.contains(" IN ("), p) // candidate filter on the scan side
+    assert(!p.contains("Join"), s"exact pass must not join the token stream:\n$p")
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
   test("x19: no single-partition window ever runs over the document rows") {
     val p = plan("x19_seq_pack")
     // the per-row cumsum must be partitioned by bucket; the only
