@@ -147,13 +147,16 @@ object TextDedup {
     * million-node chain converges in ~20 rounds, not a million (the 100×
     * scale answer; near-dup clusters themselves are shallow anyway).
     * Convergence is detected by the strictly-decreasing Σcomp (decimal —
-    * no overflow), one scalar agg per round. Each round's labels are
-    * EAGERLY localCheckpoint'ed: the self-join would otherwise double the
-    * logical plan per round (2^rounds lineage — plan stringification alone
-    * OOMs past ~8 rounds), and checkpointing is the canonical truncation
-    * for iterative Spark. The returned frame reads from checkpoint blocks;
-    * on a real cluster prefer `spark.sparkContext.setCheckpointDir` +
-    * reliable checkpoints if executor loss must be survivable mid-job.
+    * no overflow), one scalar agg per round. Round state is
+    * localCheckpoint'ed (the canonical lineage truncation for iterative
+    * Spark — the self-join would otherwise double the logical plan per
+    * round) and every superseded round's blocks are released by RDD id as
+    * soon as the next round lands, so block-manager usage stays at one
+    * live label copy regardless of round count. The returned frame reads
+    * from its checkpoint blocks (freed by the ContextCleaner when the
+    * frame is collected); on a real cluster prefer
+    * `spark.sparkContext.setCheckpointDir` + reliable checkpoints if
+    * executor loss must be survivable mid-job.
     *
     * `nodes`/`nodeCol`: the full id universe (singletons label themselves).
     * `pairs`: (id_a, id_b) edges, e.g. [[minhashNearDups]] output. */
@@ -165,37 +168,65 @@ object TextDedup {
     val edges = pairs.select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .unionByName(pairs.select(col("id_b").cast("long").as("u"), col("id_a").cast("long").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(nodeCol.cast("long").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint(true)
+    val sc = nodes.sparkSession.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    // Dataset.unpersist can't release localCheckpoint blocks (it only talks
+    // to the CacheManager), so superseded rounds are freed by RDD id.
+    // NEVER release a live frame's ids — checkpoint blocks are the only
+    // copy once lineage is truncated.
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+
+    val pre0 = persistedIds
+    var labels = nodes.select(nodeCol.cast("long").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint(true)
+    var labelIds = persistedIds -- pre0
     var prevSum = labelSum(labels)
+    if (prevSum == null) { // empty node set: trivially converged
+      edges.unpersist()
+      return labels
+    }
     var it = 0
     var done = false
     while (!done && it < maxIters) {
       val nbrMin = edges.join(labels, edges("v") === labels("node"))
         .groupBy(col("u")).agg(min(col("comp")).as("__nbrComp"))
+      // materialize the hash-min step ONCE (eager checkpoint) so the
+      // pointer-jumping self-join below reads its blocks twice instead of
+      // recomputing the labels⋈nbrMin join on both sides — and so the
+      // round's lineage stays flat (the self-join would otherwise double
+      // the logical plan per round; plan stringification alone OOMs ~8
+      // rounds in)
+      val preStep = persistedIds
       val stepped = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
         .select(labels("node"),
           least(col("comp"), coalesce(col("__nbrComp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val steppedIds = persistedIds -- preStep
       // pointer jumping: follow the label one more hop (comp is itself a
       // node id, so its own label exists); labels only ever decrease, so
-      // compression preserves the fixpoint while doubling reach per round.
-      // The eager localCheckpoint cuts the 2×-per-round lineage the
-      // self-join would otherwise build.
+      // compression preserves the fixpoint while doubling reach per round
+      val preNext = persistedIds
       val next = stepped.as("a")
         .join(stepped.as("b"), col("a.comp") === col("b.node"), "left")
         .select(col("a.node").as("node"),
           coalesce(col("b.comp"), col("a.comp")).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the labelSum action materializes it
       val s = labelSum(next)
+      val nextIds = persistedIds -- preNext -- steppedIds
+      release(labelIds ++ steppedIds) // superseded: old labels + this round's step
       labels = next
+      labelIds = nextIds
       done = s.compareTo(prevSum) == 0
       prevSum = s
       it += 1
     }
     edges.unpersist()
     if (!done) {
+      release(labelIds)
       // silently-partial labels would split one true component into several
       // "groups", each keeping its own canonical doc — fail loudly instead
       throw new IllegalStateException(

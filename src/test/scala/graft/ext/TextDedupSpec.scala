@@ -144,6 +144,22 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents of an empty node set returns an empty frame, no NPE") {
+    val n = Seq.empty[Long].toDF("id")
+    val p = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(TextDedup.connectedComponents(n, $"id", p).isEmpty)
+  }
+
+  test("connectedComponents releases superseded round state (no block-manager leak)") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val n = (1L to 40L).toDF("id")
+    val p = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    TextDedup.connectedComponents(n, $"id", p).count()
+    // only the final labels' blocks may remain live after the run
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1, s"persisted RDDs grew $before -> $after")
+  }
+
   test("pointer jumping converges a 40-node chain in O(log diameter) rounds") {
     // plain hash-min would need 39 rounds; with compression ≤ 8 suffice
     val got = components(1L to 40L, (1L until 40L).map(i => (i, i + 1)))
