@@ -168,22 +168,27 @@ object TextDedup {
     val edges = pairs.select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .unionByName(pairs.select(col("id_b").cast("long").as("u"), col("id_a").cast("long").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sc = nodes.sparkSession.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     // Dataset.unpersist can't release localCheckpoint blocks (it only talks
-    // to the CacheManager), so superseded rounds are freed by RDD id.
-    // NEVER release a live frame's ids — checkpoint blocks are the only
+    // to the CacheManager), so superseded rounds are freed by unpersisting
+    // the checkpointed RDD itself — pulled out of the frame's own LogicalRDD
+    // leaf, never by diffing the context-global persisted-RDD map (that
+    // diff would sweep blocks persisted by CONCURRENT jobs in the same
+    // session, e.g. Cleaning.imputeMode's parallel aggregates).
+    // NEVER release a live frame's RDDs — checkpoint blocks are the only
     // copy once lineage is truncated.
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+      rdds.foreach(_.unpersist(blocking = false))
 
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
 
-    val pre0 = persistedIds
     var labels = nodes.select(nodeCol.cast("long").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint(true)
-    var labelIds = persistedIds -- pre0
+    var labelRdds = checkpointRdds(labels)
     var prevSum = labelSum(labels)
     if (prevSum == null) { // empty node set: trivially converged
       edges.unpersist()
@@ -200,33 +205,31 @@ object TextDedup {
       // round's lineage stays flat (the self-join would otherwise double
       // the logical plan per round; plan stringification alone OOMs ~8
       // rounds in)
-      val preStep = persistedIds
       val stepped = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
         .select(labels("node"),
           least(col("comp"), coalesce(col("__nbrComp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      val steppedIds = persistedIds -- preStep
+      val steppedRdds = checkpointRdds(stepped)
       // pointer jumping: follow the label one more hop (comp is itself a
       // node id, so its own label exists); labels only ever decrease, so
       // compression preserves the fixpoint while doubling reach per round
-      val preNext = persistedIds
       val next = stepped.as("a")
         .join(stepped.as("b"), col("a.comp") === col("b.node"), "left")
         .select(col("a.node").as("node"),
           coalesce(col("b.comp"), col("a.comp")).as("comp"))
         .localCheckpoint(false) // lazy: the labelSum action materializes it
+      val nextRdds = checkpointRdds(next)
       val s = labelSum(next)
-      val nextIds = persistedIds -- preNext -- steppedIds
-      release(labelIds ++ steppedIds) // superseded: old labels + this round's step
+      release(labelRdds ++ steppedRdds) // superseded: old labels + this round's step
       labels = next
-      labelIds = nextIds
+      labelRdds = nextRdds
       done = s.compareTo(prevSum) == 0
       prevSum = s
       it += 1
     }
     edges.unpersist()
     if (!done) {
-      release(labelIds)
+      release(labelRdds)
       // silently-partial labels would split one true component into several
       // "groups", each keeping its own canonical doc — fail loudly instead
       throw new IllegalStateException(

@@ -160,6 +160,35 @@ class TextDedupSpec extends SparkSpec {
     assert(after - before <= 1, s"persisted RDDs grew $before -> $after")
   }
 
+  test("connectedComponents never sweeps blocks persisted by a concurrent job") {
+    // a sibling job persisting mid-run (the Cleaning.imputeMode pattern) must
+    // keep its blocks: CC frees only the checkpoint RDDs it created itself
+    import java.util.concurrent.atomic.AtomicBoolean
+    val sc = spark.sparkContext
+    val stop = new AtomicBoolean(false)
+    val mine = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[Long]]
+    val sibling = new Thread(() => {
+      while (!stop.get() && mine.size < 64) {
+        val r = sc.parallelize(1L to 100L, 2).persist()
+        r.count() // materialize blocks while CC rounds are in flight
+        mine.synchronized { mine += r }
+      }
+    })
+    sibling.start()
+    try {
+      val n = (1L to 60L).toDF("id")
+      val p = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      TextDedup.connectedComponents(n, $"id", p).count()
+    } finally {
+      stop.set(true)
+      sibling.join(30000)
+    }
+    val live = sc.getPersistentRDDs.keySet
+    val swept = mine.synchronized(mine.filterNot(r => live.contains(r.id)))
+    assert(swept.isEmpty, s"CC unpersisted ${swept.size} concurrent RDDs: ${swept.map(_.id)}")
+    mine.foreach(_.unpersist(blocking = false))
+  }
+
   test("pointer jumping converges a 40-node chain in O(log diameter) rounds") {
     // plain hash-min would need 39 rounds; with compression ≤ 8 suffice
     val got = components(1L to 40L, (1L until 40L).map(i => (i, i + 1)))
