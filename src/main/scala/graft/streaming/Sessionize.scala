@@ -50,36 +50,66 @@ object Sessionize {
                                  session_end: java.sql.Timestamp, n_events: Long)
 
   /** The per-group state transition (public so TestGroupState can drive it
-    * directly in specs): merge incoming events into the open session, or
-    * close and emit it when the gap timeout fires. */
+    * directly in specs). Event-time semantics: the timeout is anchored to
+    * the session's last EVENT time, not wall clock, so a backlog replayed
+    * under Trigger.AvailableNow closes exactly the sessions the batch
+    * variant would — wall-clock pauses between microbatches never split a
+    * session. Two cases Spark does NOT handle for us and the function
+    * must:
+    *
+    *   - a group that receives data in the very batch its timer expired is
+    *     invoked with `hasTimedOut = false`; if the new events sit beyond
+    *     the gap, the stale open session must be closed here, not merged;
+    *   - one batch can contain several gap splits for one key (backlog
+    *     replay with coarse batches), so the transition emits an ITERATOR
+    *     of closed sessions — every segment but the last closes, the last
+    *     stays open in state.
+    */
   def updateSession(gapSeconds: Long)(user: Long, evts: Iterator[SessionEvent],
-                                      state: GroupState[SessionState]): Option[ClosedSession] =
+                                      state: GroupState[SessionState]): Iterator[ClosedSession] =
     if (state.hasTimedOut) {
       val s = state.get
       state.remove()
-      Some(ClosedSession(user, new java.sql.Timestamp(s.start),
+      Iterator.single(ClosedSession(user, new java.sql.Timestamp(s.start),
         new java.sql.Timestamp(s.end), s.n))
     } else {
-      val times = evts.map(_.ts.getTime).toSeq
-      val merged = state.getOption match {
-        case Some(s) => SessionState(math.min(s.start, times.min),
-          math.max(s.end, times.max), s.n + times.size)
-        case None => SessionState(times.min, times.max, times.size.toLong)
-      }
-      state.update(merged)
-      state.setTimeoutDuration(gapSeconds * 1000)
-      None
+      val gapMs = gapSeconds * 1000L
+      // fold the sorted event times into gap-delimited segments, seeded
+      // with the open session (if any) so a close-then-reopen in one batch
+      // resolves here instead of merging across the gap
+      val times = evts.map(_.ts.getTime).toArray.sorted
+      val seed = state.getOption.toList
+      if (times.isEmpty && seed.isEmpty) return Iterator.empty
+      val segments = times.foldLeft(seed) {
+        case (Nil, t) => SessionState(t, t, 1L) :: Nil
+        case (cur :: closed, t) if t - cur.end <= gapMs =>
+          SessionState(math.min(cur.start, t), math.max(cur.end, t), cur.n + 1) :: closed
+        case (acc, t) => SessionState(t, t, 1L) :: acc
+      }.reverse
+      val open = segments.last
+      state.update(open)
+      // close when the watermark passes last-event + gap; the timestamp must
+      // sit strictly above the current watermark or Spark rejects it (a
+      // just-under-the-wire late event can otherwise land at/below it)
+      state.setTimeoutTimestamp(math.max(open.end + gapMs,
+        state.getCurrentWatermarkMs() + 1L))
+      segments.init.iterator.map(s => ClosedSession(user,
+        new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n))
     }
 
-  /** Streaming gap-sessionize via mapGroupsWithState: buffers the open
-    * session per user; when the processing-time timeout fires (no events
-    * for `gapSeconds`), the session closes and is emitted. Append-mode
-    * compatible. */
-  def streamingSessions(events: Dataset[SessionEvent], gapSeconds: Long): Dataset[ClosedSession] = {
+  /** Streaming gap-sessionize via flatMapGroupsWithState with EVENT-TIME
+    * timeouts: buffers the open session per user; when the watermark
+    * passes the session's last event + `gapSeconds` (or later events prove
+    * the gap), the session closes and is emitted (update output mode).
+    * `watermarkDelay` is the out-of-order tolerance — events later than
+    * that are dropped, exactly the contract a 100 TB backlog replay needs
+    * for deterministic output. */
+  def streamingSessions(events: Dataset[SessionEvent], gapSeconds: Long,
+                        watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, Option[ClosedSession]](
-        GroupStateTimeout.ProcessingTimeTimeout)(updateSession(gapSeconds))
-      .flatMap(_.toSeq)
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(updateSession(gapSeconds))
   }
 }
