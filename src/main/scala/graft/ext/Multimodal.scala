@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
-  * `binary` columns with a typed metadata struct alongside. The Spark-side
-  * mechanics (schema, partition-preserving batch transforms, deterministic
-  * fakes for the codec step) are real and tested; the actual byte decoding
-  * is STUBBED — this container has no image/audio libraries, so
-  * `decodeStub` derives deterministic fake metadata from the bytes.
-  * Swap `decodeStub`'s body for a real codec (e.g. javax.imageio /
-  * ffmpeg-over-mapPartitions) in production; every signature stays the same.
+  * `binary` columns with a typed metadata struct alongside.
+  *
+  * IMAGE decode is REAL: [[decodeImage]] parses genuine PNG/JPEG/GIF/BMP
+  * headers through the JDK-builtin `javax.imageio` stack (header-only — no
+  * pixel decode), and [[encodeImage]] writes real bytes with the same
+  * codecs, giving a round-trip oracle. Audio/video payloads have no JDK
+  * codec, so [[decodeStub]] remains for them: deterministic fake metadata
+  * derived from the bytes, same struct shape — swap for an
+  * ffmpeg-over-mapPartitions codec in production.
   */
 object Multimodal {
 
@@ -33,9 +35,22 @@ object Multimodal {
   def readBinaryFiles(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.format("binaryFile").load(path)
 
-  /** STUB "decode": deterministic fake metadata derived purely from payload
-    * bytes. Replace with a real codec; pure column expressions so it stays
-    * in whole-stage codegen. */
+  /** Real image decode: header-only width/height/channels/format from
+    * actual PNG/JPEG/GIF/BMP bytes via `javax.imageio`; null for payloads
+    * no reader claims. Same struct shape as [[decodeStub]] (plus n_bytes). */
+  def decodeImage(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.ImageExprs.imageMeta(payload)
+
+  /** Real image encode: deterministic synthetic pixels written through the
+    * JDK codec for `format` ("png"/"jpeg"/"bmp"/"gif") — the fixture
+    * generator for decode round-trip tests and oracles. */
+  def encodeImage(width: org.apache.spark.sql.Column, height: org.apache.spark.sql.Column,
+                  format: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.ImageExprs.encodeImage(width, height, format)
+
+  /** STUB "decode" for codec-less payloads (audio/video): deterministic fake
+    * metadata derived purely from payload bytes. Replace with a real codec;
+    * pure column expressions so it stays in whole-stage codegen. */
   def decodeStub(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val nb = length(payload).cast("long")
     struct(

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real image codec expressions over the JDK-builtin `javax.imageio` stack —
+  * no external libraries. `ImageMeta` parses genuine PNG/JPEG/GIF/BMP headers
+  * (width/height/bands/format) without decoding pixel data: ImageIO readers
+  * resolve `getWidth/getHeight/getImageTypes` from the header segment alone.
+  * `EncodeImage` renders a deterministic synthetic image and encodes it with
+  * the real codec — the oracle story for decode is a round-trip: dimensions
+  * chosen arithmetically → real bytes → parsed back, compared against the
+  * same arithmetic in SQL.
+  *
+  * Both are CodegenFallback by design: the per-row work is codec IO, not
+  * expression arithmetic, so whole-stage codegen would buy nothing.
+  */
+object ImageExprs {
+
+  /** Struct returned by [[ImageMeta]]; `n_bytes` is the payload length,
+    * `channels` the color band count from the reader's image type. */
+  val imageMetaType: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** Header-only image metadata from real bytes; null for payloads no
+    * installed ImageIO reader claims (text, audio, truncated files). */
+  case class ImageMeta(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = imageMetaType
+    override def nullable: Boolean = true
+    override def prettyName: String = "image_meta"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"image_meta needs BINARY input, got ${child.dataType.catalogString}")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0).toLong
+          val h = reader.getHeight(0).toLong
+          val types = reader.getImageTypes(0)
+          val bands = if (types.hasNext) types.next().getNumBands.toLong else -1L
+          val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          new GenericInternalRow(Array[Any](
+            bytes.length.toLong, w, h, bands, UTF8String.fromString(fmt)))
+        } finally reader.dispose()
+      } catch {
+        case _: java.io.IOException => null
+      } finally iis.close()
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ImageMeta =
+      copy(child = newChild)
+  }
+
+  /** Deterministic synthetic image encoded with the real codec: a
+    * width×height 3-band image whose pixel (x,y) is a pure function of the
+    * coordinates, written through `ImageIO.write` as `format` ("png",
+    * "jpeg", "bmp", "gif"). Null if the format has no installed writer. */
+  case class EncodeImage(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "encode_image"
+
+    override protected def nullSafeEval(w: Any, h: Any, f: Any): Any = {
+      val width = w.asInstanceOf[Int]
+      val height = h.asInstanceOf[Int]
+      val fmt = f.asInstanceOf[UTF8String].toString
+      require(width >= 1 && height >= 1 && width <= 4096 && height <= 4096,
+        s"encode_image dimensions out of range: ${width}x$height")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val r = (x * 31 + y * 17) & 0xff
+          val g = (x * 13 + y * 29) & 0xff
+          val b = (x * 7 + y * 23) & 0xff
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream(width * height / 2 + 256)
+      if (!javax.imageio.ImageIO.write(img, fmt, out)) null else out.toByteArray
+    }
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): EncodeImage =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  // Column-level wrappers
+  import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn => column, toExpression => expression}
+  def imageMeta(payload: Column): Column = column(ImageMeta(expression(payload)))
+  def encodeImage(width: Column, height: Column, format: Column): Column =
+    column(EncodeImage(expression(width.cast("int")), expression(height.cast("int")),
+      expression(format)))
+}

@@ -293,6 +293,30 @@ object ExtQueries {
       Some("""SELECT doc_id, CAST(4 AS BIGINT) AS n_frames, CAST(4 AS BIGINT) AS n_distinct_frames
              |FROM documents WHERE doc_id <= 50 ORDER BY doc_id""".stripMargin)),
 
+    // REAL image decode round-trip: dimensions/format picked arithmetically
+    // per row, rendered into genuine PNG/JPEG bytes (javax.imageio writer),
+    // then parsed back header-only by ImageMeta. The oracle recomputes the
+    // same arithmetic in SQL — a wrong encoder OR decoder breaks the match.
+    // (JPEG is lossy in pixels but exact in dimensions, which is what the
+    // metadata decode asserts.)
+    QuerySpec("x29_image_decode",
+      (s, d) => Tables.documents(s, d).filter(col("doc_id") <= 64)
+        .select(col("doc_id"),
+          (col("doc_id") % 32 + 16).as("w"), (col("doc_id") % 24 + 16).as("h"),
+          when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("fmt"))
+        .withColumn("img", Multimodal.encodeImage(col("w"), col("h"), col("fmt")))
+        .withColumn("meta", Multimodal.decodeImage(col("img")))
+        .select(col("doc_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.channels").as("channels"),
+          col("meta.format").as("format"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(doc_id % 32 + 16 AS BIGINT) AS width,
+             |  CAST(doc_id % 24 + 16 AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS channels,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+             |FROM documents WHERE doc_id <= 64 ORDER BY doc_id""".stripMargin)),
+
     // ST5 — Structured-Streaming incremental drain: the file-source
     // checkpoint gives exactly-once file handling (subsumes watermark +
     // tracker); AvailableNow drains the backlog and stops, and a second
