@@ -22,6 +22,19 @@ object TextAnalysis {
     size(call_function("regexp_extract_all",
       lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
 
+  /** REAL subword token count: byte-level BPE (GPT-2-style pre-tokenizer,
+    * byte↔unicode alphabet, greedy merges) over the repo-trained default
+    * vocab — see [[graft.functions.Bpe]]. This is the number packing and
+    * mixing budgets should run on; [[piecesCount]] stays as the cheap
+    * regex proxy. */
+  def bpeCount(text: Column): Column = graft.functions.GraftBpe.bpeCount(text)
+
+  /** BPE token array (byte-mapped alphabet); lossless —
+    * [[bpeDetok]] inverts it exactly. */
+  def bpeTokens(text: Column): Column = graft.functions.GraftBpe.bpeTokens(text)
+
+  def bpeDetok(tokens: Column): Column = graft.functions.GraftBpe.bpeDetok(tokens)
+
   private val stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
 
   /** Fraction of tokens that are stopwords (int-ratio → deterministic). */

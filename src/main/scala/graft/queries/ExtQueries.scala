@@ -432,6 +432,75 @@ object ExtQueries {
              |       (sog + GREATEST(n_tokens, 1) - 1) // 1024 - sog // 1024 + 1 AS windows_spanned
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // REAL subword tokenizer, exact-count oracle: byte-level BPE (GPT-2
+    // pre-tokenizer + byte alphabet + greedy merges, repo-trained vocab)
+    // over fixture strings covering every pre-tokenizer branch. The counts
+    // below were precomputed by an INDEPENDENT python reimplementation
+    // (scripts/bpe_oracle.py over `runMain graft.BpeExport`'s merge dump)
+    // — two codebases agreeing on token sequences, frozen as literals.
+    QuerySpec("x30_bpe_fixture",
+      (s, d) => {
+        import s.implicits._
+        BpeFixture.strings.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("fid", "text")
+          .select(col("fid"), TextAnalysis.bpeCount(col("text")).as("n_tokens"))
+          .orderBy("fid")
+      },
+      Some("""SELECT CAST(fid AS BIGINT) AS fid, CAST(n_tokens AS BIGINT) AS n_tokens
+             |FROM (VALUES (0,24),(1,33),(2,25),(3,31),(4,31),(5,30),(6,6),(7,1),
+             |             (8,0),(9,41),(10,22),(11,28)) AS t(fid, n_tokens)
+             |ORDER BY fid""".stripMargin)),
+
+    // BPE losslessness on REAL data: byte-level BPE partitions the input
+    // bytes, so detok(tokens) must equal the text char-exactly for every
+    // document, and the count must sit inside the byte bounds
+    // (ceil(n_bytes/maxTokenLen) <= n_tokens <= n_bytes). The oracle states
+    // those invariants; the exact merge behavior is pinned by x30.
+    QuerySpec("x31_bpe_roundtrip",
+      (s, d) => {
+        val maxTok = graft.functions.Bpe.defaultMaxTokenLen
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.bpeTokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            length(col("text").cast("binary")).cast("long").as("n_bytes"),
+            (TextAnalysis.bpeDetok(col("toks")) === col("text"))
+              .cast("long").as("roundtrip_ok"),
+            (size(col("toks")).cast("long") <= length(col("text").cast("binary")) &&
+             size(col("toks")).cast("long") * maxTok >= length(col("text").cast("binary")))
+              .cast("long").as("bounds_ok"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(1 AS BIGINT) AS roundtrip_ok, CAST(1 AS BIGINT) AS bounds_ok
+             |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin)),
+
+    // x19's real-tokens variant: sequence packing driven by REAL BPE counts
+    // instead of the whitespace proxy. The oracle can't run BPE, so the
+    // packing coordinates are cross-checked IN-PLAN against a global-window
+    // prefix sum (the quarantined verifier shape — production path is the
+    // bucketed PrefixSum being verified) and the oracle asserts the
+    // invariants; the counts themselves are pinned by x30/x31.
+    QuerySpec("x32_pack_bpe",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val packed = Packing.packWindows(Tables.documents(s, d), "doc_id",
+          TextAnalysis.bpeCount(col("text")), ctxLen = 1024)
+        val w = Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        packed
+          .withColumn("__chk", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("doc_id"),
+            (col("windows_spanned") >= 1L).cast("long").as("windows_ok"),
+            (col("start_offset") >= 0L && col("start_offset") < 1024L)
+              .cast("long").as("offset_ok"),
+            (col("start_offset_global") === col("__chk")).cast("long").as("prefix_ok"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(1 AS BIGINT) AS windows_ok,
+             |  CAST(1 AS BIGINT) AS offset_ok, CAST(1 AS BIGINT) AS prefix_ok
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Near-dup GROUPS: pairwise MinHash-LSH hits → connected components
     // (hash-min label propagation) → canonical doc per group. The oracle
     // recomputes the exact-Jaccard pair graph and its components with a
