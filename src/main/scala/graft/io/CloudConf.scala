@@ -25,11 +25,42 @@ import org.apache.spark.sql.SparkSession
   */
 object CloudConf {
 
-  /** Standard AWS environment variables → fs.s3a.* settings. Settings are
-    * only written when the variable is present, so local runs are no-ops.
+  /** Cloud-native committer settings, always applied: S3A's "magic"
+    * committer writes task output as in-flight multipart uploads completed
+    * at job commit — zero copy-rename of committed data, the committer the
+    * layout notes above assume. Consumed by S3AFileSystem when hadoop-aws
+    * is on the classpath; inert strings otherwise, so local runs are
+    * unaffected. */
+  val committerSettings: Map[String, String] = Map(
+    "fs.s3a.committer.name" -> "magic",
+    "fs.s3a.committer.magic.enabled" -> "true",
+    "mapreduce.outputcommitter.factory.scheme.s3a" ->
+      "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory")
+
+  /** Spark-side binding for the S3A committers (spark-hadoop-cloud module).
+    * Set only when the classes are deployable — this container ships
+    * neither hadoop-aws nor spark-hadoop-cloud, so the call is a recorded
+    * no-op here and activates on a real cluster. Returns whether it bound. */
+  def applySparkCommitterProtocol(spark: SparkSession): Boolean = {
+    val protocol = "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+    val binding = "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+    val loadable =
+      try { Class.forName(protocol); Class.forName(binding); true }
+      catch { case _: ClassNotFoundException => false }
+    if (loadable) {
+      spark.conf.set("spark.sql.sources.commitProtocolClass", protocol)
+      spark.conf.set("spark.sql.parquet.output.committer.class", binding)
+    }
+    loadable
+  }
+
+  /** Standard AWS environment variables → fs.s3a.* settings. Env-derived
+    * settings are only written when the variable is present, so local runs
+    * are no-ops; committer settings are unconditional (inert without s3a).
     * `env` is injectable for tests. */
   def s3aSettings(env: Map[String, String] = sys.env): Map[String, String] = {
     val b = Map.newBuilder[String, String]
+    b ++= committerSettings
     env.get("AWS_ACCESS_KEY_ID").foreach(b += "fs.s3a.access.key" -> _)
     env.get("AWS_SECRET_ACCESS_KEY").foreach(b += "fs.s3a.secret.key" -> _)
     env.get("AWS_SESSION_TOKEN").foreach { t =>
@@ -51,6 +82,8 @@ object CloudConf {
     conf
   }
 
-  def applyS3a(spark: SparkSession, env: Map[String, String] = sys.env): Unit =
+  def applyS3a(spark: SparkSession, env: Map[String, String] = sys.env): Unit = {
     applyS3a(spark.sparkContext.hadoopConfiguration, env)
+    applySparkCommitterProtocol(spark)
+  }
 }

@@ -32,8 +32,11 @@ class CloudConfSpec extends AnyFunSuite {
     assert(s("fs.s3a.endpoint") === "http://s3-specific")
   }
 
-  test("no AWS env → no settings written (local runs unaffected)") {
-    assert(CloudConf.s3aSettings(Map.empty).isEmpty)
+  test("no AWS env → only the inert committer settings (local runs unaffected)") {
+    // the magic-committer keys are unconditional (consumed only when an
+    // S3AFileSystem is instantiated); nothing env-derived appears
+    assert(CloudConf.s3aSettings(Map.empty) === CloudConf.committerSettings)
+    assert(CloudConf.committerSettings("fs.s3a.committer.name") === "magic")
     // static credentials without a session token must not force the
     // temporary-credentials provider
     val s = CloudConf.s3aSettings(Map(
