@@ -45,21 +45,37 @@ object Curation {
     * heavy hitter, so the output is EXACTLY the items with true count ≥
     * `minCount` — deterministic even though sketch estimates are not.
     * Returns (item, n_occurrences). */
-  def heavyHitters(df: DataFrame, item: Column, k: Int, minCount: Long): DataFrame = {
-    val items = df.select(item.cast("string").as("item"))
-    // n rides the same aggregation as the sketch (no extra pass) so the
-    // exactness precondition is ENFORCED, not just documented: with
-    // minCount ≤ n/(k+1) the sketch may evict a true heavy hitter during
-    // partial merges and the output would be silently merge-order-dependent
-    val agg = items.agg(graft.functions.FreqAgg.freqSketch(col("item"), k).as("__sk"),
-      count(col("item")).as("__n")).head()
-    val n = agg.getLong(1)
-    require(minCount > n / (k + 1).toLong,
-      s"minCount=$minCount is not > n/(k+1) = $n/${k + 1}: raise k or minCount " +
-        "or the sketch cannot guarantee every true heavy hitter is nominated")
-    val cands = agg.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
-    items.filter(col("item").isin(cands: _*))
-      .groupBy("item").agg(count(lit(1)).as("n_occurrences"))
-      .filter(col("n_occurrences") >= minCount)
+  /** `persistItems`: the verify pass re-reads the item stream; by default
+    * it RECOMPUTES the projection (at 100 TB the tokenized stream is larger
+    * than the corpus — caching it would spill more than the rescan costs).
+    * Set true when the upstream tokenize is expensive relative to the data
+    * size (derived/exploded streams at moderate scale) to run both passes
+    * off one materialized frame. */
+  def heavyHitters(df: DataFrame, item: Column, k: Int, minCount: Long,
+                   persistItems: Boolean = false): DataFrame = {
+    val items0 = df.select(item.cast("string").as("item"))
+    val items =
+      if (persistItems)
+        items0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else items0
+    try {
+      // n rides the same aggregation as the sketch (no extra pass) so the
+      // exactness precondition is ENFORCED, not just documented: with
+      // minCount ≤ n/(k+1) the sketch may evict a true heavy hitter during
+      // partial merges and the output would be silently merge-order-dependent
+      val agg = items.agg(graft.functions.FreqAgg.freqSketch(col("item"), k).as("__sk"),
+        count(col("item")).as("__n")).head()
+      val n = agg.getLong(1)
+      require(minCount > n / (k + 1).toLong,
+        s"minCount=$minCount is not > n/(k+1) = $n/${k + 1}: raise k or minCount " +
+          "or the sketch cannot guarantee every true heavy hitter is nominated")
+      val cands = agg.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+      val out = items.filter(col("item").isin(cands: _*))
+        .groupBy("item").agg(count(lit(1)).as("n_occurrences"))
+        .filter(col("n_occurrences") >= minCount)
+      if (persistItems) out.localCheckpoint(true) else out
+    } finally {
+      if (persistItems) items.unpersist(blocking = false)
+    }
   }
 }

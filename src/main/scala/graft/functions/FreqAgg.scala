@@ -52,11 +52,17 @@ case class FreqSketch(
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty[String, Long]
 
+  // Compiled input projection — same rationale as TopKByScore.inputProj:
+  // the item expression (a cast, or a whole tokenize tree once callers
+  // inline one) would otherwise be evaluated via interpreted eval per row.
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(Seq(item))
+
   override def update(buf: mutable.HashMap[String, Long],
                       input: InternalRow): mutable.HashMap[String, Long] = {
-    val v = item.eval(input)
-    if (v != null) {
-      val s = v.toString
+    val row = inputProj(input)
+    if (!row.isNullAt(0)) {
+      val s = row.getUTF8String(0).toString
       buf.get(s) match {
         case Some(c) => buf.update(s, c + 1)
         case None if buf.size < k => buf.update(s, 1L)

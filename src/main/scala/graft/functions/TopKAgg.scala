@@ -59,12 +59,21 @@ case class TopKByScore(
     else if (better(cand, buf.head)) { buf.dequeue(); buf.enqueue(cand) }
   }
 
+  // Compiled input projection: `score` arrives as the caller's full
+  // expression tree (CollapseProject inlines any pre-projection into the
+  // aggregate), and TypedImperativeAggregate.update sits outside
+  // whole-stage codegen — `score.eval(input)` would walk that tree
+  // INTERPRETED once per row (in x22 that's the entire qualityScore
+  // expression). UnsafeProjection.create codegens the children once per
+  // task instead; by first update the children are bound references.
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(Seq(score, id))
+
   override def update(buf: mutable.PriorityQueue[(Double, Long)],
                       input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
-    val s = score.eval(input)
-    val i = id.eval(input)
-    if (s != null && i != null)
-      offer(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    val row = inputProj(input)
+    if (!row.isNullAt(0) && !row.isNullAt(1))
+      offer(buf, (row.getDouble(0), row.getLong(1)))
     buf
   }
 

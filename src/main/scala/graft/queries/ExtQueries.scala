@@ -675,7 +675,11 @@ object ExtQueries {
         val toks = Tables.documents(s, d)
           .withColumn("text", concat(col("text"), repeat(lit(" graftheavytoken"), 3)))
           .select(explode(graft.ext.TextDedup.tokens(col("text"))).as("token"))
-        Curation.heavyHitters(toks, col("token"), k = 999, minCount = 1000L)
+        // persistItems: sketch + exact-verify passes run off ONE tokenized
+        // frame instead of re-exploding the corpus (tokenize is the
+        // dominant cost of this stream at this scale)
+        Curation.heavyHitters(toks, col("token"), k = 999, minCount = 1000L,
+            persistItems = true)
           .withColumnRenamed("item", "token")
           .orderBy("token")
       },
