@@ -132,24 +132,70 @@ object Similarity {
     centroids
   }
 
+  /** Shared IVF serving path: probe cells per query (broadcast), score the
+    * probed cells' rows exactly, bounded top-k. `cells` is the inverted
+    * file: (neighbor_id, __cv, __cell). */
+  private def ivfServe(queries: DataFrame, cells: DataFrame, k: Int,
+                       centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    import graft.functions.VectorExprs.nearestCentroids
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("__qv"))
+      .withColumn("__cell", explode(nearestCentroids(col("__qv"), centroids, nprobe))))
+    val scored = cells.join(q, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    rankTopK(scored, k, "query_id", "neighbor_id")
+  }
+
   /** IVF approximate top-k: corpus rows land in their nearest-centroid
     * cell (ONE cell each — the inverted file); each query probes its
     * `nprobe` nearest cells and scores those cells' rows exactly. The join
     * is a plain equi-join on the cell id: shuffle is linear in corpus rows
     * (corpus side keyed once) + queries × nprobe. Recall grows with
-    * nprobe; nprobe = nlist degenerates to exact brute force. */
+    * nprobe; nprobe = nlist degenerates to exact brute force. For repeated
+    * query batches use [[buildIvfIndex]] + [[ivfTopKIndexed]] — this
+    * variant re-quantizes the corpus every call. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
     import graft.functions.VectorExprs.nearestCentroids
     val c = corpus.select(col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("__cv"))
       .withColumn("__cell", element_at(nearestCentroids(col("__cv"), centroids, 1), 1))
-    val q = broadcast(queries
-      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("__qv"))
-      .withColumn("__cell", explode(nearestCentroids(col("__qv"), centroids, nprobe))))
-    val scored = c.join(q, Seq("__cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("__qv"), col("__cv")))
-    rankTopK(scored, k, "query_id", "neighbor_id")
+    ivfServe(queries, c, k, centroids, nprobe)
+  }
+
+  /** PERSISTED IVF index: train the coarse quantizer, assign every corpus
+    * row to its cell once, and write the inverted file as a
+    * bucketed-by-`__cell` sorted catalog table
+    * ([[graft.io.Layout.writeBucketed]]). Serving then pays neither
+    * re-quantization (the O(rows × nlist × dim) assignment is on disk) nor
+    * a corpus shuffle. Returns the centroids a query batch needs. */
+  def buildIvfIndex(corpus: DataFrame, table: String, nlist: Int,
+                    iters: Int = 5, numBuckets: Int = 16): Array[Array[Double]] = {
+    import graft.functions.VectorExprs.nearestCentroids
+    val centroids = kmeansCentroids(corpus, nlist, iters)
+    val indexed = corpus
+      .select(col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("__cv"))
+      .withColumn("__cell", element_at(nearestCentroids(col("__cv"), centroids, 1), 1))
+    graft.io.Layout.writeBucketed(indexed, table, "__cell", numBuckets)
+    centroids
+  }
+
+  /** Serve a query batch from a persisted index. The probed cell set
+    * (≤ queries × nprobe ints — driver-bounded) is pushed as an IN filter
+    * on the bucket column, so the scan reads ONLY the buckets holding
+    * probed cells (SelectedBucketsCount in the plan) and the corpus side
+    * joins with zero shuffle — broadcast probe → scan → score → O(k)
+    * top-k. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+                     indexTable: String, centroids: Array[Array[Double]],
+                     k: Int, nprobe: Int): DataFrame = {
+    import graft.functions.VectorExprs.nearestCentroids
+    val probed = queries
+      .select(explode(nearestCentroids(toDouble(col("embedding")), centroids, nprobe)).as("__cell"))
+      .distinct().collect().map(_.getInt(0))
+    val cells = graft.io.Layout.table(spark, indexTable)
+      .filter(col("__cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+    ivfServe(queries, cells, k, centroids, nprobe)
   }
 
   /** Per-group embedding centroid (dimension-wise mean). One shuffle of

@@ -393,8 +393,11 @@ object ExtQueries {
         val emb = Tables.embeddings(s, d)
         val q = emb.filter(col("vec_id") < 10)
         val corpus = emb.unionByName(q.withColumn("vec_id", col("vec_id") + 100000L))
-        val centroids = Similarity.kmeansCentroids(corpus, nlist = 16)
-        val ivf = Similarity.ivfTopK(q, corpus, 5, centroids, nprobe = 6)
+        // the PERSISTED index path: train + assign once into a bucketed
+        // catalog table, serve the batch off it (bucket-pruned scan, no
+        // corpus shuffle, no re-quantization) — plan proof in LayoutSpec
+        val centroids = Similarity.buildIvfIndex(corpus, "graft_ivf_x18", nlist = 16)
+        val ivf = Similarity.ivfTopKIndexed(s, q, "graft_ivf_x18", centroids, 5, nprobe = 6)
         val bf = Similarity.bruteForceTopK(q, corpus, 5)
         val totalOverlap = ivf.select("query_id", "neighbor_id")
           .join(bf.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")

@@ -67,4 +67,34 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bagg")
     }
   }
+
+  test("persisted IVF index: bucket-pruned scan, zero corpus shuffle, same results") {
+    import graft.ext.Similarity
+    try {
+      val emb = (0 until 200).map { i =>
+        (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d).toFloat).toSeq)
+      }.toDF("vec_id", "embedding")
+      val centroids = Similarity.buildIvfIndex(emb, "graft_ivf_test",
+        nlist = 4, iters = 2, numBuckets = 4)
+      val q = emb.filter($"vec_id" < 3)
+      val served = Similarity.ivfTopKIndexed(spark, q, "graft_ivf_test",
+        centroids, k = 3, nprobe = 2)
+      val plan = physicalPlan(served)
+      // the probed-cell IN filter reaches the bucketed scan → bucket pruning
+      assert(plan.contains("SelectedBucketsCount"),
+        s"expected a bucket-pruned scan:\n$plan")
+      // corpus side never shuffles: the only hash-partitioned Exchange is
+      // the O(k) top-k aggregation (broadcast exchanges are fine)
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(shuffles === 1, s"expected exactly the top-k shuffle, got $shuffles:\n$plan")
+      // identical results to the re-quantizing variant
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rk", "neighbor_id", "sim")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(rows(served) === rows(Similarity.ivfTopK(q, emb, 3, centroids, nprobe = 2)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_test")
+    }
+  }
 }
