@@ -456,6 +456,69 @@ object CoreQueries {
               |FROM orders GROUP BY CUBE(year(o_orderdate), o_orderstatus)
               |ORDER BY 1, 2""".stripMargin)),
 
+    // C9 — row-count accounting, ORACLED: q24's cleaning lifecycle with
+    // observe() metrics at every stage (input / imputed / deduped /
+    // filtered), all four flushed by ONE terminal action — the zero-
+    // extra-passes shape (the reference calls len() after each step,
+    // materializing four times: DP:77-208). The output IS the accounting
+    // table; the oracle recomputes every stage count in SQL.
+    QuerySpec("q32_accounting",
+      (s, d) => {
+        import s.implicits._
+        import graft.ops.Accounting
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"),
+          when(col("l_orderkey") % 97 === 0, lit(null)).otherwise(col("l_quantity")).as("q"),
+          col("l_extendedprice").as("p"),
+          when(col("l_orderkey") % 89 === 0, lit(null)).otherwise(col("l_returnflag")).as("f"))
+        val (in, obsIn) = Accounting.stageCounts(base, "1_input", Seq("q", "f"))
+        val imputed = Cleaning.imputeMode(Cleaning.imputeMedian(in, Seq("q")), Seq("f"))
+        val (imp, obsImp) = Accounting.stageCounts(imputed, "2_imputed", Seq("q", "f"))
+        val (ded, obsDed) = Accounting.stageCounts(Dedup.exact(imp), "3_deduped", Seq("q", "f"))
+        val (fin, obsFin) = Accounting.stageCounts(ded.filter(col("q") > 2), "4_filtered", Seq("q", "f"))
+        fin.agg(count(lit(1))).collect() // one pass flushes all four stages
+        def row(stage: String, o: org.apache.spark.sql.Observation) = {
+          val m = o.get
+          (stage, m("rows").asInstanceOf[Long],
+            m("nulls_q").asInstanceOf[Long], m("nulls_f").asInstanceOf[Long])
+        }
+        Seq(row("1_input", obsIn), row("2_imputed", obsImp),
+            row("3_deduped", obsDed), row("4_filtered", obsFin))
+          .toDF("stage", "n_rows", "nulls_q", "nulls_f")
+          .orderBy("stage")
+      },
+      Some("""WITH inj AS (
+             |  SELECT l_orderkey,
+             |         CASE WHEN l_orderkey % 97 = 0 THEN NULL ELSE l_quantity END AS q,
+             |         l_extendedprice AS p,
+             |         CASE WHEN l_orderkey % 89 = 0 THEN NULL ELSE l_returnflag END AS f
+             |  FROM lineitem),
+             |med AS (SELECT quantile_cont(q, 0.5) AS m FROM inj),
+             |mo AS (SELECT f AS mf FROM inj WHERE f IS NOT NULL
+             |       GROUP BY f ORDER BY count(*) DESC, f ASC LIMIT 1),
+             |imp AS (SELECT l_orderkey, coalesce(q, (SELECT m FROM med)) AS q, p,
+             |               coalesce(f, (SELECT mf FROM mo)) AS f FROM inj),
+             |ded AS (SELECT DISTINCT l_orderkey, q, p, f FROM imp),
+             |counted AS (
+             |  SELECT '1_input' AS stage, count(*) AS n_rows,
+             |         sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS nulls_q,
+             |         sum(CASE WHEN f IS NULL THEN 1 ELSE 0 END) AS nulls_f FROM inj
+             |  UNION ALL
+             |  SELECT '2_imputed', count(*),
+             |         sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END),
+             |         sum(CASE WHEN f IS NULL THEN 1 ELSE 0 END) FROM imp
+             |  UNION ALL
+             |  SELECT '3_deduped', count(*),
+             |         sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END),
+             |         sum(CASE WHEN f IS NULL THEN 1 ELSE 0 END) FROM ded
+             |  UNION ALL
+             |  SELECT '4_filtered', count(*),
+             |         sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END),
+             |         sum(CASE WHEN f IS NULL THEN 1 ELSE 0 END) FROM ded WHERE q > 2)
+             |SELECT stage, n_rows, CAST(nulls_q AS BIGINT) AS nulls_q,
+             |       CAST(nulls_f AS BIGINT) AS nulls_f
+             |FROM counted ORDER BY stage""".stripMargin)),
+
     // O3 — min/max bounds → range string (filename-range analog).
     QuerySpec("q23_range_bounds",
       (s, d) => Tables.orders(s, d).agg(
