@@ -18,13 +18,21 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Per-query outcome: all raw timings plus either the min or the error. */
+  /** Per-query outcome: all raw timings plus the error, if any. ANY failure
+    * makes the query failed: `minSec` is None even when earlier runs
+    * succeeded (a success-then-throw query must not contribute a timing to
+    * `value` while also being counted in `failed` — one semantic, not both;
+    * the partial timings remain visible in `raw_runs`). */
   final case class QueryResult(name: String, runsSec: Seq[Double], err: Option[String]) {
-    def minSec: Option[Double] = if (runsSec.isEmpty) None else Some(runsSec.min)
+    def minSec: Option[Double] =
+      if (err.isDefined || runsSec.isEmpty) None else Some(runsSec.min)
   }
 
   /** Time `fn` `runs` times; stop at the first failure (a query that threw
-    * once is broken, not slow — re-running it would just re-throw). */
+    * once is broken, not slow — re-running it would just re-throw). Only
+    * NonFatal errors are recorded per-query: an OutOfMemoryError or similar
+    * leaves the JVM untrustworthy, so it propagates and kills the bench
+    * rather than poisoning the timings of every later query. */
   def measure(name: String, runs: Int, fn: () => Unit, afterEach: () => Unit = () => ()): QueryResult = {
     var times = Vector.empty[Double]
     var err: Option[String] = None
@@ -35,7 +43,7 @@ object Bench {
         fn()
         times :+= (System.nanoTime() - t0) / 1e9
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
       }
       afterEach()
@@ -69,7 +77,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.flatMap(_.minSec).sum
     val failed = results.count(_.err.isDefined)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"runs":$runs,"raw_runs":$raw,"sf":${jsonStr(sfDir)},"master":${jsonStr(master)},"shuffle_partitions":$shufflePartitions}"""
+    // numeric stays a JSON number; anything else (e.g. "*" from local[*])
+    // is quoted so the record never becomes invalid JSON
+    val shuffle = scala.util.Try(shufflePartitions.trim.toInt).map(_.toString)
+      .getOrElse(jsonStr(shufflePartitions))
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"runs":$runs,"raw_runs":$raw,"sf":${jsonStr(sfDir)},"master":${jsonStr(master)},"shuffle_partitions":$shuffle}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -20,13 +20,28 @@ object Layout {
     * into `numBuckets` files per partition and sorted within each. Joins
     * and aggregations keyed on `bucketCol` between same-bucketed tables
     * reuse the layout — no Exchange in the plan. Requires the session
-    * catalog (saveAsTable), which is how Spark persists bucket metadata. */
+    * catalog (saveAsTable), which is how Spark persists bucket metadata.
+    *
+    * Overwrite holds ACROSS sessions: with the default in-memory catalog a
+    * previous session's managed-table LOCATION survives on disk while its
+    * catalog entry does not, and saveAsTable then fails with
+    * LOCATION_ALREADY_EXISTS — so a stale unregistered location is removed
+    * first (`table` must be a simple, default-database name). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    require(!table.contains("."), s"writeBucketed expects a simple table name, got $table")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+  }
 
   /** Convenience: read a catalog table (bucketed layout honored). */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)

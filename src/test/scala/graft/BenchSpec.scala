@@ -35,6 +35,29 @@ class BenchSpec extends AnyFunSuite {
     })
     assert(calls == 2, "must stop at first failure")
     assert(r.err.isDefined)
+    // ONE semantic: any failure means query-failed — the run-1 timing must
+    // not leak into `queries`/`value` while the query also counts as failed
+    assert(r.runsSec.size == 1, "raw run-1 timing stays visible in raw_runs")
+    assert(r.minSec.isEmpty, "a partially-succeeded query reports no min")
+    val json = Bench.renderJson(Seq(r), 5, "/d", "local[1]", "1")
+    assert(json.contains(""""flaky":null"""))
+    assert(json.contains(""""value":0.0""") || json.contains(""""value":0"""))
+    assert(json.contains(""""failed":1"""))
+  }
+
+  test("fatal errors propagate instead of being recorded as a query failure") {
+    intercept[OutOfMemoryError] {
+      Bench.measure("fatal", 2, () => throw new OutOfMemoryError("simulated"))
+    }
+  }
+
+  test("non-numeric shuffle_partitions is quoted, record stays valid JSON") {
+    val r = Bench.QueryResult("q", Seq(1.0), None)
+    val starry = Bench.renderJson(Seq(r), 1, "/d", "local[*]", "*")
+    assert(starry.contains(""""shuffle_partitions":"*""""))
+    assert(starry.count(_ == '"') % 2 == 0)
+    val numeric = Bench.renderJson(Seq(r), 1, "/d", "local[8]", "8")
+    assert(numeric.contains(""""shuffle_partitions":8"""))
   }
 
   test("afterEach runs after every attempt, including a failed one") {

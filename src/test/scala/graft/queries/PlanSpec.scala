@@ -84,8 +84,16 @@ class PlanSpec extends SparkSpec {
 
   test("x27: verify pass filters by candidate set pre-aggregation, no join shuffle") {
     // (the sketch itself runs eagerly inside heavyHitters — its two-phase
-    // partial_freq_sketch shape is pinned in FreqAggSpec)
-    val p = plan("x27_heavy_hitters")
+    // partial_freq_sketch shape is pinned in FreqAggSpec.) x27 itself runs
+    // persistItems=true, whose returned frame is an eager checkpoint (the
+    // verify plan is hidden behind a Scan ExistingRDD), so the shape is
+    // pinned on the default recompute path with the same inputs.
+    import org.apache.spark.sql.functions._
+    val toks = graft.Tables.documents(spark, d)
+      .withColumn("text", concat(col("text"), repeat(lit(" graftheavytoken"), 3)))
+      .select(explode(graft.ext.TextDedup.tokens(col("text"))).as("token"))
+    val p = graft.ext.Curation.heavyHitters(toks, col("token"), k = 999, minCount = 1000L)
+      .orderBy("item").queryExecution.executedPlan.toString
     assert(p.contains("INSET") || p.contains(" IN ("), p) // candidate filter on the scan side
     assert(!p.contains("Join"), s"exact pass must not join the token stream:\n$p")
     assert("(?<!Broadcast)Exchange".r.findAllIn(p).size <= 2, p)
