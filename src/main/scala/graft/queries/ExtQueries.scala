@@ -504,6 +504,55 @@ object ExtQueries {
              |  CAST(1 AS BIGINT) AS offset_ok, CAST(1 AS BIGINT) AS prefix_ok
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Benchmark decontamination (GPT-3-style k-gram overlap): every 50th
+    // doc plays the benchmark; docs sharing any 5-gram with it are flagged
+    // with exact hit counts. Broadcast benchmark grams — no corpus shuffle
+    // before the per-doc aggregation. Oracle rebuilds the same 5-grams
+    // with DuckDB list ops (the x12 bigram pattern generalized).
+    QuerySpec("x33_contamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+        graft.ext.Contamination.contaminatedDocs(docs, col("doc_id"), col("text"),
+            bench, col("text"), k = 5)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+             |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+             |      FROM t),
+             |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+             |SELECT doc_id, count(*) AS n_hits, count(DISTINCT gram) AS n_grams
+             |FROM g JOIN b USING (gram)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Incremental dedup vs history through a Bloom filter (exact mode):
+    // incoming = every doc re-ingested, odd ids modified (genuinely new).
+    // The bloom passes definitely-new rows with NO join; only might-contain
+    // candidates reach the exact anti-join — result must be bit-identical
+    // to the plain anti-join the oracle computes.
+    QuerySpec("x34_bloom_dedup",
+      (s, d) => {
+        val history = Tables.documents(s, d).select(md5(col("text").cast("binary")).as("digest"))
+        val incoming = Tables.documents(s, d).select(
+            (col("doc_id") + 1000000L).as("doc_id"),
+            when(col("doc_id") % 2 === 1, concat(col("text"), lit(" fresh-variant")))
+              .otherwise(col("text")).as("text"))
+          .withColumn("digest", md5(col("text").cast("binary")))
+        val bloom = graft.ext.BloomDedup.historyBloom(history, "digest",
+          expectedItems = 100000L)
+        graft.ext.BloomDedup.antiJoinExact(incoming, history, "digest", bloom)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH hist AS (SELECT md5(text) AS digest FROM documents),
+             |inc AS (SELECT doc_id + 1000000 AS doc_id,
+             |               CASE WHEN doc_id % 2 = 1 THEN text || ' fresh-variant' ELSE text END AS text
+             |        FROM documents)
+             |SELECT doc_id FROM inc
+             |WHERE md5(text) NOT IN (SELECT digest FROM hist)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Near-dup GROUPS: pairwise MinHash-LSH hits → connected components
     // (hash-min label propagation) → canonical doc per group. The oracle
     // recomputes the exact-Jaccard pair graph and its components with a
