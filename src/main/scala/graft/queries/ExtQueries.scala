@@ -553,6 +553,58 @@ object ExtQueries {
              |WHERE md5(text) NOT IN (SELECT digest FROM hist)
              |ORDER BY doc_id""".stripMargin)),
 
+    // The composed corpus-cleaning chain (FineWeb/Gopher-style): language →
+    // quality → repetition → length → content dedup over the duplicated
+    // corpus, with per-stage accounting riding as observe() metrics — ONE
+    // action flushes all six stage counts. Output is the accounting table;
+    // the oracle recomputes every stage's surviving count by composing the
+    // x07/x08/x24 predicate SQL.
+    QuerySpec("x35_corpus_filter",
+      (s, d) => {
+        import s.implicits._
+        val filtered = graft.ext.CorpusFilter(dupCorpus(s, d), col("doc_id"), col("text"))
+        filtered.df.agg(count(lit(1))).collect() // flush all stage observations
+        filtered.counts.toDF("stage", "n_rows").orderBy("stage")
+      },
+      Some(s"""WITH u AS ($dupCorpusSql),
+             |t AS (SELECT doc_id AS id, text, string_split(lower(text), ' ') AS tk FROM u),
+             |f AS (SELECT id, text, len(text) AS n_chars,
+             |        CASE WHEN len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) >=
+             |                  greatest(len(list_filter(tk, x -> x IN ('the','a','of','and','is'))),
+             |                           len(list_filter(tk, x -> x IN ('el','los','las','es','y'))),
+             |                           len(list_filter(tk, x -> x IN ('le','les','est','et','une'))),
+             |                           len(list_filter(tk, x -> x IN ('的','是','了','在','和')))) THEN 'de'
+             |             WHEN len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) >=
+             |                  greatest(len(list_filter(tk, x -> x IN ('el','los','las','es','y'))),
+             |                           len(list_filter(tk, x -> x IN ('le','les','est','et','une'))),
+             |                           len(list_filter(tk, x -> x IN ('的','是','了','在','和')))) THEN 'en'
+             |             WHEN len(list_filter(tk, x -> x IN ('el','los','las','es','y'))) >=
+             |                  greatest(len(list_filter(tk, x -> x IN ('le','les','est','et','une'))),
+             |                           len(list_filter(tk, x -> x IN ('的','是','了','在','和')))) THEN 'es'
+             |             WHEN len(list_filter(tk, x -> x IN ('le','les','est','et','une'))) >=
+             |                  len(list_filter(tk, x -> x IN ('的','是','了','在','和'))) THEN 'fr'
+             |             ELSE 'zh' END AS predicted,
+             |        round(least(len(tk) * 1.0 / 100, 1.0) * 0.4
+             |            + (len(list_distinct(tk)) * 1.0 / len(tk)) * 0.3
+             |            + (len(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 / len(text)) * 0.3, 3) AS quality,
+             |        CASE WHEN len(tk) - 2 <= 0 THEN 0.0
+             |             ELSE round(1.0 - len(list_distinct(list_transform(range(1, len(tk) - 1),
+             |                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) * 1.0 /
+             |                  (len(tk) - 2), 4) END AS rep3
+             |      FROM t),
+             |p1 AS (SELECT * FROM f  WHERE predicted = 'en'),
+             |p2 AS (SELECT * FROM p1 WHERE quality >= 0.5),
+             |p3 AS (SELECT * FROM p2 WHERE rep3 <= 0.2),
+             |p4 AS (SELECT * FROM p3 WHERE n_chars BETWEEN 100 AND 20000),
+             |counted AS (
+             |  SELECT '0_input' AS stage, count(*) AS n_rows FROM f UNION ALL
+             |  SELECT '1_lang', count(*) FROM p1 UNION ALL
+             |  SELECT '2_quality', count(*) FROM p2 UNION ALL
+             |  SELECT '3_repetition', count(*) FROM p3 UNION ALL
+             |  SELECT '4_length', count(*) FROM p4 UNION ALL
+             |  SELECT '5_dedup', count(DISTINCT text) FROM p4)
+             |SELECT stage, n_rows FROM counted ORDER BY stage""".stripMargin)),
+
     // Near-dup GROUPS: pairwise MinHash-LSH hits → connected components
     // (hash-min label propagation) → canonical doc per group. The oracle
     // recomputes the exact-Jaccard pair graph and its components with a
