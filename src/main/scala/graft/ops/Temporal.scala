@@ -59,4 +59,54 @@ object Temporal {
     val out = leftCols.map(col) ++ payload.map(p => col(s"__match.$p").as(p))
     matched.select(out: _*)
   }
+
+  /** Exact floor(x / c) for long `x` in pure column arithmetic: subtract the
+    * non-negative remainder first, so the remaining division is of an exact
+    * multiple. The double round-trip is exact while |x| < 2⁵³ — for
+    * microsecond epochs that is every timestamp until ~year 2255. (A plain
+    * `floor(x / c)` can misplace boundary values by one cell when the double
+    * quotient rounds across an integer.) */
+  private def floorDiv(x: Column, c: Long): Column =
+    ((x - pmod(x, lit(c))) / lit(c)).cast("long")
+
+  /** Grid-bucketed interval (range) join: every point row paired with every
+    * interval row of the same key whose `[start, end)` contains `pointTime`.
+    *
+    * The naive formulation — equi-join on the key with the two range
+    * predicates as residual filters — materializes ALL same-key
+    * (point, interval) candidates: quadratic per hot key, and with no key at
+    * all it plans as a broadcast nested loop. The grid shape adds time as an
+    * equi-dimension instead: intervals replicate into each `cellMicros`-wide
+    * cell they overlap, points map to exactly ONE cell, and the join runs as
+    * a plain shuffle equi-join on (keys…, cell) with the exact range
+    * predicate as a post-filter. A point's cell holds every interval copy
+    * that could contain it, and holds it ONCE — so no dedup pass is needed.
+    *
+    * Candidate count per point is bounded by intervals-overlapping-its-cell,
+    * not intervals-per-key; replication cost is rows(intervals) ×
+    * avg(ceil(length / cellMicros) + 1). Pick `cellMicros` near the typical
+    * interval length — much smaller over-replicates intervals, much larger
+    * over-widens candidate sets (degrading toward the naive join).
+    *
+    * Empty or inverted intervals (`end <= start`) match nothing; a null
+    * point time or interval bound matches nothing (SQL comparison parity).
+    * Column names must not collide across the two frames apart from `keys`
+    * (rename before calling, as with [[asofBackward]]). */
+  def rangeJoin(points: DataFrame, pointTime: String,
+                intervals: DataFrame, start: String, end: String,
+                keys: Seq[String], cellMicros: Long): DataFrame = {
+    require(cellMicros > 0, s"cellMicros must be positive, got $cellMicros")
+    val iv = intervals
+      .filter(col(end) > col(start))
+      .withColumn("__cell", explode(sequence(
+        floorDiv(unix_micros(col(start)), cellMicros),
+        // end is exclusive: the last overlapped cell is the one holding end-1µs
+        floorDiv(unix_micros(col(end)) - 1, cellMicros))))
+    val pt = points
+      .filter(col(pointTime).isNotNull)
+      .withColumn("__cell", floorDiv(unix_micros(col(pointTime)), cellMicros))
+    pt.join(iv, keys :+ "__cell")
+      .filter(col(pointTime) >= col(start) && col(pointTime) < col(end))
+      .drop("__cell")
+  }
 }

@@ -881,6 +881,33 @@ object ExtQueries {
       },
       Some("""SELECT CAST(hour(ts) AS BIGINT) AS h, count(*) AS n_events,
              |       CAST(sum(event_id) AS BIGINT) AS id_sum
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Grid-bucketed interval (range) join: each click event paired with
+    // every same-user purchase window [ts, ts+6h) containing it. The grid
+    // shape (intervals replicated per 1h cell, points mapped to their one
+    // cell) turns the range predicate into a shuffle EQUI-join on
+    // (user, cell) — the oracle is DuckDB's native inequality join.
+    QuerySpec("x36_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val points = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val intervals = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("iv_id"), col("user_id"),
+            col("ts").as("s"), (col("ts") + expr("INTERVAL 6 HOURS")).as("e"))
+        graft.ops.Temporal.rangeJoin(points, "ts", intervals, "s", "e",
+            keys = Seq("user_id"), cellMicros = 3600L * 1000000L)
+          .select("event_id", "iv_id")
+          .orderBy("event_id", "iv_id")
+      },
+      Some("""WITH iv AS (SELECT event_id AS iv_id, user_id, CAST(ts AS TIMESTAMP) AS s,
+             |                   CAST(ts AS TIMESTAMP) + INTERVAL 6 HOUR AS e
+             |            FROM events WHERE event_type = 'purchase'),
+             |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |      FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, iv.iv_id
+             |FROM p JOIN iv ON p.user_id = iv.user_id AND p.ts >= iv.s AND p.ts < iv.e
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

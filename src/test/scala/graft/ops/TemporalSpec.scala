@@ -62,6 +62,59 @@ class TemporalSpec extends SparkSpec {
     assert(out === 9L)
   }
 
+  test("rangeJoin pairs each point with exactly the intervals containing it") {
+    val intervals = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      (1L, 11L, ts("2024-01-01 11:30:00"), ts("2024-01-01 13:00:00")), // overlaps 10
+      (2L, 20L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (1L, 12L, ts("2024-01-01 15:00:00"), ts("2024-01-01 15:00:00"))  // empty → never matches
+    ).toDF("k", "iv", "s", "e")
+    val points = Seq(
+      (1L, 100L, ts("2024-01-01 10:30:00")), // iv 10 only
+      (1L, 101L, ts("2024-01-01 11:45:00")), // ivs 10 and 11 (overlap region)
+      (1L, 102L, ts("2024-01-01 12:00:00")), // end-exclusive on 10 → iv 11 only
+      (1L, 103L, ts("2024-01-01 15:00:00")), // empty interval → no match
+      (2L, 200L, ts("2024-01-01 10:00:00")), // start-inclusive → iv 20
+      (2L, 201L, ts("2024-01-01 10:30:00"))  // key 2 never sees key 1 intervals
+    ).toDF("k", "pid", "t")
+    // 15-minute cells: intervals span several cells each — exercises the
+    // multi-cell replication and the no-duplicate-per-(point,interval) claim
+    val out = Temporal.rangeJoin(points, "t", intervals, "s", "e",
+        keys = Seq("k"), cellMicros = 15L * 60 * 1000000)
+      .select($"pid", $"iv").as[(Long, Long)].collect().sorted
+    assert(out === Array(100L -> 10L, 101L -> 10L, 101L -> 11L,
+      102L -> 11L, 200L -> 20L, 201L -> 20L).map(p => (p._1, p._2)))
+  }
+
+  test("rangeJoin matches the naive inequality join exactly on a dense random grid") {
+    // every (key, µs-offset) combination near cell boundaries, cell = 1s
+    val intervals = (0L until 40L).map { i =>
+      (i % 3, i, ts("2024-01-01 00:00:00"), new java.sql.Timestamp(
+        ts("2024-01-01 00:00:00").getTime + (i * 733 % 5000)))
+    }.toDF("k", "iv", "s", "e")
+    val points = (0L until 200L).map { p =>
+      (p % 3, p, new java.sql.Timestamp(ts("2024-01-01 00:00:00").getTime + (p * 37 % 5200)))
+    }.toDF("k", "pid", "t")
+    val grid = Temporal.rangeJoin(points, "t", intervals, "s", "e",
+        keys = Seq("k"), cellMicros = 1000000L)
+      .select($"pid", $"iv").as[(Long, Long)].collect().sorted
+    val naive = points.join(intervals, Seq("k"))
+      .filter($"t" >= $"s" && $"t" < $"e")
+      .select($"pid", $"iv").as[(Long, Long)].collect().sorted
+    assert(grid === naive)
+    assert(grid.nonEmpty) // the fixture actually produces matches
+  }
+
+  test("rangeJoin plans as a shuffle equi-join — no nested loop, no cartesian") {
+    val intervals = Seq((1L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("k", "iv", "s", "e")
+    val points = Seq((1L, 100L, ts("2024-01-01 10:30:00"))).toDF("k", "pid", "t")
+    val plan = Temporal.rangeJoin(points, "t", intervals, "s", "e",
+      keys = Seq("k"), cellMicros = 3600000000L).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("asofBackward plan shuffles once on the key — no range join, no cartesian") {
     val right = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("k", "rt", "rid")
     val left = Seq((1L, ts("2024-01-01 10:30:00"))).toDF("k", "lt")
