@@ -103,6 +103,40 @@ object Cleaning {
       when(bad, lit(cap)).otherwise(col(target)).cast(df.schema(target).dataType))
   }
 
+  /** Per-group quantile cap (grouped winsorize): cap `target` at its OWN
+    * group's q-quantile — the grouped generalization of C4, which the
+    * reference cannot express without a Python loop over groups.
+    *
+    * Shape: one grouped aggregation produces the cap table (rows = #groups,
+    * tiny next to the data), joined back as a broadcast; the rewrite is a
+    * codegen'd projection. No `Window.partitionBy.orderBy` — a windowed
+    * percentile would sort every group's full rows; the agg+join shape
+    * shuffles the data once (map-side combined) and sorts only within the
+    * percentile's per-group state.
+    *
+    * Null group keys form their own group and cap each other (pandas
+    * `groupby(dropna=False)` parity) via a null-safe join. Null targets pass
+    * through uncapped (clip parity); an all-null group has a null cap and is
+    * left unchanged. Set `broadcastCaps = false` when the group count itself
+    * is huge (a high-cardinality key at 100 TB) — the join then falls back
+    * to Catalyst's choice instead of forcing a giant broadcast. */
+  def quantileCapByGroup(df: DataFrame, groupCols: Seq[String], target: String,
+                         q: Double, exact: Boolean = true,
+                         broadcastCaps: Boolean = true): DataFrame = {
+    require(groupCols.nonEmpty, "quantileCapByGroup needs at least one group column")
+    val gName = groupCols.map(c => c -> s"__g_$c").toMap
+    val capsRaw = df.groupBy(groupCols.map(col): _*)
+      .agg(percentileOf(col(target), q, exact).as("__cap"))
+      .select(groupCols.map(c => col(c).as(gName(c))) :+ col("__cap"): _*)
+    val caps = if (broadcastCaps) broadcast(capsRaw) else capsRaw
+    val cond = groupCols.map(c => col(c) <=> col(gName(c))).reduce(_ && _)
+    df.join(caps, cond, "left")
+      .withColumn(target,
+        when(col(target) > col("__cap"), col("__cap")).otherwise(col(target))
+          .cast(df.schema(target).dataType))
+      .drop("__cap" +: groupCols.map(gName): _*)
+  }
+
   /** C6 — clamp to [lo, hi] with null passthrough (`DP:146-154`).
     * Spark's `greatest`/`least` SKIP null arguments (they return the
     * non-null extreme), unlike pandas `clip` which propagates NaN — so the

@@ -519,6 +519,29 @@ object CoreQueries {
              |       CAST(nulls_f AS BIGINT) AS nulls_f
              |FROM counted ORDER BY stage""".stripMargin)),
 
+    // Grouped winsorize: each return-flag group capped at its OWN p95 —
+    // the cap table is one grouped agg broadcast back onto the rows (no
+    // per-group window sort). Totals in fixed-point cents; max_after_cap
+    // pins that the cap actually applied per group.
+    QuerySpec("q33_group_winsorize",
+      (s, d) => {
+        val capped = Cleaning.quantileCapByGroup(Tables.lineitem(s, d),
+          Seq("l_returnflag"), "l_extendedprice", q = 0.95)
+        capped.groupBy("l_returnflag")
+          .agg(moneySum(col("l_extendedprice")).as("capped_total"),
+            round(max(col("l_extendedprice")), 2).as("max_after_cap"),
+            n.as("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH caps AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.95) AS cap
+              |              FROM lineitem GROUP BY 1)
+              |SELECT l_returnflag,
+              |       ${sqlMoneySum("CASE WHEN l_extendedprice > cap THEN cap ELSE l_extendedprice END")} AS capped_total,
+              |       round(max(CASE WHEN l_extendedprice > cap THEN cap ELSE l_extendedprice END), 2) AS max_after_cap,
+              |       count(*) AS n_rows
+              |FROM lineitem JOIN caps USING (l_returnflag)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // O3 — min/max bounds → range string (filename-range analog).
     QuerySpec("q23_range_bounds",
       (s, d) => Tables.orders(s, d).agg(

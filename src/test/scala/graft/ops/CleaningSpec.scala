@@ -100,6 +100,45 @@ class CleaningSpec extends SparkSpec {
     assert(imputedThenDeduped.filter($"v" === 5.5).count() === 0)
   }
 
+  test("quantileCapByGroup caps each group at its own quantile, nulls pass through") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(100.0)),
+      ("b", Some(10.0)), ("b", Some(20.0)), ("b", Some(30.0)),
+      ("a", None)
+    ).toDF("g", "v")
+    val out = Cleaning.quantileCapByGroup(df, Seq("g"), "v", q = 0.5)
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    // group a median = 2.0 (nulls excluded), group b median = 20.0
+    val a = out.filter(_._1 == "a").flatMap(_._2).sorted
+    val b = out.filter(_._1 == "b").flatMap(_._2).sorted
+    assert(a === Seq(1.0, 2.0, 2.0))     // 100 capped to a's own median
+    assert(b === Seq(10.0, 20.0, 20.0))  // 30 capped to b's, not a's
+    assert(out.count(_._2.isEmpty) === 1) // null target survives as null
+  }
+
+  test("quantileCapByGroup: null group keys form their own group; all-null group unchanged") {
+    val df = Seq[(Option[String], Option[Double])](
+      (None, Some(1.0)), (None, Some(9.0)),
+      (Some("c"), None), (Some("c"), None)
+    ).toDF("g", "v")
+    val out = Cleaning.quantileCapByGroup(df, Seq("g"), "v", q = 0.0)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getString(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    // q=0 → cap at the group min: the null-key group caps 9.0 down to 1.0
+    assert(out.filter(_._1.isEmpty).flatMap(_._2).sorted === Seq(1.0, 1.0))
+    // group c is all-null → null cap → rows untouched, still null
+    assert(out.filter(_._1.contains("c")).forall(_._2.isEmpty))
+    assert(out.length === 4)
+  }
+
+  test("quantileCapByGroup plans the cap side as a broadcast join, no window sort") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("g", "v")
+    val plan = Cleaning.quantileCapByGroup(df, Seq("g"), "v", q = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("percentileOf approximate mode stays close to exact at scale") {
     val df = (1 to 10000).map(_.toDouble).toDF("v")
     val exact = df.agg(Cleaning.percentileOf($"v", 0.99)).first().getDouble(0)
