@@ -908,6 +908,65 @@ object ExtQueries {
              |      FROM events WHERE event_type = 'click')
              |SELECT p.event_id, iv.iv_id
              |FROM p JOIN iv ON p.user_id = iv.user_id AND p.ts >= iv.s AND p.ts < iv.e
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // TF-IDF keyword extraction: smoothed tf×idf over the whole corpus,
+    // top-5 terms per doc via the bounded-heap aggregate (no per-doc
+    // window over the full vocabulary). Ranking runs on the ROUNDED score
+    // in both engines, so float ulps can't reorder the cut.
+    QuerySpec("x37_tfidf",
+      (s, d) => graft.ext.Tfidf.topKeywords(Tables.documents(s, d),
+          col("doc_id"), col("text"), nTop = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rk"),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |           FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |nd AS (SELECT count(*) AS n FROM documents),
+             |sc AS (SELECT doc_id, term,
+             |              round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+             |       FROM tf JOIN df USING (term), nd)
+             |SELECT doc_id,
+             |       CAST(row_number() OVER (PARTITION BY doc_id
+             |                               ORDER BY tfidf DESC, term) AS BIGINT) AS rk,
+             |       term, tfidf
+             |FROM sc
+             |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 5
+             |ORDER BY doc_id, rk""".stripMargin)),
+
+    // SCD1 upsert (MERGE semantics): every 3rd customer's balance bumped
+    // and segment rewritten, every 10th re-inserted under a new key; the
+    // update batch's KEY SET broadcasts so the target is never shuffled.
+    // Balances emitted in fixed-point cents (Det convention).
+    QuerySpec("x38_upsert",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val updates = cust.filter(col("c_custkey") % 3 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+          .withColumn("c_mktsegment", lit("UPDATED"))
+          .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 1000000L))
+        graft.ops.Upsert.merge(cust, updates, Seq("c_custkey"))
+          .select(col("c_custkey"),
+            round(col("c_acctbal") * 100, 0).cast("long").as("acctbal_cents"),
+            col("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH upd AS (
+             |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+             |         'UPDATED' AS c_mktsegment
+             |  FROM customer WHERE c_custkey % 3 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |  FROM customer WHERE c_custkey % 10 = 0),
+             |merged AS (
+             |  SELECT * FROM upd
+             |  UNION ALL
+             |  SELECT * FROM customer
+             |  WHERE c_custkey NOT IN (SELECT c_custkey FROM upd))
+             |SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             |       c_mktsegment
+             |FROM merged ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -45,6 +45,31 @@ class TopKAggSpec extends SparkSpec {
     assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
   }
 
+  test("topKString ranks by score desc then binary string asc, skips nulls") {
+    val df = Seq(
+      (Some(3.0), Some("banana")), (Some(3.0), Some("apple")), (Some(1.0), Some("zebra")),
+      (None, Some("ghost")), (Some(9.0), None)
+    ).toDF("s", "t")
+    val out = df.agg(TopKAgg.topKString($"s", $"t", 2).as("t"))
+      .select(explode($"t").as("e")).select("e.score", "e.id").collect()
+      .map(r => (r.getDouble(0), r.getString(1))).toSeq
+    assert(out === Seq((3.0, "apple"), (3.0, "banana")))
+  }
+
+  test("topKString equals the window formulation across partitions (serialize/merge path)") {
+    // string ids force the variable-length buffer serialization to round-trip
+    val df = spark.range(10000).repartition(32)
+      .select(($"id" % 5).as("grp"),
+        (($"id" * 2654435761L) % 500).cast("double").as("s"),
+        concat(lit("item-"), format_string("%05d", $"id")).as("t"))
+    val viaAgg = TopKAgg.rankTopKString(df, $"grp", $"s", $"t", 7)
+      .select($"group", $"rk", $"id")
+    val w = Window.partitionBy($"grp").orderBy($"s".desc, $"t".asc)
+    val viaWindow = df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 7).select($"grp".as("group"), $"rk", $"t".as("id"))
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
   test("topK plans as a two-phase aggregate (partial before the shuffle)") {
     val df = spark.range(100).select(($"id" % 3).as("g"), $"id".cast("double").as("s"), $"id")
     val plan = df.groupBy("g").agg(TopKAgg.topK($"s", $"id", 2))
