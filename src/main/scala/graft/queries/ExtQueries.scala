@@ -967,6 +967,100 @@ object ExtQueries {
              |  WHERE c_custkey NOT IN (SELECT c_custkey FROM upd))
              |SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
              |       c_mktsegment
-             |FROM merged ORDER BY c_custkey""".stripMargin))
+             |FROM merged ORDER BY c_custkey""".stripMargin)),
+
+    // ST — event-time tumbling windows under a REAL multi-batch stream:
+    // three chronological file slices drained one per trigger
+    // (AvailableNow), so the watermark genuinely advances between batches;
+    // a sentinel row past the data range pushes the final watermark over
+    // every real window so append mode emits them all. Values ride as
+    // fixed-point cents (long state — streaming sum order can't wobble a
+    // double). The oracle is the plain batch hourly aggregation: a correct
+    // watermark implementation must produce EXACTLY it.
+    QuerySpec("st05_stream_window",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sw").toString
+        val ev = Tables.events(s, d).select(col("ts"),
+          round(col("value") * 100, 0).cast("long").as("value"))
+        val maxTs = ev.agg(max(col("ts"))).first().getTimestamp(0)
+        // chronological slices → later batches are never behind the watermark
+        Seq(dayofmonth(col("ts")) <= 10,
+            dayofmonth(col("ts")).between(11, 20),
+            dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>
+          ev.filter(p).coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+        }
+        import s.implicits._
+        Seq((new java.sql.Timestamp(maxTs.getTime + 12 * 3600 * 1000L), 0L))
+          .toDF("ts", "value").coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice3_flush")
+        // the file source drains oldest-mtime-first; pin strictly increasing
+        // mtimes so slice order (and thus watermark advance) is deterministic
+        // even when writes land within one clock tick
+        Seq("slice0", "slice1", "slice2", "slice3_flush").zipWithIndex.foreach { case (sl, i) =>
+          new java.io.File(s"$tmp/src/$sl").listFiles()
+            .foreach(_.setLastModified(1700000000000L + i * 60000L))
+        }
+        val q = graft.streaming.IncrementalStream.windowedCounts(
+            s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(s"$tmp/src"),
+            "ts", "1 hour", lateness = "1 hour")
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/out")
+          .filter(col("window.start") <= maxTs) // drop the sentinel's window
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("h"),
+            col("n").as("n_events"), col("total_value").as("total_cents"))
+          .orderBy("h")
+      },
+      Some("""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H') AS h,
+             |       count(*) AS n_events,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ST — exactly-once ROWS under a real stream: every 5th event arrives
+    // duplicated inside its batch; dropDuplicatesWithinWatermark must
+    // restore the unique source exactly (event_id is unique in `events`,
+    // so the oracle is the plain batch hourly aggregation — any surviving
+    // dup or dropped original shifts a count/id-sum). Rows emit
+    // immediately in append mode; the watermark only bounds dedup state,
+    // so chronological slices keep every duplicate inside the horizon.
+    QuerySpec("st06_stream_dedup",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sd").toString
+        val ev = Tables.events(s, d).select(col("event_id"), col("ts"))
+        Seq(dayofmonth(col("ts")) <= 10,
+            dayofmonth(col("ts")).between(11, 20),
+            dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>
+          val slice = ev.filter(p)
+          slice.unionByName(slice.filter(col("event_id") % 5 === 0))
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+        }
+        Seq("slice0", "slice1", "slice2").zipWithIndex.foreach { case (sl, i) =>
+          new java.io.File(s"$tmp/src/$sl").listFiles()
+            .foreach(_.setLastModified(1700000000000L + i * 60000L))
+        }
+        val q = graft.streaming.IncrementalStream.dedupedStream(
+            s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(s"$tmp/src"),
+            Seq("event_id"), "ts", lateness = "1 hour")
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/out")
+          .groupBy(hour(col("ts")).cast("long").as("h"))
+          .agg(n.as("n_events"), sum(col("event_id")).as("id_sum"))
+          .orderBy("h")
+      },
+      Some("""SELECT CAST(hour(ts) AS BIGINT) AS h, count(*) AS n_events,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
