@@ -27,6 +27,44 @@ object Curation {
     df.filter(TextAnalysis.hashBucket(key) < quota)
   }
 
+  /** Temperature-scaled mixing quotas: rebalance group proportions from
+    * p_g to p_g^α / Σ p^α (α < 1 flattens — the standard multilingual
+    * rebalancing; α = 1 is a no-op, α = 0 is uniform). Returns one row per
+    * group: (group, n_rows, quota) where `quota` ∈ [0, 256] is the
+    * md5-bucket threshold that downsamples the group toward its target
+    * share — feed it to [[stratifiedSample]]. The largest REQUIRED ratio
+    * maps to 256 (keep everything), so the plan only ever downsamples.
+    *
+    * Deterministic: quotas derive from exact group counts through a fixed
+    * arithmetic pipeline (one grouped count — the corpus is never
+    * re-scanned), and the sampling itself stays the md5-bucket filter. */
+  def temperatureQuotas(df: DataFrame, group: Column, alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    val counts = df.groupBy(group.as("group")).agg(count(lit(1)).as("n_rows"))
+    // target share ∝ n^α; realized share after keeping ratio r_g is
+    // r_g·n_g / Σ r·n. Set r_g ∝ n_g^(α-1) (so r·n ∝ n^α), normalized to
+    // max r = 1 → the biggest downsample hits the SMALLEST quota and the
+    // group with max n^(α-1) (the smallest group) keeps everything.
+    counts.crossJoin(broadcast(
+        counts.agg(max(pow(col("n_rows").cast("double"), alpha - 1.0)).as("__rmax"))))
+      .select(col("group"), col("n_rows"),
+        // ratio rounded to 6 dp BEFORE scaling: pow() may differ by an ulp
+        // across engines (Java Math.pow vs libm pow), and an ulp must not
+        // flip an integer quota
+        round(round(pow(col("n_rows").cast("double"), alpha - 1.0) / col("__rmax"), 6) * 256, 0)
+          .cast("long").as("quota"))
+  }
+
+  /** Apply [[temperatureQuotas]] in one shot: keep a row iff its md5
+    * bucket clears its group's temperature quota. The quota table is
+    * #groups rows — broadcast; the corpus scans once for counts and once
+    * for the filter. */
+  def temperatureSample(df: DataFrame, group: Column, key: Column, alpha: Double): DataFrame =
+    df.join(broadcast(temperatureQuotas(df, group, alpha).select(col("group"), col("quota"))),
+        group === col("group"))
+      .filter(TextAnalysis.hashBucket(key) < col("quota"))
+      .drop("group", "quota")
+
   /** Per-group top-n by score (ties → smallest id): the bounded top-k
     * AGGREGATE ([[graft.functions.TopKAgg]]) keeps an O(n) heap per map
     * task and ships ≤ n entries per task through the shuffle — never a

@@ -198,6 +198,60 @@ object Similarity {
     ivfServe(queries, cells, k, centroids, nprobe)
   }
 
+  /** Product-quantization codebooks: `m` contiguous subspaces of dim/m,
+    * each trained with its own `ksub`-centroid k-means ([[kmeansCentroids]]
+    * on the sliced vectors; same determinism — lowest-id seeds, one
+    * distributed pass per Lloyd iteration). Subspaces train CONCURRENTLY
+    * (independent jobs — wall-clock is one subspace, not m). Result shape:
+    * codebooks(s)(j) = sub-centroid j of subspace s. */
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 4): Array[Array[Array[Double]]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    Await.result(Future.sequence((0 until m).toList.map { s =>
+      Future(kmeansCentroids(corpus.select(col("vec_id"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("embedding")), ksub, iters))
+    }), Duration.Inf).toArray
+  }
+
+  /** Encode the corpus into PQ codes: (id, __code array<int> of length m).
+    * THIS is the frame to persist at 100 TB — m ints per row instead of
+    * dim floats (32× smaller here), the compressed first-pass scan. */
+  def pqEncodeDf(corpus: DataFrame, codebooks: Array[Array[Array[Double]]],
+                 idAs: String = "neighbor_id"): DataFrame =
+    corpus.select(col("vec_id").as(idAs),
+      graft.functions.VectorExprs.pqEncode(toDouble(col("embedding")), codebooks).as("__code"))
+
+  /** PQ-ANN top-k with exact re-ranking: the ADC pass scores every CODE
+    * against each broadcast query (compressed scan — the corpus's raw
+    * vectors never stream through this stage) and keeps `rerank × k`
+    * candidates via the bounded-heap aggregate; only those candidates'
+    * raw vectors are fetched (one hash join) for the exact cosine that
+    * produces the final ranking. Recall is governed by `rerank` and the
+    * codebook resolution, verified in-plan by the caller (x41 pattern). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             codebooks: Array[Array[Array[Double]]], rerank: Int = 5): DataFrame = {
+    import graft.functions.VectorExprs.pqAdcCosine
+    val codes = pqEncodeDf(corpus, codebooks)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      toDouble(col("embedding")).as("__qv")))
+    val adcScored = codes.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", pqAdcCosine(col("__qv"), col("__code"), codebooks))
+    val candidates = graft.functions.TopKAgg
+      .rankTopK(adcScored, col("query_id"), col("sim"), col("neighbor_id"), rerank * k)
+      .select(col("group").as("query_id"), col("id").as("neighbor_id"))
+    val cv = corpus.select(col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("__cv"))
+    val qv = broadcast(queries.select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("__qv")))
+    val exact = candidates
+      .join(cv, Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    rankTopK(exact, k, "query_id", "neighbor_id")
+  }
+
   /** Per-group embedding centroid (dimension-wise mean). One shuffle of
     * (group, dim) pairs with map-side partial aggregation; output is
     * O(#groups × dim) — broadcastable. */

@@ -49,17 +49,25 @@ object TextDedup {
   def minhashSignature(shingleSet: Column, numHashes: Int = 64): Column =
     graft.functions.TextExprs.minhashSig(shingleSet, numHashes)
 
-  /** LSH banding: candidate pairs whose signatures agree on ≥1 band of
-    * `rowsPerBand` consecutive minhashes. Returns (idA, idB) with idA < idB,
-    * distinct. Equi-join on (band index, band hash) — linear shuffle.
-    */
-  def lshCandidates(df: DataFrame, id: Column, sig: Column, rowsPerBand: Int = 2): DataFrame = {
-    val withSig = df.select(id.as("__id"), sig.as("__sig"))
+  /** Per-document LSH band hashes: (id, band index, band hash) — one row
+    * per band, the joinable form of a MinHash signature. This is also the
+    * shape to PERSIST for incremental dedup: write the history's band
+    * table bucketed on (band, bh) once and every ingest equi-joins into it
+    * without recomputing history signatures. */
+  def bandHashes(df: DataFrame, id: Column, sig: Column, rowsPerBand: Int = 2): DataFrame =
+    df.select(id.as("__id"), sig.as("__sig"))
       .withColumn("__nb", (size(col("__sig")) / rowsPerBand).cast("int"))
       .withColumn("__band", explode(sequence(lit(0), col("__nb") - 1)))
       .withColumn("__bh", xxhash64(col("__band"),
         slice(col("__sig"), col("__band") * rowsPerBand + 1, lit(rowsPerBand))))
       .select(col("__id"), col("__band"), col("__bh"))
+
+  /** LSH banding: candidate pairs whose signatures agree on ≥1 band of
+    * `rowsPerBand` consecutive minhashes. Returns (idA, idB) with idA < idB,
+    * distinct. Equi-join on (band index, band hash) — linear shuffle.
+    */
+  def lshCandidates(df: DataFrame, id: Column, sig: Column, rowsPerBand: Int = 2): DataFrame = {
+    val withSig = bandHashes(df, id, sig, rowsPerBand)
     val a = withSig.as("a")
     val b = withSig.as("b")
     a.join(b, col("a.__band") === col("b.__band") && col("a.__bh") === col("b.__bh")
@@ -86,6 +94,54 @@ object TextDedup {
       .withColumn("jacc", jaccard(col("__sha"), col("__shb")))
       .filter(col("jacc") >= threshold)
       .select(col("id_a"), col("id_b"), col("jacc"))
+  }
+
+  /** Incremental MinHash near-dup at INGEST time: near-duplicate pairs
+    * between a NEW batch and the already-ingested history — the cross-set
+    * companion of [[minhashNearDups]] (which dedups a corpus against
+    * itself). Returns (new_id, hist_id, jacc) for every cross pair with
+    * exact Jaccard ≥ threshold; candidates come from a band equi-join of
+    * the two band tables, so the shuffle is O(rows × bands) on each side
+    * and never a self-join of the combined corpus.
+    *
+    * At 100 TB the history's band table is the thing to precompute:
+    * [[bandHashes]] written bucketed on (band, bh) serves every future
+    * ingest without recomputing history signatures (mirrors the persisted
+    * IVF index pattern in [[Similarity]]). Here both sides derive from
+    * text for the self-contained form. */
+  def minhashNearDupsAgainst(newDf: DataFrame, newId: Column, newText: Column,
+                             history: DataFrame, histId: Column, histText: Column,
+                             k: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 2,
+                             threshold: Double = 0.8): DataFrame = {
+    def prep(df: DataFrame, id: Column, text: Column) =
+      df.select(id.as("__id"), shingles(text, k).as("__sh"))
+        .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+    val np = prep(newDf, newId, newText)
+    val hp = prep(history, histId, histText)
+    val cands = bandHashes(np, col("__id"), col("__sig"), rowsPerBand).as("n")
+      .join(bandHashes(hp, col("__id"), col("__sig"), rowsPerBand).as("h"),
+        col("n.__band") === col("h.__band") && col("n.__bh") === col("h.__bh"))
+      .select(col("n.__id").as("new_id"), col("h.__id").as("hist_id"))
+      .distinct()
+    cands
+      .join(np.select(col("__id").as("new_id"), col("__sh").as("__sha")), "new_id")
+      .join(hp.select(col("__id").as("hist_id"), col("__sh").as("__shb")), "hist_id")
+      .withColumn("jacc", jaccard(col("__sha"), col("__shb")))
+      .filter(col("jacc") >= threshold)
+      .select(col("new_id"), col("hist_id"), col("jacc"))
+  }
+
+  /** The ingest filter companion: NEW rows that near-duplicate nothing in
+    * the history (anti-join on the hit set — hits are a vanishing fraction,
+    * so the anti-join side stays tiny). */
+  def dropNearDupsOfHistory(newDf: DataFrame, newId: Column, newText: Column,
+                            history: DataFrame, histId: Column, histText: Column,
+                            k: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 2,
+                            threshold: Double = 0.8): DataFrame = {
+    val hits = minhashNearDupsAgainst(newDf, newId, newText, history, histId, histText,
+      k, numHashes, rowsPerBand, threshold)
+      .select(col("new_id").as("__dup_id")).distinct()
+    newDf.join(broadcast(hits), newId === col("__dup_id"), "left_anti")
   }
 
   /** All-pairs exact shingle-Jaccard within a blocking key (for oracle-sized

@@ -137,8 +137,111 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Product-quantization encode: split `v` into `codebooks.length`
+    * contiguous subspaces and emit, per subspace, the index of the
+    * L2-nearest sub-centroid — the standard PQ code (ties → lowest index).
+    * Input array<double>, output array<int> of length m. The code is what
+    * a 100 TB ANN first pass scans: m small ints instead of dim doubles
+    * (64×8 B → 4×4 B here, 32× smaller). */
+  case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_encode"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val m = codebooks.length
+      val out = new Array[Int](m)
+      var off = 0
+      var s = 0
+      while (s < m) {
+        val cb = codebooks(s)
+        val subDim = cb(0).length
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < cb.length) {
+          val cent = cb(j)
+          var dist = 0.0
+          var i = 0
+          while (i < subDim) {
+            val d = v.getDouble(off + i) - cent(i)
+            dist += d * d
+            i += 1
+          }
+          if (dist < bestD) { bestD = dist; best = j }
+          j += 1
+        }
+        out(s) = best
+        off += subDim
+        s += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PqEncode =
+      copy(child = newChild)
+  }
+
+  /** Asymmetric-distance (ADC) cosine: cosine between the RAW query vector
+    * and the RECONSTRUCTION of a PQ code (per-subspace centroid concat) —
+    * computed without materializing the reconstruction. Sub-centroid
+    * norms are data-independent and precomputed once per expression.
+    * Null when either norm is zero ([[CosineSim]] parity). */
+  case class PqAdcCosine(left: Expression, right: Expression,
+                         codebooks: Array[Array[Array[Double]]])
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "pq_adc_cosine"
+    override def nullable: Boolean = true
+
+    // |recon|² contribution of sub-centroid j in subspace s
+    @transient private lazy val subNormsSq: Array[Array[Double]] =
+      codebooks.map(_.map { c =>
+        var ss = 0.0; var i = 0
+        while (i < c.length) { ss += c(i) * c(i); i += 1 }
+        ss
+      })
+
+    /** left = query array<double>, right = code array<int>. */
+    override protected def nullSafeEval(q: Any, code: Any): Any = {
+      val qv = q.asInstanceOf[ArrayData]
+      val cd = code.asInstanceOf[ArrayData]
+      val m = math.min(codebooks.length, cd.numElements())
+      var dot = 0.0
+      var reconSq = 0.0
+      var qSq = 0.0
+      var off = 0
+      var s = 0
+      while (s < m) {
+        val cent = codebooks(s)(cd.getInt(s))
+        val subDim = cent.length
+        var i = 0
+        while (i < subDim) {
+          val qi = qv.getDouble(off + i)
+          dot += qi * cent(i)
+          qSq += qi * qi
+          i += 1
+        }
+        reconSq += subNormsSq(s)(cd.getInt(s))
+        off += subDim
+        s += 1
+      }
+      val denom = math.sqrt(qSq) * math.sqrt(reconSq)
+      if (denom == 0.0) null else dot / denom
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcCosine =
+      copy(left = l, right = r)
+  }
+
   import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn => column, toExpression => expression}
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    column(PqEncode(expression(v), codebooks))
+  def pqAdcCosine(q: Column, code: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    column(PqAdcCosine(expression(q), expression(code), codebooks))
   def hyperplaneSigs(v: Column, planes: Array[Array[Array[Double]]]): Column =
     column(HyperplaneSigs(expression(v), planes))
   def nearestCentroids(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =

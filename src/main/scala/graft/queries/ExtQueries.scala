@@ -1061,6 +1061,129 @@ object ExtQueries {
       },
       Some("""SELECT CAST(hour(ts) AS BIGINT) AS h, count(*) AS n_events,
              |       CAST(sum(event_id) AS BIGINT) AS id_sum
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Incremental near-dup at ingest: a new batch (every 25th doc
+    // re-arriving with a tail = near-dup of history; every 25th+5 doc
+    // char-reversed = genuinely new) LSH-checked against the full corpus
+    // as history. Band join is cross-set only — never a self-join of
+    // history ∪ batch. The oracle recomputes the exact cross Jaccard.
+    QuerySpec("x39_incremental_neardup",
+      (s, d) => {
+        val hist = Tables.documents(s, d)
+        val incoming = hist.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" graft dedup probe tail")).as("text"))
+          .unionByName(hist.filter(col("doc_id") % 25 === 5)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              reverse(col("text")).as("text")))
+        TextDedup.minhashNearDupsAgainst(incoming, col("doc_id"), col("text"),
+            hist, col("doc_id"), col("text"),
+            k = 3, numHashes = 64, rowsPerBand = 2, threshold = 0.8)
+          .orderBy("new_id", "hist_id")
+      },
+      Some("""WITH inc AS (
+             |  SELECT doc_id + 1000000 AS doc_id, text || ' graft dedup probe tail' AS text
+             |  FROM documents WHERE doc_id % 25 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, reverse(text) FROM documents WHERE doc_id % 25 = 5),
+             |ish AS (SELECT doc_id, list_distinct(list_transform(
+             |          range(1, len(string_split(lower(text), ' ')) - 1),
+             |          i -> string_split(lower(text), ' ')[i] || ' ' ||
+             |               string_split(lower(text), ' ')[i+1] || ' ' ||
+             |               string_split(lower(text), ' ')[i+2])) AS s
+             |        FROM inc),
+             |hsh AS (SELECT doc_id, list_distinct(list_transform(
+             |          range(1, len(string_split(lower(text), ' ')) - 1),
+             |          i -> string_split(lower(text), ' ')[i] || ' ' ||
+             |               string_split(lower(text), ' ')[i+1] || ' ' ||
+             |               string_split(lower(text), ' ')[i+2])) AS s
+             |        FROM documents)
+             |SELECT i.doc_id AS new_id, h.doc_id AS hist_id,
+             |       len(list_intersect(i.s, h.s)) / len(list_distinct(list_concat(i.s, h.s))) AS jacc
+             |FROM ish i JOIN hsh h
+             |  ON len(list_intersect(i.s, h.s)) / len(list_distinct(list_concat(i.s, h.s))) >= 0.8
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Corpus drift gate: per-language PSI between the corpus and a skewed
+    // snapshot (half the English docs dropped). Two aggregations + a
+    // bucket-table join — the snapshots never join row-to-row. Ratios are
+    // rounded BEFORE the log in both engines so the ln() inputs are
+    // bit-identical.
+    QuerySpec("x40_drift_psi",
+      (s, d) => {
+        val ref = Tables.documents(s, d)
+        val newer = ref.filter(!(col("lang") === "en" && col("doc_id") % 2 === 0))
+        graft.ext.Drift.psiByBucket(ref, newer, col("lang"))
+          .orderBy("bucket")
+      },
+      Some("""WITH refc AS (SELECT lang AS bucket, count(*) AS c FROM documents GROUP BY 1),
+             |refd AS (SELECT bucket, round(c * 1.0 / (SELECT sum(c) FROM refc), 6) AS p_ref
+             |         FROM refc),
+             |newc AS (SELECT lang AS bucket, count(*) AS c FROM documents
+             |         WHERE NOT (lang = 'en' AND doc_id % 2 = 0) GROUP BY 1),
+             |newd AS (SELECT bucket, round(c * 1.0 / (SELECT sum(c) FROM newc), 6) AS p_new
+             |         FROM newc),
+             |j AS (SELECT coalesce(r.bucket, n.bucket) AS bucket,
+             |             coalesce(p_ref, 0.0) AS p_ref, coalesce(p_new, 0.0) AS p_new
+             |      FROM refd r FULL OUTER JOIN newd n ON r.bucket = n.bucket)
+             |SELECT bucket, p_ref, p_new,
+             |       round((greatest(p_new, 0.0001) - greatest(p_ref, 0.0001)) *
+             |             ln(greatest(p_new, 0.0001) / greatest(p_ref, 0.0001)), 6) AS psi_term
+             |FROM j ORDER BY bucket""".stripMargin)),
+
+    // Product-quantized ANN: 16 codebooks over 4-dim subspaces compress
+    // each vector to 16 small ints (16 B as bytes vs 512 B raw — the
+    // compressed ADC first pass); top-80 candidates re-rank exactly.
+    // Verified the two ways the oracle CAN check (x06/x18 pattern): each
+    // query's planted identical twin must return at rank 1 (exact rerank
+    // puts sim=1.0 first), and total overlap with the exact brute-force
+    // top-5 must clear 40/50 (measured 45-49 across sf0.001/0.01/0.1 —
+    // these embeddings are near-random, PQ's worst case; clustered real
+    // embeddings quantize far better).
+    QuerySpec("x41_pq_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 10)
+        val corpus = emb.unionByName(q.withColumn("vec_id", col("vec_id") + 100000L))
+        val codebooks = Similarity.pqTrain(corpus, m = 16, ksub = 16, iters = 4)
+        val pq = Similarity.pqTopK(q, corpus, 5, codebooks, rerank = 16)
+        val bf = Similarity.bruteForceTopK(q, corpus, 5)
+        val totalOverlap = pq.select("query_id", "neighbor_id")
+          .join(bf.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("__n"))
+        pq.filter(col("rk") === 1)
+          .select(col("query_id"), col("neighbor_id").as("top1_neighbor_id"))
+          .crossJoin(totalOverlap)
+          .select(col("query_id"), col("top1_neighbor_id"),
+            (col("__n") >= 40).cast("long").as("recall_ok"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, vec_id + 100000 AS top1_neighbor_id,
+             |       CAST(1 AS BIGINT) AS recall_ok
+             |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin)),
+
+    // Temperature-scaled mixing (α = 0.5): quotas derived from exact group
+    // counts flatten language shares toward n^α; sampling stays the
+    // deterministic md5-bucket filter. Output pins both halves — the
+    // computed quota per language and the rows it actually keeps.
+    QuerySpec("x42_temperature_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val quotas = Curation.temperatureQuotas(docs, col("lang"), alpha = 0.5)
+        docs.join(broadcast(quotas), docs("lang") === quotas("group"))
+          .filter(TextAnalysis.hashBucket(col("doc_id")) < col("quota"))
+          .groupBy(col("lang"), col("quota"))
+          .agg(n.as("n_kept"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+             |r AS (SELECT max(pow(n, -0.5)) AS rmax FROM c),
+             |qt AS (SELECT lang, CAST(round(round(pow(n, -0.5) / rmax, 6) * 256) AS BIGINT) AS quota
+             |       FROM c, r)
+             |SELECT d.lang, qt.quota, count(*) AS n_kept
+             |FROM documents d JOIN qt USING (lang)
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < quota
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
   )
 }

@@ -54,4 +54,33 @@ class CurationSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(out === Seq(2L))
   }
+
+  test("temperatureQuotas: alpha=1 keeps everything, alpha=0 equalizes kept counts in expectation") {
+    val df = (Seq.fill(800)("en") ++ Seq.fill(200)("de") ++ Seq.fill(50)("fr"))
+      .zipWithIndex.map { case (l, i) => (l, i.toLong) }.toDF("lang", "id")
+    val q1 = Curation.temperatureQuotas(df, col("lang"), alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(q1.values.forall(_ === 256L)) // n^0 ratio = 1 for every group
+    val q0 = Curation.temperatureQuotas(df, col("lang"), alpha = 0.0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // r_g ∝ 1/n_g normalized to the smallest group: fr keeps all, en keeps 50/800
+    assert(q0("fr") === 256L)
+    assert(q0("en") === math.rint(50.0 / 800 * 256).toLong)
+    assert(q0("de") === math.rint(50.0 / 200 * 256).toLong)
+  }
+
+  test("temperatureSample flattens shares and is a deterministic pure filter") {
+    val df = (Seq.fill(800)("en") ++ Seq.fill(50)("fr"))
+      .zipWithIndex.map { case (l, i) => (l, i.toLong) }.toDF("lang", "id")
+    val once = Curation.temperatureSample(df, col("lang"), col("id"), alpha = 0.5)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val twice = Curation.temperatureSample(df, col("lang"), col("id"), alpha = 0.5)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(once === twice) // rerun keeps the identical row set
+    assert(once("fr") === 50L) // smallest group never downsampled
+    // en's target ratio is sqrt(50/800) = 0.25 → kept ≈ 200 of 800 (md5 variance)
+    assert(once("en") > 120L && once("en") < 280L)
+    // flattening actually happened: en's share dropped toward fr's
+    assert(once("en").toDouble / (once("en") + once("fr")) < 800.0 / 850.0)
+  }
 }

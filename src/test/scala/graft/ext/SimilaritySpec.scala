@@ -94,6 +94,54 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Seq(5L))
   }
 
+  test("pqEncode is deterministic and identical vectors share a code") {
+    val c = corpus
+    val twin = c.filter($"vec_id" === 3).withColumn("vec_id", lit(999L))
+    val cb = Similarity.pqTrain(c, m = 4, ksub = 8, iters = 2)
+    val codes = Similarity.pqEncodeDf(c.unionByName(twin), cb, idAs = "id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(999L) === codes(3L))
+    assert(codes.values.forall(_.length === 4))
+    assert(codes.values.forall(_.forall(j => j >= 0 && j < 8)))
+  }
+
+  test("pqAdcCosine approximates true cosine (and is exact when recon = vector)") {
+    // codebook with a centroid equal to a corpus vector → recon error 0 there
+    val v = Array(1.0, 2.0, 3.0, 4.0)
+    val cb = Array(
+      Array(Array(1.0, 2.0), Array(9.0, 9.0)),
+      Array(Array(3.0, 4.0), Array(-9.0, 9.0)))
+    val df = Seq((Seq(1.0, 2.0, 3.0, 4.0), Seq(0, 0))).toDF("q", "code")
+    val sim = df.select(graft.functions.VectorExprs.pqAdcCosine($"q", $"code", cb))
+      .first().getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-12) // recon == q exactly
+    val off = Seq((Seq(1.0, 2.0, 3.0, 4.0), Seq(1, 1))).toDF("q", "code")
+    val simOff = off.select(graft.functions.VectorExprs.pqAdcCosine($"q", $"code", cb))
+      .first().getDouble(0)
+    assert(simOff < 1.0) // a wrong code cannot look like a perfect match
+  }
+
+  test("pqTopK retrieves a planted identical twin at rank 1 after exact rerank") {
+    val c = corpus
+    val q = c.filter($"vec_id" < 3)
+    val withTwins = c.unionByName(q.withColumn("vec_id", $"vec_id" + 500L))
+    val cb = Similarity.pqTrain(withTwins, m = 4, ksub = 8, iters = 2)
+    val top1 = Similarity.pqTopK(q, withTwins, 3, cb, rerank = 8)
+      .filter($"rk" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top1 === Map(0L -> 500L, 1L -> 501L, 2L -> 502L))
+  }
+
+  test("pqTopK's ADC stage scans codes, not raw vectors (compressed first pass)") {
+    val c = corpus
+    val cb = Similarity.pqTrain(c, m = 4, ksub = 8, iters = 2)
+    val plan = Similarity.pqTopK(c.filter($"vec_id" < 2), c, 3, cb, rerank = 4)
+      .queryExecution.executedPlan.toString
+    // the bounded-heap candidate cut must appear (no window over all pairs)
+    assert(plan.contains("partial_top_k_by_score"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("cosineNearDups finds planted duplicates") {
     val rnd = new scala.util.Random(11)
     val base = (0L until 20L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))

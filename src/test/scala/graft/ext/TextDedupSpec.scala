@@ -199,4 +199,37 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(fast === Set(1L))
   }
+
+  test("minhashNearDupsAgainst finds cross-set near-dups only, never history-internal pairs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val history = Seq(
+      (1L, base),
+      (2L, base + " again"), // near-dup of 1 INSIDE history — must not be reported
+      (3L, "completely different words describing an unrelated subject matter entirely here now")
+    ).toDF("id", "text")
+    val incoming = Seq(
+      (10L, base + " ok"),                                   // near-dup of 1 (and 2)
+      (11L, "fresh unseen content with no overlap at all in any shingle of the corpus")
+    ).toDF("id", "text")
+    val hits = TextDedup.minhashNearDupsAgainst(incoming, $"id", $"text",
+        history, $"id", $"text", threshold = 0.6)
+      .select($"new_id", $"hist_id").as[(Long, Long)].collect().sorted
+    assert(hits.forall { case (n, _) => n >= 10L }) // left side is always the new batch
+    assert(hits.map(_._1).distinct === Array(10L))  // 11 is genuinely new
+    assert(hits.map(_._2).toSet.subsetOf(Set(1L, 2L)))
+    assert(hits.nonEmpty)
+  }
+
+  test("dropNearDupsOfHistory keeps exactly the genuinely-new rows") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val history = Seq((1L, base)).toDF("id", "text")
+    val incoming = Seq(
+      (10L, base + " ok"),
+      (11L, "fresh unseen content with no overlap at all in any shingle of the corpus")
+    ).toDF("id", "text")
+    val kept = TextDedup.dropNearDupsOfHistory(incoming, $"id", $"text",
+        history, $"id", $"text", threshold = 0.6)
+      .select($"id").as[Long].collect()
+    assert(kept === Array(11L))
+  }
 }
