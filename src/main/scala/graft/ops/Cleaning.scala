@@ -137,6 +137,28 @@ object Cleaning {
       .drop("__cap" +: groupCols.map(gName): _*)
   }
 
+  /** Robust outlier filter by modified z-score: keep rows where
+    * |x − median| ≤ k·MAD (MAD = median absolute deviation). The
+    * median/MAD pair is immune to the outliers it hunts — a mean/stddev
+    * filter moves its own threshold when a 1e9 sensor glitch lands in the
+    * batch; the median pair does not. Two aggregation passes (median, then
+    * MAD — the second needs the first as a literal), each a single
+    * O(#scalars)-to-driver reduction; the filter itself is a codegen'd
+    * predicate. Nulls never match the predicate and are dropped (pandas
+    * `df[cond]` parity). An all-null or constant column (MAD 0) keeps only
+    * rows exactly at the median — the textbook degenerate case, documented
+    * rather than special-cased. */
+  def madOutlierFilter(df: DataFrame, target: String, k: Double = 3.5,
+                       exact: Boolean = true): DataFrame = {
+    val med = df.agg(percentileOf(col(target), 0.5, exact)).first() match {
+      case r if r.isNullAt(0) => return df.filter(lit(false)) // all null: nothing survives
+      case r                  => r.get(0).asInstanceOf[Number].doubleValue()
+    }
+    val mad = df.agg(percentileOf(abs(col(target) - med), 0.5, exact)).first()
+      .get(0).asInstanceOf[Number].doubleValue()
+    df.filter(abs(col(target) - med) <= k * mad)
+  }
+
   /** C6 — clamp to [lo, hi] with null passthrough (`DP:146-154`).
     * Spark's `greatest`/`least` SKIP null arguments (they return the
     * non-null extreme), unlike pandas `clip` which propagates NaN — so the

@@ -542,6 +542,31 @@ object CoreQueries {
               |FROM lineitem JOIN caps USING (l_returnflag)
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Robust outlier removal: modified z-score on median/MAD — the filter
+    // threshold is immune to the injected 1000× glitch rows it removes
+    // (a mean/stddev filter would chase its own outliers). Two scalar
+    // aggregation passes, then a codegen'd predicate.
+    QuerySpec("q34_mad_filter",
+      (s, d) => {
+        val inj = Tables.lineitem(s, d).select(col("l_returnflag"),
+          when(col("l_orderkey") % 997 === 0, col("l_extendedprice") * 1000)
+            .otherwise(col("l_extendedprice")).as("v"))
+        Cleaning.madOutlierFilter(inj, "v", k = 3.5)
+          .groupBy("l_returnflag")
+          .agg(n.as("n_rows"), moneySum(col("v")).as("total"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH inj AS (SELECT l_returnflag,
+              |               CASE WHEN l_orderkey % 997 = 0 THEN l_extendedprice * 1000
+              |                    ELSE l_extendedprice END AS v
+              |             FROM lineitem),
+              |m AS (SELECT quantile_cont(v, 0.5) AS med FROM inj),
+              |d AS (SELECT quantile_cont(abs(v - med), 0.5) AS mad FROM inj, m)
+              |SELECT l_returnflag, count(*) AS n_rows, ${sqlMoneySum("v")} AS total
+              |FROM inj, m, d
+              |WHERE abs(v - med) <= 3.5 * mad
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // O3 — min/max bounds → range string (filename-range analog).
     QuerySpec("q23_range_bounds",
       (s, d) => Tables.orders(s, d).agg(

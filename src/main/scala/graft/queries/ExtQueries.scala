@@ -1184,6 +1184,45 @@ object ExtQueries {
              |SELECT d.lang, qt.quota, count(*) AS n_kept
              |FROM documents d JOIN qt USING (lang)
              |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < quota
-             |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // Snapshot reconciliation: customer vs a mutated next dump (every 7th
+    // balance bumped, every 13th record dropped, every 11th re-keyed as
+    // new). One full-outer join on the key; per-status counts and key
+    // sums pin both the classification and its membership.
+    QuerySpec("x43_snapshot_diff",
+      (s, d) => {
+        val before = Tables.customer(s, d)
+        val after = before.filter(col("c_custkey") % 13 =!= 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 5.0)
+              .otherwise(col("c_acctbal")).as("c_acctbal"),
+            col("c_mktsegment"))
+          .unionByName(before.filter(col("c_custkey") % 11 === 0)
+            .select((col("c_custkey") + 3000000L).as("c_custkey"),
+              col("c_acctbal"), col("c_mktsegment")))
+        graft.ops.Reconcile.diff(before, after, Seq("c_custkey"),
+            Seq("c_acctbal", "c_mktsegment"))
+          .groupBy("status")
+          .agg(n.as("n_rows"), sum(col("c_custkey")).as("key_sum"))
+          .orderBy("status")
+      },
+      Some("""WITH a AS (
+             |  SELECT c_custkey,
+             |         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 5.0 ELSE c_acctbal END AS c_acctbal,
+             |         c_mktsegment
+             |  FROM customer WHERE c_custkey % 13 <> 0
+             |  UNION ALL
+             |  SELECT c_custkey + 3000000, c_acctbal, c_mktsegment
+             |  FROM customer WHERE c_custkey % 11 = 0),
+             |j AS (SELECT coalesce(b.c_custkey, a.c_custkey) AS k,
+             |             CASE WHEN a.c_custkey IS NULL THEN 'removed'
+             |                  WHEN b.c_custkey IS NULL THEN 'added'
+             |                  WHEN (b.c_acctbal IS DISTINCT FROM a.c_acctbal)
+             |                    OR (b.c_mktsegment IS DISTINCT FROM a.c_mktsegment) THEN 'changed'
+             |                  ELSE 'unchanged' END AS status
+             |      FROM customer b FULL OUTER JOIN a ON b.c_custkey = a.c_custkey)
+             |SELECT status, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS key_sum
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

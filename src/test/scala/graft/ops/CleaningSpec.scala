@@ -139,6 +139,23 @@ class CleaningSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("madOutlierFilter removes glitches without the threshold chasing them") {
+    // 100 sane values plus two 1e6 glitches: a mean/std filter's threshold
+    // would blow past the glitches; median/MAD must drop exactly those two
+    val df = ((1 to 100).map(_.toDouble) ++ Seq(1e6, -1e6)).toDF("v")
+    val kept = Cleaning.madOutlierFilter(df, "v", k = 3.5)
+      .agg(count(lit(1)), max($"v")).first()
+    assert(kept.getLong(0) === 100L)
+    assert(kept.getDouble(1) === 100.0)
+  }
+
+  test("madOutlierFilter drops nulls (predicate never matches) and handles all-null input") {
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("v")
+    assert(Cleaning.madOutlierFilter(df, "v").count() === 3)
+    val allNull = Seq(Option.empty[Double], None).toDF("v")
+    assert(Cleaning.madOutlierFilter(allNull, "v").count() === 0)
+  }
+
   test("percentileOf approximate mode stays close to exact at scale") {
     val df = (1 to 10000).map(_.toDouble).toDF("v")
     val exact = df.agg(Cleaning.percentileOf($"v", 0.99)).first().getDouble(0)
