@@ -75,6 +75,35 @@ object Curation {
                    nTop: Int): DataFrame =
     graft.functions.TopKAgg.rankTopK(df, group, score, id, nTop)
 
+  /** Per-group percentile-rank normalization WITHOUT a per-group window:
+    * scores become their quantile-bucket rank in [0, 1), so a single
+    * threshold means the same thing in every group (the cross-language
+    * quality-calibration step). `Window.partitionBy(group)` + percent_rank
+    * would funnel each group's full rows through one task — the scale
+    * ceiling; instead ONE grouped aggregation computes `buckets−1`
+    * boundaries per group (rows = #groups — broadcast), and the rank is a
+    * compiled binary search against the group's boundary array
+    * ([[graft.functions.ArrayExprs.LowerBoundCount]], O(log buckets) per
+    * row). Resolution is 1/buckets; `exact = false` swaps the boundary
+    * aggregation to t-digest for the 100 TB path. Null scores and all-null
+    * groups yield null ranks. Appends `rankCol` to the input columns. */
+  def quantileNormalize(df: DataFrame, group: Column, score: Column,
+                        buckets: Int = 100, exact: Boolean = true,
+                        rankCol: String = "qrank"): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val probsCol = array(probs.map(lit): _*)
+    val boundsAgg =
+      if (exact) percentile(score.cast("double"), probsCol)
+      else percentile_approx(score.cast("double"), probsCol, lit(10000))
+    val bounds = df.groupBy(group.as("__g")).agg(boundsAgg.as("__bounds"))
+    df.join(broadcast(bounds), group <=> col("__g"), "left")
+      .withColumn(rankCol,
+        graft.functions.ArrayExprs.lowerBoundCount(score, col("__bounds"))
+          .cast("double") / buckets)
+      .drop("__g", "__bounds")
+  }
+
   /** Exact heavy hitters without an exact-everything shuffle: a Misra-Gries
     * sketch ([[graft.functions.FreqAgg]], O(k) state per task) nominates ≤k
     * candidates, then ONE filtered pass counts just those candidates

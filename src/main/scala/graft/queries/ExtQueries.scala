@@ -14,6 +14,26 @@ import graft.util.Det._
   */
 object ExtQueries {
 
+  /** Staged streaming SOURCES are deterministic functions of the sf dir —
+    * stage once per (kind, sfDir) per JVM and reuse (the bench's min-of-N
+    * reruns must time the STREAM, not re-staging identical input files).
+    * Checkpoints and outputs are NOT cached — every run streams fresh.
+    * The `write` callback stages into `$tmp/src/<slice>` and returns the
+    * slice subdirectories in drain order; mtimes are pinned strictly
+    * increasing so the file source's oldest-first ordering (and thus
+    * watermark advance) is deterministic even within one clock tick. */
+  private val stagedSources = new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private def stagedSource(kind: String, sfDir: String)(write: String => Seq[String]): String =
+    stagedSources.computeIfAbsent((kind, sfDir), { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_$kind").toString
+      val slices = write(tmp)
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        new java.io.File(s"$tmp/src/$sl").listFiles()
+          .foreach(_.setLastModified(1700000000000L + i * 60000L))
+      }
+      tmp
+    })
+
   /** documents ∪ exact duplicates (ids shifted by 1e6) — exercises dedup. */
   private def dupCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -979,30 +999,26 @@ object ExtQueries {
     // watermark implementation must produce EXACTLY it.
     QuerySpec("st05_stream_window",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_sw").toString
         val ev = Tables.events(s, d).select(col("ts"),
           round(col("value") * 100, 0).cast("long").as("value"))
         val maxTs = ev.agg(max(col("ts"))).first().getTimestamp(0)
-        // chronological slices → later batches are never behind the watermark
-        Seq(dayofmonth(col("ts")) <= 10,
-            dayofmonth(col("ts")).between(11, 20),
-            dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>
-          ev.filter(p).coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+        val src = stagedSource("sw", d) { tmp =>
+          // chronological slices → later batches are never behind the watermark
+          Seq(dayofmonth(col("ts")) <= 10,
+              dayofmonth(col("ts")).between(11, 20),
+              dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>
+            ev.filter(p).coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+          }
+          import s.implicits._
+          Seq((new java.sql.Timestamp(maxTs.getTime + 12 * 3600 * 1000L), 0L))
+            .toDF("ts", "value").coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice3_flush")
+          Seq("slice0", "slice1", "slice2", "slice3_flush")
         }
-        import s.implicits._
-        Seq((new java.sql.Timestamp(maxTs.getTime + 12 * 3600 * 1000L), 0L))
-          .toDF("ts", "value").coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice3_flush")
-        // the file source drains oldest-mtime-first; pin strictly increasing
-        // mtimes so slice order (and thus watermark advance) is deterministic
-        // even when writes land within one clock tick
-        Seq("slice0", "slice1", "slice2", "slice3_flush").zipWithIndex.foreach { case (sl, i) =>
-          new java.io.File(s"$tmp/src/$sl").listFiles()
-            .foreach(_.setLastModified(1700000000000L + i * 60000L))
-        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sw_run").toString
         val q = graft.streaming.IncrementalStream.windowedCounts(
             s.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1)
-              .option("recursiveFileLookup", "true").parquet(s"$tmp/src"),
+              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
             "ts", "1 hour", lateness = "1 hour")
           .writeStream.format("parquet")
           .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
@@ -1030,23 +1046,22 @@ object ExtQueries {
     // so chronological slices keep every duplicate inside the horizon.
     QuerySpec("st06_stream_dedup",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_sd").toString
         val ev = Tables.events(s, d).select(col("event_id"), col("ts"))
-        Seq(dayofmonth(col("ts")) <= 10,
-            dayofmonth(col("ts")).between(11, 20),
-            dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>
-          val slice = ev.filter(p)
-          slice.unionByName(slice.filter(col("event_id") % 5 === 0))
-            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+        val src = stagedSource("sd", d) { tmp =>
+          Seq(dayofmonth(col("ts")) <= 10,
+              dayofmonth(col("ts")).between(11, 20),
+              dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>
+            val slice = ev.filter(p)
+            slice.unionByName(slice.filter(col("event_id") % 5 === 0))
+              .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
         }
-        Seq("slice0", "slice1", "slice2").zipWithIndex.foreach { case (sl, i) =>
-          new java.io.File(s"$tmp/src/$sl").listFiles()
-            .foreach(_.setLastModified(1700000000000L + i * 60000L))
-        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sd_run").toString
         val q = graft.streaming.IncrementalStream.dedupedStream(
             s.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1)
-              .option("recursiveFileLookup", "true").parquet(s"$tmp/src"),
+              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
             Seq("event_id"), "ts", lateness = "1 hour")
           .writeStream.format("parquet")
           .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
@@ -1223,6 +1238,64 @@ object ExtQueries {
              |                  ELSE 'unchanged' END AS status
              |      FROM customer b FULL OUTER JOIN a ON b.c_custkey = a.c_custkey)
              |SELECT status, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS key_sum
-             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Per-language percentile-rank normalization of doc length — one
+    // grouped boundary aggregation + compiled binary search per row,
+    // never a per-group window sort. Exact boundaries here; t-digest is
+    // the documented 100 TB flag.
+    QuerySpec("x44_quantile_normalize",
+      (s, d) => Curation.quantileNormalize(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          group = col("lang"), score = col("n_chars"), buckets = 20)
+        .select(col("doc_id"), col("lang"), col("qrank"))
+        .orderBy("doc_id"),
+      Some("""WITH q AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS s FROM documents),
+             |b AS (SELECT lang,
+             |        quantile_cont(s, [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45,
+             |                          0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]) AS bs
+             |      FROM q GROUP BY 1)
+             |SELECT doc_id, lang, len(list_filter(bs, x -> x < s)) / 20.0 AS qrank
+             |FROM q JOIN b USING (lang) ORDER BY doc_id""".stripMargin)),
+
+    // ST — stream-static enrichment join: a file stream of events joins a
+    // broadcast dimension table (the canonical streaming dimension join —
+    // stateless, no watermark, the static side re-resolved per
+    // microbatch). Deterministic segment dim derived from user_id; the
+    // oracle is the identical batch join.
+    QuerySpec("st07_stream_enrich",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        val src = stagedSource("se", d) { tmp =>
+          Seq(dayofmonth(col("ts")) <= 10,
+              dayofmonth(col("ts")).between(11, 20),
+              dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>
+            ev.filter(p).coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+          }
+          ev.select(col("user_id")).distinct()
+            .withColumn("segment", concat(lit("seg_"), (col("user_id") % 4).cast("string")))
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/dim")
+          Seq("slice0", "slice1", "slice2")
+        }
+        val dim = s.read.parquet(s"$src/dim")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_se_run").toString
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("recursiveFileLookup", "true").parquet(s"$src/src")
+          .join(broadcast(dim), Seq("user_id"))
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/out")
+          .groupBy("segment")
+          .agg(n.as("n_events"), sum(col("event_id")).as("id_sum"))
+          .orderBy("segment")
+      },
+      Some("""SELECT 'seg_' || CAST(user_id % 4 AS VARCHAR) AS segment,
+             |       count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -55,6 +55,34 @@ class CurationSpec extends SparkSpec {
     assert(out === Seq(2L))
   }
 
+  test("quantileNormalize ranks within each group on the bucket grid, no window in the plan") {
+    // group a: 1..100 → with 10 buckets, value v ranks ⌊(v-1)/10⌋/10-ish;
+    // group b shifted by 1000 must rank against ITS OWN boundaries
+    val df = ((1 to 100).map(v => ("a", v.toDouble)) ++ (1 to 100).map(v => ("b", v + 1000.0)))
+      .toDF("g", "s")
+    val out = Curation.quantileNormalize(df, $"g", $"s", buckets = 10)
+    val ranks = out.collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(ranks(("a", 1.0)) === 0.0)
+    assert(ranks(("a", 100.0)) === 0.9)
+    assert(ranks(("b", 1001.0)) === 0.0) // own group's scale, not the global one
+    assert(ranks(("b", 1100.0)) === 0.9)
+    // same percentile in both groups → same rank despite disjoint ranges
+    assert(ranks(("a", 55.0)) === ranks(("b", 1055.0)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("quantileNormalize: null scores and all-null groups rank null") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", None),
+      ("c", Option.empty[Double])).toDF("g", "s")
+    val out = Curation.quantileNormalize(df, $"g", $"s", buckets = 4)
+      .collect().map(r => (r.getString(0), Option(r.get(1))) -> r.isNullAt(2)).toMap
+    assert(out(("a", Some(1.0))) === false)
+    assert(out(("a", None)) === true)
+    assert(out(("c", None)) === true)
+  }
+
   test("temperatureQuotas: alpha=1 keeps everything, alpha=0 equalizes kept counts in expectation") {
     val df = (Seq.fill(800)("en") ++ Seq.fill(200)("de") ++ Seq.fill(50)("fr"))
       .zipWithIndex.map { case (l, i) => (l, i.toLong) }.toDF("lang", "id")
