@@ -1285,6 +1285,57 @@ object ExtQueries {
       },
       Some("""SELECT 'seg_' || CAST(user_id % 4 AS VARCHAR) AS segment,
              |       count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS id_sum
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ST — stream-STREAM interval join (the streaming twin of x36's range
+    // join): clicks join purchases of the same user within [purchase,
+    // purchase+6h), both sides watermarked. The 12h watermark delay
+    // exceeds the 6h join window, so with chronological slices no state
+    // needed for a future match is ever evicted — a correct
+    // implementation must emit EXACTLY the batch inequality join.
+    QuerySpec("st08_stream_stream_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        val src = stagedSource("ss", d) { tmp =>
+          Seq(dayofmonth(col("ts")) <= 10,
+              dayofmonth(col("ts")).between(11, 20),
+              dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>
+            ev.filter(p).coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        def leg() = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("recursiveFileLookup", "true").parquet(s"$src/src")
+        val clicks = leg().filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+          .withWatermark("click_ts", "12 hours")
+        val purchases = leg().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+            col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "12 hours")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ss_run").toString
+        val q = clicks.join(purchases,
+            col("user_id") === col("p_user") &&
+              col("click_ts") >= col("purchase_ts") &&
+              col("click_ts") < col("purchase_ts") + expr("INTERVAL 6 HOURS"))
+          .select(col("click_id"), col("purchase_id"))
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/out").orderBy("click_id", "purchase_id")
+      },
+      Some("""WITH p AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |           FROM events WHERE event_type = 'click'),
+             |iv AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS s,
+             |              CAST(ts AS TIMESTAMP) + INTERVAL 6 HOUR AS e
+             |       FROM events WHERE event_type = 'purchase')
+             |SELECT p.click_id, iv.purchase_id
+             |FROM p JOIN iv ON p.user_id = iv.user_id AND p.ts >= iv.s AND p.ts < iv.e
+             |ORDER BY 1, 2""".stripMargin))
   )
 }
