@@ -38,4 +38,32 @@ object Metrics {
   /** A6 — sorted distinct values of a column. */
   def distinctSorted(df: DataFrame, c: Column): DataFrame =
     df.select(c).distinct().orderBy(c)
+
+  /** Order-independent Pearson correlation of two money-like columns per
+    * group. Spark's builtin `corr` accumulates doubles, so two runs (or
+    * two engines) can disagree in the last ulp — unacceptable for a
+    * published data-quality number. Here every sum (Σx, Σy, Σxy, Σx²,
+    * Σy²) runs in EXACT fixed-point: values round to integer cents and
+    * accumulate as decimal(38,0) (merge-order-free), and only the final
+    * closed-form division touches floating point (correctly-rounded ops
+    * on identical inputs → bit-identical everywhere). Precision bound:
+    * cross-moments stay within 38 digits up to ~1e12 rows of ~1e7-cent
+    * values. Rows with a null on either side are excluded (pairwise
+    * complete); a zero-variance side yields null, not a NaN. */
+  def pearsonExact(df: DataFrame, x: Column, y: Column, groupCols: Seq[Column],
+                   as: String = "corr"): DataFrame = {
+    val cx = round(x * 100, 0).cast("decimal(38,0)")
+    val cy = round(y * 100, 0).cast("decimal(38,0)")
+    val agg = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(cx).as("__sx"), sum(cy).as("__sy"), sum(cx * cy).as("__sxy"),
+        sum(cx * cx).as("__sxx"), sum(cy * cy).as("__syy"))
+    val varX = (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val varY = (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    agg.withColumn(as,
+        when(varX > 0 && varY > 0, round(num / (sqrt(varX) * sqrt(varY)), 6)))
+      .drop("__n", "__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
 }

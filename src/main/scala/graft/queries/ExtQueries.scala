@@ -1336,6 +1336,57 @@ object ExtQueries {
              |       FROM events WHERE event_type = 'purchase')
              |SELECT p.click_id, iv.purchase_id
              |FROM p JOIN iv ON p.user_id = iv.user_id AND p.ts >= iv.s AND p.ts < iv.e
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // One-pass dataset profile over events (nulls planted in two columns
+    // by the generator): row/null/exact-distinct counts per column from a
+    // single aggregation job, never a scan per column.
+    QuerySpec("x45_profile",
+      (s, d) => graft.ops.Profile.profile(Tables.events(s, d),
+          Seq("event_id", "user_id", "event_type", "value", "props"))
+        .orderBy("column"),
+      Some("""SELECT col AS "column", n_rows, n_nulls, n_distinct FROM (
+             |  SELECT 'event_id' AS col, count(*) AS n_rows,
+             |         count(*) - count(event_id) AS n_nulls,
+             |         count(DISTINCT event_id) AS n_distinct FROM events
+             |  UNION ALL
+             |  SELECT 'user_id', count(*), count(*) - count(user_id),
+             |         count(DISTINCT user_id) FROM events
+             |  UNION ALL
+             |  SELECT 'event_type', count(*), count(*) - count(event_type),
+             |         count(DISTINCT event_type) FROM events
+             |  UNION ALL
+             |  SELECT 'value', count(*), count(*) - count(value),
+             |         count(DISTINCT value) FROM events
+             |  UNION ALL
+             |  SELECT 'props', count(*), count(*) - count(props),
+             |         count(DISTINCT props) FROM events)
+             |ORDER BY col""".stripMargin)),
+
+    // Order-independent Pearson correlation: exact fixed-point moment
+    // sums (decimal), floating point only in the final closed form —
+    // bit-identical across engines, unlike the builtin double-accumulating
+    // corr().
+    QuerySpec("x46_corr_exact",
+      (s, d) => graft.ops.Metrics.pearsonExact(Tables.lineitem(s, d),
+          col("l_quantity"), col("l_extendedprice"), Seq(col("l_returnflag")),
+          as = "corr_qty_price")
+        .orderBy("l_returnflag"),
+      Some("""WITH c AS (SELECT l_returnflag,
+             |             CAST(round(l_quantity * 100) AS BIGINT) AS cx,
+             |             CAST(round(l_extendedprice * 100) AS BIGINT) AS cy
+             |           FROM lineitem
+             |           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+             |a AS (SELECT l_returnflag, count(*) AS nn, sum(cx) AS sx, sum(cy) AS sy,
+             |             sum(cx * cy) AS sxy, sum(cx * cx) AS sxx, sum(cy * cy) AS syy
+             |      FROM c GROUP BY 1)
+             |SELECT l_returnflag,
+             |       CASE WHEN CAST(nn * sxx - sx * sx AS DOUBLE) > 0
+             |             AND CAST(nn * syy - sy * sy AS DOUBLE) > 0
+             |            THEN round(CAST(nn * sxy - sx * sy AS DOUBLE) /
+             |                       (sqrt(CAST(nn * sxx - sx * sx AS DOUBLE)) *
+             |                        sqrt(CAST(nn * syy - sy * sy AS DOUBLE))), 6)
+             |       END AS corr_qty_price
+             |FROM a ORDER BY 1""".stripMargin))
   )
 }

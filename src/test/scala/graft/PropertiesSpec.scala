@@ -100,4 +100,68 @@ class PropertiesSpec extends SparkSpec {
       assert(got === expected, s"buckets=$buckets n=${keys.length}")
     }
   }
+
+  test("property: rangeJoin equals the naive inequality join on random interval sets") {
+    val gen = for {
+      nIv <- Gen.chooseNum(1, 25)
+      nPt <- Gen.chooseNum(1, 60)
+      ivs <- Gen.listOfN(nIv, for {
+        k <- Gen.chooseNum(0L, 2L); s <- Gen.chooseNum(0L, 5000L); len <- Gen.chooseNum(0L, 2000L)
+      } yield (k, s, s + len))
+      pts <- Gen.listOfN(nPt, for {
+        k <- Gen.chooseNum(0L, 2L); t <- Gen.chooseNum(0L, 7000L)
+      } yield (k, t))
+    } yield (ivs, pts)
+    samples(gen, 6).foreach { case (ivs, pts) =>
+      val base = 1700000000000L
+      val intervals = ivs.zipWithIndex.map { case ((k, s, e), i) =>
+        (k, i.toLong, new java.sql.Timestamp(base + s), new java.sql.Timestamp(base + e))
+      }.toDF("k", "iv", "s", "e")
+      val points = pts.zipWithIndex.map { case ((k, t), i) =>
+        (k, i.toLong, new java.sql.Timestamp(base + t))
+      }.toDF("k", "pid", "t")
+      val grid = ops.Temporal.rangeJoin(points, "t", intervals, "s", "e", Seq("k"), 500L * 1000)
+        .select($"pid", $"iv").as[(Long, Long)].collect().sorted.toSeq
+      val naive = points.join(intervals, Seq("k")).filter($"t" >= $"s" && $"t" < $"e")
+        .select($"pid", $"iv").as[(Long, Long)].collect().sorted.toSeq
+      assert(grid === naive, s"ivs=${ivs.size} pts=${pts.size}")
+    }
+  }
+
+  test("property: Upsert.merge is idempotent and preserves the key universe") {
+    val rows = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.alphaStr.map(_.take(4))))
+    samples(Gen.zip(rows, rows), 6).foreach { case (t, u) =>
+      val target = t.toDF("k", "v")
+      // merge contract: updates key-unique
+      val updates = u.toDF("k", "v").dropDuplicates("k")
+      val once = ops.Upsert.merge(target, updates, Seq("k"))
+      val twice = ops.Upsert.merge(once, updates, Seq("k"))
+      assert(once.collect().map(_.toString).sorted.toSeq === twice.collect().map(_.toString).sorted.toSeq)
+      val expectedKeys = (t.map(_._1) ++ u.map(_._1)).toSet
+      assert(once.select("k").distinct().as[Long].collect().toSet === expectedKeys)
+    }
+  }
+
+  test("property: quantileNormalize ranks lie on the bucket grid in [0, 1)") {
+    samples(Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6)), 6).foreach { vs =>
+      val df = vs.map(("g", _)).toDF("g", "s")
+      val ranks = ext.Curation.quantileNormalize(df, $"g", $"s", buckets = 8)
+        .select("qrank").as[Double].collect()
+      assert(ranks.forall(r => r >= 0.0 && r < 1.0))
+      assert(ranks.forall(r => math.abs(r * 8 - math.rint(r * 8)) < 1e-12)) // grid-aligned
+      // max element must sit in the top bucket once there are ≥ buckets rows
+      if (vs.size >= 8) assert(ranks.max === 0.875)
+    }
+  }
+
+  test("property: PSI is zero on identical snapshots and non-negative otherwise") {
+    val dist = Gen.nonEmptyListOf(Gen.chooseNum(0, 4)).map(_.map(b => s"b$b"))
+    samples(Gen.zip(dist, dist), 6).foreach { case (a, b) =>
+      val ra = a.toDF("bucket")
+      val rb = b.toDF("bucket")
+      assert(ext.Drift.psi(ra, ra, $"bucket").first().getDouble(0) === 0.0)
+      // PSI = Σ (p−q)·ln(p/q): every term non-negative (same sign factors)
+      assert(ext.Drift.psi(ra, rb, $"bucket").first().getDouble(0) >= 0.0)
+    }
+  }
 }

@@ -82,4 +82,30 @@ class DedupMetricsSpec extends SparkSpec {
     assert(Metrics.distinctSorted(df, $"v").collect().map(_.getString(0)).toSeq ===
       Seq("a", "b", "c"))
   }
+
+  test("pearsonExact: perfect / inverse / independent signals, null on zero variance") {
+    def corrOf(rows: Seq[(Double, Double)]): Option[Double] = {
+      val r = Metrics.pearsonExact(rows.toDF("x", "y"), $"x", $"y", Seq(lit(1).as("g")))
+        .select("corr").first()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    assert(corrOf(Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0))) === Some(1.0))
+    assert(corrOf(Seq((1.0, 6.0), (2.0, 4.0), (3.0, 2.0))) === Some(-1.0))
+    assert(corrOf(Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0))) === None) // y constant
+    // matches the builtin double-path corr to well beyond its own noise
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(500)((rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+    val builtin = rows.toDF("x", "y").agg(corr($"x", $"y")).first().getDouble(0)
+    val ours = corrOf(rows).get
+    assert(math.abs(builtin - ours) < 1e-4, s"builtin=$builtin ours=$ours")
+  }
+
+  test("pearsonExact excludes rows with a null on either side (pairwise complete)") {
+    val df = Seq[(Option[Double], Option[Double])](
+      (Some(1.0), Some(1.0)), (Some(2.0), Some(2.0)), (Some(3.0), None), (None, Some(9.0))
+    ).toDF("x", "y")
+    val r = Metrics.pearsonExact(df, $"x", $"y", Seq(lit(1).as("g")))
+      .select("corr").first().getDouble(0)
+    assert(r === 1.0) // only the two complete pairs count
+  }
 }
