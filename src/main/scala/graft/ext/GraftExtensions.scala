@@ -39,7 +39,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => VectorExprs.CosineSim(args.head, args(1))),
     ("jaccard_sim",
       new ExpressionInfo(classOf[TextExprs.JaccardSim].getName, "jaccard_sim"),
-      (args: Seq[Expression]) => TextExprs.JaccardSim(args.head, args(1))))
+      (args: Seq[Expression]) => TextExprs.JaccardSim(args.head, args(1))),
+    ("lower_bound_count",
+      new ExpressionInfo(classOf[graft.functions.ArrayExprs.LowerBoundCount].getName,
+        "lower_bound_count"),
+      (args: Seq[Expression]) => graft.functions.ArrayExprs.LowerBoundCount(args.head, args(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, info, builder) =>

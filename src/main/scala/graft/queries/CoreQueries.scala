@@ -570,6 +570,23 @@ object CoreQueries {
               |WHERE abs(v - med) <= 3.5 * mad
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Pivot (long → wide): yearly revenue by order status as columns. The
+    // pivot values are DECLARED (Seq("F","O","P")) — without them Spark
+    // runs an extra distinct job over the pivot column before planning,
+    // a needless full scan at 100 TB. Cells are fixed-point money sums;
+    // empty cells stay null in both engines.
+    QuerySpec("q35_pivot",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("long").as("year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(moneySum(col("o_totalprice")))
+        .orderBy("year"),
+      Some(s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+              |       ${sqlMoneySum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS F,
+              |       ${sqlMoneySum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O,
+              |       ${sqlMoneySum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P
+              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // O3 — min/max bounds → range string (filename-range analog).
     QuerySpec("q23_range_bounds",
       (s, d) => Tables.orders(s, d).agg(

@@ -1004,17 +1004,19 @@ object ExtQueries {
           Seq("slice0", "slice1", "slice2", "slice3_flush")
         }
         val tmp = java.nio.file.Files.createTempDirectory("graft_sw_run").toString
-        val q = graft.streaming.IncrementalStream.windowedCounts(
-            s.readStream.schema(ev.schema)
-              .option("maxFilesPerTrigger", 1)
-              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
-            "ts", "1 hour", lateness = "1 hour")
-          .writeStream.format("parquet")
-          .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        Staging.withShufflePartitions(s, 8) {
+          val q = graft.streaming.IncrementalStream.windowedCounts(
+              s.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+              "ts", "1 hour", lateness = "1 hour")
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(s"$tmp/out")
           .filter(col("window.start") <= maxTs) // drop the sentinel's window
           .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("h"),
@@ -1047,17 +1049,19 @@ object ExtQueries {
           Seq("slice0", "slice1", "slice2")
         }
         val tmp = java.nio.file.Files.createTempDirectory("graft_sd_run").toString
-        val q = graft.streaming.IncrementalStream.dedupedStream(
-            s.readStream.schema(ev.schema)
-              .option("maxFilesPerTrigger", 1)
-              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
-            Seq("event_id"), "ts", lateness = "1 hour")
-          .writeStream.format("parquet")
-          .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        Staging.withShufflePartitions(s, 8) {
+          val q = graft.streaming.IncrementalStream.dedupedStream(
+              s.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+              Seq("event_id"), "ts", lateness = "1 hour")
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(s"$tmp/out")
           .groupBy(hour(col("ts")).cast("long").as("h"))
           .agg(n.as("n_events"), sum(col("event_id")).as("id_sum"))
@@ -1316,17 +1320,19 @@ object ExtQueries {
             col("ts").as("purchase_ts"))
           .withWatermark("purchase_ts", "12 hours")
         val tmp = java.nio.file.Files.createTempDirectory("graft_ss_run").toString
-        val q = clicks.join(purchases,
-            col("user_id") === col("p_user") &&
-              col("click_ts") >= col("purchase_ts") &&
-              col("click_ts") < col("purchase_ts") + expr("INTERVAL 6 HOURS"))
-          .select(col("click_id"), col("purchase_id"))
-          .writeStream.format("parquet")
-          .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        Staging.withShufflePartitions(s, 8) {
+          val q = clicks.join(purchases,
+              col("user_id") === col("p_user") &&
+                col("click_ts") >= col("purchase_ts") &&
+                col("click_ts") < col("purchase_ts") + expr("INTERVAL 6 HOURS"))
+            .select(col("click_id"), col("purchase_id"))
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(s"$tmp/out").orderBy("click_id", "purchase_id")
       },
       Some("""WITH p AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts

@@ -18,6 +18,19 @@ object Staging {
       tmp
     })
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered —
+    * for STATEFUL streaming queries whose state is tiny (hundreds of keys):
+    * every state-store partition writes its own snapshot/delta files per
+    * microbatch, so 32 partitions × stores × batches is pure checkpoint
+    * fan-out with no parallelism benefit. Batch queries keep the session
+    * default. The stateful operator's partition count is fixed at first
+    * checkpoint anyway — this also documents that choice explicitly. */
+  def withShufflePartitions[A](spark: org.apache.spark.sql.SparkSession, n: Int)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** [[dir]] for multi-slice STREAM sources: `write` stages into
     * `$tmp/src/<slice>` and returns the slices in drain order; file mtimes
     * are pinned strictly increasing so the file source's oldest-first

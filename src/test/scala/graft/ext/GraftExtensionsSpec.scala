@@ -21,6 +21,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("lower_bound_count is SQL-callable (binary search over a sorted array)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT lower_bound_count(2.5d, array(1.0d, 2.0d, 3.0d, 4.0d)) AS c").first()
+    assert(r.getInt(0) === 2)
+  }
+
   test("word_ngrams keeps duplicates; SQL matches the Column API") {
     GraftFunctions.register(spark)
     val sql = spark.sql("SELECT word_ngrams('a b a b', 2) AS g").first().getSeq[String](0)
