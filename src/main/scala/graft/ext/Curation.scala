@@ -27,13 +27,22 @@ object Curation {
     df.filter(TextAnalysis.hashBucket(key) < quota)
   }
 
+  /** The temperature-mixing bucket space: 2^16 md5 buckets, NOT
+    * [[stratifiedSample]]'s 256 — quota resolution is 1/buckets, and with
+    * only 256 buckets any group ≳512^(1/(1-α)) times larger than the
+    * smallest would round to quota 0 and be silently DELETED rather than
+    * downsampled (at web-corpus skews that is the dominant language). */
+  val TemperatureBuckets: Int = 65536
+
   /** Temperature-scaled mixing quotas: rebalance group proportions from
     * p_g to p_g^α / Σ p^α (α < 1 flattens — the standard multilingual
     * rebalancing; α = 1 is a no-op, α = 0 is uniform). Returns one row per
-    * group: (group, n_rows, quota) where `quota` ∈ [0, 256] is the
+    * group: (group, n_rows, quota) where `quota` ∈ [1, 65536] is the
     * md5-bucket threshold that downsamples the group toward its target
-    * share — feed it to [[stratifiedSample]]. The largest REQUIRED ratio
-    * maps to 256 (keep everything), so the plan only ever downsamples.
+    * share. The largest REQUIRED ratio maps to 65536 (keep everything),
+    * so the plan only ever downsamples; the floor of 1 means no nonempty
+    * group is ever zeroed — flattening must never silently delete a
+    * group (a ratio below 1/65536 keeps its sliver instead).
     *
     * Deterministic: quotas derive from exact group counts through a fixed
     * arithmetic pipeline (one grouped count — the corpus is never
@@ -51,19 +60,22 @@ object Curation {
         // ratio rounded to 6 dp BEFORE scaling: pow() may differ by an ulp
         // across engines (Java Math.pow vs libm pow), and an ulp must not
         // flip an integer quota
-        round(round(pow(col("n_rows").cast("double"), alpha - 1.0) / col("__rmax"), 6) * 256, 0)
-          .cast("long").as("quota"))
+        greatest(lit(1L),
+          round(round(pow(col("n_rows").cast("double"), alpha - 1.0) / col("__rmax"), 6)
+            * TemperatureBuckets, 0).cast("long")).as("quota"))
   }
 
   /** Apply [[temperatureQuotas]] in one shot: keep a row iff its md5
     * bucket clears its group's temperature quota. The quota table is
     * #groups rows — broadcast; the corpus scans once for counts and once
-    * for the filter. */
+    * for the filter. Null group keys form their own group (null-safe
+    * join) and are sampled like any other. */
   def temperatureSample(df: DataFrame, group: Column, key: Column, alpha: Double): DataFrame =
-    df.join(broadcast(temperatureQuotas(df, group, alpha).select(col("group"), col("quota"))),
-        group === col("group"))
-      .filter(TextAnalysis.hashBucket(key) < col("quota"))
-      .drop("group", "quota")
+    df.join(broadcast(temperatureQuotas(df, group, alpha)
+        .select(col("group").as("__tq_group"), col("quota"))),
+        group <=> col("__tq_group"))
+      .filter(TextAnalysis.hashBucket16(key) < col("quota"))
+      .drop("__tq_group", "quota")
 
   /** Per-group top-n by score (ties → smallest id): the bounded top-k
     * AGGREGATE ([[graft.functions.TopKAgg]]) keeps an O(n) heap per map

@@ -24,18 +24,22 @@ object Drift {
 
   /** Per-bucket drift table: (bucket, p_ref, p_new, psi_term), ε-floored.
     * All ratios are exact integer-count divisions rounded to 6 dp before
-    * the logarithm, pinning cross-engine determinism. */
+    * the logarithm, pinning cross-engine determinism. A NULL category is
+    * a real bucket: the two sides join null-safely, so null-in-both
+    * counts as one matched bucket, never as a vanished + appeared pair
+    * (which would inflate a zero-drift PSI past the alarm threshold). */
   def psiByBucket(ref: DataFrame, newer: DataFrame, bucket: Column,
                   eps: Double = 1e-4): DataFrame = {
-    def dist(df: DataFrame, pCol: String) = {
-      val counts = df.select(bucket.cast("string").as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("__c"))
+    def dist(df: DataFrame, bCol: String, pCol: String) = {
+      val counts = df.select(bucket.cast("string").as(bCol))
+        .groupBy(bCol).agg(count(lit(1)).as("__c"))
       counts.crossJoin(broadcast(counts.agg(sum(col("__c")).as("__t"))))
-        .select(col("bucket"),
+        .select(col(bCol),
           round(col("__c").cast("double") / col("__t"), 6).as(pCol))
     }
-    dist(ref, "p_ref").join(dist(newer, "p_new"), Seq("bucket"), "full_outer")
-      .select(col("bucket"),
+    dist(ref, "__b_ref", "p_ref")
+      .join(dist(newer, "__b_new", "p_new"), col("__b_ref") <=> col("__b_new"), "full_outer")
+      .select(coalesce(col("__b_ref"), col("__b_new")).as("bucket"),
         coalesce(col("p_ref"), lit(0.0)).as("p_ref"),
         coalesce(col("p_new"), lit(0.0)).as("p_new"))
       .withColumn("psi_term",

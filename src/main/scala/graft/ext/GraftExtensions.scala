@@ -43,7 +43,13 @@ object GraftFunctions {
     ("lower_bound_count",
       new ExpressionInfo(classOf[graft.functions.ArrayExprs.LowerBoundCount].getName,
         "lower_bound_count"),
-      (args: Seq[Expression]) => graft.functions.ArrayExprs.LowerBoundCount(args.head, args(1))))
+      // coerce here: the expression reads raw bytes by double stride, so an
+      // int-typed SQL literal array must be cast, not trusted
+      (args: Seq[Expression]) => graft.functions.ArrayExprs.LowerBoundCount(
+        org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, info, builder) =>

@@ -118,6 +118,11 @@ object TextAnalysis {
   def hashSplit(key: Column, trainBuckets: Int = 205): Column =
     when(hashBucket(key) < trainBuckets, "train").otherwise("test")
 
+  /** [[hashBucket]] at 2^16 resolution (first FOUR md5 hex chars) — for
+    * ratios too fine for a 256 grid (temperature-mixing quotas). */
+  def hashBucket16(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 4), 16, 10).cast("long")
+
   /** Rolling polynomial hash (Rabin-Karp style) over character codes:
     * h = (h * 31 + code) mod 1e9+7 — the building block for shingle
     * fingerprinting; exact long arithmetic. */

@@ -16,7 +16,13 @@ object ArrayExprs {
     * `size(filter(bounds, b => b < v))` walks the whole array
     * interpreted). The building block for quantile-bucket ranking:
     * bounds = per-group quantile boundaries, result / buckets =
-    * percentile rank. Null value or null bounds → null. */
+    * percentile rank. Null value or null bounds → null.
+    *
+    * Construct ONLY through [[ArrayExprs.lowerBoundCount]] or the SQL
+    * registration — both cast the inputs to (double, array<double>);
+    * a raw int-array child would make getDouble read bytes at the wrong
+    * stride. (`ImplicitCastInputTypes` would declare this in-expression,
+    * but its `AbstractDataType` is private[sql] in Spark 4.) */
   case class LowerBoundCount(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = IntegerType
@@ -42,5 +48,6 @@ object ArrayExprs {
 
   import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn => column, toExpression => expression}
   def lowerBoundCount(value: Column, sortedBounds: Column): Column =
-    column(LowerBoundCount(expression(value.cast("double")), expression(sortedBounds)))
+    column(LowerBoundCount(expression(value.cast("double")),
+      expression(sortedBounds.cast("array<double>"))))
 }

@@ -186,7 +186,9 @@ case class TopKByScoreString(
 
   override def serialize(buf: mutable.PriorityQueue[(Double, UTF8String)]): Array[Byte] = {
     val entries = buf.toArray
-    val bb = ByteBuffer.allocate(4 + entries.map(16 + _._2.numBytes()).sum)
+    // 8B score + 4B length prefix + bytes per entry — sized exactly, the
+    // whole array ships through the shuffle
+    val bb = ByteBuffer.allocate(4 + entries.map(12 + _._2.numBytes()).sum)
     bb.putInt(entries.length)
     entries.foreach { case (s, i) =>
       val bytes = i.getBytes

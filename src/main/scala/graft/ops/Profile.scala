@@ -16,19 +16,22 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   /** Long-format profile: (column, n_rows, n_nulls, n_distinct), one row
-    * per requested column (nulls excluded from distinct, SQL semantics). */
+    * per requested column (nulls excluded from distinct, SQL semantics).
+    * Internal aliases are INDEX-based and the unpivot is pure Column API —
+    * a user column name never reaches a SQL parser, so names with spaces,
+    * quotes or dots profile fine. */
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
-      Seq(sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),
-        (if (exact) count_distinct(col(c)) else approx_count_distinct(col(c)))
-          .as(s"__dist_$c"))
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(sum(df(c).isNull.cast("long")).as(s"__nulls_$i"),
+        (if (exact) count_distinct(df(c)) else approx_count_distinct(df(c)))
+          .as(s"__dist_$i"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map(c =>
-      s"'$c', __nulls_$c, __dist_$c").mkString(", ")
-    row.selectExpr(s"stack(${cols.size}, $stacked) as (column, n_nulls, n_distinct)",
-        "__n as n_rows")
-      .select(col("column"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+    row.select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("column"), col("__n").as("n_rows"),
+          col(s"__nulls_$i").as("n_nulls"), col(s"__dist_$i").cast("long").as("n_distinct"))
+      }: _*)).as("__e"))
+      .select(col("__e.column"), col("__e.n_rows"), col("__e.n_nulls"), col("__e.n_distinct"))
   }
 }

@@ -14,9 +14,6 @@ import graft.util.Det._
   */
 object ExtQueries {
 
-  private def stagedSource(kind: String, sfDir: String)(write: String => Seq[String]): String =
-    Staging.slicedSource(kind, sfDir)(write)
-
   /** documents ∪ exact duplicates (ids shifted by 1e6) — exercises dedup. */
   private def dupCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -328,7 +325,7 @@ object ExtQueries {
       (s, d) => {
         import graft.streaming.IncrementalStream
         val ev = Tables.events(s, d)
-        val src = stagedSource("stream", d) { tmp =>
+        val src = Staging.slicedSource("stream", d) { tmp =>
           (0 until 3).foreach { i =>
             ev.filter(col("event_id") % 3 === i).coalesce(1)
               .write.mode("overwrite").parquet(s"$tmp/src/slice$i")
@@ -873,7 +870,7 @@ object ExtQueries {
     QuerySpec("st01_incremental",
       (s, d) => {
         val ev = Tables.events(s, d)
-        val src = stagedSource("inc", d) { tmp =>
+        val src = Staging.slicedSource("inc", d) { tmp =>
           (0 until 3).foreach { i =>
             ev.filter(col("event_id") % 3 === i).coalesce(1)
               .write.mode("overwrite").parquet(s"$tmp/src/slice$i")
@@ -991,7 +988,7 @@ object ExtQueries {
         val ev = Tables.events(s, d).select(col("ts"),
           round(col("value") * 100, 0).cast("long").as("value"))
         val maxTs = ev.agg(max(col("ts"))).first().getTimestamp(0)
-        val src = stagedSource("sw", d) { tmp =>
+        val src = Staging.slicedSource("sw", d) { tmp =>
           // chronological slices → later batches are never behind the watermark
           Seq(dayofmonth(col("ts")) <= 10,
               dayofmonth(col("ts")).between(11, 20),
@@ -1038,7 +1035,7 @@ object ExtQueries {
     QuerySpec("st06_stream_dedup",
       (s, d) => {
         val ev = Tables.events(s, d).select(col("event_id"), col("ts"))
-        val src = stagedSource("sd", d) { tmp =>
+        val src = Staging.slicedSource("sd", d) { tmp =>
           Seq(dayofmonth(col("ts")) <= 10,
               dayofmonth(col("ts")).between(11, 20),
               dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>
@@ -1180,18 +1177,18 @@ object ExtQueries {
         val docs = Tables.documents(s, d)
         val quotas = Curation.temperatureQuotas(docs, col("lang"), alpha = 0.5)
         docs.join(broadcast(quotas), docs("lang") === quotas("group"))
-          .filter(TextAnalysis.hashBucket(col("doc_id")) < col("quota"))
+          .filter(TextAnalysis.hashBucket16(col("doc_id")) < col("quota"))
           .groupBy(col("lang"), col("quota"))
           .agg(n.as("n_kept"))
           .orderBy("lang")
       },
       Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
              |r AS (SELECT max(pow(n, -0.5)) AS rmax FROM c),
-             |qt AS (SELECT lang, CAST(round(round(pow(n, -0.5) / rmax, 6) * 256) AS BIGINT) AS quota
+             |qt AS (SELECT lang, CAST(greatest(round(round(pow(n, -0.5) / rmax, 6) * 65536), 1) AS BIGINT) AS quota
              |       FROM c, r)
              |SELECT d.lang, qt.quota, count(*) AS n_kept
              |FROM documents d JOIN qt USING (lang)
-             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < quota
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) < quota
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
     // Snapshot reconciliation: customer vs a mutated next dump (every 7th
@@ -1259,7 +1256,7 @@ object ExtQueries {
     QuerySpec("st07_stream_enrich",
       (s, d) => {
         val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
-        val src = stagedSource("se", d) { tmp =>
+        val src = Staging.slicedSource("se", d) { tmp =>
           Seq(dayofmonth(col("ts")) <= 10,
               dayofmonth(col("ts")).between(11, 20),
               dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>
@@ -1301,7 +1298,7 @@ object ExtQueries {
       (s, d) => {
         val ev = Tables.events(s, d)
           .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-        val src = stagedSource("ss", d) { tmp =>
+        val src = Staging.slicedSource("ss", d) { tmp =>
           Seq(dayofmonth(col("ts")) <= 10,
               dayofmonth(col("ts")).between(11, 20),
               dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>

@@ -86,15 +86,36 @@ class CurationSpec extends SparkSpec {
   test("temperatureQuotas: alpha=1 keeps everything, alpha=0 equalizes kept counts in expectation") {
     val df = (Seq.fill(800)("en") ++ Seq.fill(200)("de") ++ Seq.fill(50)("fr"))
       .zipWithIndex.map { case (l, i) => (l, i.toLong) }.toDF("lang", "id")
+    val B = Curation.TemperatureBuckets.toLong
     val q1 = Curation.temperatureQuotas(df, col("lang"), alpha = 1.0)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-    assert(q1.values.forall(_ === 256L)) // n^0 ratio = 1 for every group
+    assert(q1.values.forall(_ === B)) // n^0 ratio = 1 for every group
     val q0 = Curation.temperatureQuotas(df, col("lang"), alpha = 0.0)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     // r_g ∝ 1/n_g normalized to the smallest group: fr keeps all, en keeps 50/800
-    assert(q0("fr") === 256L)
-    assert(q0("en") === math.rint(50.0 / 800 * 256).toLong)
-    assert(q0("de") === math.rint(50.0 / 200 * 256).toLong)
+    assert(q0("fr") === B)
+    assert(q0("en") === math.rint(50.0 / 800 * B).toLong)
+    assert(q0("de") === math.rint(50.0 / 200 * B).toLong)
+  }
+
+  test("temperatureQuotas never zeroes a dominant group (quota floor of 1)") {
+    // a group ~1e5x larger than the smallest at alpha=0 has keep-ratio
+    // 1/100001 — beneath the 1/65536 grid, so unfloored rounding would
+    // assign quota 0 and temperatureSample would DELETE the dominant group
+    val skew = (Seq.fill(100001)("big") ++ Seq.fill(1)("tiny"))
+      .zipWithIndex.map { case (l, i) => (l, i.toLong) }.toDF("lang", "id")
+    val q = Curation.temperatureQuotas(skew, col("lang"), alpha = 0.0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(q("big") === 1L) // floored, not zeroed
+    assert(q("tiny") === Curation.TemperatureBuckets.toLong)
+  }
+
+  test("temperatureSample keeps null-group rows (null-safe quota join)") {
+    val df = (Seq.fill(40)(Some("en")) ++ Seq.fill(40)(Option.empty[String]))
+      .zipWithIndex.map { case (l, i) => (l, i.toLong) }.toDF("lang", "id")
+    val kept = Curation.temperatureSample(df, col("lang"), col("id"), alpha = 1.0)
+    assert(kept.count() === 80) // alpha=1 is a no-op for EVERY group, null included
+    assert(kept.filter(col("lang").isNull).count() === 40)
   }
 
   test("temperatureSample flattens shares and is a deterministic pure filter") {

@@ -31,6 +31,15 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(terms("zh") - expected) < 1e-9)
   }
 
+  test("a null category present in both snapshots is one matched bucket, not vanished+appeared") {
+    val withNulls = (Seq.fill(90)(Some("en")) ++ Seq.fill(10)(Option.empty[String]))
+      .toDF("lang")
+    val out = Drift.psiByBucket(withNulls, withNulls, $"lang").collect()
+    assert(out.length === 2) // en + the null bucket, once each
+    assert(out.forall(_.getDouble(3) === 0.0)) // identical snapshots → zero drift
+    assert(Drift.psi(withNulls, withNulls, $"lang").first().getDouble(0) === 0.0)
+  }
+
   test("bigger shifts score bigger PSI (the gate actually orders drift)") {
     val ref = snap("en" -> 50, "de" -> 50)
     val mild = snap("en" -> 55, "de" -> 45)

@@ -26,6 +26,10 @@ class GraftExtensionsSpec extends SparkSpec {
     val r = spark.sql(
       "SELECT lower_bound_count(2.5d, array(1.0d, 2.0d, 3.0d, 4.0d)) AS c").first()
     assert(r.getInt(0) === 2)
+    // int-typed SQL inputs coerce instead of mis-striding the array read
+    val coerced = spark.sql(
+      "SELECT lower_bound_count(3, array(1, 2, 3, 4)) AS c").first()
+    assert(coerced.getInt(0) === 2)
   }
 
   test("word_ngrams keeps duplicates; SQL matches the Column API") {
