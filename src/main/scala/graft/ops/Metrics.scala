@@ -39,6 +39,30 @@ object Metrics {
   def distinctSorted(df: DataFrame, c: Column): DataFrame =
     df.select(c).distinct().orderBy(c)
 
+  /** Incremental aggregate MAINTENANCE: combine already-aggregated rollups
+    * (yesterday's table + today's delta) into the up-to-date rollup
+    * without rescanning raw history — the pattern that keeps a recurring
+    * 100 TB ingest's metric tables O(delta) per day instead of O(total).
+    * Only decomposable measures merge ((partial-)sums, counts-as-sums,
+    * min, max; avg must travel as sum+count and divide at read time).
+    * One union + one grouped aggregation; the rollup tables are tiny next
+    * to the raw data. */
+  def mergeAggregates(parts: Seq[DataFrame], keys: Seq[String],
+                      measures: Seq[(String, String)]): DataFrame = {
+    require(parts.nonEmpty && measures.nonEmpty)
+    val aggs = measures.map {
+      case (c, "sum")   => sum(col(c)).as(c)
+      case (c, "count") => sum(col(c)).as(c) // counts merge by summing
+      case (c, "min")   => min(col(c)).as(c)
+      case (c, "max")   => max(col(c)).as(c)
+      case (c, how) => throw new IllegalArgumentException(
+        s"$c: '$how' is not a decomposable merge (use sum/count/min/max)")
+    }
+    parts.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Order-independent Pearson correlation of two money-like columns per
     * group. Spark's builtin `corr` accumulates doubles, so two runs (or
     * two engines) can disagree in the last ulp — unacceptable for a

@@ -1366,6 +1366,60 @@ object ExtQueries {
              |         count(DISTINCT props) FROM events)
              |ORDER BY col""".stripMargin)),
 
+    // Order-independent dataset content digest: per-row 60-bit md5 prefix
+    // summed in exact decimal — same number regardless of partitioning or
+    // row order, recomputable by any md5-capable engine. The output also
+    // proves change DETECTION: the digest of the table minus one row must
+    // differ (delta = that row's hash, checked in-plan).
+    QuerySpec("x47_dataset_digest",
+      (s, d) => {
+        import graft.ops.Digest
+        val cust = Tables.customer(s, d)
+        val fields = Seq(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        val full = Digest.datasetDigest(cust, fields)
+        val without = Digest.datasetDigest(cust.filter(col("c_custkey") =!= 7), fields)
+        full.crossJoin(without.select(col("n_rows").as("n_rows_b"), col("digest").as("digest_b")))
+          .select(col("n_rows"), col("digest").cast("string").as("digest"),
+            (col("digest") =!= col("digest_b")).cast("long").as("change_detected"))
+      },
+      Some("""WITH h AS (SELECT CAST(('0x' || substr(md5(
+             |              CAST(c_custkey AS VARCHAR) || chr(31) || c_name || chr(31) || c_mktsegment
+             |            ), 1, 15)) AS BIGINT) AS rh, c_custkey
+             |        FROM customer)
+             |SELECT count(*) AS n_rows,
+             |       CAST(sum(rh) AS VARCHAR) AS digest,
+             |       CAST(sum(CASE WHEN c_custkey <> 7 THEN rh END) <> sum(rh) AS BIGINT) AS change_detected
+             |FROM h""".stripMargin)),
+
+    // Incremental rollup maintenance: pre-2000 orders aggregated once
+    // (the "history" metric table), 2000+ aggregated as the delta, merged
+    // WITHOUT rescanning history — must equal the from-scratch rollup the
+    // oracle computes. Counts merge as sums, money as exact cents, dates
+    // as min/max.
+    QuerySpec("x48_incremental_agg",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        def rollup(part: DataFrame) = part.groupBy("o_orderstatus")
+          .agg(n.as("n_orders"),
+            centsSum(col("o_totalprice")).as("total_cents"),
+            min(col("o_orderdate")).as("first_order"),
+            max(col("o_orderdate")).as("last_order"))
+        val history = rollup(orders.filter(year(col("o_orderdate")) < 2000))
+        val delta = rollup(orders.filter(year(col("o_orderdate")) >= 2000))
+        graft.ops.Metrics.mergeAggregates(Seq(history, delta), Seq("o_orderstatus"),
+            Seq("n_orders" -> "count", "total_cents" -> "sum",
+              "first_order" -> "min", "last_order" -> "max"))
+          .select(col("o_orderstatus"), col("n_orders"), col("total_cents"),
+            date_format(col("first_order"), "yyyy-MM-dd").as("first_order"),
+            date_format(col("last_order"), "yyyy-MM-dd").as("last_order"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             |       strftime(min(o_orderdate), '%Y-%m-%d') AS first_order,
+             |       strftime(max(o_orderdate), '%Y-%m-%d') AS last_order
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Order-independent Pearson correlation: exact fixed-point moment
     // sums (decimal), floating point only in the final closed form —
     // bit-identical across engines, unlike the builtin double-accumulating

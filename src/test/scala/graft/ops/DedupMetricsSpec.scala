@@ -100,6 +100,26 @@ class DedupMetricsSpec extends SparkSpec {
     assert(math.abs(builtin - ours) < 1e-4, s"builtin=$builtin ours=$ours")
   }
 
+  test("mergeAggregates: merged partial rollups equal the from-scratch rollup") {
+    val raw = (1L to 100L).map(i => (if (i % 3 == 0) "a" else "b", i, i * 2))
+      .toDF("g", "v", "w")
+    def rollup(df: org.apache.spark.sql.DataFrame) = df.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"), min($"w").as("mn"), max($"w").as("mx"))
+    val parts = Seq(raw.filter($"v" <= 40), raw.filter($"v" > 40 && $"v" <= 80), raw.filter($"v" > 80))
+    val merged = Metrics.mergeAggregates(parts.map(rollup), Seq("g"),
+        Seq("n" -> "count", "sv" -> "sum", "mn" -> "min", "mx" -> "max"))
+      .orderBy("g").collect().map(_.toString)
+    val scratch = rollup(raw).orderBy("g").collect().map(_.toString)
+    assert(merged.toSeq === scratch.toSeq)
+  }
+
+  test("mergeAggregates rejects non-decomposable measures loudly") {
+    val r = Seq(("a", 1L)).toDF("g", "avg_v")
+    intercept[IllegalArgumentException] {
+      Metrics.mergeAggregates(Seq(r), Seq("g"), Seq("avg_v" -> "avg"))
+    }
+  }
+
   test("pearsonExact excludes rows with a null on either side (pairwise complete)") {
     val df = Seq[(Option[Double], Option[Double])](
       (Some(1.0), Some(1.0)), (Some(2.0), Some(2.0)), (Some(3.0), None), (None, Some(9.0))
