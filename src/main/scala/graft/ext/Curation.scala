@@ -72,10 +72,10 @@ object Curation {
     * join) and are sampled like any other. */
   def temperatureSample(df: DataFrame, group: Column, key: Column, alpha: Double): DataFrame =
     df.join(broadcast(temperatureQuotas(df, group, alpha)
-        .select(col("group").as("__tq_group"), col("quota"))),
+        .select(col("group").as("__tq_group"), col("quota").as("__tq_quota"))),
         group <=> col("__tq_group"))
-      .filter(TextAnalysis.hashBucket16(key) < col("quota"))
-      .drop("__tq_group", "quota")
+      .filter(TextAnalysis.hashBucket16(key) < col("__tq_quota"))
+      .drop("__tq_group", "__tq_quota")
 
   /** Per-group top-n by score (ties → smallest id): the bounded top-k
     * AGGREGATE ([[graft.functions.TopKAgg]]) keeps an O(n) heap per map

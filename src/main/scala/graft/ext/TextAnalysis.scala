@@ -108,20 +108,24 @@ object TextAnalysis {
       regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
       "[0-9(][0-9 ()+.-]{7,}[0-9]", "[NUM]")
 
+  /** Stable md5 bucket from the first `hexChars` hex chars of md5(key) —
+    * one canonicalization chain for every bucket width, so the 256- and
+    * 65536-grids can never silently diverge. */
+  private def hashBucketN(key: Column, hexChars: Int): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, hexChars), 16, 10).cast("long")
+
   /** Deterministic hash split: assigns a stable bucket in [0, 256) from the
     * first two hex chars of md5(key) — reproducible across engines, runs,
     * and partitionings (md5 hex is identical in Spark and DuckDB).
     * `train/test` split = threshold on the bucket. */
-  def hashBucket(key: Column): Column =
-    conv(substring(md5(key.cast("string").cast("binary")), 1, 2), 16, 10).cast("long")
+  def hashBucket(key: Column): Column = hashBucketN(key, 2)
 
   def hashSplit(key: Column, trainBuckets: Int = 205): Column =
     when(hashBucket(key) < trainBuckets, "train").otherwise("test")
 
   /** [[hashBucket]] at 2^16 resolution (first FOUR md5 hex chars) — for
     * ratios too fine for a 256 grid (temperature-mixing quotas). */
-  def hashBucket16(key: Column): Column =
-    conv(substring(md5(key.cast("string").cast("binary")), 1, 4), 16, 10).cast("long")
+  def hashBucket16(key: Column): Column = hashBucketN(key, 4)
 
   /** Rolling polynomial hash (Rabin-Karp style) over character codes:
     * h = (h * 31 + code) mod 1e9+7 — the building block for shingle

@@ -25,10 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Digest {
 
-  def rowHash(fields: Seq[Column]): Column =
+  def rowHash(fields: Seq[Column]): Column = {
+    require(fields.nonEmpty,
+      "digest over zero fields would reduce to a row counter — content " +
+        "changes at constant row count would pass undetected")
     conv(substring(md5(
       concat_ws("\u001f", fields.map(c => coalesce(c.cast("string"), lit(""))): _*)
         .cast("binary")), 1, 15), 16, 10).cast("decimal(38,0)")
+  }
 
   /** (n_rows, digest) — the dataset fingerprint. */
   def datasetDigest(df: DataFrame, fields: Seq[Column]): DataFrame =

@@ -17,14 +17,19 @@ object Profile {
 
   /** Long-format profile: (column, n_rows, n_nulls, n_distinct), one row
     * per requested column (nulls excluded from distinct, SQL semantics).
-    * Internal aliases are INDEX-based and the unpivot is pure Column API —
-    * a user column name never reaches a SQL parser, so names with spaces,
-    * quotes or dots profile fine. */
+    * Internal aliases are INDEX-based, the unpivot is pure Column API, and
+    * input names resolve backtick-quoted — a user column name never
+    * reaches a SQL parser and a dotted name is a column, not a struct
+    * path, so names with spaces, quotes or dots profile fine. */
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // df("a.b") parses the unquoted dot as nested-field access; quote the
+    // identifier (embedded backticks escape by doubling) to resolve the
+    // literal column name
+    def c0(c: String) = df(s"`${c.replace("`", "``")}`")
     val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(sum(df(c).isNull.cast("long")).as(s"__nulls_$i"),
-        (if (exact) count_distinct(df(c)) else approx_count_distinct(df(c)))
+      Seq(sum(c0(c).isNull.cast("long")).as(s"__nulls_$i"),
+        (if (exact) count_distinct(c0(c)) else approx_count_distinct(c0(c)))
           .as(s"__dist_$i"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)

@@ -99,10 +99,11 @@ class CurationSpec extends SparkSpec {
   }
 
   test("temperatureQuotas never zeroes a dominant group (quota floor of 1)") {
-    // a group ~1e5x larger than the smallest at alpha=0 has keep-ratio
-    // 1/100001 — beneath the 1/65536 grid, so unfloored rounding would
-    // assign quota 0 and temperatureSample would DELETE the dominant group
-    val skew = (Seq.fill(100001)("big") ++ Seq.fill(1)("tiny"))
+    // at alpha=0 and 200001:1 skew the keep-ratio rounds to 5e-6 and
+    // 5e-6 * 65536 = 0.32768 rounds DOWN to 0 — without the floor the
+    // dominant group gets quota 0 and temperatureSample deletes it
+    // (100001:1 would round 0.65536 UP to 1 and not catch a regression)
+    val skew = (Seq.fill(200001)("big") ++ Seq.fill(1)("tiny"))
       .zipWithIndex.map { case (l, i) => (l, i.toLong) }.toDF("lang", "id")
     val q = Curation.temperatureQuotas(skew, col("lang"), alpha = 0.0)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
