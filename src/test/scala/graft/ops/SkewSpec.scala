@@ -38,4 +38,40 @@ class SkewSpec extends SparkSpec {
       .filter($"k" === "hot").select("__salt").distinct().count()
     assert(salted > 1)
   }
+
+  test("AQE skew-join splits the hot partition at runtime (the built-in alternative to salting)") {
+    // force a sort-merge join and make the skew detector's thresholds tiny,
+    // so the one hot key's partition qualifies for a runtime split
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // pad rows so the hot partition's shuffle bytes clear the threshold;
+      // the right side is dimension-like (one row per key) so the join
+      // output stays linear and the skew lives in the LEFT hot partition
+      val big = (1 to 20000).map { i =>
+        (if (i % 10 == 0) s"key_${i % 7}" else "hot", "x" * 100)
+      }.toDF("k", "pad")
+      val right = ("hot" +: (0 to 6).map(i => s"key_$i")).zipWithIndex
+        .map { case (k, i) => (k, i.toLong) }.toDF("k", "w")
+      val joined = big.join(right, "k")
+      // materialize THIS Dataset's own execution — AQE decides the skew
+      // split from runtime shuffle stats, and only this queryExecution's
+      // final plan records it
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(500))
+      assert(plan.contains("skew=true"), plan.take(2000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
