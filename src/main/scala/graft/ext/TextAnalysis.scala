@@ -100,6 +100,18 @@ object TextAnalysis {
   /** Stable content fingerprint (md5 of lowercased text, 16 hex chars). */
   def fingerprint(text: Column): Column = substring(md5(lower(text).cast("binary")), 1, 16)
 
+  /** Unicode NFC normalization (native expression; JDK-builtin, fast-path
+    * for already-normal text). Run BEFORE any digest/shingle dedup:
+    * composed and decomposed spellings of the same text must collide. */
+  def nfcNormalize(text: Column): Column = graft.functions.TextExprs.nfcNormalize(text)
+
+  /** Canonical text for dedup keys: NFC + whitespace runs squeezed to one
+    * space + trimmed. Deliberately NOT lowercased — Unicode case mapping
+    * is the one step whose tables drift across engines/locales; callers
+    * who want it compose `lower` on top. */
+  def canonicalizeText(text: Column): Column =
+    trim(regexp_replace(nfcNormalize(text), "\\s+", " "))
+
   /** PII redaction: emails → [EMAIL], long digit runs (phone-ish) → [NUM].
     * Character-class-only regexes so Java (Spark) and RE2 (DuckDB oracle)
     * agree. */

@@ -204,8 +204,31 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** Unicode NFC normalization (JDK `java.text.Normalizer`, no ICU
+    * dependency): composes combining sequences to their canonical
+    * precomposed form, so "café" typed as e+COMBINING ACUTE and as the
+    * single é codepoint digest/dedup identically. Fast path: texts already
+    * in NFC (the overwhelming majority of a crawl) are detected with
+    * `isNormalized` and returned as-is, no re-encode. */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfc_normalize"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+      copy(child = newChild)
+  }
+
   // Column-level wrappers
   import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn => column, toExpression => expression}
+  def nfcNormalize(text: Column): Column = column(NfcNormalize(expression(text)))
   def wordShingles(text: Column, k: Int): Column = column(WordShingles(expression(text), k))
   def wordNgrams(text: Column, k: Int): Column =
     column(WordShingles(expression(text), k, distinct = false, collapseShort = false))

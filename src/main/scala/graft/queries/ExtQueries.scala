@@ -1401,6 +1401,39 @@ object ExtQueries {
              |                           ORDER BY ts DESC, event_id DESC) = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // Unicode canonicalization before dedup: every 10th doc gets a
+    // DECOMPOSED "café" tail (e + COMBINING ACUTE) plus ragged whitespace;
+    // canonicalizeText (NFC + whitespace squeeze + trim) must make it
+    // byte-identical to the precomposed spelling — checked through the
+    // md5 fingerprint so the oracle compares normalized BYTES, not
+    // rendering. DuckDB's nfc_normalize is the cross-engine oracle.
+    QuerySpec("x49_normalize",
+      (s, d) => {
+        // the tail is DECOMPOSED on both sides: 'e' + U+0301 combining
+        // acute (DuckDB: || chr(769)) — canonicalization must compose it
+        val planted = Tables.documents(s, d).withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit("  visit   the café ")))
+            .otherwise(col("text")))
+        planted.select(col("doc_id"),
+            md5(TextAnalysis.canonicalizeText(col("text")).cast("binary")).as("canon_md5"),
+            (length(col("text")) - length(TextAnalysis.canonicalizeText(col("text"))))
+              .cast("long").as("chars_removed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 10 = 0
+             |              THEN text || '  visit   the cafe' || chr(769) || ' '
+             |              ELSE text END AS text
+             |  FROM documents),
+             |c AS (SELECT doc_id, text,
+             |        trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')) AS canon
+             |      FROM planted)
+             |SELECT doc_id, md5(canon) AS canon_md5,
+             |       length(text) - length(canon) AS chars_removed
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // One-pass dataset profile over events (nulls planted in two columns
     // by the generator): row/null/exact-distinct counts per column from a
     // single aggregation job, never a scan per column.

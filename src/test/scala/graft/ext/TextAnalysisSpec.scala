@@ -108,4 +108,28 @@ class TextAnalysisSpec extends SparkSpec {
     // "spam spam spam spam spam" → 3 trigrams, 1 distinct → 1 - 1/3
     assert(rep("spam spam spam spam spam") === 0.6667)
   }
+
+  test("nfcNormalize composes combining sequences; canonicalizeText makes spellings collide") {
+    val decomposed = "café"  // e + COMBINING ACUTE
+    val composed = "café"     // precomposed é
+    val df = Seq((1L, decomposed), (2L, composed)).toDF("id", "t")
+    val out = df.select($"id", TextAnalysis.nfcNormalize($"t").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === composed) // composed form wins
+    assert(out(2L) === composed) // already-normal fast path returns it unchanged
+    // the dedup consequence: digests collide only after canonicalization
+    val canon = df.select(TextAnalysis.canonicalizeText($"t")).distinct().count()
+    val raw = df.select($"t").distinct().count()
+    assert(raw === 2 && canon === 1)
+  }
+
+  test("canonicalizeText squeezes whitespace runs and trims, preserving inner content") {
+    val canon = Seq(Tuple1("  a\t\tb \n c  ")).toDF("t")
+      .select(TextAnalysis.canonicalizeText($"t")).first().getString(0)
+    assert(canon === "a b c")
+    // idempotent: canonical text is its own canonical form
+    val twice = Seq(Tuple1(canon)).toDF("t")
+      .select(TextAnalysis.canonicalizeText($"t")).first().getString(0)
+    assert(twice === canon)
+  }
 }
