@@ -108,9 +108,12 @@ object TextAnalysis {
   /** Canonical text for dedup keys: NFC + whitespace runs squeezed to one
     * space + trimmed. Deliberately NOT lowercased — Unicode case mapping
     * is the one step whose tables drift across engines/locales; callers
-    * who want it compose `lower` on top. */
+    * who want it compose `lower` on top. The whitespace class is EXPLICIT
+    * (space, tab, LF, VT, FF, CR): Java's \s includes vertical tab, RE2's
+    * (the DuckDB oracle dialect) does not — a bare \s would silently
+    * diverge cross-engine on documents containing U+000B. */
   def canonicalizeText(text: Column): Column =
-    trim(regexp_replace(nfcNormalize(text), "\\s+", " "))
+    trim(regexp_replace(nfcNormalize(text), "[ \\t\\n\\u000B\\f\\r]+", " "))
 
   /** PII redaction: emails → [EMAIL], long digit runs (phone-ish) → [NUM].
     * Character-class-only regexes so Java (Spark) and RE2 (DuckDB oracle)

@@ -1351,13 +1351,14 @@ object ExtQueries {
 
     // ST — foreachBatch custom sink maintaining an UPSERTED state table:
     // each microbatch reduces to its latest row per user (argmax dedup)
-    // and MERGEs into the versioned state directory (write-new-then-read,
-    // never overwrite-in-place — object-store safe). Chronological slices
-    // mean later batches win, so the final state must equal the batch
-    // argmax over all events — the oracle.
+    // and merges into the versioned state directory (write-new-then-read,
+    // never overwrite-in-place — object-store safe). The merge is itself
+    // an argmax on (ts, event_id) — NOT last-batch-wins — so the final
+    // state equals the batch argmax over all events (the oracle) no
+    // matter how events are sliced into batches.
     QuerySpec("st09_stream_upsert",
       (s, d) => {
-        import graft.ops.{Dedup, Upsert}
+        import graft.ops.Dedup
         val ev = Tables.events(s, d)
           .select(col("event_id"), col("user_id"), col("ts"),
             round(col("value") * 100, 0).cast("long").as("cents"))
@@ -1379,9 +1380,15 @@ object ExtQueries {
           .foreachBatch { (batch: DataFrame, id: Long) =>
             val updates = Dedup.latestPerKey(batch,
               Seq(col("user_id")), ord = col("ts"), col("event_id"))
+            // argmax-merge: the state row survives unless the batch has a
+            // NEWER row for the key (an unconditional Upsert.merge would
+            // be last-BATCH-wins and silently corrupt state if slices
+            // ever arrived out of event-time order)
             val merged = stateDir match {
-              case Some(prev) => Upsert.merge(s.read.parquet(prev), updates, Seq("user_id"))
-              case None       => updates
+              case Some(prev) => Dedup.latestPerKey(
+                s.read.parquet(prev).unionByName(updates),
+                Seq(col("user_id")), ord = col("ts"), col("event_id"))
+              case None => updates
             }
             val next = s"$tmp/state_v$id"
             merged.write.mode("overwrite").parquet(next)
@@ -1415,10 +1422,11 @@ object ExtQueries {
           when(col("doc_id") % 10 === 0,
             concat(col("text"), lit("  visit   the café ")))
             .otherwise(col("text")))
-        planted.select(col("doc_id"),
-            md5(TextAnalysis.canonicalizeText(col("text")).cast("binary")).as("canon_md5"),
-            (length(col("text")) - length(TextAnalysis.canonicalizeText(col("text"))))
-              .cast("long").as("chars_removed"))
+        planted
+          .withColumn("canon", TextAnalysis.canonicalizeText(col("text")))
+          .select(col("doc_id"),
+            md5(col("canon").cast("binary")).as("canon_md5"),
+            (length(col("text")) - length(col("canon"))).cast("long").as("chars_removed"))
           .orderBy("doc_id")
       },
       Some("""WITH planted AS (
@@ -1428,7 +1436,7 @@ object ExtQueries {
              |              ELSE text END AS text
              |  FROM documents),
              |c AS (SELECT doc_id, text,
-             |        trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')) AS canon
+             |        trim(regexp_replace(nfc_normalize(text), '[ \t\n\v\f\r]+', ' ', 'g')) AS canon
              |      FROM planted)
              |SELECT doc_id, md5(canon) AS canon_md5,
              |       length(text) - length(canon) AS chars_removed
