@@ -233,9 +233,15 @@ object Similarity {
     * produces the final ranking. Recall is governed by `rerank` and the
     * codebook resolution, verified in-plan by the caller (x41 pattern). */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-             codebooks: Array[Array[Array[Double]]], rerank: Int = 5): DataFrame = {
+             codebooks: Array[Array[Array[Double]]], rerank: Int = 5): DataFrame =
+    pqTopKFromCodes(queries, pqEncodeDf(corpus, codebooks), corpus, k, codebooks, rerank)
+
+  /** [[pqTopK]] serving off a PERSISTED code table (`(neighbor_id, __code)`)
+    * — the production shape: encode once per corpus snapshot, serve many
+    * query batches off the 32×-smaller frame without re-encoding. */
+  def pqTopKFromCodes(queries: DataFrame, codes: DataFrame, corpus: DataFrame, k: Int,
+                      codebooks: Array[Array[Array[Double]]], rerank: Int = 5): DataFrame = {
     import graft.functions.VectorExprs.pqAdcCosine
-    val codes = pqEncodeDf(corpus, codebooks)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       toDouble(col("embedding")).as("__qv")))
     val adcScored = codes.join(q, col("query_id") =!= col("neighbor_id"))

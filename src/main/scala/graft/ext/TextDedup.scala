@@ -113,9 +113,15 @@ object TextDedup {
                              history: DataFrame, histId: Column, histText: Column,
                              k: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 2,
                              threshold: Double = 0.8): DataFrame = {
+    // each side's shingle+minhash lineage feeds BOTH the band join and the
+    // exact-Jaccard verification joins — persist so the signature pass (the
+    // dominant cost at scale) runs once per side, not twice. Materializes
+    // lazily at first use; freed by the session's next cache clear (or pass
+    // precomputed signature tables and skip prep entirely at 100 TB).
     def prep(df: DataFrame, id: Column, text: Column) =
       df.select(id.as("__id"), shingles(text, k).as("__sh"))
         .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val np = prep(newDf, newId, newText)
     val hp = prep(history, histId, histText)
     val cands = bandHashes(np, col("__id"), col("__sig"), rowsPerBand).as("n")

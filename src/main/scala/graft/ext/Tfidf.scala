@@ -27,10 +27,15 @@ object Tfidf {
   private def score(tf: Column, df: Column, n: Column): Column =
     round(tf * (log((n + 1.0) / (df + 1.0)) + 1.0), 4)
 
-  /** Full (id, term, tfidf) relevance table. Tokenization matches
-    * [[TextAnalysis.tokens]] (lowercased whitespace split). */
+  /** Full (id, term, tfidf) relevance table. Tokenization is a WHITESPACE-
+    * CLASS split (tabs/newlines split too, runs collapse) with empty terms
+    * dropped — unlike [[TextAnalysis.tokens]]'s single-space split, a
+    * doubled space can't mint a phantom "" keyword and 'a\nb' can't reach
+    * the ranking as one glued term. */
   def termScores(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val terms = docs.select(id.as("id"), explode(TextAnalysis.tokens(text)).as("term"))
+    val terms = docs
+      .select(id.as("id"), explode(split(lower(text), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("__n"))

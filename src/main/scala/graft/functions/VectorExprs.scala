@@ -208,14 +208,24 @@ object VectorExprs {
     override protected def nullSafeEval(q: Any, code: Any): Any = {
       val qv = q.asInstanceOf[ArrayData]
       val cd = code.asInstanceOf[ArrayData]
-      val m = math.min(codebooks.length, cd.numElements())
+      val m = codebooks.length
+      // a code from a different encoder (wrong subspace count or centroid
+      // range) must fail loudly — silent truncation would return
+      // plausible-but-wrong similarities that skew rankings undetectably
+      if (cd.numElements() != m)
+        throw new IllegalArgumentException(
+          s"PQ code has ${cd.numElements()} subspaces but codebooks have $m — mis-paired encoder")
       var dot = 0.0
       var reconSq = 0.0
       var qSq = 0.0
       var off = 0
       var s = 0
       while (s < m) {
-        val cent = codebooks(s)(cd.getInt(s))
+        val ci = cd.getInt(s)
+        if (ci < 0 || ci >= codebooks(s).length)
+          throw new IllegalArgumentException(
+            s"PQ centroid index $ci out of range [0, ${codebooks(s).length}) in subspace $s")
+        val cent = codebooks(s)(ci)
         val subDim = cent.length
         var i = 0
         while (i < subDim) {
@@ -224,7 +234,7 @@ object VectorExprs {
           qSq += qi * qi
           i += 1
         }
-        reconSq += subNormsSq(s)(cd.getInt(s))
+        reconSq += subNormsSq(s)(ci)
         off += subDim
         s += 1
       }
