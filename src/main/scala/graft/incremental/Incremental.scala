@@ -23,7 +23,10 @@ object Incremental {
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** S2/P1/P2/O1 — recursive listing, pattern + watermark filter, mtime asc. */
+  /** S2/P1/P2/O1 — recursive listing, pattern + watermark filter, mtime asc.
+    * Driver state is the full MATCHING set — fine for thousands of files;
+    * for bucket-scale trees use [[listingDf]] + [[takeBatch]], which keep
+    * the listing distributed and collect only the mtime-ordered batch. */
   def discover(spark: SparkSession, dir: String, pattern: String = ".*\\.parquet$",
                watermark: Long = 0L): Seq[FileMeta] = {
     val f = fs(spark, dir)
@@ -37,6 +40,73 @@ object Incremental {
         out += FileMeta(s.getPath.toString, s.getModificationTime, s.getLen)
     }
     out.sortBy(m => (m.mtime, m.path)).toSeq
+  }
+
+  /** DISTRIBUTED recursive listing as a DataFrame (path, mtime, size):
+    * the driver lists only the root's immediate children; each executor
+    * task then streams its own subtree through a RemoteIterator (never a
+    * whole-subtree buffer), and the pattern/watermark filters run inside
+    * the plan. At 10⁷ objects (a realistic 100 TB raw bucket) the driver
+    * never materializes the listing — compose with [[takeBatch]] so only
+    * the batch it actually processes ever reaches driver heap. */
+  def listingDf(spark: SparkSession, dir: String, pattern: String = ".*\\.parquet$",
+                watermark: Long = 0L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    val (subDirs, rootFiles) =
+      if (!f.exists(p)) (Seq.empty[FileStatus], Seq.empty[FileStatus])
+      else f.listStatus(p).toSeq.partition(_.isDirectory)
+    val rootMetas = rootFiles
+      .map(s => FileMeta(s.getPath.toString, s.getModificationTime, s.getLen))
+    // hadoop Configuration is not serializable — ship its entries and
+    // rebuild per task (keeps custom fs.* schemes working on executors)
+    val confEntries = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+    }
+    val bc = spark.sparkContext.broadcast(confEntries)
+    val parallelism = math.max(1, math.min(subDirs.size, spark.sparkContext.defaultParallelism))
+    val subMetas = spark.sparkContext
+      .parallelize(subDirs.map(_.getPath.toString), parallelism)
+      .flatMap { d =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        bc.value.foreach { case (k, v) => conf.set(k, v) }
+        val dp = new Path(d)
+        val it = dp.getFileSystem(conf).listFiles(dp, true)
+        new Iterator[FileMeta] {
+          def hasNext: Boolean = it.hasNext
+          def next(): FileMeta = {
+            val s = it.next()
+            FileMeta(s.getPath.toString, s.getModificationTime, s.getLen)
+          }
+        }
+      }
+    subMetas.toDF().unionByName(rootMetas.toDF())
+      // anchored: [[discover]] uses String.matches (full match); RLIKE alone
+      // is a find() and would accept e.g. "xyellow_tripdata…" for a stem
+      .filter(element_at(split(col("path"), "/"), -1).rlike(s"^(?:$pattern)$$"))
+      .filter(col("mtime") > watermark)
+  }
+
+  /** The batch frame: `listing` minus tracked paths (anti-join — Spark
+    * picks broadcast when the tracker is small), mtime-then-path ordered,
+    * limited to `maxFiles`. The GlobalLimit sits UNDER the collect, so
+    * driver state is O(maxFiles) however large the bucket. */
+  def batchDf(listing: DataFrame, tracker: DataFrame, maxFiles: Int = Int.MaxValue): DataFrame = {
+    val fresh = listing.join(tracker.select("path"), Seq("path"), "left_anti")
+      .sort("mtime", "path")
+    if (maxFiles == Int.MaxValue) fresh else fresh.limit(maxFiles)
+  }
+
+  /** [[batchDf]], collected into the driver-side batch. */
+  def takeBatch(spark: SparkSession, listing: DataFrame, tracker: DataFrame,
+                maxFiles: Int = Int.MaxValue): Seq[FileMeta] = {
+    import spark.implicits._
+    batchDf(listing, tracker, maxFiles).as[FileMeta].collect()
+      .sortBy(m => (m.mtime, m.path)).toSeq
   }
 
   /** The reference's first-run watermark: `datetime(2000, 1, 1, tzinfo=utc)`
@@ -128,19 +198,23 @@ object Incremental {
     */
   def run(spark: SparkSession, srcDir: String, stateDir: String, outDir: String)
          (transform: DataFrame => DataFrame): Int = {
-    import spark.implicits._
     val wm = readWatermark(spark, stateDir)
-    val discovered = discover(spark, srcDir, watermark = 0L) // watermark is an optimization; tracker is authority
-    if (discovered.isEmpty) return 0
-    val tracker = readTracker(spark, stateDir)
-    val fresh = discovered.toDF()
-      .join(broadcast(tracker), Seq("path"), "left_anti")
-      .as[FileMeta].collect().sortBy(m => (m.mtime, m.path))
-    if (fresh.isEmpty) { writeWatermark(spark, stateDir, Instant.now.toEpochMilli); return 0 }
-    val batch = spark.read.parquet(fresh.map(_.path): _*)
-    transform(batch).write.mode("append").parquet(outDir)
-    appendTracker(spark, stateDir, fresh.map(_.path).toSeq)
-    writeWatermark(spark, stateDir, math.max(wm, fresh.map(_.mtime).max))
-    fresh.length
+    // watermark=0 is deliberate: the mtime watermark is an optimization,
+    // the tracker is the exactly-once authority. The listing stays
+    // DISTRIBUTED (listingDf) and only unprocessed paths are collected —
+    // driver state is O(this run's batch), not O(bucket).
+    val listing = listingDf(spark, srcDir, watermark = 0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (listing.isEmpty) return 0
+      val tracker = readTracker(spark, stateDir)
+      val fresh = takeBatch(spark, listing, tracker)
+      if (fresh.isEmpty) { writeWatermark(spark, stateDir, Instant.now.toEpochMilli); return 0 }
+      val batch = spark.read.parquet(fresh.map(_.path): _*)
+      transform(batch).write.mode("append").parquet(outDir)
+      appendTracker(spark, stateDir, fresh.map(_.path))
+      writeWatermark(spark, stateDir, math.max(wm, fresh.map(_.mtime).max))
+      fresh.length
+    } finally listing.unpersist()
   }
 }

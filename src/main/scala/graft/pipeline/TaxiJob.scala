@@ -36,16 +36,21 @@ object TaxiJob {
           exactPercentiles: Boolean = true,
           clock: () => Long = () => java.time.Instant.now.toEpochMilli): JobResult = {
 
-    // 3-5: watermark + tracker + discovery (S2/P1/P2/O1), oldest-first
-    val discovered = Incremental.discover(spark, rawDir,
-      pattern = s"$filenameStem.*\\.parquet$$")
-    if (discovered.isEmpty)
+    // 3-5: watermark + tracker + discovery (S2/P1/P2/O1), oldest-first.
+    // The listing stays DISTRIBUTED (Incremental.listingDf) and the
+    // tracker anti-join + mtime sort + top-k batch limit (6-7, J1/O2) run
+    // inside the plan — only the ≤ maxFiles batch ever reaches the driver,
+    // so a 10⁷-object raw bucket costs executor time, not driver heap.
+    val listing = Incremental.listingDf(spark, rawDir,
+        pattern = s"$filenameStem.*\\.parquet$$")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val anyDiscovered = !listing.isEmpty
+    if (!anyDiscovered)
       return JobResult("no_new_files", Nil, 0, Nil, "")
 
-    // 6-7: tracker anti-join (J1) + top-k batch limit (O2)
-    val tracker = Incremental.readTracker(spark, stateDir)
-      .collect().map(_.getString(0)).toSet
-    val fresh = discovered.filterNot(m => tracker(m.path)).take(maxFiles)
+    val fresh = Incremental.takeBatch(spark, listing,
+      Incremental.readTracker(spark, stateDir), maxFiles)
     if (fresh.isEmpty) {
       Incremental.writeWatermark(spark, stateDir, clock())
       return JobResult("all_files_processed", Nil, 0, Nil, "")
@@ -111,5 +116,6 @@ object TaxiJob {
 
     JobResult("success", fresh.map(_.path), rowsOut, metricNames, processingId,
       rowCounts = Map("rows_validated" -> rowsIn, "rows_out" -> rowsOut))
+    } finally listing.unpersist()
   }
 }

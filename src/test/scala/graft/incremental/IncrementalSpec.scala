@@ -122,6 +122,41 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.readWatermark(spark, s"$root/state") > Incremental.DefaultWatermarkMillis)
   }
 
+  test("bucket-scale discovery: listing distributed, only the batch collected") {
+    val root = tmp()
+    // many-file synthetic listing: 12 subdirs × 25 files, mtimes pinned
+    // strictly increasing across (dir, file) so ordering is deterministic
+    val base = 1700000000000L
+    (0 until 12).foreach { d =>
+      Files.createDirectories(java.nio.file.Paths.get(root, "src", s"d$d"))
+      (0 until 25).foreach { i =>
+        val f = java.nio.file.Paths.get(root, "src", s"d$d", f"part_$d%02d_$i%02d.parquet")
+        Files.writeString(f, "x")
+        f.toFile.setLastModified(base + (d * 25 + i) * 1000L)
+      }
+    }
+    Files.writeString(java.nio.file.Paths.get(root, "src", "skip.txt"), "no")
+    val listing = Incremental.listingDf(spark, s"$root/src")
+    assert(listing.count() === 300) // pattern filter dropped the .txt
+    // watermark filter runs inside the plan
+    assert(Incremental.listingDf(spark, s"$root/src",
+      watermark = base + 150 * 1000L - 1).count() === 150)
+    // tracker anti-join + mtime order + top-k: oldest UNTRACKED files win
+    val first10 = Incremental.takeBatch(spark, listing, Seq.empty[String].toDF("path"), 10)
+    assert(first10.map(_.mtime) === (0 until 10).map(i => base + i * 1000L))
+    val tracker = first10.map(_.path).toDF("path")
+    val batch = Incremental.takeBatch(spark, listing, tracker, 5)
+    assert(batch.map(_.mtime) === (10 until 15).map(i => base + i * 1000L))
+    // bounded-collect proof: the limit sits UNDER the collect (GlobalLimit
+    // in the optimized plan; sort+limit fuse to TakeOrderedAndProject in
+    // the physical plan — only k rows ever reach the driver, no full sort)
+    val qe = Incremental.batchDf(listing, tracker, 5).queryExecution
+    assert(qe.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => g
+    }.nonEmpty)
+    assert(qe.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("discover filters by pattern and sorts by mtime") {
     val root = tmp()
     Seq(1).toDF("v").write.parquet(s"$root/src/a")
