@@ -10,10 +10,15 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: [[decodeImage]] parses genuine PNG/JPEG/GIF/BMP
   * headers through the JDK-builtin `javax.imageio` stack (header-only — no
   * pixel decode), and [[encodeImage]] writes real bytes with the same
-  * codecs, giving a round-trip oracle. Audio/video payloads have no JDK
-  * codec, so [[decodeStub]] remains for them: deterministic fake metadata
-  * derived from the bytes, same struct shape — swap for an
-  * ffmpeg-over-mapPartitions codec in production.
+  * codecs, giving a round-trip oracle. AUDIO and VIDEO metadata decode are
+  * REAL too: [[decodeWav]] parses RIFF/WAVE chunk headers (sample rate,
+  * channels, bit depth, duration) and [[decodeMp4]] walks ISO-BMFF boxes
+  * (mvhd duration/timescale, tkhd track dims) — pure-JVM byte walks, no
+  * codec library ([[graft.functions.MediaExprs]]), with [[encodeWav]] /
+  * [[encodeMp4]] as round-trip fixture generators. [[decodeStub]] remains
+  * ONLY for genuinely unparseable payloads (exotic containers, codec
+  * bitstream internals) — swap for an ffmpeg-over-mapPartitions codec in
+  * production.
   */
 object Multimodal {
 
@@ -48,9 +53,34 @@ object Multimodal {
                   format: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.ImageExprs.encodeImage(width, height, format)
 
-  /** STUB "decode" for codec-less payloads (audio/video): deterministic fake
-    * metadata derived purely from payload bytes. Replace with a real codec;
-    * pure column expressions so it stays in whole-stage codegen. */
+  /** Real WAV/RIFF header decode: (n_bytes, sample_rate, channels,
+    * bits_per_sample, n_samples, duration_ms) from actual RIFF chunk
+    * headers; null for payloads that aren't parseable RIFF/WAVE. */
+  def decodeWav(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.MediaExprs.wavMeta(payload)
+
+  /** Minimal spec-conformant PCM WAV encoder (deterministic samples) —
+    * the decode round-trip fixture generator. */
+  def encodeWav(sampleRate: org.apache.spark.sql.Column, channels: org.apache.spark.sql.Column,
+                nSamples: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.MediaExprs.encodeWav(sampleRate, channels, nSamples)
+
+  /** Real MP4/ISO-BMFF header decode: (n_bytes, duration_ms, timescale,
+    * width, height, brand) from the box tree; null for non-BMFF payloads. */
+  def decodeMp4(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.MediaExprs.mp4Meta(payload)
+
+  /** Minimal spec-conformant MP4 encoder (ftyp + moov/mvhd + trak/tkhd) —
+    * the decode round-trip fixture generator. */
+  def encodeMp4(width: org.apache.spark.sql.Column, height: org.apache.spark.sql.Column,
+                durationMs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.MediaExprs.encodeMp4(width, height, durationMs)
+
+  /** STUB "decode" for genuinely unparseable payloads (exotic containers,
+    * codec bitstream internals — images/WAV/MP4 have REAL decoders above):
+    * deterministic fake metadata derived purely from payload bytes. Replace
+    * with a real codec; pure column expressions so it stays in whole-stage
+    * codegen. */
   def decodeStub(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val nb = length(payload).cast("long")
     struct(

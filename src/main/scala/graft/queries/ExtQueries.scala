@@ -355,6 +355,53 @@ object ExtQueries {
              |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
              |FROM documents WHERE doc_id <= 64 ORDER BY doc_id""".stripMargin)),
 
+    // REAL audio/video header decode round-trip (the x29 story for WAV and
+    // MP4): parameters picked arithmetically per row, rendered into
+    // spec-conformant RIFF/BMFF bytes (MediaExprs encoders), parsed back
+    // header-only by WavMeta/Mp4Meta. The oracle recomputes the arithmetic
+    // — including the derived duration_ms — in SQL; a wrong encoder OR
+    // decoder on either container breaks the match. Even rows carry WAV,
+    // odd rows MP4, so both parsers also prove they REJECT (null out) the
+    // other container's bytes.
+    QuerySpec("x50_media_decode",
+      (s, d) => Tables.documents(s, d).filter(col("doc_id") <= 64)
+        .select(col("doc_id"),
+          (col("doc_id") % 3 * 8000 + 8000).as("sr"),      // 8k/16k/24k Hz
+          expr("doc_id % 4 DIV 2 + 1").as("nch"), // 1- and 2-channel on even ids
+          (col("doc_id") % 50 * 400 + 400).as("nsamp"),
+          (col("doc_id") % 64 * 16 + 320).as("vw"),
+          (col("doc_id") % 36 * 16 + 240).as("vh"),
+          (col("doc_id") % 90 * 1000 + 1000).as("vdur"))
+        .withColumn("payload",
+          when(col("doc_id") % 2 === 0,
+            Multimodal.encodeWav(col("sr"), col("nch"), col("nsamp")))
+          .otherwise(Multimodal.encodeMp4(col("vw"), col("vh"), col("vdur"))))
+        .withColumn("wav", Multimodal.decodeWav(col("payload")))
+        .withColumn("mp4", Multimodal.decodeMp4(col("payload")))
+        .select(col("doc_id"),
+          coalesce(col("wav.sample_rate"), lit(-1L)).as("sample_rate"),
+          coalesce(col("wav.channels"), lit(-1L)).as("channels"),
+          coalesce(col("wav.duration_ms"), col("mp4.duration_ms")).as("duration_ms"),
+          coalesce(col("mp4.width"), lit(-1L)).as("width"),
+          coalesce(col("mp4.height"), lit(-1L)).as("height"),
+          coalesce(col("mp4.brand"), lit("wav")).as("container"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 3 * 8000 + 8000
+             |            ELSE -1 END AS BIGINT) AS sample_rate,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 4 // 2 + 1
+             |            ELSE -1 END AS BIGINT) AS channels,
+             |  CAST(CASE WHEN doc_id % 2 = 0
+             |            THEN (doc_id % 50 * 400 + 400) * 1000
+             |                 // (doc_id % 3 * 8000 + 8000)
+             |            ELSE doc_id % 90 * 1000 + 1000 END AS BIGINT) AS duration_ms,
+             |  CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 64 * 16 + 320
+             |            ELSE -1 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 36 * 16 + 240
+             |            ELSE -1 END AS BIGINT) AS height,
+             |  CASE WHEN doc_id % 2 = 1 THEN 'isom' ELSE 'wav' END AS container
+             |FROM documents WHERE doc_id <= 64 ORDER BY doc_id""".stripMargin)),
+
     // ST5 — Structured-Streaming incremental drain: the file-source
     // checkpoint gives exactly-once file handling (subsumes watermark +
     // tracker); AvailableNow drains the backlog and stops, and a second

@@ -85,6 +85,89 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeWav round-trips encodeWav header-exactly") {
+    val r = docs.select($"doc_id",
+        Multimodal.encodeWav(lit(16000), lit(2), lit(8000) + $"doc_id").as("wav"))
+      .select($"doc_id", Multimodal.decodeWav($"wav").as("m"))
+      .filter($"doc_id" === 2).selectExpr("m.sample_rate", "m.channels",
+        "m.bits_per_sample", "m.n_samples", "m.duration_ms", "m.n_bytes").first()
+    assert(r.getLong(0) === 16000L)
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === 16L)
+    assert(r.getLong(3) === 8002L)
+    assert(r.getLong(4) === 8002L * 1000 / 16000) // floor ms
+    assert(r.getLong(5) === 44L + 8002L * 2 * 2)
+  }
+
+  test("decodeWav against independently-written javax.sound bytes, not our encoder") {
+    // bytes from the JDK's own WAV writer — proves the parser reads real
+    // RIFF output, not just its sibling encoder's
+    val fmt = new javax.sound.sampled.AudioFormat(22050f, 16, 2, true, false)
+    val frames = 4410L
+    val data = new Array[Byte](frames.toInt * fmt.getFrameSize)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val bytes = bos.toByteArray
+    val r = Seq(Tuple1(bytes)).toDF("payload")
+      .select(Multimodal.decodeWav($"payload").as("m"))
+      .selectExpr("m.sample_rate", "m.channels", "m.bits_per_sample",
+        "m.n_samples", "m.duration_ms").first()
+    assert(r.getLong(0) === 22050L)
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === 16L)
+    assert(r.getLong(3) === frames)
+    assert(r.getLong(4) === frames * 1000 / 22050)
+  }
+
+  test("decodeMp4 round-trips encodeMp4 box-exactly") {
+    val r = docs.select($"doc_id",
+        Multimodal.encodeMp4(lit(1920), lit(1080), lit(90000) + $"doc_id").as("mp4"))
+      .select($"doc_id", Multimodal.decodeMp4($"mp4").as("m"))
+      .filter($"doc_id" === 1).selectExpr("m.width", "m.height",
+        "m.duration_ms", "m.timescale", "m.brand").first()
+    assert(r.getLong(0) === 1920L)
+    assert(r.getLong(1) === 1080L)
+    assert(r.getLong(2) === 90001L)
+    assert(r.getLong(3) === 1000L)
+    assert(r.getString(4) === "isom")
+  }
+
+  test("decodeMp4 parses version-1 mvhd (64-bit times) and 64-bit boxes") {
+    // hand-built BMFF: ftyp + moov(mvhd v1) with the mvhd box using a
+    // 64-bit largesize header — neither shape is produced by our encoder
+    val buf = java.nio.ByteBuffer.allocate(16 + 8 + 16 + 32)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.putInt(16).put("ftyp".getBytes).put("mp42".getBytes).putInt(0)
+    buf.putInt(8 + 16 + 32).put("moov".getBytes)
+    buf.putInt(1).put("mvhd".getBytes).putLong(16 + 32) // largesize form
+    buf.put(1.toByte).put(Array[Byte](0, 0, 0))         // version 1
+    buf.putLong(0L).putLong(0L)                         // ctime/mtime 64-bit
+    buf.putInt(90000)                                   // timescale
+    buf.putLong(123456789L)                             // duration 64-bit
+    val r = Seq(Tuple1(buf.array())).toDF("payload")
+      .select(Multimodal.decodeMp4($"payload").as("m"))
+      .selectExpr("m.duration_ms", "m.timescale", "m.width", "m.brand").first()
+    assert(r.getLong(1) === 90000L)
+    assert(r.getLong(0) === 123456789L * 1000 / 90000)
+    assert(r.getLong(2) === 0L) // no trak — dims absent, not garbage
+    assert(r.getString(3) === "mp42")
+  }
+
+  test("wav/mp4 decoders reject the other container, text, and truncation") {
+    val wav = docs.select(Multimodal.encodeWav(lit(8000), lit(1), lit(100)).as("p"))
+    val mp4 = docs.select(Multimodal.encodeMp4(lit(64), lit(48), lit(500)).as("p"))
+    assert(wav.select(Multimodal.decodeMp4($"p")).collect().forall(_.isNullAt(0)))
+    assert(mp4.select(Multimodal.decodeWav($"p")).collect().forall(_.isNullAt(0)))
+    val text = Multimodal.asBinary(docs, "text")
+    assert(text.select(Multimodal.decodeWav($"payload")).collect().forall(_.isNullAt(0)))
+    assert(text.select(Multimodal.decodeMp4($"payload")).collect().forall(_.isNullAt(0)))
+    val truncated = wav.select(expr("substring(p, 1, 10)").as("p"))
+    assert(truncated.select(Multimodal.decodeWav($"p")).collect().forall(_.isNullAt(0)))
+  }
+
   test("extractFeatures appends an 8-dim deterministic feature vector") {
     val out = Multimodal.extractFeatures(Multimodal.asBinary(docs, "text"), "payload")
     val feats = out.filter($"doc_id" === 1).select("features").first().getSeq[Double](0)
