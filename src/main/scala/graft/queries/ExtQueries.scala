@@ -557,6 +557,35 @@ object ExtQueries {
              |             (8,0),(9,41),(10,22),(11,28)) AS t(fid, n_tokens)
              |ORDER BY fid""".stripMargin)),
 
+    // PUBLISHED-vocab BPE: the x30 fixture tokenized through a vocabulary
+    // LOADED from the GPT-2 file formats (`vocab.bpe` merges text +
+    // `encoder.json` token→id map — frozen 100-merge fixture files under
+    // src/main/resources/graft/bpe/, parsed by Bpe.vocabFromPublished with
+    // a hand-rolled escape-aware scanner). Output pins BOTH halves of the
+    // loader: n_tokens proves the merge table drove tokenization (counts
+    // differ from x30's default-vocab numbers), id_sum proves the tokens
+    // routed through the encoder map. VALUES precomputed independently by
+    // scripts/bpe_vocab_oracle.py (python json/split parsers + the
+    // bpe_oracle.py reimplementation).
+    QuerySpec("x51_bpe_vocab_file",
+      (s, d) => {
+        import s.implicits._
+        val vocab = graft.functions.Bpe.fixtureVocab
+        BpeFixture.strings.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("fid", "text")
+          .select(col("fid"),
+            graft.functions.GraftBpe.bpeIdsWith(col("text"), vocab).as("ids"))
+          .select(col("fid"), size(col("ids")).cast("long").as("n_tokens"),
+            aggregate(col("ids"), lit(0L), (acc, x) => acc + x).as("id_sum"))
+          .orderBy("fid")
+      },
+      Some("""SELECT CAST(fid AS BIGINT) AS fid, CAST(n AS BIGINT) AS n_tokens,
+             |       CAST(ids AS BIGINT) AS id_sum
+             |FROM (VALUES (0,26,5296),(1,35,6061),(2,27,4196),(3,32,4091),
+             |             (4,31,5004),(5,33,4390),(6,7,1714),(7,1,97),(8,0,0),
+             |             (9,42,7728),(10,22,3166),(11,29,4572)) AS t(fid, n, ids)
+             |ORDER BY fid""".stripMargin)),
+
     // BPE losslessness on REAL data: byte-level BPE partitions the input
     // bytes, so detok(tokens) must equal the text char-exactly for every
     // document, and the count must sit inside the byte bounds
