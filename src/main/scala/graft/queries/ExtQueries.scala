@@ -1555,6 +1555,69 @@ object ExtQueries {
              |                           ORDER BY ts DESC, event_id DESC) = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // ST — STREAMING sessionization end-to-end (st03 oracles the batch
+    // path; this drives Sessionize.streamingSessions — flatMapGroupsWithState
+    // + EventTimeTimeout — through an AvailableNow drain over time-sliced
+    // files and must land on the SAME per-user session aggregate). Two
+    // far-future sentinel slices push the watermark past every real
+    // session's end+gap (timers fire against the PREVIOUS batch's
+    // watermark, so one sentinel alone would need a trailing no-data
+    // batch); sentinel rows are excluded from the output.
+    QuerySpec("st10_stream_sessionize",
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.Sessionize
+        val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+        val src = Staging.slicedSource("sz", d) { tmp =>
+          Seq(dayofmonth(col("ts")) <= 10,
+              dayofmonth(col("ts")).between(11, 20),
+              dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>
+            ev.filter(p).coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+          }
+          Seq((-1L, "2030-01-01 00:00:00"), (-1L, "2030-01-02 00:00:00"))
+            .zipWithIndex.foreach { case ((u, t), i) =>
+              Seq((u, java.sql.Timestamp.valueOf(t))).toDF("user_id", "ts")
+                .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/sentinel$i")
+            }
+          Seq("slice0", "slice1", "slice2", "sentinel0", "sentinel1")
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sz_run").toString
+        Staging.withShufflePartitions(s, 8) {
+          val stream = s.readStream.schema("user_id LONG, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true").parquet(s"$src/src")
+            .as[Sessionize.SessionEvent]
+          val q = Sessionize.streamingSessions(stream, gapSeconds = 3600)
+            .writeStream
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("update")
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[Sessionize.ClosedSession], _: Long) =>
+              batch.write.mode("append").parquet(s"$tmp/out")
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.read.parquet(s"$tmp/out").filter(col("user_id") >= 0)
+          .groupBy("user_id")
+          .agg(n.as("n_sessions"), sum(col("n_events")).as("n_events"),
+            max(col("n_events")).as("max_session_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |s AS (SELECT user_id, ts,
+             |        CASE WHEN lag(ts) OVER w IS NULL THEN 1
+             |             WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000 THEN 1
+             |             ELSE 0 END AS news
+             |      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |g AS (SELECT user_id, ts,
+             |        sum(news) OVER (PARTITION BY user_id ORDER BY ts
+             |                        ROWS UNBOUNDED PRECEDING) - 1 AS sid FROM s),
+             |sess AS (SELECT user_id, sid, count(*) AS n FROM g GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
+             |       CAST(max(n) AS BIGINT) AS max_session_events
+             |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Unicode canonicalization before dedup: every 10th doc gets a
     // DECOMPOSED "café" tail (e + COMBINING ACUTE) plus ragged whitespace;
     // canonicalizeText (NFC + whitespace squeeze + trim) must make it
