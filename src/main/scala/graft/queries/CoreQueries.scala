@@ -382,6 +382,48 @@ object CoreQueries {
               |       ${sqlMoneyAvg("q")} AS avg_qty
               |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // q24 under the 100 TB knob: the SAME cleaning lifecycle with
+    // exact = false (percentile_approx — the documented scale path,
+    // SURVEY §7.5.5), benched as q24's pair so the knob's cost is
+    // MEASURED, not asserted (delta recorded in BASELINE.md). Output is
+    // the count-only projection: group membership is invariant to the
+    // knob (any sane median imputes q ≈ 26, far above the q > 2 validity
+    // threshold, and the p99 cap rewrites values without filtering), so
+    // the oracle stays exactly checkable while the plan still pays the
+    // full approx-percentile pipeline.
+    QuerySpec("q36_clean_pipeline_approx",
+      (s, d) => {
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"),
+          when(col("l_orderkey") % 97 === 0, lit(null)).otherwise(col("l_quantity")).as("q"),
+          col("l_extendedprice").as("p"),
+          when(col("l_orderkey") % 89 === 0, lit(null)).otherwise(col("l_returnflag")).as("f"))
+        val imputed = Cleaning.imputeMode(
+          Cleaning.imputeMedian(base, Seq("q"), exact = false), Seq("f"))
+        val deduped = Dedup.exact(imputed)
+        val p99 = deduped.agg(Cleaning.percentileOf(col("p"), 0.99, exact = false))
+          .first().getDouble(0)
+        val capped = deduped.withColumn("p", when(col("p") > p99, lit(p99)).otherwise(col("p")))
+        capped.filter(col("q") > 2)
+          .groupBy("f")
+          .agg(n.as("n_rows"))
+          .orderBy("f")
+      },
+      Some("""WITH inj AS (
+              |  SELECT l_orderkey,
+              |         CASE WHEN l_orderkey % 97 = 0 THEN NULL ELSE l_quantity END AS q,
+              |         l_extendedprice AS p,
+              |         CASE WHEN l_orderkey % 89 = 0 THEN NULL ELSE l_returnflag END AS f
+              |  FROM lineitem),
+              |med AS (SELECT quantile_cont(q, 0.5) AS m FROM inj),
+              |mo AS (SELECT f AS mf FROM inj WHERE f IS NOT NULL
+              |       GROUP BY f ORDER BY count(*) DESC, f ASC LIMIT 1),
+              |imp AS (SELECT l_orderkey, coalesce(q, (SELECT m FROM med)) AS q, p,
+              |               coalesce(f, (SELECT mf FROM mo)) AS f FROM inj),
+              |ded AS (SELECT DISTINCT l_orderkey, q, p, f FROM imp)
+              |SELECT f, count(*) AS n_rows
+              |FROM ded WHERE q > 2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S9/P1/P3/P4 — filename lifecycle: stage one file per month named
     // yellow_tripdata_YYYY-MM.parquet (with wrong-month rows poisoned into
     // the first file), then pattern-filter, regex-extract year/month from
