@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator: replicates an existing sf dir N× with
+  * consistent key shifting, producing the next scale factor for the scaling
+  * curve (BENCH at sf0.1 vs sf1 — the measured 10× datapoint behind every
+  * "scale-safe" plan claim).
+  *
+  *   sbt "runMain graft.GenScale /root/testdata/sf0.1 benchdata/sf1 10"
+  *
+  * Replica r shifts every key/id column by r × 10⁸, so foreign keys keep
+  * joining within a replica and the join/agg cardinality structure scales
+  * linearly. Two columns get content perturbation so workload SHAPE (not
+  * just volume) scales honestly:
+  *
+  *   - `documents.text`: every token gets a replica suffix (`_rN`) —
+  *     replicas are shingle-disjoint, so near-dup pair counts scale ×N
+  *     (naive replication would make every doc a 10-way exact duplicate
+  *     and blow candidate generation up quadratically — not a workload
+  *     that exists at real 10×);
+  *   - `embeddings.embedding`: a small per-replica additive offset keeps
+  *     cosine neighborhoods replica-local instead of minting N-way
+  *     identical twins.
+  *
+  * `region`/`nation` stay fixed (TPC-H dimension semantics: nationkey
+  * references remain 0-24). Timestamps/dates are kept as-is — per-window
+  * and per-month row counts scale ×N, user/session counts scale ×N.
+  */
+object GenScale {
+
+  val Shift = 100000000L // 1e8 — far above any intra-replica id range
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("benchdata/sf1")
+    val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def load(name: String): DataFrame = Tables.load(spark, src, name)
+
+    /** N replicas of `df`, shifting `keys` by r×Shift; `mutate` applies
+      * per-replica content perturbation. */
+    def scale(df: DataFrame, keys: Seq[String])
+             (mutate: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until replicas).map { r =>
+        val shifted = keys.foldLeft(df)((d, k) =>
+          d.withColumn(k, col(k) + lit(r * Shift)))
+        mutate(shifted, r)
+      }.reduce(_ unionByName _)
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[genscale] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+
+    // fixed dimensions — copied verbatim
+    write(load("region"), "region")
+    write(load("nation"), "nation")
+
+    write(scale(load("customer"), Seq("c_custkey"))(), "customer")
+    write(scale(load("supplier"), Seq("s_suppkey"))(), "supplier")
+    write(scale(load("part"), Seq("p_partkey"))(), "part")
+    write(scale(load("orders"), Seq("o_orderkey", "o_custkey"))(), "orders")
+    write(scale(load("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"))(), "lineitem")
+    write(scale(load("events"), Seq("event_id", "user_id"))(), "events")
+
+    write(scale(load("documents"), Seq("doc_id")) { (d, r) =>
+      if (r == 0) d
+      else d.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "$1_r" + r))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }, "documents")
+
+    write(scale(load("embeddings"), Seq("vec_id")) { (d, r) =>
+      if (r == 0) d
+      else d.withColumn("embedding",
+        transform(col("embedding"), x => (x + lit(r * 0.001f)).cast("float")))
+    }, "embeddings")
+
+    spark.stop()
+  }
+}

@@ -131,7 +131,8 @@ object Curation {
     * size (derived/exploded streams at moderate scale) to run both passes
     * off one materialized frame. */
   def heavyHitters(df: DataFrame, item: Column, k: Int, minCount: Long,
-                   persistItems: Boolean = false): DataFrame = {
+                   persistItems: Boolean = false,
+                   minShare: Option[Double] = None): DataFrame = {
     val items0 = df.select(item.cast("string").as("item"))
     val items =
       if (persistItems)
@@ -145,13 +146,21 @@ object Curation {
       val agg = items.agg(graft.functions.FreqAgg.freqSketch(col("item"), k).as("__sk"),
         count(col("item")).as("__n")).head()
       val n = agg.getLong(1)
-      require(minCount > n / (k + 1).toLong,
-        s"minCount=$minCount is not > n/(k+1) = $n/${k + 1}: raise k or minCount " +
+      // scale-invariant thresholding: a fixed absolute cut stops satisfying
+      // the exactness bound once the stream grows past minCount×(k+1);
+      // minShare makes the cut a FRACTION of the stream (count ≥ share×n —
+      // the classic φ-heavy-hitter definition, valid at every scale when
+      // share > 1/(k+1)) with minCount as the small-corpus floor
+      val effMin = minShare
+        .map(s => math.max(minCount, math.ceil(n * s).toLong))
+        .getOrElse(minCount)
+      require(effMin > n / (k + 1).toLong,
+        s"threshold=$effMin is not > n/(k+1) = $n/${k + 1}: raise k or the threshold " +
           "or the sketch cannot guarantee every true heavy hitter is nominated")
       val cands = agg.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
       val out = items.filter(col("item").isin(cands: _*))
         .groupBy("item").agg(count(lit(1)).as("n_occurrences"))
-        .filter(col("n_occurrences") >= minCount)
+        .filter(col("n_occurrences") >= effMin)
       if (persistItems) out.localCheckpoint(true) else out
     } finally {
       if (persistItems) items.unpersist(blocking = false)

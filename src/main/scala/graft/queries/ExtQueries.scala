@@ -901,10 +901,12 @@ object ExtQueries {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // Heavy hitters over the token stream via Misra-Gries sketch + exact
-    // verification of the ≤k candidates. With k=999 the miss bound is
-    // n/(k+1) ≈ 300 at sf0.1 (~300k tokens) < minCount=1000, so the sketch
-    // provably nominates every true ≥1000-count token and the exact pass
-    // makes the output deterministic — hashable against plain exact SQL.
+    // verification of the ≤k candidates. The threshold is SHARE-BASED
+    // (count ≥ 0.2% of the stream, floored at 1000 — the classic φ-HH
+    // definition): with k=999 the exactness bound needs threshold >
+    // n/(k+1) = 0.1%·n, and a share cut satisfies that at EVERY scale
+    // factor where a fixed absolute cut stops qualifying once n grows
+    // past minCount×(k+1) (the sf1 scaling run caught exactly that).
     // A planted token (3 per doc) guarantees non-empty output at every SF.
     QuerySpec("x27_heavy_hitters",
       (s, d) => {
@@ -915,14 +917,17 @@ object ExtQueries {
         // frame instead of re-exploding the corpus (tokenize is the
         // dominant cost of this stream at this scale)
         Curation.heavyHitters(toks, col("token"), k = 999, minCount = 1000L,
-            persistItems = true)
+            persistItems = true, minShare = Some(0.002))
           .withColumnRenamed("item", "token")
           .orderBy("token")
       },
       Some("""WITH u AS (SELECT text || repeat(' graftheavytoken', 3) AS text FROM documents),
-             |tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM u)
+             |tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM u),
+             |tot AS (SELECT greatest(1000, CAST(ceil(count(*) * 0.002) AS BIGINT)) AS cut
+             |        FROM tok)
              |SELECT token, count(*) AS n_occurrences
-             |FROM tok GROUP BY 1 HAVING count(*) >= 1000 ORDER BY 1""".stripMargin)),
+             |FROM tok GROUP BY 1 HAVING count(*) >= (SELECT cut FROM tot)
+             |ORDER BY 1""".stripMargin)),
 
     // Sliding-window chunking (32-token chunks, stride 16 → 50% overlap),
     // char-exact against DuckDB's list slicing — catches off-by-ones in
