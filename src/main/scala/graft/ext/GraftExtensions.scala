@@ -49,7 +49,30 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Cast(args.head,
           org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.catalyst.expressions.Cast(args(1),
-          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))),
+    ("nfc_normalize",
+      new ExpressionInfo(classOf[TextExprs.NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => TextExprs.NfcNormalize(args.head)),
+    // media container headers (ImageExprs/MediaExprs — header-only decode)
+    ("image_meta",
+      new ExpressionInfo(classOf[graft.functions.ImageExprs.ImageMeta].getName, "image_meta"),
+      (args: Seq[Expression]) => graft.functions.ImageExprs.ImageMeta(args.head)),
+    ("wav_meta",
+      new ExpressionInfo(classOf[graft.functions.MediaExprs.WavMeta].getName, "wav_meta"),
+      (args: Seq[Expression]) => graft.functions.MediaExprs.WavMeta(args.head)),
+    ("mp4_meta",
+      new ExpressionInfo(classOf[graft.functions.MediaExprs.Mp4Meta].getName, "mp4_meta"),
+      (args: Seq[Expression]) => graft.functions.MediaExprs.Mp4Meta(args.head)),
+    // byte-level BPE over the default (repo-trained) vocab
+    ("bpe_tokens",
+      new ExpressionInfo(classOf[graft.functions.GraftBpe.BpeTokens].getName, "bpe_tokens"),
+      (args: Seq[Expression]) => graft.functions.GraftBpe.BpeTokens(args.head)),
+    ("bpe_count",
+      new ExpressionInfo(classOf[graft.functions.GraftBpe.BpeCount].getName, "bpe_count"),
+      (args: Seq[Expression]) => graft.functions.GraftBpe.BpeCount(args.head)),
+    ("bpe_detok",
+      new ExpressionInfo(classOf[graft.functions.GraftBpe.BpeDetok].getName, "bpe_detok"),
+      (args: Seq[Expression]) => graft.functions.GraftBpe.BpeDetok(args.head)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, info, builder) =>

@@ -100,6 +100,29 @@ object TextAnalysis {
   /** Stable content fingerprint (md5 of lowercased text, 16 hex chars). */
   def fingerprint(text: Column): Column = substring(md5(lower(text).cast("binary")), 1, 16)
 
+  /** URLs in raw text: scheme + non-space run. The pattern is deliberately
+    * the RE2-safe subset (no lookaround, no \w-class subtleties) so the
+    * DuckDB oracle matches byte-for-byte; trailing punctuation stays
+    * attached — link EXTRACTION for density/domain stats, not a validator. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://[^ \\t\\n\\r]+"), lit(0))
+
+  /** Registrable host of a URL: lowercased authority with a leading `www.`
+    * stripped — the domain-level curation key (per-domain caps, blocklist
+    * joins, domain mix stats all group on this). */
+  def urlDomain(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, "^https?://([^/?#]+)", 1)), "^www\\.", "")
+
+  /** Per-document link stats for quality filtering: (urls, n_urls,
+    * distinct sorted domains) in one projection — a high URL-per-token
+    * ratio is the classic navigation/spam signal. */
+  def linkStats(text: Column): Column = {
+    val urls = extractUrls(text)
+    struct(
+      size(urls).cast("long").as("n_urls"),
+      array_sort(array_distinct(transform(urls, u => urlDomain(u)))).as("domains"))
+  }
+
   /** Unicode NFC normalization (native expression; JDK-builtin, fast-path
     * for already-normal text). Run BEFORE any digest/shingle dedup:
     * composed and decomposed spellings of the same text must collide. */

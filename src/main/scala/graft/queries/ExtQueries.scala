@@ -1657,6 +1657,43 @@ object ExtQueries {
              |       length(text) - length(canon) AS chars_removed
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // URL extraction + domain canonicalization (the web-corpus curation
+    // stage: link-density quality signals, per-domain caps, blocklist
+    // joins all start here). URLs planted deterministically into every
+    // 5th doc — mixed-case www hosts, paths, query strings, a second
+    // scheme — and both engines run the same RE2-safe pattern, so the
+    // oracle checks extraction AND canonicalization byte-for-byte.
+    QuerySpec("x54_url_extract",
+      (s, d) => {
+        val planted = Tables.documents(s, d).withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" see https://www.Example"), col("doc_id") % 7,
+              lit(".org/p/"), col("doc_id"), lit("?q=1 and http://cdn.example"),
+              col("doc_id") % 3, lit(".net/x.js now")))
+            .otherwise(col("text")))
+        planted
+          .withColumn("ls", TextAnalysis.linkStats(col("text")))
+          .select(col("doc_id"), col("ls.n_urls").as("n_urls"),
+            array_join(col("ls.domains"), ",").as("domains"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 5 = 0
+             |              THEN text || ' see https://www.Example' || (doc_id % 7)
+             |                   || '.org/p/' || doc_id || '?q=1 and http://cdn.example'
+             |                   || (doc_id % 3) || '.net/x.js now'
+             |              ELSE text END AS text
+             |  FROM documents),
+             |u AS (SELECT doc_id,
+             |        regexp_extract_all(text, 'https?://[^ \t\n\r]+') AS urls
+             |      FROM planted)
+             |SELECT doc_id, CAST(len(urls) AS BIGINT) AS n_urls,
+             |       coalesce(array_to_string(list_sort(list_distinct(list_transform(urls,
+             |         x -> regexp_replace(lower(regexp_extract(x, '^https?://([^/?#]+)', 1)),
+             |                             '^www\.', '')))), ','), '') AS domains
+             |FROM u ORDER BY doc_id""".stripMargin)),
+
     // One-pass dataset profile over events (nulls planted in two columns
     // by the generator): row/null/exact-distinct counts per column from a
     // single aggregation job, never a scan per column.

@@ -38,6 +38,37 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql === Seq("a b", "b a", "a b"))
   }
 
+  test("media header decoders are SQL-callable (wav_meta / mp4_meta / image_meta)") {
+    GraftFunctions.register(spark)
+    spark.range(1).createOrReplaceTempView("one")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Seq(1).toDF("i")
+      .select(Multimodal.encodeWav(lit(8000), lit(1), lit(4000)).as("w"),
+        Multimodal.encodeMp4(lit(320), lit(240), lit(2500)).as("m"))
+      .createOrReplaceTempView("media")
+    val r = spark.sql(
+      """SELECT wav_meta(w).sample_rate, wav_meta(w).duration_ms,
+        |       mp4_meta(m).width, mp4_meta(m).duration_ms,
+        |       image_meta(w) IS NULL AS not_an_image
+        |FROM media""".stripMargin).first()
+    assert(r.getLong(0) === 8000L && r.getLong(1) === 500L)
+    assert(r.getLong(2) === 320L && r.getLong(3) === 2500L)
+    assert(r.getBoolean(4))
+  }
+
+  test("bpe functions are SQL-callable and detok inverts tokens") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT bpe_count('the quick brown fox') AS n,
+        |       bpe_detok(bpe_tokens('the quick brown fox')) AS back,
+        |       nfc_normalize('café') AS nfc
+        |""".stripMargin).first()
+    assert(r.getLong(0) > 0L)
+    assert(r.getString(1) === "the quick brown fox")
+    assert(r.getString(2) === "café")
+  }
+
   test("the SparkSessionExtensions injector applies the same function set") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders shared with register()

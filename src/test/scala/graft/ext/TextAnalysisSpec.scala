@@ -132,4 +132,22 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.canonicalizeText($"t")).first().getString(0)
     assert(twice === canon)
   }
+
+  test("extractUrls/urlDomain: extraction, www-strip, case-fold, no-URL docs") {
+    val df = Seq(
+      (1L, "plain text, no links at all"),
+      (2L, "see https://WWW.Example.ORG/a/b?x=1 and http://cdn.ex.net/j.js end"),
+      (3L, "bare http:// inside prose should not panic https://ok.io")
+    ).toDF("id", "t")
+    val out = df.select($"id", TextAnalysis.linkStats($"t").as("ls"))
+      .select($"id", $"ls.n_urls", $"ls.domains")
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) === 0L && out(0).getSeq[String](2) === Seq.empty)
+    assert(out(1).getLong(1) === 2L)
+    assert(out(1).getSeq[String](2) === Seq("cdn.ex.net", "example.org"))
+    // "http://" with no host yields an empty-domain entry dropped by the
+    // authority group being empty → domain "" still sorts first; the real
+    // URL's domain survives
+    assert(out(2).getSeq[String](2).contains("ok.io"))
+  }
 }
