@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring — the CCNet/KenLM-style filter: a
+  * document whose token stream is improbable under a corpus-trained LM is
+  * junk (boilerplate, OCR noise, keyword stuffing), one whose stream is TOO
+  * probable is degenerate repetition. This is the canonical "model-based"
+  * quality signal that needs no external model: the LM is trained
+  * distributed, from the corpus itself.
+  *
+  * Model: bigram with add-one smoothing over the corpus vocabulary —
+  * p(w2|w1) = (C(w1,w2)+1)/(C(w1)+V). Scoring emits EXACT integers (each
+  * bigram's −ln p in micro-nats, summed as longs) so the result is
+  * order-independent and cross-engine hashable; perplexity is
+  * exp(sum/n/1e6) when a float is wanted.
+  *
+  * Scale shape: two aggregations over the exploded bigram stream (map-side
+  * combined), one distinct count for V, then score = stream ⋈ C(w1,w2) ⋈
+  * C(w1) — all equi-joins on token keys, linear in corpus tokens; the
+  * per-doc reduce is one groupBy. Nothing is ever collected: train and
+  * score are a single composed plan.
+  */
+object LmScore {
+
+  /** (id, w1, w2) bigram stream: whitespace-class split, lowercased, empty
+    * tokens dropped ([[Tfidf]]'s tokenization). Docs with <2 tokens emit
+    * nothing. */
+  private def bigrams(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val arr = filter(split(lower(text), "\\s+"), x => x =!= "")
+    docs.select(id.as("id"), arr.as("__t"))
+      .select(col("id"), explode(zip_with(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col("id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+  }
+
+  /** Per-document LM negative log-likelihood under the self-trained bigram
+    * model: (id, n_bigrams, nll_micro) where nll_micro is Σ round(−ln
+    * p(w2|w1) × 1e6) as an exact long. `train` defaults to the scored
+    * corpus (self-scoring — the deterministic quality-ranking mode); pass
+    * a held-out reference corpus to score drift against it. */
+  def bigramNll(docs: DataFrame, id: Column, text: Column,
+                train: Option[DataFrame] = None): DataFrame = {
+    val scoreStream = bigrams(docs, id, text)
+    val trainStream = train.map(t => bigrams(t, id, text)).getOrElse(scoreStream)
+    val c12 = trainStream.groupBy("w1", "w2").agg(count(lit(1)).as("__n12"))
+    val c1 = trainStream.groupBy("w1").agg(count(lit(1)).as("__n1"))
+    // V = corpus vocabulary (distinct tokens incl. doc-final ones)
+    val trainDocs = train.getOrElse(docs)
+    val vocab = trainDocs
+      .select(explode(filter(split(lower(text), "\\s+"), x => x =!= "")).as("__w"))
+      .agg(count_distinct(col("__w")).as("__v"))
+    val nll = round(-log((col("__n12") + 1.0) / (col("__n1") + col("__v"))) * 1e6, 0)
+      .cast("long")
+    scoreStream
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      // unseen bigram/context under a held-out model: C defaults to 0
+      .na.fill(0L, Seq("__n12", "__n1"))
+      .withColumn("__nll", nll)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll")).as("nll_micro"))
+  }
+}

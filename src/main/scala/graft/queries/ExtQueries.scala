@@ -1657,6 +1657,35 @@ object ExtQueries {
              |       length(text) - length(canon) AS chars_removed
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // N-gram LM quality scoring (the CCNet/KenLM-style perplexity filter,
+    // self-trained): per-doc negative log-likelihood under a corpus-trained
+    // add-one bigram model. Scores are EXACT integers (micro-nat rounding
+    // per bigram, long sums) so the output is order-independent and the
+    // DuckDB oracle — same counts, same smoothing, same ln — hashes
+    // byte-identically. Train + score is ONE composed plan: two token-key
+    // aggregations, a distinct count, two equi-joins; nothing collected.
+    QuerySpec("x55_lm_score",
+      (s, d) => graft.ext.LmScore.bigramNll(Tables.documents(s, d),
+          col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id,
+             |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                     x -> x <> '') AS t
+             |       FROM documents),
+             |bg AS (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+             |       FROM tok WHERE len(t) >= 2),
+             |b2 AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bg),
+             |c12 AS (SELECT w1, w2, count(*) AS n12 FROM b2 GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*) AS n1 FROM b2 GROUP BY 1),
+             |v AS (SELECT count(DISTINCT x) AS v
+             |      FROM (SELECT unnest(t) AS x FROM tok)),
+             |sc AS (SELECT doc_id,
+             |         CAST(round(-ln((n12 + 1.0) / (n1 + v)) * 1000000, 0) AS BIGINT) AS s
+             |       FROM b2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v)
+             |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(s) AS BIGINT) AS nll_micro
+             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // URL extraction + domain canonicalization (the web-corpus curation
     // stage: link-density quality signals, per-domain caps, blocklist
     // joins all start here). URLs planted deterministically into every
