@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *     (naive replication would make every doc a 10-way exact duplicate
   *     and blow candidate generation up quadratically — not a workload
   *     that exists at real 10×);
-  *   - `embeddings.embedding`: a small per-replica additive offset keeps
-  *     cosine neighborhoods replica-local instead of minting N-way
-  *     identical twins.
+  *   - `embeddings.embedding`: a deterministic per-(replica, vec_id, dim)
+  *     offset at component scale pushes cross-replica cosine to ≈0.7, so
+  *     neighborhoods are replica-local at every realistic threshold instead
+  *     of minting N-way twins.
   *
   * `region`/`nation` stay fixed (TPC-H dimension semantics: nationkey
   * references remain 0-24). Timestamps/dates are kept as-is — per-window
@@ -84,8 +85,21 @@ object GenScale {
 
     write(scale(load("embeddings"), Seq("vec_id")) { (d, r) =>
       if (r == 0) d
-      else d.withColumn("embedding",
-        transform(col("embedding"), x => (x + lit(r * 0.001f)).cast("float")))
+      else d
+        // deterministic per-(replica, vec_id, dim) offset, amplitude ±0.22
+        // ≈ the component scale (unit-norm 64-dim ⇒ |x| ≈ 0.125), dropping
+        // a copy's cross-replica cosine to ≈0.7 — below every dedup/ANN
+        // threshold, so neighborhoods are genuinely replica-local for
+        // NEAR-dup structure, not just exact duplicates. (A constant
+        // per-replica shift only moved cosine by ~1e-4.) Renormalized so
+        // the corpus stays unit-norm.
+        .withColumn("__p", transform(col("embedding"), (x, i) =>
+          x.cast("double") +
+            (pmod(xxhash64(col("vec_id"), lit(r), i), lit(2000001L)) - 1000000L)
+              .cast("double") / 1000000.0 * 0.22))
+        .withColumn("__norm", sqrt(aggregate(col("__p"), lit(0.0), (a, x) => a + x * x)))
+        .withColumn("embedding", transform(col("__p"), x => (x / col("__norm")).cast("float")))
+        .drop("__p", "__norm")
     }, "embeddings")
 
     spark.stop()

@@ -115,26 +115,35 @@ object TextDedup {
                              threshold: Double = 0.8): DataFrame = {
     // each side's shingle+minhash lineage feeds BOTH the band join and the
     // exact-Jaccard verification joins — persist so the signature pass (the
-    // dominant cost at scale) runs once per side, not twice. Materializes
-    // lazily at first use; freed by the session's next cache clear (or pass
-    // precomputed signature tables and skip prep entirely at 100 TB).
+    // dominant cost at scale) runs once per side, not twice. The hit set is
+    // a vanishing fraction of either input, so it is materialized EAGERLY
+    // (localCheckpoint) and both signature caches released before returning
+    // — the intended per-ingest-batch caller must not accumulate cached
+    // lineage across a long-lived session. (At 100 TB pass precomputed
+    // signature tables and skip prep entirely.)
     def prep(df: DataFrame, id: Column, text: Column) =
       df.select(id.as("__id"), shingles(text, k).as("__sh"))
         .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val np = prep(newDf, newId, newText)
     val hp = prep(history, histId, histText)
-    val cands = bandHashes(np, col("__id"), col("__sig"), rowsPerBand).as("n")
-      .join(bandHashes(hp, col("__id"), col("__sig"), rowsPerBand).as("h"),
-        col("n.__band") === col("h.__band") && col("n.__bh") === col("h.__bh"))
-      .select(col("n.__id").as("new_id"), col("h.__id").as("hist_id"))
-      .distinct()
-    cands
-      .join(np.select(col("__id").as("new_id"), col("__sh").as("__sha")), "new_id")
-      .join(hp.select(col("__id").as("hist_id"), col("__sh").as("__shb")), "hist_id")
-      .withColumn("jacc", jaccard(col("__sha"), col("__shb")))
-      .filter(col("jacc") >= threshold)
-      .select(col("new_id"), col("hist_id"), col("jacc"))
+    try {
+      val cands = bandHashes(np, col("__id"), col("__sig"), rowsPerBand).as("n")
+        .join(bandHashes(hp, col("__id"), col("__sig"), rowsPerBand).as("h"),
+          col("n.__band") === col("h.__band") && col("n.__bh") === col("h.__bh"))
+        .select(col("n.__id").as("new_id"), col("h.__id").as("hist_id"))
+        .distinct()
+      cands
+        .join(np.select(col("__id").as("new_id"), col("__sh").as("__sha")), "new_id")
+        .join(hp.select(col("__id").as("hist_id"), col("__sh").as("__shb")), "hist_id")
+        .withColumn("jacc", jaccard(col("__sha"), col("__shb")))
+        .filter(col("jacc") >= threshold)
+        .select(col("new_id"), col("hist_id"), col("jacc"))
+        .localCheckpoint(true) // eager: hits only, frees checkpoint blocks with the frame
+    } finally {
+      np.unpersist(blocking = false)
+      hp.unpersist(blocking = false)
+    }
   }
 
   /** The ingest filter companion: NEW rows that near-duplicate nothing in

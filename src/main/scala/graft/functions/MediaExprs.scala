@@ -70,21 +70,25 @@ object MediaExprs {
       var channels = -1L
       var bits = -1L
       var dataSize = -1L
-      var off = 12
-      // chunk walk: [id(4) size(4,LE) payload(size, word-aligned)]
+      var off = 12L
+      // chunk walk: [id(4) size(4,LE) payload(size, word-aligned)]. The
+      // declared size is UNSIGNED 32-bit — kept as Long so a crafted
+      // 0xFFFFFFF8 can't truncate to a negative/zero step (untrusted media
+      // bytes must never hang an executor); Long arithmetic makes every
+      // step advance by >= 8, so the walk always terminates
       while (off + 8 <= b.length && (sampleRate < 0 || dataSize < 0)) {
-        val id = tag(b, off)
-        val size = le32(b, off + 4)
+        val id = tag(b, off.toInt)
+        val size = le32(b, off.toInt + 4)
         if (id == "fmt " && size >= 16 && off + 8 + 16 <= b.length) {
-          channels = le16(b, off + 10).toLong
-          sampleRate = le32(b, off + 12)
-          bits = le16(b, off + 22).toLong
+          channels = le16(b, off.toInt + 10).toLong
+          sampleRate = le32(b, off.toInt + 12)
+          bits = le16(b, off.toInt + 22).toLong
         } else if (id == "data") {
           // size may exceed the buffer (truncated upload) — trust the header,
           // it's what the data chunk DECLARES; n_bytes records the actual
           dataSize = size
         }
-        off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        off += 8 + size + (size & 1) // chunks are word-aligned
       }
       if (sampleRate <= 0 || channels <= 0 || bits <= 0 || dataSize < 0) return null
       val bytesPerFrame = channels * (bits / 8)
@@ -195,9 +199,14 @@ object MediaExprs {
               t2 match {
                 case "mvhd" if e2 - s2 >= 20 =>
                   val v = b(s2.toInt) & 0xff
-                  if (v == 1 && e2 - s2 >= 32) {
-                    timescale = be32(b, s2.toInt + 20)
-                    duration = be64(b, s2.toInt + 24)
+                  if (v == 1) {
+                    // a v1 mvhd shorter than its fixed layout is malformed —
+                    // leave timescale/duration unset (→ null result) rather
+                    // than misreading mtime bytes via the v0 offsets
+                    if (e2 - s2 >= 32) {
+                      timescale = be32(b, s2.toInt + 20)
+                      duration = be64(b, s2.toInt + 24)
+                    }
                   } else {
                     timescale = be32(b, s2.toInt + 12)
                     duration = be32(b, s2.toInt + 16)

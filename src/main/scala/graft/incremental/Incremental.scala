@@ -43,23 +43,40 @@ object Incremental {
   }
 
   /** DISTRIBUTED recursive listing as a DataFrame (path, mtime, size):
-    * the driver lists only the root's immediate children; each executor
-    * task then streams its own subtree through a RemoteIterator (never a
-    * whole-subtree buffer), and the pattern/watermark filters run inside
-    * the plan. At 10⁷ objects (a realistic 100 TB raw bucket) the driver
-    * never materializes the listing — compose with [[takeBatch]] so only
-    * the batch it actually processes ever reaches driver heap. */
+    * the driver streams the root's immediate children keeping only subdir
+    * paths; executor tasks then stream each subtree — and the root's own
+    * file level — through RemoteIterators (never a whole-subtree buffer),
+    * and the pattern/watermark filters run inside the plan. At 10⁷ objects
+    * (a realistic 100 TB raw bucket, even a FLAT one) the driver never
+    * materializes the listing — compose with [[takeBatch]] so only the
+    * batch it actually processes ever reaches driver heap. */
   def listingDf(spark: SparkSession, dir: String, pattern: String = ".*\\.parquet$",
                 watermark: Long = 0L): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, element_at, split}
     val f = fs(spark, dir)
     val p = new Path(dir)
-    val (subDirs, rootFiles) =
-      if (!f.exists(p)) (Seq.empty[FileStatus], Seq.empty[FileStatus])
-      else f.listStatus(p).toSeq.partition(_.isDirectory)
-    val rootMetas = rootFiles
-      .map(s => FileMeta(s.getPath.toString, s.getModificationTime, s.getLen))
+    // The driver STREAMS the root's immediate children (RemoteIterator) and
+    // retains ONLY subdirectory paths; root-level FILES are re-listed by a
+    // dedicated non-recursive executor task below, so a FLAT bucket with
+    // 10⁷ objects directly under the root never materializes on the driver
+    // (an earlier revision buffered them via listStatus). Driver state is
+    // O(subdirectory count) — prefixes, not objects.
+    val exists = f.exists(p)
+    val subDirs = scala.collection.mutable.ArrayBuffer[String]()
+    if (exists) {
+      val rit = f.listStatusIterator(p)
+      while (rit.hasNext) {
+        val s = rit.next()
+        if (s.isDirectory) subDirs += s.getPath.toString
+      }
+    }
+    // (path, recursive): each subdir streams its whole subtree; the root
+    // task streams only the root's own file level (depth 1 — subtrees are
+    // owned by their subdir tasks, so nothing is listed twice)
+    val tasks: Seq[(String, Boolean)] =
+      if (!exists) Seq.empty
+      else subDirs.toSeq.map(d => (d, true)) :+ ((dir, false))
     // hadoop Configuration is not serializable — ship its entries and
     // rebuild per task (keeps custom fs.* schemes working on executors)
     val confEntries = {
@@ -68,23 +85,34 @@ object Incremental {
         .map(e => (e.getKey, e.getValue)).toArray
     }
     val bc = spark.sparkContext.broadcast(confEntries)
-    val parallelism = math.max(1, math.min(subDirs.size, spark.sparkContext.defaultParallelism))
-    val subMetas = spark.sparkContext
-      .parallelize(subDirs.map(_.getPath.toString), parallelism)
-      .flatMap { d =>
+    val parallelism = math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
+    val metas = spark.sparkContext
+      .parallelize(tasks, parallelism)
+      .flatMap { case (d, recursive) =>
         val conf = new org.apache.hadoop.conf.Configuration()
         bc.value.foreach { case (k, v) => conf.set(k, v) }
         val dp = new Path(d)
-        val it = dp.getFileSystem(conf).listFiles(dp, true)
-        new Iterator[FileMeta] {
-          def hasNext: Boolean = it.hasNext
-          def next(): FileMeta = {
-            val s = it.next()
+        val dfs = dp.getFileSystem(conf)
+        if (recursive) {
+          val it = dfs.listFiles(dp, true)
+          new Iterator[FileMeta] {
+            def hasNext: Boolean = it.hasNext
+            def next(): FileMeta = {
+              val s = it.next()
+              FileMeta(s.getPath.toString, s.getModificationTime, s.getLen)
+            }
+          }
+        } else {
+          val it = dfs.listStatusIterator(dp)
+          new Iterator[FileStatus] {
+            def hasNext: Boolean = it.hasNext
+            def next(): FileStatus = it.next()
+          }.collect { case s if s.isFile =>
             FileMeta(s.getPath.toString, s.getModificationTime, s.getLen)
           }
         }
       }
-    subMetas.toDF().unionByName(rootMetas.toDF())
+    metas.toDF()
       // anchored: [[discover]] uses String.matches (full match); RLIKE alone
       // is a find() and would accept e.g. "xyellow_tripdata…" for a stem
       .filter(element_at(split(col("path"), "/"), -1).rlike(s"^(?:$pattern)$$"))

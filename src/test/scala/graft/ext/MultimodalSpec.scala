@@ -168,6 +168,32 @@ class MultimodalSpec extends SparkSpec {
     assert(truncated.select(Multimodal.decodeWav($"p")).collect().forall(_.isNullAt(0)))
   }
 
+  test("decodeWav terminates and nulls on a crafted near-2^32 chunk size") {
+    // declared size 0xFFFFFFF8 truncated to Int is -8: a signed walk would
+    // advance by 0 (infinite executor loop). Must return null, promptly.
+    val buf = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+    buf.put("junk".getBytes).putInt(0xFFFFFFF8)
+    val r = Seq(Tuple1(buf.array())).toDF("payload")
+      .select(Multimodal.decodeWav($"payload")).first()
+    assert(r.isNullAt(0))
+  }
+
+  test("decodeMp4 nulls a version-1 mvhd too short for the v1 layout") {
+    // v==1 but only the v0-sized payload present — misreading it via the
+    // v0 offsets would return mtime bytes as timescale/duration
+    val buf = java.nio.ByteBuffer.allocate(16 + 8 + 8 + 20)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.putInt(16).put("ftyp".getBytes).put("mp42".getBytes).putInt(0)
+    buf.putInt(8 + 8 + 20).put("moov".getBytes)
+    buf.putInt(8 + 20).put("mvhd".getBytes)
+    buf.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1, flags
+    buf.putInt(0).putInt(0).putInt(90000).putInt(1234) // v0-shaped payload
+    val r = Seq(Tuple1(buf.array())).toDF("payload")
+      .select(Multimodal.decodeMp4($"payload")).first()
+    assert(r.isNullAt(0))
+  }
+
   test("extractFeatures appends an 8-dim deterministic feature vector") {
     val out = Multimodal.extractFeatures(Multimodal.asBinary(docs, "text"), "payload")
     val feats = out.filter($"doc_id" === 1).select("features").first().getSeq[Double](0)

@@ -157,6 +157,34 @@ class IncrementalSpec extends SparkSpec {
     assert(qe.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 
+  test("flat-bucket discovery: root-level files list via the executor path, once") {
+    val root = tmp()
+    val base = 1700000000000L
+    // a mostly-FLAT bucket: files directly under the root (the shape that
+    // used to buffer on the driver) plus one subdir to prove the root task
+    // is non-recursive — subtrees are owned by their subdir tasks, so
+    // nothing is listed twice
+    (0 until 40).foreach { i =>
+      val f = java.nio.file.Paths.get(root, "src", f"flat_$i%02d.parquet")
+      Files.createDirectories(f.getParent)
+      Files.writeString(f, "x")
+      f.toFile.setLastModified(base + i * 1000L)
+    }
+    (0 until 5).foreach { i =>
+      val f = java.nio.file.Paths.get(root, "src", "sub", s"nested_$i.parquet")
+      Files.createDirectories(f.getParent)
+      Files.writeString(f, "x")
+      f.toFile.setLastModified(base + (100 + i) * 1000L)
+    }
+    val listing = Incremental.listingDf(spark, s"$root/src")
+    assert(listing.count() === 45)
+    assert(listing.select("path").distinct().count() === 45)
+    // flat files reach the driver exclusively through the bounded collect
+    val batch = Incremental.takeBatch(spark, listing, Seq.empty[String].toDF("path"), 3)
+    assert(batch.map(_.mtime) === (0 until 3).map(i => base + i * 1000L))
+    assert(batch.forall(_.path.contains("flat_")))
+  }
+
   test("discover filters by pattern and sorts by mtime") {
     val root = tmp()
     Seq(1).toDF("v").write.parquet(s"$root/src/a")
