@@ -44,25 +44,38 @@ object LmScore {
     * a held-out reference corpus to score drift against it. */
   def bigramNll(docs: DataFrame, id: Column, text: Column,
                 train: Option[DataFrame] = None): DataFrame = {
-    val scoreStream = bigrams(docs, id, text)
-    val trainStream = train.map(t => bigrams(t, id, text)).getOrElse(scoreStream)
-    val c12 = trainStream.groupBy("w1", "w2").agg(count(lit(1)).as("__n12"))
-    val c1 = trainStream.groupBy("w1").agg(count(lit(1)).as("__n1"))
-    // V = corpus vocabulary (distinct tokens incl. doc-final ones)
-    val trainDocs = train.getOrElse(docs)
-    val vocab = trainDocs
-      .select(explode(filter(split(lower(text), "\\s+"), x => x =!= "")).as("__w"))
-      .agg(count_distinct(col("__w")).as("__v"))
-    val nll = round(-log((col("__n12") + 1.0) / (col("__n1") + col("__v"))) * 1e6, 0)
-      .cast("long")
-    scoreStream
-      .join(c12, Seq("w1", "w2"), "left")
-      .join(c1, Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
-      // unseen bigram/context under a held-out model: C defaults to 0
-      .na.fill(0L, Seq("__n12", "__n1"))
-      .withColumn("__nll", nll)
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll")).as("nll_micro"))
+    // the train-side bigram stream feeds two count aggregations — and, in
+    // self-train mode, the score join as well (three consumers of the same
+    // split/explode lineage, which Spark would otherwise recompute per
+    // consumer; the explode IS the dominant cost at corpus scale). Persist
+    // it for the duration of the one composed job, materialize the per-doc
+    // three-column result eagerly, and release the cache before returning
+    // — a library call must not leave cached lineage behind in a
+    // long-lived session.
+    val scoreStream0 = bigrams(docs, id, text)
+    val trainStream = train.map(t => bigrams(t, id, text)).getOrElse(scoreStream0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scoreStream = if (train.isEmpty) trainStream else scoreStream0
+    try {
+      val c12 = trainStream.groupBy("w1", "w2").agg(count(lit(1)).as("__n12"))
+      val c1 = trainStream.groupBy("w1").agg(count(lit(1)).as("__n1"))
+      // V = corpus vocabulary (distinct tokens incl. doc-final ones)
+      val trainDocs = train.getOrElse(docs)
+      val vocab = trainDocs
+        .select(explode(filter(split(lower(text), "\\s+"), x => x =!= "")).as("__w"))
+        .agg(count_distinct(col("__w")).as("__v"))
+      val nll = round(-log((col("__n12") + 1.0) / (col("__n1") + col("__v"))) * 1e6, 0)
+        .cast("long")
+      scoreStream
+        .join(c12, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        // unseen bigram/context under a held-out model: C defaults to 0
+        .na.fill(0L, Seq("__n12", "__n1"))
+        .withColumn("__nll", nll)
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll")).as("nll_micro"))
+        .localCheckpoint(true) // checkpoint blocks freed with the frame
+    } finally trainStream.unpersist(blocking = false)
   }
 }

@@ -1686,6 +1686,45 @@ object ExtQueries {
              |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(s) AS BIGINT) AS nll_micro
              |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Held-out LM scoring (the production CCNet shape: the LM is trained
+    // on a REFERENCE corpus — here every 5th doc — and scores the rest,
+    // so the unseen-bigram/unseen-context smoothing path (C=0 fallbacks,
+    // p = (0+1)/(0+V)) runs end-to-end in both engines, not just in a
+    // unit spec). Same exact micro-nat integer convention as x55.
+    QuerySpec("x57_lm_score_heldout",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ext.LmScore.bigramNll(
+            docs.filter(col("doc_id") % 5 =!= 0), col("doc_id"), col("text"),
+            train = Some(docs.filter(col("doc_id") % 5 === 0)))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tokT AS (SELECT doc_id,
+             |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                     x -> x <> '') AS t
+             |       FROM documents WHERE doc_id % 5 = 0),
+             |tokS AS (SELECT doc_id,
+             |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                     x -> x <> '') AS t
+             |       FROM documents WHERE doc_id % 5 <> 0),
+             |bgT AS (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+             |       FROM tokT WHERE len(t) >= 2),
+             |bT AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgT),
+             |bgS AS (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+             |       FROM tokS WHERE len(t) >= 2),
+             |bS AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgS),
+             |c12 AS (SELECT w1, w2, count(*) AS n12 FROM bT GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*) AS n1 FROM bT GROUP BY 1),
+             |v AS (SELECT count(DISTINCT x) AS v
+             |      FROM (SELECT unnest(t) AS x FROM tokT)),
+             |sc AS (SELECT doc_id,
+             |         CAST(round(-ln((coalesce(n12, 0) + 1.0)
+             |                        / (coalesce(n1, 0) + v)) * 1000000, 0) AS BIGINT) AS s
+             |       FROM bS LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1), v)
+             |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(s) AS BIGINT) AS nll_micro
+             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // URL extraction + domain canonicalization (the web-corpus curation
     // stage: link-density quality signals, per-domain caps, blocklist
     // joins all start here). URLs planted deterministically into every
