@@ -1865,6 +1865,62 @@ object ExtQueries {
              |                       (sqrt(CAST(nn * sxx - sx * sx AS DOUBLE)) *
              |                        sqrt(CAST(nn * syy - sy * sy AS DOUBLE))), 6)
              |       END AS corr_qty_price
-             |FROM a ORDER BY 1""".stripMargin))
+             |FROM a ORDER BY 1""".stripMargin)),
+
+    // PRODUCTION-SIZE vocab tokenization (the throughput claim x51's
+    // 100-merge fixture can't make): the full documents table encoded to
+    // ids through the deterministic 50k-merge synthetic vocab, loaded via
+    // the same published-format parsers (50k vocab.bpe lines + ~1 MB
+    // escape-heavy encoder.json) and shipped to executors as a BROADCAST
+    // — a megabytes-size vocab must never ride the per-task closure. The
+    // oracle states the loss-free invariants (id-level round trip through
+    // the inverse encoder map; byte bounds with maxTokenLen=4); the exact
+    // merge/id behavior of the big vocab is pinned by x59's frozen VALUES.
+    QuerySpec("x58_bpe_big_vocab",
+      (s, d) => {
+        import graft.functions.{Bpe, GraftBpe}
+        val bc = s.sparkContext.broadcast(Bpe.bigVocab)
+        val maxTok = Bpe.bigVocab.maxTokenLen
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"),
+            GraftBpe.bpeIdsBc(col("text"), bc).as("ids"))
+          .select(col("doc_id"),
+            length(col("text").cast("binary")).cast("long").as("n_bytes"),
+            (GraftBpe.bpeDetokIds(col("ids"), bc) === col("text"))
+              .cast("long").as("roundtrip_ok"),
+            (size(col("ids")).cast("long") <= length(col("text").cast("binary")) &&
+             size(col("ids")).cast("long") * maxTok >= length(col("text").cast("binary")))
+              .cast("long").as("bounds_ok"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(1 AS BIGINT) AS roundtrip_ok, CAST(1 AS BIGINT) AS bounds_ok
+             |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin)),
+
+    // The 50k-merge vocab's EXACT behavior: the x30/x51 fixture strings
+    // tokenized through it — token counts prove the production-size merge
+    // table drove the greedy matcher (counts differ from both x30's
+    // default vocab and x51's 100-merge fixture), id sums prove the
+    // ~50k-entry encoder map routed every token. VALUES precomputed by
+    // scripts/bpe_big_vocab_oracle.py: an independent python rebuild of
+    // the vocab spec plus the independent bpe_oracle.py encoder.
+    QuerySpec("x59_bpe_big_fixture",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.{Bpe, GraftBpe}
+        val bc = s.sparkContext.broadcast(Bpe.bigVocab)
+        BpeFixture.strings.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("fid", "text")
+          .select(col("fid"), GraftBpe.bpeIdsBc(col("text"), bc).as("ids"))
+          .select(col("fid"), size(col("ids")).cast("long").as("n_tokens"),
+            aggregate(col("ids"), lit(0L), (acc, x) => acc + x).as("id_sum"))
+          .orderBy("fid")
+      },
+      Some("""SELECT CAST(fid AS BIGINT) AS fid, CAST(n AS BIGINT) AS n_tokens,
+             |       CAST(ids AS BIGINT) AS id_sum
+             |FROM (VALUES (0,22,28490),(1,29,33194),(2,31,16347),(3,27,13543),
+             |             (4,26,19402),(5,39,9174),(6,12,4299),(7,1,97),(8,0,0),
+             |             (9,30,36595),(10,17,19473),(11,29,4572)) AS t(fid, n, ids)
+             |ORDER BY fid""".stripMargin))
   )
 }
