@@ -159,6 +159,40 @@ object TextDedup {
     newDf.join(broadcast(hits), newId === col("__dup_id"), "left_anti")
   }
 
+  /** Persistable per-document signature artifact: (doc_id, sh, sig) — the
+    * history table a continuous ingest gate APPENDS per batch so history
+    * text is never re-shingled (the streaming composition of [[x39]]'s
+    * batch shape; see [[graft.streaming.NearDupGate]]). Shingles ride
+    * along because the exact-Jaccard verification join needs them; a
+    * recall-only band gate could drop the column and store 64 longs per
+    * doc. At 100 TB additionally bucket-write the exploded [[bandHashes]]
+    * on (band, bh) — here bands derive from `sig` in one narrow map, no
+    * shuffle. */
+  def signatureTable(df: DataFrame, id: Column, text: Column,
+                     k: Int = 3, numHashes: Int = 64): DataFrame =
+    df.select(id.as("doc_id"), shingles(text, k).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+  /** Cross-set near-dups of a NEW batch's signature table against a
+    * persisted history signature table — [[minhashNearDupsAgainst]] for
+    * the case where both sides are already signed: no text recompute, the
+    * band equi-join and the verification joins read the artifact directly.
+    * Returns (new_id, hist_id, jacc) with exact Jaccard ≥ threshold. */
+  def nearDupsAgainstSigTable(newSigs: DataFrame, histSigs: DataFrame,
+                              rowsPerBand: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val cands = bandHashes(newSigs, col("doc_id"), col("sig"), rowsPerBand).as("n")
+      .join(bandHashes(histSigs, col("doc_id"), col("sig"), rowsPerBand).as("h"),
+        col("n.__band") === col("h.__band") && col("n.__bh") === col("h.__bh"))
+      .select(col("n.__id").as("new_id"), col("h.__id").as("hist_id"))
+      .distinct()
+    cands
+      .join(newSigs.select(col("doc_id").as("new_id"), col("sh").as("__sha")), "new_id")
+      .join(histSigs.select(col("doc_id").as("hist_id"), col("sh").as("__shb")), "hist_id")
+      .withColumn("jacc", jaccard(col("__sha"), col("__shb")))
+      .filter(col("jacc") >= threshold)
+      .select(col("new_id"), col("hist_id"), col("jacc"))
+  }
+
   /** All-pairs exact shingle-Jaccard within a blocking key (for oracle-sized
     * data / verification; quadratic within blocks — use LSH at scale). */
   def exactNearDups(df: DataFrame, id: Column, text: Column, block: Column,

@@ -1921,6 +1921,78 @@ object ExtQueries {
              |FROM (VALUES (0,22,28490),(1,29,33194),(2,31,16347),(3,27,13543),
              |             (4,26,19402),(5,39,9174),(6,12,4299),(7,1,97),(8,0,0),
              |             (9,30,36595),(10,17,19473),(11,29,4572)) AS t(fid, n, ids)
-             |ORDER BY fid""".stripMargin))
+             |ORDER BY fid""".stripMargin)),
+
+    // ST — streaming near-dup INGEST GATE (x39's batch shape composed
+    // with st09's foreachBatch sink): documents drain in three
+    // micro-batches; each batch drops near-dups of the PERSISTED history
+    // signature table, then appends its own kept signatures — so the
+    // planted dups (slice-0 docs re-arriving with a tail in slice 2)
+    // are caught two batches after their originals without re-signing
+    // history. The oracle replays the same sequential gate in SQL:
+    // kept(0) = b0, kept(i) = b_i minus exact-Jaccard≥0.8 matches of
+    // kept(<i).
+    QuerySpec("st11_stream_neardup_gate",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val src = Staging.slicedSource("ndg", d) { tmp =>
+          val slices = Seq(
+            docs.filter(col("doc_id") % 3 === 0),
+            docs.filter(col("doc_id") % 3 === 1),
+            docs.filter(col("doc_id") % 3 === 2)
+              .unionByName(docs.filter(col("doc_id") % 15 === 0)
+                .select((col("doc_id") + 1000000L).as("doc_id"),
+                  concat(col("text"), lit(" graft stream gate tail")).as("text"))))
+          slices.zipWithIndex.foreach { case (df, i) =>
+            df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ndg_run").toString
+        Staging.withShufflePartitions(s, 8) {
+          val q = graft.streaming.NearDupGate.start(s,
+            s.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+            "doc_id", "text",
+            sigDir = s"$tmp/sigs", outDir = s"$tmp/out",
+            checkpoint = s"$tmp/ckpt")
+          q.awaitTermination()
+        }
+        s.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+          .select(col("doc_id"),
+            when(col("doc_id") >= 1000000L, lit(2L))
+              .otherwise(col("doc_id") % 3).cast("long").as("ingest_batch"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text, doc_id % 3 AS b FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text || ' graft stream gate tail', 2
+             |  FROM documents WHERE doc_id % 15 = 0),
+             |sh AS (SELECT doc_id, b, list_distinct(list_transform(
+             |         range(1, len(string_split(lower(text), ' ')) - 1),
+             |         i -> string_split(lower(text), ' ')[i] || ' ' ||
+             |              string_split(lower(text), ' ')[i+1] || ' ' ||
+             |              string_split(lower(text), ' ')[i+2])) AS s
+             |       FROM base),
+             |k0 AS (SELECT doc_id, s FROM sh WHERE b = 0),
+             |n1 AS (SELECT doc_id, s FROM sh WHERE b = 1),
+             |k1 AS (SELECT doc_id, s FROM n1 WHERE doc_id NOT IN (
+             |        SELECT n.doc_id FROM n1 n JOIN k0 h
+             |        ON len(list_intersect(n.s, h.s)) * 1.0 /
+             |           len(list_distinct(list_concat(n.s, h.s))) >= 0.8)),
+             |h1 AS (SELECT doc_id, s FROM k0 UNION ALL SELECT doc_id, s FROM k1),
+             |n2 AS (SELECT doc_id, s FROM sh WHERE b = 2),
+             |k2 AS (SELECT doc_id FROM n2 WHERE doc_id NOT IN (
+             |        SELECT n.doc_id FROM n2 n JOIN h1 h
+             |        ON len(list_intersect(n.s, h.s)) * 1.0 /
+             |           len(list_distinct(list_concat(n.s, h.s))) >= 0.8))
+             |SELECT doc_id,
+             |       CAST(CASE WHEN doc_id >= 1000000 THEN 2
+             |                 ELSE doc_id % 3 END AS BIGINT) AS ingest_batch
+             |FROM (SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1
+             |      UNION ALL SELECT doc_id FROM k2)
+             |ORDER BY doc_id""".stripMargin))
   )
 }
