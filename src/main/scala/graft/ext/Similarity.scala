@@ -171,13 +171,73 @@ object Similarity {
     * a corpus shuffle. Returns the centroids a query batch needs. */
   def buildIvfIndex(corpus: DataFrame, table: String, nlist: Int,
                     iters: Int = 5, numBuckets: Int = 16): Array[Array[Double]] = {
-    import graft.functions.VectorExprs.nearestCentroids
     val centroids = kmeansCentroids(corpus, nlist, iters)
+    writeIvfIndex(corpus, table, centroids, numBuckets)
+    centroids
+  }
+
+  /** Assign `corpus` to PRECOMPUTED centroids and (over)write the bucketed
+    * inverted file — [[buildIvfIndex]] without the training step, for
+    * callers that train on a subset (e.g. to keep a held-out calibration
+    * slice for [[IvfDrift]]) or reuse centroids across snapshots. */
+  def writeIvfIndex(corpus: DataFrame, table: String,
+                    centroids: Array[Array[Double]], numBuckets: Int = 16): Unit = {
+    import graft.functions.VectorExprs.nearestCentroids
     val indexed = corpus
       .select(col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("__cv"))
       .withColumn("__cell", element_at(nearestCentroids(col("__cv"), centroids, 1), 1))
     graft.io.Layout.writeBucketed(indexed, table, "__cell", numBuckets)
-    centroids
+  }
+
+  /** Mean cosine of each vector to its assigned (nearest) centroid — the
+    * assignment-quality statistic behind IVF index maintenance. One
+    * distributed pass (native nearest-centroid assignment + a broadcast
+    * join against the O(nlist × dim) centroid table); only the scalar
+    * mean reaches the driver. */
+  def ivfAssignQuality(corpus: DataFrame, centroids: Array[Array[Double]]): Double = {
+    import graft.functions.VectorExprs.nearestCentroids
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = broadcast(centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("__cell", "__cent"))
+    corpus.select(toDouble(col("embedding")).as("__v"))
+      .withColumn("__cell", element_at(nearestCentroids(col("__v"), centroids, 1), 1))
+      .join(cents, "__cell")
+      .agg(avg(cosine(col("__v"), col("__cent"))))
+      .first().getDouble(0)
+  }
+
+  /** Drift report of an incremental IVF append: if the delta's vectors sit
+    * `margin` further (in mean assignment cosine) from the existing
+    * centroids than the reference did, the quantizer no longer covers the
+    * data and the index should be retrained — the answer to "rebuild or
+    * go stale" for a daily-ingest corpus.
+    *
+    * `refMeanSim` must be measured on build-time data UNSEEN by the
+    * k-means training (a held-out calibration slice): quantizers fit
+    * their training sample, so train-set quality sits systematically
+    * above any unseen batch's (measured ~0.08 mean-cosine gap on the test
+    * embeddings) and an in-distribution delta would false-trigger
+    * against it. Unseen-vs-unseen, the gap is sampling noise. */
+  final case class IvfDrift(refMeanSim: Double, deltaMeanSim: Double, margin: Double) {
+    def shouldRetrain: Boolean = deltaMeanSim < refMeanSim - margin
+  }
+
+  /** Incremental IVF maintenance — the append path of [[buildIvfIndex]]:
+    * assign DELTA vectors to the EXISTING centroids (one narrow pass, no
+    * retraining, no base re-scan) and append them to the persisted
+    * inverted file ([[graft.io.Layout.appendBucketed]] — new files beside
+    * the old per bucket, bucket pruning still holds over base ∪ delta).
+    * Serving via [[ivfTopKIndexed]] picks the appended rows up with zero
+    * further work. Pair with [[ivfAssignQuality]] + [[IvfDrift]] to decide
+    * when appending must give way to a retrain. */
+  def appendToIvfIndex(delta: DataFrame, table: String,
+                       centroids: Array[Array[Double]], numBuckets: Int = 16): Unit = {
+    import graft.functions.VectorExprs.nearestCentroids
+    val indexed = delta
+      .select(col("vec_id").as("neighbor_id"), toDouble(col("embedding")).as("__cv"))
+      .withColumn("__cell", element_at(nearestCentroids(col("__cv"), centroids, 1), 1))
+    graft.io.Layout.appendBucketed(indexed, table, "__cell", numBuckets)
   }
 
   /** Serve a query batch from a persisted index. The probed cell set

@@ -43,6 +43,21 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** Append new rows to an EXISTING bucketed table with the same bucket
+    * spec: new files land beside the old ones per bucket (no rewrite of
+    * committed data — object-store safe), and the catalog keeps the
+    * bucket metadata, so bucket-pruned scans and shuffle-free joins hold
+    * over base ∪ appended. Spark validates the spec against the catalog
+    * and fails loudly on a mismatch. Each append adds up to one file per
+    * bucket; periodic compaction (rewrite via [[writeBucketed]]) is the
+    * maintenance knob when append frequency is high. */
+  def appendBucketed(df: DataFrame, table: String, bucketCol: String,
+                     numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** Convenience: read a catalog table (bucketed layout honored). */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }

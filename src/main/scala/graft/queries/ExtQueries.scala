@@ -52,6 +52,37 @@ object ExtQueries {
     ivfCentroids.computeIfAbsent(d,
       _ => Similarity.buildIvfIndex(annCorpus(s, d), ivfTable(d), nlist = 16))
 
+  /** Incremental-IVF artifacts per sf dir (see x56): the BASE index is
+    * trained and written on 4/5 of the embeddings only; the delta (the
+    * remaining fifth PLUS the planted query twins) is then appended via
+    * the maintenance path — assigned to the EXISTING centroids, appended
+    * to the bucketed inverted file — with build-time and delta assignment
+    * quality recorded for the drift check. Built once per JVM (offline
+    * maintenance work); x56 benches the serve, like x18. */
+  private val ivfaState = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Similarity.IvfDrift)]()
+  private def ivfaTable(d: String): String =
+    "graft_ivfa_" + java.lang.Integer.toHexString(d.hashCode)
+  private def ivfaArtifacts(s: SparkSession, d: String): (Array[Array[Double]], Similarity.IvfDrift) =
+    ivfaState.computeIfAbsent(d, { _ =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+        .unionByName(emb.filter(col("vec_id") < 10)
+          .withColumn("vec_id", col("vec_id") + 100000L))
+      // k-means trains on base MINUS a calibration slice; the whole base is
+      // indexed. The calibration slice — unseen at train time, like every
+      // future delta — is the drift reference (see IvfDrift's scaladoc).
+      val calib = base.filter(col("vec_id") % 7 === 1)
+      val centroids = Similarity.kmeansCentroids(
+        base.filter(col("vec_id") % 7 =!= 1), nlist = 16)
+      Similarity.writeIvfIndex(base, ivfaTable(d), centroids)
+      val refQ = Similarity.ivfAssignQuality(calib, centroids)
+      Similarity.appendToIvfIndex(delta, ivfaTable(d), centroids)
+      val deltaQ = Similarity.ivfAssignQuality(delta, centroids)
+      (centroids, Similarity.IvfDrift(refQ, deltaQ, margin = 0.05))
+    })
+
   /** documents ∪ exact duplicates (ids shifted by 1e6) — exercises dedup. */
   private def dupCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -1993,6 +2024,58 @@ object ExtQueries {
              |                 ELSE doc_id % 3 END AS BIGINT) AS ingest_batch
              |FROM (SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1
              |      UNION ALL SELECT doc_id FROM k2)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // INCREMENTAL IVF maintenance, serve path ([[ivfaArtifacts]]): the
+    // index is trained on 4/5 of the corpus, the delta — including every
+    // planted query twin — arrives through the APPEND path (assign to
+    // existing centroids, append to the bucketed inverted file, no
+    // retrain, no base re-scan). Each query's twin living only in the
+    // appended files must still return at rank 1: the serve reads
+    // base ∪ delta through the same bucket-pruned scan. Drift stats and
+    // the recall bound are x60's job (bench-excluded verifier).
+    QuerySpec("x56_ann_ivf_append",
+      (s, d) => {
+        val q = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        val (centroids, _) = ivfaArtifacts(s, d)
+        // nprobe 8 vs x18's 6: serving appended data from a STALE quantizer
+        // (centroids never saw the delta) costs probe width to hold recall —
+        // measured 39/50 overlap at nprobe=6, 42-47/50 at 8 across sf levels
+        Similarity.ivfTopKIndexed(s, q, ivfaTable(d), centroids, 5, nprobe = 8)
+          .filter(col("rk") === 1)
+          .select(col("query_id"), col("neighbor_id").as("top1_neighbor_id"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, vec_id + 100000 AS top1_neighbor_id
+             |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin)),
+
+    // x56's VERIFIER (bench-excluded, x52 pattern): the appended index's
+    // top-5 must overlap the exact brute force over base ∪ delta by
+    // ≥ 40/50 (centroids saw only 4/5 of the corpus, so this bounds the
+    // recall cost of serving appended data from a stale quantizer), and
+    // the drift check must report the same-distribution delta as NOT
+    // needing a retrain (mean assignment cosine within margin of
+    // build-time — the knob that says when append must give way to
+    // rebuild).
+    QuerySpec("x60_ann_ivf_append_verify",
+      (s, d) => {
+        val q = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        val (centroids, drift) = ivfaArtifacts(s, d)
+        val ivf = Similarity.ivfTopKIndexed(s, q, ivfaTable(d), centroids, 5, nprobe = 8)
+        val bf = Similarity.bruteForceTopK(q, annCorpus(s, d), 5)
+        val totalOverlap = ivf.select("query_id", "neighbor_id")
+          .join(bf.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("__n"))
+        ivf.filter(col("rk") === 1)
+          .select(col("query_id"), col("neighbor_id").as("top1_neighbor_id"))
+          .crossJoin(totalOverlap)
+          .select(col("query_id"), col("top1_neighbor_id"),
+            (col("__n") >= 40).cast("long").as("recall_ok"),
+            lit(!drift.shouldRetrain).cast("long").as("drift_ok"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, vec_id + 100000 AS top1_neighbor_id,
+             |       CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS drift_ok
+             |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin))
   )
 }

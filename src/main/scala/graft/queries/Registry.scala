@@ -34,10 +34,11 @@ object Registry {
     * itself carries the pipeline's bench signal. */
   val quadraticVerifiers: Set[String] =
     Set("x02_neardup_jaccard", "x04_simhash", "x13_cosine_neardup",
-      // ANN recall verifiers: x52/x53 re-run the x18/x41 serve paths plus
-      // a brute-force top-k purely to pin recall — the benched entries time
-      // the persisted-index serve alone, the thing that runs at 100 TB
-      "x52_ann_ivf_verify", "x53_pq_ann_verify")
+      // ANN recall verifiers: x52/x53/x60 re-run the x18/x41/x56 serve
+      // paths plus a brute-force top-k purely to pin recall — the benched
+      // entries time the persisted-index serve alone, the thing that runs
+      // at 100 TB
+      "x52_ann_ivf_verify", "x53_pq_ann_verify", "x60_ann_ivf_append_verify")
   val pipelineReplays: Set[String] =
     Set("st04_taxi_job", "q29_vendor_flags", "q30_payment_analysis", "q31_pickup_locations")
   val benchExcluded: Set[String] = quadraticVerifiers ++ pipelineReplays

@@ -155,4 +155,42 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 100L)))
     assert(pairs.contains((1L, 101L)))
   }
+
+  test("appendToIvfIndex: appended twin served at rank 1 through the same index table") {
+    val base = corpus.filter(col("vec_id") >= 10)
+    val centroids = Similarity.buildIvfIndex(base, "graft_ivfa_spec", nlist = 4)
+    // delta: the query rows themselves plus identical twins at id+100000
+    val q = corpus.filter(col("vec_id") < 3)
+    val delta = q.unionByName(q.withColumn("vec_id", col("vec_id") + 100000L))
+    Similarity.appendToIvfIndex(delta, "graft_ivfa_spec", centroids, numBuckets = 16)
+    val top1 = Similarity
+      .ivfTopKIndexed(spark, q, "graft_ivfa_spec", centroids, 3, nprobe = 2)
+      .filter(col("rk") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach(i => assert(top1(i) === i + 100000L,
+      s"appended twin of $i must be served at rank 1"))
+  }
+
+  test("IvfDrift: same-distribution delta passes, shifted delta demands retrain") {
+    val base = corpus.filter(col("vec_id") % 2 === 0)
+    // the drift reference comes from a held-out calibration slice (unseen
+    // by k-means, like every future delta) — referencing TRAIN-set quality
+    // would false-trigger on any in-distribution delta (quantizers fit
+    // their training sample; the gap measures ~0.2 on this tiny corpus)
+    val train = base.filter(col("vec_id") % 4 === 0)
+    val calib = base.filter(col("vec_id") % 4 =!= 0)
+    val sameDist = corpus.filter(col("vec_id") % 2 === 1)
+    // a delta the quantizer has never seen anything like: constant offset
+    // dominating every component pushes all vectors into one far corner
+    val shifted = sameDist.withColumn("embedding",
+      transform(col("embedding"), x => x * 0.05f + 8.0f))
+    val centroids = Similarity.kmeansCentroids(train, nlist = 4)
+    val refQ = Similarity.ivfAssignQuality(calib, centroids)
+    assert(!Similarity.IvfDrift(refQ,
+      Similarity.ivfAssignQuality(sameDist, centroids), margin = 0.05).shouldRetrain,
+      "in-distribution delta must not trigger a retrain")
+    assert(Similarity.IvfDrift(refQ,
+      Similarity.ivfAssignQuality(shifted, centroids), margin = 0.05).shouldRetrain,
+      "out-of-distribution delta must trigger a retrain")
+  }
 }
