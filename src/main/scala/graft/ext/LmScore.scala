@@ -43,7 +43,8 @@ object LmScore {
     * corpus (self-scoring — the deterministic quality-ranking mode); pass
     * a held-out reference corpus to score drift against it. */
   def bigramNll(docs: DataFrame, id: Column, text: Column,
-                train: Option[DataFrame] = None): DataFrame = {
+                train: Option[DataFrame] = None,
+                materialize: Boolean = true): DataFrame = {
     // the train-side bigram stream feeds two count aggregations — and, in
     // self-train mode, the score join as well (three consumers of the same
     // split/explode lineage, which Spark would otherwise recompute per
@@ -66,7 +67,7 @@ object LmScore {
         .agg(count_distinct(col("__w")).as("__v"))
       val nll = round(-log((col("__n12") + 1.0) / (col("__n1") + col("__v"))) * 1e6, 0)
         .cast("long")
-      scoreStream
+      val scored = scoreStream
         .join(c12, Seq("w1", "w2"), "left")
         .join(c1, Seq("w1"), "left")
         .crossJoin(broadcast(vocab))
@@ -75,7 +76,11 @@ object LmScore {
         .withColumn("__nll", nll)
         .groupBy("id")
         .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll")).as("nll_micro"))
-        .localCheckpoint(true) // checkpoint blocks freed with the frame
+      // materialize=false keeps the composed plan inspectable (PlanSpec);
+      // production callers keep the eager checkpoint so the cache released
+      // below is never re-demanded
+      if (materialize) scored.localCheckpoint(true) // blocks freed with the frame
+      else scored
     } finally trainStream.unpersist(blocking = false)
   }
 }

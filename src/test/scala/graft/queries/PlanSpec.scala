@@ -99,6 +99,50 @@ class PlanSpec extends SparkSpec {
     assert("(?<!Broadcast)Exchange".r.findAllIn(p).size <= 2, p)
   }
 
+  test("x54: URL extraction is a narrow map — no joins, one presentation sort") {
+    val p = plan("x54_url_extract")
+    assert(!p.contains("Join"), s"link stats must not join anything:\n$p")
+    assert(exchanges(p) <= 1, s"only the orderBy range exchange is allowed:\n$p")
+    assert(!p.contains("n_chars"), s"documents scan must prune unreferenced columns:\n$p")
+  }
+
+  test("x55 shape: LM train+score is equi-joins + one broadcast one-row vocab") {
+    // the production call eagerly checkpoints (the plan hides behind a
+    // Scan ExistingRDD); materialize=false exposes the composed plan
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, d)
+    val p = graft.ext.LmScore.bigramNll(docs, col("doc_id"), col("text"),
+        materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join is the broadcast of the ONE-ROW vocab agg
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("partial_count"), s"count aggs must map-side combine:\n$p")
+  }
+
+  test("x58: big-vocab BPE encode is a narrow map over a pruned scan") {
+    val p = plan("x58_bpe_big_vocab")
+    assert(!p.contains("Join"), s"tokenization must not join anything:\n$p")
+    assert(exchanges(p) <= 1, s"only the orderBy range exchange is allowed:\n$p")
+    assert(!p.contains("n_chars"), s"documents scan must prune unreferenced columns:\n$p")
+  }
+
+  test("x50: media encode/decode round-trip is per-row expressions, no shuffle but the sort") {
+    val p = plan("x50_media_decode")
+    assert(!p.contains("Join"), p)
+    assert(exchanges(p) <= 1, s"header decode must stay narrow:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ArrowEvalPython"), p)
+  }
+
+  test("x56: appended-IVF serve scans only the probed buckets, corpus never shuffles") {
+    val p = plan("x56_ann_ivf_append")
+    assert(p.contains("SelectedBucketsCount"),
+      s"probed-cell IN filter must prune buckets:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$p")
+    // top-k agg exchange + presentation sort; the corpus side contributes none
+    assert(exchanges(p) <= 2, s"corpus rows must not shuffle before top-k:\n$p")
+  }
+
   test("x19: no single-partition window ever runs over the document rows") {
     val p = plan("x19_seq_pack")
     // the per-row cumsum must be partitioned by bucket; the only
