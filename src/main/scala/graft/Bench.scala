@@ -102,7 +102,12 @@ object Bench {
     // per-query numbers, not first-query JIT cost.
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.queries.Registry.queries("q02_pricing_summary")(spark, sfDir).count()
-    val results = graft.queries.Registry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // comma-separated allowlist for focused re-measurement while iterating;
+    // the driver's full-suite runs leave it unset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val results = graft.queries.Registry.benchQueries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_(name)) }
+      .map { case (name, fn) =>
       measure(name, runs,
         () => { fn(spark, sfDir).count(); () },
         // queries may persist() intermediates; every run starts cold-cache

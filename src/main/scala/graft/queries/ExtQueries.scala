@@ -443,8 +443,8 @@ object ExtQueries {
         val ev = Tables.events(s, d)
         val src = Staging.slicedSource("stream", d) { tmp =>
           (0 until 3).foreach { i =>
-            ev.filter(col("event_id") % 3 === i).coalesce(1)
-              .write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+            Staging.writeSlice(ev.filter(col("event_id") % 3 === i),
+              s"$tmp/src/slice$i")
           }
           Seq("slice0", "slice1", "slice2")
         }
@@ -1037,8 +1037,8 @@ object ExtQueries {
         val ev = Tables.events(s, d)
         val src = Staging.slicedSource("inc", d) { tmp =>
           (0 until 3).foreach { i =>
-            ev.filter(col("event_id") % 3 === i).coalesce(1)
-              .write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+            Staging.writeSlice(ev.filter(col("event_id") % 3 === i),
+              s"$tmp/src/slice$i")
           }
           Seq("slice0", "slice1", "slice2")
         }
@@ -1160,7 +1160,7 @@ object ExtQueries {
           Seq(dayofmonth(col("ts")) <= 10,
               dayofmonth(col("ts")).between(11, 20),
               dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>
-            ev.filter(p).coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+            Staging.writeSlice(ev.filter(p), s"$tmp/src/slice$i")
           }
           import s.implicits._
           Seq((new java.sql.Timestamp(maxTs.getTime + 12 * 3600 * 1000L), 0L))
@@ -1168,7 +1168,7 @@ object ExtQueries {
           Seq("slice0", "slice1", "slice2", "slice3_flush")
         }
         val tmp = java.nio.file.Files.createTempDirectory("graft_sw_run").toString
-        Staging.withShufflePartitions(s, 8) {
+        Staging.drainTuning(s, src, 3) {
           val q = graft.streaming.IncrementalStream.windowedCounts(
               s.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", 1)
@@ -1207,13 +1207,14 @@ object ExtQueries {
               dayofmonth(col("ts")).between(11, 20),
               dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>
             val slice = ev.filter(p)
-            slice.unionByName(slice.filter(col("event_id") % 5 === 0))
-              .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+            Staging.writeSlice(
+              slice.unionByName(slice.filter(col("event_id") % 5 === 0)),
+              s"$tmp/src/slice$i")
           }
           Seq("slice0", "slice1", "slice2")
         }
         val tmp = java.nio.file.Files.createTempDirectory("graft_sd_run").toString
-        Staging.withShufflePartitions(s, 8) {
+        Staging.drainTuning(s, src, 3) {
           val q = graft.streaming.IncrementalStream.dedupedStream(
               s.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", 1)
@@ -1444,7 +1445,7 @@ object ExtQueries {
           Seq(dayofmonth(col("ts")) <= 10,
               dayofmonth(col("ts")).between(11, 20),
               dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>
-            ev.filter(p).coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+            Staging.writeSlice(ev.filter(p), s"$tmp/src/slice$i")
           }
           ev.select(col("user_id")).distinct()
             .withColumn("segment", concat(lit("seg_"), (col("user_id") % 4).cast("string")))
@@ -1486,7 +1487,7 @@ object ExtQueries {
           Seq(dayofmonth(col("ts")) <= 10,
               dayofmonth(col("ts")).between(11, 20),
               dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>
-            ev.filter(p).coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+            Staging.writeSlice(ev.filter(p), s"$tmp/src/slice$i")
           }
           Seq("slice0", "slice1", "slice2")
         }
@@ -1501,7 +1502,7 @@ object ExtQueries {
             col("ts").as("purchase_ts"))
           .withWatermark("purchase_ts", "12 hours")
         val tmp = java.nio.file.Files.createTempDirectory("graft_ss_run").toString
-        Staging.withShufflePartitions(s, 8) {
+        Staging.drainTuning(s, src, 3) {
           val q = clicks.join(purchases,
               col("user_id") === col("p_user") &&
                 col("click_ts") >= col("purchase_ts") &&
@@ -1542,7 +1543,7 @@ object ExtQueries {
           Seq(dayofmonth(col("ts")) <= 10,
               dayofmonth(col("ts")).between(11, 20),
               dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>
-            ev.filter(p).coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+            Staging.writeSlice(ev.filter(p), s"$tmp/src/slice$i")
           }
           Seq("slice0", "slice1", "slice2")
         }
@@ -1608,7 +1609,7 @@ object ExtQueries {
           Seq(dayofmonth(col("ts")) <= 10,
               dayofmonth(col("ts")).between(11, 20),
               dayofmonth(col("ts")) > 20).zipWithIndex.foreach { case (p, i) =>
-            ev.filter(p).coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+            Staging.writeSlice(ev.filter(p), s"$tmp/src/slice$i")
           }
           Seq((-1L, "2030-01-01 00:00:00"), (-1L, "2030-01-02 00:00:00"))
             .zipWithIndex.foreach { case ((u, t), i) =>
@@ -1618,7 +1619,7 @@ object ExtQueries {
           Seq("slice0", "slice1", "slice2", "sentinel0", "sentinel1")
         }
         val tmp = java.nio.file.Files.createTempDirectory("graft_sz_run").toString
-        Staging.withShufflePartitions(s, 8) {
+        Staging.drainTuning(s, src, 3) {
           val stream = s.readStream.schema("user_id LONG, ts TIMESTAMP")
             .option("maxFilesPerTrigger", 1)
             .option("recursiveFileLookup", "true").parquet(s"$src/src")
@@ -1975,12 +1976,12 @@ object ExtQueries {
                 .select((col("doc_id") + 1000000L).as("doc_id"),
                   concat(col("text"), lit(" graft stream gate tail")).as("text"))))
           slices.zipWithIndex.foreach { case (df, i) =>
-            df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/src/slice$i")
+            Staging.writeSlice(df, s"$tmp/src/slice$i")
           }
           Seq("slice0", "slice1", "slice2")
         }
         val tmp = java.nio.file.Files.createTempDirectory("graft_ndg_run").toString
-        Staging.withShufflePartitions(s, 8) {
+        Staging.drainTuning(s, src, 3) {
           val q = graft.streaming.NearDupGate.start(s,
             s.readStream.schema(docs.schema)
               .option("maxFilesPerTrigger", 1)

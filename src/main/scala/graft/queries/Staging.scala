@@ -44,4 +44,45 @@ object Staging {
           .foreach(_.setLastModified(1700000000000L + i * 60000L))
       }
     }
+
+  /** Row-group size (bytes) for staged SLICE writes. Slices are staged as
+    * ONE file each so `maxFilesPerTrigger=1` maps micro-batches 1:1 onto
+    * slices (watermark order is the whole point of the staging) — but a
+    * single file with the default 128 MB row group is one unsplittable
+    * scan task, which at sf10 serializes the entire per-batch decode (and
+    * everything fused above it) onto one core. Small row groups keep the
+    * one-file contract AND let the scan split: with [[drainTuning]]'s
+    * matching `maxPartitionBytes`, a 25 MB slice fans out to ~12 tasks. */
+  val sliceRowGroupBytes: Long = 2L * 1024 * 1024
+
+  /** Stage one slice as ONE file with [[sliceRowGroupBytes]] row groups. */
+  def writeSlice(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", sliceRowGroupBytes.toString)
+      .parquet(path)
+
+  /** Run a staged-source drain with scan-split and shuffle parallelism
+    * sized from the actual staged bytes: tiny slices keep the low-
+    * partition shape [[withShufflePartitions]] exists for (state-store
+    * snapshot fan-out dominates when state is small), big slices get the
+    * cores. This is the local stand-in for what a real cluster job gets
+    * from dynamic allocation + file splitting — the OPERATORS are
+    * partition-parallel throughout; only the drain harness needs sizing. */
+  def drainTuning[A](spark: org.apache.spark.sql.SparkSession, stagedRoot: String,
+                     nSlices: Int)(body: => A): A = {
+    def du(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(du).sum else f.length()
+    val sliceBytes = du(new java.io.File(stagedRoot, "src")) / math.max(nSlices, 1)
+    val parts = math.min(32L, math.max(8L, sliceBytes / (2L * 1024 * 1024))).toInt
+    val maxPart = math.min(128L * 1024 * 1024,
+      math.max(1L * 1024 * 1024, sliceBytes / 32))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", maxPart)
+    try body finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+    }
+  }
 }

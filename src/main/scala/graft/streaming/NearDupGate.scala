@@ -58,13 +58,23 @@ object NearDupGate {
   def start(spark: SparkSession, source: DataFrame, idCol: String, textCol: String,
             sigDir: String, outDir: String, checkpoint: String,
             k: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 2,
-            threshold: Double = 0.8): StreamingQuery =
+            threshold: Double = 0.8, batchPartitions: Int = 0): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // a micro-batch often arrives as a handful of scan splits (one
+        // file ingested = as few as ONE task) while signing is the heavy
+        // step — 64 hashes over every shingle. Spread the batch across
+        // the executors BEFORE signing; the round-robin exchange moves
+        // only raw (id, text) bytes, a vanishing cost next to the hashes
+        // it parallelizes. batchPartitions <= 0 sizes to the cluster.
+        val parts =
+          if (batchPartitions > 0) batchPartitions
+          else spark.sparkContext.defaultParallelism
         // the batch's signatures feed the band join, the verification
         // join, and the kept-history append — sign once
-        val sigs = TextDedup.signatureTable(batch, col(idCol), col(textCol), k, numHashes)
+        val sigs = TextDedup.signatureTable(batch.repartition(parts),
+            col(idCol), col(textCol), k, numHashes)
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           val dupIds = historySigs(spark, sigDir, batchId) match {
