@@ -60,4 +60,52 @@ object Layout {
 
   /** Convenience: read a catalog table (bucketed layout honored). */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Compact a bucketed table back to ONE file per bucket — the
+    * maintenance pass that [[appendBucketed]]'s scaladoc promises: each
+    * append lays up to one new file beside every bucket, so a
+    * daily-ingest table accretes O(appends × buckets) small files and
+    * scan/open overhead grows with file count even though the data
+    * doesn't. The compacted layout is written in ONE data pass under a
+    * SWAP name, then swapped in with metadata-only ops (drop + rename) —
+    * rewriting the target name in place would destroy the table on a
+    * mid-rewrite crash, while here the original stays readable until the
+    * new layout is fully committed (a crash inside the final swap leaves
+    * the complete data under the swap name). Bucket metadata, pruning,
+    * and shuffle-free joins are unchanged — same key, count, and sort.
+    *
+    * Returns (filesBefore, filesAfter) so callers can log/alert on the
+    * reclaimed file count. */
+  def compactBucketed(spark: SparkSession, table: String, bucketCol: String,
+                      numBuckets: Int): (Long, Long) = {
+    require(!table.contains("."), s"compactBucketed expects a simple table name, got $table")
+    def fileCount(name: String): Long =
+      spark.table(name).inputFiles.length.toLong
+    val before = fileCount(table)
+    val swap = s"${table}__compact_swap"
+    // one task per bucket writes exactly one file: repartition(numBuckets,
+    // key) is the same Murmur3 HashPartitioning the bucketed writer
+    // derives bucket ids from, so every task holds exactly one bucket
+    // (and if that alignment ever changed, the write would still be
+    // CORRECT — just more files per bucket). Bucketed READING is disabled
+    // for the rewrite's scan: the bucketed scan advertises the very
+    // HashPartitioning the repartition asks for, the planner then drops
+    // the exchange, and execution falls back to size-packed file splits —
+    // tasks holding a mix of buckets, one file per (task, bucket) run.
+    // A plain scan keeps the exchange, and the exchange restores the
+    // one-bucket-per-task layout deterministically.
+    val prevBucketedRead = spark.conf.get("spark.sql.sources.bucketing.enabled")
+    try {
+      // read-path-only flag: the bucketBy WRITE below still lays bucket
+      // files and registers bucket metadata regardless
+      spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+      writeBucketed(
+        spark.table(table)
+          .repartition(numBuckets, org.apache.spark.sql.functions.col(bucketCol)),
+        swap, bucketCol, numBuckets)
+    } finally spark.conf.set("spark.sql.sources.bucketing.enabled", prevBucketedRead)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`") // managed: drops data too
+    spark.sql(s"ALTER TABLE `$swap` RENAME TO `$table`")
+    (before, fileCount(table))
+  }
 }

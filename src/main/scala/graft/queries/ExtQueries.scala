@@ -2077,6 +2077,93 @@ object ExtQueries {
       },
       Some("""SELECT vec_id AS query_id, vec_id + 100000 AS top1_neighbor_id,
              |       CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS drift_ok
+             |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin)),
+
+    // STORAGE MAINTENANCE: bucketed-table compaction ([[Layout
+    // .compactBucketed]] — the knob [[Layout.appendBucketed]]'s contract
+    // defers to). A base slice is bucketed, three "daily" appends each
+    // lay new files beside every bucket, then compaction rewrites back
+    // to exactly one file per bucket through a swap table (original
+    // readable until the new layout commits). The oracle pins content
+    // through the rewrite — row count, distinct ids, id sum — plus the
+    // file-count contract (accreted > buckets before, == buckets after).
+    QuerySpec("x61_bucket_compact",
+      (s, d) => {
+        import graft.io.Layout
+        val ids = Tables.embeddings(s, d).select(col("vec_id"))
+        val tbl = "graft_x61_compact"
+        Layout.writeBucketed(ids.filter(col("vec_id") % 4 === 0), tbl, "vec_id", 8)
+        (1 to 3).foreach { r =>
+          Layout.appendBucketed(ids.filter(col("vec_id") % 4 === r), tbl, "vec_id", 8)
+        }
+        val (before, after) = Layout.compactBucketed(s, tbl, "vec_id", 8)
+        Layout.table(s, tbl)
+          .agg(count(lit(1)).as("n_rows"),
+            count_distinct(col("vec_id")).as("n_ids"),
+            sum(col("vec_id")).as("id_sum"))
+          .select(col("n_rows"), col("n_ids"), col("id_sum"),
+            lit(before > 8).cast("long").as("accreted_ok"),
+            lit(after == 8).cast("long").as("compact_ok"))
+      },
+      Some("""SELECT count(*) AS n_rows, count(DISTINCT vec_id) AS n_ids,
+             |       CAST(sum(vec_id) AS BIGINT) AS id_sum,
+             |       CAST(1 AS BIGINT) AS accreted_ok,
+             |       CAST(1 AS BIGINT) AS compact_ok
+             |FROM embeddings""".stripMargin)),
+
+    // ST — streaming VECTOR INGEST into the persisted IVF index
+    // ([[graft.streaming.VectorIngest]]: x56's append path composed with a
+    // micro-batch drain, exactly-once via the two-phase marker tracker).
+    // The index is trained and built on base (vec_id % 5 != 0) once;
+    // the drain ingests the held-out fifth in two slices plus a twin
+    // slice — every query's twin reaches the index only through the
+    // stream, and must then serve at rank 1 through the same
+    // bucket-pruned scan. Centroids are cached per sf dir (offline
+    // maintenance work, the x18/x56 convention); the base write + drain
+    // are the benched operator.
+    QuerySpec("st12_stream_vector_ingest",
+      (s, d) => {
+        import graft.streaming.VectorIngest
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val src = Staging.slicedSource("vi", d) { tmp =>
+          val delta = emb.filter(col("vec_id") % 5 === 0)
+          Staging.writeSlice(delta.filter(col("vec_id") % 2 === 0), s"$tmp/src/slice0")
+          Staging.writeSlice(delta.filter(col("vec_id") % 2 =!= 0), s"$tmp/src/slice1")
+          Staging.writeSlice(emb.filter(col("vec_id") < 10)
+            .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
+            s"$tmp/src/slice2")
+          Seq("slice0", "slice1", "slice2")
+        }
+        val base = emb.filter(col("vec_id") % 5 =!= 0)
+        val centroids = st12Centroids(s, d)
+        val table = "graft_st12_ivf"
+        Similarity.writeIvfIndex(base, table, centroids)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_vi_run").toString
+        val q = VectorIngest.start(s,
+          s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+          table, centroids, s"$tmp/trk", s"$tmp/ckpt")
+        q.awaitTermination()
+        // stale-quantizer serve over base ∪ ingested: nprobe 8 (x56's knob)
+        Similarity.ivfTopKIndexed(s, emb.filter(col("vec_id") < 10), table,
+            centroids, 5, nprobe = 8)
+          .filter(col("rk") === 1)
+          .select(col("query_id"), col("neighbor_id").as("top1_neighbor_id"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, vec_id + 100000 AS top1_neighbor_id
              |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin))
   )
+
+  /** st12's quantizer: k-means on the BASE corpus only (the streamed
+    * fifth and the twins stay unseen — serving them is the point of the
+    * test). Cached per sf dir like [[ivfaArtifacts]]. */
+  private val st12State =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private def st12Centroids(s: SparkSession, d: String): Array[Array[Double]] =
+    st12State.computeIfAbsent(d, { _ =>
+      Similarity.kmeansCentroids(
+        Tables.embeddings(s, d).filter(col("vec_id") % 5 =!= 0), nlist = 16)
+    })
 }

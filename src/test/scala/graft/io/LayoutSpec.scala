@@ -68,6 +68,39 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compactBucketed: appends accrete files, compaction returns to one per bucket") {
+    try {
+      val base = (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      Layout.writeBucketed(base.repartition(8, $"k"), "graft_bcomp", "k", 8)
+      // three daily appends, each laying new files beside every bucket
+      (1 to 3).foreach { day =>
+        Layout.appendBucketed(
+          ((2000 * day + 1) to (2000 * day + 500)).map(i => (i.toLong, s"v$i"))
+            .toDF("k", "v").repartition(8, $"k"),
+          "graft_bcomp", "k", 8)
+      }
+      val accreted = spark.table("graft_bcomp").inputFiles.length
+      assert(accreted > 8, s"appends should accrete files, got $accreted")
+      val expected = spark.table("graft_bcomp")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+
+      val (before, after) = Layout.compactBucketed(spark, "graft_bcomp", "k", 8)
+      assert(before === accreted)
+      assert(after === 8, s"expected one file per bucket, got $after")
+      // content is untouched by the rewrite
+      val got = spark.table("graft_bcomp")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(got === expected)
+      // and the layout still carries bucket metadata: keyed agg, no shuffle
+      val agg = spark.table("graft_bcomp").groupBy("k").agg(count(lit(1)))
+      assert(!physicalPlan(agg).contains("Exchange"),
+        s"compacted table lost its bucket layout:\n${physicalPlan(agg)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bcomp")
+      spark.sql("DROP TABLE IF EXISTS graft_bcomp__compact_swap")
+    }
+  }
+
   test("persisted IVF index: bucket-pruned scan, zero corpus shuffle, same results") {
     import graft.ext.Similarity
     try {
