@@ -2153,7 +2153,40 @@ object ExtQueries {
           .orderBy("query_id")
       },
       Some("""SELECT vec_id AS query_id, vec_id + 100000 AS top1_neighbor_id
-             |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin))
+             |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin)),
+
+    // TRAINING-DATA EXPORT: deterministic global shuffle + exact
+    // equal-size shards ([[graft.ext.Export]]). The corpus is permuted by
+    // md5(seed ∥ doc_id) WITHOUT a global one-task window (two-phase
+    // rank: 256 fixed hash-prefix buckets + a 256-row offset cumsum),
+    // cut round-robin into 5 shards (sizes exact to ±1), written as
+    // shard=<i> directories with bounded file sizes, and read BACK — so
+    // the oracle pins the whole write→read round trip: per-shard counts,
+    // id sums, and the rank range every shard must cover. DuckDB rebuilds
+    // the identical permutation from its own md5.
+    QuerySpec("x62_shuffle_shards",
+      (s, d) => {
+        import graft.ext.Export
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val sharded = Export.shuffleShards(docs, col("doc_id"), "epoch0", 5)
+        val out = java.nio.file.Files.createTempDirectory("graft_x62").toString + "/shards"
+        Export.writeShards(sharded, out, 5)
+        s.read.parquet(out)
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(n.as("n_docs"), sum(col("doc_id")).as("id_sum"),
+            min(col("rank")).as("min_rank"), max(col("rank")).as("max_rank"))
+          .orderBy("shard")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id,
+             |         row_number() OVER (ORDER BY md5('epoch0' || doc_id), doc_id) - 1
+             |           AS rank
+             |  FROM documents)
+             |SELECT CAST(rank % 5 AS BIGINT) AS shard, count(*) AS n_docs,
+             |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |       CAST(min(rank) AS BIGINT) AS min_rank,
+             |       CAST(max(rank) AS BIGINT) AS max_rank
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** st12's quantizer: k-means on the BASE corpus only (the streamed
