@@ -194,6 +194,45 @@ class MultimodalSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("fuzz: decoders never throw or hang on arbitrary and mutated container bytes") {
+    // the decoders' contract for untrusted media at scale: ANY byte input
+    // either parses or returns null — no exception (kills the task) and
+    // no non-terminating walk (hangs the executor). Random blobs exercise
+    // the reject paths; mutated VALID containers keep the magic so the
+    // chunk/box walk engages and then hits corrupted sizes/offsets.
+    val rng = new scala.util.Random(0xC0FFEE)
+    def validWav: Array[Byte] = docs
+      .select(Multimodal.encodeWav(lit(16000), lit(2), lit(500)).as("b"))
+      .first().getAs[Array[Byte]](0)
+    def validMp4: Array[Byte] = docs
+      .select(Multimodal.encodeMp4(lit(640), lit(360), lit(90000)).as("b"))
+      .first().getAs[Array[Byte]](0)
+    val blobs = (0 until 150).map(_ => Array.fill(rng.nextInt(256))(rng.nextInt().toByte))
+    def mutated(base: Array[Byte], keep: Int): Seq[Array[Byte]] =
+      (0 until 150).map { _ =>
+        val b = base.clone()
+        // corrupt 1-4 bytes anywhere past the magic, sizes included
+        (0 until 1 + rng.nextInt(4)).foreach { _ =>
+          b(keep + rng.nextInt(b.length - keep)) = rng.nextInt().toByte
+        }
+        // sometimes truncate mid-structure
+        if (rng.nextBoolean()) b.take(keep + rng.nextInt(b.length - keep)) else b
+      }
+    val payloads = blobs ++ mutated(validWav, 12) ++ mutated(validMp4, 8)
+    val df = payloads.map(Tuple1(_)).toDF("payload")
+    // one action over all fuzz rows; must COMPLETE (termination) with
+    // every result either null or a fully-typed struct (no throw)
+    val out = df.select(
+      Multimodal.decodeWav($"payload").as("w"),
+      Multimodal.decodeMp4($"payload").as("m"),
+      Multimodal.decodeImage($"payload").as("i")).collect()
+    assert(out.length === payloads.length)
+    out.foreach { r =>
+      if (!r.isNullAt(0)) assert(r.getStruct(0).getLong(1) > 0) // sample_rate
+      if (!r.isNullAt(1)) assert(r.getStruct(1).length > 0)
+    }
+  }
+
   test("extractFeatures appends an 8-dim deterministic feature vector") {
     val out = Multimodal.extractFeatures(Multimodal.asBinary(docs, "text"), "payload")
     val feats = out.filter($"doc_id" === 1).select("features").first().getSeq[Double](0)
