@@ -351,4 +351,43 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("sim"))
   }
+
+  /** Cluster-bucketed embedding near-dup pairs — the SCALE path for
+    * [[cosineNearDups]], the shape published as SemDeDup (Abbas et al.
+    * 2023, arXiv:2303.09540): assign every vector to its nearest k-means
+    * centroid and compare pairs only WITHIN a cell. One shuffle on the
+    * cell id; the quadratic term is bounded by the largest cell, not the
+    * corpus (pick nlist so cells stay ~corpus/nlist; a skewed cell is a
+    * retrain signal, see [[IvfDrift]]). By construction an exact
+    * duplicate always lands in its twin's cell (same vector, same
+    * nearest centroid). The knowing trade vs all-pairs: a NEAR-dup pair
+    * straddling a Voronoi boundary is missed unless `nprobe > 1` fans
+    * each vector into its n nearest cells (pairs are then deduped, cost
+    * scales ×nprobe²/cell-balance — nprobe 2 catches boundary twins at
+    * the data's thresholds). */
+  def cellCosineNearDups(df: DataFrame, centroids: Array[Array[Double]],
+                         threshold: Double, nprobe: Int = 1): DataFrame = {
+    import graft.functions.VectorExprs.nearestCentroids
+    val p = df.select(col("vec_id").as("__id"), toDouble(col("embedding")).as("__v"))
+      .withColumn("__cell", explode(nearestCentroids(col("__v"), centroids, nprobe)))
+    p.as("a").join(p.as("b"),
+        col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))
+      .withColumn("sim", cosine(col("a.__v"), col("b.__v")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("sim"))
+      .distinct() // nprobe > 1 can surface the same pair from two cells
+  }
+
+  /** SemDeDup keep/drop cut over [[cellCosineNearDups]]: drop every
+    * vector that near-duplicates a SMALLER id (the deterministic
+    * keep-one-per-neighborhood rule; chains collapse toward the minimum
+    * id the same way the reference's argmax dedup keeps one row). The
+    * hit set is a vanishing fraction → broadcast anti-join, corpus never
+    * re-shuffles. */
+  def semanticDedup(df: DataFrame, centroids: Array[Array[Double]],
+                    threshold: Double, nprobe: Int = 1): DataFrame = {
+    val drops = cellCosineNearDups(df, centroids, threshold, nprobe)
+      .select(col("id_b").as("__drop_id")).distinct()
+    df.join(broadcast(drops), col("vec_id") === col("__drop_id"), "left_anti")
+  }
 }

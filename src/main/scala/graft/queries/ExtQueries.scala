@@ -2186,8 +2186,42 @@ object ExtQueries {
              |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
              |       CAST(min(rank) AS BIGINT) AS min_rank,
              |       CAST(max(rank) AS BIGINT) AS max_rank
-             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // SEMANTIC DEDUP, scale path (SemDeDup shape — cluster-bucketed
+    // embedding near-dup): pairs are compared only within a vector's
+    // nprobe nearest k-means cells, so the quadratic term is bounded by
+    // the largest cell, not the corpus (x13 is the quarantined all-pairs
+    // verifier of the same semantics). Identical twins always share a
+    // cell, so every planted dup (vec_id < 20 copied to +100000) is
+    // dropped and every original kept — the keep-smaller-id rule
+    // collapses each neighborhood deterministically. Cell count scales
+    // with the corpus (~500 vectors per cell), cached per sf dir like
+    // the other quantizers.
+    QuerySpec("x63_semantic_dedup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val planted = emb.unionByName(emb.filter(col("vec_id") < 20)
+          .withColumn("vec_id", col("vec_id") + 100000L))
+        Similarity.semanticDedup(planted, x63Centroids(s, d), 0.95, nprobe = 2)
+          .select(col("vec_id")).orderBy("vec_id")
+      },
+      Some("SELECT vec_id FROM embeddings ORDER BY vec_id"))
   )
+
+  /** x63's dedup quantizer: cell count grows with the corpus so cells
+    * stay ~500 vectors and the within-cell quadratic term is flat per
+    * cell — a FIXED nlist would make cells (and the pair count) grow
+    * linearly (quadratically) with the data, the exact trap the scaling
+    * curve exists to catch. Cached per sf dir. */
+  private val x63State =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private def x63Centroids(s: SparkSession, d: String): Array[Array[Double]] =
+    x63State.computeIfAbsent(d, { _ =>
+      val emb = Tables.embeddings(s, d)
+      val nlist = math.max(16L, math.min(1024L, emb.count() / 500)).toInt
+      Similarity.kmeansCentroids(emb, nlist)
+    })
 
   /** st12's quantizer: k-means on the BASE corpus only (the streamed
     * fifth and the twins stay unseen — serving them is the point of the

@@ -156,6 +156,26 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((1L, 101L)))
   }
 
+  test("cellCosineNearDups equals all-pairs on planted twins; semanticDedup keeps the smaller id") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 40L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val planted = (base ++ Seq((100L, base(0)._2), (101L, base(1)._2),
+      (102L, base(0)._2))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(planted, nlist = 4, iters = 3)
+    val exact = Similarity.cosineNearDups(planted, 0.999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cell = Similarity.cellCosineNearDups(planted, cents, 0.999, nprobe = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical twins always share a cell → the cell pass finds every
+    // exact pair the quadratic pass does (incl. the 100-102 twin chain)
+    assert(exact.subsetOf(cell) && cell.subsetOf(exact))
+    assert(cell.contains((0L, 100L)) && cell.contains((0L, 102L)) && cell.contains((100L, 102L)))
+    val kept = Similarity.semanticDedup(planted, cents, 0.999, nprobe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every chain collapses to its minimum id
+    assert(kept === (0L until 40L).toSet)
+  }
+
   test("appendToIvfIndex: appended twin served at rank 1 through the same index table") {
     val base = corpus.filter(col("vec_id") >= 10)
     val centroids = Similarity.buildIvfIndex(base, "graft_ivfa_spec", nlist = 4)
