@@ -2206,7 +2206,77 @@ object ExtQueries {
         Similarity.semanticDedup(planted, x63Centroids(s, d), 0.95, nprobe = 2)
           .select(col("vec_id")).orderBy("vec_id")
       },
-      Some("SELECT vec_id FROM embeddings ORDER BY vec_id"))
+      Some("SELECT vec_id FROM embeddings ORDER BY vec_id")),
+
+    // DSIR importance resampling (Xie et al. 2023): tilt the raw corpus
+    // toward the en-language target via unigram log-likelihood ratios,
+    // then a deterministic Gumbel-top-k weighted sample. Exact micro-nat
+    // longs throughout; the Gumbel uniform is an md5-derived dyadic
+    // rational, so the sampled set is reproducible across engines.
+    QuerySpec("x64_dsir_resample",
+      (s, d) => graft.ext.Dsir.resample(Tables.documents(s, d),
+          col("doc_id"), col("text"), col("lang") === "en", n = 120)
+        .withColumnRenamed("id", "doc_id"),
+      Some("""WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+             |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                            x -> x <> '')) AS w
+             |       FROM documents),
+             |tot AS (SELECT count(*) AS ns,
+             |               count(*) FILTER (WHERE tgt) AS nt,
+             |               count(DISTINCT w) AS v FROM tok),
+             |wt AS (SELECT w,
+             |         CAST(round((ln((count(*) FILTER (WHERE tgt) + 1.0) / (nt + v))
+             |                   - ln((count(*) + 1.0) / (ns + v))) * 1000000, 0)
+             |              AS BIGINT) AS wm
+             |       FROM tok, tot GROUP BY w, nt, ns, v),
+             |sc AS (SELECT doc_id, count(*) AS n_tokens,
+             |               CAST(sum(wm) AS BIGINT) AS score_micro
+             |       FROM tok JOIN wt USING (w) GROUP BY 1)
+             |SELECT doc_id, n_tokens, score_micro,
+             |       score_micro + CAST(round(-ln(-ln(
+             |         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+             |          * 2 + 1) / 131072.0)) * 1000000, 0) AS BIGINT) AS key_micro
+             |FROM sc ORDER BY key_micro DESC, doc_id LIMIT 120""".stripMargin)),
+
+    // Gopher rule-based filtering (Rae et al. 2021) with per-rule
+    // accounting: integer-only threshold comparisons, first_fail names the
+    // first violated rule in published order. Zero-shuffle per-row signals.
+    QuerySpec("x65_gopher_rules",
+      (s, d) => graft.ext.GopherFilter.gopherRules(Tables.documents(s, d),
+          col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t
+             |       FROM documents),
+             |g AS (SELECT doc_id, list_transform(range(1, len(t) - 1),
+             |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g
+             |      FROM t),
+             |b AS (SELECT t.doc_id,
+             |        CAST(len(t.t) AS BIGINT) AS n_words,
+             |        CAST(list_sum(list_transform(t.t, x -> len(x))) AS BIGINT) AS chars,
+             |        CAST(len(list_filter(t.t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+             |        CAST(len(list_intersect(list_distinct(t.t),
+             |          ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
+             |        CAST((len(t.text) - len(replace(t.text, '#', ''))) +
+             |             (len(t.text) - len(replace(t.text, '...', ''))) // 3 AS BIGINT) AS sym_hits,
+             |        CAST(len(g.g) - len(list_distinct(g.g)) AS BIGINT) AS dup3,
+             |        CAST(len(g.g) AS BIGINT) AS total3
+             |      FROM t JOIN g USING (doc_id))
+             |SELECT doc_id, n_words, chars, alpha_words, stop_hits, sym_hits, dup3, total3,
+             |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+             |         AND chars BETWEEN 3 * n_words AND 10 * n_words
+             |         AND sym_hits * 10 <= n_words
+             |         AND alpha_words * 5 >= 4 * n_words
+             |         AND stop_hits >= 2
+             |         AND dup3 * 50 <= total3 * 9 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+             |  CASE WHEN NOT (n_words BETWEEN 50 AND 100000) THEN 'word_count'
+             |       WHEN NOT (chars BETWEEN 3 * n_words AND 10 * n_words) THEN 'word_length'
+             |       WHEN NOT (sym_hits * 10 <= n_words) THEN 'symbol_ratio'
+             |       WHEN NOT (alpha_words * 5 >= 4 * n_words) THEN 'alpha_words'
+             |       WHEN NOT (stop_hits >= 2) THEN 'stopwords'
+             |       WHEN NOT (dup3 * 50 <= total3 * 9) THEN 'dup_3gram'
+             |       ELSE NULL END AS first_fail
+             |FROM b ORDER BY doc_id""".stripMargin))
   )
 
   /** x63's dedup quantizer: cell count grows with the corpus so cells

@@ -143,6 +143,29 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(p) <= 2, s"corpus rows must not shuffle before top-k:\n$p")
   }
 
+  test("x64 shape: DSIR scoring is one token⋈weight equi-join + one broadcast totals row") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, d)
+    val p = graft.ext.Dsir.importanceScores(docs, col("doc_id"), col("text"),
+        col("lang") === "en", materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join is the broadcast of the ONE-ROW totals agg
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("partial_count"), s"count aggs must map-side combine:\n$p")
+    // selection is a bounded top-k, never a global sort
+    val sel = Registry.queries("x64_dsir_resample")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(sel.contains("TakeOrderedAndProject"), sel)
+  }
+
+  test("x65: Gopher rules are a narrow map — no joins, one presentation sort") {
+    val p = plan("x65_gopher_rules")
+    assert(!p.contains("Join"), s"rule signals must not join anything:\n$p")
+    assert(exchanges(p) <= 1, s"only the orderBy range exchange is allowed:\n$p")
+    assert(!p.contains("n_chars"), s"documents scan must prune unreferenced columns:\n$p")
+  }
+
   test("x19: no single-partition window ever runs over the document rows") {
     val p = plan("x19_seq_pack")
     // the per-row cumsum must be partitioned by bucket; the only
