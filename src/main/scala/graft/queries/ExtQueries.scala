@@ -2276,7 +2276,39 @@ object ExtQueries {
              |       WHEN NOT (stop_hits >= 2) THEN 'stopwords'
              |       WHEN NOT (dup3 * 50 <= total3 * 9) THEN 'dup_3gram'
              |       ELSE NULL END AS first_fail
-             |FROM b ORDER BY doc_id""".stripMargin))
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // Exact-substring dedup (Lee et al. 2022): every 8-token span occurring
+    // >= 2 times anywhere in the corpus is cut from ALL its occurrences;
+    // planted whole-document dups collapse to empty text, partially-shared
+    // boilerplate is excised in place. Shingle identity travels as md5.
+    QuerySpec("x66_exact_substr",
+      (s, d) => graft.ext.ExactSubstr.removeRepeatedSpans(
+          Tables.documents(s, d), col("doc_id"), col("text"), k = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+             |       FROM documents),
+             |s0 AS (SELECT doc_id, t,
+             |         unnest(range(1, greatest(len(t) - 6, CAST(1 AS BIGINT)))) AS i
+             |       FROM t),
+             |s AS (SELECT doc_id, i - 1 AS p,
+             |        md5(array_to_string(t[i:i+7], chr(1))) AS key
+             |      FROM s0),
+             |d AS (SELECT key FROM s GROUP BY key HAVING count(*) > 1),
+             |hit AS (SELECT doc_id, p FROM s JOIN d USING (key)),
+             |cov0 AS (SELECT doc_id, p, unnest(range(0, 8)) AS o FROM hit),
+             |cov AS (SELECT DISTINCT doc_id, p + o AS pos FROM cov0),
+             |tok0 AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM t),
+             |tok AS (SELECT doc_id, i - 1 AS pos, t[i] AS w FROM tok0),
+             |kept AS (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, pos)),
+             |reb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+             |               count(*) AS n_kept
+             |        FROM kept GROUP BY 1)
+             |SELECT t.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+             |       CAST(len(t.t) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+             |FROM t LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin))
   )
 
   /** x63's dedup quantizer: cell count grows with the corpus so cells

@@ -166,6 +166,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("n_chars"), s"documents scan must prune unreferenced columns:\n$p")
   }
 
+  test("x66 shape: span removal is digest equi-joins + a positions-only anti join") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, d)
+    val p = graft.ext.ExactSubstr.removeRepeatedSpans(docs, col("doc_id"),
+        col("text"), k = 8, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), s"keep filter must be an anti join:\n$p")
+    assert(p.contains("partial_count"), s"shingle agg must map-side combine:\n$p")
+  }
+
   test("x19: no single-partition window ever runs over the document rows") {
     val p = plan("x19_seq_pack")
     // the per-row cumsum must be partitioned by bucket; the only
