@@ -2308,7 +2308,75 @@ object ExtQueries {
              |        FROM kept GROUP BY 1)
              |SELECT t.doc_id, coalesce(reb.clean_text, '') AS clean_text,
              |       CAST(len(t.t) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
-             |FROM t LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin))
+             |FROM t LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // Streaming DSIR quality gate: the x64 model trained ONCE into a
+    // parquet weight artifact, then three micro-batches scored against it
+    // at ingest — including planted docs carrying an out-of-vocabulary
+    // token, so the unseen-floor serve path runs end-to-end in both
+    // engines. Kept = mean per-token importance >= 0 micro-nats.
+    QuerySpec("st13_stream_dsir_gate",
+      (s, d) => {
+        val stream = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val weightsDir = Staging.dir("dsirw", d) { tmp =>
+          graft.ext.Dsir.weightTable(Tables.documents(s, d),
+            col("text"), col("lang") === "en").write.parquet(s"$tmp/w")
+        }
+        val src = Staging.slicedSource("dsg", d) { tmp =>
+          val planted = stream.filter(col("doc_id") % 15 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" zzznovel")).as("text"))
+          val slices = Seq(
+            stream.filter(col("doc_id") % 3 === 0),
+            stream.filter(col("doc_id") % 3 === 1),
+            stream.filter(col("doc_id") % 3 === 2).unionByName(planted))
+          slices.zipWithIndex.foreach { case (df, i) =>
+            Staging.writeSlice(df, s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_dsg_run").toString
+        Staging.drainTuning(s, src, 3) {
+          val q = graft.streaming.DsirGate.start(s,
+            s.readStream.schema(stream.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+            "doc_id", "text",
+            weightsPath = s"$weightsDir/w", outDir = s"$tmp/out",
+            checkpoint = s"$tmp/ckpt")
+          q.awaitTermination()
+        }
+        s.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+          .select(col("doc_id"), col("n_tokens"), col("score_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+             |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                            x -> x <> '')) AS w
+             |       FROM documents),
+             |tot AS (SELECT count(*) AS ns,
+             |               count(*) FILTER (WHERE tgt) AS nt,
+             |               count(DISTINCT w) AS v FROM tok),
+             |wt AS (SELECT w,
+             |         CAST(round((ln((count(*) FILTER (WHERE tgt) + 1.0) / (nt + v))
+             |                   - ln((count(*) + 1.0) / (ns + v))) * 1000000, 0)
+             |              AS BIGINT) AS wm
+             |       FROM tok, tot GROUP BY w, nt, ns, v),
+             |dflt AS (SELECT CAST(round((ln(1.0 / (nt + v)) - ln(1.0 / (ns + v)))
+             |                * 1000000, 0) AS BIGINT) AS dwm FROM tot),
+             |stream AS (SELECT doc_id, text FROM documents
+             |           UNION ALL
+             |           SELECT doc_id + 1000000, text || ' zzznovel'
+             |           FROM documents WHERE doc_id % 15 = 0),
+             |stok AS (SELECT doc_id,
+             |           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                              x -> x <> '')) AS w
+             |         FROM stream),
+             |sc AS (SELECT s.doc_id, count(*) AS n_tokens,
+             |              CAST(sum(coalesce(wt.wm, dflt.dwm)) AS BIGINT) AS score_micro
+             |       FROM stok s LEFT JOIN wt ON s.w = wt.w, dflt GROUP BY 1)
+             |SELECT doc_id, n_tokens, score_micro FROM sc
+             |WHERE score_micro >= 0 ORDER BY doc_id""".stripMargin))
   )
 
   /** x63's dedup quantizer: cell count grows with the corpus so cells

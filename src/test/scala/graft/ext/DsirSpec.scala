@@ -46,6 +46,36 @@ class DsirSpec extends SparkSpec {
       .count() === 50L)
   }
 
+  test("scoreAgainst a self-trained weightTable reproduces importanceScores") {
+    val docs = (1L to 12L).map(i =>
+      (i, s"tok$i shared words here", i % 2 == 0)).toDF("id", "text", "tgt")
+    val wt = Dsir.weightTable(docs, col("text"), col("tgt"))
+    val served = Dsir.scoreAgainst(docs, col("id"), col("text"), wt)
+      .orderBy("id").collect().toSeq
+    val trained = Dsir.importanceScores(docs, col("id"), col("text"), col("tgt"))
+      .orderBy("id").collect().toSeq
+    assert(served === trained)
+  }
+
+  test("out-of-vocabulary tokens score the unseen-floor row exactly") {
+    val ref = Seq((1L, "a a", true), (2L, "b b", false)).toDF("id", "text", "tgt")
+    val wt = Dsir.weightTable(ref, col("text"), col("tgt"))
+    // ns=4, nt=2, V=2 → floor = round((ln(1/4) − ln(1/6))·1e6) = ln(1.5)·1e6
+    val floor = math.round(math.log(1.5) * 1e6)
+    val r = Dsir.scoreAgainst(Seq((9L, "novel novel novel")).toDF("id", "text"),
+      col("id"), col("text"), wt).first()
+    assert((r.getLong(1), r.getLong(2)) === ((3L, 3 * floor)))
+  }
+
+  test("weightTable round-trips through parquet with its unseen row") {
+    val ref = Seq((1L, "a b", true), (2L, "b c", false)).toDF("id", "text", "tgt")
+    val dir = java.nio.file.Files.createTempDirectory("dsirw").toString
+    Dsir.weightTable(ref, col("text"), col("tgt")).write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 4L) // a, b, c + the "" floor row
+    assert(back.filter(col("w") === Dsir.UnseenKey).count() === 1L)
+  }
+
   test("gumbelKeyMicro derives u from the md5 bucket — exact dyadic uniform") {
     val df = Seq(7L).toDF("id")
     val b16 = df.select(TextAnalysis.hashBucket16(col("id"))).first().getLong(0)
