@@ -63,6 +63,27 @@ object GraftFunctions {
     ("mp4_meta",
       new ExpressionInfo(classOf[graft.functions.MediaExprs.Mp4Meta].getName, "mp4_meta"),
       (args: Seq[Expression]) => graft.functions.MediaExprs.Mp4Meta(args.head)),
+    ("resize_image",
+      new ExpressionInfo(classOf[graft.functions.ImageExprs.ResizeImage].getName, "resize_image"),
+      (args: Seq[Expression]) => graft.functions.ImageExprs.ResizeImage(
+        args.head,
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(2),
+          org.apache.spark.sql.types.IntegerType))),
+    ("image_pixel_sum",
+      new ExpressionInfo(classOf[graft.functions.ImageExprs.ImagePixelSum].getName,
+        "image_pixel_sum"),
+      (args: Seq[Expression]) => graft.functions.ImageExprs.ImagePixelSum(args.head)),
+    ("wav_energy",
+      new ExpressionInfo(classOf[graft.functions.MediaExprs.WavEnergy].getName, "wav_energy"),
+      (args: Seq[Expression]) => graft.functions.MediaExprs.WavEnergy(
+        args.head,
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.IntegerType))),
+    ("html_extract",
+      new ExpressionInfo(classOf[graft.functions.HtmlExprs.HtmlExtract].getName, "html_extract"),
+      (args: Seq[Expression]) => graft.functions.HtmlExprs.HtmlExtract(args.head)),
     // byte-level BPE over the default (repo-trained) vocab
     ("bpe_tokens",
       new ExpressionInfo(classOf[graft.functions.GraftBpe.BpeTokens].getName, "bpe_tokens"),

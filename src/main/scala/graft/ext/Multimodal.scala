@@ -53,6 +53,30 @@ object Multimodal {
                   format: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.ImageExprs.encodeImage(width, height, format)
 
+  /** Real image resize: decode with the JDK codec, nearest-neighbor
+    * resample with the explicit mapping `src = floor(dst*srcDim/dstDim)`,
+    * re-encode as lossless PNG — output pixels are a pure function of
+    * input pixels and both dims, so a resize of a deterministic
+    * [[encodeImage]] fixture has a closed-form oracle. Null for
+    * undecodable payloads or out-of-range targets. */
+  def resizeImage(payload: org.apache.spark.sql.Column, width: org.apache.spark.sql.Column,
+                  height: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.ImageExprs.resizeImage(payload, width, height)
+
+  /** Exact decoded-pixel checksum (Σ r+g+b over all pixels) — the
+    * pixel-level proof a transform produced the raster it claimed to;
+    * header dims alone can't tell a resize from a scramble. */
+  def imagePixelSum(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.ImageExprs.imagePixelSum(payload)
+
+  /** Real PCM feature extraction: per-frame energy (exact sum-of-squares
+    * over non-overlapping frames of `frameSamples` interleaved 16-bit
+    * samples) decoded from actual WAV bytes — the silence/clipping filter
+    * input. Null for non-PCM-16 payloads. */
+  def wavEnergy(payload: org.apache.spark.sql.Column,
+                frameSamples: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.MediaExprs.wavEnergy(payload, frameSamples)
+
   /** Real WAV/RIFF header decode: (n_bytes, sample_rate, channels,
     * bits_per_sample, n_samples, duration_ms) from actual RIFF chunk
     * headers; null for payloads that aren't parseable RIFF/WAVE. */

@@ -108,10 +108,106 @@ object ImageExprs {
       copy(first = newFirst, second = newSecond, third = newThird)
   }
 
+  /** REAL image resize (reference pipelines normalize raw crawled images to
+    * a training resolution before feature extraction): decode with the real
+    * codec, nearest-neighbor resample with an EXPLICIT integer mapping
+    * `src = floor(dst * srcDim / dstDim)` — no Graphics2D interpolation, so
+    * the output pixels are a pure function of the input pixels and both
+    * dims, reproducible by any independent reimplementation — and re-encode
+    * as lossless PNG. Null for undecodable payloads or out-of-range targets
+    * (the decode-contract of [[ImageMeta]]). Per-row cost is the decoded
+    * raster; at 100 TB this runs inside the narrow projection after a
+    * metadata prefilter ([[ImageMeta]]) has dropped the junk. */
+  case class ResizeImage(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "resize_image"
+
+    /** (payload, targetW, targetH) → PNG bytes. */
+    override protected def nullSafeEval(p: Any, w: Any, h: Any): Any = {
+      val bytes = p.asInstanceOf[Array[Byte]]
+      val dstW = w.asInstanceOf[Int]
+      val dstH = h.asInstanceOf[Int]
+      if (dstW < 1 || dstH < 1 || dstW > 4096 || dstH > 4096) return null
+      try {
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (src == null) return null
+        val out = new java.awt.image.BufferedImage(
+          dstW, dstH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < dstH) {
+          val sy = (y.toLong * src.getHeight / dstH).toInt
+          var x = 0
+          while (x < dstW) {
+            val sx = (x.toLong * src.getWidth / dstW).toInt
+            out.setRGB(x, y, src.getRGB(sx, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val buf = new java.io.ByteArrayOutputStream(dstW * dstH / 2 + 256)
+        if (!javax.imageio.ImageIO.write(out, "png", buf)) null else buf.toByteArray
+      } catch {
+        case _: java.io.IOException => null
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): ResizeImage =
+      copy(first = f, second = s, third = t)
+  }
+
+  /** Exact content checksum of a decoded image: Σ over pixels of (r+g+b),
+    * as a long. PNG round-trips 8-bit RGB losslessly, so for a
+    * deterministic source image the sum has a closed form an oracle can
+    * recompute — the pixel-level proof that [[ResizeImage]] resampled the
+    * raster it claimed to (dims alone would pass a resize that scrambled
+    * content). Null for undecodable payloads. */
+  case class ImagePixelSum(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "image_pixel_sum"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"image_pixel_sum needs BINARY input, got ${child.dataType.catalogString}")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) return null
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        sum
+      } catch {
+        case _: java.io.IOException => null
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ImagePixelSum =
+      copy(child = newChild)
+  }
+
   // Column-level wrappers
   import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn => column, toExpression => expression}
   def imageMeta(payload: Column): Column = column(ImageMeta(expression(payload)))
   def encodeImage(width: Column, height: Column, format: Column): Column =
     column(EncodeImage(expression(width.cast("int")), expression(height.cast("int")),
       expression(format)))
+  def resizeImage(payload: Column, width: Column, height: Column): Column =
+    column(ResizeImage(expression(payload), expression(width.cast("int")),
+      expression(height.cast("int"))))
+  def imagePixelSum(payload: Column): Column = column(ImagePixelSum(expression(payload)))
 }

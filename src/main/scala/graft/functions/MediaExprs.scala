@@ -294,9 +294,79 @@ object MediaExprs {
       copy(first = f, second = s, third = t)
   }
 
+  /** Per-frame PCM energy over a RIFF/WAVE payload: decodes the 16-bit PCM
+    * sample stream (channels interleaved) and returns the EXACT
+    * sum-of-squares per non-overlapping frame of `frameSamples` interleaved
+    * samples, trailing partial frame included. Exact integer output (a
+    * 16-bit sample squared is < 2^30, so even million-sample frames fit a
+    * long) makes the result oracle-able: for a synthetic [[EncodeWav]]
+    * payload the energy has a closed form any engine can recompute.
+    *
+    * This is the audio-side "feature extract" a training pipeline runs to
+    * drop silence/clipped segments before the expensive model pass — the
+    * real decode-the-samples step ([[WavMeta]] never touches sample data).
+    * Null for anything that isn't PCM-16 WAV (compressed codecs need a
+    * real decoder) and for `frameSamples < 1`. A truncated upload clamps
+    * to the bytes actually present rather than failing: partial data is
+    * still signal for the filter.
+    */
+  case class WavEnergy(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "wav_energy"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (left.dataType == BinaryType && right.dataType == IntegerType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"wav_energy needs (BINARY, INT), got (${left.dataType.catalogString}, " +
+          s"${right.dataType.catalogString})")
+
+    override protected def nullSafeEval(p: Any, fs: Any): Any = {
+      val b = p.asInstanceOf[Array[Byte]]
+      val frame = fs.asInstanceOf[Int]
+      if (frame < 1) return null
+      if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return null
+      var fmtCode = -1
+      var bits = -1L
+      var dataOff = -1L
+      var dataSize = -1L
+      var off = 12L // same unsigned-size Long walk as WavMeta: always terminates
+      while (off + 8 <= b.length && (bits < 0 || dataOff < 0)) {
+        val id = tag(b, off.toInt)
+        val size = le32(b, off.toInt + 4)
+        if (id == "fmt " && size >= 16 && off + 8 + 16 <= b.length) {
+          fmtCode = le16(b, off.toInt + 8)
+          bits = le16(b, off.toInt + 22).toLong
+        } else if (id == "data") {
+          dataOff = off + 8
+          dataSize = size
+        }
+        off += 8 + size + (size & 1)
+      }
+      if (fmtCode != 1 || bits != 16 || dataOff < 0 || dataOff > b.length) return null
+      val avail = math.min(dataSize, b.length - dataOff)
+      val n = (avail / 2).toInt
+      val out = new Array[Long](if (n == 0) 0 else (n + frame - 1) / frame)
+      var i = 0
+      while (i < n) {
+        val o = (dataOff + 2L * i).toInt
+        val s = (((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)).toShort.toLong
+        out(i / frame) += s * s
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): WavEnergy =
+      copy(left = l, right = r)
+  }
+
   // Column-level wrappers
   import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn => column, toExpression => expression}
   def wavMeta(payload: Column): Column = column(WavMeta(expression(payload)))
+  def wavEnergy(payload: Column, frameSamples: Column): Column =
+    column(WavEnergy(expression(payload), expression(frameSamples.cast("int"))))
   def encodeWav(sampleRate: Column, channels: Column, nSamples: Column): Column =
     column(EncodeWav(expression(sampleRate.cast("int")), expression(channels.cast("int")),
       expression(nSamples.cast("int"))))

@@ -2310,6 +2310,99 @@ object ExtQueries {
              |       CAST(len(t.t) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
              |FROM t LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // REAL image resize round-trip (the pixel-level x29): deterministic
+    // pixels encoded as lossless PNG, nearest-neighbor-resampled with the
+    // explicit mapping src = floor(dst*srcDim/dstDim), re-encoded PNG, then
+    // proven at the PIXEL level — the oracle recomputes the exact Σ(r+g+b)
+    // of the resampled raster from the closed-form pattern. Header dims
+    // alone would pass a resize that scrambled content; the checksum won't.
+    QuerySpec("x67_image_resize",
+      (s, d) => Tables.documents(s, d).filter(col("doc_id") <= 48)
+        .select(col("doc_id"),
+          (col("doc_id") % 16 + 17).as("sw"), (col("doc_id") % 12 + 13).as("sh"),
+          (col("doc_id") % 8 + 8).as("dw"), (col("doc_id") % 6 + 7).as("dh"))
+        .withColumn("src", Multimodal.encodeImage(col("sw"), col("sh"), lit("png")))
+        .withColumn("dst", Multimodal.resizeImage(col("src"), col("dw"), col("dh")))
+        .withColumn("meta", Multimodal.decodeImage(col("dst")))
+        .select(col("doc_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          Multimodal.imagePixelSum(col("dst")).as("pixel_sum"))
+        .orderBy("doc_id"),
+      Some("""WITH p AS (SELECT doc_id,
+             |         doc_id % 16 + 17 AS sw, doc_id % 12 + 13 AS sh,
+             |         doc_id % 8 + 8 AS dw, doc_id % 6 + 7 AS dh
+             |       FROM documents WHERE doc_id <= 48),
+             |px AS (SELECT doc_id, sw, sh, dw, dh, unnest(range(0, dw)) AS x FROM p),
+             |pxy AS (SELECT doc_id, sw, sh, dw, dh, x, unnest(range(0, dh)) AS y FROM px),
+             |m AS (SELECT doc_id, dw, dh,
+             |        (x * sw) // dw AS sx, (y * sh) // dh AS sy FROM pxy)
+             |SELECT doc_id, CAST(max(dw) AS BIGINT) AS width,
+             |       CAST(max(dh) AS BIGINT) AS height,
+             |       CAST(sum(((sx*31 + sy*17) % 256) + ((sx*13 + sy*29) % 256)
+             |                + ((sx*7 + sy*23) % 256)) AS BIGINT) AS pixel_sum
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // REAL PCM feature extraction: EncodeWav's samples are a pure function
+    // of index, WavEnergy decodes the actual little-endian int16 stream and
+    // sums squares per 256-sample frame — the oracle replays the sample
+    // formula in SQL. Exact integers end-to-end; a one-sample framing or
+    // sign error anywhere breaks the match.
+    QuerySpec("x68_wav_energy",
+      (s, d) => Tables.documents(s, d).filter(col("doc_id") <= 40)
+        .select(col("doc_id"),
+          (col("doc_id") % 3 * 8000 + 8000).as("sr"),
+          expr("doc_id % 4 DIV 2 + 1").as("nch"),
+          (col("doc_id") % 20 * 100 + 100).as("nsamp"))
+        .withColumn("wav", Multimodal.encodeWav(col("sr"), col("nch"), col("nsamp")))
+        .select(col("doc_id"),
+          posexplode(Multimodal.wavEnergy(col("wav"), lit(256))))
+        .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+          col("col").as("sumsq"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH p AS (SELECT doc_id, doc_id % 4 // 2 + 1 AS nch,
+             |         doc_id % 20 * 100 + 100 AS nsamp
+             |       FROM documents WHERE doc_id <= 40),
+             |s AS (SELECT doc_id, unnest(range(0, nsamp * nch)) AS i FROM p),
+             |v AS (SELECT doc_id, i // 256 AS frame_idx,
+             |        (i * 2654435761) % 65536 - 32768 AS smp FROM s)
+             |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             |       CAST(sum(smp * smp) AS BIGINT) AS sumsq
+             |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // HTML → text extraction with link density, the first step of every
+    // web-crawl curation stack: pages built deterministically around each
+    // document (head/style/script subtrees to drop, a comment, entities to
+    // decode, one anchor), parsed by the native single-pass extractor. The
+    // oracle reconstructs the exact visible text — including the decoded
+    // entities and collapsed whitespace — plus the integer link-density
+    // numerator, so tag handling, subtree drops, entity decode, and the
+    // anchor counters are all load-bearing.
+    QuerySpec("x69_html_extract",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), concat(
+          lit("<html><head><title>T</title><style>p{color:#000}</style></head>" +
+            "<body><h1>Doc "), col("doc_id"),
+          lit("</h1><!-- boilerplate --><p>"), col("text"),
+          lit("</p><p>x &amp; y &lt;z&gt;</p><a href=\"https://link.example/a\">link"),
+          col("doc_id") % 7,
+          lit("</a><script>var i=0;</script></body></html>")).as("html"))
+        .withColumn("ex", graft.functions.HtmlExprs.htmlExtract(col("html")))
+        .select(col("doc_id"), col("ex.text").as("extracted"),
+          col("ex.text_chars").as("text_chars"),
+          col("ex.link_chars").as("link_chars"),
+          col("ex.n_links").as("n_links"))
+        .orderBy("doc_id"),
+      Some("""WITH p AS (SELECT doc_id,
+             |         trim(regexp_replace('Doc ' || doc_id || ' ' || text ||
+             |           ' x & y <z> link' || (doc_id % 7),
+             |           '[ \t\n\r]+', ' ', 'g')) AS extracted
+             |       FROM documents)
+             |SELECT doc_id, extracted,
+             |       CAST(length(extracted) AS BIGINT) AS text_chars,
+             |       CAST(5 AS BIGINT) AS link_chars,
+             |       CAST(1 AS BIGINT) AS n_links
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
     // Streaming DSIR quality gate: the x64 model trained ONCE into a
     // parquet weight artifact, then three micro-batches scored against it
     // at ingest — including planted docs carrying an out-of-vocabulary

@@ -233,6 +233,86 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeImage resamples with the exact floor mapping (pixel-level)") {
+    // 4x4 deterministic pattern -> 2x2: nearest-neighbor with
+    // src = floor(dst*srcDim/dstDim) picks (0,0),(2,0),(0,2),(2,2)
+    def pat(x: Int, y: Int): Long =
+      (((x * 31 + y * 17) & 0xff) + ((x * 13 + y * 29) & 0xff) +
+        ((x * 7 + y * 23) & 0xff)).toLong
+    val expected = pat(0, 0) + pat(2, 0) + pat(0, 2) + pat(2, 2)
+    val r = docs.limit(1)
+      .select(Multimodal.encodeImage(lit(4), lit(4), lit("png")).as("src"))
+      .select(Multimodal.resizeImage($"src", lit(2), lit(2)).as("dst"))
+      .select(Multimodal.imagePixelSum($"dst").as("sum"),
+        Multimodal.decodeImage($"dst").as("m"))
+      .selectExpr("sum", "m.width", "m.height", "m.format").first()
+    assert(r.getLong(0) === expected)
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L)
+    assert(r.getString(3) === "png")
+  }
+
+  test("resizeImage upscale repeats pixels exactly; identity resize is lossless") {
+    def pat(x: Int, y: Int): Long =
+      (((x * 31 + y * 17) & 0xff) + ((x * 13 + y * 29) & 0xff) +
+        ((x * 7 + y * 23) & 0xff)).toLong
+    val srcSum = (for (x <- 0 until 3; y <- 0 until 2) yield pat(x, y)).sum
+    val r = docs.limit(1)
+      .select(Multimodal.encodeImage(lit(3), lit(2), lit("png")).as("src"))
+      .select(Multimodal.imagePixelSum(Multimodal.resizeImage($"src", lit(3), lit(2))).as("id"),
+        Multimodal.imagePixelSum(Multimodal.resizeImage($"src", lit(6), lit(4))).as("up"))
+      .first()
+    assert(r.getLong(0) === srcSum)
+    // 2x upscale with the floor mapping duplicates every pixel 4x
+    assert(r.getLong(1) === 4 * srcSum)
+  }
+
+  test("resizeImage handles jpeg input and nulls garbage / bad dims") {
+    val r = docs.limit(1)
+      .select(Multimodal.encodeImage(lit(16), lit(12), lit("jpeg")).as("jpg"),
+        encode(lit("not an image"), "UTF-8").as("junk"))
+      .select(
+        Multimodal.decodeImage(Multimodal.resizeImage($"jpg", lit(8), lit(8))).as("m"),
+        Multimodal.resizeImage($"junk", lit(8), lit(8)).as("bad"),
+        Multimodal.resizeImage($"jpg", lit(0), lit(8)).as("zero"),
+        Multimodal.resizeImage($"jpg", lit(8), lit(5000)).as("huge"),
+        Multimodal.imagePixelSum($"junk").as("badsum"))
+      .first()
+    assert(r.getStruct(0).getAs[Long]("width") === 8L)
+    assert(r.getStruct(0).getAs[Long]("height") === 8L)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("wavEnergy matches the closed-form sample stream per frame") {
+    // EncodeWav sample i = ((i * 2654435761) % 65536) - 32768
+    def smp(i: Long): Long = (i * 2654435761L) % 65536 - 32768
+    val nSamp = 300 // 1 channel -> frames of 128: [128, 128, 44]
+    val expected = (0L until nSamp).groupBy(_ / 128).toSeq.sortBy(_._1)
+      .map { case (_, is) => is.map(i => smp(i) * smp(i)).sum }
+    val r = docs.limit(1)
+      .select(Multimodal.encodeWav(lit(8000), lit(1), lit(nSamp)).as("wav"))
+      .select(Multimodal.wavEnergy($"wav", lit(128)).as("e"))
+      .first().getSeq[Long](0)
+    assert(r === expected)
+  }
+
+  test("wavEnergy clamps truncated payloads and nulls non-PCM input") {
+    val wav = docs.limit(1)
+      .select(Multimodal.encodeWav(lit(8000), lit(2), lit(500)).as("wav"))
+      .first().getAs[Array[Byte]](0)
+    // cut mid-data: header declares 1000 interleaved samples, only 100 present
+    val truncated = wav.take(44 + 200)
+    def smp(i: Long): Long = (i * 2654435761L) % 65536 - 32768
+    val expected = (0L until 100L).groupBy(_ / 64).toSeq.sortBy(_._1)
+      .map { case (_, is) => is.map(i => smp(i) * smp(i)).sum }
+    val r = Seq(Tuple1(truncated)).toDF("payload")
+      .select(Multimodal.wavEnergy($"payload", lit(64)).as("e"),
+        Multimodal.wavEnergy(encode(lit("RIFFxxxxWAVEnope"), "UTF-8"), lit(64)).as("bad"),
+        Multimodal.wavEnergy($"payload", lit(0)).as("zeroframe"))
+      .first()
+    assert(r.getSeq[Long](0) === expected)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("extractFeatures appends an 8-dim deterministic feature vector") {
     val out = Multimodal.extractFeatures(Multimodal.asBinary(docs, "text"), "payload")
     val feats = out.filter($"doc_id" === 1).select("features").first().getSeq[Double](0)

@@ -127,6 +127,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("n_chars"), s"documents scan must prune unreferenced columns:\n$p")
   }
 
+  test("x67/x68: image resize and PCM energy stay narrow per-row pipelines") {
+    Seq("x67_image_resize", "x68_wav_energy").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name must not join anything:\n$p")
+      assert(exchanges(p) <= 1, s"$name: only the orderBy range exchange is allowed:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("ArrowEvalPython"), p)
+    }
+  }
+
+  test("x69: HTML extraction is a narrow map over a pruned documents scan") {
+    val p = plan("x69_html_extract")
+    assert(!p.contains("Join"), s"extraction must not join anything:\n$p")
+    assert(exchanges(p) <= 1, s"only the orderBy range exchange is allowed:\n$p")
+    assert(!p.contains("n_chars"), s"documents scan must prune unreferenced columns:\n$p")
+  }
+
   test("x50: media encode/decode round-trip is per-row expressions, no shuffle but the sort") {
     val p = plan("x50_media_decode")
     assert(!p.contains("Join"), p)
