@@ -2403,6 +2403,99 @@ object ExtQueries {
              |       CAST(1 AS BIGINT) AS n_links
              |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // The WHOLE web-curation lifecycle in one declarative plan — what a
+    // crawl-to-corpus run actually executes: raw HTML pages → native
+    // html_extract (markup stripped, link-density counters) → C4-style
+    // link-density gate on EXACT integer counters → the full CorpusFilter
+    // stack (lang → quality → repetition → length → exact dedup), with
+    // row-count accounting riding every stage as observe() metrics (zero
+    // extra passes; the one collect() is the x35-pattern observation
+    // flush). Pages are a pure function of `text` — a replicated doc_id%10
+    // slice produces byte-identical pages that must survive to, and die
+    // in, the dedup stage. The oracle rebuilds the extracted text in
+    // closed form (the x69 law) and replays the filter stack in SQL (the
+    // x35 law); every stage count is load-bearing.
+    QuerySpec("x70_web_curation",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val u0 = docs.unionByName(
+          docs.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        // anchor text length is text-derived so replicas build identical pages
+        val pages = u0.select(col("doc_id"), concat(
+          lit("<html><head><title>T</title><style>a{x:1}</style></head>" +
+            "<body><nav><a href=\"/h\">"),
+          expr("repeat('m', CAST(length(text) * 7 % 40 AS INT))"),
+          lit("</a></nav><p>"), col("text"),
+          lit("</p><!-- footer --></body></html>")).as("html"))
+        val parsed = pages
+          .withColumn("ex", graft.functions.HtmlExprs.htmlExtract(col("html")))
+          .select(col("doc_id"), col("ex.text").as("text"),
+            col("ex.text_chars").as("text_chars"),
+            col("ex.link_chars").as("link_chars"))
+        val (p0, pagesObs) = graft.ops.Accounting.observe(
+          parsed, "web_0_pages", "rows" -> count(lit(1)))
+        val gated = p0.filter(col("link_chars") * 4 <= col("text_chars"))
+          .select(col("doc_id"), col("text"))
+        val filtered = graft.ext.CorpusFilter(gated, col("doc_id"), col("text"))
+        filtered.df.agg(count(lit(1))).collect() // flush all stage observations
+        val rename = Map("0_input" -> "1_link_density", "1_lang" -> "2_lang",
+          "2_quality" -> "3_quality", "3_repetition" -> "4_repetition",
+          "4_length" -> "5_length", "5_dedup" -> "6_dedup")
+        (("0_pages", pagesObs.get("rows").asInstanceOf[Long]) +:
+          filtered.counts.map { case (n, c) => (rename(n), c) })
+          .toDF("stage", "n_rows").orderBy("stage")
+      },
+      Some("""WITH u0 AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+             |ex AS (SELECT doc_id, length(text) * 7 % 40 AS k,
+             |         trim(regexp_replace(
+             |           repeat('m', CAST(length(text) * 7 % 40 AS INT)) || ' ' || text,
+             |           '[ \t\n\r]+', ' ', 'g')) AS text
+             |       FROM u0),
+             |u AS (SELECT doc_id, text FROM ex WHERE k * 4 <= length(text)),
+             |t AS (SELECT doc_id AS id, text, string_split(lower(text), ' ') AS tk FROM u),
+             |f AS (SELECT id, text, len(text) AS n_chars,
+             |        CASE WHEN len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) >=
+             |                  greatest(len(list_filter(tk, x -> x IN ('the','a','of','and','is'))),
+             |                           len(list_filter(tk, x -> x IN ('el','los','las','es','y'))),
+             |                           len(list_filter(tk, x -> x IN ('le','les','est','et','une'))),
+             |                           len(list_filter(tk, x -> x IN ('的','是','了','在','和')))) THEN 'de'
+             |             WHEN len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) >=
+             |                  greatest(len(list_filter(tk, x -> x IN ('el','los','las','es','y'))),
+             |                           len(list_filter(tk, x -> x IN ('le','les','est','et','une'))),
+             |                           len(list_filter(tk, x -> x IN ('的','是','了','在','和')))) THEN 'en'
+             |             WHEN len(list_filter(tk, x -> x IN ('el','los','las','es','y'))) >=
+             |                  greatest(len(list_filter(tk, x -> x IN ('le','les','est','et','une'))),
+             |                           len(list_filter(tk, x -> x IN ('的','是','了','在','和')))) THEN 'es'
+             |             WHEN len(list_filter(tk, x -> x IN ('le','les','est','et','une'))) >=
+             |                  len(list_filter(tk, x -> x IN ('的','是','了','在','和'))) THEN 'fr'
+             |             ELSE 'zh' END AS predicted,
+             |        round(least(len(tk) * 1.0 / 100, 1.0) * 0.4
+             |            + (len(list_distinct(tk)) * 1.0 / len(tk)) * 0.3
+             |            + (len(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 / len(text)) * 0.3, 3) AS quality,
+             |        CASE WHEN len(tk) - 2 <= 0 THEN 0.0
+             |             ELSE round(1.0 - len(list_distinct(list_transform(range(1, len(tk) - 1),
+             |                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) * 1.0 /
+             |                  (len(tk) - 2), 4) END AS rep3
+             |      FROM t),
+             |p1 AS (SELECT * FROM f  WHERE predicted = 'en'),
+             |p2 AS (SELECT * FROM p1 WHERE quality >= 0.5),
+             |p3 AS (SELECT * FROM p2 WHERE rep3 <= 0.2),
+             |p4 AS (SELECT * FROM p3 WHERE n_chars BETWEEN 100 AND 20000),
+             |counted AS (
+             |  SELECT '0_pages' AS stage, count(*) AS n_rows FROM ex UNION ALL
+             |  SELECT '1_link_density', count(*) FROM u UNION ALL
+             |  SELECT '2_lang', count(*) FROM p1 UNION ALL
+             |  SELECT '3_quality', count(*) FROM p2 UNION ALL
+             |  SELECT '4_repetition', count(*) FROM p3 UNION ALL
+             |  SELECT '5_length', count(*) FROM p4 UNION ALL
+             |  SELECT '6_dedup', count(DISTINCT text) FROM p4)
+             |SELECT stage, n_rows FROM counted ORDER BY stage""".stripMargin)),
+
     // Streaming DSIR quality gate: the x64 model trained ONCE into a
     // parquet weight artifact, then three micro-batches scored against it
     // at ingest — including planted docs carrying an out-of-vocabulary
