@@ -84,6 +84,9 @@ object GraftFunctions {
     ("html_extract",
       new ExpressionInfo(classOf[graft.functions.HtmlExprs.HtmlExtract].getName, "html_extract"),
       (args: Seq[Expression]) => graft.functions.HtmlExprs.HtmlExtract(args.head)),
+    ("warc_records",
+      new ExpressionInfo(classOf[graft.functions.WarcExprs.WarcRecords].getName, "warc_records"),
+      (args: Seq[Expression]) => graft.functions.WarcExprs.WarcRecords(args.head)),
     // byte-level BPE over the default (repo-trained) vocab
     ("bpe_tokens",
       new ExpressionInfo(classOf[graft.functions.GraftBpe.BpeTokens].getName, "bpe_tokens"),

@@ -2496,6 +2496,41 @@ object ExtQueries {
              |  SELECT '6_dedup', count(DISTINCT text) FROM p4)
              |SELECT stage, n_rows FROM counted ORDER BY stage""".stripMargin)),
 
+    // WARC/WET container round-trip — the on-disk shape a crawl pipeline
+    // actually ingests (Common Crawl WET = text-conversion records back to
+    // back in one file). Per-doc records (Content-Length in BYTES — the
+    // corpus has multi-byte text, so a char-length walk would corrupt
+    // every record after the first non-ASCII payload) are concatenated
+    // into multi-record files in deterministic in-file order, then
+    // re-parsed by the native length-delimited walk. Any header or offset
+    // error corrupts all later payloads in that file; the oracle is the
+    // closed-form round-trip identity.
+    QuerySpec("x71_warc_parse",
+      (s, d) => {
+        val files = Tables.documents(s, d)
+          .select((col("doc_id") % 37).as("bucket"), col("doc_id"),
+            concat(
+              lit("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+                "WARC-Target-URI: https://crawl.test/"),
+              col("doc_id"),
+              lit("\r\nContent-Length: "), octet_length(col("text")),
+              lit("\r\n\r\n"), col("text"), lit("\r\n\r\n")).as("rec"))
+          .groupBy("bucket")
+          .agg(expr("array_join(transform(array_sort(collect_list(" +
+            "struct(doc_id, rec))), x -> x.rec), '')").as("file"))
+        files
+          .select(explode(graft.functions.WarcExprs.warcRecords(col("file"))).as("r"))
+          .select(col("r.uri").as("uri"), col("r.rec_type").as("rec_type"),
+            col("r.content_length").as("content_length"),
+            col("r.payload").as("payload"))
+          .orderBy("uri")
+      },
+      Some("""SELECT 'https://crawl.test/' || doc_id AS uri,
+             |       'conversion' AS rec_type,
+             |       CAST(strlen(text) AS BIGINT) AS content_length,
+             |       text AS payload
+             |FROM documents ORDER BY uri""".stripMargin)),
+
     // Streaming DSIR quality gate: the x64 model trained ONCE into a
     // parquet weight artifact, then three micro-batches scored against it
     // at ingest — including planted docs carrying an out-of-vocabulary
