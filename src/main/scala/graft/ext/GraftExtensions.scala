@@ -87,6 +87,12 @@ object GraftFunctions {
     ("warc_records",
       new ExpressionInfo(classOf[graft.functions.WarcExprs.WarcRecords].getName, "warc_records"),
       (args: Seq[Expression]) => graft.functions.WarcExprs.WarcRecords(args.head)),
+    ("gunzip_text",
+      new ExpressionInfo(classOf[graft.functions.GzipExprs.GunzipText].getName, "gunzip_text"),
+      (args: Seq[Expression]) => graft.functions.GzipExprs.GunzipText(args.head)),
+    ("gzip_member",
+      new ExpressionInfo(classOf[graft.functions.GzipExprs.GzipMember].getName, "gzip_member"),
+      (args: Seq[Expression]) => graft.functions.GzipExprs.GzipMember(args.head)),
     // byte-level BPE over the default (repo-trained) vocab
     ("bpe_tokens",
       new ExpressionInfo(classOf[graft.functions.GraftBpe.BpeTokens].getName, "bpe_tokens"),

@@ -2531,6 +2531,46 @@ object ExtQueries {
              |       text AS payload
              |FROM documents ORDER BY uri""".stripMargin)),
 
+    // The FULL crawl-ingestion front-end, exactly as Common Crawl ships
+    // it: one gzip member per WARC record, members concatenated into one
+    // file per bucket (deterministic in-file order via a binary-concat
+    // fold over the sorted member list), then member-draining gunzip →
+    // length-delimited WARC walk → HTML extraction, all native
+    // expressions in one declarative plan. The oracle never sees
+    // compressed bytes — it rebuilds the extracted text and link counters
+    // in closed form, so every stage (member boundaries, record offsets,
+    // markup stripping) is load-bearing for the byte-exact match.
+    QuerySpec("x72_crawl_ingest",
+      (s, d) => {
+        val pages = Tables.documents(s, d)
+          .select((col("doc_id") % 37).as("bucket"), col("doc_id"),
+            concat(lit("<html><body><p>"), col("text"),
+              lit("</p><a href=\"/n\">next page</a></body></html>")).as("page"))
+        val recs = pages.select(col("bucket"),
+          struct(col("doc_id"), graft.functions.GzipExprs.gzipMember(concat(
+            lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+              "WARC-Target-URI: https://crawl.test/"),
+            col("doc_id"), lit("\r\nContent-Length: "), octet_length(col("page")),
+            lit("\r\n\r\n"), col("page"), lit("\r\n\r\n"))).as("gz")).as("m"))
+        val files = recs.groupBy("bucket")
+          .agg(expr("aggregate(array_sort(collect_list(m)), CAST(X'' AS BINARY), " +
+            "(acc, x) -> concat(acc, x.gz))").as("gz_file"))
+        files
+          .select(explode(graft.functions.WarcExprs.warcRecords(
+            graft.functions.GzipExprs.gunzipText(col("gz_file")))).as("r"))
+          .select(col("r.uri").as("uri"),
+            graft.functions.HtmlExprs.htmlExtract(col("r.payload")).as("ex"))
+          .select(col("uri"), col("ex.text").as("extracted"),
+            col("ex.link_chars").as("link_chars"), col("ex.n_links").as("n_links"))
+          .orderBy("uri")
+      },
+      Some("""SELECT 'https://crawl.test/' || doc_id AS uri,
+             |       trim(regexp_replace(text || ' next page',
+             |         '[ \t\n\r]+', ' ', 'g')) AS extracted,
+             |       CAST(8 AS BIGINT) AS link_chars,
+             |       CAST(1 AS BIGINT) AS n_links
+             |FROM documents ORDER BY uri""".stripMargin)),
+
     // Streaming DSIR quality gate: the x64 model trained ONCE into a
     // parquet weight artifact, then three micro-batches scored against it
     // at ingest — including planted docs carrying an out-of-vocabulary
