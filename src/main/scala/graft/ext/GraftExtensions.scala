@@ -93,6 +93,20 @@ object GraftFunctions {
     ("gzip_member",
       new ExpressionInfo(classOf[graft.functions.GzipExprs.GzipMember].getName, "gzip_member"),
       (args: Seq[Expression]) => graft.functions.GzipExprs.GzipMember(args.head)),
+    // PDF structure decode (PdfExprs — header triage + content-stream text)
+    ("pdf_meta",
+      new ExpressionInfo(classOf[graft.functions.PdfExprs.PdfMeta].getName, "pdf_meta"),
+      (args: Seq[Expression]) => graft.functions.PdfExprs.PdfMeta(args.head)),
+    ("pdf_text",
+      new ExpressionInfo(classOf[graft.functions.PdfExprs.PdfText].getName, "pdf_text"),
+      (args: Seq[Expression]) => graft.functions.PdfExprs.PdfText(args.head)),
+    ("encode_pdf",
+      new ExpressionInfo(classOf[graft.functions.PdfExprs.EncodePdf].getName, "encode_pdf"),
+      (args: Seq[Expression]) => graft.functions.PdfExprs.EncodePdf(
+        org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.LongType))),
     // byte-level BPE over the default (repo-trained) vocab
     ("bpe_tokens",
       new ExpressionInfo(classOf[graft.functions.GraftBpe.BpeTokens].getName, "bpe_tokens"),

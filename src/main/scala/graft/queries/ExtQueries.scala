@@ -2571,6 +2571,35 @@ object ExtQueries {
              |       CAST(1 AS BIGINT) AS n_links
              |FROM documents ORDER BY uri""".stripMargin)),
 
+    // PDF triage + text extraction — the document-side multimodal family
+    // (PDF is the dominant non-HTML format in crawled corpora). Real
+    // multi-page PDFs built per document (catalog → pages tree → /Length-
+    // delimited content streams, alternating pages Flate-compressed so the
+    // inflate path is load-bearing), then header-only triage (version,
+    // object count, page count via the startxref→xref→trailer walk) and
+    // full text extraction ((…) Tj operands with PDF escape decoding). The
+    // per-page text is a pure function of (page, nPages, doc_id), so the
+    // oracle rebuilds the exact extracted string in closed form.
+    QuerySpec("x73_pdf_extract",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 5 + 1).as("np"))
+        .withColumn("pdf", graft.functions.PdfExprs.encodePdf(col("np"), col("doc_id")))
+        .withColumn("meta", graft.functions.PdfExprs.pdfMeta(col("pdf")))
+        .select(col("doc_id"), col("meta.version").as("version"),
+          col("meta.n_objects").as("n_objects"), col("meta.n_pages").as("n_pages"),
+          graft.functions.PdfExprs.pdfText(col("pdf")).as("pdf_body"))
+        .orderBy("doc_id"),
+      Some("""WITH p AS (SELECT doc_id, doc_id % 5 + 1 AS np FROM documents),
+             |pg AS (SELECT doc_id, np, unnest(range(1, np + 1)) AS i FROM p),
+             |t AS (SELECT doc_id, np,
+             |        string_agg('Page ' || i || ' of ' || np || ' #' || doc_id,
+             |                   ' ' ORDER BY i) AS pdf_body
+             |      FROM pg GROUP BY 1, 2)
+             |SELECT doc_id, '1.4' AS version,
+             |       CAST(3 + 2 * np AS BIGINT) AS n_objects,
+             |       CAST(np AS BIGINT) AS n_pages, pdf_body
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
     // Streaming DSIR quality gate: the x64 model trained ONCE into a
     // parquet weight artifact, then three micro-batches scored against it
     // at ingest — including planted docs carrying an out-of-vocabulary
