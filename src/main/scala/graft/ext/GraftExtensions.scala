@@ -93,6 +93,12 @@ object GraftFunctions {
     ("gzip_member",
       new ExpressionInfo(classOf[graft.functions.GzipExprs.GzipMember].getName, "gzip_member"),
       (args: Seq[Expression]) => graft.functions.GzipExprs.GzipMember(args.head)),
+    ("binary_concat",
+      new ExpressionInfo(classOf[graft.functions.ArrayExprs.BinaryConcat].getName,
+        "binary_concat"),
+      (args: Seq[Expression]) => graft.functions.ArrayExprs.BinaryConcat(
+        org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.BinaryType)))),
     // PDF structure decode (PdfExprs — header triage + content-stream text)
     ("pdf_meta",
       new ExpressionInfo(classOf[graft.functions.PdfExprs.PdfMeta].getName, "pdf_meta"),

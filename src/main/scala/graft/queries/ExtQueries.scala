@@ -2508,7 +2508,7 @@ object ExtQueries {
     QuerySpec("x71_warc_parse",
       (s, d) => {
         val files = Tables.documents(s, d)
-          .select((col("doc_id") % 37).as("bucket"), col("doc_id"),
+          .select((col("doc_id") % crawlBuckets(s, d)).as("bucket"), col("doc_id"),
             concat(
               lit("WARC/1.0\r\nWARC-Type: conversion\r\n" +
                 "WARC-Target-URI: https://crawl.test/"),
@@ -2543,7 +2543,7 @@ object ExtQueries {
     QuerySpec("x72_crawl_ingest",
       (s, d) => {
         val pages = Tables.documents(s, d)
-          .select((col("doc_id") % 37).as("bucket"), col("doc_id"),
+          .select((col("doc_id") % crawlBuckets(s, d)).as("bucket"), col("doc_id"),
             concat(lit("<html><body><p>"), col("text"),
               lit("</p><a href=\"/n\">next page</a></body></html>")).as("page"))
         val recs = pages.select(col("bucket"),
@@ -2552,9 +2552,12 @@ object ExtQueries {
               "WARC-Target-URI: https://crawl.test/"),
             col("doc_id"), lit("\r\nContent-Length: "), octet_length(col("page")),
             lit("\r\n\r\n"), col("page"), lit("\r\n\r\n"))).as("gz")).as("m"))
+        // one-pass binary_concat: the aggregate(...concat...) fold re-copies
+        // the growing accumulator per member — quadratic in per-file record
+        // count, which the sf10 curve caught at 73× for 10× rows
         val files = recs.groupBy("bucket")
-          .agg(expr("aggregate(array_sort(collect_list(m)), CAST(X'' AS BINARY), " +
-            "(acc, x) -> concat(acc, x.gz))").as("gz_file"))
+          .agg(graft.functions.ArrayExprs.binaryConcat(
+            expr("transform(array_sort(collect_list(m)), x -> x.gz)")).as("gz_file"))
         files
           .select(explode(graft.functions.WarcExprs.warcRecords(
             graft.functions.GzipExprs.gunzipText(col("gz_file")))).as("r"))
@@ -2599,6 +2602,47 @@ object ExtQueries {
              |       CAST(3 + 2 * np AS BIGINT) AS n_objects,
              |       CAST(np AS BIGINT) AS n_pages, pdf_body
              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // CCNet perplexity bucketing — the published CCNet curation step that
+    // follows LM scoring: rank docs by per-bigram score ascending and cut
+    // the corpus into head/middle/tail at 1/3 and 2/3 of CUMULATIVE TOKEN
+    // MASS (equal token budget per bucket, not equal doc count). Exact
+    // integer arithmetic end-to-end (truncating long division for the
+    // per-doc score, cum×3 ≤ k×total comparisons for the cuts); the global
+    // cumulative order runs through the distributed prefix sum, never a
+    // single-partition window.
+    QuerySpec("x74_ccnet_buckets",
+      (s, d) => graft.ext.LmScore.perplexityBuckets(Tables.documents(s, d),
+          col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"), col("avg_micro"), col("bucket"))
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id,
+             |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                     x -> x <> '') AS t
+             |       FROM documents),
+             |bg AS (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+             |       FROM tok WHERE len(t) >= 2),
+             |b2 AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bg),
+             |c12 AS (SELECT w1, w2, count(*) AS n12 FROM b2 GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*) AS n1 FROM b2 GROUP BY 1),
+             |v AS (SELECT count(DISTINCT x) AS v
+             |      FROM (SELECT unnest(t) AS x FROM tok)),
+             |sc AS (SELECT doc_id,
+             |         CAST(round(-ln((n12 + 1.0) / (n1 + v)) * 1000000, 0) AS BIGINT) AS s
+             |       FROM b2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+             |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+             |          CAST(sum(s) AS BIGINT) AS nll FROM sc GROUP BY 1),
+             |a AS (SELECT doc_id, n_bigrams,
+             |        CAST(nll // n_bigrams AS BIGINT) AS avg_micro FROM agg),
+             |c AS (SELECT doc_id, n_bigrams, avg_micro,
+             |        sum(n_bigrams) OVER (ORDER BY avg_micro, doc_id) AS cum,
+             |        sum(n_bigrams) OVER () AS total FROM a)
+             |SELECT doc_id, n_bigrams, avg_micro,
+             |       CASE WHEN cum * 3 <= total THEN 'head'
+             |            WHEN cum * 3 <= 2 * total THEN 'middle'
+             |            ELSE 'tail' END AS bucket
+             |FROM c ORDER BY doc_id""".stripMargin)),
 
     // Streaming DSIR quality gate: the x64 model trained ONCE into a
     // parquet weight artifact, then three micro-batches scored against it
@@ -2682,6 +2726,19 @@ object ExtQueries {
       val nlist = math.max(16L, math.min(1024L, emb.count() / 500)).toInt
       Similarity.kmeansCentroids(emb, nlist)
     })
+
+  /** File count for the x71/x72 synthetic crawl containers: scales with the
+    * corpus so each container holds ~128 records regardless of SF. A FIXED
+    * bucket count would make per-file payload grow linearly with the data —
+    * per-row memory for the container walk grows without bound and (before
+    * binary_concat) the build fold went quadratic, exactly the class of
+    * defect the scaling curve exists to catch. Cached per sf dir (the count
+    * is parquet-metadata-only). */
+  private val crawlBucketCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def crawlBuckets(s: SparkSession, d: String): Long =
+    crawlBucketCounts.computeIfAbsent(d,
+      _ => math.max(37L, math.min(65536L, Tables.documents(s, d).count() / 128L)))
 
   /** st12's quantizer: k-means on the BASE corpus only (the streamed
     * fifth and the twins stay unseen — serving them is the point of the

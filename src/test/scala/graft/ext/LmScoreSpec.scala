@@ -52,4 +52,41 @@ class LmScoreSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq === Seq(3L))
     assert(out(0).getLong(1) === 1L) // whitespace runs collapse → one bigram
   }
+
+  test("perplexityBuckets cuts at 1/3 and 2/3 of cumulative token mass") {
+    // nine equal-mass docs (23 bigrams each) spanning fluent → junk: with
+    // equal masses the token-mass thirds are exactly 3/3/3 docs, and the
+    // per-bigram scores must ascend head → middle → tail
+    val fluent = (1L to 3L).map(i => (i, "the cat sat on the mat " * 4))
+    val mid = (4L to 6L).map(i => (i, s"the cat ran far away now x$i y$i z$i a$i b$i c$i " * 2))
+    val junk = (7L to 9L).map(i => (i, s"q$i w$i e$i r$i t$i u$i j$i s$i d$i f$i g$i h$i " * 2))
+    val docs = (fluent ++ mid ++ junk).toDF("doc_id", "text")
+    val out = LmScore.perplexityBuckets(docs, col("doc_id"), col("text"))
+      .orderBy("id").collect()
+    assert(out.length === 9)
+    assert(out.forall(_.getLong(1) === 23L)) // equal mass by construction
+    val byBucket = out.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.map(r => r.getLong(0) -> r.getAs[Long]("avg_micro"))).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    assert(byBucket.values.forall(_.length === 3))
+    // scores ascend across the cut points; identical fluent docs rank first
+    assert(byBucket("head").map(_._2).max <= byBucket("middle").map(_._2).min)
+    assert(byBucket("middle").map(_._2).max <= byBucket("tail").map(_._2).min)
+    assert(byBucket("head").map(_._1).toSet === Set(1L, 2L, 3L))
+  }
+
+  test("perplexityBuckets: cumulative rule replayed exactly on a hand case") {
+    // token masses in ascending score order decide the cut, not doc count
+    val docs = Seq(
+      (1L, "a a a a a a a a a a a a a a a a a a a a a"), // 20 bigrams, fluent
+      (2L, "a b c d"),                                   // 3 bigrams
+      (3L, "z y x w v u t s r q p o n m")                // 13 bigrams
+    ).toDF("doc_id", "text")
+    val out = LmScore.perplexityBuckets(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("bucket")).toMap
+    // total 36; doc1 cum 20 → 60 > 36 → not head; 60 ≤ 72 → middle
+    assert(out(1L) === "middle")
+    // remaining docs (higher score) must be tail
+    assert(out(2L) === "tail" && out(3L) === "tail")
+  }
 }
