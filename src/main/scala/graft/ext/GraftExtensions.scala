@@ -93,6 +93,12 @@ object GraftFunctions {
     ("gzip_member",
       new ExpressionInfo(classOf[graft.functions.GzipExprs.GzipMember].getName, "gzip_member"),
       (args: Seq[Expression]) => graft.functions.GzipExprs.GzipMember(args.head)),
+    ("unzstd_text",
+      new ExpressionInfo(classOf[graft.functions.ZstdExprs.UnzstdText].getName, "unzstd_text"),
+      (args: Seq[Expression]) => graft.functions.ZstdExprs.UnzstdText(args.head)),
+    ("zstd_frame",
+      new ExpressionInfo(classOf[graft.functions.ZstdExprs.ZstdFrame].getName, "zstd_frame"),
+      (args: Seq[Expression]) => graft.functions.ZstdExprs.ZstdFrame(args.head)),
     ("binary_concat",
       new ExpressionInfo(classOf[graft.functions.ArrayExprs.BinaryConcat].getName,
         "binary_concat"),

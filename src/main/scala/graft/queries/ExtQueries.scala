@@ -2644,6 +2644,38 @@ object ExtQueries {
              |            ELSE 'tail' END AS bucket
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // Dolma-shape corpus ingest: `.jsonl.zst` files — the published
+    // distribution format of the big open training corpora — rebuilt
+    // end-to-end: each doc becomes a JSON line (to_json escapes embedded
+    // newlines, so a line IS a record), every line compresses to its own
+    // zstd frame, frames concatenate into one file per bucket (RFC 8878
+    // streams = frame sequences — the seekable-record layout), then the
+    // read side drains frames → splits lines → parses JSON. A
+    // first-frame-only reader, a frame-boundary error, or a JSON escaping
+    // mismatch each corrupts the round trip; the oracle never sees
+    // compressed bytes.
+    QuerySpec("x75_dolma_ingest",
+      (s, d) => {
+        val lines = Tables.documents(s, d)
+          .select((col("doc_id") % crawlBuckets(s, d)).as("bucket"), col("doc_id"),
+            graft.functions.ZstdExprs.zstdFrame(
+              concat(to_json(struct(col("doc_id").as("id"), col("text"))), lit("\n")))
+              .as("zline"))
+        val files = lines.groupBy("bucket")
+          .agg(graft.functions.ArrayExprs.binaryConcat(
+            expr("transform(array_sort(collect_list(struct(doc_id, zline))), x -> x.zline)"))
+            .as("zst_file"))
+        files
+          .select(explode(split(graft.functions.ZstdExprs.unzstdText(col("zst_file")),
+            "\n")).as("line"))
+          .filter(col("line") =!= "")
+          .select(from_json(col("line"),
+            org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, text STRING")).as("j"))
+          .select(col("j.id").as("doc_id"), col("j.text").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
     // Streaming DSIR quality gate: the x64 model trained ONCE into a
     // parquet weight artifact, then three micro-batches scored against it
     // at ingest — including planted docs carrying an out-of-vocabulary
