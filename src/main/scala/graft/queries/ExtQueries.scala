@@ -2676,6 +2676,85 @@ object ExtQueries {
       },
       Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
 
+    // Streaming compressed-crawl ingest gate: the x75 container format
+    // arriving as a live stream — three micro-batches of `.jsonl.zst`
+    // containers, each drained (zstd frames → JSON lines → documents) and
+    // pushed through the Gopher rule gauntlet at ingest; only keepers are
+    // appended. The oracle replays x65's closed-form rule arithmetic over
+    // the batch table with the keep predicate inlined — so container
+    // framing, JSON escaping, AND every integer rule threshold are
+    // load-bearing across the stream/batch boundary.
+    QuerySpec("st14_stream_crawl_gate",
+      (s, d) => {
+        // the synthetic corpus carries no Gopher stopwords, so the raw
+        // gauntlet keeps nothing — plant fluent twins (id+1e6, stopword
+        // tail) that PASS, st13's planted-row pattern: the kept set is
+        // non-empty and every rule still decides who's in it
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .unionByName(Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" the be to of and that have with")).as("text")))
+        val src = Staging.slicedSource("crawlg", d) { tmp =>
+          (0 until 3).foreach { r =>
+            val lines = docs.filter(col("doc_id") % 3 === r)
+              .select((col("doc_id") % crawlBuckets(s, d)).as("bucket"), col("doc_id"),
+                graft.functions.ZstdExprs.zstdFrame(
+                  concat(to_json(struct(col("doc_id").as("id"), col("text"))),
+                    lit("\n"))).as("zline"))
+            val containers = lines.groupBy("bucket")
+              .agg(graft.functions.ArrayExprs.binaryConcat(
+                expr("transform(array_sort(collect_list(struct(doc_id, zline))), " +
+                  "x -> x.zline)")).as("zst_file"))
+            Staging.writeSlice(containers, s"$tmp/src/slice$r")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_crawlg_run").toString
+        Staging.drainTuning(s, src, 3) {
+          val q = graft.streaming.CrawlGate.start(s,
+            s.readStream
+              .schema(org.apache.spark.sql.types.StructType.fromDDL(
+                "bucket BIGINT, zst_file BINARY"))
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+            "zst_file", outDir = s"$tmp/out", checkpoint = s"$tmp/ckpt")
+          q.awaitTermination()
+        }
+        s.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+          .select(col("doc_id"), col("n_words"), col("chars"), col("stop_hits"),
+            col("dup3"), col("total3"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH src AS (SELECT doc_id, text FROM documents
+             |       UNION ALL
+             |       SELECT doc_id + 1000000, text || ' the be to of and that have with'
+             |       FROM documents WHERE doc_id % 2 = 0),
+             |t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t
+             |       FROM src),
+             |g AS (SELECT doc_id, list_transform(range(1, len(t) - 1),
+             |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g
+             |      FROM t),
+             |b AS (SELECT t.doc_id,
+             |        CAST(len(t.t) AS BIGINT) AS n_words,
+             |        CAST(list_sum(list_transform(t.t, x -> len(x))) AS BIGINT) AS chars,
+             |        CAST(len(list_filter(t.t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+             |        CAST(len(list_intersect(list_distinct(t.t),
+             |          ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
+             |        CAST((len(t.text) - len(replace(t.text, '#', ''))) +
+             |             (len(t.text) - len(replace(t.text, '...', ''))) // 3 AS BIGINT) AS sym_hits,
+             |        CAST(len(g.g) - len(list_distinct(g.g)) AS BIGINT) AS dup3,
+             |        CAST(len(g.g) AS BIGINT) AS total3
+             |      FROM t JOIN g USING (doc_id))
+             |SELECT doc_id, n_words, chars, stop_hits, dup3, total3
+             |FROM b
+             |WHERE n_words BETWEEN 50 AND 100000
+             |  AND chars BETWEEN 3 * n_words AND 10 * n_words
+             |  AND sym_hits * 10 <= n_words
+             |  AND alpha_words * 5 >= 4 * n_words
+             |  AND stop_hits >= 2
+             |  AND dup3 * 50 <= total3 * 9
+             |ORDER BY doc_id""".stripMargin)),
+
     // Streaming DSIR quality gate: the x64 model trained ONCE into a
     // parquet weight artifact, then three micro-batches scored against it
     // at ingest — including planted docs carrying an out-of-vocabulary
