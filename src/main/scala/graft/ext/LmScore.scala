@@ -96,14 +96,10 @@ object LmScore {
     * Scale shape: [[bigramNll]]'s linear train+score plan, then ONE
     * distributed prefix sum over the per-doc frame ([[graft.ops.PrefixSum]]
     * — the global cumulative order never funnels through a single
-    * partition) and a broadcast one-row total. Docs with <2 tokens have no
-    * bigram stream and are not ranked (callers route them to quarantine,
-    * not `tail`).
-    *
-    * Precondition (documented, not checked row-wise): ids are non-negative
-    * and < 2^34, per-doc scores < ~5×10⁸ micro-nats — both hold for every
-    * generated SF and keep the score-major/id-minor composite order key
-    * inside a long.
+    * partition; the (score, id) lexicographic order needs no composite-key
+    * packing, so id range never threatens overflow at any SF) and a
+    * broadcast one-row total. Docs with <2 tokens have no bigram stream
+    * and are not ranked (callers route them to quarantine, not `tail`).
     */
   def perplexityBuckets(docs: DataFrame, id: Column, text: Column,
                         train: Option[DataFrame] = None): DataFrame = {
@@ -111,16 +107,15 @@ object LmScore {
     // sum + total) read the checkpoint, not the train/score lineage
     val scored = bigramNll(docs, id, text, train)
       .withColumn("avg_micro", expr("nll_micro div n_bigrams"))
-    val keyed = scored.withColumn("__ord",
-      col("avg_micro") * lit(1L << 34) + col("id"))
     val total = scored.agg(sum(col("n_bigrams")).as("__total"))
-    graft.ops.PrefixSum.exclusivePrefixSum(keyed, "__ord", "n_bigrams", "__cum0")
+    graft.ops.PrefixSum.exclusivePrefixSumMulti(scored, Seq("avg_micro", "id"),
+        "n_bigrams", "__cum0")
       .withColumn("__cum", col("__cum0") + col("n_bigrams"))
       .crossJoin(broadcast(total))
       .withColumn("bucket",
         when(col("__cum") * 3 <= col("__total"), lit("head"))
           .when(col("__cum") * 3 <= col("__total") * 2, lit("middle"))
           .otherwise(lit("tail")))
-      .drop("__ord", "__cum0", "__cum", "__total")
+      .drop("__cum0", "__cum", "__total")
   }
 }

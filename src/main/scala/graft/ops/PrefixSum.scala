@@ -25,11 +25,25 @@ object PrefixSum {
     * buckets assume ids without extreme clustering — pass a larger
     * `buckets` for skewed key spaces. */
   def exclusivePrefixSum(df: DataFrame, key: String, value: String, out: String,
-                         buckets: Int = 256): DataFrame = {
+                         buckets: Int = 256): DataFrame =
+    exclusivePrefixSumMulti(df, Seq(key), value, out, buckets)
+
+  /** [[exclusivePrefixSum]] under a LEXICOGRAPHIC total order over `keys`
+    * (ascending, nulls excluded). Only the LEADING key is range-bucketed —
+    * rows sharing a leading-key value always land in the same bucket, so
+    * the within-bucket window over the full key list still realizes the
+    * global order; trailing keys only break ties and need no long range.
+    * (This is why a composite `k1 × 2^b + k2` packing is never needed —
+    * packing overflows the moment the tie-breaker's range grows, e.g.
+    * replica-shifted ids at large SF.) `keys` together must be unique. */
+  def exclusivePrefixSumMulti(df: DataFrame, keys: Seq[String], value: String,
+                              out: String, buckets: Int = 256): DataFrame = {
+    require(keys.nonEmpty, "need at least one order key")
+    val key = keys.head
     // a null key has no place in a total order: unfiltered it would land in
     // a null bucket whose total inflates every real bucket's offset while
     // the row itself vanishes in the equi-join — exclude it explicitly
-    val rows = df.filter(col(key).isNotNull)
+    val rows = df.filter(keys.map(k => col(k).isNotNull).reduce(_ && _))
     val bounds = rows.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head()
     if (bounds.isNullAt(0)) return rows.withColumn(out, lit(0L))
     val lo = bounds.getLong(0)
@@ -43,7 +57,7 @@ object PrefixSum {
           Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select(col("__bkt"), col("__off"))
-    val local = Window.partitionBy("__bkt").orderBy(col(key))
+    val local = Window.partitionBy("__bkt").orderBy(keys.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     withB.join(broadcast(offsets), "__bkt")
       .withColumn(out,

@@ -44,6 +44,22 @@ class PrefixSumSpec extends SparkSpec {
     assert(got.columns.contains("cum") && got.isEmpty)
   }
 
+  test("lexicographic order: leading-key ties broken by the second key, " +
+      "equal to the sequential scan") {
+    // many ties on the leading key (score-like), ids deliberately HUGE
+    // (replica-shifted range) — the case that overflows composite packing
+    val data = (0L until 500L).map { i =>
+      (i % 7, (i % 13) * 100000000000L + i, i % 5 + 1)
+    }
+    val df = data.toDF("score", "id", "v")
+    val got = PrefixSum.exclusivePrefixSumMulti(df, Seq("score", "id"), "v", "cum",
+        buckets = 8)
+      .orderBy("score", "id").select("v", "cum").as[(Long, Long)].collect().toSeq
+    val expect = data.sortBy { case (s, id, _) => (s, id) }
+      .scanLeft(0L)(_ + _._3).dropRight(1)
+    assert(got.map(_._2) === expect)
+  }
+
   test("the only unpartitioned window in the plan is over bucket totals, not rows") {
     val df = rows(1000)
     val plan = PrefixSum.exclusivePrefixSum(df, "k", "v", "cum", buckets = 16)
