@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Storage-layout operators for the 100 TB posture (SURVEY §7.4):
   * hive-style partitioned writes (reads prune partitions from the path
@@ -60,6 +61,42 @@ object Layout {
 
   /** Convenience: read a catalog table (bucketed layout honored). */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Morton (Z-order) value of two non-negative dimension keys, each
+    * already normalized to `[0, 2^bits)` — bit-interleaved so that rows
+    * close in EITHER dimension are close in z. Pure column arithmetic
+    * (static `bits`-term sum of shift/mask terms — codegen'd, no UDF, no
+    * interpreted HOF); `bits ≤ 31` keeps the result in a long.
+    *
+    * This is the clustering key behind multi-dimension file skipping: a
+    * single-column sort gives tight parquet min/max stats on that column
+    * only, while a z-sort gives each file a bounded RECTANGLE in (a, b) —
+    * filters on either dimension skip most files. The classic layout
+    * technique for two-filter-column fact tables at 100 TB. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits).map { i =>
+      shiftright(al, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(bl, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Z-order-clustered parquet write: range-partition on the z-value into
+    * `numFiles` output files, z-sort within each, drop the helper column.
+    * Each file then covers a bounded rectangle of the (a, b) plane — its
+    * parquet column stats are tight in BOTH dimensions, so predicate
+    * pushdown on either key skips most files (a plain sort can do this
+    * for one dimension only). One shuffle (the range exchange), same cost
+    * shape as any clustered write. */
+  def zorderWrite(df: DataFrame, dir: String, a: Column, b: Column,
+                  numFiles: Int, bits: Int = 16): Unit =
+    df.withColumn("__z", zValue(a, b, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
 
   /** Compact a bucketed table back to ONE file per bucket — the
     * maintenance pass that [[appendBucketed]]'s scaladoc promises: each

@@ -2755,6 +2755,43 @@ object ExtQueries {
              |  AND dup3 * 50 <= total3 * 9
              |ORDER BY doc_id""".stripMargin)),
 
+    // Z-order layout clustering: the multi-dimension file-skipping key
+    // (Layout.zValue — static shift/mask column arithmetic, no UDF). Every
+    // event maps to a point in a 256×256 (user, minute-of-day) grid; the
+    // top 4 z-bits partition the grid into 16 quadrant cells. The query
+    // emits per-cell row counts, exact z-sums, and the min/max of BOTH
+    // dimensions — the locality law a z-clustered file layout delivers
+    // (each cell is a bounded rectangle, so parquet stats stay tight in
+    // both columns). The oracle replays the bit interleave in SQL.
+    QuerySpec("x76_zorder_layout",
+      (s, d) => {
+        val bits = 8
+        val ev = Tables.events(s, d)
+          .select((col("user_id") % 256).as("a"),
+            ((hour(col("ts")) * 60 + minute(col("ts"))) % 256).cast("long").as("b"))
+          .withColumn("z", graft.io.Layout.zValue(col("a"), col("b"), bits))
+        ev.withColumn("cell", shiftright(col("z"), 2 * bits - 4))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n"), sum(col("z")).as("z_sum"),
+            min("a").as("min_a"), max("a").as("max_a"),
+            min("b").as("min_b"), max("b").as("max_b"))
+          .orderBy("cell")
+      },
+      Some("""WITH p AS (SELECT user_id % 256 AS a,
+             |         (hour(CAST(ts AS TIMESTAMP)) * 60
+             |          + minute(CAST(ts AS TIMESTAMP))) % 256 AS b
+             |       FROM events),
+             |z AS (SELECT a, b,
+             |        list_sum(list_transform(range(0, 8), i ->
+             |          ((a >> i) & 1) * (1 << (2*i))
+             |          + ((b >> i) & 1) * (1 << (2*i + 1)))) AS z
+             |      FROM p)
+             |SELECT CAST(z >> 12 AS BIGINT) AS cell,
+             |       count(*) AS n, CAST(sum(z) AS BIGINT) AS z_sum,
+             |       CAST(min(a) AS BIGINT) AS min_a, CAST(max(a) AS BIGINT) AS max_a,
+             |       CAST(min(b) AS BIGINT) AS min_b, CAST(max(b) AS BIGINT) AS max_b
+             |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Streaming DSIR quality gate: the x64 model trained ONCE into a
     // parquet weight artifact, then three micro-batches scored against it
     // at ingest — including planted docs carrying an out-of-vocabulary

@@ -130,4 +130,42 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_ivf_test")
     }
   }
+
+  test("zValue interleaves bits exactly (reference interleave)") {
+    import spark.implicits._
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L), (170L, 85L))
+    val got = cases.toDF("a", "b")
+      .select($"a", $"b", Layout.zValue($"a", $"b", bits = 8).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, z) => assert(z === ref(a, b, 8), s"z($a,$b)") }
+    // z is monotone-compatible with the quadrant structure: top 2 bits of
+    // each input become the top 4 of z
+    assert(ref(3, 5, 8) === 39L)
+  }
+
+  test("zorderWrite gives every file a bounded rectangle in BOTH dimensions") {
+    import spark.implicits._
+    // uniform 64×64 grid; z-cluster into 16 files vs the natural row order
+    val grid = for { a <- 0 until 64; b <- 0 until 64 } yield (a.toLong, b.toLong)
+    val df = grid.toDF("a", "b")
+    val zdir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val ndir = java.nio.file.Files.createTempDirectory("graft_natural").toString
+    Layout.zorderWrite(df, zdir, $"a", $"b", numFiles = 16, bits = 6)
+    // natural layout: same file count, no clustering (round-robin split)
+    df.repartition(16).write.mode("overwrite").parquet(ndir)
+    def areaSum(dir: String): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max($"a") - min($"a") + 1) * (max($"b") - min($"b") + 1) as "area")
+        .agg(sum($"area")).head().getLong(0)
+    val total = 64L * 64L
+    val zArea = areaSum(zdir)
+    val nArea = areaSum(ndir)
+    // ideal z-clustering: 16 disjoint quadrant cells, Σ areas = total;
+    // round-robin: every file spans ~the whole plane, Σ ≈ 16 × total.
+    assert(zArea <= total * 2, s"z-order area sum $zArea should be ~$total")
+    assert(nArea >= total * 8, s"natural layout should span ~16×total, got $nArea")
+  }
 }
