@@ -37,6 +37,13 @@ object GenScale {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("benchdata/sf1")
     val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: per-replica key shift. Scaling an ALREADY-SCALED
+    // dir needs a shift above ITS id range (e.g. sf10 → sf100 with
+    // shift=1e10 and 10 replicas — a 1000-way union from sf0.1 would also
+    // work but builds a thousand-child plan; two-level scaling keeps the
+    // union width ≤ 10 at every step). The default keeps the historical
+    // single-level behavior.
+    val shift = args.lift(3).map(_.toLong).getOrElse(Shift)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -56,7 +63,7 @@ object GenScale {
              (mutate: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
       (0 until replicas).map { r =>
         val shifted = keys.foldLeft(df)((d, k) =>
-          d.withColumn(k, col(k) + lit(r * Shift)))
+          d.withColumn(k, col(k) + lit(r * shift)))
         mutate(shifted, r)
       }.reduce(_ unionByName _)
 
