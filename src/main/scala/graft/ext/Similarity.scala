@@ -299,6 +299,22 @@ object Similarity {
   /** [[pqTopK]] serving off a PERSISTED code table (`(neighbor_id, __code)`)
     * — the production shape: encode once per corpus snapshot, serve many
     * query batches off the 32×-smaller frame without re-encoding. */
+  /** Mean self-reconstruction cosine of `df`'s vectors under `codebooks`
+    * — each vector scored against its OWN PQ code (the ADC expression
+    * computes cosine(vector, reconstruction)). This is PQ's drift
+    * reference, the [[ivfAssignQuality]] analog: record it at codebook
+    * training time on a held-out calibration slice, re-measure on every
+    * appended delta, and feed both to [[IvfDrift]] — when a delta's
+    * reconstruction quality falls below build-time minus margin, the
+    * codebooks no longer span the data and append must give way to a
+    * retrain. One narrow pass, scalar out. */
+  def pqEncodeQuality(df: DataFrame, codebooks: Array[Array[Array[Double]]]): Double = {
+    import graft.functions.VectorExprs.{pqAdcCosine, pqEncode}
+    df.select(avg(pqAdcCosine(toDouble(col("embedding")),
+        pqEncode(toDouble(col("embedding")), codebooks), codebooks)).as("__q"))
+      .first().getDouble(0)
+  }
+
   def pqTopKFromCodes(queries: DataFrame, codes: DataFrame, corpus: DataFrame, k: Int,
                       codebooks: Array[Array[Array[Double]]], rerank: Int = 5): DataFrame = {
     import graft.functions.VectorExprs.pqAdcCosine

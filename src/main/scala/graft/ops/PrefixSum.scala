@@ -44,12 +44,24 @@ object PrefixSum {
     // a null bucket whose total inflates every real bucket's offset while
     // the row itself vanishes in the equi-join — exclude it explicitly
     val rows = df.filter(keys.map(k => col(k).isNotNull).reduce(_ && _))
-    val bounds = rows.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head()
-    if (bounds.isNullAt(0)) return rows.withColumn(out, lit(0L))
-    val lo = bounds.getLong(0)
-    val width = math.max(1L, (bounds.getLong(1) - lo) / buckets + 1)
-    // (key - lo)/width truncated = floor (non-negative); exact below 2^53
-    val bkt = ((col(key) - lit(lo)) / lit(width)).cast("long").cast("int")
+    // QUANTILE bucket boundaries, not equal-width: a concentrated key
+    // distribution (e.g. LM scores, where most of the corpus shares a
+    // narrow score band under a long outlier tail) puts nearly all rows
+    // into one equal-width bucket, and that bucket's window serializes —
+    // the sf100 curve caught exactly this (x74 at 26× for 10×). Any
+    // MONOTONE bucketing yields identical output (equal keys share a
+    // bucket, bucket order = key order), so the approximate quantile
+    // sketch's placement jitter is load-balancing detail, never a
+    // correctness input. The double cast is monotone too — precision loss
+    // can only merge adjacent buckets.
+    val qs = rows.stat.approxQuantile(key,
+      (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+    if (qs.isEmpty) return rows.withColumn(out, lit(0L)) // no non-null rows
+    val boundaries = qs.distinct.sorted
+    val bkt =
+      if (boundaries.isEmpty) lit(0)
+      else graft.functions.ArrayExprs.lowerBoundCount(col(key).cast("double"),
+        typedLit(boundaries.toSeq))
     val withB = rows.withColumn("__bkt", bkt)
     val offsets = withB.groupBy("__bkt").agg(sum(col(value).cast("long")).as("__tot"))
       .withColumn("__off", coalesce(

@@ -49,8 +49,14 @@ object ExtQueries {
   private def ivfTable(d: String): String =
     "graft_ivf_" + java.lang.Integer.toHexString(d.hashCode)
   private def ivfIndex(s: SparkSession, d: String): Array[Array[Double]] =
-    ivfCentroids.computeIfAbsent(d,
-      _ => Similarity.buildIvfIndex(annCorpus(s, d), ivfTable(d), nlist = 16))
+    ivfCentroids.computeIfAbsent(d, { _ =>
+      // cells stay ~5000 vectors at every SF: a FIXED nlist makes the
+      // probed-cell scan grow linearly with the corpus (sf100 caught x18
+      // at 30× for 10×); nlist=16 up to sf1 preserves the recall-verifier
+      // (x52) regime at correctness SFs
+      val nlist = math.max(16L, math.min(1024L, annCorpus(s, d).count() / 5000)).toInt
+      Similarity.buildIvfIndex(annCorpus(s, d), ivfTable(d), nlist = nlist)
+    })
 
   /** Incremental-IVF artifacts per sf dir (see x56): the BASE index is
     * trained and written on 4/5 of the embeddings only; the delta (the
@@ -81,6 +87,37 @@ object ExtQueries {
       Similarity.appendToIvfIndex(delta, ivfaTable(d), centroids)
       val deltaQ = Similarity.ivfAssignQuality(delta, centroids)
       (centroids, Similarity.IvfDrift(refQ, deltaQ, margin = 0.05))
+    })
+
+  /** Incremental-PQ artifacts per sf dir (see x77): codebooks trained on
+    * 4/5 of the embeddings (minus a calibration slice — the drift
+    * reference, unseen at train time like every future delta); the BASE
+    * code table is written once, then the delta (the remaining fifth PLUS
+    * the planted query twins) is encoded with the SAME codebooks and
+    * appended as NEW FILES beside the base (object-store safe). PQ's
+    * append path is pure encode — codes are per-vector, so maintenance is
+    * one narrow pass with no re-training and no base re-scan; the drift
+    * check (reconstruction quality of the delta vs build-time) is the
+    * retrain trigger. Built once per JVM; x77 benches the serve. */
+  private val pqaState = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Array[Double]]], String, Similarity.IvfDrift)]()
+  private def pqaArtifacts(s: SparkSession, d: String)
+      : (Array[Array[Array[Double]]], String, Similarity.IvfDrift) =
+    pqaState.computeIfAbsent(d, { _ =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+        .unionByName(emb.filter(col("vec_id") < 10)
+          .withColumn("vec_id", col("vec_id") + 100000L))
+      val calib = base.filter(col("vec_id") % 7 === 1)
+      val cb = Similarity.pqTrain(base.filter(col("vec_id") % 7 =!= 1),
+        m = 16, ksub = 16, iters = 4)
+      val dir = java.nio.file.Files.createTempDirectory("graft_pqa").toString
+      Similarity.pqEncodeDf(base, cb).write.parquet(s"$dir/codes/base")
+      val refQ = Similarity.pqEncodeQuality(calib, cb)
+      Similarity.pqEncodeDf(delta, cb).write.parquet(s"$dir/codes/delta")
+      val deltaQ = Similarity.pqEncodeQuality(delta, cb)
+      (cb, s"$dir/codes", Similarity.IvfDrift(refQ, deltaQ, margin = 0.05))
     })
 
   /** documents ∪ exact duplicates (ids shifted by 1e6) — exercises dedup. */
@@ -2792,6 +2829,55 @@ object ExtQueries {
              |       CAST(min(b) AS BIGINT) AS min_b, CAST(max(b) AS BIGINT) AS max_b
              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Incremental PQ maintenance — the x56 story for the compressed index:
+    // append new vectors by ENCODING them with the existing codebooks (one
+    // narrow pass; no retrain, no base re-scan) and laying their codes as
+    // new files beside the base table. Serve = the x41 ADC scan + exact
+    // rerank over base ∪ delta; planted twins (all in the delta) must
+    // surface as top-1. The drift check that says when append must give
+    // way to retrain is pinned in the x78 verifier.
+    QuerySpec("x77_pq_append",
+      (s, d) => {
+        val q = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        val (cb, codesDir, _) = pqaArtifacts(s, d)
+        val codes = s.read.option("recursiveFileLookup", "true").parquet(codesDir)
+        Similarity.pqTopKFromCodes(q, codes, annCorpus(s, d), 5, cb)
+          .filter(col("rk") === 1)
+          .select(col("query_id"), col("neighbor_id").as("top1_neighbor_id"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, vec_id + 100000 AS top1_neighbor_id
+             |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin)),
+
+    // x77's VERIFIER (bench-excluded, x60 pattern): appended-PQ top-5 must
+    // overlap the exact brute force over base ∪ delta by ≥ 40/50 (bounds
+    // the recall cost of serving appended data from codebooks that never
+    // saw it), and the drift check must report the same-distribution delta
+    // as NOT needing a retrain (mean self-reconstruction cosine within
+    // margin of the held-out calibration slice's build-time value).
+    QuerySpec("x78_pq_append_verify",
+      (s, d) => {
+        val q = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        val (cb, codesDir, drift) = pqaArtifacts(s, d)
+        val codes = s.read.option("recursiveFileLookup", "true").parquet(codesDir)
+        val pq = Similarity.pqTopKFromCodes(q, codes, annCorpus(s, d), 5, cb)
+        val bf = Similarity.bruteForceTopK(q, annCorpus(s, d), 5)
+        val totalOverlap = pq.select("query_id", "neighbor_id")
+          .join(bf.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("__n"))
+        pq.filter(col("rk") === 1)
+          .select(col("query_id"), col("neighbor_id").as("top1_neighbor_id"))
+          .crossJoin(totalOverlap)
+          .select(col("query_id"), col("top1_neighbor_id"),
+            (col("__n") >= 40).cast("long").as("recall_ok"),
+            lit(!drift.shouldRetrain).cast("long").as("drift_ok"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, vec_id + 100000 AS top1_neighbor_id,
+             |       CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS drift_ok
+             |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin)),
+
     // Streaming DSIR quality gate: the x64 model trained ONCE into a
     // parquet weight artifact, then three micro-batches scored against it
     // at ingest — including planted docs carrying an out-of-vocabulary
@@ -2871,7 +2957,10 @@ object ExtQueries {
   private def x63Centroids(s: SparkSession, d: String): Array[Array[Double]] =
     x63State.computeIfAbsent(d, { _ =>
       val emb = Tables.embeddings(s, d)
-      val nlist = math.max(16L, math.min(1024L, emb.count() / 500)).toInt
+      // cap high enough that cells stay ~500 vectors through sf100 (2M
+      // vectors → 4000 cells); the old 1024 cap re-grew cells linearly
+      // past sf10 and the sf100 curve caught the quadratic creep at 52×
+      val nlist = math.max(16L, math.min(16384L, emb.count() / 500)).toInt
       Similarity.kmeansCentroids(emb, nlist)
     })
 

@@ -38,7 +38,8 @@ object Registry {
       // paths plus a brute-force top-k purely to pin recall — the benched
       // entries time the persisted-index serve alone, the thing that runs
       // at 100 TB
-      "x52_ann_ivf_verify", "x53_pq_ann_verify", "x60_ann_ivf_append_verify")
+      "x52_ann_ivf_verify", "x53_pq_ann_verify", "x60_ann_ivf_append_verify",
+      "x78_pq_append_verify")
   val pipelineReplays: Set[String] =
     Set("st04_taxi_job", "q29_vendor_flags", "q30_payment_analysis", "q31_pickup_locations")
   val benchExcluded: Set[String] = quadraticVerifiers ++ pipelineReplays

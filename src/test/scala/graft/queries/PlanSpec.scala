@@ -194,6 +194,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"shingle agg must map-side combine:\n$p")
   }
 
+  test("x73: PDF decode is a narrow map — no shuffle but the presentation sort") {
+    val p = plan("x73_pdf_extract")
+    assert(!p.contains("Join"), s"per-row PDF decode must not join:\n$p")
+    assert(exchanges(p) <= 1, s"only the orderBy range exchange is allowed:\n$p")
+    assert(!p.contains("n_chars"), s"documents scan must prune unreferenced columns:\n$p")
+  }
+
+  test("x75: Dolma ingest is one container groupBy + narrow decode, no joins") {
+    val p = plan("x75_dolma_ingest")
+    assert(!p.contains("Join"), s"container build/parse must not join:\n$p")
+    // container groupBy + presentation sort; partial aggregation on the
+    // map side keeps the container shuffle at one pass
+    assert(exchanges(p) <= 2, s"container groupBy + orderBy only:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("x76: z-order cells are one partial-agg shuffle of pure arithmetic") {
+    val p = plan("x76_zorder_layout")
+    assert(!p.contains("Join"), s"z-value math must not join:\n$p")
+    assert(exchanges(p) <= 2, s"cell groupBy + orderBy only:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial aggregation:\n$p")
+    // the interleave is column arithmetic (codegen-able), never a UDF
+    // (AQE prints isFinalPlan=false here, so WholeStageCodegen spans are
+    // not visible in the string — absence of eval nodes is the pin)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   test("x19: no single-partition window ever runs over the document rows") {
     val p = plan("x19_seq_pack")
     // the per-row cumsum must be partitioned by bucket; the only
