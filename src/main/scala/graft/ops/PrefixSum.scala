@@ -54,10 +54,14 @@ object PrefixSum {
     // sketch's placement jitter is load-balancing detail, never a
     // correctness input. The double cast is monotone too — precision loss
     // can only merge adjacent buckets.
-    val qs = rows.stat.approxQuantile(key,
-      (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-    if (qs.isEmpty) return rows.withColumn(out, lit(0L)) // no non-null rows
-    val boundaries = qs.distinct.sorted
+    // buckets=1 means one interior boundary list of length zero — and an
+    // empty input yields an empty sketch; both are "single bucket", NOT a
+    // reason to zero anything (approxQuantile NPEs on an empty probability
+    // array and returns an empty result on an empty frame)
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val boundaries =
+      if (probs.isEmpty) Array.empty[Double]
+      else rows.stat.approxQuantile(key, probs, 0.001).distinct.sorted
     val bkt =
       if (boundaries.isEmpty) lit(0)
       else graft.functions.ArrayExprs.lowerBoundCount(col(key).cast("double"),
