@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text retrieval over a document corpus — the standard ranking
+  * function for corpus exploration, seed-query curation ("find documents
+  * like these instructions"), and contamination triage in a training-data
+  * pipeline. The reference has no text operators; this extends the
+  * north-star search surface next to [[Tfidf]] (relevance weights) and the
+  * ANN family in [[Similarity]] (dense retrieval) with the sparse/lexical
+  * retrieval path.
+  *
+  * Scale shape, build: the inverted index is three aggregations over one
+  * exploded term stream — (id, term) term frequencies (map-side combined),
+  * per-document lengths, per-term document frequencies derived from the TF
+  * table (already one row per (id, term), so DF is exact without a
+  * distinct) — joined back into a denormalized postings table
+  * `(term, df, id, tf, dl)`. Written partition-pruned by term prefix or
+  * bucketed by term, the index is a build-once artifact (same posture as
+  * the IVF/PQ indexes); corpus-level stats ride along as ONE summary row
+  * derivable from the index itself, so serve needs no side artifact.
+  *
+  * Scale shape, serve: query terms are a tiny frame — the candidate fetch
+  * is postings ⋈ broadcast(query terms) on `term` (at 100 TB: a pruned
+  * read of only the matched term partitions, never a corpus scan), one
+  * partial-aggregated per-(query, doc) sum, and a bounded-heap top-k
+  * ([[graft.functions.TopKAgg]]) — no window over the full match set, no
+  * driver-side scoring.
+  *
+  * Determinism: per-(term, doc) contributions are computed in IEEE double
+  * with a FIXED expression shape (idf × saturated-tf, Lucene's +1-inside-
+  * the-log idf so scores stay positive), then pinned to exact integer
+  * micro-units via `round(× 1e6)` before the order-dependent aggregation —
+  * the per-doc score is an exact long sum of longs (the [[LmScore]]
+  * micro-nat convention), so ranking and cross-engine hashes are stable.
+  */
+object Bm25 {
+
+  /** Tokenization shared with [[Tfidf]]: whitespace-class split of the
+    * lowercased text, empty terms dropped. DuckDB replay:
+    * `unnest(string_split_regex(lower(text), '\s+')) ... WHERE term <> ''`. */
+  private def termStream(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("id"), explode(split(lower(text), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+
+  /** Build the denormalized postings index `(term, df, id, tf, dl)` — one
+    * row per (term, document) pair carrying everything serve needs except
+    * the corpus constants (which [[corpusStats]] derives from this table).
+    */
+  def index(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val terms = termStream(docs, id, text)
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy("id").agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dl, "id").join(dfreq, "term")
+      .select(col("term"), col("df"), col("id"), col("tf"), col("dl"))
+  }
+
+  /** One-row corpus stats from the index itself: `__n` = number of indexed
+    * documents (≥1 term), `__s` = total token mass Σ dl. Self-contained —
+    * a persisted index needs no sidecar file. One row per doc is the
+    * (id, dl) pair; `dl` is constant per id so max() is exact. */
+  def corpusStats(postings: DataFrame): DataFrame =
+    postings.groupBy("id").agg(max(col("dl")).as("__dl"))
+      .agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__s"))
+
+  /** Exact-integer micro-unit BM25 contribution of one posting row given
+    * corpus stats columns `__n`/`__s`. The expression SHAPE (literal
+    * constants, association order) is part of the contract — the DuckDB
+    * oracle replays it verbatim, and IEEE determinism makes the rounded
+    * micro-units identical across engines. */
+  def scoreMicro(k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0) +
+      (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val sat = (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * col("dl") * col("__n") / col("__s")))
+    round(idf * sat * 1e6, 0).cast("long")
+  }
+
+  /** Serve top-k per query: `(qid, rk, id, score_micro)`, rk 1-based by
+    * (score desc, id asc). `queries` is a small frame of (qid, qtext);
+    * its distinct terms broadcast into the postings join. Repeated terms
+    * in a query are deduplicated (standard bag-of-words-with-binary-query
+    * BM25 — query-side tf weighting is a knob real engines also default
+    * off for short queries). */
+  def search(postings: DataFrame, queries: DataFrame, qid: Column, qtext: Column,
+             k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val qterms = queries
+      .select(qid.as("qid"),
+        explode(array_distinct(split(lower(qtext), "\\s+"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val matched = postings.join(broadcast(qterms), "term")
+      .crossJoin(broadcast(corpusStats(postings)))
+      .withColumn("__sc", scoreMicro(k1, b))
+      .groupBy("qid", "id")
+      .agg(sum(col("__sc")).as("score_micro"))
+    graft.functions.TopKAgg.rankTopK(matched,
+        group = col("qid"), score = col("score_micro"), id = col("id"), k = topK)
+      // the heap buffers scores as double — exact for micro-unit longs
+      // below 2^53; surface the contract type again
+      .select(col("group").as("qid"), col("rk"), col("id"),
+        col("score").cast("long").as("score_micro"))
+  }
+}
