@@ -166,4 +166,70 @@ object Curation {
       if (persistItems) items.unpersist(blocking = false)
     }
   }
+
+  /** Token-budget EPOCH mixing — the other half of data mixing: when a
+    * source's target share exceeds what it holds, the standard move is to
+    * repeat (epoch) it up to a cap rather than silently under-deliver
+    * (LLaMA-style up-weighting of small high-quality sources). Exact
+    * integer semantics end to end:
+    *
+    *   desired_s  = ppm_s × budget div 10⁶
+    *   efull_s    = min(desired_s div avail_s, maxEpochs)
+    *   rem_s      = desired_s − efull_s × avail_s   (0 when the cap binds)
+    *
+    * Each source emits `efull` full copies (epoch 1..efull) plus one
+    * PARTIAL epoch: docs in deterministic md5 order — (hashBucket16(id),
+    * id) — are included while they fit under `rem` without overshooting
+    * (exclusive-prefix + tokens ≤ rem), so reruns cut at the identical doc
+    * boundary. Sources absent from `weightsPpm` contribute nothing.
+    *
+    * Scale shape: one grouped sum for availability, a broadcast per-source
+    * plan, and the partial-epoch cut as a TWO-PHASE per-source prefix sum
+    * — per-(source, bucket16) totals, per-source offsets over a ≤65536-row
+    * frame, then within-bucket windows — never a whole source's rows
+    * through one window task. Full epochs are an `explode(sequence)` over
+    * the epoch count: no data is copied until a sink materializes it.
+    *
+    * `budget` is a ONE-ROW frame with a long `__budget` column (derive it
+    * in-plan, e.g. 3 × corpus tokens) so the whole mix stays a composed
+    * declarative plan. Returns (source, epoch, id, tokens). */
+  def epochMix(df: DataFrame, source: Column, id: Column, tokens: Column,
+               weightsPpm: Map[String, Long], budget: DataFrame,
+               maxEpochs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxEpochs >= 1, s"maxEpochs >= 1, got $maxEpochs")
+    require(weightsPpm.values.forall(w => w >= 0L && w <= 1000000L),
+      "weights are parts-per-million in [0, 1e6]")
+    val base = df.select(source.cast("string").as("source"), id.as("id"),
+      tokens.cast("long").as("tokens"),
+      TextAnalysis.hashBucket16(id).as("__b"))
+    val ppm = weightsPpm.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (g, w)) => when(col("source") === lit(g), lit(w)).otherwise(acc)
+    }
+    val plan = base.groupBy("source").agg(sum(col("tokens")).as("__a"))
+      .crossJoin(broadcast(budget))
+      .withColumn("__ppm", ppm)
+      .withColumn("__d", expr("(__ppm * __budget) div 1000000"))
+      .withColumn("__efull", least(expr("__d div __a"), lit(maxEpochs.toLong)))
+      .withColumn("__rem", when(col("__efull") < maxEpochs,
+        col("__d") - col("__efull") * col("__a")).otherwise(lit(0L)))
+      .select("source", "__efull", "__rem")
+    val joined = base.join(broadcast(plan), "source")
+    val full = joined.filter(col("__efull") >= 1L)
+      .select(col("source"), explode(sequence(lit(1L), col("__efull"))).as("epoch"),
+        col("id"), col("tokens"))
+    val cand = joined.filter(col("__rem") > 0L)
+    val off = cand.groupBy("source", "__b").agg(sum(col("tokens")).as("__bt"))
+      .withColumn("__off", coalesce(
+        sum(col("__bt")).over(Window.partitionBy("source").orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "__b", "__off")
+    val local = Window.partitionBy("source", "__b").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val partial = cand.join(off, Seq("source", "__b"))
+      .withColumn("__pre", coalesce(sum(col("tokens")).over(local), lit(0L)) + col("__off"))
+      .filter(col("__pre") + col("tokens") <= col("__rem"))
+      .select(col("source"), (col("__efull") + 1L).as("epoch"), col("id"), col("tokens"))
+    full.unionByName(partial)
+  }
 }

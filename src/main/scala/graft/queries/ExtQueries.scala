@@ -3043,7 +3043,56 @@ object ExtQueries {
              |FROM (VALUES (0,23,104681),(1,29,177763),(2,29,103873),(3,25,95688),
              |             (4,28,351723),(5,38,53548),(6,11,82054),(7,1,97),(8,0,0),
              |             (9,25,171930),(10,16,68207),(11,29,442620)) AS t(fid, n, ids)
-             |ORDER BY fid""".stripMargin))
+             |ORDER BY fid""".stripMargin)),
+
+    // Token-budget epoch mixing: budget = 3× the corpus token mass,
+    // weights chosen so the cap binds (src0/src1), full+partial epochs mix
+    // (src4/src5), and a sub-availability source emits a partial epoch
+    // only (src6). The oracle replays the exact integer plan (ppm×budget
+    // div 1e6, epoch cap, md5-order prefix cut) and the per-(source,
+    // epoch) doc/token totals pin both the copies and the cut boundary.
+    QuerySpec("x82_epoch_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val budget = docs.agg((sum(col("n_chars")) * 3).cast("long").as("__budget"))
+        Curation.epochMix(docs, col("source"), col("doc_id"), col("n_chars"),
+            Map("src0" -> 400000L, "src1" -> 250000L, "src4" -> 50000L,
+              "src5" -> 20000L, "src6" -> 8000L),
+            budget, maxEpochs = 4)
+          .groupBy("source", "epoch")
+          .agg(n.as("n_docs"), sum(col("tokens")).as("tokens_emitted"))
+          .orderBy("source", "epoch")
+      },
+      Some("""WITH base AS (SELECT source, doc_id AS id, n_chars AS tokens,
+             |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS b
+             |       FROM documents WHERE text IS NOT NULL),
+             |bud AS (SELECT 3 * sum(tokens) AS budget FROM base),
+             |w AS (SELECT * FROM (VALUES ('src0', 400000), ('src1', 250000),
+             |                            ('src4', 50000), ('src5', 20000),
+             |                            ('src6', 8000)) AS w(source, ppm)),
+             |plan AS (SELECT a.source, a.a,
+             |           least((w.ppm * bud.budget) // 1000000 // a.a, 4) AS efull,
+             |           CASE WHEN (w.ppm * bud.budget) // 1000000 // a.a < 4
+             |                THEN (w.ppm * bud.budget) // 1000000
+             |                     - ((w.ppm * bud.budget) // 1000000 // a.a) * a.a
+             |                ELSE 0 END AS rem
+             |         FROM (SELECT source, sum(tokens) AS a FROM base GROUP BY 1) a
+             |         JOIN w USING (source), bud),
+             |full_e AS (SELECT base.source,
+             |             unnest(generate_series(1, CAST(efull AS BIGINT))) AS epoch,
+             |             id, tokens
+             |           FROM base JOIN plan USING (source) WHERE efull >= 1),
+             |part AS (SELECT base.source, id, tokens, efull, rem,
+             |           coalesce(sum(tokens) OVER (PARTITION BY base.source
+             |             ORDER BY b, id ROWS BETWEEN UNBOUNDED PRECEDING
+             |             AND 1 PRECEDING), 0) AS pre
+             |         FROM base JOIN plan USING (source) WHERE rem > 0),
+             |partial AS (SELECT source, efull + 1 AS epoch, id, tokens
+             |            FROM part WHERE pre + tokens <= rem),
+             |unioned AS (SELECT * FROM full_e UNION ALL SELECT * FROM partial)
+             |SELECT source, CAST(epoch AS BIGINT) AS epoch,
+             |       count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tokens_emitted
+             |FROM unioned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** x63's dedup quantizer: cell count grows with the corpus so cells

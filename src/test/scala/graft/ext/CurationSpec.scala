@@ -133,4 +133,54 @@ class CurationSpec extends SparkSpec {
     // flattening actually happened: en's share dropped toward fr's
     assert(once("en").toDouble / (once("en") + once("fr")) < 800.0 / 850.0)
   }
+
+  // ---- epochMix --------------------------------------------------------
+
+  private def mixDocs = (1L to 40L).map { i =>
+    (if (i <= 20) "big" else if (i <= 30) "small" else "tiny", i, 10L)
+  }.toDF("src", "id", "tok") // big: 200 tokens, small: 100, tiny: 100
+
+  private def budgetOf(n: Long) = Seq(n).toDF("__budget")
+
+  test("epochMix: cap binds, full+partial mixes, sub-availability emits partial only") {
+    // budget 1000: big 50% → 500 → 2 full epochs + rem 100; small 30% →
+    // 300 → 3 full epochs (cap 3 binds exactly, rem 0); tiny 5% → 50 <
+    // 100 avail → partial only
+    val out = Curation.epochMix(mixDocs, col("src"), col("id"), col("tok"),
+      Map("big" -> 500000L, "small" -> 300000L, "tiny" -> 50000L),
+      budgetOf(1000L), maxEpochs = 3)
+    val agg = out.groupBy("source", "epoch")
+      .agg(count(lit(1)).as("nd"), sum("tokens").as("tt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(agg(("big", 1L)) === ((20L, 200L)) && agg(("big", 2L)) === ((20L, 200L)))
+    assert(agg(("big", 3L)) === ((10L, 100L)))   // partial cut exactly at 100
+    assert(agg(("small", 1L)) === ((10L, 100L)) && agg(("small", 3L)) === ((10L, 100L)))
+    assert(!agg.contains(("small", 4L)))          // cap bound: no partial
+    assert(agg(("tiny", 1L)) === ((5L, 50L)))     // partial-only source
+    assert(!agg.contains(("tiny", 2L)))
+  }
+
+  test("epochMix: partial epoch never overshoots rem and reruns are identical") {
+    val docs = (1L to 50L).map(i => ("s", i, i % 7 + 1)).toDF("src", "id", "tok")
+    val run = () => Curation.epochMix(docs, col("src"), col("id"), col("tok"),
+      Map("s" -> 1000000L), budgetOf(300L), maxEpochs = 5)
+    val a = run().collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val b = run().collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+    val avail = docs.agg(sum("tok")).head.getLong(0)
+    val rem = 300L - (300L / avail) * avail
+    val partialTokens = run().filter(col("epoch") === 300L / avail + 1)
+      .agg(coalesce(sum("tokens"), lit(0L))).head.getLong(0)
+    assert(partialTokens <= rem)
+  }
+
+  test("epochMix: unweighted sources emit nothing; weights validated") {
+    val out = Curation.epochMix(mixDocs, col("src"), col("id"), col("tok"),
+      Map("big" -> 100000L), budgetOf(1000L), maxEpochs = 2)
+    assert(out.select("source").distinct().collect().map(_.getString(0)).toSeq === Seq("big"))
+    intercept[IllegalArgumentException] {
+      Curation.epochMix(mixDocs, col("src"), col("id"), col("tok"),
+        Map("big" -> 2000000L), budgetOf(10L), maxEpochs = 1)
+    }
+  }
 }
