@@ -1,0 +1,276 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Versioned snapshot manifest over parquet data files — the dataset-
+  * versioning layer a continuous training-data pipeline needs ("which
+  * exact corpus trained run 47?", "diff yesterday's curation against
+  * today's", "roll back the bad ingest"): a transaction-log shape
+  * (commit files + checkpoints) reduced to the operations this engine
+  * uses, built on the same object-store discipline as the incremental
+  * tracker ([[graft.incremental.Incremental]]).
+  *
+  * Layout under a table root:
+  * {{{
+  *   <table>/data/<writer-chosen dirs>/part-*.parquet   data, written FIRST
+  *   <table>/_manifest/v0000000001.json                 one commit = one file
+  *   <table>/_manifest/c0000000007.json                 checkpoint of the live set
+  * }}}
+  *
+  * Safety properties:
+  *  - A commit is ONE atomic object PUT of a version-named file created
+  *    with overwrite=false — two writers racing to the same version lose
+  *    deterministically ([[ConcurrentCommitException]]; the loser re-reads
+  *    state and retries with the next version). On HDFS/local, create-
+  *    exclusive is atomic; on S3 this maps to a conditional PUT
+  *    (If-None-Match), the same primitive current table formats use.
+  *  - Data files are written BEFORE the commit that references them: a
+  *    crash between the two leaves unreferenced garbage (reclaimed by
+  *    [[vacuum]]), never a manifest pointing at missing data.
+  *  - Nothing live is ever renamed or deleted: commits and checkpoints are
+  *    create-once objects; [[vacuum]] touches only files no version
+  *    references.
+  *  - Readers of a version see an immutable file set forever (time
+  *    travel); version resolution replays the checkpoint + commit tail,
+  *    so read cost is O(commits since last checkpoint), not O(history).
+  *
+  * Driver state is metadata-sized throughout: the live set is a path list
+  * (the same order as a transaction log's file inventory), never data.
+  */
+object Snapshots {
+
+  final case class ConcurrentCommitException(table: String, version: Long)
+      extends RuntimeException(
+        s"version $version of $table was committed concurrently; re-read and retry")
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(table: String) = s"$table/_manifest"
+  private val CommitFile = """v(\d{10})\.json""".r
+  private val CheckpointFile = """c(\d{10})\.json""".r
+
+  /** JSON string escape (the manifest is line-oriented JSON; paths may
+    * contain quotes/backslashes/control chars). */
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Minimal JSON-line field extraction for our own two-field records —
+    * no external parser dependency; handles the escapes [[jq]] emits. */
+  private def junq(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' =>
+          i += 1
+          s.charAt(i) match {
+            case 'u' => sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar); i += 4
+            case c   => sb.append(c)
+          }
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def parseLine(line: String): Option[(String, String)] = {
+    // {"a":"add","p":"<escaped>"}
+    val t = line.trim
+    if (t.isEmpty) None
+    else {
+      val a = t.indexOf("\"a\":\"")
+      val p = t.indexOf("\"p\":\"")
+      if (a < 0 || p < 0) None
+      else {
+        val action = t.substring(a + 5, t.indexOf('"', a + 5))
+        val rest = t.substring(p + 5)
+        // path value ends at the first UNESCAPED quote
+        var i = 0
+        var end = -1
+        while (end < 0 && i < rest.length) {
+          rest.charAt(i) match {
+            case '\\' => i += 2
+            case '"'  => end = i
+            case _    => i += 1
+          }
+        }
+        Some((action, junq(rest.substring(0, end))))
+      }
+    }
+  }
+
+  private def readLines(f: FileSystem, p: Path): Seq[String] = {
+    val in = f.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      StandardCharsets.UTF_8).split('\n').toSeq
+    finally in.close()
+  }
+
+  private def writeExclusive(f: FileSystem, p: Path, lines: Seq[String]): Boolean = {
+    val out =
+      try f.create(p, false)
+      catch { case _: java.io.IOException => return false }
+    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    true
+  }
+
+  /** All committed versions, ascending (version 0 = the empty table,
+    * implicit). */
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val f = fs(spark, table)
+    val dir = new Path(manifestDir(table))
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+      case CommitFile(v) => Some(v.toLong)
+      case _             => None
+    }).sorted
+  }
+
+  def currentVersion(spark: SparkSession, table: String): Long =
+    versions(spark, table).lastOption.getOrElse(0L)
+
+  /** Append one commit: `adds`/`removes` are data-file paths (absolute or
+    * table-relative — they are opaque to the manifest). Returns the new
+    * version. `baseVersion` is the optimistic-concurrency token: pass the
+    * version the writer RESOLVED ITS READS AT and the commit lands as
+    * base+1 or throws [[ConcurrentCommitException]] if any other writer
+    * got there first (re-read, re-derive, retry). Omitted, the base is
+    * re-resolved at commit time — last-writer-wins append, safe only for
+    * add-only writers. */
+  def commit(spark: SparkSession, table: String,
+             adds: Seq[String], removes: Seq[String] = Nil,
+             baseVersion: Option[Long] = None): Long = {
+    val f = fs(spark, table)
+    f.mkdirs(new Path(manifestDir(table)))
+    val next = baseVersion.getOrElse(currentVersion(spark, table)) + 1
+    val lines =
+      adds.map(p => s"""{"a":"add","p":${jq(p)}}""") ++
+        removes.map(p => s"""{"a":"remove","p":${jq(p)}}""")
+    val path = new Path(f"${manifestDir(table)}/v$next%010d.json")
+    if (!writeExclusive(f, path, lines)) throw ConcurrentCommitException(table, next)
+    next
+  }
+
+  /** Write `df` as a new data directory under the table and commit it as
+    * one transaction (add-only). Returns the new version. */
+  def commitAppend(df: DataFrame, table: String): Long = {
+    val spark = df.sparkSession
+    val dir = s"$table/data/${java.util.UUID.randomUUID().toString}"
+    df.write.parquet(dir)
+    val f = fs(spark, table)
+    val parts = f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+    commit(spark, table, adds = parts)
+  }
+
+  /** The live data-file set at `version` (default: current): start from
+    * the newest checkpoint ≤ version, replay the commit tail. */
+  def liveFiles(spark: SparkSession, table: String,
+                version: Option[Long] = None): Seq[String] = {
+    val f = fs(spark, table)
+    val dir = new Path(manifestDir(table))
+    val v = version.getOrElse(currentVersion(spark, table))
+    if (!f.exists(dir)) return Seq.empty
+    val names = f.listStatus(dir).toSeq.map(_.getPath.getName)
+    val ckpt = names.flatMap {
+      case CheckpointFile(c) if c.toLong <= v => Some(c.toLong)
+      case _ => None
+    }.sorted.lastOption
+    val known = names.flatMap { case CommitFile(c) => Some(c.toLong); case _ => None }.toSet
+    require(v == 0 || known.contains(v) || ckpt.contains(v),
+      s"version $v of $table does not exist")
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    ckpt.foreach { c =>
+      readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
+        .flatMap(parseLine).foreach { case (_, p) => live += p }
+    }
+    val from = ckpt.getOrElse(0L) + 1
+    (from to v).filter(known).foreach { c =>
+      readLines(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))
+        .flatMap(parseLine).foreach {
+          case ("add", p)    => live += p
+          case ("remove", p) => live -= p
+          case _             =>
+        }
+    }
+    live.toSeq
+  }
+
+  /** Time-travel read: the table as of `version` (default current). An
+    * empty live set needs `schema` to produce a typed empty frame. */
+  def readAt(spark: SparkSession, table: String, version: Option[Long] = None,
+             schema: Option[StructType] = None): DataFrame = {
+    val files = liveFiles(spark, table, version)
+    if (files.isEmpty) {
+      val sc = schema.getOrElse(throw new IllegalArgumentException(
+        s"version ${version.getOrElse(0L)} of $table is empty; pass a schema"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+    } else {
+      val r = schema.map(spark.read.schema).getOrElse(spark.read)
+      r.parquet(files: _*)
+    }
+  }
+
+  /** File-level diff between two versions: (path, change ∈ added|removed),
+    * ordered. */
+  def diff(spark: SparkSession, table: String, v1: Long, v2: Long): DataFrame = {
+    import spark.implicits._
+    val a = liveFiles(spark, table, Some(v1)).toSet
+    val b = liveFiles(spark, table, Some(v2)).toSet
+    ((b -- a).toSeq.sorted.map(p => (p, "added")) ++
+      (a -- b).toSeq.sorted.map(p => (p, "removed")))
+      .toDF("path", "change")
+  }
+
+  /** Write a checkpoint of the live set at the current version — readers
+    * then replay only the tail. Create-once like commits; checkpointing
+    * an already-checkpointed version is a no-op. */
+  def checkpoint(spark: SparkSession, table: String): Long = {
+    val v = currentVersion(spark, table)
+    if (v == 0) return 0
+    val lines = liveFiles(spark, table, Some(v))
+      .map(p => s"""{"a":"add","p":${jq(p)}}""")
+    writeExclusive(fs(spark, table), new Path(f"${manifestDir(table)}/c$v%010d.json"), lines)
+    v
+  }
+
+  /** Delete data files under `<table>/data` that NO committed version
+    * references (garbage from writers that crashed before their commit).
+    * Never touches referenced files — time travel to any version keeps
+    * working. Returns the deleted paths. */
+  def vacuum(spark: SparkSession, table: String): Seq[String] = {
+    val f = fs(spark, table)
+    val dataDir = new Path(s"$table/data")
+    if (!f.exists(dataDir)) return Seq.empty
+    val referenced = scala.collection.mutable.HashSet.empty[String]
+    versions(spark, table).foreach { v =>
+      readLines(f, new Path(f"${manifestDir(table)}/v$v%010d.json"))
+        .flatMap(parseLine).foreach { case (_, p) => referenced += p }
+    }
+    val it = f.listFiles(dataDir, true)
+    val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      val p = s.getPath.toString
+      val name = s.getPath.getName
+      // in-flight Spark temp output is the writer's business, not garbage
+      if (s.isFile && !p.contains("_temporary") && !name.startsWith(".") &&
+          !name.startsWith("_") && !referenced.contains(p))
+        orphans += p
+    }
+    orphans.foreach(p => f.delete(new Path(p), false))
+    orphans.toSeq
+  }
+}

@@ -3092,7 +3092,40 @@ object ExtQueries {
              |unioned AS (SELECT * FROM full_e UNION ALL SELECT * FROM partial)
              |SELECT source, CAST(epoch AS BIGINT) AS epoch,
              |       count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS tokens_emitted
-             |FROM unioned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM unioned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Snapshot manifest / time travel: three commits staged once per JVM
+    // (append ⅓ of documents, append another ⅓, then a REMOVE commit
+    // dropping v1's files) plus a checkpoint — then every version is
+    // resolved and aggregated through the manifest. The oracle replays the
+    // version algebra directly on the source table: v1 = slice A,
+    // v2 = A ∪ B, v3 = B (remove really un-references A; time travel to
+    // v1/v2 still sees it).
+    QuerySpec("x83_snapshot_timetravel",
+      (s, d) => {
+        import graft.io.Snapshots
+        val t = Staging.dir("snap", d) { tmp =>
+          val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+          val tbl = s"$tmp/tbl"
+          Snapshots.commitAppend(docs.filter(col("doc_id") % 3 === 0), tbl)
+          Snapshots.commitAppend(docs.filter(col("doc_id") % 3 === 1), tbl)
+          Snapshots.commit(s, tbl, adds = Nil,
+            removes = Snapshots.liveFiles(s, tbl, Some(1)))
+          Snapshots.checkpoint(s, tbl)
+        } + "/tbl"
+        def at(v: Long) = Snapshots.readAt(s, t, Some(v))
+          .agg(n.as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          .select(lit(v).as("version"), col("n_docs"), col("sum_chars"))
+        at(1).unionByName(at(2)).unionByName(at(3)).orderBy("version")
+      },
+      Some("""WITH s AS (SELECT doc_id % 3 AS sl, n_chars FROM documents)
+             |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM s WHERE sl = 0
+             |UNION ALL
+             |SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT) FROM s WHERE sl IN (0, 1)
+             |UNION ALL
+             |SELECT 3, count(*), CAST(sum(n_chars) AS BIGINT) FROM s WHERE sl = 1
+             |ORDER BY version""".stripMargin))
   )
 
   /** x63's dedup quantizer: cell count grows with the corpus so cells

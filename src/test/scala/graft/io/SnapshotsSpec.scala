@@ -1,0 +1,104 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_snap").toString + "/tbl"
+
+  private def df(ids: Range) = ids.map(_.toLong).toDF("id")
+
+  test("commitAppend + readAt: versions accumulate and time travel is stable") {
+    val t = tmpTable()
+    assert(Snapshots.currentVersion(spark, t) === 0L)
+    val v1 = Snapshots.commitAppend(df(1 to 10), t)
+    val v2 = Snapshots.commitAppend(df(11 to 15), t)
+    assert((v1, v2) === ((1L, 2L)))
+    assert(Snapshots.readAt(spark, t, Some(1)).count() === 10)
+    assert(Snapshots.readAt(spark, t).count() === 15)
+    // a later commit must not disturb an already-resolved old version
+    Snapshots.commitAppend(df(16 to 16), t)
+    assert(Snapshots.readAt(spark, t, Some(1)).count() === 10)
+    assert(Snapshots.readAt(spark, t, Some(2)).count() === 15)
+    assert(Snapshots.readAt(spark, t).count() === 16)
+  }
+
+  test("remove commits drop files; diff reports file-level changes") {
+    val t = tmpTable()
+    Snapshots.commitAppend(df(1 to 10), t)
+    Snapshots.commitAppend(df(11 to 15), t)
+    val v1Files = Snapshots.liveFiles(spark, t, Some(1))
+    val v3 = Snapshots.commit(spark, t, adds = Nil, removes = v1Files)
+    assert(v3 === 3L)
+    assert(Snapshots.readAt(spark, t).as[Long].collect().toSet === (11L to 15L).toSet)
+    val d = Snapshots.diff(spark, t, 1, 3).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(d.count(_._2 == "removed") === v1Files.size)
+    assert(d.map(_._1).toSet.intersect(v1Files.toSet) === v1Files.toSet)
+    // reverse direction: v1's files come back as added, v2's leave
+    val d2 = Snapshots.diff(spark, t, 3, 1).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(d2.filter(_._2 == "added").map(_._1).toSet === v1Files.toSet)
+    assert(d2.count(_._2 == "removed") === Snapshots.liveFiles(spark, t, Some(3)).size)
+  }
+
+  test("losing a version race throws ConcurrentCommitException") {
+    val t = tmpTable()
+    Snapshots.commitAppend(df(1 to 3), t)
+    // both writers resolved their reads at v1; the second PUT must lose
+    val base = Snapshots.currentVersion(spark, t)
+    Snapshots.commit(spark, t, adds = Seq("x"), baseVersion = Some(base))
+    intercept[Snapshots.ConcurrentCommitException] {
+      Snapshots.commit(spark, t, adds = Seq("y"), baseVersion = Some(base))
+    }
+    // the loser re-resolves and retries cleanly
+    assert(Snapshots.commit(spark, t, adds = Seq("y")) === base + 2)
+  }
+
+  test("checkpoint shortens replay without changing any resolution") {
+    val t = tmpTable()
+    Snapshots.commitAppend(df(1 to 5), t)
+    Snapshots.commitAppend(df(6 to 9), t)
+    val before = Snapshots.liveFiles(spark, t, Some(2))
+    assert(Snapshots.checkpoint(spark, t) === 2L)
+    assert(Snapshots.liveFiles(spark, t, Some(2)) === before)
+    Snapshots.commitAppend(df(10 to 12), t)
+    assert(Snapshots.readAt(spark, t).count() === 12)
+    assert(Snapshots.readAt(spark, t, Some(1)).count() === 5) // pre-checkpoint history intact
+  }
+
+  test("vacuum reclaims only unreferenced data (crashed-writer garbage)") {
+    val t = tmpTable()
+    Snapshots.commitAppend(df(1 to 5), t)
+    // a writer that crashed after writing data but before committing
+    df(100 to 200).write.parquet(s"$t/data/orphan")
+    val deleted = Snapshots.vacuum(spark, t)
+    assert(deleted.nonEmpty && deleted.forall(_.contains("/data/orphan/")))
+    assert(Snapshots.readAt(spark, t).as[Long].collect().toSet === (1L to 5L).toSet)
+    assert(Snapshots.vacuum(spark, t).isEmpty) // idempotent
+  }
+
+  test("empty version needs a schema; unknown versions are rejected") {
+    val t = tmpTable()
+    val sc = StructType(Seq(StructField("id", LongType)))
+    assert(Snapshots.readAt(spark, t, None, Some(sc)).count() === 0)
+    intercept[IllegalArgumentException] {
+      Snapshots.readAt(spark, t, None, None)
+    }
+    Snapshots.commitAppend(df(1 to 3), t)
+    intercept[IllegalArgumentException] {
+      Snapshots.liveFiles(spark, t, Some(7))
+    }
+  }
+
+  test("paths with quotes/backslashes survive the manifest round trip") {
+    val t = tmpTable()
+    val weird = Seq("""/da"ta/p\art-1.parquet""", "/tab\tle/part-2.parquet")
+    Snapshots.commit(spark, t, adds = weird)
+    assert(Snapshots.liveFiles(spark, t) === weird)
+  }
+}
