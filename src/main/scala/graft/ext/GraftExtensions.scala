@@ -119,6 +119,14 @@ object GraftFunctions {
           org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.catalyst.expressions.Cast(args(1),
           org.apache.spark.sql.types.LongType))),
+    ("mojibake_repair",
+      new ExpressionInfo(classOf[graft.functions.EncodingExprs.MojibakeRepair].getName,
+        "mojibake_repair"),
+      (args: Seq[Expression]) => graft.functions.EncodingExprs.MojibakeRepair(args.head)),
+    ("control_strip",
+      new ExpressionInfo(classOf[graft.functions.EncodingExprs.ControlStrip].getName,
+        "control_strip"),
+      (args: Seq[Expression]) => graft.functions.EncodingExprs.ControlStrip(args.head)),
     // byte-level BPE over the default (repo-trained) vocab
     ("bpe_tokens",
       new ExpressionInfo(classOf[graft.functions.GraftBpe.BpeTokens].getName, "bpe_tokens"),

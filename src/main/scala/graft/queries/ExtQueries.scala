@@ -3125,7 +3125,48 @@ object ExtQueries {
              |SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT) FROM s WHERE sl IN (0, 1)
              |UNION ALL
              |SELECT 3, count(*), CAST(sum(n_chars) AS BIGINT) FROM s WHERE sl = 1
-             |ORDER BY version""".stripMargin))
+             |ORDER BY version""".stripMargin)),
+
+    // Encoding repair: documents are corrupted IN-PLAN with the three
+    // classic crawl defects — CP1252 mojibake ("café déjà" as
+    // "cafÃ© dÃ©jÃ ", NBSP continuation included), an em-dash
+    // double-encode ("â€”"), and control/zero-width litter — then repaired
+    // by the native expressions. The oracle builds the EXPECTED clean text
+    // closed-form (chr() codepoints) and compares md5s byte-exactly, so
+    // the repair must fix every plant and touch nothing else; exact
+    // per-doc fix/strip counts ride along.
+    QuerySpec("x84_encoding_repair",
+      (s, d) => {
+        import graft.functions.EncodingExprs
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val corrupted = docs.select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" caf\u00C3\u00A9 d\u00C3\u00A9j\u00C3\u00A0")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("x\u0007y\u200Bz")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\u00E2\u20AC\u201Ddash")).otherwise(lit(""))).as("raw"))
+        corrupted
+          .withColumn("__m", EncodingExprs.mojibakeRepair(col("raw")))
+          .withColumn("__c", EncodingExprs.controlStrip(col("__m.text")))
+          .select(col("doc_id"),
+            md5(col("__c.text").cast("binary")).as("repaired_md5"),
+            col("__m.n_changed").as("n_fixed"),
+            col("__c.n_changed").as("n_stripped"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  md5(text
+             |    || CASE WHEN doc_id % 7 = 0
+             |            THEN ' caf' || chr(233) || ' d' || chr(233) || 'j' || chr(224)
+             |            ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0 THEN 'xyz' ELSE '' END
+             |    || CASE WHEN doc_id % 11 = 0 THEN chr(8212) || 'dash' ELSE '' END)
+             |    AS repaired_md5,
+             |  CAST(CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 0 END
+             |     + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_fixed,
+             |  CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_stripped
+             |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin))
   )
 
   /** x63's dedup quantizer: cell count grows with the corpus so cells

@@ -69,6 +69,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getString(2) === "café")
   }
 
+  test("encoding repair is SQL-callable (mojibake_repair / control_strip)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT mojibake_repair('caf\u00C3\u00A9').text AS fixed,
+        |       mojibake_repair('caf\u00C3\u00A9').n_changed AS nf,
+        |       control_strip('ab').text AS stripped,
+        |       control_strip('ab').n_changed AS ns
+        |""".stripMargin).first()
+    assert(r.getString(0) === "caf\u00E9" && r.getLong(1) === 1L)
+    assert(r.getString(2) === "ab" && r.getLong(3) === 1L)
+  }
+
   test("the SparkSessionExtensions injector applies the same function set") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders shared with register()
