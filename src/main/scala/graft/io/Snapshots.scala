@@ -246,6 +246,39 @@ object Snapshots {
     v
   }
 
+  /** Every path any commit EVER added or removed — the full referenced
+    * set across history (what [[vacuum]] must preserve, and the
+    * idempotence token streaming ingest replays against). */
+  def referencedFiles(spark: SparkSession, table: String): Set[String] = {
+    val f = fs(spark, table)
+    val referenced = scala.collection.mutable.HashSet.empty[String]
+    versions(spark, table).foreach { v =>
+      readLines(f, new Path(f"${manifestDir(table)}/v$v%010d.json"))
+        .flatMap(parseLine).foreach { case (_, p) => referenced += p }
+    }
+    referenced.toSet
+  }
+
+  /** Rewrite the current live set into `targetFiles` files and commit the
+    * swap as ONE transaction (adds the compacted files, removes the
+    * fragmented ones) against the resolved version — a concurrent writer
+    * wins the race and the compaction retries later. Old versions keep
+    * time-traveling: removed files stay referenced by their original
+    * commits, so [[vacuum]] never reclaims them. Returns the new version
+    * (or the current one when there is nothing to compact). */
+  def compact(spark: SparkSession, table: String, targetFiles: Int = 1): Long = {
+    val v = currentVersion(spark, table)
+    val files = liveFiles(spark, table, Some(v))
+    if (files.size <= targetFiles) return v
+    val dir = s"$table/data/compact-${java.util.UUID.randomUUID().toString}"
+    spark.read.parquet(files: _*).repartition(targetFiles).write.parquet(dir)
+    val f = fs(spark, table)
+    val parts = f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+    commit(spark, table, adds = parts, removes = files, baseVersion = Some(v))
+  }
+
   /** Delete data files under `<table>/data` that NO committed version
     * references (garbage from writers that crashed before their commit).
     * Never touches referenced files — time travel to any version keeps
@@ -254,11 +287,7 @@ object Snapshots {
     val f = fs(spark, table)
     val dataDir = new Path(s"$table/data")
     if (!f.exists(dataDir)) return Seq.empty
-    val referenced = scala.collection.mutable.HashSet.empty[String]
-    versions(spark, table).foreach { v =>
-      readLines(f, new Path(f"${manifestDir(table)}/v$v%010d.json"))
-        .flatMap(parseLine).foreach { case (_, p) => referenced += p }
-    }
+    val referenced = referencedFiles(spark, table)
     val it = f.listFiles(dataDir, true)
     val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {

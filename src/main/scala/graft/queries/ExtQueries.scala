@@ -3167,7 +3167,47 @@ object ExtQueries {
              |     + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_fixed,
              |  CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_stripped
              |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin))
-  )
+  ) :+ st15Spec
+
+  /** st15: streaming ingest into a VERSIONED table — each micro-batch
+    * commits through the snapshot manifest, so the ingest timeline is
+    * time-travelable (batch i ≡ version i+1). The oracle replays the
+    * cumulative slice algebra; the versions themselves are resolved
+    * through checkpoint-less manifest reads. */
+  private def st15Spec: QuerySpec =
+    QuerySpec("st15_stream_snapshot_ingest",
+      (s, d) => {
+        import graft.io.Snapshots
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val src = Staging.slicedSource("snaping", d) { tmp =>
+          (0 until 3).foreach { i =>
+            Staging.writeSlice(docs.filter(col("doc_id") % 3 === i), s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_snaping_run").toString
+        val table = s"$tmp/tbl"
+        Staging.drainTuning(s, src, 3) {
+          val q = graft.streaming.SnapshotIngest.start(s,
+            s.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+            table, s"$tmp/ckpt")
+          q.awaitTermination()
+        }
+        def at(v: Long) = Snapshots.readAt(s, table, Some(v))
+          .agg(n.as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          .select(lit(v).as("version"), col("n_docs"), col("sum_chars"))
+        at(1).unionByName(at(2)).unionByName(at(3)).orderBy("version")
+      },
+      Some("""WITH s AS (SELECT doc_id % 3 AS sl, n_chars FROM documents)
+             |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM s WHERE sl = 0
+             |UNION ALL
+             |SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT) FROM s WHERE sl IN (0, 1)
+             |UNION ALL
+             |SELECT 3, count(*), CAST(sum(n_chars) AS BIGINT) FROM s
+             |ORDER BY version""".stripMargin))
 
   /** x63's dedup quantizer: cell count grows with the corpus so cells
     * stay ~500 vectors and the within-cell quadratic term is flat per

@@ -95,6 +95,24 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("compact swaps the live set in one transaction; history and content survive") {
+    val t = tmpTable()
+    Snapshots.commitAppend(df(1 to 10), t)
+    Snapshots.commitAppend(df(11 to 15), t)
+    assert(Snapshots.liveFiles(spark, t).size > 1)
+    val v3 = Snapshots.compact(spark, t, targetFiles = 1)
+    assert(v3 === 3L)
+    assert(Snapshots.liveFiles(spark, t).size === 1)
+    assert(Snapshots.readAt(spark, t).as[Long].collect().toSet === (1L to 15L).toSet)
+    // time travel to pre-compaction versions still resolves the old files
+    assert(Snapshots.readAt(spark, t, Some(1)).count() === 10)
+    assert(Snapshots.readAt(spark, t, Some(2)).count() === 15)
+    // removed-but-referenced files are NOT vacuum-eligible
+    assert(Snapshots.vacuum(spark, t).isEmpty)
+    // compacting an already-compact table is a no-op version-wise
+    assert(Snapshots.compact(spark, t, targetFiles = 1) === 3L)
+  }
+
   test("paths with quotes/backslashes survive the manifest round trip") {
     val t = tmpTable()
     val weird = Seq("""/da"ta/p\art-1.parquet""", "/tab\tle/part-2.parquet")
