@@ -79,6 +79,47 @@ object Bm25 {
     round(idf * sat * 1e6, 0).cast("long")
   }
 
+  /** Number of term-hash partitions a persisted index is laid out in. */
+  val IndexPartitions: Int = 16
+
+  /** Persist the index partitioned by a term-hash bucket (`__p`), plus the
+    * one-row corpus stats as a sidecar — the build-once artifact
+    * ([[graft.ext.Similarity]] IVF posture). Serving joins on
+    * (`__p`, term) against a broadcast query frame, so DYNAMIC PARTITION
+    * PRUNING reads only the matched buckets: at 100 TB a 3-term query
+    * touches ≤ 3 of [[IndexPartitions]] directory subtrees, never the
+    * corpus-wide posting list. */
+  def writeIndex(postings: DataFrame, path: String): Unit = {
+    corpusStats(postings).write.parquet(s"$path/stats")
+    postings
+      .withColumn("__p", pmod(xxhash64(col("term")), lit(IndexPartitions.toLong)))
+      .write.partitionBy("__p").parquet(s"$path/postings")
+  }
+
+  /** [[search]] against a PERSISTED index: same semantics, same scores —
+    * the plan differs (stats come from the sidecar; the postings scan is
+    * partition-pruned by the query terms' hash buckets). */
+  def searchPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, qid: Column, qtext: Column,
+                      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val postings = spark.read.parquet(s"$path/postings")
+    val stats = spark.read.parquet(s"$path/stats")
+    val qterms = queries
+      .select(qid.as("qid"),
+        explode(array_distinct(split(lower(qtext), "\\s+"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("__p", pmod(xxhash64(col("term")), lit(IndexPartitions.toLong)))
+    val matched = postings.join(broadcast(qterms), Seq("__p", "term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__sc", scoreMicro(k1, b))
+      .groupBy("qid", "id")
+      .agg(sum(col("__sc")).as("score_micro"))
+    graft.functions.TopKAgg.rankTopK(matched,
+        group = col("qid"), score = col("score_micro"), id = col("id"), k = topK)
+      .select(col("group").as("qid"), col("rk"), col("id"),
+        col("score").cast("long").as("score_micro"))
+  }
+
   /** Serve top-k per query: `(qid, rk, id, score_micro)`, rk 1-based by
     * (score desc, id asc). `queries` is a small frame of (qid, qtext);
     * its distinct terms broadcast into the postings join. Repeated terms

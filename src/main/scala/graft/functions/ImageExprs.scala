@@ -200,6 +200,66 @@ object ImageExprs {
       copy(child = newChild)
   }
 
+  /** Perceptual difference hash (dHash) of a decoded image — the standard
+    * cheap near-duplicate signature for image corpora (resize/re-encode/
+    * minor-crop variants collide or land within a few bits; hamming
+    * distance on the 64-bit hash ≈ perceptual distance). Pipeline, all
+    * exact integer: real-codec decode → 9×8 downsample with the SAME
+    * explicit floor mapping as [[ResizeImage]] (`src = floor(dst·srcDim/
+    * dstDim)`) → per-cell brightness r+g+b (comparing sums ≡ comparing
+    * means, no division) → bit(y·8+x) = brightness(x+1,y) > brightness(x,y)
+    * row-major into a signed long. Reproducible by any independent
+    * reimplementation; null for undecodable payloads. */
+  case class ImageDHash(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "image_dhash"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"image_dhash needs BINARY input, got ${child.dataType.catalogString}")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) return null
+        val w = img.getWidth
+        val h = img.getHeight
+        val gray = Array.ofDim[Int](8, 9)
+        var y = 0
+        while (y < 8) {
+          val sy = (y.toLong * h / 8).toInt
+          var x = 0
+          while (x < 9) {
+            val sx = (x.toLong * w / 9).toInt
+            val rgb = img.getRGB(sx, sy)
+            gray(y)(x) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (gray(y)(x + 1) > gray(y)(x)) hash |= (1L << (y * 8 + x))
+            x += 1
+          }
+          y += 1
+        }
+        hash
+      } catch {
+        case _: java.io.IOException => null
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ImageDHash =
+      copy(child = newChild)
+  }
+
   // Column-level wrappers
   import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn => column, toExpression => expression}
   def imageMeta(payload: Column): Column = column(ImageMeta(expression(payload)))
@@ -210,4 +270,5 @@ object ImageExprs {
     column(ResizeImage(expression(payload), expression(width.cast("int")),
       expression(height.cast("int"))))
   def imagePixelSum(payload: Column): Column = column(ImagePixelSum(expression(payload)))
+  def imageDHash(payload: Column): Column = column(ImageDHash(expression(payload)))
 }

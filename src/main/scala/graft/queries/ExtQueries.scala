@@ -3166,8 +3166,167 @@ object ExtQueries {
              |  CAST(CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 0 END
              |     + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_fixed,
              |  CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_stripped
-             |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin))
-  ) :+ st15Spec
+             |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin)),
+
+    // x79's SERVE-ONLY split (the x18/x41 posture): the inverted index is
+    // persisted ONCE per JVM — term-hash-partitioned postings plus a
+    // one-row stats sidecar — and the benched query times only the
+    // partition-pruned serve. Results must be IDENTICAL to x79 (same
+    // oracle SQL): the layout changes the plan, never a score.
+    QuerySpec("x85_bm25_serve",
+      (s, d) => {
+        import s.implicits._
+        val idxDir = Staging.dir("bm25idx", d) { tmp =>
+          val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          graft.ext.Bm25.writeIndex(
+            graft.ext.Bm25.index(docs, col("doc_id"), col("text")), s"$tmp/idx")
+        } + "/idx"
+        val qs = Seq((1L, "fast table scan"), (2L, "window agg batch merge"),
+          (3L, "vector similarity spark")).toDF("qid", "qtext")
+        graft.ext.Bm25.searchPersisted(s, idxDir, qs, col("qid"), col("qtext"), topK = 10)
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH terms AS (SELECT doc_id AS id,
+             |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                            x -> x <> '')) AS term
+             |       FROM documents WHERE text IS NOT NULL),
+             |tf AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+             |dl AS (SELECT id, count(*) AS dl FROM terms GROUP BY 1),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS s FROM dl),
+             |q AS (SELECT * FROM (VALUES (1, 'fast table scan'),
+             |                            (2, 'window agg batch merge'),
+             |                            (3, 'vector similarity spark')) AS q(qid, qtext)),
+             |qt AS (SELECT DISTINCT qid,
+             |         unnest(list_filter(regexp_split_to_array(lower(qtext), '\s+'),
+             |                            x -> x <> '')) AS term
+             |       FROM q),
+             |m AS (SELECT qt.qid, tf.id,
+             |         CAST(round(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             |              * ((tf.tf * (1.2 + 1.0))
+             |                 / (tf.tf + 1.2 * (1.0 - 0.75
+             |                    + 0.75 * dl.dl * stats.n / stats.s)))
+             |              * 1000000.0, 0) AS BIGINT) AS sc
+             |       FROM qt JOIN tf USING (term) JOIN dfq ON qt.term = dfq.term
+             |            JOIN dl ON tf.id = dl.id, stats),
+             |agg AS (SELECT qid, id, CAST(sum(sc) AS BIGINT) AS score_micro
+             |        FROM m GROUP BY 1, 2),
+             |rnk AS (SELECT qid, id, score_micro,
+             |          row_number() OVER (PARTITION BY qid
+             |                             ORDER BY score_micro DESC, id) AS rk
+             |        FROM agg)
+             |SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
+             |       CAST(id AS BIGINT) AS id, score_micro
+             |FROM rnk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin))
+  ) ++ Seq(st15Spec, x86Spec, x87Spec)
+
+  /** Planted image corpus for the dHash family (sf-independent ids, so
+    * the independent python oracle — `scripts/dhash_oracle.py` — freezes
+    * to VALUES): 48 base synthetics (x67's dim convention), a resized
+    * variant per 4th, a re-encoded exact copy per 6th. */
+  private def dhashCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .filter(col("doc_id") >= 1 && col("doc_id") <= 48)
+      .select(col("doc_id").as("i"),
+        (col("doc_id") % 16 + 17).as("sw"), (col("doc_id") % 12 + 13).as("sh"))
+    val bases = base.select(col("i").as("img_id"),
+      Multimodal.encodeImage(col("sw"), col("sh"), lit("png")).as("img"))
+    val variants = base.filter(col("i") % 4 === 0)
+      .select((col("i") + 1000L).as("img_id"),
+        Multimodal.resizeImage(
+          Multimodal.encodeImage(col("sw"), col("sh"), lit("png")),
+          col("sw") + 2, col("sh") + 1).as("img"))
+    val copies = base.filter(col("i") % 6 === 0)
+      .select((col("i") + 2000L).as("img_id"),
+        Multimodal.encodeImage(col("sw"), col("sh"), lit("png")).as("img"))
+    bases.unionByName(variants).unionByName(copies)
+  }
+
+  // Perceptual image hashing: real-codec decode → 9×8 floor-mapped
+  // downsample → row-major brightness-gradient bits. Pinned value-by-value
+  // against an independent python reimplementation that never touches a
+  // codec (the synthetic pattern is closed-form and PNG is lossless —
+  // itself proven by x29/x67).
+  private def x86Spec: QuerySpec =
+    QuerySpec("x86_image_dhash",
+      (s, d) => dhashCorpus(s, d)
+        .select(col("img_id"),
+          graft.functions.ImageExprs.imageDHash(col("img")).as("dhash"))
+        .orderBy("img_id"),
+      Some("""SELECT CAST(img_id AS BIGINT) AS img_id, CAST(h AS BIGINT) AS dhash
+             |FROM (VALUES (1,-5846344411411679249),(2,-3576749002030876689),
+             |  (3,-1238808978370627729),(4,8560883073970583415),
+             |  (1004,8560601673483384695),(5,-5589480705669482569),
+             |  (6,-5371021488016345289),(2006,-5371021488016345289),
+             |  (7,-7299659701257249993),(8,-7227514146289099977),
+             |  (1008,-7227531738466772169),(9,6006032326530947991),
+             |  (10,7591620528992508827),(11,7866478647094897563),
+             |  (12,-4129338473336583397),(1012,-6579427512510899429),
+             |  (2012,-4129338473336583397),(13,-3254778556833379493),
+             |  (14,5928656468917308235),(15,6508357406767295307),
+             |  (16,-1252641052622852113),(1016,-2423577368523706401),
+             |  (17,-1527181150725376017),(18,8497831619935565807),
+             |  (2018,8497831619935565807),(19,8532859895201625967),
+             |  (20,-7245607501086607497),(1020,-5227890415497676937),
+             |  (21,-6073827383745202249),(22,-3227262010738362569),
+             |  (23,-3649126920125560009),(24,-7752555221451302089),
+             |  (1024,-7752580510217717961),(2024,-7752555221451302089),
+             |  (25,-6436377871454069865),(26,-2979499295932425317),
+             |  (27,-2691300843736310885),(28,-2682293093652010213),
+             |  (1028,-2691299194971661541),(29,6364367824531712859),
+             |  (30,2979771969700080459),(2030,2979771969700080459),
+             |  (31,-8491446574166987957),(32,8639836722792230895),
+             |  (1032,8635192386755489759),(33,6302170150735673327),
+             |  (34,3708413424719067119),(35,-7226189640519936145),
+             |  (36,-5991533135146567817),(1036,-7145634587866597513),
+             |  (2036,-5991533135146567817),(37,5651398351939909559),
+             |  (38,7371383091561707319),(39,-5303501566722188489),
+             |  (40,-5285487204719404233),(1040,-5285487203746866377),
+             |  (41,-3263257425182729321),(42,1862984675772029851),
+             |  (2042,1862984675772029851),(43,6510136416707107739),
+             |  (44,5429325282696325915),(1044,3123992451176684315),
+             |  (45,-8995567767307850917),(46,-6230067874788431029),
+             |  (47,-5366839044713667253),(48,6679851392984149999),
+             |  (1048,-4849396636810485793),(2048,6679851392984149999))
+             |  AS t(img_id, h)
+             |ORDER BY img_id""".stripMargin))
+
+  // Banded perceptual near-dup (the SimHash-block shape on image hashes):
+  // 4×16-bit bands generate candidates as an equi-join — never all pairs —
+  // and exact hamming ≤ 6 confirms. Catches byte-identical re-encodes at
+  // distance 0 and close resize variants within the threshold; the pair
+  // set (incl. legitimate cross-image near-collisions of the synthetic
+  // pattern) is frozen from the same independent reimplementation.
+  private def x87Spec: QuerySpec =
+    QuerySpec("x87_image_neardup",
+      (s, d) => {
+        val hashes = dhashCorpus(s, d)
+          .select(col("img_id"),
+            graft.functions.ImageExprs.imageDHash(col("img")).as("dhash"))
+        val bands = hashes.select(col("img_id"), col("dhash"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+            shiftrightunsigned(col("dhash"), 16 * b).bitwiseAND(lit(0xFFFFL))
+              .as("v"))): _*)).as("band"))
+          .select(col("img_id"), col("dhash"),
+            col("band.b").as("b"), col("band.v").as("v"))
+        val l = bands.select(col("img_id").as("id_a"), col("dhash").as("ha"),
+          col("b"), col("v"))
+        val r = bands.select(col("img_id").as("id_b"), col("dhash").as("hb"),
+          col("b"), col("v"))
+        l.join(r, Seq("b", "v")).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+          .filter(col("hamming") <= 6)
+          .distinct()
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b,
+             |       CAST(hm AS BIGINT) AS hamming
+             |FROM (VALUES (6,2006,0),(7,8,4),(8,1008,3),(12,2012,0),(18,2018,0),
+             |             (24,2024,0),(30,2030,0),(33,34,6),(36,2036,0),
+             |             (39,40,6),(40,1040,6),(42,2042,0),(48,2048,0))
+             |  AS t(a, b, hm)
+             |ORDER BY id_a, id_b""".stripMargin))
 
   /** st15: streaming ingest into a VERSIONED table — each micro-batch
     * commits through the snapshot manifest, so the ingest timeline is

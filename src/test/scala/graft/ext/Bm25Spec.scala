@@ -65,6 +65,18 @@ class Bm25Spec extends SparkSpec {
     assert(once === twice)
   }
 
+  test("persisted-index serve returns exactly the in-memory search results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString + "/idx"
+    Bm25.writeIndex(idx, dir)
+    val qs = Seq((1L, "a c"), (2L, "b"), (3L, "zzz")).toDF("qid", "qtext")
+    val mem = Bm25.search(idx, qs, col("qid"), col("qtext"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val per = Bm25.searchPersisted(spark, dir, qs, col("qid"), col("qtext"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(per === mem)
+    assert(mem.nonEmpty)
+  }
+
   test("serve plan broadcasts the query terms (no corpus-side shuffle join)") {
     val plan = Bm25.search(idx, Seq((1L, "a c")).toDF("qid", "qtext"),
       col("qid"), col("qtext")).queryExecution.executedPlan.toString

@@ -322,4 +322,44 @@ class MultimodalSpec extends SparkSpec {
       .filter($"doc_id" === 1).select("features").first().getSeq[Double](0)
     assert(feats === again)
   }
+
+  test("imageDHash: identical payloads hash equal; re-encode is invariant") {
+    import graft.functions.ImageExprs
+    val r = Seq(1).toDF("i")
+      .select(Multimodal.encodeImage(lit(33), lit(21), lit("png")).as("a"),
+        Multimodal.encodeImage(lit(33), lit(21), lit("png")).as("b"),
+        // lossless identity resize = different bytes, same raster
+        Multimodal.resizeImage(
+          Multimodal.encodeImage(lit(33), lit(21), lit("png")), lit(33), lit(21)).as("c"))
+      .select(ImageExprs.imageDHash($"a"), ImageExprs.imageDHash($"b"),
+        ImageExprs.imageDHash($"c"))
+      .first()
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.getLong(0) === r.getLong(2))
+  }
+
+  test("imageDHash: smooth-content resize stays within a small hamming ball") {
+    import graft.functions.ImageExprs
+    // a low-frequency image (the synthetic pattern is high-frequency, so
+    // build smoothness by heavy downscale first): hash the 64x40 smooth
+    // version and a 60x38 re-resize of it
+    val r = Seq(1).toDF("i")
+      .select(Multimodal.resizeImage(
+          Multimodal.encodeImage(lit(9), lit(8), lit("png")), lit(64), lit(40)).as("a"))
+      .select($"a", Multimodal.resizeImage($"a", lit(60), lit(38)).as("b"))
+      .select(ImageExprs.imageDHash($"a").as("ha"), ImageExprs.imageDHash($"b").as("hb"))
+      .first()
+    // nearest-neighbor upscale keeps blocky edges, so a handful of bits
+    // sit on block boundaries that shift under the re-resample — the claim
+    // is a SMALL ball (uncorrelated hashes average 32 bits apart)
+    val hamming = java.lang.Long.bitCount(r.getLong(0) ^ r.getLong(1))
+    assert(hamming <= 10, s"smooth resize moved $hamming bits")
+  }
+
+  test("imageDHash nulls undecodable payloads") {
+    import graft.functions.ImageExprs
+    val r = Seq(Array[Byte](1, 2, 3)).toDF("p")
+      .select(ImageExprs.imageDHash($"p")).first()
+    assert(r.isNullAt(0))
+  }
 }
