@@ -79,6 +79,50 @@ object Bm25 {
     round(idf * sat * 1e6, 0).cast("long")
   }
 
+  /** APPENDABLE index layout — the incremental-maintenance shape: rows
+    * `(term, id, tf, dl)` with NO denormalized df (df is corpus-global, so
+    * storing it would invalidate every existing row on append). Document
+    * frequency is instead derived at serve time from the matched postings
+    * alone (the join keeps every row of a queried term, and rows are
+    * unique per (term, id) — an exact count, only for the handful of
+    * queried terms), and corpus constants come from per-batch partial
+    * stats rows summed at serve. Scores are IDENTICAL to the batch-built
+    * index. */
+  def indexAppendable(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val terms = termStream(docs, id, text)
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy("id").agg(count(lit(1)).as("dl"))
+    tf.join(dl, "id").select(col("term"), col("id"), col("tf"), col("dl"))
+  }
+
+  /** One partial stats row for a batch of appendable postings. */
+  def batchStats(postings: DataFrame): DataFrame =
+    postings.groupBy("id").agg(max(col("dl")).as("__dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__dl")).as("dl_sum"))
+
+  /** Serve over an appendable index: `stats` holds per-batch partial rows
+    * (n_docs, dl_sum) summed here into the corpus constants. */
+  def searchAppendable(postings: DataFrame, stats: DataFrame, queries: DataFrame,
+                       qid: Column, qtext: Column, k1: Double = 1.2,
+                       b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val st = stats.agg(sum(col("n_docs")).as("__n"), sum(col("dl_sum")).as("__s"))
+    val qterms = queries
+      .select(qid.as("qid"),
+        explode(array_distinct(split(lower(qtext), "\\s+"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val matched0 = postings.join(broadcast(qterms), "term")
+    val dfT = matched0.groupBy("qid", "term").agg(count(lit(1)).as("df"))
+    val matched = matched0.join(dfT, Seq("qid", "term"))
+      .crossJoin(broadcast(st))
+      .withColumn("__sc", scoreMicro(k1, b))
+      .groupBy("qid", "id")
+      .agg(sum(col("__sc")).as("score_micro"))
+    graft.functions.TopKAgg.rankTopK(matched,
+        group = col("qid"), score = col("score_micro"), id = col("id"), k = topK)
+      .select(col("group").as("qid"), col("rk"), col("id"),
+        col("score").cast("long").as("score_micro"))
+  }
+
   /** Number of term-hash partitions a persisted index is laid out in. */
   val IndexPartitions: Int = 16
 

@@ -3218,7 +3218,72 @@ object ExtQueries {
              |SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
              |       CAST(id AS BIGINT) AS id, score_micro
              |FROM rnk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin))
-  ) ++ Seq(st15Spec, x86Spec, x87Spec)
+  ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec)
+
+  /** st16: streaming BM25 index maintenance — three micro-batches append
+    * postings + partial stats through snapshot manifests; the serve after
+    * the drain must produce EXACTLY the batch-built x79 ranking (same
+    * oracle SQL: the appendable layout derives df at serve time and sums
+    * the stats partials, so scores are identical by construction). */
+  private def st16Spec: QuerySpec =
+    QuerySpec("st16_stream_bm25_ingest",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val src = Staging.slicedSource("bm25ing", d) { tmp =>
+          (0 until 3).foreach { i =>
+            Staging.writeSlice(docs.filter(col("doc_id") % 3 === i), s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bm25ing_run").toString
+        val root = s"$tmp/idx"
+        Staging.drainTuning(s, src, 3) {
+          val q = graft.streaming.Bm25Ingest.start(s,
+            s.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+            "doc_id", "text", root, s"$tmp/ckpt")
+          q.awaitTermination()
+        }
+        val qs = Seq((1L, "fast table scan"), (2L, "window agg batch merge"),
+          (3L, "vector similarity spark")).toDF("qid", "qtext")
+        graft.streaming.Bm25Ingest.search(s, root, qs, col("qid"), col("qtext"), topK = 10)
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH terms AS (SELECT doc_id AS id,
+             |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                            x -> x <> '')) AS term
+             |       FROM documents WHERE text IS NOT NULL),
+             |tf AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+             |dl AS (SELECT id, count(*) AS dl FROM terms GROUP BY 1),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS s FROM dl),
+             |q AS (SELECT * FROM (VALUES (1, 'fast table scan'),
+             |                            (2, 'window agg batch merge'),
+             |                            (3, 'vector similarity spark')) AS q(qid, qtext)),
+             |qt AS (SELECT DISTINCT qid,
+             |         unnest(list_filter(regexp_split_to_array(lower(qtext), '\s+'),
+             |                            x -> x <> '')) AS term
+             |       FROM q),
+             |m AS (SELECT qt.qid, tf.id,
+             |         CAST(round(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             |              * ((tf.tf * (1.2 + 1.0))
+             |                 / (tf.tf + 1.2 * (1.0 - 0.75
+             |                    + 0.75 * dl.dl * stats.n / stats.s)))
+             |              * 1000000.0, 0) AS BIGINT) AS sc
+             |       FROM qt JOIN tf USING (term) JOIN dfq ON qt.term = dfq.term
+             |            JOIN dl ON tf.id = dl.id, stats),
+             |agg AS (SELECT qid, id, CAST(sum(sc) AS BIGINT) AS score_micro
+             |        FROM m GROUP BY 1, 2),
+             |rnk AS (SELECT qid, id, score_micro,
+             |          row_number() OVER (PARTITION BY qid
+             |                             ORDER BY score_micro DESC, id) AS rk
+             |        FROM agg)
+             |SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
+             |       CAST(id AS BIGINT) AS id, score_micro
+             |FROM rnk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin))
 
   /** Planted image corpus for the dHash family (sf-independent ids, so
     * the independent python oracle — `scripts/dhash_oracle.py` — freezes

@@ -77,6 +77,21 @@ class Bm25Spec extends SparkSpec {
     assert(mem.nonEmpty)
   }
 
+  test("appendable index built in two batches serves identical scores to one build") {
+    val b1 = docs.filter(col("doc_id") <= 2)
+    val b2 = docs.filter(col("doc_id") > 2)
+    val postings = Bm25.indexAppendable(b1, col("doc_id"), col("text"))
+      .unionByName(Bm25.indexAppendable(b2, col("doc_id"), col("text")))
+    val stats = Bm25.batchStats(Bm25.indexAppendable(b1, col("doc_id"), col("text")))
+      .unionByName(Bm25.batchStats(Bm25.indexAppendable(b2, col("doc_id"), col("text"))))
+    val qs = Seq((1L, "a c"), (2L, "b")).toDF("qid", "qtext")
+    val inc = Bm25.searchAppendable(postings, stats, qs, col("qid"), col("qtext"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val whole = Bm25.search(idx, qs, col("qid"), col("qtext"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(inc === whole && inc.nonEmpty)
+  }
+
   test("serve plan broadcasts the query terms (no corpus-side shuffle join)") {
     val plan = Bm25.search(idx, Seq((1L, "a c")).toDF("qid", "qtext"),
       col("qid"), col("qtext")).queryExecution.executedPlan.toString
