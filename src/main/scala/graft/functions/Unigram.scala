@@ -204,6 +204,179 @@ object Unigram {
       Vocab(scored)
     } finally counts.unpersist(blocking = false)
   }
+
+  /** FULL unigram training: seed-frequency candidates refined by `iters`
+    * EM iterations (the SentencePiece trainer's core loop, distributed):
+    * the E-step runs per word as a narrow expression
+    * ([[GraftUnigram.unigramExpCounts]] — forward/backward over the byte
+    * lattice, expected counts micro-rounded INSIDE the word so cross-word
+    * aggregation is exact long addition), the M-step is one groupBy-sum
+    * plus a vocab-sized collect, and pieces whose expected count hits zero
+    * are pruned. Every float op happens in a fixed per-word scan order, so
+    * the whole trainer is bit-reproducible by an independent
+    * reimplementation (`scripts/unigram_em_oracle.py`).
+    *
+    * Candidate retention: the top `vocabSize` substrings by seed count
+    * UNION every length-1 candidate seen — byte coverage keeps α(n) > 0
+    * for every corpus word at every iteration. Final piece scores are
+    * `rint(ln p × 1e6)`; unseen bytes get the [[fallbackScoreMicro]]
+    * floor via [[Vocab.apply]]. */
+  def trainEm(docs: org.apache.spark.sql.DataFrame, text: Column,
+              vocabSize: Int = 2048, maxPieceLen: Int = 6,
+              iters: Int = 2): Vocab = {
+    import org.apache.spark.sql.functions._
+    require(iters >= 1, s"iters >= 1, got $iters")
+    val spark = docs.sparkSession
+    val w = docs.select(explode(split(text, "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val words = w.groupBy("w").agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val subs = w.select(explode(flatten(transform(
+        sequence(lit(1), length(col("w"))),
+        s => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - s + 1)),
+          l => col("w").substr(s, l))))).as("piece"))
+      val counts = subs.groupBy("piece").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (top, singles) =
+        try {
+          (counts.orderBy(col("cnt").desc, col("piece").asc).limit(vocabSize).collect(),
+            counts.filter(length(col("piece")) === 1).collect())
+        } finally counts.unpersist(blocking = false)
+      val cand = new java.util.TreeMap[String, Long]() // ISO keys: unsigned-lex order
+      (top ++ singles).foreach { r =>
+        cand.put(new String(r.getString(0).getBytes(StandardCharsets.UTF_8),
+          StandardCharsets.ISO_8859_1), r.getLong(1))
+      }
+      var pieces = cand.keySet.toArray(new Array[String](0))
+        .map(_.getBytes(StandardCharsets.ISO_8859_1))
+      var cArr = cand.values.toArray(new Array[java.lang.Long](0)).map(_.longValue)
+      var iter = 0
+      while (iter < iters) {
+        val total = cArr.sum
+        val probs = cArr.map(_.toDouble / total.toDouble)
+        val table = new UnigramEm.ProbTable(pieces, probs, pieces.map(_.length).max)
+        val bc = spark.sparkContext.broadcast(table)
+        val agg = words
+          .select(explode(GraftUnigram.unigramExpCounts(col("w"), bc)).as("e"),
+            col("freq"))
+          .select(col("e.id").as("id"), (col("e.c") * col("freq")).as("cm"))
+          .groupBy("id").agg(sum(col("cm")).as("cm"))
+          .collect()
+        val next = new Array[Long](pieces.length)
+        agg.foreach(r => next(r.getInt(0)) = r.getLong(1))
+        val keep = next.indices.filter(next(_) > 0L).toArray
+        pieces = keep.map(pieces)
+        cArr = keep.map(next)
+        bc.destroy()
+        iter += 1
+      }
+      val total = cArr.sum
+      val scored = pieces.zip(cArr).toSeq.map { case (p, c) =>
+        (p, math.rint(math.log(c.toDouble / total.toDouble) * 1e6).toLong)
+      }
+      Vocab(scored)
+    } finally words.unpersist(blocking = false)
+  }
+}
+
+/** EM refinement machinery for [[Unigram]] — see [[Unigram.trainEm]]. */
+object UnigramEm {
+
+  /** A probability table over candidate pieces (the EM state). Probs are
+    * plain doubles derived by single IEEE divisions from exact integer
+    * counts, so the table is bit-reproducible by an independent
+    * reimplementation. */
+  final class ProbTable(
+      val pieces: Array[Array[Byte]],  // sorted unsigned-lexicographic
+      val probs: Array[Double],
+      val maxLen: Int) extends Serializable {
+    @transient lazy val index: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](pieces.length * 2)
+      var i = 0
+      while (i < pieces.length) {
+        m.put(new String(pieces(i), StandardCharsets.ISO_8859_1), Integer.valueOf(i))
+        i += 1
+      }
+      m
+    }
+  }
+
+  /** The per-word E-step: forward/backward over the byte lattice under
+    * independence, emitting each piece's EXPECTED COUNT in this word as
+    * exact micro-units (`rint(E × 1e6)` longs) — the order-dependent float
+    * work stays INSIDE one word with a fixed scan order (start ascending,
+    * end ascending), so the cross-word aggregation is pure long addition
+    * and the whole M-step is engine-order-independent. Returns sparse
+    * (pieceId, countMicro) pairs; empty when the word has no segmentation
+    * under the table (callers guarantee byte coverage). */
+  def expectedCounts(wordBytes: Array[Byte], t: ProbTable): Array[(Int, Long)] = {
+    val n = wordBytes.length
+    if (n == 0) return Array.empty
+    val alpha = new Array[Double](n + 1)
+    val beta = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - t.maxLen)
+      var a = 0.0
+      while (j < i) {
+        if (alpha(j) != 0.0) {
+          val id = t.index.get(new String(wordBytes, j, i - j, StandardCharsets.ISO_8859_1))
+          if (id != null) a += alpha(j) * t.probs(id.intValue)
+        }
+        j += 1
+      }
+      alpha(i) = a
+      i += 1
+    }
+    if (alpha(n) == 0.0) return Array.empty
+    beta(n) = 1.0
+    var j2 = n - 1
+    while (j2 >= 0) {
+      var i2 = j2 + 1
+      var b = 0.0
+      val lim = math.min(n, j2 + t.maxLen)
+      while (i2 <= lim) {
+        if (beta(i2) != 0.0) {
+          val id = t.index.get(new String(wordBytes, j2, i2 - j2, StandardCharsets.ISO_8859_1))
+          if (id != null) b += t.probs(id.intValue) * beta(i2)
+        }
+        i2 += 1
+      }
+      beta(j2) = b
+      j2 -= 1
+    }
+    val acc = new java.util.HashMap[Integer, Double]()
+    var j3 = 0
+    while (j3 < n) {
+      if (alpha(j3) != 0.0) {
+        var i3 = j3 + 1
+        val lim = math.min(n, j3 + t.maxLen)
+        while (i3 <= lim) {
+          val id = t.index.get(new String(wordBytes, j3, i3 - j3, StandardCharsets.ISO_8859_1))
+          if (id != null && beta(i3) != 0.0) {
+            val c = alpha(j3) * t.probs(id.intValue) * beta(i3)
+            val prev = acc.get(id)
+            acc.put(id, if (prev == null) c else prev.doubleValue + c)
+          }
+          i3 += 1
+        }
+      }
+      j3 += 1
+    }
+    val z = alpha(n)
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Long)](acc.size)
+    // deterministic emission order (ascending id) — and micro-rounding
+    // HERE, so everything downstream is exact integers
+    val ids = acc.keySet.toArray(new Array[Integer](0)).sortBy(_.intValue)
+    ids.foreach { id =>
+      val m = math.rint(acc.get(id).doubleValue / z * 1e6).toLong
+      if (m != 0L) out += ((id.intValue, m))
+    }
+    out.toArray
+  }
 }
 
 /** Native Catalyst expressions for [[Unigram]] — broadcast-vocab encode /
@@ -236,9 +409,32 @@ object GraftUnigram {
       copy(child = newChild)
   }
 
+  /** word → sparse (pieceId, expectedCountMicro) pairs under a broadcast
+    * EM probability table — the per-word E-step as a narrow expression. */
+  case class UnigramExpCounts(child: Expression, bc: Broadcast[UnigramEm.ProbTable])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("c", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "unigram_exp_counts"
+    override protected def nullSafeEval(input: Any): Any = {
+      val pairs = UnigramEm.expectedCounts(
+        input.asInstanceOf[UTF8String].toString.getBytes(StandardCharsets.UTF_8),
+        bc.value)
+      new GenericArrayData(pairs.map { case (id, c) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](id, c))
+      }.toArray[Any])
+    }
+    override protected def withNewChildInternal(newChild: Expression): UnigramExpCounts =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn => column, toExpression => expression}
   def unigramIdsBc(text: Column, bc: Broadcast[Unigram.Vocab]): Column =
     column(UnigramIdsBc(expression(text), bc))
   def unigramDetokIds(ids: Column, bc: Broadcast[Unigram.Vocab]): Column =
     column(UnigramDetokIdsBc(expression(ids), bc))
+  def unigramExpCounts(word: Column, bc: Broadcast[UnigramEm.ProbTable]): Column =
+    column(UnigramExpCounts(expression(word), bc))
 }

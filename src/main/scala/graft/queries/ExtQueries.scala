@@ -3218,7 +3218,45 @@ object ExtQueries {
              |SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
              |       CAST(id AS BIGINT) AS id, score_micro
              |FROM rnk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin))
-  ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec)
+  ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec)
+
+  /** x88's EM-trained vocab: corpus-INDEPENDENT (trained on the fixture
+    * strings), so the frozen python oracle is valid at every sf. Trained
+    * once per JVM. */
+  private val emState =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.Unigram.Vocab]()
+  private def emVocab(s: SparkSession): graft.functions.Unigram.Vocab =
+    emState.computeIfAbsent("em", { _ =>
+      import s.implicits._
+      graft.functions.Unigram.trainEm(BpeFixture.strings.toDF("text"), col("text"),
+        vocabSize = 160, maxPieceLen = 4, iters = 2)
+    })
+
+  // The FULL unigram trainer (seed + distributed EM + prune) pinned end to
+  // end: vocab trained on the fixture corpus by the Scala side, fixtures
+  // encoded under it, and the (fid, n_pieces, id_sum) triple must equal
+  // the independent python retrain+re-encode (scripts/unigram_em_oracle.py
+  // — forward/backward float math bit-mirrored, micro-rounding inside the
+  // word, same prune rule, same final ln scoring).
+  private def x88Spec: QuerySpec =
+    QuerySpec("x88_unigram_em",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.GraftUnigram
+        val bc = s.sparkContext.broadcast(emVocab(s))
+        BpeFixture.strings.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("fid", "text")
+          .select(col("fid"), GraftUnigram.unigramIdsBc(col("text"), bc).as("ids"))
+          .select(col("fid"), size(col("ids")).cast("long").as("n_pieces"),
+            aggregate(col("ids"), lit(0L), (acc, x) => acc + x).as("id_sum"))
+          .orderBy("fid")
+      },
+      Some("""SELECT CAST(fid AS BIGINT) AS fid, CAST(n AS BIGINT) AS n_pieces,
+             |       CAST(ids AS BIGINT) AS id_sum
+             |FROM (VALUES (0,32,4332),(1,37,5039),(2,25,2947),(3,30,3259),
+             |             (4,25,4380),(5,34,3121),(6,11,1342),(7,1,112),(8,0,0),
+             |             (9,34,5071),(10,18,1978),(11,11,2800)) AS t(fid, n, ids)
+             |ORDER BY fid""".stripMargin))
 
   /** st16: streaming BM25 index maintenance — three micro-batches append
     * postings + partial stats through snapshot manifests; the serve after
