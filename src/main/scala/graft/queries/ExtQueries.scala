@@ -3218,7 +3218,53 @@ object ExtQueries {
              |SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
              |       CAST(id AS BIGINT) AS id, score_micro
              |FROM rnk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin))
-  ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec)
+  ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec, x89Spec)
+
+  // robots.txt politeness gate (RFC 9309) over a planted policy: group
+  // selection (specific agent beats *), longest-match rules, $ anchors,
+  // * wildcards, case-sensitive paths. The oracle states the expected
+  // verdict per (agent, path) cell — every rule interaction is a visible
+  // hand-derivable case, and 'otherbot' must fall through to the
+  // deny-all * group.
+  private def x89Spec: QuerySpec =
+    QuerySpec("x89_robots_gate",
+      (s, d) => {
+        val robots = Seq(
+          "User-agent: graftbot",
+          "Disallow: /private/",
+          "Allow: /private/ok/",
+          "Disallow: /*.pdf$",
+          "Allow: /",
+          "",
+          "User-agent: *",
+          "Disallow: /").mkString("\n")
+        val paths = array(Seq("/", "/public/a.html", "/private/x",
+          "/private/ok/y", "/doc/a.pdf", "/doc/a.pdfx", "/private",
+          "/a/b.PDF").map(lit): _*)
+        Tables.documents(s, d).filter(col("doc_id") < 64)
+          .select(col("doc_id"),
+            when(col("doc_id") % 2 === 0, lit("graftbot"))
+              .otherwise(lit("otherbot")).as("agent"),
+            element_at(paths, (col("doc_id") % 8 + 1).cast("int")).as("path"))
+          .withColumn("allowed",
+            graft.functions.RobotsExprs.robotsAllowed(lit(robots), col("agent"),
+              col("path")).cast("long"))
+          .select(col("doc_id"), col("agent"), col("path"), col("allowed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |         CASE WHEN doc_id % 2 = 0 THEN 'graftbot'
+             |              ELSE 'otherbot' END AS agent,
+             |         ['/', '/public/a.html', '/private/x', '/private/ok/y',
+             |          '/doc/a.pdf', '/doc/a.pdfx', '/private',
+             |          '/a/b.PDF'][CAST(doc_id % 8 + 1 AS INT)] AS path,
+             |         doc_id % 8 AS pidx
+             |       FROM documents WHERE doc_id < 64)
+             |SELECT doc_id, agent, path,
+             |       CAST(CASE WHEN agent = 'otherbot' THEN 0
+             |                 WHEN pidx IN (2, 4) THEN 0
+             |                 ELSE 1 END AS BIGINT) AS allowed
+             |FROM p ORDER BY doc_id""".stripMargin))
 
   /** x88's EM-trained vocab: corpus-INDEPENDENT (trained on the fixture
     * strings), so the frozen python oracle is valid at every sf. Trained
