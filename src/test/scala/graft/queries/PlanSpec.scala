@@ -194,6 +194,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"shingle agg must map-side combine:\n$p")
   }
 
+  test("x79: BM25 serve broadcasts query terms; top-k is the bounded agg, not a window") {
+    val p = plan("x79_bm25_search")
+    assert(p.contains("BroadcastHashJoin"), s"query terms must broadcast:\n$p")
+    assert(!p.contains("Window"), s"ranking must be the heap aggregate, not a window:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"index aggs must map-side combine:\n$p")
+  }
+
+  test("x82: epoch-mix windows all partition by source — no global data window") {
+    val p = plan("x82_epoch_mix")
+    // SinglePartition exchanges exist only under the one-row budget/plan
+    // scalar aggregates; the thing that must never happen is a WINDOW over
+    // data rows without a partition spec (the global-cut scale trap)
+    val wins = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(wins.nonEmpty, s"expected the offset/cut windows in:\n$p")
+    assert(wins.forall(_.contains("windowspecdefinition(source#")),
+      s"every window must lead with the source partition key:\n${wins.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x84: encoding repair is a narrow map — no joins, one presentation sort") {
+    val p = plan("x84_encoding_repair")
+    assert(!p.contains("Join"), s"repair must not join anything:\n$p")
+    assert(exchanges(p) <= 1, s"only the orderBy range exchange is allowed:\n$p")
+    assert(!p.contains("n_chars"), s"documents scan must prune unreferenced columns:\n$p")
+  }
+
+  test("x87: banded image near-dup joins on (band, value) — never all pairs") {
+    val p = plan("x87_image_neardup")
+    assert(!p.contains("CartesianProduct"), s"banding exists to avoid all pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x89: robots gate is a narrow map — no joins, one presentation sort") {
+    val p = plan("x89_robots_gate")
+    assert(!p.contains("Join"), s"the gate must not join anything:\n$p")
+    assert(exchanges(p) <= 1, s"only the orderBy range exchange is allowed:\n$p")
+  }
+
   test("x73: PDF decode is a narrow map — no shuffle but the presentation sort") {
     val p = plan("x73_pdf_extract")
     assert(!p.contains("Join"), s"per-row PDF decode must not join:\n$p")
