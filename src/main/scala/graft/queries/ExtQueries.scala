@@ -3218,7 +3218,8 @@ object ExtQueries {
              |SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
              |       CAST(id AS BIGINT) AS id, score_micro
              |FROM rnk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin))
-  ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec, x89Spec)
+  ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec, x89Spec,
+    x90Spec, x91Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -3569,4 +3570,123 @@ object ExtQueries {
       graft.functions.Unigram.trainSeed(
         Tables.documents(s, d).filter(col("text").isNotNull), col("text"))
     })
+
+  // Hybrid retrieval: BM25 lexical top-20 fused with embedding-cosine
+  // top-20 by reciprocal-rank fusion (integer nano-unit contributions, so
+  // the fused score is an exact BIGINT). Queries are three corpus docs
+  // used as their own anchors — text drives the lexical ranker, the
+  // matching embedding drives the dense one; BM25 keeps the self-hit
+  // (each ranker fuses ITS OWN list — standard RRF), the dense side
+  // excludes self by construction (x05 semantics). The oracle replays
+  // both closed forms (x79's BM25 algebra, x05's cosine ranking) plus the
+  // fusion arithmetic end to end.
+  private def x90Spec: QuerySpec =
+    QuerySpec("x90_hybrid_rrf",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val idx = graft.ext.Bm25.index(docs, col("doc_id"), col("text"))
+        val qdocs = docs.filter(col("doc_id").isin(1L, 2L, 3L))
+          .select(col("doc_id").as("qid"), col("text").as("qtext"))
+        val lex = graft.ext.Bm25.search(idx, qdocs, col("qid"), col("qtext"), topK = 20)
+          .select(col("qid"), col("id"), col("rk"))
+        val emb = Tables.embeddings(s, d)
+        val dense = Similarity.bruteForceTopK(
+            emb.filter(col("vec_id").isin(1L, 2L, 3L)), emb, 20)
+          .select(col("query_id").as("qid"), col("neighbor_id").as("id"), col("rk"))
+        graft.ext.Retrieval.rrfFuse(Seq(lex, dense), "qid", "id", "rk",
+            kConst = 60, topK = 10)
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH terms AS (SELECT doc_id AS id,
+             |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                            x -> x <> '')) AS term
+             |       FROM documents WHERE text IS NOT NULL),
+             |tf AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+             |dl AS (SELECT id, count(*) AS dl FROM terms GROUP BY 1),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS s FROM dl),
+             |q AS (SELECT doc_id AS qid, text AS qtext FROM documents
+             |      WHERE doc_id IN (1, 2, 3) AND text IS NOT NULL),
+             |qt AS (SELECT DISTINCT qid,
+             |         unnest(list_filter(regexp_split_to_array(lower(qtext), '\s+'),
+             |                            x -> x <> '')) AS term
+             |       FROM q),
+             |m AS (SELECT qt.qid, tf.id,
+             |         CAST(round(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             |              * ((tf.tf * (1.2 + 1.0))
+             |                 / (tf.tf + 1.2 * (1.0 - 0.75
+             |                    + 0.75 * dl.dl * stats.n / stats.s)))
+             |              * 1000000.0, 0) AS BIGINT) AS sc
+             |       FROM qt JOIN tf USING (term) JOIN dfq ON qt.term = dfq.term
+             |            JOIN dl ON tf.id = dl.id, stats),
+             |agg AS (SELECT qid, id, CAST(sum(sc) AS BIGINT) AS score_micro
+             |        FROM m GROUP BY 1, 2),
+             |lex AS (SELECT qid, id,
+             |          row_number() OVER (PARTITION BY qid
+             |                             ORDER BY score_micro DESC, id) AS rk
+             |        FROM agg QUALIFY rk <= 20),
+             |qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |       FROM embeddings WHERE vec_id IN (1, 2, 3)),
+             |cv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |       FROM embeddings),
+             |den AS (SELECT qv.vec_id AS qid, cv.vec_id AS id,
+             |          row_number() OVER (PARTITION BY qv.vec_id
+             |            ORDER BY list_dot_product(qv.v, cv.v) /
+             |              (sqrt(list_dot_product(qv.v, qv.v))
+             |               * sqrt(list_dot_product(cv.v, cv.v))) DESC,
+             |            cv.vec_id ASC) AS rk
+             |        FROM qv JOIN cv ON cv.vec_id <> qv.vec_id
+             |        QUALIFY rk <= 20),
+             |u AS (SELECT qid, id, 1000000000 // (60 + rk) AS c FROM lex
+             |      UNION ALL
+             |      SELECT qid, id, 1000000000 // (60 + rk) FROM den),
+             |f AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS fused_nano,
+             |             count(*) AS n_lists
+             |      FROM u GROUP BY 1, 2),
+             |r AS (SELECT qid, id, fused_nano, n_lists,
+             |        row_number() OVER (PARTITION BY qid
+             |                           ORDER BY fused_nano DESC, id) AS rk
+             |      FROM f)
+             |SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
+             |       CAST(id AS BIGINT) AS id, fused_nano,
+             |       CAST(n_lists AS BIGINT) AS n_lists
+             |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin))
+
+  // Domain-graph PageRank for crawl curation: a deterministic synthetic
+  // link graph is planted over documents (each contributing doc emits two
+  // domain→domain links; three domains never link out, exercising the
+  // dangling-mass path), then ranked by 8 damped iterations of EXACT
+  // INTEGER PageRank (pico-unit ranks, div-truncated flows — see
+  // LinkGraph.pageRankPico). The oracle unrolls the identical integer
+  // algebra per iteration, so every rank value matches bit-for-bit.
+  private def x91Spec: QuerySpec = {
+    val edgesCte =
+      """docs AS (SELECT doc_id FROM documents
+        |         WHERE text IS NOT NULL AND doc_id % 4 <> 3),
+        |e0 AS (SELECT 'dom' || (doc_id % 23) AS src,
+        |              'dom' || ((doc_id * 7 + 1) % 23) AS dst FROM docs
+        |       UNION ALL
+        |       SELECT 'dom' || (doc_id % 23), 'dom' || ((doc_id * 3 + 2) % 23)
+        |       FROM docs),
+        |edges AS (SELECT src, dst FROM e0
+        |          WHERE src <> dst AND src NOT IN ('dom20', 'dom21', 'dom22'))""".stripMargin
+    QuerySpec("x91_pagerank",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .filter(col("text").isNotNull && col("doc_id") % 4 =!= 3)
+          .select("doc_id")
+        val e0 = docs.select(
+            concat(lit("dom"), col("doc_id") % 23).as("src"),
+            concat(lit("dom"), (col("doc_id") * 7 + 1) % 23).as("dst"))
+          .unionByName(docs.select(
+            concat(lit("dom"), col("doc_id") % 23).as("src"),
+            concat(lit("dom"), (col("doc_id") * 3 + 2) % 23).as("dst")))
+        val edges = e0.filter(col("src") =!= col("dst") &&
+          !col("src").isin("dom20", "dom21", "dom22"))
+        graft.ext.LinkGraph.pageRankPico(edges, "src", "dst", iters = 8)
+          .orderBy(col("rank_pico").desc, col("node"))
+      },
+      Some(graft.ext.LinkGraph.pageRankOracleSql(edgesCte, iters = 8)))
+  }
 }

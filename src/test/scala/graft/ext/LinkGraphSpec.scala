@@ -1,0 +1,82 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000000000L
+
+  test("symmetric 2-cycle holds uniform rank at every iteration") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val out = LinkGraph.pageRankPico(edges, "src", "dst", iters = 6)
+      .orderBy("node").as[(String, Long)].collect()
+    // uniform start S/2 each; every flow is rank*1 div 1 → base + 85% rank
+    // keeps them equal (and ≈ S/2 up to div truncation drift)
+    assert(out.map(_._1).toSeq == Seq("a", "b"))
+    assert(out(0)._2 == out(1)._2)
+    assert(math.abs(out(0)._2 - S / 2) < 10)
+  }
+
+  test("dangling node recurrence matches the exact integer algebra") {
+    // a -> b, b dangling; n = 2. Replay the same integer recurrence here.
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    var ra = S / 2
+    var rb = S / 2
+    val base = (S - 85L * S / 100L) / 2
+    for (_ <- 1 to 5) {
+      val dm = rb // b is the only dangling node
+      val contribB = ra // (ra * 1) div 1
+      val ra2 = base + (85L * (0L + dm / 2)) / 100L
+      val rb2 = base + (85L * (contribB + dm / 2)) / 100L
+      ra = ra2; rb = rb2
+    }
+    val out = LinkGraph.pageRankPico(edges, "src", "dst", iters = 5)
+      .orderBy("node").as[(String, Long)].collect().toMap
+    assert(out("a") == ra)
+    assert(out("b") == rb)
+  }
+
+  test("parallel edges weight the flow; hub outranks spokes") {
+    // star: s1..s4 -> hub (s1 twice — weight 2 changes nothing for a
+    // single-target source), hub -> s1 back so nothing dangles fully
+    val edges = Seq(("s1", "hub"), ("s1", "hub"), ("s2", "hub"), ("s3", "hub"),
+      ("s4", "hub"), ("hub", "s1")).toDF("src", "dst")
+    // hub↔s1 mass oscillates with period 2 and decays by 0.85² per cycle;
+    // 40 iterations damp the slosh to ~1e-3 so the fixpoint ordering
+    // (hub ≈ 0.476 > s1 ≈ 0.434) is unambiguous
+    val out = LinkGraph.pageRankPico(edges, "src", "dst", iters = 40)
+      .as[(String, Long)].collect().toMap
+    assert(out("hub") > out("s1"))
+    assert(out("s1") > out("s2")) // hub's whole flow lands on s1
+    assert(out("s2") == out("s3") && out("s3") == out("s4"))
+    // mass is conserved up to div truncation (strictly bounded loss)
+    val total = out.values.sum
+    assert(total <= S && total > S - 1000L)
+  }
+
+  test("weighted split: two-thirds of a source's flow follows weight 2") {
+    val edges = Seq(("a", "b"), ("a", "b"), ("a", "c"),
+      ("b", "a"), ("c", "a")).toDF("src", "dst")
+    val out = LinkGraph.pageRankPico(edges, "src", "dst", iters = 12)
+      .as[(String, Long)].collect().toMap
+    assert(out("b") > out("c"))
+    assert(out("a") > out("b")) // both b and c return everything to a
+  }
+
+  test("empty edge list returns an empty frame, not a crash") {
+    val edges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(LinkGraph.pageRankPico(edges, "src", "dst", iters = 3).count() == 0L)
+  }
+
+  test("oracle generator and operator agree on a planted graph (spot)") {
+    // not a DuckDB run (that's the driver's job) — just pin that the
+    // generated SQL contains the same constants the operator uses
+    val sql = LinkGraph.pageRankOracleSql("edges AS (SELECT 'a' AS src, 'b' AS dst)",
+      iters = 3)
+    assert(sql.contains("1000000000000 // n"))
+    assert(sql.contains("(85 * (coalesce(c3.c, 0) + d3.dm // n)) // 100"))
+    assert(sql.contains("ORDER BY rank_pico DESC, node"))
+  }
+}
