@@ -232,4 +232,47 @@ object Curation {
       .select(col("source"), (col("__efull") + 1L).as("epoch"), col("id"), col("tokens"))
     full.unionByName(partial)
   }
+
+  /** Weighted PPS (probability-proportional-to-size) SYSTEMATIC sampling:
+    * per group, pick ~`k` rows with inclusion probability ∝ `weight`
+    * (token count, quality mass, …) using the classic systematic rule —
+    * lay rows on a deterministic md5-ordered line, cumulate weights, and
+    * select every row whose weight span crosses a step boundary
+    * (`(cum·k) div W` changes). All arithmetic is exact integers, so the
+    * kept set is a stable function of (ids, weights, k): reruns, retries,
+    * and resizes keep identical rows, and the DuckDB oracle reproduces it
+    * bit-for-bit — the auditable alternative to RNG reservoir sampling.
+    *
+    * A row heavier than W/k spans multiple boundaries but is emitted once,
+    * so groups with such rows yield fewer than k (standard PPS behavior —
+    * certainty units: any row with w ≥ W/k is ALWAYS selected). Rows much
+    * lighter than W/k may be skipped even in small groups — selection
+    * count is ≤ min(k, rows), exactly k when no row exceeds W/k.
+    *
+    * Scale shape: one per-(group, md5-bucket) cumsum window (≤2^16 rows
+    * per group in the offsets frame, never a whole-group window — the
+    * epochMix two-level prefix-sum pattern) plus one broadcast of
+    * per-group totals. No RNG, no collect, no global sort. */
+  def ppsSample(df: DataFrame, group: Column, id: Column, weight: Column,
+                k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k >= 1, got $k")
+    val base = df.select(group.cast("string").as("group"), id.as("id"),
+        weight.cast("long").as("w"), TextAnalysis.hashBucket16(id).as("__b"))
+      .filter(col("w") > 0)
+    val tot = base.groupBy("group").agg(sum(col("w")).as("__wtot"))
+    val off = base.groupBy("group", "__b").agg(sum(col("w")).as("__bt"))
+      .withColumn("__off", coalesce(
+        sum(col("__bt")).over(Window.partitionBy("group").orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("group", "__b", "__off")
+    val local = Window.partitionBy("group", "__b").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(off, Seq("group", "__b"))
+      .withColumn("__pre", coalesce(sum(col("w")).over(local), lit(0L)) + col("__off"))
+      .join(broadcast(tot), "group")
+      .filter(expr(s"((__pre + w) * ${k}L) div __wtot") >
+        expr(s"(__pre * ${k}L) div __wtot"))
+      .select(col("group"), col("id"), col("w").as("weight"))
+  }
 }

@@ -84,6 +84,63 @@ object LmScore {
     } finally trainStream.unpersist(blocking = false)
   }
 
+  /** Per-document NLL under an interpolated KNESER-NEY bigram model — the
+    * smoothing KenLM actually ships (CCNet's filter is a KN 5-gram): the
+    * add-one model of [[bigramNll]] over-penalizes frequent-but-bursty
+    * tokens, while KN discounts observed mass by a fixed D and backs off
+    * to the CONTINUATION probability (how many distinct contexts a word
+    * follows), the signal that separates fluent glue words from keyword
+    * stuffing:
+    *
+    *   p(w2|w1) = (max(C(w1,w2) − D, 0) + D · N1+(w1·) · Pcont(w2)) / C(w1·)
+    *   Pcont(w2) = N1+(·w2) / N1+(··)
+    *
+    * Self-train mode (this operator's scope — the deterministic quality
+    * ranking): every scored bigram was seen, so C(w1·) ≥ 1 and p ∈ (0, 1].
+    * For held-out scoring use [[bigramNll]]'s add-one model, whose C=0
+    * fallback is principled; inventing an unseen-history fallback for KN
+    * is not.
+    *
+    * Exactness: counts are integers; p is evaluated in one fixed
+    * parenthesization mirrored by the oracle, each bigram emits
+    * round(−ln p × 1e6) as a long, and longs sum order-independently.
+    *
+    * Scale shape: like [[bigramNll]] plus two group-bys OVER THE TYPE
+    * TABLE (N1+ statistics aggregate c12, not the stream) — the bigram
+    * stream and the type table are each persisted once and released; all
+    * joins are token-key equi-joins, nothing collected. */
+  def knBigramNll(docs: DataFrame, id: Column, text: Column,
+                  discount: Double = 0.75,
+                  materialize: Boolean = true): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount in (0,1), got $discount")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val stream = bigrams(docs, id, text).persist(lvl)
+    // c12 feeds four consumers (score join + both N1+ stats + the type
+    // total); without the persist each would re-run the explode
+    val c12 = stream.groupBy("w1", "w2").agg(count(lit(1)).as("__n12")).persist(lvl)
+    try {
+      val c1 = stream.groupBy("w1").agg(count(lit(1)).as("__n1"))
+      val n1fw = c12.groupBy("w1").agg(count(lit(1)).as("__n1fw"))
+      val n1pw = c12.groupBy("w2").agg(count(lit(1)).as("__n1pw"))
+      val ntypes = c12.agg(count(lit(1)).as("__ntypes"))
+      val p = (greatest(col("__n12") - lit(discount), lit(0.0)) +
+        lit(discount) * col("__n1fw") * (col("__n1pw") / col("__ntypes"))) / col("__n1")
+      val scored = stream
+        .join(c12, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .join(n1fw, Seq("w1"))
+        .join(n1pw, Seq("w2"))
+        .crossJoin(broadcast(ntypes))
+        .withColumn("__nll", round(-log(p) * 1e6, 0).cast("long"))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll")).as("nll_micro"))
+      if (materialize) scored.localCheckpoint(true) else scored
+    } finally {
+      stream.unpersist(blocking = false)
+      c12.unpersist(blocking = false)
+    }
+  }
+
   /** CCNet-style perplexity bucketing: rank documents by per-bigram LM
     * score ascending (most fluent first) and split the corpus into
     * `head` / `middle` / `tail` at 1/3 and 2/3 of CUMULATIVE TOKEN MASS —

@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency sketches for corpus statistics at 100 TB: a
+  * count-min sketch (Cormode & Muthukrishnan) built as a plain group-by —
+  * the sketch IS a (depth × width)-cell aggregate, so Spark's map-side
+  * partial aggregation ships at most depth·width cells per task through
+  * the shuffle regardless of input rows, and "merging sketches" is the
+  * same sum-by-cell group-by over more data. Point queries overestimate,
+  * never underestimate (est ≥ true count; error ≤ εN with ε = e/width at
+  * the usual depth = ln(1/δ) rows).
+  *
+  * Complements the existing exact/heavy-hitter machinery: Misra-Gries
+  * (x27) answers "which keys are frequent", the CMS answers "how frequent
+  * is THIS key" for any key, in fixed memory, without storing the key set.
+  *
+  * Determinism / oracle parity: buckets come from md5 hex prefixes
+  * (`md5("row:key")` first 8 hex chars mod width) — engine-portable, so
+  * the DuckDB oracle rebuilds the identical sketch cell-for-cell.
+  */
+object Sketches {
+
+  /** Row-`r` bucket for `key`: first 8 md5 hex chars of "r:key", mod
+    * `width`. Nonnegative, so `%`/`pmod` agree across engines. */
+  private def cmBucket(key: Column, r: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"$r:"), key).cast("binary")), 1, 8), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** Build the sketch over one key per input row: `(row, bucket, cnt)`,
+    * depth·width cells max. Each input row fans out to `depth` cells via a
+    * single generator (one pass over the data). */
+  def countMin(df: DataFrame, key: Column, depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape $depth x $width")
+    df.select(explode(array((0 until depth).map(r =>
+        struct(lit(r.toLong).as("row"), cmBucket(key, r, width).as("bucket"))): _*)).as("__c"))
+      .select(col("__c.row").as("row"), col("__c.bucket").as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch: `(probe, est)` where est = min over depth
+    * rows of the probed cell (0 when a cell is empty). `probes` is small
+    * (broadcast side); `depth`/`width` must match the build. */
+  def countMinEstimate(sketch: DataFrame, probes: DataFrame, probe: Column,
+                       depth: Int = 4, width: Int = 512): DataFrame =
+    probes.select(probe.as("probe"))
+      .select(col("probe"), explode(array((0 until depth).map(r =>
+        struct(lit(r.toLong).as("row"), cmBucket(col("probe"), r, width).as("bucket"))): _*)).as("__c"))
+      .select(col("probe"), col("__c.row").as("row"), col("__c.bucket").as("bucket"))
+      .join(sketch, Seq("row", "bucket"), "left")
+      .groupBy("probe")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+}

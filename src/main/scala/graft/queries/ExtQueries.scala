@@ -3219,7 +3219,7 @@ object ExtQueries {
              |       CAST(id AS BIGINT) AS id, score_micro
              |FROM rnk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin))
   ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec, x89Spec,
-    x90Spec, x91Spec)
+    x90Spec, x91Spec, x92Spec, x93Spec, x94Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -3688,5 +3688,115 @@ object ExtQueries {
           .orderBy(col("rank_pico").desc, col("node"))
       },
       Some(graft.ext.LinkGraph.pageRankOracleSql(edgesCte, iters = 8)))
+  }
+
+  // Interpolated Kneser-Ney bigram scoring (the KenLM smoothing): absolute
+  // discount D=0.75 with continuation-probability backoff, self-trained on
+  // the corpus and scored in exact micro-nat integers. The oracle rebuilds
+  // all four count tables (C(w1,w2), C(w1·), N1+(w1·), N1+(·w2)) and the
+  // type total, and evaluates p in the identical parenthesization — every
+  // per-doc NLL matches bit-for-bit.
+  private def x92Spec: QuerySpec =
+    QuerySpec("x92_kneser_ney",
+      (s, d) => graft.ext.LmScore.knBigramNll(Tables.documents(s, d),
+          col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id,
+             |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                     x -> x <> '') AS t
+             |       FROM documents),
+             |bg AS (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+             |       FROM tok WHERE len(t) >= 2),
+             |b2 AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bg),
+             |c12 AS (SELECT w1, w2, count(*) AS n12 FROM b2 GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*) AS n1 FROM b2 GROUP BY 1),
+             |fw AS (SELECT w1, count(*) AS n1fw FROM c12 GROUP BY 1),
+             |pw AS (SELECT w2, count(*) AS n1pw FROM c12 GROUP BY 1),
+             |nt AS (SELECT count(*) AS ntypes FROM c12),
+             |sc AS (SELECT doc_id,
+             |         CAST(round(-ln((greatest(n12 - 0.75, 0)
+             |                + 0.75 * n1fw * (n1pw / ntypes)) / n1)
+             |              * 1000000, 0) AS BIGINT) AS s
+             |       FROM b2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+             |            JOIN fw USING (w1) JOIN pw USING (w2), nt)
+             |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(s) AS BIGINT) AS nll_micro
+             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // Weighted PPS systematic sampling: ~10 docs per source with inclusion
+  // probability ∝ n_chars, via the integer step-boundary rule over the
+  // md5-ordered cumulative weight line. The oracle lays out the identical
+  // line (same md5 order, same prefix sums) and applies the identical
+  // `(cum·k) div W` crossings — the kept set matches row-for-row.
+  private def x93Spec: QuerySpec =
+    QuerySpec("x93_pps_sample",
+      (s, d) => Curation.ppsSample(
+          Tables.documents(s, d).filter(col("text").isNotNull),
+          col("source"), col("doc_id"), col("n_chars"), k = 10)
+        .select(col("group").as("source"), col("id").as("doc_id"), col("weight"))
+        .orderBy("source", "doc_id"),
+      Some("""WITH base AS (SELECT source AS grp, doc_id AS id, n_chars AS w,
+             |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS b
+             |       FROM documents WHERE text IS NOT NULL AND n_chars > 0),
+             |tot AS (SELECT grp, sum(w) AS wtot FROM base GROUP BY 1),
+             |c AS (SELECT grp, id, w,
+             |        coalesce(sum(w) OVER (PARTITION BY grp ORDER BY b, id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+             |      FROM base)
+             |SELECT c.grp AS source, CAST(c.id AS BIGINT) AS doc_id,
+             |       CAST(c.w AS BIGINT) AS weight
+             |FROM c JOIN tot ON c.grp = tot.grp
+             |WHERE ((c.pre + c.w) * 10) // tot.wtot > (c.pre * 10) // tot.wtot
+             |ORDER BY source, doc_id""".stripMargin))
+
+  // Count-min sketch over the corpus token stream (depth 4 × width 512,
+  // md5-derived buckets): probe ten terms — glue words, content words, an
+  // absent term — and report estimate vs exact count plus the CMS
+  // guarantee bit (est ≥ exact, = 1 everywhere). The oracle rebuilds the
+  // sketch cell-for-cell and probes it with the same hashes, so the
+  // estimates (overcounts included) match exactly.
+  private def x94Spec: QuerySpec = {
+    val probeTerms = Seq("the", "a", "table", "spark", "vector",
+      "window", "merge", "slow", "customer", "zzz_absent")
+    QuerySpec("x94_countmin",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(explode(filter(split(lower(col("text")), "\\s+"),
+            x => x =!= "")).as("w"))
+        val sketch = graft.ext.Sketches.countMin(toks, col("w"))
+        val probes = probeTerms.toDF("term")
+        val est = graft.ext.Sketches.countMinEstimate(sketch, probes, col("term"))
+          .withColumnRenamed("probe", "term")
+        val exact = toks.groupBy(col("w").as("term")).agg(count(lit(1)).as("exact"))
+        est.join(exact, Seq("term"), "left")
+          .select(col("term"), col("est").cast("long").as("est_count"),
+            coalesce(col("exact"), lit(0L)).cast("long").as("exact_count"),
+            (col("est") >= coalesce(col("exact"), lit(0L))).cast("long").as("bound_ok"))
+          .orderBy("term")
+      },
+      Some(s"""WITH tok AS (SELECT unnest(list_filter(
+             |           regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+             |       FROM documents WHERE text IS NOT NULL),
+             |d AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS d(r)),
+             |cells AS (SELECT r AS row,
+             |            CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || w), 1, 8))
+             |                 AS BIGINT) % 512 AS bucket,
+             |            count(*) AS cnt
+             |          FROM tok, d GROUP BY 1, 2),
+             |probes AS (SELECT * FROM (VALUES ${probeTerms.map(t => s"('$t')").mkString(", ")})
+             |           AS p(term)),
+             |pe AS (SELECT term, r AS row,
+             |         CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 8))
+             |              AS BIGINT) % 512 AS bucket
+             |       FROM probes, d),
+             |est AS (SELECT term, min(coalesce(cells.cnt, 0)) AS est
+             |        FROM pe LEFT JOIN cells USING (row, bucket) GROUP BY 1),
+             |ex AS (SELECT w AS term, count(*) AS exact FROM tok GROUP BY 1)
+             |SELECT est.term, CAST(est.est AS BIGINT) AS est_count,
+             |       CAST(coalesce(ex.exact, 0) AS BIGINT) AS exact_count,
+             |       CAST(est.est >= coalesce(ex.exact, 0) AS BIGINT) AS bound_ok
+             |FROM est LEFT JOIN ex ON est.term = ex.term
+             |ORDER BY 1""".stripMargin))
   }
 }

@@ -183,4 +183,60 @@ class CurationSpec extends SparkSpec {
         Map("big" -> 2000000L), budgetOf(10L), maxEpochs = 1)
     }
   }
+
+  test("ppsSample: uniform weights pick exactly k, spread along the line") {
+    val docs = (1L to 100L).map(i => ("g", i, 10L)).toDF("src", "id", "w")
+    val out = Curation.ppsSample(docs, col("src"), col("id"), col("w"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 10)
+    assert(out.forall(_._3 == 10L))
+  }
+
+  test("ppsSample: certainty units (w >= W/k) are always selected") {
+    // one whale (60% of mass) among minnows
+    val docs = (("g", 1L, 600L) +: (2L to 41L).map(i => ("g", i, 10L))).toDF("src", "id", "w")
+    val out = Curation.ppsSample(docs, col("src"), col("id"), col("w"), k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(out.contains(1L))
+    assert(out.size <= 5) // whale spans 3 steps but is emitted once
+  }
+
+  test("ppsSample: selection replays the integer step rule exactly") {
+    val docs = Seq(("g", 1L, 3L), ("g", 2L, 7L), ("g", 3L, 5L), ("g", 4L, 10L),
+      ("g", 5L, 2L)).toDF("src", "id", "w")
+    val k = 3
+    // replay: md5 order of ids, cumulative weights, boundary crossings
+    def b(id: Long): Long =
+      java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(id.toString).substring(0, 4), 16)
+    val ordered = Seq((1L, 3L), (2L, 7L), (3L, 5L), (4L, 10L), (5L, 2L))
+      .sortBy { case (id, _) => (b(id), id) }
+    val wtot = ordered.map(_._2).sum
+    var pre = 0L
+    val want = ordered.flatMap { case (id, w) =>
+      val sel = (pre + w) * k / wtot > pre * k / wtot
+      pre += w
+      if (sel) Some(id) else None
+    }.toSet
+    val got = Curation.ppsSample(docs, col("src"), col("id"), col("w"), k = k)
+      .collect().map(_.getLong(1)).toSet
+    assert(got === want)
+  }
+
+  test("ppsSample: per-group independence and zero/negative-weight drop") {
+    val docs = Seq(("a", 1L, 5L), ("a", 2L, 5L), ("b", 3L, 1L), ("b", 4L, 0L),
+      ("b", 5L, -2L)).toDF("src", "id", "w")
+    val out = Curation.ppsSample(docs, col("src"), col("id"), col("w"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out.contains(("b", 3L))) // only positive-weight row: the whole mass
+    assert(!out.exists(p => p._2 == 4L || p._2 == 5L))
+    assert(out.count(_._1 == "a") === 2) // both a-rows at w = W/k exactly
+  }
+
+  test("ppsSample: deterministic across reruns") {
+    val docs = (1L to 57L).map(i => (s"s${i % 3}", i, (i % 13) + 1)).toDF("src", "id", "w")
+    def run() = Curation.ppsSample(docs, col("src"), col("id"), col("w"), k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(run() === run())
+  }
 }

