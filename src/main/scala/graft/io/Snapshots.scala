@@ -150,12 +150,17 @@ object Snapshots {
     * add-only writers. */
   def commit(spark: SparkSession, table: String,
              adds: Seq[String], removes: Seq[String] = Nil,
-             baseVersion: Option[Long] = None): Long = {
+             baseVersion: Option[Long] = None,
+             schemaJson: Option[String] = None): Long = {
     val f = fs(spark, table)
     f.mkdirs(new Path(manifestDir(table)))
     val next = baseVersion.getOrElse(currentVersion(spark, table)) + 1
+    // the schema line reuses the (a, p) line shape; liveFiles'
+    // add/remove match ignores it, referencedFiles treats the json as a
+    // never-matching "path" — both harmless by construction
     val lines =
-      adds.map(p => s"""{"a":"add","p":${jq(p)}}""") ++
+      schemaJson.map(s => s"""{"a":"schema","p":${jq(s)}}""").toSeq ++
+        adds.map(p => s"""{"a":"add","p":${jq(p)}}""") ++
         removes.map(p => s"""{"a":"remove","p":${jq(p)}}""")
     val path = new Path(f"${manifestDir(table)}/v$next%010d.json")
     if (!writeExclusive(f, path, lines)) throw ConcurrentCommitException(table, next)
@@ -163,8 +168,14 @@ object Snapshots {
   }
 
   /** Write `df` as a new data directory under the table and commit it as
-    * one transaction (add-only). Returns the new version. */
-  def commitAppend(df: DataFrame, table: String): Long = {
+    * one transaction (add-only). `recordSchema` additionally stamps the
+    * commit with `df`'s schema — the SCHEMA EVOLUTION hook: a later commit
+    * may stamp a WIDER schema (new nullable columns); [[readAt]] then
+    * resolves every version under the schema recorded AS OF that version,
+    * so time travel sees the old shape and current reads see old files
+    * null-padded to the new one. Returns the new version. */
+  def commitAppend(df: DataFrame, table: String,
+                   recordSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val dir = s"$table/data/${java.util.UUID.randomUUID().toString}"
     df.write.parquet(dir)
@@ -172,7 +183,46 @@ object Snapshots {
     val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
-    commit(spark, table, adds = parts)
+    commit(spark, table, adds = parts,
+      schemaJson = if (recordSchema) Some(df.schema.json) else None)
+  }
+
+  /** Exactly-once micro-batch append: write `df` under the DETERMINISTIC
+    * per-batch directory and commit it — unless the manifest already
+    * references that directory (the manifest is the idempotence ledger; a
+    * checkpoint replay of a committed batch is a no-op, a crash between
+    * data write and commit overwrites its own directory and commits the
+    * fresh listing — the orphan is [[vacuum]] food). Shared by every
+    * streaming maintenance gate (snapshot/BM25/sketch ingest). */
+  def commitBatchOnce(spark: SparkSession, table: String, batchId: Long,
+                      df: DataFrame): Unit = {
+    val dir = s"$table/data/batch$batchId"
+    val already = referencedFiles(spark, table).exists(_.contains(s"$dir/"))
+    if (!already) {
+      df.write.mode("overwrite").parquet(dir)
+      val f = fs(spark, table)
+      val parts = f.listStatus(new Path(dir)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString)
+      if (parts.nonEmpty) { commit(spark, table, adds = parts); () }
+    }
+  }
+
+  /** The recorded table schema as of `version` (default current): the
+    * newest schema stamp at or before it. None for tables that never
+    * recorded one (pre-evolution manifests read file-inferred, as ever).
+    * Commit manifests are never deleted (vacuum reclaims only data
+    * files), so the scan always sees the full stamp history. */
+  def tableSchema(spark: SparkSession, table: String,
+                  version: Option[Long] = None): Option[StructType] = {
+    val f = fs(spark, table)
+    val v = version.getOrElse(currentVersion(spark, table))
+    versions(spark, table).filter(_ <= v).sorted.reverse.view.flatMap { c =>
+      readLines(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))
+        .flatMap(parseLine).collectFirst { case ("schema", s) =>
+          org.apache.spark.sql.types.DataType.fromJson(s).asInstanceOf[StructType]
+        }
+    }.headOption
   }
 
   /** The live data-file set at `version` (default: current): start from
@@ -209,16 +259,22 @@ object Snapshots {
   }
 
   /** Time-travel read: the table as of `version` (default current). An
-    * empty live set needs `schema` to produce a typed empty frame. */
+    * empty live set needs a schema (passed or recorded) to produce a
+    * typed empty frame. With no explicit `schema`, the schema RECORDED as
+    * of `version` (see [[commitAppend]] `recordSchema`) governs the read:
+    * files committed under an older, narrower schema come back
+    * null-padded in the evolved columns, and time travel to a
+    * pre-evolution version sees the pre-evolution shape. */
   def readAt(spark: SparkSession, table: String, version: Option[Long] = None,
              schema: Option[StructType] = None): DataFrame = {
     val files = liveFiles(spark, table, version)
+    val sc = schema.orElse(tableSchema(spark, table, version))
     if (files.isEmpty) {
-      val sc = schema.getOrElse(throw new IllegalArgumentException(
+      val s = sc.getOrElse(throw new IllegalArgumentException(
         s"version ${version.getOrElse(0L)} of $table is empty; pass a schema"))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     } else {
-      val r = schema.map(spark.read.schema).getOrElse(spark.read)
+      val r = sc.map(spark.read.schema).getOrElse(spark.read)
       r.parquet(files: _*)
     }
   }

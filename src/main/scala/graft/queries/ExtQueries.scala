@@ -3219,7 +3219,7 @@ object ExtQueries {
              |       CAST(id AS BIGINT) AS id, score_micro
              |FROM rnk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin))
   ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec, x89Spec,
-    x90Spec, x91Spec, x92Spec, x93Spec, x94Spec)
+    x90Spec, x91Spec, x92Spec, x93Spec, x94Spec, x95Spec, st17Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -3769,6 +3769,120 @@ object ExtQueries {
         val est = graft.ext.Sketches.countMinEstimate(sketch, probes, col("term"))
           .withColumnRenamed("probe", "term")
         val exact = toks.groupBy(col("w").as("term")).agg(count(lit(1)).as("exact"))
+        est.join(exact, Seq("term"), "left")
+          .select(col("term"), col("est").cast("long").as("est_count"),
+            coalesce(col("exact"), lit(0L)).cast("long").as("exact_count"),
+            (col("est") >= coalesce(col("exact"), lit(0L))).cast("long").as("bound_ok"))
+          .orderBy("term")
+      },
+      Some(s"""WITH tok AS (SELECT unnest(list_filter(
+             |           regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+             |       FROM documents WHERE text IS NOT NULL),
+             |d AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS d(r)),
+             |cells AS (SELECT r AS row,
+             |            CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || w), 1, 8))
+             |                 AS BIGINT) % 512 AS bucket,
+             |            count(*) AS cnt
+             |          FROM tok, d GROUP BY 1, 2),
+             |probes AS (SELECT * FROM (VALUES ${probeTerms.map(t => s"('$t')").mkString(", ")})
+             |           AS p(term)),
+             |pe AS (SELECT term, r AS row,
+             |         CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 8))
+             |              AS BIGINT) % 512 AS bucket
+             |       FROM probes, d),
+             |est AS (SELECT term, min(coalesce(cells.cnt, 0)) AS est
+             |        FROM pe LEFT JOIN cells USING (row, bucket) GROUP BY 1),
+             |ex AS (SELECT w AS term, count(*) AS exact FROM tok GROUP BY 1)
+             |SELECT est.term, CAST(est.est AS BIGINT) AS est_count,
+             |       CAST(coalesce(ex.exact, 0) AS BIGINT) AS exact_count,
+             |       CAST(est.est >= coalesce(ex.exact, 0) AS BIGINT) AS bound_ok
+             |FROM est LEFT JOIN ex ON est.term = ex.term
+             |ORDER BY 1""".stripMargin))
+  }
+
+  // Snapshot SCHEMA EVOLUTION: three schema-stamped commits — v2 widens
+  // with `lang`, v3 with `source`. Each version resolves under the schema
+  // recorded AS OF it: time travel to v1 sees two columns, the current
+  // read null-pads v1's files in the evolved columns (n_lang counts only
+  // rows whose file carried the column). The oracle replays the
+  // shape-per-version algebra on the source table.
+  private def x95Spec: QuerySpec =
+    QuerySpec("x95_schema_evolution",
+      (s, d) => {
+        import graft.io.Snapshots
+        val t = Staging.dir("snapevo", d) { tmp =>
+          val docs = Tables.documents(s, d)
+          val tbl = s"$tmp/tbl"
+          Snapshots.commitAppend(docs.filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), col("n_chars")), tbl, recordSchema = true)
+          Snapshots.commitAppend(docs.filter(col("doc_id") % 3 === 1)
+            .select(col("doc_id"), col("n_chars"), col("lang")), tbl,
+            recordSchema = true)
+          Snapshots.commitAppend(docs.filter(col("doc_id") % 3 === 2)
+            .select(col("doc_id"), col("n_chars"), col("lang"), col("source")),
+            tbl, recordSchema = true)
+          ()
+        } + "/tbl"
+        def at(v: Long) = {
+          val df = Snapshots.readAt(s, t, Some(v))
+          val nLang = if (df.columns.contains("lang")) count(col("lang")) else lit(0L)
+          df.agg(n.as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"),
+              nLang.cast("long").as("n_lang"))
+            .select(lit(v).as("version"), lit(df.columns.length.toLong).as("n_cols"),
+              col("n_docs"), col("sum_chars"), col("n_lang"))
+        }
+        at(1).unionByName(at(2)).unionByName(at(3)).orderBy("version")
+      },
+      Some("""WITH s AS (SELECT doc_id % 3 AS sl, n_chars, lang FROM documents)
+             |SELECT CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_cols,
+             |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       CAST(0 AS BIGINT) AS n_lang FROM s WHERE sl = 0
+             |UNION ALL
+             |SELECT 2, 3, count(*), CAST(sum(n_chars) AS BIGINT),
+             |       count(lang) FILTER (WHERE sl = 1) FROM s WHERE sl IN (0, 1)
+             |UNION ALL
+             |SELECT 3, 4, count(*), CAST(sum(n_chars) AS BIGINT),
+             |       count(lang) FILTER (WHERE sl IN (1, 2)) FROM s
+             |ORDER BY version""".stripMargin))
+
+  // st17: streaming count-min maintenance — three micro-batches of
+  // tokenized documents each append a partial sketch through the
+  // manifest; the served merge (cell-wise sum) must estimate EXACTLY what
+  // the batch-built x94 sketch estimates (CMS merge is exact), so the
+  // oracle is x94's, verbatim by construction.
+  private def st17Spec: QuerySpec = {
+    val probeTerms = Seq("the", "a", "table", "spark", "vector",
+      "window", "merge", "slow", "customer", "zzz_absent")
+    QuerySpec("st17_stream_sketch_ingest",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val src = Staging.slicedSource("cmsing", d) { tmp =>
+          (0 until 3).foreach { i =>
+            Staging.writeSlice(docs.filter(col("doc_id") % 3 === i), s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cmsing_run").toString
+        val table = s"$tmp/sketch"
+        Staging.drainTuning(s, src, 3) {
+          val stream = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true").parquet(s"$src/src")
+            .select(explode(filter(split(lower(col("text")), "\\s+"),
+              x => x =!= "")).as("w"))
+          val q = graft.streaming.SketchIngest.start(s, stream, "w", table,
+            s"$tmp/ckpt")
+          q.awaitTermination()
+        }
+        val probes = probeTerms.toDF("term")
+        val est = graft.streaming.SketchIngest.estimate(s, table, probes, col("term"))
+          .withColumnRenamed("probe", "term")
+        val exact = docs
+          .select(explode(filter(split(lower(col("text")), "\\s+"),
+            x => x =!= "")).as("w"))
+          .groupBy(col("w").as("term")).agg(count(lit(1)).as("exact"))
         est.join(exact, Seq("term"), "left")
           .select(col("term"), col("est").cast("long").as("est_count"),
             coalesce(col("exact"), lit(0L)).cast("long").as("exact_count"),

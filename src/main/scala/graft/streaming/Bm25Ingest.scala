@@ -26,18 +26,8 @@ object Bm25Ingest {
   def statsTable(indexRoot: String): String = s"$indexRoot/stats"
 
   private def commitOnce(spark: SparkSession, table: String, batchId: Long,
-                         df: DataFrame): Unit = {
-    val dir = s"$table/data/batch$batchId"
-    val already = Snapshots.referencedFiles(spark, table).exists(_.contains(s"$dir/"))
-    if (!already) {
-      df.write.mode("overwrite").parquet(dir)
-      val f = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val parts = f.listStatus(new Path(dir)).toSeq
-        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .map(_.getPath.toString)
-      if (parts.nonEmpty) { Snapshots.commit(spark, table, adds = parts); () }
-    }
-  }
+                         df: DataFrame): Unit =
+    Snapshots.commitBatchOnce(spark, table, batchId, df)
 
   /** Start maintaining the index at `indexRoot` from streaming `source`
     * (columns `idCol` long, `textCol` string). Drain with AvailableNow. */

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import graft.io.Snapshots
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -37,18 +36,7 @@ object SnapshotIngest {
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val dir = batchDir(table, batchId)
-        val marker = s"$dir/"
-        val already = Snapshots.referencedFiles(spark, table).exists(_.contains(marker))
-        if (!already) {
-          batch.write.mode("overwrite").parquet(dir)
-          val f = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val parts = f.listStatus(new Path(dir)).toSeq
-            .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-            .map(_.getPath.toString)
-          if (parts.nonEmpty) Snapshots.commit(spark, table, adds = parts)
-        }
-        ()
+        Snapshots.commitBatchOnce(spark, table, batchId, batch)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -119,4 +119,48 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.commit(spark, t, adds = weird)
     assert(Snapshots.liveFiles(spark, t) === weird)
   }
+
+  test("schema evolution: widened commits null-pad old files; time travel keeps the old shape") {
+    val t = tmpTable()
+    Snapshots.commitAppend(Seq((1L, 10L), (2L, 20L)).toDF("id", "n"), t,
+      recordSchema = true)
+    Snapshots.commitAppend(Seq((3L, 30L, "en"), (4L, 40L, "de"))
+      .toDF("id", "n", "lang"), t, recordSchema = true)
+    // current read: evolved 3-column shape, v1 files null-padded
+    val cur = Snapshots.readAt(spark, t)
+    assert(cur.columns.toSeq === Seq("id", "n", "lang"))
+    val byId = cur.collect().map(r => r.getLong(0) ->
+      Option(r.getAs[String]("lang"))).toMap
+    assert(byId(1L).isEmpty && byId(3L).contains("en"))
+    // time travel to v1: the pre-evolution 2-column shape
+    val v1 = Snapshots.readAt(spark, t, Some(1))
+    assert(v1.columns.toSeq === Seq("id", "n"))
+    assert(v1.count() === 2)
+    // recorded schemas resolve per version
+    assert(Snapshots.tableSchema(spark, t, Some(1)).get.fieldNames.toSeq ===
+      Seq("id", "n"))
+    assert(Snapshots.tableSchema(spark, t).get.fieldNames.toSeq ===
+      Seq("id", "n", "lang"))
+  }
+
+  test("schema evolution: explicit schema still wins; unstamped tables unchanged") {
+    val t = tmpTable()
+    Snapshots.commitAppend(Seq((1L, 10L)).toDF("id", "n"), t) // no stamp
+    assert(Snapshots.tableSchema(spark, t).isEmpty)
+    // unstamped: file-inferred read, as before evolution support
+    assert(Snapshots.readAt(spark, t).columns.toSeq === Seq("id", "n"))
+    // explicit schema overrides any recorded one
+    val narrow = StructType(Seq(StructField("id", LongType)))
+    assert(Snapshots.readAt(spark, t, schema = Some(narrow)).columns.toSeq === Seq("id"))
+  }
+
+  test("schema evolution: empty pre-data version resolves via the recorded schema") {
+    val t = tmpTable()
+    // a schema-only commit (no files yet) — readAt(v1) yields a typed
+    // empty frame without the caller passing a schema
+    Snapshots.commit(spark, t, adds = Nil,
+      schemaJson = Some(StructType(Seq(StructField("id", LongType))).json))
+    val v1 = Snapshots.readAt(spark, t, Some(1))
+    assert(v1.columns.toSeq === Seq("id") && v1.count() === 0)
+  }
 }
