@@ -3219,7 +3219,8 @@ object ExtQueries {
              |       CAST(id AS BIGINT) AS id, score_micro
              |FROM rnk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin))
   ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec, x89Spec,
-    x90Spec, x91Spec, x92Spec, x93Spec, x94Spec, x95Spec, st17Spec)
+    x90Spec, x91Spec, x92Spec, x93Spec, x94Spec, x95Spec, st17Spec,
+    x96Spec, x97Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -3913,4 +3914,79 @@ object ExtQueries {
              |FROM est LEFT JOIN ex ON est.term = ex.term
              |ORDER BY 1""".stripMargin))
   }
+
+  /** x96/x97's shared oracle prelude: hashed bag-of-words feats (32 bins
+    * + bias) and the planted "mentions spark" label. */
+  private def clfPrelude: String =
+    """tok AS (SELECT doc_id AS id,
+      |          unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                             x -> x <> '')) AS w
+      |        FROM documents WHERE text IS NOT NULL),
+      |cnt AS (SELECT id,
+      |          CAST(('0x' || substr(md5('f:' || w), 1, 8)) AS BIGINT) % 32 AS j,
+      |          count(*) AS x
+      |        FROM tok GROUP BY 1, 2),
+      |feats AS (SELECT id, j, CAST(x AS BIGINT) AS x FROM cnt
+      |          UNION ALL
+      |          SELECT doc_id, CAST(32 AS BIGINT), CAST(1 AS BIGINT)
+      |          FROM documents WHERE text IS NOT NULL),
+      |labels AS (SELECT doc_id AS id,
+      |             CAST(CASE WHEN list_contains(
+      |                    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                                x -> x <> ''), 'spark')
+      |                  THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
+      |           FROM documents WHERE text IS NOT NULL)""".stripMargin
+
+  private def clfFeats(s: SparkSession, d: String): DataFrame =
+    graft.ext.Classifier.hashedFeatures(
+      Tables.documents(s, d).filter(col("text").isNotNull),
+      col("doc_id"), col("text"), buckets = 32)
+
+  private def clfLabels(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id").as("id"),
+        array_contains(filter(split(lower(col("text")), "\\s+"), x => x =!= ""),
+          "spark").cast("double").as("y"))
+
+  /** Trained weights per sf dir — training is an offline artifact (the
+    * ANN-index convention); x96 pins the trajectory, x97 benches the
+    * stateless scoring gate. The tiny (buckets+1)-row result is collected
+    * and rebuilt as a literal frame for serving. */
+  private val clfState =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long)]]()
+  private def clfWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    clfState.computeIfAbsent(d, { _ =>
+      graft.ext.Classifier.trainLogistic(clfFeats(s, d), clfLabels(s, d),
+          buckets = 32, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }).toDF("j", "w_micro")
+  }
+
+  // Learned quality classifier, TRAINED DISTRIBUTED (x96): logistic
+  // regression over hashed bag-of-words counts, 3 full-batch rounds of
+  // exact integer-accumulated gradient descent on a planted "mentions
+  // spark" label. The oracle re-trains from scratch with the identical
+  // unrolled algebra — all 33 final weights match bit-for-bit, so the
+  // whole trajectory (margins, sigmoids, gradient rounding, floor-div
+  // updates) is pinned, not just the outcome.
+  private def x96Spec: QuerySpec =
+    QuerySpec("x96_train_classifier",
+      (s, d) => graft.ext.Classifier.trainLogistic(clfFeats(s, d), clfLabels(s, d),
+          buckets = 32, iters = 3)
+        .orderBy("j"),
+      Some(graft.ext.Classifier.trainOracleSql(clfPrelude, buckets = 32, iters = 3)))
+
+  // The trained filter SERVING (x97): stateless scoring of every doc
+  // under the x96 weights — one broadcast join + one sum, the gate a
+  // model-based corpus filter runs at 100 TB. Oracle: train + score,
+  // fully replayed.
+  private def x97Spec: QuerySpec =
+    QuerySpec("x97_classifier_gate",
+      (s, d) => graft.ext.Classifier.score(clfFeats(s, d), clfWeights(s, d))
+        .select(col("id").as("doc_id"), col("margin_micro"),
+          (col("margin_micro") > 0).cast("long").as("gate"))
+        .orderBy("doc_id"),
+      Some(graft.ext.Classifier.scoreOracleSql(clfPrelude, buckets = 32,
+        iters = 3, idAs = "doc_id")))
 }
