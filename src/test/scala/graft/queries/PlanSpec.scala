@@ -273,4 +273,58 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin [__bkt"),
       s"bucket offsets must broadcast, not shuffle:\n$p")
   }
+
+  test("x90: RRF fusion never cartesians; final re-rank partitions by query") {
+    val p = plan("x90_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    // the one data-sized nested loop allowed is the dense ranker's
+    // broadcast query batch (x05 shape); fusion itself is union+agg+window
+    val wins = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(wins.nonEmpty && wins.forall(_.contains("windowspecdefinition(qid#")),
+      s"fusion re-rank must partition by qid:\n${wins.mkString("\n")}")
+  }
+
+  test("x93: PPS sampling windows partition by (group, bucket) — never whole-group") {
+    val p = plan("x93_pps_sample")
+    val rowWins = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("id#")).toSeq
+    assert(rowWins.nonEmpty, p)
+    assert(rowWins.forall(w => w.contains("group#") && w.contains("__b#")),
+      s"row-level cumsum lost its (group, bucket) partitioning:\n${rowWins.mkString("\n")}")
+    // per-group totals broadcast back, never shuffled onto the rows
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x94: count-min build is one partial-agg shuffle; probes join the tiny sketch") {
+    val p = plan("x94_countmin")
+    assert(p.contains("partial_count"), s"sketch cells must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x96: classifier training joins weights by broadcast, gradients map-side combine") {
+    val p = plan("x96_train_classifier")
+    // the iteration bodies ran eagerly (localCheckpoint) during plan()—
+    // what remains visible is the final weights frame; pin the TRAINING
+    // plan on an un-materialized round instead
+    val feats = graft.ext.Classifier.hashedFeatures(
+      graft.Tables.documents(spark, d), org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"), 32)
+    val labels = graft.Tables.documents(spark, d).selectExpr("doc_id as id",
+      "cast(1.0 as double) as y")
+    val w = spark.range(33).selectExpr("id as j", "cast(0 as long) as w")
+    import org.apache.spark.sql.functions._
+    val margins = feats.join(broadcast(w), "j")
+      .groupBy("id").agg(sum(col("x") * col("w")).as("__dot"))
+    val mp = margins.queryExecution.executedPlan.toString
+    assert(mp.contains("BroadcastHashJoin"), s"weights must broadcast:\n$mp")
+    assert(mp.contains("partial_sum"), s"margins must map-side combine:\n$mp")
+    assert(p.nonEmpty)
+  }
+
+  test("x97: serving gate is one broadcast join + one combined aggregation") {
+    val p = plan("x97_classifier_gate")
+    assert(p.contains("BroadcastHashJoin"), s"trained weights must broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"margin sums must map-side combine:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here justifies a sort-merge:\n$p")
+  }
 }
