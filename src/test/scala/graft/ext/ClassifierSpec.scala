@@ -33,28 +33,28 @@ class ClassifierSpec extends SparkSpec {
     val w1 = Classifier.trainLogistic(feats, lbl, buckets = 8, iters = 1, lrDen = 10L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // w0 = 0 → σ(0) = 0.5 for both docs; per-(doc, bin) gradient micro =
-    // x·(y−0.5)·1e6; update = floor(g / 10)
+    // x·(y−0.5)·1e6; update = floor(g / (lrDen · N)) with N = 2 labels
     val fx = feats.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val y = Map(1L -> 1.0, 2L -> 0.0)
     val g = fx.groupBy(_._2).view.mapValues(_.map { case (id, _, x) =>
       math.round(x * (y(id) - 0.5) * 1e6)
     }.sum).toMap
     (0L to 8L).foreach { j =>
-      val want = Math.floorDiv(g.getOrElse(j, 0L), 10L)
+      val want = g.getOrElse(j, 0L) / 20L // truncating, like div and //
       assert(w1(j) === want, s"bin $j")
     }
   }
 
-  test("negative gradients floor-divide (DuckDB // semantics, not truncation)") {
+  test("negative gradients truncate toward zero (div ≡ DuckDB //)") {
     // single doc, y=0: gradient = 1·(0−0.5)·1e6 = −500000 on its bins;
-    // update with lrDen=3: floor(−500000/3) = −166667 (truncation would
-    // give −166666)
+    // update with lrDen=3, N=1: trunc(−500000/3) = −166666 (floor would
+    // give −166667 — DuckDB's // truncates, so must we)
     val docs = Seq((1L, "zz")).toDF("doc_id", "text")
     val lbl = Seq((1L, 0.0)).toDF("id", "y")
     val feats = Classifier.hashedFeatures(docs, col("doc_id"), col("text"), 4)
     val w = Classifier.trainLogistic(feats, lbl, buckets = 4, iters = 1, lrDen = 3L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(w(4L) === -166667L) // bias bin always fires
+    assert(w(4L) === -166666L) // bias bin always fires
   }
 
   test("reruns are bit-identical (no RNG, no order sensitivity)") {
