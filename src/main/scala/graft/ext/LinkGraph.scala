@@ -35,9 +35,18 @@ object LinkGraph {
     *
     * `iters` fixed (no convergence test): crawl-curation ranking wants a
     * reproducible artifact, and 8-12 damped iterations are the published
-    * practice for rank stabilization at web scale. */
+    * practice for rank stabilization at web scale.
+    *
+    * `init`: optional WARM-START ranks `(node, rank_pico)` — the
+    * incremental-maintenance path: after appending a delta month of
+    * links, re-iterating a few rounds from the previous committed rank
+    * vector converges where a cold start would need the full schedule
+    * (the perturbation is local; damped iteration contracts it
+    * geometrically). Nodes absent from `init` (newly discovered domains)
+    * seed at the uniform 1e12/n. */
   def pageRankPico(edges: DataFrame, src: String, dst: String, iters: Int = 8,
-                   dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+                   dampNum: Long = 85L, dampDen: Long = 100L,
+                   init: Option[DataFrame] = None): DataFrame = {
     val scale = 1000000000000L // Σ ranks ≈ 1e12 ≡ probability mass 1
     // collapse the multigraph once; everything downstream joins this
     val w = edges.groupBy(col(src).as("src"), col(dst).as("dst"))
@@ -59,7 +68,14 @@ object LinkGraph {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }
 
-    var ranks = nodes.withColumn("rank", lit(scale / n)).localCheckpoint(true)
+    var ranks = init match {
+      case None => nodes.withColumn("rank", lit(scale / n)).localCheckpoint(true)
+      case Some(prev) =>
+        nodes.join(prev.select(col("node"), col("rank_pico").as("__pr")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("__pr"), lit(scale / n)).as("rank"))
+          .localCheckpoint(true)
+    }
     var ranksRdds = checkpointRdds(ranks)
     var i = 0
     while (i < iters) {
@@ -85,37 +101,57 @@ object LinkGraph {
     ranks.select(col("node"), col("rank").cast("long").as("rank_pico"))
   }
 
+  /** The unrolled-iteration CTE block of the oracle, prefixed so multiple
+    * PageRank phases (e.g. cold build + warm-started maintenance) compose
+    * in one statement. Requires `${p}edges(src, dst)` to exist; emits
+    * `${p}w/${p}ow/${p}nodes/${p}nn/${p}r0..rN`; warm-starts from the
+    * relation named by `initRef` (`(node, rank)`) when given. Returns the
+    * CTE text (leading comma included). */
+  def pageRankOracleCtes(p: String, iters: Int,
+                         dampNum: Long = 85L, dampDen: Long = 100L,
+                         initRef: Option[String] = None): String = {
+    val scale = "1000000000000"
+    val sb = new StringBuilder
+    sb ++= s""",
+              |${p}w AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM ${p}edges GROUP BY 1, 2),
+              |${p}ow AS MATERIALIZED (SELECT src, sum(w) AS outw FROM ${p}w GROUP BY 1),
+              |${p}nodes AS MATERIALIZED (SELECT src AS node FROM ${p}w UNION SELECT dst FROM ${p}w),
+              |${p}nn AS MATERIALIZED (SELECT count(*) AS n FROM ${p}nodes)""".stripMargin
+    sb ++= (initRef match {
+      case None => s""",
+              |${p}r0 AS MATERIALIZED (SELECT node, $scale // n AS rank FROM ${p}nodes, ${p}nn)""".stripMargin
+      case Some(init) => s""",
+              |${p}r0 AS MATERIALIZED (SELECT ${p}nodes.node,
+              |             coalesce($init.rank, $scale // n) AS rank
+              |           FROM ${p}nodes LEFT JOIN $init ON ${p}nodes.node = $init.node,
+              |                ${p}nn)""".stripMargin
+    })
+    for (i <- 1 to iters) {
+      val q = i - 1
+      sb ++= s""",
+                |${p}c$i AS MATERIALIZED (SELECT w.dst AS node,
+                |          CAST(sum((r.rank * w.w) // ow.outw) AS BIGINT) AS c
+                |        FROM ${p}w w JOIN ${p}r$q r ON w.src = r.node
+                |             JOIN ${p}ow ow ON w.src = ow.src GROUP BY 1),
+                |${p}d$i AS MATERIALIZED (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dm
+                |        FROM ${p}r$q WHERE node NOT IN (SELECT src FROM ${p}ow)),
+                |${p}r$i AS MATERIALIZED (SELECT ${p}nodes.node,
+                |          ($scale - $dampNum * $scale // $dampDen) // n
+                |          + ($dampNum * (coalesce(c.c, 0) + d.dm // n)) // $dampDen AS rank
+                |        FROM ${p}nodes LEFT JOIN ${p}c$i c ON ${p}nodes.node = c.node,
+                |             ${p}d$i d, ${p}nn)""".stripMargin
+    }
+    sb.toString
+  }
+
   /** The matching DuckDB oracle for [[pageRankPico]], generated for a given
     * edge-list CTE: unrolled iterations of the identical integer algebra.
     * `edgesCte` must define a relation `edges(src, dst)`. Lives next to the
     * operator so the algebra and its twin can't drift apart. */
   def pageRankOracleSql(edgesCte: String, iters: Int = 8,
-                        dampNum: Long = 85L, dampDen: Long = 100L): String = {
-    val scale = "1000000000000"
-    val sb = new StringBuilder
-    sb ++= s"""WITH $edgesCte,
-              |w AS (SELECT src, dst, count(*) AS w FROM edges GROUP BY 1, 2),
-              |ow AS (SELECT src, sum(w) AS outw FROM w GROUP BY 1),
-              |nodes AS (SELECT src AS node FROM w UNION SELECT dst FROM w),
-              |nn AS (SELECT count(*) AS n FROM nodes),
-              |r0 AS (SELECT node, $scale // n AS rank FROM nodes, nn)""".stripMargin
-    for (i <- 1 to iters) {
-      val p = i - 1
-      sb ++= s""",
-                |c$i AS (SELECT w.dst AS node,
-                |          CAST(sum((r.rank * w.w) // ow.outw) AS BIGINT) AS c
-                |        FROM w JOIN r$p r ON w.src = r.node
-                |             JOIN ow ON w.src = ow.src GROUP BY 1),
-                |d$i AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dm
-                |        FROM r$p WHERE node NOT IN (SELECT src FROM ow)),
-                |r$i AS (SELECT nodes.node,
-                |          ($scale - $dampNum * $scale // $dampDen) // n
-                |          + ($dampNum * (coalesce(c$i.c, 0) + d$i.dm // n)) // $dampDen AS rank
-                |        FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node, d$i, nn)""".stripMargin
-    }
-    sb ++= s"""
-              |SELECT node, CAST(rank AS BIGINT) AS rank_pico FROM r$iters
-              |ORDER BY rank_pico DESC, node""".stripMargin
-    sb.toString
-  }
+                        dampNum: Long = 85L, dampDen: Long = 100L): String =
+    s"WITH $edgesCte" + pageRankOracleCtes("", iters, dampNum, dampDen) +
+      s"""
+         |SELECT node, CAST(rank AS BIGINT) AS rank_pico FROM r$iters
+         |ORDER BY rank_pico DESC, node""".stripMargin
 }

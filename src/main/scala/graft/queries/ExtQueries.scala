@@ -3220,7 +3220,7 @@ object ExtQueries {
              |FROM rnk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin))
   ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec, x89Spec,
     x90Spec, x91Spec, x92Spec, x93Spec, x94Spec, x95Spec, st17Spec,
-    x96Spec, x97Spec, st18Spec)
+    x96Spec, x97Spec, st18Spec, x98Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -3677,15 +3677,7 @@ object ExtQueries {
         val docs = Tables.documents(s, d)
           .filter(col("text").isNotNull && col("doc_id") % 4 =!= 3)
           .select("doc_id")
-        val e0 = docs.select(
-            concat(lit("dom"), col("doc_id") % 23).as("src"),
-            concat(lit("dom"), (col("doc_id") * 7 + 1) % 23).as("dst"))
-          .unionByName(docs.select(
-            concat(lit("dom"), col("doc_id") % 23).as("src"),
-            concat(lit("dom"), (col("doc_id") * 3 + 2) % 23).as("dst")))
-        val edges = e0.filter(col("src") =!= col("dst") &&
-          !col("src").isin("dom20", "dom21", "dom22"))
-        graft.ext.LinkGraph.pageRankPico(edges, "src", "dst", iters = 8)
+        graft.ext.LinkGraph.pageRankPico(domainEdges(docs), "src", "dst", iters = 8)
           .orderBy(col("rank_pico").desc, col("node"))
       },
       Some(graft.ext.LinkGraph.pageRankOracleSql(edgesCte, iters = 8)))
@@ -4034,4 +4026,56 @@ object ExtQueries {
       },
       Some(graft.ext.Classifier.gateOracleSql(clfPrelude, buckets = 32,
         iters = 3, idAs = "doc_id", gateMicro = clfGateMicro)))
+
+  /** x91's planted domain-graph edges from a docs frame. */
+  private def domainEdges(docs: DataFrame): DataFrame = {
+    val e0 = docs.select(
+        concat(lit("dom"), col("doc_id") % 23).as("src"),
+        concat(lit("dom"), (col("doc_id") * 7 + 1) % 23).as("dst"))
+      .unionByName(docs.select(
+        concat(lit("dom"), col("doc_id") % 23).as("src"),
+        concat(lit("dom"), (col("doc_id") * 3 + 2) % 23).as("dst")))
+    e0.filter(col("src") =!= col("dst") &&
+      !col("src").isin("dom20", "dom21", "dom22"))
+  }
+
+  // INCREMENTAL PageRank maintenance (x98): rank the base graph (docs
+  // %4 ∈ {0,1}) with the full 8-iteration schedule, append the delta
+  // month (%4 = 2), and re-rank the full graph with only 4 WARM-STARTED
+  // iterations from the committed base ranks — the maintenance path that
+  // avoids the cold-start schedule after every crawl increment. The
+  // oracle replays both phases (8 unrolled cold + 4 unrolled warm) in one
+  // statement — every warm rank bit-exact. Warm≈cold proximity is pinned
+  // in LinkGraphSpec (it's an analytic property, not an algebra identity).
+  private def x98Spec: QuerySpec = {
+    val prelude =
+      """docs AS (SELECT doc_id FROM documents
+        |         WHERE text IS NOT NULL AND doc_id % 4 <> 3),
+        |e0 AS (SELECT doc_id, 'dom' || (doc_id % 23) AS src,
+        |              'dom' || ((doc_id * 7 + 1) % 23) AS dst FROM docs
+        |       UNION ALL
+        |       SELECT doc_id, 'dom' || (doc_id % 23),
+        |              'dom' || ((doc_id * 3 + 2) % 23) FROM docs),
+        |eall AS (SELECT doc_id, src, dst FROM e0
+        |         WHERE src <> dst AND src NOT IN ('dom20', 'dom21', 'dom22')),
+        |bedges AS (SELECT src, dst FROM eall WHERE doc_id % 4 < 2),
+        |edges AS (SELECT src, dst FROM eall)""".stripMargin
+    QuerySpec("x98_pagerank_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .filter(col("text").isNotNull && col("doc_id") % 4 =!= 3)
+          .select("doc_id")
+        val base = graft.ext.LinkGraph.pageRankPico(
+          domainEdges(docs.filter(col("doc_id") % 4 < 2)), "src", "dst", iters = 8)
+        graft.ext.LinkGraph.pageRankPico(domainEdges(docs), "src", "dst",
+            iters = 4, init = Some(base))
+          .orderBy(col("rank_pico").desc, col("node"))
+      },
+      Some(s"WITH $prelude" +
+        graft.ext.LinkGraph.pageRankOracleCtes("b", 8) +
+        graft.ext.LinkGraph.pageRankOracleCtes("", 4, initRef = Some("br8")) +
+        """
+          |SELECT node, CAST(rank AS BIGINT) AS rank_pico FROM r4
+          |ORDER BY rank_pico DESC, node""".stripMargin))
+  }
 }

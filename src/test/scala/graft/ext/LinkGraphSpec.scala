@@ -70,13 +70,42 @@ class LinkGraphSpec extends SparkSpec {
     assert(LinkGraph.pageRankPico(edges, "src", "dst", iters = 3).count() == 0L)
   }
 
+  test("warm start from converged ranks lands near the cold fixpoint in few iters") {
+    // hub-heavy base (fixpoint FAR from uniform: hub ≈ 0.48 — the regime
+    // where a warm start matters; a near-uniform fixpoint would make the
+    // cold uniform init the better guess); delta: one new spoke appears
+    def star = Seq(("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("s4", "hub"),
+      ("hub", "s1"))
+    val delta = Seq(("s5", "hub"))
+    val base = LinkGraph.pageRankPico(star.toDF("src", "dst"), "src", "dst", iters = 40)
+    val warm = LinkGraph.pageRankPico((star ++ delta).toDF("src", "dst"), "src", "dst",
+        iters = 12, init = Some(base))
+      .as[(String, Long)].collect().toMap
+    val cold = LinkGraph.pageRankPico((star ++ delta).toDF("src", "dst"), "src", "dst",
+        iters = 60)
+      .as[(String, Long)].collect().toMap
+    cold.foreach { case (node, r) =>
+      assert(math.abs(warm(node) - r) < r / 10 + 2000000L,
+        s"$node warm=${warm(node)} cold=$r")
+    }
+    // the warm start, not the 12 iterations, buys the accuracy: an
+    // equal-length cold run is strictly worse
+    val cold12 = LinkGraph.pageRankPico((star ++ delta).toDF("src", "dst"), "src", "dst",
+        iters = 12).as[(String, Long)].collect().toMap
+    val warmErr = cold.map { case (k, v) => math.abs(warm(k) - v).toDouble / v }.sum
+    val coldErr = cold.map { case (k, v) => math.abs(cold12(k) - v).toDouble / v }.sum
+    assert(warmErr < coldErr,
+      s"warm start should beat an equal-length cold run: $warmErr vs $coldErr")
+  }
+
   test("oracle generator and operator agree on a planted graph (spot)") {
     // not a DuckDB run (that's the driver's job) — just pin that the
     // generated SQL contains the same constants the operator uses
     val sql = LinkGraph.pageRankOracleSql("edges AS (SELECT 'a' AS src, 'b' AS dst)",
       iters = 3)
     assert(sql.contains("1000000000000 // n"))
-    assert(sql.contains("(85 * (coalesce(c3.c, 0) + d3.dm // n)) // 100"))
+    assert(sql.contains("(85 * (coalesce(c.c, 0) + d.dm // n)) // 100"))
+    assert(sql.contains("r3 AS MATERIALIZED"))
     assert(sql.contains("ORDER BY rank_pico DESC, node"))
   }
 }
