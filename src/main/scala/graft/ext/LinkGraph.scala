@@ -46,7 +46,8 @@ object LinkGraph {
     * seed at the uniform 1e12/n. */
   def pageRankPico(edges: DataFrame, src: String, dst: String, iters: Int = 8,
                    dampNum: Long = 85L, dampDen: Long = 100L,
-                   init: Option[DataFrame] = None): DataFrame = {
+                   init: Option[DataFrame] = None,
+                   seeds: Option[DataFrame] = None): DataFrame = {
     val scale = 1000000000000L // Σ ranks ≈ 1e12 ≡ probability mass 1
     // collapse the multigraph once; everything downstream joins this
     val w = edges.groupBy(col(src).as("src"), col(dst).as("dst"))
@@ -55,13 +56,26 @@ object LinkGraph {
     val ew = w.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("outw"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = w.select(col("src").as("node"))
+    // PERSONALIZED mode (`seeds`): teleport and dangling mass land only on
+    // the seed set (topic-sensitive PageRank — rank domains by proximity
+    // to a curated seed list instead of globally). __seed rides on the
+    // node table; the per-iteration algebra is otherwise identical.
+    val nodes0 = w.select(col("src").as("node"))
       .unionByName(w.select(col("dst").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = (seeds match {
+      case None => nodes0.withColumn("__seed", lit(1L))
+      case Some(sd) => nodes0.join(
+          broadcast(sd.select(col(sd.columns.head).as("node"), lit(1L).as("__seed"))),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__seed"), lit(0L)).as("__seed"))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
-    if (n == 0) { ew.unpersist(); return nodes.withColumn("rank_pico", lit(0L)) }
+    if (n == 0) { ew.unpersist(); return nodes.select(col("node"), lit(0L).as("rank_pico")) }
+    // teleport denominator: every node (uniform mode) or the seed count
+    val k = seeds.map(_ => nodes.filter(col("__seed") === 1L).count()).getOrElse(n)
+    require(k > 0, "personalized PageRank needs at least one seed present in the graph")
     val srcs = outw.select(col("src").as("node"))
-    val base = (scale - dampNum * scale / dampDen) / n // teleport share, exact ints
+    val base = (scale - dampNum * scale / dampDen) / k // teleport share, exact ints
 
     def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collect {
@@ -69,11 +83,13 @@ object LinkGraph {
       }
 
     var ranks = init match {
-      case None => nodes.withColumn("rank", lit(scale / n)).localCheckpoint(true)
+      case None => nodes.select(col("node"), col("__seed"),
+        lit(scale / n).as("rank")).localCheckpoint(true)
       case Some(prev) =>
         nodes.join(prev.select(col("node"), col("rank_pico").as("__pr")),
             Seq("node"), "left")
-          .select(col("node"), coalesce(col("__pr"), lit(scale / n)).as("rank"))
+          .select(col("node"), col("__seed"),
+            coalesce(col("__pr"), lit(scale / n)).as("rank"))
           .localCheckpoint(true)
     }
     var ranksRdds = checkpointRdds(ranks)
@@ -86,8 +102,9 @@ object LinkGraph {
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
       val next = nodes.join(contrib, Seq("node"), "left")
         .crossJoin(dangling) // one-row scalar — broadcast, not a real cross
-        .select(col("node"), (lit(base) +
-          expr(s"($dampNum * (coalesce(c, 0L) + dm div ${n}L)) div $dampDen"))
+        .select(col("node"), col("__seed"),
+          (expr(s"if(__seed = 1L, ${base}L, 0L)") +
+            expr(s"($dampNum * (coalesce(c, 0L) + if(__seed = 1L, dm div ${k}L, 0L))) div $dampDen"))
           .as("rank"))
         .localCheckpoint(true)
       val nextRdds = checkpointRdds(next)
@@ -109,7 +126,8 @@ object LinkGraph {
     * CTE text (leading comma included). */
   def pageRankOracleCtes(p: String, iters: Int,
                          dampNum: Long = 85L, dampDen: Long = 100L,
-                         initRef: Option[String] = None): String = {
+                         initRef: Option[String] = None,
+                         seedsRef: Option[String] = None): String = {
     val scale = "1000000000000"
     val sb = new StringBuilder
     sb ++= s""",
@@ -117,6 +135,11 @@ object LinkGraph {
               |${p}ow AS MATERIALIZED (SELECT src, sum(w) AS outw FROM ${p}w GROUP BY 1),
               |${p}nodes AS MATERIALIZED (SELECT src AS node FROM ${p}w UNION SELECT dst FROM ${p}w),
               |${p}nn AS MATERIALIZED (SELECT count(*) AS n FROM ${p}nodes)""".stripMargin
+    seedsRef.foreach { sr =>
+      sb ++= s""",
+                |${p}sk AS MATERIALIZED (SELECT count(*) AS k FROM ${p}nodes
+                |        JOIN $sr s ON ${p}nodes.node = s.node)""".stripMargin
+    }
     sb ++= (initRef match {
       case None => s""",
               |${p}r0 AS MATERIALIZED (SELECT node, $scale // n AS rank FROM ${p}nodes, ${p}nn)""".stripMargin
@@ -134,12 +157,24 @@ object LinkGraph {
                 |        FROM ${p}w w JOIN ${p}r$q r ON w.src = r.node
                 |             JOIN ${p}ow ow ON w.src = ow.src GROUP BY 1),
                 |${p}d$i AS MATERIALIZED (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dm
-                |        FROM ${p}r$q WHERE node NOT IN (SELECT src FROM ${p}ow)),
+                |        FROM ${p}r$q WHERE node NOT IN (SELECT src FROM ${p}ow)),""".stripMargin
+      sb ++= (seedsRef match {
+        case None => s"""
                 |${p}r$i AS MATERIALIZED (SELECT ${p}nodes.node,
                 |          ($scale - $dampNum * $scale // $dampDen) // n
                 |          + ($dampNum * (coalesce(c.c, 0) + d.dm // n)) // $dampDen AS rank
                 |        FROM ${p}nodes LEFT JOIN ${p}c$i c ON ${p}nodes.node = c.node,
                 |             ${p}d$i d, ${p}nn)""".stripMargin
+        case Some(sr) => s"""
+                |${p}r$i AS MATERIALIZED (SELECT ${p}nodes.node,
+                |          CASE WHEN s.node IS NOT NULL
+                |               THEN ($scale - $dampNum * $scale // $dampDen) // k ELSE 0 END
+                |          + ($dampNum * (coalesce(c.c, 0)
+                |             + CASE WHEN s.node IS NOT NULL THEN d.dm // k ELSE 0 END)) // $dampDen AS rank
+                |        FROM ${p}nodes LEFT JOIN ${p}c$i c ON ${p}nodes.node = c.node
+                |             LEFT JOIN $sr s ON ${p}nodes.node = s.node,
+                |             ${p}d$i d, ${p}sk)""".stripMargin
+      })
     }
     sb.toString
   }

@@ -51,4 +51,36 @@ object Sketches {
       .join(sketch, Seq("row", "bucket"), "left")
       .groupBy("probe")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  // ---------------------------------------------------------------------
+  // KMV (k-minimum-values) DISTINCT-COUNT sketch — the cardinality
+  // counterpart to the CMS: keep the k smallest 48-bit hashes per group;
+  // |distinct| ≈ (k−1)·2⁴⁸ / h_k (Bar-Yossef et al.). Mergeable (k
+  // smallest of a union = re-take over unioned sketches) and — unlike
+  // HLL — EXACTLY reproducible in the oracle: the hash order and the
+  // integer estimate formula have no implementation freedom.
+
+  /** 48-bit md5 hash for KMV (12 hex chars — collision-free at corpus
+    * vocab scales, identical in DuckDB). */
+  def kmvHash(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 12), 16, 10).cast("long")
+
+  /** Per-group sketch: the k smallest DISTINCT hashes, `(group, h)` rows.
+    * One distinct-shuffle + the bounded top-k heap aggregate (O(k) per
+    * task) — never a whole-group window. */
+  def kmvSketch(df: DataFrame, group: Column, key: Column, k: Int = 64): DataFrame =
+    graft.functions.TopKAgg.rankTopK(
+        df.select(group.as("group"), kmvHash(key).as("h")).distinct(),
+        col("group"), -col("h").cast("double"), col("h"), k)
+      .select(col("group"), col("id").as("h"))
+
+  /** Cardinality estimates from a sketch: exact below k (the sketch IS
+    * the distinct set), else the (k−1)·2⁴⁸ div h_k integer estimator. */
+  def kmvEstimate(sketch: DataFrame, k: Int = 64): DataFrame =
+    sketch.groupBy("group")
+      .agg(count(lit(1)).as("__m"), max(col("h")).as("__hk"))
+      .select(col("group"),
+        when(col("__m") < k, col("__m"))
+          .otherwise(expr(s"(${k - 1}L * 281474976710656L) div __hk"))
+          .cast("long").as("est_distinct"))
 }

@@ -3220,7 +3220,7 @@ object ExtQueries {
              |FROM rnk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin))
   ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec, x89Spec,
     x90Spec, x91Spec, x92Spec, x93Spec, x94Spec, x95Spec, st17Spec,
-    x96Spec, x97Spec, st18Spec, x98Spec)
+    x96Spec, x97Spec, st18Spec, x98Spec, x99Spec, x100Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -4078,4 +4078,89 @@ object ExtQueries {
           |SELECT node, CAST(rank AS BIGINT) AS rank_pico FROM r4
           |ORDER BY rank_pico DESC, node""".stripMargin))
   }
+
+  // PERSONALIZED (topic-sensitive) PageRank (x99): teleport and dangling
+  // mass land only on a 3-domain seed list — ranking the graph by
+  // proximity to curated seeds instead of globally (how a topical crawl
+  // corpus prioritizes domains). Same integer algebra, seed-conditional
+  // base/dangling terms; oracle unrolls it bit-exact.
+  private def x99Spec: QuerySpec = {
+    val prelude =
+      """docs AS (SELECT doc_id FROM documents
+        |         WHERE text IS NOT NULL AND doc_id % 4 <> 3),
+        |e0 AS (SELECT 'dom' || (doc_id % 23) AS src,
+        |              'dom' || ((doc_id * 7 + 1) % 23) AS dst FROM docs
+        |       UNION ALL
+        |       SELECT 'dom' || (doc_id % 23), 'dom' || ((doc_id * 3 + 2) % 23)
+        |       FROM docs),
+        |edges AS (SELECT src, dst FROM e0
+        |          WHERE src <> dst AND src NOT IN ('dom20', 'dom21', 'dom22')),
+        |seeds AS (SELECT * FROM (VALUES ('dom0'), ('dom1'), ('dom2')) AS s(node))""".stripMargin
+    QuerySpec("x99_pagerank_personalized",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .filter(col("text").isNotNull && col("doc_id") % 4 =!= 3)
+          .select("doc_id")
+        val seeds = Seq("dom0", "dom1", "dom2").toDF("node")
+        graft.ext.LinkGraph.pageRankPico(domainEdges(docs), "src", "dst",
+            iters = 8, seeds = Some(seeds))
+          .orderBy(col("rank_pico").desc, col("node"))
+      },
+      Some(s"WITH $prelude" +
+        graft.ext.LinkGraph.pageRankOracleCtes("", 8, seedsRef = Some("seeds")) +
+        """
+          |SELECT node, CAST(rank AS BIGINT) AS rank_pico FROM r8
+          |ORDER BY rank_pico DESC, node""".stripMargin))
+  }
+
+  // KMV distinct-count sketch (x100): per-source distinct-BIGRAM
+  // cardinality from the k=64 smallest 48-bit hashes — the mergeable
+  // cardinality sketch whose estimate, unlike HLL's, has an exact oracle
+  // twin (hash order + integer formula leave no implementation freedom).
+  // Exact distinct counts ride along so the estimate's quality is visible
+  // in the row itself.
+  private def x100Spec: QuerySpec =
+    QuerySpec("x100_kmv_distinct",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val toks = docs.select(col("source"),
+          filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("__t"))
+        val bigrams = toks.select(col("source"), explode(zip_with(
+            slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+            slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b))).as("bg"))
+        val sketch = graft.ext.Sketches.kmvSketch(bigrams, col("source"), col("bg"), k = 64)
+        val est = graft.ext.Sketches.kmvEstimate(sketch, k = 64)
+        val exact = bigrams.groupBy("source")
+          .agg(count_distinct(col("bg")).as("exact_distinct"))
+        est.withColumnRenamed("group", "source")
+          .join(exact, Seq("source"))
+          .select(col("source"), col("est_distinct"),
+            col("exact_distinct").cast("long").as("exact_distinct"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (SELECT source,
+             |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                     x -> x <> '') AS t
+             |       FROM documents WHERE text IS NOT NULL),
+             |bg AS (SELECT source, z[1] || ' ' || z[2] AS bg
+             |       FROM (SELECT source, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+             |             FROM tok WHERE len(t) >= 2)),
+             |h AS (SELECT DISTINCT source,
+             |        CAST(('0x' || substr(md5(bg), 1, 12)) AS BIGINT) AS h
+             |      FROM bg),
+             |topk AS (SELECT source, h,
+             |           row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+             |         FROM h QUALIFY rk <= 64),
+             |agg AS (SELECT source, count(*) AS m, max(h) AS hk FROM topk GROUP BY 1),
+             |est AS (SELECT source,
+             |          CASE WHEN m < 64 THEN m
+             |               ELSE (63 * 281474976710656) // hk END AS est
+             |        FROM agg),
+             |ex AS (SELECT source, count(DISTINCT bg) AS exact FROM bg GROUP BY 1)
+             |SELECT est.source, CAST(est.est AS BIGINT) AS est_distinct,
+             |       CAST(ex.exact AS BIGINT) AS exact_distinct
+             |FROM est JOIN ex ON est.source = ex.source
+             |ORDER BY 1""".stripMargin))
 }

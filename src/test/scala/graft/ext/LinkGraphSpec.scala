@@ -98,6 +98,32 @@ class LinkGraphSpec extends SparkSpec {
       s"warm start should beat an equal-length cold run: $warmErr vs $coldErr")
   }
 
+  test("personalized teleport concentrates rank on seeds and their reach") {
+    import org.apache.spark.sql.functions.col
+    // two disjoint 3-cycles; seeds only in the first
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    // unseeded mass decays by 0.85/iter — 50 iters push it to ~3e-4·S
+    val out = LinkGraph.pageRankPico(edges, "src", "dst", iters = 50,
+        seeds = Some(seeds))
+      .as[(String, Long)].collect().toMap
+    // the unseeded component gets no teleport mass and decays to ~0
+    assert(out("x") < S / 1000 && out("y") < S / 1000 && out("z") < S / 1000)
+    // seeded component holds essentially all mass; seed outranks its cycle
+    assert(out("a") > out("b") && out("b") > 0)
+    assert(out("a") + out("b") + out("c") > S - S / 100)
+  }
+
+  test("personalized mode requires a seed present in the graph") {
+    import org.apache.spark.sql.functions.col
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRankPico(edges, "src", "dst", iters = 2,
+        seeds = Some(Seq("nope").toDF("node")))
+    }
+  }
+
   test("oracle generator and operator agree on a planted graph (spot)") {
     // not a DuckDB run (that's the driver's job) — just pin that the
     // generated SQL contains the same constants the operator uses

@@ -53,4 +53,45 @@ class SketchesSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(whole == merged)
   }
+
+  test("KMV: below k the sketch IS the distinct set (exact estimate)") {
+    val df = (words ++ words).map(("g", _)).toDF("g", "w")
+    val sk = Sketches.kmvSketch(df, col("g"), col("w"), k = 64)
+    assert(sk.count() === 4) // 4 distinct keys, duplicates collapse
+    val est = Sketches.kmvEstimate(sk, k = 64).as[(String, Long)].collect().toMap
+    assert(est("g") === 4L)
+  }
+
+  test("KMV: estimator replays the integer formula at k; estimate is sane") {
+    val df = (1 to 2000).map(i => ("g", s"key$i")).toDF("g", "w")
+    val k = 32
+    val sk = Sketches.kmvSketch(df, col("g"), col("w"), k = k)
+      .as[(String, Long)].collect().map(_._2).sorted
+    assert(sk.length === k)
+    val hk = sk.last
+    val want = (k - 1).toLong * 281474976710656L / hk
+    val est = Sketches.kmvEstimate(
+      Seq.tabulate(k)(i => ("g", sk(i))).toDF("group", "h"), k = k)
+      .as[(String, Long)].collect().toMap
+    assert(est("g") === want)
+    // within 3/sqrt(k) ≈ 53% of truth (loose CLT bound; typical ~18%)
+    assert(math.abs(est("g") - 2000L) < 1100, s"est ${est("g")}")
+  }
+
+  test("KMV: merging sketches (k smallest of the union) equals sketching the union") {
+    val a = (1 to 500).map(i => ("g", s"k$i")).toDF("g", "w")
+    val b = (300 to 900).map(i => ("g", s"k$i")).toDF("g", "w")
+    val direct = Sketches.kmvSketch(
+        ((1 to 500) ++ (300 to 900)).map(i => ("g", s"k$i")).toDF("g", "w"),
+        col("g"), col("w"), k = 16)
+      .as[(String, Long)].collect().toSet
+    // merge = union the sketch rows, dedup, re-take the k smallest —
+    // NEVER re-hash (hashing the hashes would be a different sketch)
+    val merged = Sketches.kmvSketch(a, col("g"), col("w"), k = 16)
+      .unionByName(Sketches.kmvSketch(b, col("g"), col("w"), k = 16))
+      .distinct()
+      .orderBy("h").limit(16)
+      .as[(String, Long)].collect().toSet
+    assert(merged === direct)
+  }
 }
