@@ -3220,7 +3220,7 @@ object ExtQueries {
              |FROM rnk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin))
   ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec, x89Spec,
     x90Spec, x91Spec, x92Spec, x93Spec, x94Spec, x95Spec, st17Spec,
-    x96Spec, x97Spec, st18Spec, x98Spec, x99Spec, x100Spec)
+    x96Spec, x97Spec, st18Spec, x98Spec, x99Spec, x100Spec, st19Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -4163,4 +4163,65 @@ object ExtQueries {
              |       CAST(ex.exact AS BIGINT) AS exact_distinct
              |FROM est JOIN ex ON est.source = ex.source
              |ORDER BY 1""".stripMargin))
+
+  // st19: the CONTINUOUS domain-ranking pipeline — link batches stream
+  // into a versioned edge table (snapshot ingest), and rank maintenance
+  // runs between versions: cold full-schedule on v1, then a short
+  // warm-started schedule per increment (x98's maintenance path driven by
+  // the ingest timeline). The oracle replays all three phases (8 cold +
+  // 4 warm + 4 warm) in one statement — final ranks bit-exact.
+  private def st19Spec: QuerySpec = {
+    val prelude =
+      """docs AS (SELECT doc_id FROM documents
+        |         WHERE text IS NOT NULL AND doc_id % 4 <> 3),
+        |e0 AS (SELECT doc_id, 'dom' || (doc_id % 23) AS src,
+        |              'dom' || ((doc_id * 7 + 1) % 23) AS dst FROM docs
+        |       UNION ALL
+        |       SELECT doc_id, 'dom' || (doc_id % 23),
+        |              'dom' || ((doc_id * 3 + 2) % 23) FROM docs),
+        |eall AS (SELECT doc_id, src, dst FROM e0
+        |         WHERE src <> dst AND src NOT IN ('dom20', 'dom21', 'dom22')),
+        |aedges AS (SELECT src, dst FROM eall WHERE doc_id % 3 = 0),
+        |bedges AS (SELECT src, dst FROM eall WHERE doc_id % 3 IN (0, 1)),
+        |cedges AS (SELECT src, dst FROM eall)""".stripMargin
+    QuerySpec("st19_stream_rank_maintenance",
+      (s, d) => {
+        import graft.io.Snapshots
+        val docs = Tables.documents(s, d)
+          .filter(col("text").isNotNull && col("doc_id") % 4 =!= 3)
+          .select("doc_id")
+        val src = Staging.slicedSource("rankm", d) { tmp =>
+          (0 until 3).foreach { i =>
+            Staging.writeSlice(domainEdges(docs.filter(col("doc_id") % 3 === i)),
+              s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_rankm_run").toString
+        val table = s"$tmp/edges"
+        val edgeSchema = domainEdges(docs).schema
+        Staging.drainTuning(s, src, 3) {
+          val q = graft.streaming.SnapshotIngest.start(s,
+            s.readStream.schema(edgeSchema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+            table, s"$tmp/ckpt")
+          q.awaitTermination()
+        }
+        def at(v: Long) = Snapshots.readAt(s, table, Some(v))
+        val r1 = graft.ext.LinkGraph.pageRankPico(at(1), "src", "dst", iters = 8)
+        val r2 = graft.ext.LinkGraph.pageRankPico(at(2), "src", "dst", iters = 4,
+          init = Some(r1))
+        val r3 = graft.ext.LinkGraph.pageRankPico(at(3), "src", "dst", iters = 4,
+          init = Some(r2))
+        r3.orderBy(col("rank_pico").desc, col("node"))
+      },
+      Some(s"WITH $prelude" +
+        graft.ext.LinkGraph.pageRankOracleCtes("a", 8) +
+        graft.ext.LinkGraph.pageRankOracleCtes("b", 4, initRef = Some("ar8")) +
+        graft.ext.LinkGraph.pageRankOracleCtes("c", 4, initRef = Some("br4")) +
+        """
+          |SELECT node, CAST(rank AS BIGINT) AS rank_pico FROM cr4
+          |ORDER BY rank_pico DESC, node""".stripMargin))
+  }
 }
