@@ -83,4 +83,51 @@ object Sketches {
         when(col("__m") < k, col("__m"))
           .otherwise(expr(s"(${k - 1}L * 281474976710656L) div __hk"))
           .cast("long").as("est_distinct"))
+
+  /** Pairwise corpus-overlap audit from per-group KMV sketches (the
+    * multiset-operation estimators of Beyer et al. 2007, "On synopses for
+    * distinct-value estimation"): for every group pair, the merged sketch
+    * M = k smallest distinct hashes of the two sketches' union; with
+    * j = |{h ∈ M present in BOTH}|, Jaccard ≈ j/k and
+    * |A∩B| ≈ (j · est|A∪B|) div k. When M holds fewer than k hashes both
+    * input sketches were exact, so j IS the exact intersection. All
+    * integer arithmetic — exactly reproducible in the oracle.
+    *
+    * Work is sketch-sized throughout (pairs × O(k) rows, two equi-joins
+    * against the sketch, the bounded merge heap): the audit answers "how
+    * much do sources A and B overlap?" from kilobyte summaries without
+    * ever re-touching corpus data — the 100 TB posture. Membership flags
+    * ride INSIDE the heap id (h·4 + in_a·2 + in_b), so the merge stays
+    * one [[graft.functions.TopKAgg]] pass. */
+  def kmvOverlap(sketch: DataFrame, k: Int = 64): DataFrame = {
+    val g = sketch.select(col("group")).distinct()
+    val pairs = g.as("ga").join(g.as("gb"), col("ga.group") < col("gb.group"))
+      .select(col("ga.group").as("g_a"), col("gb.group").as("g_b"))
+    val aRows = pairs.join(sketch, col("group") === col("g_a"))
+      .select(col("g_a"), col("g_b"), col("h"), lit(1L).as("ia"), lit(0L).as("ib"))
+    val bRows = pairs.join(sketch, col("group") === col("g_b"))
+      .select(col("g_a"), col("g_b"), col("h"), lit(0L).as("ia"), lit(1L).as("ib"))
+    val u = aRows.unionByName(bRows)
+      .groupBy("g_a", "g_b", "h")
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    val m = graft.functions.TopKAgg.rankTopK(
+      u.select(struct(col("g_a"), col("g_b")).as("__pair"),
+        (col("h") * 4 + col("ia") * 2 + col("ib")).as("__enc"), col("h")),
+      col("__pair"), -col("h").cast("double"), col("__enc"), k)
+    m.select(col("group.g_a").as("g_a"), col("group.g_b").as("g_b"),
+        shiftrightunsigned(col("id"), 2).as("h"),
+        (col("id").bitwiseAND(3) === 3).cast("long").as("both"))
+      .groupBy("g_a", "g_b")
+      .agg(count(lit(1)).as("__m"), max(col("h")).as("__hk"),
+        sum(col("both")).as("__j"))
+      .withColumn("est_union",
+        when(col("__m") < k, col("__m"))
+          .otherwise(expr(s"(${k - 1}L * 281474976710656L) div __hk"))
+          .cast("long"))
+      .withColumn("est_intersect",
+        when(col("__m") < k, col("__j"))
+          .otherwise(expr(s"(__j * est_union) div $k")).cast("long"))
+      .select(col("g_a"), col("g_b"), col("est_union"),
+        col("__j").cast("long").as("overlap_k"), col("est_intersect"))
+  }
 }

@@ -47,12 +47,29 @@ object Snapshots {
       extends RuntimeException(
         s"version $version of $table was committed concurrently; re-read and retry")
 
+  /** Per-file zone-map entry recorded in the manifest at commit time:
+    * min/max of one column over one data file, values as strings, compared
+    * under `dtype` ("bigint" / "double" / everything-else-lexicographic).
+    * Files whose recorded range cannot intersect a predicate's range are
+    * skipped without opening them — the manifest-level analog of parquet
+    * row-group stats, and what makes [[deleteWhere]] touch only the files
+    * that can hold matching rows. */
+  final case class FileStat(path: String, column: String, dtype: String,
+                            min: String, max: String)
+
+  /** Outcome of a [[deleteWhere]]: the committed version, the files that
+    * were rewritten (they contained matching rows), and the count of live
+    * files left byte-identical on disk. */
+  final case class DeleteResult(version: Long, rewritten: Seq[String],
+                                untouched: Int)
+
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestDir(table: String) = s"$table/_manifest"
   private val CommitFile = """v(\d{10})\.json""".r
   private val CheckpointFile = """c(\d{10})\.json""".r
+  private val StatSep = "\u0001"
 
   /** JSON string escape (the manifest is line-oriented JSON; paths may
     * contain quotes/backslashes/control chars). */
@@ -151,17 +168,22 @@ object Snapshots {
   def commit(spark: SparkSession, table: String,
              adds: Seq[String], removes: Seq[String] = Nil,
              baseVersion: Option[Long] = None,
-             schemaJson: Option[String] = None): Long = {
+             schemaJson: Option[String] = None,
+             stats: Seq[FileStat] = Nil): Long = {
     val f = fs(spark, table)
     f.mkdirs(new Path(manifestDir(table)))
     val next = baseVersion.getOrElse(currentVersion(spark, table)) + 1
-    // the schema line reuses the (a, p) line shape; liveFiles'
-    // add/remove match ignores it, referencedFiles treats the json as a
-    // never-matching "path" — both harmless by construction
+    // the schema/stat lines reuse the (a, p) line shape; liveFiles'
+    // add/remove match ignores them, referencedFiles treats the payloads
+    // as never-matching "paths" — both harmless by construction. Stat
+    // fields ride in one U+0001-separated payload (jq escapes control
+    // chars), so stat values must not themselves contain U+0001.
     val lines =
       schemaJson.map(s => s"""{"a":"schema","p":${jq(s)}}""").toSeq ++
         adds.map(p => s"""{"a":"add","p":${jq(p)}}""") ++
-        removes.map(p => s"""{"a":"remove","p":${jq(p)}}""")
+        removes.map(p => s"""{"a":"remove","p":${jq(p)}}""") ++
+        stats.map(st => s"""{"a":"stat","p":${jq(
+          Seq(st.path, st.column, st.dtype, st.min, st.max).mkString(StatSep))}}""")
     val path = new Path(f"${manifestDir(table)}/v$next%010d.json")
     if (!writeExclusive(f, path, lines)) throw ConcurrentCommitException(table, next)
     next
@@ -175,7 +197,8 @@ object Snapshots {
     * so time travel sees the old shape and current reads see old files
     * null-padded to the new one. Returns the new version. */
   def commitAppend(df: DataFrame, table: String,
-                   recordSchema: Boolean = false): Long = {
+                   recordSchema: Boolean = false,
+                   statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val dir = s"$table/data/${java.util.UUID.randomUUID().toString}"
     df.write.parquet(dir)
@@ -184,7 +207,162 @@ object Snapshots {
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
     commit(spark, table, adds = parts,
-      schemaJson = if (recordSchema) Some(df.schema.json) else None)
+      schemaJson = if (recordSchema) Some(df.schema.json) else None,
+      stats = computeStats(spark, dir, parts, statsCols))
+  }
+
+  /** Per-file min/max of `statsCols` over the freshly written `dir` — ONE
+    * column-pruned scan grouped by `input_file_name()`, collected at
+    * O(#files × #cols) (metadata-sized, like the live set itself).
+    * Scan-file URIs are matched back to the listed part paths by file
+    * name: Spark part names embed the write job's UUID, so they are
+    * unique across the table's lifetime. All-null files emit no stat
+    * (conservatively unprunable). */
+  private def computeStats(spark: SparkSession, dir: String,
+                           parts: Seq[String],
+                           statsCols: Seq[String]): Seq[FileStat] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    if (statsCols.isEmpty || parts.isEmpty) return Nil
+    val raw = spark.read.parquet(dir)
+    val dtypes = statsCols.map(c => c -> raw.schema(c).dataType.simpleString).toMap
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val byName = parts.map(p => new Path(p).getName -> p).toMap
+    raw.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.flatMap { r =>
+        byName.get(new Path(r.getString(0)).getName).toSeq.flatMap { p =>
+          statsCols.zipWithIndex.flatMap { case (c, i) =>
+            val lo = r.getString(1 + 2 * i)
+            val hi = r.getString(2 + 2 * i)
+            if (lo == null || hi == null) None
+            else Some(FileStat(p, c, dtypes(c), lo, hi))
+          }
+        }
+      }
+  }
+
+  /** All zone-map stats recorded for files LIVE at `version` (default
+    * current). Commit manifests are never deleted, so the replay sees the
+    * full stat history regardless of checkpoints; a file's stats are
+    * immutable (files are write-once), so first-seen wins. */
+  def fileStats(spark: SparkSession, table: String,
+                version: Option[Long] = None): Seq[FileStat] = {
+    val f = fs(spark, table)
+    val v = version.getOrElse(currentVersion(spark, table))
+    val live = liveFiles(spark, table, Some(v)).toSet
+    val seen = scala.collection.mutable.HashSet.empty[(String, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[FileStat]
+    versions(spark, table).filter(_ <= v).foreach { c =>
+      readLines(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))
+        .flatMap(parseLine).foreach {
+          case ("stat", payload) =>
+            payload.split(StatSep, 5) match {
+              case Array(p, cl, dt, lo, hi)
+                  if live(p) && seen.add((p, cl)) =>
+                out += FileStat(p, cl, dt, lo, hi)
+              case _ =>
+            }
+          case _ =>
+        }
+    }
+    out.toSeq
+  }
+
+  /** Can a file whose recorded [min,max] for the stat's dtype intersect
+    * [lo,hi]? Integral stats compare as longs, fractional as doubles,
+    * everything else lexicographically (valid for string min/max). */
+  private def statIntersects(st: FileStat, lo: String, hi: String): Boolean =
+    st.dtype match {
+      case "bigint" | "int" | "smallint" | "tinyint" =>
+        !(st.min.toLong > hi.toLong || st.max.toLong < lo.toLong)
+      case "double" | "float" =>
+        !(st.min.toDouble > hi.toDouble || st.max.toDouble < lo.toDouble)
+      case _ => !(st.min > hi || st.max < lo)
+    }
+
+  /** Partition the live set at `version` by the zone maps: `_1` = files a
+    * `column BETWEEN lo AND hi` predicate must scan, `_2` = files it can
+    * skip without opening. Files with no recorded stat for `column` are
+    * conservatively scanned. */
+  def pruneFiles(spark: SparkSession, table: String, column: String,
+                 lo: String, hi: String,
+                 version: Option[Long] = None): (Seq[String], Seq[String]) = {
+    val stats = fileStats(spark, table, version)
+      .filter(_.column == column).map(st => st.path -> st).toMap
+    liveFiles(spark, table, version).partition { p =>
+      stats.get(p).forall(statIntersects(_, lo, hi))
+    }
+  }
+
+  /** Read only the files a `column BETWEEN lo AND hi` predicate can
+    * match, resolved under the same schema rules as [[readAt]]. Pruning
+    * is conservative (never drops a possibly-matching file); the caller
+    * still applies the actual filter on top. */
+  def readPruned(spark: SparkSession, table: String, column: String,
+                 lo: String, hi: String,
+                 version: Option[Long] = None): DataFrame = {
+    val (scan, _) = pruneFiles(spark, table, column, lo, hi, version)
+    val sc = tableSchema(spark, table, version)
+    if (scan.isEmpty) {
+      val s = sc.getOrElse(throw new IllegalArgumentException(
+        s"all files of $table pruned and no recorded schema; pass readAt instead"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    } else sc.map(spark.read.schema).getOrElse(spark.read).parquet(scan: _*)
+  }
+
+  /** COPY-ON-WRITE row-level DELETE: remove every row matching `cond`,
+    * rewriting ONLY the files that actually contain matching rows, as one
+    * transactional commit (new files in, touched files out) against the
+    * resolved version — a racing writer wins and this throws
+    * [[ConcurrentCommitException]]. Untouched files stay byte-identical
+    * (and every removed file stays referenced by its original commit, so
+    * time travel across the delete keeps working and [[vacuum]] never
+    * reclaims it).
+    *
+    * `prune` narrows the candidate set by zone maps BEFORE any data is
+    * read: `(column, lo, hi)` asserts cond can only match rows with
+    * `column BETWEEN lo AND hi` (the caller's contract — wrong bounds
+    * delete too little). Candidate files are then checked for actual
+    * matches (one column-pruned scan), so a zone-map false positive is
+    * never rewritten. The rewrite scans only touched files — at 100 TB
+    * a targeted delete costs O(files overlapping the predicate), not
+    * O(table). */
+  def deleteWhere(spark: SparkSession, table: String,
+                  cond: org.apache.spark.sql.Column,
+                  prune: Option[(String, String, String)] = None): DeleteResult = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit, not}
+    val v = currentVersion(spark, table)
+    val live = liveFiles(spark, table, Some(v))
+    val candidates = prune match {
+      case Some((c, lo, hi)) => pruneFiles(spark, table, c, lo, hi, Some(v))._1
+      case None              => live
+    }
+    if (candidates.isEmpty) return DeleteResult(v, Nil, live.size)
+    val sc = tableSchema(spark, table, Some(v))
+    def read(files: Seq[String]) =
+      sc.map(spark.read.schema).getOrElse(spark.read).parquet(files: _*)
+    val byName = candidates.map(p => new Path(p).getName -> p).toMap
+    val touched = read(candidates).filter(cond)
+      .groupBy(input_file_name().as("__f")).agg(count(lit(1)))
+      .collect().toSeq
+      .flatMap(r => byName.get(new Path(r.getString(0)).getName))
+    if (touched.isEmpty) return DeleteResult(v, Nil, live.size)
+    // which columns carried zone maps on the touched files → recompute
+    // them for the rewritten survivors so future deletes keep pruning
+    val statCols = fileStats(spark, table, Some(v))
+      .filter(st => touched.contains(st.path)).map(_.column).distinct
+    val dir = s"$table/data/delete-${java.util.UUID.randomUUID().toString}"
+    read(touched).filter(not(cond)).write.parquet(dir)
+    val f = fs(spark, table)
+    val parts = f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+    val version = commit(spark, table, adds = parts, removes = touched,
+      baseVersion = Some(v),
+      stats = computeStats(spark, dir, parts, statCols))
+    DeleteResult(version, touched, live.size - touched.size)
   }
 
   /** Exactly-once micro-batch append: write `df` under the DETERMINISTIC

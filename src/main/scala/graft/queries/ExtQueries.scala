@@ -3220,7 +3220,8 @@ object ExtQueries {
              |FROM rnk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin))
   ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec, x89Spec,
     x90Spec, x91Spec, x92Spec, x93Spec, x94Spec, x95Spec, st17Spec,
-    x96Spec, x97Spec, st18Spec, x98Spec, x99Spec, x100Spec, st19Spec)
+    x96Spec, x97Spec, st18Spec, x98Spec, x99Spec, x100Spec, st19Spec,
+    x101Spec, x102Spec, x103Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -4223,5 +4224,184 @@ object ExtQueries {
         """
           |SELECT node, CAST(rank AS BIGINT) AS rank_pico FROM cr4
           |ORDER BY rank_pico DESC, node""".stripMargin))
+  }
+
+  /** The zone-mapped snapshot layout x101/x102 exercise: documents sliced
+    * into 8 range-disjoint files (slice i = doc_ids [i·W, (i+1)·W), one
+    * commitAppend each, min/max recorded), W = max_id/8 + 1. The right-
+    * to-erasure / targeted-retraction shape: doc ranges map to files, so
+    * a range delete or scan touches O(overlapping files), not the table. */
+  private def slicedSnapshotTable(s: SparkSession, root: String, d: String): (String, Long) = {
+    import graft.io.Snapshots
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    val w = docs.agg(max(col("doc_id"))).first().getLong(0) / 8 + 1
+    val tbl = s"$root/tbl"
+    (0 until 8).foreach { i =>
+      Snapshots.commitAppend(
+        docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1),
+        tbl, recordSchema = true, statsCols = Seq("doc_id"))
+    }
+    (tbl, w)
+  }
+
+  /** Shared oracle prelude: W and the delete/scan bounds derived from it
+    * (the range [k·W + W/2, (k+1)·W + W/2 - 1] straddles exactly slices k
+    * and k+1, and doc_ids are contiguous so both slices hold matches). */
+  private def zoneBoundsSql(k: Int): String =
+    s"""w AS (SELECT max(doc_id) // 8 + 1 AS w FROM documents),
+       |b AS (SELECT $k * w + w // 2 AS lo, ${k + 1} * w + w // 2 - 1 AS hi FROM w)""".stripMargin
+
+  // COPY-ON-WRITE row-level DELETE through the snapshot manifest (x101):
+  // zone maps (per-file doc_id min/max recorded at commit) prune the
+  // candidate files BEFORE any data is read, a match check keeps zone-map
+  // false positives unrewritten, and the commit swaps exactly the two
+  // straddled files — 6 of 8 files stay byte-identical and the pre-delete
+  // version still time-travels. The audit columns (files rewritten /
+  // untouched, version, pre-delete count) ride in-plan; the oracle
+  // replays the surviving-row algebra plus those structural constants.
+  private def x101Spec: QuerySpec =
+    QuerySpec("x101_snapshot_delete",
+      (s, d) => {
+        import graft.io.Snapshots
+        // the table is MUTATED by the query — build fresh per run (never
+        // through Staging.dir's per-JVM cache; a bench rerun would
+        // otherwise re-delete an already-deleted table)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_del_run").toString
+        val (tbl, w) = slicedSnapshotTable(s, tmp, d)
+        val lo = 2 * w + w / 2
+        val hi = 3 * w + w / 2 - 1
+        val res = Snapshots.deleteWhere(s, tbl, col("doc_id").between(lo, hi),
+          prune = Some(("doc_id", lo.toString, hi.toString)))
+        val audit = Snapshots.readAt(s, tbl, Some(res.version - 1))
+          .agg(n.as("n_before"))
+          .select(col("n_before"),
+            lit(res.rewritten.size.toLong).as("files_rewritten"),
+            lit(res.untouched.toLong).as("files_untouched"),
+            lit(res.version).as("version"))
+        Snapshots.readAt(s, tbl)
+          .groupBy("source")
+          .agg(n.as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${zoneBoundsSql(2)},
+           |kept AS (SELECT d.* FROM documents d, b
+           |         WHERE d.doc_id < b.lo OR d.doc_id > b.hi)
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       (SELECT count(*) FROM documents) AS n_before,
+           |       CAST(2 AS BIGINT) AS files_rewritten,
+           |       CAST(6 AS BIGINT) AS files_untouched,
+           |       CAST(9 AS BIGINT) AS version
+           |FROM kept GROUP BY source ORDER BY source""".stripMargin))
+
+  // Zone-map FILE PRUNING on the read path (x102): a doc_id range scan
+  // over the same 8-slice layout opens only the two files whose recorded
+  // [min,max] intersect the range — manifest-level data skipping, the
+  // scan-side dividend of recording stats at commit. The read-only table
+  // stages once per JVM (bench times the pruned read, not table
+  // construction); files_scanned/files_pruned ride in-plan.
+  private def x102Spec: QuerySpec =
+    QuerySpec("x102_zonemap_scan",
+      (s, d) => {
+        import graft.io.Snapshots
+        val root = Staging.dir("zonemap", d) { tmp => slicedSnapshotTable(s, tmp, d); () }
+        val tbl = s"$root/tbl"
+        val w = Tables.documents(s, d).agg(max(col("doc_id"))).first().getLong(0) / 8 + 1
+        val lo = 5 * w + w / 2
+        val hi = 6 * w + w / 2 - 1
+        val (scan, pruned) = Snapshots.pruneFiles(s, tbl, "doc_id", lo.toString, hi.toString)
+        Snapshots.readPruned(s, tbl, "doc_id", lo.toString, hi.toString)
+          .filter(col("doc_id").between(lo, hi))
+          .select(col("doc_id"), col("source"),
+            lit(scan.size.toLong).as("files_scanned"),
+            lit(pruned.size.toLong).as("files_pruned"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${zoneBoundsSql(5)}
+           |SELECT doc_id, source,
+           |       CAST(2 AS BIGINT) AS files_scanned,
+           |       CAST(6 AS BIGINT) AS files_pruned
+           |FROM documents, b WHERE doc_id BETWEEN b.lo AND b.hi
+           |ORDER BY doc_id""".stripMargin))
+
+  // Cross-source OVERLAP audit from KMV sketches (x103): how much do two
+  // sources' distinct-bigram vocabularies overlap — union cardinality,
+  // Jaccard numerator and intersection estimated purely from the k=64
+  // smallest-hash summaries (Beyer et al. 2007 multiset estimators),
+  // never re-touching corpus data. Deterministic integer algebra → the
+  // oracle replays merge, membership flags and both estimators exactly;
+  // the exact intersection rides along so estimate quality is visible
+  // per row.
+  private def x103Spec: QuerySpec = {
+    val srcs = Seq("src0", "src1", "src2", "src3")
+    QuerySpec("x103_kmv_overlap",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .filter(col("text").isNotNull && col("source").isin(srcs: _*))
+        val toks = docs.select(col("source"),
+          filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("__t"))
+        val bigrams = toks.select(col("source"), explode(zip_with(
+            slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+            slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b))).as("bg"))
+        val sketch = graft.ext.Sketches.kmvSketch(bigrams, col("source"), col("bg"), k = 64)
+        val ov = graft.ext.Sketches.kmvOverlap(sketch, k = 64)
+        val distinctBg = bigrams.distinct()
+        val exact = distinctBg.as("a").join(distinctBg.as("b"),
+            col("a.source") < col("b.source") && col("a.bg") === col("b.bg"))
+          .groupBy(col("a.source").as("g_a"), col("b.source").as("g_b"))
+          .agg(n.as("exact_intersect"))
+        ov.withColumnRenamed("g_a", "source_a").withColumnRenamed("g_b", "source_b")
+          .join(exact.withColumnRenamed("g_a", "source_a")
+            .withColumnRenamed("g_b", "source_b"), Seq("source_a", "source_b"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH tok AS (SELECT source,
+             |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+             |                     x -> x <> '') AS t
+             |       FROM documents WHERE text IS NOT NULL
+             |         AND source IN (${srcs.map(x => s"'$x'").mkString(", ")})),
+             |bg AS (SELECT DISTINCT source, z[1] || ' ' || z[2] AS bg
+             |       FROM (SELECT source, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+             |             FROM tok WHERE len(t) >= 2)),
+             |h AS (SELECT DISTINCT source,
+             |        CAST(('0x' || substr(md5(bg), 1, 12)) AS BIGINT) AS h
+             |      FROM bg),
+             |topk AS (SELECT source, h,
+             |           row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+             |         FROM h QUALIFY rk <= 64),
+             |pairs AS (SELECT a.source AS sa, b.source AS sb
+             |          FROM (SELECT DISTINCT source FROM topk) a
+             |          JOIN (SELECT DISTINCT source FROM topk) b ON a.source < b.source),
+             |u AS (SELECT sa, sb, h, max(ia) AS ia, max(ib) AS ib FROM (
+             |        SELECT p.sa, p.sb, t.h, 1 AS ia, 0 AS ib
+             |        FROM pairs p JOIN topk t ON t.source = p.sa
+             |        UNION ALL
+             |        SELECT p.sa, p.sb, t.h, 0, 1
+             |        FROM pairs p JOIN topk t ON t.source = p.sb)
+             |      GROUP BY 1, 2, 3),
+             |m AS (SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+             |      FROM u QUALIFY rk <= 64),
+             |agg AS (SELECT sa, sb, count(*) AS msz, max(h) AS hk,
+             |          sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS j
+             |        FROM m GROUP BY 1, 2),
+             |est AS (SELECT sa, sb, j, msz,
+             |          CASE WHEN msz < 64 THEN msz
+             |               ELSE (63 * 281474976710656) // hk END AS eu
+             |        FROM agg),
+             |fin AS (SELECT sa, sb, eu, j,
+             |          CASE WHEN msz < 64 THEN j ELSE (j * eu) // 64 END AS ei
+             |        FROM est),
+             |exact AS (SELECT a.source AS sa, b.source AS sb, count(*) AS ex
+             |          FROM bg a JOIN bg b ON a.source < b.source AND a.bg = b.bg
+             |          GROUP BY 1, 2)
+             |SELECT fin.sa AS source_a, fin.sb AS source_b,
+             |       CAST(eu AS BIGINT) AS est_union,
+             |       CAST(j AS BIGINT) AS overlap_k,
+             |       CAST(ei AS BIGINT) AS est_intersect,
+             |       CAST(ex AS BIGINT) AS exact_intersect
+             |FROM fin JOIN exact ON fin.sa = exact.sa AND fin.sb = exact.sb
+             |ORDER BY 1, 2""".stripMargin))
   }
 }

@@ -94,4 +94,45 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(merged === direct)
   }
+
+  test("KMV overlap: identical groups give full overlap, disjoint give none") {
+    val df = ((1 to 400).map(i => ("a", s"k$i")) ++
+      (1 to 400).map(i => ("b", s"k$i")) ++            // b ≡ a
+      (1 to 400).map(i => ("c", s"z$i"))).toDF("g", "w") // c disjoint
+    val sk = Sketches.kmvSketch(df, col("g"), col("w"), k = 32)
+    val ov = Sketches.kmvOverlap(sk, k = 32)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // a vs b: every merged hash is in both → overlap_k = 32, est_intersect = est_union
+    val ab = ov(("a", "b"))
+    assert(ab._4 === 32L && ab._5 === ab._3)
+    // a vs c, b vs c: no shared keys → hash collision-free at 48 bits
+    assert(ov(("a", "c"))._4 === 0L && ov(("a", "c"))._5 === 0L)
+    assert(ov(("b", "c"))._4 === 0L && ov(("b", "c"))._5 === 0L)
+  }
+
+  test("KMV overlap: below-k groups are exact (j IS the intersection)") {
+    // 20 ∪ 20 with 10 shared → union 30 < k=64: everything exact
+    val df = ((1 to 20).map(i => ("a", s"k$i")) ++
+      (11 to 30).map(i => ("b", s"k$i"))).toDF("g", "w")
+    val ov = Sketches.kmvOverlap(
+        Sketches.kmvSketch(df, col("g"), col("w"), k = 64), k = 64)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(ov.length === 1)
+    val (ga, gb, eu, j, ei) = ov.head
+    assert((ga, gb) === (("a", "b")))
+    assert(eu === 30L && j === 10L && ei === 10L)
+  }
+
+  test("KMV overlap: estimated intersection tracks truth on half-overlapping sets") {
+    // |A|=|B|=2000, |A∩B|=1000 → Jaccard 1/3
+    val df = ((1 to 2000).map(i => ("a", s"k$i")) ++
+      (1001 to 3000).map(i => ("b", s"k$i"))).toDF("g", "w")
+    val ov = Sketches.kmvOverlap(
+        Sketches.kmvSketch(df, col("g"), col("w"), k = 64), k = 64)
+      .as[(String, String, Long, Long, Long)].collect().head
+    // loose 3/sqrt(k) CLT bounds — deterministic given the fixed hash
+    assert(math.abs(ov._3 - 3000L) < 1200, s"est_union ${ov._3}")
+    assert(math.abs(ov._5 - 1000L) < 700, s"est_intersect ${ov._5}")
+  }
 }

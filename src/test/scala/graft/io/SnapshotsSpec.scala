@@ -163,4 +163,89 @@ class SnapshotsSpec extends SparkSpec {
     val v1 = Snapshots.readAt(spark, t, Some(1))
     assert(v1.columns.toSeq === Seq("id") && v1.count() === 0)
   }
+
+  /** Four range-disjoint files (one commit each, zone maps on id):
+    * slice i holds ids [i*100, i*100+99]. */
+  private def slicedTable(): String = {
+    val t = tmpTable()
+    (0 until 4).foreach { i =>
+      Snapshots.commitAppend(df(i * 100 to i * 100 + 99).coalesce(1), t,
+        recordSchema = true, statsCols = Seq("id"))
+    }
+    t
+  }
+
+  test("zone maps: stats recorded per live file; pruneFiles partitions by range") {
+    val t = slicedTable()
+    val stats = Snapshots.fileStats(spark, t)
+    val live = Snapshots.liveFiles(spark, t)
+    assert(stats.map(_.path).toSet === live.toSet) // every live file has an id stat
+    assert(stats.forall(_.dtype == "bigint"))
+    // a predicate hitting only slice 2 scans exactly slice 2's file(s)
+    val (scan, pruned) = Snapshots.pruneFiles(spark, t, "id", "210", "260")
+    assert(scan.size === 1 && pruned.size === 3)
+    val scanStat = stats.find(_.path == scan.head).get
+    assert(scanStat.min.toLong === 200L && scanStat.max.toLong === 299L)
+    // readPruned over that range ≡ the full-scan filter
+    val viaPruned = Snapshots.readPruned(spark, t, "id", "210", "260")
+      .filter(col("id").between(210, 260)).as[Long].collect().toSet
+    assert(viaPruned === (210L to 260L).toSet)
+  }
+
+  test("zone maps: a file with no stat for the column is conservatively scanned") {
+    val t = slicedTable()
+    // an unstamped commit (no statsCols) — must never be pruned
+    Snapshots.commitAppend(df(1000 to 1001).coalesce(1), t)
+    val (scan, _) = Snapshots.pruneFiles(spark, t, "id", "210", "260")
+    assert(scan.size === 2) // slice 2 + the statless file
+  }
+
+  test("deleteWhere rewrites only matching files; untouched files stay byte-identical") {
+    val t = slicedTable()
+    val before = Snapshots.liveFiles(spark, t)
+    val res = Snapshots.deleteWhere(spark, t, col("id").between(150, 250),
+      prune = Some(("id", "150", "250")))
+    // slices 1 and 2 intersect [150,250]; slices 0 and 3 must survive as-is
+    assert(res.rewritten.size === 2 && res.untouched === 2)
+    val after = Snapshots.liveFiles(spark, t)
+    assert(before.toSet.intersect(after.toSet).size === 2) // same path strings
+    assert(Snapshots.readAt(spark, t).as[Long].collect().toSet ===
+      ((0L to 149L) ++ (251L to 399L)).toSet)
+    // time travel across the delete: the pre-delete version is intact
+    assert(Snapshots.readAt(spark, t, Some(res.version - 1)).count() === 400)
+    // and vacuum never reclaims the removed-but-referenced files
+    assert(Snapshots.vacuum(spark, t).isEmpty)
+    assert(Snapshots.readAt(spark, t, Some(res.version - 1)).count() === 400)
+    // survivors were re-stamped: a follow-up pruned delete still narrows
+    val (scan2, _) = Snapshots.pruneFiles(spark, t, "id", "0", "10")
+    assert(scan2.size === 1)
+  }
+
+  test("deleteWhere: a zone-map false positive (no matching rows) is not rewritten") {
+    val t = slicedTable()
+    // [140,160] intersects slice 1's [100,199] zone map, but delete only
+    // even ids in [150,160] that don't exist: cond matches nothing there
+    val res = Snapshots.deleteWhere(spark, t,
+      col("id").between(150, 160) && col("id") > lit(1000),
+      prune = Some(("id", "140", "160")))
+    assert(res.rewritten.isEmpty)
+    assert(Snapshots.currentVersion(spark, t) === res.version) // no new commit
+    assert(Snapshots.readAt(spark, t).count() === 400)
+  }
+
+  test("deleteWhere without prune hint scans all candidates, same result") {
+    val t = slicedTable()
+    val res = Snapshots.deleteWhere(spark, t, col("id") % 100 === 7)
+    assert(res.rewritten.size === 4) // every slice holds one match
+    assert(Snapshots.readAt(spark, t).count() === 396)
+  }
+
+  test("deleteWhere with a fully-pruning hint is a no-op (no scan, no commit)") {
+    val t = slicedTable()
+    val v = Snapshots.currentVersion(spark, t)
+    val res = Snapshots.deleteWhere(spark, t, col("id") === 99999,
+      prune = Some(("id", "99990", "99999")))
+    assert(res.rewritten.isEmpty && res.untouched === 4)
+    assert(res.version === v && Snapshots.currentVersion(spark, t) === v)
+  }
 }
