@@ -3221,7 +3221,7 @@ object ExtQueries {
   ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec, x89Spec,
     x90Spec, x91Spec, x92Spec, x93Spec, x94Spec, x95Spec, st17Spec,
     x96Spec, x97Spec, st18Spec, x98Spec, x99Spec, x100Spec, st19Spec,
-    x101Spec, x102Spec, x103Spec)
+    x101Spec, x102Spec, x103Spec, x104Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -4403,5 +4403,62 @@ object ExtQueries {
              |       CAST(ex AS BIGINT) AS exact_intersect
              |FROM fin JOIN exact ON fin.sa = exact.sa AND fin.sb = exact.sb
              |ORDER BY 1, 2""".stripMargin))
+  }
+
+  // Aho–Corasick blocklist screen (x104): per-document OVERLAPPING
+  // occurrence counts of a multi-pattern blocklist in ONE linear scan —
+  // the C4 dirty-word / policy-phrase filter primitive, where thousands
+  // of patterns must not mean thousands of regex passes. The pattern set
+  // exercises nesting ("able" inside every "table"), phrase patterns
+  // with spaces, self-overlap ("a a" in "a a a"), and a never-matching
+  // probe. The oracle brute-forces the position grid (every (doc, pat,
+  // offset) cell) in SQL — no automaton on the oracle side, so the fail/
+  // output-link machinery is what's being checked.
+  private def x104Spec: QuerySpec = {
+    val pats = Seq("fast", "table", "able", "a a", "scan slow", "zzzz")
+    val cols = Seq("c_fast", "c_table", "c_able", "c_aa", "c_scanslow", "c_zzzz")
+    QuerySpec("x104_blocklist_ac",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val withC = docs.select(col("doc_id"),
+          graft.functions.TextExprs.multiPatternCounts(col("text"), pats).as("__c"))
+        val proj = cols.zipWithIndex.foldLeft(withC) { case (df, (c, i)) =>
+          df.withColumn(c, element_at(col("__c"), i + 1))
+        }
+        proj.withColumn("total_hits", cols.map(col).reduce(_ + _))
+          .withColumn("blocked", (col("total_hits") > 0).cast("long"))
+          .drop("__c")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT * FROM (VALUES (1, 'fast'), (2, 'table'), (3, 'able'),
+             |            (4, 'a a'), (5, 'scan slow'), (6, 'zzzz')) AS p(pid, pat)),
+             |pos AS (SELECT d.doc_id, p.pid,
+             |          unnest(range(1, len(d.text) - len(p.pat) + 2)) AS i
+             |        FROM documents d, p WHERE d.text IS NOT NULL),
+             |hits AS (SELECT pos.doc_id, pos.pid, count(*) AS c
+             |         FROM pos JOIN documents d ON pos.doc_id = d.doc_id
+             |                  JOIN p ON pos.pid = p.pid
+             |         WHERE substr(d.text, CAST(pos.i AS INTEGER), len(p.pat)) = p.pat
+             |         GROUP BY 1, 2),
+             |piv AS (SELECT b.doc_id,
+             |          COALESCE(max(CASE WHEN pid = 1 THEN c END), 0) AS c_fast,
+             |          COALESCE(max(CASE WHEN pid = 2 THEN c END), 0) AS c_table,
+             |          COALESCE(max(CASE WHEN pid = 3 THEN c END), 0) AS c_able,
+             |          COALESCE(max(CASE WHEN pid = 4 THEN c END), 0) AS c_aa,
+             |          COALESCE(max(CASE WHEN pid = 5 THEN c END), 0) AS c_scanslow,
+             |          COALESCE(max(CASE WHEN pid = 6 THEN c END), 0) AS c_zzzz
+             |        FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) b
+             |        LEFT JOIN hits h ON b.doc_id = h.doc_id GROUP BY 1)
+             |SELECT doc_id, CAST(c_fast AS BIGINT) AS c_fast,
+             |       CAST(c_table AS BIGINT) AS c_table,
+             |       CAST(c_able AS BIGINT) AS c_able,
+             |       CAST(c_aa AS BIGINT) AS c_aa,
+             |       CAST(c_scanslow AS BIGINT) AS c_scanslow,
+             |       CAST(c_zzzz AS BIGINT) AS c_zzzz,
+             |       CAST(c_fast + c_table + c_able + c_aa + c_scanslow + c_zzzz
+             |            AS BIGINT) AS total_hits,
+             |       CAST((c_fast + c_table + c_able + c_aa + c_scanslow + c_zzzz) > 0
+             |            AS BIGINT) AS blocked
+             |FROM piv ORDER BY doc_id""".stripMargin))
   }
 }

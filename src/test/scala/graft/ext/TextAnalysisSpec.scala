@@ -150,4 +150,40 @@ class TextAnalysisSpec extends SparkSpec {
     // URL's domain survives
     assert(out(2).getSeq[String](2).contains("ok.io"))
   }
+
+  test("multiPatternCounts: overlapping, nested, and fail-link matches all count") {
+    import graft.functions.TextExprs
+    def counts(text: String, pats: Seq[String]): Seq[Long] =
+      Seq(Tuple1(text)).toDF("t")
+        .select(TextExprs.multiPatternCounts($"t", pats).as("c"))
+        .collect().head.getSeq[Long](0)
+    // overlapping self-matches: "aa" in "aaaa" ends at positions 2,3,4
+    assert(counts("aaaa", Seq("aa")) === Seq(3L))
+    // nested pattern: every "table" also completes "able"
+    assert(counts("a table is stable", Seq("table", "able")) === Seq(2L, 2L))
+    // fail-link case: "she" completes "he" mid-walk (the classic AC example)
+    assert(counts("ushers", Seq("he", "she", "his", "hers")) ===
+      Seq(1L, 1L, 0L, 1L))
+    // no match, empty text, and multi-char disjoint patterns
+    assert(counts("", Seq("x")) === Seq(0L))
+    assert(counts("spark shuffles", Seq("zzz", "spark", "huff")) === Seq(0L, 1L, 1L))
+    // non-ASCII pattern chars route through the wide-char table
+    assert(counts("café café cafe", Seq("café", "cafe")) === Seq(2L, 1L))
+  }
+
+  test("multiPatternCounts agrees with a naive scan on word-soup rows") {
+    import graft.functions.TextExprs
+    val pats = Seq("fast", "table", "able", "a a", "scan slow", "zzzz")
+    def naive(text: String, p: String): Long =
+      (0 to text.length - p.length).count(i => text.regionMatches(i, p, 0, p.length)).toLong
+    val texts = Seq(
+      "key agg row scan slow fast table value part hash a a a the line sort",
+      "scan slowscan slow a a a a fasttablefast", "", "zz z z zzz zz")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = df.select($"id", TextExprs.multiPatternCounts($"t", pats).as("c"))
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) === pats.map(naive(t, _)), s"row $i")
+    }
+  }
 }
