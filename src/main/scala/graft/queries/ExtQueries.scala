@@ -3221,7 +3221,7 @@ object ExtQueries {
   ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec, x89Spec,
     x90Spec, x91Spec, x92Spec, x93Spec, x94Spec, x95Spec, st17Spec,
     x96Spec, x97Spec, st18Spec, x98Spec, x99Spec, x100Spec, st19Spec,
-    x101Spec, x102Spec, x103Spec, x104Spec)
+    x101Spec, x102Spec, x103Spec, x104Spec, st20Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -4461,4 +4461,49 @@ object ExtQueries {
              |            AS BIGINT) AS blocked
              |FROM piv ORDER BY doc_id""".stripMargin))
   }
+
+  // ST — streaming SEMANTIC dedup ingest gate (st20): x63's SemDeDup
+  // shape behind the NearDupGate ingest discipline. Embeddings drain in
+  // three micro-batches; each batch drops vectors cosine-matching the
+  // CELL-PARTITIONED kept history (read pruned to the batch's probed
+  // cells), applies the keep-smaller-id rule within the batch, then
+  // appends its kept vectors. Planted identical twins (vec_id < 20 →
+  // +100000) all arrive in the LAST batch, so originals ingested one/two
+  // batches earlier must shadow them through the history path (and the
+  // %3==2 originals through the within-batch rule). As in x63, no
+  // organic pair reaches 0.95 — the oracle is the closed-form survivor
+  // set.
+  private def st20Spec: QuerySpec =
+    QuerySpec("st20_stream_semdedup_gate",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val src = Staging.slicedSource("sdg", d) { tmp =>
+          val slices = Seq(
+            emb.filter(col("vec_id") % 3 === 0),
+            emb.filter(col("vec_id") % 3 === 1),
+            emb.filter(col("vec_id") % 3 === 2)
+              .unionByName(emb.filter(col("vec_id") < 20)
+                .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))))
+          slices.zipWithIndex.foreach { case (df, i) =>
+            Staging.writeSlice(df, s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sdg_run").toString
+        Staging.drainTuning(s, src, 3) {
+          val q = graft.streaming.SemDedupGate.start(s,
+            s.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+            x63Centroids(s, d),
+            histDir = s"$tmp/hist", outDir = s"$tmp/out",
+            checkpoint = s"$tmp/ckpt", threshold = 0.95, nprobe = 2)
+          q.awaitTermination()
+        }
+        s.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+          .select(col("vec_id"), (col("vec_id") % 3).cast("long").as("ingest_batch"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, CAST(vec_id % 3 AS BIGINT) AS ingest_batch
+             |FROM embeddings ORDER BY vec_id""".stripMargin))
 }

@@ -37,19 +37,25 @@ import org.apache.spark.storage.StorageLevel
   */
 object NearDupGate {
 
-  /** History signature frames for `batchId`: every committed-or-partial
-    * `b<j>` under `sigDir` with j < batchId — never the running batch's
+  /** The history directories for `batchId`: every committed-or-partial
+    * `b<j>` under `root` with j < batchId — never the running batch's
     * own (possibly partial) output, never later dirs. */
-  def historySigs(spark: SparkSession, sigDir: String, batchId: Long): Option[DataFrame] = {
-    val root = new org.apache.hadoop.fs.Path(sigDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) return None
-    val dirs = fs.listStatus(root).toSeq
+  def historyDirs(spark: SparkSession, root: String, batchId: Long): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return Seq.empty
+    fs.listStatus(rootPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("b"))
       .map(_.getPath)
       .filter(_.getName.stripPrefix("b").toLong < batchId)
+      .map(_.toString)
+  }
+
+  /** History signature frames for `batchId` (see [[historyDirs]]). */
+  def historySigs(spark: SparkSession, sigDir: String, batchId: Long): Option[DataFrame] = {
+    val dirs = historyDirs(spark, sigDir, batchId)
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.map(_.toString): _*))
+    else Some(spark.read.parquet(dirs: _*))
   }
 
   /** Start the gate over a streaming `source` with columns `idCol`

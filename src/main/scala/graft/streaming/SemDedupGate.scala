@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.ext.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.storage.StorageLevel
+
+/** Streaming SEMANTIC dedup ingest gate — [[graft.ext.Similarity.semanticDedup]]
+  * (the SemDeDup shape, Abbas et al. 2023, arXiv:2303.09540) composed with
+  * the [[NearDupGate]] ingest pattern: each micro-batch of (vec_id,
+  * embedding) rows drops vectors whose cosine to ANY kept history vector
+  * in a shared k-means cell reaches the threshold, applies the
+  * keep-smaller-id rule within the batch, then appends its own kept
+  * vectors to the history — so an embedding-level duplicate arriving
+  * batches after its original is caught without re-embedding or
+  * re-clustering anything.
+  *
+  * Reference analog: none — extends the reference's incremental file
+  * ingest (batch-only pipeline scripts) to embedding-space dedup.
+  *
+  * Scale posture (100 TB, growing history):
+  *  - centroids are FROZEN training artifacts (same discipline as the IVF
+  *    serve path, x18): assignment is a narrow native expression, no
+  *    per-batch clustering;
+  *  - history is stored CELL-PARTITIONED (`__cell=<c>` directories,
+  *    vectors pre-exploded into their nprobe cells): the per-batch
+  *    history read prunes to the cells the batch actually probes, so the
+  *    join cost is O(history ∩ probed cells), never a history scan;
+  *  - per-batch state lands in `b<batchId>` subdirectories (append = new
+  *    files, object-store safe), and the history read takes only dirs
+  *    with id < batchId — crash replay sees the same history, rewrites
+  *    the same dirs, and stays exactly-once (NearDupGate's discipline).
+  */
+object SemDedupGate {
+
+  /** Explode `df` (vec_id, embedding) into its `nprobe` nearest cells:
+    * (__cell, vec_id, __v double-array). */
+  private def withCells(df: DataFrame, centroids: Array[Array[Double]],
+                        nprobe: Int): DataFrame =
+    df.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("__v"))
+      .withColumn("__cell",
+        explode(graft.functions.VectorExprs.nearestCentroids(col("__v"), centroids, nprobe)))
+
+  def start(spark: SparkSession, source: DataFrame,
+            centroids: Array[Array[Double]],
+            histDir: String, outDir: String, checkpoint: String,
+            threshold: Double = 0.95, nprobe: Int = 2,
+            batchPartitions: Int = 0): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val parts =
+          if (batchPartitions > 0) batchPartitions
+          else spark.sparkContext.defaultParallelism
+        val b = batch.repartition(parts).persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val bc = withCells(b, centroids, nprobe)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            // per-batch-dir reads unioned (NOT one multi-root read: each
+            // b<j> is its own partition-discovery root for the __cell
+            // dirs); the cell filter prunes partitions inside every dir
+            val histDirs = NearDupGate.historyDirs(spark, histDir, batchId)
+            val histDrop = if (histDirs.nonEmpty) {
+              // prune the cell-partitioned history to the batch's cells
+              // BEFORE the join (partition pruning on the __cell dirs)
+              val probed = bc.select("__cell").distinct()
+                .collect().map(_.getInt(0)).toSeq
+              val hist = histDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+              bc.join(hist.where(col("__cell").isin(probed: _*))
+                  .withColumnRenamed("vec_id", "__hid")
+                  .withColumnRenamed("__v", "__hv"), Seq("__cell"))
+                .where(Similarity.cosine(col("__v"), col("__hv")) >= threshold)
+                .select(col("vec_id").as("__drop"))
+            } else spark.range(0).select(col("id").cast("long").as("__drop"))
+            // keep-smaller-id within the batch (x63's deterministic rule)
+            val withinDrop = Similarity
+              .cellCosineNearDups(b, centroids, threshold, nprobe)
+              .select(col("id_b").as("__drop"))
+            val drops = histDrop.unionByName(withinDrop).distinct()
+            val kept = b.join(broadcast(drops),
+              col("vec_id") === col("__drop"), "left_anti")
+            kept.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+            // only kept vectors join the history, pre-exploded and
+            // cell-partitioned for the next batch's pruned read
+            bc.join(broadcast(drops), col("vec_id") === col("__drop"), "left_anti")
+              .write.mode("overwrite").partitionBy("__cell")
+              .parquet(s"$histDir/b$batchId")
+          } finally bc.unpersist(blocking = false)
+        } finally b.unpersist(blocking = false)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
