@@ -3221,7 +3221,7 @@ object ExtQueries {
   ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec, x89Spec,
     x90Spec, x91Spec, x92Spec, x93Spec, x94Spec, x95Spec, st17Spec,
     x96Spec, x97Spec, st18Spec, x98Spec, x99Spec, x100Spec, st19Spec,
-    x101Spec, x102Spec, x103Spec, x104Spec, st20Spec)
+    x101Spec, x102Spec, x103Spec, x104Spec, st20Spec, x105Spec, x106Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -4506,4 +4506,72 @@ object ExtQueries {
       },
       Some("""SELECT vec_id, CAST(vec_id % 3 AS BIGINT) AS ingest_batch
              |FROM embeddings ORDER BY vec_id""".stripMargin))
+
+  /** Corpus-trained WordPiece vocab per sf dir — training is a
+    * once-per-corpus offline artifact (same caching discipline as the
+    * quantizers/classifiers), so benched x105 times the encode path. */
+  private val wpVocabs =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.WordPiece.Vocab]()
+  private def wpVocab(s: SparkSession, d: String): graft.functions.WordPiece.Vocab =
+    wpVocabs.computeIfAbsent(d, { _ =>
+      graft.functions.WordPiece.train(
+        Tables.documents(s, d).filter(col("text").isNotNull), col("text"))
+    })
+
+  // WordPiece corpus roundtrip (x105): the third tokenizer family (BERT's
+  // subword scheme next to byte-BPE x31 and unigram x80). The trainer
+  // retains every single char in the piece CLASS it occurs in (initial /
+  // ##-continuation), so corpus text never hits [UNK] and
+  // decode(encode(text)) must byte-equal the canonical single-space form
+  // of EVERY document — md5-checked in-plan. Piece
+  // counts are bounded by words (≥, one piece covers ≤ a word) and
+  // non-space chars (≤, every piece covers ≥ 1 char).
+  private def x105Spec: QuerySpec =
+    QuerySpec("x105_wordpiece_roundtrip",
+      (s, d) => {
+        import graft.functions.GraftWordPiece
+        val bc = s.sparkContext.broadcast(wpVocab(s, d))
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val words = filter(split(col("text"), "\\s+"), x => x =!= "")
+        docs.select(col("doc_id"), col("text"),
+            GraftWordPiece.wordpieceIdsBc(col("text"), bc).as("__ids"))
+          .select(col("doc_id"),
+            (md5(GraftWordPiece.wordpieceDetokIds(col("__ids"), bc).cast("binary")) ===
+              md5(array_join(words, " ").cast("binary"))).cast("long").as("roundtrip_ok"),
+            (size(col("__ids")).cast("long") >= size(words).cast("long") &&
+              size(col("__ids")).cast("long") <=
+                length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+              .cast("long").as("bounds_ok"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(1 AS BIGINT) AS roundtrip_ok,
+             |       CAST(1 AS BIGINT) AS bounds_ok
+             |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin))
+
+  // WordPiece EXACT behavior (x106): the synthetic vocab's greedy
+  // longest-match walk pinned value-by-value on the fixture strings —
+  // token counts, id sums under the canonical [UNK]-first sorted id
+  // assignment, and whole-word-UNK counts (case misses, digits, CJK all
+  // route through the coverage holes). VALUES precomputed by an
+  // INDEPENDENT python reimplementation (scripts/wordpiece_oracle.py).
+  private def x106Spec: QuerySpec =
+    QuerySpec("x106_wordpiece_fixture",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.{GraftWordPiece, WordPiece}
+        val bc = s.sparkContext.broadcast(WordPiece.syntheticVocab)
+        BpeFixture.strings.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("fid", "text")
+          .select(col("fid"), GraftWordPiece.wordpieceIdsBc(col("text"), bc).as("ids"))
+          .select(col("fid"), size(col("ids")).cast("long").as("n_tokens"),
+            aggregate(col("ids"), lit(0L), (acc, x) => acc + x).as("id_sum"),
+            size(filter(col("ids"), x => x === 0)).cast("long").as("n_unk"))
+          .orderBy("fid")
+      },
+      Some("""SELECT CAST(fid AS BIGINT) AS fid, CAST(n AS BIGINT) AS n_tokens,
+             |       CAST(ids AS BIGINT) AS id_sum, CAST(u AS BIGINT) AS n_unk
+             |FROM (VALUES (0,31,836,1),(1,37,841,2),(2,30,597,3),(3,18,338,2),
+             |             (4,7,90,5),(5,16,197,7),(6,6,360,0),(7,1,34,0),(8,0,0,0),
+             |             (9,56,1105,0),(10,24,525,0),(11,3,0,3)) AS t(fid, n, ids, u)
+             |ORDER BY fid""".stripMargin))
 }
