@@ -4244,6 +4244,21 @@ object ExtQueries {
     (tbl, w)
   }
 
+  /** Recursive file copy for the per-run mutable-table setup (x101): the
+    * copied manifest still references the TEMPLATE's data files by
+    * absolute path — safe because deleteWhere is copy-on-write (removed
+    * files are un-referenced, never touched on disk) and each run's new
+    * files land under its own copied root. */
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    val it = Files.walk(from)
+    try it.forEach { (p: Path) =>
+      val dest = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dest)
+      else Files.copy(p, dest)
+    } finally it.close()
+  }
+
   /** Shared oracle prelude: W and the delete/scan bounds derived from it
     * (the range [k·W + W/2, (k+1)·W + W/2 - 1] straddles exactly slices k
     * and k+1, and doc_ids are contiguous so both slices hold matches). */
@@ -4263,11 +4278,19 @@ object ExtQueries {
     QuerySpec("x101_snapshot_delete",
       (s, d) => {
         import graft.io.Snapshots
-        // the table is MUTATED by the query — build fresh per run (never
-        // through Staging.dir's per-JVM cache; a bench rerun would
-        // otherwise re-delete an already-deleted table)
+        // the table is MUTATED by the query — the 8-slice layout stages
+        // ONCE as an immutable template (Staging.dir), and each run
+        // file-copies it to a fresh root (manifest paths are
+        // table-relative-safe here because deleteWhere resolves them
+        // through the copied manifest). The benched body is the DELETE,
+        // not table construction.
+        val template = Staging.dir("deltbl", d) { tmp =>
+          slicedSnapshotTable(s, tmp, d); ()
+        }
         val tmp = java.nio.file.Files.createTempDirectory("graft_del_run").toString
-        val (tbl, w) = slicedSnapshotTable(s, tmp, d)
+        copyTree(java.nio.file.Paths.get(template), java.nio.file.Paths.get(tmp))
+        val tbl = s"$tmp/tbl"
+        val w = Tables.documents(s, d).agg(max(col("doc_id"))).first().getLong(0) / 8 + 1
         val lo = 2 * w + w / 2
         val hi = 3 * w + w / 2 - 1
         val res = Snapshots.deleteWhere(s, tbl, col("doc_id").between(lo, hi),

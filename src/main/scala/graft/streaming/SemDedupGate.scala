@@ -74,19 +74,27 @@ object SemDedupGate {
                 .where(Similarity.cosine(col("__v"), col("__hv")) >= threshold)
                 .select(col("vec_id").as("__drop"))
             } else spark.range(0).select(col("id").cast("long").as("__drop"))
-            // keep-smaller-id within the batch (x63's deterministic rule)
-            val withinDrop = Similarity
-              .cellCosineNearDups(b, centroids, threshold, nprobe)
-              .select(col("id_b").as("__drop"))
+            // keep-smaller-id within the batch (x63's deterministic rule),
+            // reusing the persisted cell assignment — not a second
+            // nearest-centroid pass over the batch
+            val withinDrop = bc.as("wa").join(bc.as("wb"),
+                col("wa.__cell") === col("wb.__cell") &&
+                  col("wa.vec_id") < col("wb.vec_id"))
+              .where(Similarity.cosine(col("wa.__v"), col("wb.__v")) >= threshold)
+              .select(col("wb.vec_id").as("__drop"))
+            // drops feed two anti-joins — materialize once, not per sink
             val drops = histDrop.unionByName(withinDrop).distinct()
-            val kept = b.join(broadcast(drops),
-              col("vec_id") === col("__drop"), "left_anti")
-            kept.write.mode("overwrite").parquet(s"$outDir/b$batchId")
-            // only kept vectors join the history, pre-exploded and
-            // cell-partitioned for the next batch's pruned read
-            bc.join(broadcast(drops), col("vec_id") === col("__drop"), "left_anti")
-              .write.mode("overwrite").partitionBy("__cell")
-              .parquet(s"$histDir/b$batchId")
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            try {
+              val kept = b.join(broadcast(drops),
+                col("vec_id") === col("__drop"), "left_anti")
+              kept.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+              // only kept vectors join the history, pre-exploded and
+              // cell-partitioned for the next batch's pruned read
+              bc.join(broadcast(drops), col("vec_id") === col("__drop"), "left_anti")
+                .write.mode("overwrite").partitionBy("__cell")
+                .parquet(s"$histDir/b$batchId")
+            } finally drops.unpersist(blocking = false)
           } finally bc.unpersist(blocking = false)
         } finally b.unpersist(blocking = false)
       }
