@@ -130,4 +130,71 @@ object Sketches {
       .select(col("g_a"), col("g_b"), col("est_union"),
         col("__j").cast("long").as("overlap_k"), col("est_intersect"))
   }
+
+  // ---------------------------------------------------------------------
+  // LOG-HISTOGRAM quantile sketch — mergeable percentiles without a sort
+  // (the DDSketch idea, Masson et al. 2019 VLDB, re-based onto PURELY
+  // INTEGER buckets so the sketch has an exact cross-engine oracle —
+  // log-gamma bucketing would put engine-ulp ln() differences on bucket
+  // boundaries): a positive long lands in bucket (bitlen · 16 + top-4-
+  // bits). Values below 16 are bucketed exactly; above, each power of
+  // two splits into 8 sub-buckets → the bucket's lower bound
+  // underestimates the true value by < 12.5% (one sub-bucket width).
+  // ≤ ~16·64 buckets per group regardless of data, counts merge by
+  // addition — the shape that answers p50/p99 over 100 TB from
+  // kilobyte partial sketches with map-side combine, no global sort.
+
+  /** Column-arg shift (the `functions.shiftright/shiftleft` wrappers only
+    * take Int literals; the Catalyst expressions are general). */
+  private def shr(v: Column, bits: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn, toExpression}
+    toColumn(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+      toExpression(v), toExpression(bits.cast("int"))))
+  }
+  private def shl(v: Column, bits: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn, toExpression}
+    toColumn(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+      toExpression(v), toExpression(bits.cast("int"))))
+  }
+
+  /** Bucket id of a positive long (0 for values ≤ 0): bitlen·16 + top-4
+    * bits. Codegen'd column arithmetic (conv/shift/mask), no UDF. */
+  def logHistBucket(value: Column): Column = {
+    val v = value.cast("long")
+    val bl = length(conv(v, 10, 2)).cast("long")
+    val top = when(bl <= 4, v)
+      .otherwise(shr(v, bl - 4).bitwiseAND(lit(15L)))
+    when(v <= 0, lit(0L)).otherwise(bl * 16 + top)
+  }
+
+  /** The bucket's lower bound — the deterministic quantile estimate. */
+  def logHistLow(bucket: Column): Column = {
+    val bl = shiftright(bucket, 4)
+    val top = bucket.bitwiseAND(lit(15L))
+    when(bl <= 4, top).otherwise(shl(top, bl - 4))
+  }
+
+  /** Per-group sketch: `(group, bucket, cnt)` — one map-side-combined
+    * aggregation; merging sketches = summing cnt per (group, bucket). */
+  def logHist(df: DataFrame, group: Column, value: Column): DataFrame =
+    df.select(group.as("group"), logHistBucket(value).as("bucket"))
+      .groupBy("group", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from a sketch, one row per (group, q‰): the value
+    * at 0-based rank ((N−1)·q) div 1000 resolves to the lower bound of
+    * the first bucket whose cumulative count exceeds the rank. The
+    * cumulative window is safe by CONSTRUCTION, not by data: a group
+    * holds ≤ 16·64 bucket rows whatever the input size. */
+  def logHistQuantiles(sketch: DataFrame, qPermille: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = sketch
+      .withColumn("__cum", sum(col("cnt"))
+        .over(Window.partitionBy("group").orderBy("bucket")))
+      .withColumn("__n", sum(col("cnt")).over(Window.partitionBy("group")))
+    cum.withColumn("q", explode(array(qPermille.map(q => lit(q.toLong)): _*)))
+      .withColumn("__target", expr("((__n - 1) * q) div 1000"))
+      .filter(col("__cum") > col("__target"))
+      .groupBy("group", "q").agg(min(col("bucket")).as("__b"))
+      .select(col("group"), col("q"), logHistLow(col("__b")).as("est"))
+  }
 }

@@ -3221,7 +3221,7 @@ object ExtQueries {
   ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec, x89Spec,
     x90Spec, x91Spec, x92Spec, x93Spec, x94Spec, x95Spec, st17Spec,
     x96Spec, x97Spec, st18Spec, x98Spec, x99Spec, x100Spec, st19Spec,
-    x101Spec, x102Spec, x103Spec, x104Spec, st20Spec, x105Spec, x106Spec)
+    x101Spec, x102Spec, x103Spec, x104Spec, st20Spec, x105Spec, x106Spec, x107Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -4597,4 +4597,83 @@ object ExtQueries {
              |             (4,7,90,5),(5,16,197,7),(6,6,360,0),(7,1,34,0),(8,0,0,0),
              |             (9,56,1105,0),(10,24,525,0),(11,3,0,3)) AS t(fid, n, ids, u)
              |ORDER BY fid""".stripMargin))
+
+  // Integer log-histogram quantile sketch (x107): mergeable percentiles
+  // WITHOUT a sort — the DDSketch idea re-based onto purely integer
+  // buckets (bitlen·16 + top-4-bits; log-gamma bucketing would put
+  // engine-ulp ln() differences on bucket boundaries). Per-source
+  // p50/p90/p99 of doc length answered from ≤ 16·64-bucket summaries
+  // with map-side combine; the exact rank value rides along, and
+  // err_ok pins the sketch's sub-bucket guarantee (est ≤ exact < est +
+  // 2^(bitlen-4), i.e. the true value lies in the estimate's bucket).
+  // The oracle rebuilds buckets, cumulative ranks, the first-crossing
+  // rule, AND the guarantee flag bit-exactly in SQL.
+  private def x107Spec: QuerySpec =
+    QuerySpec("x107_loghist_quantiles",
+      (s, d) => {
+        import graft.ext.Sketches
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val sk = Sketches.logHist(docs, col("source"), col("n_chars"))
+        val est = Sketches.logHistQuantiles(sk, Seq(500, 900, 990))
+        // exact rank values (same ((N−1)·q) div 1000 rule) — small-group
+        // sort via window is the oracle twin riding in-plan, not the
+        // scale path (the sketch is)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("n_chars", "doc_id")
+        val ranked = docs.select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("__rk", row_number().over(w) - 1)
+        val nBy = docs.groupBy("source").agg(n.as("__n"))
+        val exact = ranked.join(nBy, "source")
+          .withColumn("q", explode(array(lit(500L), lit(900L), lit(990L))))
+          .filter(col("__rk") === expr("((__n - 1) * q) div 1000"))
+          .select(col("source"), col("q"), col("n_chars").as("exact"))
+        est.withColumnRenamed("group", "source")
+          .join(exact, Seq("source", "q"))
+          .withColumn("err_ok",
+            (col("est") <= col("exact") &&
+              col("exact") < col("est") + greatest(lit(1L),
+                expr("CAST(pow(2, length(conv(exact, 10, 2)) - 4) AS BIGINT)")))
+              .cast("long"))
+          .select(col("source"), col("q"), col("est"), col("exact"), col("err_ok"))
+          .orderBy("source", "q")
+      },
+      Some("""WITH d AS (SELECT source, doc_id, n_chars FROM documents
+             |           WHERE text IS NOT NULL),
+             |b AS (SELECT source,
+             |        CASE WHEN n_chars <= 0 THEN 0
+             |             WHEN len(printf('%b', n_chars)) <= 4
+             |               THEN len(printf('%b', n_chars)) * 16 + n_chars
+             |             ELSE len(printf('%b', n_chars)) * 16 +
+             |                  ((n_chars >> (len(printf('%b', n_chars)) - 4)) & 15)
+             |        END AS bucket
+             |      FROM d),
+             |sk AS (SELECT source, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+             |cum AS (SELECT source, bucket, cnt,
+             |          sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS c,
+             |          sum(cnt) OVER (PARTITION BY source) AS n
+             |        FROM sk),
+             |qs AS (SELECT * FROM (VALUES (500), (900), (990)) AS q(q)),
+             |hit AS (SELECT source, q, min(bucket) AS b
+             |        FROM cum, qs WHERE c > ((n - 1) * q) // 1000
+             |        GROUP BY 1, 2),
+             |est AS (SELECT source, q,
+             |          CASE WHEN b >> 4 <= 4 THEN b & 15
+             |               ELSE (b & 15) << ((b >> 4) - 4) END AS est
+             |        FROM hit),
+             |rk AS (SELECT source, doc_id, n_chars,
+             |         row_number() OVER (PARTITION BY source
+             |                            ORDER BY n_chars, doc_id) - 1 AS r,
+             |         count(*) OVER (PARTITION BY source) AS n
+             |       FROM d),
+             |ex AS (SELECT source, q, n_chars AS exact
+             |       FROM rk, qs WHERE r = ((n - 1) * q) // 1000)
+             |SELECT est.source, CAST(est.q AS BIGINT) AS q,
+             |       CAST(est.est AS BIGINT) AS est,
+             |       CAST(ex.exact AS BIGINT) AS exact,
+             |       CAST(est.est <= ex.exact AND
+             |            ex.exact < est.est + GREATEST(1,
+             |              CAST(pow(2, len(printf('%b', ex.exact)) - 4) AS BIGINT))
+             |            AS BIGINT) AS err_ok
+             |FROM est JOIN ex ON est.source = ex.source AND est.q = ex.q
+             |ORDER BY 1, 2""".stripMargin))
 }

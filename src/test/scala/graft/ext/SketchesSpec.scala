@@ -135,4 +135,45 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(ov._3 - 3000L) < 1200, s"est_union ${ov._3}")
     assert(math.abs(ov._5 - 1000L) < 700, s"est_intersect ${ov._5}")
   }
+
+  test("log-histogram: values below 16 bucket exactly; sub-bucket law above") {
+    val df = (1L to 2000L).map(("g", _)).toDF("g", "v")
+    val est = Sketches.logHistQuantiles(
+        Sketches.logHist(df, col("g"), col("v")), Seq(0, 250, 500, 1000))
+      .as[(String, Long, Long)].collect().map(t => t._2 -> t._3).toMap
+    // q=0 → rank 0 → value 1 (< 16: exact); q=1000 → rank 1999 → 2000
+    assert(est(0L) === 1L)
+    // exact values: rank 499 → 500, rank 999 → 1000; both > 16 so the
+    // estimate is the bucket lower bound, within one sub-bucket below
+    def check(q: Long, exact: Long): Unit = {
+      val e = est(q)
+      val width = math.max(1L, 1L << (64 - java.lang.Long.numberOfLeadingZeros(exact) - 4))
+      assert(e <= exact && exact < e + width, s"q=$q est=$e exact=$exact")
+    }
+    check(250L, 500L); check(500L, 1000L); check(1000L, 2000L)
+  }
+
+  test("log-histogram: merging sketches = summing counts, same quantiles") {
+    val a = (1L to 1000L).map(("g", _)).toDF("g", "v")
+    val b = (1001L to 2000L).map(("g", _)).toDF("g", "v")
+    val whole = Sketches.logHist(a.unionByName(b), col("g"), col("v"))
+    val merged = Sketches.logHist(a, col("g"), col("v"))
+      .unionByName(Sketches.logHist(b, col("g"), col("v")))
+      .groupBy("group", "bucket").agg(sum(col("cnt")).as("cnt"))
+    val qw = Sketches.logHistQuantiles(whole, Seq(500, 990))
+      .as[(String, Long, Long)].collect().toSet
+    val qm = Sketches.logHistQuantiles(merged, Seq(500, 990))
+      .as[(String, Long, Long)].collect().toSet
+    assert(qw === qm)
+    // and the merged sketch IS the whole-data sketch, bucket for bucket
+    assert(merged.as[(String, Long, Long)].collect().toSet ===
+      whole.as[(String, Long, Long)].collect().toSet)
+  }
+
+  test("log-histogram: bucket count stays bounded whatever the data") {
+    val df = Seq.tabulate(5000)(i => ("g", (i.toLong * 2654435761L) % 1000000007L))
+      .toDF("g", "v")
+    val nBuckets = Sketches.logHist(df, col("g"), col("v")).count()
+    assert(nBuckets <= 16 * 64, s"$nBuckets buckets")
+  }
 }
