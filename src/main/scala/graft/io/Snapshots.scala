@@ -332,7 +332,41 @@ object Snapshots {
   def deleteWhere(spark: SparkSession, table: String,
                   cond: org.apache.spark.sql.Column,
                   prune: Option[(String, String, String)] = None): DeleteResult = {
-    import org.apache.spark.sql.functions.{count, input_file_name, lit, not}
+    import org.apache.spark.sql.functions.not
+    rewriteWhere(spark, table, cond, "delete", _.filter(not(cond)), prune)
+  }
+
+  /** COPY-ON-WRITE row-level UPDATE: apply `assignments` (column →
+    * replacement expression) to every row matching `cond`, with exactly
+    * [[deleteWhere]]'s file discipline — zone maps prune candidates
+    * before any read, only files actually holding matches are rewritten
+    * (non-matching rows in them pass through unchanged), untouched files
+    * stay byte-identical, pre-update versions still time-travel, and the
+    * rewritten files are re-stamped so later mutations keep pruning.
+    * The MERGE-style "UPDATE WHERE" half of the mutation surface;
+    * key-join upserts live in [[graft.ops.Upsert]]. */
+  def updateWhere(spark: SparkSession, table: String,
+                  cond: org.apache.spark.sql.Column,
+                  assignments: Seq[(String, org.apache.spark.sql.Column)],
+                  prune: Option[(String, String, String)] = None): DeleteResult = {
+    import org.apache.spark.sql.functions.{col, when}
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    rewriteWhere(spark, table, cond, "update",
+      df => assignments.foldLeft(df) { case (d, (c, e)) =>
+        d.withColumn(c, when(cond, e).otherwise(col(c)))
+      }, prune)
+  }
+
+  /** Shared copy-on-write core of [[deleteWhere]]/[[updateWhere]]: find
+    * the files `cond` actually touches (zone-map pruned, then a match
+    * check so stat false positives are never rewritten), rewrite them
+    * through `rewrite`, and swap old-for-new in ONE commit against the
+    * resolved version. */
+  private def rewriteWhere(spark: SparkSession, table: String,
+                           cond: org.apache.spark.sql.Column, kind: String,
+                           rewrite: DataFrame => DataFrame,
+                           prune: Option[(String, String, String)]): DeleteResult = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit}
     val v = currentVersion(spark, table)
     val live = liveFiles(spark, table, Some(v))
     val candidates = prune match {
@@ -350,11 +384,11 @@ object Snapshots {
       .flatMap(r => byName.get(new Path(r.getString(0)).getName))
     if (touched.isEmpty) return DeleteResult(v, Nil, live.size)
     // which columns carried zone maps on the touched files → recompute
-    // them for the rewritten survivors so future deletes keep pruning
+    // them for the rewritten files so future mutations keep pruning
     val statCols = fileStats(spark, table, Some(v))
       .filter(st => touched.contains(st.path)).map(_.column).distinct
-    val dir = s"$table/data/delete-${java.util.UUID.randomUUID().toString}"
-    read(touched).filter(not(cond)).write.parquet(dir)
+    val dir = s"$table/data/$kind-${java.util.UUID.randomUUID().toString}"
+    rewrite(read(touched)).write.parquet(dir)
     val f = fs(spark, table)
     val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))

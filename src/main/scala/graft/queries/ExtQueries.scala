@@ -3221,7 +3221,7 @@ object ExtQueries {
   ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec, x89Spec,
     x90Spec, x91Spec, x92Spec, x93Spec, x94Spec, x95Spec, st17Spec,
     x96Spec, x97Spec, st18Spec, x98Spec, x99Spec, x100Spec, st19Spec,
-    x101Spec, x102Spec, x103Spec, x104Spec, st20Spec, x105Spec, x106Spec, x107Spec)
+    x101Spec, x102Spec, x103Spec, x104Spec, st20Spec, x105Spec, x106Spec, x107Spec, x108Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -4676,4 +4676,53 @@ object ExtQueries {
              |            AS BIGINT) AS err_ok
              |FROM est JOIN ex ON est.source = ex.source AND est.q = ex.q
              |ORDER BY 1, 2""".stripMargin))
+
+  // COPY-ON-WRITE row-level UPDATE through the manifest (x108): the
+  // "UPDATE WHERE" half of the mutation surface next to x101's DELETE —
+  // same zone-map pruning, same match check, same one-commit swap. A
+  // doc_id range straddling slices 4 and 5 gets n_chars bumped by 10⁶;
+  // exactly those 2 of 8 files are rewritten (non-matching rows in them
+  // pass through unchanged), and the pre-update version still sums to
+  // the original. The oracle replays the conditional bump and the
+  // structural constants.
+  private def x108Spec: QuerySpec =
+    QuerySpec("x108_snapshot_update",
+      (s, d) => {
+        import graft.io.Snapshots
+        val template = Staging.dir("deltbl", d) { tmp =>
+          slicedSnapshotTable(s, tmp, d); ()
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_upd_run").toString
+        copyTree(java.nio.file.Paths.get(template), java.nio.file.Paths.get(tmp))
+        val tbl = s"$tmp/tbl"
+        val w = Tables.documents(s, d).agg(max(col("doc_id"))).first().getLong(0) / 8 + 1
+        val lo = 4 * w + w / 2
+        val hi = 5 * w + w / 2 - 1
+        val res = Snapshots.updateWhere(s, tbl, col("doc_id").between(lo, hi),
+          Seq("n_chars" -> (col("n_chars") + 1000000L)),
+          prune = Some(("doc_id", lo.toString, hi.toString)))
+        val audit = Snapshots.readAt(s, tbl, Some(res.version - 1))
+          .agg(sum(col("n_chars")).cast("long").as("sum_before"))
+          .select(col("sum_before"),
+            lit(res.rewritten.size.toLong).as("files_rewritten"),
+            lit(res.untouched.toLong).as("files_untouched"),
+            lit(res.version).as("version"))
+        Snapshots.readAt(s, tbl)
+          .groupBy("source")
+          .agg(n.as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${zoneBoundsSql(4)},
+           |upd AS (SELECT source,
+           |          n_chars + CASE WHEN doc_id BETWEEN b.lo AND b.hi
+           |                         THEN 1000000 ELSE 0 END AS n_chars
+           |        FROM documents, b)
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS sum_before,
+           |       CAST(2 AS BIGINT) AS files_rewritten,
+           |       CAST(6 AS BIGINT) AS files_untouched,
+           |       CAST(9 AS BIGINT) AS version
+           |FROM upd GROUP BY source ORDER BY source""".stripMargin))
 }

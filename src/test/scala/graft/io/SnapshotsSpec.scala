@@ -240,6 +240,34 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readAt(spark, t).count() === 396)
   }
 
+  test("updateWhere rewrites only matching files, leaves other rows in them intact") {
+    val t = slicedTable()
+    val before = Snapshots.liveFiles(spark, t)
+    val res = Snapshots.updateWhere(spark, t, col("id").between(150, 250),
+      Seq("id" -> (col("id") + 10000L)),
+      prune = Some(("id", "150", "250")))
+    assert(res.rewritten.size === 2 && res.untouched === 2)
+    assert(Snapshots.liveFiles(spark, t).toSet.intersect(before.toSet).size === 2)
+    val ids = Snapshots.readAt(spark, t).as[Long].collect().toSet
+    // matched rows moved by +10000; unmatched rows in the SAME files kept
+    assert(ids === ((0L to 149L) ++ (251L to 399L) ++
+      (10150L to 10250L)).toSet)
+    // pre-update version unchanged
+    assert(Snapshots.readAt(spark, t, Some(res.version - 1))
+      .as[Long].collect().toSet === (0L to 399L).toSet)
+    // rewritten files re-stamped: stats now cover the new id range
+    val (scan, _) = Snapshots.pruneFiles(spark, t, "id", "10150", "10250")
+    assert(scan.size <= 2 && scan.nonEmpty)
+  }
+
+  test("updateWhere with no matches commits nothing") {
+    val t = slicedTable()
+    val v = Snapshots.currentVersion(spark, t)
+    val res = Snapshots.updateWhere(spark, t, col("id") === -5,
+      Seq("id" -> lit(0L)))
+    assert(res.rewritten.isEmpty && res.version === v)
+  }
+
   test("deleteWhere with a fully-pruning hint is a no-op (no scan, no commit)") {
     val t = slicedTable()
     val v = Snapshots.currentVersion(spark, t)
