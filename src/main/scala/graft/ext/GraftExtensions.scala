@@ -20,6 +20,12 @@ object GraftFunctions {
       s"$name must be an integer literal, got $other")
   }
 
+  private def strArg(e: Expression, name: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
+  }
+
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("word_shingles",
       new ExpressionInfo(classOf[TextExprs.WordShingles].getName, "word_shingles"),
@@ -53,6 +59,12 @@ object GraftFunctions {
     ("nfc_normalize",
       new ExpressionInfo(classOf[TextExprs.NfcNormalize].getName, "nfc_normalize"),
       (args: Seq[Expression]) => TextExprs.NfcNormalize(args.head)),
+    // Aho–Corasick blocklist: multi_pattern_counts(text, 'p1', 'p2', …)
+    ("multi_pattern_counts",
+      new ExpressionInfo(classOf[TextExprs.MultiPatternCounts].getName,
+        "multi_pattern_counts"),
+      (args: Seq[Expression]) => TextExprs.MultiPatternCounts(args.head,
+        args.tail.map(strArg(_, "pattern")))),
     // media container headers (ImageExprs/MediaExprs — header-only decode)
     ("image_meta",
       new ExpressionInfo(classOf[graft.functions.ImageExprs.ImageMeta].getName, "image_meta"),

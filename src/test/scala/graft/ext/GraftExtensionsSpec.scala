@@ -81,6 +81,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getString(2) === "ab" && r.getLong(3) === 1L)
   }
 
+  test("multi_pattern_counts is SQL-callable with literal patterns") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT multi_pattern_counts('a table is stable', 'table', 'able') AS c")
+      .first().getSeq[Long](0)
+    assert(r === Seq(2L, 2L))
+  }
+
   test("the SparkSessionExtensions injector applies the same function set") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders shared with register()
