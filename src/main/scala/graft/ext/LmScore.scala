@@ -175,4 +175,53 @@ object LmScore {
           .otherwise(lit("tail")))
       .drop("__cum0", "__cum", "__total")
   }
+
+  /** Corpus collocation mining by pointwise mutual information — the
+    * classic association measure (Church & Hanks 1990) that separates
+    * genuine multi-word units ("new york") from pairs that co-occur only
+    * because both words are frequent ("of the"):
+    *
+    *   PMI(a,b) = ln( C(ab)·N / (C(a·)·C(·b)) )
+    *
+    * over the corpus bigram stream, with positional marginals (C(a·) =
+    * count of bigrams whose FIRST token is a, C(·b) symmetric) so the
+    * three counts live in the same event space and PMI is a true log
+    * probability ratio. A `minCount` floor kills the low-count PMI
+    * pathology (hapax pairs score highest); the top-`k` surviving pairs
+    * by PMI are returned.
+    *
+    * Exactness: all four inputs are exact longs; the score is emitted as
+    * round(PMI × 1e6) micro-nats ([[bigramNll]]'s convention) with one
+    * fixed parenthesization mirrored by the oracle — products stay under
+    * 2^53, so the doubles entering the division are exact in both engines.
+    *
+    * Scale shape: three map-side-combined aggregations over one persisted
+    * bigram stream, marginal joins are token-key equi-joins on the PAIR
+    * TABLE (|pairs| ≪ |stream|), N is a broadcast one-row aggregate, and
+    * the top-k is a TakeOrdered (O(k) per partition) — never a global
+    * sort of the pair table. */
+  def pmiCollocations(docs: DataFrame, id: Column, text: Column,
+                      minCount: Long = 5, k: Int = 50): DataFrame = {
+    val stream = bigrams(docs, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cab = stream.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      val ca = stream.groupBy("w1").agg(count(lit(1)).as("__na"))
+      val cb = stream.groupBy("w2").agg(count(lit(1)).as("__nb"))
+      val n = stream.agg(count(lit(1)).as("__n"))
+      val pmi = round(log((col("n_pair").cast("double") * col("__n")) /
+        (col("__na").cast("double") * col("__nb"))) * 1e6, 0).cast("long")
+      val scored = cab.filter(col("n_pair") >= minCount)
+        .join(ca, Seq("w1"))
+        .join(cb, Seq("w2"))
+        .crossJoin(broadcast(n))
+        .withColumn("pmi_micro", pmi)
+        .select("w1", "w2", "n_pair", "pmi_micro")
+        .orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)
+        .limit(k)
+      // release the cache before returning (library-call discipline);
+      // the limit is tiny — materializing it eagerly costs nothing
+      scored.localCheckpoint(true)
+    } finally stream.unpersist(blocking = false)
+  }
 }

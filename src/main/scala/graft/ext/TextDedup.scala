@@ -96,6 +96,77 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jacc"))
   }
 
+  /** EXACT set-similarity self-join via prefix filtering — the PPJoin
+    * family's candidate rule (Xiao, Wang, Lin & Yu, "Efficient Similarity
+    * Joins for Near Duplicate Detection", WWW 2008): order the shingle
+    * universe by ascending corpus frequency, and for a Jaccard threshold
+    * τ = num/den each document exposes only its |s| − ⌈τ·|s|⌉ + 1 RAREST
+    * shingles; any pair with J ≥ τ must share an exposed shingle, so the
+    * equi-join on exposed shingles is a complete candidate generator —
+    * recall is exactly 1 BY THEOREM, not 1−ε by sketch luck (the
+    * difference from [[minhashNearDups]]: same output contract, no
+    * probabilistic caveat, at the cost of a frequency-ordering pass).
+    * Returns (id_a, id_b, jacc) with id_a < id_b for all pairs with
+    * exact Jaccard ≥ num/den.
+    *
+    * Scale shape: one map-side-combined frequency count over the exploded
+    * shingle stream; the global frequency rank runs through
+    * [[graft.ops.PrefixSum]] (numeric leading key — never a
+    * single-partition window); candidates come from an equi-join on
+    * PREFIX shingles only — each key is among some document's rarest
+    * shingles, so per-key fan-out is bounded and the quadratic blowup of
+    * naive token blocking never materializes; an integer length filter
+    * (den·|A| ≥ num·|B| both ways) prunes before verification; exact
+    * Jaccard runs only on surviving candidates via the compiled
+    * [[jaccard]] expression.
+    *
+    * The prefix length uses EXACT integer arithmetic (⌈num·s/den⌉ via
+    * `(num·s + den − 1) div den`) — a double `ceil(0.8 × s)` rounds the
+    * wrong way when 0.8·s lands on an integer (0.8 is not a binary
+    * double), silently shrinking the prefix and breaking the
+    * completeness theorem. */
+  def prefixFilterNearDups(df: DataFrame, id: Column, text: Column,
+                           k: Int = 3, tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum < tauDen, "need 0 < num/den < 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // shingle arrays feed the frequency pass, the prefix explode, and both
+    // verification joins — one shingling pass, not four
+    val sh = df.select(id.as("__id"), shingles(text, k).as("__sh")).persist(lvl)
+    try {
+      val toks = sh.select(col("__id"), explode(col("__sh")).as("__t"))
+      val freq = toks.groupBy("__t").agg(count(lit(1)).as("__n"))
+      // rarest-first total order: rank by (count, shingle) — ties broken
+      // lexically so both the order and the prefix sets are deterministic
+      val ranked = graft.ops.PrefixSum.exclusivePrefixSumMulti(
+        freq.withColumn("__one", lit(1L)), Seq("__n", "__t"), "__one", "__rank")
+        .select(col("__t"), col("__rank"))
+      val docRanks = toks.join(ranked, "__t")
+        .groupBy("__id")
+        .agg(sort_array(collect_list(col("__rank"))).as("__ranks"))
+        .withColumn("__sz", size(col("__ranks")))
+      // `div`, not `/`: Column./ on integers is DOUBLE division in Spark
+      val prefixLen = expr(
+        s"cast(__sz - ((__sz * $tauNum + $tauDen - 1) div $tauDen) + 1 as int)")
+      val prefixes = docRanks
+        .withColumn("__p", explode(slice(col("__ranks"), lit(1), prefixLen)))
+        .select(col("__id"), col("__sz"), col("__p"))
+      val cands = prefixes.as("a").join(prefixes.as("b"),
+          col("a.__p") === col("b.__p") && col("a.__id") < col("b.__id") &&
+            col("a.__sz") * tauDen >= col("b.__sz") * tauNum &&
+            col("b.__sz") * tauDen >= col("a.__sz") * tauNum)
+        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+        .distinct()
+      val tau = tauNum.toDouble / tauDen
+      cands
+        .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
+        .join(sh.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
+        .withColumn("jacc", jaccard(col("__sha"), col("__shb")))
+        .filter(col("jacc") >= tau)
+        .select(col("id_a"), col("id_b"), col("jacc"))
+        .localCheckpoint(true) // release the cache below without lazy re-demand
+    } finally sh.unpersist(blocking = false)
+  }
+
   /** Incremental MinHash near-dup at INGEST time: near-duplicate pairs
     * between a NEW batch and the already-ingested history — the cross-set
     * companion of [[minhashNearDups]] (which dedups a corpus against

@@ -3221,7 +3221,8 @@ object ExtQueries {
   ) ++ Seq(st15Spec, st16Spec, x86Spec, x87Spec, x88Spec, x89Spec,
     x90Spec, x91Spec, x92Spec, x93Spec, x94Spec, x95Spec, st17Spec,
     x96Spec, x97Spec, st18Spec, x98Spec, x99Spec, x100Spec, st19Spec,
-    x101Spec, x102Spec, x103Spec, x104Spec, st20Spec, x105Spec, x106Spec, x107Spec, x108Spec)
+    x101Spec, x102Spec, x103Spec, x104Spec, st20Spec, x105Spec, x106Spec, x107Spec, x108Spec,
+    x109Spec, x110Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -4725,4 +4726,45 @@ object ExtQueries {
            |       CAST(6 AS BIGINT) AS files_untouched,
            |       CAST(9 AS BIGINT) AS version
            |FROM upd GROUP BY source ORDER BY source""".stripMargin))
+
+  // PMI collocation mining (x109): corpus-level association scores over
+  // the bigram stream with positional marginals, micro-nat integer
+  // convention (x55's), min-count floor 5, top-50 by PMI. The oracle
+  // replays the identical counts and the one fixed parenthesization of
+  // the log-ratio.
+  private def x109Spec: QuerySpec =
+    QuerySpec("x109_pmi_collocations",
+      (s, d) => graft.ext.LmScore.pmiCollocations(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        minCount = 5, k = 50),
+      Some("""WITH tok AS (SELECT list_filter(
+             |         regexp_split_to_array(lower(text), '\s+'),
+             |         x -> x <> '') AS t
+             |       FROM documents),
+             |bg AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+             |       FROM tok WHERE len(t) >= 2),
+             |b2 AS (SELECT z[1] AS w1, z[2] AS w2 FROM bg),
+             |cab AS (SELECT w1, w2, count(*) AS n_pair FROM b2 GROUP BY 1, 2),
+             |ca AS (SELECT w1, count(*) AS na FROM b2 GROUP BY 1),
+             |cb AS (SELECT w2, count(*) AS nb FROM b2 GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM b2)
+             |SELECT w1, w2, n_pair,
+             |       CAST(round(ln((CAST(n_pair AS DOUBLE) * n) /
+             |                     (CAST(na AS DOUBLE) * nb)) * 1000000, 0)
+             |            AS BIGINT) AS pmi_micro
+             |FROM cab JOIN ca USING (w1) JOIN cb USING (w2), n
+             |WHERE n_pair >= 5
+             |ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin))
+
+  // EXACT set-similarity join via PPJoin prefix filtering (x110): the
+  // third near-dup implementation over the same planted corpus, same
+  // oracle as x02/x03 — but where x03's recall is 1−ε by LSH sketch
+  // probability, x110's is exactly 1 by the prefix-filter theorem, with
+  // candidate generation still an equi-join (no all-pairs anywhere).
+  private def x110Spec: QuerySpec =
+    QuerySpec("x110_ssjoin_prefix",
+      (s, d) => TextDedup.prefixFilterNearDups(nearDupCorpus(s, d),
+        col("doc_id"), col("text"), k = 3, tauNum = 4, tauDen = 5)
+        .orderBy("id_a", "id_b"),
+      Some(neardupOracle))
 }

@@ -90,8 +90,16 @@ object SemDedupGate {
                 col("vec_id") === col("__drop"), "left_anti")
               kept.write.mode("overwrite").parquet(s"$outDir/b$batchId")
               // only kept vectors join the history, pre-exploded and
-              // cell-partitioned for the next batch's pruned read
+              // cell-partitioned for the next batch's pruned read. The
+              // repartition on __cell is load-bearing: a dynamic
+              // partitionBy write WITHOUT it emits one file per (task ×
+              // cell) — at sf10 (400 cells × 32 tasks) that is ~13k tiny
+              // files per batch and the next batch's read drowns in
+              // listings (the 10× curve caught it at 7.8× wall). With
+              // it, each cell's rows land in one task → one file per
+              // cell per batch.
               bc.join(broadcast(drops), col("vec_id") === col("__drop"), "left_anti")
+                .repartition(col("__cell"))
                 .write.mode("overwrite").partitionBy("__cell")
                 .parquet(s"$histDir/b$batchId")
             } finally drops.unpersist(blocking = false)

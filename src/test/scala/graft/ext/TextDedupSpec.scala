@@ -67,6 +67,38 @@ class TextDedupSpec extends SparkSpec {
     assert(out.filter($"jacc" < 0.8).count() === 0)
   }
 
+  test("prefixFilterNearDups equals the exact all-pairs result (recall 1 by theorem)") {
+    val exact = TextDedup.exactNearDups(docs, $"doc_id", $"text", lit(1), k = 3, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pf = TextDedup.prefixFilterNearDups(docs, $"doc_id", $"text", k = 3,
+      tauNum = 4, tauDen = 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pf === exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("prefixFilterNearDups keeps a pair sitting EXACTLY on the threshold " +
+    "(integer prefix-length arithmetic; a double ceil(0.8·s) would drop it)") {
+    // 11 tokens → 9 distinct 3-shingles; changing token 1 changes exactly
+    // one shingle → |∩|=8, |∪|=10, J = 0.8 exactly. s=9 → prefix length
+    // 9 − ⌈36/5⌉ + 1 = 2 (⌈7.2⌉=8); double 0.8·9=7.200000…1 also ceils to
+    // 8 here, but at s=10 the double path gives ceil(8.000000…1)=9 ≠ 8 —
+    // both sizes are exercised.
+    val boundary = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven"),
+      (2L, "uno two three four five six seven eight nine ten eleven"),
+      // 12 tokens → 10 shingles; change token 2 (lives in shingles 1-2)
+      // → |∩|=8, |∪|=12, J=2/3 < 0.8 — rejected, but still drives the
+      // s=10 prefix-length path
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (4L, "alpha other gamma delta epsilon zeta eta theta iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val pf = TextDedup.prefixFilterNearDups(boundary, $"doc_id", $"text", k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pf.keySet === Set((1L, 2L)))
+    assert(pf((1L, 2L)) === 0.8)
+  }
+
   test("simhash of identical texts is identical; near-dups within small hamming") {
     val sh = docs.select($"doc_id", TextDedup.simhash($"text").as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
