@@ -44,6 +44,15 @@ object GenScale {
     // union width ≤ 10 at every step). The default keeps the historical
     // single-level behavior.
     val shift = args.lift(3).map(_.toLong).getOrElse(Shift)
+    // optional 5th arg: the replica TAG in the documents token suffix
+    // (`_<tag><r>`). Every scaling LEVEL must use a distinct tag: with a
+    // shared tag, level-1-replica-A ∘ level-2-replica-0 and
+    // level-1-replica-0 ∘ level-2-replica-A both end at suffix `_rA` —
+    // byte-identical text, i.e. tens of thousands of cross-replica EXACT
+    // duplicates that silently break the shingle-disjointness the whole
+    // curve's near-dup workload claim rests on (caught when x110's sf10
+    // output grew 22× for 10× rows).
+    val tag = args.lift(4).getOrElse("r")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -86,7 +95,7 @@ object GenScale {
     write(scale(load("documents"), Seq("doc_id")) { (d, r) =>
       if (r == 0) d
       else d.withColumn("text",
-          regexp_replace(col("text"), "(\\S+)", "$1_r" + r))
+          regexp_replace(col("text"), "(\\S+)", "$1_" + tag + r))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
 

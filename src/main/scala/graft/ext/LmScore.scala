@@ -201,7 +201,8 @@ object LmScore {
     * the top-k is a TakeOrdered (O(k) per partition) — never a global
     * sort of the pair table. */
   def pmiCollocations(docs: DataFrame, id: Column, text: Column,
-                      minCount: Long = 5, k: Int = 50): DataFrame = {
+                      minCount: Long = 5, k: Int = 50,
+                      materialize: Boolean = true): DataFrame = {
     val stream = bigrams(docs, id, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -220,8 +221,9 @@ object LmScore {
         .orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)
         .limit(k)
       // release the cache before returning (library-call discipline);
-      // the limit is tiny — materializing it eagerly costs nothing
-      scored.localCheckpoint(true)
+      // the limit is tiny — materializing it eagerly costs nothing.
+      // materialize=false keeps the composed plan inspectable (PlanSpec).
+      if (materialize) scored.localCheckpoint(true) else scored
     } finally stream.unpersist(blocking = false)
   }
 }

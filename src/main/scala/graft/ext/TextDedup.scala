@@ -110,10 +110,17 @@ object TextDedup {
     * exact Jaccard ≥ num/den.
     *
     * Scale shape: one map-side-combined frequency count over the exploded
-    * shingle stream; the global frequency rank runs through
-    * [[graft.ops.PrefixSum]] (numeric leading key — never a
-    * single-partition window); candidates come from an equi-join on
-    * PREFIX shingles only — each key is among some document's rarest
+    * shingle stream; the frequency ORDER is realized with no global pass
+    * at all — the theorem needs any one CONSISTENT total order on the
+    * shingle universe, and the (count, shingle) pair compared
+    * lexicographically IS one, so each document just sorts its own tiny
+    * (count, shingle) array and exposes the first L entries (a dense
+    * global RANK — the first formulation here — is not only unnecessary,
+    * it is an anti-pattern: shingle frequencies are Zipfian, almost every
+    * shingle is a hapax, and any count-bucketed global-rank pass
+    * serializes on the count=1 bucket — the 100× curve caught exactly
+    * that at 16.9× wall for 10× rows); candidates come from an equi-join
+    * on PREFIX shingles only — each key is among some document's rarest
     * shingles, so per-key fan-out is bounded and the quadratic blowup of
     * naive token blocking never materializes; an integer length filter
     * (den·|A| ≥ num·|B| both ways) prunes before verification; exact
@@ -126,44 +133,66 @@ object TextDedup {
     * double), silently shrinking the prefix and breaking the
     * completeness theorem. */
   def prefixFilterNearDups(df: DataFrame, id: Column, text: Column,
-                           k: Int = 3, tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
+                           k: Int = 3, tauNum: Int = 4, tauDen: Int = 5,
+                           materialize: Boolean = true): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum < tauDen, "need 0 < num/den < 1")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // shingle arrays feed the frequency pass, the prefix explode, and both
     // verification joins — one shingling pass, not four
     val sh = df.select(id.as("__id"), shingles(text, k).as("__sh")).persist(lvl)
     try {
+      // work on 64-bit shingle hashes from here: the order key and join
+      // key become two longs instead of strings (cheaper sort, collect,
+      // shuffle). A hash collision can only MERGE two shingles — a
+      // superset of candidates and a consistent (merged-count) order —
+      // so completeness is unaffected and the exact verify still decides.
       val toks = sh.select(col("__id"), explode(col("__sh")).as("__t"))
-      val freq = toks.groupBy("__t").agg(count(lit(1)).as("__n"))
-      // rarest-first total order: rank by (count, shingle) — ties broken
-      // lexically so both the order and the prefix sets are deterministic
-      val ranked = graft.ops.PrefixSum.exclusivePrefixSumMulti(
-        freq.withColumn("__one", lit(1L)), Seq("__n", "__t"), "__one", "__rank")
-        .select(col("__t"), col("__rank"))
-      val docRanks = toks.join(ranked, "__t")
+        .select(col("__id"), xxhash64(col("__t")).as("__h"))
+      val freq = toks.groupBy("__h").agg(count(lit(1)).as("__n"))
+      // rarest-first CONSISTENT order without a global rank: sort each
+      // doc's own (count, hash) pairs — struct comparison is
+      // lexicographic, so every doc orders the shared universe
+      // identically
+      val docOrd = toks.join(freq, "__h")
         .groupBy("__id")
-        .agg(sort_array(collect_list(col("__rank"))).as("__ranks"))
-        .withColumn("__sz", size(col("__ranks")))
+        .agg(sort_array(collect_list(struct(col("__n"), col("__h")))).as("__ord"))
+        .withColumn("__sz", size(col("__ord")))
+      // EXTENDED prefix (Xiao et al.'s rule at q=2, cf. Wang et al. 2012's
+      // adaptive l = |s| − α + q): any valid partner needs overlap
+      // α ≥ ⌈τ·|s|⌉ ≥ 2 once |s| ≥ 2, and sets with overlap ≥ α share
+      // ≥ 2 elements of their (|s| − α + 2)-prefixes — so requiring TWO
+      // prefix collisions is still recall-1, and it collapses the flood
+      // of chance single-collision candidates that made verification the
+      // sf10 bottleneck (5.5M candidates for ~20k true pairs). The only
+      // pairs allowed α ≤ 1 are those with num·(|A|+|B|) ≤ num+den —
+      // single-shingle docs — which keep the 1-collision rule.
       // `div`, not `/`: Column./ on integers is DOUBLE division in Spark
       val prefixLen = expr(
-        s"cast(__sz - ((__sz * $tauNum + $tauDen - 1) div $tauDen) + 1 as int)")
-      val prefixes = docRanks
-        .withColumn("__p", explode(slice(col("__ranks"), lit(1), prefixLen)))
-        .select(col("__id"), col("__sz"), col("__p"))
+        s"cast(least(__sz, __sz - ((__sz * $tauNum + $tauDen - 1) div $tauDen) + 2) as int)")
+      val prefixes = docOrd
+        .withColumn("__p", explode(slice(col("__ord"), lit(1), prefixLen)))
+        .select(col("__id"), col("__sz"), col("__p.__h").as("__ph"))
       val cands = prefixes.as("a").join(prefixes.as("b"),
-          col("a.__p") === col("b.__p") && col("a.__id") < col("b.__id") &&
+          col("a.__ph") === col("b.__ph") && col("a.__id") < col("b.__id") &&
             col("a.__sz") * tauDen >= col("b.__sz") * tauNum &&
             col("b.__sz") * tauDen >= col("a.__sz") * tauNum)
-        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-        .distinct()
+        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+          col("a.__sz").as("__sza"), col("b.__sz").as("__szb"))
+        .groupBy("id_a", "id_b", "__sza", "__szb")
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 2 ||
+          (col("__sza") + col("__szb")) * tauNum <= tauNum + tauDen)
+        .select(col("id_a"), col("id_b"))
       val tau = tauNum.toDouble / tauDen
-      cands
+      val out = cands
         .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
         .join(sh.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
         .withColumn("jacc", jaccard(col("__sha"), col("__shb")))
         .filter(col("jacc") >= tau)
         .select(col("id_a"), col("id_b"), col("jacc"))
-        .localCheckpoint(true) // release the cache below without lazy re-demand
+      // eager so the cache below releases without lazy re-demand;
+      // materialize=false keeps the composed plan inspectable (PlanSpec)
+      if (materialize) out.localCheckpoint(true) else out
     } finally sh.unpersist(blocking = false)
   }
 

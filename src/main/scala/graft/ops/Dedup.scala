@@ -40,4 +40,44 @@ object Dedup {
 
   def semiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
     left.join(right, cond, "left_semi")
+
+  /** Fuzzy record-linkage self-join at edit distance ≤ 1 — the FastSS
+    * deletion-neighborhood rule (Bocek, Hunt & Stiller 2007, "Fast
+    * Similarity Search in Large Dictionaries"): if ed(A,B) ≤ 1 then
+    * {A} ∪ del1(A) intersects {B} ∪ del1(B), where del1 is the set of
+    * single-character deletions — a substitution deletes the differing
+    * position from both sides, an insertion/deletion makes the shorter
+    * string itself a variant of the longer, equality matches on self. An
+    * equi-join on deletion variants is therefore a COMPLETE candidate
+    * generator (recall 1 by theorem), and the built-in `levenshtein`
+    * verifies candidates exactly. Returns (id_a, id_b, dist) with
+    * id_a < id_b and dist ∈ {0, 1}.
+    *
+    * Scale shape: |s|+1 variant rows per record, one equi-join on the
+    * variant string, verification only on candidates — never all pairs.
+    * Per-key fan-out is bounded by how many records share a variant
+    * (~alphabet size for id-like strings); a corpus where millions of
+    * records share one NAME is a caller-side duplicate explosion, not a
+    * join problem (the output itself is quadratic there). The variant
+    * HOF is interpreted, not codegen'd — acceptable for the
+    * dimension-table cardinalities record linkage runs at; lift to a
+    * native expression if it ever feeds a fact-table-sized scan. */
+  def editDistanceOnePairs(df: DataFrame, id: Column, str: Column): DataFrame = {
+    val base = df.select(id.as("__id"), str.as("__s"))
+    val s = col("__s")
+    val dels = transform(sequence(lit(1), length(s)),
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    val v = base
+      .withColumn("__v", explode(array_union(array(s), dels)))
+      .select(col("__id"), col("__s"), col("__v"))
+    v.as("a").join(v.as("b"),
+        col("a.__v") === col("b.__v") && col("a.__id") < col("b.__id") &&
+          abs(length(col("a.__s")) - length(col("b.__s"))) <= 1)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__s").as("__sa"), col("b.__s").as("__sb"))
+      .distinct() // a pair can collide on several variants (all |s|+1 for exact dups)
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -109,4 +109,47 @@ object Temporal {
       .filter(col(pointTime) >= col(start) && col(pointTime) < col(end))
       .drop("__cell")
   }
+
+  /** Per-key time-series regularization ("gap fill"): project an irregular
+    * event stream onto a fixed `stepSeconds` grid spanning each key's
+    * observed range, carrying the last observation forward across empty
+    * ticks — the standard pre-processing step before any
+    * fixed-frequency rollup, rate comparison, or feature window, and the
+    * inverse of what [[asofBackward]] consumes (a dense left grid instead
+    * of an irregular one).
+    *
+    * Per (key, tick) with ≥1 observation, the surviving row is the one
+    * greatest by (`time`, `tieBreak`) — `max_by` over a struct, no window
+    * over raw events. Empty ticks inherit the previous surviving row's
+    * `values` via `last(_, ignoreNulls)` over the forward-filled STRUCT
+    * (null iff the tick was empty — so a null inside `values` passes
+    * through as observed data rather than being skipped past). `observed`
+    * marks real ticks (1) vs filled ones (0).
+    *
+    * Scale shape: one map-side-combined `max_by` aggregation over events,
+    * one tiny per-key bounds aggregation, a per-key grid explode, and one
+    * window PARTITIONED BY KEY (never a global order). Output size is
+    * Σ_key (span / step) — choose `stepSeconds` so per-key grids stay
+    * proportionate to per-key data; a key observed twice a year on a
+    * 1-second grid is the caller's own denial of service. */
+  def gapFill(df: DataFrame, key: String, time: String, stepSeconds: Long,
+              values: Seq[String], tieBreak: Column): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val rows = df.filter(col(time).isNotNull)
+      .withColumn("__bkt", floorDiv(unix_micros(col(time)), stepSeconds * 1000000L))
+    val obs = rows.groupBy(col(key), col("__bkt"))
+      .agg(max_by(struct(values.map(col): _*),
+        struct(col(time), tieBreak)).as("__v"))
+    val grid = rows.groupBy(col(key))
+      .agg(min(col("__bkt")).as("__lo"), max(col("__bkt")).as("__hi"))
+      .select(col(key), explode(sequence(col("__lo"), col("__hi"))).as("__bkt"))
+    val w = Window.partitionBy(col(key)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = grid.join(obs, Seq(key, "__bkt"), "left")
+      .withColumn("__f", last(col("__v"), ignoreNulls = true).over(w))
+    val out = col(key) +: (col("__bkt") * stepSeconds).as("ts_epoch") +:
+      values.map(v => col(s"__f.$v").as(v)) :+
+      col("__v").isNotNull.cast("long").as("observed")
+    filled.select(out: _*)
+  }
 }

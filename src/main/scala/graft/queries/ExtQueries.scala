@@ -3222,7 +3222,7 @@ object ExtQueries {
     x90Spec, x91Spec, x92Spec, x93Spec, x94Spec, x95Spec, st17Spec,
     x96Spec, x97Spec, st18Spec, x98Spec, x99Spec, x100Spec, st19Spec,
     x101Spec, x102Spec, x103Spec, x104Spec, st20Spec, x105Spec, x106Spec, x107Spec, x108Spec,
-    x109Spec, x110Spec)
+    x109Spec, x110Spec, x111Spec, x112Spec, x113Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -4767,4 +4767,93 @@ object ExtQueries {
         col("doc_id"), col("text"), k = 3, tauNum = 4, tauDen = 5)
         .orderBy("id_a", "id_b"),
       Some(neardupOracle))
+
+  // Per-user gap fill (x111): the events stream regularized onto an
+  // hourly grid, last observation carried forward across empty hours.
+  // Values pass through bit-identically (no arithmetic on `value`); the
+  // per-(user, hour) survivor rule (greatest (ts, event_id)) and the
+  // struct-based forward fill (an observed NULL value is carried, not
+  // skipped past) are both replayed in SQL — DuckDB's IGNORE NULLS
+  // last_value over a CASE-wrapped struct mirrors Spark's
+  // last(ignoreNulls) over the left-join struct.
+  private def x111Spec: QuerySpec =
+    QuerySpec("x111_gap_fill",
+      (s, d) => graft.ops.Temporal.gapFill(
+          Tables.events(s, d), "user_id", "ts", 3600L,
+          Seq("value"), col("event_id"))
+        .orderBy("user_id", "ts_epoch"),
+      Some("""WITH b AS (SELECT user_id,
+             |         epoch_us(ts) // 3600000000 AS bkt, value, ts, event_id
+             |       FROM events WHERE ts IS NOT NULL),
+             |obs AS (SELECT user_id, bkt, value FROM (
+             |          SELECT user_id, bkt, value,
+             |                 row_number() OVER (PARTITION BY user_id, bkt
+             |                   ORDER BY ts DESC, event_id DESC) AS rn
+             |          FROM b) WHERE rn = 1),
+             |bounds AS (SELECT user_id, min(bkt) AS lo, max(bkt) AS hi
+             |           FROM b GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS bkt
+             |         FROM bounds),
+             |j AS (SELECT g.user_id, g.bkt,
+             |        CASE WHEN o.user_id IS NOT NULL
+             |             THEN {'v': o.value} END AS ov
+             |      FROM grid g LEFT JOIN obs o
+             |        ON g.user_id = o.user_id AND g.bkt = o.bkt),
+             |f AS (SELECT user_id, bkt,
+             |        last_value(ov IGNORE NULLS) OVER (PARTITION BY user_id
+             |          ORDER BY bkt
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+             |        ov IS NOT NULL AS hit
+             |      FROM j)
+             |SELECT user_id, bkt * 3600 AS ts_epoch, fv.v AS value,
+             |       CAST(hit AS BIGINT) AS observed
+             |FROM f ORDER BY user_id, ts_epoch""".stripMargin))
+
+  // Cross-corpus k-gram novelty (x112): every 7th document plays the
+  // "already ingested" reference corpus; the rest are scored by how many
+  // of their distinct 8-grams the reference already contains. Exact
+  // integer counts; the planted near-dup variants in the corpus guarantee
+  // nonzero n_seen mass.
+  private def x112Spec: QuerySpec =
+    QuerySpec("x112_ngram_novelty",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ext.Contamination.noveltyScores(
+            docs.filter(col("doc_id") % 7 =!= 0), col("doc_id"), col("text"),
+            docs.filter(col("doc_id") % 7 === 0), col("text"), k = 8)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+             |       FROM documents),
+             |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+             |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+             |             t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+             |             t[i+6] || ' ' || t[i+7])) AS gram
+             |      FROM t),
+             |refg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+             |dg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 7 <> 0)
+             |SELECT dg.doc_id, count(*) AS n_shingles,
+             |       CAST(sum(CASE WHEN refg.gram IS NOT NULL THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_seen
+             |FROM dg LEFT JOIN refg ON dg.gram = refg.gram
+             |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin))
+
+  // Edit-distance-≤1 fuzzy self-join (x113): FastSS deletion-neighborhood
+  // blocking over customer names (id-like strings — one-digit typos are
+  // the classic record-linkage case; per-row neighbor count is bounded by
+  // digits × alphabet, so output stays linear in rows at every SF). The
+  // oracle is the straight ALL-PAIRS levenshtein in SQL — the deletion
+  // blocking has recall 1 by theorem, so any missed pair hash-mismatches.
+  private def x113Spec: QuerySpec =
+    QuerySpec("x113_edit1_fuzzy_join",
+      (s, d) => graft.ops.Dedup.editDistanceOnePairs(
+          Tables.customer(s, d), col("c_custkey"), col("c_name"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH c AS (SELECT c_custkey, c_name FROM customer)
+             |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+             |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+             |WHERE levenshtein(a.c_name, b.c_name) <= 1
+             |ORDER BY 1, 2""".stripMargin))
 }

@@ -71,4 +71,24 @@ class ContaminationSpec extends SparkSpec {
     assert(!shuffleLines.exists(_.contains("doc_id")),
       s"corpus stream shuffled before the join:\n$plan")
   }
+
+  test("noveltyScores counts distinct doc k-grams and how many the reference holds") {
+    val ref = Seq((1L, "alpha beta gamma delta epsilon")).toDF("rid", "rtext")
+    val scored = Seq(
+      // 3-grams: [alpha beta gamma, beta gamma delta, gamma delta zeta]
+      // → first two in ref, third not → (3, 2)
+      (10L, "alpha beta gamma delta zeta"),
+      // all grams novel → (2, 0)
+      (11L, "one two three four"),
+      // repeated gram counted ONCE (distinct): "alpha beta gamma" twice
+      (12L, "alpha beta gamma alpha beta gamma"),
+      // < k tokens → no grams → absent from output
+      (13L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Contamination.noveltyScores(scored, $"doc_id", $"text", ref, $"rtext", k = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 12 distinct grams: [alpha beta gamma, beta gamma alpha,
+    // gamma alpha beta] → only the first is in ref
+    assert(out.toSeq === Seq((10L, 3L, 2L), (11L, 2L, 0L), (12L, 3L, 1L)))
+  }
 }

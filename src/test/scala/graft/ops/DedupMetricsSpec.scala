@@ -128,4 +128,32 @@ class DedupMetricsSpec extends SparkSpec {
       .select("corr").first().getDouble(0)
     assert(r === 1.0) // only the two complete pairs count
   }
+
+  test("editDistanceOnePairs finds substitution, insertion and exact pairs — misses nothing at ed≤1") {
+    val df = Seq(
+      (1L, "martha"),
+      (2L, "marhta"),  // transposition: ed 2 → NOT a pair
+      (3L, "marta"),   // deletion of 'h' from martha: ed 1
+      (4L, "martha"),  // exact dup: ed 0
+      (5L, "msrtha"),  // substitution: ed 1
+      (6L, "zebra")    // unrelated
+    ).toDF("id", "name")
+    val out = Dedup.editDistanceOnePairs(df, $"id", $"name")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // ed≤1 pairs of 'marta': martha(1), marhta(2) (both one deletion
+    // away), martha(4); of msrtha: martha(1),(4)
+    assert(out.keySet ===
+      Set((1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(out((1L, 4L)) === 0L)
+    assert(out((1L, 3L)) === 1L)
+    assert(out((1L, 5L)) === 1L)
+  }
+
+  test("editDistanceOnePairs candidates come from an equi-join — no cartesian in the plan") {
+    val df = Seq((1L, "abc"), (2L, "abd")).toDF("id", "name")
+    val p = Dedup.editDistanceOnePairs(df, $"id", $"name")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

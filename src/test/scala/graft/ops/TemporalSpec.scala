@@ -124,4 +124,48 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert("(?<!Broadcast)Exchange".r.findAllIn(plan).size <= 2, plan)
   }
+
+  test("gapFill densifies per-key hour grids, carries values forward, flags observed") {
+    val events = Seq(
+      // key 1: obs at 10:xx and 13:xx → grid hours 10,11,12,13
+      (1L, ts("2024-01-01 10:15:00"), 1.0, 100L),
+      (1L, ts("2024-01-01 13:05:00"), 4.0, 101L),
+      // key 2: single obs → one-tick grid
+      (2L, ts("2024-01-01 00:30:00"), 9.0, 102L)
+    ).toDF("k", "t", "v", "eid")
+    val out = Temporal.gapFill(events, "k", "t", 3600L, Seq("v"), col("eid"))
+      .orderBy("k", "ts_epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val h = ts("2024-01-01 10:00:00").getTime / 1000
+    assert(out.toSeq === Seq(
+      (1L, h, 1.0, 1L), (1L, h + 3600, 1.0, 0L),
+      (1L, h + 7200, 1.0, 0L), (1L, h + 10800, 4.0, 1L),
+      (2L, ts("2024-01-01 00:00:00").getTime / 1000, 9.0, 1L)))
+  }
+
+  test("gapFill survivor per tick is the greatest (time, tieBreak); observed null value is carried") {
+    val events = Seq(
+      // two obs in the same hour: later ts wins; tie on ts → greater eid wins
+      (1L, ts("2024-01-01 10:10:00"), 1.0, 1L),
+      (1L, ts("2024-01-01 10:50:00"), 2.0, 2L),
+      (1L, ts("2024-01-01 10:50:00"), 3.0, 5L), // survivor: v=3.0
+      // next hour: observed NULL value — must be CARRIED as null, not
+      // skipped past to 3.0 (struct-based fill)
+      (1L, ts("2024-01-01 11:20:00"), Double.NaN, 9L)
+    ).toDF("k", "t", "v", "eid")
+      .withColumn("v", when(col("eid") === 9L, lit(null)).otherwise(col("v")))
+    val out = Temporal.gapFill(events, "k", "t", 3600L, Seq("v"), col("eid"))
+      .orderBy("ts_epoch").collect()
+      .map(r => ((if (r.isNullAt(2)) None else Some(r.getDouble(2))), r.getLong(3)))
+    assert(out.toSeq === Seq((Some(3.0), 1L), (None, 1L)))
+  }
+
+  test("gapFill windows are partitioned by key — no global single-partition window") {
+    val events = Seq((1L, ts("2024-01-01 10:00:00"), 1.0, 1L)).toDF("k", "t", "v", "eid")
+    val plan = Temporal.gapFill(events, "k", "t", 3600L, Seq("v"), col("eid"))
+      .queryExecution.optimizedPlan.toString
+    // every Window node must carry a partition spec (windowspecdefinition
+    // with a non-empty partitionBy renders the partition cols first)
+    assert(!plan.contains("windowspecdefinition(__bkt"), plan)
+  }
 }

@@ -327,4 +327,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"margin sums must map-side combine:\n$p")
     assert(!p.contains("SortMergeJoin"), s"nothing here justifies a sort-merge:\n$p")
   }
+
+  test("x109: PMI top-k is a TakeOrdered over the pair table — no global sort, " +
+    "counts map-side combine, N broadcasts") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.ext.LmScore.pmiCollocations(
+        graft.Tables.documents(spark, d), col("doc_id"), col("text"),
+        materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not globally sort:\n$p")
+    assert(p.contains("partial_count"), s"counts must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x110: prefix-filter candidates come from equi-joins only — no cartesian, " +
+    "no nested loop anywhere in the exact similarity join") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.ext.TextDedup.prefixFilterNearDups(
+        graft.Tables.documents(spark, d), col("doc_id"), col("text"),
+        materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), s"shingle frequency must map-side combine:\n$p")
+  }
+
+  test("x112: novelty scoring is gram equi-join + one combined per-doc agg") {
+    val p = plan("x112_ngram_novelty")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), s"per-doc counts must map-side combine:\n$p")
+  }
 }
