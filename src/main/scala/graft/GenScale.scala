@@ -85,8 +85,20 @@ object GenScale {
     write(load("region"), "region")
     write(load("nation"), "nation")
 
-    write(scale(load("customer"), Seq("c_custkey"))(), "customer")
-    write(scale(load("supplier"), Seq("s_suppkey"))(), "supplier")
+    // key-derived NAME columns must follow the shifted key: replicating
+    // "Customer#000000001" verbatim would mint N-way exact-duplicate
+    // names — every name-keyed operator (fuzzy join, exact dedup on
+    // names) then sees quadratic-in-N phantom pairs instead of a
+    // linearly scaled workload (caught when x113's sf1 output was 27M
+    // pairs for a 1.5M-row table).
+    write(scale(load("customer"), Seq("c_custkey")) { (d, r) =>
+      if (r == 0) d
+      else d.withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+    }, "customer")
+    write(scale(load("supplier"), Seq("s_suppkey")) { (d, r) =>
+      if (r == 0) d
+      else d.withColumn("s_name", format_string("Supplier#%09d", col("s_suppkey")))
+    }, "supplier")
     write(scale(load("part"), Seq("p_partkey"))(), "part")
     write(scale(load("orders"), Seq("o_orderkey", "o_custkey"))(), "orders")
     write(scale(load("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"))(), "lineitem")

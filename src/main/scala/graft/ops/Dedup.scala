@@ -67,17 +67,25 @@ object Dedup {
     val s = col("__s")
     val dels = transform(sequence(lit(1), length(s)),
       i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    // join + dedup on a 64-bit variant HASH and bare ids — variant
+    // strings and record strings stay out of the wide shuffles (a
+    // collision only adds a candidate; the exact verify decides). The
+    // first formulation carried both name strings through the pair
+    // distinct and was 10× the volume for nothing.
     val v = base
       .withColumn("__v", explode(array_union(array(s), dels)))
-      .select(col("__id"), col("__s"), col("__v"))
-    v.as("a").join(v.as("b"),
-        col("a.__v") === col("b.__v") && col("a.__id") < col("b.__id") &&
-          abs(length(col("a.__s")) - length(col("b.__s"))) <= 1)
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        col("a.__s").as("__sa"), col("b.__s").as("__sb"))
+      .select(col("__id"), xxhash64(col("__v")).as("__vh"), length(s).as("__len"))
+    val cands = v.as("a").join(v.as("b"),
+        col("a.__vh") === col("b.__vh") && col("a.__id") < col("b.__id") &&
+          abs(col("a.__len") - col("b.__len")) <= 1)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct() // a pair can collide on several variants (all |s|+1 for exact dups)
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
-      .filter(col("dist") <= 1)
+    cands
+      .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+      // threshold-bounded levenshtein: O(|s|) band, early exit past 1
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), 1).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= 1)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

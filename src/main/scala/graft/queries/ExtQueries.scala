@@ -3222,7 +3222,7 @@ object ExtQueries {
     x90Spec, x91Spec, x92Spec, x93Spec, x94Spec, x95Spec, st17Spec,
     x96Spec, x97Spec, st18Spec, x98Spec, x99Spec, x100Spec, st19Spec,
     x101Spec, x102Spec, x103Spec, x104Spec, st20Spec, x105Spec, x106Spec, x107Spec, x108Spec,
-    x109Spec, x110Spec, x111Spec, x112Spec, x113Spec)
+    x109Spec, x110Spec, x111Spec, x112Spec, x113Spec, x114Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -4856,4 +4856,40 @@ object ExtQueries {
              |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
              |WHERE levenshtein(a.c_name, b.c_name) <= 1
              |ORDER BY 1, 2""".stripMargin))
+
+  // Semi-structured extraction (x114): the events.props JSON column
+  // parsed IN-PLAN (schema-directed from_json — codegen'd struct getter,
+  // not a per-row UDF) and aggregated per event type. Malformed/null
+  // payloads surface as null fields and are counted, not dropped. At
+  // scale this is the "JSON lake column" access path: the parse is a
+  // narrow map fused into the scan stage, the aggregation map-side
+  // combines, and only referenced fields are materialized.
+  private def x114Spec: QuerySpec =
+    QuerySpec("x114_json_extract",
+      (s, d) => Tables.events(s, d)
+        .withColumn("__k",
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k"))
+        .groupBy("event_type")
+        .agg(n.as("n_events"),
+          sum(col("props").isNull.cast("long")).as("n_null_props"),
+          sum(col("__k").isNotNull.cast("long")).as("n_k"),
+          sum(col("__k")).as("sum_k"),
+          min(col("__k")).as("min_k"),
+          max(col("__k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""WITH e AS (SELECT event_type, props,
+             |         CASE WHEN props IS NOT NULL AND json_valid(props)
+             |              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |         END AS k
+             |       FROM events)
+             |SELECT event_type, count(*) AS n_events,
+             |       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_null_props,
+             |       CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_k,
+             |       CAST(sum(k) AS BIGINT) AS sum_k,
+             |       min(k) AS min_k, max(k) AS max_k
+             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin))
 }
