@@ -3222,7 +3222,8 @@ object ExtQueries {
     x90Spec, x91Spec, x92Spec, x93Spec, x94Spec, x95Spec, st17Spec,
     x96Spec, x97Spec, st18Spec, x98Spec, x99Spec, x100Spec, st19Spec,
     x101Spec, x102Spec, x103Spec, x104Spec, st20Spec, x105Spec, x106Spec, x107Spec, x108Spec,
-    x109Spec, x110Spec, x111Spec, x112Spec, x113Spec, x114Spec)
+    x109Spec, x110Spec, x111Spec, x112Spec, x113Spec, x114Spec,
+    x115Spec, x116Spec, x117Spec, x118Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -4892,4 +4893,140 @@ object ExtQueries {
              |       CAST(sum(k) AS BIGINT) AS sum_k,
              |       min(k) AS min_k, max(k) AS max_k
              |FROM e GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // Rolling time-window anomaly detection (x115): per user, each event's
+  // value tested against the trailing 7-day history with an all-integer
+  // z-test (graft.ops.Anomaly — the (n·x−s1)²·den > num·(n·s2−s1²) form,
+  // z > √(64/25) = 1.6, ≥8 history rows). The RANGE frame excludes the
+  // current instant's peers, so a same-second burst never vouches for
+  // itself; both engines evaluate the identical integer predicate.
+  private def x115Spec: QuerySpec =
+    QuerySpec("x115_rolling_anomaly",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .withColumn("ts_epoch", expr("unix_micros(ts) div 1000000"))
+          .withColumn("value_cents", round(col("value") * 100, 0).cast("long"))
+        graft.ops.Anomaly.rollingDeviationFlags(e, "user_id", "ts_epoch",
+            "value_cents", windowSec = 604800L, minN = 8L,
+            thrNum = 64L, thrDen = 25L)
+          .select("event_id", "user_id", "ts_epoch", "value_cents",
+            "n_win", "dev2", "nvar")
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+             |         epoch_us(ts) // 1000000 AS ts_epoch,
+             |         CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+             |       FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+             |w AS (SELECT event_id, user_id, ts_epoch, value_cents,
+             |        count(*) OVER win AS n_win,
+             |        CAST(sum(value_cents) OVER win AS BIGINT) AS s1,
+             |        CAST(sum(value_cents * value_cents) OVER win AS BIGINT) AS s2
+             |      FROM e
+             |      WINDOW win AS (PARTITION BY user_id ORDER BY ts_epoch
+             |        RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING))
+             |SELECT event_id, user_id, ts_epoch, value_cents, n_win,
+             |       (n_win*value_cents - s1)*(n_win*value_cents - s1) AS dev2,
+             |       n_win*s2 - s1*s1 AS nvar
+             |FROM w
+             |WHERE n_win >= 8
+             |  AND 25*(n_win*value_cents - s1)*(n_win*value_cents - s1)
+             |      > 64*(n_win*s2 - s1*s1)
+             |ORDER BY event_id""".stripMargin))
+
+  // 2-D skyline (x116): the Pareto frontier of parts — cheapest price for
+  // every attainable size, nothing dominated. The oracle is the quadratic
+  // NOT EXISTS over distinct pairs; the Spark plan is the O(n log n) sweep
+  // (groupBy-collapse → per-x max → two-phase bucketed exclusive prefix
+  // max, graft.ops.Skyline) — same frontier by the sweep theorem.
+  private def x116Spec: QuerySpec =
+    QuerySpec("x116_skyline",
+      (s, d) => graft.ops.Skyline.frontierMinXMaxY(Tables.part(s, d),
+          round(col("p_retailprice") * 100, 0).cast("long"),
+          col("p_size").cast("long"))
+        .select(col("x").as("price_cents"), col("y").as("p_size"),
+          col("n").as("n_parts"))
+        .orderBy("price_cents"),
+      Some("""WITH p AS (SELECT CAST(round(p_retailprice*100, 0) AS BIGINT)
+             |           AS price_cents,
+             |         CAST(p_size AS BIGINT) AS p_size, count(*) AS n_parts
+             |       FROM part GROUP BY 1, 2)
+             |SELECT price_cents, p_size, n_parts FROM p a
+             |WHERE NOT EXISTS (SELECT 1 FROM p b WHERE
+             |   (b.price_cents < a.price_cents AND b.p_size >= a.p_size) OR
+             |   (b.price_cents <= a.price_cents AND b.p_size > a.p_size))
+             |ORDER BY price_cents""".stripMargin))
+
+  // Grid-bucketed planar radius self-join (x117): customers dropped onto a
+  // 65536² integer plane by md5 (deterministic in both engines), all pairs
+  // within a density-adaptive radius. The oracle is the all-pairs
+  // quadratic join; the Spark plan is the 9-cell-offset EQUI-join
+  // (graft.ops.Spatial) whose candidate set — and output — stays linear in
+  // points because the radius shrinks as ~1/√n.
+  private def x117Spec: QuerySpec =
+    QuerySpec("x117_grid_radius_join",
+      (s, d) => {
+        val h = md5(col("c_custkey").cast("string").cast("binary"))
+        val pts = Tables.customer(s, d).select(col("c_custkey").as("id"),
+          conv(substring(h, 1, 4), 16, 10).cast("long").as("x"),
+          conv(substring(h, 5, 4), 16, 10).cast("long").as("y"))
+        graft.ops.Spatial.adaptiveGridRadiusSelfJoin(pts,
+            col("id"), col("x"), col("y"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id,
+             |         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4))
+             |              AS BIGINT) AS x,
+             |         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 5, 4))
+             |              AS BIGINT) AS y
+             |       FROM customer),
+             |r AS (SELECT 2*(65536 // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS rad
+             |      FROM c)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |       (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+             |FROM c a, c b, r
+             |WHERE a.id < b.id
+             |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= rad*rad
+             |ORDER BY id_a, id_b""".stripMargin))
+
+  // Ordered funnel (x118): view → click → purchase, each step strictly
+  // after the previous and within 24 h of it, earliest-qualifying-event
+  // semantics (graft.ops.Funnel). Attrition is real at sf0.01
+  // (150 → 60 → 25 users), and the per-stage delay totals pin the chosen
+  // instants exactly — a wrong min anywhere hash-mismatches.
+  private def x118Spec: QuerySpec =
+    QuerySpec("x118_funnel",
+      (s, d) => graft.ops.Funnel.funnelStages(Tables.events(s, d),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), deadlineSec = 86400L)
+        .orderBy("stage_idx"),
+      Some("""WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+             |        WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1),
+             |t2 AS (SELECT e.user_id, min(e.ts) AS ts2, min(t1.ts1) AS p
+             |       FROM events e JOIN t1 USING (user_id)
+             |       WHERE e.event_type = 'click' AND e.ts > t1.ts1
+             |         AND epoch_us(e.ts) - epoch_us(t1.ts1)
+             |             <= CAST(86400 AS BIGINT) * 1000000
+             |       GROUP BY 1),
+             |t3 AS (SELECT e.user_id, min(e.ts) AS ts3, min(t2.ts2) AS p
+             |       FROM events e JOIN t2 USING (user_id)
+             |       WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+             |         AND epoch_us(e.ts) - epoch_us(t2.ts2)
+             |             <= CAST(86400 AS BIGINT) * 1000000
+             |       GROUP BY 1)
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+             |         count(*) AS n_users, CAST(0 AS BIGINT) AS sum_delay_s
+             |  FROM t1
+             |  UNION ALL
+             |  SELECT 2, 'click', count(*),
+             |         coalesce(CAST(sum((epoch_us(ts2) - epoch_us(p)) // 1000000)
+             |                  AS BIGINT), 0)
+             |  FROM t2
+             |  UNION ALL
+             |  SELECT 3, 'purchase', count(*),
+             |         coalesce(CAST(sum((epoch_us(ts3) - epoch_us(p)) // 1000000)
+             |                  AS BIGINT), 0)
+             |  FROM t3
+             |) ORDER BY stage_idx""".stripMargin))
 }

@@ -358,4 +358,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_count"), s"per-doc counts must map-side combine:\n$p")
   }
+
+  test("x115: rolling anomaly is ONE key shuffle + an incremental RANGE window") {
+    val p = plan("x115_rolling_anomaly")
+    // the user_id exchange for the window + the presentation orderBy range
+    // exchange — nothing else; the frame must never re-shuffle per stat
+    assert(exchanges(p) <= 2, s"expected ≤2 shuffles (window + orderBy):\n$p")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x117: radius-join candidates are an EQUI-join on cell ids — the only " +
+    "nested loop is the one-row broadcast radius") {
+    val p = plan("x117_grid_radius_join")
+    assert(!p.contains("CartesianProduct"), p)
+    // the pair join must be hash/sort-merge on the (cx+dx, cy+dy) keys;
+    // BroadcastNestedLoopJoin may appear ONLY for the 1-row rad frame
+    // (twice: once per side deriving cells from it)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).nonEmpty, s"pair join must be an equi-join:\n$p")
+  }
+
+  test("x116: skyline's global window runs over bucket maxima via broadcast, " +
+    "never over the pair table") {
+    val p = plan("x116_skyline")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket prefix maxima must broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x118: every funnel stage joins and aggregates on the user key only") {
+    val p = plan("x118_funnel")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
