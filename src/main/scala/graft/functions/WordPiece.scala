@@ -51,9 +51,13 @@ object WordPiece {
 
   object Vocab {
     /** Build from raw piece strings (`##`-prefixed = continuation), in a
-      * canonical order: `[UNK]` first, then sorted pieces. */
+      * canonical order: `[UNK]` first, then sorted pieces. The bare "##"
+      * piece (continuation of the empty string) is unreachable by the
+      * greedy matcher (l >= 1) and is dropped rather than stored under an
+      * empty key. */
     def apply(raw: Seq[String]): Vocab =
-      new Vocab((UnkPiece +: raw.distinct.filterNot(_ == UnkPiece).sorted).toArray)
+      new Vocab((UnkPiece +: raw.distinct
+        .filterNot(p => p == UnkPiece || p == "##").sorted).toArray)
   }
 
   /** Encode one text: whitespace words, greedy longest-match-first per
@@ -123,12 +127,21 @@ object WordPiece {
     import org.apache.spark.sql.functions._
     val w = docs.select(explode(split(text, "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
+    // Initial-position substrings that literally start with "##" (a corpus
+    // word beginning with '#''#') are dropped: the raw-piece encoding uses
+    // the "##" prefix to MEAN continuation, so such a piece would be
+    // stored under a stripped key and be unreachable/misclassified. The
+    // single char "#" survives in both classes, so those words still
+    // encode UNK-free — just one piece at a time over the leading hashes.
     val subs = w.select(explode(flatten(transform(
       sequence(lit(1), length(col("w"))),
       s => transform(
         sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - s + 1)),
-        l => concat(when(s === 1, lit("")).otherwise(lit("##")),
-          col("w").substr(s, l)))))).as("piece"))
+        l => when(s === 1 && col("w").substr(s, l).startsWith("##"),
+          lit(null).cast("string"))
+          .otherwise(concat(when(s === 1, lit("")).otherwise(lit("##")),
+            col("w").substr(s, l))))))).as("piece"))
+      .filter(col("piece").isNotNull)
     val counts = subs.groupBy("piece").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

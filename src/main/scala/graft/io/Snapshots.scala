@@ -236,7 +236,11 @@ object Snapshots {
           statsCols.zipWithIndex.flatMap { case (c, i) =>
             val lo = r.getString(1 + 2 * i)
             val hi = r.getString(2 + 2 * i)
-            if (lo == null || hi == null) None
+            // a min/max containing the manifest field separator would
+            // shift the parsed payload and record WRONG bounds — drop the
+            // stat instead (conservatively unprunable, never incorrect)
+            if (lo == null || hi == null ||
+                lo.contains(StatSep) || hi.contains(StatSep)) None
             else Some(FileStat(p, c, dtypes(c), lo, hi))
           }
         }
@@ -272,14 +276,23 @@ object Snapshots {
 
   /** Can a file whose recorded [min,max] for the stat's dtype intersect
     * [lo,hi]? Integral stats compare as longs, fractional as doubles,
-    * everything else lexicographically (valid for string min/max). */
+    * decimal(p,s) as BigDecimal (string compare would rank "100.0" below
+    * "20.0" and wrongly prune files), date/timestamp/string
+    * lexicographically — valid because Spark renders date/timestamp
+    * min/max in sortable ISO-8601 form and string min/max are their own
+    * order. Anything else (arrays, structs, binary…) is conservatively
+    * unprunable: intersects = true, the file is scanned. */
   private def statIntersects(st: FileStat, lo: String, hi: String): Boolean =
     st.dtype match {
       case "bigint" | "int" | "smallint" | "tinyint" =>
         !(st.min.toLong > hi.toLong || st.max.toLong < lo.toLong)
       case "double" | "float" =>
         !(st.min.toDouble > hi.toDouble || st.max.toDouble < lo.toDouble)
-      case _ => !(st.min > hi || st.max < lo)
+      case d if d.startsWith("decimal") =>
+        !(BigDecimal(st.min) > BigDecimal(hi) || BigDecimal(st.max) < BigDecimal(lo))
+      case "string" | "date" | "timestamp" | "timestamp_ntz" =>
+        !(st.min > hi || st.max < lo)
+      case _ => true
     }
 
   /** Partition the live set at `version` by the zone maps: `_1` = files a
@@ -332,8 +345,13 @@ object Snapshots {
   def deleteWhere(spark: SparkSession, table: String,
                   cond: org.apache.spark.sql.Column,
                   prune: Option[(String, String, String)] = None): DeleteResult = {
-    import org.apache.spark.sql.functions.not
-    rewriteWhere(spark, table, cond, "delete", _.filter(not(cond)), prune)
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    // SQL DELETE removes rows where cond IS TRUE; a NULL predicate keeps
+    // the row. Without the coalesce, filter(not(cond)) would drop
+    // NULL-cond rows from rewritten files while identical rows in
+    // untouched files survive — file-dependent data loss.
+    rewriteWhere(spark, table, cond, "delete",
+      _.filter(not(coalesce(cond, lit(false)))), prune)
   }
 
   /** COPY-ON-WRITE row-level UPDATE: apply `assignments` (column →
@@ -366,7 +384,7 @@ object Snapshots {
                            cond: org.apache.spark.sql.Column, kind: String,
                            rewrite: DataFrame => DataFrame,
                            prune: Option[(String, String, String)]): DeleteResult = {
-    import org.apache.spark.sql.functions.{count, input_file_name, lit}
+    import org.apache.spark.sql.functions.{coalesce, count, input_file_name, lit}
     val v = currentVersion(spark, table)
     val live = liveFiles(spark, table, Some(v))
     val candidates = prune match {
@@ -378,7 +396,7 @@ object Snapshots {
     def read(files: Seq[String]) =
       sc.map(spark.read.schema).getOrElse(spark.read).parquet(files: _*)
     val byName = candidates.map(p => new Path(p).getName -> p).toMap
-    val touched = read(candidates).filter(cond)
+    val touched = read(candidates).filter(coalesce(cond, lit(false)))
       .groupBy(input_file_name().as("__f")).agg(count(lit(1)))
       .collect().toSeq
       .flatMap(r => byName.get(new Path(r.getString(0)).getName))

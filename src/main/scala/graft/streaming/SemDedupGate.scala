@@ -82,11 +82,15 @@ object SemDedupGate {
                   col("wa.vec_id") < col("wb.vec_id"))
               .where(Similarity.cosine(col("wa.__v"), col("wb.__v")) >= threshold)
               .select(col("wb.vec_id").as("__drop"))
-            // drops feed two anti-joins — materialize once, not per sink
+            // drops feed two anti-joins — materialize once, not per sink.
+            // NO broadcast hint: drops is proportional to the batch's
+            // duplicate count (unbounded — a high-duplication batch could
+            // blow the broadcast limit); AQE picks broadcast itself when
+            // the materialized size is actually small.
             val drops = histDrop.unionByName(withinDrop).distinct()
               .persist(StorageLevel.MEMORY_AND_DISK)
             try {
-              val kept = b.join(broadcast(drops),
+              val kept = b.join(drops,
                 col("vec_id") === col("__drop"), "left_anti")
               kept.write.mode("overwrite").parquet(s"$outDir/b$batchId")
               // only kept vectors join the history, pre-exploded and
@@ -98,7 +102,7 @@ object SemDedupGate {
               // listings (the 10× curve caught it at 7.8× wall). With
               // it, each cell's rows land in one task → one file per
               // cell per batch.
-              bc.join(broadcast(drops), col("vec_id") === col("__drop"), "left_anti")
+              bc.join(drops, col("vec_id") === col("__drop"), "left_anti")
                 .repartition(col("__cell"))
                 .write.mode("overwrite").partitionBy("__cell")
                 .parquet(s"$histDir/b$batchId")

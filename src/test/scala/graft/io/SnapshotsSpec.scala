@@ -276,4 +276,34 @@ class SnapshotsSpec extends SparkSpec {
     assert(res.rewritten.isEmpty && res.untouched === 4)
     assert(res.version === v && Snapshots.currentVersion(spark, t) === v)
   }
+
+  test("deleteWhere with a NULL-valued predicate keeps NULL-cond rows (SQL DELETE semantics)") {
+    val t = tmpTable()
+    // two files, each with a NULL flag row; delete WHERE flag = true must
+    // remove only the TRUE rows — NULL-cond rows survive in BOTH the
+    // rewritten file and the untouched one (no file-dependent loss)
+    Snapshots.commitAppend(Seq((1L, Some(true)), (2L, Some(false)), (3L, None))
+      .toDF("id", "flag").coalesce(1), t, recordSchema = true)
+    Snapshots.commitAppend(Seq((4L, Some(false)), (5L, None))
+      .toDF("id", "flag").coalesce(1), t)
+    val res = Snapshots.deleteWhere(spark, t, col("flag") === lit(true))
+    assert(res.rewritten.size === 1) // only the file holding id=1
+    assert(Snapshots.readAt(spark, t).select("id").as[Long].collect().toSet ===
+      Set(2L, 3L, 4L, 5L))
+  }
+
+  test("zone maps on decimal columns compare numerically, not lexicographically") {
+    val t = tmpTable()
+    // lexicographically "100.00" < "20.00", so a string compare would
+    // wrongly prune the [100,199] file for a BETWEEN 150 AND 160 probe
+    def dec(lo: Int, hi: Int) =
+      spark.range(lo, hi + 1).select(col("id").cast("decimal(10,2)").as("d"))
+    Snapshots.commitAppend(dec(0, 99).coalesce(1), t,
+      recordSchema = true, statsCols = Seq("d"))
+    Snapshots.commitAppend(dec(100, 199).coalesce(1), t, statsCols = Seq("d"))
+    val (scan, skip) = Snapshots.pruneFiles(spark, t, "d", "150", "160")
+    assert(scan.size === 1 && skip.size === 1)
+    assert(Snapshots.readPruned(spark, t, "d", "150", "160")
+      .filter(col("d").between(150, 160)).count() === 11)
+  }
 }
