@@ -127,6 +127,18 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     println(json)
+    // The driver records only the last ~2000 chars of stdout and tries to
+    // parse a JSON line out of that window; the full record above is
+    // several times longer (163 queries × raw runs), so the front of the
+    // line is cut off and every round's stdout parse came back null. End
+    // with a SHORT summary line that fits the window whole — same
+    // metric/value contract, per-query detail stays in the full record
+    // and in `outFile`.
+    val summary = s"""{"metric":"total","value":${results.flatMap(_.minSec).sum},""" +
+      s""""unit":"sec","n_queries":${results.size},""" +
+      s""""failed":${results.count(_.err.isDefined)},"runs":$runs,""" +
+      s""""sf":${jsonStr(sfDir)},"queries_in":${jsonStr(outFile)}}"""
+    println(summary)
     spark.stop()
   }
 }

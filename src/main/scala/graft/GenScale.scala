@@ -85,19 +85,28 @@ object GenScale {
     write(load("region"), "region")
     write(load("nation"), "nation")
 
-    // key-derived NAME columns must follow the shifted key: replicating
-    // "Customer#000000001" verbatim would mint N-way exact-duplicate
-    // names — every name-keyed operator (fuzzy join, exact dedup on
-    // names) then sees quadratic-in-N phantom pairs instead of a
-    // linearly scaled workload (caught when x113's sf1 output was 27M
-    // pairs for a 1.5M-row table).
+    // key-derived NAME columns must NOT replicate verbatim (N-way exact
+    // duplicates → quadratic phantom pairs in every name-keyed operator;
+    // caught when x113's sf1 output was 27M pairs for a 1.5M-row table)
+    // — but the round-8 fix (re-formatting the SHIFTED key into the name)
+    // was still edit-distance-1 across replicas: two copies of base key k
+    // formatted as %09d of r·shift+k differ ONLY in the replica digit, so
+    // the ED-1 fuzzy join saw R·(R-1)/2 cross-replica pairs per base key
+    // (quadratic in R — x113's 12.4× sf1→sf10 step was exactly this,
+    // ~46.7M of sf10's 47.2M output pairs being generator-minted).
+    // Instead append a suffix with every replica digit DOUBLED: any two
+    // distinct suffixes (and any suffix vs none, and suffixes of
+    // different scaling levels via the per-level tag) differ by ≥2 edits,
+    // so cross-replica names are never ED-1 and fuzzy-join output scales
+    // ×N with the data like every other operator's workload.
+    def dd(r: Int): String = r.toString.flatMap(c => s"$c$c")
     write(scale(load("customer"), Seq("c_custkey")) { (d, r) =>
       if (r == 0) d
-      else d.withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+      else d.withColumn("c_name", concat(col("c_name"), lit(s"_$tag${dd(r)}")))
     }, "customer")
     write(scale(load("supplier"), Seq("s_suppkey")) { (d, r) =>
       if (r == 0) d
-      else d.withColumn("s_name", format_string("Supplier#%09d", col("s_suppkey")))
+      else d.withColumn("s_name", concat(col("s_name"), lit(s"_$tag${dd(r)}")))
     }, "supplier")
     write(scale(load("part"), Seq("p_partkey"))(), "part")
     write(scale(load("orders"), Seq("o_orderkey", "o_custkey"))(), "orders")

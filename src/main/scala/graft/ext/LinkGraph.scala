@@ -47,7 +47,8 @@ object LinkGraph {
   def pageRankPico(edges: DataFrame, src: String, dst: String, iters: Int = 8,
                    dampNum: Long = 85L, dampDen: Long = 100L,
                    init: Option[DataFrame] = None,
-                   seeds: Option[DataFrame] = None): DataFrame = {
+                   seeds: Option[DataFrame] = None,
+                   releaseInit: Boolean = false): DataFrame = {
     val scale = 1000000000000L // Σ ranks ≈ 1e12 ≡ probability mass 1
     // collapse the multigraph once; everything downstream joins this
     val w = edges.groupBy(col(src).as("src"), col(dst).as("dst"))
@@ -86,11 +87,20 @@ object LinkGraph {
       case None => nodes.select(col("node"), col("__seed"),
         lit(scale / n).as("rank")).localCheckpoint(true)
       case Some(prev) =>
-        nodes.join(prev.select(col("node"), col("rank_pico").as("__pr")),
+        val r0 = nodes.join(prev.select(col("node"), col("rank_pico").as("__pr")),
             Seq("node"), "left")
           .select(col("node"), col("__seed"),
             coalesce(col("__pr"), lit(scale / n)).as("rank"))
           .localCheckpoint(true)
+        // `releaseInit`: the warm-start ranks are folded into r0 above, so
+        // a CHAINED caller (cold build → warm maintenance, x98's shape)
+        // can hand ownership of the cold phase's final checkpoint here and
+        // have its blocks freed the moment they're absorbed — otherwise
+        // every phase's last rank table stays in the block manager for the
+        // JVM's lifetime (each call releases its SUPERSEDED rounds, but
+        // its final result must outlive the call for the caller to read).
+        if (releaseInit) checkpointRdds(prev).foreach(_.unpersist(blocking = false))
+        r0
     }
     var ranksRdds = checkpointRdds(ranks)
     var i = 0

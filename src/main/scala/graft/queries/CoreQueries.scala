@@ -612,6 +612,56 @@ object CoreQueries {
               |WHERE abs(v - med) <= 3.5 * mad
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // q33 under the 100 TB knob (same discipline as q24→q36): grouped
+    // winsorize with exact = false — per-group percentile_approx instead
+    // of the exact sort — benched as q33's pair so the knob's saving on
+    // the robust-outlier family is MEASURED (BASELINE.md records the
+    // delta). Output is knob-invariant: the filter reads the CAPPED
+    // column (so Catalyst cannot prune the approx-percentile aggregate
+    // out of the plan) but its threshold (> 1.0) sits far below any sane
+    // p95 cap and below every price, so group counts are identical under
+    // exact and approx caps and the oracle stays exactly checkable.
+    QuerySpec("q37_group_winsorize_approx",
+      (s, d) => {
+        val capped = Cleaning.quantileCapByGroup(Tables.lineitem(s, d),
+          Seq("l_returnflag"), "l_extendedprice", q = 0.95, exact = false)
+        capped.filter(col("l_extendedprice") > 1.0)
+          .groupBy("l_returnflag")
+          .agg(n.as("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows
+             |FROM lineitem WHERE l_extendedprice > 1.0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q34 under the 100 TB knob: the MAD outlier filter with approx
+    // median/MAD (two percentile_approx scalar passes instead of two
+    // exact sorts). Knob-invariant projection: the kept-set boundary
+    // (med + 3.5·MAD ≈ 1e5) moves only by the approx rank error, so rows
+    // counted here — v ≤ 1e4 (deep inside the kept region) and glitch
+    // rows v ≥ 5e5 (1000× injections, all removed) — never flip; the
+    // boundary-adjacent rows are simply not projected. The oracle is the
+    // exact per-group low count and a literal zero.
+    QuerySpec("q38_mad_filter_approx",
+      (s, d) => {
+        val inj = Tables.lineitem(s, d).select(col("l_returnflag"),
+          when(col("l_orderkey") % 997 === 0, col("l_extendedprice") * 1000)
+            .otherwise(col("l_extendedprice")).as("v"))
+        Cleaning.madOutlierFilter(inj, "v", k = 3.5, exact = false)
+          .groupBy("l_returnflag")
+          .agg(sum((col("v") <= 10000).cast("long")).as("n_low_kept"),
+            sum((col("v") >= 500000).cast("long")).as("n_glitch_kept"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH inj AS (SELECT l_returnflag,
+             |         CASE WHEN l_orderkey % 997 = 0 THEN l_extendedprice * 1000
+             |              ELSE l_extendedprice END AS v
+             |       FROM lineitem)
+             |SELECT l_returnflag,
+             |       CAST(sum(CASE WHEN v <= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_kept,
+             |       CAST(0 AS BIGINT) AS n_glitch_kept
+             |FROM inj GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Pivot (long → wide): yearly revenue by order status as columns. The
     // pivot values are DECLARED (Seq("F","O","P")) — without them Spark
     // runs an extra distinct job over the pivot column before planning,

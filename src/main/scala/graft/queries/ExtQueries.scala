@@ -4071,7 +4071,7 @@ object ExtQueries {
         val base = graft.ext.LinkGraph.pageRankPico(
           domainEdges(docs.filter(col("doc_id") % 4 < 2)), "src", "dst", iters = 8)
         graft.ext.LinkGraph.pageRankPico(domainEdges(docs), "src", "dst",
-            iters = 4, init = Some(base))
+            iters = 4, init = Some(base), releaseInit = true)
           .orderBy(col("rank_pico").desc, col("node"))
       },
       Some(s"WITH $prelude" +
@@ -4214,9 +4214,9 @@ object ExtQueries {
         def at(v: Long) = Snapshots.readAt(s, table, Some(v))
         val r1 = graft.ext.LinkGraph.pageRankPico(at(1), "src", "dst", iters = 8)
         val r2 = graft.ext.LinkGraph.pageRankPico(at(2), "src", "dst", iters = 4,
-          init = Some(r1))
+          init = Some(r1), releaseInit = true)
         val r3 = graft.ext.LinkGraph.pageRankPico(at(3), "src", "dst", iters = 4,
-          init = Some(r2))
+          init = Some(r2), releaseInit = true)
         r3.orderBy(col("rank_pico").desc, col("node"))
       },
       Some(s"WITH $prelude" +
