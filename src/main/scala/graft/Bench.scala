@@ -117,8 +117,21 @@ object Bench {
         // 100× data. The noop DSv2 sink evaluates every output column and
         // discards rows, which is the thing the bench claims to time.
         () => { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); () },
-        // queries may persist() intermediates; every run starts cold-cache
-        () => spark.catalog.clearCache())
+        // queries may persist() intermediates; every run starts cold-cache.
+        // clearCache() drops CacheManager entries but NOT raw RDD persists
+        // (localCheckpoint blocks from iterative queries) — those
+        // accumulated across the registry and squeezed the unified-memory
+        // execution pool: at sf10 the big-shuffle queries ran ~1.6× slower
+        // inside the full-registry JVM than in a fresh one (x113: 152 s
+        // benched vs 97 s solo, identical plan and data). Dropping every
+        // persisted RDD between queries makes each measurement
+        // fresh-JVM-equivalent; nothing reuses in-memory state across
+        // queries (cross-query artifacts live on disk via Staging).
+        () => {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.valuesIterator
+            .foreach(_.unpersist(blocking = false))
+        })
     }
     val json = renderJson(results, runs, sfDir, s"local[$cpus]", cpus)
     // stdout arrives wrapped in sbt's [info]/[error] log prefixes, which

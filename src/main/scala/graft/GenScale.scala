@@ -94,19 +94,24 @@ object GenScale {
     // the ED-1 fuzzy join saw R·(R-1)/2 cross-replica pairs per base key
     // (quadratic in R — x113's 12.4× sf1→sf10 step was exactly this,
     // ~46.7M of sf10's 47.2M output pairs being generator-minted).
-    // Instead append a suffix with every replica digit DOUBLED: any two
-    // distinct suffixes (and any suffix vs none, and suffixes of
-    // different scaling levels via the per-level tag) differ by ≥2 edits,
-    // so cross-replica names are never ED-1 and fuzzy-join output scales
-    // ×N with the data like every other operator's workload.
-    def dd(r: Int): String = r.toString.flatMap(c => s"$c$c")
+    // Instead append a suffix with every character DOUBLED — the level
+    // tag too, not just the replica digits: `_r99` (level-1 replica 9)
+    // vs `_s99` (level-2 replica 9) differ only in the tag letter, which
+    // is ED-1 again (caught at sf10: exactly 15000 base keys × 9 such
+    // tag-letter pairs = 135k phantom pairs). With `_rr99` vs `_ss99`
+    // any two distinct suffixes (and any suffix vs none, within or
+    // across scaling levels) differ by ≥2 edits, so cross-replica names
+    // are never ED-1 and fuzzy-join output scales ×N with the data like
+    // every other operator's workload.
+    def dd(s: String): String = s.flatMap(c => s"$c$c")
+    def suffix(r: Int): String = s"_${dd(tag)}${dd(r.toString)}"
     write(scale(load("customer"), Seq("c_custkey")) { (d, r) =>
       if (r == 0) d
-      else d.withColumn("c_name", concat(col("c_name"), lit(s"_$tag${dd(r)}")))
+      else d.withColumn("c_name", concat(col("c_name"), lit(suffix(r))))
     }, "customer")
     write(scale(load("supplier"), Seq("s_suppkey")) { (d, r) =>
       if (r == 0) d
-      else d.withColumn("s_name", concat(col("s_name"), lit(s"_$tag${dd(r)}")))
+      else d.withColumn("s_name", concat(col("s_name"), lit(suffix(r))))
     }, "supplier")
     write(scale(load("part"), Seq("p_partkey"))(), "part")
     write(scale(load("orders"), Seq("o_orderkey", "o_custkey"))(), "orders")

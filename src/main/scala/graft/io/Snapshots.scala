@@ -169,21 +169,25 @@ object Snapshots {
              adds: Seq[String], removes: Seq[String] = Nil,
              baseVersion: Option[Long] = None,
              schemaJson: Option[String] = None,
-             stats: Seq[FileStat] = Nil): Long = {
+             stats: Seq[FileStat] = Nil,
+             notes: Seq[String] = Nil): Long = {
     val f = fs(spark, table)
     f.mkdirs(new Path(manifestDir(table)))
     val next = baseVersion.getOrElse(currentVersion(spark, table)) + 1
-    // the schema/stat lines reuse the (a, p) line shape; liveFiles'
+    // the schema/stat/note lines reuse the (a, p) line shape; liveFiles'
     // add/remove match ignores them, referencedFiles treats the payloads
     // as never-matching "paths" — both harmless by construction. Stat
     // fields ride in one U+0001-separated payload (jq escapes control
-    // chars), so stat values must not themselves contain U+0001.
+    // chars), so stat values must not themselves contain U+0001. Notes
+    // are opaque writer-chosen strings riding IN the transaction —
+    // the idempotence ledger for replayed streaming merges ([[notes]]).
     val lines =
       schemaJson.map(s => s"""{"a":"schema","p":${jq(s)}}""").toSeq ++
         adds.map(p => s"""{"a":"add","p":${jq(p)}}""") ++
         removes.map(p => s"""{"a":"remove","p":${jq(p)}}""") ++
         stats.map(st => s"""{"a":"stat","p":${jq(
-          Seq(st.path, st.column, st.dtype, st.min, st.max).mkString(StatSep))}}""")
+          Seq(st.path, st.column, st.dtype, st.min, st.max).mkString(StatSep))}}""") ++
+        notes.map(s => s"""{"a":"note","p":${jq(s)}}""")
     val path = new Path(f"${manifestDir(table)}/v$next%010d.json")
     if (!writeExclusive(f, path, lines)) throw ConcurrentCommitException(table, next)
     next
@@ -198,7 +202,8 @@ object Snapshots {
     * null-padded to the new one. Returns the new version. */
   def commitAppend(df: DataFrame, table: String,
                    recordSchema: Boolean = false,
-                   statsCols: Seq[String] = Nil): Long = {
+                   statsCols: Seq[String] = Nil,
+                   notes: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val dir = s"$table/data/${java.util.UUID.randomUUID().toString}"
     df.write.parquet(dir)
@@ -208,7 +213,7 @@ object Snapshots {
       .map(_.getPath.toString)
     commit(spark, table, adds = parts,
       schemaJson = if (recordSchema) Some(df.schema.json) else None,
-      stats = computeStats(spark, dir, parts, statsCols))
+      stats = computeStats(spark, dir, parts, statsCols), notes = notes)
   }
 
   /** Per-file min/max of `statsCols` over the freshly written `dir` — ONE
@@ -375,6 +380,91 @@ object Snapshots {
       }, prune)
   }
 
+  /** COPY-ON-WRITE keyed MERGE (SCD1 upsert) — `MERGE INTO table USING
+    * updates ON keys WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+    * INSERT *` as one transactional commit: every live row whose key
+    * appears in `updates` is replaced by the update row, new keys are
+    * inserted, and ONLY the files actually holding matched keys are
+    * rewritten (their non-matching rows pass through; all other files
+    * stay byte-identical and pre-merge versions still time-travel).
+    * Same file discipline as [[deleteWhere]]/[[updateWhere]], same
+    * contract as [[graft.ops.Upsert.merge]] (schemas match up to column
+    * order; `updates` is key-unique; null update keys match nothing and
+    * arrive as inserts).
+    *
+    * `pruneOn` names a zone-mapped KEY column: the candidate set is first
+    * narrowed to files whose recorded [min,max] intersects the updates'
+    * own [min,max] of that column — a CDC batch touching a narrow key
+    * range rewrites O(overlapping files), not O(table). The semi-join
+    * match check then keeps zone-map false positives unrewritten. At
+    * 100 TB this is the difference between a merge that reads the whole
+    * table and one that reads the files the batch can actually hit.
+    *
+    * Returns the committed version, the rewritten files, and the count
+    * left untouched ([[DeleteResult]] shape). Concurrency: committed
+    * against the version the reads resolved at — a racing writer wins
+    * and this throws [[ConcurrentCommitException]] (re-derive, retry). */
+  def mergeInto(spark: SparkSession, table: String, updates: DataFrame,
+                keys: Seq[String], pruneOn: Option[String] = None,
+                statsCols: Seq[String] = Nil,
+                note: Option[String] = None): DeleteResult = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    val v = currentVersion(spark, table)
+    val live = liveFiles(spark, table, Some(v))
+    val sc = tableSchema(spark, table, Some(v))
+    if (live.isEmpty) {
+      // empty table: MERGE degenerates to the insert branch
+      val version = commitAppend(updates, table,
+        recordSchema = sc.isEmpty, statsCols = statsCols, notes = note.toSeq)
+      return DeleteResult(version, Nil, 0)
+    }
+    val cols = sc.map(_.fieldNames.toSeq).getOrElse {
+      spark.read.parquet(live: _*).columns.toSeq
+    }
+    require(updates.columns.sorted.sameElements(cols.sorted),
+      s"schema mismatch: table ${cols.sorted.mkString(",")} vs " +
+        s"updates ${updates.columns.sorted.mkString(",")}")
+    val up = updates.select(cols.map(col): _*)
+    val candidates = pruneOn match {
+      case Some(c) =>
+        val b = up.agg(min(col(c)).cast("string"), max(col(c)).cast("string")).first()
+        if (b.isNullAt(0)) Nil // all-null prune keys: no row can match
+        else pruneFiles(spark, table, c, b.getString(0), b.getString(1), Some(v))._1
+      case None => live
+    }
+    def read(files: Seq[String]) =
+      sc.map(spark.read.schema).getOrElse(spark.read).parquet(files: _*)
+    val keySet = up.select(keys.map(col): _*).distinct()
+    val touched =
+      if (candidates.isEmpty) Nil
+      else {
+        val byName = candidates.map(p => new Path(p).getName -> p).toMap
+        read(candidates).withColumn("__f", input_file_name())
+          .join(keySet, keys, "left_semi")
+          .select("__f").distinct().collect().toSeq
+          .flatMap(r => byName.get(new Path(r.getString(0)).getName))
+      }
+    // rewrite output: the whole update batch (replacements + inserts) plus
+    // the touched files' unmatched rows; untouched files keep every row
+    // (by construction they hold no matching key)
+    val out =
+      if (touched.isEmpty) up
+      else up.unionByName(read(touched).join(keySet, keys, "left_anti"))
+    val statCols = (fileStats(spark, table, Some(v))
+      .filter(st => touched.contains(st.path)).map(_.column) ++ statsCols).distinct
+    val dir = s"$table/data/merge-${java.util.UUID.randomUUID().toString}"
+    out.write.parquet(dir)
+    val f = fs(spark, table)
+    val parts = f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+    val version = commit(spark, table, adds = parts, removes = touched,
+      baseVersion = Some(v), stats = computeStats(spark, dir, parts, statCols),
+      notes = note.toSeq)
+    DeleteResult(version, touched, live.size - touched.size)
+  }
+
   /** Shared copy-on-write core of [[deleteWhere]]/[[updateWhere]]: find
     * the files `cond` actually touches (zone-map pruned, then a match
     * check so stat false positives are never rewritten), rewrite them
@@ -530,6 +620,19 @@ object Snapshots {
       .map(p => s"""{"a":"add","p":${jq(p)}}""")
     writeExclusive(fs(spark, table), new Path(f"${manifestDir(table)}/c$v%010d.json"), lines)
     v
+  }
+
+  /** All note strings ever committed (ascending version order). Commit
+    * manifests are never deleted, so this sees the full history
+    * regardless of checkpoints — the exactly-once ledger a streaming
+    * MERGE replays against (its data dirs are non-deterministic, so the
+    * path-based [[commitBatchOnce]] check can't serve it). */
+  def notes(spark: SparkSession, table: String): Seq[String] = {
+    val f = fs(spark, table)
+    versions(spark, table).flatMap { v =>
+      readLines(f, new Path(f"${manifestDir(table)}/v$v%010d.json"))
+        .flatMap(parseLine).collect { case ("note", s) => s }
+    }
   }
 
   /** Every path any commit EVER added or removed — the full referenced

@@ -3223,7 +3223,7 @@ object ExtQueries {
     x96Spec, x97Spec, st18Spec, x98Spec, x99Spec, x100Spec, st19Spec,
     x101Spec, x102Spec, x103Spec, x104Spec, st20Spec, x105Spec, x106Spec, x107Spec, x108Spec,
     x109Spec, x110Spec, x111Spec, x112Spec, x113Spec, x114Spec,
-    x115Spec, x116Spec, x117Spec, x118Spec)
+    x115Spec, x116Spec, x117Spec, x118Spec, x119Spec, st21Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -3520,6 +3520,76 @@ object ExtQueries {
              |SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT) FROM s WHERE sl IN (0, 1)
              |UNION ALL
              |SELECT 3, count(*), CAST(sum(n_chars) AS BIGINT) FROM s
+             |ORDER BY version""".stripMargin))
+
+  /** st21: streaming CDC upsert through the snapshot manifest — each
+    * micro-batch of keyed updates (a doc_id third with corrected
+    * n_chars) lands as one copy-on-write MERGE commit, zone-map pruned
+    * by the batch's own key bounds; the mutation timeline is
+    * time-travelable (initial 4-slice build = versions 1-4, batches =
+    * versions 5-7). The oracle replays the cumulative update algebra at
+    * every version; exactly-once replay is pinned in MergeGateSpec. */
+  private def st21Spec: QuerySpec =
+    QuerySpec("st21_stream_merge_gate",
+      (s, d) => {
+        import graft.io.Snapshots
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w4 = maxId / 4 + 1
+        val w3 = maxId / 3 + 1
+        val src = Staging.slicedSource("mergegate", d) { tmp =>
+          (0 until 3).foreach { i =>
+            Staging.writeSlice(
+              docs.filter(col("doc_id") >= i * w3 && col("doc_id") < (i + 1) * w3)
+                .withColumn("n_chars", col("n_chars") + lit((i + 1) * 1000L)),
+              s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mergegate_run").toString
+        val table = s"$tmp/tbl"
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w4 && col("doc_id") < (i + 1) * w4)
+              .coalesce(1),
+            table, recordSchema = true, statsCols = Seq("doc_id"))
+        }
+        Staging.drainTuning(s, src, 3) {
+          val q = graft.streaming.MergeGate.start(s,
+            s.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+            table, Seq("doc_id"), s"$tmp/ckpt", pruneOn = Some("doc_id"))
+          q.awaitTermination()
+        }
+        def at(v: Long) = Snapshots.readAt(s, table, Some(v))
+          .agg(n.as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          .select(lit(v).as("version"), col("n_docs"), col("sum_chars"))
+        at(4).unionByName(at(5)).unionByName(at(6)).unionByName(at(7))
+          .orderBy("version")
+      },
+      Some("""WITH w3 AS (SELECT max(doc_id) // 3 + 1 AS w FROM documents),
+             |base AS (SELECT doc_id, n_chars FROM documents)
+             |SELECT CAST(4 AS BIGINT) AS version, count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM base
+             |UNION ALL
+             |SELECT 5, count(*),
+             |       CAST(sum(CASE WHEN doc_id < w THEN n_chars + 1000
+             |                     ELSE n_chars END) AS BIGINT)
+             |FROM base, w3
+             |UNION ALL
+             |SELECT 6, count(*),
+             |       CAST(sum(CASE WHEN doc_id < w THEN n_chars + 1000
+             |                     WHEN doc_id < 2 * w THEN n_chars + 2000
+             |                     ELSE n_chars END) AS BIGINT)
+             |FROM base, w3
+             |UNION ALL
+             |SELECT 7, count(*),
+             |       CAST(sum(n_chars + CASE WHEN doc_id < w THEN 1000
+             |                              WHEN doc_id < 2 * w THEN 2000
+             |                              ELSE 3000 END) AS BIGINT)
+             |FROM base, w3
              |ORDER BY version""".stripMargin))
 
   /** x63's dedup quantizer: cell count grows with the corpus so cells
@@ -4349,6 +4419,67 @@ object ExtQueries {
            |       CAST(6 AS BIGINT) AS files_pruned
            |FROM documents, b WHERE doc_id BETWEEN b.lo AND b.hi
            |ORDER BY doc_id""".stripMargin))
+
+  // COPY-ON-WRITE keyed MERGE through the snapshot manifest (x119): a CDC
+  // batch (updates to a narrow doc_id range + brand-new doc_ids) lands as
+  // ONE transactional commit. The updates' own key bounds drive zone-map
+  // pruning; the semi-join match check narrows the rewrite to exactly the
+  // two files holding matched keys — 6 of 8 stay byte-identical, the
+  // pre-merge version still time-travels, and the insert rows ride in the
+  // same new file set. Completes the mutation surface next to x101
+  // (DELETE) and x108 (UPDATE WHERE); oracle replays the merge algebra
+  // plus the structural constants.
+  private def x119Spec: QuerySpec =
+    QuerySpec("x119_snapshot_merge",
+      (s, d) => {
+        import graft.io.Snapshots
+        val template = Staging.dir("mergetbl", d) { tmp =>
+          slicedSnapshotTable(s, tmp, d); ()
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_merge_run").toString
+        copyTree(java.nio.file.Paths.get(template), java.nio.file.Paths.get(tmp))
+        val tbl = s"$tmp/tbl"
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w = maxId / 8 + 1
+        val lo = 2 * w + w / 2
+        val hi = 3 * w + w / 2 - 1
+        val updates = docs.filter(col("doc_id").between(lo, hi))
+            .withColumn("n_chars", col("n_chars") * 2)
+          .unionByName(docs.filter(col("doc_id") < 100)
+            .select((col("doc_id") + maxId + 1).as("doc_id"),
+              lit("src_merge").as("source"), col("n_chars")))
+        val res = Snapshots.mergeInto(s, tbl, updates, keys = Seq("doc_id"),
+          pruneOn = Some("doc_id"))
+        val audit = Snapshots.readAt(s, tbl, Some(res.version - 1))
+          .agg(n.as("n_before"))
+          .select(col("n_before"),
+            lit(res.rewritten.size.toLong).as("files_rewritten"),
+            lit(res.untouched.toLong).as("files_untouched"),
+            lit(res.version).as("version"))
+        Snapshots.readAt(s, tbl)
+          .groupBy("source")
+          .agg(n.as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${zoneBoundsSql(2)},
+           |mx AS (SELECT max(doc_id) AS m FROM documents),
+           |merged AS (
+           |  SELECT doc_id, source,
+           |         CASE WHEN doc_id BETWEEN b.lo AND b.hi
+           |              THEN n_chars * 2 ELSE n_chars END AS n_chars
+           |  FROM documents, b
+           |  UNION ALL
+           |  SELECT doc_id + m + 1, 'src_merge', n_chars
+           |  FROM documents, mx WHERE doc_id < 100)
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       (SELECT count(*) FROM documents) AS n_before,
+           |       CAST(2 AS BIGINT) AS files_rewritten,
+           |       CAST(6 AS BIGINT) AS files_untouched,
+           |       CAST(9 AS BIGINT) AS version
+           |FROM merged GROUP BY source ORDER BY source""".stripMargin))
 
   // Cross-source OVERLAP audit from KMV sketches (x103): how much do two
   // sources' distinct-bigram vocabularies overlap — union cardinality,

@@ -292,6 +292,44 @@ class SnapshotsSpec extends SparkSpec {
       Set(2L, 3L, 4L, 5L))
   }
 
+  test("mergeInto replaces matched keys, inserts new ones, rewrites only matching files") {
+    val t = tmpTable()
+    def part(ids: Range) =
+      ids.map(i => (i.toLong, s"v$i")).toDF("id", "val").coalesce(1)
+    (0 until 4).foreach(i => Snapshots.commitAppend(part(i * 100 until (i + 1) * 100), t,
+      recordSchema = true, statsCols = Seq("id")))
+    // updates hit files 1 and 2 only; 1000/1001 are inserts — column order
+    // deliberately flipped vs the table
+    val updates = Seq(("u150", 150L), ("u250", 250L), ("ins", 1000L), ("ins", 1001L))
+      .toDF("val", "id")
+    val res = Snapshots.mergeInto(spark, t, updates, keys = Seq("id"),
+      pruneOn = Some("id"))
+    assert(res.rewritten.size === 2 && res.untouched === 2)
+    val now = Snapshots.readAt(spark, t)
+    assert(now.count() === 402)
+    assert(now.filter(col("id").isin(150L, 250L)).select("val").as[String]
+      .collect().toSet === Set("u150", "u250"))
+    assert(now.filter(col("id") >= 1000L).count() === 2)
+    assert(now.filter(col("id") === 151L).select("val").as[String].head() === "v151")
+    // pre-merge version time-travels
+    assert(Snapshots.readAt(spark, t, Some(res.version - 1)).count() === 400)
+    // rewritten files were re-stamped: key-range prune still narrows
+    val (scan, _) = Snapshots.pruneFiles(spark, t, "id", "0", "10")
+    assert(scan.size === 1)
+  }
+
+  test("mergeInto on an empty table is a plain insert; all-new keys rewrite nothing") {
+    val t = tmpTable()
+    val res0 = Snapshots.mergeInto(spark, t,
+      Seq((1L, "a")).toDF("id", "val"), keys = Seq("id"))
+    assert(res0.version === 1L && res0.rewritten.isEmpty)
+    // second merge with only-new keys: no file holds a match → no rewrite
+    val res1 = Snapshots.mergeInto(spark, t,
+      Seq((2L, "b")).toDF("id", "val"), keys = Seq("id"), pruneOn = Some("id"))
+    assert(res1.rewritten.isEmpty)
+    assert(Snapshots.readAt(spark, t).count() === 2)
+  }
+
   test("zone maps on decimal columns compare numerically, not lexicographically") {
     val t = tmpTable()
     // lexicographically "100.00" < "20.00", so a string compare would
