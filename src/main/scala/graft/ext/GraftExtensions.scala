@@ -105,6 +105,12 @@ object GraftFunctions {
     ("gzip_member",
       new ExpressionInfo(classOf[graft.functions.GzipExprs.GzipMember].getName, "gzip_member"),
       (args: Seq[Expression]) => graft.functions.GzipExprs.GzipMember(args.head)),
+    ("tar_pack",
+      new ExpressionInfo(classOf[graft.functions.TarExprs.TarPack].getName, "tar_pack"),
+      (args: Seq[Expression]) => graft.functions.TarExprs.TarPack(args.head)),
+    ("tar_entries",
+      new ExpressionInfo(classOf[graft.functions.TarExprs.TarEntries].getName, "tar_entries"),
+      (args: Seq[Expression]) => graft.functions.TarExprs.TarEntries(args.head)),
     ("unzstd_text",
       new ExpressionInfo(classOf[graft.functions.ZstdExprs.UnzstdText].getName, "unzstd_text"),
       (args: Seq[Expression]) => graft.functions.ZstdExprs.UnzstdText(args.head)),

@@ -3223,7 +3223,8 @@ object ExtQueries {
     x96Spec, x97Spec, st18Spec, x98Spec, x99Spec, x100Spec, st19Spec,
     x101Spec, x102Spec, x103Spec, x104Spec, st20Spec, x105Spec, x106Spec, x107Spec, x108Spec,
     x109Spec, x110Spec, x111Spec, x112Spec, x113Spec, x114Spec,
-    x115Spec, x116Spec, x117Spec, x118Spec, x119Spec, st21Spec)
+    x115Spec, x116Spec, x117Spec, x118Spec, x119Spec, st21Spec,
+    x120Spec, x121Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -5160,4 +5161,86 @@ object ExtQueries {
              |                  AS BIGINT), 0)
              |  FROM t3
              |) ORDER BY stage_idx""".stripMargin))
+
+  // WebDataset tar-shard export/ingest round trip (x120): the multimodal
+  // training-corpus container — each SAMPLE is a run of adjacent tar
+  // entries sharing a basename (`<id>.txt`, `<id>.src`), shards are
+  // corpus-scaled buckets assembled with ONE tar_pack allocation per
+  // shard (the binary_concat discipline — no quadratic accumulator fold),
+  // then re-ingested via tar_entries. The oracle never sees tar bytes:
+  // entry names, octal size fields, 512-byte block padding, and header
+  // checksums are all load-bearing in the round trip, and the per-entry
+  // size column must equal the UTF-8 byte length DuckDB computes from the
+  // raw text. Companion `.src` entries ride along and are skipped on read
+  // — non-matching-entry filtering is part of the ingest contract.
+  private def x120Spec: QuerySpec =
+    QuerySpec("x120_webdataset_shards",
+      (s, d) => {
+        val entries = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select((col("doc_id") % crawlBuckets(s, d)).as("bucket"), col("doc_id"),
+            expr("array(" +
+              "struct(concat(cast(doc_id AS string), '.txt') AS name, " +
+              "       encode(text, 'UTF-8') AS payload), " +
+              "struct(concat(cast(doc_id AS string), '.src') AS name, " +
+              "       encode(coalesce(source, '') , 'UTF-8') AS payload))").as("es"))
+        val shards = entries.groupBy("bucket")
+          .agg(graft.functions.TarExprs.tarPack(
+            expr("flatten(transform(array_sort(collect_list(struct(doc_id, es))), " +
+              "x -> x.es))")).as("tar_file"))
+        shards
+          .select(explode(graft.functions.TarExprs.tarEntries(col("tar_file"))).as("e"))
+          .filter(col("e.name").endsWith(".txt"))
+          .select(
+            expr("CAST(substring(e.name, 1, length(e.name) - 4) AS BIGINT)").as("doc_id"),
+            col("e.size").as("n_bytes"),
+            decode(col("e.payload"), "UTF-8").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, text
+             |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin))
+
+  // Triangle census + global clustering coefficient (x121) over a
+  // deterministic doc-derived link graph that scales ×N with the corpus:
+  // chain edges inside 8-node communities (u—u+1, u—u+2) plus a hub edge
+  // per 64-block — the hubs carry degree ~63 so the (degree, id) edge
+  // orientation's skew cap is actually exercised. The oracle states the
+  // census FROM THE DEFINITION (canonical-edge 3-way self-join), fully
+  // independent of the operator's oriented-wedge algorithm.
+  private def x121Spec: QuerySpec =
+    QuerySpec("x121_triangle_census",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select("doc_id")
+        val edges = docs
+          .filter(col("doc_id") % 8 =!= 7)
+          .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+          .unionByName(docs.filter(col("doc_id") % 8 < 6)
+            .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst")))
+          .unionByName(docs.filter(col("doc_id") % 64 =!= 0)
+            .select(col("doc_id").as("src"),
+              expr("(doc_id div 64) * 64").as("dst")))
+        graft.ext.LinkGraph.triangleStats(edges, "src", "dst")
+      },
+      Some("""WITH docs AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+             |e0 AS (SELECT doc_id AS p, doc_id + 1 AS q FROM docs WHERE doc_id % 8 <> 7
+             |       UNION ALL
+             |       SELECT doc_id, doc_id + 2 FROM docs WHERE doc_id % 8 < 6
+             |       UNION ALL
+             |       SELECT doc_id, (doc_id // 64) * 64 FROM docs WHERE doc_id % 64 <> 0),
+             |e AS (SELECT DISTINCT least(p, q) AS u, greatest(p, q) AS v
+             |      FROM e0 WHERE p <> q),
+             |deg AS (SELECT node, count(*) AS d
+             |        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+             |        GROUP BY 1),
+             |tri AS (SELECT count(*) AS t
+             |        FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+             |             JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+             |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             |       (SELECT count(*) FROM e) AS n_edges,
+             |       (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+             |       (SELECT t FROM tri) AS n_triangles,
+             |       CASE WHEN (SELECT sum((d * (d - 1)) // 2) FROM deg) > 0
+             |            THEN CAST(((SELECT t FROM tri) * 3 * 1000000)
+             |                 // (SELECT sum((d * (d - 1)) // 2) FROM deg) AS BIGINT)
+             |            ELSE 0 END AS cc_micro""".stripMargin))
 }

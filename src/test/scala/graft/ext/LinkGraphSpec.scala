@@ -134,4 +134,39 @@ class LinkGraphSpec extends SparkSpec {
     assert(sql.contains("r3 AS MATERIALIZED"))
     assert(sql.contains("ORDER BY rank_pico DESC, node"))
   }
+
+  private def census(edges: Seq[(Long, Long)]) =
+    LinkGraph.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Long, Long)].head()
+
+  test("triangle census: K4 — every wedge closes") {
+    // K4: 4 nodes, 6 edges, C(4,3)=4 triangles, Σ C(3,2)=12 wedges, cc=1
+    val k4 = for { i <- 0L to 3L; j <- 0L to 3L if i < j } yield (i, j)
+    assert(census(k4) === ((4L, 6L, 12L, 4L, 1000000L)))
+  }
+
+  test("triangle census: star has wedges but no triangles; cc = 0") {
+    val star = (1L to 5L).map(i => (0L, i))
+    assert(census(star) === ((6L, 5L, 10L, 0L, 0L)))
+  }
+
+  test("triangle census: parallel edges, self-loops, and direction collapse away") {
+    // one triangle stated messily: duplicates, both directions, a self-loop
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L))
+    assert(census(messy) === ((3L, 3L, 3L, 1L, 1000000L)))
+  }
+
+  test("triangle census: hub skew — triangles through a high-degree center count once each") {
+    // hub 0 linked to 1..8; rim chain 1-2, 3-4, 5-6, 7-8 → 4 triangles,
+    // each with its apex forced AWAY from the hub by the degree orientation
+    val edges = (1L to 8L).map(i => (0L, i)) ++
+      Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).map { case (a, b) => (a, b) }
+    val (n, m, w, t, _) = census(edges)
+    assert((n, m, t) === ((9L, 12L, 4L)))
+    assert(w === 28L + 8L) // hub C(8,2)=28, rim nodes deg 2 → C(2,2)=1 each
+  }
+
+  test("triangle census: empty and edgeless inputs are a zero row, not an error") {
+    assert(census(Seq.empty) === ((0L, 0L, 0L, 0L, 0L)))
+  }
 }

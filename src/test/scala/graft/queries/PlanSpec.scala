@@ -392,4 +392,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("x120: shard assembly is one partial-aggregated shuffle on the bucket key") {
+    val p = plan("x120_webdataset_shards")
+    assert(!p.contains("CartesianProduct"), p)
+    // collect_list per bucket: objHashAggregate with a partial phase —
+    // entry lists combine map-side, shards never funnel through one task
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_collect_list"), p)
+  }
+
+  test("x121: wedge and closure joins are equi-joins on node ids — no cartesian, " +
+    "and the one-row census aggregates broadcast") {
+    val p = plan("x121_triangle_census")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      s"wedge/closure joins must be equi-joins (at sf0.001 the planner may " +
+        s"broadcast the tiny oriented-edge side):\n$p")
+    // the final census stitches three one-row aggregates — broadcast only
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
