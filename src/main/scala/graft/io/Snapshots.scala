@@ -668,6 +668,50 @@ object Snapshots {
     commit(spark, table, adds = parts, removes = files, baseVersion = Some(v))
   }
 
+  /** Outcome of an [[optimizeZorder]]: the committed version and the
+    * live-file counts either side of the rewrite. */
+  final case class OptimizeResult(version: Long, filesBefore: Int, filesAfter: Int)
+
+  /** OPTIMIZE: transactional Z-order layout rewrite of the current
+    * version — the lakehouse maintenance pass (the `OPTIMIZE … ZORDER BY`
+    * shape): read the live set once, range-partition on the Morton
+    * z-value of the two clustering dimensions ([[Layout.zValue]] — static
+    * shift/mask arithmetic, codegen'd), z-sort within files, write the
+    * new layout under a fresh data dir, and swap it in as ONE commit
+    * (adds = new files, removes = old) with re-stamped per-file zone-map
+    * stats on BOTH dimensions — after the rewrite every file covers a
+    * bounded rectangle of the (a, b) plane, so manifest-level pruning
+    * ([[pruneFiles]]/[[readPruned]]) skips files on EITHER key. Row
+    * content is untouched; pre-optimize versions keep time-traveling to
+    * the old files (they stay referenced by their manifests — [[vacuum]]
+    * only ever reclaims unreferenced garbage). Data is on disk before the
+    * commit exists; a crash mid-write leaves the table on the old layout
+    * with orphan files for vacuum — the same write-then-commit discipline
+    * as every other mutator here. */
+  def optimizeZorder(spark: SparkSession, table: String,
+                     colA: String, colB: String,
+                     targetFiles: Int, bits: Int = 16): OptimizeResult = {
+    import org.apache.spark.sql.functions.col
+    val v = currentVersion(spark, table)
+    val files = liveFiles(spark, table, Some(v))
+    if (files.isEmpty) return OptimizeResult(v, 0, 0)
+    val dir = s"$table/data/zopt-${java.util.UUID.randomUUID().toString}"
+    readAt(spark, table, Some(v))
+      .withColumn("__z", Layout.zValue(col(colA), col(colB), bits))
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.parquet(dir)
+    val f = fs(spark, table)
+    val parts = f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+    val nv = commit(spark, table, adds = parts, removes = files,
+      baseVersion = Some(v),
+      stats = computeStats(spark, dir, parts, Seq(colA, colB)))
+    OptimizeResult(nv, files.size, parts.size)
+  }
+
   /** Delete data files under `<table>/data` that NO committed version
     * references (garbage from writers that crashed before their commit).
     * Never touches referenced files — time travel to any version keeps

@@ -3224,7 +3224,7 @@ object ExtQueries {
     x101Spec, x102Spec, x103Spec, x104Spec, st20Spec, x105Spec, x106Spec, x107Spec, x108Spec,
     x109Spec, x110Spec, x111Spec, x112Spec, x113Spec, x114Spec,
     x115Spec, x116Spec, x117Spec, x118Spec, x119Spec, st21Spec,
-    x120Spec, x121Spec)
+    x120Spec, x121Spec, st22Spec, x122Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -5176,17 +5176,8 @@ object ExtQueries {
   private def x120Spec: QuerySpec =
     QuerySpec("x120_webdataset_shards",
       (s, d) => {
-        val entries = Tables.documents(s, d).filter(col("text").isNotNull)
-          .select((col("doc_id") % crawlBuckets(s, d)).as("bucket"), col("doc_id"),
-            expr("array(" +
-              "struct(concat(cast(doc_id AS string), '.txt') AS name, " +
-              "       encode(text, 'UTF-8') AS payload), " +
-              "struct(concat(cast(doc_id AS string), '.src') AS name, " +
-              "       encode(coalesce(source, '') , 'UTF-8') AS payload))").as("es"))
-        val shards = entries.groupBy("bucket")
-          .agg(graft.functions.TarExprs.tarPack(
-            expr("flatten(transform(array_sort(collect_list(struct(doc_id, es))), " +
-              "x -> x.es))")).as("tar_file"))
+        val shards = graft.streaming.ShardExport.packShards(
+          Tables.documents(s, d), crawlBuckets(s, d))
         shards
           .select(explode(graft.functions.TarExprs.tarEntries(col("tar_file"))).as("e"))
           .filter(col("e.name").endsWith(".txt"))
@@ -5243,4 +5234,104 @@ object ExtQueries {
              |            THEN CAST(((SELECT t FROM tri) * 3 * 1000000)
              |                 // (SELECT sum((d * (d - 1)) // 2) FROM deg) AS BIGINT)
              |            ELSE 0 END AS cc_micro""".stripMargin))
+
+  // Streaming WebDataset shard export (st22): three micro-batches of
+  // documents packed into tar shards, each batch one snapshot-manifest
+  // transaction (versioned shard table — a training run pins a version
+  // while ingest streams on). Read-back explodes tar_entries over the
+  // CURRENT version: container framing (octal sizes, 512-blocks,
+  // checksums) and the manifest union across batches are both
+  // load-bearing; the oracle is the plain identity over documents.
+  // Exactly-once replay is pinned in ShardExportSpec.
+  private def st22Spec: QuerySpec =
+    QuerySpec("st22_stream_shard_export",
+      (s, d) => {
+        import graft.io.Snapshots
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("source"))
+        val src = Staging.slicedSource("shardexp", d) { tmp =>
+          (0 until 3).foreach { i =>
+            Staging.writeSlice(docs.filter(col("doc_id") % 3 === i), s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_shardexp_run").toString
+        val table = s"$tmp/tbl"
+        Staging.drainTuning(s, src, 3) {
+          val q = graft.streaming.ShardExport.start(s,
+            s.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+            table, s"$tmp/ckpt", buckets = crawlBuckets(s, d))
+          q.awaitTermination()
+        }
+        Snapshots.readAt(s, table)
+          .select(explode(graft.functions.TarExprs.tarEntries(col("tar_file"))).as("e"))
+          .filter(col("e.name").endsWith(".txt"))
+          .select(
+            expr("CAST(substring(e.name, 1, length(e.name) - 4) AS BIGINT)").as("doc_id"),
+            col("e.size").as("n_bytes"),
+            decode(col("e.payload"), "UTF-8").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, text
+             |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin))
+
+  // Transactional OPTIMIZE of a snapshot table (x122): the lakehouse
+  // maintenance pass — 4 append-ordered files re-laid as 16 Z-order-
+  // clustered files in ONE commit, zone-map stats re-stamped on BOTH
+  // clustering dimensions. The output pins (a) row content invariance
+  // through the rewrite (count + exact z-sum over the post-optimize
+  // read), (b) the band read THROUGH the pruned path losing nothing,
+  // (c) the structural constants (files 4→16, version 5), and (d) that
+  // manifest pruning now skips files on EITHER dimension — the property
+  // the Z-layout exists to buy (a linear sort gives it on one dim only).
+  private def x122Spec: QuerySpec =
+    QuerySpec("x122_snapshot_optimize",
+      (s, d) => {
+        import graft.io.Snapshots
+        val template = Staging.dir("zopttbl", d) { tmp =>
+          val pts = Tables.events(s, d)
+            .select(col("event_id"), (col("user_id") % 256).as("a"),
+              ((hour(col("ts")) * 60 + minute(col("ts"))) % 256).cast("long").as("b"))
+          (0 until 4).foreach { i =>
+            Snapshots.commitAppend(pts.filter(col("event_id") % 4 === i).coalesce(1),
+              s"$tmp/tbl", recordSchema = true, statsCols = Seq("a", "b"))
+          }
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_zopt_run").toString
+        copyTree(java.nio.file.Paths.get(template), java.nio.file.Paths.get(tmp))
+        val tbl = s"$tmp/tbl"
+        val res = Snapshots.optimizeZorder(s, tbl, "a", "b", targetFiles = 16, bits = 8)
+        val keptA = Snapshots.pruneFiles(s, tbl, "a", "16", "31")._1.size
+        val keptB = Snapshots.pruneFiles(s, tbl, "b", "16", "31")._1.size
+        val bandRows = Snapshots.readPruned(s, tbl, "a", "16", "31")
+          .filter(col("a").between(16, 31)).count()
+        Snapshots.readAt(s, tbl)
+          .agg(n.as("n_rows"),
+            sum(graft.io.Layout.zValue(col("a"), col("b"), 8)).cast("long").as("sum_z"))
+          .select(col("n_rows"), col("sum_z"),
+            lit(bandRows).as("band_rows"),
+            lit(res.filesBefore.toLong).as("files_before"),
+            lit(res.filesAfter.toLong).as("files_after"),
+            lit(res.version).as("version"),
+            lit(if (keptA < res.filesAfter) 1L else 0L).as("skips_a"),
+            lit(if (keptB < res.filesAfter) 1L else 0L).as("skips_b"))
+      },
+      Some("""WITH p AS (SELECT user_id % 256 AS a,
+             |         (hour(CAST(ts AS TIMESTAMP)) * 60
+             |          + minute(CAST(ts AS TIMESTAMP))) % 256 AS b
+             |       FROM events),
+             |z AS (SELECT a, b,
+             |        list_sum(list_transform(range(0, 8), i ->
+             |          ((a >> i) & 1) * (1 << (2*i))
+             |          + ((b >> i) & 1) * (1 << (2*i + 1)))) AS z
+             |      FROM p)
+             |SELECT count(*) AS n_rows, CAST(sum(z) AS BIGINT) AS sum_z,
+             |       (SELECT count(*) FROM p WHERE a BETWEEN 16 AND 31) AS band_rows,
+             |       CAST(4 AS BIGINT) AS files_before,
+             |       CAST(16 AS BIGINT) AS files_after,
+             |       CAST(5 AS BIGINT) AS version,
+             |       CAST(1 AS BIGINT) AS skips_a,
+             |       CAST(1 AS BIGINT) AS skips_b
+             |FROM z""".stripMargin))
 }

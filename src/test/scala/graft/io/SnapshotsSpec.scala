@@ -344,4 +344,38 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readPruned(spark, t, "d", "150", "160")
       .filter(col("d").between(150, 160)).count() === 11)
   }
+
+  test("optimizeZorder: content invariant, one commit, both-dim pruning, time travel") {
+    val t = tmpTable()
+    // 4 append-ordered files over a 16×16 grid — each initial file spans
+    // the FULL range of both dims (zero pruning value in either)
+    val pts = (0 until 256).map(i => (i.toLong, (i % 16).toLong, (i / 16).toLong))
+      .toDF("id", "a", "b")
+    (0 until 4).foreach(i =>
+      Snapshots.commitAppend(pts.filter(col("id") % 4 === i).coalesce(1), t,
+        recordSchema = true, statsCols = Seq("a", "b")))
+    val before = Snapshots.readAt(spark, t).as[(Long, Long, Long)].collect().toSet
+    val res = Snapshots.optimizeZorder(spark, t, "a", "b", targetFiles = 4, bits = 4)
+    assert((res.version, res.filesBefore, res.filesAfter) === ((5L, 4, 4)))
+    // content byte-for-byte equivalent, old versions untouched
+    assert(Snapshots.readAt(spark, t).as[(Long, Long, Long)].collect().toSet === before)
+    assert(Snapshots.readAt(spark, t, Some(4)).count() === 256)
+    assert(Snapshots.readAt(spark, t, Some(1)).count() === 64)
+    // z-clustered files are bounded rectangles: a narrow band in EITHER
+    // dim prunes files (the pre-optimize layout could prune in neither)
+    val keptA = Snapshots.pruneFiles(spark, t, "a", "0", "3")._1.size
+    val keptB = Snapshots.pruneFiles(spark, t, "b", "0", "3")._1.size
+    assert(keptA < 4 && keptB < 4, s"keptA=$keptA keptB=$keptB")
+    // the pruned read still sees every band row
+    assert(Snapshots.readPruned(spark, t, "a", "0", "3")
+      .filter(col("a").between(0, 3)).count() === 64)
+    // removed files stay referenced by their commits — vacuum reclaims none
+    assert(Snapshots.vacuum(spark, t).isEmpty)
+  }
+
+  test("optimizeZorder on an empty table is a no-op") {
+    val t = tmpTable()
+    val res = Snapshots.optimizeZorder(spark, t, "a", "b", targetFiles = 4)
+    assert(res === Snapshots.OptimizeResult(0L, 0, 0))
+  }
 }
