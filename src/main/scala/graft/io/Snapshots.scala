@@ -599,6 +599,59 @@ object Snapshots {
     }
   }
 
+  /** ROW-level change-data feed between two versions — the CDC-read shape
+    * (what lakehouse "change data feed" serves): every key that was
+    * inserted, deleted, or updated between `v1` and `v2`, with before and
+    * after values for the non-key columns. `keys` must identify a row
+    * uniquely within a version (the [[mergeInto]]/[[updateWhere]]
+    * contract).
+    *
+    * Scale posture — O(changed files), not O(table): under copy-on-write
+    * every live file is immutable, so a file referenced by BOTH manifests
+    * contributes the same rows to both sides and cannot produce a change.
+    * Only `files(v1) Δ files(v2)` are read (a CoW rewrite copies a
+    * touched file's unmodified rows into a new file — those keys land on
+    * both sides of the join with equal values and are dropped by the
+    * change filter). The join shuffles just the symmetric difference on
+    * the key columns; a narrow merge's CDC read costs the files that
+    * merge rewrote, never the table.
+    *
+    * Returns `keys…, change ∈ insert|delete|update, <col>_before,
+    * <col>_after …` for every non-key column, null on the absent side. */
+  def rowDiff(spark: SparkSession, table: String, v1: Long, v2: Long,
+              keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when, coalesce}
+    val f1 = liveFiles(spark, table, Some(v1)).toSet
+    val f2 = liveFiles(spark, table, Some(v2)).toSet
+    // both sides resolve under the NEWER version's recorded schema (the
+    // CDC convention across widening commits: old rows null-padded)
+    val sc = tableSchema(spark, table, Some(math.max(v1, v2)))
+    def read(files: Set[String], v: Long): DataFrame =
+      if (files.isEmpty) readAt(spark, table, Some(v), schema = sc).limit(0)
+      else sc.map(spark.read.schema).getOrElse(spark.read).parquet(files.toSeq: _*)
+    val before = read(f1 -- f2, v1)
+    val after = read(f2 -- f1, v2)
+    val cols = after.columns.toSeq
+    val nonKeys = cols.filterNot(keys.contains)
+    val b = before.select(lit(1).as("__in_b") +: cols.map(c => col(c).as(s"__b_$c")): _*)
+    val a = after.select(lit(1).as("__in_a") +: cols.map(c => col(c).as(s"__a_$c")): _*)
+    val joined = b.join(a,
+      keys.map(k => col(s"__b_$k") <=> col(s"__a_$k")).reduce(_ && _), "full_outer")
+    val changed = nonKeys.map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .withColumn("change",
+        when(col("__in_b").isNull, "insert")
+          .when(col("__in_a").isNull, "delete")
+          .when(changed, "update"))
+      .filter(col("change").isNotNull)
+      .select(
+        keys.map(k => coalesce(col(s"__b_$k"), col(s"__a_$k")).as(k)) ++
+          Seq(col("change")) ++
+          nonKeys.flatMap(c => Seq(col(s"__b_$c").as(s"${c}_before"),
+            col(s"__a_$c").as(s"${c}_after"))): _*)
+  }
+
   /** File-level diff between two versions: (path, change ∈ added|removed),
     * ordered. */
   def diff(spark: SparkSession, table: String, v1: Long, v2: Long): DataFrame = {

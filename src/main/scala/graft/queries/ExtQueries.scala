@@ -3224,7 +3224,7 @@ object ExtQueries {
     x101Spec, x102Spec, x103Spec, x104Spec, st20Spec, x105Spec, x106Spec, x107Spec, x108Spec,
     x109Spec, x110Spec, x111Spec, x112Spec, x113Spec, x114Spec,
     x115Spec, x116Spec, x117Spec, x118Spec, x119Spec, st21Spec,
-    x120Spec, x121Spec, st22Spec, x122Spec)
+    x120Spec, x121Spec, st22Spec, x122Spec, x123Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -5334,4 +5334,54 @@ object ExtQueries {
              |       CAST(1 AS BIGINT) AS skips_a,
              |       CAST(1 AS BIGINT) AS skips_b
              |FROM z""".stripMargin))
+
+  // Row-level CDC read across a snapshot MERGE (x123): every key the x119
+  // merge inserted or updated, with before/after values — served from the
+  // FILE symmetric difference of the two manifests (copy-on-write means a
+  // file live in both versions cannot produce a change), so the CDC read
+  // costs O(files the merge rewrote), never O(table). Rows the rewrite
+  // copied unchanged (same file, different path) land on both sides with
+  // equal values and MUST drop out; matched rows whose replacement equals
+  // the original (n_chars = 0 doubles to itself) must drop out too — the
+  // oracle replays exactly that algebra.
+  private def x123Spec: QuerySpec =
+    QuerySpec("x123_snapshot_row_diff",
+      (s, d) => {
+        import graft.io.Snapshots
+        val template = Staging.dir("mergetbl", d) { tmp =>
+          slicedSnapshotTable(s, tmp, d); ()
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_rowdiff_run").toString
+        copyTree(java.nio.file.Paths.get(template), java.nio.file.Paths.get(tmp))
+        val tbl = s"$tmp/tbl"
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w = maxId / 8 + 1
+        val lo = 2 * w + w / 2
+        val hi = 3 * w + w / 2 - 1
+        val updates = docs.filter(col("doc_id").between(lo, hi))
+            .withColumn("n_chars", col("n_chars") * 2)
+          .unionByName(docs.filter(col("doc_id") < 100)
+            .select((col("doc_id") + maxId + 1).as("doc_id"),
+              lit("src_merge").as("source"), col("n_chars")))
+        val res = Snapshots.mergeInto(s, tbl, updates, keys = Seq("doc_id"),
+          pruneOn = Some("doc_id"))
+        Snapshots.rowDiff(s, tbl, res.version - 1, res.version, Seq("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${zoneBoundsSql(2)},
+           |mx AS (SELECT max(doc_id) AS m FROM documents),
+           |upd AS (SELECT doc_id, 'update' AS change,
+           |               source AS source_before, source AS source_after,
+           |               n_chars AS n_chars_before, n_chars * 2 AS n_chars_after
+           |        FROM documents, b
+           |        WHERE doc_id BETWEEN b.lo AND b.hi AND n_chars <> 0),
+           |ins AS (SELECT doc_id + m + 1 AS doc_id, 'insert' AS change,
+           |               CAST(NULL AS VARCHAR) AS source_before,
+           |               'src_merge' AS source_after,
+           |               CAST(NULL AS BIGINT) AS n_chars_before,
+           |               n_chars AS n_chars_after
+           |        FROM documents, mx WHERE doc_id < 100)
+           |SELECT * FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+           |ORDER BY doc_id""".stripMargin))
 }

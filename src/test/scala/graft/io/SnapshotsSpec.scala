@@ -378,4 +378,50 @@ class SnapshotsSpec extends SparkSpec {
     val res = Snapshots.optimizeZorder(spark, t, "a", "b", targetFiles = 4)
     assert(res === Snapshots.OptimizeResult(0L, 0, 0))
   }
+
+  test("rowDiff classifies insert/update/delete; rewritten-unchanged rows drop out") {
+    val t = tmpTable()
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("id", "s", "v")
+    Snapshots.commitAppend(base.coalesce(1), t, recordSchema = true, statsCols = Seq("id"))
+    // one CoW delete (rewrites the whole file minus id=2) …
+    Snapshots.deleteWhere(spark, t, col("id") === 2)
+    // … then a merge: update id=3, insert id=9
+    Snapshots.mergeInto(spark, t,
+      Seq((3L, "c", 300L), (9L, "z", 90L)).toDF("id", "s", "v"), keys = Seq("id"))
+    // delete step (v1→v2): ids 1/3/4 were rewritten byte-equal — only the
+    // delete itself may surface
+    val d1 = Snapshots.rowDiff(spark, t, 1, 2, Seq("id"))
+      .select("id", "change").as[(Long, String)].collect().toSet
+    assert(d1 === Set(2L -> "delete"))
+    // merge step (v2→v3)
+    val d2 = Snapshots.rowDiff(spark, t, 2, 3, Seq("id")).orderBy("id")
+      .as[(Long, String, Option[String], Option[String], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(d2 === Seq(
+      (3L, "update", Some("c"), Some("c"), Some(30L), Some(300L)),
+      (9L, "insert", None, Some("z"), None, Some(90L))))
+    // whole span (v1→v3) composes all three changes
+    val d3 = Snapshots.rowDiff(spark, t, 1, 3, Seq("id"))
+      .select("id", "change").as[(Long, String)].collect().toSet
+    assert(d3 === Set(2L -> "delete", 3L -> "update", 9L -> "insert"))
+    // reversed endpoints invert the feed
+    val r = Snapshots.rowDiff(spark, t, 3, 1, Seq("id"))
+      .select("id", "change").as[(Long, String)].collect().toSet
+    assert(r === Set(2L -> "insert", 3L -> "update", 9L -> "delete"))
+    // identical endpoints: empty feed
+    assert(Snapshots.rowDiff(spark, t, 3, 3, Seq("id")).count() === 0L)
+  }
+
+  test("rowDiff across a widening commit resolves both sides under the newer schema") {
+    val t = tmpTable()
+    Snapshots.commitAppend(Seq((1L, 10L)).toDF("id", "v").coalesce(1), t,
+      recordSchema = true)
+    Snapshots.commitAppend(Seq((2L, 20L, "x")).toDF("id", "v", "tag").coalesce(1), t,
+      recordSchema = true)
+    val d = Snapshots.rowDiff(spark, t, 1, 2, Seq("id"))
+      .as[(Long, String, Option[Long], Option[Long], Option[String], Option[String])]
+      .collect().toSeq
+    assert(d === Seq((2L, "insert", None, Some(20L), None, Some("x"))))
+  }
 }
