@@ -188,4 +188,34 @@ object Bm25 {
       .select(col("group").as("qid"), col("rk"), col("id"),
         col("score").cast("long").as("score_micro"))
   }
+
+  /** POSITIONAL postings `(term, id, pos)` — the phrase-query index
+    * (Lucene's positions file). Positions index the EMPTY-FILTERED token
+    * sequence (0-based), so adjacency means "consecutive real tokens"
+    * regardless of whitespace runs. Same build posture as [[index]]: one
+    * exploded term stream, written bucket/prefix-pruned by term. */
+  def positionalIndex(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("id"),
+        posexplode(filter(split(lower(text), "\\s+"), t => length(t) > 0)))
+      .select(col("col").as("term"), col("id"), col("pos"))
+
+  /** Exact phrase search: documents containing the consecutive token run
+    * `phrase`, with occurrence counts. The classic positional-index plan:
+    * each phrase term's postings are fetched by an equi-filter (at 100 TB
+    * a pruned read of that term's bucket, never a corpus scan) and the
+    * k-term phrase is k−1 equi-joins on `(id, pos − termOffset)` — the
+    * anchor position aligns all terms, so candidates never fan out past
+    * the rarest term's postings. No regex over raw text, no window. */
+  def phraseSearch(docs: DataFrame, id: Column, text: Column,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val p = positionalIndex(docs, id, text)
+    val anchor = p.filter(col("term") === phrase.head).select(col("id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (t, i)) =>
+      acc.join(p.filter(col("term") === t)
+          .select(col("id"), (col("pos") - i).as("pos")),
+        Seq("id", "pos"))
+    }
+    matched.groupBy("id").agg(count(lit(1)).as("n_occurrences"))
+  }
 }

@@ -3224,7 +3224,7 @@ object ExtQueries {
     x101Spec, x102Spec, x103Spec, x104Spec, st20Spec, x105Spec, x106Spec, x107Spec, x108Spec,
     x109Spec, x110Spec, x111Spec, x112Spec, x113Spec, x114Spec,
     x115Spec, x116Spec, x117Spec, x118Spec, x119Spec, st21Spec,
-    x120Spec, x121Spec, st22Spec, x122Spec, x123Spec)
+    x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -5384,4 +5384,61 @@ object ExtQueries {
            |        FROM documents, mx WHERE doc_id < 100)
            |SELECT * FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
            |ORDER BY doc_id""".stripMargin))
+
+  // Cohort retention over the event stream (x124): users grouped by their
+  // first-activity DAY, distinct-user counts per (cohort, day offset) —
+  // the standard engagement matrix (the synthetic stream spans one month,
+  // so day granularity gives a real 30×30 triangle). Two key-partitioned
+  // aggregations + one equi-join back on the user key; the distinct
+  // collapses (cohort, offset, user) BEFORE the count so heavy users
+  // can't inflate a cell. Day index = Julian-style days since epoch via
+  // integer division of the epoch-second: exact integer algebra.
+  private def x124Spec: QuerySpec =
+    QuerySpec("x124_cohort_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+        val cohort = ev.groupBy("user_id").agg(min("day").as("d0"))
+        ev.join(cohort, "user_id")
+          .select(col("user_id"), col("d0"), (col("day") - col("d0")).as("day_offset"))
+          .distinct()
+          .groupBy(col("d0").as("cohort_day"), col("day_offset"))
+          .agg(n.as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |       FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+             |c AS (SELECT user_id, min(day) AS d0 FROM e GROUP BY 1),
+             |a AS (SELECT DISTINCT e.user_id, c.d0, e.day - c.d0 AS off
+             |      FROM e JOIN c USING (user_id))
+             |SELECT CAST(d0 AS BIGINT) AS cohort_day,
+             |       CAST(off AS BIGINT) AS day_offset, count(*) AS n_users
+             |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  // Exact phrase search from a positional index (x125): the retrieval
+  // family's phrase-query path — each phrase term's postings fetched by
+  // an equi-filter, the k-term phrase closed by k−1 equi-joins on
+  // (doc, pos − offset). The oracle finds the same phrase by walking the
+  // token arrays directly in SQL — a completely different mechanism, so
+  // position arithmetic, tokenizer parity, and per-doc occurrence counts
+  // are all load-bearing.
+  private def x125Spec: QuerySpec =
+    QuerySpec("x125_phrase_search",
+      (s, d) => graft.ext.Bm25.phraseSearch(
+          Tables.documents(s, d).filter(col("text").isNotNull),
+          col("doc_id"), col("text"), Seq("table", "part"))
+        .select(col("id").as("doc_id"), col("n_occurrences"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\s+'),
+             |                     x -> x <> '') AS w
+             |       FROM documents WHERE text IS NOT NULL),
+             |m AS (SELECT doc_id,
+             |        len(list_filter(range(1, len(w)), i ->
+             |          w[i] = 'table' AND w[i+1] = 'part')) AS n
+             |      FROM t)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
+             |FROM m WHERE n > 0 ORDER BY doc_id""".stripMargin))
 }

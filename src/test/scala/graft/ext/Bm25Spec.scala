@@ -98,4 +98,30 @@ class Bm25Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"expected a broadcast join in:\n$plan")
   }
+
+  test("phraseSearch: adjacency, occurrence counts, overlaps, whitespace runs") {
+    val docs = Seq(
+      (1L, "the cat sat on the cat sat"),   // "cat sat" twice
+      (2L, "cat  \t sat"),                  // whitespace run still adjacent
+      (3L, "cat on sat"),                   // both terms, not adjacent
+      (4L, "sat cat"),                      // reversed — no match
+      (5L, "cat cat cat")                   // self-overlap probe for "cat cat"
+    ).toDF("doc_id", "text")
+    val out = Bm25.phraseSearch(docs, col("doc_id"), col("text"), Seq("cat", "sat"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 2L, 2L -> 1L))
+    // overlapping occurrences each count (positions 0 and 1)
+    val ov = Bm25.phraseSearch(docs, col("doc_id"), col("text"), Seq("cat", "cat"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ov === Map(5L -> 2L))
+    // trigram phrase anchors through the middle term
+    val tri = Bm25.phraseSearch(docs, col("doc_id"), col("text"),
+        Seq("cat", "sat", "on"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tri === Map(1L -> 1L))
+    // single-term phrase degenerates to term counts
+    val one = Bm25.phraseSearch(docs, col("doc_id"), col("text"), Seq("cat"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 3L))
+  }
 }
