@@ -200,6 +200,92 @@ object LinkGraph {
          |SELECT node, CAST(rank AS BIGINT) AS rank_pico FROM r$iters
          |ORDER BY rank_pico DESC, node""".stripMargin
 
+  /** Synchronous label-propagation communities (LPA, Raghavan et al.) over
+    * an undirected (multi-)edge list of LONG node ids — the cheap
+    * community detector run next to PageRank in crawl audits (link farms
+    * and mirror clusters collapse into one label long before a modularity
+    * method would be affordable at web scale).
+    *
+    * Determinism (LPA is famously order-sensitive; this variant is not):
+    * SYNCHRONOUS rounds — every node votes with its neighbors' ROUND-t
+    * labels — and the argmax tie-break is total: highest count, then
+    * LOWEST label. Labels start as the node ids, so the whole run is
+    * integer-exact and the DuckDB twin replays it round for round.
+    *
+    * Scale posture: each round is one equi-join of the adjacency list
+    * against the O(n) label table on the neighbor key + two partial-
+    * aggregated group-bys — the same per-iteration shape as
+    * [[pageRankPico]], with the same per-round localCheckpoint /
+    * superseded-block-release discipline (one live label copy regardless
+    * of rounds). Fixed `iters` (no convergence test): a reproducible
+    * artifact, and sync-LPA's 2-cycles make "unchanged" a wrong stopping
+    * rule anyway.
+    *
+    * Isolated nodes (no edges) have no votes and are not returned —
+    * community membership is a statement about connectivity.
+    * Returns `(node, label)`. */
+  def labelPropagate(edges: DataFrame, src: String, dst: String,
+                     iters: Int = 3): DataFrame = {
+    val e = edges.select(least(col(src), col(dst)).as("u"),
+        greatest(col(src), col(dst)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val adj = e.select(col("u").as("node"), col("v").as("nb"))
+      .unionAll(e.select(col("v").as("node"), col("u").as("nb")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    var labels = adj.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lab")).localCheckpoint(true)
+    var labelRdds = checkpointRdds(labels)
+    var i = 0
+    while (i < iters) {
+      val votes = adj
+        .join(labels.select(col("node").as("nb"), col("lab")), "nb")
+        .groupBy("node", "lab").agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc) in ONE max: labels are ≥ 0, so
+      // max(struct(c, -lab)) picks the highest count, lowest label
+      val next = votes
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lab"))
+        .localCheckpoint(true)
+      val nextRdds = checkpointRdds(next)
+      labelRdds.foreach(_.unpersist(blocking = false))
+      labels = next
+      labelRdds = nextRdds
+      i += 1
+    }
+    adj.unpersist(blocking = false)
+    labels
+  }
+
+  /** The matching DuckDB oracle CTE block for [[labelPropagate]]: unrolled
+    * synchronous rounds of the identical (count desc, label asc) argmax.
+    * Requires `edges(src, dst)`; emits `lpa_l$iters(v, lab)`. */
+  def labelPropagateOracleCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """, lpa_e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |            FROM edges WHERE src <> dst),
+        |lpa_adj AS (SELECT u AS v, v AS nb FROM lpa_e
+        |            UNION ALL SELECT v, u FROM lpa_e),
+        |lpa_l0 AS (SELECT DISTINCT v, v AS lab FROM lpa_adj)""".stripMargin)
+    (1 to iters).foreach { i =>
+      sb.append(s""",
+        |lpa_l$i AS (SELECT v, lab FROM (
+        |    SELECT a.v AS v, l.lab AS lab, count(*) AS c,
+        |           row_number() OVER (PARTITION BY a.v
+        |                              ORDER BY count(*) DESC, l.lab ASC) AS rk
+        |    FROM lpa_adj a JOIN lpa_l${i - 1} l ON l.v = a.nb
+        |    GROUP BY a.v, l.lab)
+        |  WHERE rk = 1)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** Triangle census + global clustering coefficient over an undirected
     * (multi-)edge list of LONG node ids — the link-graph cohesion signal
     * (spam farms and link rings show up as anomalous triangle density;

@@ -3224,7 +3224,8 @@ object ExtQueries {
     x101Spec, x102Spec, x103Spec, x104Spec, st20Spec, x105Spec, x106Spec, x107Spec, x108Spec,
     x109Spec, x110Spec, x111Spec, x112Spec, x113Spec, x114Spec,
     x115Spec, x116Spec, x117Spec, x118Spec, x119Spec, st21Spec,
-    x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec)
+    x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec,
+    x126Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -5197,21 +5198,36 @@ object ExtQueries {
   // orientation's skew cap is actually exercised. The oracle states the
   // census FROM THE DEFINITION (canonical-edge 3-way self-join), fully
   // independent of the operator's oriented-wedge algorithm.
+  /** The doc-derived graph shared by x121/x126: chain edges inside 8-node
+    * communities plus a hub edge per 64-block — scales ×N with the corpus
+    * and carries genuine hub skew (degree ~63). */
+  private def docGraphEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select("doc_id")
+    docs.filter(col("doc_id") % 8 =!= 7)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      .unionByName(docs.filter(col("doc_id") % 8 < 6)
+        .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst")))
+      .unionByName(docs.filter(col("doc_id") % 64 =!= 0)
+        .select(col("doc_id").as("src"),
+          expr("(doc_id div 64) * 64").as("dst")))
+  }
+
+  /** The matching edge CTEs: defines `docs`, `e0`, and `edges(src, dst)`.
+    * A `def`, not a `val`: `all` initializes at the TOP of this object,
+    * before later-declared vals (a val here interpolates as null). */
+  private def docGraphEdgesCte: String =
+    """docs AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+      |e0 AS (SELECT doc_id AS p, doc_id + 1 AS q FROM docs WHERE doc_id % 8 <> 7
+      |       UNION ALL
+      |       SELECT doc_id, doc_id + 2 FROM docs WHERE doc_id % 8 < 6
+      |       UNION ALL
+      |       SELECT doc_id, (doc_id // 64) * 64 FROM docs WHERE doc_id % 64 <> 0),
+      |edges AS (SELECT p AS src, q AS dst FROM e0 WHERE p <> q)""".stripMargin
+
   private def x121Spec: QuerySpec =
     QuerySpec("x121_triangle_census",
-      (s, d) => {
-        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-          .select("doc_id")
-        val edges = docs
-          .filter(col("doc_id") % 8 =!= 7)
-          .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
-          .unionByName(docs.filter(col("doc_id") % 8 < 6)
-            .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst")))
-          .unionByName(docs.filter(col("doc_id") % 64 =!= 0)
-            .select(col("doc_id").as("src"),
-              expr("(doc_id div 64) * 64").as("dst")))
-        graft.ext.LinkGraph.triangleStats(edges, "src", "dst")
-      },
+      (s, d) => graft.ext.LinkGraph.triangleStats(docGraphEdges(s, d), "src", "dst"),
       Some("""WITH docs AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
              |e0 AS (SELECT doc_id AS p, doc_id + 1 AS q FROM docs WHERE doc_id % 8 <> 7
              |       UNION ALL
@@ -5441,4 +5457,22 @@ object ExtQueries {
              |      FROM t)
              |SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
              |FROM m WHERE n > 0 ORDER BY doc_id""".stripMargin))
+
+  // Label-propagation communities (x126) on the same doc-derived graph as
+  // the triangle census — synchronous rounds with the total (count desc,
+  // label asc) tie-break make order-sensitive LPA bit-deterministic, so
+  // the oracle unrolls the identical three rounds in SQL. Per-label
+  // min/max node ride along: a membership permuted between equal-size
+  // communities hash-mismatches.
+  private def x126Spec: QuerySpec =
+    QuerySpec("x126_lpa_communities",
+      (s, d) => graft.ext.LinkGraph.labelPropagate(docGraphEdges(s, d), "src", "dst",
+          iters = 3)
+        .groupBy(col("lab").as("label"))
+        .agg(n.as("n_members"), min("node").as("min_node"), max("node").as("max_node"))
+        .orderBy("label"),
+      Some(s"""WITH $docGraphEdgesCte${graft.ext.LinkGraph.labelPropagateOracleCtes(3)}
+           |SELECT lab AS label, count(*) AS n_members,
+           |       min(v) AS min_node, max(v) AS max_node
+           |FROM lpa_l3 GROUP BY 1 ORDER BY 1""".stripMargin))
 }

@@ -169,4 +169,37 @@ class LinkGraphSpec extends SparkSpec {
   test("triangle census: empty and edgeless inputs are a zero row, not an error") {
     assert(census(Seq.empty) === ((0L, 0L, 0L, 0L, 0L)))
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Long] =
+    LinkGraph.labelPropagate(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("LPA: two cliques bridged by one edge settle on per-clique labels") {
+    val cliqueA = for { i <- 1L to 4L; j <- 1L to 4L if i < j } yield (i, j)
+    val cliqueB = for { i <- 10L to 13L; j <- 10L to 13L if i < j } yield (i, j)
+    val out = lpa(cliqueA ++ cliqueB ++ Seq((4L, 10L)))
+    // within each clique every node converges to one label; the two
+    // communities stay distinct despite the bridge
+    assert(out.filterKeys(_ <= 4L).values.toSet.size === 1)
+    assert(out.filterKeys(_ >= 10L).values.toSet.size === 1)
+    assert(out(1L) !== out(13L))
+  }
+
+  test("LPA: tie votes resolve to the LOWEST label — deterministic round replay") {
+    // path 1-2-3: round 1 votes — node 2 sees {1, 3} (tie → 1), nodes
+    // 1 and 3 adopt 2. Round 2: node 2 sees {2, 2} → 2; 1/3 see {1} → 1.
+    // Round 3: node 2 sees {1, 1} → 1; 1/3 see {2} → 2. Exact sync replay.
+    val out = lpa(Seq((1L, 2L), (2L, 3L)), iters = 3)
+    assert(out === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("LPA: duplicate/reversed edges collapse to one vote per neighbor") {
+    val out = lpa(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)), iters = 2)
+    val outClean = lpa(Seq((1L, 2L), (2L, 3L)), iters = 2)
+    assert(out === outClean)
+  }
+
+  test("LPA: empty edge list returns an empty frame") {
+    assert(lpa(Seq.empty).isEmpty)
+  }
 }
