@@ -402,6 +402,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_collect_list"), p)
   }
 
+  test("x124: cohort matrix is key-partitioned aggs + one equi-join on the user key") {
+    val p = plan("x124_cohort_retention")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p) // map-side combine on the aggs
+  }
+
+  test("x125: phrase postings joins are equi-joins; the term filters prune the stream") {
+    val p = plan("x125_phrase_search")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("x126: each LPA round is an equi-join against the label table — no cartesian") {
+    val p = plan("x126_lpa_communities")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("x121: wedge and closure joins are equi-joins on node ids — no cartesian, " +
     "and the one-row census aggregates broadcast") {
     val p = plan("x121_triangle_census")
