@@ -72,8 +72,12 @@ object TarExprs {
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      // first pass: validate + size the one allocation
-      var total = 2 * Block // trailer
+      // first pass: validate + size the one allocation. The accumulator is
+      // Long and a shard whose total exceeds the JVM array limit refuses
+      // (null) like every other format violation — an Int accumulator here
+      // would wrap past 2 GiB and either allocate under-sized (AIOOBE) or
+      // negative (NegativeArraySizeException) instead of refusing.
+      var total = (2 * Block).toLong // trailer
       val names = new Array[Array[Byte]](n)
       val payloads = new Array[Array[Byte]](n)
       var i = 0
@@ -86,10 +90,11 @@ object TarExprs {
         val payload = row.getBinary(1)
         names(i) = name
         payloads(i) = payload
-        total += Block + ((payload.length + Block - 1) / Block) * Block
+        total += Block + ((payload.length.toLong + Block - 1) / Block) * Block
         i += 1
       }
-      val out = new Array[Byte](total) // zero-initialized: padding + trailer free
+      if (total > Int.MaxValue - 8) return null // > single-array capacity: refuse
+      val out = new Array[Byte](total.toInt) // zero-initialized: padding + trailer free
       var o = 0
       i = 0
       while (i < n) {
@@ -134,7 +139,15 @@ object TarExprs {
 
   /** ustar archive bytes → `array<struct<name, size, payload>>` of the
     * regular-file entries (non-file typeflags — directories, links, PAX
-    * extension blocks — are skipped but correctly advanced over). */
+    * extension blocks — are skipped but correctly advanced over).
+    *
+    * Long names: a GNU longname entry (typeflag 'L', payload = the real
+    * name) or a PAX extended header (typeflag 'x', `path=` record)
+    * OVERRIDES the truncated 100-byte header name of the entry that
+    * follows — external archives produced by GNU/BSD tar with >100-byte
+    * paths ingest under their real names instead of silently truncated
+    * ones. Global PAX headers ('g') are advanced over but not applied
+    * (per-archive defaults are a tarball-level concern, not a row walk). */
   case class TarEntries(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(tarEntryType, containsNull = false)
@@ -151,6 +164,8 @@ object TarExprs {
       var o = 0
       var done = false
       var corrupt = false
+      // set by an 'L'/'x' extension entry, consumed by the NEXT entry
+      var pendingName: String = null
       while (!done && !corrupt) {
         if (o + Block > bytes.length) { corrupt = o == 0; done = true } // empty/truncated head: not a tar
         else if (isZeroBlock(bytes, o)) done = true // archive trailer
@@ -160,10 +175,22 @@ object TarExprs {
             val dataEnd = o + Block + size
             if (size < 0 || dataEnd > bytes.length) { corrupt = entries.isEmpty; done = true }
             else {
-              if (typeflag == '0' || typeflag == 0) {
-                val payload = java.util.Arrays.copyOfRange(bytes, o + Block, dataEnd.toInt)
-                entries += new GenericInternalRow(Array[Any](
-                  UTF8String.fromString(name), size, payload))
+              typeflag match {
+                case '0' | 0 =>
+                  val payload = java.util.Arrays.copyOfRange(bytes, o + Block, dataEnd.toInt)
+                  val effName = if (pendingName != null) pendingName else name
+                  entries += new GenericInternalRow(Array[Any](
+                    UTF8String.fromString(effName), size, payload))
+                  pendingName = null
+                case 'L' => // GNU longname: payload = real name, NUL-terminated
+                  var e = o + Block
+                  while (e < dataEnd && bytes(e) != 0) e += 1
+                  pendingName = new String(bytes, o + Block, e - (o + Block),
+                    java.nio.charset.StandardCharsets.UTF_8)
+                case 'x' => // PAX extended header: "len path=value\n" records
+                  paxPath(bytes, o + Block, dataEnd.toInt).foreach(pendingName = _)
+                case _ =>
+                  pendingName = null // extension applies only to the adjacent entry
               }
               o += Block + (((size + Block - 1) / Block) * Block).toInt
             }
@@ -199,6 +226,34 @@ object TarExprs {
       val name = new String(b, o, end - o, java.nio.charset.StandardCharsets.UTF_8)
       if (name.isEmpty) return None
       Some((name, size, b(o + 156)))
+    }
+
+    /** PAX record walk: each record is `<len> <key>=<value>\n` where len
+      * counts the WHOLE record including itself. Returns the `path` value
+      * if present; a malformed record ends the walk (extension headers are
+      * best-effort name recovery, never a reason to drop the entry). */
+    private def paxPath(b: Array[Byte], start: Int, end: Int): Option[String] = {
+      var o = start
+      while (o < end) {
+        var i = o
+        var len = 0
+        while (i < end && b(i) >= '0' && b(i) <= '9') { len = len * 10 + (b(i) - '0'); i += 1 }
+        if (i >= end || b(i) != ' ' || len <= 0 || o + len > end) return None
+        val recEnd = o + len // points one past the trailing '\n'
+        val kvStart = i + 1
+        var eq = kvStart
+        while (eq < recEnd && b(eq) != '=') eq += 1
+        if (eq < recEnd) {
+          val key = new String(b, kvStart, eq - kvStart, java.nio.charset.StandardCharsets.US_ASCII)
+          if (key == "path") {
+            val vEnd = if (recEnd - 1 > eq && b(recEnd - 1) == '\n') recEnd - 1 else recEnd
+            return Some(new String(b, eq + 1, vEnd - (eq + 1),
+              java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+        o = recEnd
+      }
+      None
     }
 
     /** Octal field: digits until NUL/space; tolerate leading spaces. */

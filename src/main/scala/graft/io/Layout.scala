@@ -75,11 +75,29 @@ object Layout {
     * technique for two-filter-column fact tables at 100 TB. */
   def zValue(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val al = a.cast("long")
-    val bl = b.cast("long")
-    (0 until bits).map { i =>
-      shiftright(al, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
-        shiftright(bl, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    zValueK(Seq(a, b), bits)
+  }
+
+  /** K-dimension Morton value: bit `i` of dimension `j` lands at position
+    * `i·k + j`, so the 2-column [[zValue]] is exactly `zValueK(Seq(a, b))`
+    * and 3-4-column clustering (the common real-world fact-table ask:
+    * tenant × time × region) is the same static shift/mask sum — still
+    * pure column arithmetic, still codegen'd. Each dimension must already
+    * be normalized to `[0, 2^bits)`; `bits·k ≤ 63` keeps the value in a
+    * long. Locality degrades gracefully with k (each file covers a
+    * bounded k-rectangle whose side grows as the 1/k-th power of its row
+    * range) — 2-4 dims is the useful regime, which the bound enforces
+    * loosely and the caller should respect deliberately. */
+  def zValueK(cols: Seq[Column], bits: Int = 16): Column = {
+    val k = cols.size
+    require(k >= 2, s"zValueK needs at least 2 dimensions, got $k")
+    require(bits >= 1 && bits * k <= 63,
+      s"bits*dims must be in [1, 63] to fit a long, got $bits*$k")
+    val longs = cols.map(_.cast("long"))
+    (0 until bits).flatMap { i =>
+      longs.zipWithIndex.map { case (c, j) =>
+        shiftright(c, i).bitwiseAND(lit(1L)) * lit(1L << (k * i + j))
+      }
     }.reduce(_ + _)
   }
 

@@ -63,6 +63,16 @@ object Snapshots {
   final case class DeleteResult(version: Long, rewritten: Seq[String],
                                 untouched: Int)
 
+  /** Outcome of a [[deleteWhereMor]]: the committed version, the count of
+    * tombstoned keys, and the dv file committed (None when nothing
+    * matched — no commit happens). `dataFilesRewritten` is always 0 by
+    * construction; it exists so audits of the two delete paths read the
+    * same way. */
+  final case class MorDeleteResult(version: Long, tombstoned: Long,
+                                   dvFile: Option[String]) {
+    val dataFilesRewritten: Int = 0
+  }
+
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -133,13 +143,36 @@ object Snapshots {
     finally in.close()
   }
 
+  /** Create-exclusive write — THE commit primitive. On a local filesystem
+    * Hadoop's create(path, overwrite=false) is CHECK-then-create (two
+    * racing writers in one JVM can both pass the check and the loser's
+    * manifest is silently clobbered), so the local path goes through NIO
+    * CREATE_NEW — POSIX O_CREAT|O_EXCL, atomic under any concurrency. On
+    * HDFS create-exclusive is atomic at the namenode; on S3 it maps to a
+    * conditional PUT (If-None-Match) — see the class doc. */
   private def writeExclusive(f: FileSystem, p: Path, lines: Seq[String]): Boolean = {
-    val out =
-      try f.create(p, false)
-      catch { case _: java.io.IOException => return false }
-    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    true
+    val bytes = (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
+    val scheme = p.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(nio.getParent)
+      val out =
+        try java.nio.file.Files.newOutputStream(nio,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => return false
+          case _: java.io.IOException                      => return false
+        }
+      try out.write(bytes) finally out.close()
+      true
+    } else {
+      val out =
+        try f.create(p, false)
+        catch { case _: java.io.IOException => return false }
+      try out.write(bytes) finally out.close()
+      true
+    }
   }
 
   /** All committed versions, ascending (version 0 = the empty table,
@@ -170,7 +203,8 @@ object Snapshots {
              baseVersion: Option[Long] = None,
              schemaJson: Option[String] = None,
              stats: Seq[FileStat] = Nil,
-             notes: Seq[String] = Nil): Long = {
+             notes: Seq[String] = Nil,
+             dvAdds: Seq[String] = Nil): Long = {
     val f = fs(spark, table)
     f.mkdirs(new Path(manifestDir(table)))
     val next = baseVersion.getOrElse(currentVersion(spark, table)) + 1
@@ -181,10 +215,14 @@ object Snapshots {
     // chars), so stat values must not themselves contain U+0001. Notes
     // are opaque writer-chosen strings riding IN the transaction —
     // the idempotence ledger for replayed streaming merges ([[notes]]).
+    // "dv" lines add DELETION-VECTOR files (key tombstones, see
+    // [[deleteWhereMor]]); they retire through the same "remove" action
+    // as data files (paths are unique, so the shared action is safe).
     val lines =
       schemaJson.map(s => s"""{"a":"schema","p":${jq(s)}}""").toSeq ++
         adds.map(p => s"""{"a":"add","p":${jq(p)}}""") ++
         removes.map(p => s"""{"a":"remove","p":${jq(p)}}""") ++
+        dvAdds.map(p => s"""{"a":"dv","p":${jq(p)}}""") ++
         stats.map(st => s"""{"a":"stat","p":${jq(
           Seq(st.path, st.column, st.dtype, st.min, st.max).mkString(StatSep))}}""") ++
         notes.map(s => s"""{"a":"note","p":${jq(s)}}""")
@@ -327,7 +365,8 @@ object Snapshots {
       val s = sc.getOrElse(throw new IllegalArgumentException(
         s"all files of $table pruned and no recorded schema; pass readAt instead"))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-    } else sc.map(spark.read.schema).getOrElse(spark.read).parquet(scan: _*)
+    } else applyDv(spark, table, version,
+      sc.map(spark.read.schema).getOrElse(spark.read).parquet(scan: _*))
   }
 
   /** COPY-ON-WRITE row-level DELETE: remove every row matching `cond`,
@@ -357,6 +396,72 @@ object Snapshots {
     // untouched files survive — file-dependent data loss.
     rewriteWhere(spark, table, cond, "delete",
       _.filter(not(coalesce(cond, lit(false)))), prune)
+  }
+
+  /** MERGE-ON-READ row-level DELETE: instead of rewriting every file that
+    * holds a matching row ([[deleteWhere]]'s copy-on-write discipline), a
+    * point delete commits ONE tombstone file — the distinct `keys` values
+    * of the matching rows — and every read resolves it by anti-join
+    * ([[applyDv]]). Write cost is O(matched keys), NEVER O(bytes of the
+    * files touched): the CDC-heavy case (daily point deletes scattered
+    * across thousands of large files) stops paying a full rewrite of
+    * every grazed file.
+    *
+    * Semantics — key tombstones (the "equality delete" shape):
+    *  - `keys` must identify rows uniquely (the [[mergeInto]] contract);
+    *    every CURRENT AND FUTURE live row matching a tombstoned key is
+    *    suppressed until the tombstone folds. Re-inserting a tombstoned
+    *    key is [[mergeInto]]'s job (it folds the key out of the dv in the
+    *    same commit); a plain [[commitAppend]] of a tombstoned key stays
+    *    invisible — that's the algebra, not a bug.
+    *  - Rows with a NULL key column cannot be matched by an equality
+    *    tombstone; they are skipped here (use [[deleteWhere]] for those).
+    *  - All live dvs of a table share one key set (enforced here).
+    *  - Time travel: pre-delete versions carry no dv and read in full;
+    *    [[vacuum]] never reclaims a referenced dv.
+    *  - Folding: [[compact]] / [[optimizeZorder]] materialize the
+    *    anti-join and retire the dvs; [[mergeInto]] folds its own keys.
+    *
+    * `prune` narrows the candidate files by zone maps exactly as in
+    * [[deleteWhere]] — the scan that FINDS the matching keys is
+    * O(overlapping files); the write is O(tombstone). */
+  def deleteWhereMor(spark: SparkSession, table: String,
+                     cond: org.apache.spark.sql.Column, keys: Seq[String],
+                     prune: Option[(String, String, String)] = None): MorDeleteResult = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(keys.nonEmpty, "deleteWhereMor needs at least one key column")
+    val v = currentVersion(spark, table)
+    val live = liveFiles(spark, table, Some(v))
+    if (live.isEmpty) return MorDeleteResult(v, 0L, None)
+    dvKeys(spark, table, Some(v)).foreach { case (_, existing) =>
+      require(existing.sorted == keys.sorted,
+        s"live deletion vectors of $table are keyed on ${existing.mkString(",")}; " +
+          s"a new MoR delete must use the same keys (got ${keys.mkString(",")})")
+    }
+    val candidates = prune match {
+      case Some((c, lo, hi)) => pruneFiles(spark, table, c, lo, hi, Some(v))._1
+      case None              => live
+    }
+    if (candidates.isEmpty) return MorDeleteResult(v, 0L, None)
+    val sc = tableSchema(spark, table, Some(v))
+    val raw = sc.map(spark.read.schema).getOrElse(spark.read).parquet(candidates: _*)
+    // already-tombstoned rows don't re-tombstone (keeps the dv minimal and
+    // the delete idempotent); null-keyed rows can't be equality-deleted
+    val matched = applyDv(spark, table, Some(v), raw)
+      .filter(coalesce(cond, lit(false)))
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(keys.map(col): _*).distinct()
+    val dir = s"$table/data/dv-${java.util.UUID.randomUUID().toString}"
+    matched.coalesce(1).write.parquet(dir)
+    val f = fs(spark, table)
+    val parts = f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+    val cnt = spark.read.parquet(parts: _*).count() // O(tombstone) re-read
+    if (cnt == 0) return MorDeleteResult(v, 0L, None) // orphan dir: vacuum food
+    val version = commit(spark, table, adds = Nil, baseVersion = Some(v),
+      dvAdds = parts)
+    MorDeleteResult(version, cnt, parts.headOption)
   }
 
   /** COPY-ON-WRITE row-level UPDATE: apply `assignments` (column →
@@ -413,14 +518,26 @@ object Snapshots {
     val v = currentVersion(spark, table)
     val live = liveFiles(spark, table, Some(v))
     val sc = tableSchema(spark, table, Some(v))
-    if (live.isEmpty) {
+    // live deletion vectors ([[deleteWhereMor]]): the merge folds its own
+    // keys out of them in the same commit, so an upsert of a tombstoned
+    // key really re-inserts it. Requires the dv key set == merge keys
+    // (fold on different keys has no defined row mapping).
+    val dvLive = liveDvFiles(spark, table, Some(v))
+    val dv = dvKeys(spark, table, Some(v))
+    dv.foreach { case (_, dvCols) =>
+      require(dvCols.sorted == keys.sorted,
+        s"live deletion vectors of $table are keyed on ${dvCols.mkString(",")}; " +
+          s"mergeInto must use the same keys to fold them (got ${keys.mkString(",")})")
+    }
+    if (live.isEmpty && dvLive.isEmpty) {
       // empty table: MERGE degenerates to the insert branch
       val version = commitAppend(updates, table,
         recordSchema = sc.isEmpty, statsCols = statsCols, notes = note.toSeq)
       return DeleteResult(version, Nil, 0)
     }
     val cols = sc.map(_.fieldNames.toSeq).getOrElse {
-      spark.read.parquet(live: _*).columns.toSeq
+      if (live.isEmpty) updates.columns.toSeq
+      else spark.read.parquet(live: _*).columns.toSeq
     }
     require(updates.columns.sorted.sameElements(cols.sorted),
       s"schema mismatch: table ${cols.sorted.mkString(",")} vs " +
@@ -446,11 +563,15 @@ object Snapshots {
           .flatMap(r => byName.get(new Path(r.getString(0)).getName))
       }
     // rewrite output: the whole update batch (replacements + inserts) plus
-    // the touched files' unmatched rows; untouched files keep every row
-    // (by construction they hold no matching key)
+    // the touched files' unmatched LIVE rows — tombstoned ghosts drop here
+    // (the touched check above reads RAW on purpose: a file whose only
+    // matching rows are tombstoned must still be rewritten, or folding the
+    // dv below would resurrect the physical ghost row); untouched files
+    // keep every row (by construction they hold no matching key)
     val out =
       if (touched.isEmpty) up
-      else up.unionByName(read(touched).join(keySet, keys, "left_anti"))
+      else up.unionByName(
+        applyDv(spark, table, Some(v), read(touched)).join(keySet, keys, "left_anti"))
     val statCols = (fileStats(spark, table, Some(v))
       .filter(st => touched.contains(st.path)).map(_.column) ++ statsCols).distinct
     val dir = s"$table/data/merge-${java.util.UUID.randomUUID().toString}"
@@ -459,9 +580,23 @@ object Snapshots {
     val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
-    val version = commit(spark, table, adds = parts, removes = touched,
-      baseVersion = Some(v), stats = computeStats(spark, dir, parts, statCols),
-      notes = note.toSeq)
+    // fold: tombstones for keys this batch re-upserts retire with the old
+    // dv files; survivors are rewritten into ONE fresh dv (O(tombstones))
+    val dvParts =
+      if (dvLive.isEmpty) Nil
+      else {
+        val survivors = dv.get._1.dropDuplicates(keys).join(keySet, keys, "left_anti")
+        val dvDir = s"$table/data/dv-${java.util.UUID.randomUUID().toString}"
+        survivors.coalesce(1).write.parquet(dvDir)
+        val ps = f.listStatus(new Path(dvDir)).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .map(_.getPath.toString)
+        if (spark.read.parquet(ps: _*).isEmpty) Nil else ps
+      }
+    val version = commit(spark, table, adds = parts,
+      removes = touched ++ dvLive, baseVersion = Some(v),
+      stats = computeStats(spark, dir, parts, statCols),
+      notes = note.toSeq, dvAdds = dvParts)
     DeleteResult(version, touched, live.size - touched.size)
   }
 
@@ -474,7 +609,7 @@ object Snapshots {
                            cond: org.apache.spark.sql.Column, kind: String,
                            rewrite: DataFrame => DataFrame,
                            prune: Option[(String, String, String)]): DeleteResult = {
-    import org.apache.spark.sql.functions.{coalesce, count, input_file_name, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit}
     val v = currentVersion(spark, table)
     val live = liveFiles(spark, table, Some(v))
     val candidates = prune match {
@@ -486,8 +621,13 @@ object Snapshots {
     def read(files: Seq[String]) =
       sc.map(spark.read.schema).getOrElse(spark.read).parquet(files: _*)
     val byName = candidates.map(p => new Path(p).getName -> p).toMap
-    val touched = read(candidates).filter(coalesce(cond, lit(false)))
-      .groupBy(input_file_name().as("__f")).agg(count(lit(1)))
+    // the match check ignores tombstoned rows (a file whose only matches
+    // are MoR-deleted ghosts has nothing live to rewrite); __f binds to
+    // the scan BEFORE the dv anti-join so the file attribution is exact
+    val touched = applyDv(spark, table, Some(v),
+        read(candidates).withColumn("__f", input_file_name()))
+      .filter(coalesce(cond, lit(false)))
+      .groupBy(col("__f")).agg(count(lit(1)))
       .collect().toSeq
       .flatMap(r => byName.get(new Path(r.getString(0)).getName))
     if (touched.isEmpty) return DeleteResult(v, Nil, live.size)
@@ -496,7 +636,9 @@ object Snapshots {
     val statCols = fileStats(spark, table, Some(v))
       .filter(st => touched.contains(st.path)).map(_.column).distinct
     val dir = s"$table/data/$kind-${java.util.UUID.randomUUID().toString}"
-    rewrite(read(touched)).write.parquet(dir)
+    // ghosts drop from the rewritten files too (the dv stays live for the
+    // untouched files — suppressing an already-absent key is a no-op)
+    rewrite(applyDv(spark, table, Some(v), read(touched))).write.parquet(dir)
     val f = fs(spark, table)
     val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
@@ -564,7 +706,12 @@ object Snapshots {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     ckpt.foreach { c =>
       readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
-        .flatMap(parseLine).foreach { case (_, p) => live += p }
+        .flatMap(parseLine).foreach {
+          // checkpoints carry "add" (data) and "dv" (tombstone) lines;
+          // only the data files belong to the live set
+          case ("add", p) => live += p
+          case _          =>
+        }
     }
     val from = ckpt.getOrElse(0L) + 1
     (from to v).filter(known).foreach { c =>
@@ -577,6 +724,65 @@ object Snapshots {
     }
     live.toSeq
   }
+
+  /** The live DELETION-VECTOR file set at `version` (default current) —
+    * the merge-on-read side of the mutation surface ([[deleteWhereMor]]).
+    * Same checkpoint + commit-tail replay as [[liveFiles]]: "dv" adds a
+    * tombstone file, "remove" retires it (fold by [[mergeInto]]/
+    * [[compact]]/[[optimizeZorder]]). */
+  def liveDvFiles(spark: SparkSession, table: String,
+                  version: Option[Long] = None): Seq[String] = {
+    val f = fs(spark, table)
+    val dir = new Path(manifestDir(table))
+    val v = version.getOrElse(currentVersion(spark, table))
+    if (!f.exists(dir)) return Seq.empty
+    val names = f.listStatus(dir).toSeq.map(_.getPath.getName)
+    val ckpt = names.flatMap {
+      case CheckpointFile(c) if c.toLong <= v => Some(c.toLong)
+      case _ => None
+    }.sorted.lastOption
+    val known = names.flatMap { case CommitFile(c) => Some(c.toLong); case _ => None }.toSet
+    val dv = scala.collection.mutable.LinkedHashSet.empty[String]
+    ckpt.foreach { c =>
+      readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
+        .flatMap(parseLine).foreach { case ("dv", p) => dv += p; case _ => }
+    }
+    val from = ckpt.getOrElse(0L) + 1
+    (from to v).filter(known).foreach { c =>
+      readLines(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))
+        .flatMap(parseLine).foreach {
+          case ("dv", p)     => dv += p
+          case ("remove", p) => dv -= p
+          case _             =>
+        }
+    }
+    dv.toSeq
+  }
+
+  /** The live tombstone keys at `version`, with their key column names —
+    * None when no deletion vectors are live. All live dv files share one
+    * key schema ([[deleteWhereMor]] enforces it at write). */
+  private def dvKeys(spark: SparkSession, table: String,
+                     version: Option[Long]): Option[(DataFrame, Seq[String])] = {
+    val files = liveDvFiles(spark, table, version)
+    if (files.isEmpty) None
+    else {
+      val df = spark.read.parquet(files: _*)
+      Some((df, df.columns.toSeq))
+    }
+  }
+
+  /** Merge-on-read resolution: drop every row whose key is tombstoned by
+    * a live deletion vector. No-op without live dvs. The anti-join is the
+    * read-side cost of MoR: O(rows ⋈ tombstones) on the key hash, paid at
+    * read instead of delete time (the copy-on-write/merge-on-read
+    * trade). */
+  private def applyDv(spark: SparkSession, table: String,
+                      version: Option[Long], df: DataFrame): DataFrame =
+    dvKeys(spark, table, version) match {
+      case Some((dv, keys)) => df.join(dv.dropDuplicates(keys), keys, "left_anti")
+      case None             => df
+    }
 
   /** Time-travel read: the table as of `version` (default current). An
     * empty live set needs a schema (passed or recorded) to produce a
@@ -595,7 +801,9 @@ object Snapshots {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     } else {
       val r = sc.map(spark.read.schema).getOrElse(spark.read)
-      r.parquet(files: _*)
+      // merge-on-read: live deletion vectors resolve at read time — time
+      // travel to a pre-delete version sees no dv and reads the full set
+      applyDv(spark, table, version, r.parquet(files: _*))
     }
   }
 
@@ -629,12 +837,62 @@ object Snapshots {
     def read(files: Set[String], v: Long): DataFrame =
       if (files.isEmpty) readAt(spark, table, Some(v), schema = sc).limit(0)
       else sc.map(spark.read.schema).getOrElse(spark.read).parquet(files.toSeq: _*)
-    val before = read(f1 -- f2, v1)
-    val after = read(f2 -- f1, v2)
-    val cols = after.columns.toSeq
+    // each side resolves its own deletion vectors (merge-on-read: a
+    // tombstoned row is not part of that version)
+    val dvF1 = liveDvFiles(spark, table, Some(v1)).toSet
+    val dvF2 = liveDvFiles(spark, table, Some(v2)).toSet
+    val before0 = applyDv(spark, table, Some(v1), read(f1 -- f2, v1))
+    val after0 = applyDv(spark, table, Some(v2), read(f2 -- f1, v2))
+    // When the dv sets differ, SHARED files can hide changes: a MoR
+    // delete removes rows without touching any data file. The tombstone
+    // DELTA names exactly the affected keys, so one semi-joined scan of
+    // the shared files recovers them — row output stays O(changed keys),
+    // the file-Δ posture holds for everything else.
+    val (before, after) =
+      if (dvF1 == dvF2) (before0, after0)
+      else {
+        val kA = dvKeys(spark, table, Some(v1))
+        val kB = dvKeys(spark, table, Some(v2))
+        for { (_, ca) <- kA; (_, cb) <- kB } require(ca.sorted == cb.sorted,
+          s"deletion vectors of $table changed key columns between v$v1 and v$v2")
+        val dcols = kB.map(_._2).orElse(kA.map(_._2)).get
+        val shared = f1 intersect f2
+        if (shared.isEmpty) (before0, after0)
+        else {
+          def dedup(o: Option[(DataFrame, Seq[String])]) =
+            o.map(_._1.dropDuplicates(dcols))
+          val sharedDf = read(shared, v1)
+          def delta(x: Option[DataFrame], y: Option[DataFrame]): Option[DataFrame] =
+            (x, y) match {
+              case (Some(a), Some(b)) => Some(a.join(b, dcols, "left_anti"))
+              case (Some(a), None)    => Some(a)
+              case _                  => None
+            }
+          val deleted = delta(dedup(kB), dedup(kA))   // tombstoned v1→v2
+          val restored = delta(dedup(kA), dedup(kB))  // un-tombstoned (fold + re-insert)
+          val bx = deleted.map(d => before0.unionByName(
+            sharedDf.join(d, dcols, "left_semi"), allowMissingColumns = true))
+            .getOrElse(before0)
+          val ax = restored.map(r => after0.unionByName(
+            sharedDf.join(r, dcols, "left_semi"), allowMissingColumns = true))
+            .getOrElse(after0)
+          (bx, ax)
+        }
+      }
+    // With a recorded schema both sides already share it. Without one, the
+    // two file sets may have diverged shapes (files written before/after a
+    // widening); selecting after's columns from before would then throw
+    // AnalysisException instead of the documented null-padded CDC read —
+    // so the column set is the UNION (after's order first) and each side
+    // null-pads what it lacks.
+    val cols =
+      if (sc.isDefined) after.columns.toSeq
+      else (after.columns ++ before.columns.filterNot(after.columns.contains)).toSeq
+    def side(df: DataFrame, c: String): org.apache.spark.sql.Column =
+      if (df.columns.contains(c)) col(c) else lit(null)
     val nonKeys = cols.filterNot(keys.contains)
-    val b = before.select(lit(1).as("__in_b") +: cols.map(c => col(c).as(s"__b_$c")): _*)
-    val a = after.select(lit(1).as("__in_a") +: cols.map(c => col(c).as(s"__a_$c")): _*)
+    val b = before.select(lit(1).as("__in_b") +: cols.map(c => side(before, c).as(s"__b_$c")): _*)
+    val a = after.select(lit(1).as("__in_a") +: cols.map(c => side(after, c).as(s"__a_$c")): _*)
     val joined = b.join(a,
       keys.map(k => col(s"__b_$k") <=> col(s"__a_$k")).reduce(_ && _), "full_outer")
     val changed = nonKeys.map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
@@ -670,7 +928,9 @@ object Snapshots {
     val v = currentVersion(spark, table)
     if (v == 0) return 0
     val lines = liveFiles(spark, table, Some(v))
-      .map(p => s"""{"a":"add","p":${jq(p)}}""")
+      .map(p => s"""{"a":"add","p":${jq(p)}}""") ++
+      liveDvFiles(spark, table, Some(v))
+        .map(p => s"""{"a":"dv","p":${jq(p)}}""")
     writeExclusive(fs(spark, table), new Path(f"${manifestDir(table)}/c$v%010d.json"), lines)
     v
   }
@@ -711,14 +971,18 @@ object Snapshots {
   def compact(spark: SparkSession, table: String, targetFiles: Int = 1): Long = {
     val v = currentVersion(spark, table)
     val files = liveFiles(spark, table, Some(v))
-    if (files.size <= targetFiles) return v
+    val dvs = liveDvFiles(spark, table, Some(v))
+    // live deletion vectors always compact (the fold is the point: the
+    // anti-join materializes once and the read path stops paying it)
+    if (files.size <= targetFiles && dvs.isEmpty) return v
     val dir = s"$table/data/compact-${java.util.UUID.randomUUID().toString}"
-    spark.read.parquet(files: _*).repartition(targetFiles).write.parquet(dir)
+    readAt(spark, table, Some(v)) // dv-resolved: tombstoned rows fold out
+      .repartition(targetFiles).write.parquet(dir)
     val f = fs(spark, table)
     val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
-    commit(spark, table, adds = parts, removes = files, baseVersion = Some(v))
+    commit(spark, table, adds = parts, removes = files ++ dvs, baseVersion = Some(v))
   }
 
   /** Outcome of an [[optimizeZorder]]: the committed version and the
@@ -743,14 +1007,23 @@ object Snapshots {
     * as every other mutator here. */
   def optimizeZorder(spark: SparkSession, table: String,
                      colA: String, colB: String,
-                     targetFiles: Int, bits: Int = 16): OptimizeResult = {
+                     targetFiles: Int, bits: Int = 16): OptimizeResult =
+    optimizeZorder(spark, table, Seq(colA, colB), targetFiles, bits)
+
+  /** K-dimension OPTIMIZE (2-4 clustering columns is the useful regime —
+    * [[Layout.zValueK]]): identical transaction discipline to the 2-column
+    * form; zone maps are re-stamped on ALL k dimensions, so manifest
+    * pruning skips files on any of them. */
+  def optimizeZorder(spark: SparkSession, table: String, cols: Seq[String],
+                     targetFiles: Int, bits: Int): OptimizeResult = {
     import org.apache.spark.sql.functions.col
     val v = currentVersion(spark, table)
     val files = liveFiles(spark, table, Some(v))
     if (files.isEmpty) return OptimizeResult(v, 0, 0)
+    val dvs = liveDvFiles(spark, table, Some(v)) // fold: rewrite is dv-resolved
     val dir = s"$table/data/zopt-${java.util.UUID.randomUUID().toString}"
     readAt(spark, table, Some(v))
-      .withColumn("__z", Layout.zValue(col(colA), col(colB), bits))
+      .withColumn("__z", Layout.zValueK(cols.map(col), bits))
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
@@ -759,9 +1032,9 @@ object Snapshots {
     val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
-    val nv = commit(spark, table, adds = parts, removes = files,
+    val nv = commit(spark, table, adds = parts, removes = files ++ dvs,
       baseVersion = Some(v),
-      stats = computeStats(spark, dir, parts, Seq(colA, colB)))
+      stats = computeStats(spark, dir, parts, cols))
     OptimizeResult(nv, files.size, parts.size)
   }
 

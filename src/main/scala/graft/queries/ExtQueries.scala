@@ -3225,7 +3225,7 @@ object ExtQueries {
     x109Spec, x110Spec, x111Spec, x112Spec, x113Spec, x114Spec,
     x115Spec, x116Spec, x117Spec, x118Spec, x119Spec, st21Spec,
     x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec,
-    x126Spec)
+    x126Spec, x127Spec, x128Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -5475,4 +5475,146 @@ object ExtQueries {
            |SELECT lab AS label, count(*) AS n_members,
            |       min(v) AS min_node, max(v) AS max_node
            |FROM lpa_l3 GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // MERGE-ON-READ row-level DELETE through the snapshot manifest (x127) —
+  // the deletion-vector path next to x101's copy-on-write: a SCATTERED
+  // point delete (one doc_id per slice, so EVERY file is grazed) commits
+  // ONE key-tombstone file and rewrites ZERO data files — under CoW the
+  // same predicate would rewrite all 8. Reads resolve the tombstones by
+  // anti-join; the follow-up MERGE re-upserts two of the deleted keys and
+  // FOLDS them out of the dv in its own commit (ghost rows physically
+  // rewritten — the resurrection hazard the fold discipline exists for).
+  // At 100 TB this is the CDC-economics operator: a point delete costs
+  // O(matched keys) write (here: 8 keys, one dv file) instead of
+  // O(bytes of every grazed file); the read-side anti-join is a broadcast
+  // of the (tiny) tombstone set, and compaction retires it on schedule.
+  // The oracle replays the full tombstone algebra — delete, re-insert
+  // with updated values, survivor suppression — plus the structural
+  // constants (0 delete rewrites, 2 merge rewrites, 6 surviving keys).
+  private def x127Spec: QuerySpec =
+    QuerySpec("x127_mor_delete",
+      (s, d) => {
+        import graft.io.Snapshots
+        val template = Staging.dir("deltbl", d) { tmp =>
+          slicedSnapshotTable(s, tmp, d); ()
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mor_run").toString
+        copyTree(java.nio.file.Paths.get(template), java.nio.file.Paths.get(tmp))
+        val tbl = s"$tmp/tbl"
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        val w = docs.agg(max(col("doc_id"))).first().getLong(0) / 8 + 1
+        val delKeys = (0L until 8L).map(k => k * w + w / 2)
+        val del = Snapshots.deleteWhereMor(s, tbl, col("doc_id").isin(delKeys: _*),
+          keys = Seq("doc_id"))
+        // re-upsert two tombstoned keys with doubled n_chars: the merge must
+        // fold them out of the dv and rewrite their files' ghost rows
+        val backKeys = Seq(delKeys(1), delKeys(2))
+        val updates = docs.filter(col("doc_id").isin(backKeys: _*))
+          .withColumn("n_chars", col("n_chars") * 2)
+        val m = Snapshots.mergeInto(s, tbl, updates, keys = Seq("doc_id"),
+          pruneOn = Some("doc_id"))
+        val dvLeft = Snapshots.liveDvFiles(s, tbl) match {
+          case Nil   => 0L
+          case files => s.read.parquet(files: _*).count()
+        }
+        val audit = s.range(1).select(
+          lit(del.tombstoned).as("n_tombstoned"),
+          lit(del.dataFilesRewritten.toLong).as("del_files_rewritten"),
+          lit(m.rewritten.size.toLong).as("merge_files_rewritten"),
+          lit(dvLeft).as("dv_keys_left"))
+        Snapshots.readAt(s, tbl)
+          .groupBy("source")
+          .agg(n.as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT max(doc_id) // 8 + 1 AS w FROM documents),
+           |del AS (SELECT k * w + w // 2 AS id
+           |        FROM w, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(k)),
+           |back AS (SELECT k * w + w // 2 AS id FROM w, (VALUES (1),(2)) t(k)),
+           |kept AS (
+           |  SELECT doc_id, source,
+           |         CASE WHEN doc_id IN (SELECT id FROM back)
+           |              THEN n_chars * 2 ELSE n_chars END AS n_chars
+           |  FROM documents
+           |  WHERE doc_id NOT IN (SELECT id FROM del)
+           |     OR doc_id IN (SELECT id FROM back))
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(8 AS BIGINT) AS n_tombstoned,
+           |       CAST(0 AS BIGINT) AS del_files_rewritten,
+           |       CAST(2 AS BIGINT) AS merge_files_rewritten,
+           |       CAST(6 AS BIGINT) AS dv_keys_left
+           |FROM kept GROUP BY source ORDER BY source""".stripMargin))
+
+  // 3-DIMENSION Z-order OPTIMIZE (x128) — x122's maintenance pass with a
+  // THIRD clustering column (the real-world fact-table shape: tenant ×
+  // time × region). Layout.zValueK interleaves bit i of dim j at position
+  // 3i+j; after the rewrite each of the 16 files covers a bounded BOX in
+  // (a, b, c), so manifest pruning skips files on ANY of the three keys —
+  // a linear sort buys this on one dimension, a 2-D z-curve on two; the
+  // band read here goes through the pruned path on the THIRD dimension
+  // and must lose nothing. Content invariance is pinned by count + exact
+  // 3-D z-sum; the oracle replays the 3-way bit interleave in SQL.
+  private def x128Spec: QuerySpec =
+    QuerySpec("x128_zorder3d",
+      (s, d) => {
+        import graft.io.Snapshots
+        val template = Staging.dir("zopt3tbl", d) { tmp =>
+          // a spreads user_id over the FULL byte (97 coprime to 256): at
+          // small SF the raw id range is < 128, which would leave the
+          // a-bits of the 3-way interleave too deep to ever form a file
+          // boundary — no a-side skipping to demonstrate
+          val pts = Tables.events(s, d)
+            .select(col("event_id"), ((col("user_id") * 97 + 13) % 256).as("a"),
+              ((hour(col("ts")) * 60 + minute(col("ts"))) % 256).cast("long").as("b"),
+              (col("event_id") % 256).as("c"))
+          (0 until 4).foreach { i =>
+            Snapshots.commitAppend(pts.filter(col("event_id") % 4 === i).coalesce(1),
+              s"$tmp/tbl", recordSchema = true, statsCols = Seq("a", "b", "c"))
+          }
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_zopt3_run").toString
+        copyTree(java.nio.file.Paths.get(template), java.nio.file.Paths.get(tmp))
+        val tbl = s"$tmp/tbl"
+        val res = Snapshots.optimizeZorder(s, tbl, Seq("a", "b", "c"),
+          targetFiles = 16, bits = 8)
+        val keptA = Snapshots.pruneFiles(s, tbl, "a", "16", "31")._1.size
+        val keptB = Snapshots.pruneFiles(s, tbl, "b", "16", "31")._1.size
+        val keptC = Snapshots.pruneFiles(s, tbl, "c", "16", "31")._1.size
+        val bandRows = Snapshots.readPruned(s, tbl, "c", "16", "31")
+          .filter(col("c").between(16, 31)).count()
+        Snapshots.readAt(s, tbl)
+          .agg(n.as("n_rows"),
+            sum(graft.io.Layout.zValueK(Seq(col("a"), col("b"), col("c")), 8))
+              .cast("long").as("sum_z"))
+          .select(col("n_rows"), col("sum_z"),
+            lit(bandRows).as("band_rows"),
+            lit(res.filesBefore.toLong).as("files_before"),
+            lit(res.filesAfter.toLong).as("files_after"),
+            lit(res.version).as("version"),
+            lit(if (keptA < res.filesAfter) 1L else 0L).as("skips_a"),
+            lit(if (keptB < res.filesAfter) 1L else 0L).as("skips_b"),
+            lit(if (keptC < res.filesAfter) 1L else 0L).as("skips_c"))
+      },
+      Some("""WITH p AS (SELECT (user_id * 97 + 13) % 256 AS a,
+             |         (hour(CAST(ts AS TIMESTAMP)) * 60
+             |          + minute(CAST(ts AS TIMESTAMP))) % 256 AS b,
+             |         event_id % 256 AS c
+             |       FROM events),
+             |z AS (SELECT a, b, c,
+             |        list_sum(list_transform(range(0, 8), i ->
+             |          ((a >> i) & 1) * (1 << (3*i))
+             |          + ((b >> i) & 1) * (1 << (3*i + 1))
+             |          + ((c >> i) & 1) * (1 << (3*i + 2)))) AS z
+             |      FROM p)
+             |SELECT count(*) AS n_rows, CAST(sum(z) AS BIGINT) AS sum_z,
+             |       (SELECT count(*) FROM p WHERE c BETWEEN 16 AND 31) AS band_rows,
+             |       CAST(4 AS BIGINT) AS files_before,
+             |       CAST(16 AS BIGINT) AS files_after,
+             |       CAST(5 AS BIGINT) AS version,
+             |       CAST(1 AS BIGINT) AS skips_a,
+             |       CAST(1 AS BIGINT) AS skips_b,
+             |       CAST(1 AS BIGINT) AS skips_c
+             |FROM z""".stripMargin))
 }

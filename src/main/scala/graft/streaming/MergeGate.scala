@@ -27,22 +27,50 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object MergeGate {
 
-  def batchNote(batchId: Long): String = s"mergegate-batch-$batchId"
+  def batchNote(batchId: Long): String = batchNote("mergegate", batchId)
+
+  /** Note ledger key, tagged by WRITER: two gates merging into one table
+    * must not read each other's replay markers. */
+  def batchNote(writer: String, batchId: Long): String = s"$writer-batch-$batchId"
 
   /** Start merging `source` micro-batches into the versioned `table` by
     * `keys`. `pruneOn` names a zone-mapped key column for candidate-file
-    * pruning. Drain with AvailableNow. */
+    * pruning. Drain with AvailableNow.
+    *
+    * Concurrency (`maxRetries` > 0): the optimistic-commit LOSER retries —
+    * [[Snapshots.mergeInto]] resolves the current version on entry and
+    * throws [[Snapshots.ConcurrentCommitException]] when another writer
+    * committed first, so a retry re-reads the NEW table state and
+    * re-derives the whole merge against it (nothing from the failed
+    * attempt is reused; its orphan data dir is vacuum food). Two gates on
+    * disjoint key ranges therefore serialize to the same final state
+    * regardless of interleaving — the multi-writer discipline every
+    * manifest-log table format uses. The replay-note check rides INSIDE
+    * the loop's derivation (notes are per-writer, so a competitor's
+    * commit can never mark this batch done). */
   def start(spark: SparkSession, source: DataFrame, table: String,
             keys: Seq[String], checkpoint: String,
-            pruneOn: Option[String] = None): StreamingQuery = {
+            pruneOn: Option[String] = None,
+            writer: String = "mergegate",
+            maxRetries: Int = 0): StreamingQuery = {
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val done = Snapshots.notes(spark, table).contains(batchNote(batchId))
-        if (!done && !batch.isEmpty) {
-          Snapshots.mergeInto(spark, table, batch, keys, pruneOn = pruneOn,
-            note = Some(batchNote(batchId)))
-          ()
+        val note = batchNote(writer, batchId)
+        var attempts = 0
+        var committed = false
+        while (!committed) {
+          if (Snapshots.notes(spark, table).contains(note) || batch.isEmpty)
+            committed = true
+          else
+            try {
+              Snapshots.mergeInto(spark, table, batch, keys, pruneOn = pruneOn,
+                note = Some(note))
+              committed = true
+            } catch {
+              case _: Snapshots.ConcurrentCommitException if attempts < maxRetries =>
+                attempts += 1
+            }
         }
       }
       .trigger(Trigger.AvailableNow())

@@ -30,9 +30,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object ShardExport {
 
   /** Pack one (micro-)batch of `(doc_id, text, source)` into
-    * `(bucket, tar_file)` shards — shared by the stream sink and tests. */
+    * `(bucket, tar_file)` shards — shared by the stream sink and tests.
+    * Null doc_id rows are dropped WITH the null-text rows: a null id would
+    * make the entry name null, tar_pack would refuse the whole bucket
+    * (null shard), and commit would silently persist a shard that explodes
+    * to zero entries on read-back — the row-level drop keeps the job-level
+    * "refuse, not silently truncate" contract. */
   def packShards(batch: DataFrame, buckets: Long): DataFrame =
-    batch.filter(col("text").isNotNull)
+    batch.filter(col("text").isNotNull && col("doc_id").isNotNull)
       .select((col("doc_id") % buckets).as("bucket"), col("doc_id"),
         expr("array(" +
           "struct(concat(cast(doc_id AS string), '.txt') AS name, " +

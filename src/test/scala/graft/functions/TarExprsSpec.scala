@@ -107,6 +107,62 @@ class TarExprsSpec extends SparkSpec {
     assert(pack(Seq("ok.txt" -> null)) === null)
   }
 
+  /** A hand-built ustar entry (header + padded payload) with a valid
+    * checksum — for extension typeflags tarPack never emits. */
+  private def rawEntry(name: String, typeflag: Char, payload: Array[Byte]): Array[Byte] = {
+    val padded = ((payload.length + 511) / 512) * 512
+    val out = new Array[Byte](512 + padded)
+    val nb = name.getBytes("UTF-8")
+    System.arraycopy(nb, 0, out, 0, nb.length)
+    def oct(off: Int, width: Int, v: Long): Unit = {
+      var x = v; var i = off + width - 2
+      while (i >= off) { out(i) = ('0' + (x & 7)).toByte; x >>= 3; i -= 1 }
+      out(off + width - 1) = 0
+    }
+    oct(100, 8, 420); oct(108, 8, 0); oct(116, 8, 0)
+    oct(124, 12, payload.length.toLong); oct(136, 12, 0)
+    out(156) = typeflag.toByte
+    System.arraycopy("ustar".getBytes, 0, out, 257, 5)
+    out(263) = '0'; out(264) = '0'
+    java.util.Arrays.fill(out, 148, 156, ' '.toByte)
+    val sum = (0 until 512).map(i => out(i) & 0xff).sum
+    oct(148, 7, sum.toLong); out(155) = ' '
+    System.arraycopy(payload, 0, out, 512, payload.length)
+    out
+  }
+
+  test("GNU longname ('L') entry renames the following file entry") {
+    val longName = "dir/" + ("a" * 120) + "/sample-000123.txt" // > 100 bytes
+    val tar = rawEntry("././@LongLink", 'L', (longName + "\u0000").getBytes("UTF-8")) ++
+      pack(Seq(longName.take(100) -> "payload".getBytes))
+    val out = entries(tar).get
+    assert(out.map(_._1) === Seq(longName))
+    assert(new String(out.head._3, "UTF-8") === "payload")
+  }
+
+  test("PAX extended header ('x') path record renames the following entry; 'g' does not") {
+    val longName = "corpus/" + ("b" * 110) + ".json"
+    val rec = s" path=$longName\n"
+    val len = (rec.length + 2 + 1) // 2-3 digit length prefix counts itself
+    val full = s"$len$rec"
+    assert(full.length === len, "PAX record length must self-count")
+    val pax = rawEntry("pax_hdr", 'x', full.getBytes("UTF-8"))
+    val tar = pax ++ pack(Seq("short.json" -> "J".getBytes))
+    assert(entries(tar).get.map(_._1) === Seq(longName))
+    // a 'g' global header must NOT rename the next entry
+    val g = rawEntry("pax_global", 'g', full.getBytes("UTF-8"))
+    val tar2 = g ++ pack(Seq("short.json" -> "J".getBytes))
+    assert(entries(tar2).get.map(_._1) === Seq("short.json"))
+  }
+
+  test("a non-file entry between extension and file consumes the pending name") {
+    val tar0 = pack(Seq("a.txt" -> "A".getBytes))
+    // L-entry, then a directory entry, then the file: the dir consumes the name
+    val l = rawEntry("././@LongLink", 'L', "renamed.txt\u0000".getBytes)
+    val d = rawEntry("somedir/", '5', Array.emptyByteArray)
+    assert(entries(l ++ d ++ tar0).get.map(_._1) === Seq("a.txt"))
+  }
+
   test("SQL registration: tar_pack / tar_entries round-trip in pure SQL") {
     graft.ext.GraftFunctions.register(spark)
     val out = spark.sql(

@@ -145,6 +145,30 @@ class LayoutSpec extends SparkSpec {
     assert(ref(3, 5, 8) === 39L)
   }
 
+  test("zValueK: 2-dim form equals zValue; 3-dim interleave matches reference") {
+    import spark.implicits._
+    def ref3(a: Long, b: Long, c: Long, bits: Int): Long =
+      (0 until bits).map(i => (((a >> i) & 1L) << (3 * i)) |
+        (((b >> i) & 1L) << (3 * i + 1)) | (((c >> i) & 1L) << (3 * i + 2))).sum
+    // hand case: a=1 → pos 0, b=2 (bit1) → pos 4, c=4 (bit2) → pos 8
+    assert(ref3(1, 2, 4, 8) === (1L + 16L + 256L))
+    val cases = Seq((0L, 0L, 0L), (1L, 2L, 4L), (3L, 5L, 7L), (255L, 170L, 85L))
+    val got = cases.toDF("a", "b", "c")
+      .select($"a", $"b", $"c",
+        Layout.zValueK(Seq($"a", $"b", $"c"), bits = 8).as("z3"),
+        Layout.zValueK(Seq($"a", $"b"), bits = 8).as("z2"),
+        Layout.zValue($"a", $"b", bits = 8).as("z2ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(3) === ref3(r.getLong(0), r.getLong(1), r.getLong(2), 8))
+      assert(r.getLong(4) === r.getLong(5)) // zValueK(2) ≡ zValue
+    }
+    // bounds: a 4-dim 16-bit key overflows a long and must be rejected
+    intercept[IllegalArgumentException] {
+      Layout.zValueK(Seq($"a", $"b", $"c", $"a"), bits = 16)
+    }
+  }
+
   test("zorderWrite gives every file a bounded rectangle in BOTH dimensions") {
     import spark.implicits._
     // uniform 64×64 grid; z-cluster into 16 files vs the natural row order

@@ -424,4 +424,155 @@ class SnapshotsSpec extends SparkSpec {
       .collect().toSeq
     assert(d === Seq((2L, "insert", None, Some(20L), None, Some("x"))))
   }
+
+  // ---- merge-on-read deletion vectors -----------------------------------
+
+  /** 4-file table: (id, s, v) rows 1..20 in four range slices with id
+    * zone maps — the MoR fixtures' shared shape. */
+  private def morTable(): String = {
+    val t = tmpTable()
+    (0 until 4).foreach { i =>
+      val rows = ((i * 5 + 1) to (i * 5 + 5)).map(j => (j.toLong, s"s$j", j * 10L))
+      Snapshots.commitAppend(rows.toDF("id", "s", "v").coalesce(1), t,
+        recordSchema = true, statsCols = Seq("id"))
+    }
+    t
+  }
+
+  test("deleteWhereMor: one tombstone commit, zero data files rewritten, reads resolve it") {
+    val t = morTable()
+    val filesBefore = Snapshots.liveFiles(spark, t)
+    val r = Snapshots.deleteWhereMor(spark, t, col("id").isin(7L, 12L), keys = Seq("id"),
+      prune = Some(("id", "7", "12")))
+    assert(r.tombstoned === 2L)
+    assert(r.dataFilesRewritten === 0)
+    assert(Snapshots.liveFiles(spark, t) === filesBefore) // no data file touched
+    assert(Snapshots.liveDvFiles(spark, t).size === 1)
+    assert(Snapshots.readAt(spark, t).count() === 18)
+    assert(Snapshots.readAt(spark, t).filter(col("id").isin(7L, 12L)).count() === 0)
+    // time travel: the pre-delete version still sees the full set
+    assert(Snapshots.readAt(spark, t, Some(r.version - 1)).count() === 20)
+    // readPruned resolves tombstones too
+    assert(Snapshots.readPruned(spark, t, "id", "6", "8")
+      .filter(col("id") === 7L).count() === 0)
+    // idempotent: re-deleting the same keys matches nothing, commits nothing
+    val r2 = Snapshots.deleteWhereMor(spark, t, col("id").isin(7L), keys = Seq("id"))
+    assert(r2.tombstoned === 0L && r2.dvFile.isEmpty)
+    assert(r2.version === r.version)
+  }
+
+  test("MoR delete then MERGE: fold re-inserts the key, ghost rows never resurrect") {
+    val t = morTable()
+    Snapshots.deleteWhereMor(spark, t, col("id").isin(3L, 9L), keys = Seq("id"))
+    assert(Snapshots.readAt(spark, t).count() === 18)
+    // merge re-upserts id=3 (tombstoned) and updates id=4 (live), inserts id=99
+    val res = Snapshots.mergeInto(spark, t,
+      Seq((3L, "s3b", 333L), (4L, "s4b", 444L), (99L, "s99", 990L)).toDF("id", "s", "v"),
+      keys = Seq("id"))
+    val now = Snapshots.readAt(spark, t)
+    assert(now.count() === 20) // 18 + re-insert(3) + insert(99); 9 still deleted
+    assert(now.filter(col("id") === 3L).select("v").as[Long].head() === 333L)
+    assert(now.filter(col("id") === 9L).count() === 0) // survivor tombstone still live
+    assert(now.filter(col("id") === 4L).select("s").as[String].head() === "s4b")
+    // the fold rewrote the dv: one fresh dv holding only id=9
+    val dvs = Snapshots.liveDvFiles(spark, t)
+    assert(dvs.size === 1)
+    assert(spark.read.parquet(dvs.head).as[Long].collect().toSeq === Seq(9L))
+    // ghost check: id=3's ORIGINAL physical row (v=30) must not survive in
+    // any live file — the merge rewrote its file even though the row was
+    // tombstoned at merge time
+    assert(now.filter(col("id") === 3L).count() === 1)
+    // pre-merge, pre-delete versions both time-travel
+    assert(Snapshots.readAt(spark, t, Some(4)).count() === 20)
+    assert(res.version === Snapshots.currentVersion(spark, t))
+  }
+
+  test("MoR: compact folds tombstones and retires the dv files") {
+    val t = morTable()
+    Snapshots.deleteWhereMor(spark, t, col("id") <= 2L, keys = Seq("id"))
+    val v = Snapshots.compact(spark, t, targetFiles = 2)
+    assert(Snapshots.liveDvFiles(spark, t).isEmpty)
+    assert(Snapshots.liveFiles(spark, t).size === 2)
+    assert(Snapshots.readAt(spark, t).count() === 18)
+    // a fresh append of a previously-tombstoned key is visible again
+    Snapshots.commitAppend(Seq((1L, "s1b", 11L)).toDF("id", "s", "v"), t)
+    assert(Snapshots.readAt(spark, t).filter(col("id") === 1L).count() === 1)
+    assert(v === Snapshots.currentVersion(spark, t) - 1)
+  }
+
+  test("MoR: optimizeZorder folds tombstones; CoW delete coexists with live dvs") {
+    val t = morTable()
+    Snapshots.deleteWhereMor(spark, t, col("id") === 5L, keys = Seq("id"))
+    // CoW delete with a live dv: match-check ignores ghosts, rewrite drops them
+    val cow = Snapshots.deleteWhere(spark, t, col("id") === 6L,
+      prune = Some(("id", "6", "6")))
+    assert(cow.rewritten.size === 1)
+    assert(Snapshots.readAt(spark, t).count() === 18)
+    assert(Snapshots.liveDvFiles(spark, t).size === 1) // dv survives the CoW pass
+    val opt = Snapshots.optimizeZorder(spark, t, "id", "v", targetFiles = 2)
+    assert(Snapshots.liveDvFiles(spark, t).isEmpty) // folded
+    assert(Snapshots.readAt(spark, t).count() === 18)
+    assert(opt.filesAfter === 2)
+  }
+
+  test("MoR: vacuum never reclaims a referenced dv; checkpoints carry dv lines") {
+    val t = morTable()
+    val r = Snapshots.deleteWhereMor(spark, t, col("id") === 10L, keys = Seq("id"))
+    Snapshots.checkpoint(spark, t)
+    // another commit after the checkpoint, then resolve THROUGH the checkpoint
+    Snapshots.commitAppend(Seq((50L, "s50", 500L)).toDF("id", "s", "v"), t)
+    assert(Snapshots.readAt(spark, t).count() === 20) // 19 live + 1 appended
+    assert(Snapshots.liveDvFiles(spark, t).size === 1)
+    val vacuumed = Snapshots.vacuum(spark, t)
+    assert(!vacuumed.exists(_.contains("/dv-")), "a referenced dv was vacuumed")
+    assert(Snapshots.readAt(spark, t).filter(col("id") === 10L).count() === 0)
+    // time travel to the pre-delete version still full
+    assert(Snapshots.readAt(spark, t, Some(r.version - 1)).count() === 20)
+  }
+
+  test("MoR: rowDiff surfaces tombstone-only deletes from shared files") {
+    val t = morTable()
+    val v0 = Snapshots.currentVersion(spark, t)
+    val r = Snapshots.deleteWhereMor(spark, t, col("id").isin(8L, 14L), keys = Seq("id"))
+    // no data file changed between v0 and r.version — the delta is dv-only
+    val d = Snapshots.rowDiff(spark, t, v0, r.version, Seq("id"))
+      .select("id", "change").as[(Long, String)].collect().toSet
+    assert(d === Set(8L -> "delete", 14L -> "delete"))
+    // and the reverse direction reads as inserts
+    val rev = Snapshots.rowDiff(spark, t, r.version, v0, Seq("id"))
+      .select("id", "change").as[(Long, String)].collect().toSet
+    assert(rev === Set(8L -> "insert", 14L -> "insert"))
+    // delete-then-merge span: composes tombstone and rewrite changes
+    Snapshots.mergeInto(spark, t,
+      Seq((8L, "s8b", 888L)).toDF("id", "s", "v"), keys = Seq("id"))
+    val span = Snapshots.rowDiff(spark, t, v0, Snapshots.currentVersion(spark, t), Seq("id"))
+      .select("id", "change").as[(Long, String)].collect().toSet
+    assert(span === Set(8L -> "update", 14L -> "delete"))
+  }
+
+  test("MoR: mismatched dv keys are rejected loudly") {
+    val t = morTable()
+    Snapshots.deleteWhereMor(spark, t, col("id") === 1L, keys = Seq("id"))
+    intercept[IllegalArgumentException] {
+      Snapshots.deleteWhereMor(spark, t, col("s") === "s2", keys = Seq("s"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeInto(spark, t,
+        Seq((2L, "x", 0L)).toDF("id", "s", "v"), keys = Seq("s"))
+    }
+  }
+
+  test("rowDiff with NO recorded schema and divergent file shapes null-pads the union") {
+    val t = tmpTable()
+    // no recordSchema anywhere: the two versions' exclusive file sets
+    // genuinely disagree on columns
+    Snapshots.commitAppend(Seq((1L, 10L)).toDF("id", "v").coalesce(1), t)
+    Snapshots.commitAppend(Seq((2L, 20L, "x")).toDF("id", "v", "tag").coalesce(1), t)
+    val d = Snapshots.rowDiff(spark, t, 1, 2, Seq("id"))
+    assert(d.columns.toSet === Set("id", "change", "v_before", "v_after",
+      "tag_before", "tag_after"))
+    val rows = d.select("id", "change", "tag_after")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(rows === Seq((2L, "insert", Some("x"))))
+  }
 }

@@ -72,6 +72,19 @@ class ShardExportSpec extends SparkSpec {
       .select(md5($"tar_file")).as[String].collect().toSeq === bytes)
   }
 
+  test("null doc_id rows are dropped at pack, never a null shard") {
+    val withNullId = docsDf.union(Seq((null.asInstanceOf[java.lang.Long], "orphan text", "s0"))
+      .toDF("doc_id", "text", "source"))
+    val shards = ShardExport.packShards(withNullId, 1).collect()
+    assert(shards.length === 1)
+    // the shard packs the 5 valid docs — not null (whole-bucket refusal)
+    assert(!shards.head.isNullAt(1), "shard must not be a null tar_file")
+    val names = Seq(Tuple1(shards.head.getAs[Array[Byte]]("tar_file"))).toDF("t")
+      .select(explode(graft.functions.TarExprs.tarEntries($"t")).as("e"))
+      .select($"e.name").as[String].collect()
+    assert(names.count(_.endsWith(".txt")) === 5)
+  }
+
   test("packShards is deterministic: entries doc-id-sorted within a shard") {
     val a = ShardExport.packShards(docsDf.orderBy($"doc_id".desc), 1)
       .select(md5($"tar_file")).as[String].head()
