@@ -689,6 +689,40 @@ object CoreQueries {
       Some("""SELECT strftime(min(o_orderdate), '%Y-%m') AS first_month,
              |       strftime(max(o_orderdate), '%Y-%m') AS last_month,
              |       strftime(min(o_orderdate), '%Y-%m') || '_' || strftime(max(o_orderdate), '%Y-%m') AS date_range
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // S5 + S8 driven END-TO-END (q39): the reference's metric-publication
+    // step — small aggregate → single-file CSV WITH HEADER (DP:508-514) →
+    // versioned dir copied to a stable latest/ key (SU:185-203) — then
+    // read BACK from latest/ and emitted, so the oracle pins the whole
+    // sink round-trip: header naming, value formatting (all BIGINT/STRING
+    // — the fixed-point money convention keeps CSV text exact), the
+    // single-file layout (n_files rides in-plan), and the copy's
+    // fidelity. S5/S8 previously rode only through st04's job audit;
+    // this gives them their own green row.
+    QuerySpec("q39_metrics_csv_sink",
+      (s, d) => {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val metrics = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv_sink").toString
+        val vdir = s"$tmp/metrics/v1"
+        val latest = s"$tmp/metrics/latest"
+        graft.io.Sinks.metricsCsv(metrics, vdir)
+        graft.io.Sinks.copyToLatest(s, vdir, latest)
+        val nFiles = new java.io.File(latest).listFiles()
+          .count(f => f.isFile && f.getName.endsWith(".csv")).toLong
+        val schema = StructType(Seq(StructField("flag", StringType),
+          StructField("n_rows", LongType), StructField("sum_cents", LongType)))
+        s.read.option("header", "true").schema(schema).csv(latest)
+          .withColumn("n_files", lit(nFiles))
+          .orderBy("flag")
+      },
+      Some("""SELECT l_returnflag AS flag, count(*) AS n_rows,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |       CAST(1 AS BIGINT) AS n_files
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

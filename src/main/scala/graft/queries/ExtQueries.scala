@@ -3225,7 +3225,7 @@ object ExtQueries {
     x109Spec, x110Spec, x111Spec, x112Spec, x113Spec, x114Spec,
     x115Spec, x116Spec, x117Spec, x118Spec, x119Spec, st21Spec,
     x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec,
-    x126Spec, x127Spec, x128Spec)
+    x126Spec, x127Spec, x128Spec, st23Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -5617,4 +5617,89 @@ object ExtQueries {
              |       CAST(1 AS BIGINT) AS skips_b,
              |       CAST(1 AS BIGINT) AS skips_c
              |FROM z""".stripMargin))
+
+  /** st23: TWO concurrent streaming MERGE writers racing on ONE snapshot
+    * table — the multi-writer discipline driven end-to-end, not just the
+    * SnapshotsSpec unit pin. Writer A upserts the low doc_id half, writer
+    * B the high half, three micro-batches each, BOTH streams running at
+    * once against the same manifest: every commit is an optimistic
+    * create-exclusive PUT (atomic O_EXCL locally, conditional PUT on S3),
+    * the loser's ConcurrentCommitException triggers a full re-read +
+    * re-derive retry (MergeGate maxRetries), and per-writer note tags
+    * keep the exactly-once ledgers separate. Because the key ranges are
+    * disjoint, every serialization of the six commits reaches the SAME
+    * final state — which is precisely what the oracle replays (plus the
+    * structural constant: 4 base + 6 merge commits = version 10, i.e.
+    * every batch committed exactly once, no lost updates, no double
+    * applies, regardless of interleaving). */
+  private def st23Spec: QuerySpec =
+    QuerySpec("st23_concurrent_merge_race",
+      (s, d) => {
+        import graft.io.Snapshots
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val wh = maxId / 2 + 1
+        val wa = wh / 3 + 1
+        val wb = (maxId - wh) / 3 + 1
+        val srcA = Staging.slicedSource("racegateA", d) { tmp =>
+          (0 until 3).foreach { i =>
+            Staging.writeSlice(
+              docs.filter(col("doc_id") >= i * wa && col("doc_id") < (i + 1) * wa &&
+                  col("doc_id") < wh)
+                .withColumn("n_chars", col("n_chars") + lit((i + 1) * 1000L)),
+              s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        val srcB = Staging.slicedSource("racegateB", d) { tmp =>
+          (0 until 3).foreach { i =>
+            Staging.writeSlice(
+              docs.filter(col("doc_id") >= wh + i * wb &&
+                  col("doc_id") < wh + (i + 1) * wb)
+                .withColumn("n_chars", col("n_chars") + lit((i + 1) * 1000L)),
+              s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_race_run").toString
+        val table = s"$tmp/tbl"
+        val w4 = maxId / 4 + 1
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w4 && col("doc_id") < (i + 1) * w4)
+              .coalesce(1),
+            table, recordSchema = true, statsCols = Seq("doc_id"))
+        }
+        def gate(src: String, writer: String) =
+          graft.streaming.MergeGate.start(s,
+            s.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+            table, Seq("doc_id"), s"$tmp/ckpt-$writer", pruneOn = Some("doc_id"),
+            writer = writer, maxRetries = 1000)
+        Staging.drainTuning(s, srcA, 3) {
+          val qa = gate(srcA, "wA")
+          val qb = gate(srcB, "wB")
+          qa.awaitTermination()
+          qb.awaitTermination()
+        }
+        def at(v: Long) = Snapshots.readAt(s, table, Some(v))
+          .agg(n.as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          .select(lit(v).as("version"), col("n_docs"), col("sum_chars"))
+        at(4).unionByName(at(10)).orderBy("version")
+      },
+      Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+           |h AS (SELECT m, m // 2 + 1 AS wh FROM mx),
+           |p AS (SELECT wh, wh // 3 + 1 AS wa, (m - wh) // 3 + 1 AS wb FROM h),
+           |base AS (SELECT doc_id, n_chars FROM documents)
+           |SELECT CAST(4 AS BIGINT) AS version, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM base
+           |UNION ALL
+           |SELECT 10, count(*),
+           |       CAST(sum(n_chars +
+           |             CASE WHEN doc_id < wh THEN 1000 * (doc_id // wa + 1)
+           |                  ELSE 1000 * ((doc_id - wh) // wb + 1) END) AS BIGINT)
+           |FROM base, p
+           |ORDER BY version""".stripMargin))
 }
