@@ -774,15 +774,32 @@ object Snapshots {
 
   /** Merge-on-read resolution: drop every row whose key is tombstoned by
     * a live deletion vector. No-op without live dvs. The anti-join is the
-    * read-side cost of MoR: O(rows ⋈ tombstones) on the key hash, paid at
-    * read instead of delete time (the copy-on-write/merge-on-read
-    * trade). */
+    * read-side cost of MoR, and its SHAPE is the 100 TB concern: the
+    * tombstone side is point-delete-sized by contract (a predicate
+    * expected to match a large fraction of the table belongs to
+    * [[deleteWhere]], and [[compact]] folds dvs on schedule), so it is
+    * BROADCAST — the corpus never shuffles for the suppression. The hint
+    * is guarded by the dvs' on-disk size (metadata already in hand), so a
+    * pathologically large tombstone set degrades to a plan AQE can still
+    * pick the join for, instead of an executor OOM. A left-anti join is
+    * insensitive to right-side duplicates, so no dedup runs here. */
+  private val DvBroadcastMaxBytes = 256L * 1024 * 1024
+
   private def applyDv(spark: SparkSession, table: String,
-                      version: Option[Long], df: DataFrame): DataFrame =
-    dvKeys(spark, table, version) match {
-      case Some((dv, keys)) => df.join(dv.dropDuplicates(keys), keys, "left_anti")
-      case None             => df
+                      version: Option[Long], df: DataFrame): DataFrame = {
+    val files = liveDvFiles(spark, table, version)
+    if (files.isEmpty) df
+    else {
+      val dv = spark.read.parquet(files: _*)
+      val keys = dv.columns.toSeq
+      val f = fs(spark, table)
+      val bytes = files.map(p => f.getFileStatus(new Path(p)).getLen).sum
+      val right =
+        if (bytes <= DvBroadcastMaxBytes) org.apache.spark.sql.functions.broadcast(dv)
+        else dv
+      df.join(right, keys, "left_anti")
     }
+  }
 
   /** Time-travel read: the table as of `version` (default current). An
     * empty live set needs a schema (passed or recorded) to produce a

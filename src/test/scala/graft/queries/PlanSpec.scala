@@ -432,4 +432,19 @@ class PlanSpec extends SparkSpec {
     // the final census stitches three one-row aggregates — broadcast only
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("MoR read: tombstone suppression is a BROADCAST anti-join — the corpus " +
+    "never shuffles to resolve a point delete") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_planspec_dv").toString + "/tbl"
+    graft.io.Snapshots.commitAppend(
+      (1L to 1000L).map(i => (i, i * 10L)).toDF("id", "v"), t, recordSchema = true)
+    graft.io.Snapshots.deleteWhereMor(spark, t, col("id") <= 3L, keys = Seq("id"))
+    val p = graft.io.Snapshots.readAt(spark, t).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"dv suppression must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a point-delete dv must never sort-merge the corpus:\n$p")
+  }
 }
