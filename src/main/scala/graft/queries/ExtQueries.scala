@@ -5503,7 +5503,15 @@ object ExtQueries {
         val tbl = s"$tmp/tbl"
         val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
         val w = docs.agg(max(col("doc_id"))).first().getLong(0) / 8 + 1
-        val delKeys = (0L until 8L).map(k => k * w + w / 2)
+        // one EXISTING key per slice (the slice's min doc_id) — synthetic
+        // positions like k·w + w/2 land in id GAPS on the replica-shifted
+        // benchdata and the delete degenerates to a no-op; per-slice mins
+        // exist at every SF and replay exactly in SQL. O(8) driver values,
+        // same class as w itself.
+        val delKeys = docs.groupBy(floor(col("doc_id") / w).cast("long").as("k"))
+          .agg(min(col("doc_id")).as("id"))
+          .orderBy("k").select("id").collect().map(_.getLong(0)).toSeq
+        require(delKeys.size >= 3, s"x127 needs >= 3 populated slices, got ${delKeys.size}")
         val del = Snapshots.deleteWhereMor(s, tbl, col("doc_id").isin(delKeys: _*),
           keys = Seq("doc_id"))
         // re-upsert two tombstoned keys with doubled n_chars: the merge must
@@ -5529,9 +5537,8 @@ object ExtQueries {
           .orderBy("source")
       },
       Some("""WITH w AS (SELECT max(doc_id) // 8 + 1 AS w FROM documents),
-           |del AS (SELECT k * w + w // 2 AS id
-           |        FROM w, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(k)),
-           |back AS (SELECT k * w + w // 2 AS id FROM w, (VALUES (1),(2)) t(k)),
+           |del AS (SELECT min(doc_id) AS id FROM documents, w GROUP BY doc_id // w),
+           |back AS (SELECT id FROM del ORDER BY id LIMIT 2 OFFSET 1),
            |kept AS (
            |  SELECT doc_id, source,
            |         CASE WHEN doc_id IN (SELECT id FROM back)
@@ -5541,10 +5548,10 @@ object ExtQueries {
            |     OR doc_id IN (SELECT id FROM back))
            |SELECT source, count(*) AS n_docs,
            |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-           |       CAST(8 AS BIGINT) AS n_tombstoned,
+           |       (SELECT count(*) FROM del) AS n_tombstoned,
            |       CAST(0 AS BIGINT) AS del_files_rewritten,
            |       CAST(2 AS BIGINT) AS merge_files_rewritten,
-           |       CAST(6 AS BIGINT) AS dv_keys_left
+           |       (SELECT count(*) - 2 FROM del) AS dv_keys_left
            |FROM kept GROUP BY source ORDER BY source""".stripMargin))
 
   // 3-DIMENSION Z-order OPTIMIZE (x128) — x122's maintenance pass with a
@@ -5687,7 +5694,13 @@ object ExtQueries {
         def at(v: Long) = Snapshots.readAt(s, table, Some(v))
           .agg(n.as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
           .select(lit(v).as("version"), col("n_docs"), col("sum_chars"))
-        at(4).unionByName(at(10)).orderBy("version")
+        // the final version is read back from the manifest and EMITTED, so
+        // the oracle's literal 10 checks the exactly-once constant as data
+        // (and on gapped benchdata ids, where a sub-slice could stage
+        // empty and commit nothing, the query still resolves instead of
+        // requesting a version that never happened)
+        val vFinal = Snapshots.currentVersion(s, table)
+        at(4).unionByName(at(vFinal)).orderBy("version")
       },
       Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
            |h AS (SELECT m, m // 2 + 1 AS wh FROM mx),
