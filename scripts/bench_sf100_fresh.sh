@@ -44,6 +44,15 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 
+# Every bench JVM gets a DEDICATED java.io.tmpdir, wiped after each query:
+# staged fixtures + per-run mutable tables are per-JVM garbage once the
+# JVM exits, and 36 JVMs' worth of leaked /tmp/graft_* dirs filled the
+# disk mid-run on the first attempt (q24 died on ENOSPC). A dedicated
+# root also keeps the cleanup from racing any concurrently-running
+# sbt/Verify JVM that stages its own fixtures under /tmp.
+BENCHTMP=/tmp/graftbench_tmpdir
+mkdir -p "$BENCHTMP"
+
 for q in "${QUERIES[@]}"; do
   if [ -s "$OUT/$q.json" ]; then echo "== $q: already recorded, skip"; continue; fi
   echo "== $q  ($(date -u +%H:%M:%S))"
@@ -54,9 +63,11 @@ for q in "${QUERIES[@]}"; do
   SPARK_GRAFT_BENCH_OUT="$OUT/$q.json" \
   SPARK_GRAFT_WARMUP_DIR=/root/testdata/sf0.01 \
   java -Xmx96g $ADD_OPENS \
+    -Djava.io.tmpdir="$BENCHTMP" \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$CP" graft.Bench > "$OUT/$q.log" 2>&1
   rc=$?
   [ $rc -ne 0 ] && echo "   FAILED rc=$rc (see $OUT/$q.log)"
+  rm -rf "$BENCHTMP"/* 2>/dev/null
 done
 echo "all done $(date -u +%H:%M:%S)"
