@@ -3225,7 +3225,7 @@ object ExtQueries {
     x109Spec, x110Spec, x111Spec, x112Spec, x113Spec, x114Spec,
     x115Spec, x116Spec, x117Spec, x118Spec, x119Spec, st21Spec,
     x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec,
-    x126Spec, x127Spec, x128Spec, st23Spec)
+    x126Spec, x127Spec, x128Spec, st23Spec, st24Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -5714,5 +5714,90 @@ object ExtQueries {
            |             CASE WHEN doc_id < wh THEN 1000 * (doc_id // wa + 1)
            |                  ELSE 1000 * ((doc_id - wh) // wb + 1) END) AS BIGINT)
            |FROM base, p
+           |ORDER BY version""".stripMargin))
+
+  /** st24: the CHANGE FEED consumed end-to-end — a mutation timeline
+    * (4 quarter appends → 3 streaming merges → 1 merge-on-read point
+    * delete) materialized version-by-version by [[graft.io.ChangeFeed]]
+    * into per-version CDC directories with an exactly-once cursor, then
+    * read back and aggregated per (version, change). The second sync
+    * must be a NO-OP (cursor current → 0 versions) — both sync sizes
+    * ride in-plan. The v8 diff is dv-ONLY (no data file changed): it
+    * exercises rowDiff's tombstone-delta semi-join path under the
+    * oracle, which replays every version's insert/update/delete algebra
+    * from the raw documents table. */
+  private def st24Spec: QuerySpec =
+    QuerySpec("st24_change_feed",
+      (s, d) => {
+        import graft.io.{ChangeFeed, Snapshots}
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w4 = maxId / 4 + 1
+        val w3 = maxId / 3 + 1
+        // the st21 staging (thirds with +1000/+2000/+3000) — same kind key,
+        // so whichever query stages first, both reuse the template
+        val src = Staging.slicedSource("mergegate", d) { tmp =>
+          (0 until 3).foreach { i =>
+            Staging.writeSlice(
+              docs.filter(col("doc_id") >= i * w3 && col("doc_id") < (i + 1) * w3)
+                .withColumn("n_chars", col("n_chars") + lit((i + 1) * 1000L)),
+              s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cf_run").toString
+        val table = s"$tmp/tbl"
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w4 && col("doc_id") < (i + 1) * w4)
+              .coalesce(1),
+            table, recordSchema = true, statsCols = Seq("doc_id"))
+        }
+        Staging.drainTuning(s, src, 3) {
+          val q = graft.streaming.MergeGate.start(s,
+            s.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+            table, Seq("doc_id"), s"$tmp/ckpt", pruneOn = Some("doc_id"))
+          q.awaitTermination()
+        }
+        // MoR point delete: the min doc_id of each populated quarter (the
+        // x127 lesson — positions must EXIST on gapped benchdata ids)
+        val delKeys = docs.groupBy(floor(col("doc_id") / w4).cast("long").as("k"))
+          .agg(min(col("doc_id")).as("id"))
+          .orderBy("k").select("id").collect().map(_.getLong(0)).toSeq
+        Snapshots.deleteWhereMor(s, table, col("doc_id").isin(delKeys: _*),
+          keys = Seq("doc_id"))
+        val first = ChangeFeed.sync(s, table, Seq("doc_id"), s"$tmp/feed")
+        val second = ChangeFeed.sync(s, table, Seq("doc_id"), s"$tmp/feed")
+        val audit = s.range(1).select(
+          lit(first.size.toLong).as("versions_first"),
+          lit(second.size.toLong).as("versions_second"))
+        ChangeFeed.read(s, s"$tmp/feed")
+          .groupBy(col("version"), col("change"))
+          .agg(n.as("n"), sum(col("n_chars_after")).cast("long").as("sum_after"))
+          .crossJoin(broadcast(audit))
+          .orderBy("version")
+      },
+      Some("""WITH w4 AS (SELECT max(doc_id) // 4 + 1 AS w FROM documents),
+           |w3 AS (SELECT max(doc_id) // 3 + 1 AS w FROM documents),
+           |ins AS (SELECT CAST(doc_id // w + 1 AS BIGINT) AS version,
+           |               'insert' AS change, count(*) AS n,
+           |               CAST(sum(n_chars) AS BIGINT) AS sum_after
+           |        FROM documents, w4 GROUP BY 1),
+           |upd AS (SELECT CAST(doc_id // w + 5 AS BIGINT) AS version,
+           |               'update' AS change, count(*) AS n,
+           |               CAST(sum(n_chars + (doc_id // w + 1) * 1000) AS BIGINT) AS sum_after
+           |        FROM documents, w3 GROUP BY 1),
+           |del AS (SELECT CAST(8 AS BIGINT) AS version, 'delete' AS change,
+           |               count(DISTINCT doc_id // w) AS n,
+           |               CAST(NULL AS BIGINT) AS sum_after
+           |        FROM documents, w4)
+           |SELECT version, change, n, sum_after,
+           |       CAST(8 AS BIGINT) AS versions_first,
+           |       CAST(0 AS BIGINT) AS versions_second
+           |FROM (SELECT * FROM ins UNION ALL SELECT * FROM upd
+           |      UNION ALL SELECT * FROM del)
            |ORDER BY version""".stripMargin))
 }

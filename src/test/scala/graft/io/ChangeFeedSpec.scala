@@ -1,0 +1,76 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ChangeFeed: per-version CDC materialization with an exactly-once
+  * cursor — contiguous delta dirs, no-op when current, crash-replay
+  * overwrite idempotence (lost cursor re-materializes identical
+  * content), and merge-on-read deletes surfacing as dv-only diffs.
+  */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_cf").toString
+
+  private def mkTable(root: String): String = {
+    val t = s"$root/tbl"
+    Snapshots.commitAppend(Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1), t,
+      recordSchema = true)
+    Snapshots.commitAppend(Seq((3L, 30L)).toDF("id", "v").coalesce(1), t,
+      recordSchema = true)
+    t
+  }
+
+  test("sync materializes one dir per version; second sync is a no-op") {
+    val root = tmp()
+    val t = mkTable(root)
+    val feed = s"$root/feed"
+    assert(ChangeFeed.sync(spark, t, Seq("id"), feed) === Seq(1L, 2L))
+    assert(ChangeFeed.cursor(spark, feed) === 2L)
+    assert(ChangeFeed.sync(spark, t, Seq("id"), feed) === Seq.empty)
+    val rows = ChangeFeed.read(spark, feed)
+      .select("version", "id", "change").as[(Long, Long, String)].collect().toSet
+    assert(rows === Set((1L, 1L, "insert"), (2L, 3L, "insert"), (1L, 2L, "insert")))
+  }
+
+  test("new commits extend the feed from the cursor, old dirs untouched") {
+    val root = tmp()
+    val t = mkTable(root)
+    val feed = s"$root/feed"
+    ChangeFeed.sync(spark, t, Seq("id"), feed)
+    Snapshots.mergeInto(spark, t, Seq((2L, 200L)).toDF("id", "v"), keys = Seq("id"))
+    assert(ChangeFeed.sync(spark, t, Seq("id"), feed) === Seq(3L))
+    val v3 = ChangeFeed.read(spark, feed).filter($"version" === 3L)
+      .select("id", "change", "v_before", "v_after")
+      .as[(Long, String, Option[Long], Option[Long])].collect().toSeq
+    assert(v3 === Seq((2L, "update", Some(20L), Some(200L))))
+  }
+
+  test("crash replay: a lost cursor re-materializes identical content (overwrite)") {
+    val root = tmp()
+    val t = mkTable(root)
+    val feed = s"$root/feed"
+    ChangeFeed.sync(spark, t, Seq("id"), feed)
+    val before = ChangeFeed.read(spark, feed)
+      .select("version", "id", "change").as[(Long, Long, String)].collect().toSet
+    // simulate a crash after data write, before cursor advance
+    new java.io.File(s"$feed/_cursor").delete()
+    assert(ChangeFeed.cursor(spark, feed) === 0L)
+    assert(ChangeFeed.sync(spark, t, Seq("id"), feed) === Seq(1L, 2L)) // replays
+    val after = ChangeFeed.read(spark, feed)
+      .select("version", "id", "change").as[(Long, Long, String)].collect().toSet
+    assert(after === before)
+  }
+
+  test("a merge-on-read delete surfaces as a dv-only diff version") {
+    val root = tmp()
+    val t = mkTable(root)
+    val feed = s"$root/feed"
+    Snapshots.deleteWhereMor(spark, t, col("id") === 1L, keys = Seq("id"))
+    ChangeFeed.sync(spark, t, Seq("id"), feed)
+    val v3 = ChangeFeed.read(spark, feed).filter($"version" === 3L)
+      .select("id", "change").as[(Long, String)].collect().toSeq
+    assert(v3 === Seq((1L, "delete")))
+  }
+}
