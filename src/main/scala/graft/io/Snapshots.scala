@@ -965,6 +965,37 @@ object Snapshots {
     }
   }
 
+  /** One row of [[history]]: what a commit did, at metadata granularity. */
+  final case class CommitInfo(version: Long, adds: Int, removes: Int,
+                              dvAdds: Int, schemaStamped: Boolean,
+                              notes: Seq[String])
+
+  /** DESCRIBE HISTORY: every commit's action summary, ascending — the
+    * operational audit surface ("what landed in v7?", "which commits
+    * were merges?", "when did tombstones fold?"). Pure manifest
+    * metadata: O(commits) driver work, no data file is opened. Notes
+    * identify streaming batches ([[graft.streaming.MergeGate]] tags);
+    * dvAdds > 0 marks merge-on-read deletes; adds+removes > 0 with one
+    * note is a CDC merge; removes without adds is impossible by
+    * construction (every mutator swaps, never bare-drops). */
+  def history(spark: SparkSession, table: String): Seq[CommitInfo] = {
+    val f = fs(spark, table)
+    versions(spark, table).map { v =>
+      var adds = 0; var removes = 0; var dvs = 0; var schema = false
+      val notes = scala.collection.mutable.ArrayBuffer.empty[String]
+      readLines(f, new Path(f"${manifestDir(table)}/v$v%010d.json"))
+        .flatMap(parseLine).foreach {
+          case ("add", _)    => adds += 1
+          case ("remove", _) => removes += 1
+          case ("dv", _)     => dvs += 1
+          case ("schema", _) => schema = true
+          case ("note", s)   => notes += s
+          case _             =>
+        }
+      CommitInfo(v, adds, removes, dvs, schema, notes.toSeq)
+    }
+  }
+
   /** Every path any commit EVER added or removed — the full referenced
     * set across history (what [[vacuum]] must preserve, and the
     * idempotence token streaming ingest replays against). */

@@ -562,6 +562,24 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("history summarizes every commit: appends, merge, MoR delete, fold") {
+    val t = morTable()
+    Snapshots.deleteWhereMor(spark, t, col("id") === 7L, keys = Seq("id"))
+    Snapshots.mergeInto(spark, t, Seq((7L, "s7b", 700L)).toDF("id", "s", "v"),
+      keys = Seq("id"), note = Some("cdc-batch-0"))
+    val h = Snapshots.history(spark, t)
+    assert(h.map(_.version) === (1L to 6L))
+    // 4 appends: one add each, schema stamped
+    assert(h.take(4).forall(c => c.adds === 1 && c.removes === 0 && c.schemaStamped))
+    // v5 MoR delete: dv-only commit
+    val del = h(4)
+    assert(del.adds === 0 && del.dvAdds === 1 && del.removes === 0)
+    // v6 merge: rewrites + retires the dv (fully folded → no new dv), noted
+    val merge = h(5)
+    assert(merge.adds > 0 && merge.removes >= 2 && merge.dvAdds === 0)
+    assert(merge.notes === Seq("cdc-batch-0"))
+  }
+
   test("rowDiff with NO recorded schema and divergent file shapes null-pads the union") {
     val t = tmpTable()
     // no recordSchema anywhere: the two versions' exclusive file sets
