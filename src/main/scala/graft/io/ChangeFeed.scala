@@ -61,9 +61,18 @@ object ChangeFeed {
     vs
   }
 
-  /** Read the materialized feed (all synced versions). */
-  def read(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
-      .option("mergeSchema", "true")
-      .parquet(outDir)
+  /** Read the materialized feed — exactly the versions the cursor has
+    * acknowledged. The cursor is the ledger: a dir written by a crashed
+    * sync (data landed, cursor didn't advance) or by a concurrently
+    * racing sync is NOT part of the feed until its cursor advance lands,
+    * so the read enumerates `v1..vcursor` explicitly instead of globbing
+    * the directory (which would surface half-written/unacknowledged
+    * dirs). Every enumerated dir exists and is complete by the
+    * write-data-then-advance-cursor discipline. Cursor 0 = empty feed. */
+  def read(spark: SparkSession, outDir: String): DataFrame = {
+    val cur = cursor(spark, outDir)
+    require(cur > 0, s"change feed at $outDir has no acknowledged versions yet (cursor=0)")
+    val dirs = (1L to cur).map(v => f"$outDir/v$v%010d")
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
 }

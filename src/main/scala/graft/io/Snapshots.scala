@@ -22,12 +22,17 @@ import org.apache.spark.sql.types.StructType
   * }}}
   *
   * Safety properties:
-  *  - A commit is ONE atomic object PUT of a version-named file created
-  *    with overwrite=false — two writers racing to the same version lose
-  *    deterministically ([[ConcurrentCommitException]]; the loser re-reads
-  *    state and retries with the next version). On HDFS/local, create-
-  *    exclusive is atomic; on S3 this maps to a conditional PUT
-  *    (If-None-Match), the same primitive current table formats use.
+  *  - A commit is ONE atomic publish of a fully-written version-named
+  *    file — content goes to a temp file first, then appears under the
+  *    final name in a single atomic step (local: hard link; HDFS: rename),
+  *    so a concurrent reader sees each manifest either absent or complete,
+  *    and two writers racing to the same version lose deterministically
+  *    ([[ConcurrentCommitException]]; the loser re-reads state and retries
+  *    with the next version). The guarantee holds on filesystems with an
+  *    atomic exclusive-create/rename (local POSIX, HDFS); stock S3A has
+  *    neither — S3 deployments need Hadoop 3.4.2+ conditional writes
+  *    (If-None-Match PUT) or a commit coordinator, the same requirement
+  *    every manifest-log table format documents.
   *  - Data files are written BEFORE the commit that references them: a
   *    crash between the two leaves unreferenced garbage (reclaimed by
   *    [[vacuum]]), never a manifest pointing at missing data.
@@ -119,7 +124,7 @@ object Snapshots {
       val p = t.indexOf("\"p\":\"")
       if (a < 0 || p < 0) None
       else {
-        val action = t.substring(a + 5, t.indexOf('"', a + 5))
+        val aEnd = t.indexOf('"', a + 5)
         val rest = t.substring(p + 5)
         // path value ends at the first UNESCAPED quote
         var i = 0
@@ -131,7 +136,10 @@ object Snapshots {
             case _    => i += 1
           }
         }
-        Some((action, junq(rest.substring(0, end))))
+        // no terminating quote = a truncated/partial line (can only happen
+        // on a filesystem without atomic publish) — unparseable, not fatal
+        if (aEnd < 0 || end < 0) None
+        else Some((t.substring(a + 5, aEnd), junq(rest.substring(0, end))))
       }
     }
   }
@@ -143,35 +151,52 @@ object Snapshots {
     finally in.close()
   }
 
-  /** Create-exclusive write — THE commit primitive. On a local filesystem
-    * Hadoop's create(path, overwrite=false) is CHECK-then-create (two
-    * racing writers in one JVM can both pass the check and the loser's
-    * manifest is silently clobbered), so the local path goes through NIO
-    * CREATE_NEW — POSIX O_CREAT|O_EXCL, atomic under any concurrency. On
-    * HDFS create-exclusive is atomic at the namenode; on S3 it maps to a
-    * conditional PUT (If-None-Match) — see the class doc. */
+  /** Create-exclusive PUBLISH — THE commit primitive. The manifest must be
+    * either ABSENT or COMPLETE: a concurrent reader that lists the new
+    * version mid-write and replays an empty/partial v-file would derive a
+    * wrong live set, so creating the file and then streaming bytes into it
+    * is not enough. Both paths therefore write the full content to a
+    * temp file first and publish it under the final name atomically:
+    *
+    *  - local: NIO `createLink(target, tmp)` — a hard link is one atomic
+    *    directory entry (fails if target exists = exclusive; the entry
+    *    points at the already-complete inode = never partial);
+    *  - HDFS (and any Hadoop FS with atomic rename): `rename(tmp, target)`
+    *    with overwrite=false — atomic at the namenode, fails if the
+    *    target exists.
+    *
+    * S3 caveat: stock S3A rename is copy+delete (non-atomic) and
+    * create-exclusive is HEAD-then-PUT (check-then-act), so the
+    * multi-writer guarantee does NOT hold on S3 as written — it needs
+    * Hadoop 3.4.2+ conditional writes (`fs.s3a.create.conditional`,
+    * If-None-Match PUT) or an external commit coordinator, the same
+    * requirement every manifest-log table format documents for S3. */
   private def writeExclusive(f: FileSystem, p: Path, lines: Seq[String]): Boolean = {
     val bytes = (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
     val scheme = p.toUri.getScheme
     if (scheme == null || scheme == "file") {
       val nio = java.nio.file.Paths.get(p.toUri.getPath)
       java.nio.file.Files.createDirectories(nio.getParent)
-      val out =
-        try java.nio.file.Files.newOutputStream(nio,
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException => return false
-          case _: java.io.IOException                      => return false
-        }
-      try out.write(bytes) finally out.close()
-      true
+      val tmp = nio.resolveSibling(
+        s".${nio.getFileName}.tmp.${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, bytes)
+      try {
+        java.nio.file.Files.createLink(nio, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException                      => false
+      } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
+      val tmp = new Path(p.getParent,
+        s".${p.getName}.tmp.${java.util.UUID.randomUUID()}")
       val out =
-        try f.create(p, false)
+        try f.create(tmp, false)
         catch { case _: java.io.IOException => return false }
       try out.write(bytes) finally out.close()
-      true
+      try f.rename(tmp, p) // false (target exists) or throws = lost the race
+      catch { case _: java.io.IOException => false }
+      finally { try f.delete(tmp, false) catch { case _: java.io.IOException => () } }
     }
   }
 

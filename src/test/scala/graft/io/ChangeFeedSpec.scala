@@ -63,6 +63,25 @@ class ChangeFeedSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("read is cursor-scoped: unacknowledged dirs are invisible; empty feed rejects") {
+    val root = tmp()
+    val t = mkTable(root)
+    val feed = s"$root/feed"
+    // nothing acknowledged yet → loud error, not a scan of whatever's on disk
+    intercept[IllegalArgumentException] { ChangeFeed.read(spark, feed) }
+    ChangeFeed.sync(spark, t, Seq("id"), feed)
+    // simulate a crashed/racing sync: a v3 dir exists but its cursor
+    // advance never landed — the feed must not surface it
+    Snapshots.mergeInto(spark, t, Seq((2L, 200L)).toDF("id", "v"), keys = Seq("id"))
+    Snapshots.rowDiff(spark, t, 2, 3, Seq("id"))
+      .withColumn("version", lit(3L))
+      .write.mode("overwrite").parquet(f"$feed/v${3L}%010d")
+    assert(ChangeFeed.read(spark, feed).agg(max("version")).as[Long].head() === 2L)
+    // the next sync acknowledges it (idempotent overwrite) and it appears
+    assert(ChangeFeed.sync(spark, t, Seq("id"), feed) === Seq(3L))
+    assert(ChangeFeed.read(spark, feed).agg(max("version")).as[Long].head() === 3L)
+  }
+
   test("a merge-on-read delete surfaces as a dv-only diff version") {
     val root = tmp()
     val t = mkTable(root)
