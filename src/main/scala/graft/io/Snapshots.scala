@@ -1058,6 +1058,134 @@ object Snapshots {
     commit(spark, table, adds = parts, removes = files ++ dvs, baseVersion = Some(v))
   }
 
+  /** RESTORE the table to the content of `toVersion` as a NEW commit —
+    * non-destructive rollback (the `RESTORE TABLE … TO VERSION` shape):
+    * the live data-file and deletion-vector sets become exactly those of
+    * `toVersion`, while every intermediate version keeps time-traveling
+    * (nothing is deleted; the bad versions stay inspectable forever).
+    *
+    * Cost is METADATA-ONLY at any scale: the commit re-references
+    * `toVersion`'s immutable files (still on disk — [[vacuum]] only ever
+    * reclaims files no manifest references), so rolling a 100 TB table
+    * back from a bad ingest writes one manifest file, zero data bytes.
+    * Re-added files regain their zone-map stats for free ([[fileStats]]
+    * replays the full stamp history against the live set). The schema
+    * recorded at `toVersion` is re-stamped when it differs from the
+    * current one, so post-restore reads resolve under the restored shape.
+    * Restoring to the current content is a no-op (returns the current
+    * version, no empty commit). Optimistic concurrency as everywhere: the
+    * commit lands against the resolved version or throws
+    * [[ConcurrentCommitException]].
+    *
+    * Reference analog: none (north-star extension) — the "roll back the
+    * bad ingest" leg of the versioning story in the class doc. */
+  def restore(spark: SparkSession, table: String, toVersion: Long,
+              note: Option[String] = None): Long = {
+    val v = currentVersion(spark, table)
+    val targetFiles = liveFiles(spark, table, Some(toVersion))
+    val curFiles = liveFiles(spark, table, Some(v))
+    val targetDv = liveDvFiles(spark, table, Some(toVersion))
+    val curDv = liveDvFiles(spark, table, Some(v))
+    val schemaStamp = tableSchema(spark, table, Some(toVersion)).map(_.json)
+      .filterNot(s => tableSchema(spark, table, Some(v)).map(_.json).contains(s))
+    val adds = targetFiles.diff(curFiles)
+    val removes = curFiles.diff(targetFiles) ++ curDv.diff(targetDv)
+    val dvAdds = targetDv.diff(curDv)
+    if (adds.isEmpty && removes.isEmpty && dvAdds.isEmpty && schemaStamp.isEmpty) v
+    else commit(spark, table, adds = adds, removes = removes, dvAdds = dvAdds,
+      baseVersion = Some(v), schemaJson = schemaStamp, notes = note.toSeq)
+  }
+
+  private val TagName = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+  private def tagsDir(table: String) = s"${manifestDir(table)}/tags"
+
+  /** Pin an IMMUTABLE named tag to a version (default: current) — the
+    * reproducibility handle a training pipeline needs ("run 47 trained on
+    * `corpus@v2-curated`"): a tag resolves to the same immutable file set
+    * forever, because versions never change, tags are create-once (a
+    * second `tag` with the same name throws — rename, don't repoint), and
+    * tagged versions' files stay [[vacuum]]-safe like every other
+    * committed version's. One tiny object write; no table version is
+    * consumed. Returns the pinned version. */
+  def tag(spark: SparkSession, table: String, name: String,
+          version: Option[Long] = None): Long = {
+    require(TagName.matches(name), s"invalid tag name '$name'")
+    val v = version.getOrElse(currentVersion(spark, table))
+    val known = versions(spark, table)
+    require(v == 0 || known.contains(v), s"version $v of $table does not exist")
+    if (!writeExclusive(fs(spark, table), new Path(s"${tagsDir(table)}/$name"), Seq(v.toString)))
+      throw new IllegalArgumentException(s"tag '$name' already exists on $table (tags are immutable)")
+    v
+  }
+
+  /** All tags on the table, name → version. */
+  def tags(spark: SparkSession, table: String): Map[String, Long] = {
+    val f = fs(spark, table)
+    val dir = new Path(tagsDir(table))
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq.filter(_.isFile)
+      .filterNot(_.getPath.getName.contains(".tmp."))
+      .map(s => s.getPath.getName -> readLines(f, s.getPath).head.trim.toLong)
+      .toMap
+  }
+
+  def tagVersion(spark: SparkSession, table: String, name: String): Long =
+    tags(spark, table).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' on $table"))
+
+  /** Time-travel read by tag — [[readAt]] at the tag's pinned version. */
+  def readTag(spark: SparkSession, table: String, name: String,
+              schema: Option[StructType] = None): DataFrame =
+    readAt(spark, table, Some(tagVersion(spark, table, name)), schema)
+
+  /** Outcome of a [[compactSmall]]: the committed version, how many
+    * small files were binpacked into how many, and the live files left
+    * untouched (byte-identical, never read). */
+  final case class CompactSmallResult(version: Long, packed: Int,
+                                      filesAfter: Int, untouched: Int)
+
+  /** Incremental small-file compaction — the binpack OPTIMIZE a 100 TB
+    * table actually runs: coalesce only the live files smaller than
+    * `smallBytes` into ~`targetBytes` outputs and swap them in ONE
+    * commit; everything already well-sized is never opened. [[compact]]
+    * rewrites the whole live set (right for folding tombstones or
+    * re-clustering); THIS pass costs O(small-file tail) — the shape that
+    * keeps streaming ingest (many per-batch files) from degrading scans,
+    * run on a schedule without ever paying O(table).
+    *
+    * Deletion vectors are deliberately NOT folded here: dv tombstones
+    * are key-based, so they keep suppressing matching rows wherever
+    * those rows physically live — rewriting raw small-file bytes
+    * (`coalesce`, no shuffle) cannot resurrect or lose a delete. Folding
+    * stays with [[compact]]/[[optimizeZorder]], which read dv-resolved.
+    * Old versions keep time-traveling to the fragmented files (still
+    * referenced by their commits — vacuum-safe). Re-stamp zone maps for
+    * the rewritten files via `statsCols`. */
+  def compactSmall(spark: SparkSession, table: String,
+                   smallBytes: Long, targetBytes: Long,
+                   statsCols: Seq[String] = Nil): CompactSmallResult = {
+    val v = currentVersion(spark, table)
+    val files = liveFiles(spark, table, Some(v))
+    val f = fs(spark, table)
+    val sized = files.map(p => p -> f.getFileStatus(new Path(p)).getLen)
+    val small = sized.filter(_._2 < smallBytes)
+    if (small.size <= 1)
+      return CompactSmallResult(v, 0, 0, files.size)
+    val outFiles = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
+    val dir = s"$table/data/binpack-${java.util.UUID.randomUUID().toString}"
+    // raw read (NOT dv-resolved — see doc) under the recorded schema, so
+    // shape-divergent pre-evolution files binpack to the evolved shape
+    val reader = tableSchema(spark, table, Some(v))
+      .map(spark.read.schema).getOrElse(spark.read)
+    reader.parquet(small.map(_._1): _*).coalesce(outFiles).write.parquet(dir)
+    val parts = f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+    val nv = commit(spark, table, adds = parts, removes = small.map(_._1),
+      baseVersion = Some(v), stats = computeStats(spark, dir, parts, statsCols))
+    CompactSmallResult(nv, small.size, parts.size, files.size - small.size)
+  }
+
   /** Outcome of an [[optimizeZorder]]: the committed version and the
     * live-file counts either side of the rewrite. */
   final case class OptimizeResult(version: Long, filesBefore: Int, filesAfter: Int)

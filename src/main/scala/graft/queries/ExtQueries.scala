@@ -3225,7 +3225,8 @@ object ExtQueries {
     x109Spec, x110Spec, x111Spec, x112Spec, x113Spec, x114Spec,
     x115Spec, x116Spec, x117Spec, x118Spec, x119Spec, st21Spec,
     x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec,
-    x126Spec, x127Spec, x128Spec, st23Spec, st24Spec)
+    x126Spec, x127Spec, x128Spec, st23Spec, st24Spec,
+    x129Spec, x130Spec, st25Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -5800,4 +5801,219 @@ object ExtQueries {
            |FROM (SELECT * FROM ins UNION ALL SELECT * FROM upd
            |      UNION ALL SELECT * FROM del)
            |ORDER BY version""".stripMargin))
+
+  // RESTORE + immutable TAGS (x129) — the rollback/reproducibility pair:
+  // tag the good ingest, take a bad merge (+7777 on the first slice) and a
+  // bad CoW point delete on top of it, then RESTORE to the tag. The restore
+  // is METADATA-ONLY (re-references the tag version's immutable files — at
+  // 100 TB rolling back a bad ingest writes one manifest, zero data bytes),
+  // pinned in-plan by files_match (live set at v11 ≡ live set at v8). The
+  // bad versions stay time-travelable — v9's inflated sum and v10's
+  // post-delete count ride as audit columns the oracle recomputes; history
+  // is append-only, so "undo" never destroys evidence.
+  private def x129Spec: QuerySpec =
+    QuerySpec("x129_snapshot_restore",
+      (s, d) => {
+        import graft.io.Snapshots
+        val template = Staging.dir("deltbl", d) { tmp =>
+          slicedSnapshotTable(s, tmp, d); ()
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_restore_run").toString
+        copyTree(java.nio.file.Paths.get(template), java.nio.file.Paths.get(tmp))
+        val tbl = s"$tmp/tbl"
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        val w = docs.agg(max(col("doc_id"))).first().getLong(0) / 8 + 1
+        val tagged = Snapshots.tag(s, tbl, "after-ingest") // pins v8
+        // the bad merge: every slice-0 doc inflated by 7777
+        Snapshots.mergeInto(s, tbl,
+          docs.filter(col("doc_id") < w).withColumn("n_chars", col("n_chars") + 7777L),
+          keys = Seq("doc_id"), pruneOn = Some("doc_id"))
+        val v9Sum = Snapshots.readAt(s, tbl)
+          .agg(sum(col("n_chars"))).first().getLong(0)
+        // the bad delete: the first two slices' min doc_ids (exist at every
+        // SF on gapped benchdata ids — the x127 lesson)
+        val delKeys = docs.groupBy(floor(col("doc_id") / w).cast("long").as("k"))
+          .agg(min(col("doc_id")).as("id"))
+          .orderBy("k").limit(2).select("id").collect().map(_.getLong(0)).toSeq
+        Snapshots.deleteWhere(s, tbl, col("doc_id").isin(delKeys: _*))
+        val v10N = Snapshots.readAt(s, tbl).count()
+        val vFinal = Snapshots.restore(s, tbl, Snapshots.tagVersion(s, tbl, "after-ingest"),
+          note = Some("rollback-bad-ingest"))
+        val filesMatch =
+          if (Snapshots.liveFiles(s, tbl).toSet ==
+              Snapshots.liveFiles(s, tbl, Some(tagged)).toSet) 1L else 0L
+        val audit = s.range(1).select(
+          lit(tagged).as("tagged_version"),
+          lit(vFinal).as("final_version"),
+          lit(filesMatch).as("files_match"),
+          lit(v9Sum).as("v9_sum_chars"),
+          lit(v10N).as("v10_n_docs"))
+        Snapshots.readAt(s, tbl)
+          .groupBy("source")
+          .agg(n.as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT max(doc_id) // 8 + 1 AS w FROM documents),
+           |mins AS (SELECT min(doc_id) AS id FROM documents, w GROUP BY doc_id // w
+           |         ORDER BY id LIMIT 2)
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(8 AS BIGINT) AS tagged_version,
+           |       CAST(11 AS BIGINT) AS final_version,
+           |       CAST(1 AS BIGINT) AS files_match,
+           |       (SELECT CAST(sum(n_chars) + 7777 * count(*) FILTER (WHERE doc_id < w)
+           |               AS BIGINT) FROM documents, w) AS v9_sum_chars,
+           |       (SELECT count(*) - 2 FROM documents) AS v10_n_docs
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
+  // Incremental small-file COMPACTION (x130) — the binpack OPTIMIZE a
+  // 100 TB table actually schedules: one well-sized file (half the corpus)
+  // plus six small per-batch stripes (the streaming-ingest tail), then
+  // compactSmall packs ONLY the six stripes into one file and never opens
+  // the big one (untouched = 1, pinned in-plan). [[Snapshots.compact]]
+  // would rewrite everything — O(table); this pass is O(small tail), the
+  // difference between a nightly maintenance job that costs gigabytes and
+  // one that costs the whole lake. Zone maps are re-stamped on the packed
+  // file, so manifest pruning still skips it for out-of-range predicates
+  // (kept_low = 1) and the pruned band read loses nothing.
+  private def x130Spec: QuerySpec =
+    QuerySpec("x130_compact_small",
+      (s, d) => {
+        import graft.io.Snapshots
+        val template = Staging.dir("binpacktbl", d) { tmp =>
+          val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+          val w = docs.agg(max(col("doc_id"))).first().getLong(0) / 2 + 1
+          val tbl = s"$tmp/tbl"
+          Snapshots.commitAppend(docs.filter(col("doc_id") < w).coalesce(1),
+            tbl, recordSchema = true, statsCols = Seq("doc_id"))
+          (0 until 6).foreach { i =>
+            Snapshots.commitAppend(
+              docs.filter(col("doc_id") >= w && (col("doc_id") - w) % 6 === i).coalesce(1),
+              tbl, recordSchema = true, statsCols = Seq("doc_id"))
+          }
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_binpack_run").toString
+        copyTree(java.nio.file.Paths.get(template), java.nio.file.Paths.get(tmp))
+        val tbl = s"$tmp/tbl"
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w = maxId / 2 + 1
+        val f = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+        val bigBytes = Snapshots.liveFiles(s, tbl)
+          .map(p => f.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).max
+        val r = Snapshots.compactSmall(s, tbl, smallBytes = bigBytes,
+          targetBytes = Long.MaxValue, statsCols = Seq("doc_id"))
+        // manifest pruning after the re-stamp: a low-band predicate keeps
+        // only the big file; the pruned high-band read loses no row
+        val keptLow = Snapshots.pruneFiles(s, tbl, "doc_id", "0", (w - 1).toString)._1.size
+        val bandRows = Snapshots.readPruned(s, tbl, "doc_id", w.toString, maxId.toString)
+          .filter(col("doc_id") >= w).count()
+        val audit = s.range(1).select(
+          lit(r.packed.toLong).as("packed"),
+          lit(r.filesAfter.toLong).as("files_after"),
+          lit(r.untouched.toLong).as("untouched"),
+          lit(keptLow.toLong).as("kept_low"),
+          lit(bandRows).as("band_rows"))
+        Snapshots.readAt(s, tbl)
+          .groupBy("source")
+          .agg(n.as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT max(doc_id) // 2 + 1 AS w FROM documents)
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(6 AS BIGINT) AS packed,
+           |       CAST(1 AS BIGINT) AS files_after,
+           |       CAST(1 AS BIGINT) AS untouched,
+           |       CAST(1 AS BIGINT) AS kept_low,
+           |       (SELECT count(*) FROM documents, w WHERE doc_id >= w) AS band_rows
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
+  /** st25: INCREMENTAL VIEW MAINTENANCE driven end-to-end — a per-source
+    * (count, sum of chars) aggregate kept current over a 9-version
+    * mutation timeline (4 quarter appends → 3 thirds merges → a
+    * GROUP-MOVING merge re-sourcing each quarter's min doc to 'moved' →
+    * a MoR point delete of each third's max doc) purely from the change
+    * feed: [[graft.io.ViewMaintenance]] folds each version's CDC rows as
+    * signed deltas into a snapshot-table view, one exactly-once MERGE per
+    * version (note ledger — the second maintain() call applies ZERO
+    * versions, pinned in-plan). The law the oracle checks is THE
+    * maintenance invariant: the incrementally-maintained view equals a
+    * direct GROUP BY of the final table state — which at 100 TB you could
+    * no longer afford to run. The group-moving update is the step naive
+    * re-aggregation gets wrong: id leaves one group (-1, -chars) and
+    * enters another (+1, +chars) in the same version. */
+  private def st25Spec: QuerySpec =
+    QuerySpec("st25_incremental_view",
+      (s, d) => {
+        import graft.io.{Snapshots, ViewMaintenance}
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w4 = maxId / 4 + 1
+        val w3 = maxId / 3 + 1
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ivm_run").toString
+        val tbl = s"$tmp/tbl"
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w4 && col("doc_id") < (i + 1) * w4)
+              .coalesce(1),
+            tbl, recordSchema = true, statsCols = Seq("doc_id"))
+        }
+        (0 until 3).foreach { i =>
+          Snapshots.mergeInto(s, tbl,
+            docs.filter(col("doc_id") >= i * w3 && col("doc_id") < (i + 1) * w3)
+              .withColumn("n_chars", col("n_chars") + (i + 1) * 1000L),
+            keys = Seq("doc_id"), pruneOn = Some("doc_id"))
+        }
+        // group-moving merge: each quarter's min doc re-sourced to 'moved'
+        // (n_chars already carries its thirds bump — replayed in SQL)
+        val movedKeys = docs.groupBy(floor(col("doc_id") / w4).cast("long").as("k"))
+          .agg(min(col("doc_id")).as("id"))
+          .select("id").collect().map(_.getLong(0)).toSeq
+        Snapshots.mergeInto(s, tbl,
+          docs.filter(col("doc_id").isin(movedKeys: _*))
+            .withColumn("source", lit("moved"))
+            .withColumn("n_chars",
+              col("n_chars") + (floor(col("doc_id") / w3).cast("long") + 1L) * 1000L),
+          keys = Seq("doc_id"), pruneOn = Some("doc_id"))
+        // MoR point delete: each third's max doc
+        val deadKeys = docs.groupBy(floor(col("doc_id") / w3).cast("long").as("k"))
+          .agg(max(col("doc_id")).as("id"))
+          .select("id").collect().map(_.getLong(0)).toSeq
+        Snapshots.deleteWhereMor(s, tbl, col("doc_id").isin(deadKeys: _*),
+          keys = Seq("doc_id"))
+        val first = ViewMaintenance.maintain(s, tbl, Seq("doc_id"),
+          dims = Seq("source"), measures = Seq("n_chars"),
+          feedDir = s"$tmp/feed", viewTable = s"$tmp/view")
+        val second = ViewMaintenance.maintain(s, tbl, Seq("doc_id"),
+          dims = Seq("source"), measures = Seq("n_chars"),
+          feedDir = s"$tmp/feed", viewTable = s"$tmp/view")
+        val audit = s.range(1).select(
+          lit(first.size.toLong).as("applied_first"),
+          lit(second.size.toLong).as("applied_second"))
+        ViewMaintenance.readView(s, s"$tmp/view")
+          .select(col("source"), col("n_rows"),
+            col("sum_n_chars").cast("long").as("sum_n_chars"))
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some("""WITH w4 AS (SELECT max(doc_id) // 4 + 1 AS w FROM documents),
+           |w3 AS (SELECT max(doc_id) // 3 + 1 AS w FROM documents),
+           |moved AS (SELECT min(doc_id) AS id FROM documents, w4 GROUP BY doc_id // w),
+           |dead AS (SELECT max(doc_id) AS id FROM documents, w3 GROUP BY doc_id // w),
+           |fin AS (
+           |  SELECT CASE WHEN doc_id IN (SELECT id FROM moved) THEN 'moved'
+           |              ELSE source END AS source,
+           |         n_chars + (doc_id // w + 1) * 1000 AS n_chars
+           |  FROM documents, w3
+           |  WHERE doc_id NOT IN (SELECT id FROM dead))
+           |SELECT source, count(*) AS n_rows,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+           |       CAST(9 AS BIGINT) AS applied_first,
+           |       CAST(0 AS BIGINT) AS applied_second
+           |FROM fin GROUP BY source ORDER BY source""".stripMargin))
 }

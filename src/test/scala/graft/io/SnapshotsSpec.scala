@@ -594,6 +594,117 @@ class SnapshotsSpec extends SparkSpec {
     assert(rows === Seq((2L, "insert", Some("x"))))
   }
 
+  test("restore rolls content back as a new commit; history and time travel survive") {
+    val t = tmpTable()
+    Snapshots.commitAppend(df(1 to 10), t, recordSchema = true)
+    Snapshots.commitAppend(df(11 to 15), t, recordSchema = true)
+    Snapshots.deleteWhere(spark, t, col("id") <= 3)
+    assert(Snapshots.readAt(spark, t).count() === 12)
+    val v4 = Snapshots.restore(spark, t, toVersion = 1, note = Some("undo-bad-ingest"))
+    assert(v4 === 4L)
+    assert(Snapshots.readAt(spark, t).as[Long].collect().toSet === (1L to 10L).toSet)
+    // nothing destroyed: every pre-restore version still resolves
+    assert(Snapshots.readAt(spark, t, Some(2)).count() === 15)
+    assert(Snapshots.readAt(spark, t, Some(3)).count() === 12)
+    assert(Snapshots.notes(spark, t).contains("undo-bad-ingest"))
+    // metadata-only: the restore commit wrote no data files
+    assert(Snapshots.liveFiles(spark, t).toSet ===
+      Snapshots.liveFiles(spark, t, Some(1)).toSet)
+    // restoring to identical content is a no-op, not an empty commit
+    assert(Snapshots.restore(spark, t, toVersion = 1) === 4L)
+    assert(Snapshots.currentVersion(spark, t) === 4L)
+  }
+
+  test("restore across a MoR delete reinstates the deletion-vector state") {
+    val t = tmpTable()
+    Snapshots.commitAppend(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v").coalesce(1),
+      t, recordSchema = true)
+    Snapshots.deleteWhereMor(spark, t, col("id") === 2L, keys = Seq("id"))
+    assert(Snapshots.readAt(spark, t).count() === 2)
+    // roll back BEFORE the delete: dv must drop out
+    Snapshots.restore(spark, t, toVersion = 1)
+    assert(Snapshots.liveDvFiles(spark, t).isEmpty)
+    assert(Snapshots.readAt(spark, t).count() === 3)
+    // roll forward to the deleted state: dv must come back
+    Snapshots.restore(spark, t, toVersion = 2)
+    assert(Snapshots.liveDvFiles(spark, t).size === 1)
+    assert(Snapshots.readAt(spark, t).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 3L -> 30L))
+  }
+
+  test("restore re-stamps the target's schema across an evolution") {
+    val t = tmpTable()
+    Snapshots.commitAppend(Seq((1L, 10L)).toDF("id", "n").coalesce(1), t, recordSchema = true)
+    Snapshots.commitAppend(Seq((2L, 20L, "x")).toDF("id", "n", "tag").coalesce(1), t,
+      recordSchema = true)
+    assert(Snapshots.readAt(spark, t).columns.toSet === Set("id", "n", "tag"))
+    Snapshots.restore(spark, t, toVersion = 1)
+    assert(Snapshots.readAt(spark, t).columns.toSet === Set("id", "n"))
+  }
+
+  test("tags pin versions immutably; vacuum keeps tagged files; bad names rejected") {
+    val t = tmpTable()
+    Snapshots.commitAppend(df(1 to 5), t, recordSchema = true)
+    Snapshots.commitAppend(df(6 to 9), t, recordSchema = true)
+    assert(Snapshots.tag(spark, t, "v1-curated", Some(1)) === 1L)
+    assert(Snapshots.tag(spark, t, "latest") === 2L) // default = current
+    assert(Snapshots.tags(spark, t) === Map("v1-curated" -> 1L, "latest" -> 2L))
+    assert(Snapshots.readTag(spark, t, "v1-curated").count() === 5)
+    intercept[IllegalArgumentException] { Snapshots.tag(spark, t, "latest", Some(1)) }
+    intercept[IllegalArgumentException] { Snapshots.tag(spark, t, "no/slash") }
+    intercept[IllegalArgumentException] { Snapshots.tag(spark, t, "ghost", Some(7)) }
+    intercept[IllegalArgumentException] { Snapshots.readTag(spark, t, "missing") }
+    // a tagged version's files survive vacuum like any committed version's
+    Snapshots.compact(spark, t)
+    assert(Snapshots.vacuum(spark, t).isEmpty)
+    assert(Snapshots.readTag(spark, t, "v1-curated").as[Long].collect().toSet
+      === (1L to 5L).toSet)
+  }
+
+  test("compactSmall binpacks only the small tail; big files stay byte-identical") {
+    val t = tmpTable()
+    // one big file (1000 rows), six tiny ones
+    Snapshots.commitAppend(df(1 to 1000), t, recordSchema = true, statsCols = Seq("id"))
+    val big = Snapshots.liveFiles(spark, t)
+    (1 to 6).foreach(i => Snapshots.commitAppend(
+      df(1000 + i to 1000 + i).coalesce(1), t, recordSchema = true, statsCols = Seq("id")))
+    val bigBytes = big.map(p =>
+      new java.io.File(new java.net.URI(p).getPath) -> 0).map(_._1.length()).sum
+    val bigMtimes = big.map(p => new java.io.File(new java.net.URI(p).getPath).lastModified())
+    val r = Snapshots.compactSmall(spark, t, smallBytes = bigBytes / big.size,
+      targetBytes = Long.MaxValue, statsCols = Seq("id"))
+    assert(r.packed === 6 && r.filesAfter === 1 && r.untouched === big.size)
+    assert(Snapshots.readAt(spark, t).count() === 1006)
+    // untouched files were never rewritten
+    assert(big.map(p => new java.io.File(new java.net.URI(p).getPath).lastModified())
+      === bigMtimes)
+    // the rewritten tail regained zone-map stats
+    assert(Snapshots.fileStats(spark, t).exists(st =>
+      st.column == "id" && st.min.toLong == 1001 && st.max.toLong == 1006))
+    // fewer than 2 small files = nothing to gain, no commit
+    val r2 = Snapshots.compactSmall(spark, t, smallBytes = 1, targetBytes = Long.MaxValue)
+    assert(r2.version === r.version && r2.packed === 0)
+  }
+
+  test("compactSmall preserves live MoR deletes without folding them") {
+    val t = tmpTable()
+    (0 until 4).foreach(i => Snapshots.commitAppend(
+      Seq((i.toLong, i * 10L)).toDF("id", "v").coalesce(1), t, recordSchema = true))
+    Snapshots.deleteWhereMor(spark, t, col("id") === 2L, keys = Seq("id"))
+    val r = Snapshots.compactSmall(spark, t, smallBytes = Long.MaxValue,
+      targetBytes = Long.MaxValue)
+    assert(r.packed === 4 && r.filesAfter === 1)
+    // dv still live (not folded), still suppressing at read
+    assert(Snapshots.liveDvFiles(spark, t).size === 1)
+    assert(Snapshots.readAt(spark, t).select("id").as[Long].collect().toSet
+      === Set(0L, 1L, 3L))
+    // a later full compact folds it
+    Snapshots.compact(spark, t)
+    assert(Snapshots.liveDvFiles(spark, t).isEmpty)
+    assert(Snapshots.readAt(spark, t).select("id").as[Long].collect().toSet
+      === Set(0L, 1L, 3L))
+  }
+
   test("commit publish is atomic: manifests appear complete, no temp residue") {
     val t = tmpTable()
     // hammer one table from 8 threads with a READER racing the writers:
