@@ -326,20 +326,37 @@ object Snapshots {
     val live = liveFiles(spark, table, Some(v)).toSet
     val seen = scala.collection.mutable.HashSet.empty[(String, String)]
     val out = scala.collection.mutable.ArrayBuffer.empty[FileStat]
+    def fold(lines: Seq[String]): Unit =
+      lines.flatMap(parseLine).foreach {
+        case ("stat", payload) =>
+          payload.split(StatSep, 5) match {
+            case Array(p, cl, dt, lo, hi)
+                if live(p) && seen.add((p, cl)) =>
+              out += FileStat(p, cl, dt, lo, hi)
+            case _ =>
+          }
+        case _ =>
+      }
     versions(spark, table).filter(_ <= v).foreach { c =>
-      readLines(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))
-        .flatMap(parseLine).foreach {
-          case ("stat", payload) =>
-            payload.split(StatSep, 5) match {
-              case Array(p, cl, dt, lo, hi)
-                  if live(p) && seen.add((p, cl)) =>
-                out += FileStat(p, cl, dt, lo, hi)
-              case _ =>
-            }
-          case _ =>
-        }
+      fold(readLines(f, new Path(f"${manifestDir(table)}/v$c%010d.json")))
+    }
+    // full-state checkpoints carry the live files' stats forward across
+    // [[expireVersions]]; pre-expiry the commits above already held them
+    // (stats are immutable per (path, column), so the dedup is exact)
+    checkpointVersions(spark, table).filter(_ <= v).sorted.lastOption.foreach { c =>
+      fold(readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json")))
     }
     out.toSeq
+  }
+
+  private def checkpointVersions(spark: SparkSession, table: String): Seq[Long] = {
+    val f = fs(spark, table)
+    val dir = new Path(manifestDir(table))
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+      case CheckpointFile(c) => Some(c.toLong)
+      case _                 => None
+    }).sorted
   }
 
   /** Can a file whose recorded [min,max] for the stat's dtype intersect
@@ -709,7 +726,16 @@ object Snapshots {
         .flatMap(parseLine).collectFirst { case ("schema", s) =>
           org.apache.spark.sql.types.DataType.fromJson(s).asInstanceOf[StructType]
         }
-    }.headOption
+    }.headOption.orElse {
+      // stamps committed before an [[expireVersions]] horizon survive in
+      // the full-state checkpoint (the commits that carried them are gone)
+      checkpointVersions(spark, table).filter(_ <= v).sorted.reverse.view.flatMap { c =>
+        readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
+          .flatMap(parseLine).collectFirst { case ("schema", s) =>
+            org.apache.spark.sql.types.DataType.fromJson(s).asInstanceOf[StructType]
+          }
+      }.headOption
+    }
   }
 
   /** The live data-file set at `version` (default: current): start from
@@ -966,15 +992,39 @@ object Snapshots {
   /** Write a checkpoint of the live set at the current version — readers
     * then replay only the tail. Create-once like commits; checkpointing
     * an already-checkpointed version is a no-op. */
-  def checkpoint(spark: SparkSession, table: String): Long = {
-    val v = currentVersion(spark, table)
-    if (v == 0) return 0
-    val lines = liveFiles(spark, table, Some(v))
-      .map(p => s"""{"a":"add","p":${jq(p)}}""") ++
-      liveDvFiles(spark, table, Some(v))
-        .map(p => s"""{"a":"dv","p":${jq(p)}}""")
-    writeExclusive(fs(spark, table), new Path(f"${manifestDir(table)}/c$v%010d.json"), lines)
-    v
+  /** Write a FULL-STATE checkpoint at `version` (default current): the
+    * live data/dv sets plus everything resolution otherwise replays from
+    * the commit history — the newest schema stamp, the live files' zone-map
+    * stats, and the complete note ledger as of that version. Pre-expiry a
+    * checkpoint merely shortens replay; after [[expireVersions]] it IS the
+    * history for everything at or below it. */
+  def checkpoint(spark: SparkSession, table: String): Long =
+    checkpointAt(spark, table, currentVersion(spark, table))
+
+  def checkpointAt(spark: SparkSession, table: String, version: Long): Long = {
+    if (version == 0) return 0
+    val f = fs(spark, table)
+    val noteLines = versions(spark, table).filter(_ <= version).flatMap { c =>
+      readLines(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))
+        .flatMap(parseLine).collect { case ("note", s) => s }
+    } ++ checkpointVersions(spark, table).filter(_ <= version).sorted.lastOption.toSeq
+      .flatMap { c =>
+        readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
+          .flatMap(parseLine).collect { case ("note", s) => s }
+      }
+    val lines =
+      tableSchema(spark, table, Some(version)).map(s =>
+        s"""{"a":"schema","p":${jq(s.json)}}""").toSeq ++
+      liveFiles(spark, table, Some(version))
+        .map(p => s"""{"a":"add","p":${jq(p)}}""") ++
+      liveDvFiles(spark, table, Some(version))
+        .map(p => s"""{"a":"dv","p":${jq(p)}}""") ++
+      fileStats(spark, table, Some(version)).map(st =>
+        s"""{"a":"stat","p":${jq(
+          Seq(st.path, st.column, st.dtype, st.min, st.max).mkString(StatSep))}}""") ++
+      noteLines.distinct.map(s => s"""{"a":"note","p":${jq(s)}}""")
+    writeExclusive(f, new Path(f"${manifestDir(table)}/c$version%010d.json"), lines)
+    version
   }
 
   /** All note strings ever committed (ascending version order). Commit
@@ -984,10 +1034,17 @@ object Snapshots {
     * path-based [[commitBatchOnce]] check can't serve it). */
   def notes(spark: SparkSession, table: String): Seq[String] = {
     val f = fs(spark, table)
-    versions(spark, table).flatMap { v =>
-      readLines(f, new Path(f"${manifestDir(table)}/v$v%010d.json"))
+    // ledger entries whose commits were expired survive in the newest
+    // full-state checkpoint; pre-expiry the checkpoint's notes are a
+    // (deduplicated) prefix of the commits' own
+    val ckptNotes = checkpointVersions(spark, table).sorted.lastOption.toSeq.flatMap { c =>
+      readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
         .flatMap(parseLine).collect { case ("note", s) => s }
     }
+    (ckptNotes ++ versions(spark, table).flatMap { v =>
+      readLines(f, new Path(f"${manifestDir(table)}/v$v%010d.json"))
+        .flatMap(parseLine).collect { case ("note", s) => s }
+    }).distinct
   }
 
   /** One row of [[history]]: what a commit did, at metadata granularity. */
@@ -1027,11 +1084,77 @@ object Snapshots {
   def referencedFiles(spark: SparkSession, table: String): Set[String] = {
     val f = fs(spark, table)
     val referenced = scala.collection.mutable.HashSet.empty[String]
+    // a file is referenced iff some EXISTING manifest ADDS it (a version
+    // that resolves to it must replay an add — commits hold post-horizon
+    // adds, full-state checkpoints carry the horizon's live sets across
+    // [[expireVersions]]). Remove-only mentions protect nothing: their
+    // adding commit either still exists (pre-expiry, always) or every
+    // version that could include the file is itself expired — that
+    // distinction is what lets expiry actually free storage.
     versions(spark, table).foreach { v =>
       readLines(f, new Path(f"${manifestDir(table)}/v$v%010d.json"))
-        .flatMap(parseLine).foreach { case (_, p) => referenced += p }
+        .flatMap(parseLine).foreach {
+          case ("add", p) => referenced += p
+          case ("dv", p)  => referenced += p
+          case _          =>
+        }
+    }
+    checkpointVersions(spark, table).foreach { c =>
+      readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
+        .flatMap(parseLine).foreach {
+          case ("add", p) => referenced += p
+          case ("dv", p)  => referenced += p
+          case _          =>
+        }
     }
     referenced.toSet
+  }
+
+  /** Outcome of an [[expireVersions]]: the versions whose manifests were
+    * expired and the full-state checkpoint now anchoring the horizon. */
+  final case class ExpireResult(expired: Seq[Long], checkpointAt: Long)
+
+  /** EXPIRE history below `keepFrom` — the retention pass that BOUNDS
+    * STORAGE (Iceberg `expire_snapshots` / Delta retention shape). Time
+    * travel forever is the default here, but at 100 TB under copy-on-write
+    * churn every rewrite's old files stay referenced and storage grows
+    * without bound; this is the deliberate forgetting step:
+    *
+    *  1. write a FULL-STATE checkpoint at `keepFrom` (live sets + schema +
+    *     stats + note ledger — everything resolution would have replayed
+    *     from the doomed commits; see [[checkpointAt]]);
+    *  2. delete commit and checkpoint manifests strictly below `keepFrom`.
+    *
+    * Versions ≥ `keepFrom` keep resolving exactly as before (checkpoint +
+    * commit tail); versions below it now REJECT with the ordinary
+    * unknown-version error. Data files referenced only by expired
+    * versions become unreferenced and the next [[vacuum]] reclaims them —
+    * that reclamation is the point. The exactly-once note ledger and the
+    * zone maps survive in the checkpoint, so streaming replays and pruned
+    * reads are unaffected.
+    *
+    * Safety refusals: a TAG pinned below `keepFrom` blocks expiry (tags
+    * are the reproducibility contract — delete the tag first if you mean
+    * it); `keepFrom` must be an existing version. Change-feed consumers
+    * must be caught up past the horizon before expiring (same constraint
+    * every CDC retention window imposes) — [[ChangeFeed.sync]] on an
+    * expired span fails loudly rather than skipping silently. */
+  def expireVersions(spark: SparkSession, table: String,
+                     keepFrom: Long): ExpireResult = {
+    val f = fs(spark, table)
+    val known = versions(spark, table)
+    require(known.contains(keepFrom),
+      s"version $keepFrom of $table does not exist")
+    val pinned = tags(spark, table).filter(_._2 < keepFrom)
+    require(pinned.isEmpty,
+      s"tags ${pinned.keys.mkString(", ")} pin versions below $keepFrom; " +
+        "delete them before expiring")
+    checkpointAt(spark, table, keepFrom)
+    val doomedC = checkpointVersions(spark, table).filter(_ < keepFrom)
+    val doomedV = known.filter(_ < keepFrom)
+    doomedV.foreach(v => f.delete(new Path(f"${manifestDir(table)}/v$v%010d.json"), false))
+    doomedC.foreach(c => f.delete(new Path(f"${manifestDir(table)}/c$c%010d.json"), false))
+    ExpireResult(doomedV, keepFrom)
   }
 
   /** Rewrite the current live set into `targetFiles` files and commit the

@@ -3226,7 +3226,7 @@ object ExtQueries {
     x115Spec, x116Spec, x117Spec, x118Spec, x119Spec, st21Spec,
     x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec,
     x126Spec, x127Spec, x128Spec, st23Spec, st24Spec,
-    x129Spec, x130Spec, st25Spec)
+    x129Spec, x130Spec, st25Spec, x131Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -6016,4 +6016,49 @@ object ExtQueries {
            |       CAST(9 AS BIGINT) AS applied_first,
            |       CAST(0 AS BIGINT) AS applied_second
            |FROM fin GROUP BY source ORDER BY source""".stripMargin))
+
+  // VERSION EXPIRY (x131) — the retention pass that BOUNDS STORAGE: eight
+  // ingest commits compacted into four files (v9) leave the eight original
+  // slice files referenced only by history; expiring below the horizon
+  // (keepFrom = 9) writes a full-state checkpoint (live set + schema +
+  // stats + note ledger), deletes the eight doomed manifests, and the next
+  // vacuum reclaims exactly the eight historical files — the step without
+  // which a CoW table's storage grows monotonically forever at 100 TB.
+  // Reads at/above the horizon stay byte-identical (the content aggregate
+  // IS the oracle check), a read below it rejects loudly rather than
+  // answering wrong (below_rejects rides in-plan), and the whole pass is
+  // metadata-sized: nothing here ever reads a data file.
+  private def x131Spec: QuerySpec =
+    QuerySpec("x131_version_expiry",
+      (s, d) => {
+        import graft.io.Snapshots
+        val template = Staging.dir("deltbl", d) { tmp =>
+          slicedSnapshotTable(s, tmp, d); ()
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_expire_run").toString
+        copyTree(java.nio.file.Paths.get(template), java.nio.file.Paths.get(tmp))
+        val tbl = s"$tmp/tbl"
+        Snapshots.compact(s, tbl, targetFiles = 4) // v9: v1-8's files → history
+        val r = Snapshots.expireVersions(s, tbl, keepFrom = 9)
+        val vacuumed = Snapshots.vacuum(s, tbl)
+        val belowRejects =
+          if (scala.util.Try(Snapshots.readAt(s, tbl, Some(2))).isFailure) 1L else 0L
+        val audit = s.range(1).select(
+          lit(r.expired.size.toLong).as("expired_n"),
+          lit(r.checkpointAt).as("horizon"),
+          lit(vacuumed.size.toLong).as("vacuumed_n"),
+          lit(belowRejects).as("below_rejects"))
+        Snapshots.readAt(s, tbl)
+          .groupBy("source")
+          .agg(n.as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(8 AS BIGINT) AS expired_n,
+           |       CAST(9 AS BIGINT) AS horizon,
+           |       CAST(8 AS BIGINT) AS vacuumed_n,
+           |       CAST(1 AS BIGINT) AS below_rejects
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 }

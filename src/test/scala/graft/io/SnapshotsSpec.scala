@@ -705,6 +705,63 @@ class SnapshotsSpec extends SparkSpec {
       === Set(0L, 1L, 3L))
   }
 
+  test("expireVersions bounds history: reads above the horizon unchanged, below reject, vacuum reclaims") {
+    val t = tmpTable()
+    Snapshots.commitAppend(df(1 to 10), t, recordSchema = true, statsCols = Seq("id"))
+    Snapshots.commitAppend(df(11 to 15), t, recordSchema = true, statsCols = Seq("id"))
+    Snapshots.compact(spark, t)                                   // v3: v1/v2 files now historical
+    Snapshots.commit(spark, t, adds = Nil, removes = Nil, notes = Seq("ledger-epoch-1")) // v4
+    Snapshots.commitAppend(df(16 to 20), t, recordSchema = true, statsCols = Seq("id")) // v5
+    val preReads = (3L to 5L).map(v => Snapshots.readAt(spark, t, Some(v))
+      .as[Long].collect().toSet)
+    val preStats = Snapshots.fileStats(spark, t).toSet
+    val r = Snapshots.expireVersions(spark, t, keepFrom = 3)
+    assert(r.expired === Seq(1L, 2L) && r.checkpointAt === 3L)
+    // the horizon and everything above it resolve byte-identically
+    assert((3L to 5L).map(v => Snapshots.readAt(spark, t, Some(v))
+      .as[Long].collect().toSet) === preReads)
+    // below the horizon: the ordinary unknown-version rejection
+    intercept[IllegalArgumentException] { Snapshots.readAt(spark, t, Some(2)) }
+    // metadata survives the expired commits: schema, note ledger, zone maps
+    assert(Snapshots.tableSchema(spark, t).isDefined)
+    assert(Snapshots.notes(spark, t).contains("ledger-epoch-1"))
+    assert(Snapshots.fileStats(spark, t).toSet === preStats)
+    assert(Snapshots.pruneFiles(spark, t, "id", "16", "20")._1.nonEmpty)
+    // v1/v2's pre-compaction files are now unreferenced → vacuum food;
+    // everything live stays
+    val reclaimed = Snapshots.vacuum(spark, t)
+    assert(reclaimed.nonEmpty)
+    assert(Snapshots.readAt(spark, t).as[Long].collect().toSet === (1L to 20L).toSet)
+    assert(Snapshots.readAt(spark, t, Some(3)).count() === 15)
+  }
+
+  test("expireVersions refuses to cross a pinned tag; proceeds once untagged") {
+    val t = tmpTable()
+    Snapshots.commitAppend(df(1 to 5), t, recordSchema = true)
+    Snapshots.commitAppend(df(6 to 9), t, recordSchema = true)
+    Snapshots.tag(spark, t, "pinned", Some(1))
+    intercept[IllegalArgumentException] { Snapshots.expireVersions(spark, t, 2) }
+    // same call with the tag out of the doomed range is fine
+    assert(Snapshots.expireVersions(spark, t, 1).expired === Seq.empty)
+    intercept[IllegalArgumentException] { Snapshots.expireVersions(spark, t, 7) }
+  }
+
+  test("expireVersions carries live deletion vectors across the horizon") {
+    val t = tmpTable()
+    Snapshots.commitAppend(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v").coalesce(1),
+      t, recordSchema = true)
+    Snapshots.deleteWhereMor(spark, t, col("id") === 2L, keys = Seq("id"))
+    Snapshots.commitAppend(Seq((4L, 40L)).toDF("id", "v").coalesce(1), t,
+      recordSchema = true)
+    Snapshots.expireVersions(spark, t, keepFrom = 3)
+    assert(Snapshots.liveDvFiles(spark, t).size === 1)
+    assert(Snapshots.readAt(spark, t).select("id").as[Long].collect().toSet
+      === Set(1L, 3L, 4L))
+    assert(Snapshots.vacuum(spark, t).isEmpty) // dv + data all still referenced
+    assert(Snapshots.readAt(spark, t).select("id").as[Long].collect().toSet
+      === Set(1L, 3L, 4L))
+  }
+
   test("commit publish is atomic: manifests appear complete, no temp residue") {
     val t = tmpTable()
     // hammer one table from 8 threads with a READER racing the writers:
