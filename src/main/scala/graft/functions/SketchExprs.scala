@@ -41,4 +41,35 @@ object SketchExprs {
     import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn, toExpression}
     toColumn(BloomMightContainString(toExpression(key.cast("string")), bloom))
   }
+
+  /** true iff a SERIALIZED bloom (binary child, `BloomFilter.writeTo`
+    * bytes) might contain ANY of the probe strings. The file-index probe
+    * shape ([[graft.io.Snapshots.readPoint]]): evaluated once per INDEX
+    * ROW (one row = one data file's bloom), so the per-row deserialization
+    * is amortized over the whole file the row prunes — never a hot path.
+    * Probes ride the expression as a literal: point lookups carry a
+    * handful of keys, not a broadcast-sized set. */
+  case class BloomBytesAnyContain(child: Expression, probes: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "bloom_bytes_any_contain"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_bytes_any_contain needs BINARY input, got ${child.dataType.catalogString}")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bf = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(input.asInstanceOf[Array[Byte]]))
+      probes.exists(bf.mightContainString)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BloomBytesAnyContain =
+      copy(child = newChild)
+  }
+
+  def bloomAnyContain(bytes: Column, probes: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ExprBridge.{toColumn, toExpression}
+    toColumn(BloomBytesAnyContain(toExpression(bytes), probes))
+  }
 }

@@ -229,7 +229,8 @@ object Snapshots {
              schemaJson: Option[String] = None,
              stats: Seq[FileStat] = Nil,
              notes: Seq[String] = Nil,
-             dvAdds: Seq[String] = Nil): Long = {
+             dvAdds: Seq[String] = Nil,
+             bloomAdds: Seq[String] = Nil): Long = {
     val f = fs(spark, table)
     f.mkdirs(new Path(manifestDir(table)))
     val next = baseVersion.getOrElse(currentVersion(spark, table)) + 1
@@ -248,6 +249,7 @@ object Snapshots {
         adds.map(p => s"""{"a":"add","p":${jq(p)}}""") ++
         removes.map(p => s"""{"a":"remove","p":${jq(p)}}""") ++
         dvAdds.map(p => s"""{"a":"dv","p":${jq(p)}}""") ++
+        bloomAdds.map(p => s"""{"a":"bloom","p":${jq(p)}}""") ++
         stats.map(st => s"""{"a":"stat","p":${jq(
           Seq(st.path, st.column, st.dtype, st.min, st.max).mkString(StatSep))}}""") ++
         notes.map(s => s"""{"a":"note","p":${jq(s)}}""")
@@ -810,6 +812,40 @@ object Snapshots {
     dv.toSeq
   }
 
+  /** The live BLOOM-INDEX sidecar files at `version` (default current) —
+    * [[buildBloomIndex]]'s per-data-file membership filters. Same replay
+    * as [[liveDvFiles]]: "bloom" adds a sidecar, "remove" retires it
+    * (index rebuilds), full-state checkpoints carry live sidecars across
+    * [[expireVersions]]. */
+  def liveBloomFiles(spark: SparkSession, table: String,
+                     version: Option[Long] = None): Seq[String] = {
+    val f = fs(spark, table)
+    val dir = new Path(manifestDir(table))
+    val v = version.getOrElse(currentVersion(spark, table))
+    if (!f.exists(dir)) return Seq.empty
+    val names = f.listStatus(dir).toSeq.map(_.getPath.getName)
+    val ckpt = names.flatMap {
+      case CheckpointFile(c) if c.toLong <= v => Some(c.toLong)
+      case _ => None
+    }.sorted.lastOption
+    val known = names.flatMap { case CommitFile(c) => Some(c.toLong); case _ => None }.toSet
+    val bl = scala.collection.mutable.LinkedHashSet.empty[String]
+    ckpt.foreach { c =>
+      readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
+        .flatMap(parseLine).foreach { case ("bloom", p) => bl += p; case _ => }
+    }
+    val from = ckpt.getOrElse(0L) + 1
+    (from to v).filter(known).foreach { c =>
+      readLines(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))
+        .flatMap(parseLine).foreach {
+          case ("bloom", p)  => bl += p
+          case ("remove", p) => bl -= p
+          case _             =>
+        }
+    }
+    bl.toSeq
+  }
+
   /** The live tombstone keys at `version`, with their key column names —
     * None when no deletion vectors are live. All live dv files share one
     * key schema ([[deleteWhereMor]] enforces it at write). */
@@ -1019,6 +1055,8 @@ object Snapshots {
         .map(p => s"""{"a":"add","p":${jq(p)}}""") ++
       liveDvFiles(spark, table, Some(version))
         .map(p => s"""{"a":"dv","p":${jq(p)}}""") ++
+      liveBloomFiles(spark, table, Some(version))
+        .map(p => s"""{"a":"bloom","p":${jq(p)}}""") ++
       fileStats(spark, table, Some(version)).map(st =>
         s"""{"a":"stat","p":${jq(
           Seq(st.path, st.column, st.dtype, st.min, st.max).mkString(StatSep))}}""") ++
@@ -1094,17 +1132,19 @@ object Snapshots {
     versions(spark, table).foreach { v =>
       readLines(f, new Path(f"${manifestDir(table)}/v$v%010d.json"))
         .flatMap(parseLine).foreach {
-          case ("add", p) => referenced += p
-          case ("dv", p)  => referenced += p
-          case _          =>
+          case ("add", p)   => referenced += p
+          case ("dv", p)    => referenced += p
+          case ("bloom", p) => referenced += p
+          case _            =>
         }
     }
     checkpointVersions(spark, table).foreach { c =>
       readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
         .flatMap(parseLine).foreach {
-          case ("add", p) => referenced += p
-          case ("dv", p)  => referenced += p
-          case _          =>
+          case ("add", p)   => referenced += p
+          case ("dv", p)    => referenced += p
+          case ("bloom", p) => referenced += p
+          case _            =>
         }
     }
     referenced.toSet
@@ -1309,6 +1349,164 @@ object Snapshots {
     CompactSmallResult(nv, small.size, parts.size, files.size - small.size)
   }
 
+  /** Outcome of a [[buildBloomIndex]]: the committed version, how many
+    * live files were newly indexed, how many were already covered, and
+    * the sidecar dir written (None when nothing needed indexing). */
+  final case class BloomIndexResult(version: Long, indexed: Int,
+                                    alreadyIndexed: Int, sidecar: Option[String])
+
+  /** Build a per-file BLOOM INDEX on `column` — the file-skipping layer
+    * for POINT LOOKUPS on a column the layout is NOT clustered by (zone
+    * maps prune by min/max range, which is useless when every file spans
+    * the full value range — the "find these 50 doc ids in 100 TB" shape).
+    * One sidecar parquet row per data file: (data_file, column, bloom
+    * bytes), the bloom being Spark's own `util.sketch.BloomFilter` sized
+    * to the file's exact non-null count at `fpp`.
+    *
+    * Build cost: two column-pruned passes over the UNINDEXED live files
+    * only (count per file, then one hash-partition-by-file pass building
+    * every bloom in parallel) — incremental by default, so the scheduled
+    * maintenance run pays O(new files since last build). `rebuild = true`
+    * re-indexes everything and retires this column's old sidecars in the
+    * same commit. The index is VERSIONED table state: the sidecar commit
+    * participates in time travel, checkpoints carry live sidecars across
+    * [[expireVersions]], rebuild-retired sidecars become [[vacuum]] food,
+    * and optimistic concurrency applies as everywhere.
+    *
+    * Files with only null keys produce no bloom row (a bloom cannot
+    * witness null) and stay conservatively unprunable, like a missing
+    * zone map. ~1.2 bytes/key at fpp 1%: ≈1% storage overhead — the
+    * standard bloom-index economics. */
+  def buildBloomIndex(spark: SparkSession, table: String, column: String,
+                      fpp: Double = 0.01,
+                      rebuild: Boolean = false): BloomIndexResult = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+    import spark.implicits._
+    val v = currentVersion(spark, table)
+    val live = liveFiles(spark, table, Some(v))
+    val sidecars = liveBloomFiles(spark, table, Some(v))
+    // which sidecar files serve THIS column, and which data files they
+    // cover (both metadata-sized: one row per data file)
+    val (oldForCol, covered) =
+      if (sidecars.isEmpty) (Nil, Set.empty[String])
+      else {
+        val byName = sidecars.map(p => new Path(p).getName -> p).toMap
+        val rows = spark.read.parquet(sidecars: _*)
+          .filter(col("column") === lit(column))
+          .select(input_file_name().as("sc"), col("data_file"))
+          .distinct().collect()
+        (rows.flatMap(r => byName.get(new Path(r.getString(0)).getName)).distinct.toSeq,
+          rows.map(_.getString(1)).toSet)
+      }
+    val todo = if (rebuild) live else live.filterNot(covered)
+    if (todo.isEmpty)
+      return BloomIndexResult(v, 0, covered.intersect(live.toSet).size, None)
+    val sc = tableSchema(spark, table, Some(v))
+    def read(files: Seq[String]) =
+      sc.map(spark.read.schema).getOrElse(spark.read).parquet(files: _*)
+    val keyed = read(todo)
+      .select(input_file_name().as("f"), col(column).cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    val sizes = keyed.groupBy("f").agg(count(lit(1)).as("n")).as[(String, Long)]
+      .collect().toMap
+    val bcSizes = spark.sparkContext.broadcast(sizes)
+    val blooms = keyed.repartition(col("f")).mapPartitions { it =>
+      val bfs = scala.collection.mutable.HashMap
+        .empty[String, org.apache.spark.util.sketch.BloomFilter]
+      it.foreach { row =>
+        val f = row.getString(0)
+        bfs.getOrElseUpdate(f, org.apache.spark.util.sketch.BloomFilter
+          .create(math.max(bcSizes.value.getOrElse(f, 1L), 1L), fpp))
+          .putString(row.getString(1))
+      }
+      bfs.iterator.map { case (f, bf) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (f, bos.toByteArray)
+      }
+    }
+    // scan URIs → the listed live paths, by unique part name (computeStats
+    // discipline — Spark part names embed the write job's UUID); then the
+    // sidecar lands like any data write: files FIRST, one commit after
+    val bcNames = spark.sparkContext.broadcast(
+      todo.map(p => new Path(p).getName -> p).toMap)
+    val dir = s"$table/_index/bloom-${java.util.UUID.randomUUID().toString}"
+    blooms.map { case (f, b) =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      (bcNames.value.getOrElse(name, name), column, b)
+    }.toDF("data_file", "column", "bloom")
+      .coalesce(1)
+      .write.parquet(dir)
+    val f = fs(spark, table)
+    val parts = f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+    val indexed = spark.read.parquet(dir).count().toInt
+    commit(spark, table, adds = Nil,
+      removes = if (rebuild) oldForCol else Nil,
+      bloomAdds = parts, baseVersion = Some(v),
+      notes = Seq(s"bloom-index-$column"))
+    BloomIndexResult(v + 1, indexed,
+      if (rebuild) 0 else covered.intersect(live.toSet).size, Some(dir))
+  }
+
+  /** Partition the live files of `version` by the bloom index's verdict
+    * for `values` on `column` — (candidates to read, files skipped). The
+    * [[pruneFiles]] shape for point predicates: files without a bloom
+    * row are conservatively candidates; the probe is ONE distributed
+    * sidecar scan and the driver holds only paths. */
+  def bloomPrune(spark: SparkSession, table: String, column: String,
+                 values: Seq[String],
+                 version: Option[Long] = None): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, lit, max, when}
+    val v = version.getOrElse(currentVersion(spark, table))
+    val live = liveFiles(spark, table, Some(v))
+    val probes = values.filter(_ != null)
+    val sidecars = liveBloomFiles(spark, table, Some(v))
+    if (live.isEmpty) (Nil, Nil)
+    else if (probes.isEmpty) (Nil, live)
+    else if (sidecars.isEmpty) (live, Nil)
+    else {
+      val verdicts = spark.read.parquet(sidecars: _*)
+        .filter(col("column") === lit(column))
+        .groupBy("data_file")
+        .agg(max(when(graft.functions.SketchExprs.bloomAnyContain(
+          col("bloom"), probes), 1L).otherwise(0L)).as("hit"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1) == 1L)).toMap
+      live.partition(p => verdicts.getOrElse(p, true))
+    }
+  }
+
+  /** POINT LOOKUP through the bloom index: the rows of `column ∈ values`
+    * (string image), reading only the files whose bloom says MIGHT — at
+    * 100 TB a k-key lookup on an unclustered column reads O(matching
+    * files + false positives) instead of the whole table. Files without
+    * a bloom row are conservatively read (never wrong, just unpruned);
+    * the probe itself is distributed (one sidecar scan; the driver
+    * collects candidate PATHS, metadata-sized). Merge-on-read deletes
+    * resolve as in every read. Null probes never match (SQL equality). */
+  def readPoint(spark: SparkSession, table: String, column: String,
+                values: Seq[String], version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = version.getOrElse(currentVersion(spark, table))
+    val live = liveFiles(spark, table, Some(v))
+    val sc = tableSchema(spark, table, Some(v))
+    val probes = values.filter(_ != null)
+    val candidates =
+      if (probes.isEmpty) Nil
+      else bloomPrune(spark, table, column, probes, Some(v))._1
+    val base =
+      if (candidates.isEmpty) {
+        val s = sc.getOrElse(throw new IllegalArgumentException(
+          s"readPoint on empty/fully-pruned $table needs a recorded schema"))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      } else {
+        val r = sc.map(spark.read.schema).getOrElse(spark.read).parquet(candidates: _*)
+        applyDv(spark, table, Some(v), r)
+      }
+    base.filter(col(column).cast("string").isin(probes: _*))
+  }
+
   /** Outcome of an [[optimizeZorder]]: the committed version and the
     * live-file counts either side of the rewrite. */
   final case class OptimizeResult(version: Long, filesBefore: Int, filesAfter: Int)
@@ -1368,20 +1566,24 @@ object Snapshots {
     * working. Returns the deleted paths. */
   def vacuum(spark: SparkSession, table: String): Seq[String] = {
     val f = fs(spark, table)
-    val dataDir = new Path(s"$table/data")
-    if (!f.exists(dataDir)) return Seq.empty
     val referenced = referencedFiles(spark, table)
-    val it = f.listFiles(dataDir, true)
     val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val s = it.next()
-      val p = s.getPath.toString
-      val name = s.getPath.getName
-      // in-flight Spark temp output is the writer's business, not garbage
-      if (s.isFile && !p.contains("_temporary") && !name.startsWith(".") &&
-          !name.startsWith("_") && !referenced.contains(p))
-        orphans += p
-    }
+    // data files and index sidecars reclaim under the same rule: no
+    // existing manifest adds them (crashed writers, retired/rebuilt
+    // indexes, history freed by expireVersions)
+    Seq(new Path(s"$table/data"), new Path(s"$table/_index"))
+      .filter(f.exists).foreach { dir =>
+        val it = f.listFiles(dir, true)
+        while (it.hasNext) {
+          val s = it.next()
+          val p = s.getPath.toString
+          val name = s.getPath.getName
+          // in-flight Spark temp output is the writer's business, not garbage
+          if (s.isFile && !p.contains("_temporary") && !name.startsWith(".") &&
+              !name.startsWith("_") && !referenced.contains(p))
+            orphans += p
+        }
+      }
     orphans.foreach(p => f.delete(new Path(p), false))
     orphans.toSeq
   }

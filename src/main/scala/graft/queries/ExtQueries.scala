@@ -3226,7 +3226,7 @@ object ExtQueries {
     x115Spec, x116Spec, x117Spec, x118Spec, x119Spec, st21Spec,
     x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec,
     x126Spec, x127Spec, x128Spec, st23Spec, st24Spec,
-    x129Spec, x130Spec, st25Spec, x131Spec)
+    x129Spec, x130Spec, st25Spec, x131Spec, x132Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -6061,4 +6061,68 @@ object ExtQueries {
            |       CAST(8 AS BIGINT) AS vacuumed_n,
            |       CAST(1 AS BIGINT) AS below_rejects
            |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
+  // BLOOM FILE INDEX point lookup (x132) — the needle-in-100-TB operator
+  // zone maps cannot serve: ukey = md5(doc_id) interleaves across all 8
+  // slice files (every file spans the full hex range, so min/max pruning
+  // keeps everything), but the per-file bloom sidecars prune a 3-key
+  // lookup to ~3 candidate files at fpp 1e-3 — reads O(matching files),
+  // not O(table). The index is ONE versioned metadata commit (~1.2
+  // bytes/key); bloom_effective pins the pruning (kept ≤ 5 tolerates
+  // a false positive or two without flaking), zone_blind pins that the
+  // zone maps really were useless on this column (the honest contrast
+  // with x102), and the row content pins no-false-negative correctness.
+  private def x132Spec: QuerySpec =
+    QuerySpec("x132_bloom_point_lookup",
+      (s, d) => {
+        import graft.io.Snapshots
+        val template = Staging.dir("bloomtbl", d) { tmp =>
+          val docs = Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), col("n_chars"),
+              md5(col("doc_id").cast("string")).as("ukey"))
+          val w = docs.agg(max(col("doc_id"))).first().getLong(0) / 8 + 1
+          (0 until 8).foreach { i =>
+            Snapshots.commitAppend(
+              docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w)
+                .coalesce(1),
+              s"$tmp/tbl", recordSchema = true, statsCols = Seq("ukey"))
+          }
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_run").toString
+        copyTree(java.nio.file.Paths.get(template), java.nio.file.Paths.get(tmp))
+        val tbl = s"$tmp/tbl"
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val w = docs.agg(max(col("doc_id"))).first().getLong(0) / 8 + 1
+        val r = Snapshots.buildBloomIndex(s, tbl, "ukey", fpp = 0.001)
+        val probeIds = docs.groupBy(floor(col("doc_id") / w).cast("long").as("k"))
+          .agg(min(col("doc_id")).as("id"))
+          .orderBy("id").limit(3).select("id").collect().map(_.getLong(0)).toSeq
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val probes = probeIds.map(i =>
+          md.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        val (kept, skipped) = Snapshots.bloomPrune(s, tbl, "ukey", probes)
+        // zone maps are blind here: the probe band [min, max] of 3 random
+        // md5s intersects every file's near-full hex range
+        val zoneKept = Snapshots.pruneFiles(s, tbl, "ukey",
+          probes.min, probes.max)._1.size
+        val audit = s.range(1).select(
+          lit(r.indexed.toLong).as("files_indexed"),
+          lit(if (kept.size <= 5) 1L else 0L).as("bloom_effective"),
+          lit(if (skipped.size >= 3) 1L else 0L).as("skipped_ge3"),
+          lit(if (zoneKept.toLong == 8L) 1L else 0L).as("zone_blind"))
+        Snapshots.readPoint(s, tbl, "ukey", probes)
+          .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+          .crossJoin(broadcast(audit))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT max(doc_id) // 8 + 1 AS w FROM documents),
+           |probes AS (SELECT min(doc_id) AS id FROM documents, w
+           |           GROUP BY doc_id // w ORDER BY id LIMIT 3)
+           |SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+           |       CAST(8 AS BIGINT) AS files_indexed,
+           |       CAST(1 AS BIGINT) AS bloom_effective,
+           |       CAST(1 AS BIGINT) AS skipped_ge3,
+           |       CAST(1 AS BIGINT) AS zone_blind
+           |FROM documents d JOIN probes p ON d.doc_id = p.id
+           |ORDER BY d.doc_id""".stripMargin))
 }

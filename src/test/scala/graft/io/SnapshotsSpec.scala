@@ -762,6 +762,89 @@ class SnapshotsSpec extends SparkSpec {
       === Set(1L, 3L, 4L))
   }
 
+  private def bloomTable(): String = {
+    val t = tmpTable()
+    // 4 files, keys deliberately UNCLUSTERED: md5 images interleave across
+    // commits, so zone maps on ukey cannot skip anything
+    (0 until 4).foreach { i =>
+      Snapshots.commitAppend(
+        spark.range(i.toLong * 100, i * 100 + 100)
+          .select(col("id"), md5(col("id").cast("string")).as("ukey"),
+            (col("id") * 10).as("v")).coalesce(1),
+        t, recordSchema = true)
+    }
+    t
+  }
+
+  test("bloom index: point lookup reads only might-contain files, parity with full scan") {
+    val t = bloomTable()
+    val r = Snapshots.buildBloomIndex(spark, t, "ukey", fpp = 0.001)
+    assert(r.indexed === 4 && r.alreadyIndexed === 0)
+    val probes = Seq(7L, 142L, 333L).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    val got = Snapshots.readPoint(spark, t, "ukey", probes)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(7L, 142L, 333L))
+    // a miss probe returns nothing and (at fpp 0.001) prunes everything
+    assert(Snapshots.readPoint(spark, t, "ukey", Seq("no-such-key")).isEmpty)
+    // incremental: a new commit is the only thing the next build touches
+    Snapshots.commitAppend(
+      spark.range(400, 450).select(col("id"), md5(col("id").cast("string")).as("ukey"),
+        (col("id") * 10).as("v")).coalesce(1), t, recordSchema = true)
+    val r2 = Snapshots.buildBloomIndex(spark, t, "ukey", fpp = 0.001)
+    assert(r2.indexed === 1 && r2.alreadyIndexed === 4)
+    assert(Snapshots.readPoint(spark, t, "ukey", probes.take(1)).count() === 1)
+  }
+
+  test("bloom index: unindexed files are conservatively read; nulls never match") {
+    val t = bloomTable()
+    Snapshots.buildBloomIndex(spark, t, "ukey")
+    // a post-index commit has no bloom row → always a candidate, never wrong
+    Snapshots.commitAppend(
+      Seq((999L, "plainkey", 0L)).toDF("id", "ukey", "v").coalesce(1),
+      t, recordSchema = true)
+    assert(Snapshots.readPoint(spark, t, "ukey", Seq("plainkey"))
+      .select("id").as[Long].collect().toSeq === Seq(999L))
+    assert(Snapshots.readPoint(spark, t, "ukey", Seq(null)).isEmpty)
+  }
+
+  test("bloom index: rebuild retires old sidecars (vacuum food); MoR deletes resolve") {
+    val t = bloomTable()
+    Snapshots.buildBloomIndex(spark, t, "ukey")
+    val old = Snapshots.liveBloomFiles(spark, t)
+    val probe = java.security.MessageDigest.getInstance("MD5")
+      .digest("7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Snapshots.deleteWhereMor(spark, t, col("id") === 7L, keys = Seq("id"))
+    assert(Snapshots.readPoint(spark, t, "ukey", Seq(probe)).isEmpty)
+    val r = Snapshots.buildBloomIndex(spark, t, "ukey", rebuild = true)
+    assert(r.indexed === 4)
+    assert(Snapshots.liveBloomFiles(spark, t).toSet.intersect(old.toSet) === Set.empty)
+    // retired sidecars stay for time travel until their adding version
+    // expires — then they are vacuum food
+    assert(Snapshots.vacuum(spark, t).isEmpty)
+    Snapshots.expireVersions(spark, t, Snapshots.currentVersion(spark, t))
+    val reclaimed = Snapshots.vacuum(spark, t)
+    assert(old.forall(p => reclaimed.contains(p)))
+    assert(Snapshots.readPoint(spark, t, "ukey", Seq(probe)).isEmpty)
+  }
+
+  test("bloom index survives expireVersions via the full-state checkpoint") {
+    val t = bloomTable()
+    Snapshots.buildBloomIndex(spark, t, "ukey") // v5
+    Snapshots.commitAppend(
+      spark.range(500, 510).select(col("id"), md5(col("id").cast("string")).as("ukey"),
+        (col("id") * 10).as("v")).coalesce(1), t, recordSchema = true) // v6
+    Snapshots.expireVersions(spark, t, keepFrom = 5)
+    assert(Snapshots.liveBloomFiles(spark, t).nonEmpty)
+    val probe = java.security.MessageDigest.getInstance("MD5")
+      .digest("142".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(Snapshots.readPoint(spark, t, "ukey", Seq(probe))
+      .select("id").as[Long].collect().toSeq === Seq(142L))
+    assert(Snapshots.vacuum(spark, t).isEmpty) // everything still referenced
+    assert(Snapshots.readPoint(spark, t, "ukey", Seq(probe)).count() === 1)
+  }
+
   test("commit publish is atomic: manifests appear complete, no temp residue") {
     val t = tmpTable()
     // hammer one table from 8 threads with a READER racing the writers:
