@@ -710,7 +710,17 @@ object Snapshots {
       val parts = f.listStatus(new Path(dir)).toSeq
         .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
         .map(_.getPath.toString)
-      if (parts.nonEmpty) { commit(spark, table, adds = parts); () }
+      // an append is derivation-free, so losing a version race to a
+      // concurrent writer (the ingest-vs-compaction pair every real
+      // pipeline runs) just means re-resolving the next version — the
+      // data dir is already on disk and unchanged
+      var attempts = 0
+      var committed = parts.isEmpty
+      while (!committed)
+        try { commit(spark, table, adds = parts); committed = true }
+        catch {
+          case _: ConcurrentCommitException if attempts < 50 => attempts += 1
+        }
     }
   }
 

@@ -3226,7 +3226,7 @@ object ExtQueries {
     x115Spec, x116Spec, x117Spec, x118Spec, x119Spec, st21Spec,
     x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec,
     x126Spec, x127Spec, x128Spec, st23Spec, st24Spec,
-    x129Spec, x130Spec, st25Spec, x131Spec, x132Spec)
+    x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -6125,4 +6125,74 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS zone_blind
            |FROM documents d JOIN probes p ON d.doc_id = p.id
            |ORDER BY d.doc_id""".stripMargin))
+
+  /** st26: INGEST RACING COMPACTION on one snapshot table — the
+    * multi-writer pair every real pipeline actually runs (st23 covered
+    * ingest-vs-ingest): a streaming [[graft.streaming.SnapshotIngest]]
+    * appends one micro-batch per slice while a maintenance thread
+    * repeatedly binpacks the table ([[graft.io.Snapshots.compactSmall]],
+    * optimistic commits — the loser of any version race re-resolves and
+    * retries; appends are derivation-free so their retry is free,
+    * compaction re-derives against the new live set). Under EVERY
+    * interleaving the final content is the plain union of the batches —
+    * the oracle replays it — and the exactly-once ledger holds (a batch
+    * lands once no matter how many compactions interleave). The settled
+    * table is ONE file and at least 4 versions committed (3 ingests +
+    * ≥1 pack), both pinned in-plan. */
+  private def st26Spec: QuerySpec =
+    QuerySpec("st26_ingest_compact_race",
+      (s, d) => {
+        import graft.io.Snapshots
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w3 = maxId / 3 + 1
+        val src = Staging.slicedSource("mergegate", d) { tmp =>
+          (0 until 3).foreach { i =>
+            Staging.writeSlice(
+              docs.filter(col("doc_id") >= i * w3 && col("doc_id") < (i + 1) * w3)
+                .withColumn("n_chars", col("n_chars") + lit((i + 1) * 1000L)),
+              s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_race_run").toString
+        val tbl = s"$tmp/tbl"
+        @volatile var stop = false
+        val compactor = new Thread(() => {
+          while (!stop) {
+            try Snapshots.compactSmall(s, tbl, Long.MaxValue, Long.MaxValue)
+            catch { case _: Snapshots.ConcurrentCommitException => () }
+            Thread.sleep(25)
+          }
+        }, "st26-compactor")
+        compactor.start()
+        try {
+          Staging.drainTuning(s, src, 3) {
+            val q = graft.streaming.SnapshotIngest.start(s,
+              s.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+              tbl, s"$tmp/ckpt")
+            q.awaitTermination()
+          }
+        } finally { stop = true; compactor.join() }
+        Snapshots.compactSmall(s, tbl, Long.MaxValue, Long.MaxValue) // settle
+        val audit = s.range(1).select(
+          lit(if (Snapshots.liveFiles(s, tbl).size == 1) 1L else 0L)
+            .as("final_files_one"),
+          lit(if (Snapshots.currentVersion(s, tbl) >= 4L) 1L else 0L)
+            .as("versions_ge4"))
+        Snapshots.readAt(s, tbl)
+          .groupBy("source")
+          .agg(n.as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some("""WITH w3 AS (SELECT max(doc_id) // 3 + 1 AS w FROM documents)
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars + (doc_id // w + 1) * 1000) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS final_files_one,
+           |       CAST(1 AS BIGINT) AS versions_ge4
+           |FROM documents, w3 GROUP BY source ORDER BY source""".stripMargin))
 }
