@@ -1202,8 +1202,13 @@ object Snapshots {
     checkpointAt(spark, table, keepFrom)
     val doomedC = checkpointVersions(spark, table).filter(_ < keepFrom)
     val doomedV = known.filter(_ < keepFrom)
-    doomedV.foreach(v => f.delete(new Path(f"${manifestDir(table)}/v$v%010d.json"), false))
-    doomedC.foreach(c => f.delete(new Path(f"${manifestDir(table)}/c$c%010d.json"), false))
+    // delete NEWEST-FIRST: a racing reader of a doomed version then either
+    // resolves it completely (every older commit it replays still exists)
+    // or rejects it as unknown — never a silently partial live set
+    doomedV.sorted.reverse.foreach(v =>
+      f.delete(new Path(f"${manifestDir(table)}/v$v%010d.json"), false))
+    doomedC.sorted.reverse.foreach(c =>
+      f.delete(new Path(f"${manifestDir(table)}/c$c%010d.json"), false))
     ExpireResult(doomedV, keepFrom)
   }
 
