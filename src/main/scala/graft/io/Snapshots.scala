@@ -265,10 +265,17 @@ object Snapshots {
     * resolves every version under the schema recorded AS OF that version,
     * so time travel sees the old shape and current reads see old files
     * null-padded to the new one. Returns the new version. */
+  /** Reserved stat "column" carrying a file's exact ROW COUNT (min = max
+    * = count, dtype bigint) — what makes [[fastCount]] metadata-only. A
+    * real column can never collide: `__rows` is not a legal stats target
+    * (computeStats is called with schema column names). */
+  val RowsStat = "__rows"
+
   def commitAppend(df: DataFrame, table: String,
                    recordSchema: Boolean = false,
                    statsCols: Seq[String] = Nil,
-                   notes: Seq[String] = Nil): Long = {
+                   notes: Seq[String] = Nil,
+                   recordRowCounts: Boolean = false): Long = {
     val spark = df.sparkSession
     val dir = s"$table/data/${java.util.UUID.randomUUID().toString}"
     df.write.parquet(dir)
@@ -278,7 +285,49 @@ object Snapshots {
       .map(_.getPath.toString)
     commit(spark, table, adds = parts,
       schemaJson = if (recordSchema) Some(df.schema.json) else None,
-      stats = computeStats(spark, dir, parts, statsCols), notes = notes)
+      stats = computeStats(spark, dir, parts, statsCols) ++
+        (if (recordRowCounts) rowCountStats(spark, dir, parts) else Nil),
+      notes = notes)
+  }
+
+  /** Per-file exact row counts over a freshly written dir — one
+    * input_file_name-grouped count, collected at O(#files) like
+    * [[computeStats]]. */
+  private def rowCountStats(spark: SparkSession, dir: String,
+                            parts: Seq[String]): Seq[FileStat] = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit}
+    if (parts.isEmpty) return Nil
+    val byName = parts.map(p => new Path(p).getName -> p).toMap
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("__f")).agg(count(lit(1)).as("__n"))
+      .collect().toSeq.flatMap { r =>
+        byName.get(new Path(r.getString(0)).getName).map(p =>
+          FileStat(p, RowsStat, "bigint", r.getLong(1).toString, r.getLong(1).toString))
+      }
+  }
+
+  /** COUNT(*) from manifest metadata — zero data files opened for every
+    * file whose commit recorded a row count (`recordRowCounts`), an exact
+    * scan-count fallback for the rest (the result is always exact; the
+    * recorded fraction is just free). With live deletion vectors the
+    * count defers to the dv-resolved read — tombstone suppression is a
+    * row-level fact metadata can't see. At 100 TB a row-counted table
+    * answers COUNT(*) from one manifest replay. */
+  def fastCount(spark: SparkSession, table: String,
+                version: Option[Long] = None): Long = {
+    val v = version.getOrElse(currentVersion(spark, table))
+    if (liveDvFiles(spark, table, Some(v)).nonEmpty)
+      return readAt(spark, table, Some(v)).count()
+    val live = liveFiles(spark, table, Some(v))
+    if (live.isEmpty) return 0L
+    val counted = fileStats(spark, table, Some(v))
+      .filter(_.column == RowsStat).map(st => st.path -> st.min.toLong).toMap
+    val missing = live.filterNot(counted.contains)
+    val scanned =
+      if (missing.isEmpty) 0L
+      else tableSchema(spark, table, Some(v)).map(spark.read.schema)
+        .getOrElse(spark.read).parquet(missing: _*).count()
+    live.flatMap(counted.get).sum + scanned
   }
 
   /** Per-file min/max of `statsCols` over the freshly written `dir` — ONE

@@ -3226,7 +3226,7 @@ object ExtQueries {
     x115Spec, x116Spec, x117Spec, x118Spec, x119Spec, st21Spec,
     x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec,
     x126Spec, x127Spec, x128Spec, st23Spec, st24Spec,
-    x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec)
+    x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -6195,4 +6195,44 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS final_files_one,
            |       CAST(1 AS BIGINT) AS versions_ge4
            |FROM documents, w3 GROUP BY source ORDER BY source""".stripMargin))
+
+  // Metadata-only COUNT(*) (x133) — per-file row counts recorded at commit
+  // time under the reserved `__rows` stat make fastCount a pure manifest
+  // replay: at 100 TB the most common query in any pipeline ("how many
+  // docs?") answers from one manifest read, zero data files opened. The
+  // staging mixes counted and uncounted commits, so the EXACT-fallback
+  // path (scan only the uncounted files) is load-bearing in the same
+  // number the oracle checks; time travel counts the past version.
+  private def x133Spec: QuerySpec =
+    QuerySpec("x133_fast_count",
+      (s, d) => {
+        import graft.io.Snapshots
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w = maxId / 4 + 1
+        val tmp = java.nio.file.Files.createTempDirectory("graft_fc_run").toString
+        val tbl = s"$tmp/tbl"
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1),
+            tbl, recordSchema = true, recordRowCounts = true)
+        }
+        // one UNCOUNTED commit: re-append the first quarter's min doc
+        val extraId = docs.agg(min(col("doc_id"))).first().getLong(0)
+        Snapshots.commitAppend(docs.filter(col("doc_id") === extraId).coalesce(1),
+          tbl, recordSchema = true)
+        val counted = Snapshots.fileStats(s, tbl)
+          .count(_.column == Snapshots.RowsStat).toLong
+        val live = Snapshots.liveFiles(s, tbl).size.toLong
+        s.range(1).select(
+          lit(Snapshots.fastCount(s, tbl)).as("n_rows"),
+          lit(Snapshots.fastCount(s, tbl, Some(4))).as("n_rows_v4"),
+          lit(counted).as("counted_files"),
+          lit(live - counted).as("uncounted_files"))
+      },
+      Some("""SELECT count(*) + 1 AS n_rows,
+           |       count(*) AS n_rows_v4,
+           |       CAST(4 AS BIGINT) AS counted_files,
+           |       CAST(1 AS BIGINT) AS uncounted_files
+           |FROM documents""".stripMargin))
 }

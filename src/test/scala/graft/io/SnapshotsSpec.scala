@@ -845,6 +845,24 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readPoint(spark, t, "ukey", Seq(probe)).count() === 1)
   }
 
+  test("fastCount: recorded counts + exact fallback + dv deferral all agree with count()") {
+    val t = tmpTable()
+    Snapshots.commitAppend(df(1 to 100), t, recordSchema = true, recordRowCounts = true)
+    assert(Snapshots.fastCount(spark, t) === 100L)
+    // an uncounted commit falls back to scanning ONLY the uncounted files
+    Snapshots.commitAppend(df(101 to 130), t)
+    assert(Snapshots.fastCount(spark, t) === 130L)
+    assert(Snapshots.fileStats(spark, t).count(_.column === Snapshots.RowsStat) > 0)
+    // tombstone suppression is row-level: fastCount defers to the read
+    Snapshots.deleteWhereMor(spark, t, col("id") === 5L, keys = Seq("id"))
+    assert(Snapshots.fastCount(spark, t) === 129L)
+    // maintenance rewrites drop the counts; the fallback stays exact
+    Snapshots.compact(spark, t)
+    assert(Snapshots.fastCount(spark, t) === 129L)
+    // time travel counts the PAST version
+    assert(Snapshots.fastCount(spark, t, Some(1)) === 100L)
+  }
+
   test("commit publish is atomic: manifests appear complete, no temp residue") {
     val t = tmpTable()
     // hammer one table from 8 threads with a READER racing the writers:
