@@ -863,6 +863,43 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.fastCount(spark, t, Some(1)) === 100L)
   }
 
+  test("expiry racing readers: above-horizon reads stable, doomed reads complete-or-reject") {
+    val t = tmpTable()
+    (1 to 30).foreach(i => Snapshots.commitAppend(df(i to i).coalesce(1), t,
+      recordSchema = true))
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    @volatile var stop = false
+    // current reads must never fail or change content while history expires
+    val current = Future {
+      var ok = true
+      while (!stop) ok &= Snapshots.readAt(spark, t).count() == 30L
+      ok
+    }
+    // a doomed version must never resolve PARTIALLY: its count is right
+    // or the read errors loudly (unknown version / vanished manifest)
+    val doomed = Future {
+      var silentWrong = 0
+      while (!stop)
+        scala.util.Try(Snapshots.readAt(spark, t, Some(10)).count()).foreach { n =>
+          if (n != 10L) silentWrong += 1
+        }
+      silentWrong
+    }
+    Thread.sleep(150)
+    Snapshots.expireVersions(spark, t, keepFrom = 25)
+    Thread.sleep(150)
+    stop = true
+    assert(Await.result(current, 60.seconds))
+    assert(Await.result(doomed, 60.seconds) === 0)
+    pool.shutdown()
+    assert(Snapshots.readAt(spark, t).count() === 30L)
+    intercept[Exception] { Snapshots.readAt(spark, t, Some(10)).count() }
+  }
+
   test("commit publish is atomic: manifests appear complete, no temp residue") {
     val t = tmpTable()
     // hammer one table from 8 threads with a READER racing the writers:
