@@ -1599,20 +1599,49 @@ object Snapshots {
   /** K-dimension OPTIMIZE (2-4 clustering columns is the useful regime —
     * [[Layout.zValueK]]): identical transaction discipline to the 2-column
     * form; zone maps are re-stamped on ALL k dimensions, so manifest
-    * pruning skips files on any of them. */
+    * pruning skips files on any of them.
+    *
+    * STRING dimensions cluster via a DICTIONARY RANK: the column's sorted
+    * distinct values map to `[0, 2^bits)` by position (order-preserving
+    * exactly, so the re-stamped lexicographic zone maps prune as tightly
+    * as a numeric dim's). A byte-prefix image would collapse under shared
+    * prefixes (every "src…" tenant lands on one z-value); the rank is
+    * immune. The dictionary is a broadcast join, its build one distinct
+    * aggregation per string dim at OPTIMIZE time; cardinality is bounded
+    * (≤ 2^20) because a clustering key IS a low/mid-cardinality attribute
+    * (tenant, source, domain) — a near-unique string should cluster
+    * through its own numeric key instead. Null strings rank lowest. */
   def optimizeZorder(spark: SparkSession, table: String, cols: Seq[String],
                      targetFiles: Int, bits: Int): OptimizeResult = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
     val v = currentVersion(spark, table)
     val files = liveFiles(spark, table, Some(v))
     if (files.isEmpty) return OptimizeResult(v, 0, 0)
     val dvs = liveDvFiles(spark, table, Some(v)) // fold: rewrite is dv-resolved
     val dir = s"$table/data/zopt-${java.util.UUID.randomUUID().toString}"
-    readAt(spark, table, Some(v))
-      .withColumn("__z", Layout.zValueK(cols.map(col), bits))
+    val base = readAt(spark, table, Some(v))
+    val stringDims = cols.filter(c =>
+      base.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    val ranked = stringDims.foldLeft(base) { (df, c) =>
+      val vals = df.select(col(c)).filter(col(c).isNotNull)
+        .distinct().orderBy(col(c)).collect().map(_.getString(0))
+      require(vals.length <= (1 << 20),
+        s"z-order string dim '$c' has ${vals.length} distinct values — " +
+          "cluster a near-unique string through a numeric key instead")
+      val n = math.max(vals.length, 1)
+      val rdf = spark.createDataFrame(
+        vals.toIndexedSeq.zipWithIndex.map { case (s, i) =>
+          (s, i.toLong * (1L << bits) / n)
+        }).toDF(c, s"__zr_$c")
+      df.join(broadcast(rdf), Seq(c), "left")
+    }
+    val zdims = cols.map(c =>
+      if (stringDims.contains(c)) coalesce(col(s"__zr_$c"), lit(0L)) else col(c))
+    ranked
+      .withColumn("__z", Layout.zValueK(zdims, bits))
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z")
+      .drop("__z" +: stringDims.map(c => s"__zr_$c"): _*)
       .write.parquet(dir)
     val f = fs(spark, table)
     val parts = f.listStatus(new Path(dir)).toSeq

@@ -3226,7 +3226,8 @@ object ExtQueries {
     x115Spec, x116Spec, x117Spec, x118Spec, x119Spec, st21Spec,
     x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec,
     x126Spec, x127Spec, x128Spec, st23Spec, st24Spec,
-    x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec)
+    x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
+    x134Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -6234,5 +6235,57 @@ object ExtQueries {
            |       count(*) AS n_rows_v4,
            |       CAST(4 AS BIGINT) AS counted_files,
            |       CAST(1 AS BIGINT) AS uncounted_files
+           |FROM documents""".stripMargin))
+
+  // STRING-dimension Z-order (x134) — x122/x128 cluster numeric dims; real
+  // fact tables cluster on (tenant/source STRING × numeric). A byte-prefix
+  // image of the string would collapse under the shared "src" prefix, so
+  // optimizeZorder ranks the column's sorted distinct values into
+  // [0, 2^bits) (order-preserving dictionary, broadcast join) and
+  // interleaves the RANK. Before the rewrite every file holds every
+  // source (string pruning keeps 4/4 — the motivating failure, pinned
+  // in-plan); after it, equality pruning on the string skips most of the
+  // 16 files and the band read through the pruned path loses nothing.
+  // Content invariance rides as count + exact sum.
+  private def x134Spec: QuerySpec =
+    QuerySpec("x134_zorder_string",
+      (s, d) => {
+        import graft.io.Snapshots
+        val template = Staging.dir("zstrtbl", d) { tmp =>
+          val docs = Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), (col("n_chars") % 256).as("b"))
+          (0 until 4).foreach { i =>
+            Snapshots.commitAppend(docs.filter(col("doc_id") % 4 === i).coalesce(1),
+              s"$tmp/tbl", recordSchema = true, statsCols = Seq("source", "b"))
+          }
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_zstr_run").toString
+        copyTree(java.nio.file.Paths.get(template), java.nio.file.Paths.get(tmp))
+        val tbl = s"$tmp/tbl"
+        val preKept = Snapshots.pruneFiles(s, tbl, "source", "src4", "src4")._1.size
+        val r = Snapshots.optimizeZorder(s, tbl, Seq("source", "b"),
+          targetFiles = 16, bits = 8)
+        val keptSrc = Snapshots.pruneFiles(s, tbl, "source", "src4", "src4")._1.size
+        val keptB = Snapshots.pruneFiles(s, tbl, "b", "16", "31")._1.size
+        val srcRows = Snapshots.readPruned(s, tbl, "source", "src4", "src4")
+          .filter(col("source") === "src4").count()
+        Snapshots.readAt(s, tbl)
+          .agg(n.as("n_rows"), sum(col("doc_id")).cast("long").as("sum_ids"))
+          .select(col("n_rows"), col("sum_ids"),
+            lit(srcRows).as("src4_rows"),
+            lit(preKept.toLong).as("pre_kept"),
+            lit(r.filesBefore.toLong).as("files_before"),
+            lit(r.filesAfter.toLong).as("files_after"),
+            lit(if (keptSrc < 16) 1L else 0L).as("src_skips"),
+            lit(if (keptB < 16) 1L else 0L).as("b_skips"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+           |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           |       (SELECT count(*) FROM documents WHERE source = 'src4') AS src4_rows,
+           |       CAST(4 AS BIGINT) AS pre_kept,
+           |       CAST(4 AS BIGINT) AS files_before,
+           |       CAST(16 AS BIGINT) AS files_after,
+           |       CAST(1 AS BIGINT) AS src_skips,
+           |       CAST(1 AS BIGINT) AS b_skips
            |FROM documents""".stripMargin))
 }

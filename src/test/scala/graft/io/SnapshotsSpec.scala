@@ -845,6 +845,35 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readPoint(spark, t, "ukey", Seq(probe)).count() === 1)
   }
 
+  test("optimizeZorder clusters STRING dims by dictionary rank; string-side pruning works") {
+    val t = tmpTable()
+    // 4 files, every file holds every group: nothing prunable pre-optimize
+    (0 until 4).foreach { i =>
+      Snapshots.commitAppend(
+        spark.range(1000).filter(col("id") % 4 === i)
+          .select(concat(lit("src"), (col("id") % 20).cast("string")).as("g"),
+            (col("id") % 256).as("b"), col("id")).coalesce(1),
+        t, recordSchema = true, statsCols = Seq("g", "b"))
+    }
+    val before = Snapshots.readAt(spark, t)
+      .agg(count(lit(1)), sum(col("id"))).as[(Long, Long)].head()
+    val preKept = Snapshots.pruneFiles(spark, t, "g", "src4", "src4")._1.size
+    assert(preKept === 4) // the motivating failure: every file spans all groups
+    val r = Snapshots.optimizeZorder(spark, t, Seq("g", "b"), targetFiles = 16, bits = 8)
+    assert(r.filesBefore === 4 && r.filesAfter === 16)
+    // content invariant
+    assert(Snapshots.readAt(spark, t)
+      .agg(count(lit(1)), sum(col("id"))).as[(Long, Long)].head() === before)
+    // the string dim now prunes (dictionary rank clusters equal values)...
+    val keptG = Snapshots.pruneFiles(spark, t, "g", "src4", "src4")._1.size
+    assert(keptG < 16, s"string-dim pruning should skip files, kept $keptG")
+    // ...and so does the numeric dim, and the pruned read loses nothing
+    val keptB = Snapshots.pruneFiles(spark, t, "b", "16", "31")._1.size
+    assert(keptB < 16, s"numeric-dim pruning should skip files, kept $keptB")
+    assert(Snapshots.readPruned(spark, t, "g", "src4", "src4")
+      .filter(col("g") === "src4").count() === 50)
+  }
+
   test("fastCount: recorded counts + exact fallback + dv deferral all agree with count()") {
     val t = tmpTable()
     Snapshots.commitAppend(df(1 to 100), t, recordSchema = true, recordRowCounts = true)
