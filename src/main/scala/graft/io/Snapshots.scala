@@ -1506,11 +1506,24 @@ object Snapshots {
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
     val indexed = spark.read.parquet(dir).count().toInt
-    commit(spark, table, adds = Nil,
-      removes = if (rebuild) oldForCol else Nil,
-      bloomAdds = parts, baseVersion = Some(v),
-      notes = Seq(s"bloom-index-$column"))
-    BloomIndexResult(v + 1, indexed,
+    // losing the version race to a concurrent ingest/compaction is fine:
+    // the sidecar is on disk and file-keyed (entries for files the racer
+    // rewrote are stale and readPoint ignores them via the live set), so
+    // the retry just re-resolves the version — the MergeGate discipline
+    var attempts = 0
+    var nv = 0L
+    var committed = false
+    while (!committed)
+      try {
+        nv = commit(spark, table, adds = Nil,
+          removes = if (rebuild) oldForCol else Nil,
+          bloomAdds = parts,
+          notes = Seq(s"bloom-index-$column"))
+        committed = true
+      } catch {
+        case _: ConcurrentCommitException if attempts < 20 => attempts += 1
+      }
+    BloomIndexResult(nv, indexed,
       if (rebuild) 0 else covered.intersect(live.toSet).size, Some(dir))
   }
 

@@ -76,8 +76,10 @@ object ViewMaintenance {
         .agg(sum(col("__sign")).as("n_rows"),
           measures.map(m => sum(col(m) * col("__sign")).as(s"sum_$m")): _*)
       // merged view rows for the affected groups only: the (big-ish) view
-      // never joins more than a broadcast of the change-sized delta
-      val merged = if (Snapshots.currentVersion(spark, viewTable) == 0L) delta
+      // never joins more than a broadcast of the change-sized delta.
+      // Derived INSIDE the commit loop: readAt resolves the view's live
+      // set eagerly, so a lost race must re-derive against the new state.
+      def merged() = if (Snapshots.currentVersion(spark, viewTable) == 0L) delta
       else {
         val aggCols = "n_rows" +: measures.map(m => s"sum_$m")
         val affected = Snapshots.readAt(spark, viewTable)
@@ -90,9 +92,24 @@ object ViewMaintenance {
                 coalesce(col(s"sum_$m"), lit(0L))).as(s"sum_$m")))
         delta.join(affected, dims, "left_outer").select(outCols: _*)
       }
-      Snapshots.mergeInto(spark, viewTable,
-        merged.select(viewCols(dims, measures).map(col): _*),
-        keys = dims, note = Some(noteFor(v)))
+      // two maintainers racing one view (or a replica replay) serialize
+      // through the optimistic commit: the loser re-checks the note ledger
+      // — the winner may have BEEN this version's apply — and re-derives
+      // against the new state otherwise (MergeGate discipline)
+      var attempts = 0
+      var committed = false
+      while (!committed)
+        if (Snapshots.notes(spark, viewTable).contains(noteFor(v))) committed = true
+        else
+          try {
+            Snapshots.mergeInto(spark, viewTable,
+              merged().select(viewCols(dims, measures).map(col): _*),
+              keys = dims, note = Some(noteFor(v)))
+            committed = true
+          } catch {
+            case _: Snapshots.ConcurrentCommitException if attempts < 20 =>
+              attempts += 1
+          }
     }
     pending
   }
