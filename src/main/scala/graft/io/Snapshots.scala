@@ -1147,7 +1147,7 @@ object Snapshots {
   /** One row of [[history]]: what a commit did, at metadata granularity. */
   final case class CommitInfo(version: Long, adds: Int, removes: Int,
                               dvAdds: Int, schemaStamped: Boolean,
-                              notes: Seq[String])
+                              notes: Seq[String], tsMillis: Long = 0L)
 
   /** DESCRIBE HISTORY: every commit's action summary, ascending — the
     * operational audit surface ("what landed in v7?", "which commits
@@ -1171,7 +1171,9 @@ object Snapshots {
           case ("note", s)   => notes += s
           case _             =>
         }
-      CommitInfo(v, adds, removes, dvs, schema, notes.toSeq)
+      CommitInfo(v, adds, removes, dvs, schema, notes.toSeq,
+        f.getFileStatus(new Path(f"${manifestDir(table)}/v$v%010d.json"))
+          .getModificationTime)
     }
   }
 
@@ -1364,6 +1366,28 @@ object Snapshots {
   def readTag(spark: SparkSession, table: String, name: String,
               schema: Option[StructType] = None): DataFrame =
     readAt(spark, table, Some(tagVersion(spark, table, name)), schema)
+
+  /** The newest version committed AT OR BEFORE `tsMillis` (epoch millis) —
+    * the `TIMESTAMP AS OF` resolution. A commit's timestamp is its
+    * manifest object's modification time: the atomic publish makes that
+    * the instant the version became visible, and create-once manifests
+    * never change mtime afterwards. 0 = the empty table (nothing was
+    * committed yet); versions expired by [[expireVersions]] are gone from
+    * the mapping like they are from everything else. Timestamp resolution
+    * is the filesystem's — two commits inside one tick resolve to the
+    * later version, which is also what their serialization order means. */
+  def versionAt(spark: SparkSession, table: String, tsMillis: Long): Long = {
+    val f = fs(spark, table)
+    versions(spark, table)
+      .filter(v => f.getFileStatus(
+        new Path(f"${manifestDir(table)}/v$v%010d.json")).getModificationTime <= tsMillis)
+      .lastOption.getOrElse(0L)
+  }
+
+  /** `TIMESTAMP AS OF` read: the table as it stood at `tsMillis`. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long,
+               schema: Option[StructType] = None): DataFrame =
+    readAt(spark, table, Some(versionAt(spark, table, tsMillis)), schema)
 
   /** Outcome of a [[compactSmall]]: the committed version, how many
     * small files were binpacked into how many, and the live files left

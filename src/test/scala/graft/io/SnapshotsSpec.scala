@@ -874,6 +874,22 @@ class SnapshotsSpec extends SparkSpec {
       .filter(col("g") === "src4").count() === 50)
   }
 
+  test("TIMESTAMP AS OF: versionAt maps commit mtimes; readAsOf time-travels by clock") {
+    val t = tmpTable()
+    Snapshots.commitAppend(df(1 to 10), t, recordSchema = true)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(1100) // local-fs mtime can be second-granular
+    Snapshots.commitAppend(df(11 to 15), t, recordSchema = true)
+    assert(Snapshots.versionAt(spark, t, afterV1) === 1L)
+    assert(Snapshots.versionAt(spark, t, System.currentTimeMillis()) === 2L)
+    assert(Snapshots.versionAt(spark, t, 0L) === 0L) // before any commit
+    assert(Snapshots.readAsOf(spark, t, afterV1).count() === 10)
+    assert(Snapshots.readAsOf(spark, t, System.currentTimeMillis()).count() === 15)
+    // history carries the same instants, ascending
+    val ts = Snapshots.history(spark, t).map(_.tsMillis)
+    assert(ts.size === 2 && ts === ts.sorted && ts.forall(_ > 0))
+  }
+
   test("fastCount: recorded counts + exact fallback + dv deferral all agree with count()") {
     val t = tmpTable()
     Snapshots.commitAppend(df(1 to 100), t, recordSchema = true, recordRowCounts = true)
