@@ -1315,13 +1315,22 @@ object Snapshots {
     val curFiles = liveFiles(spark, table, Some(v))
     val targetDv = liveDvFiles(spark, table, Some(toVersion))
     val curDv = liveDvFiles(spark, table, Some(v))
+    // the bloom-index live set travels with the content it covers (a
+    // stale sidecar entry is harmless, but restored files should get
+    // their index coverage back, and post-target sidecars retire)
+    val targetBloom = liveBloomFiles(spark, table, Some(toVersion))
+    val curBloom = liveBloomFiles(spark, table, Some(v))
     val schemaStamp = tableSchema(spark, table, Some(toVersion)).map(_.json)
       .filterNot(s => tableSchema(spark, table, Some(v)).map(_.json).contains(s))
     val adds = targetFiles.diff(curFiles)
-    val removes = curFiles.diff(targetFiles) ++ curDv.diff(targetDv)
+    val removes = curFiles.diff(targetFiles) ++ curDv.diff(targetDv) ++
+      curBloom.diff(targetBloom)
     val dvAdds = targetDv.diff(curDv)
-    if (adds.isEmpty && removes.isEmpty && dvAdds.isEmpty && schemaStamp.isEmpty) v
+    val bloomAdds = targetBloom.diff(curBloom)
+    if (adds.isEmpty && removes.isEmpty && dvAdds.isEmpty && bloomAdds.isEmpty &&
+        schemaStamp.isEmpty) v
     else commit(spark, table, adds = adds, removes = removes, dvAdds = dvAdds,
+      bloomAdds = bloomAdds,
       baseVersion = Some(v), schemaJson = schemaStamp, notes = note.toSeq)
   }
 

@@ -829,6 +829,22 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readPoint(spark, t, "ukey", Seq(probe)).isEmpty)
   }
 
+  test("restore reinstates the bloom-index live set with the content it covers") {
+    val t = bloomTable()
+    Snapshots.buildBloomIndex(spark, t, "ukey") // v5
+    val indexed = Snapshots.liveBloomFiles(spark, t)
+    Snapshots.buildBloomIndex(spark, t, "ukey", rebuild = true) // v6: retires v5's
+    assert(Snapshots.liveBloomFiles(spark, t).toSet.intersect(indexed.toSet).isEmpty)
+    Snapshots.restore(spark, t, toVersion = 5)
+    assert(Snapshots.liveBloomFiles(spark, t).toSet === indexed.toSet)
+    // and back to the pre-index world: no sidecars live
+    Snapshots.restore(spark, t, toVersion = 4)
+    assert(Snapshots.liveBloomFiles(spark, t).isEmpty)
+    val probe = java.security.MessageDigest.getInstance("MD5")
+      .digest("7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(Snapshots.readPoint(spark, t, "ukey", Seq(probe)).count() === 1)
+  }
+
   test("bloom index survives expireVersions via the full-state checkpoint") {
     val t = bloomTable()
     Snapshots.buildBloomIndex(spark, t, "ukey") // v5
