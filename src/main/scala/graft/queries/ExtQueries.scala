@@ -3227,7 +3227,7 @@ object ExtQueries {
     x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec,
     x126Spec, x127Spec, x128Spec, st23Spec, st24Spec,
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
-    x134Spec)
+    x134Spec, st27Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -6288,4 +6288,69 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS src_skips,
            |       CAST(1 AS BIGINT) AS b_skips
            |FROM documents""".stripMargin))
+
+  /** st27: STREAMING VIEW GATE — st21's CDC-upsert stream with the
+    * per-source (count, sum) aggregate maintained IN THE SAME micro-batch
+    * ([[graft.streaming.ViewGate]]): 4 quarter appends seed the table,
+    * then 3 thirds-bumped upsert batches stream in, each committing one
+    * MERGE and folding its own CDC delta into the view — after the drain
+    * the view equals a direct GROUP BY of the final table without ever
+    * having scanned it (the IVM law, checked by the oracle on the
+    * streamed timeline). Both exactly-once ledgers are exercised under
+    * the streaming replay machinery; a second maintain() call applies
+    * zero versions (pinned in-plan). */
+  private def st27Spec: QuerySpec =
+    QuerySpec("st27_stream_view_gate",
+      (s, d) => {
+        import graft.io.{Snapshots, ViewMaintenance}
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w4 = maxId / 4 + 1
+        val w3 = maxId / 3 + 1
+        val src = Staging.slicedSource("mergegate", d) { tmp =>
+          (0 until 3).foreach { i =>
+            Staging.writeSlice(
+              docs.filter(col("doc_id") >= i * w3 && col("doc_id") < (i + 1) * w3)
+                .withColumn("n_chars", col("n_chars") + lit((i + 1) * 1000L)),
+              s"$tmp/src/slice$i")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("graft_vg_run").toString
+        val tbl = s"$tmp/tbl"
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w4 && col("doc_id") < (i + 1) * w4)
+              .coalesce(1),
+            tbl, recordSchema = true, statsCols = Seq("doc_id"))
+        }
+        Staging.drainTuning(s, src, 3) {
+          val q = graft.streaming.ViewGate.start(s,
+            s.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+            tbl, keys = Seq("doc_id"), dims = Seq("source"),
+            measures = Seq("n_chars"),
+            feedDir = s"$tmp/feed", viewTable = s"$tmp/view",
+            checkpoint = s"$tmp/ckpt", pruneOn = Some("doc_id"))
+          q.awaitTermination()
+        }
+        val residual = ViewMaintenance.maintain(s, tbl, Seq("doc_id"),
+          Seq("source"), Seq("n_chars"), s"$tmp/feed", s"$tmp/view")
+        val audit = s.range(1).select(
+          lit(Snapshots.currentVersion(s, tbl)).as("table_versions"),
+          lit(residual.size.toLong).as("residual_applied"))
+        ViewMaintenance.readView(s, s"$tmp/view")
+          .select(col("source"), col("n_rows"),
+            col("sum_n_chars").cast("long").as("sum_n_chars"))
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some("""WITH w3 AS (SELECT max(doc_id) // 3 + 1 AS w FROM documents)
+           |SELECT source, count(*) AS n_rows,
+           |       CAST(sum(n_chars + (doc_id // w + 1) * 1000) AS BIGINT) AS sum_n_chars,
+           |       CAST(7 AS BIGINT) AS table_versions,
+           |       CAST(0 AS BIGINT) AS residual_applied
+           |FROM documents, w3 GROUP BY source ORDER BY source""".stripMargin))
 }
