@@ -1,12 +1,12 @@
 package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, sum}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, greatest, least, lit, max, min, sum, when}
 
 /** INCREMENTAL VIEW MAINTENANCE over a snapshot table's change feed —
-  * keep `SELECT dims…, count(*), sum(measure)… GROUP BY dims…` current
-  * WITHOUT ever rescanning the table: each CDC version ([[ChangeFeed]])
-  * folds into the maintained aggregate as signed deltas
+  * keep `SELECT dims…, count(*), sum(m)…, min(m), max(m)… GROUP BY dims`
+  * current WITHOUT ever rescanning the table: each CDC version
+  * ([[ChangeFeed]]) folds into the maintained aggregate as signed deltas
   *
   *   insert → +1 row at (dims_after, measures_after)
   *   delete → −1 row at (dims_before, measures_before)
@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, sum}
   * count reaches zero stay stored as identity rows and are filtered by
   * [[readView]] — keeping the per-version write a SINGLE transactional
   * MERGE instead of a merge-plus-delete pair.
+  *
+  * MIN/MAX are NOT self-maintainable under deletion (removing the
+  * current minimum says nothing about the runner-up), so `minMax`
+  * measures follow the textbook two-path rule: inserts fold for free
+  * (`least`/`greatest` with the stored bound), while a version whose
+  * deletions COULD have removed a group's stored bound marks that group
+  * DIRTY and recomputes exactly the dirty groups from the source table
+  * AT THAT VERSION — a broadcast-semi-join-filtered read costing O(rows
+  * of dirty groups), never O(table). Clean groups never touch the table.
   *
   * Scale posture — the whole point at 100 TB: a direct refresh of the
   * aggregate costs O(table) per cadence; maintenance costs O(changes) +
@@ -35,62 +44,115 @@ import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, sum}
   * nothing and replays cleanly; a crash after the commit skips on note.
   *
   * Contracts: `dims` non-empty and NON-NULL-valued (they key the view's
-  * MERGE; coalesce at the source), `measures` numeric, both disjoint
-  * from nothing — a dim or measure that IS a source key resolves to the
-  * CDC's unsuffixed key column. SUM ignores null measures on both the
-  * direct and the incremental path (same SQL semantics), so parity
-  * holds. Reference analog: none (north-star extension).
+  * MERGE; coalesce at the source), `measures`/`minMax` numeric, a dim or
+  * measure that IS a source key resolves to the CDC's unsuffixed key
+  * column. SUM/MIN/MAX ignore null measures on both the direct and the
+  * incremental path (same SQL semantics), so parity holds. Reference
+  * analog: none (north-star extension).
   */
 object ViewMaintenance {
 
   def noteFor(version: Long): String = s"ivm-v$version"
 
-  private def viewCols(dims: Seq[String], measures: Seq[String]): Seq[String] =
-    dims ++ ("n_rows" +: measures.map(m => s"sum_$m"))
+  private def viewCols(dims: Seq[String], measures: Seq[String],
+                       minMax: Seq[String]): Seq[String] =
+    dims ++ ("n_rows" +: measures.map(m => s"sum_$m")) ++
+      minMax.flatMap(m => Seq(s"min_$m", s"max_$m"))
 
   /** Catch the view table up with the source's change feed: sync the feed,
     * then fold every unapplied version into `viewTable` (one MERGE each).
     * Returns the feed versions applied this call. */
   def maintain(spark: SparkSession, sourceTable: String, keys: Seq[String],
                dims: Seq[String], measures: Seq[String],
-               feedDir: String, viewTable: String): Seq[Long] = {
+               feedDir: String, viewTable: String,
+               minMax: Seq[String] = Nil): Seq[Long] = {
     require(dims.nonEmpty, "maintain needs at least one dimension column")
     ChangeFeed.sync(spark, sourceTable, keys, feedDir)
     val cur = ChangeFeed.cursor(spark, feedDir)
     val applied = Snapshots.notes(spark, viewTable).toSet
     val pending = (1L to cur).filterNot(v => applied.contains(noteFor(v)))
+    val aggNames = ("n_rows" +: measures.map(m => s"sum_$m")) ++
+      minMax.flatMap(m => Seq(s"min_$m", s"max_$m"))
     pending.foreach { v =>
       val cdc = spark.read.parquet(f"$feedDir/v$v%010d")
       // a source key has no _before/_after split in the CDC shape — it is
       // identical on both sides by definition
       def side(c: String, s: String): Column =
         if (keys.contains(c)) col(c) else col(s"${c}_$s")
+      val valCols = (measures ++ minMax).distinct
       def signed(suffix: String, changes: Seq[String], sign: Long) =
         cdc.filter(col("change").isin(changes: _*))
           .select(dims.map(d => side(d, suffix).as(d)) ++
-            measures.map(m => side(m, suffix).as(m)) :+
+            valCols.map(m => side(m, suffix).as(m)) :+
             lit(sign).as("__sign"): _*)
+      val deltaAggs: Seq[Column] =
+        (sum(col("__sign")).as("n_rows") +:
+          measures.map(m => sum(col(m) * col("__sign")).as(s"sum_$m"))) ++
+          minMax.flatMap(m => Seq(
+            min(when(col("__sign") === 1, col(m))).as(s"__ins_min_$m"),
+            max(when(col("__sign") === 1, col(m))).as(s"__ins_max_$m"),
+            min(when(col("__sign") === -1, col(m))).as(s"__del_min_$m"),
+            max(when(col("__sign") === -1, col(m))).as(s"__del_max_$m")))
       val delta = signed("after", Seq("insert", "update"), 1L)
         .unionByName(signed("before", Seq("delete", "update"), -1L))
         .groupBy(dims.map(col): _*)
-        .agg(sum(col("__sign")).as("n_rows"),
-          measures.map(m => sum(col(m) * col("__sign")).as(s"sum_$m")): _*)
+        .agg(deltaAggs.head, deltaAggs.tail: _*)
       // merged view rows for the affected groups only: the (big-ish) view
       // never joins more than a broadcast of the change-sized delta.
       // Derived INSIDE the commit loop: readAt resolves the view's live
       // set eagerly, so a lost race must re-derive against the new state.
-      def merged() = if (Snapshots.currentVersion(spark, viewTable) == 0L) delta
-      else {
-        val aggCols = "n_rows" +: measures.map(m => s"sum_$m")
-        val affected = Snapshots.readAt(spark, viewTable)
-          .join(broadcast(delta.select(dims.map(col): _*)), dims, "left_semi")
-          .withColumnsRenamed(aggCols.map(c => c -> s"__st_$c").toMap)
-        val outCols: Seq[Column] = dims.map(col) ++ (
-          (coalesce(col("__st_n_rows"), lit(0L)) + col("n_rows")).as("n_rows") +:
+      def merged(): DataFrame = {
+        val joined =
+          if (Snapshots.currentVersion(spark, viewTable) == 0L)
+            aggNames.foldLeft(delta)((df, c) => df.withColumn(s"__st_$c", lit(null)))
+          else {
+            val affected = Snapshots.readAt(spark, viewTable)
+              .join(broadcast(delta.select(dims.map(col): _*)), dims, "left_semi")
+              .withColumnsRenamed(aggNames.map(c => c -> s"__st_$c").toMap)
+            delta.join(affected, dims, "left_outer")
+          }
+        val newRows = coalesce(col("__st_n_rows"), lit(0L)) + col("n_rows")
+        val baseCols: Seq[Column] = dims.map(col) ++ (
+          newRows.as("n_rows") +:
             measures.map(m =>
               (coalesce(col(s"__st_sum_$m"), lit(0L)) +
                 coalesce(col(s"sum_$m"), lit(0L))).as(s"sum_$m")))
-        delta.join(affected, dims, "left_outer").select(outCols: _*)
+        if (minMax.isEmpty) joined.select(baseCols: _*)
+        else {
+          // a group is DIRTY when a deleted value could have been its
+          // stored bound (≤ min or ≥ max); a group emptied this version
+          // resets to the identity (null bounds) without a recompute
+          val dirty = minMax.map { m =>
+            (col(s"__del_min_$m").isNotNull && col(s"__st_min_$m").isNotNull &&
+              col(s"__del_min_$m") <= col(s"__st_min_$m")) ||
+              (col(s"__del_max_$m").isNotNull && col(s"__st_max_$m").isNotNull &&
+                col(s"__del_max_$m") >= col(s"__st_max_$m"))
+          }.reduce(_ || _) && newRows > 0
+          val cleanMm: Seq[Column] = minMax.flatMap(m => Seq(
+            when(newRows === 0, lit(null))
+              .otherwise(least(col(s"__st_min_$m"), col(s"__ins_min_$m"))).as(s"min_$m"),
+            when(newRows === 0, lit(null))
+              .otherwise(greatest(col(s"__st_max_$m"), col(s"__ins_max_$m"))).as(s"max_$m")))
+          val j = joined.withColumn("__dirty", dirty)
+          val clean = j.filter(!col("__dirty")).select(baseCols ++ cleanMm: _*)
+          val dirtyGroups = j.filter(col("__dirty"))
+          if (dirtyGroups.isEmpty) clean
+          else {
+            // recompute ONLY the dirty groups, from the table AS OF this
+            // feed version (the replay must not see later versions)
+            val recAggs = minMax.flatMap(m =>
+              Seq(min(col(m)).as(s"__rec_min_$m"), max(col(m)).as(s"__rec_max_$m")))
+            val rec = Snapshots.readAt(spark, sourceTable, Some(v))
+              .join(broadcast(dirtyGroups.select(dims.map(col): _*)), dims, "left_semi")
+              .groupBy(dims.map(col): _*)
+              .agg(recAggs.head, recAggs.tail: _*)
+            val recMm: Seq[Column] = minMax.flatMap(m => Seq(
+              col(s"__rec_min_$m").as(s"min_$m"), col(s"__rec_max_$m").as(s"max_$m")))
+            clean.unionByName(
+              dirtyGroups.join(broadcast(rec), dims, "left_outer")
+                .select(baseCols ++ recMm: _*))
+          }
+        }
       }
       // two maintainers racing one view (or a replica replay) serialize
       // through the optimistic commit: the loser re-checks the note ledger
@@ -103,7 +165,7 @@ object ViewMaintenance {
         else
           try {
             Snapshots.mergeInto(spark, viewTable,
-              merged().select(viewCols(dims, measures).map(col): _*),
+              merged().select(viewCols(dims, measures, minMax).map(col): _*),
               keys = dims, note = Some(noteFor(v)))
             committed = true
           } catch {

@@ -3227,7 +3227,7 @@ object ExtQueries {
     x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec,
     x126Spec, x127Spec, x128Spec, st23Spec, st24Spec,
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
-    x134Spec, st27Spec)
+    x134Spec, st27Spec, x135Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -6353,4 +6353,78 @@ object ExtQueries {
            |       CAST(7 AS BIGINT) AS table_versions,
            |       CAST(0 AS BIGINT) AS residual_applied
            |FROM documents, w3 GROUP BY source ORDER BY source""".stripMargin))
+
+  // IVM with NON-SELF-MAINTAINABLE aggregates (x135) — min/max under
+  // deletion is the textbook boundary of delta maintenance: removing the
+  // current bound says nothing about the runner-up. The view follows the
+  // two-path rule — inserts fold free (least/greatest), a version whose
+  // deletions could have removed a group's stored bound recomputes ONLY
+  // the dirty groups from the table AS OF that version (broadcast
+  // semi-join filtered read, O(dirty groups' rows), never O(table)). The
+  // timeline forces both paths: v5 MoR-deletes every source's argmax doc
+  // (all 20 groups dirty on max), v6 bumps every source's min-id doc by
+  // +10000 (an update whose -before may evict the min and whose +after
+  // folds clean); the oracle replays the final state's count/sum/min/max.
+  private def x135Spec: QuerySpec =
+    QuerySpec("x135_ivm_minmax",
+      (s, d) => {
+        import graft.io.{Snapshots, ViewMaintenance}
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w4 = maxId / 4 + 1
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mm_run").toString
+        val tbl = s"$tmp/tbl"
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w4 && col("doc_id") < (i + 1) * w4)
+              .coalesce(1),
+            tbl, recordSchema = true, statsCols = Seq("doc_id"))
+        }
+        // v5: each source's argmax-n_chars doc (tie → max doc_id) — every
+        // group's stored MAX is evicted, the dirty-recompute path
+        val delKeys = docs
+          .join(docs.groupBy("source").agg(max(col("n_chars")).as("__mx")), Seq("source"))
+          .filter(col("n_chars") === col("__mx"))
+          .groupBy("source").agg(max(col("doc_id")).as("id"))
+          .select("id").collect().map(_.getLong(0)).toSeq
+        Snapshots.deleteWhereMor(s, tbl, col("doc_id").isin(delKeys: _*),
+          keys = Seq("doc_id"))
+        // v6: each source's min-id SURVIVOR bumped +10000
+        val rem = Snapshots.readAt(s, tbl)
+        val minKeys = rem.groupBy("source").agg(min(col("doc_id")).as("id"))
+          .select("id").collect().map(_.getLong(0)).toSeq
+        Snapshots.mergeInto(s, tbl,
+          rem.filter(col("doc_id").isin(minKeys: _*))
+            .withColumn("n_chars", col("n_chars") + 10000L),
+          keys = Seq("doc_id"), pruneOn = Some("doc_id"))
+        val applied = ViewMaintenance.maintain(s, tbl, Seq("doc_id"),
+          dims = Seq("source"), measures = Seq("n_chars"),
+          feedDir = s"$tmp/feed", viewTable = s"$tmp/view",
+          minMax = Seq("n_chars"))
+        val audit = s.range(1).select(lit(applied.size.toLong).as("applied"))
+        ViewMaintenance.readView(s, s"$tmp/view")
+          .select(col("source"), col("n_rows"),
+            col("sum_n_chars").cast("long").as("sum_n_chars"),
+            col("min_n_chars").cast("long").as("min_n_chars"),
+            col("max_n_chars").cast("long").as("max_n_chars"))
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some("""WITH mx AS (SELECT source, max(n_chars) AS mxc FROM documents GROUP BY source),
+           |del AS (SELECT d.source, max(d.doc_id) AS id FROM documents d
+           |        JOIN mx ON d.source = mx.source AND d.n_chars = mx.mxc
+           |        GROUP BY d.source),
+           |rem AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT id FROM del)),
+           |mn AS (SELECT source, min(doc_id) AS id FROM rem GROUP BY source),
+           |fin AS (SELECT source,
+           |          CASE WHEN doc_id IN (SELECT id FROM mn)
+           |               THEN n_chars + 10000 ELSE n_chars END AS n_chars
+           |        FROM rem)
+           |SELECT source, count(*) AS n_rows,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+           |       CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+           |       CAST(max(n_chars) AS BIGINT) AS max_n_chars,
+           |       CAST(6 AS BIGINT) AS applied
+           |FROM fin GROUP BY source ORDER BY source""".stripMargin))
 }

@@ -68,6 +68,50 @@ class ViewMaintenanceSpec extends SparkSpec {
     assert(sync() === Seq.empty)
   }
 
+  test("min/max: inserts fold free, bound-removing deletes recompute only dirty groups") {
+    val root = tmp()
+    val t = s"$root/tbl"; val vt = s"$root/view"; val feed = s"$root/feed"
+    def sync() = ViewMaintenance.maintain(spark, t, Seq("id"),
+      dims = Seq("grp"), measures = Seq("m"), feed, vt, minMax = Seq("m"))
+    def mm() = ViewMaintenance.readView(spark, vt)
+      .select("grp", "n_rows", "min_m", "max_m")
+      .as[(String, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def directMm() = Snapshots.readAt(spark, t).groupBy("grp")
+      .agg(count(lit(1)), min("m"), max("m"))
+      .as[(String, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    Snapshots.commitAppend(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("id", "grp", "m").coalesce(1), t, recordSchema = true)
+    sync()
+    assert(mm() === Map("a" -> ((2L, Some(10L), Some(20L))),
+      "b" -> ((1L, Some(30L), Some(30L)))))
+    // clean insert path: new group minimum via least, no table read
+    Snapshots.mergeInto(spark, t, Seq((4L, "a", 5L)).toDF("id", "grp", "m"),
+      keys = Seq("id"))
+    sync()
+    assert(mm()("a") === ((3L, Some(5L), Some(20L))))
+    // deleting the CURRENT min forces the dirty-group recompute
+    Snapshots.deleteWhereMor(spark, t, col("id") === 4L, keys = Seq("id"))
+    sync()
+    assert(mm()("a") === ((2L, Some(10L), Some(20L))))
+    // an update lowering the current max is a delete-at-max + insert-below
+    Snapshots.mergeInto(spark, t, Seq((2L, "a", 15L)).toDF("id", "grp", "m"),
+      keys = Seq("id"))
+    sync()
+    assert(mm()("a") === ((2L, Some(10L), Some(15L))))
+    // emptying a group resets to the identity (null bounds, hidden)...
+    Snapshots.deleteWhereMor(spark, t, col("id") === 3L, keys = Seq("id"))
+    sync()
+    assert(!mm().contains("b"))
+    // ...and a resurrection re-seeds the bounds from the insert alone
+    Snapshots.mergeInto(spark, t, Seq((5L, "b", 7L)).toDF("id", "grp", "m"),
+      keys = Seq("id"))
+    sync()
+    assert(mm() === directMm())
+  }
+
   test("replay after a lost feed cursor is exactly-once (note ledger)") {
     val root = tmp()
     val t = s"$root/tbl"; val vt = s"$root/view"; val feed = s"$root/feed"
