@@ -1617,6 +1617,53 @@ object Snapshots {
     base.filter(col(column).cast("string").isin(probes: _*))
   }
 
+  /** AGE-BASED retention: expire history so that time travel still works
+    * for every instant at or after `tsMillis` — the "keep N days" knob.
+    * The horizon is [[versionAt]]`(tsMillis)` (the newest version visible
+    * at that instant must survive so `AS OF tsMillis` keeps resolving);
+    * everything older expires per [[expireVersions]], with the same tag
+    * and safety refusals. No-op (current version kept, nothing expired)
+    * when the table has no pre-`tsMillis` history. */
+  def expireOlderThan(spark: SparkSession, table: String,
+                      tsMillis: Long): ExpireResult = {
+    val horizon = versionAt(spark, table, tsMillis)
+    if (horizon == 0L) ExpireResult(Nil, 0L)
+    else expireVersions(spark, table, keepFrom = horizon)
+  }
+
+  /** One row of [[detail]] — DESCRIBE DETAIL: the operational metadata a
+    * maintenance scheduler reads (all O(metadata); the only data-file
+    * bytes touched are the dv key files, which are point-delete-sized by
+    * contract). `smallFiles` counts live files under `smallBytes` — the
+    * [[compactSmall]] backlog. */
+  final case class TableDetail(version: Long, files: Int, bytes: Long,
+                               smallFiles: Int, dvFiles: Int, dvKeys: Long,
+                               bloomSidecars: Int, versionsRetained: Int,
+                               checkpoints: Int, tags: Map[String, Long],
+                               schemaRecorded: Boolean)
+
+  def detail(spark: SparkSession, table: String,
+             smallBytes: Long = 32L * 1024 * 1024): TableDetail = {
+    val f = fs(spark, table)
+    val v = currentVersion(spark, table)
+    val live = liveFiles(spark, table, Some(v))
+    val sizes = live.map(p => f.getFileStatus(new Path(p)).getLen)
+    val dvs = liveDvFiles(spark, table, Some(v))
+    val dvKeys = if (dvs.isEmpty) 0L else spark.read.parquet(dvs: _*).count()
+    TableDetail(
+      version = v,
+      files = live.size,
+      bytes = sizes.sum,
+      smallFiles = sizes.count(_ < smallBytes),
+      dvFiles = dvs.size,
+      dvKeys = dvKeys,
+      bloomSidecars = liveBloomFiles(spark, table, Some(v)).size,
+      versionsRetained = versions(spark, table).size,
+      checkpoints = checkpointVersions(spark, table).size,
+      tags = tags(spark, table),
+      schemaRecorded = tableSchema(spark, table, Some(v)).isDefined)
+  }
+
   /** Outcome of an [[optimizeZorder]]: the committed version and the
     * live-file counts either side of the rewrite. */
   final case class OptimizeResult(version: Long, filesBefore: Int, filesAfter: Int)

@@ -906,6 +906,29 @@ class SnapshotsSpec extends SparkSpec {
     assert(ts.size === 2 && ts === ts.sorted && ts.forall(_ > 0))
   }
 
+  test("expireOlderThan keeps the AS OF horizon resolvable; detail reports the state") {
+    val t = tmpTable()
+    Snapshots.commitAppend(df(1 to 10), t, recordSchema = true)
+    Snapshots.commitAppend(df(11 to 12).coalesce(1), t, recordSchema = true)
+    Thread.sleep(1100)
+    val ts = System.currentTimeMillis()
+    Snapshots.commitAppend(df(13 to 15).coalesce(1), t, recordSchema = true)
+    Snapshots.deleteWhereMor(spark, t, col("id") === 1L, keys = Seq("id"))
+    Snapshots.tag(spark, t, "now")
+    val r = Snapshots.expireOlderThan(spark, t, ts)
+    // the newest version visible at ts (v2) is the horizon and survives
+    assert(r.checkpointAt === 2L && r.expired === Seq(1L))
+    assert(Snapshots.readAsOf(spark, t, ts).count() === 12)
+    intercept[Exception] { Snapshots.readAt(spark, t, Some(1)) }
+    val d = Snapshots.detail(spark, t)
+    assert(d.version === 4L && d.files === 6 && d.smallFiles === 6)
+    assert(d.dvFiles === 1 && d.dvKeys === 1L && d.bloomSidecars === 0)
+    assert(d.versionsRetained === 3 && d.checkpoints === 1)
+    assert(d.tags === Map("now" -> 4L) && d.schemaRecorded)
+    // a table with no pre-ts history is a no-op
+    assert(Snapshots.expireOlderThan(spark, t, 1L) === Snapshots.ExpireResult(Nil, 0L))
+  }
+
   test("fastCount: recorded counts + exact fallback + dv deferral all agree with count()") {
     val t = tmpTable()
     Snapshots.commitAppend(df(1 to 100), t, recordSchema = true, recordRowCounts = true)
