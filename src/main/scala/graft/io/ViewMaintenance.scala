@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, greatest, least, lit, max, min, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, greatest, hll_sketch_agg, hll_union, least, lit, max, min, sum, when}
 
 /** INCREMENTAL VIEW MAINTENANCE over a snapshot table's change feed —
   * keep `SELECT dims…, count(*), sum(m)…, min(m), max(m)… GROUP BY dims`
@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions.{broadcast, coalesce, col, greatest, least
   * MERGE instead of a merge-plus-delete pair.
   *
   * MIN/MAX are NOT self-maintainable under deletion (removing the
-  * current minimum says nothing about the runner-up), so `minMax`
-  * measures follow the textbook two-path rule: inserts fold for free
+  * current minimum says nothing about the runner-up), and neither is an
+  * APPROX-DISTINCT sketch (`distinct` measures: Datasketches HLL via
+  * `hll_sketch_agg` — values cannot be un-added, so ANY deletion of a
+  * non-null value dirties the group while inserts fold free as
+  * `hll_union`). Both follow the textbook two-path rule: inserts fold for free
   * (`least`/`greatest` with the stored bound), while a version whose
   * deletions COULD have removed a group's stored bound marks that group
   * DIRTY and recomputes exactly the dirty groups from the source table
@@ -55,9 +58,10 @@ object ViewMaintenance {
   def noteFor(version: Long): String = s"ivm-v$version"
 
   private def viewCols(dims: Seq[String], measures: Seq[String],
-                       minMax: Seq[String]): Seq[String] =
+                       minMax: Seq[String], distinct: Seq[String]): Seq[String] =
     dims ++ ("n_rows" +: measures.map(m => s"sum_$m")) ++
-      minMax.flatMap(m => Seq(s"min_$m", s"max_$m"))
+      minMax.flatMap(m => Seq(s"min_$m", s"max_$m")) ++
+      distinct.map(m => s"hll_$m")
 
   /** Catch the view table up with the source's change feed: sync the feed,
     * then fold every unapplied version into `viewTable` (one MERGE each).
@@ -65,21 +69,23 @@ object ViewMaintenance {
   def maintain(spark: SparkSession, sourceTable: String, keys: Seq[String],
                dims: Seq[String], measures: Seq[String],
                feedDir: String, viewTable: String,
-               minMax: Seq[String] = Nil): Seq[Long] = {
+               minMax: Seq[String] = Nil,
+               distinct: Seq[String] = Nil): Seq[Long] = {
     require(dims.nonEmpty, "maintain needs at least one dimension column")
     ChangeFeed.sync(spark, sourceTable, keys, feedDir)
     val cur = ChangeFeed.cursor(spark, feedDir)
     val applied = Snapshots.notes(spark, viewTable).toSet
     val pending = (1L to cur).filterNot(v => applied.contains(noteFor(v)))
     val aggNames = ("n_rows" +: measures.map(m => s"sum_$m")) ++
-      minMax.flatMap(m => Seq(s"min_$m", s"max_$m"))
+      minMax.flatMap(m => Seq(s"min_$m", s"max_$m")) ++
+      distinct.map(m => s"hll_$m")
     pending.foreach { v =>
       val cdc = spark.read.parquet(f"$feedDir/v$v%010d")
       // a source key has no _before/_after split in the CDC shape — it is
       // identical on both sides by definition
       def side(c: String, s: String): Column =
         if (keys.contains(c)) col(c) else col(s"${c}_$s")
-      val valCols = (measures ++ minMax).distinct
+      val valCols = (measures ++ minMax ++ distinct).distinct
       def signed(suffix: String, changes: Seq[String], sign: Long) =
         cdc.filter(col("change").isin(changes: _*))
           .select(dims.map(d => side(d, suffix).as(d)) ++
@@ -92,7 +98,11 @@ object ViewMaintenance {
             min(when(col("__sign") === 1, col(m))).as(s"__ins_min_$m"),
             max(when(col("__sign") === 1, col(m))).as(s"__ins_max_$m"),
             min(when(col("__sign") === -1, col(m))).as(s"__del_min_$m"),
-            max(when(col("__sign") === -1, col(m))).as(s"__del_max_$m")))
+            max(when(col("__sign") === -1, col(m))).as(s"__del_max_$m"))) ++
+          distinct.flatMap(m => Seq(
+            hll_sketch_agg(when(col("__sign") === 1, col(m))).as(s"__ins_hll_$m"),
+            max(when(col("__sign") === -1 && col(m).isNotNull, lit(1L))
+              .otherwise(lit(0L))).as(s"__del_any_$m")))
       val delta = signed("after", Seq("insert", "update"), 1L)
         .unionByName(signed("before", Seq("delete", "update"), -1L))
         .groupBy(dims.map(col): _*)
@@ -117,22 +127,32 @@ object ViewMaintenance {
             measures.map(m =>
               (coalesce(col(s"__st_sum_$m"), lit(0L)) +
                 coalesce(col(s"sum_$m"), lit(0L))).as(s"sum_$m")))
-        if (minMax.isEmpty) joined.select(baseCols: _*)
+        if (minMax.isEmpty && distinct.isEmpty) joined.select(baseCols: _*)
         else {
-          // a group is DIRTY when a deleted value could have been its
-          // stored bound (≤ min or ≥ max); a group emptied this version
-          // resets to the identity (null bounds) without a recompute
-          val dirty = minMax.map { m =>
+          // a group is DIRTY when a deleted value could have invalidated
+          // non-subtractable state: it could have been a stored min/max
+          // bound (≤ min or ≥ max), or ANY deletion under an HLL distinct
+          // sketch (values cannot be un-added from a sketch). A group
+          // emptied this version resets to the identity (null bounds /
+          // null sketch) without a recompute.
+          val dirty = (minMax.map { m =>
             (col(s"__del_min_$m").isNotNull && col(s"__st_min_$m").isNotNull &&
               col(s"__del_min_$m") <= col(s"__st_min_$m")) ||
               (col(s"__del_max_$m").isNotNull && col(s"__st_max_$m").isNotNull &&
                 col(s"__del_max_$m") >= col(s"__st_max_$m"))
-          }.reduce(_ || _) && newRows > 0
+          } ++ distinct.map(m => col(s"__del_any_$m") === 1L))
+            .reduce(_ || _) && newRows > 0
           val cleanMm: Seq[Column] = minMax.flatMap(m => Seq(
             when(newRows === 0, lit(null))
               .otherwise(least(col(s"__st_min_$m"), col(s"__ins_min_$m"))).as(s"min_$m"),
             when(newRows === 0, lit(null))
-              .otherwise(greatest(col(s"__st_max_$m"), col(s"__ins_max_$m"))).as(s"max_$m")))
+              .otherwise(greatest(col(s"__st_max_$m"), col(s"__ins_max_$m"))).as(s"max_$m"))) ++
+            distinct.map { m =>
+              val st = col(s"__st_hll_$m"); val ins = col(s"__ins_hll_$m")
+              when(newRows === 0, lit(null))
+                .otherwise(when(st.isNull, ins).when(ins.isNull, st)
+                  .otherwise(hll_union(st, ins))).as(s"hll_$m")
+            }
           val j = joined.withColumn("__dirty", dirty)
           val clean = j.filter(!col("__dirty")).select(baseCols ++ cleanMm: _*)
           val dirtyGroups = j.filter(col("__dirty"))
@@ -141,13 +161,15 @@ object ViewMaintenance {
             // recompute ONLY the dirty groups, from the table AS OF this
             // feed version (the replay must not see later versions)
             val recAggs = minMax.flatMap(m =>
-              Seq(min(col(m)).as(s"__rec_min_$m"), max(col(m)).as(s"__rec_max_$m")))
+              Seq(min(col(m)).as(s"__rec_min_$m"), max(col(m)).as(s"__rec_max_$m"))) ++
+              distinct.map(m => hll_sketch_agg(col(m)).as(s"__rec_hll_$m"))
             val rec = Snapshots.readAt(spark, sourceTable, Some(v))
               .join(broadcast(dirtyGroups.select(dims.map(col): _*)), dims, "left_semi")
               .groupBy(dims.map(col): _*)
               .agg(recAggs.head, recAggs.tail: _*)
             val recMm: Seq[Column] = minMax.flatMap(m => Seq(
-              col(s"__rec_min_$m").as(s"min_$m"), col(s"__rec_max_$m").as(s"max_$m")))
+              col(s"__rec_min_$m").as(s"min_$m"), col(s"__rec_max_$m").as(s"max_$m"))) ++
+              distinct.map(m => col(s"__rec_hll_$m").as(s"hll_$m"))
             clean.unionByName(
               dirtyGroups.join(broadcast(rec), dims, "left_outer")
                 .select(baseCols ++ recMm: _*))
@@ -165,7 +187,7 @@ object ViewMaintenance {
         else
           try {
             Snapshots.mergeInto(spark, viewTable,
-              merged().select(viewCols(dims, measures, minMax).map(col): _*),
+              merged().select(viewCols(dims, measures, minMax, distinct).map(col): _*),
               keys = dims, note = Some(noteFor(v)))
             committed = true
           } catch {

@@ -3227,7 +3227,7 @@ object ExtQueries {
     x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec,
     x126Spec, x127Spec, x128Spec, st23Spec, st24Spec,
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
-    x134Spec, st27Spec, x135Spec)
+    x134Spec, st27Spec, x135Spec, x136Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -6426,5 +6426,92 @@ object ExtQueries {
            |       CAST(min(n_chars) AS BIGINT) AS min_n_chars,
            |       CAST(max(n_chars) AS BIGINT) AS max_n_chars,
            |       CAST(6 AS BIGINT) AS applied
+           |FROM fin GROUP BY source ORDER BY source""".stripMargin))
+
+  // IVM with APPROX-DISTINCT sketches (x136) — the other non-subtractable
+  // aggregate: per-source distinct token-bucket counts maintained as
+  // Datasketches HLL. Inserts fold free (hll_union); a value can never be
+  // UN-added from a sketch, so any deletion dirties the group and the
+  // recompute path rebuilds only the dirty groups' sketches from the table
+  // as of that version. The subtle case the timeline forces: v5 deletes
+  // ONE copy of values that still exist in other rows — naive sketch
+  // maintenance would either leave the count inflated (ignore deletes) or
+  // lose surviving values (can't subtract); the recompute gets it right.
+  // At this domain size (≤ ~104 distinct per group) the sketch operates
+  // in its exact list/set regime, so the DuckDB count(DISTINCT) replay is
+  // an EXACT oracle; the fixed sketch size is what scales the operator to
+  // 100 TB groups. est_matches_direct pins union-of-deltas ≡ one-shot
+  // sketch over the final state (register-state determinism).
+  private def x136Spec: QuerySpec =
+    QuerySpec("x136_ivm_distinct",
+      (s, d) => {
+        import graft.io.{Snapshots, ViewMaintenance}
+        import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate}
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            (col("n_chars") % 97).as("tok"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w4 = maxId / 4 + 1
+        val tmp = java.nio.file.Files.createTempDirectory("graft_hll_run").toString
+        val tbl = s"$tmp/tbl"
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w4 && col("doc_id") < (i + 1) * w4)
+              .coalesce(1),
+            tbl, recordSchema = true, statsCols = Seq("doc_id"))
+        }
+        val delKeys = docs
+          .join(docs.groupBy("source").agg(max(col("n_chars")).as("__mx")), Seq("source"))
+          .filter(col("n_chars") === col("__mx"))
+          .groupBy("source").agg(max(col("doc_id")).as("id"))
+          .select("id").collect().map(_.getLong(0)).toSeq
+        Snapshots.deleteWhereMor(s, tbl, col("doc_id").isin(delKeys: _*),
+          keys = Seq("doc_id"))
+        val rem = Snapshots.readAt(s, tbl)
+        val minKeys = rem.groupBy("source").agg(min(col("doc_id")).as("id"))
+          .select("id").collect().map(_.getLong(0)).toSeq
+        Snapshots.mergeInto(s, tbl,
+          rem.filter(col("doc_id").isin(minKeys: _*))
+            .withColumn("tok", lit(1000L) + col("doc_id") % 7),
+          keys = Seq("doc_id"), pruneOn = Some("doc_id"))
+        val applied = ViewMaintenance.maintain(s, tbl, Seq("doc_id"),
+          dims = Seq("source"), measures = Seq("n_chars"),
+          feedDir = s"$tmp/feed", viewTable = s"$tmp/view",
+          distinct = Seq("tok"))
+        // union-of-version-deltas must equal the one-shot sketch over the
+        // final state — register-state determinism, checked sketch-for-
+        // sketch by ESTIMATE equality per group
+        val direct = Snapshots.readAt(s, tbl).groupBy("source")
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("tok"))).as("__direct"))
+        val matches = ViewMaintenance.readView(s, s"$tmp/view")
+          .select(col("source"), hll_sketch_estimate(col("hll_tok")).as("__est"))
+          .join(direct, Seq("source"))
+          .agg(sum(when(col("__est") === col("__direct"), 0L).otherwise(1L)))
+          .first().getLong(0)
+        val audit = s.range(1).select(
+          lit(applied.size.toLong).as("applied"),
+          lit(if (matches == 0L) 1L else 0L).as("est_matches_direct"))
+        ViewMaintenance.readView(s, s"$tmp/view")
+          .select(col("source"), col("n_rows"),
+            col("sum_n_chars").cast("long").as("sum_n_chars"),
+            hll_sketch_estimate(col("hll_tok")).as("approx_distinct"))
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some("""WITH mx AS (SELECT source, max(n_chars) AS mxc FROM documents GROUP BY source),
+           |del AS (SELECT d.source, max(d.doc_id) AS id FROM documents d
+           |        JOIN mx ON d.source = mx.source AND d.n_chars = mx.mxc
+           |        GROUP BY d.source),
+           |rem AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT id FROM del)),
+           |mn AS (SELECT source, min(doc_id) AS id FROM rem GROUP BY source),
+           |fin AS (SELECT source, n_chars,
+           |          CASE WHEN doc_id IN (SELECT id FROM mn)
+           |               THEN 1000 + doc_id % 7 ELSE n_chars % 97 END AS tok
+           |        FROM rem)
+           |SELECT source, count(*) AS n_rows,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+           |       count(DISTINCT tok) AS approx_distinct,
+           |       CAST(6 AS BIGINT) AS applied,
+           |       CAST(1 AS BIGINT) AS est_matches_direct
            |FROM fin GROUP BY source ORDER BY source""".stripMargin))
 }

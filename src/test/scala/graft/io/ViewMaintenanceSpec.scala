@@ -112,6 +112,41 @@ class ViewMaintenanceSpec extends SparkSpec {
     assert(mm() === directMm())
   }
 
+  test("approx-distinct: inserts union free, any delete recomputes; estimate == direct") {
+    import org.apache.spark.sql.functions.hll_sketch_estimate
+    val root = tmp()
+    val t = s"$root/tbl"; val vt = s"$root/view"; val feed = s"$root/feed"
+    def sync() = ViewMaintenance.maintain(spark, t, Seq("id"),
+      dims = Seq("grp"), measures = Seq("m"), feed, vt, distinct = Seq("m"))
+    def est() = ViewMaintenance.readView(spark, vt)
+      .select(col("grp"), hll_sketch_estimate(col("hll_m")).as("d"))
+      .as[(String, Long)].collect().toMap
+    def exact() = Snapshots.readAt(spark, t).groupBy("grp")
+      .agg(countDistinct(col("m")).as("d")).as[(String, Long)].collect().toMap
+
+    // duplicates collapse; per-group isolation
+    Snapshots.commitAppend(Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 20L),
+      (4L, "b", 10L)).toDF("id", "grp", "m").coalesce(1), t, recordSchema = true)
+    sync()
+    assert(est() === Map("a" -> 2L, "b" -> 1L))
+    // clean insert path (new value, no deletes)
+    Snapshots.mergeInto(spark, t, Seq((5L, "a", 30L)).toDF("id", "grp", "m"),
+      keys = Seq("id"))
+    sync()
+    assert(est()("a") === 3L)
+    // deleting ONE copy of a duplicated value must keep the value counted
+    // — exactly what naive sketch maintenance gets wrong without the
+    // dirty-group recompute
+    Snapshots.deleteWhereMor(spark, t, col("id") === 1L, keys = Seq("id"))
+    sync()
+    assert(est()("a") === 3L)
+    // deleting the LAST copy drops it
+    Snapshots.deleteWhereMor(spark, t, col("id") === 2L, keys = Seq("id"))
+    sync()
+    assert(est()("a") === 2L)
+    assert(est() === exact())
+  }
+
   test("replay after a lost feed cursor is exactly-once (note ledger)") {
     val root = tmp()
     val t = s"$root/tbl"; val vt = s"$root/view"; val feed = s"$root/feed"
