@@ -68,11 +68,50 @@ object ChangeFeed {
     * so the read enumerates `v1..vcursor` explicitly instead of globbing
     * the directory (which would surface half-written/unacknowledged
     * dirs). Every enumerated dir exists and is complete by the
-    * write-data-then-advance-cursor discipline. Cursor 0 = empty feed. */
+    * write-data-then-advance-cursor discipline.
+    *
+    * Cursor 0 (created-but-never-synced feed) THROWS by contract: with no
+    * acknowledged version there is no materialized schema to shape an
+    * empty result from. A consumer that may poll before the first sync
+    * uses [[readOrEmpty]], which derives the CDC schema from the source
+    * table's recorded schema instead. */
   def read(spark: SparkSession, outDir: String): DataFrame = {
     val cur = cursor(spark, outDir)
-    require(cur > 0, s"change feed at $outDir has no acknowledged versions yet (cursor=0)")
+    require(cur > 0, s"change feed at $outDir has no acknowledged versions yet " +
+      "(cursor=0); use readOrEmpty for early-polling consumers")
     val dirs = (1L to cur).map(v => f"$outDir/v$v%010d")
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
+  /** The feed's row shape for a table with recorded schema `sc` and CDC
+    * keys `keys`: `keys…, change, <col>_before, <col>_after…, version` —
+    * exactly what [[sync]] materializes ([[Snapshots.rowDiff]] plus the
+    * version stamp). */
+  def cdcSchema(sc: org.apache.spark.sql.types.StructType,
+                keys: Seq[String]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    StructType(
+      keys.map(k => StructField(k, sc(k).dataType, nullable = true)) ++
+        Seq(StructField("change", StringType, nullable = true)) ++
+        sc.fields.toSeq.filterNot(f => keys.contains(f.name)).flatMap(f => Seq(
+          StructField(s"${f.name}_before", f.dataType, nullable = true),
+          StructField(s"${f.name}_after", f.dataType, nullable = true))) :+
+        StructField("version", LongType, nullable = true))
+  }
+
+  /** [[read]], except a cursor-0 feed returns an EMPTY frame in the CDC
+    * shape (derived from the source table's recorded schema — present by
+    * the feed contract) instead of throwing — the early/empty-feed
+    * consumer's entry point. */
+  def readOrEmpty(spark: SparkSession, table: String, keys: Seq[String],
+                  outDir: String): DataFrame = {
+    if (cursor(spark, outDir) > 0) read(spark, outDir)
+    else {
+      val sc = Snapshots.tableSchema(spark, table).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table records no schema; a change feed requires recordSchema = true"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cdcSchema(sc, keys))
+    }
   }
 }

@@ -170,7 +170,14 @@ object Snapshots {
     * multi-writer guarantee does NOT hold on S3 as written — it needs
     * Hadoop 3.4.2+ conditional writes (`fs.s3a.create.conditional`,
     * If-None-Match PUT) or an external commit coordinator, the same
-    * requirement every manifest-log table format documents for S3. */
+    * requirement every manifest-log table format documents for S3.
+    *
+    * Returns false ONLY when the target already exists (a lost create
+    * race — benign everywhere this is called). A genuine I/O failure
+    * PROPAGATES: a caller that read false-means-exists would otherwise
+    * mistake a failed publish for a completed one ([[expireVersions]]
+    * deleting history against a checkpoint that never landed was exactly
+    * that bug). */
   private def writeExclusive(f: FileSystem, p: Path, lines: Seq[String]): Boolean = {
     val bytes = (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
     val scheme = p.toUri.getScheme
@@ -179,24 +186,33 @@ object Snapshots {
       java.nio.file.Files.createDirectories(nio.getParent)
       val tmp = nio.resolveSibling(
         s".${nio.getFileName}.tmp.${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.write(tmp, bytes) // temp write failure = genuine, propagates
       try {
         java.nio.file.Files.createLink(nio, tmp)
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.io.IOException                      => false
+        case e: java.io.IOException =>
+          // some filesystems surface the lost link race as a bare
+          // IOException; target-present = race, target-absent = failure
+          if (java.nio.file.Files.exists(nio)) false else throw e
       } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
       val tmp = new Path(p.getParent,
         s".${p.getName}.tmp.${java.util.UUID.randomUUID()}")
-      val out =
-        try f.create(tmp, false)
-        catch { case _: java.io.IOException => return false }
+      // the temp name is UUID-unique: nothing can race it, so any failure
+      // creating/writing it is genuine and propagates
+      val out = f.create(tmp, false)
       try out.write(bytes) finally out.close()
-      try f.rename(tmp, p) // false (target exists) or throws = lost the race
-      catch { case _: java.io.IOException => false }
-      finally { try f.delete(tmp, false) catch { case _: java.io.IOException => () } }
+      try {
+        val renamed =
+          try f.rename(tmp, p)
+          catch { case _: java.io.IOException => false }
+        if (renamed) true
+        else if (f.exists(p)) false // lost the publish race
+        else throw new java.io.IOException(
+          s"atomic publish of $p failed: rename returned false with no existing target")
+      } finally { try f.delete(tmp, false) catch { case _: java.io.IOException => () } }
     }
   }
 
@@ -244,8 +260,15 @@ object Snapshots {
     // "dv" lines add DELETION-VECTOR files (key tombstones, see
     // [[deleteWhereMor]]); they retire through the same "remove" action
     // as data files (paths are unique, so the shared action is safe).
+    // the commit's wall-clock timestamp rides IN the manifest ("ts" line):
+    // [[versionAt]]/TIMESTAMP AS OF resolve from it at millisecond
+    // precision on every filesystem, instead of from the manifest object's
+    // mtime (second-granular on local fs, undefined on object stores).
+    // Replay readers ignore unknown actions, so old manifests (no ts line,
+    // resolved by mtime fallback) and new ones coexist.
     val lines =
-      schemaJson.map(s => s"""{"a":"schema","p":${jq(s)}}""").toSeq ++
+      Seq(s"""{"a":"ts","p":${jq(System.currentTimeMillis().toString)}}""") ++
+        schemaJson.map(s => s"""{"a":"schema","p":${jq(s)}}""").toSeq ++
         adds.map(p => s"""{"a":"add","p":${jq(p)}}""") ++
         removes.map(p => s"""{"a":"remove","p":${jq(p)}}""") ++
         dvAdds.map(p => s"""{"a":"dv","p":${jq(p)}}""") ++
@@ -451,15 +474,45 @@ object Snapshots {
     * still applies the actual filter on top. */
   def readPruned(spark: SparkSession, table: String, column: String,
                  lo: String, hi: String,
-                 version: Option[Long] = None): DataFrame = {
-    val (scan, _) = pruneFiles(spark, table, column, lo, hi, version)
+                 version: Option[Long] = None): DataFrame =
+    readLiveSubset(spark, table, version,
+      pruneFiles(spark, table, column, lo, hi, version)._1)
+
+  /** Dv-resolved, schema-resolved read of a SUBSET of the live files —
+    * the shared tail of every pruned read (zone map, bloom, catalog
+    * pushdown). The caller guarantees `files ⊆ liveFiles(version)`;
+    * pruning must be conservative, so the actual predicate still applies
+    * on top. */
+  private[graft] def readLiveSubset(spark: SparkSession, table: String,
+                                    version: Option[Long],
+                                    files: Seq[String]): DataFrame = {
     val sc = tableSchema(spark, table, version)
-    if (scan.isEmpty) {
+    if (files.isEmpty) {
       val s = sc.getOrElse(throw new IllegalArgumentException(
         s"all files of $table pruned and no recorded schema; pass readAt instead"))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     } else applyDv(spark, table, version,
-      sc.map(spark.read.schema).getOrElse(spark.read).parquet(scan: _*))
+      sc.map(spark.read.schema).getOrElse(spark.read).parquet(files: _*))
+  }
+
+  /** Read only the live files whose zone maps can intersect EVERY
+    * `(column, lo, hi)` range — the multi-predicate [[readPruned]]
+    * (ranges AND together, the conjunctive-predicate shape). Columns
+    * without a recorded stat on a file leave that file unprunable for
+    * that range (conservative, never wrong); an empty `ranges` reads
+    * everything. */
+  def readPrunedRanges(spark: SparkSession, table: String,
+                       ranges: Seq[(String, String, String)],
+                       version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, table))
+    val stats = fileStats(spark, table, Some(v))
+      .groupBy(_.column).map { case (c, xs) => c -> xs.map(st => st.path -> st).toMap }
+    val scan = liveFiles(spark, table, Some(v)).filter { p =>
+      ranges.forall { case (c, lo, hi) =>
+        stats.get(c).flatMap(_.get(p)).forall(statIntersects(_, lo, hi))
+      }
+    }
+    readLiveSubset(spark, table, Some(v), scan)
   }
 
   /** COPY-ON-WRITE row-level DELETE: remove every row matching `cond`,
@@ -605,7 +658,8 @@ object Snapshots {
   def mergeInto(spark: SparkSession, table: String, updates: DataFrame,
                 keys: Seq[String], pruneOn: Option[String] = None,
                 statsCols: Seq[String] = Nil,
-                note: Option[String] = None): DeleteResult = {
+                note: Option[String] = None,
+                extraNotes: Seq[String] = Nil): DeleteResult = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val v = currentVersion(spark, table)
@@ -625,7 +679,8 @@ object Snapshots {
     if (live.isEmpty && dvLive.isEmpty) {
       // empty table: MERGE degenerates to the insert branch
       val version = commitAppend(updates, table,
-        recordSchema = sc.isEmpty, statsCols = statsCols, notes = note.toSeq)
+        recordSchema = sc.isEmpty, statsCols = statsCols,
+        notes = note.toSeq ++ extraNotes)
       return DeleteResult(version, Nil, 0)
     }
     val cols = sc.map(_.fieldNames.toSeq).getOrElse {
@@ -689,7 +744,7 @@ object Snapshots {
     val version = commit(spark, table, adds = parts,
       removes = touched ++ dvLive, baseVersion = Some(v),
       stats = computeStats(spark, dir, parts, statCols),
-      notes = note.toSeq, dvAdds = dvParts)
+      notes = note.toSeq ++ extraNotes, dvAdds = dvParts)
     DeleteResult(version, touched, live.size - touched.size)
   }
 
@@ -1099,50 +1154,102 @@ object Snapshots {
   def checkpointAt(spark: SparkSession, table: String, version: Long): Long = {
     if (version == 0) return 0
     val f = fs(spark, table)
-    val noteLines = versions(spark, table).filter(_ <= version).flatMap { c =>
-      readLines(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))
-        .flatMap(parseLine).collect { case ("note", s) => s }
-    } ++ checkpointVersions(spark, table).filter(_ <= version).sorted.lastOption.toSeq
-      .flatMap { c =>
-        readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
-          .flatMap(parseLine).collect { case ("note", s) => s }
-      }
-    val lines =
-      tableSchema(spark, table, Some(version)).map(s =>
-        s"""{"a":"schema","p":${jq(s.json)}}""").toSeq ++
-      liveFiles(spark, table, Some(version))
-        .map(p => s"""{"a":"add","p":${jq(p)}}""") ++
-      liveDvFiles(spark, table, Some(version))
-        .map(p => s"""{"a":"dv","p":${jq(p)}}""") ++
-      liveBloomFiles(spark, table, Some(version))
-        .map(p => s"""{"a":"bloom","p":${jq(p)}}""") ++
-      fileStats(spark, table, Some(version)).map(st =>
-        s"""{"a":"stat","p":${jq(
-          Seq(st.path, st.column, st.dtype, st.min, st.max).mkString(StatSep))}}""") ++
-      noteLines.distinct.map(s => s"""{"a":"note","p":${jq(s)}}""")
+    val lines = checkpointLines(spark, table, version)
     writeExclusive(f, new Path(f"${manifestDir(table)}/c$version%010d.json"), lines)
+    // verified regardless of which writer won the create race: the file
+    // now on disk must carry the full state this version resolves to, or
+    // the caller must not treat the checkpoint as an anchor (see
+    // [[expireVersions]] — deleting history against a partial or
+    // stale-format checkpoint silently truncates schema/stats/notes)
+    verifyCheckpoint(spark, table, version, lines)
     version
   }
 
-  /** All note strings ever committed (ascending version order). Commit
-    * manifests are never deleted, so this sees the full history
-    * regardless of checkpoints — the exactly-once ledger a streaming
-    * MERGE replays against (its data dirs are non-deterministic, so the
-    * path-based [[commitBatchOnce]] check can't serve it). */
-  def notes(spark: SparkSession, table: String): Seq[String] = {
+  /** The full-state checkpoint content at `version`: live data/dv/bloom
+    * sets, newest schema stamp, live files' zone-map stats, and the exact
+    * note ledger up to `version`. */
+  private def checkpointLines(spark: SparkSession, table: String,
+                              version: Long): Seq[String] =
+    tableSchema(spark, table, Some(version)).map(s =>
+      s"""{"a":"schema","p":${jq(s.json)}}""").toSeq ++
+    liveFiles(spark, table, Some(version))
+      .map(p => s"""{"a":"add","p":${jq(p)}}""") ++
+    liveDvFiles(spark, table, Some(version))
+      .map(p => s"""{"a":"dv","p":${jq(p)}}""") ++
+    liveBloomFiles(spark, table, Some(version))
+      .map(p => s"""{"a":"bloom","p":${jq(p)}}""") ++
+    fileStats(spark, table, Some(version)).map(st =>
+      s"""{"a":"stat","p":${jq(
+        Seq(st.path, st.column, st.dtype, st.min, st.max).mkString(StatSep))}}""") ++
+    notesUpTo(spark, table, version).map(s => s"""{"a":"note","p":${jq(s)}}""")
+
+  /** Assert the checkpoint file at `version` exists and carries exactly
+    * the state `version` resolves to right now (order-insensitive, per
+    * action). Throws IllegalStateException otherwise — the caller was
+    * about to anchor on a checkpoint that never landed, landed partially
+    * (non-atomic filesystem), or predates full-state checkpoints. */
+  private def verifyCheckpoint(spark: SparkSession, table: String,
+                               version: Long, expected: Seq[String]): Unit = {
     val f = fs(spark, table)
-    // ledger entries whose commits were expired survive in the newest
-    // full-state checkpoint; pre-expiry the checkpoint's notes are a
-    // (deduplicated) prefix of the commits' own
-    val ckptNotes = checkpointVersions(spark, table).sorted.lastOption.toSeq.flatMap { c =>
-      readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
-        .flatMap(parseLine).collect { case ("note", s) => s }
+    val p = new Path(f"${manifestDir(table)}/c$version%010d.json")
+    if (!f.exists(p)) throw new IllegalStateException(
+      s"checkpoint at version $version of $table was not published")
+    def byAction(lines: Seq[String]): Map[String, Set[String]] =
+      lines.flatMap(parseLine).groupBy(_._1).map { case (a, xs) =>
+        a -> xs.map(_._2).toSet
+      }
+    val got = byAction(readLines(f, p))
+    val want = byAction(expected)
+    // notes compare as sets here (duplicate ledger entries collapse under
+    // Set, but the ledger is append-only strings — a stale checkpoint is
+    // missing entries, which the subset check catches)
+    val bad = (want.keySet ++ got.keySet).filter { a =>
+      if (a == "note") !want.getOrElse(a, Set.empty).subsetOf(got.getOrElse(a, Set.empty))
+      else want.getOrElse(a, Set.empty) != got.getOrElse(a, Set.empty)
     }
-    (ckptNotes ++ versions(spark, table).flatMap { v =>
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"checkpoint at version $version of $table is stale or partial " +
+        s"(mismatched sections: ${bad.toSeq.sorted.mkString(", ")}); " +
+        "it cannot anchor expiry — expire from a version without a " +
+        "pre-existing checkpoint, or vacuum the damaged file")
+  }
+
+  /** The committed note ledger up to `version`, ascending commit order,
+    * DUPLICATES PRESERVED. Pre-expiry this is the commit manifests' own
+    * note lines; once [[expireVersions]] has truncated history, the
+    * newest surviving checkpoint's recorded ledger is the prefix and the
+    * surviving commits' lines follow. */
+  private def notesUpTo(spark: SparkSession, table: String,
+                        version: Long): Seq[String] = {
+    val f = fs(spark, table)
+    val known = versions(spark, table)
+    def commitNotes(vs: Seq[Long]): Seq[String] = vs.flatMap { v =>
       readLines(f, new Path(f"${manifestDir(table)}/v$v%010d.json"))
         .flatMap(parseLine).collect { case ("note", s) => s }
-    }).distinct
+    }
+    // commits are numbered from 1 and only expiry deletes manifests, so a
+    // missing v1 is THE signal that history was truncated below a
+    // checkpoint; everywhere else the commits alone are the exact ledger
+    val truncated = known.headOption.exists(_ > 1L)
+    val ckpt = checkpointVersions(spark, table).filter(_ <= version).lastOption
+    (truncated, ckpt) match {
+      case (false, _) | (true, None) => commitNotes(known.filter(_ <= version))
+      case (true, Some(c)) =>
+        val prefix = readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
+          .flatMap(parseLine).collect { case ("note", s) => s }
+        prefix ++ commitNotes(known.filter(v => v > c && v <= version))
+    }
   }
+
+  /** All note strings ever committed, ascending version order with
+    * duplicates preserved — the exactly-once ledger a streaming MERGE
+    * replays against (its data dirs are non-deterministic, so the
+    * path-based [[commitBatchOnce]] check can't serve it). Entries whose
+    * commits were expired survive via the newest full-state checkpoint's
+    * recorded ledger (exact from checkpoints written at or after this
+    * version of the code; older checkpoints recorded a deduplicated set). */
+  def notes(spark: SparkSession, table: String): Seq[String] =
+    notesUpTo(spark, table, currentVersion(spark, table))
 
   /** One row of [[history]]: what a commit did, at metadata granularity. */
   final case class CommitInfo(version: Long, adds: Int, removes: Int,
@@ -1161,6 +1268,7 @@ object Snapshots {
     val f = fs(spark, table)
     versions(spark, table).map { v =>
       var adds = 0; var removes = 0; var dvs = 0; var schema = false
+      var ts = 0L
       val notes = scala.collection.mutable.ArrayBuffer.empty[String]
       readLines(f, new Path(f"${manifestDir(table)}/v$v%010d.json"))
         .flatMap(parseLine).foreach {
@@ -1169,10 +1277,12 @@ object Snapshots {
           case ("dv", _)     => dvs += 1
           case ("schema", _) => schema = true
           case ("note", s)   => notes += s
+          case ("ts", s)     => ts = s.toLong
           case _             =>
         }
       CommitInfo(v, adds, removes, dvs, schema, notes.toSeq,
-        f.getFileStatus(new Path(f"${manifestDir(table)}/v$v%010d.json"))
+        if (ts != 0L) ts
+        else f.getFileStatus(new Path(f"${manifestDir(table)}/v$v%010d.json"))
           .getModificationTime)
     }
   }
@@ -1250,7 +1360,28 @@ object Snapshots {
     require(pinned.isEmpty,
       s"tags ${pinned.keys.mkString(", ")} pin versions below $keepFrom; " +
         "delete them before expiring")
+    // throws unless a VERIFIED full-state checkpoint now anchors keepFrom
+    // (publish failed, or a stale pre-full-state checkpoint squats there) —
+    // deleting history without that anchor would destroy the live set /
+    // schema / stats / note ledger for every version at the horizon
     checkpointAt(spark, table, keepFrom)
+    // TAG-RACE SEAL: publish the retention floor, then re-read tags. A tag
+    // created before this re-read is seen here (abort + retract); one
+    // created after it necessarily reads the floor AFTER its own create
+    // ([[tag]]'s post-create check) and self-rejects. Either way a tag()
+    // call that RETURNED never dangles across an expiry that COMPLETED.
+    // (Concurrent expireVersions calls are not coordinated — run one
+    // retention maintainer per table, the usual scheduler contract.)
+    val prevFloor = retentionHorizon(spark, table)
+    writeHorizon(spark, table, keepFrom)
+    val late = tags(spark, table).filter(_._2 < keepFrom)
+    if (late.nonEmpty) {
+      writeHorizon(spark, table, prevFloor)
+      throw new IllegalStateException(
+        s"tags ${late.keys.mkString(", ")} were pinned below $keepFrom " +
+          "while expiry was preparing; nothing was deleted — delete the " +
+          "tags and retry if the expiry is intended")
+    }
     val doomedC = checkpointVersions(spark, table).filter(_ < keepFrom)
     val doomedV = known.filter(_ < keepFrom)
     // delete NEWEST-FIRST: a racing reader of a doomed version then either
@@ -1261,6 +1392,50 @@ object Snapshots {
     doomedC.sorted.reverse.foreach(c =>
       f.delete(new Path(f"${manifestDir(table)}/c$c%010d.json"), false))
     ExpireResult(doomedV, keepFrom)
+  }
+
+  /** The table's RETENTION FLOOR: the highest `keepFrom` any
+    * [[expireVersions]] has prepared (0 = never expired). Published
+    * BEFORE manifests are deleted; [[tag]] re-validates against it after
+    * creating, which closes the tag-vs-expiry race window. */
+  def retentionHorizon(spark: SparkSession, table: String): Long = {
+    val f = fs(spark, table)
+    val p = new Path(s"${manifestDir(table)}/_horizon")
+    if (!f.exists(p)) 0L
+    else scala.util.Try(readLines(f, p).head.trim.toLong).getOrElse(0L)
+  }
+
+  /** Atomic-REPLACE publish of the retention floor marker (unlike
+    * manifests, the marker is mutable — it advances with each expiry and
+    * retracts on an aborted one). Local fs: ATOMIC_MOVE, readers see old
+    * or new, never partial. Other stores: delete + rename — a reader in
+    * the gap resolves floor 0, which only weakens the tag check back to
+    * the pre-marker behavior, never corrupts state. */
+  private def writeHorizon(spark: SparkSession, table: String, v: Long): Unit = {
+    val f = fs(spark, table)
+    val p = new Path(s"${manifestDir(table)}/_horizon")
+    val bytes = (v.toString + "\n").getBytes(StandardCharsets.UTF_8)
+    val scheme = p.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(nio.getParent)
+      val tmp = nio.resolveSibling(
+        s".${nio.getFileName}.tmp.${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, nio,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val tmp = new Path(p.getParent,
+        s".${p.getName}.tmp.${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(bytes) finally out.close()
+      f.delete(p, false)
+      if (!f.rename(tmp, p)) {
+        try f.delete(tmp, false) catch { case _: java.io.IOException => () }
+        throw new java.io.IOException(s"retention-floor publish of $p failed")
+      }
+    }
   }
 
   /** Rewrite the current live set into `targetFiles` files and commit the
@@ -1351,8 +1526,22 @@ object Snapshots {
     val v = version.getOrElse(currentVersion(spark, table))
     val known = versions(spark, table)
     require(v == 0 || known.contains(v), s"version $v of $table does not exist")
-    if (!writeExclusive(fs(spark, table), new Path(s"${tagsDir(table)}/$name"), Seq(v.toString)))
+    val f = fs(spark, table)
+    if (!writeExclusive(f, new Path(s"${tagsDir(table)}/$name"), Seq(v.toString)))
       throw new IllegalArgumentException(s"tag '$name' already exists on $table (tags are immutable)")
+    // RACE SEAL against a concurrent [[expireVersions]]: the floor is
+    // re-read AFTER the tag file exists, so either the expiry's tag
+    // re-scan sees this tag (expiry aborts) or this read sees the
+    // expiry's floor (the tag self-deletes and the call throws) — a tag()
+    // that RETURNS is never dangled by an expiry that completed.
+    val floor = retentionHorizon(spark, table)
+    if (v < floor) {
+      try f.delete(new Path(s"${tagsDir(table)}/$name"), false)
+      catch { case _: java.io.IOException => () }
+      throw new IllegalStateException(
+        s"version $v of $table fell below the retention floor $floor while " +
+          "tagging; the tag was not created")
+    }
     v
   }
 
@@ -1376,21 +1565,38 @@ object Snapshots {
               schema: Option[StructType] = None): DataFrame =
     readAt(spark, table, Some(tagVersion(spark, table, name)), schema)
 
+  /** A commit's wall-clock timestamp: the "ts" line its manifest records
+    * ([[commit]] stamps every commit at millisecond precision), with the
+    * manifest object's mtime as the fallback for manifests written before
+    * ts lines existed (second-granular locally, fs-dependent generally). */
+  private def commitTs(f: FileSystem, table: String, v: Long): Long = {
+    val p = new Path(f"${manifestDir(table)}/v$v%010d.json")
+    readLines(f, p).flatMap(parseLine)
+      .collectFirst { case ("ts", s) => s.toLong }
+      .getOrElse(f.getFileStatus(p).getModificationTime)
+  }
+
   /** The newest version committed AT OR BEFORE `tsMillis` (epoch millis) —
-    * the `TIMESTAMP AS OF` resolution. A commit's timestamp is its
-    * manifest object's modification time: the atomic publish makes that
-    * the instant the version became visible, and create-once manifests
-    * never change mtime afterwards. 0 = the empty table (nothing was
-    * committed yet); versions expired by [[expireVersions]] are gone from
-    * the mapping like they are from everything else. Timestamp resolution
-    * is the filesystem's — two commits inside one tick resolve to the
-    * later version, which is also what their serialization order means. */
+    * the `TIMESTAMP AS OF` resolution, from the timestamps the manifests
+    * themselves record ([[commitTs]]). Two commits inside one tick resolve
+    * to the later version, which is also what their serialization order
+    * means.
+    *
+    * A timestamp OLDER than the earliest surviving commit REJECTS (the
+    * Delta/Iceberg contract): the instant may fall inside a span
+    * [[expireVersions]] destroyed, and answering "version 0, empty table"
+    * would be silently wrong. The caller who really wants "the table
+    * before its first commit" reads version 0 explicitly. */
   def versionAt(spark: SparkSession, table: String, tsMillis: Long): Long = {
     val f = fs(spark, table)
-    versions(spark, table)
-      .filter(v => f.getFileStatus(
-        new Path(f"${manifestDir(table)}/v$v%010d.json")).getModificationTime <= tsMillis)
-      .lastOption.getOrElse(0L)
+    val known = versions(spark, table)
+    require(known.nonEmpty, s"$table has no commits; no timestamp resolves")
+    val earliest = commitTs(f, table, known.head)
+    if (tsMillis < earliest) throw new IllegalArgumentException(
+      s"timestamp $tsMillis predates the earliest available version " +
+        s"${known.head} of $table (committed at $earliest); history below " +
+        "it does not exist or was expired")
+    known.filter(v => commitTs(f, table, v) <= tsMillis).last
   }
 
   /** `TIMESTAMP AS OF` read: the table as it stood at `tsMillis`. */
@@ -1626,9 +1832,16 @@ object Snapshots {
     * when the table has no pre-`tsMillis` history. */
   def expireOlderThan(spark: SparkSession, table: String,
                       tsMillis: Long): ExpireResult = {
-    val horizon = versionAt(spark, table, tsMillis)
-    if (horizon == 0L) ExpireResult(Nil, 0L)
-    else expireVersions(spark, table, keepFrom = horizon)
+    // resolved directly (not via [[versionAt]], which rejects
+    // below-earliest timestamps): a retention instant older than all
+    // history means there is nothing to expire — a no-op, not an error
+    val f = fs(spark, table)
+    val horizon = versions(spark, table)
+      .filter(v => commitTs(f, table, v) <= tsMillis).lastOption
+    horizon match {
+      case None    => ExpireResult(Nil, 0L)
+      case Some(h) => expireVersions(spark, table, keepFrom = h)
+    }
   }
 
   /** One row of [[detail]] — DESCRIBE DETAIL: the operational metadata a

@@ -82,6 +82,23 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ChangeFeed.read(spark, feed).agg(max("version")).as[Long].head() === 3L)
   }
 
+  test("readOrEmpty: an early-polling consumer gets an empty typed frame at cursor 0") {
+    val root = tmp()
+    val t = mkTable(root)
+    val feed = s"$root/feed"
+    val early = ChangeFeed.readOrEmpty(spark, t, Seq("id"), feed)
+    assert(early.isEmpty)
+    // the empty frame already carries the CDC shape the synced feed will have
+    assert(early.columns.toSeq ===
+      Seq("id", "change", "v_before", "v_after", "version"))
+    ChangeFeed.sync(spark, t, Seq("id"), feed)
+    val synced = ChangeFeed.readOrEmpty(spark, t, Seq("id"), feed)
+    assert(synced.columns.toSeq === early.columns.toSeq)
+    assert(early.schema.fields.map(f => f.name -> f.dataType).toSeq ===
+      synced.schema.fields.map(f => f.name -> f.dataType).toSeq)
+    assert(synced.count() === 3L)
+  }
+
   test("a merge-on-read delete surfaces as a dv-only diff version") {
     val root = tmp()
     val t = mkTable(root)

@@ -890,15 +890,17 @@ class SnapshotsSpec extends SparkSpec {
       .filter(col("g") === "src4").count() === 50)
   }
 
-  test("TIMESTAMP AS OF: versionAt maps commit mtimes; readAsOf time-travels by clock") {
+  test("TIMESTAMP AS OF: versionAt resolves manifest-recorded millis; below-earliest rejects") {
     val t = tmpTable()
     Snapshots.commitAppend(df(1 to 10), t, recordSchema = true)
     val afterV1 = System.currentTimeMillis()
-    Thread.sleep(1100) // local-fs mtime can be second-granular
+    Thread.sleep(2) // ts lines are millisecond-precise — no 1.1 s mtime sleep
     Snapshots.commitAppend(df(11 to 15), t, recordSchema = true)
     assert(Snapshots.versionAt(spark, t, afterV1) === 1L)
     assert(Snapshots.versionAt(spark, t, System.currentTimeMillis()) === 2L)
-    assert(Snapshots.versionAt(spark, t, 0L) === 0L) // before any commit
+    // a timestamp before any commit REJECTS (Delta/Iceberg contract): it
+    // cannot be distinguished from an instant inside an expired span
+    intercept[IllegalArgumentException] { Snapshots.versionAt(spark, t, 0L) }
     assert(Snapshots.readAsOf(spark, t, afterV1).count() === 10)
     assert(Snapshots.readAsOf(spark, t, System.currentTimeMillis()).count() === 15)
     // history carries the same instants, ascending
@@ -910,7 +912,7 @@ class SnapshotsSpec extends SparkSpec {
     val t = tmpTable()
     Snapshots.commitAppend(df(1 to 10), t, recordSchema = true)
     Snapshots.commitAppend(df(11 to 12).coalesce(1), t, recordSchema = true)
-    Thread.sleep(1100)
+    Thread.sleep(2)
     val ts = System.currentTimeMillis()
     Snapshots.commitAppend(df(13 to 15).coalesce(1), t, recordSchema = true)
     Snapshots.deleteWhereMor(spark, t, col("id") === 1L, keys = Seq("id"))
@@ -1034,5 +1036,92 @@ class SnapshotsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$t/_manifest/v0000000002.json"),
       s"""{"a":"add","p":"/trunca\n{"a":"add","p":"extra.parquet"}\n{"a":"add","p":"noclose""".getBytes("UTF-8"))
     assert(Snapshots.liveFiles(spark, t, Some(2)).toSet === v1Files + "extra.parquet")
+  }
+
+  test("expiry refuses to anchor on a stale or partial checkpoint (nothing deleted)") {
+    val t = tmpTable()
+    (1 to 3).foreach(i =>
+      Snapshots.commitAppend(df(i * 10 to i * 10 + 1).coalesce(1), t,
+        recordSchema = true, statsCols = Seq("id")))
+    // a squatting pre-full-state checkpoint at the horizon: add lines only,
+    // no schema/stats — exactly what a crashed or legacy writer leaves
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_manifest/c0000000003.json"),
+      Snapshots.liveFiles(spark, t, Some(1))
+        .map(p => s"""{"a":"add","p":"$p"}""").mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+    intercept[IllegalStateException] { Snapshots.expireVersions(spark, t, keepFrom = 3) }
+    // every manifest survives the refused expiry
+    (1 to 3).foreach { v =>
+      assert(new java.io.File(f"$t/_manifest/v$v%010d.json").exists(), s"v$v deleted")
+    }
+    // with the damaged checkpoint removed, the table resolves as before
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$t/_manifest/c0000000003.json"))
+    assert(Snapshots.readAt(spark, t).count() === 6L)
+    assert(Snapshots.readAt(spark, t, Some(1)).count() === 2L)
+  }
+
+  test("notes: duplicates and ascending order survive checkpoint and expiry") {
+    val t = tmpTable()
+    Snapshots.commitAppend(df(1 to 2).coalesce(1), t, recordSchema = true,
+      notes = Seq("a"))
+    Snapshots.commitAppend(df(3 to 4).coalesce(1), t, notes = Seq("a"))
+    Snapshots.commitAppend(df(5 to 6).coalesce(1), t, notes = Seq("b"))
+    assert(Snapshots.notes(spark, t) === Seq("a", "a", "b"))
+    Snapshots.checkpoint(spark, t)
+    assert(Snapshots.notes(spark, t) === Seq("a", "a", "b"))
+    Snapshots.expireVersions(spark, t, keepFrom = 2)
+    assert(Snapshots.notes(spark, t) === Seq("a", "a", "b"))
+    assert(Snapshots.retentionHorizon(spark, t) === 2L)
+  }
+
+  test("readPrunedRanges: conjunctive ranges intersect per-file zone maps") {
+    val t = tmpTable()
+    (0 until 4).foreach { i =>
+      Snapshots.commitAppend(
+        (i * 10 + 1 to i * 10 + 10).map(x => (x.toLong, (x % 4).toLong))
+          .toDF("id", "g").coalesce(1),
+        t, recordSchema = true, statsCols = Seq("id"))
+    }
+    // two ranges on the statted column AND together: only file 2 overlaps
+    val r = Snapshots.readPrunedRanges(spark, t,
+      Seq(("id", "11", "30"), ("id", "15", "18")))
+    assert(r.select(input_file_name()).distinct().count() === 1L)
+    assert(r.filter(col("id").between(15, 18)).count() === 4L)
+    // a range on an un-statted column prunes nothing (conservative)...
+    assert(Snapshots.readPrunedRanges(spark, t, Seq(("g", "0", "0")))
+      .select(input_file_name()).distinct().count() === 4L)
+    // ...and no ranges reads everything
+    assert(Snapshots.readPrunedRanges(spark, t, Nil).count() === 40L)
+  }
+
+  test("tag-vs-expiry race: a tag() that returned never dangles across a completed expiry") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    import scala.util.Try
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    (1 to 5).foreach { _ =>
+      val t = tmpTable()
+      (1 to 3).foreach(i =>
+        Snapshots.commitAppend(df(i * 10 to i * 10 + 1).coalesce(1), t,
+          recordSchema = true))
+      val tagF = Future(Try(Snapshots.tag(spark, t, "pin", Some(2L))))
+      val expF = Future(Try(Snapshots.expireVersions(spark, t, keepFrom = 3L)))
+      val tagR = Await.result(tagF, 60.seconds)
+      val expR = Await.result(expF, 60.seconds)
+      // the sealed invariant: both succeeding is impossible — the expiry's
+      // re-scan sees the tag (expiry aborts) or the tag's post-create floor
+      // read sees the horizon (tag self-rejects)
+      assert(!(tagR.isSuccess && expR.isSuccess),
+        "tag pinned v2 AND expiry deleted it")
+      if (tagR.isSuccess) // tag returned → it must resolve, forever
+        assert(Snapshots.readTag(spark, t, "pin").count() === 4L)
+      if (expR.isSuccess) // expiry completed → no tag claims the dead version
+        assert(!Snapshots.tags(spark, t).contains("pin"))
+    }
+    pool.shutdown()
   }
 }
