@@ -433,25 +433,35 @@ object Snapshots {
     }).sorted
   }
 
-  /** Can a file whose recorded [min,max] for the stat's dtype intersect
-    * [lo,hi]? Integral stats compare as longs, fractional as doubles,
+  /** dtype-aware comparison of two stat-encoded values: Some(sign of
+    * a <=> b), or None when the dtype has no defined order over the
+    * string encoding (arrays, structs, binary… — conservatively
+    * unprunable). Integral stats compare as longs, fractional as doubles,
     * decimal(p,s) as BigDecimal (string compare would rank "100.0" below
     * "20.0" and wrongly prune files), date/timestamp/string
     * lexicographically — valid because Spark renders date/timestamp
     * min/max in sortable ISO-8601 form and string min/max are their own
-    * order. Anything else (arrays, structs, binary…) is conservatively
+    * order. Shared with the SQL catalog's filter pushdown
+    * ([[graft.sql.GraftCatalog]]), which prunes on one-sided predicates
+    * zone-map ranges can't express. */
+  private[graft] def statCompare(dtype: String, a: String, b: String): Option[Int] =
+    dtype match {
+      case "bigint" | "int" | "smallint" | "tinyint" =>
+        Some(java.lang.Long.compare(a.toLong, b.toLong))
+      case "double" | "float" =>
+        Some(java.lang.Double.compare(a.toDouble, b.toDouble))
+      case d if d.startsWith("decimal") => Some(BigDecimal(a).compare(BigDecimal(b)))
+      case "string" | "date" | "timestamp" | "timestamp_ntz" => Some(a.compare(b))
+      case _ => None
+    }
+
+  /** Can a file whose recorded [min,max] for the stat's dtype intersect
+    * [lo,hi]? Dtypes without a defined stat order are conservatively
     * unprunable: intersects = true, the file is scanned. */
   private def statIntersects(st: FileStat, lo: String, hi: String): Boolean =
-    st.dtype match {
-      case "bigint" | "int" | "smallint" | "tinyint" =>
-        !(st.min.toLong > hi.toLong || st.max.toLong < lo.toLong)
-      case "double" | "float" =>
-        !(st.min.toDouble > hi.toDouble || st.max.toDouble < lo.toDouble)
-      case d if d.startsWith("decimal") =>
-        !(BigDecimal(st.min) > BigDecimal(hi) || BigDecimal(st.max) < BigDecimal(lo))
-      case "string" | "date" | "timestamp" | "timestamp_ntz" =>
-        !(st.min > hi || st.max < lo)
-      case _ => true
+    (statCompare(st.dtype, st.min, hi), statCompare(st.dtype, st.max, lo)) match {
+      case (Some(minVsHi), Some(maxVsLo)) => !(minVsHi > 0 || maxVsLo < 0)
+      case _                              => true
     }
 
   /** Partition the live set at `version` by the zone maps: `_1` = files a

@@ -3227,7 +3227,7 @@ object ExtQueries {
     x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec,
     x126Spec, x127Spec, x128Spec, st23Spec, st24Spec,
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
-    x134Spec, st27Spec, x135Spec, x136Spec)
+    x134Spec, st27Spec, x135Spec, x136Spec, x137Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -6514,4 +6514,80 @@ object ExtQueries {
            |       CAST(6 AS BIGINT) AS applied,
            |       CAST(1 AS BIGINT) AS est_matches_direct
            |FROM fin GROUP BY source ORDER BY source""".stripMargin))
+
+  /** x137: the SNAPSHOT LAYER THROUGH SQL — a DataSourceV2 TableCatalog
+    * ([[graft.sql.GraftCatalog]]) makes every lakehouse surface reachable
+    * from `spark.sql`, the way a real user first touches any table. A
+    * 5-version timeline (4 quarter appends, then a REMOVE un-referencing
+    * the first quarter) plus a tag at v2 is read back with FOUR pure-SQL
+    * legs: `VERSION AS OF 2` (number), `VERSION AS OF 'q12'` (tag), the
+    * plain current read (v5 = quarters 2-4), and a `WHERE doc_id`
+    * range whose predicate PUSHES DOWN into manifest file pruning —
+    * `pruned_ok` pins that the SQL filter really opened 1 of the 3 live
+    * files (zone maps, SupportsPushDownFilters), not just filtered rows.
+    * The oracle replays the version algebra on the raw documents table
+    * (x83's law, now crossing the SQL boundary). */
+  private def x137Spec: QuerySpec =
+    QuerySpec("x137_sql_catalog",
+      (s, d) => {
+        import graft.io.Snapshots
+        val staged = Staging.dir("sqlcat", d) { tmp =>
+          val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+          val w = docs.agg(max(col("doc_id"))).first().getLong(0) / 4 + 1
+          val tbl = s"$tmp/tbl"
+          (0 until 4).foreach { i =>
+            Snapshots.commitAppend(
+              docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w)
+                .coalesce(1),
+              tbl, recordSchema = true, statsCols = Seq("doc_id"))
+          }
+          Snapshots.tag(s, tbl, "q12", Some(2L))
+          Snapshots.commit(s, tbl, adds = Nil,
+            removes = Snapshots.liveFiles(s, tbl, Some(1)))
+          Snapshots.checkpoint(s, tbl)
+        }
+        val w = Tables.documents(s, d).agg(max(col("doc_id")))
+          .first().getLong(0) / 4 + 1
+        // one catalog name per staged root: Spark caches catalog instances
+        // by name after first use, so the root option must never change
+        // under a cached name
+        val cat = s"graft_${staged.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", staged)
+        def leg(name: String, sql: String) =
+          s.sql(sql).select(lit(name).as("leg"),
+            col("n_docs"), col("sum_chars"))
+        // the pruned leg runs first so its scan info is unambiguous
+        graft.sql.GraftScanInfo.last = None
+        val range = leg("range",
+          s"""SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM $cat.tbl WHERE doc_id >= ${2 * w} AND doc_id < ${3 * w}""".stripMargin)
+          .collect().head
+        val info = graft.sql.GraftScanInfo.last.get
+        val prunedOk = if (info.candidates == 1 && info.total == 3) 1L else 0L
+        val agg = "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars"
+        leg("v2_number", s"SELECT $agg FROM $cat.tbl VERSION AS OF 2")
+          .unionByName(leg("v2_tag", s"SELECT $agg FROM $cat.tbl VERSION AS OF 'q12'"))
+          .unionByName(leg("current", s"SELECT $agg FROM $cat.tbl"))
+          .unionByName(s.range(1).select(lit("range").as("leg"),
+            lit(range.getLong(1)).as("n_docs"), lit(range.getLong(2)).as("sum_chars")))
+          .withColumn("pruned_ok", lit(prunedOk))
+          .orderBy("leg")
+      },
+      Some("""WITH w AS (SELECT max(doc_id) // 4 + 1 AS w FROM documents),
+           |legs AS (
+           |  SELECT 'v2_number' AS leg, count(*) AS n_docs,
+           |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |  FROM documents, w WHERE doc_id < 2 * w
+           |  UNION ALL
+           |  SELECT 'v2_tag', count(*), CAST(sum(n_chars) AS BIGINT)
+           |  FROM documents, w WHERE doc_id < 2 * w
+           |  UNION ALL
+           |  SELECT 'current', count(*), CAST(sum(n_chars) AS BIGINT)
+           |  FROM documents, w WHERE doc_id >= w
+           |  UNION ALL
+           |  SELECT 'range', count(*), CAST(sum(n_chars) AS BIGINT)
+           |  FROM documents, w WHERE doc_id >= 2 * w AND doc_id < 3 * w)
+           |SELECT leg, n_docs, sum_chars, CAST(1 AS BIGINT) AS pruned_ok
+           |FROM legs ORDER BY leg""".stripMargin))
 }

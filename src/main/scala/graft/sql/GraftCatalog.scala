@@ -1,0 +1,367 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.Snapshots
+
+/** SQL surface for snapshot tables ([[graft.io.Snapshots]]) — a
+  * DataSourceV2 `TableCatalog`, so the entire lakehouse layer is
+  * reachable from `spark.sql` the way a user first touches any table:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/data/tables")
+  *   spark.sql("SELECT * FROM graft.docs WHERE doc_id = 42")
+  *   spark.sql("SELECT * FROM graft.docs VERSION AS OF 3")
+  *   spark.sql("SELECT * FROM graft.docs VERSION AS OF 'v2-curated'")  // tag
+  *   spark.sql("SELECT * FROM graft.docs TIMESTAMP AS OF '2026-08-15 12:00:00'")
+  * }}}
+  *
+  * An identifier `graft.a.b.t` maps to the table root `<root>/a/b/t`;
+  * version resolution is PINNED at analysis time (`loadTable`), so one
+  * query sees one immutable snapshot even while writers commit.
+  *
+  * Reads push down through the manifest's own metadata, which is the
+  * scale story at 100 TB: `SupportsPushDownRequiredColumns` prunes the
+  * parquet scan to the referenced columns, and `SupportsPushDownFilters`
+  * turns SQL predicates into FILE PRUNING — zone-map range intersection
+  * ([[Snapshots.fileStats]]) for ranges and one-sided comparisons, bloom
+  * sidecar probes ([[Snapshots.bloomPrune]]) for point predicates — so
+  * `WHERE doc_id = k` opens O(matching files), not O(table). Pruning is
+  * CONSERVATIVE (a kept file may still hold no match), so every pushed
+  * filter is also returned to Spark for re-evaluation AND applied inside
+  * the wrapped scan (parquet row-group pushdown); correctness never
+  * depends on the metadata.
+  *
+  * The physical read reuses Spark's own parquet source through the
+  * [[V1Scan]] fallback (the JDBC-connector pattern): the scan builds a
+  * pruned DataFrame over exactly the candidate files — deletion vectors
+  * resolved, recorded schema enforced ([[Snapshots.readLiveSubset]]) —
+  * and hands Spark its RDD. Rows pay one Row↔InternalRow conversion, the
+  * price of not re-implementing a vectorized parquet reader; the scan
+  * itself stays distributed, pruned, and codegen'd below the boundary.
+  *
+  * Read-only by design: writes go through the transactional library API
+  * (commit/merge/delete/optimize), which is where the multi-writer
+  * discipline lives. `createTable`/`alterTable`/`dropTable` throw.
+  *
+  * Reference analog: the `latest/` stable-read surface (`DP:482-488`) —
+  * the "just query it" entry point — generalized to versioned SQL.
+  */
+class GraftCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.root = <tables dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def tablePath(ident: Identifier): String =
+    (root +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def exists(path: String): Boolean = {
+    val p = new Path(s"$path/_manifest")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = (root +: namespace.toSeq).mkString("/")
+    val p = new Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => exists(s"$dir/$n"))
+      .map(n => Identifier.of(namespace, n)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    if (!exists(path)) throw new NoSuchTableException(ident)
+    new GraftTable(path, ident.toString,
+      Snapshots.currentVersion(spark, path)) // pinned: one query, one snapshot
+  }
+
+  /** `VERSION AS OF x` — a version number, or a TAG name ([[Snapshots.tag]]). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = tablePath(ident)
+    if (!exists(path)) throw new NoSuchTableException(ident)
+    val v =
+      if (version.forall(_.isDigit)) version.toLong
+      else Snapshots.tagVersion(spark, path, version)
+    require(v == 0 || Snapshots.versions(spark, path).contains(v),
+      s"version $v of $path does not exist")
+    new GraftTable(path, s"$ident@v$v", v)
+  }
+
+  /** `TIMESTAMP AS OF t` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = tablePath(ident)
+    if (!exists(path)) throw new NoSuchTableException(ident)
+    val v = Snapshots.versionAt(spark, path, timestampMicros / 1000L)
+    new GraftTable(path, s"$ident@v$v", v)
+  }
+
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are written through the transactional library API " +
+        "(Snapshots.commitAppend/mergeInto/…), not SQL DDL")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+}
+
+/** One pinned (table, version) snapshot as a DSv2 table. */
+final class GraftTable(val path: String, ident: String, val pinnedVersion: Long)
+    extends Table with SupportsRead {
+
+  override def name(): String = ident
+  override def version(): String = pinnedVersion.toString
+
+  override lazy val schema: StructType = {
+    val spark = SparkSession.active
+    Snapshots.tableSchema(spark, path, Some(pinnedVersion)).getOrElse {
+      val live = Snapshots.liveFiles(spark, path, Some(pinnedVersion))
+      require(live.nonEmpty,
+        s"version $pinnedVersion of $path is empty and records no schema")
+      spark.read.parquet(live: _*).schema
+    }
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(this)
+}
+
+/** Last-scan observability for specs and EXPLAIN-side auditing: how many
+  * live files the manifest metadata kept vs pruned for the most recent
+  * catalog scan build. Debug surface only — never read on a query path. */
+object GraftScanInfo {
+  final case class Info(table: String, version: Long,
+                        candidates: Int, total: Int, pushed: Seq[String])
+  @volatile var last: Option[Info] = None
+}
+
+final class GraftScanBuilder(table: GraftTable)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = table.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept every filter for PRUNING, return every filter for
+    * RE-EVALUATION: manifest pruning is conservative (zone maps and
+    * blooms keep false positives), so Spark must keep the exact
+    * predicate above the scan. The wrapped DataFrame applies the
+    * convertible ones again anyway, pushing them into the parquet
+    * row-group reader. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(GraftScan.prunes)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftScan(table, required, pushed)
+}
+
+final class GraftScan(table: GraftTable, required: StructType,
+                      filters: Array[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftScan ${table.path}@v${table.pinnedVersion} " +
+      s"cols=[${required.fieldNames.mkString(",")}] " +
+      s"pruneBy=[${filters.mkString(", ")}]"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftRelation(context, table, required, filters).asInstanceOf[T]
+}
+
+object GraftScan {
+  /** Filters the manifest metadata can act on (everything else passes
+    * through untouched — Spark re-evaluates it above the scan). */
+  def prunes(f: Filter): Boolean = f match {
+    case EqualTo(_, v)            => enc(v).isDefined
+    case In(_, vs)                => vs.forall(v => v == null || enc(v).isDefined)
+    case GreaterThan(_, v)        => enc(v).isDefined
+    case GreaterThanOrEqual(_, v) => enc(v).isDefined
+    case LessThan(_, v)           => enc(v).isDefined
+    case LessThanOrEqual(_, v)    => enc(v).isDefined
+    case StringStartsWith(_, _)   => true
+    case And(l, r)                => prunes(l) || prunes(r)
+    case Or(l, r)                 => prunes(l) && prunes(r)
+    case _                        => false
+  }
+
+  /** Stat-encoding of a literal — must match how [[Snapshots]] records
+    * zone maps (`cast("string")`) for the comparison to mean anything.
+    * Types whose Java toString diverges from Spark's cast rendering
+    * (timestamps, dates) are left un-encoded: conservative, never wrong. */
+  def enc(v: Any): Option[String] = v match {
+    case null                     => None
+    case _: Long | _: Int | _: Short | _: Byte => Some(v.toString)
+    case _: Double | _: Float     => Some(v.toString)
+    case s: String                => Some(s)
+    case d: java.math.BigDecimal  => Some(d.toString)
+    case d: BigDecimal            => Some(d.toString)
+    case _                        => None
+  }
+}
+
+/** The V1 fallback relation: builds the pruned, dv-resolved DataFrame and
+  * hands Spark its RDD (rows convert at the boundary; the scan below it
+  * is Spark's own vectorized parquet reader over the kept files only). */
+final class GraftRelation(ctx: SQLContext, table: GraftTable,
+                          required: StructType, filters: Array[Filter])
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+  override def toString: String =
+    s"GraftRelation(${table.path}@v${table.pinnedVersion})"
+
+  override def buildScan(): RDD[Row] = {
+    val spark = ctx.sparkSession
+    val v = table.pinnedVersion
+    val live = Snapshots.liveFiles(spark, table.path, Some(v))
+    // zone-map verdict per file: every filter must be satisfiable by the
+    // file's recorded [min,max]; files without a stat stay candidates
+    val statsByFile = Snapshots.fileStats(spark, table.path, Some(v))
+      .groupBy(_.path).map { case (p, xs) => p -> xs.map(st => st.column -> st).toMap }
+    var candidates = live.filter { p =>
+      val stats = statsByFile.getOrElse(p, Map.empty)
+      filters.forall(mayMatch(stats, _))
+    }
+    // bloom sidecar probes for top-level point predicates (EqualTo / In)
+    val bloomCols = {
+      val sidecars = Snapshots.liveBloomFiles(spark, table.path, Some(v))
+      if (sidecars.isEmpty) Set.empty[String]
+      else spark.read.parquet(sidecars: _*).select("column")
+        .distinct().collect().map(_.getString(0)).toSet
+    }
+    filters.foreach {
+      case EqualTo(a, value) if bloomCols(a) && GraftScan.enc(value).isDefined =>
+        val kept = Snapshots.bloomPrune(spark, table.path, a,
+          Seq(GraftScan.enc(value).get), Some(v))._1.toSet
+        candidates = candidates.filter(kept)
+      case In(a, vs) if bloomCols(a) && vs.nonEmpty &&
+          vs.forall(x => x == null || GraftScan.enc(x).isDefined) =>
+        val kept = Snapshots.bloomPrune(spark, table.path, a,
+          vs.toSeq.filter(_ != null).map(x => GraftScan.enc(x).get), Some(v))._1.toSet
+        candidates = candidates.filter(kept)
+      case _ =>
+    }
+    GraftScanInfo.last = Some(GraftScanInfo.Info(
+      table.path, v, candidates.size, live.size, filters.map(_.toString).toSeq))
+    val base =
+      if (candidates.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], table.schema)
+      else Snapshots.readLiveSubset(spark, table.path, Some(v), candidates)
+    // re-apply convertible predicates INSIDE the wrapped scan: parquet
+    // row-group pushdown on the kept files (Spark re-applies the exact
+    // predicate above the boundary regardless — pushFilters returned all)
+    val filtered = filters.flatMap(toColumn).foldLeft(base)(_.filter(_))
+    filtered.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
+  }
+
+  private def intersects(st: Snapshots.FileStat, lo: String, hi: String): Boolean =
+    (Snapshots.statCompare(st.dtype, st.min, hi),
+      Snapshots.statCompare(st.dtype, st.max, lo)) match {
+      case (Some(minVsHi), Some(maxVsLo)) => !(minVsHi > 0 || maxVsLo < 0)
+      case _                              => true
+    }
+
+  /** Can a file with these zone maps hold a row matching `f`? Missing
+    * stats and un-encodable literals are conservatively true. */
+  private def mayMatch(stats: Map[String, Snapshots.FileStat], f: Filter): Boolean = {
+    def cmpToMax(a: String, v: Any): Option[Int] = for {
+      st <- stats.get(a); e <- GraftScan.enc(v)
+      c <- Snapshots.statCompare(st.dtype, st.max, e)
+    } yield c
+    def cmpToMin(a: String, v: Any): Option[Int] = for {
+      st <- stats.get(a); e <- GraftScan.enc(v)
+      c <- Snapshots.statCompare(st.dtype, st.min, e)
+    } yield c
+    f match {
+      case EqualTo(a, v) =>
+        (stats.get(a), GraftScan.enc(v)) match {
+          case (Some(st), Some(e)) => intersects(st, e, e)
+          case _                   => true
+        }
+      case In(a, vs) =>
+        val es = vs.toSeq.filter(_ != null).flatMap(GraftScan.enc(_))
+        if (es.size != vs.count(_ != null)) true
+        else stats.get(a) match {
+          case Some(st) => es.exists(e => intersects(st, e, e))
+          case None     => true
+        }
+      case GreaterThan(a, v)        => cmpToMax(a, v).forall(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmpToMax(a, v).forall(_ >= 0)
+      case LessThan(a, v)           => cmpToMin(a, v).forall(_ < 0)
+      case LessThanOrEqual(a, v)    => cmpToMin(a, v).forall(_ <= 0)
+      case StringStartsWith(a, p) =>
+        stats.get(a).forall(st => st.dtype != "string" ||
+          (st.max >= p && st.min <= p + "￿"))
+      case And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
+      case Or(l, r)  => mayMatch(stats, l) || mayMatch(stats, r)
+      case _         => true
+    }
+  }
+
+  /** v1 Filter → Column for the inner parquet read (None = inexpressible
+    * here; Spark still applies it above the boundary). */
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, p)   => Some(col(a).startsWith(p))
+    case StringEndsWith(a, p)     => Some(col(a).endsWith(p))
+    case StringContains(a, p)     => Some(col(a).contains(p))
+    case And(l, r)                => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r)                 => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c)                   => toColumn(c).map(!_)
+    case _                        => None
+  }
+}

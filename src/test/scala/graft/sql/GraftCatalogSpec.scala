@@ -1,0 +1,122 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.io.Snapshots
+import org.apache.spark.sql.functions._
+
+/** GraftCatalog: the whole snapshot layer reachable from spark.sql —
+  * current reads, VERSION AS OF (number and tag), TIMESTAMP AS OF,
+  * deletion-vector resolution, and predicate pushdown that turns SQL
+  * filters into manifest file pruning (zone maps + bloom sidecars).
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft_catalog").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", r)
+    r
+  }
+
+  private def mkSliced(name: String, slices: Int = 4): String = {
+    val t = s"$root/$name"
+    (0 until slices).foreach { i =>
+      Snapshots.commitAppend(
+        (i * 10 + 1 to i * 10 + 10).map(x => (x.toLong, s"s${x % 3}", x * 2L))
+          .toDF("id", "src", "m").coalesce(1),
+        t, recordSchema = true, statsCols = Seq("id"))
+    }
+    t
+  }
+
+  test("SELECT over the catalog reads the current snapshot; columns prune") {
+    mkSliced("t1")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t1").as[Long].head() === 40L)
+    assert(spark.sql("SELECT sum(m) AS s FROM graft.t1").as[Long].head() ===
+      (1L to 40L).map(_ * 2).sum)
+    // a single-column projection carries only that column across the scan
+    assert(spark.sql("SELECT id FROM graft.t1 ORDER BY id LIMIT 3")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("VERSION AS OF: by number and by tag; TIMESTAMP AS OF by instant") {
+    val t = mkSliced("t2")
+    Snapshots.tag(spark, t, "first-two", Some(2L))
+    val ts = System.currentTimeMillis()
+    Thread.sleep(2)
+    Snapshots.commitAppend(Seq((99L, "s9", 0L)).toDF("id", "src", "m").coalesce(1), t)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t2").as[Long].head() === 41L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t2 VERSION AS OF 2")
+      .as[Long].head() === 20L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t2 VERSION AS OF 'first-two'")
+      .as[Long].head() === 20L)
+    val iso = new java.sql.Timestamp(ts).toString
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.t2 TIMESTAMP AS OF '$iso'")
+      .as[Long].head() === 40L)
+  }
+
+  test("WHERE predicates prune files via zone maps; results stay exact") {
+    mkSliced("t3")
+    GraftScanInfo.last = None
+    val rows = spark.sql(
+      "SELECT id, m FROM graft.t3 WHERE id BETWEEN 15 AND 18 ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows === (15L to 18L).map(x => (x, x * 2)))
+    val info = GraftScanInfo.last.get
+    assert(info.total === 4 && info.candidates === 1,
+      s"expected 1 of 4 files kept, got $info")
+    // one-sided comparison prunes too (zone-map ranges can't express it,
+    // statCompare can)
+    GraftScanInfo.last = None
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t3 WHERE id > 30")
+      .as[Long].head() === 10L)
+    assert(GraftScanInfo.last.get.candidates === 1)
+    // the pushed filters are visible in the physical plan
+    val plan = spark.sql("SELECT id FROM graft.t3 WHERE id = 7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+  }
+
+  test("point lookups prune through the bloom sidecar index") {
+    val t = s"$root/t4"
+    (0 until 8).foreach { i =>
+      Snapshots.commitAppend(
+        (i * 10 + 1 to i * 10 + 10)
+          .map(x => (x.toLong, s"k${x * 7919 % 997}")).toDF("id", "ukey").coalesce(1),
+        t, recordSchema = true)
+    }
+    Snapshots.buildBloomIndex(spark, t, "ukey", fpp = 0.001)
+    GraftScanInfo.last = None
+    val got = spark.sql(s"SELECT id FROM graft.t4 WHERE ukey = 'k${33 * 7919 % 997}'")
+      .as[Long].collect().toSeq
+    assert(got === Seq(33L))
+    val info = GraftScanInfo.last.get
+    assert(info.candidates <= 2, s"bloom should keep ~1 of 8 files: $info")
+    assert(info.total === 8)
+  }
+
+  test("deletion vectors resolve in SQL reads; time travel sees pre-delete state") {
+    val t = mkSliced("t5")
+    Snapshots.deleteWhereMor(spark, t, col("id") === 5L, keys = Seq("id"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t5").as[Long].head() === 39L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t5 WHERE id = 5")
+      .as[Long].head() === 0L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t5 VERSION AS OF 4")
+      .as[Long].head() === 40L)
+  }
+
+  test("nested namespaces map to directories; DDL is refused; unknown table rejects") {
+    val t = s"$root/ns/t6"
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "s").coalesce(1), t,
+      recordSchema = true)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.ns.t6").as[Long].head() === 1L)
+    intercept[Exception] { spark.sql("DROP TABLE graft.ns.t6") }
+    intercept[Exception] { spark.sql("SELECT * FROM graft.no_such").collect() }
+    // a racing writer's commit is invisible to an already-analyzed query
+    // (version pinned at load) but a fresh query sees it
+    Snapshots.commitAppend(Seq((2L, "b")).toDF("id", "s").coalesce(1), t)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.ns.t6").as[Long].head() === 2L)
+  }
+}
