@@ -82,7 +82,7 @@ object ViewMaintenance {
 
   /** Catch the view table up with the source's change feed: sync the feed,
     * then fold every unapplied version into `viewTable` as ONE batched
-    * MERGE. Returns the feed versions applied this call. */
+    * MERGE ([[applyDeltaBatch]]). Returns the feed versions applied. */
   def maintain(spark: SparkSession, sourceTable: String, keys: Seq[String],
                dims: Seq[String], measures: Seq[String],
                feedDir: String, viewTable: String,
@@ -91,29 +91,55 @@ object ViewMaintenance {
     require(dims.nonEmpty, "maintain needs at least one dimension column")
     ChangeFeed.sync(spark, sourceTable, keys, feedDir)
     val cur = ChangeFeed.cursor(spark, feedDir)
+    val noted = Snapshots.notes(spark, viewTable).toSet
+    val pending = (1L to cur).filterNot(v => noted.contains(noteFor(v)))
+    if (pending.isEmpty) Seq.empty
+    else applyDeltaBatch(spark, sourceTable, viewTable,
+      spark.read.option("mergeSchema", "true")
+        .parquet(pending.map(x => f"$feedDir/v$x%010d"): _*),
+      keys, dims, measures, minMax, distinct)
+  }
+
+  /** Fold ONE batch of CDC rows — any set of whole feed versions, e.g. a
+    * streaming micro-batch from [[graft.streaming.CdcStream]] — into the
+    * view as one transactional MERGE. Versions already in the note
+    * ledger are skipped row-by-row (the exactly-once contract holds
+    * across checkpoint replays AND across a batch/stream consumer mix on
+    * the same view). Returns the versions applied. */
+  def applyDeltaBatch(spark: SparkSession, sourceTable: String,
+                      viewTable: String, cdcBatch: DataFrame,
+                      keys: Seq[String], dims: Seq[String],
+                      measures: Seq[String],
+                      minMax: Seq[String] = Nil,
+                      distinct: Seq[String] = Nil): Seq[Long] = {
+    require(dims.nonEmpty, "applyDeltaBatch needs at least one dimension column")
     val aggNames = ("n_rows" +: measures.map(m => s"sum_$m")) ++
       minMax.flatMap(m => Seq(s"min_$m", s"max_$m")) ++
       distinct.map(m => s"hll_$m")
+    // O(#versions in the batch) driver rows — metadata-sized by the
+    // feed's own granularity
+    val batchVersions = cdcBatch.select(col("version")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (batchVersions.isEmpty) return Seq.empty
     val appliedNow = scala.collection.mutable.ArrayBuffer.empty[Long]
     // two maintainers racing one view (or a replica replay) serialize
     // through the optimistic commit: each attempt re-reads the note
     // ledger — the winner may have applied any subset of the pending
     // versions — and re-derives the batch against the fresh state
     // (MergeGate discipline). One pass through the loop with no racer is
-    // the common case: derive once, merge once, ledger now covers cursor.
+    // the common case: derive once, merge once, ledger covers the batch.
     var attempts = 0
     var done = false
     while (!done) {
       val noted = Snapshots.notes(spark, viewTable).toSet
-      val pending = (1L to cur).filterNot(v => noted.contains(noteFor(v)))
+      val pending = batchVersions.filterNot(v => noted.contains(noteFor(v)))
       if (pending.isEmpty) done = true
       else {
         // the recompute anchor: dirty groups re-derive from the source AS
         // OF the batch's newest version (the replay must not see later
         // source commits)
         val vMax = pending.max
-        val cdc = spark.read.option("mergeSchema", "true")
-          .parquet(pending.map(x => f"$feedDir/v$x%010d"): _*)
+        val cdc = cdcBatch.filter(col("version").isin(pending: _*))
         // a source key has no _before/_after split in the CDC shape — it
         // is identical on both sides by definition
         def side(c: String, s: String): Column =

@@ -3227,7 +3227,7 @@ object ExtQueries {
     x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec,
     x126Spec, x127Spec, x128Spec, st23Spec, st24Spec,
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
-    x134Spec, st27Spec, x135Spec, x136Spec, x137Spec)
+    x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -6590,4 +6590,87 @@ object ExtQueries {
            |  FROM documents, w WHERE doc_id >= 2 * w AND doc_id < 3 * w)
            |SELECT leg, n_docs, sum_chars, CAST(1 AS BIGINT) AS pruned_ok
            |FROM legs ORDER BY leg""".stripMargin))
+
+  /** st28: the CHANGE FEED AS A STREAM — st25's maintenance law pushed
+    * across the `readStream` boundary: a 6-version mutation timeline
+    * (4 quarter appends → a GROUP-MOVING merge re-sourcing each quarter's
+    * min doc to 'moved' → a MoR delete of each quarter's max doc) is
+    * consumed by [[graft.streaming.CdcSourceProvider]] (offsets = table
+    * versions, held in the streaming checkpoint) and folded per
+    * micro-batch into a snapshot view by
+    * [[graft.io.ViewMaintenance.applyDeltaBatch]]. The law: the
+    * STREAM-fed view equals a direct GROUP BY of the final state. A
+    * second full run against a FRESH checkpoint replays every batch —
+    * the view's note ledger refuses all of them (`replay_noop` pins the
+    * view version unchanged), so exactly-once holds even when streaming
+    * state is lost: checkpoint offsets are the first lock, the ledger is
+    * the second. */
+  private def st28Spec: QuerySpec =
+    QuerySpec("st28_stream_cdc_view",
+      (s, d) => {
+        import graft.io.{Snapshots, ViewMaintenance}
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w = maxId / 4 + 1
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cdcview_run").toString
+        val tbl = s"$tmp/tbl"
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w)
+              .coalesce(1),
+            tbl, recordSchema = true, statsCols = Seq("doc_id"))
+        }
+        val quarter = floor(col("doc_id") / w).cast("long")
+        val movedKeys = docs.groupBy(quarter.as("k"))
+          .agg(min(col("doc_id")).as("id"))
+          .select("id").collect().map(_.getLong(0)).toSeq
+        Snapshots.mergeInto(s, tbl,
+          docs.filter(col("doc_id").isin(movedKeys: _*))
+            .withColumn("source", lit("moved")),
+          keys = Seq("doc_id"), pruneOn = Some("doc_id"))
+        val deadKeys = docs.groupBy(quarter.as("k"))
+          .agg(max(col("doc_id")).as("id"))
+          .select("id").collect().map(_.getLong(0)).toSeq
+        Snapshots.deleteWhereMor(s, tbl, col("doc_id").isin(deadKeys: _*),
+          keys = Seq("doc_id"))
+        def run(ckpt: String): Unit = {
+          val q = s.readStream.format("graft.streaming.CdcSourceProvider")
+            .option("table", tbl).option("keys", "doc_id")
+            .option("feed", s"$tmp/feed").load()
+            .writeStream.option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              ViewMaintenance.applyDeltaBatch(s, tbl, s"$tmp/view", batch,
+                keys = Seq("doc_id"), dims = Seq("source"),
+                measures = Seq("n_chars"))
+              ()
+            }.start()
+          q.awaitTermination()
+        }
+        run(s"$tmp/ckpt1")
+        val vAfter = Snapshots.currentVersion(s, s"$tmp/view")
+        run(s"$tmp/ckpt2") // fresh checkpoint: full replay, ledger-refused
+        val replayNoop =
+          if (Snapshots.currentVersion(s, s"$tmp/view") == vAfter) 1L else 0L
+        val audit = s.range(1).select(lit(replayNoop).as("replay_noop"))
+        ViewMaintenance.readView(s, s"$tmp/view")
+          .select(col("source"), col("n_rows"),
+            col("sum_n_chars").cast("long").as("sum_n_chars"))
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT max(doc_id) // 4 + 1 AS w FROM documents),
+           |moved AS (SELECT min(doc_id) AS id FROM documents, w GROUP BY doc_id // w),
+           |dead AS (SELECT max(doc_id) AS id FROM documents, w GROUP BY doc_id // w),
+           |fin AS (
+           |  SELECT CASE WHEN doc_id IN (SELECT id FROM moved) THEN 'moved'
+           |              ELSE source END AS source, n_chars
+           |  FROM documents
+           |  WHERE doc_id NOT IN (SELECT id FROM dead))
+           |SELECT source, count(*) AS n_rows,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+           |       CAST(1 AS BIGINT) AS replay_noop
+           |FROM fin GROUP BY source ORDER BY source""".stripMargin))
 }

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.io.{Snapshots, ViewMaintenance}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** CdcSource: readStream over a snapshot table's change feed — offsets
+  * are table versions (checkpoint-recovered, never reprocessed), batches
+  * are version-stamped CDC rows, and a foreachBatch consumer composing
+  * applyDeltaBatch maintains a view exactly-once even when the streaming
+  * checkpoint is lost (the note ledger is the second lock).
+  */
+class CdcStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stream(t: String, feed: String) =
+    spark.readStream.format("graft.streaming.CdcSourceProvider")
+      .option("table", t).option("keys", "id").option("feed", feed).load()
+
+  test("offsets are table versions: a second run from the checkpoint sees only new commits") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cdcs").toString
+    val t = s"$base/tbl"; val feed = s"$base/feed"
+    Snapshots.commitAppend(Seq((1L, 10L), (2L, 20L)).toDF("id", "m").coalesce(1),
+      t, recordSchema = true)
+    Snapshots.mergeInto(spark, t, Seq((2L, 25L), (3L, 30L)).toDF("id", "m"),
+      keys = Seq("id"))
+    def drain(name: String): Seq[(Long, Long, String)] = {
+      // micro-batches run sequentially on the query thread; the queue is
+      // just crossing back to the test thread after awaitTermination
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]
+      val q = stream(t, feed).writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("version", "id", "change").collect().foreach(r =>
+            got.add((r.getLong(0), r.getLong(1), r.getString(2))))
+          ()
+        }.start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.iterator().asScala.toSeq
+    }
+    val first = drain("cdc_run1")
+    assert(first.toSet === Set((1L, 1L, "insert"), (1L, 2L, "insert"),
+      (2L, 2L, "update"), (2L, 3L, "insert")))
+    // new commit → a fresh run from the same checkpoint processes ONLY it
+    Snapshots.deleteWhereMor(spark, t, col("id") === 1L, keys = Seq("id"))
+    val second = drain("cdc_run2")
+    assert(second.toSet === Set((3L, 1L, "delete")))
+  }
+
+  test("streaming view maintenance: stream-fed view equals direct GROUP BY; ledger survives checkpoint loss") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cdcv").toString
+    val t = s"$base/tbl"; val feed = s"$base/feed"; val vt = s"$base/view"
+    Snapshots.commitAppend(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)).toDF("id", "grp", "m")
+        .coalesce(1), t, recordSchema = true)
+    Snapshots.mergeInto(spark, t, Seq((3L, "a", 30L), (4L, "b", 40L))
+      .toDF("id", "grp", "m"), keys = Seq("id")) // group move + insert
+    Snapshots.deleteWhereMor(spark, t, col("id") === 1L, keys = Seq("id"))
+    def run(ckpt: String): Unit = {
+      val q = stream(t, feed).writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          ViewMaintenance.applyDeltaBatch(spark, t, vt, batch,
+            keys = Seq("id"), dims = Seq("grp"), measures = Seq("m"))
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    run(s"$base/ckpt1")
+    def view() = ViewMaintenance.readView(spark, vt)
+      .select("grp", "n_rows", "sum_m").as[(String, Long, Long)].collect().toSet
+    def direct() = Snapshots.readAt(spark, t).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("m").as("s"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(view() === direct())
+    val vAfter = Snapshots.currentVersion(spark, vt)
+    // checkpoint lost entirely → every batch replays; the view's note
+    // ledger must refuse to double-apply (no new view version)
+    run(s"$base/ckpt2")
+    assert(view() === direct())
+    assert(Snapshots.currentVersion(spark, vt) === vAfter)
+  }
+}
