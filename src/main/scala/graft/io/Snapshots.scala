@@ -1455,7 +1455,8 @@ object Snapshots {
     * time-traveling: removed files stay referenced by their original
     * commits, so [[vacuum]] never reclaims them. Returns the new version
     * (or the current one when there is nothing to compact). */
-  def compact(spark: SparkSession, table: String, targetFiles: Int = 1): Long = {
+  def compact(spark: SparkSession, table: String, targetFiles: Int = 1,
+              bloomFpp: Double = 0.01): Long = {
     val v = currentVersion(spark, table)
     val files = liveFiles(spark, table, Some(v))
     val dvs = liveDvFiles(spark, table, Some(v))
@@ -1469,7 +1470,18 @@ object Snapshots {
     val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
-    commit(spark, table, adds = parts, removes = files ++ dvs, baseVersion = Some(v))
+    // a full rewrite orphans every bloom sidecar entry (all data files
+    // retire), so the index refreshes IN the same commit: new sidecars
+    // for the new files, old sidecars retired — reads keep pruning with
+    // no unindexed window ([[buildBloomIndex]] would otherwise have to
+    // catch up later, with conservative full scans in between)
+    val idxCols = bloomIndexedColumns(spark, table, v)
+    val oldSidecars = liveBloomFiles(spark, table, Some(v))
+    val sc = tableSchema(spark, table, Some(v))
+    val bloomParts = idxCols.flatMap(c =>
+      bloomSidecarFor(spark, table, parts, c, bloomFpp, sc))
+    commit(spark, table, adds = parts, removes = files ++ dvs ++ oldSidecars,
+      baseVersion = Some(v), bloomAdds = bloomParts)
   }
 
   /** RESTORE the table to the content of `toVersion` as a NEW commit —
@@ -1639,7 +1651,8 @@ object Snapshots {
     * the rewritten files via `statsCols`. */
   def compactSmall(spark: SparkSession, table: String,
                    smallBytes: Long, targetBytes: Long,
-                   statsCols: Seq[String] = Nil): CompactSmallResult = {
+                   statsCols: Seq[String] = Nil,
+                   bloomFpp: Double = 0.01): CompactSmallResult = {
     val v = currentVersion(spark, table)
     val files = liveFiles(spark, table, Some(v))
     val f = fs(spark, table)
@@ -1651,14 +1664,21 @@ object Snapshots {
     val dir = s"$table/data/binpack-${java.util.UUID.randomUUID().toString}"
     // raw read (NOT dv-resolved — see doc) under the recorded schema, so
     // shape-divergent pre-evolution files binpack to the evolved shape
-    val reader = tableSchema(spark, table, Some(v))
-      .map(spark.read.schema).getOrElse(spark.read)
+    val sc = tableSchema(spark, table, Some(v))
+    val reader = sc.map(spark.read.schema).getOrElse(spark.read)
     reader.parquet(small.map(_._1): _*).coalesce(outFiles).write.parquet(dir)
     val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
+    // untouched files keep their sidecar coverage (old sidecars stay
+    // live; entries for the retired small files are stale and ignored);
+    // the binpacked files get fresh coverage in the same commit, so
+    // point lookups never fall back to conservative reads
+    val bloomParts = bloomIndexedColumns(spark, table, v).flatMap(c =>
+      bloomSidecarFor(spark, table, parts, c, bloomFpp, sc))
     val nv = commit(spark, table, adds = parts, removes = small.map(_._1),
-      baseVersion = Some(v), stats = computeStats(spark, dir, parts, statsCols))
+      baseVersion = Some(v), stats = computeStats(spark, dir, parts, statsCols),
+      bloomAdds = bloomParts)
     CompactSmallResult(nv, small.size, parts.size, files.size - small.size)
   }
 
@@ -1715,13 +1735,53 @@ object Snapshots {
     if (todo.isEmpty)
       return BloomIndexResult(v, 0, covered.intersect(live.toSet).size, None)
     val sc = tableSchema(spark, table, Some(v))
-    def read(files: Seq[String]) =
-      sc.map(spark.read.schema).getOrElse(spark.read).parquet(files: _*)
-    val keyed = read(todo)
+    val parts = bloomSidecarFor(spark, table, todo, column, fpp, sc)
+    val dir = parts.headOption.map(p => new Path(p).getParent.toString)
+    val indexed =
+      if (parts.isEmpty) 0 else spark.read.parquet(parts: _*).count().toInt
+    if (parts.isEmpty && (!rebuild || oldForCol.isEmpty)) // all-null keys
+      return BloomIndexResult(v, 0, covered.intersect(live.toSet).size, None)
+    // losing the version race to a concurrent ingest/compaction is fine:
+    // the sidecar is on disk and file-keyed (entries for files the racer
+    // rewrote are stale and readPoint ignores them via the live set), so
+    // the retry just re-resolves the version — the MergeGate discipline
+    var attempts = 0
+    var nv = 0L
+    var committed = false
+    while (!committed)
+      try {
+        nv = commit(spark, table, adds = Nil,
+          removes = if (rebuild) oldForCol else Nil,
+          bloomAdds = parts,
+          notes = Seq(s"bloom-index-$column"))
+        committed = true
+      } catch {
+        case _: ConcurrentCommitException if attempts < 20 => attempts += 1
+      }
+    BloomIndexResult(nv, indexed,
+      if (rebuild) 0 else covered.intersect(live.toSet).size, dir)
+  }
+
+  /** Build per-file bloom sidecar rows for `files` on `column` and write
+    * them under `<table>/_index` — the shared core of [[buildBloomIndex]]
+    * and the index refresh inside [[optimizeZorder]]/[[compact]]/
+    * [[compactSmall]]. Two column-pruned passes over `files` only (exact
+    * non-null count per file, then one hash-partition-by-file pass
+    * building every bloom in parallel). Returns the sidecar part paths
+    * to ride the caller's commit as `bloomAdds` — Nil when no file had a
+    * non-null key (a bloom cannot witness null). */
+  private def bloomSidecarFor(spark: SparkSession, table: String,
+                              files: Seq[String], column: String, fpp: Double,
+                              sc: Option[StructType]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+    import spark.implicits._
+    if (files.isEmpty) return Nil
+    val keyed = sc.map(spark.read.schema).getOrElse(spark.read).parquet(files: _*)
       .select(input_file_name().as("f"), col(column).cast("string").as("k"))
       .filter(col("k").isNotNull)
     val sizes = keyed.groupBy("f").agg(count(lit(1)).as("n")).as[(String, Long)]
       .collect().toMap
+    if (sizes.isEmpty) return Nil
     val bcSizes = spark.sparkContext.broadcast(sizes)
     val blooms = keyed.repartition(col("f")).mapPartitions { it =>
       val bfs = scala.collection.mutable.HashMap
@@ -1742,7 +1802,7 @@ object Snapshots {
     // discipline — Spark part names embed the write job's UUID); then the
     // sidecar lands like any data write: files FIRST, one commit after
     val bcNames = spark.sparkContext.broadcast(
-      todo.map(p => new Path(p).getName -> p).toMap)
+      files.map(p => new Path(p).getName -> p).toMap)
     val dir = s"$table/_index/bloom-${java.util.UUID.randomUUID().toString}"
     blooms.map { case (f, b) =>
       val name = f.substring(f.lastIndexOf('/') + 1)
@@ -1751,29 +1811,19 @@ object Snapshots {
       .coalesce(1)
       .write.parquet(dir)
     val f = fs(spark, table)
-    val parts = f.listStatus(new Path(dir)).toSeq
+    f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
-    val indexed = spark.read.parquet(dir).count().toInt
-    // losing the version race to a concurrent ingest/compaction is fine:
-    // the sidecar is on disk and file-keyed (entries for files the racer
-    // rewrote are stale and readPoint ignores them via the live set), so
-    // the retry just re-resolves the version — the MergeGate discipline
-    var attempts = 0
-    var nv = 0L
-    var committed = false
-    while (!committed)
-      try {
-        nv = commit(spark, table, adds = Nil,
-          removes = if (rebuild) oldForCol else Nil,
-          bloomAdds = parts,
-          notes = Seq(s"bloom-index-$column"))
-        committed = true
-      } catch {
-        case _: ConcurrentCommitException if attempts < 20 => attempts += 1
-      }
-    BloomIndexResult(nv, indexed,
-      if (rebuild) 0 else covered.intersect(live.toSet).size, Some(dir))
+  }
+
+  /** The columns the live bloom index serves at `version` — one
+    * metadata-sized sidecar scan. */
+  private def bloomIndexedColumns(spark: SparkSession, table: String,
+                                  version: Long): Seq[String] = {
+    val sidecars = liveBloomFiles(spark, table, Some(version))
+    if (sidecars.isEmpty) Nil
+    else spark.read.parquet(sidecars: _*).select("column")
+      .distinct().collect().map(_.getString(0)).toSeq
   }
 
   /** Partition the live files of `version` by the bloom index's verdict
@@ -1912,6 +1962,10 @@ object Snapshots {
                      targetFiles: Int, bits: Int = 16): OptimizeResult =
     optimizeZorder(spark, table, Seq(colA, colB), targetFiles, bits)
 
+  def optimizeZorder(spark: SparkSession, table: String, cols: Seq[String],
+                     targetFiles: Int, bits: Int): OptimizeResult =
+    optimizeZorder(spark, table, cols, targetFiles, bits, bloomFpp = 0.01)
+
   /** K-dimension OPTIMIZE (2-4 clustering columns is the useful regime —
     * [[Layout.zValueK]]): identical transaction discipline to the 2-column
     * form; zone maps are re-stamped on ALL k dimensions, so manifest
@@ -1928,7 +1982,8 @@ object Snapshots {
     * (tenant, source, domain) — a near-unique string should cluster
     * through its own numeric key instead. Null strings rank lowest. */
   def optimizeZorder(spark: SparkSession, table: String, cols: Seq[String],
-                     targetFiles: Int, bits: Int): OptimizeResult = {
+                     targetFiles: Int, bits: Int,
+                     bloomFpp: Double): OptimizeResult = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
     val v = currentVersion(spark, table)
     val files = liveFiles(spark, table, Some(v))
@@ -1963,9 +2018,17 @@ object Snapshots {
     val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
-    val nv = commit(spark, table, adds = parts, removes = files ++ dvs,
-      baseVersion = Some(v),
-      stats = computeStats(spark, dir, parts, cols))
+    // the layout rewrite retires every data file, so the bloom index
+    // refreshes in the SAME commit (see [[compact]]) — OPTIMIZE leaves
+    // point lookups pruning, not waiting for the next index build
+    val idxCols = bloomIndexedColumns(spark, table, v)
+    val oldSidecars = liveBloomFiles(spark, table, Some(v))
+    val sc = tableSchema(spark, table, Some(v))
+    val bloomParts = idxCols.flatMap(c =>
+      bloomSidecarFor(spark, table, parts, c, bloomFpp, sc))
+    val nv = commit(spark, table, adds = parts,
+      removes = files ++ dvs ++ oldSidecars, baseVersion = Some(v),
+      stats = computeStats(spark, dir, parts, cols), bloomAdds = bloomParts)
     OptimizeResult(nv, files.size, parts.size)
   }
 

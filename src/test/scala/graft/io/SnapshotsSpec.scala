@@ -1096,6 +1096,36 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readPrunedRanges(spark, t, Nil).count() === 40L)
   }
 
+  test("OPTIMIZE and binpack refresh the bloom index in the same commit") {
+    val t = tmpTable()
+    (0 until 8).foreach { i =>
+      Snapshots.commitAppend(
+        (i * 10 + 1 to i * 10 + 10)
+          .map(x => (x.toLong, s"k${x * 7919 % 997}", x % 4))
+          .toDF("id", "ukey", "b").coalesce(1),
+        t, recordSchema = true, statsCols = Seq("id"))
+    }
+    Snapshots.buildBloomIndex(spark, t, "ukey", fpp = 0.001)
+    val probe = s"k${33 * 7919 % 997}"
+    assert(Snapshots.bloomPrune(spark, t, "ukey", Seq(probe))._1.size <= 2)
+    // a z-order rewrite retires every file — the index must keep pruning
+    // IMMEDIATELY, with the old sidecars retired in the same commit
+    Snapshots.optimizeZorder(spark, t, "id", "b", targetFiles = 8)
+    val (kept, skipped) = Snapshots.bloomPrune(spark, t, "ukey", Seq(probe))
+    assert(kept.size + skipped.size === 8 && kept.size <= 2,
+      s"post-OPTIMIZE bloom should prune: kept ${kept.size} of 8")
+    assert(Snapshots.readPoint(spark, t, "ukey", Seq(probe))
+      .select("id").as[Long].collect().toSeq === Seq(33L))
+    assert(Snapshots.liveBloomFiles(spark, t).nonEmpty)
+    // binpack of a small tail: new files covered, survivors keep coverage
+    Snapshots.compactSmall(spark, t, smallBytes = 1L << 40, targetBytes = 1L << 40)
+    val (kept2, skipped2) = Snapshots.bloomPrune(spark, t, "ukey", Seq(probe))
+    assert(kept2.size <= 1 && kept2.size + skipped2.size ===
+      Snapshots.liveFiles(spark, t).size)
+    assert(Snapshots.readPoint(spark, t, "ukey", Seq(probe))
+      .select("id").as[Long].collect().toSeq === Seq(33L))
+  }
+
   test("tag-vs-expiry race: a tag() that returned never dangles across a completed expiry") {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
