@@ -723,6 +723,35 @@ object CoreQueries {
       Some("""SELECT l_returnflag AS flag, count(*) AS n_rows,
              |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
              |       CAST(1 AS BIGINT) AS n_files
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q08 under the 100 TB knob (q24→q36 / q33→q37 discipline): grouped
+    // percentile_approx instead of the exact interpolating sort — the
+    // sketch-merge path that runs map-side partial at scale while exact
+    // percentile must shuffle every row of the group. Knob-invariant
+    // projection: l_quantity is integral 1..50 with median ≈ 25.5, so the
+    // approx median's rank error (≤ n/accuracy at accuracy 10k) cannot
+    // move floor(med/10) off the exact value's band; and two quantiles
+    // served from ONE sketch are monotone by construction (p90 ≥ p50
+    // rides as a pinned flag). The oracle states the exact-median band —
+    // approx must land in it — plus exact group counts.
+    QuerySpec("q40_group_median_approx",
+      (s, d) => Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("__med"),
+          percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.9)),
+            lit(10000)).as("__pp"),
+          n.as("n_rows"))
+        .select(col("l_returnflag"),
+          floor(col("__med") / 10).cast("long").as("med_band"),
+          when(element_at(col("__pp"), 2) >= element_at(col("__pp"), 1), 1L)
+            .otherwise(0L).as("p90_ge_p50"),
+          col("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       CAST(floor(quantile_cont(l_quantity, 0.5) / 10) AS BIGINT) AS med_band,
+             |       CAST(1 AS BIGINT) AS p90_ge_p50,
+             |       count(*) AS n_rows
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
