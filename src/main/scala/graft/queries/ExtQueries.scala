@@ -3227,7 +3227,7 @@ object ExtQueries {
     x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec,
     x126Spec, x127Spec, x128Spec, st23Spec, st24Spec,
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
-    x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec)
+    x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -6673,4 +6673,77 @@ object ExtQueries {
            |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
            |       CAST(1 AS BIGINT) AS replay_noop
            |FROM fin GROUP BY source ORDER BY source""".stripMargin))
+
+  /** x138: MULTI-TABLE TRANSACTION — the corpus+index pair moved through
+    * FOUR ledger-published cuts ([[graft.io.MultiTable]]): each step
+    * appends a fifth of the documents to the data table, re-derives the
+    * per-source index as its own snapshot commit, and publishes the
+    * (data@vD, index@vI) cut as ONE atomic ledger commit. The pins: a
+    * FIFTH data chunk committed WITHOUT a publish stays invisible to
+    * consistent reads (`pinned_consistent` — stale-but-consistent, never
+    * mixed; the race half is hammer-spec'd in MultiTableSpec), and the
+    * FIRST cut still replays exactly (`replay_ok` — cuts are immutable
+    * history). Output is the index at the newest cut; the oracle derives
+    * it from the raw documents table. */
+  private def x138Spec: QuerySpec =
+    QuerySpec("x138_pair_commit",
+      (s, d) => {
+        import graft.io.{MultiTable, Snapshots}
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w = maxId / 5 + 1
+        val tmp = java.nio.file.Files.createTempDirectory("graft_pair_run").toString
+        val data = s"$tmp/data"; val idx = s"$tmp/idx"; val led = s"$tmp/ledger"
+        def step(i: Int): Long = {
+          val vD = Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w)
+              .coalesce(1),
+            data, recordSchema = i == 0)
+          val counts = Snapshots.readAt(s, data, Some(vD)).groupBy("source")
+            .agg(n.as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          val vI =
+            if (i == 0) Snapshots.commitAppend(counts.coalesce(1), idx,
+              recordSchema = true)
+            else {
+              // the re-derived index replaces the old one as a swap commit
+              // (new files in, old files out, one transaction)
+              val old = Snapshots.liveFiles(s, idx)
+              val dir = s"$idx/data/ix-$i"
+              counts.coalesce(1).write.parquet(dir)
+              val p = new org.apache.hadoop.fs.Path(dir)
+              val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+              val parts = f.listStatus(p).toSeq
+                .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+                .map(_.getPath.toString)
+              Snapshots.commit(s, idx, adds = parts, removes = old)
+            }
+          MultiTable.publish(s, led, Map(data -> vD, idx -> vI))
+        }
+        val cuts = (0 until 4).map(step)
+        // a data commit WITHOUT a publish: consistent reads stay pinned
+        Snapshots.commitAppend(
+          docs.filter(col("doc_id") >= 4 * w).coalesce(1), data)
+        val pinned = MultiTable.readConsistent(s, led, data).count()
+        val expect4 = docs.filter(col("doc_id") < 4 * w).count()
+        val firstCut = MultiTable.resolveAt(s, led, cuts.head)
+        val replayOk = Snapshots.readAt(s, data, Some(firstCut(data))).count() ==
+          docs.filter(col("doc_id") < w).count()
+        val audit = s.range(1).select(
+          lit(cuts.size.toLong).as("n_cuts"),
+          lit(if (pinned == expect4) 1L else 0L).as("pinned_consistent"),
+          lit(if (replayOk) 1L else 0L).as("replay_ok"))
+        MultiTable.readConsistent(s, led, idx)
+          .select(col("source"), col("n_docs"), col("sum_chars"))
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT max(doc_id) // 5 + 1 AS w FROM documents)
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(4 AS BIGINT) AS n_cuts,
+           |       CAST(1 AS BIGINT) AS pinned_consistent,
+           |       CAST(1 AS BIGINT) AS replay_ok
+           |FROM documents, w WHERE doc_id < 4 * w
+           |GROUP BY source ORDER BY source""".stripMargin))
 }
