@@ -8,7 +8,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.functions.{col, lit}
@@ -55,14 +56,20 @@ import graft.io.Snapshots
   * price of not re-implementing a vectorized parquet reader; the scan
   * itself stays distributed, pruned, and codegen'd below the boundary.
   *
-  * Read-only by design: writes go through the transactional library API
-  * (commit/merge/delete/optimize), which is where the multi-writer
-  * discipline lives. `createTable`/`alterTable`/`dropTable` throw.
+  * DML/DDL stays with the transactional library API (commit/merge/
+  * delete), which is where the multi-writer discipline lives —
+  * `createTable`/`alterTable`/`dropTable` throw. MAINTENANCE, however,
+  * is SQL: the catalog is also a `ProcedureCatalog`, so
+  * `CALL graft.system.optimize('t', 'a,b', 16)`, `compact_small`,
+  * `bloom_index`, `checkpoint`, `expire`, `vacuum`, `restore`, `tag`,
+  * and `fast_count` run the same library transactions from a SQL
+  * statement ([[GraftProcedures]], the Iceberg `CALL catalog.system.…`
+  * shape).
   *
   * Reference analog: the `latest/` stable-read surface (`DP:482-488`) —
   * the "just query it" entry point — generalized to versioned SQL.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -138,6 +145,15 @@ class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog is read-only")
+
+  /** Maintenance procedures (`CALL graft.system.optimize('t', …)` etc.) —
+    * the writes that ARE exposed through SQL run the same transactional
+    * library operations; see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(root, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 }
 
 /** One pinned (table, version) snapshot as a DSv2 table. */

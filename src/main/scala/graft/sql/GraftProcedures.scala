@@ -1,0 +1,166 @@
+package graft.sql
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataTypes, StructType}
+
+import graft.io.Snapshots
+
+/** SQL MAINTENANCE PROCEDURES for snapshot tables — the DSv2
+  * `ProcedureCatalog` half of [[GraftCatalog]], so the operations a
+  * table operator schedules are themselves one SQL statement away:
+  *
+  * {{{
+  *   CALL graft.system.optimize('t', 'a,b', 16)     -- Z-order rewrite
+  *   CALL graft.system.compact_small('t', 33554432, 134217728)
+  *   CALL graft.system.bloom_index('t', 'doc_id', 0.01)
+  *   CALL graft.system.checkpoint('t')
+  *   CALL graft.system.expire('t', 9)               -- bounded history
+  *   CALL graft.system.vacuum('t')
+  *   CALL graft.system.restore('t', 3)
+  *   CALL graft.system.tag('t', 'v2-curated', 3)
+  *   CALL graft.system.fast_count('t')
+  * }}}
+  *
+  * Each CALL runs the corresponding transactional library operation
+  * (same multi-writer discipline, same refusals) and returns its result
+  * as one row — the Iceberg `CALL catalog.system.…` surface shape. Table
+  * arguments are identifiers relative to the catalog root, so the same
+  * statement works across environments.
+  */
+object GraftProcedures {
+
+  private val S = DataTypes.StringType
+  private val L = DataTypes.LongType
+  private val D = DataTypes.DoubleType
+
+  private def in(n: String, t: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(n, t).build()
+  private def inDef(n: String, t: org.apache.spark.sql.types.DataType,
+                    default: String) =
+    ProcedureParameter.in(n, t).defaultValue(default).build()
+
+  private def mkDef(name: String, doc: String, params: Seq[ProcedureParameter],
+                    out: StructType)(
+      run: (SparkSession, String, InternalRow) => Seq[Any]): Def =
+    Def(name, doc, params, out, run)
+
+  /** One procedure definition; [[load]] binds it to a catalog root. */
+  private final case class Def(name: String, doc: String,
+                               params: Seq[ProcedureParameter], out: StructType,
+                               run: (SparkSession, String, InternalRow) => Seq[Any])
+
+  /** A definition bound to its catalog root — self-binding (fixed
+    * parameters), one output row per CALL. */
+  private final class P(d: Def, root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = d.name
+    override def description(): String = d.doc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = d.params.toArray
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val values = d.run(SparkSession.active, root, input).toArray
+      val row: InternalRow = new GenericInternalRow(values)
+      util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = d.out
+      }).iterator()
+    }
+  }
+
+  private def tbl(root: String, input: InternalRow, i: Int): String =
+    s"$root/${input.getUTF8String(i).toString}"
+
+  private val procedures: Map[String, Def] = Seq(
+    mkDef("optimize", "transactional Z-order layout rewrite (OPTIMIZE ZORDER BY)",
+      Seq(in("table", S), in("cols", S), in("target_files", L),
+        inDef("bits", L, "16")),
+      StructType(Seq(
+        DataTypes.createStructField("version", L, false),
+        DataTypes.createStructField("files_before", L, false),
+        DataTypes.createStructField("files_after", L, false))))(
+      (s, root, in) => {
+        val r = Snapshots.optimizeZorder(s, tbl(root, in, 0),
+          in.getUTF8String(1).toString.split(',').toSeq.map(_.trim),
+          in.getLong(2).toInt, in.getLong(3).toInt)
+        Seq(r.version, r.filesBefore.toLong, r.filesAfter.toLong)
+      }),
+    mkDef("compact_small", "binpack the small-file tail (O(tail), not O(table))",
+      Seq(in("table", S), in("small_bytes", L), in("target_bytes", L)),
+      StructType(Seq(
+        DataTypes.createStructField("version", L, false),
+        DataTypes.createStructField("packed", L, false),
+        DataTypes.createStructField("files_after", L, false),
+        DataTypes.createStructField("untouched", L, false))))(
+      (s, root, in) => {
+        val r = Snapshots.compactSmall(s, tbl(root, in, 0), in.getLong(1),
+          in.getLong(2))
+        Seq(r.version, r.packed.toLong, r.filesAfter.toLong, r.untouched.toLong)
+      }),
+    mkDef("bloom_index", "build/extend the per-file bloom point-lookup index",
+      Seq(in("table", S), in("column", S), inDef("fpp", D, "0.01")),
+      StructType(Seq(
+        DataTypes.createStructField("version", L, false),
+        DataTypes.createStructField("indexed", L, false),
+        DataTypes.createStructField("already_indexed", L, false))))(
+      (s, root, in) => {
+        val r = Snapshots.buildBloomIndex(s, tbl(root, in, 0),
+          in.getUTF8String(1).toString, in.getDouble(2))
+        Seq(r.version, r.indexed.toLong, r.alreadyIndexed.toLong)
+      }),
+    mkDef("checkpoint", "write a verified full-state checkpoint at the current version",
+      Seq(in("table", S)),
+      StructType(Seq(DataTypes.createStructField("version", L, false))))(
+      (s, root, in) => Seq(Snapshots.checkpoint(s, tbl(root, in, 0)))),
+    mkDef("expire", "expire history below keep_from (verified checkpoint anchors the horizon)",
+      Seq(in("table", S), in("keep_from", L)),
+      StructType(Seq(
+        DataTypes.createStructField("expired", L, false),
+        DataTypes.createStructField("horizon", L, false))))(
+      (s, root, in) => {
+        val r = Snapshots.expireVersions(s, tbl(root, in, 0), in.getLong(1))
+        Seq(r.expired.size.toLong, r.checkpointAt)
+      }),
+    mkDef("vacuum", "delete files no committed version references",
+      Seq(in("table", S)),
+      StructType(Seq(DataTypes.createStructField("deleted", L, false))))(
+      (s, root, in) => Seq(Snapshots.vacuum(s, tbl(root, in, 0)).size.toLong)),
+    mkDef("restore", "metadata-only rollback to a version's content (new commit)",
+      Seq(in("table", S), in("to_version", L)),
+      StructType(Seq(DataTypes.createStructField("version", L, false))))(
+      (s, root, in) =>
+        Seq(Snapshots.restore(s, tbl(root, in, 0), in.getLong(1)))),
+    mkDef("tag", "pin an immutable named tag to a version",
+      Seq(in("table", S), in("name", S), in("version", L)),
+      StructType(Seq(DataTypes.createStructField("version", L, false))))(
+      (s, root, in) => Seq(Snapshots.tag(s, tbl(root, in, 0),
+        in.getUTF8String(1).toString, Some(in.getLong(2))))),
+    mkDef("fast_count", "COUNT(*) from manifest metadata (exact; scan fallback)",
+      Seq(in("table", S)),
+      StructType(Seq(DataTypes.createStructField("rows", L, false))))(
+      (s, root, in) => Seq(Snapshots.fastCount(s, tbl(root, in, 0))))
+  ).map(d => d.name -> d).toMap
+
+  /** Resolve `graft.system.<name>`, bound to this catalog's root. */
+  def load(root: String, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq("system"),
+      s"procedures live under the 'system' namespace, got $ident")
+    val d = procedures.getOrElse(ident.name(),
+      throw new IllegalArgumentException(
+        s"unknown procedure '${ident.name()}' " +
+          s"(have: ${procedures.keys.toSeq.sorted.mkString(", ")})"))
+    new P(d, root)
+  }
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      procedures.keys.toSeq.sorted.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+}

@@ -107,6 +107,42 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() === 40L)
   }
 
+  test("CALL graft.system.*: the maintenance surface runs from SQL") {
+    val t = s"$root/t7"
+    (0 until 8).foreach { i =>
+      Snapshots.commitAppend(
+        (i * 10 + 1 to i * 10 + 10)
+          .map(x => (x.toLong, s"k${x * 7919 % 997}", (x % 4).toLong))
+          .toDF("id", "ukey", "b").coalesce(1),
+        t, recordSchema = true, statsCols = Seq("id"), recordRowCounts = true)
+    }
+    def one(sql: String) = spark.sql(sql).collect().head
+    assert(one("CALL graft.system.fast_count('t7')").getLong(0) === 80L)
+    val bi = one("CALL graft.system.bloom_index('t7', 'ukey', 0.001)")
+    assert(bi.getLong(1) === 8L) // indexed
+    val opt = one("CALL graft.system.optimize('t7', 'id,b', 4)")
+    assert(opt.getLong(1) === 8L && opt.getLong(2) === 4L)
+    // the OPTIMIZE commit refreshed the bloom index: a SQL point lookup
+    // on the rewritten layout still prunes files
+    GraftScanInfo.last = None
+    assert(spark.sql(s"SELECT id FROM graft.t7 WHERE ukey = 'k${33 * 7919 % 997}'")
+      .as[Long].collect().toSeq === Seq(33L))
+    assert(GraftScanInfo.last.get.candidates <= 2)
+    val v = Snapshots.currentVersion(spark, t)
+    assert(one(s"CALL graft.system.tag('t7', 'keep', $v)").getLong(0) === v)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t7 VERSION AS OF 'keep'")
+      .as[Long].head() === 80L)
+    assert(one("CALL graft.system.checkpoint('t7')").getLong(0) === v)
+    val exp = one(s"CALL graft.system.expire('t7', $v)")
+    assert(exp.getLong(1) === v && exp.getLong(0) === v - 1)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.t7 VERSION AS OF 1").collect()
+    }
+    assert(one("CALL graft.system.vacuum('t7')").getLong(0) >= 8L)
+    assert(one("CALL graft.system.fast_count('t7')").getLong(0) === 80L)
+    intercept[Exception] { spark.sql("CALL graft.system.no_such('t7')").collect() }
+  }
+
   test("nested namespaces map to directories; DDL is refused; unknown table rejects") {
     val t = s"$root/ns/t6"
     Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "s").coalesce(1), t,
