@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Sup
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -156,9 +157,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     GraftProcedures.list(namespace)
 }
 
-/** One pinned (table, version) snapshot as a DSv2 table. */
+/** One pinned (table, version) snapshot as a DSv2 table. Reads resolve
+  * at the pinned version; writes (INSERT INTO / INSERT OVERWRITE, via
+  * the V1 write fallback) are transactional commits against the CURRENT
+  * version — the same library operations, one SQL statement away. */
 final class GraftTable(val path: String, ident: String, val pinnedVersion: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = ident
   override def version(): String = pinnedVersion.toString
@@ -174,10 +179,65 @@ final class GraftTable(val path: String, ident: String, val pinnedVersion: Long)
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(this)
+}
+
+/** INSERT INTO = one transactional append commit ([[Snapshots
+  * .commitAppend]] — add-only, so racing writers both land); INSERT
+  * OVERWRITE = one swap commit (new files in, current live set + dvs +
+  * bloom sidecars out) under optimistic concurrency with re-resolve
+  * retries. Columns resolve positionally against the table schema (the
+  * SQL INSERT contract); the recorded schema stays authoritative. */
+final class GraftWriteBuilder(table: GraftTable)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.Dataset[Row],
+                            ovr: Boolean): Unit = {
+          val spark = data.sparkSession
+          val cols = table.schema.fieldNames.toIndexedSeq
+          val df = data.toDF(cols: _*) // positional, the INSERT contract
+          if (!(overwrite || ovr)) Snapshots.commitAppend(df, table.path)
+          else {
+            var attempts = 0
+            var done = false
+            while (!done) {
+              val v = Snapshots.currentVersion(spark, table.path)
+              val removes = Snapshots.liveFiles(spark, table.path, Some(v)) ++
+                Snapshots.liveDvFiles(spark, table.path, Some(v)) ++
+                Snapshots.liveBloomFiles(spark, table.path, Some(v))
+              val dir = s"${table.path}/data/${java.util.UUID.randomUUID()}"
+              df.write.parquet(dir)
+              val p = new Path(dir)
+              val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              val parts = f.listStatus(p).toSeq
+                .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+                .map(_.getPath.toString)
+              try {
+                Snapshots.commit(spark, table.path, adds = parts,
+                  removes = removes, baseVersion = Some(v))
+                done = true
+              } catch {
+                case _: Snapshots.ConcurrentCommitException if attempts < 20 =>
+                  attempts += 1 // re-resolve; the orphan dir is vacuum food
+              }
+            }
+          }
+        }
+      }
+  }
 }
 
 /** Last-scan observability for specs and EXPLAIN-side auditing: how many

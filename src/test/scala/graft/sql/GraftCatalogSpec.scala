@@ -143,6 +143,25 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("CALL graft.system.no_such('t7')").collect() }
   }
 
+  test("INSERT INTO appends one commit; INSERT OVERWRITE swaps under snapshot isolation") {
+    val t = s"$root/t8"
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "s").coalesce(1), t,
+      recordSchema = true)
+    spark.sql("INSERT INTO graft.t8 VALUES (2, 'b'), (3, 'c')")
+    assert(Snapshots.currentVersion(spark, t) === 2L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t8").as[Long].head() === 3L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t8 VERSION AS OF 1")
+      .as[Long].head() === 1L)
+    // self-referencing overwrite: the read pins the pre-write snapshot
+    // (new files written before the swap commit), so this is well-defined
+    spark.sql("INSERT OVERWRITE graft.t8 SELECT id * 10, s FROM graft.t8")
+    assert(spark.sql("SELECT id FROM graft.t8 ORDER BY id")
+      .as[Long].collect().toSeq === Seq(10L, 20L, 30L))
+    // pre-overwrite versions still time-travel (swap, not delete)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t8 VERSION AS OF 2")
+      .as[Long].head() === 3L)
+  }
+
   test("nested namespaces map to directories; DDL is refused; unknown table rejects") {
     val t = s"$root/ns/t6"
     Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "s").coalesce(1), t,
