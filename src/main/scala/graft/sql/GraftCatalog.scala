@@ -250,10 +250,14 @@ object GraftScanInfo {
 }
 
 final class GraftScanBuilder(table: GraftTable)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = table.schema
   private var pushed: Array[Filter] = Array.empty
+  private var countOnly = false
+  private var limit: Option[Int] = None
 
   /** Accept every filter for PRUNING, return every filter for
     * RE-EVALUATION: manifest pruning is conservative (zone maps and
@@ -271,22 +275,82 @@ final class GraftScanBuilder(table: GraftTable)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(table, required, pushed)
+  /** Unfiltered, ungrouped COUNT(*) answers from manifest metadata
+    * ([[Snapshots.fastCount]]) — at 100 TB a row-counted table's
+    * COUNT(*) is one manifest replay, zero data files opened. Spark only
+    * offers aggregate pushdown when no post-scan filters remain, and we
+    * return every filter for re-evaluation, so this path is exactly the
+    * bare-count query. Anything else declines and plans normally. */
+  private def bareCount(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    bareCount(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (bareCount(agg)) { countOnly = true; true } else false
+  }
+
+  /** LIMIT folds into the wrapped scan (fewer rows cross the V1 row
+    * boundary); Spark re-applies it above regardless (partial push). */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan =
+    if (countOnly) new GraftCountScan(table)
+    else new GraftScan(table, required, pushed, limit)
+}
+
+/** Complete COUNT(*) pushdown: one row from [[Snapshots.fastCount]] —
+  * metadata-only when commits recorded row counts, exact always (live
+  * deletion vectors defer to the dv-resolved read inside fastCount). */
+final class GraftCountScan(table: GraftTable) extends V1Scan {
+  private val out = StructType(Seq(
+    org.apache.spark.sql.types.StructField("count",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def readSchema(): StructType = out
+  override def description(): String =
+    s"GraftCountScan ${table.path}@v${table.pinnedVersion} (manifest fastCount)"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = out
+      override def buildScan(): RDD[Row] = {
+        val spark = context.sparkSession
+        val n = Snapshots.fastCount(spark, table.path, Some(table.pinnedVersion))
+        GraftScanInfo.last = Some(GraftScanInfo.Info(
+          table.path, table.pinnedVersion, 0,
+          Snapshots.liveFiles(spark, table.path, Some(table.pinnedVersion)).size,
+          Seq("COUNT(*) -> fastCount")))
+        spark.sparkContext.parallelize(Seq(Row(n)), 1)
+      }
+    }.asInstanceOf[T]
 }
 
 final class GraftScan(table: GraftTable, required: StructType,
-                      filters: Array[Filter]) extends V1Scan {
+                      filters: Array[Filter],
+                      limit: Option[Int] = None) extends V1Scan {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"GraftScan ${table.path}@v${table.pinnedVersion} " +
       s"cols=[${required.fieldNames.mkString(",")}] " +
-      s"pruneBy=[${filters.mkString(", ")}]"
+      s"pruneBy=[${filters.mkString(", ")}]" +
+      limit.map(n => s" limit=$n").getOrElse("")
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GraftRelation(context, table, required, filters).asInstanceOf[T]
+    new GraftRelation(context, table, required, filters, limit).asInstanceOf[T]
 }
 
 object GraftScan {
@@ -324,7 +388,8 @@ object GraftScan {
   * hands Spark its RDD (rows convert at the boundary; the scan below it
   * is Spark's own vectorized parquet reader over the kept files only). */
 final class GraftRelation(ctx: SQLContext, table: GraftTable,
-                          required: StructType, filters: Array[Filter])
+                          required: StructType, filters: Array[Filter],
+                          limit: Option[Int] = None)
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = ctx
@@ -373,7 +438,8 @@ final class GraftRelation(ctx: SQLContext, table: GraftTable,
     // row-group pushdown on the kept files (Spark re-applies the exact
     // predicate above the boundary regardless — pushFilters returned all)
     val filtered = filters.flatMap(toColumn).foldLeft(base)(_.filter(_))
-    filtered.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
+    val projected = filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
+    limit.map(projected.limit).getOrElse(projected).rdd
   }
 
   private def intersects(st: Snapshots.FileStat, lo: String, hi: String): Boolean =

@@ -162,6 +162,28 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() === 3L)
   }
 
+  test("bare COUNT(*) pushes down to manifest fastCount; filtered counts scan") {
+    val t = s"$root/t9"
+    (0 until 2).foreach { i =>
+      Snapshots.commitAppend(
+        (i * 10 + 1 to i * 10 + 10).map(x => (x.toLong, x % 3)).toDF("id", "g")
+          .coalesce(1),
+        t, recordSchema = true, recordRowCounts = true)
+    }
+    GraftScanInfo.last = None
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t9").as[Long].head() === 20L)
+    assert(GraftScanInfo.last.get.pushed === Seq("COUNT(*) -> fastCount"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t9 VERSION AS OF 1")
+      .as[Long].head() === 10L)
+    // a WHERE keeps the ordinary scan path (filters re-evaluate exactly)
+    GraftScanInfo.last = None
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t9 WHERE id > 15")
+      .as[Long].head() === 5L)
+    assert(!GraftScanInfo.last.get.pushed.contains("COUNT(*) -> fastCount"))
+    // LIMIT folds into the wrapped scan and stays exact
+    assert(spark.sql("SELECT id FROM graft.t9 LIMIT 3").count() === 3L)
+  }
+
   test("nested namespaces map to directories; DDL is refused; unknown table rejects") {
     val t = s"$root/ns/t6"
     Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "s").coalesce(1), t,
