@@ -1994,6 +1994,15 @@ object Snapshots {
     val stringDims = cols.filter(c =>
       base.schema(c).dataType == org.apache.spark.sql.types.StringType)
     val ranked = stringDims.foldLeft(base) { (df, c) =>
+      // cardinality bound enforced BEFORE anything lands on the driver: a
+      // near-unique string dim fails here from one distributed sketch
+      // instead of after materializing a million-row collect (the exact
+      // check below still guards sketch error at the boundary)
+      val approx = df.agg(org.apache.spark.sql.functions
+        .approx_count_distinct(col(c), 0.02)).first().getLong(0)
+      require(approx <= (1L << 20) * 11 / 10,
+        s"z-order string dim '$c' has ~$approx distinct values — " +
+          "cluster a near-unique string through a numeric key instead")
       val vals = df.select(col(c)).filter(col(c).isNotNull)
         .distinct().orderBy(col(c)).collect().map(_.getString(0))
       require(vals.length <= (1 << 20),
