@@ -35,7 +35,10 @@ import graft.io.Snapshots
   *
   * An identifier `graft.a.b.t` maps to the table root `<root>/a/b/t`;
   * version resolution is PINNED at analysis time (`loadTable`), so one
-  * query sees one immutable snapshot even while writers commit.
+  * query sees one immutable snapshot even while writers commit. The
+  * audit surface is SQL too: `` graft.`t$history` `` / `` `t$files` `` /
+  * `` `t$tags` `` / `` `t$detail` `` are metadata tables
+  * ([[GraftMetaTable]]).
   *
   * Reads push down through the manifest's own metadata, which is the
   * scale story at 100 TB: `SupportsPushDownRequiredColumns` prunes the
@@ -104,6 +107,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // `t$history` / `t$files` / `t$tags` / `t$detail` — metadata tables
+    // ([[GraftMetaTable]]); everything else is the data table itself
+    ident.name().split('$') match {
+      case Array(base, kind) if GraftMetaTable.Kinds(kind) =>
+        val basePath = tablePath(Identifier.of(ident.namespace(), base))
+        if (!exists(basePath)) throw new NoSuchTableException(ident)
+        return new GraftMetaTable(basePath, ident.toString, kind)
+      case _ =>
+    }
     val path = tablePath(ident)
     if (!exists(path)) throw new NoSuchTableException(ident)
     new GraftTable(path, ident.toString,

@@ -184,6 +184,23 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT id FROM graft.t9 LIMIT 3").count() === 3L)
   }
 
+  test("metadata tables: t$history / t$files / t$tags / t$detail answer from manifests") {
+    val t = mkSliced("t10")
+    Snapshots.deleteWhereMor(spark, t, col("id") === 5L, keys = Seq("id"))
+    Snapshots.tag(spark, t, "gold", Some(2L))
+    val hist = spark.sql("SELECT version, adds, dv_adds FROM graft.`t10$history` ORDER BY version")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(hist.size === 5 && hist.take(4).forall(h => h._2 === 1 && h._3 === 0))
+    assert(hist.last === ((5L, 0, 1))) // the MoR delete: dv-only commit
+    assert(spark.sql("SELECT count(*) AS n FROM graft.`t10$files`").as[Long].head() === 4L)
+    assert(spark.sql("SELECT sum(bytes) AS b FROM graft.`t10$files`").as[Long].head() > 0L)
+    assert(spark.sql("SELECT name, version FROM graft.`t10$tags`")
+      .as[(String, Long)].collect().toSeq === Seq(("gold", 2L)))
+    val d = spark.sql("SELECT version, files, dv_keys, schema_recorded FROM graft.`t10$detail`")
+      .as[(Long, Int, Long, Boolean)].head()
+    assert(d === ((5L, 4, 1L, true)))
+  }
+
   test("nested namespaces map to directories; DDL is refused; unknown table rejects") {
     val t = s"$root/ns/t6"
     Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "s").coalesce(1), t,
