@@ -60,10 +60,13 @@ import graft.io.Snapshots
   * price of not re-implementing a vectorized parquet reader; the scan
   * itself stays distributed, pruned, and codegen'd below the boundary.
   *
-  * DML/DDL stays with the transactional library API (commit/merge/
-  * delete), which is where the multi-writer discipline lives —
-  * `createTable`/`alterTable`/`dropTable` throw. MAINTENANCE, however,
-  * is SQL: the catalog is also a `ProcedureCatalog`, so
+  * CREATE TABLE / CTAS work (an empty schema-stamped v1, then ordinary
+  * transactional appends); row-level DML (MERGE/DELETE/UPDATE) stays
+  * with the transactional library API, which is where the multi-writer
+  * discipline lives — `alterTable`/`dropTable`/`renameTable` throw
+  * (history is the product; dropping it is an operator decision made
+  * outside SQL). MAINTENANCE is SQL: the catalog is also a
+  * `ProcedureCatalog`, so
   * `CALL graft.system.optimize('t', 'a,b', 16)`, `compact_small`,
   * `bloom_index`, `checkpoint`, `expire`, `vacuum`, `restore`, `tag`,
   * and `fast_count` run the same library transactions from a SQL
@@ -142,13 +145,27 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftTable(path, s"$ident@v$v", v)
   }
 
+  /** CREATE TABLE (and therefore CTAS — Spark creates, then appends
+    * through the V1 write path): version 1 is an empty, schema-stamped
+    * commit, so the new table immediately reads as a typed empty frame
+    * and every later writer inherits the recorded schema. Directory
+    * partitioning is refused by design — layout is OPTIMIZE ZORDER +
+    * zone maps + bloom sidecars, the manifest-native clustering story. */
   override def createTable(ident: Identifier,
                            columns: Array[org.apache.spark.sql.connector.catalog.Column],
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are written through the transactional library API " +
-        "(Snapshots.commitAppend/mergeInto/…), not SQL DDL")
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables cluster via OPTIMIZE ZORDER / zone maps, " +
+        "not directory partitioning — create without PARTITIONED BY")
+    val path = tablePath(ident)
+    if (exists(path))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+    Snapshots.commit(spark, path, adds = Nil, schemaJson = Some(schema.json))
+    new GraftTable(path, ident.toString, Snapshots.currentVersion(spark, path))
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("graft catalog is read-only")

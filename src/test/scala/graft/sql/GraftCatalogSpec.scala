@@ -201,6 +201,22 @@ class GraftCatalogSpec extends SparkSpec {
     assert(d === ((5L, 4, 1L, true)))
   }
 
+  test("CREATE TABLE and CTAS: schema-stamped empty v1, then transactional appends") {
+    spark.sql("CREATE TABLE graft.t11 (id BIGINT, s STRING)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t11").as[Long].head() === 0L)
+    spark.sql("INSERT INTO graft.t11 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CREATE TABLE graft.t12 AS SELECT id * 10 AS id, s FROM graft.t11")
+    assert(spark.sql("SELECT id FROM graft.t12 ORDER BY id")
+      .as[Long].collect().toSeq === Seq(10L, 20L))
+    // the CTAS table is an ordinary snapshot table: schema recorded,
+    // version history live
+    assert(Snapshots.tableSchema(spark, s"$root/t12").isDefined)
+    intercept[Exception] { spark.sql("CREATE TABLE graft.t11 (x BIGINT)") }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.t13 (x BIGINT) PARTITIONED BY (x)")
+    }
+  }
+
   test("nested namespaces map to directories; DDL is refused; unknown table rejects") {
     val t = s"$root/ns/t6"
     Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "s").coalesce(1), t,
