@@ -69,6 +69,40 @@ class CdcSourceProvider extends StreamSourceProvider {
       required(params, "keys").split(',').toSeq, required(params, "feed"))
 }
 
+/** STREAMING SINK format for transactional snapshot ingest — the write
+  * half of the CDC symmetry ([[CdcSourceProvider]] streams a table OUT;
+  * this streams one IN):
+  *
+  * {{{
+  *   df.writeStream.format("graft.streaming.SnapshotSinkProvider")
+  *     .option("table", tbl).option("checkpointLocation", ckpt).start()
+  * }}}
+  *
+  * Every micro-batch lands as ONE manifest transaction via
+  * [[Snapshots.commitBatchOnce]] — the table gains a version per batch,
+  * any historical version stays readable while ingest streams on, and
+  * exactly-once holds on TWO independent ledgers: the streaming
+  * checkpoint (offsets) and the manifest itself (deterministic per-batch
+  * data dirs — a replayed batch that already committed is skipped, one
+  * that crashed mid-write overwrites its own directory). The same gate
+  * [[SnapshotIngest.start]] runs via foreachBatch, exposed as a format
+  * so plain `writeStream` pipelines compose without code. */
+class SnapshotSinkProvider extends org.apache.spark.sql.sources.StreamSinkProvider {
+  override def createSink(ctx: SQLContext, params: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val table = params.getOrElse("table", throw new IllegalArgumentException(
+      "graft snapshot sink needs option 'table'"))
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit =
+        Snapshots.commitBatchOnce(data.sparkSession, table, batchId,
+          org.apache.spark.sql.graft.StreamShim.asBatch(data))
+      override def toString: String = s"GraftSnapshotSink($table)"
+    }
+  }
+}
+
 /** One table-version offset; json = the version number. */
 private[streaming] case class CdcOffset(version: Long) extends Offset {
   override def json: String = version.toString

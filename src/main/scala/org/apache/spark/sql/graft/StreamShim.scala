@@ -21,4 +21,14 @@ object StreamShim {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse, for a V1 `Sink.addBatch`: the micro-batch DataFrame a
+    * sink receives is streaming-tagged and refuses batch writers; this
+    * re-wraps its rows as an ordinary batch frame (what FileStreamSink
+    * does internally before handing off to the file committer). */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -50,6 +50,37 @@ class CdcStreamSpec extends SparkSpec {
     assert(second.toSet === Set((3L, 1L, "delete")))
   }
 
+  test("snapshot sink format: one manifest transaction per micro-batch, replay-safe") {
+    val base = java.nio.file.Files.createTempDirectory("graft_snksink").toString
+    val src = s"$base/src"
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "m").coalesce(1).write.parquet(s"$src/s0")
+    Seq((3L, 30L)).toDF("id", "m").coalesce(1).write.parquet(s"$src/s1")
+    Seq("s0", "s1").zipWithIndex.foreach { case (sl, i) =>
+      new java.io.File(s"$src/$sl").listFiles()
+        .foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+    val t = s"$base/tbl"
+    def drain(ckpt: String): Unit = {
+      val schema = spark.read.option("recursiveFileLookup", "true").parquet(src).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).option("recursiveFileLookup", "true")
+        .parquet(src)
+        .writeStream.format("graft.streaming.SnapshotSinkProvider")
+        .option("table", t).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain(s"$base/ckpt1")
+    assert(Snapshots.currentVersion(spark, t) === 2L) // one version per batch
+    assert(Snapshots.readAt(spark, t, Some(1)).count() === 2L)
+    assert(Snapshots.readAt(spark, t).count() === 3L)
+    // fresh checkpoint: full replay — the manifest ledger commits nothing
+    val files = Snapshots.liveFiles(spark, t)
+    drain(s"$base/ckpt2")
+    assert(Snapshots.currentVersion(spark, t) === 2L)
+    assert(Snapshots.liveFiles(spark, t) === files)
+  }
+
   test("streaming view maintenance: stream-fed view equals direct GROUP BY; ledger survives checkpoint loss") {
     val base = java.nio.file.Files.createTempDirectory("graft_cdcv").toString
     val t = s"$base/tbl"; val feed = s"$base/feed"; val vt = s"$base/view"
