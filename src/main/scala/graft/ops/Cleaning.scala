@@ -61,7 +61,12 @@ object Cleaning {
 
   def imputeMode(df: DataFrame, cols: Seq[String]): DataFrame = {
     // one mode job per column, but submitted CONCURRENTLY — wall-clock is
-    // the slowest job, not the sum (SparkSession actions are thread-safe)
+    // the slowest job, not the sum (SparkSession actions are thread-safe).
+    // The one-job alternative (GROUPING SETS over all k columns) shuffles
+    // every row k times in a single pass — same total bytes, strictly
+    // worse peak pressure, and it forfeits per-column typed tie-breaks
+    // until a second argmax round; k concurrent 1×-volume scans win at
+    // any scale where the scan dominates (deliberate, judged trade-off)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
