@@ -192,7 +192,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   * version — the same library operations, one SQL statement away. */
 final class GraftTable(val path: String, ident: String, val pinnedVersion: Long)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = ident
   override def version(): String = pinnedVersion.toString
@@ -216,6 +217,22 @@ final class GraftTable(val path: String, ident: String, val pinnedVersion: Long)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(this)
+
+  /** `DELETE FROM graft.t WHERE …` — the copy-on-write transactional
+    * delete ([[Snapshots.deleteWhere]]): only files actually holding
+    * matches rewrite, pre-delete versions keep time-traveling.
+    * Spark asks first; a predicate this table can't translate exactly
+    * refuses here (no silent approximation on a DELETE). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftScan.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(GraftScan.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true)) // TRUNCATE shape
+    Snapshots.deleteWhere(SparkSession.active, path, cond)
+    ()
+  }
 }
 
 /** INSERT INTO = one transactional append commit ([[Snapshots
@@ -398,6 +415,30 @@ object GraftScan {
     case _                        => false
   }
 
+  /** v1 Filter → Column (None = inexpressible; callers treat that as
+    * not-translatable and keep the filter above the scan / refuse the
+    * delete). Shared by the scan's row-group re-push and SQL DELETE. */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, p)   => Some(col(a).startsWith(p))
+    case StringEndsWith(a, p)     => Some(col(a).endsWith(p))
+    case StringContains(a, p)     => Some(col(a).contains(p))
+    case AlwaysTrue()             => Some(lit(true))
+    case AlwaysFalse()            => Some(lit(false))
+    case And(l, r)                => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r)                 => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c)                   => toColumn(c).map(!_)
+    case _                        => None
+  }
+
   /** Stat-encoding of a literal — must match how [[Snapshots]] records
     * zone maps (`cast("string")`) for the comparison to mean anything.
     * Types whose Java toString diverges from Spark's cast rendering
@@ -466,7 +507,7 @@ final class GraftRelation(ctx: SQLContext, table: GraftTable,
     // re-apply convertible predicates INSIDE the wrapped scan: parquet
     // row-group pushdown on the kept files (Spark re-applies the exact
     // predicate above the boundary regardless — pushFilters returned all)
-    val filtered = filters.flatMap(toColumn).foldLeft(base)(_.filter(_))
+    val filtered = filters.flatMap(GraftScan.toColumn).foldLeft(base)(_.filter(_))
     val projected = filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
     limit.map(projected.limit).getOrElse(projected).rdd
   }
@@ -515,24 +556,4 @@ final class GraftRelation(ctx: SQLContext, table: GraftTable,
     }
   }
 
-  /** v1 Filter → Column for the inner parquet read (None = inexpressible
-    * here; Spark still applies it above the boundary). */
-  private def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v)            => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
-    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case GreaterThan(a, v)        => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v)           => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
-    case IsNull(a)                => Some(col(a).isNull)
-    case IsNotNull(a)             => Some(col(a).isNotNull)
-    case StringStartsWith(a, p)   => Some(col(a).startsWith(p))
-    case StringEndsWith(a, p)     => Some(col(a).endsWith(p))
-    case StringContains(a, p)     => Some(col(a).contains(p))
-    case And(l, r)                => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
-    case Or(l, r)                 => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
-    case Not(c)                   => toColumn(c).map(!_)
-    case _                        => None
-  }
 }

@@ -217,6 +217,25 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("DELETE FROM graft.t WHERE …: copy-on-write transactional delete from SQL") {
+    val t = mkSliced("t14")
+    val vBefore = Snapshots.currentVersion(spark, t)
+    spark.sql("DELETE FROM graft.t14 WHERE id BETWEEN 11 AND 20")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t14").as[Long].head() === 30L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t14 WHERE id = 15")
+      .as[Long].head() === 0L)
+    // one new version; pre-delete state keeps time traveling
+    assert(Snapshots.currentVersion(spark, t) === vBefore + 1)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.t14 VERSION AS OF $vBefore")
+      .as[Long].head() === 40L)
+    // NULL-predicate semantics hold through SQL (rows with NULL cond stay)
+    spark.sql("DELETE FROM graft.t14 WHERE id > 35 AND src = 's1'")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t14").as[Long].head() ===
+      30L - spark.sql(
+        s"SELECT count(*) AS n FROM graft.t14 VERSION AS OF ${vBefore + 1} " +
+          "WHERE id > 35 AND src = 's1'").as[Long].head())
+  }
+
   test("nested namespaces map to directories; DDL is refused; unknown table rejects") {
     val t = s"$root/ns/t6"
     Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "s").coalesce(1), t,
