@@ -90,7 +90,11 @@ object Layout {
     * loosely and the caller should respect deliberately. */
   def zValueK(cols: Seq[Column], bits: Int = 16): Column = {
     val k = cols.size
-    require(k >= 2, s"zValueK needs at least 2 dimensions, got $k")
+    // k = 1 is the degenerate-but-useful case: the "interleave" of one
+    // dimension is the value itself (masked to `bits`), so OPTIMIZE
+    // ZORDER BY a single column is exactly range clustering on it —
+    // tight zone maps per file with no second key diluting the split
+    require(k >= 1, s"zValueK needs at least 1 dimension, got $k")
     require(bits >= 1 && bits * k <= 63,
       s"bits*dims must be in [1, 63] to fit a long, got $bits*$k")
     val longs = cols.map(_.cast("long"))

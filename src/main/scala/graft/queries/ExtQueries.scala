@@ -3227,7 +3227,8 @@ object ExtQueries {
     x120Spec, x121Spec, st22Spec, x122Spec, x123Spec, x124Spec, x125Spec,
     x126Spec, x127Spec, x128Spec, st23Spec, st24Spec,
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
-    x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec)
+    x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
+    x139Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -6746,4 +6747,90 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS replay_ok
            |FROM documents, w WHERE doc_id < 4 * w
            |GROUP BY source ORDER BY source""".stripMargin))
+
+  /** x139: the WHOLE TABLE LIFECYCLE IN SQL — every statement a string a
+    * SQL-only user would type, nothing but the catalog registration in
+    * Scala: CREATE TABLE, INSERT INTO … SELECT (one transactional append
+    * commit), DELETE FROM … WHERE (copy-on-write), CALL graft.system.bloom_index, CALL
+    * graft.system.optimize (single-key Z-order = range clustering,
+    * zone maps re-stamped, the bloom index refreshed IN the same
+    * commit — the second bloom_index CALL finding nothing left to
+    * index is the pin),
+    * a zone-map-pruned range SELECT (`range_pruned` pins that the WHERE
+    * really skipped files), a bloom-pruned point SELECT, and the
+    * `t$history` / `t$detail` metadata tables as the audit. (The DELETE
+    * predicate is deliberately a translatable range — a predicate the
+    * catalog cannot express as v1 filters REFUSES, never approximates,
+    * which GraftCatalogSpec pins.) The oracle replays the insert+delete
+    * algebra on the raw documents table; the audit constants pin the
+    * transaction count, the post-OPTIMIZE file count, and both pruning
+    * verdicts. */
+  private def x139Spec: QuerySpec =
+    QuerySpec("x139_sql_lifecycle",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sqllife_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+          .createOrReplaceTempView("x139_docs_src")
+        val w = Tables.documents(s, d).agg(max(col("doc_id")))
+          .first().getLong(0) / 4 + 1
+        s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, source STRING, n_chars BIGINT)")
+        s.sql(s"INSERT INTO $cat.docs SELECT doc_id, source, n_chars FROM x139_docs_src")
+        s.sql(s"DELETE FROM $cat.docs WHERE doc_id >= ${3 * w}")
+        s.sql(s"CALL $cat.system.bloom_index('docs', 'doc_id', CAST(0.001 AS DOUBLE))")
+        val opt = s.sql(
+          s"CALL $cat.system.optimize('docs', 'doc_id', 4)").collect().head
+        // the OPTIMIZE commit refreshed the sidecars itself: a second
+        // build finds nothing left to index
+        val bi = s.sql(s"CALL $cat.system.bloom_index('docs', 'doc_id', CAST(0.001 AS DOUBLE))")
+          .collect().head
+        // zone-map pruning through plain SQL: one quarter's range
+        graft.sql.GraftScanInfo.last = None
+        val range = s.sql(
+          s"""SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sc
+             |FROM $cat.docs WHERE doc_id >= $w AND doc_id < ${2 * w}""".stripMargin)
+          .collect().head
+        val rinfo = graft.sql.GraftScanInfo.last.get
+        // bloom pruning through plain SQL: a point lookup on doc_id
+        graft.sql.GraftScanInfo.last = None
+        val pt = s.sql(s"SELECT source FROM $cat.docs WHERE doc_id = 11")
+          .collect().map(_.getString(0)).toSeq
+        val pinfo = graft.sql.GraftScanInfo.last.get
+        val hist = s.sql(s"SELECT count(*) AS n FROM $cat.`docs$$history`")
+          .collect().head.getLong(0)
+        val files = s.sql(s"SELECT files FROM $cat.`docs$$detail`")
+          .collect().head.getInt(0).toLong
+        val audit = s.range(1).select(
+          lit(opt.getLong(2)).as("files_after_optimize"),
+          lit(if (bi.getLong(1) == 0L) 1L else 0L).as("bloom_from_optimize"),
+          lit(if (rinfo.candidates < rinfo.total) 1L else 0L).as("range_pruned"),
+          lit(if (pinfo.candidates <= 2) 1L else 0L).as("point_pruned"),
+          lit(range.getLong(0)).as("range_n"),
+          lit(range.getLong(1)).as("range_chars"),
+          lit(if (pt == Seq(Tables.documents(s, d).filter(col("doc_id") === 11)
+            .select("source").first().getString(0))) 1L else 0L).as("point_exact"),
+          lit(hist).as("n_commits"),
+          lit(files).as("live_files"))
+        s.sql(s"SELECT source, count(*) AS n_docs, " +
+            s"CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM $cat.docs GROUP BY source")
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT max(doc_id) // 4 + 1 AS w FROM documents),
+           |kept AS (SELECT d.* FROM documents d, w WHERE d.doc_id < 3 * w)
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(4 AS BIGINT) AS files_after_optimize,
+           |       CAST(1 AS BIGINT) AS bloom_from_optimize,
+           |       CAST(1 AS BIGINT) AS range_pruned,
+           |       CAST(1 AS BIGINT) AS point_pruned,
+           |       (SELECT count(*) FROM kept k, w WHERE k.doc_id >= w AND k.doc_id < 2 * w) AS range_n,
+           |       (SELECT CAST(sum(n_chars) AS BIGINT) FROM kept k, w
+           |        WHERE k.doc_id >= w AND k.doc_id < 2 * w) AS range_chars,
+           |       CAST(1 AS BIGINT) AS point_exact,
+           |       CAST(5 AS BIGINT) AS n_commits,
+           |       CAST(4 AS BIGINT) AS live_files
+           |FROM kept GROUP BY source ORDER BY source""".stripMargin))
 }
