@@ -91,9 +91,14 @@ object Layout {
   def zValueK(cols: Seq[Column], bits: Int = 16): Column = {
     val k = cols.size
     // k = 1 is the degenerate-but-useful case: the "interleave" of one
-    // dimension is the value itself (masked to `bits`), so OPTIMIZE
-    // ZORDER BY a single column is exactly range clustering on it —
-    // tight zone maps per file with no second key diluting the split
+    // NORMALIZED dimension is the value itself, so OPTIMIZE ZORDER BY a
+    // single column is exactly range clustering on it — tight zone maps
+    // per file with no second key diluting the split. The normalization
+    // precondition is LOAD-BEARING for every k, this one included:
+    // values >= 2^bits are masked to their low `bits` bits and would
+    // cluster by value MOD 2^bits ([[Snapshots.optimizeZorder]] min-max
+    // scales its numeric dims before calling here for exactly that
+    // reason — a caller passing raw columns must do the same).
     require(k >= 1, s"zValueK needs at least 1 dimension, got $k")
     require(bits >= 1 && bits * k <= 63,
       s"bits*dims must be in [1, 63] to fit a long, got $bits*$k")
@@ -111,14 +116,28 @@ object Layout {
     * parquet column stats are tight in BOTH dimensions, so predicate
     * pushdown on either key skips most files (a plain sort can do this
     * for one dimension only). One shuffle (the range exchange), same cost
-    * shape as any clustered write. */
+    * shape as any clustered write. Dimensions are min-max scaled into
+    * `[0, 2^bits)` here (one extra aggregation pass), honoring
+    * [[zValue]]'s normalization precondition for any input domain. */
   def zorderWrite(df: DataFrame, dir: String, a: Column, b: Column,
-                  numFiles: Int, bits: Int = 16): Unit =
-    df.withColumn("__z", zValue(a, b, bits))
+                  numFiles: Int, bits: Int = 16): Unit = {
+    val maxZ = (1L << bits) - 1
+    val r = df.agg(min(a.cast("double")), max(a.cast("double")),
+      min(b.cast("double")), max(b.cast("double"))).head()
+    def scale(c: Column, i: Int): Column = {
+      if (r.isNullAt(2 * i)) return lit(0L)
+      val (mn, mx) = (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+      if (!(mx > mn)) lit(0L)
+      else coalesce(least(lit(maxZ), greatest(lit(0L),
+        floor((c.cast("double") - lit(mn)) / lit(mx - mn) * lit(maxZ.toDouble)))),
+        lit(0L))
+    }
+    df.withColumn("__z", zValue(scale(a, 0), scale(b, 1), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
 
   /** Compact a bucketed table back to ONE file per bucket — the
     * maintenance pass that [[appendBucketed]]'s scaladoc promises: each

@@ -246,7 +246,8 @@ object Snapshots {
              stats: Seq[FileStat] = Nil,
              notes: Seq[String] = Nil,
              dvAdds: Seq[String] = Nil,
-             bloomAdds: Seq[String] = Nil): Long = {
+             bloomAdds: Seq[String] = Nil,
+             props: Seq[(String, Option[String])] = Nil): Long = {
     val f = fs(spark, table)
     f.mkdirs(new Path(manifestDir(table)))
     val next = baseVersion.getOrElse(currentVersion(spark, table)) + 1
@@ -275,7 +276,17 @@ object Snapshots {
         bloomAdds.map(p => s"""{"a":"bloom","p":${jq(p)}}""") ++
         stats.map(st => s"""{"a":"stat","p":${jq(
           Seq(st.path, st.column, st.dtype, st.min, st.max).mkString(StatSep))}}""") ++
-        notes.map(s => s"""{"a":"note","p":${jq(s)}}""")
+        notes.map(s => s"""{"a":"note","p":${jq(s)}}""") ++
+        // TABLE PROPERTIES ride the same line shape: a "prop" payload of
+        // `key<SEP>value` sets, bare `key` unsets; replay is last-wins
+        // ([[tableProperties]]). One more append-only metadata stream —
+        // time travel sees the properties AS OF each version for free.
+        props.map { case (k, v) =>
+          require(k.nonEmpty && !k.contains(StatSep) &&
+            v.forall(!_.contains(StatSep)),
+            s"table property key/value must be non-empty and free of U+0001: $k")
+          s"""{"a":"prop","p":${jq(v.fold(k)(x => s"$k$StatSep$x"))}}"""
+        }
     val path = new Path(f"${manifestDir(table)}/v$next%010d.json")
     if (!writeExclusive(f, path, lines)) throw ConcurrentCommitException(table, next)
     next
@@ -864,6 +875,42 @@ object Snapshots {
     }
   }
 
+  /** TABLE PROPERTIES as of `version` (default current): replay the
+    * newest checkpoint ≤ version (it carries the resolved map), then the
+    * commit tail's "prop" lines, last-wins per key — so properties time
+    * travel with the data (`AS OF` a version sees the knobs that governed
+    * it) and survive [[expireVersions]] like every other metadata stream.
+    * Engine-recognized keys: `write.delete.mode` (`cow` default | `mor`)
+    * and `write.merge.keys` (the MoR tombstone key columns) — see
+    * [[graft.sql.GraftCatalog]]; everything else is user-opaque. */
+  def tableProperties(spark: SparkSession, table: String,
+                      version: Option[Long] = None): Map[String, String] = {
+    val f = fs(spark, table)
+    val dir = new Path(manifestDir(table))
+    val v = version.getOrElse(currentVersion(spark, table))
+    if (!f.exists(dir)) return Map.empty
+    val names = f.listStatus(dir).toSeq.map(_.getPath.getName)
+    val ckpt = names.flatMap {
+      case CheckpointFile(c) if c.toLong <= v => Some(c.toLong)
+      case _ => None
+    }.sorted.lastOption
+    val known = names.flatMap { case CommitFile(c) => Some(c.toLong); case _ => None }.toSet
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def fold(lines: Seq[String]): Unit =
+      lines.flatMap(parseLine).foreach {
+        case ("prop", payload) => payload.split(StatSep, 2) match {
+          case Array(k, value) => out(k) = value
+          case Array(k)        => out.remove(k)
+          case _               =>
+        }
+        case _ =>
+      }
+    ckpt.foreach(c => fold(readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))))
+    (ckpt.getOrElse(0L) + 1 to v).filter(known).foreach(c =>
+      fold(readLines(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))))
+    out.toMap
+  }
+
   /** The live data-file set at `version` (default: current): start from
     * the newest checkpoint ≤ version, replay the commit tail. */
   def liveFiles(spark: SparkSession, table: String,
@@ -1164,14 +1211,39 @@ object Snapshots {
   def checkpointAt(spark: SparkSession, table: String, version: Long): Long = {
     if (version == 0) return 0
     val f = fs(spark, table)
+    val p = new Path(f"${manifestDir(table)}/c$version%010d.json")
     val lines = checkpointLines(spark, table, version)
-    writeExclusive(f, new Path(f"${manifestDir(table)}/c$version%010d.json"), lines)
+    writeExclusive(f, p, lines)
     // verified regardless of which writer won the create race: the file
     // now on disk must carry the full state this version resolves to, or
     // the caller must not treat the checkpoint as an anchor (see
     // [[expireVersions]] — deleting history against a partial or
     // stale-format checkpoint silently truncates schema/stats/notes)
-    verifyCheckpoint(spark, table, version, lines)
+    try verifyCheckpoint(spark, table, version, lines)
+    catch {
+      case e: IllegalStateException =>
+        // a stale (pre-full-state) or partial checkpoint squats at this
+        // version. REPAIR only when it is not LOAD-BEARING: resolution
+        // must be complete without it — full commit history survives, or
+        // an earlier checkpoint (the expiry anchor at versions.head)
+        // carries the truncated prefix. Then DELETE the squatter FIRST
+        // (checkpointLines itself resolves through the newest checkpoint
+        // at or below `version` — regenerating while the squatter exists
+        // would bake its stale live set into the "repair"), re-derive the
+        // full state from the intact history, republish, and re-verify.
+        // Without the repair, the squatter would permanently block both
+        // checkpoint() and expireVersions() at this version: vacuum only
+        // sweeps data/ and _index/, never _manifest/c*.json.
+        val known = versions(spark, table)
+        val anchored = known.headOption.exists(_ > 1L) // truncated history
+        if (anchored && version <= known.head) throw e // the anchor itself
+        f.delete(p, false)
+        val fresh = checkpointLines(spark, table, version)
+        // lost create races here are benign: any winner also derived from
+        // the squatter-free history, so the content verifies either way
+        writeExclusive(f, p, fresh)
+        verifyCheckpoint(spark, table, version, fresh)
+    }
     version
   }
 
@@ -1191,6 +1263,9 @@ object Snapshots {
     fileStats(spark, table, Some(version)).map(st =>
       s"""{"a":"stat","p":${jq(
         Seq(st.path, st.column, st.dtype, st.min, st.max).mkString(StatSep))}}""") ++
+    tableProperties(spark, table, Some(version)).toSeq.sortBy(_._1).map {
+      case (k, v) => s"""{"a":"prop","p":${jq(s"$k$StatSep$v")}}"""
+    } ++
     notesUpTo(spark, table, version).map(s => s"""{"a":"note","p":${jq(s)}}""")
 
   /** Assert the checkpoint file at `version` exists and carries exactly
@@ -1220,8 +1295,10 @@ object Snapshots {
     if (bad.nonEmpty) throw new IllegalStateException(
       s"checkpoint at version $version of $table is stale or partial " +
         s"(mismatched sections: ${bad.toSeq.sorted.mkString(", ")}); " +
-        "it cannot anchor expiry — expire from a version without a " +
-        "pre-existing checkpoint, or vacuum the damaged file")
+        "it cannot anchor expiry — [[checkpointAt]] rewrites damaged " +
+        "checkpoints in place, so seeing this AFTER its repair pass means " +
+        "the manifest history itself no longer resolves this version's " +
+        "full state")
   }
 
   /** The committed note ledger up to `version`, ascending commit order,
@@ -1421,10 +1498,18 @@ object Snapshots {
     * or new, never partial. Other stores: delete + rename — a reader in
     * the gap resolves floor 0, which only weakens the tag check back to
     * the pre-marker behavior, never corrupts state. */
-  private def writeHorizon(spark: SparkSession, table: String, v: Long): Unit = {
-    val f = fs(spark, table)
-    val p = new Path(s"${manifestDir(table)}/_horizon")
-    val bytes = (v.toString + "\n").getBytes(StandardCharsets.UTF_8)
+  private def writeHorizon(spark: SparkSession, table: String, v: Long): Unit =
+    atomicReplace(fs(spark, table), new Path(s"${manifestDir(table)}/_horizon"),
+      (v.toString + "\n").getBytes(StandardCharsets.UTF_8))
+
+  /** Atomic-REPLACE publish of a mutable marker/repair target (unlike
+    * [[writeExclusive]] the target may exist). Local fs: ATOMIC_MOVE,
+    * readers see old or new content, never partial. Other stores:
+    * delete + rename — a reader in the gap sees the target ABSENT, and
+    * every caller here tolerates that (a missing floor weakens the tag
+    * check to pre-marker behavior; a missing checkpoint falls back to
+    * commit replay). */
+  private def atomicReplace(f: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
     val scheme = p.toUri.getScheme
     if (scheme == null || scheme == "file") {
       val nio = java.nio.file.Paths.get(p.toUri.getPath)
@@ -1443,7 +1528,7 @@ object Snapshots {
       f.delete(p, false)
       if (!f.rename(tmp, p)) {
         try f.delete(tmp, false) catch { case _: java.io.IOException => () }
-        throw new java.io.IOException(s"retention-floor publish of $p failed")
+        throw new java.io.IOException(s"atomic replace of $p failed")
       }
     }
   }
@@ -1558,8 +1643,18 @@ object Snapshots {
     // that RETURNS is never dangled by an expiry that completed.
     val floor = retentionHorizon(spark, table)
     if (v < floor) {
+      // the compensating delete must SUCCEED for "the tag was not
+      // created" to be true — a swallowed failure here would leave the
+      // tag file dangling below the floor of an expiry that already
+      // completed, the exact state this seal exists to prevent
       try f.delete(new Path(s"${tagsDir(table)}/$name"), false)
-      catch { case _: java.io.IOException => () }
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"version $v of $table fell below the retention floor $floor " +
+            s"while tagging, and RETRACTING the tag failed — tag '$name' " +
+            "may still exist on disk and must be deleted manually (it " +
+            "pins an expired version)", e)
+      }
       throw new IllegalStateException(
         s"version $v of $table fell below the retention floor $floor while " +
           "tagging; the tag was not created")
@@ -1984,7 +2079,7 @@ object Snapshots {
   def optimizeZorder(spark: SparkSession, table: String, cols: Seq[String],
                      targetFiles: Int, bits: Int,
                      bloomFpp: Double): OptimizeResult = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, floor, greatest, least, lit, max, min}
     val v = currentVersion(spark, table)
     val files = liveFiles(spark, table, Some(v))
     if (files.isEmpty) return OptimizeResult(v, 0, 0)
@@ -1993,6 +2088,36 @@ object Snapshots {
     val base = readAt(spark, table, Some(v))
     val stringDims = cols.filter(c =>
       base.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    // NUMERIC dims min-max-scale into [0, 2^bits) before interleaving:
+    // [[Layout.zValueK]] masks each dimension to its low `bits` bits, so
+    // an unnormalized id domain >= 2^bits would cluster by value MOD
+    // 2^bits — every file then spans the whole value range and the
+    // zone-map pruning this rewrite exists for silently degrades. The
+    // scale is order-preserving (all z-ordering needs: the re-stamped
+    // zone maps record REAL values, so pruning stays exact); skew costs
+    // z-granularity, not correctness, and repartitionByRange re-balances
+    // rows regardless. One min/max aggregation over all numeric dims.
+    val numericDims = cols.filterNot(stringDims.contains)
+    val bounds: Map[String, (Double, Double)] =
+      if (numericDims.isEmpty) Map.empty
+      else {
+        val aggs = numericDims.flatMap(c => Seq(
+          min(col(c).cast("double")), max(col(c).cast("double"))))
+        val r = base.agg(aggs.head, aggs.tail: _*).first()
+        numericDims.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(2 * i)) (0.0, 0.0)
+                else (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+        }.toMap
+      }
+    val maxZ = (1L << bits) - 1
+    def scaledNumeric(c: String): org.apache.spark.sql.Column = {
+      val (mn, mx) = bounds(c)
+      if (!(mx > mn)) lit(0L) // constant / all-null dim: one z-value
+      else coalesce(
+        least(lit(maxZ), greatest(lit(0L), floor(
+          (col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(maxZ.toDouble)))),
+        lit(0L)) // null dim values rank lowest, like null strings
+    }
     val ranked = stringDims.foldLeft(base) { (df, c) =>
       // cardinality bound enforced BEFORE anything lands on the driver: a
       // near-unique string dim fails here from one distributed sketch
@@ -2016,7 +2141,8 @@ object Snapshots {
       df.join(broadcast(rdf), Seq(c), "left")
     }
     val zdims = cols.map(c =>
-      if (stringDims.contains(c)) coalesce(col(s"__zr_$c"), lit(0L)) else col(c))
+      if (stringDims.contains(c)) coalesce(col(s"__zr_$c"), lit(0L))
+      else scaledNumeric(c))
     ranked
       .withColumn("__z", Layout.zValueK(zdims, bits))
       .repartitionByRange(targetFiles, col("__z"))

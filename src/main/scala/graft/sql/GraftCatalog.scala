@@ -125,13 +125,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       Snapshots.currentVersion(spark, path)) // pinned: one query, one snapshot
   }
 
-  /** `VERSION AS OF x` — a version number, or a TAG name ([[Snapshots.tag]]). */
+  /** `VERSION AS OF x` — a TAG name first, then a version number (the
+    * Iceberg ref-before-snapshot-id order: [[Snapshots.tag]] imposes no
+    * naming rule, so a tag legitimately named '123' must win over
+    * version 123 — resolving numbers first would silently read the
+    * wrong snapshot). A non-tag, non-numeric (or empty) string rejects
+    * with both failed resolutions named. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = tablePath(ident)
     if (!exists(path)) throw new NoSuchTableException(ident)
-    val v =
-      if (version.forall(_.isDigit)) version.toLong
-      else Snapshots.tagVersion(spark, path, version)
+    val v = Snapshots.tags(spark, path).getOrElse(version, {
+      require(version.nonEmpty && version.forall(_.isDigit),
+        s"'$version' is neither a tag on $path nor a version number")
+      version.toLong
+    })
     require(v == 0 || Snapshots.versions(spark, path).contains(v),
       s"version $v of $path does not exist")
     new GraftTable(path, s"$ident@v$v", v)
@@ -163,12 +170,61 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     val schema = StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
-    Snapshots.commit(spark, path, adds = Nil, schemaJson = Some(schema.json))
+    Snapshots.commit(spark, path, adds = Nil, schemaJson = Some(schema.json),
+      props = userProps(properties).toSeq.map { case (k, v) => k -> Some(v) })
     new GraftTable(path, ident.toString, Snapshots.currentVersion(spark, path))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+  /** TBLPROPERTIES minus the keys Spark itself injects on CREATE. */
+  private def userProps(properties: util.Map[String, String]): Map[String, String] =
+    properties.asScala.toMap -- Seq("provider", "location", "owner", "external")
+
+  /** ALTER TABLE: `SET TBLPROPERTIES` / `UNSET TBLPROPERTIES` / `ADD
+    * COLUMNS` — each one transactional commit (properties fold last-wins
+    * in the manifest, [[Snapshots.tableProperties]]; a new column is a
+    * schema stamp, the x95 evolution machinery: old files read
+    * null-padded, `AS OF` below the evolution serves the old shape).
+    * Everything else — drops, renames, type changes — refuses: files are
+    * immutable and positional renames would silently re-map history. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!exists(path)) throw new NoSuchTableException(ident)
+    val propChanges: Seq[(String, Option[String])] = changes.collect {
+      case s: TableChange.SetProperty    => s.property -> Some(s.value)
+      case r: TableChange.RemoveProperty => r.property -> None
+    }
+    val addCols = changes.collect { case a: TableChange.AddColumn => a }
+    val other = changes.filterNot(c => c.isInstanceOf[TableChange.SetProperty] ||
+      c.isInstanceOf[TableChange.RemoveProperty] ||
+      c.isInstanceOf[TableChange.AddColumn])
+    if (other.nonEmpty) throw new UnsupportedOperationException(
+      s"graft tables support ALTER TABLE SET/UNSET TBLPROPERTIES and ADD " +
+        s"COLUMNS only (files are immutable; history keeps its shape) — " +
+        s"got ${other.mkString(", ")}")
+    val schemaJson = if (addCols.isEmpty) None else {
+      val cur = Snapshots.tableSchema(spark, path).getOrElse(
+        throw new UnsupportedOperationException(
+          s"$path records no schema; ADD COLUMNS needs a schema-stamped table"))
+      val added = addCols.map { a =>
+        require(a.fieldNames().length == 1,
+          s"nested ADD COLUMNS is not supported: ${a.fieldNames().mkString(".")}")
+        require(a.isNullable,
+          s"new column ${a.fieldNames().head} must be nullable: existing " +
+            "files cannot backfill a NOT NULL value")
+        require(a.position() == null,
+          "FIRST/AFTER positions are not supported; new columns append")
+        require(!cur.fieldNames.contains(a.fieldNames().head),
+          s"column ${a.fieldNames().head} already exists")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames().head, a.dataType(), nullable = true)
+      }
+      Some(StructType(cur.fields ++ added).json)
+    }
+    Snapshots.commit(spark, path, adds = Nil, schemaJson = schemaJson,
+      props = propChanges,
+      baseVersion = Some(Snapshots.currentVersion(spark, path)))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException("graft catalog is read-only")
@@ -212,6 +268,12 @@ final class GraftTable(val path: String, ident: String, val pinnedVersion: Long)
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
+  /** Manifest-recorded table properties, pinned like everything else
+    * (SHOW TBLPROPERTIES reads these). */
+  override def properties(): util.Map[String, String] =
+    Snapshots.tableProperties(SparkSession.active, path,
+      Some(pinnedVersion)).asJava
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this)
 
@@ -222,7 +284,9 @@ final class GraftTable(val path: String, ident: String, val pinnedVersion: Long)
     * delete ([[Snapshots.deleteWhere]]): only files actually holding
     * matches rewrite, pre-delete versions keep time-traveling.
     * Spark asks first; a predicate this table can't translate exactly
-    * refuses here (no silent approximation on a DELETE). */
+    * refuses here (no silent approximation on a DELETE). With
+    * `write.delete.mode=mor` set, routes to the deletion-vector path
+    * instead ([[GraftTable.sqlDelete]]). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => GraftScan.toColumn(f).isDefined)
 
@@ -230,7 +294,35 @@ final class GraftTable(val path: String, ident: String, val pinnedVersion: Long)
     val cond = filters.flatMap(GraftScan.toColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true)) // TRUNCATE shape
-    Snapshots.deleteWhere(SparkSession.active, path, cond)
+    GraftTable.sqlDelete(SparkSession.active, path, cond, None)
+  }
+}
+
+object GraftTable {
+  /** The one SQL DELETE entry point (shared by the [[SupportsDelete]]
+    * path and the extension rule's [[GraftDeleteCommand]]): routes on the
+    * table's `write.delete.mode` property — `cow` (default) rewrites the
+    * matching files ([[Snapshots.deleteWhere]]); `mor` commits one
+    * key-tombstone deletion vector ([[Snapshots.deleteWhereMor]], write
+    * cost O(matched keys), the CDC-heavy shape) keyed on
+    * `write.merge.keys`. Properties travel in the manifest, so the knob
+    * is itself transactional and time-travels. */
+  def sqlDelete(spark: SparkSession, path: String,
+                cond: Column, prune: Option[(String, String, String)]): Unit = {
+    val props = Snapshots.tableProperties(spark, path)
+    props.getOrElse("write.delete.mode", "cow") match {
+      case "mor" =>
+        val keys = props.get("write.merge.keys")
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$path sets write.delete.mode=mor but no write.merge.keys — " +
+              "ALTER TABLE … SET TBLPROPERTIES ('write.merge.keys'='k1,k2')"))
+        Snapshots.deleteWhereMor(spark, path, cond, keys, prune)
+      case "cow" => Snapshots.deleteWhere(spark, path, cond, prune)
+      case other => throw new IllegalArgumentException(
+        s"unknown write.delete.mode '$other' on $path (cow | mor)")
+    }
     ()
   }
 }
@@ -547,9 +639,14 @@ final class GraftRelation(ctx: SQLContext, table: GraftTable,
       case GreaterThanOrEqual(a, v) => cmpToMax(a, v).forall(_ >= 0)
       case LessThan(a, v)           => cmpToMin(a, v).forall(_ < 0)
       case LessThanOrEqual(a, v)    => cmpToMin(a, v).forall(_ <= 0)
+      // exact prefix bound: a file may hold a p-prefixed row iff its max
+      // reaches p AND its min's own p-length prefix does not sort above p.
+      // (The tempting `st.min <= p + '￿'` bound falsely prunes a file
+      // whose min itself starts with p but contains U+FFFF right after
+      // the prefix — pruning must never have false negatives.)
       case StringStartsWith(a, p) =>
         stats.get(a).forall(st => st.dtype != "string" ||
-          (st.max >= p && st.min <= p + "￿"))
+          (st.max >= p && st.min.take(p.length) <= p))
       case And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
       case Or(l, r)  => mayMatch(stats, l) || mayMatch(stats, r)
       case _         => true

@@ -373,6 +373,30 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.vacuum(spark, t).isEmpty)
   }
 
+  test("optimizeZorder normalizes numeric dims: domains >= 2^bits still prune") {
+    val t = tmpTable()
+    // both dims span far beyond 2^16 — unnormalized, zValueK would mask
+    // them to value MOD 2^16, every file would cover the full value range,
+    // and the rewrite would buy zero pruning (the ADVICE r12 finding)
+    val pts = (0 until 256).map(i =>
+      (i.toLong * 1000000L, (i % 16).toLong * 50000000L)).toDF("a", "b")
+    Snapshots.commitAppend(pts.coalesce(4), t,
+      recordSchema = true, statsCols = Seq("a", "b"))
+    val before = Snapshots.readAt(spark, t).as[(Long, Long)].collect().toSet
+    Snapshots.optimizeZorder(spark, t, "a", "b", targetFiles = 4, bits = 16)
+    assert(Snapshots.readAt(spark, t).as[(Long, Long)].collect().toSet === before)
+    // a narrow band in EITHER dim prunes files: each file is a bounded
+    // rectangle of the REAL (a, b) plane, not of (a mod 2^16, b mod 2^16)
+    val keptA = Snapshots.pruneFiles(spark, t, "a", "0", "30000000")._1.size
+    val keptB = Snapshots.pruneFiles(spark, t, "b", "0", "100000000")._1.size
+    assert(keptA < 4 && keptB < 4, s"keptA=$keptA keptB=$keptB")
+    assert(Snapshots.readPruned(spark, t, "a", "0", "30000000")
+      .filter(col("a") <= 30000000L).count() === 31)
+    // k = 1 on the same wide domain is exact range clustering
+    Snapshots.optimizeZorder(spark, t, Seq("a"), targetFiles = 4, bits = 16)
+    assert(Snapshots.pruneFiles(spark, t, "a", "0", "30000000")._1.size === 1)
+  }
+
   test("optimizeZorder on an empty table is a no-op") {
     val t = tmpTable()
     val res = Snapshots.optimizeZorder(spark, t, "a", "b", targetFiles = 4)
@@ -1038,28 +1062,31 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.liveFiles(spark, t, Some(2)).toSet === v1Files + "extra.parquet")
   }
 
-  test("expiry refuses to anchor on a stale or partial checkpoint (nothing deleted)") {
+  test("a stale or partial checkpoint at the horizon is repaired in place; expiry proceeds") {
     val t = tmpTable()
     (1 to 3).foreach(i =>
       Snapshots.commitAppend(df(i * 10 to i * 10 + 1).coalesce(1), t,
         recordSchema = true, statsCols = Seq("id")))
-    // a squatting pre-full-state checkpoint at the horizon: add lines only,
-    // no schema/stats — exactly what a crashed or legacy writer leaves
+    // a squatting pre-full-state checkpoint at the horizon: add lines only
+    // (STALE live set — version 1's), no schema/stats/notes — exactly what
+    // a crashed or legacy writer leaves. Before the repair path existed,
+    // this file permanently blocked both checkpoint() and expireVersions()
+    // at version 3 (vacuum never sweeps _manifest/c*.json).
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$t/_manifest/c0000000003.json"),
       Snapshots.liveFiles(spark, t, Some(1))
         .map(p => s"""{"a":"add","p":"$p"}""").mkString("", "\n", "\n")
         .getBytes("UTF-8"))
-    intercept[IllegalStateException] { Snapshots.expireVersions(spark, t, keepFrom = 3) }
-    // every manifest survives the refused expiry
-    (1 to 3).foreach { v =>
-      assert(new java.io.File(f"$t/_manifest/v$v%010d.json").exists(), s"v$v deleted")
-    }
-    // with the damaged checkpoint removed, the table resolves as before
-    java.nio.file.Files.delete(
-      java.nio.file.Paths.get(s"$t/_manifest/c0000000003.json"))
+    // checkpointAt REWRITES-AND-REPLACES the damaged file (regenerable:
+    // nothing below 3 is expired yet), re-verifies, and expiry anchors on it
+    val r = Snapshots.expireVersions(spark, t, keepFrom = 3)
+    assert(r.expired === Seq(1L, 2L) && r.checkpointAt === 3L)
+    // the repaired checkpoint carries FULL state across the horizon:
+    // live set, schema, zone maps — not the squatter's stale v1 set
     assert(Snapshots.readAt(spark, t).count() === 6L)
-    assert(Snapshots.readAt(spark, t, Some(1)).count() === 2L)
+    assert(Snapshots.tableSchema(spark, t).isDefined)
+    assert(Snapshots.pruneFiles(spark, t, "id", "30", "31")._1.size === 1)
+    intercept[IllegalArgumentException] { Snapshots.readAt(spark, t, Some(2)) }
   }
 
   test("notes: duplicates and ascending order survive checkpoint and expiry") {

@@ -248,4 +248,40 @@ class GraftCatalogSpec extends SparkSpec {
     Snapshots.commitAppend(Seq((2L, "b")).toDF("id", "s").coalesce(1), t)
     assert(spark.sql("SELECT count(*) AS n FROM graft.ns.t6").as[Long].head() === 2L)
   }
+
+  test("VERSION AS OF resolves tags BEFORE version numbers; bad refs reject") {
+    val t = mkSliced("t15") // versions 1..4, 10 rows each
+    // a tag legitimately named '2' (tag() imposes no naming rule) pinned
+    // to version 1 — the ref must win over version 2, or the query would
+    // silently read the wrong snapshot (Iceberg ref-before-snapshot-id)
+    Snapshots.tag(spark, t, "2", Some(1L))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t15 VERSION AS OF '2'")
+      .as[Long].head() === 10L)
+    // numbers not shadowed by a tag still resolve as versions
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t15 VERSION AS OF 3")
+      .as[Long].head() === 30L)
+    // empty and unknown refs reject with a real error, not NumberFormat
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.t15 VERSION AS OF ''").collect() }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.t15 VERSION AS OF 'no-such-ref'").collect() }
+  }
+
+  test("LIKE 'p%' pruning never false-negatives on a U+FFFF-bearing min") {
+    val t = s"$root/t16"
+    // file 1's MIN itself starts with 'p' but sorts ABOVE 'p'+U+FFFF —
+    // the naive `min <= p + '￿'` upper bound would prune this file
+    // and silently drop its matching row
+    Snapshots.commitAppend(Seq(("p￿z", 1L), ("q", 2L)).toDF("s", "v")
+      .coalesce(1), t, recordSchema = true, statsCols = Seq("s"))
+    Snapshots.commitAppend(Seq(("zz", 3L)).toDF("s", "v").coalesce(1), t,
+      statsCols = Seq("s"))
+    GraftScanInfo.last = None
+    val got = spark.sql("SELECT v FROM graft.t16 WHERE s LIKE 'p%'")
+      .as[Long].collect().toSeq
+    assert(got === Seq(1L))
+    // pruning still works where it should: the all-'z' file is skipped
+    val info = GraftScanInfo.last.get
+    assert(info.total === 2 && info.candidates === 1, s"$info")
+  }
 }
