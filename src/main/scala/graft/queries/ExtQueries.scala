@@ -3228,7 +3228,7 @@ object ExtQueries {
     x126Spec, x127Spec, x128Spec, st23Spec, st24Spec,
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
-    x139Spec)
+    x139Spec, x140Spec, x141Spec, x142Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -6833,4 +6833,194 @@ object ExtQueries {
            |       CAST(5 AS BIGINT) AS n_commits,
            |       CAST(4 AS BIGINT) AS live_files
            |FROM kept GROUP BY source ORDER BY source""".stripMargin))
+
+  /** x140: SQL ROW-LEVEL DML — the three statements a SQL user reaches
+    * for after x139's lifecycle, each routed through
+    * [[graft.sql.GraftExtensions]] onto the library's transactional
+    * mutators: `UPDATE … WHERE <range>` (condition-derived zone-map
+    * prune — `update_pruned` pins that 3 of the 4 quarter files were
+    * NEVER opened or rewritten), `MERGE INTO … USING` (keyed upsert:
+    * replaces + inserts in ONE commit, source pre-shaped in a temp
+    * view), and `DELETE … WHERE doc_id % 7 = 3` (a predicate v1 filters
+    * cannot express — the SupportsDelete path refuses it; the DML rule
+    * carries the full Catalyst expression). `n_commits` pins
+    * one-commit-per-statement; `asof_ok` pins that every pre-DML version
+    * still time-travels. The oracle replays the update→merge→delete
+    * algebra over the raw documents table. */
+  private def x140Spec: QuerySpec =
+    QuerySpec("x140_sql_dml",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sqldml_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        docs.createOrReplaceTempView("x140_docs")
+        val w = docs.agg(max(col("doc_id"))).first().getLong(0) / 4 + 1
+        val total = docs.count()
+        val tbl = s"$tmp/docs"
+        // 4 quarter files with doc_id zone maps: the prunable layout
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w)
+              .coalesce(1),
+            tbl, recordSchema = true, statsCols = Seq("doc_id"))
+        }
+        // UPDATE: the [w, 2w) range bounds the rewrite to ONE file — the
+        // other three survive as byte-identical paths (the 100 TB story)
+        val preUpdate = Snapshots.liveFiles(s, tbl).toSet
+        s.sql(s"UPDATE $cat.docs SET n_chars = n_chars + 1000 " +
+          s"WHERE doc_id >= $w AND doc_id < ${2 * w}")
+        val untouched = (preUpdate intersect Snapshots.liveFiles(s, tbl).toSet).size
+        // MERGE: replace every (doc_id % 10 = 0) key below w with a
+        // 'merged' row; insert the same keys shifted above the table
+        s.sql(s"""CREATE OR REPLACE TEMP VIEW x140_src AS
+                 |SELECT doc_id, 'merged' AS source, CAST(777 AS BIGINT) AS n_chars
+                 |FROM x140_docs WHERE doc_id % 10 = 0 AND doc_id < $w
+                 |UNION ALL
+                 |SELECT doc_id + ${5 * w}, 'merged', CAST(888 AS BIGINT)
+                 |FROM x140_docs WHERE doc_id % 10 = 0 AND doc_id < $w""".stripMargin)
+        s.sql(s"""MERGE INTO $cat.docs t USING x140_src s ON t.doc_id = s.doc_id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        // DELETE: not v1-translatable — only the extension path runs it
+        s.sql(s"DELETE FROM $cat.docs WHERE doc_id % 7 = 3")
+        val nCommits = s.sql(s"SELECT count(*) AS n FROM $cat.`docs$$history`")
+          .collect().head.getLong(0)
+        val asOf = s.sql(s"SELECT count(*) AS n FROM $cat.docs VERSION AS OF 4")
+          .collect().head.getLong(0)
+        val audit = s.range(1).select(
+          lit(if (untouched == 3) 1L else 0L).as("update_pruned"),
+          lit(nCommits).as("n_commits"),
+          lit(if (asOf == total) 1L else 0L).as("asof_ok"))
+        s.sql(s"SELECT source, count(*) AS n_docs, " +
+            s"CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM $cat.docs GROUP BY source")
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT max(doc_id) // 4 + 1 AS w FROM documents),
+           |upd AS (SELECT doc_id, source,
+           |               CASE WHEN doc_id >= w.w AND doc_id < 2 * w.w
+           |                    THEN n_chars + 1000 ELSE n_chars END AS n_chars
+           |        FROM documents, w),
+           |src AS (SELECT doc_id, 'merged' AS source, CAST(777 AS BIGINT) AS n_chars
+           |        FROM documents, w WHERE doc_id % 10 = 0 AND doc_id < w.w
+           |        UNION ALL
+           |        SELECT doc_id + 5 * w.w, 'merged', CAST(888 AS BIGINT)
+           |        FROM documents, w WHERE doc_id % 10 = 0 AND doc_id < w.w),
+           |merged AS (SELECT u.* FROM upd u
+           |           WHERE u.doc_id NOT IN (SELECT doc_id FROM src)
+           |           UNION ALL SELECT * FROM src),
+           |fin AS (SELECT * FROM merged WHERE doc_id % 7 <> 3)
+           |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS update_pruned,
+           |       CAST(7 AS BIGINT) AS n_commits,
+           |       CAST(1 AS BIGINT) AS asof_ok
+           |FROM fin GROUP BY source ORDER BY source""".stripMargin))
+
+  /** x141: MERGE-ON-READ DELETE FROM SQL — `write.delete.mode=mor` is a
+    * TABLE PROPERTY (manifest-recorded, transactional, time-traveling:
+    * [[graft.io.Snapshots.tableProperties]]), so one ALTER TABLE flips
+    * the table's delete discipline and the next `DELETE FROM … WHERE
+    * doc_id % 3 = 1` — a predicate v1 filters can't even express —
+    * commits ONE key-tombstone deletion vector instead of rewriting
+    * every grazed file. `mor_zero_rewrites` pins the live data-file set
+    * BYTE-IDENTICAL across the delete (the O(matched keys) write cost
+    * that makes scattered point deletes affordable at 100 TB);
+    * `dv_files` pins the single tombstone in `$detail`; `asof_ok` pins
+    * pre-delete time travel. The oracle replays the delete algebra. */
+  private def x141Spec: QuerySpec =
+    QuerySpec("x141_sql_mor_delete",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sqlmor_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        val w = docs.agg(max(col("doc_id"))).first().getLong(0) / 4 + 1
+        val total = docs.count()
+        val tbl = s"$tmp/docs"
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w)
+              .coalesce(1),
+            tbl, recordSchema = true, statsCols = Seq("doc_id"))
+        }
+        s.sql(s"""ALTER TABLE $cat.docs SET TBLPROPERTIES
+                 |('write.delete.mode' = 'mor', 'write.merge.keys' = 'doc_id')""".stripMargin)
+        val preDelete = Snapshots.liveFiles(s, tbl).toSet
+        s.sql(s"DELETE FROM $cat.docs WHERE doc_id % 3 = 1")
+        val untouched = Snapshots.liveFiles(s, tbl).toSet == preDelete
+        val dvFiles = s.sql(s"SELECT dv_files FROM $cat.`docs$$detail`")
+          .collect().head.getInt(0)
+        val asOf = s.sql(s"SELECT count(*) AS n FROM $cat.docs VERSION AS OF 4")
+          .collect().head.getLong(0)
+        val audit = s.range(1).select(
+          lit(if (untouched) 1L else 0L).as("mor_zero_rewrites"),
+          lit(dvFiles.toLong).as("dv_files"),
+          lit(if (asOf == total) 1L else 0L).as("asof_ok"))
+        s.sql(s"SELECT source, count(*) AS n_docs, " +
+            s"CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM $cat.docs GROUP BY source")
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS mor_zero_rewrites,
+           |       CAST(1 AS BIGINT) AS dv_files,
+           |       CAST(1 AS BIGINT) AS asof_ok
+           |FROM documents WHERE doc_id % 3 <> 1
+           |GROUP BY source ORDER BY source""".stripMargin))
+
+  /** x142: SCHEMA EVOLUTION FROM SQL — `ALTER TABLE … ADD COLUMNS` is
+    * one schema-stamp commit (the x95 machinery behind the catalog):
+    * every pre-evolution file reads NULL-padded to the new shape with
+    * zero bytes rewritten, `AS OF` below the evolution serves the OLD
+    * column set (`old_shape_ok`), and the next INSERT carries the new
+    * column. The oracle replays old-rows-null ∪ new-rows-scored. */
+  private def x142Spec: QuerySpec =
+    QuerySpec("x142_sql_add_column",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sqlevo_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        docs.createOrReplaceTempView("x142_docs")
+        val shift = docs.agg(max(col("doc_id"))).first().getLong(0) + 1
+        val tbl = s"$tmp/docs"
+        Snapshots.commitAppend(docs.coalesce(2), tbl, recordSchema = true)
+        val preEvo = Snapshots.liveFiles(s, tbl).toSet
+        s.sql(s"ALTER TABLE $cat.docs ADD COLUMNS (score DOUBLE)")
+        // evolution is metadata-only: zero files rewritten
+        val zeroRewrites = Snapshots.liveFiles(s, tbl).toSet == preEvo
+        val oldShape = s.sql(s"SELECT * FROM $cat.docs VERSION AS OF 1")
+          .columns.toSeq == Seq("doc_id", "source", "n_chars")
+        s.sql(s"""INSERT INTO $cat.docs
+                 |SELECT doc_id + $shift, source, n_chars,
+                 |       CAST(n_chars % 100 AS DOUBLE) AS score
+                 |FROM x142_docs WHERE doc_id % 20 = 0""".stripMargin)
+        val audit = s.range(1).select(
+          lit(if (zeroRewrites) 1L else 0L).as("evo_zero_rewrites"),
+          lit(if (oldShape) 1L else 0L).as("old_shape_ok"))
+        s.sql(s"""SELECT source, count(*) AS n_docs,
+                 |       count(score) AS n_scored,
+                 |       CAST(sum(score) AS BIGINT) AS sum_score
+                 |FROM $cat.docs GROUP BY source""".stripMargin)
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some("""WITH evolved AS (
+           |  SELECT source, CAST(NULL AS DOUBLE) AS score FROM documents
+           |  UNION ALL
+           |  SELECT source, CAST(n_chars % 100 AS DOUBLE) FROM documents
+           |  WHERE doc_id % 20 = 0)
+           |SELECT source, count(*) AS n_docs, count(score) AS n_scored,
+           |       CAST(sum(score) AS BIGINT) AS sum_score,
+           |       CAST(1 AS BIGINT) AS evo_zero_rewrites,
+           |       CAST(1 AS BIGINT) AS old_shape_ok
+           |FROM evolved GROUP BY source ORDER BY source""".stripMargin))
 }

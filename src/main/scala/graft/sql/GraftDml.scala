@@ -1,0 +1,355 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, AttributeSet, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.DmlShim
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
+
+import graft.io.Snapshots
+
+/** SQL ROW-LEVEL DML on catalog tables — `UPDATE`, `MERGE INTO`, and
+  * full-expression `DELETE` routed to the library's transactional
+  * operators through one injected resolution rule:
+  *
+  * {{{
+  *   spark.conf: spark.sql.extensions = graft.sql.GraftExtensions
+  *   UPDATE graft.t SET m = m * 2 WHERE id BETWEEN 10 AND 20
+  *   DELETE FROM graft.t WHERE id % 10 = 7        -- not v1-translatable;
+  *                                                -- works here anyway
+  *   MERGE INTO graft.t USING updates s ON t.id = s.id
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * Spark 4's native path for these statements
+  * (`SupportsRowLevelOperations`) hands the connector a DSv2 scan/write
+  * pair and replans the rewrite itself; this engine's mutation discipline
+  * — zone-map candidate pruning, match-checked copy-on-write, optimistic
+  * commits, dv folding — already lives in [[Snapshots.updateWhere]] /
+  * [[Snapshots.deleteWhere]] / [[Snapshots.mergeInto]], so the rule
+  * intercepts the ANALYZED logical command (the Delta-connector pattern:
+  * post-hoc resolution, before CheckAnalysis would reject the
+  * unsupported-operation node) and re-enters the library. Expressions
+  * cross the boundary by UN-RESOLVING attribute references to column
+  * names: the library re-resolves them against its own pruned reads, so
+  * one rule serves every file layout the table will ever have.
+  *
+  * Scale posture: UPDATE/DELETE conditions contribute conjunct-derived
+  * zone-map bounds ([[GraftDmlRule.pruneBound]]) — `WHERE id BETWEEN a
+  * AND b` opens O(overlapping files); MERGE passes its first key as
+  * `pruneOn`, the CDC-batch discipline. All three retry on
+  * [[Snapshots.ConcurrentCommitException]] (re-derive against the fresh
+  * version — the optimistic-concurrency contract every library mutator
+  * documents).
+  *
+  * Deliberate refusals (loud, with the rewrite to use instead): subquery
+  * predicates, nested-field assignments, conditioned / non-star MERGE
+  * actions that are not full-row `c = s.c` sets, and
+  * `WHEN NOT MATCHED BY SOURCE` — each either has no defined mapping
+  * onto the library's keyed-merge algebra or belongs in the USING
+  * subquery (pre-shape the source; the engine merges whole rows).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPostHocResolutionRule(_ => GraftDmlRule)
+}
+
+object GraftDmlRule extends Rule[LogicalPlan] {
+
+  /** The pinned graft table under the DML target (through its alias). */
+  private def graftTarget(plan: LogicalPlan): Option[GraftTable] = plan match {
+    case SubqueryAlias(_, child) => graftTarget(child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftTable => Some(t)
+      case _             => None
+    }
+    case _ => None
+  }
+
+  /** Resolved attribute references become name references: the library
+    * re-resolves them against its own reads of the same table, so the
+    * expression survives the plan boundary. Subqueries cannot (their
+    * plans are bound to THIS query's analysis) — refuse loudly. */
+  private def unresolve(e: Expression): Expression = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      throw new UnsupportedOperationException(
+        "graft SQL DML does not support subqueries in SET or WHERE; " +
+          "materialize the subquery (temp view + MERGE) instead")
+    // BETWEEN et al. resolve to `With`/common-expression dedup nodes whose
+    // refs carry resolved dataTypes — they cannot survive an attribute
+    // unresolve (dataType calls on the rewritten tree throw). Inline the
+    // definitions first: the library re-optimizes the expression anyway.
+    val inlined = e.transformUp {
+      case w: org.apache.spark.sql.catalyst.expressions.With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+            defs(r.id)
+        }
+    }
+    inlined.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x         => Seq(x)
+  }
+
+  /** A literal rendered in the zone-map stat encoding, ONLY for types
+    * whose Catalyst-internal value prints the same way the stats were
+    * recorded (`cast("string")`): plain numerics and strings. Timestamps
+    * / dates / decimals hold internal representations (micros, days,
+    * Decimal) whose toString diverges — un-encodable, never pruned on. */
+  private def literalStat(l: Literal): Option[String] = l.dataType match {
+    case LongType | IntegerType | ShortType | ByteType |
+         DoubleType | FloatType | StringType => Option(l.value).map(_.toString)
+    case _ => None
+  }
+
+  /** A SOUND zone-map prune bound implied by the condition: from the
+    * top-level conjuncts (each MUST hold), per-column closed bounds —
+    * equality gives [v, v], a >=/<= pair gives [lo, hi]. The first column
+    * with both sides wins. Sound by construction: cond ⇒ col ∈ [lo, hi],
+    * so files outside it cannot hold a matching row; files without stats
+    * stay candidates inside [[Snapshots.pruneFiles]] regardless. */
+  private[sql] def pruneBound(cond: Expression): Option[(String, String, String)] = {
+    val lo = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val hi = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    conjuncts(cond).foreach {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        literalStat(l).foreach { v => lo(a.name) = v; hi(a.name) = v }
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        literalStat(l).foreach { v => lo(a.name) = v; hi(a.name) = v }
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        literalStat(l).foreach(lo(a.name) = _)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        literalStat(l).foreach(lo(a.name) = _)
+      case LessThan(a: AttributeReference, l: Literal) =>
+        literalStat(l).foreach(hi(a.name) = _)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        literalStat(l).foreach(hi(a.name) = _)
+      case LessThan(l: Literal, a: AttributeReference) =>
+        literalStat(l).foreach(lo(a.name) = _)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        literalStat(l).foreach(lo(a.name) = _)
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        literalStat(l).foreach(hi(a.name) = _)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        literalStat(l).foreach(hi(a.name) = _)
+      case _ =>
+    }
+    lo.keys.find(hi.contains).map(c => (c, lo(c), hi(c)))
+  }
+
+  /** MERGE ON must be a conjunction of same-name target=source column
+    * equalities — the keyed-merge contract ([[Snapshots.mergeInto]] joins
+    * by name). Returns the key column names. */
+  private def mergeKeys(cond: Expression, target: AttributeSet,
+                        source: AttributeSet): Seq[String] =
+    conjuncts(cond).map {
+      case EqualTo(x: AttributeReference, y: AttributeReference) =>
+        val (t, s) =
+          if (target.contains(x) && source.contains(y)) (x, y)
+          else if (target.contains(y) && source.contains(x)) (y, x)
+          else throw new UnsupportedOperationException(
+            s"MERGE ON clause term must compare a target column to a " +
+              s"source column, got ${x.name} = ${y.name}")
+        if (t.name != s.name) throw new UnsupportedOperationException(
+          s"MERGE ON joins by NAME here (got ${t.name} = ${s.name}); " +
+            "alias the source column in the USING subquery")
+        t.name
+      case other => throw new UnsupportedOperationException(
+        s"MERGE ON clause must be a conjunction of column equalities, " +
+          s"got $other — pre-shape the source in the USING subquery")
+    }.distinct
+
+  /** Is this assignment list the identity full-row copy `c = s.c`?
+    * (What the analyzer expands `UPDATE SET *` / `INSERT *` into when it
+    * aligns the command, and what a user writes by hand.) */
+  private def identityAssignments(as: Seq[Assignment],
+                                  source: AttributeSet): Boolean =
+    as.forall {
+      case Assignment(k: AttributeReference, v: AttributeReference) =>
+        source.contains(v) && k.name == v.name
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+
+    case u @ UpdateTable(target, assignments, condition)
+        if graftTarget(target).isDefined && target.resolved &&
+          assignments.forall(a => a.key.resolved && a.value.resolved) &&
+          condition.forall(_.resolved) =>
+      val t = graftTarget(target).get
+      val assigns = assignments.map {
+        case Assignment(k: AttributeReference, v) => k.name -> unresolve(v)
+        case Assignment(other, _) => throw new UnsupportedOperationException(
+          s"graft SQL UPDATE assigns top-level columns only, got $other")
+      }
+      GraftUpdateCommand(t.path,
+        assigns.map { case (n, e) => n -> DmlShim.column(e) },
+        condition.map(e => DmlShim.column(unresolve(e))),
+        condition.flatMap(pruneBound))
+
+    case DeleteFromTable(target, condition)
+        if graftTarget(target).isDefined && target.resolved && condition.resolved =>
+      // the SupportsDelete path only accepts exactly-translatable v1
+      // predicates; this command carries the FULL Catalyst expression, so
+      // `WHERE id % 10 = 7` deletes instead of refusing
+      GraftDeleteCommand(graftTarget(target).get.path,
+        DmlShim.column(unresolve(condition)), pruneBound(condition))
+
+    case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource, _)
+        if graftTarget(target).isDefined && target.resolved &&
+          source.resolved && cond.resolved =>
+      val t = graftTarget(target).get
+      if (bySource.nonEmpty) throw new UnsupportedOperationException(
+        "WHEN NOT MATCHED BY SOURCE is not supported on graft tables " +
+          "(the keyed merge never touches source-absent rows by design); " +
+          "use UPDATE/DELETE for target-side sweeps")
+      if (m.withSchemaEvolution) throw new UnsupportedOperationException(
+        "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables; " +
+          "ALTER TABLE ADD COLUMNS first, then MERGE")
+      val keys = mergeKeys(cond, target.outputSet, source.outputSet)
+      def fullRow(as: Seq[Assignment], what: String): Unit =
+        if (!identityAssignments(as, source.outputSet))
+          throw new UnsupportedOperationException(
+            s"graft MERGE supports $what as the full-row copy " +
+              "(THEN UPDATE SET * / THEN INSERT *, or explicit c = s.c for " +
+              "every column); compute derived values in the USING subquery")
+      def unconditioned(c: Option[Expression], what: String): Unit =
+        if (c.nonEmpty) throw new UnsupportedOperationException(
+          s"conditioned $what (WHEN ... AND <cond>) is not supported; " +
+            "filter the source in the USING subquery")
+      val doesUpdate = matched match {
+        case Seq()                      => false
+        case Seq(a: UpdateStarAction)   => unconditioned(a.condition, "WHEN MATCHED"); true
+        case Seq(a: UpdateAction) =>
+          unconditioned(a.condition, "WHEN MATCHED")
+          fullRow(a.assignments, "WHEN MATCHED ... UPDATE")
+          true
+        case other => throw new UnsupportedOperationException(
+          s"graft MERGE supports one unconditioned WHEN MATCHED THEN " +
+            s"UPDATE action, got $other")
+      }
+      val doesInsert = notMatched match {
+        case Seq()                      => false
+        case Seq(a: InsertStarAction)   => unconditioned(a.condition, "WHEN NOT MATCHED"); true
+        case Seq(a: InsertAction) =>
+          unconditioned(a.condition, "WHEN NOT MATCHED")
+          fullRow(a.assignments, "WHEN NOT MATCHED ... INSERT")
+          true
+        case other => throw new UnsupportedOperationException(
+          s"graft MERGE supports one unconditioned WHEN NOT MATCHED THEN " +
+            s"INSERT action, got $other")
+      }
+      if (!doesUpdate && !doesInsert) throw new UnsupportedOperationException(
+        "MERGE needs WHEN MATCHED THEN UPDATE and/or WHEN NOT MATCHED THEN INSERT")
+      val mode =
+        if (doesUpdate && doesInsert) "both"
+        else if (doesUpdate) "matched_only"
+        else "insert_only"
+      GraftMergeCommand(t.path, source, keys, mode)
+  }
+}
+
+/** Shared optimistic-retry shape: every library mutator commits against
+  * the version its reads resolved at and throws on a racing writer; the
+  * SQL command re-derives and retries, like every in-library consumer. */
+private object GraftDmlRetry {
+  def retry(body: => Unit): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      try { body; done = true }
+      catch {
+        case _: Snapshots.ConcurrentCommitException if attempts < 20 =>
+          attempts += 1
+      }
+    }
+  }
+}
+
+/** `UPDATE graft.t SET … WHERE …` → [[Snapshots.updateWhere]]: zone-map
+  * pruned candidates, match-checked copy-on-write, one commit. */
+case class GraftUpdateCommand(path: String,
+                              assignments: Seq[(String, org.apache.spark.sql.Column)],
+                              condition: Option[org.apache.spark.sql.Column],
+                              prune: Option[(String, String, String)])
+    extends LeafRunnableCommand {
+  // the name-referencing Columns ride as OPAQUE values (never Expression
+  // fields: CheckAnalysis walks a command's expressions and would reject
+  // the deliberately-unresolved attribute names the library re-resolves)
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftDmlRetry.retry {
+      Snapshots.updateWhere(spark, path, condition.getOrElse(lit(true)),
+        assignments, prune)
+    }
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM graft.t WHERE …` with the full Catalyst predicate →
+  * [[Snapshots.deleteWhere]] (same CoW transaction the SupportsDelete
+  * path runs, minus the v1-translatability ceiling). */
+case class GraftDeleteCommand(path: String,
+                              condition: org.apache.spark.sql.Column,
+                              prune: Option[(String, String, String)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftDmlRetry.retry {
+      GraftTable.sqlDelete(spark, path, condition, prune)
+    }
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO graft.t USING src ON keys …` → [[Snapshots.mergeInto]].
+  * `mode` narrows the source for single-action merges: `matched_only`
+  * semi-joins the source to existing keys (update, never insert),
+  * `insert_only` anti-joins (insert, never touch matched rows); `both`
+  * is the plain upsert. The key-uniqueness check enforces the standard
+  * SQL MERGE error on a source that matches one target row twice — one
+  * aggregation over the CHANGE-sized source, never the table. */
+case class GraftMergeCommand(path: String, source: LogicalPlan,
+                             keys: Seq[String], mode: String)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = DmlShim.ofRows(spark, source)
+    val cols = Snapshots.tableSchema(spark, path).map(_.fieldNames.toSeq)
+      .getOrElse(src.columns.toSeq)
+    require(cols.forall(src.columns.contains),
+      s"MERGE source must provide every table column " +
+        s"(${cols.mkString(", ")}); shape it in the USING subquery")
+    val up0 = src.select(cols.map(col): _*)
+    val dups = up0.groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    if (dups.nonEmpty) throw new IllegalArgumentException(
+      s"MERGE source has duplicate keys (${keys.mkString(", ")} = " +
+        s"${dups.head.toSeq.init.mkString(",")}): a target row would be " +
+        "updated twice (standard SQL MERGE cardinality violation)")
+    GraftDmlRetry.retry {
+      val up = mode match {
+        case "both" => up0
+        case "matched_only" =>
+          up0.join(graft.io.Snapshots.readAt(spark, path)
+            .select(keys.map(col): _*).distinct(), keys, "left_semi")
+        case "insert_only" =>
+          up0.join(graft.io.Snapshots.readAt(spark, path)
+            .select(keys.map(col): _*).distinct(), keys, "left_anti")
+      }
+      Snapshots.mergeInto(spark, path, up, keys, pruneOn = Some(keys.head))
+    }
+    Seq.empty
+  }
+}

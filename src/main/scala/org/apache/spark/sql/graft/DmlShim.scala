@@ -1,0 +1,29 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The two Spark-internal bridges the SQL DML rule
+  * ([[graft.sql.GraftDmlRule]]) needs, kept in this `org.apache.spark.sql`
+  * subpackage like [[StreamShim]] (the established out-of-tree connector
+  * pattern — Delta and Iceberg carry the same two calls):
+  *
+  *  - a resolved Catalyst `Expression` lifted back into the public
+  *    `Column` API (`ExpressionUtils.column`, `private[sql]`), so an
+  *    UPDATE's assignments / a DELETE's predicate re-enter the library's
+  *    transactional operators as ordinary Columns;
+  *  - an analyzed `LogicalPlan` lifted into a `DataFrame`
+  *    (`Dataset.ofRows`, `private[sql]`), so a MERGE's USING source —
+  *    view, subquery, join — becomes the updates frame
+  *    [[graft.io.Snapshots.mergeInto]] consumes.
+  */
+object DmlShim {
+
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

@@ -1,0 +1,117 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.io.Snapshots
+import org.apache.spark.sql.functions._
+
+/** Table properties + ALTER TABLE through the catalog: TBLPROPERTIES are
+  * manifest-recorded (transactional, time-traveling, checkpoint-carried),
+  * `write.delete.mode=mor` routes SQL DELETE onto deletion vectors, and
+  * ADD COLUMNS is a schema-evolution commit (x95 machinery) — old files
+  * read null-padded, AS OF below the evolution serves the old shape. */
+class GraftDdlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+    spark.conf.set("spark.sql.catalog.gdl", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdl.root", r)
+    r
+  }
+
+  private def mk(name: String): String = {
+    val t = s"$root/$name"
+    (0 until 4).foreach { i =>
+      Snapshots.commitAppend(
+        (i * 10 + 1 to i * 10 + 10).map(x => (x.toLong, s"s${x % 3}", x * 2L))
+          .toDF("id", "src", "m").coalesce(1),
+        t, recordSchema = true, statsCols = Seq("id"))
+    }
+    t
+  }
+
+  test("TBLPROPERTIES: CREATE records them, SET/UNSET are commits, AS OF sees history") {
+    val t = s"$root/p1" // forces the lazy catalog registration first
+    spark.sql("""CREATE TABLE gdl.p1 (id BIGINT, s STRING)
+                 TBLPROPERTIES ('quality.tier' = 'bronze')""")
+    assert(Snapshots.tableProperties(spark, t) === Map("quality.tier" -> "bronze"))
+    spark.sql("ALTER TABLE gdl.p1 SET TBLPROPERTIES ('quality.tier' = 'gold', 'owner.team' = 'corpus')")
+    assert(Snapshots.tableProperties(spark, t) ===
+      Map("quality.tier" -> "gold", "owner.team" -> "corpus"))
+    spark.sql("ALTER TABLE gdl.p1 UNSET TBLPROPERTIES ('owner.team')")
+    assert(Snapshots.tableProperties(spark, t) === Map("quality.tier" -> "gold"))
+    // each change was one commit; properties time-travel with versions
+    assert(Snapshots.currentVersion(spark, t) === 3L)
+    assert(Snapshots.tableProperties(spark, t, Some(1L)) ===
+      Map("quality.tier" -> "bronze"))
+    // SHOW TBLPROPERTIES reads the same surface
+    val shown = spark.sql("SHOW TBLPROPERTIES gdl.p1").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("quality.tier").contains("gold"))
+    // properties survive a checkpoint + expiry (carried in full state)
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    Snapshots.expireVersions(spark, t, keepFrom = 4L)
+    assert(Snapshots.tableProperties(spark, t) === Map("quality.tier" -> "gold"))
+  }
+
+  test("write.delete.mode=mor: SQL DELETE commits one dv, rewrites zero data files") {
+    val t = mk("mor1")
+    spark.sql("""ALTER TABLE gdl.mor1 SET TBLPROPERTIES
+                 ('write.delete.mode' = 'mor', 'write.merge.keys' = 'id')""")
+    val before = Snapshots.liveFiles(spark, t).toSet
+    spark.sql("DELETE FROM gdl.mor1 WHERE id BETWEEN 11 AND 13")
+    // zero data files rewritten — the whole point of MoR
+    assert(Snapshots.liveFiles(spark, t).toSet === before)
+    assert(Snapshots.liveDvFiles(spark, t).size === 1)
+    assert(spark.sql("SELECT count(*) AS n FROM gdl.mor1").as[Long].head() === 37L)
+    assert(spark.sql("SELECT count(*) AS n FROM gdl.mor1 WHERE id = 12")
+      .as[Long].head() === 0L)
+    // pre-delete version reads in full; the dv commit shows in $history
+    val v = Snapshots.currentVersion(spark, t)
+    assert(spark.sql(s"SELECT count(*) AS n FROM gdl.mor1 VERSION AS OF ${v - 1}")
+      .as[Long].head() === 40L)
+    val dvAdds = spark.sql(s"SELECT dv_adds FROM gdl.`mor1$$history` WHERE version = $v")
+      .as[Int].head()
+    assert(dvAdds === 1)
+    // the extension DELETE path routes on the same property (predicate
+    // v1 filters cannot express → GraftDeleteCommand → MoR)
+    spark.sql("DELETE FROM gdl.mor1 WHERE id % 10 = 5")
+    assert(Snapshots.liveFiles(spark, t).toSet === before)
+    assert(spark.sql("SELECT count(*) AS n FROM gdl.mor1").as[Long].head() === 33L)
+    // flipping back to cow rewrites files again
+    spark.sql("ALTER TABLE gdl.mor1 SET TBLPROPERTIES ('write.delete.mode' = 'cow')")
+    spark.sql("DELETE FROM gdl.mor1 WHERE id = 1")
+    assert(Snapshots.liveFiles(spark, t).toSet !== before)
+    // mor without keys refuses loudly
+    spark.sql("""ALTER TABLE gdl.mor1 SET TBLPROPERTIES ('write.delete.mode' = 'mor')""")
+    spark.sql("ALTER TABLE gdl.mor1 UNSET TBLPROPERTIES ('write.merge.keys')")
+    val e = intercept[Exception] { spark.sql("DELETE FROM gdl.mor1 WHERE id = 2") }
+    assert(e.getMessage.contains("write.merge.keys"), e.getMessage)
+  }
+
+  test("ALTER TABLE ADD COLUMNS: schema-evolution commit; old versions and files null-pad") {
+    val t = mk("ev1")
+    spark.sql("ALTER TABLE gdl.ev1 ADD COLUMNS (score DOUBLE, note STRING)")
+    assert(Snapshots.currentVersion(spark, t) === 5L)
+    // current read: old files null-padded to the new shape
+    val row = spark.sql("SELECT id, score, note FROM gdl.ev1 WHERE id = 7")
+      .collect().head
+    assert(row.getLong(0) === 7L && row.isNullAt(1) && row.isNullAt(2))
+    assert(spark.sql("SELECT count(*) AS n FROM gdl.ev1 WHERE score IS NULL")
+      .as[Long].head() === 40L)
+    // AS OF below the evolution serves the OLD shape
+    assert(spark.sql("SELECT * FROM gdl.ev1 VERSION AS OF 4").columns.toSeq ===
+      Seq("id", "src", "m"))
+    assert(spark.sql("SELECT * FROM gdl.ev1").columns.toSeq ===
+      Seq("id", "src", "m", "score", "note"))
+    // INSERT with the new shape commits; mixed-era reads coexist
+    spark.sql("INSERT INTO gdl.ev1 VALUES (99, 'sx', 0, 0.5, 'fresh')")
+    assert(spark.sql("SELECT note FROM gdl.ev1 WHERE id = 99").as[String].head() === "fresh")
+    assert(spark.sql("SELECT count(*) AS n FROM gdl.ev1").as[Long].head() === 41L)
+    // refusals: drop / rename / type change / NOT NULL / nested
+    intercept[Exception] { spark.sql("ALTER TABLE gdl.ev1 DROP COLUMN note") }
+    intercept[Exception] { spark.sql("ALTER TABLE gdl.ev1 RENAME COLUMN note TO note2") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gdl.ev1 ALTER COLUMN score TYPE STRING") }
+  }
+}

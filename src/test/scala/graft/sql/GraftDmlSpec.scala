@@ -1,0 +1,142 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.io.Snapshots
+import org.apache.spark.sql.functions._
+
+/** SQL row-level DML ([[GraftExtensions]] / [[GraftDmlRule]]): UPDATE,
+  * full-expression DELETE, and MERGE INTO routed onto the library's
+  * transactional mutators — with the same file discipline (zone-map
+  * pruned candidates, match-checked copy-on-write, time travel intact)
+  * the library calls have. */
+class GraftDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft_dml").toString
+    spark.conf.set("spark.sql.catalog.gd", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gd.root", r)
+    r
+  }
+
+  /** 4 one-file commits: ids 1-10 / 11-20 / 21-30 / 31-40, id zone maps. */
+  private def mk(name: String): String = {
+    val t = s"$root/$name"
+    (0 until 4).foreach { i =>
+      Snapshots.commitAppend(
+        (i * 10 + 1 to i * 10 + 10).map(x => (x.toLong, s"s${x % 3}", x * 2L))
+          .toDF("id", "src", "m").coalesce(1),
+        t, recordSchema = true, statsCols = Seq("id"))
+    }
+    t
+  }
+
+  test("UPDATE: CoW from SQL, condition-derived prune keeps untouched files byte-identical") {
+    val t = mk("u1")
+    val before = Snapshots.liveFiles(spark, t).toSet
+    spark.sql("UPDATE gd.u1 SET m = m * 10 WHERE id BETWEEN 11 AND 20")
+    assert(Snapshots.currentVersion(spark, t) === 5L)
+    // only the one overlapping file rewrote; the other three are the
+    // SAME paths (never read, never written — the 100 TB posture)
+    assert((before intersect Snapshots.liveFiles(spark, t).toSet).size === 3)
+    val want = (1L to 40L).map(x => if (x >= 11 && x <= 20) x * 20 else x * 2).sum
+    assert(spark.sql("SELECT sum(m) AS s FROM gd.u1").as[Long].head() === want)
+    // SET expressions see OLD values; non-matching rows in the rewritten
+    // file pass through; pre-update versions keep time-traveling
+    assert(spark.sql("SELECT sum(m) AS s FROM gd.u1 VERSION AS OF 4")
+      .as[Long].head() === (1L to 40L).map(_ * 2).sum)
+  }
+
+  test("UPDATE without WHERE touches every row; multi-assignment reads old values") {
+    val t = mk("u2")
+    spark.sql("UPDATE gd.u2 SET m = id, id = id + 100")
+    // both assignments evaluated against the OLD row (standard UPDATE):
+    // m becomes the old id, id shifts after
+    val got = spark.sql("SELECT min(id) AS a, max(id) AS b, sum(m) AS s FROM gd.u2")
+      .as[(Long, Long, Long)].head()
+    assert(got === ((101L, 140L, (1L to 40L).sum)))
+    assert(Snapshots.currentVersion(spark, t) === 5L)
+  }
+
+  test("DELETE with a predicate v1 filters cannot express") {
+    val t = mk("d1")
+    spark.sql("DELETE FROM gd.d1 WHERE id % 10 = 7") // refused by SupportsDelete
+    assert(spark.sql("SELECT count(*) AS n FROM gd.d1").as[Long].head() === 36L)
+    assert(spark.sql("SELECT count(*) AS n FROM gd.d1 WHERE id % 10 = 7")
+      .as[Long].head() === 0L)
+    assert(Snapshots.currentVersion(spark, t) === 5L)
+  }
+
+  test("MERGE upsert (SET * / INSERT *): update + insert in one commit, key-pruned rewrite") {
+    val t = mk("m1")
+    Seq((11L, "zz", 1L), (99L, "zz", 2L)).toDF("id", "src", "m")
+      .createOrReplaceTempView("m1_src")
+    val before = Snapshots.liveFiles(spark, t).toSet
+    spark.sql("""MERGE INTO gd.m1 t USING m1_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(Snapshots.currentVersion(spark, t) === 5L) // ONE commit
+    // only the file holding id 11 rewrote (semi-join match check inside
+    // mergeInto); files 1/3/4 are byte-identical paths
+    assert((before intersect Snapshots.liveFiles(spark, t).toSet).size === 3)
+    val got = spark.sql("SELECT id, src, m FROM gd.m1 WHERE src = 'zz' ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((11L, "zz", 1L), (99L, "zz", 2L)))
+    assert(spark.sql("SELECT count(*) AS n FROM gd.m1").as[Long].head() === 41L)
+  }
+
+  test("MERGE matched-only never inserts; insert-only never updates") {
+    val t = mk("m2")
+    Seq((12L, "up", 5L), (98L, "up", 6L)).toDF("id", "src", "m")
+      .createOrReplaceTempView("m2_src")
+    spark.sql("""MERGE INTO gd.m2 t USING m2_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *""")
+    assert(spark.sql("SELECT count(*) AS n FROM gd.m2").as[Long].head() === 40L)
+    assert(spark.sql("SELECT src FROM gd.m2 WHERE id = 12").as[String].head() === "up")
+    spark.sql("""MERGE INTO gd.m2 t USING m2_src s ON t.id = s.id
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT count(*) AS n FROM gd.m2").as[Long].head() === 41L)
+    // 12 was matched → untouched by the insert-only pass (still m = 5)
+    assert(spark.sql("SELECT m FROM gd.m2 WHERE id = 12").as[Long].head() === 5L)
+    assert(spark.sql("SELECT m FROM gd.m2 WHERE id = 98").as[Long].head() === 6L)
+  }
+
+  test("MERGE explicit full-row c = s.c assignments are accepted") {
+    val t = mk("m3")
+    Seq((13L, "ex", 7L)).toDF("id", "src", "m").createOrReplaceTempView("m3_src")
+    spark.sql("""MERGE INTO gd.m3 t USING m3_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET id = s.id, src = s.src, m = s.m
+                 WHEN NOT MATCHED THEN INSERT (id, src, m) VALUES (s.id, s.src, s.m)""")
+    assert(spark.sql("SELECT src FROM gd.m3 WHERE id = 13").as[String].head() === "ex")
+    assert(Snapshots.currentVersion(spark, t) === 5L)
+  }
+
+  test("refusals are loud and name the rewrite: dup keys, conditioned actions, subqueries") {
+    mk("r1")
+    Seq((11L, "a", 1L), (11L, "b", 2L)).toDF("id", "src", "m")
+      .createOrReplaceTempView("r1_dup")
+    val dup = intercept[Exception] {
+      spark.sql("""MERGE INTO gd.r1 t USING r1_dup s ON t.id = s.id
+                   WHEN MATCHED THEN UPDATE SET *
+                   WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(dup.getMessage.contains("duplicate keys"), dup.getMessage)
+    Seq((11L, "a", 1L)).toDF("id", "src", "m").createOrReplaceTempView("r1_one")
+    val cond = intercept[Exception] {
+      spark.sql("""MERGE INTO gd.r1 t USING r1_one s ON t.id = s.id
+                   WHEN MATCHED AND s.m > 0 THEN UPDATE SET *
+                   WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(cond.getMessage.contains("USING subquery"), cond.getMessage)
+    val sub = intercept[Exception] {
+      spark.sql("UPDATE gd.r1 SET m = 0 WHERE id IN (SELECT id FROM r1_one)")
+    }
+    assert(sub.getMessage.contains("subquer"), sub.getMessage)
+    val bySrc = intercept[Exception] {
+      spark.sql("""MERGE INTO gd.r1 t USING r1_one s ON t.id = s.id
+                   WHEN MATCHED THEN UPDATE SET *
+                   WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    }
+    assert(bySrc.getMessage.contains("BY SOURCE"), bySrc.getMessage)
+  }
+}
