@@ -167,9 +167,13 @@ object ViewMaintenance {
           .groupBy(dims.map(col): _*)
           .agg(deltaAggs.head, deltaAggs.tail: _*)
         // merged view rows for the affected groups only: the (big-ish)
-        // view never joins more than a broadcast of the change-sized delta
+        // view never joins more than a broadcast of the change-sized delta.
+        // "Fresh" = no data files AND no recorded schema — not version 0:
+        // a catalog-created view ([[graft.sql.GraftProcedures]] create_mv)
+        // is born at v1 carrying only its mv.* properties.
         val joined =
-          if (Snapshots.currentVersion(spark, viewTable) == 0L)
+          if (Snapshots.liveFiles(spark, viewTable).isEmpty &&
+              Snapshots.tableSchema(spark, viewTable).isEmpty)
             aggNames.foldLeft(delta)((df, c) => df.withColumn(s"__st_$c", lit(null)))
           else {
             val affected = Snapshots.readAt(spark, viewTable)

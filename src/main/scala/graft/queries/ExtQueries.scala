@@ -3228,7 +3228,7 @@ object ExtQueries {
     x126Spec, x127Spec, x128Spec, st23Spec, st24Spec,
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
-    x139Spec, x140Spec, x141Spec, x142Spec)
+    x139Spec, x140Spec, x141Spec, x142Spec, st29Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -7023,4 +7023,97 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS evo_zero_rewrites,
            |       CAST(1 AS BIGINT) AS old_shape_ok
            |FROM evolved GROUP BY source ORDER BY source""".stripMargin))
+
+  /** st29: the MATERIALIZED VIEW AS A SQL OBJECT, maintained by MIXED
+    * consumers — x137 (SQL catalog) + st28 (streaming CDC) closed into
+    * one user story. `CALL graft.system.create_mv` registers the view
+    * (spec persisted as `mv.*` table properties) and folds the staged
+    * appends; a GROUP-MOVING merge and a MoR delete then land on the
+    * source and a STREAMING consumer ([[graft.streaming
+    * .CdcSourceProvider]] → [[graft.io.ViewMaintenance.applyDeltaBatch]])
+    * catches the view up — replaying the already-folded versions too,
+    * which the view's note ledger refuses row-for-row (the exactly-once
+    * contract ACROSS consumer kinds). A final source append is folded by
+    * `CALL graft.system.refresh_mv`, whose `versions_applied = 1` pins
+    * that the batch consumer saw exactly the one version the stream
+    * hadn't (`refresh_one`). The result is read as plain
+    * `SELECT … FROM catalog.view` — identity rows filtered by the scan —
+    * and the oracle replays the whole timeline as a direct GROUP BY. */
+  private def st29Spec: QuerySpec =
+    QuerySpec("st29_sql_matview",
+      (s, d) => {
+        import graft.io.{Snapshots, ViewMaintenance}
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w = maxId / 4 + 1
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sqlmv_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val tbl = s"$tmp/tbl"
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w)
+              .coalesce(1),
+            tbl, recordSchema = true, statsCols = Seq("doc_id"))
+        }
+        s.sql(s"CALL $cat.system.create_mv('mv', 'tbl', 'doc_id', 'source', 'n_chars')")
+        // batch-era mutations: a group-moving merge + a MoR point delete
+        val quarter = floor(col("doc_id") / w).cast("long")
+        val movedKeys = docs.groupBy(quarter.as("k"))
+          .agg(min(col("doc_id")).as("id"))
+          .select("id").collect().map(_.getLong(0)).toSeq
+        Snapshots.mergeInto(s, tbl,
+          docs.filter(col("doc_id").isin(movedKeys: _*))
+            .withColumn("source", lit("moved")),
+          keys = Seq("doc_id"), pruneOn = Some("doc_id"))
+        val deadKeys = docs.groupBy(quarter.as("k"))
+          .agg(max(col("doc_id")).as("id"))
+          .select("id").collect().map(_.getLong(0)).toSeq
+        Snapshots.deleteWhereMor(s, tbl, col("doc_id").isin(deadKeys: _*),
+          keys = Seq("doc_id"))
+        // the STREAM consumer catches the view up — its CDC replay spans
+        // the already-folded create_mv versions too (ledger-refused)
+        val q = s.readStream.format("graft.streaming.CdcSourceProvider")
+          .option("table", tbl).option("keys", "doc_id")
+          .option("feed", s"$tmp/stream_feed").load()
+          .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            ViewMaintenance.applyDeltaBatch(s, tbl, s"$tmp/mv", batch,
+              keys = Seq("doc_id"), dims = Seq("source"),
+              measures = Seq("n_chars"))
+            ()
+          }.start()
+        q.awaitTermination()
+        // one more source append; the BATCH consumer folds exactly it
+        Snapshots.commitAppend(
+          docs.filter(col("doc_id") % 13 === 0)
+            .withColumn("doc_id", col("doc_id") + maxId + 1)
+            .withColumn("source", lit("extra")).coalesce(1), tbl)
+        val refreshed = s.sql(s"CALL $cat.system.refresh_mv('mv')").collect().head
+        val audit = s.range(1).select(
+          lit(if (refreshed.getLong(1) == 1L) 1L else 0L).as("refresh_one"))
+        s.sql(s"""SELECT source, n_rows,
+                 |CAST(sum_n_chars AS BIGINT) AS sum_n_chars FROM $cat.mv""".stripMargin)
+          .crossJoin(broadcast(audit))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT max(doc_id) // 4 + 1 AS w FROM documents),
+           |moved AS (SELECT min(doc_id) AS id FROM documents, w GROUP BY doc_id // w),
+           |dead AS (SELECT max(doc_id) AS id FROM documents, w GROUP BY doc_id // w),
+           |base AS (
+           |  SELECT CASE WHEN doc_id IN (SELECT id FROM moved) THEN 'moved'
+           |              ELSE source END AS source, n_chars
+           |  FROM documents
+           |  WHERE doc_id NOT IN (SELECT id FROM dead)),
+           |extra AS (SELECT 'extra' AS source, n_chars FROM documents
+           |          WHERE doc_id % 13 = 0),
+           |fin AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+           |SELECT source, count(*) AS n_rows,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+           |       CAST(1 AS BIGINT) AS refresh_one
+           |FROM fin GROUP BY source ORDER BY source""".stripMargin))
 }

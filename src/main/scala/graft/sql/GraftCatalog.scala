@@ -245,7 +245,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 /** One pinned (table, version) snapshot as a DSv2 table. Reads resolve
   * at the pinned version; writes (INSERT INTO / INSERT OVERWRITE, via
   * the V1 write fallback) are transactional commits against the CURRENT
-  * version — the same library operations, one SQL statement away. */
+  * version — the same library operations, one SQL statement away.
+  *
+  * A MATERIALIZED VIEW (a table whose properties carry an `mv.source`
+  * spec — see [[GraftProcedures]] `create_mv`) reads through the same
+  * scan with ONE addition: the maintained aggregate stores emptied
+  * groups as identity rows (`n_rows = 0`, the single-MERGE catch-up
+  * contract of [[graft.io.ViewMaintenance]]), so every SQL read filters
+  * them out, and the metadata COUNT(*) shortcut is disabled (it would
+  * count ghosts). Direct writes to a view refuse — its content is
+  * DERIVED; mutate the source and `CALL graft.system.refresh_mv`. */
 final class GraftTable(val path: String, ident: String, val pinnedVersion: Long)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -253,6 +262,18 @@ final class GraftTable(val path: String, ident: String, val pinnedVersion: Long)
 
   override def name(): String = ident
   override def version(): String = pinnedVersion.toString
+
+  /** Is this table a maintained view? (pinned-version property read —
+    * one manifest replay at analysis time, no data touched) */
+  lazy val isMaterializedView: Boolean =
+    Snapshots.tableProperties(SparkSession.active, path, Some(pinnedVersion))
+      .contains("mv.source")
+
+  private[sql] def refuseMvWrite(what: String): Unit =
+    if (isMaterializedView) throw new UnsupportedOperationException(
+      s"$ident is a materialized view — its content derives from " +
+        s"${Snapshots.tableProperties(SparkSession.active, path)("mv.source")}; " +
+        s"$what the SOURCE table and CALL graft.system.refresh_mv instead")
 
   override lazy val schema: StructType = {
     val spark = SparkSession.active
@@ -291,6 +312,7 @@ final class GraftTable(val path: String, ident: String, val pinnedVersion: Long)
     filters.forall(f => GraftScan.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    refuseMvWrite("DELETE from")
     val cond = filters.flatMap(GraftScan.toColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true)) // TRUNCATE shape
@@ -299,6 +321,18 @@ final class GraftTable(val path: String, ident: String, val pinnedVersion: Long)
 }
 
 object GraftTable {
+  /** Refuse row-level SQL mutation of a materialized view — shared by
+    * every DML entry point (the DSv2 write/delete paths check their
+    * table instance; the extension commands run against a bare path and
+    * check here). */
+  def refuseMvDml(spark: SparkSession, path: String, what: String): Unit = {
+    val props = Snapshots.tableProperties(spark, path)
+    if (props.contains("mv.source")) throw new UnsupportedOperationException(
+      s"$path is a materialized view — its content derives from " +
+        s"${props("mv.source")}; $what the SOURCE table and " +
+        "CALL graft.system.refresh_mv instead")
+  }
+
   /** The one SQL DELETE entry point (shared by the [[SupportsDelete]]
     * path and the extension rule's [[GraftDeleteCommand]]): routes on the
     * table's `write.delete.mode` property — `cow` (default) rewrites the
@@ -309,6 +343,7 @@ object GraftTable {
     * is itself transactional and time-travels. */
   def sqlDelete(spark: SparkSession, path: String,
                 cond: Column, prune: Option[(String, String, String)]): Unit = {
+    refuseMvDml(spark, path, "DELETE from")
     val props = Snapshots.tableProperties(spark, path)
     props.getOrElse("write.delete.mode", "cow") match {
       case "mor" =>
@@ -344,6 +379,7 @@ final class GraftWriteBuilder(table: GraftTable)
       new InsertableRelation {
         override def insert(data: org.apache.spark.sql.Dataset[Row],
                             ovr: Boolean): Unit = {
+          table.refuseMvWrite("INSERT into")
           val spark = data.sparkSession
           val cols = table.schema.fieldNames.toIndexedSeq
           val df = data.toDF(cols: _*) // positional, the INSERT contract
@@ -421,7 +457,7 @@ final class GraftScanBuilder(table: GraftTable)
     * bare-count query. Anything else declines and plans normally. */
   private def bareCount(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+    !table.isMaterializedView && pushed.isEmpty && agg.groupByExpressions().isEmpty &&
       agg.aggregateExpressions().length == 1 &&
       agg.aggregateExpressions()(0)
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
@@ -598,8 +634,12 @@ final class GraftRelation(ctx: SQLContext, table: GraftTable,
       else Snapshots.readLiveSubset(spark, table.path, Some(v), candidates)
     // re-apply convertible predicates INSIDE the wrapped scan: parquet
     // row-group pushdown on the kept files (Spark re-applies the exact
-    // predicate above the boundary regardless — pushFilters returned all)
-    val filtered = filters.flatMap(GraftScan.toColumn).foldLeft(base)(_.filter(_))
+    // predicate above the boundary regardless — pushFilters returned all).
+    // A materialized view additionally filters its identity rows (emptied
+    // groups stored as n_rows = 0 — never part of the view's content).
+    val withMv =
+      if (table.isMaterializedView) base.filter(col("n_rows") > 0) else base
+    val filtered = filters.flatMap(GraftScan.toColumn).foldLeft(withMv)(_.filter(_))
     val projected = filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
     limit.map(projected.limit).getOrElse(projected).rdd
   }

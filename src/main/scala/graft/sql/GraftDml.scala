@@ -289,6 +289,7 @@ case class GraftUpdateCommand(path: String,
   // fields: CheckAnalysis walks a command's expressions and would reject
   // the deliberately-unresolved attribute names the library re-resolves)
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftTable.refuseMvDml(spark, path, "UPDATE")
     GraftDmlRetry.retry {
       Snapshots.updateWhere(spark, path, condition.getOrElse(lit(true)),
         assignments, prune)
@@ -325,6 +326,7 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftTable.refuseMvDml(spark, path, "MERGE INTO")
     val src = DmlShim.ofRows(spark, source)
     val cols = Snapshots.tableSchema(spark, path).map(_.fieldNames.toSeq)
       .getOrElse(src.columns.toSeq)

@@ -145,8 +145,68 @@ object GraftProcedures {
     mkDef("fast_count", "COUNT(*) from manifest metadata (exact; scan fallback)",
       Seq(in("table", S)),
       StructType(Seq(DataTypes.createStructField("rows", L, false))))(
-      (s, root, in) => Seq(Snapshots.fastCount(s, tbl(root, in, 0))))
+      (s, root, in) => Seq(Snapshots.fastCount(s, tbl(root, in, 0)))),
+    mkDef("create_mv",
+      "create an INCREMENTALLY MAINTAINED view of `GROUP BY dims` aggregates " +
+        "over a source table's change feed; the spec persists as table " +
+        "properties and `SELECT * FROM <catalog>.<view>` reads it",
+      Seq(in("view", S), in("source", S), in("keys", S), in("dims", S),
+        inDef("measures", S, "''"), inDef("min_max", S, "''"),
+        inDef("approx_distinct", S, "''")),
+      StructType(Seq(
+        DataTypes.createStructField("view_version", L, false),
+        DataTypes.createStructField("versions_applied", L, false))))(
+      (s, root, in) => {
+        val view = tbl(root, in, 0)
+        val sourceRel = in.getUTF8String(1).toString
+        require(Snapshots.versions(s, view).isEmpty,
+          s"$view already exists; refresh_mv maintains an existing view")
+        require(Snapshots.versions(s, s"$root/$sourceRel").nonEmpty,
+          s"source table $root/$sourceRel does not exist")
+        def strOf(i: Int) = in.getUTF8String(i).toString
+        val props = Seq(
+          "mv.source" -> sourceRel, "mv.keys" -> strOf(2), "mv.dims" -> strOf(3),
+          "mv.measures" -> strOf(4), "mv.minmax" -> strOf(5),
+          "mv.distinct" -> strOf(6)).filter(_._2.nonEmpty)
+        Snapshots.commit(s, view, adds = Nil,
+          props = props.map { case (k, v) => k -> Some(v) })
+        val applied = refreshMv(s, root, view)
+        Seq(Snapshots.currentVersion(s, view), applied.size.toLong)
+      }),
+    mkDef("refresh_mv",
+      "catch a materialized view up with its source's change feed — ALL " +
+        "pending versions fold in ONE transactional merge; replays skip on " +
+        "the note ledger (exactly-once)",
+      Seq(in("view", S)),
+      StructType(Seq(
+        DataTypes.createStructField("view_version", L, false),
+        DataTypes.createStructField("versions_applied", L, false))))(
+      (s, root, in) => {
+        val view = tbl(root, in, 0)
+        val applied = refreshMv(s, root, view)
+        Seq(Snapshots.currentVersion(s, view), applied.size.toLong)
+      })
   ).map(d => d.name -> d).toMap
+
+  /** The shared maintenance step: resolve the view's persisted spec
+    * ([[graft.io.ViewMaintenance]] parameters ride as `mv.*` table
+    * properties) and fold every unapplied source version. The feed
+    * materializes under `<view>/_feed` — outside `data/`/`_index`, so
+    * vacuum never touches it and the view table's own commits stay the
+    * only ledger. */
+  private def refreshMv(s: SparkSession, root: String, view: String): Seq[Long] = {
+    val props = Snapshots.tableProperties(s, view)
+    val sourceRel = props.getOrElse("mv.source",
+      throw new IllegalArgumentException(
+        s"$view is not a materialized view (no mv.source property)"))
+    def list(k: String): Seq[String] = props.get(k)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    graft.io.ViewMaintenance.maintain(s, s"$root/$sourceRel",
+      keys = list("mv.keys"), dims = list("mv.dims"),
+      measures = list("mv.measures"), feedDir = s"$view/_feed",
+      viewTable = view, minMax = list("mv.minmax"),
+      distinct = list("mv.distinct"))
+  }
 
   /** Resolve `graft.system.<name>`, bound to this catalog's root. */
   def load(root: String, ident: Identifier): UnboundProcedure = {
