@@ -46,18 +46,43 @@ object ChangeFeed {
   /** Materialize diffs for every version in (cursor, currentVersion]
     * under `outDir/v<version>/`, stamped with a `version` column, then
     * advance the cursor. Returns the versions processed (empty = the
-    * feed was already current). */
+    * feed was already current).
+    *
+    * Pending versions derive CONCURRENTLY (bounded pool): each version's
+    * diff is an independent Spark job over its own changed files (the
+    * [[Snapshots.rowDiff]] law), so a consumer that lags k versions pays
+    * ~max(per-version job) wall-clock instead of the sum — per-version
+    * fixed job cost was the dominant term of a catch-up sync. The
+    * exactly-once discipline is UNCHANGED: every dir lands before the
+    * cursor advances (any failed derivation fails the whole sync,
+    * nothing acknowledged), dirs stay deterministic and idempotent, and
+    * concurrent jobs write to DISTINCT dirs so they never race each
+    * other. */
   def sync(spark: SparkSession, table: String, keys: Seq[String],
            outDir: String): Seq[Long] = {
     val from = cursor(spark, outDir)
     val now = Snapshots.currentVersion(spark, table)
     val vs = (from + 1) to now
-    vs.foreach { v =>
-      Snapshots.rowDiff(spark, table, v - 1, v, keys)
-        .withColumn("version", lit(v))
-        .write.mode("overwrite").parquet(f"$outDir/v$v%010d")
+    if (vs.isEmpty) return Seq.empty
+    if (vs.size == 1) {
+      Snapshots.rowDiff(spark, table, now - 1, now, keys)
+        .withColumn("version", lit(now))
+        .write.mode("overwrite").parquet(f"$outDir/v$now%010d")
+    } else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, vs.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(vs.map { v =>
+        Future {
+          Snapshots.rowDiff(spark, table, v - 1, v, keys)
+            .withColumn("version", lit(v))
+            .write.mode("overwrite").parquet(f"$outDir/v$v%010d")
+        }
+      }), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     }
-    if (vs.nonEmpty) Sinks.writeText(spark, cursorPath(outDir), now.toString)
+    Sinks.writeText(spark, cursorPath(outDir), now.toString)
     vs
   }
 

@@ -16,6 +16,23 @@ object Sinks {
   def parquet(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").parquet(dir)
 
+  /** Parquet sink with an explicit ROW-GROUP size — the layout knob that
+    * decides a file's scan parallelism: a row group is parquet's split
+    * unit, so a single 1 GB file written with the default 128 MB block
+    * is ≤ 8 tasks, while 8 MB row groups fan the same file out to ~128.
+    * The BASELINE q08 finding in one knob: a small table landing in ONE
+    * file caps the first stage at rowGroups(file) tasks no matter how
+    * many cores the cluster has — writers of single-file tables should
+    * set `rowGroupBytes` ≈ bytes / desired-parallelism. (Many-file
+    * tables don't need it: the file count already splits.) */
+  def parquetRowGroups(df: DataFrame, dir: String, rowGroupBytes: Long): Unit = {
+    require(rowGroupBytes >= 64 * 1024,
+      s"rowGroupBytes must be >= 64 KiB, got $rowGroupBytes")
+    df.write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(dir)
+  }
+
   /** S5 — single-file CSV metric sink with header (`df.to_csv`,
     * `DP:508-514`). Metric tables are small aggregates — coalesce(1) is
     * deliberate and safe. */

@@ -3228,7 +3228,7 @@ object ExtQueries {
     x126Spec, x127Spec, x128Spec, st23Spec, st24Spec,
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
-    x139Spec, x140Spec, x141Spec, x142Spec, st29Spec)
+    x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -7116,4 +7116,105 @@ object ExtQueries {
            |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
            |       CAST(1 AS BIGINT) AS refresh_one
            |FROM fin GROUP BY source ORDER BY source""".stripMargin))
+
+  /** x143: CONSISTENT CUTS FROM SQL — x138's cross-table guarantee as a
+    * session pin: `SET spark.graft.cut.<catalog> = ledger` makes every
+    * plain read through the catalog resolve member tables at the
+    * ledger's newest published cut. The same 4-cut corpus+index timeline
+    * as x138, then a FIFTH data chunk committed WITHOUT a publish: the
+    * pinned SQL read of the data table stays at cut 4
+    * (`pinned_consistent` — stale-but-consistent, never
+    * index-ahead-of-data), `ledger@<v1>` replays the first cut forever
+    * (`replay_ok`), a non-member read refuses (`refuse_ok` — serving it
+    * "consistently" would be a lie), and explicit VERSION AS OF bypasses
+    * the pin (`asof_bypass` — it names its own snapshot). Output is the
+    * pinned index read via plain SQL; the oracle derives it from raw
+    * documents. */
+  private def x143Spec: QuerySpec =
+    QuerySpec("x143_sql_cut",
+      (s, d) => {
+        import graft.io.{MultiTable, Snapshots}
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w = maxId / 5 + 1
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sqlcut_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val data = s"$tmp/data"; val idx = s"$tmp/idx"; val led = s"$tmp/ledger"
+        def step(i: Int): Long = {
+          val vD = Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w)
+              .coalesce(1),
+            data, recordSchema = i == 0)
+          val counts = Snapshots.readAt(s, data, Some(vD)).groupBy("source")
+            .agg(n.as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+          val vI =
+            if (i == 0) Snapshots.commitAppend(counts.coalesce(1), idx,
+              recordSchema = true)
+            else {
+              val old = Snapshots.liveFiles(s, idx)
+              val dir = s"$idx/data/ix-$i"
+              counts.coalesce(1).write.parquet(dir)
+              val p = new org.apache.hadoop.fs.Path(dir)
+              val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+              val parts = f.listStatus(p).toSeq
+                .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+                .map(_.getPath.toString)
+              Snapshots.commit(s, idx, adds = parts, removes = old)
+            }
+          // relative member names: the SQL pin matches catalog identifiers
+          MultiTable.publish(s, led, Map("data" -> vD, "idx" -> vI))
+        }
+        val cuts = (0 until 4).map(step)
+        Snapshots.commitAppend(
+          docs.filter(col("doc_id") >= 4 * w).coalesce(1), data)
+        // a real table that is NOT a cut member (for the refusal pin)
+        Snapshots.commitAppend(docs.limit(1).coalesce(1), s"$tmp/lone",
+          recordSchema = true)
+        def n1(sql: String): Long = s.sql(sql).collect().head.getLong(0)
+        s.sql(s"SET spark.graft.cut.$cat = ledger")
+        try {
+          val pinned = n1(s"SELECT count(*) AS n FROM $cat.data")
+          val expect4 = docs.filter(col("doc_id") < 4 * w).count()
+          val asofBypass = n1(
+            s"SELECT count(*) AS n FROM $cat.data VERSION AS OF 5") == docs.count()
+          val refuseOk =
+            try { s.sql(s"SELECT * FROM $cat.lone").collect(); false }
+            catch { case e: Exception =>
+              (e.getMessage != null && e.getMessage.contains("not a member")) ||
+                (e.getCause != null && e.getCause.getMessage != null &&
+                  e.getCause.getMessage.contains("not a member")) }
+          val idxRows = s.sql(
+            s"SELECT source, n_docs, sum_chars FROM $cat.idx").collect()
+          s.sql(s"SET spark.graft.cut.$cat = ledger@${cuts.head}")
+          val replayOk = n1(s"SELECT count(*) AS n FROM $cat.data") ==
+            docs.filter(col("doc_id") < w).count()
+          val audit = s.range(1).select(
+            lit(if (pinned == expect4) 1L else 0L).as("pinned_consistent"),
+            lit(if (replayOk) 1L else 0L).as("replay_ok"),
+            lit(if (refuseOk) 1L else 0L).as("refuse_ok"),
+            lit(if (asofBypass) 1L else 0L).as("asof_bypass"))
+          s.createDataFrame(java.util.Arrays.asList(idxRows: _*),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("source",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("n_docs",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("sum_chars",
+                org.apache.spark.sql.types.LongType))))
+            .crossJoin(broadcast(audit))
+            .orderBy("source")
+        } finally s.sql(s"RESET spark.graft.cut.$cat")
+      },
+      Some("""WITH w AS (SELECT max(doc_id) // 5 + 1 AS w FROM documents)
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS pinned_consistent,
+           |       CAST(1 AS BIGINT) AS replay_ok,
+           |       CAST(1 AS BIGINT) AS refuse_ok,
+           |       CAST(1 AS BIGINT) AS asof_bypass
+           |FROM documents, w WHERE doc_id < 4 * w
+           |GROUP BY source ORDER BY source""".stripMargin))
 }

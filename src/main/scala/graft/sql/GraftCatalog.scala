@@ -121,8 +121,53 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     }
     val path = tablePath(ident)
     if (!exists(path)) throw new NoSuchTableException(ident)
-    new GraftTable(path, ident.toString,
-      Snapshots.currentVersion(spark, path)) // pinned: one query, one snapshot
+    cutVersion(ident, path) match {
+      case Some(v) => new GraftTable(path, s"$ident@cut$v", v)
+      case None => new GraftTable(path, ident.toString,
+        Snapshots.currentVersion(spark, path)) // pinned: one query, one snapshot
+    }
+  }
+
+  /** SESSION-PINNED CONSISTENT CUTS — [[graft.io.MultiTable]]'s
+    * cross-table guarantee reachable from SQL:
+    *
+    * {{{
+    *   SET spark.graft.cut.<catalog> = <ledger>        -- newest cut
+    *   SET spark.graft.cut.<catalog> = <ledger>@<v>    -- historical cut
+    *   SET spark.graft.cut.<catalog> =                 -- (empty) unpin
+    * }}}
+    *
+    * While pinned, every PLAIN read through this catalog resolves member
+    * tables at the cut's published versions — two tables derived
+    * together are read together, never index-ahead-of-data. Reading a
+    * NON-member while pinned refuses ("consistent" would be a lie);
+    * explicit `VERSION/TIMESTAMP AS OF` and the ledger itself bypass the
+    * pin (they name their own snapshot). The cut is re-resolved per
+    * query analysis: an unversioned pin tracks the newest published cut,
+    * a `@v` pin replays history forever. */
+  private def cutVersion(ident: Identifier, path: String): Option[Long] = {
+    import graft.io.MultiTable
+    spark.conf.getOption(s"spark.graft.cut.$catalogName")
+      .map(_.trim).filter(_.nonEmpty).flatMap { spec =>
+        val (ledgerRel, lv) = spec.split('@') match {
+          case Array(l)    => (l, None)
+          case Array(l, v) => (l, Some(v.toLong))
+          case _ => throw new IllegalArgumentException(
+            s"spark.graft.cut.$catalogName must be <ledger> or <ledger>@<version>, got '$spec'")
+        }
+        val ledgerPath = s"$root/$ledgerRel"
+        if (path == ledgerPath) None // the cut's own source reads normally
+        else {
+          val cut = MultiTable.resolveAt(spark, ledgerPath,
+            lv.getOrElse(Snapshots.currentVersion(spark, ledgerPath)))
+          val rel = (ident.namespace() :+ ident.name()).mkString("/")
+          Some(cut.getOrElse(path, cut.getOrElse(rel,
+            throw new IllegalArgumentException(
+              s"$ident is not a member of the pinned cut $spec " +
+                s"(members: ${cut.keys.toSeq.sorted.mkString(", ")}); " +
+                "unpin the session or read a member table"))))
+        }
+      }
   }
 
   /** `VERSION AS OF x` — a TAG name first, then a version number (the

@@ -34,6 +34,24 @@ class ChangeFeedSpec extends SparkSpec {
     assert(rows === Set((1L, 1L, "insert"), (2L, 3L, "insert"), (1L, 2L, "insert")))
   }
 
+  test("a deeply lagging consumer catches up in one sync (concurrent derivation)") {
+    val root = tmp()
+    val t = s"$root/tbl"
+    // 12 pending versions — well past the derivation pool size, so the
+    // concurrent path runs with queueing; every dir must land with its
+    // exact per-version diff, in version order, before the cursor moves
+    (1 to 12).foreach(i =>
+      Snapshots.commitAppend(Seq((i.toLong, i * 10L)).toDF("id", "v").coalesce(1),
+        t, recordSchema = true))
+    val feed = s"$root/feed"
+    assert(ChangeFeed.sync(spark, t, Seq("id"), feed) === (1L to 12L))
+    assert(ChangeFeed.cursor(spark, feed) === 12L)
+    val all = ChangeFeed.read(spark, feed)
+      .select("id", "change", "version").as[(Long, String, Long)]
+      .collect().toSet
+    assert(all === (1 to 12).map(i => (i.toLong, "insert", i.toLong)).toSet)
+  }
+
   test("new commits extend the feed from the cursor, old dirs untouched") {
     val root = tmp()
     val t = mkTable(root)

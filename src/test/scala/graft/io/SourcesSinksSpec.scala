@@ -99,4 +99,31 @@ class SourcesSinksSpec extends SparkSpec {
     assert(Sinks.readText(spark, s"$root/wm.txt") === Some("2024-01-01T00:00:00Z"))
     assert(Sinks.readText(spark, s"$root/nope.txt") === None)
   }
+
+  test("parquetRowGroups: a SINGLE file carries parallel scan work; default is one task") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_rg").toString
+    val df = spark.range(120000)
+      .select(col("id"), concat(lit("padpadpadpadpadpad-"), col("id")).as("s"))
+      .coalesce(1)
+    Sinks.parquetRowGroups(df, s"$root/rg", 64 * 1024)
+    Sinks.parquet(df, s"$root/plain")
+    // parquet splits at ROW-GROUP boundaries: with byte-ranged input
+    // splits, only ranges containing a row-group start produce rows —
+    // the default 128 MB block leaves ONE working task per small file
+    // (the BASELINE q08 layout finding), small row groups fan it out
+    def workingTasks(path: String): Long = {
+      val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (256 * 1024).toString)
+      try spark.read.parquet(path).rdd
+        .mapPartitions(it => Iterator(if (it.hasNext) 1L else 0L)).sum().toLong
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    }
+    val rg = workingTasks(s"$root/rg")
+    val plain = workingTasks(s"$root/plain")
+    assert(plain === 1L, s"default single file should be one working task, got $plain")
+    assert(rg > 4L, s"row-grouped single file should split, got $rg working tasks")
+    // content identical either way
+    assert(spark.read.parquet(s"$root/rg").count() === 120000L)
+  }
 }

@@ -267,6 +267,45 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft.t15 VERSION AS OF 'no-such-ref'").collect() }
   }
 
+  test("session-pinned cuts: SQL reads resolve at the published cut, never mixed") {
+    import graft.io.MultiTable
+    val data = s"$root/cut_data"
+    val idx = s"$root/cut_idx"
+    def slice(a: Int, b: Int) = (a to b).map(x => (x.toLong, x * 2L)).toDF("id", "m")
+    def reindex(): Unit = Snapshots.commitAppend(
+      Seq((Snapshots.readAt(spark, data).count(),
+        Snapshots.currentVersion(spark, data))).toDF("n_docs", "data_version")
+        .coalesce(1), idx, recordSchema = true)
+    Snapshots.commitAppend(slice(1, 10).coalesce(1), data, recordSchema = true)
+    reindex()
+    MultiTable.publish(spark, s"$root/cut_ledger", Map("cut_data" -> 1L, "cut_idx" -> 1L))
+    Snapshots.commitAppend(slice(11, 20).coalesce(1), data)
+    reindex()
+    MultiTable.publish(spark, s"$root/cut_ledger", Map("cut_data" -> 2L, "cut_idx" -> 2L))
+    // a THIRD data commit lands WITHOUT a publish — the classic race
+    Snapshots.commitAppend(slice(21, 30).coalesce(1), data)
+    spark.sql("SET spark.graft.cut.graft = cut_ledger")
+    try {
+      // pinned reads: both members at cut 2 — stale-but-consistent
+      assert(spark.sql("SELECT count(*) AS n FROM graft.cut_data").as[Long].head() === 20L)
+      assert(spark.sql(
+        "SELECT n_docs, data_version FROM graft.cut_idx ORDER BY data_version DESC LIMIT 1")
+        .as[(Long, Long)].head() === ((20L, 2L)))
+      // a historical cut replays forever
+      spark.sql("SET spark.graft.cut.graft = cut_ledger@1")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.cut_data").as[Long].head() === 10L)
+      // explicit AS OF names its own snapshot — bypasses the pin
+      assert(spark.sql("SELECT count(*) AS n FROM graft.cut_data VERSION AS OF 3")
+        .as[Long].head() === 30L)
+      // a non-member read while pinned refuses (consistent would be a lie)
+      val e = intercept[Exception] {
+        spark.sql("SELECT count(*) AS n FROM graft.t1").collect() }
+      assert(e.getMessage.contains("not a member"), e.getMessage)
+    } finally spark.sql("RESET spark.graft.cut.graft")
+    // unpinned: ordinary current-version read sees the unpublished chunk
+    assert(spark.sql("SELECT count(*) AS n FROM graft.cut_data").as[Long].head() === 30L)
+  }
+
   test("LIKE 'p%' pruning never false-negatives on a U+FFFF-bearing min") {
     val t = s"$root/t16"
     // file 1's MIN itself starts with 'p' but sorts ABOVE 'p'+U+FFFF —
