@@ -434,6 +434,33 @@ object Snapshots {
     out.toSeq
   }
 
+  /** The manifest files whose "stat" lines cover everything live at
+    * `version`: commits ≤ version plus the newest checkpoint ≤ version
+    * (exactly [[fileStats]]'s sources) — for the DISTRIBUTED verdict
+    * path ([[graft.sql.GraftScan]]), which reads them as a Spark text
+    * job instead of a driver replay. */
+  def statSourceManifests(spark: SparkSession, table: String,
+                          version: Option[Long] = None): Seq[String] = {
+    val v = version.getOrElse(currentVersion(spark, table))
+    versions(spark, table).filter(_ <= v)
+      .map(c => f"${manifestDir(table)}/v$c%010d.json") ++
+      checkpointVersions(spark, table).filter(_ <= v).sorted.lastOption
+        .map(c => f"${manifestDir(table)}/c$c%010d.json")
+  }
+
+  /** Parse one manifest line into its [[FileStat]] if it is a "stat"
+    * line (None otherwise) — executor-safe (pure string work), the
+    * per-line unit of the distributed verdict path. Duplicate stats are
+    * the caller's non-problem: stats are immutable per (path, column). */
+  def parseStatLine(line: String): Option[FileStat] =
+    parseLine(line) match {
+      case Some(("stat", payload)) => payload.split(StatSep, 5) match {
+        case Array(p, cl, dt, lo, hi) => Some(FileStat(p, cl, dt, lo, hi))
+        case _                        => None
+      }
+      case _ => None
+    }
+
   private def checkpointVersions(spark: SparkSession, table: String): Seq[Long] = {
     val f = fs(spark, table)
     val dir = new Path(manifestDir(table))

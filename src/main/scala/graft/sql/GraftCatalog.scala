@@ -625,6 +625,57 @@ object GraftScan {
     case d: BigDecimal            => Some(d.toString)
     case _                        => None
   }
+
+  private def intersects(st: Snapshots.FileStat, lo: String, hi: String): Boolean =
+    (Snapshots.statCompare(st.dtype, st.min, hi),
+      Snapshots.statCompare(st.dtype, st.max, lo)) match {
+      case (Some(minVsHi), Some(maxVsLo)) => !(minVsHi > 0 || maxVsLo < 0)
+      case _                              => true
+    }
+
+  /** Can a file with these zone maps hold a row matching `f`? Missing
+    * stats and un-encodable literals are conservatively true. Static and
+    * closure-clean on purpose: the distributed verdict path evaluates
+    * this per file ON EXECUTORS ([[GraftRelation.buildScan]]). */
+  def mayMatch(stats: Map[String, Snapshots.FileStat], f: Filter): Boolean = {
+    def cmpToMax(a: String, v: Any): Option[Int] = for {
+      st <- stats.get(a); e <- GraftScan.enc(v)
+      c <- Snapshots.statCompare(st.dtype, st.max, e)
+    } yield c
+    def cmpToMin(a: String, v: Any): Option[Int] = for {
+      st <- stats.get(a); e <- GraftScan.enc(v)
+      c <- Snapshots.statCompare(st.dtype, st.min, e)
+    } yield c
+    f match {
+      case EqualTo(a, v) =>
+        (stats.get(a), GraftScan.enc(v)) match {
+          case (Some(st), Some(e)) => intersects(st, e, e)
+          case _                   => true
+        }
+      case In(a, vs) =>
+        val es = vs.toSeq.filter(_ != null).flatMap(GraftScan.enc(_))
+        if (es.size != vs.count(_ != null)) true
+        else stats.get(a) match {
+          case Some(st) => es.exists(e => intersects(st, e, e))
+          case None     => true
+        }
+      case GreaterThan(a, v)        => cmpToMax(a, v).forall(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmpToMax(a, v).forall(_ >= 0)
+      case LessThan(a, v)           => cmpToMin(a, v).forall(_ < 0)
+      case LessThanOrEqual(a, v)    => cmpToMin(a, v).forall(_ <= 0)
+      // exact prefix bound: a file may hold a p-prefixed row iff its max
+      // reaches p AND its min's own p-length prefix does not sort above p.
+      // (The tempting `st.min <= p + '\uffff'` bound falsely prunes a file
+      // whose min itself starts with p but contains U+FFFF right after
+      // the prefix — pruning must never have false negatives.)
+      case StringStartsWith(a, p) =>
+        stats.get(a).forall(st => st.dtype != "string" ||
+          (st.max >= p && st.min.take(p.length) <= p))
+      case And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
+      case Or(l, r)  => mayMatch(stats, l) || mayMatch(stats, r)
+      case _         => true
+    }
+  }
 }
 
 /** The V1 fallback relation: builds the pruned, dv-resolved DataFrame and
@@ -645,13 +696,45 @@ final class GraftRelation(ctx: SQLContext, table: GraftTable,
     val v = table.pinnedVersion
     val live = Snapshots.liveFiles(spark, table.path, Some(v))
     // zone-map verdict per file: every filter must be satisfiable by the
-    // file's recorded [min,max]; files without a stat stay candidates
-    val statsByFile = Snapshots.fileStats(spark, table.path, Some(v))
-      .groupBy(_.path).map { case (p, xs) => p -> xs.map(st => st.column -> st).toMap }
-    var candidates = live.filter { p =>
-      val stats = statsByFile.getOrElse(p, Map.empty)
-      filters.forall(mayMatch(stats, _))
-    }
+    // file's recorded [min,max]; files without a stat stay candidates.
+    // Two evaluation paths, same verdicts:
+    //  - DRIVER (default below the threshold): replay stats, loop. Fine
+    //    to tens of thousands of files; O(files × stats × filters).
+    //  - DISTRIBUTED (at manifest scale): the manifests themselves are
+    //    read as a Spark text job, stat lines parse and fold to verdicts
+    //    per file ON EXECUTORS, and only pruned-file names return —
+    //    driver work stays O(live set), flat in stats × filters
+    //    (ProbeScanStats measures the crossover).
+    val threshold = spark.conf
+      .getOption("spark.graft.scan.statsDistributeThreshold")
+      .map(_.toInt).getOrElse(20000)
+    var candidates =
+      if (filters.isEmpty) live
+      else if (live.size < threshold) {
+        val statsByFile = Snapshots.fileStats(spark, table.path, Some(v))
+          .groupBy(_.path).map { case (p, xs) => p -> xs.map(st => st.column -> st).toMap }
+        live.filter { p =>
+          val stats = statsByFile.getOrElse(p, Map.empty)
+          filters.forall(GraftScan.mayMatch(stats, _))
+        }
+      } else {
+        import spark.implicits._
+        val fs = filters // closure-clean copy (v1 Filters are serializable)
+        val liveSet = spark.sparkContext.broadcast(live.toSet)
+        val sources = Snapshots.statSourceManifests(spark, table.path, Some(v))
+        // stats are immutable per (path, column): any duplicate wins, so
+        // the executor-side fold needs no ordered replay
+        val pruned = spark.read.textFile(sources: _*)
+          .flatMap(Snapshots.parseStatLine)
+          .filter(st => liveSet.value(st.path))
+          .groupByKey(_.path)
+          .mapGroups { (p, sts) =>
+            val m = sts.map(st => st.column -> st).toMap
+            (p, fs.forall(GraftScan.mayMatch(m, _)))
+          }
+          .filter(!_._2).map(_._1).collect().toSet // O(pruned) to the driver
+        live.filterNot(pruned)
+      }
     // bloom sidecar probes for top-level point predicates (EqualTo / In)
     val bloomCols = {
       val sidecars = Snapshots.liveBloomFiles(spark, table.path, Some(v))
@@ -689,53 +772,6 @@ final class GraftRelation(ctx: SQLContext, table: GraftTable,
     limit.map(projected.limit).getOrElse(projected).rdd
   }
 
-  private def intersects(st: Snapshots.FileStat, lo: String, hi: String): Boolean =
-    (Snapshots.statCompare(st.dtype, st.min, hi),
-      Snapshots.statCompare(st.dtype, st.max, lo)) match {
-      case (Some(minVsHi), Some(maxVsLo)) => !(minVsHi > 0 || maxVsLo < 0)
-      case _                              => true
-    }
 
-  /** Can a file with these zone maps hold a row matching `f`? Missing
-    * stats and un-encodable literals are conservatively true. */
-  private def mayMatch(stats: Map[String, Snapshots.FileStat], f: Filter): Boolean = {
-    def cmpToMax(a: String, v: Any): Option[Int] = for {
-      st <- stats.get(a); e <- GraftScan.enc(v)
-      c <- Snapshots.statCompare(st.dtype, st.max, e)
-    } yield c
-    def cmpToMin(a: String, v: Any): Option[Int] = for {
-      st <- stats.get(a); e <- GraftScan.enc(v)
-      c <- Snapshots.statCompare(st.dtype, st.min, e)
-    } yield c
-    f match {
-      case EqualTo(a, v) =>
-        (stats.get(a), GraftScan.enc(v)) match {
-          case (Some(st), Some(e)) => intersects(st, e, e)
-          case _                   => true
-        }
-      case In(a, vs) =>
-        val es = vs.toSeq.filter(_ != null).flatMap(GraftScan.enc(_))
-        if (es.size != vs.count(_ != null)) true
-        else stats.get(a) match {
-          case Some(st) => es.exists(e => intersects(st, e, e))
-          case None     => true
-        }
-      case GreaterThan(a, v)        => cmpToMax(a, v).forall(_ > 0)
-      case GreaterThanOrEqual(a, v) => cmpToMax(a, v).forall(_ >= 0)
-      case LessThan(a, v)           => cmpToMin(a, v).forall(_ < 0)
-      case LessThanOrEqual(a, v)    => cmpToMin(a, v).forall(_ <= 0)
-      // exact prefix bound: a file may hold a p-prefixed row iff its max
-      // reaches p AND its min's own p-length prefix does not sort above p.
-      // (The tempting `st.min <= p + '￿'` bound falsely prunes a file
-      // whose min itself starts with p but contains U+FFFF right after
-      // the prefix — pruning must never have false negatives.)
-      case StringStartsWith(a, p) =>
-        stats.get(a).forall(st => st.dtype != "string" ||
-          (st.max >= p && st.min.take(p.length) <= p))
-      case And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
-      case Or(l, r)  => mayMatch(stats, l) || mayMatch(stats, r)
-      case _         => true
-    }
-  }
 
 }

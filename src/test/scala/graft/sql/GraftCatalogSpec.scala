@@ -306,6 +306,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM graft.cut_data").as[Long].head() === 30L)
   }
 
+  test("distributed stats verdicts equal the driver path's (threshold forced to 1)") {
+    mkSliced("t17")
+    def run(): (Seq[(Long, Long)], Int) = {
+      GraftScanInfo.last = None
+      val rows = spark.sql(
+        "SELECT id, m FROM graft.t17 WHERE id BETWEEN 15 AND 18 ORDER BY id")
+        .as[(Long, Long)].collect().toSeq
+      (rows, GraftScanInfo.last.get.candidates)
+    }
+    val (r1, c1) = run() // driver path (4 files, far below the threshold)
+    spark.conf.set("spark.graft.scan.statsDistributeThreshold", "1")
+    try {
+      val (r2, c2) = run() // manifests read as a Spark job, verdicts on executors
+      assert(r2 === r1 && c2 === c1, s"driver=($r1,$c1) distributed=($r2,$c2)")
+      assert(c1 === 1) // and the pruning is real either way
+      // point + prefix predicates take the same path
+      assert(spark.sql("SELECT count(*) AS n FROM graft.t17 WHERE id = 7")
+        .as[Long].head() === 1L)
+    } finally spark.conf.unset("spark.graft.scan.statsDistributeThreshold")
+  }
+
   test("LIKE 'p%' pruning never false-negatives on a U+FFFF-bearing min") {
     val t = s"$root/t16"
     // file 1's MIN itself starts with 'p' but sorts ABOVE 'p'+U+FFFF —
