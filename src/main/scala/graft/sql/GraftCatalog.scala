@@ -405,6 +405,38 @@ object GraftTable {
     }
     ()
   }
+
+  /** Replace the table's content with `df` as ONE swap commit (new files
+    * in; the resolved version's live data + dvs + bloom sidecars out)
+    * under optimistic concurrency with re-resolve retries — the INSERT
+    * OVERWRITE machinery, shared with the full-sync MERGE
+    * ([[GraftMergeCommand]]). Pre-overwrite versions keep time-traveling;
+    * orphan dirs from lost races are vacuum food. */
+  def overwrite(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val v = Snapshots.currentVersion(spark, path)
+      val removes = Snapshots.liveFiles(spark, path, Some(v)) ++
+        Snapshots.liveDvFiles(spark, path, Some(v)) ++
+        Snapshots.liveBloomFiles(spark, path, Some(v))
+      val dir = s"$path/data/${java.util.UUID.randomUUID()}"
+      df.write.parquet(dir)
+      val p = new Path(dir)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts = f.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString)
+      try {
+        Snapshots.commit(spark, path, adds = parts,
+          removes = removes, baseVersion = Some(v))
+        done = true
+      } catch {
+        case _: Snapshots.ConcurrentCommitException if attempts < 20 =>
+          attempts += 1 // re-resolve; the orphan dir is vacuum food
+      }
+    }
+  }
 }
 
 /** INSERT INTO = one transactional append commit ([[Snapshots
@@ -429,31 +461,7 @@ final class GraftWriteBuilder(table: GraftTable)
           val cols = table.schema.fieldNames.toIndexedSeq
           val df = data.toDF(cols: _*) // positional, the INSERT contract
           if (!(overwrite || ovr)) Snapshots.commitAppend(df, table.path)
-          else {
-            var attempts = 0
-            var done = false
-            while (!done) {
-              val v = Snapshots.currentVersion(spark, table.path)
-              val removes = Snapshots.liveFiles(spark, table.path, Some(v)) ++
-                Snapshots.liveDvFiles(spark, table.path, Some(v)) ++
-                Snapshots.liveBloomFiles(spark, table.path, Some(v))
-              val dir = s"${table.path}/data/${java.util.UUID.randomUUID()}"
-              df.write.parquet(dir)
-              val p = new Path(dir)
-              val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              val parts = f.listStatus(p).toSeq
-                .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-                .map(_.getPath.toString)
-              try {
-                Snapshots.commit(spark, table.path, adds = parts,
-                  removes = removes, baseVersion = Some(v))
-                done = true
-              } catch {
-                case _: Snapshots.ConcurrentCommitException if attempts < 20 =>
-                  attempts += 1 // re-resolve; the orphan dir is vacuum food
-              }
-            }
-          }
+          else GraftTable.overwrite(spark, table.path, df)
         }
       }
   }

@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, AttributeSet, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -211,10 +211,21 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         if graftTarget(target).isDefined && target.resolved &&
           source.resolved && cond.resolved =>
       val t = graftTarget(target).get
-      if (bySource.nonEmpty) throw new UnsupportedOperationException(
-        "WHEN NOT MATCHED BY SOURCE is not supported on graft tables " +
-          "(the keyed merge never touches source-absent rows by design); " +
-          "use UPDATE/DELETE for target-side sweeps")
+      // WHEN NOT MATCHED BY SOURCE THEN DELETE is accepted ONLY in the
+      // full-sync triple (UPDATE SET * + INSERT * + BY SOURCE DELETE):
+      // matched rows come from the source, unmatched targets drop,
+      // unmatched sources insert — the result IS the source, so the
+      // statement maps to one overwrite swap commit. Any other BY SOURCE
+      // combination has no mapping onto the keyed-merge algebra.
+      val fullSync = bySource match {
+        case Seq() => false
+        case Seq(d: DeleteAction) if d.condition.isEmpty => true
+        case other => throw new UnsupportedOperationException(
+          s"graft MERGE supports WHEN NOT MATCHED BY SOURCE only as an " +
+            s"unconditioned DELETE in the full-sync triple (UPDATE SET * / " +
+            s"INSERT * / BY SOURCE DELETE), got $other; " +
+            "use UPDATE/DELETE for target-side sweeps")
+      }
       if (m.withSchemaEvolution) throw new UnsupportedOperationException(
         "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables; " +
           "ALTER TABLE ADD COLUMNS first, then MERGE")
@@ -253,8 +264,14 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       }
       if (!doesUpdate && !doesInsert) throw new UnsupportedOperationException(
         "MERGE needs WHEN MATCHED THEN UPDATE and/or WHEN NOT MATCHED THEN INSERT")
+      if (fullSync && !(doesUpdate && doesInsert))
+        throw new UnsupportedOperationException(
+          "WHEN NOT MATCHED BY SOURCE THEN DELETE needs the full-sync " +
+            "triple: add WHEN MATCHED THEN UPDATE SET * and " +
+            "WHEN NOT MATCHED THEN INSERT *")
       val mode =
-        if (doesUpdate && doesInsert) "both"
+        if (fullSync) "full_sync"
+        else if (doesUpdate && doesInsert) "both"
         else if (doesUpdate) "matched_only"
         else "insert_only"
       GraftMergeCommand(t.path, source, keys, mode)
@@ -340,6 +357,11 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
       s"MERGE source has duplicate keys (${keys.mkString(", ")} = " +
         s"${dups.head.toSeq.init.mkString(",")}): a target row would be " +
         "updated twice (standard SQL MERGE cardinality violation)")
+    if (mode == "full_sync") {
+      // t := source, one swap commit (retries live inside overwrite)
+      GraftTable.overwrite(spark, path, up0)
+      return Seq.empty
+    }
     GraftDmlRetry.retry {
       val up = mode match {
         case "both" => up0

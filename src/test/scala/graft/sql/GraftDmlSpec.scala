@@ -111,6 +111,30 @@ class GraftDmlSpec extends SparkSpec {
     assert(Snapshots.currentVersion(spark, t) === 5L)
   }
 
+  test("MERGE full-sync triple (BY SOURCE DELETE) makes the table equal the source") {
+    val t = mk("m4")
+    Seq((11L, "sync", 1L), (99L, "sync", 2L)).toDF("id", "src", "m")
+      .createOrReplaceTempView("m4_src")
+    spark.sql("""MERGE INTO gd.m4 t USING m4_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *
+                 WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(Snapshots.currentVersion(spark, t) === 5L) // ONE swap commit
+    assert(spark.sql("SELECT id, src, m FROM gd.m4 ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq ===
+      Seq((11L, "sync", 1L), (99L, "sync", 2L)))
+    // pre-sync versions keep time-traveling (swap, never delete)
+    assert(spark.sql("SELECT count(*) AS n FROM gd.m4 VERSION AS OF 4")
+      .as[Long].head() === 40L)
+    // BY SOURCE outside the full triple refuses with the triple named
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO gd.m4 t USING m4_src s ON t.id = s.id
+                   WHEN MATCHED THEN UPDATE SET *
+                   WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    }
+    assert(e.getMessage.contains("full-sync"), e.getMessage)
+  }
+
   test("refusals are loud and name the rewrite: dup keys, conditioned actions, subqueries") {
     mk("r1")
     Seq((11L, "a", 1L), (11L, "b", 2L)).toDF("id", "src", "m")
