@@ -469,11 +469,22 @@ final class GraftWriteBuilder(table: GraftTable)
 
 /** Last-scan observability for specs and EXPLAIN-side auditing: how many
   * live files the manifest metadata kept vs pruned for the most recent
-  * catalog scan build. Debug surface only — never read on a query path. */
+  * catalog scan build. Debug surface only — never read on a query path.
+  *
+  * THREAD-LOCAL first, volatile global as fallback: a scan records into
+  * both, a reader prefers its own thread's record — so concurrent SQL
+  * sessions don't clobber each other's observations, while the
+  * write-on-one-thread / read-on-another case (rare: V1 buildScan runs
+  * on the collecting thread) still resolves through the global. */
 object GraftScanInfo {
   final case class Info(table: String, version: Long,
                         candidates: Int, total: Int, pushed: Seq[String])
-  @volatile var last: Option[Info] = None
+  private val tl = new ThreadLocal[Option[Info]] {
+    override def initialValue(): Option[Info] = None
+  }
+  @volatile private var global: Option[Info] = None
+  def last: Option[Info] = tl.get().orElse(global)
+  def last_=(v: Option[Info]): Unit = { tl.set(v); global = v }
 }
 
 final class GraftScanBuilder(table: GraftTable)

@@ -1,5 +1,7 @@
 package graft.sql
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import graft.io.Snapshots
 import org.apache.spark.sql.functions._
@@ -133,6 +135,29 @@ class GraftDmlSpec extends SparkSpec {
                    WHEN NOT MATCHED BY SOURCE THEN DELETE""")
     }
     assert(e.getMessage.contains("full-sync"), e.getMessage)
+  }
+
+  test("concurrent SQL writers serialize through optimistic retry — no lost update") {
+    val t = mk("c1")
+    // two threads, five UPDATEs each, disjoint id ranges: every commit
+    // races the other thread's and must re-derive + retry, never drop
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(1L, 21L).map { lo =>
+      new Thread(() => {
+        try (0 until 5).foreach { _ =>
+          spark.sql(s"UPDATE gd.c1 SET m = m + 1 WHERE id BETWEEN $lo AND ${lo + 9}")
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.asScala.map(_.getMessage).mkString("; "))
+    // all ten commits landed (4 staged appends + 10 updates)
+    assert(Snapshots.currentVersion(spark, t) === 14L)
+    val got = spark.sql(
+      "SELECT sum(m) AS s FROM gd.c1 WHERE id BETWEEN 1 AND 10 OR id BETWEEN 21 AND 30")
+      .as[Long].head()
+    val want = ((1L to 10L) ++ (21L to 30L)).map(_ * 2 + 5).sum
+    assert(got === want, "every UPDATE survived the races")
   }
 
   test("refusals are loud and name the rewrite: dup keys, conditioned actions, subqueries") {
