@@ -251,6 +251,24 @@ object Snapshots {
     val f = fs(spark, table)
     f.mkdirs(new Path(manifestDir(table)))
     val next = baseVersion.getOrElse(currentVersion(spark, table)) + 1
+    // every added data file gets a __bytes stat recorded AT COMMIT TIME
+    // (one listStatus per write dir — writers put a commit's parts in one
+    // directory, so this is ~1 metadata RPC, the Iceberg file-size-in-
+    // manifest contract). The SQL scan's SupportsReportStatistics sums
+    // these so join planning sees real sizes (auto-broadcast of small
+    // tables) without touching data files. A missing listing entry just
+    // skips the stat — sizes are an estimate surface, never correctness.
+    val sizeStats: Seq[FileStat] =
+      adds.groupBy(p => new Path(p).getParent).toSeq.flatMap { case (dir, ps) =>
+        val byName = ps.map(p => new Path(p).getName -> p).toMap
+        try f.listStatus(dir).toSeq
+          .filter(s => s.isFile && byName.contains(s.getPath.getName))
+          .map { s =>
+            val len = s.getLen.toString
+            FileStat(byName(s.getPath.getName), BytesStat, "bigint", len, len)
+          }
+        catch { case _: java.io.IOException => Nil }
+      }
     // the schema/stat/note lines reuse the (a, p) line shape; liveFiles'
     // add/remove match ignores them, referencedFiles treats the payloads
     // as never-matching "paths" — both harmless by construction. Stat
@@ -274,7 +292,7 @@ object Snapshots {
         removes.map(p => s"""{"a":"remove","p":${jq(p)}}""") ++
         dvAdds.map(p => s"""{"a":"dv","p":${jq(p)}}""") ++
         bloomAdds.map(p => s"""{"a":"bloom","p":${jq(p)}}""") ++
-        stats.map(st => s"""{"a":"stat","p":${jq(
+        (stats ++ sizeStats).map(st => s"""{"a":"stat","p":${jq(
           Seq(st.path, st.column, st.dtype, st.min, st.max).mkString(StatSep))}}""") ++
         notes.map(s => s"""{"a":"note","p":${jq(s)}}""") ++
         // TABLE PROPERTIES ride the same line shape: a "prop" payload of
@@ -305,6 +323,18 @@ object Snapshots {
     * (computeStats is called with schema column names). */
   val RowsStat = "__rows"
 
+  /** Reserved stat "column" carrying a file's exact ON-DISK BYTE SIZE
+    * (min = max = length, dtype bigint), recorded by [[commit]] for every
+    * added data file. Powers the SQL catalog's `SupportsReportStatistics`
+    * (pruned-candidate byte sums → real broadcast decisions) the way
+    * Iceberg manifests carry `file_size_in_bytes`. Same non-collision
+    * argument as [[RowsStat]]. */
+  val BytesStat = "__bytes"
+
+  /** Stat pseudo-columns that are NOT schema columns — never legal
+    * inputs to [[computeStats]]'s min/max scan. */
+  def reservedStat(c: String): Boolean = c == RowsStat || c == BytesStat
+
   def commitAppend(df: DataFrame, table: String,
                    recordSchema: Boolean = false,
                    statsCols: Seq[String] = Nil,
@@ -327,8 +357,8 @@ object Snapshots {
   /** Per-file exact row counts over a freshly written dir — one
     * input_file_name-grouped count, collected at O(#files) like
     * [[computeStats]]. */
-  private def rowCountStats(spark: SparkSession, dir: String,
-                            parts: Seq[String]): Seq[FileStat] = {
+  private[graft] def rowCountStats(spark: SparkSession, dir: String,
+                                   parts: Seq[String]): Seq[FileStat] = {
     import org.apache.spark.sql.functions.{count, input_file_name, lit}
     if (parts.isEmpty) return Nil
     val byName = parts.map(p => new Path(p).getName -> p).toMap
@@ -371,9 +401,9 @@ object Snapshots {
     * name: Spark part names embed the write job's UUID, so they are
     * unique across the table's lifetime. All-null files emit no stat
     * (conservatively unprunable). */
-  private def computeStats(spark: SparkSession, dir: String,
-                           parts: Seq[String],
-                           statsCols: Seq[String]): Seq[FileStat] = {
+  private[graft] def computeStats(spark: SparkSession, dir: String,
+                                  parts: Seq[String],
+                                  statsCols: Seq[String]): Seq[FileStat] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     if (statsCols.isEmpty || parts.isEmpty) return Nil
     val raw = spark.read.parquet(dir)
@@ -768,8 +798,15 @@ object Snapshots {
       if (touched.isEmpty) up
       else up.unionByName(
         applyDv(spark, table, Some(v), read(touched)).join(keySet, keys, "left_anti"))
-    val statCols = (fileStats(spark, table, Some(v))
-      .filter(st => touched.contains(st.path)).map(_.column) ++ statsCols).distinct
+    // reserved pseudo-columns (__rows/__bytes) are not schema columns:
+    // bytes re-record inside commit() itself; row counts recompute below
+    // iff the touched files carried them (fastCount stays metadata-only
+    // across upserts)
+    val touchedStats = fileStats(spark, table, Some(v))
+      .filter(st => touched.contains(st.path))
+    val statCols = (touchedStats.map(_.column)
+      .filterNot(reservedStat) ++ statsCols).distinct
+    val keepRowCounts = touchedStats.exists(_.column == RowsStat)
     val dir = s"$table/data/merge-${java.util.UUID.randomUUID().toString}"
     out.write.parquet(dir)
     val f = fs(spark, table)
@@ -791,7 +828,8 @@ object Snapshots {
       }
     val version = commit(spark, table, adds = parts,
       removes = touched ++ dvLive, baseVersion = Some(v),
-      stats = computeStats(spark, dir, parts, statCols),
+      stats = computeStats(spark, dir, parts, statCols) ++
+        (if (keepRowCounts) rowCountStats(spark, dir, parts) else Nil),
       notes = note.toSeq ++ extraNotes, dvAdds = dvParts)
     DeleteResult(version, touched, live.size - touched.size)
   }
@@ -829,8 +867,12 @@ object Snapshots {
     if (touched.isEmpty) return DeleteResult(v, Nil, live.size)
     // which columns carried zone maps on the touched files → recompute
     // them for the rewritten files so future mutations keep pruning
-    val statCols = fileStats(spark, table, Some(v))
-      .filter(st => touched.contains(st.path)).map(_.column).distinct
+    // (reserved pseudo-stats excluded: bytes re-record in commit(), row
+    // counts recompute iff the touched files carried them)
+    val touchedStats = fileStats(spark, table, Some(v))
+      .filter(st => touched.contains(st.path))
+    val statCols = touchedStats.map(_.column).filterNot(reservedStat).distinct
+    val keepRowCounts = touchedStats.exists(_.column == RowsStat)
     val dir = s"$table/data/$kind-${java.util.UUID.randomUUID().toString}"
     // ghosts drop from the rewritten files too (the dv stays live for the
     // untouched files — suppressing an already-absent key is a no-op)
@@ -841,7 +883,8 @@ object Snapshots {
       .map(_.getPath.toString)
     val version = commit(spark, table, adds = parts, removes = touched,
       baseVersion = Some(v),
-      stats = computeStats(spark, dir, parts, statCols))
+      stats = computeStats(spark, dir, parts, statCols) ++
+        (if (keepRowCounts) rowCountStats(spark, dir, parts) else Nil))
     DeleteResult(version, touched, live.size - touched.size)
   }
 

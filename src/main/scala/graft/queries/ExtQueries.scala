@@ -3228,7 +3228,8 @@ object ExtQueries {
     x126Spec, x127Spec, x128Spec, st23Spec, st24Spec,
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
-    x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec)
+    x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
+    x145Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -7217,4 +7218,136 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS asof_bypass
            |FROM documents, w WHERE doc_id < 4 * w
            |GROUP BY source ORDER BY source""".stripMargin))
+
+  /** x144: JOIN PLANNING FROM MANIFEST STATISTICS — the missing half of
+    * pushdown. Every commit records `__bytes` (and here `__rows`) per
+    * data file; the catalog scan reports them through
+    * `SupportsReportStatistics`, carried across the V1 pushdown boundary
+    * by [[org.apache.spark.sql.graft.StatsV1ScanWrapper]] (without it a
+    * DSv2 relation reports defaultSizeInBytes ≈ 8 EiB and NOTHING ever
+    * auto-broadcasts). A documents fact table (3 append commits) joins a
+    * tiny derived dim through plain SQL with NO hint: `bcast_ok` pins
+    * that the planner chose BroadcastHashJoin from the reported sizes,
+    * `stats_ok` pins that both optimized leaves carry manifest-sized
+    * estimates (< 1 GiB, i.e. not the default). At 100 TB this is the
+    * difference between shuffling the fact table and shipping a 26 KB
+    * dim to every executor. The oracle replays the join algebra (dim is
+    * a function of `source`, so it folds to a GROUP BY). */
+  private def x144Spec: QuerySpec =
+    QuerySpec("x144_sql_join_stats",
+      (s, d) => {
+        import graft.io.Snapshots
+        val staged = Staging.dir("sqlstats", d) { tmp =>
+          val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+          val w = docs.agg(max(col("doc_id"))).first().getLong(0) / 3 + 1
+          (0 until 3).foreach { i =>
+            Snapshots.commitAppend(
+              docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w),
+              s"$tmp/fact", recordSchema = i == 0, statsCols = Seq("doc_id"),
+              recordRowCounts = true)
+          }
+          Snapshots.commitAppend(
+            docs.select(col("source")).distinct()
+              .withColumn("category", concat(lit("cat_"), col("source")))
+              .coalesce(1),
+            s"$tmp/dim", recordSchema = true)
+        }
+        val cat = s"graft_${staged.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", staged)
+        val q = s.sql(
+          s"""SELECT d.category, count(*) AS n_docs,
+             |       CAST(sum(f.n_chars) AS BIGINT) AS sum_chars
+             |FROM $cat.fact f JOIN $cat.dim d ON f.source = d.source
+             |GROUP BY d.category""".stripMargin)
+        val leafSizes = q.queryExecution.optimizedPlan.collectLeaves().collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.stats.sizeInBytes
+        }
+        val statsOk = leafSizes.size == 2 && leafSizes.forall(_ < BigInt(1L << 30))
+        val bcastOk = q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+        q.withColumn("bcast_ok", lit(if (bcastOk) 1L else 0L))
+          .withColumn("stats_ok", lit(if (statsOk) 1L else 0L))
+          .orderBy("category")
+      },
+      Some("""SELECT concat('cat_', source) AS category, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS bcast_ok, CAST(1 AS BIGINT) AS stats_ok
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** x145: HIDDEN PARTITIONING FROM SQL — `PARTITIONED BY` on a graft
+    * table is manifest-native write clustering ([[graft.sql.Clustering]]):
+    * CREATE records the spec as a transactional property, INSERT
+    * range-clusters rows and zone-maps the cluster columns, and the
+    * ordinary scan pruning serves PARTITION pruning with the predicate on
+    * the raw column — no directories, no LIST-per-partition, heals with
+    * one OPTIMIZE. Lifecycle: CREATE … PARTITIONED BY (source) → INSERT
+    * SELECT (clustered) → a one-source read whose `pruned_ok` pins that
+    * the SQL filter opened a strict subset of the live files → INSERT
+    * OVERWRITE (the layout and stats survive the swap — `ow_pruned_ok`)
+    * → final per-source rollup of the overwritten state. AQE file
+    * coalescing is disabled around the two writes so range files exist
+    * to prune at test scale (at real scale AQE's byte-sized partitions
+    * are exactly what you want). The oracle replays both write algebras
+    * directly on `documents`. */
+  private def x145Spec: QuerySpec =
+    QuerySpec("x145_sql_partitioned",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sqlpart_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        docs.createOrReplaceTempView("x145_docs")
+        val half = docs.agg(max(col("doc_id"))).first().getLong(0) / 2
+        s.sql(s"""CREATE TABLE $cat.pd (doc_id BIGINT, source STRING, n_chars BIGINT)
+                 |PARTITIONED BY (source)""".stripMargin)
+        val aqe = "spark.sql.adaptive.coalescePartitions.enabled"
+        val prev = s.conf.get(aqe)
+        try {
+          s.conf.set(aqe, "false")
+          s.sql(s"INSERT INTO $cat.pd SELECT doc_id, source, CAST(n_chars AS BIGINT) FROM x145_docs")
+          graft.sql.GraftScanInfo.last = None
+          val one = s.sql(s"""SELECT count(*) AS n_docs,
+                             |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                             |FROM $cat.pd WHERE source = 'src3'""".stripMargin)
+            .collect().head
+          val i1 = graft.sql.GraftScanInfo.last.get
+          val prunedOk = if (i1.candidates < i1.total) 1L else 0L
+          s.sql(s"""INSERT OVERWRITE $cat.pd
+                   |SELECT doc_id, source, CAST(n_chars AS BIGINT)
+                   |FROM x145_docs WHERE doc_id <= $half""".stripMargin)
+          graft.sql.GraftScanInfo.last = None
+          val two = s.sql(s"""SELECT count(*) AS n_docs,
+                             |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                             |FROM $cat.pd WHERE source = 'src3'""".stripMargin)
+            .collect().head
+          val i2 = graft.sql.GraftScanInfo.last.get
+          val owPrunedOk = if (i2.candidates < i2.total) 1L else 0L
+          s.sql(s"""SELECT source, count(*) AS n_docs,
+                   |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                   |FROM $cat.pd GROUP BY source""".stripMargin)
+            .withColumn("one_n", lit(one.getLong(0)))
+            .withColumn("one_chars", lit(one.getLong(1)))
+            .withColumn("ow_n", lit(two.getLong(0)))
+            .withColumn("ow_chars", lit(two.getLong(1)))
+            .withColumn("pruned_ok", lit(prunedOk))
+            .withColumn("ow_pruned_ok", lit(owPrunedOk))
+            .orderBy("source")
+        } finally s.conf.set(aqe, prev)
+      },
+      Some("""WITH half AS (SELECT max(doc_id) // 2 AS h FROM documents),
+           |one AS (SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS c
+           |        FROM documents WHERE source = 'src3'),
+           |ow AS (SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS c
+           |       FROM documents, half WHERE source = 'src3' AND doc_id <= h)
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       one.n AS one_n, one.c AS one_chars,
+           |       ow.n AS ow_n, ow.c AS ow_chars,
+           |       CAST(1 AS BIGINT) AS pruned_ok,
+           |       CAST(1 AS BIGINT) AS ow_pruned_ok
+           |FROM documents, half, one, ow WHERE doc_id <= h
+           |GROUP BY source, one.n, one.c, ow.n, ow.c
+           |ORDER BY source""".stripMargin))
 }

@@ -85,6 +85,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name needs spark.sql.catalog.$name.root = <tables dir>"))
+    // manifest statistics must survive the V1ScanWrapper pushdown boundary
+    // or join planning sees defaultSizeInBytes and never broadcasts a
+    // graft table — see [[org.apache.spark.sql.graft.StatsShim]]
+    org.apache.spark.sql.graft.StatsShim.register(SparkSession.active)
   }
 
   override def name(): String = catalogName
@@ -200,23 +204,26 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   /** CREATE TABLE (and therefore CTAS — Spark creates, then appends
     * through the V1 write path): version 1 is an empty, schema-stamped
     * commit, so the new table immediately reads as a typed empty frame
-    * and every later writer inherits the recorded schema. Directory
-    * partitioning is refused by design — layout is OPTIMIZE ZORDER +
-    * zone maps + bloom sidecars, the manifest-native clustering story. */
+    * and every later writer inherits the recorded schema.
+    * `PARTITIONED BY` becomes manifest-native write clustering
+    * ([[Clustering]]): identity and years/months/days/hours transforms
+    * record as the `write.cluster.by` property; writers range-cluster and
+    * zone-map on it, the scan prunes on it — hidden partitioning with no
+    * directory layout. */
   override def createTable(ident: Identifier,
                            columns: Array[org.apache.spark.sql.connector.catalog.Column],
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables cluster via OPTIMIZE ZORDER / zone maps, " +
-        "not directory partitioning — create without PARTITIONED BY")
     val path = tablePath(ident)
     if (exists(path))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     val schema = StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+    val clusterProp = Clustering.specOf(partitions, schema)
+      .map(Clustering.Prop -> Some(_))
     Snapshots.commit(spark, path, adds = Nil, schemaJson = Some(schema.json),
-      props = userProps(properties).toSeq.map { case (k, v) => k -> Some(v) })
+      props = userProps(properties).toSeq.map { case (k, v) =>
+        k -> Some(v) } ++ clusterProp)
     new GraftTable(path, ident.toString, Snapshots.currentVersion(spark, path))
   }
 
@@ -340,6 +347,13 @@ final class GraftTable(val path: String, ident: String, val pinnedVersion: Long)
     Snapshots.tableProperties(SparkSession.active, path,
       Some(pinnedVersion)).asJava
 
+  /** The recorded clustering spec as transforms (SHOW CREATE / DESCRIBE
+    * honesty; writes route through [[Clustering.forWrite]] regardless). */
+  override def partitioning(): Array[Transform] =
+    Snapshots.tableProperties(SparkSession.active, path, Some(pinnedVersion))
+      .get(Clustering.Prop).map(Clustering.transforms)
+      .getOrElse(Array.empty)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this)
 
@@ -413,6 +427,10 @@ object GraftTable {
     * ([[GraftMergeCommand]]). Pre-overwrite versions keep time-traveling;
     * orphan dirs from lost races are vacuum food. */
   def overwrite(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    // clustered tables keep their layout + zone maps across overwrites
+    // (an un-stat'd swap would silently turn pruning off until the next
+    // OPTIMIZE — the worst kind of regression at 100 TB)
+    val (clustered, statCols) = Clustering.forWrite(spark, path, df)
     var attempts = 0
     var done = false
     while (!done) {
@@ -421,7 +439,7 @@ object GraftTable {
         Snapshots.liveDvFiles(spark, path, Some(v)) ++
         Snapshots.liveBloomFiles(spark, path, Some(v))
       val dir = s"$path/data/${java.util.UUID.randomUUID()}"
-      df.write.parquet(dir)
+      clustered.write.parquet(dir)
       val p = new Path(dir)
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val parts = f.listStatus(p).toSeq
@@ -429,7 +447,10 @@ object GraftTable {
         .map(_.getPath.toString)
       try {
         Snapshots.commit(spark, path, adds = parts,
-          removes = removes, baseVersion = Some(v))
+          removes = removes, baseVersion = Some(v),
+          stats = Snapshots.computeStats(spark, dir, parts, statCols) ++
+            (if (statCols.nonEmpty) Snapshots.rowCountStats(spark, dir, parts)
+             else Nil))
         done = true
       } catch {
         case _: Snapshots.ConcurrentCommitException if attempts < 20 =>
@@ -460,8 +481,11 @@ final class GraftWriteBuilder(table: GraftTable)
           val spark = data.sparkSession
           val cols = table.schema.fieldNames.toIndexedSeq
           val df = data.toDF(cols: _*) // positional, the INSERT contract
-          if (!(overwrite || ovr)) Snapshots.commitAppend(df, table.path)
-          else GraftTable.overwrite(spark, table.path, df)
+          if (!(overwrite || ovr)) {
+            val (clustered, statCols) = Clustering.forWrite(spark, table.path, df)
+            Snapshots.commitAppend(clustered, table.path,
+              statsCols = statCols, recordRowCounts = statCols.nonEmpty)
+          } else GraftTable.overwrite(spark, table.path, df)
         }
       }
   }
@@ -576,9 +600,63 @@ final class GraftCountScan(table: GraftTable) extends V1Scan {
 
 final class GraftScan(table: GraftTable, required: StructType,
                       filters: Array[Filter],
-                      limit: Option[Int] = None) extends V1Scan {
+                      limit: Option[Int] = None) extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Manifest-derived plan statistics — the missing half of pushdown.
+    * Without this every DSv2 relation reports `defaultSizeInBytes`
+    * (≈`Long.MaxValue`), so a 2 MB dim table joined to a 100 TB fact
+    * table NEVER auto-broadcasts and Spark plans a full shuffle join.
+    * Bytes sum the `__bytes` stats [[graft.io.Snapshots.commit]] records
+    * per added file (the Iceberg `file_size_in_bytes` contract), rows sum
+    * `__rows` where recorded — both over the ZONE-MAP-SURVIVING candidate
+    * set, so a pushed `WHERE` shrinks the estimate exactly as far as it
+    * shrinks the scan. Metadata-only (one manifest replay, no data files
+    * opened), computed once per scan instance. Live deletion vectors make
+    * the row sum an upper bound — safe for planning, which only ever
+    * OVER-estimates from it. */
+  private lazy val v2Stats: org.apache.spark.sql.connector.read.Statistics = {
+    import java.util.OptionalLong
+    val spark = SparkSession.active
+    val v = table.pinnedVersion
+    val live = Snapshots.liveFiles(spark, table.path, Some(v))
+    val all = Snapshots.fileStats(spark, table.path, Some(v))
+    val pruneBy = GraftScan.encodeTemporal(filters,
+      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+    val candidates =
+      if (filters.isEmpty) live
+      else {
+        val byFile = all.filterNot(st => Snapshots.reservedStat(st.column))
+          .groupBy(_.path).map { case (p, xs) => p -> xs.map(st => st.column -> st).toMap }
+        live.filter { p =>
+          val st = byFile.getOrElse(p, Map.empty[String, Snapshots.FileStat])
+          pruneBy.forall(GraftScan.mayMatch(st, _))
+        }
+      }
+    val bytesByFile = all.filter(_.column == Snapshots.BytesStat)
+      .map(st => st.path -> st.min.toLong).toMap
+    val rowsByFile = all.filter(_.column == Snapshots.RowsStat)
+      .map(st => st.path -> st.min.toLong).toMap
+    val knownBytes = candidates.flatMap(bytesByFile.get)
+    val byteEst =
+      if (knownBytes.isEmpty) OptionalLong.empty()
+      else if (knownBytes.size == candidates.size) OptionalLong.of(knownBytes.sum)
+      else // legacy files predating __bytes: scale the known mean (estimate)
+        OptionalLong.of(knownBytes.sum / knownBytes.size * candidates.size)
+    val rows = candidates.flatMap(rowsByFile.get)
+    val rowEst =
+      if (rows.size == candidates.size && candidates.nonEmpty) OptionalLong.of(rows.sum)
+      else OptionalLong.empty()
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): OptionalLong = byteEst
+      override def numRows(): OptionalLong = rowEst
+    }
+  }
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    v2Stats
 
   override def description(): String =
     s"GraftScan ${table.path}@v${table.pinnedVersion} " +
@@ -593,18 +671,70 @@ final class GraftScan(table: GraftTable, required: StructType,
 
 object GraftScan {
   /** Filters the manifest metadata can act on (everything else passes
-    * through untouched — Spark re-evaluates it above the scan). */
+    * through untouched — Spark re-evaluates it above the scan). Temporal
+    * literals count: [[encodeTemporal]] canonicalizes them driver-side
+    * before any verdict runs. */
   def prunes(f: Filter): Boolean = f match {
-    case EqualTo(_, v)            => enc(v).isDefined
-    case In(_, vs)                => vs.forall(v => v == null || enc(v).isDefined)
-    case GreaterThan(_, v)        => enc(v).isDefined
-    case GreaterThanOrEqual(_, v) => enc(v).isDefined
-    case LessThan(_, v)           => enc(v).isDefined
-    case LessThanOrEqual(_, v)    => enc(v).isDefined
+    case EqualTo(_, v)            => encodable(v)
+    case In(_, vs)                => vs.forall(v => v == null || encodable(v))
+    case GreaterThan(_, v)        => encodable(v)
+    case GreaterThanOrEqual(_, v) => encodable(v)
+    case LessThan(_, v)           => encodable(v)
+    case LessThanOrEqual(_, v)    => encodable(v)
     case StringStartsWith(_, _)   => true
     case And(l, r)                => prunes(l) || prunes(r)
     case Or(l, r)                 => prunes(l) && prunes(r)
     case _                        => false
+  }
+
+  private def encodable(v: Any): Boolean = enc(v).isDefined || temporal(v)
+
+  private def temporal(v: Any): Boolean = v match {
+    case _: java.sql.Timestamp | _: java.time.Instant |
+         _: java.sql.Date | _: java.time.LocalDate => true
+    case _ => false
+  }
+
+  /** Driver-side canonicalization of temporal filter literals into the
+    * zone-map stat encoding — the exact string `cast(ts AS STRING)`
+    * renders under the session time zone ("uuuu-MM-dd HH:mm:ss" with the
+    * microsecond fraction trimmed of trailing zeros, omitted when zero),
+    * so the pruning comparison is string-vs-string in one format. The
+    * rendering is CHRONOLOGICALLY LEXICOGRAPHIC (fixed-width zero-padded
+    * fields; a fraction only extends an otherwise-equal prefix), so the
+    * generic lexicographic statCompare stays order-correct. Runs ON THE
+    * DRIVER before any verdict path — the distributed executor-side
+    * verdicts then see plain strings and never need a SparkSession.
+    * Assumes write and read sessions share a time zone (this repo pins
+    * UTC); typed temporal stats would remove that caveat. */
+  def encodeTemporal(filters: Array[Filter], zone: java.time.ZoneId): Array[Filter] = {
+    def ts(i: java.time.Instant): String = {
+      val ldt = java.time.LocalDateTime.ofInstant(i, zone)
+      val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+        f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+      val micros = ldt.getNano / 1000
+      if (micros == 0) base
+      else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
+    }
+    def e(v: Any): Any = v match {
+      case t: java.sql.Timestamp  => ts(t.toInstant)
+      case i: java.time.Instant   => ts(i)
+      case d: java.sql.Date       => d.toString
+      case d: java.time.LocalDate => d.toString
+      case x                      => x
+    }
+    def walk(f: Filter): Filter = f match {
+      case EqualTo(a, v)            => EqualTo(a, e(v))
+      case In(a, vs)                => In(a, vs.map(e))
+      case GreaterThan(a, v)        => GreaterThan(a, e(v))
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(a, e(v))
+      case LessThan(a, v)           => LessThan(a, e(v))
+      case LessThanOrEqual(a, v)    => LessThanOrEqual(a, e(v))
+      case And(l, r)                => And(walk(l), walk(r))
+      case Or(l, r)                 => Or(walk(l), walk(r))
+      case x                        => x
+    }
+    filters.map(walk)
   }
 
   /** v1 Filter → Column (None = inexpressible; callers treat that as
@@ -714,6 +844,10 @@ final class GraftRelation(ctx: SQLContext, table: GraftTable,
     val spark = ctx.sparkSession
     val v = table.pinnedVersion
     val live = Snapshots.liveFiles(spark, table.path, Some(v))
+    // temporal literals canonicalize to the stat encoding ONCE, on the
+    // driver (the distributed verdict path must stay session-free)
+    val pruneBy = GraftScan.encodeTemporal(filters,
+      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
     // zone-map verdict per file: every filter must be satisfiable by the
     // file's recorded [min,max]; files without a stat stay candidates.
     // Two evaluation paths, same verdicts:
@@ -734,11 +868,11 @@ final class GraftRelation(ctx: SQLContext, table: GraftTable,
           .groupBy(_.path).map { case (p, xs) => p -> xs.map(st => st.column -> st).toMap }
         live.filter { p =>
           val stats = statsByFile.getOrElse(p, Map.empty)
-          filters.forall(GraftScan.mayMatch(stats, _))
+          pruneBy.forall(GraftScan.mayMatch(stats, _))
         }
       } else {
         import spark.implicits._
-        val fs = filters // closure-clean copy (v1 Filters are serializable)
+        val fs = pruneBy // closure-clean copy (v1 Filters are serializable)
         val liveSet = spark.sparkContext.broadcast(live.toSet)
         val sources = Snapshots.statSourceManifests(spark, table.path, Some(v))
         // stats are immutable per (path, column): any duplicate wins, so
@@ -761,7 +895,7 @@ final class GraftRelation(ctx: SQLContext, table: GraftTable,
       else spark.read.parquet(sidecars: _*).select("column")
         .distinct().collect().map(_.getString(0)).toSet
     }
-    filters.foreach {
+    pruneBy.foreach {
       case EqualTo(a, value) if bloomCols(a) && GraftScan.enc(value).isDefined =>
         val kept = Snapshots.bloomPrune(spark, table.path, a,
           Seq(GraftScan.enc(value).get), Some(v))._1.toSet

@@ -212,8 +212,10 @@ class GraftCatalogSpec extends SparkSpec {
     // version history live
     assert(Snapshots.tableSchema(spark, s"$root/t12").isDefined)
     intercept[Exception] { spark.sql("CREATE TABLE graft.t11 (x BIGINT)") }
+    // identity PARTITIONED BY is write clustering now (GraftClusterSpec);
+    // hash buckets stay refused — zone maps cannot prune them
     intercept[Exception] {
-      spark.sql("CREATE TABLE graft.t13 (x BIGINT) PARTITIONED BY (x)")
+      spark.sql("CREATE TABLE graft.t13 (x BIGINT) PARTITIONED BY (bucket(8, x))")
     }
   }
 

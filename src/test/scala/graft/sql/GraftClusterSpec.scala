@@ -1,0 +1,97 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.io.Snapshots
+import org.apache.spark.sql.functions._
+
+/** PARTITIONED BY as manifest-native write clustering ([[Clustering]]):
+  * the spec records as a table property, INSERTs range-cluster and
+  * zone-map on it, and the existing scan pruning serves partition
+  * pruning — no directories, predicates stay on raw columns. */
+class GraftClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft_cluster").toString
+    spark.conf.set("spark.sql.catalog.gclu", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gclu.root", r)
+    r
+  }
+
+  private def scanInfo = GraftScanInfo.last.get
+
+  /** At test scale AQE coalesces the range shuffle to ONE tiny file
+    * (correct at real scale — files sized by bytes); pin the partition
+    * count so layout assertions see distinct range files. */
+  private def withRangeFiles[A](body: => A): A = {
+    val k = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try body finally spark.conf.set(k, prev)
+  }
+
+  test("identity clustering: INSERT clusters, equality predicate prunes files") {
+    root
+    spark.sql("CREATE TABLE gclu.c1 (id BIGINT, src STRING, m BIGINT) PARTITIONED BY (src)")
+    (1 to 400).map(i => (i.toLong, s"s${i % 4}", i.toLong))
+      .toDF("id", "src", "m").createOrReplaceTempView("c1_in")
+    withRangeFiles { spark.sql("INSERT INTO gclu.c1 SELECT * FROM c1_in") }
+    // property recorded; partitioning reported
+    assert(Snapshots.tableProperties(spark, s"$root/c1")(Clustering.Prop) === "src")
+    val total = Snapshots.liveFiles(spark, s"$root/c1").size
+    assert(total > 1, "clustered insert should write multiple range files")
+    GraftScanInfo.last = None
+    val got = spark.sql("SELECT sum(m) AS s FROM gclu.c1 WHERE src = 's2'")
+      .as[Long].head()
+    assert(got === (1 to 400).filter(_ % 4 == 2).map(_.toLong).sum)
+    assert(scanInfo.candidates < scanInfo.total,
+      s"expected file pruning on the cluster column, got $scanInfo")
+  }
+
+  test("days(ts) clustering: range predicate on the RAW column prunes") {
+    root
+    spark.sql("""CREATE TABLE gclu.c2 (ts TIMESTAMP, v BIGINT)
+                 PARTITIONED BY (days(ts))""")
+    val rows = for (d <- 1 to 8; i <- 1 to 25)
+      yield (java.sql.Timestamp.valueOf(f"2026-03-$d%02d 1${i % 9}:00:00"), (d * 100 + i).toLong)
+    rows.toDF("ts", "v").createOrReplaceTempView("c2_in")
+    withRangeFiles { spark.sql("INSERT INTO gclu.c2 SELECT * FROM c2_in") }
+    GraftScanInfo.last = None
+    val got = spark.sql(
+      """SELECT count(*) AS n FROM gclu.c2
+         WHERE ts >= TIMESTAMP '2026-03-03 00:00:00'
+           AND ts <  TIMESTAMP '2026-03-05 00:00:00'""").as[Long].head()
+    assert(got === 50L)
+    assert(scanInfo.candidates < scanInfo.total,
+      s"expected day-range pruning via raw-ts zone maps, got $scanInfo")
+  }
+
+  test("INSERT OVERWRITE keeps the layout: stats re-stamped, pruning survives") {
+    root
+    spark.sql("CREATE TABLE gclu.c3 (id BIGINT, src STRING) PARTITIONED BY (src)")
+    (1 to 100).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "src")
+      .createOrReplaceTempView("c3_in")
+    withRangeFiles {
+      spark.sql("INSERT INTO gclu.c3 SELECT * FROM c3_in")
+      spark.sql("INSERT OVERWRITE gclu.c3 SELECT id, src FROM c3_in WHERE id <= 80")
+    }
+    GraftScanInfo.last = None
+    assert(spark.sql("SELECT count(*) AS n FROM gclu.c3 WHERE src = 's1'")
+      .as[Long].head() === 20L)
+    assert(scanInfo.candidates < scanInfo.total,
+      s"overwrite must re-stamp zone maps, got $scanInfo")
+    // row counts re-stamped too: COUNT(*) stays metadata-only
+    assert(Snapshots.fastCount(spark, s"$root/c3") === 80L)
+  }
+
+  test("bucket() refuses with the bloom-index pointer; unknown column refuses") {
+    root
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE gclu.cb (id BIGINT) PARTITIONED BY (bucket(16, id))"))
+    assert(e.getMessage.contains("bloom_index"))
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE gclu.cu (id BIGINT) PARTITIONED BY (nope)"))
+    assert(e2.getMessage.contains("unknown column") ||
+      e2.getMessage.contains("Couldn't find column"))
+  }
+}
