@@ -3229,7 +3229,7 @@ object ExtQueries {
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
-    x145Spec)
+    x145Spec, x146Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -7350,4 +7350,71 @@ object ExtQueries {
            |FROM documents, half, one, ow WHERE doc_id <= h
            |GROUP BY source, one.n, one.c, ow.n, ow.c
            |ORDER BY source""".stripMargin))
+
+  /** x146: AGGREGATES FROM METADATA, WITH THE EXACTNESS GATE — unfiltered
+    * ungrouped MIN/MAX/COUNT push down COMPLETELY to the manifest's
+    * per-file zone maps ([[graft.sql.GraftAggScan]]): `SELECT min(doc_id),
+    * max(doc_id), count(*)` answers from one manifest replay, zero data
+    * files opened, at any table size (`meta_ok` pins the plan routed to
+    * the metadata scan). Then a MoR delete tombstones the max doc — a
+    * deletion vector can hide the extreme row from metadata, so the SAME
+    * query must now DECLINE the shortcut (`declined_ok` pins it planned
+    * normally) and still return the exact post-delete extremes. Pruning
+    * may be conservative; aggregates may not — the decline IS the
+    * feature. The oracle replays both states from raw documents. */
+  private def x146Spec: QuerySpec =
+    QuerySpec("x146_sql_agg_meta",
+      (s, d) => {
+        import graft.io.Snapshots
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_aggmeta_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w = maxId / 3 + 1
+        val tbl = s"$tmp/t"
+        (0 until 3).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1),
+            tbl, recordSchema = i == 0, statsCols = Seq("doc_id"),
+            recordRowCounts = true)
+        }
+        def metaRouted(q: org.apache.spark.sql.DataFrame): Boolean =
+          q.queryExecution.optimizedPlan.collectLeaves().exists {
+            case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+              (r.scan match {
+                case wr: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper => wr.v1Scan
+                case sc => sc
+              }).isInstanceOf[graft.sql.GraftAggScan]
+            case _ => false
+          }
+        val sql = s"SELECT CAST(min(doc_id) AS BIGINT) AS mn, " +
+          s"CAST(max(doc_id) AS BIGINT) AS mx, count(*) AS n FROM $cat.t"
+        val q1 = s.sql(sql)
+        val metaOk = metaRouted(q1)
+        val r1 = q1.collect().head
+        Snapshots.deleteWhereMor(s, tbl, col("doc_id") === maxId, Seq("doc_id"))
+        val q2 = s.sql(sql)
+        val declinedOk = !metaRouted(q2)
+        val r2 = q2.collect().head
+        s.range(1).select(
+          lit(r1.getLong(0)).as("mn"), lit(r1.getLong(1)).as("mx"),
+          lit(r1.getLong(2)).as("n"),
+          lit(r2.getLong(0)).as("mn2"), lit(r2.getLong(1)).as("mx2"),
+          lit(r2.getLong(2)).as("n2"),
+          lit(if (metaOk) 1L else 0L).as("meta_ok"),
+          lit(if (declinedOk) 1L else 0L).as("declined_ok"))
+      },
+      Some("""WITH m AS (SELECT max(doc_id) AS top FROM documents)
+           |SELECT CAST(min(doc_id) AS BIGINT) AS mn,
+           |       CAST(max(doc_id) AS BIGINT) AS mx,
+           |       count(*) AS n,
+           |       CAST(min(doc_id) AS BIGINT) AS mn2,
+           |       (SELECT CAST(max(doc_id) AS BIGINT) FROM documents, m
+           |        WHERE doc_id < top) AS mx2,
+           |       count(*) - 1 AS n2,
+           |       CAST(1 AS BIGINT) AS meta_ok,
+           |       CAST(1 AS BIGINT) AS declined_ok
+           |FROM documents""".stripMargin))
 }

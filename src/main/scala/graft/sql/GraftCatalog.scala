@@ -514,11 +514,13 @@ object GraftScanInfo {
 final class GraftScanBuilder(table: GraftTable)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = table.schema
   private var pushed: Array[Filter] = Array.empty
   private var countOnly = false
+  private var aggPush: Option[Seq[GraftAggScan.Agg]] = None
   private var limit: Option[Int] = None
 
   /** Accept every filter for PRUNING, return every filter for
@@ -550,13 +552,66 @@ final class GraftScanBuilder(table: GraftTable)
       agg.aggregateExpressions()(0)
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
 
+  /** Unfiltered, ungrouped MIN/MAX/COUNT answered ENTIRELY from zone-map
+    * metadata: the per-file min/max the manifest already records fold to
+    * the table extremes when (and only when) every live file carries the
+    * stat, no deletion vector is live (a tombstone could remove the
+    * extreme row), and the column's type reconstructs exactly from the
+    * stat string encoding. `SELECT min(ts), max(ts) FROM t` — the first
+    * query every time-series user runs — then opens ZERO data files at
+    * any table size. Anything not provably exact declines and plans
+    * normally; pruning may be conservative, aggregates may not. */
+  private def minMaxPush(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[GraftAggScan.Agg]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (table.isMaterializedView || pushed.nonEmpty ||
+        agg.groupByExpressions().nonEmpty) return None
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          Some(nr.fieldNames().head)
+        case _ => None
+      }
+    val parsed = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(GraftAggScan.CountAll)
+      case m: Min       => ref(m.column).map(GraftAggScan.MinCol)
+      case m: Max       => ref(m.column).map(GraftAggScan.MaxCol)
+      case _            => None
+    }
+    if (parsed.exists(_.isEmpty)) return None
+    val aggs = parsed.flatten
+    val cols = aggs.collect {
+      case GraftAggScan.MinCol(c) => c
+      case GraftAggScan.MaxCol(c) => c
+    }.distinct
+    if (cols.isEmpty) return Some(aggs) // counts only: fastCount is exact always
+    val spark = SparkSession.active
+    val v = table.pinnedVersion
+    if (!cols.forall(c => table.schema.fieldNames.contains(c) &&
+        GraftAggScan.reconstructs(table.schema(c).dataType))) return None
+    if (Snapshots.liveDvFiles(spark, table.path, Some(v)).nonEmpty) return None
+    val live = Snapshots.liveFiles(spark, table.path, Some(v))
+    val stats = Snapshots.fileStats(spark, table.path, Some(v))
+    val covered = cols.forall { c =>
+      val have = stats.filter(_.column == c).map(_.path).toSet
+      live.forall(have)
+    }
+    if (covered) Some(aggs) else None
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    bareCount(agg)
+    bareCount(agg) || minMaxPush(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (bareCount(agg)) { countOnly = true; true } else false
+    if (bareCount(agg)) { countOnly = true; true }
+    else minMaxPush(agg) match {
+      case Some(aggs) => aggPush = Some(aggs); true
+      case None       => false
+    }
   }
 
   /** LIMIT folds into the wrapped scan (fewer rows cross the V1 row
@@ -564,9 +619,124 @@ final class GraftScanBuilder(table: GraftTable)
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
+  /** ORDER BY + LIMIT folds as a top-k into the wrapped scan: the inner
+    * DataFrame's sort+limit compiles to Spark's TakeOrderedAndProject
+    * (bounded per-task heaps), so exactly k rows cross the V1 row
+    * boundary instead of the table. Partial push — Spark keeps the
+    * authoritative sort above. Only simple column references fold;
+    * expression sorts decline and plan normally. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    val parsed = orders.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 &&
+            required.fieldNames.contains(nr.fieldNames().head) =>
+          Some((nr.fieldNames().head,
+            o.direction() == SortDirection.ASCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (parsed.exists(_.isEmpty)) false
+    else { topN = Some((parsed.flatten, n)); true }
+  }
+
+  private var topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None
+
   override def build(): Scan =
     if (countOnly) new GraftCountScan(table)
-    else new GraftScan(table, required, pushed, limit)
+    else aggPush.map(new GraftAggScan(table, _))
+      .getOrElse(new GraftScan(table, required, pushed, limit, topN))
+}
+
+/** Complete MIN/MAX/COUNT pushdown: one row folded from the manifest's
+  * per-file zone maps ([[GraftScanBuilder.minMaxPush]] proved exactness
+  * before routing here — full stat coverage, no live dvs, reconstructible
+  * types). */
+final class GraftAggScan(table: GraftTable, aggs: Seq[GraftAggScan.Agg])
+    extends V1Scan {
+  import org.apache.spark.sql.types._
+
+  private val out = StructType(aggs.map {
+    case GraftAggScan.CountAll  => StructField("count", LongType, nullable = false)
+    case GraftAggScan.MinCol(c) => StructField(s"min_$c", table.schema(c).dataType)
+    case GraftAggScan.MaxCol(c) => StructField(s"max_$c", table.schema(c).dataType)
+  })
+
+  override def readSchema(): StructType = out
+  override def description(): String =
+    s"GraftAggScan ${table.path}@v${table.pinnedVersion} " +
+      s"[${aggs.mkString(", ")}] (manifest zone maps)"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = out
+      override def buildScan(): RDD[Row] = {
+        val spark = context.sparkSession
+        val v = table.pinnedVersion
+        val live = Snapshots.liveFiles(spark, table.path, Some(v)).toSet
+        val stats = Snapshots.fileStats(spark, table.path, Some(v))
+          .filter(st => live(st.path))
+        def bound(c: String, wantMax: Boolean): Any = {
+          val sts = stats.filter(_.column == c)
+          if (sts.isEmpty) null // empty table: SQL min/max of no rows
+          else {
+            val best = sts.reduce { (a, b) =>
+              val cmp = Snapshots.statCompare(a.dtype,
+                if (wantMax) a.max else a.min,
+                if (wantMax) b.max else b.min).getOrElse(
+                throw new IllegalStateException(
+                  s"unorderable dtype ${a.dtype} passed minMaxPush for $c"))
+              if ((wantMax && cmp >= 0) || (!wantMax && cmp <= 0)) a else b
+            }
+            GraftAggScan.parse(table.schema(c).dataType,
+              if (wantMax) best.max else best.min)
+          }
+        }
+        val row = Row.fromSeq(aggs.map {
+          case GraftAggScan.CountAll =>
+            Snapshots.fastCount(spark, table.path, Some(v))
+          case GraftAggScan.MinCol(c) => bound(c, wantMax = false)
+          case GraftAggScan.MaxCol(c) => bound(c, wantMax = true)
+        })
+        GraftScanInfo.last = Some(GraftScanInfo.Info(
+          table.path, v, 0, live.size, Seq(s"AGG -> zone maps [${aggs.mkString(",")}]")))
+        spark.sparkContext.parallelize(Seq(row), 1)
+      }
+    }.asInstanceOf[T]
+}
+
+object GraftAggScan {
+  sealed trait Agg
+  case object CountAll extends Agg
+  final case class MinCol(c: String) extends Agg
+  final case class MaxCol(c: String) extends Agg
+
+  import org.apache.spark.sql.types._
+
+  /** Types whose stat string (`cast(x AS STRING)`) round-trips EXACTLY
+    * back to the value. Temporal/decimal types stay on the normal path —
+    * their renderings are zone/precision-lossy to reparse safely. */
+  def reconstructs(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType |
+         DoubleType | FloatType | StringType => true
+    case _ => false
+  }
+
+  def parse(dt: DataType, s: String): Any = dt match {
+    case LongType    => s.toLong
+    case IntegerType => s.toInt
+    case ShortType   => s.toShort
+    case ByteType    => s.toByte
+    case DoubleType  => s.toDouble
+    case FloatType   => s.toFloat
+    case StringType  => s
+    case other => throw new IllegalStateException(s"unreconstructible $other")
+  }
 }
 
 /** Complete COUNT(*) pushdown: one row from [[Snapshots.fastCount]] —
@@ -600,7 +770,9 @@ final class GraftCountScan(table: GraftTable) extends V1Scan {
 
 final class GraftScan(table: GraftTable, required: StructType,
                       filters: Array[Filter],
-                      limit: Option[Int] = None) extends V1Scan
+                      limit: Option[Int] = None,
+                      topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None)
+    extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -662,11 +834,14 @@ final class GraftScan(table: GraftTable, required: StructType,
     s"GraftScan ${table.path}@v${table.pinnedVersion} " +
       s"cols=[${required.fieldNames.mkString(",")}] " +
       s"pruneBy=[${filters.mkString(", ")}]" +
-      limit.map(n => s" limit=$n").getOrElse("")
+      limit.map(n => s" limit=$n").getOrElse("") +
+      topN.map { case (o, n) =>
+        s" topN=$n by ${o.map(_._1).mkString(",")}" }.getOrElse("")
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GraftRelation(context, table, required, filters, limit).asInstanceOf[T]
+    new GraftRelation(context, table, required, filters, limit, topN)
+      .asInstanceOf[T]
 }
 
 object GraftScan {
@@ -832,7 +1007,8 @@ object GraftScan {
   * is Spark's own vectorized parquet reader over the kept files only). */
 final class GraftRelation(ctx: SQLContext, table: GraftTable,
                           required: StructType, filters: Array[Filter],
-                          limit: Option[Int] = None)
+                          limit: Option[Int] = None,
+                          topN: Option[(Seq[(String, Boolean, Boolean)], Int)] = None)
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = ctx
@@ -922,7 +1098,20 @@ final class GraftRelation(ctx: SQLContext, table: GraftTable,
       if (table.isMaterializedView) base.filter(col("n_rows") > 0) else base
     val filtered = filters.flatMap(GraftScan.toColumn).foldLeft(withMv)(_.filter(_))
     val projected = filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
-    limit.map(projected.limit).getOrElse(projected).rdd
+    // top-k folds INSIDE the wrapped scan: sort+limit compiles to
+    // TakeOrderedAndProject (bounded per-task heaps), so k rows cross the
+    // V1 row boundary, not the table; Spark re-sorts above (partial push)
+    topN match {
+      case Some((orders, n)) =>
+        val sortCols = orders.map {
+          case (c, true, true)   => col(c).asc_nulls_first
+          case (c, true, false)  => col(c).asc_nulls_last
+          case (c, false, true)  => col(c).desc_nulls_first
+          case (c, false, false) => col(c).desc_nulls_last
+        }
+        projected.sort(sortCols: _*).limit(n).rdd
+      case None => limit.map(projected.limit).getOrElse(projected).rdd
+    }
   }
 
 
