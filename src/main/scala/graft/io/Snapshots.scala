@@ -804,11 +804,16 @@ object Snapshots {
     // across upserts)
     val touchedStats = fileStats(spark, table, Some(v))
       .filter(st => touched.contains(st.path))
+    // clustered tables keep their layout across merges (and insert-only
+    // merges stamp the cluster columns even with no touched stats to
+    // inherit) — see [[Clustering.forWrite]]
+    val (outClustered, clusterCols) = Clustering.forWrite(spark, table, out)
     val statCols = (touchedStats.map(_.column)
-      .filterNot(reservedStat) ++ statsCols).distinct
-    val keepRowCounts = touchedStats.exists(_.column == RowsStat)
+      .filterNot(reservedStat) ++ statsCols ++ clusterCols).distinct
+    val keepRowCounts = touchedStats.exists(_.column == RowsStat) ||
+      clusterCols.nonEmpty
     val dir = s"$table/data/merge-${java.util.UUID.randomUUID().toString}"
-    out.write.parquet(dir)
+    outClustered.write.parquet(dir)
     val f = fs(spark, table)
     val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
@@ -868,15 +873,20 @@ object Snapshots {
     // which columns carried zone maps on the touched files → recompute
     // them for the rewritten files so future mutations keep pruning
     // (reserved pseudo-stats excluded: bytes re-record in commit(), row
-    // counts recompute iff the touched files carried them)
+    // counts recompute iff the touched files carried them); clustered
+    // tables re-cluster the rewritten rows so layout never decays
     val touchedStats = fileStats(spark, table, Some(v))
       .filter(st => touched.contains(st.path))
-    val statCols = touchedStats.map(_.column).filterNot(reservedStat).distinct
-    val keepRowCounts = touchedStats.exists(_.column == RowsStat)
+    val (rewritten, clusterCols) = Clustering.forWrite(spark, table,
+      rewrite(applyDv(spark, table, Some(v), read(touched))))
+    val statCols = (touchedStats.map(_.column)
+      .filterNot(reservedStat) ++ clusterCols).distinct
+    val keepRowCounts = touchedStats.exists(_.column == RowsStat) ||
+      clusterCols.nonEmpty
     val dir = s"$table/data/$kind-${java.util.UUID.randomUUID().toString}"
     // ghosts drop from the rewritten files too (the dv stays live for the
     // untouched files — suppressing an already-absent key is a no-op)
-    rewrite(applyDv(spark, table, Some(v), read(touched))).write.parquet(dir)
+    rewritten.write.parquet(dir)
     val f = fs(spark, table)
     val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
@@ -900,11 +910,19 @@ object Snapshots {
     val dir = s"$table/data/batch$batchId"
     val already = referencedFiles(spark, table).exists(_.contains(s"$dir/"))
     if (!already) {
-      df.write.mode("overwrite").parquet(dir)
+      // clustered tables: micro-batches land range-clustered and zone-
+      // mapped like any other write — streaming ingest must not be the
+      // path that quietly erodes pruning
+      val (clustered, clusterCols) = Clustering.forWrite(spark, table, df)
+      clustered.write.mode("overwrite").parquet(dir)
       val f = fs(spark, table)
       val parts = f.listStatus(new Path(dir)).toSeq
         .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
         .map(_.getPath.toString)
+      val stats =
+        if (clusterCols.isEmpty) Nil
+        else computeStats(spark, dir, parts, clusterCols) ++
+          rowCountStats(spark, dir, parts)
       // an append is derivation-free, so losing a version race to a
       // concurrent writer (the ingest-vs-compaction pair every real
       // pipeline runs) just means re-resolving the next version — the
@@ -912,7 +930,7 @@ object Snapshots {
       var attempts = 0
       var committed = parts.isEmpty
       while (!committed)
-        try { commit(spark, table, adds = parts); committed = true }
+        try { commit(spark, table, adds = parts, stats = stats); committed = true }
         catch {
           case _: ConcurrentCommitException if attempts < 50 => attempts += 1
         }

@@ -1,23 +1,19 @@
 package graft.sql
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.functions.{col, date_trunc}
 import org.apache.spark.sql.types.{DateType, StructType, TimestampType}
 
-import graft.io.Snapshots
-
 /** `PARTITIONED BY` on graft tables = MANIFEST-NATIVE WRITE CLUSTERING,
-  * not directory partitioning. The spec (identity columns and the
-  * temporal transforms `years/months/days/hours(ts)` — the Iceberg
+  * not directory partitioning. This is the DSv2-facing half (CREATE
+  * TABLE transform validation, `Table.partitioning` reporting); the
+  * write-side machinery every ingest path shares lives in
+  * [[graft.io.Clustering]]. The spec (identity columns and the temporal
+  * transforms `years/months/days/hours(ts)` — the Iceberg
   * hidden-partitioning family) is recorded as the transactional table
-  * property `write.cluster.by`; every INSERT / INSERT OVERWRITE / CTAS /
-  * full-sync MERGE then range-clusters its rows on the transform values
-  * before writing, and stamps zone maps + row counts on the SOURCE
-  * columns. Files therefore hold tight disjoint ranges, and the existing
-  * scan machinery — zone-map pruning in the SQL catalog, DML candidate
-  * pruning, `readPrunedRanges` — serves partition pruning with no new
-  * read path and no directory layout to age badly:
+  * property `write.cluster.by`; writers range-cluster on the transform
+  * values and zone-map the SOURCE columns, so files hold tight disjoint
+  * ranges and the existing scan pruning serves partition pruning with
+  * predicates on the raw column:
   *
   * {{{
   *   CREATE TABLE graft.events (ts TIMESTAMP, src STRING, v BIGINT)
@@ -40,10 +36,7 @@ import graft.io.Snapshots
   */
 object Clustering {
 
-  val Prop = "write.cluster.by"
-
-  private val Temporal = Map(
-    "years" -> "YEAR", "months" -> "MONTH", "days" -> "DAY", "hours" -> "HOUR")
+  val Prop: String = graft.io.Clustering.Prop
 
   /** CREATE TABLE's transforms → the property value, validated against
     * the declared schema. Throws on anything zone maps cannot serve. */
@@ -58,7 +51,7 @@ object Clustering {
         s"PARTITIONED BY references unknown column '$c'")
       t.name().toLowerCase match {
         case "identity" => c
-        case fn if Temporal.contains(fn) =>
+        case fn if graft.io.Clustering.temporalFns(fn) =>
           require(schema(c).dataType == TimestampType || schema(c).dataType == DateType,
             s"$fn($c) needs a timestamp/date column, got ${schema(c).dataType.simpleString}")
           s"$fn($c)"
@@ -74,19 +67,9 @@ object Clustering {
     Some(parts.mkString(","))
   }
 
-  /** The recorded spec as parsed (fn, column) pairs; identity rides as
-    * fn = "". */
-  def parse(spec: String): Seq[(String, String)] =
-    spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map {
-      case s if s.endsWith(")") =>
-        val i = s.indexOf('(')
-        (s.substring(0, i), s.substring(i + 1, s.length - 1))
-      case c => ("", c)
-    }
-
   /** The spec re-expressed as DSv2 transforms (Table.partitioning). */
   def transforms(spec: String): Array[Transform] =
-    parse(spec).map {
+    graft.io.Clustering.parse(spec).map {
       case ("", c)       => Expressions.identity(c)
       case ("years", c)  => Expressions.years(c)
       case ("months", c) => Expressions.months(c)
@@ -94,24 +77,4 @@ object Clustering {
       case ("hours", c)  => Expressions.hours(c)
       case (fn, c) => throw new IllegalStateException(s"bad cluster spec $fn($c)")
     }.toArray
-
-  /** Cluster `df` for a write into `path` per the table's recorded spec:
-    * one range shuffle on the transform values + an in-partition sort, so
-    * each output file covers a tight disjoint range of every cluster
-    * dimension. Returns the clustered frame and the SOURCE columns to
-    * zone-map (raw-column stats serve both range and equality pruning —
-    * rows clustered by `days(ts)` have tight raw-ts ranges per file).
-    * No-op (df, Nil) for unclustered tables. */
-  def forWrite(spark: SparkSession, path: String, df: DataFrame): (DataFrame, Seq[String]) =
-    Snapshots.tableProperties(spark, path).get(Prop) match {
-      case None => (df, Nil)
-      case Some(spec) =>
-        val ps = parse(spec)
-        val exprs: Seq[Column] = ps.map {
-          case ("", c)   => col(c)
-          case (fn, c)   => date_trunc(Temporal(fn), col(c))
-        }
-        val statCols = ps.map(_._2).distinct
-        (df.repartitionByRange(exprs: _*).sortWithinPartitions(exprs: _*), statCols)
-    }
 }

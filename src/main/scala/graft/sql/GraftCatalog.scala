@@ -348,7 +348,7 @@ final class GraftTable(val path: String, ident: String, val pinnedVersion: Long)
       Some(pinnedVersion)).asJava
 
   /** The recorded clustering spec as transforms (SHOW CREATE / DESCRIBE
-    * honesty; writes route through [[Clustering.forWrite]] regardless). */
+    * honesty; writes route through [[graft.io.Clustering.forWrite]] regardless). */
   override def partitioning(): Array[Transform] =
     Snapshots.tableProperties(SparkSession.active, path, Some(pinnedVersion))
       .get(Clustering.Prop).map(Clustering.transforms)
@@ -430,7 +430,7 @@ object GraftTable {
     // clustered tables keep their layout + zone maps across overwrites
     // (an un-stat'd swap would silently turn pruning off until the next
     // OPTIMIZE — the worst kind of regression at 100 TB)
-    val (clustered, statCols) = Clustering.forWrite(spark, path, df)
+    val (clustered, statCols) = graft.io.Clustering.forWrite(spark, path, df)
     var attempts = 0
     var done = false
     while (!done) {
@@ -482,7 +482,7 @@ final class GraftWriteBuilder(table: GraftTable)
           val cols = table.schema.fieldNames.toIndexedSeq
           val df = data.toDF(cols: _*) // positional, the INSERT contract
           if (!(overwrite || ovr)) {
-            val (clustered, statCols) = Clustering.forWrite(spark, table.path, df)
+            val (clustered, statCols) = graft.io.Clustering.forWrite(spark, table.path, df)
             Snapshots.commitAppend(clustered, table.path,
               statsCols = statCols, recordRowCounts = statCols.nonEmpty)
           } else GraftTable.overwrite(spark, table.path, df)
@@ -797,8 +797,15 @@ final class GraftScan(table: GraftTable, required: StructType,
     val all = Snapshots.fileStats(spark, table.path, Some(v))
     val pruneBy = GraftScan.encodeTemporal(filters,
       java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+    // above the distribute threshold the per-file verdict loop would be
+    // the planning-time cost the scan itself already refuses to pay on
+    // the driver — estimate from the unpruned live set instead (an
+    // over-estimate can only make planning more conservative)
+    val threshold = spark.conf
+      .getOption("spark.graft.scan.statsDistributeThreshold")
+      .map(_.toInt).getOrElse(20000)
     val candidates =
-      if (filters.isEmpty) live
+      if (filters.isEmpty || live.size >= threshold) live
       else {
         val byFile = all.filterNot(st => Snapshots.reservedStat(st.column))
           .groupBy(_.path).map { case (p, xs) => p -> xs.map(st => st.column -> st).toMap }

@@ -80,16 +80,38 @@ object GraftProcedures {
 
   private val procedures: Map[String, Def] = Seq(
     mkDef("optimize", "transactional Z-order layout rewrite (OPTIMIZE ZORDER BY)",
-      Seq(in("table", S), in("cols", S), in("target_files", L),
+      Seq(in("table", S), inDef("cols", S, "''"), inDef("target_files", L, "0"),
         inDef("bits", L, "16")),
       StructType(Seq(
         DataTypes.createStructField("version", L, false),
         DataTypes.createStructField("files_before", L, false),
         DataTypes.createStructField("files_after", L, false))))(
       (s, root, in) => {
-        val r = Snapshots.optimizeZorder(s, tbl(root, in, 0),
-          in.getUTF8String(1).toString.split(',').toSeq.map(_.trim),
-          in.getLong(2).toInt, in.getLong(3).toInt)
+        // empty cols defaults to the table's recorded cluster spec and
+        // target_files=0 sizes by bytes (~512 MiB each) — a PARTITIONED
+        // BY table heals its layout with a bare CALL optimize('t')
+        val path = tbl(root, in, 0)
+        val explicit = in.getUTF8String(1).toString.split(',')
+          .toSeq.map(_.trim).filter(_.nonEmpty)
+        val cols =
+          if (explicit.nonEmpty) explicit
+          else graft.io.Clustering.statCols(s, path) match {
+            case Nil => throw new IllegalArgumentException(
+              s"optimize: pass cols, or set $path's write.cluster.by " +
+                "(CREATE ... PARTITIONED BY) to default from it")
+            case cs => cs
+          }
+        val target =
+          if (in.getLong(2) > 0) in.getLong(2).toInt
+          else {
+            val fsys = new org.apache.hadoop.fs.Path(path)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            val bytes = Snapshots.liveFiles(s, path).map(p =>
+              fsys.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).sum
+            math.max(1, math.ceil(bytes / (512.0 * 1024 * 1024)).toInt)
+          }
+        val r = Snapshots.optimizeZorder(s, path, cols, target,
+          in.getLong(3).toInt)
         Seq(r.version, r.filesBefore.toLong, r.filesAfter.toLong)
       }),
     mkDef("compact_small", "binpack the small-file tail (O(tail), not O(table))",

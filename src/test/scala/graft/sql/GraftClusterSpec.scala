@@ -84,6 +84,74 @@ class GraftClusterSpec extends SparkSpec {
     assert(Snapshots.fastCount(spark, s"$root/c3") === 80L)
   }
 
+  test("mutations preserve the layout: UPDATE and MERGE keep pruning alive") {
+    root
+    spark.sql("CREATE TABLE gclu.c4 (id BIGINT, src STRING, m BIGINT) PARTITIONED BY (src)")
+    (1 to 200).map(i => (i.toLong, s"s${i % 4}", i.toLong))
+      .toDF("id", "src", "m").createOrReplaceTempView("c4_in")
+    withRangeFiles {
+      spark.sql("INSERT INTO gclu.c4 SELECT * FROM c4_in")
+      // CoW UPDATE rewrites every file (all hold odd ids); the rewritten
+      // files must come back clustered + stat'd, not smeared
+      spark.sql("UPDATE gclu.c4 SET m = m + 1000 WHERE id % 2 = 1")
+    }
+    GraftScanInfo.last = None
+    val got = spark.sql("SELECT count(*) AS n FROM gclu.c4 WHERE src = 's3'")
+      .as[Long].head()
+    assert(got === 50L)
+    assert(scanInfo.candidates < scanInfo.total,
+      s"post-UPDATE scan must still prune, got $scanInfo")
+    // an insert-only library merge (the CDC shape) also lands clustered
+    withRangeFiles {
+      graft.io.Snapshots.mergeInto(spark, s"$root/c4",
+        (201 to 280).map(i => (i.toLong, s"s${i % 4}", 0L)).toDF("id", "src", "m"),
+        Seq("id"))
+    }
+    GraftScanInfo.last = None
+    assert(spark.sql("SELECT count(*) AS n FROM gclu.c4 WHERE src = 's3'")
+      .as[Long].head() === 70L)
+    assert(scanInfo.candidates < scanInfo.total,
+      s"post-MERGE scan must still prune, got $scanInfo")
+  }
+
+  test("streaming batch commits cluster and stamp stats on clustered tables") {
+    root
+    spark.sql("CREATE TABLE gclu.c5 (id BIGINT, src STRING) PARTITIONED BY (src)")
+    val t = s"$root/c5"
+    withRangeFiles {
+      Snapshots.commitBatchOnce(spark, t, 0L,
+        (1 to 100).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "src"))
+    }
+    val live = Snapshots.liveFiles(spark, t).toSet
+    val srcStats = Snapshots.fileStats(spark, t)
+      .filter(st => st.column == "src" && live(st.path))
+    assert(srcStats.map(_.path).toSet === live,
+      "every batch-committed file must carry cluster-column zone maps")
+    GraftScanInfo.last = None
+    assert(spark.sql("SELECT count(*) AS n FROM gclu.c5 WHERE src = 's2'")
+      .as[Long].head() === 25L)
+    assert(scanInfo.candidates < scanInfo.total)
+    assert(Snapshots.fastCount(spark, t) === 100L)
+  }
+
+  test("CALL optimize defaults cols to the cluster spec; refuses without either") {
+    root
+    spark.sql("CREATE TABLE gclu.c6 (id BIGINT, src STRING) PARTITIONED BY (src)")
+    (1 to 100).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "src")
+      .createOrReplaceTempView("c6_in")
+    withRangeFiles { spark.sql("INSERT INTO gclu.c6 SELECT * FROM c6_in") }
+    val r = spark.sql("CALL gclu.system.optimize('c6', '', 2)").collect().head
+    assert(r.getLong(2) <= 2L)
+    GraftScanInfo.last = None
+    assert(spark.sql("SELECT count(*) AS n FROM gclu.c6 WHERE src = 's1'")
+      .as[Long].head() === 25L)
+    // unclustered table with empty cols refuses, naming the property
+    spark.sql("CREATE TABLE gclu.c7 (id BIGINT)")
+    val e = intercept[Exception](
+      spark.sql("CALL gclu.system.optimize('c7', '', 2)").collect())
+    assert(e.getMessage.contains("write.cluster.by"))
+  }
+
   test("bucket() refuses with the bloom-index pointer; unknown column refuses") {
     root
     val e = intercept[Exception](spark.sql(
