@@ -3229,7 +3229,7 @@ object ExtQueries {
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
-    x145Spec, x146Spec)
+    x145Spec, x146Spec, st30Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -7417,4 +7417,95 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS meta_ok,
            |       CAST(1 AS BIGINT) AS declined_ok
            |FROM documents""".stripMargin))
+
+  /** st30: STREAMING INGEST INTO A CLUSTERED TABLE — the hidden-
+    * partitioning story closed across the stream boundary: a table
+    * created with `PARTITIONED BY (source)` receives its rows through
+    * the streaming snapshot sink (one manifest transaction per
+    * micro-batch, [[graft.streaming.SnapshotSinkProvider]]), and because
+    * [[graft.io.Snapshots.commitBatchOnce]] routes every batch through
+    * [[graft.io.Clustering.forWrite]], each batch lands range-clustered
+    * with zone maps + row counts stamped — streaming ingest is not the
+    * path that quietly erodes pruning. Pins: one table version per
+    * micro-batch (`versions_ok`), a one-source SQL read opens a strict
+    * subset of live files (`pruned_ok`), COUNT(*) stays metadata-only
+    * through the catalog's fastCount (`fast_n` equals the rollup total),
+    * and a FULL REPLAY from a fresh checkpoint commits nothing — the
+    * manifest's deterministic per-batch dirs are the second idempotence
+    * lock under streaming-state loss (`replay_noop`). Oracle: the
+    * per-source rollup from raw documents. */
+  private def st30Spec: QuerySpec =
+    QuerySpec("st30_stream_clustered_ingest",
+      (s, d) => {
+        import graft.io.Snapshots
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w = maxId / 3 + 1
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stclu_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        (0 until 3).foreach { i =>
+          docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w)
+            .coalesce(1).write.parquet(s"$tmp/src/s$i")
+          new java.io.File(s"$tmp/src/s$i").listFiles()
+            .foreach(_.setLastModified(1700000000000L + i * 60000L))
+        }
+        s.sql(s"""CREATE TABLE $cat.t (doc_id BIGINT, source STRING, n_chars BIGINT)
+                 |PARTITIONED BY (source)""".stripMargin)
+        val tbl = s"$tmp/t"
+        val schema = s.read.option("recursiveFileLookup", "true")
+          .parquet(s"$tmp/src").schema
+        def drain(ckpt: String): Unit = {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).option("recursiveFileLookup", "true")
+            .parquet(s"$tmp/src")
+            .writeStream.format("graft.streaming.SnapshotSinkProvider")
+            .option("table", tbl).option("checkpointLocation", s"$tmp/$ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val aqe = "spark.sql.adaptive.coalescePartitions.enabled"
+        val prev = s.conf.get(aqe)
+        try { s.conf.set(aqe, "false"); drain("ckpt1") }
+        finally s.conf.set(aqe, prev)
+        val vAfter = Snapshots.currentVersion(s, tbl)
+        // table existed as v1 (CREATE) + one version per micro-batch
+        val versionsOk = if (vAfter == 4L) 1L else 0L
+        graft.sql.GraftScanInfo.last = None
+        val one = s.sql(s"""SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS c
+                           |FROM $cat.t WHERE source = 'src3'""".stripMargin)
+          .collect().head
+        val info = graft.sql.GraftScanInfo.last.get
+        val prunedOk = if (info.candidates < info.total) 1L else 0L
+        val fastN = s.sql(s"SELECT count(*) AS n FROM $cat.t").collect().head.getLong(0)
+        val files = Snapshots.liveFiles(s, tbl)
+        drain("ckpt2") // fresh checkpoint: full replay, ledger-refused
+        val replayNoop = if (Snapshots.currentVersion(s, tbl) == vAfter &&
+          Snapshots.liveFiles(s, tbl) == files) 1L else 0L
+        s.sql(s"""SELECT source, count(*) AS n_docs,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t GROUP BY source""".stripMargin)
+          .withColumn("one_n", lit(one.getLong(0)))
+          .withColumn("one_chars", lit(one.getLong(1)))
+          .withColumn("fast_n", lit(fastN))
+          .withColumn("versions_ok", lit(versionsOk))
+          .withColumn("pruned_ok", lit(prunedOk))
+          .withColumn("replay_noop", lit(replayNoop))
+          .orderBy("source")
+      },
+      Some("""WITH one AS (SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS c
+           |            FROM documents WHERE source = 'src3'),
+           |tot AS (SELECT count(*) AS n FROM documents)
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       one.n AS one_n, one.c AS one_chars, tot.n AS fast_n,
+           |       CAST(1 AS BIGINT) AS versions_ok,
+           |       CAST(1 AS BIGINT) AS pruned_ok,
+           |       CAST(1 AS BIGINT) AS replay_noop
+           |FROM documents, one, tot
+           |GROUP BY source, one.n, one.c, tot.n
+           |ORDER BY source""".stripMargin))
 }

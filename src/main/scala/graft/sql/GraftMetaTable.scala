@@ -23,6 +23,10 @@ import graft.io.Snapshots
   *   SELECT * FROM graft.`t$files`     -- the live data files, with sizes
   *   SELECT * FROM graft.`t$tags`      -- name → pinned version
   *   SELECT * FROM graft.`t$detail`    -- DESCRIBE DETAIL, one row
+  *   SELECT * FROM graft.`t$stats`     -- live zone maps, one row per
+  *                                     -- (file, column) — what pruning
+  *                                     -- actually sees (reserved __rows/
+  *                                     -- __bytes included, flagged)
   * }}}
   *
   * Everything is manifest metadata (the only data bytes touched are
@@ -33,7 +37,7 @@ import graft.io.Snapshots
   * metadata table rejects).
   */
 object GraftMetaTable {
-  val Kinds: Set[String] = Set("history", "files", "tags", "detail")
+  val Kinds: Set[String] = Set("history", "files", "tags", "detail", "stats")
 
   def schemaFor(kind: String): StructType = kind match {
     case "history" => StructType(Seq(
@@ -50,6 +54,13 @@ object GraftMetaTable {
     case "tags" => StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
+    case "stats" => StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("column", StringType, nullable = false),
+      StructField("dtype", StringType, nullable = false),
+      StructField("min", StringType, nullable = false),
+      StructField("max", StringType, nullable = false),
+      StructField("reserved", BooleanType, nullable = false)))
     case "detail" => StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("files", IntegerType, nullable = false),
@@ -71,14 +82,26 @@ object GraftMetaTable {
           c.version, c.tsMillis, c.adds, c.removes, c.dvAdds,
           c.schemaStamped, c.notes))
       case "files" =>
+        // sizes from manifest __bytes stats when recorded (no per-file
+        // RPC at listing time); filesystem fallback for legacy commits
         val conf = spark.sparkContext.hadoopConfiguration
+        val recorded = Snapshots.fileStats(spark, path)
+          .filter(_.column == Snapshots.BytesStat)
+          .map(st => st.path -> st.min.toLong).toMap
         Snapshots.liveFiles(spark, path).map { p =>
-          val hp = new org.apache.hadoop.fs.Path(p)
-          Row(p, hp.getFileSystem(conf).getFileStatus(hp).getLen)
+          Row(p, recorded.getOrElse(p, {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(conf).getFileStatus(hp).getLen
+          }))
         }
       case "tags" =>
         Snapshots.tags(spark, path).toSeq.sortBy(_._1)
           .map { case (n, v) => Row(n, v) }
+      case "stats" =>
+        Snapshots.fileStats(spark, path)
+          .sortBy(st => (st.path, st.column))
+          .map(st => Row(st.path, st.column, st.dtype, st.min, st.max,
+            Snapshots.reservedStat(st.column)))
       case "detail" =>
         val d = Snapshots.detail(spark, path)
         Seq(Row(d.version, d.files, d.bytes, d.smallFiles, d.dvFiles,

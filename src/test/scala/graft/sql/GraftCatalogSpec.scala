@@ -199,6 +199,16 @@ class GraftCatalogSpec extends SparkSpec {
     val d = spark.sql("SELECT version, files, dv_keys, schema_recorded FROM graft.`t10$detail`")
       .as[(Long, Int, Long, Boolean)].head()
     assert(d === ((5L, 4, 1L, true)))
+    // t$stats: one row per live (file, column) zone map; `id` covers all
+    // 4 live files with true bounds, reserved __bytes rows are flagged
+    val idStats = spark.sql(
+      "SELECT path, min, max FROM graft.`t10$stats` WHERE column = 'id' AND NOT reserved")
+      .as[(String, String, String)].collect().toSeq
+    assert(idStats.size === 4)
+    assert(idStats.map(_._2.toLong).min === 1L && idStats.map(_._3.toLong).max === 40L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.`t10$stats` WHERE column = '__bytes' AND reserved")
+      .as[Long].head() === 4L)
   }
 
   test("CREATE TABLE and CTAS: schema-stamped empty v1, then transactional appends") {
