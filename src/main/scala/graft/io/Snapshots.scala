@@ -1750,6 +1750,19 @@ object Snapshots {
     v
   }
 
+  /** Retract a `wap-` LIFECYCLE pin ([[graft.io.Wap]]'s clone-base tag).
+    * Only the wap prefix is retractable — user tags stay immutable
+    * (create-once, never repointed, never deleted): the wap pin is
+    * machinery with a defined end of life (publish/abandon), a user tag
+    * is a reproducibility promise. */
+  private[graft] def retractTag(spark: SparkSession, table: String,
+                                name: String): Unit = {
+    require(name.startsWith("wap-"),
+      s"only wap- lifecycle pins are retractable; '$name' is a user tag")
+    fs(spark, table).delete(new Path(s"${tagsDir(table)}/$name"), false)
+    ()
+  }
+
   /** All tags on the table, name → version. */
   def tags(spark: SparkSession, table: String): Map[String, Long] = {
     val f = fs(spark, table)

@@ -1,0 +1,176 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.SparkSession
+
+/** WRITE-AUDIT-PUBLISH: zero-copy clones with an atomic publish — the
+  * staging discipline a production data pipeline runs risky transforms
+  * under (Iceberg's WAP / Nessie-branch pattern, built entirely on this
+  * repo's existing manifest machinery):
+  *
+  * {{{
+  *   Wap.clone(spark, corpus, staging)        // O(metadata): no data copied
+  *   ... mutate staging freely (SQL DML, merges, OPTIMIZE, appends) ...
+  *   ... audit staging (row counts, quality gates, eval queries) ...
+  *   Wap.publish(spark, staging)              // ONE atomic commit in corpus
+  * }}}
+  *
+  *  - CLONE commits the source's live file set (data + deletion vectors +
+  *    bloom sidecars), recorded schema, table properties and zone-map
+  *    stats into a fresh table as version 1 — a full independent table in
+  *    O(metadata), readable and writable through every existing surface
+  *    (catalog SQL, DML, procedures). A retractable `wap-` lifecycle tag
+  *    pins the base version in the SOURCE, so source expiry cannot strand
+  *    the shared files while the clone lives ([[Snapshots.expireVersions]]
+  *    refuses to cross a tag; ordinary user tags stay immutable —
+  *    [[Snapshots.retractTag]] accepts only the `wap-` prefix).
+  *  - AUDIT is just reading the clone: every query surface works, and the
+  *    source serves production reads untouched the whole time.
+  *  - PUBLISH swaps the clone's live state into the source as ONE
+  *    optimistic commit against the clone's base version (the source
+  *    must not have advanced — re-clone to rebase; refusing beats silent
+  *    merge semantics). Files the clone created are REHOMED into the
+  *    source's data directory first (hard link on local filesystems,
+  *    copy elsewhere), so the published source never references paths
+  *    under a staging directory an operator might delete; their zone-map
+  *    stats travel with the rename. Pre-publish source versions keep
+  *    time-traveling; the lifecycle pin retracts once the publish commit
+  *    holds the shared files live.
+  *
+  * Vacuum safety is structural: [[Snapshots.vacuum]] deletes only files
+  * under its own table's `data/` that no version references — the clone
+  * referencing source paths never exposes them to the CLONE's vacuum,
+  * and the source's vacuum keeps them while any source version (base is
+  * pinned) references them.
+  *
+  * Reference analog: none (north-star extension) — the audit gate the
+  * reference's single-writer pipeline never needed, and the heart of how
+  * a 100 TB training corpus takes risky curation changes safely.
+  */
+object Wap {
+
+  final case class PublishResult(version: Long, added: Int, removed: Int,
+                                 rehomed: Int)
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def sanitize(s: String): String =
+    s.map(c => if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c else '-')
+      .dropWhile(!_.isLetterOrDigit).take(64) match {
+      case "" => "x"
+      case t  => t
+    }
+
+  private def pinName(dst: String, base: Long): String =
+    s"wap-${sanitize(new Path(dst).getName)}-v$base"
+
+  /** Zero-copy clone of `src`@`version` (default current) into the new
+    * table `dst`. Returns the clone's version (always 1). */
+  def clone(spark: SparkSession, src: String, dst: String,
+            version: Option[Long] = None): Long = {
+    val f = fsOf(spark, dst)
+    require(!f.exists(new Path(s"$dst/_manifest")), s"$dst already exists")
+    val v = version.getOrElse(Snapshots.currentVersion(spark, src))
+    require(v > 0 && Snapshots.versions(spark, src).contains(v),
+      s"version $v of $src does not exist")
+    // pin FIRST: once the tag holds, expiry cannot cross the base, so
+    // every file the clone is about to reference stays resolvable
+    Snapshots.tag(spark, src, pinName(dst, v), Some(v))
+    // carried zone maps keep pruning live on the clone from its first
+    // read; __bytes is re-recorded by commit() itself for the add set
+    val carried = Snapshots.fileStats(spark, src, Some(v))
+      .filterNot(_.column == Snapshots.BytesStat)
+    Snapshots.commit(spark, dst,
+      adds = Snapshots.liveFiles(spark, src, Some(v)),
+      dvAdds = Snapshots.liveDvFiles(spark, src, Some(v)),
+      bloomAdds = Snapshots.liveBloomFiles(spark, src, Some(v)),
+      schemaJson = Snapshots.tableSchema(spark, src, Some(v)).map(_.json),
+      stats = carried,
+      notes = Seq(s"wap-clone:$src@$v"),
+      props = Snapshots.tableProperties(spark, src, Some(v)).toSeq
+        .map { case (k, pv) => k -> Some(pv) } ++
+        Seq("wap.source" -> Some(src), "wap.base" -> Some(v.toString)))
+  }
+
+  /** Hard-link (local) or copy (object stores) `from` under `toDir`,
+    * returning the new path. Part/dv/bloom file names embed write-job
+    * UUIDs, so basenames cannot collide in the shared rehome dir. */
+  private def linkOrCopy(f: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+                         from: String, toDir: Path): String = {
+    val srcP = new Path(from)
+    val to = new Path(toDir, srcP.getName)
+    if (Option(to.toUri.getScheme).forall(_ == "file")) {
+      val toNio = java.nio.file.Paths.get(to.toUri.getPath)
+      java.nio.file.Files.createDirectories(toNio.getParent)
+      java.nio.file.Files.createLink(toNio, java.nio.file.Paths.get(srcP.toUri.getPath))
+    } else FileUtil.copy(f, srcP, f, to, false, conf)
+    to.toString
+  }
+
+  /** Publish the clone's live state into its source as ONE atomic swap
+    * commit. Refuses if the source advanced past the clone's base
+    * (re-clone to rebase) or if `dst` is not a clone. */
+  def publish(spark: SparkSession, dst: String): PublishResult = {
+    val props = Snapshots.tableProperties(spark, dst)
+    val src = props.getOrElse("wap.source", throw new IllegalArgumentException(
+      s"$dst is not a WAP clone (no wap.source property); Wap.clone creates one"))
+    val base = props("wap.base").toLong
+    val cur = Snapshots.currentVersion(spark, src)
+    if (cur != base) throw new IllegalStateException(
+      s"$src advanced to v$cur past the clone's base v$base — publishing " +
+        "would silently drop those commits; re-clone from the current " +
+        "version and re-apply the staged changes")
+    val dstV = Snapshots.currentVersion(spark, dst)
+    val srcLive = Snapshots.liveFiles(spark, src, Some(cur)).toSet
+    val srcDv = Snapshots.liveDvFiles(spark, src, Some(cur)).toSet
+    val srcBloom = Snapshots.liveBloomFiles(spark, src, Some(cur)).toSet
+    val dstLive = Snapshots.liveFiles(spark, dst, Some(dstV))
+    val dstDv = Snapshots.liveDvFiles(spark, dst, Some(dstV))
+    val dstBloom = Snapshots.liveBloomFiles(spark, dst, Some(dstV))
+    // rehome clone-created files into the source's own data dir so the
+    // source never references a staging path
+    val f = fsOf(spark, src)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rehomeDir = new Path(s"$src/data/wap-${java.util.UUID.randomUUID()}")
+    var rehomed = Map.empty[String, String]
+    def place(p: String, already: Set[String]): String =
+      if (already(p)) p
+      else { val np = linkOrCopy(f, conf, p, rehomeDir); rehomed += p -> np; np }
+    val adds = dstLive.filterNot(srcLive).map(place(_, srcLive))
+    val dvAdds = dstDv.filterNot(srcDv).map(place(_, srcDv))
+    val bloomAdds = dstBloom.filterNot(srcBloom).map(place(_, srcBloom))
+    val removes = (srcLive -- dstLive.toSet).toSeq ++
+      (srcDv -- dstDv.toSet).toSeq ++ (srcBloom -- dstBloom.toSet).toSeq
+    // zone maps for the published adds travel with the rehome (every add
+    // was rehomed by construction — it is a file the source didn't have);
+    // __bytes re-records inside commit() for the new paths
+    val stats = Snapshots.fileStats(spark, dst, Some(dstV))
+      .filterNot(_.column == Snapshots.BytesStat)
+      .filter(st => rehomed.contains(st.path))
+      .map(st => st.copy(path = rehomed(st.path)))
+    // a schema evolved in the clone stamps the source at publish
+    val dstSchema = Snapshots.tableSchema(spark, dst, Some(dstV))
+    val srcSchema = Snapshots.tableSchema(spark, src, Some(cur))
+    val version = Snapshots.commit(spark, src,
+      adds = adds, removes = removes, dvAdds = dvAdds, bloomAdds = bloomAdds,
+      baseVersion = Some(cur),
+      schemaJson = if (dstSchema != srcSchema) dstSchema.map(_.json) else None,
+      stats = stats,
+      notes = Seq(s"wap-publish:$dst@$dstV"))
+    // the publish commit now holds the shared files live — the lifecycle
+    // pin has done its job
+    Snapshots.retractTag(spark, src, pinName(dst, base))
+    PublishResult(version, adds.size, removes.size, rehomed.size)
+  }
+
+  /** Abandon a clone: retract the source's lifecycle pin (the clone's
+    * directory is left for the operator — it may still be referenced by
+    * nothing, but deleting data is an operator decision). */
+  def abandon(spark: SparkSession, dst: String): Unit = {
+    val props = Snapshots.tableProperties(spark, dst)
+    val src = props.getOrElse("wap.source", throw new IllegalArgumentException(
+      s"$dst is not a WAP clone"))
+    Snapshots.retractTag(spark, src, pinName(dst, props("wap.base").toLong))
+  }
+}

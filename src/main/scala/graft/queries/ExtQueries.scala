@@ -3229,7 +3229,7 @@ object ExtQueries {
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
-    x145Spec, x146Spec, st30Spec)
+    x145Spec, x146Spec, st30Spec, x147Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -7508,4 +7508,83 @@ object ExtQueries {
            |FROM documents, one, tot
            |GROUP BY source, one.n, one.c, tot.n
            |ORDER BY source""".stripMargin))
+
+  /** x147: WRITE-AUDIT-PUBLISH FROM SQL — the staging discipline a
+    * production corpus takes risky curation under ([[graft.io.Wap]]):
+    * `CALL clone` forks the table as a ZERO-COPY metadata commit (zone
+    * maps and row counts carried — the fork prunes from its first read),
+    * the staged fork absorbs a CoW DELETE and an INSERT through ordinary
+    * SQL while the source keeps serving its unchanged content
+    * (`stale_src_ok`), and `CALL publish` lands the audited state as ONE
+    * atomic commit (`publish_atomic` pins exactly +1 version) with every
+    * fork-created file REHOMED under the source's own data dir
+    * (`rehomed_ok` — no staging path in `t$files`). Pre-publish versions
+    * keep time-traveling (`travel_ok`). The oracle replays the
+    * delete+insert algebra on raw documents. */
+  private def x147Spec: QuerySpec =
+    QuerySpec("x147_wap",
+      (s, d) => {
+        import graft.io.Snapshots
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w = maxId / 4 + 1
+        val tmp = java.nio.file.Files.createTempDirectory("graft_wap_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        docs.createOrReplaceTempView("x147_docs")
+        val tbl = s"$tmp/corpus"
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w)
+              .coalesce(1),
+            tbl, recordSchema = i == 0, statsCols = Seq("doc_id"),
+            recordRowCounts = true)
+        }
+        val base = Snapshots.currentVersion(s, tbl)
+        val n0 = docs.count()
+        s.sql(s"CALL $cat.system.clone('corpus', 'stage')")
+        // stage the risky change: drop the first quarter, add a re-keyed
+        // band — ordinary SQL against the fork
+        s.sql(s"DELETE FROM $cat.stage WHERE doc_id < $w")
+        s.sql(s"""INSERT INTO $cat.stage
+                 |SELECT doc_id + ${maxId + 1} AS doc_id, source, n_chars
+                 |FROM x147_docs WHERE doc_id >= $w AND doc_id < ${2 * w}""".stripMargin)
+        val staleSrcOk =
+          if (s.sql(s"SELECT count(*) AS n FROM $cat.corpus").collect().head.getLong(0) == n0 &&
+            Snapshots.currentVersion(s, tbl) == base) 1L else 0L
+        val pub = s.sql(s"CALL $cat.system.publish('stage')").collect().head
+        val publishAtomic =
+          if (pub.getLong(0) == base + 1 &&
+            Snapshots.currentVersion(s, tbl) == base + 1) 1L else 0L
+        val rehomedOk = if (s.sql(
+          s"SELECT count(*) AS n FROM $cat.`corpus$$files` WHERE path LIKE '%/stage/%'")
+          .collect().head.getLong(0) == 0L) 1L else 0L
+        val travelOk = if (s.sql(
+          s"SELECT count(*) AS n FROM $cat.corpus VERSION AS OF $base")
+          .collect().head.getLong(0) == n0) 1L else 0L
+        s.sql(s"""SELECT source, count(*) AS n_docs,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.corpus GROUP BY source""".stripMargin)
+          .withColumn("stale_src_ok", lit(staleSrcOk))
+          .withColumn("publish_atomic", lit(publishAtomic))
+          .withColumn("rehomed_ok", lit(rehomedOk))
+          .withColumn("travel_ok", lit(travelOk))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT max(doc_id) // 4 + 1 AS w,
+           |              max(doc_id) + 1 AS shift FROM documents),
+           |final AS (
+           |  SELECT source, n_chars FROM documents, w WHERE doc_id >= w
+           |  UNION ALL
+           |  SELECT source, n_chars FROM documents, w
+           |  WHERE doc_id >= w AND doc_id < 2 * w)
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS stale_src_ok,
+           |       CAST(1 AS BIGINT) AS publish_atomic,
+           |       CAST(1 AS BIGINT) AS rehomed_ok,
+           |       CAST(1 AS BIGINT) AS travel_ok
+           |FROM final GROUP BY source ORDER BY source""".stripMargin))
 }

@@ -114,6 +114,37 @@ object GraftProcedures {
           in.getLong(3).toInt)
         Seq(r.version, r.filesBefore.toLong, r.filesAfter.toLong)
       }),
+    mkDef("clone", "zero-copy WAP clone: stage risky changes on a full table in O(metadata)",
+      Seq(in("source", S), in("dest", S), inDef("version", L, "0")),
+      StructType(Seq(
+        DataTypes.createStructField("version", L, false),
+        DataTypes.createStructField("base", L, false))))(
+      (s, root, in) => {
+        val src = tbl(root, in, 0)
+        val v = if (in.getLong(2) > 0) Some(in.getLong(2)) else None
+        val cloned = graft.io.Wap.clone(s, src,
+          s"$root/${in.getUTF8String(1).toString}", v)
+        Seq(cloned, v.getOrElse(Snapshots.currentVersion(s, src)))
+      }),
+    mkDef("publish", "atomically publish a WAP clone's state into its source",
+      Seq(in("dest", S)),
+      StructType(Seq(
+        DataTypes.createStructField("version", L, false),
+        DataTypes.createStructField("added", L, false),
+        DataTypes.createStructField("removed", L, false),
+        DataTypes.createStructField("rehomed", L, false))))(
+      (s, root, in) => {
+        val r = graft.io.Wap.publish(s, tbl(root, in, 0))
+        Seq(r.version, r.added.toLong, r.removed.toLong, r.rehomed.toLong)
+      }),
+    mkDef("abandon", "retract a WAP clone's lifecycle pin without publishing",
+      Seq(in("dest", S)),
+      StructType(Seq(
+        DataTypes.createStructField("abandoned", org.apache.spark.sql.types.DataTypes.BooleanType, false))))(
+      (s, root, in) => {
+        graft.io.Wap.abandon(s, tbl(root, in, 0))
+        Seq(true)
+      }),
     mkDef("compact_small", "binpack the small-file tail (O(tail), not O(table))",
       Seq(in("table", S), in("small_bytes", L), in("target_bytes", L)),
       StructType(Seq(

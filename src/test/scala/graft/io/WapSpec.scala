@@ -1,0 +1,103 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Write-audit-publish ([[Wap]]): zero-copy clones, the retention pin,
+  * and the atomic rehoming publish. */
+class WapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshBase(): String =
+    java.nio.file.Files.createTempDirectory("graft_wap").toString
+
+  private def mkSrc(base: String): String = {
+    val t = s"$base/src"
+    (0 until 3).foreach { i =>
+      Snapshots.commitAppend(
+        (i * 10 + 1 to i * 10 + 10).map(x => (x.toLong, s"s${x % 3}", x * 2L))
+          .toDF("id", "src", "m").coalesce(1),
+        t, recordSchema = i == 0, statsCols = Seq("id"), recordRowCounts = true)
+    }
+    t
+  }
+
+  test("clone is zero-copy, reads equal, stats carried, pin held") {
+    val base = freshBase()
+    val t = mkSrc(base)
+    val c = s"$base/stage"
+    assert(Wap.clone(spark, t, c) === 1L)
+    // no data directory materialized under the clone — pure metadata
+    assert(!new java.io.File(s"$c/data").exists())
+    assert(Snapshots.readAt(spark, c).orderBy("id").collect().toSeq ===
+      Snapshots.readAt(spark, t).orderBy("id").collect().toSeq)
+    // carried zone maps: a pruned read on the clone skips files immediately
+    val (scan, skip) = Snapshots.pruneFiles(spark, c, "id", "1", "5")
+    assert(scan.size === 1 && skip.size === 2)
+    // carried row counts: metadata COUNT(*) works on the clone
+    assert(Snapshots.fastCount(spark, c) === 30L)
+    // the lifecycle pin blocks source expiry PAST the base (v3): a later
+    // commit makes keepFrom=4 legal, but the pin at v3 refuses it
+    Snapshots.commitAppend(Seq((99L, "s0", 0L)).toDF("id", "src", "m")
+      .coalesce(1), t)
+    intercept[Exception] { Snapshots.expireVersions(spark, t, keepFrom = 4L) }
+    Wap.abandon(spark, c)
+    Snapshots.expireVersions(spark, t, keepFrom = 4L) // pin retracted
+  }
+
+  test("publish: one atomic swap, rehomed files, time travel intact") {
+    val base = freshBase()
+    val t = mkSrc(base)
+    val c = s"$base/stage2"
+    Wap.clone(spark, t, c)
+    val vSrcBefore = Snapshots.currentVersion(spark, t)
+    // audit-stage mutations on the clone: delete + append
+    Snapshots.deleteWhere(spark, c, col("id") <= 5, prune = Some(("id", "1", "5")))
+    Snapshots.commitAppend(
+      Seq((100L, "s1", 200L), (101L, "s2", 202L)).toDF("id", "src", "m")
+        .coalesce(1), c, statsCols = Seq("id"))
+    // source untouched while staging
+    assert(Snapshots.currentVersion(spark, t) === vSrcBefore)
+    assert(Snapshots.readAt(spark, t).count() === 30L)
+    val r = Wap.publish(spark, c)
+    assert(r.version === vSrcBefore + 1)
+    assert(r.rehomed === r.added)
+    // source now equals the clone's content
+    assert(Snapshots.readAt(spark, t).orderBy("id").collect().toSeq ===
+      Snapshots.readAt(spark, c).orderBy("id").collect().toSeq)
+    assert(Snapshots.readAt(spark, t).count() === 27L)
+    // every published file lives under the SOURCE's data dir
+    val live = Snapshots.liveFiles(spark, t)
+    assert(live.forall(p => !p.contains("/stage2/")),
+      s"published live set must not reference the staging dir: $live")
+    // pre-publish source versions keep time traveling
+    assert(Snapshots.readAt(spark, t, Some(vSrcBefore)).count() === 30L)
+    // zone maps traveled with the rehome: pruning works on the new files
+    val (scan, _) = Snapshots.pruneFiles(spark, t, "id", "100", "101")
+    assert(scan.size === 1)
+    // the pin is gone: expiry can advance
+    Snapshots.expireVersions(spark, t, keepFrom = r.version)
+  }
+
+  test("publish refuses when the source advanced; clone props carried") {
+    val base = freshBase()
+    val t = mkSrc(base)
+    val c = s"$base/stage3"
+    Wap.clone(spark, t, c)
+    Snapshots.commitAppend(Seq((999L, "s0", 0L)).toDF("id", "src", "m")
+      .coalesce(1), t)
+    val e = intercept[IllegalStateException] { Wap.publish(spark, c) }
+    assert(e.getMessage.contains("re-clone"))
+    // a clustered source's clone inherits write.cluster.by (props carried)
+    val t2 = s"$base/src2"
+    Snapshots.commitAppend(
+      (1 to 10).map(x => (x.toLong, s"s$x")).toDF("id", "src").coalesce(1),
+      t2, recordSchema = true)
+    Snapshots.commit(spark, t2, adds = Nil,
+      props = Seq(graft.io.Clustering.Prop -> Some("src")))
+    val c2 = s"$base/stage4"
+    Wap.clone(spark, t2, c2)
+    assert(Snapshots.tableProperties(spark, c2)(Clustering.Prop) === "src")
+    assert(Snapshots.tableProperties(spark, c2)("wap.source") === t2)
+  }
+}
