@@ -109,22 +109,34 @@ object Wap {
   }
 
   /** Publish the clone's live state into its source as ONE atomic swap
-    * commit. Refuses if the source advanced past the clone's base
-    * (re-clone to rebase) or if `dst` is not a clone. */
+    * commit, expressed AGAINST THE CLONE'S BASE: files the clone dropped
+    * from its base view retire, files it created land (rehomed), and —
+    * the fast-forward case — files the source APPENDED after the base
+    * stay live, so the ingest-keeps-appending-while-curation-stages
+    * pattern publishes without a re-clone. Any non-add-only source
+    * advance (a delete, a compaction, a new deletion vector — anything
+    * that could CONFLICT with the staged rewrite) refuses loudly;
+    * refusal beats invented merge semantics. */
   def publish(spark: SparkSession, dst: String): PublishResult = {
     val props = Snapshots.tableProperties(spark, dst)
     val src = props.getOrElse("wap.source", throw new IllegalArgumentException(
       s"$dst is not a WAP clone (no wap.source property); Wap.clone creates one"))
     val base = props("wap.base").toLong
     val cur = Snapshots.currentVersion(spark, src)
-    if (cur != base) throw new IllegalStateException(
-      s"$src advanced to v$cur past the clone's base v$base — publishing " +
-        "would silently drop those commits; re-clone from the current " +
-        "version and re-apply the staged changes")
+    val srcLive = Snapshots.liveFiles(spark, src, Some(base)).toSet
+    val srcDv = Snapshots.liveDvFiles(spark, src, Some(base)).toSet
+    val srcBloom = Snapshots.liveBloomFiles(spark, src, Some(base)).toSet
+    if (cur != base) {
+      val nowLive = Snapshots.liveFiles(spark, src, Some(cur)).toSet
+      val nowDv = Snapshots.liveDvFiles(spark, src, Some(cur)).toSet
+      val addOnly = srcLive.subsetOf(nowLive) && nowDv == srcDv
+      if (!addOnly) throw new IllegalStateException(
+        s"$src advanced to v$cur past the clone's base v$base with " +
+          "removals or deletion vectors — those may conflict with the " +
+          "staged rewrite; re-clone from the current version and " +
+          "re-apply the staged changes (append-only advances fast-forward)")
+    }
     val dstV = Snapshots.currentVersion(spark, dst)
-    val srcLive = Snapshots.liveFiles(spark, src, Some(cur)).toSet
-    val srcDv = Snapshots.liveDvFiles(spark, src, Some(cur)).toSet
-    val srcBloom = Snapshots.liveBloomFiles(spark, src, Some(cur)).toSet
     val dstLive = Snapshots.liveFiles(spark, dst, Some(dstV))
     val dstDv = Snapshots.liveDvFiles(spark, dst, Some(dstV))
     val dstBloom = Snapshots.liveBloomFiles(spark, dst, Some(dstV))

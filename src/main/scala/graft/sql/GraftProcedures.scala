@@ -114,6 +114,35 @@ object GraftProcedures {
           in.getLong(3).toInt)
         Seq(r.version, r.filesBefore.toLong, r.filesAfter.toLong)
       }),
+    mkDef("maintain", "one-call maintenance sweep: binpack small files, verified checkpoint, age-based expiry, vacuum",
+      Seq(in("table", S), inDef("small_mb", L, "32"), inDef("target_mb", L, "256"),
+        inDef("keep_days", L, "0")),
+      StructType(Seq(
+        DataTypes.createStructField("version", L, false),
+        DataTypes.createStructField("packed", L, false),
+        DataTypes.createStructField("checkpointed", L, false),
+        DataTypes.createStructField("expired_versions", L, false),
+        DataTypes.createStructField("vacuumed", L, false))))(
+      (s, root, in) => {
+        // the nightly sweep as one statement, each step the library
+        // transaction with its own discipline: binpack the small-file
+        // tail (O(tail)); checkpoint so later expiry has a verified
+        // anchor; expire by age ONLY when keep_days > 0 (retention is
+        // opt-in — deleting history must be asked for); vacuum last so
+        // files the expiry just unreferenced reclaim in the same call
+        val path = tbl(root, in, 0)
+        val packed = Snapshots.compactSmall(s, path,
+          smallBytes = in.getLong(1) * 1024 * 1024,
+          targetBytes = in.getLong(2) * 1024 * 1024).packed
+        val ck = Snapshots.checkpoint(s, path)
+        val expired =
+          if (in.getLong(3) <= 0) 0L
+          else Snapshots.expireOlderThan(s, path,
+            System.currentTimeMillis() - in.getLong(3) * 24L * 3600 * 1000)
+            .expired.size.toLong
+        val vacuumed = Snapshots.vacuum(s, path).size.toLong
+        Seq(Snapshots.currentVersion(s, path), packed.toLong, ck, expired, vacuumed)
+      }),
     mkDef("clone", "zero-copy WAP clone: stage risky changes on a full table in O(metadata)",
       Seq(in("source", S), in("dest", S), inDef("version", L, "0")),
       StructType(Seq(

@@ -79,14 +79,32 @@ class WapSpec extends SparkSpec {
     Snapshots.expireVersions(spark, t, keepFrom = r.version)
   }
 
-  test("publish refuses when the source advanced; clone props carried") {
+  test("append-only source advance fast-forwards; conflicting advance refuses") {
     val base = freshBase()
     val t = mkSrc(base)
     val c = s"$base/stage3"
     Wap.clone(spark, t, c)
-    Snapshots.commitAppend(Seq((999L, "s0", 0L)).toDF("id", "src", "m")
+    // the ingest-keeps-appending case: source gains rows while staging
+    Snapshots.commitAppend(Seq((999L, "s0", 1998L)).toDF("id", "src", "m")
       .coalesce(1), t)
-    val e = intercept[IllegalStateException] { Wap.publish(spark, c) }
+    Snapshots.deleteWhere(spark, c, col("id") <= 10, prune = Some(("id", "1", "10")))
+    val r = Wap.publish(spark, c)
+    // published = staged content (20 rows) + the fast-forwarded append
+    assert(Snapshots.readAt(spark, t).count() === 21L)
+    assert(Snapshots.readAt(spark, t).filter(col("id") === 999L).count() === 1L)
+    assert(Snapshots.readAt(spark, t).filter(col("id") <= 10).count() === 0L)
+    assert(r.removed === 1) // the quarter file the staged delete dropped
+    // a CONFLICTING advance (deletion vector) refuses
+    val tc = s"$base/src3"
+    (0 until 2).foreach { i =>
+      Snapshots.commitAppend(
+        (i * 10 + 1 to i * 10 + 10).map(x => (x.toLong, s"v$x")).toDF("id", "s")
+          .coalesce(1), tc, recordSchema = i == 0)
+    }
+    val c3 = s"$base/stage5"
+    Wap.clone(spark, tc, c3)
+    Snapshots.deleteWhereMor(spark, tc, col("id") === 1L, Seq("id"))
+    val e = intercept[IllegalStateException] { Wap.publish(spark, c3) }
     assert(e.getMessage.contains("re-clone"))
     // a clustered source's clone inherits write.cluster.by (props carried)
     val t2 = s"$base/src2"

@@ -211,6 +211,18 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() === 4L)
   }
 
+  test("CALL maintain: binpack + verified checkpoint + vacuum as one sweep") {
+    val t = mkSliced("t18")
+    val r = spark.sql("CALL graft.system.maintain('t18')").collect().head
+    assert(r.getLong(1) === 4L, "four small slice files binpack")
+    assert(r.getLong(3) === 0L, "expiry is opt-in (keep_days=0 skips)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t18").as[Long].head() === 40L)
+    assert(Snapshots.currentVersion(spark, t) === 5L) // 4 appends + binpack
+    // history intact: the sweep never expired anything
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t18 VERSION AS OF 2")
+      .as[Long].head() === 20L)
+  }
+
   test("CREATE TABLE and CTAS: schema-stamped empty v1, then transactional appends") {
     spark.sql("CREATE TABLE graft.t11 (id BIGINT, s STRING)")
     assert(spark.sql("SELECT count(*) AS n FROM graft.t11").as[Long].head() === 0L)
