@@ -152,6 +152,51 @@ class GraftClusterSpec extends SparkSpec {
     assert(e.getMessage.contains("write.cluster.by"))
   }
 
+  test("multi-dim PARTITIONED BY z-clusters: EVERY dimension prunes alone") {
+    root
+    spark.sql("CREATE TABLE gclu.c8 (a BIGINT, b BIGINT, v BIGINT) PARTITIONED BY (a, b)")
+    (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong, (a * 32 + b).toLong))
+      .toDF("a", "b", "v").createOrReplaceTempView("c8_in")
+    withRangeFiles { spark.sql("INSERT INTO gclu.c8 SELECT * FROM c8_in") }
+    assert(Snapshots.liveFiles(spark, s"$root/c8").size > 1)
+    // a predicate on the SECOND dimension alone prunes — the lexicographic
+    // layout this replaces cannot do this (b spans its whole domain in
+    // every leading-dim range file)
+    GraftScanInfo.last = None
+    assert(spark.sql("SELECT count(*) AS n FROM gclu.c8 WHERE b < 8")
+      .as[Long].head() === 32L * 8)
+    val ib = scanInfo
+    assert(ib.candidates < ib.total, s"second-dim pruning failed: $ib")
+    // and the first dimension still prunes
+    GraftScanInfo.last = None
+    assert(spark.sql("SELECT count(*) AS n FROM gclu.c8 WHERE a < 8")
+      .as[Long].head() === 32L * 8)
+    val ia = scanInfo
+    assert(ia.candidates < ia.total, s"first-dim pruning failed: $ia")
+  }
+
+  test("mixed temporal+string multi-dim: both transforms prune through z") {
+    root
+    spark.sql("""CREATE TABLE gclu.c9 (ts TIMESTAMP, src STRING, v BIGINT)
+                 PARTITIONED BY (days(ts), src)""")
+    val rows = for (d <- 1 to 8; s <- 0 until 4; i <- 1 to 8)
+      yield (java.sql.Timestamp.valueOf(f"2026-04-$d%02d 0$i:00:00"), s"g$s", i.toLong)
+    rows.toDF("ts", "src", "v").createOrReplaceTempView("c9_in")
+    withRangeFiles { spark.sql("INSERT INTO gclu.c9 SELECT * FROM c9_in") }
+    GraftScanInfo.last = None
+    assert(spark.sql("SELECT count(*) AS n FROM gclu.c9 WHERE src = 'g0'")
+      .as[Long].head() === 64L)
+    assert(scanInfo.candidates < scanInfo.total,
+      s"string-dim pruning failed: $scanInfo")
+    GraftScanInfo.last = None
+    assert(spark.sql(
+      """SELECT count(*) AS n FROM gclu.c9
+         WHERE ts >= TIMESTAMP '2026-04-01 00:00:00'
+           AND ts <  TIMESTAMP '2026-04-03 00:00:00'""").as[Long].head() === 64L)
+    assert(scanInfo.candidates < scanInfo.total,
+      s"temporal-dim pruning failed: $scanInfo")
+  }
+
   test("bucket() refuses with the bloom-index pointer; unknown column refuses") {
     root
     val e = intercept[Exception](spark.sql(
