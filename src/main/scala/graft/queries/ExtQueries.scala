@@ -3229,7 +3229,7 @@ object ExtQueries {
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
-    x145Spec, x146Spec, st30Spec, x147Spec)
+    x145Spec, x146Spec, st30Spec, x147Spec, x148Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -7587,4 +7587,63 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS rehomed_ok,
            |       CAST(1 AS BIGINT) AS travel_ok
            |FROM final GROUP BY source ORDER BY source""".stripMargin))
+
+  /** x148: MULTI-DIMENSION HIDDEN PARTITIONING — `PARTITIONED BY
+    * (doc_id, source)` Morton-interleaves the write
+    * ([[graft.io.Clustering]] k ≥ 2), so EVERY dimension's zone maps
+    * prune alone: the decisive pin is `dim2_pruned_ok` — an equality on
+    * `source`, the SECOND dimension, opens a strict subset of files,
+    * which the lexicographic layout this replaces cannot do (the second
+    * dim spans its whole domain inside every leading-dim range file).
+    * `dim1_pruned_ok` pins the leading dim still prunes, and both legs'
+    * COUNTS cross the DuckDB oracle, so the z-layout is provably
+    * content-preserving, not just well-shaped. */
+  private def x148Spec: QuerySpec =
+    QuerySpec("x148_sql_zpartition",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_zpart_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+        docs.createOrReplaceTempView("x148_docs")
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        s.sql(s"""CREATE TABLE $cat.zp (doc_id BIGINT, source STRING, n_chars BIGINT)
+                 |PARTITIONED BY (doc_id, source)""".stripMargin)
+        val aqe = "spark.sql.adaptive.coalescePartitions.enabled"
+        val prev = s.conf.get(aqe)
+        try {
+          s.conf.set(aqe, "false")
+          s.sql(s"INSERT INTO $cat.zp SELECT * FROM x148_docs")
+        } finally s.conf.set(aqe, prev)
+        graft.sql.GraftScanInfo.last = None
+        val bySrc = s.sql(s"""SELECT count(*) AS n,
+                             |CAST(sum(n_chars) AS BIGINT) AS c
+                             |FROM $cat.zp WHERE source = 'src3'""".stripMargin)
+          .collect().head
+        val i2 = graft.sql.GraftScanInfo.last.get
+        val dim2Ok = if (i2.candidates < i2.total) 1L else 0L
+        graft.sql.GraftScanInfo.last = None
+        val byId = s.sql(s"""SELECT count(*) AS n,
+                            |CAST(sum(n_chars) AS BIGINT) AS c
+                            |FROM $cat.zp WHERE doc_id < ${maxId / 4}""".stripMargin)
+          .collect().head
+        val i1 = graft.sql.GraftScanInfo.last.get
+        val dim1Ok = if (i1.candidates < i1.total) 1L else 0L
+        s.range(1).select(
+          lit(bySrc.getLong(0)).as("src_n"), lit(bySrc.getLong(1)).as("src_chars"),
+          lit(byId.getLong(0)).as("id_n"), lit(byId.getLong(1)).as("id_chars"),
+          lit(dim2Ok).as("dim2_pruned_ok"), lit(dim1Ok).as("dim1_pruned_ok"))
+      },
+      Some("""WITH m AS (SELECT max(doc_id) // 4 AS q FROM documents),
+           |s3 AS (SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS c
+           |       FROM documents WHERE source = 'src3'),
+           |lo AS (SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS c
+           |       FROM documents, m WHERE doc_id < q)
+           |SELECT s3.n AS src_n, s3.c AS src_chars,
+           |       lo.n AS id_n, lo.c AS id_chars,
+           |       CAST(1 AS BIGINT) AS dim2_pruned_ok,
+           |       CAST(1 AS BIGINT) AS dim1_pruned_ok
+           |FROM s3, lo""".stripMargin))
 }
