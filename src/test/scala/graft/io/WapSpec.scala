@@ -79,6 +79,31 @@ class WapSpec extends SparkSpec {
     Snapshots.expireVersions(spark, t, keepFrom = r.version)
   }
 
+  test("two racing clones: a swap publish wins, the loser refuses; pure-add staging stacks") {
+    val base = freshBase()
+    val t = mkSrc(base)
+    val a = s"$base/stageA"; val b = s"$base/stageB"
+    Wap.clone(spark, t, a)
+    Wap.clone(spark, t, b)
+    // A stages a REWRITE (delete); B stages a pure append
+    Snapshots.deleteWhere(spark, a, col("id") <= 10, prune = Some(("id", "1", "10")))
+    Snapshots.commitAppend(Seq((500L, "s2", 1000L)).toDF("id", "src", "m")
+      .coalesce(1), b, statsCols = Seq("id"))
+    Wap.publish(spark, a) // wins: 20 rows live
+    assert(Snapshots.readAt(spark, t).count() === 20L)
+    // B's base is stale AND A's publish REMOVED files → refuse, not merge
+    val e = intercept[IllegalStateException] { Wap.publish(spark, b) }
+    assert(e.getMessage.contains("re-clone"))
+    // the sanctioned path: re-clone from the current version, restage
+    val b2 = s"$base/stageB2"
+    Wap.clone(spark, t, b2)
+    Snapshots.commitAppend(Seq((500L, "s2", 1000L)).toDF("id", "src", "m")
+      .coalesce(1), b2, statsCols = Seq("id"))
+    Wap.publish(spark, b2)
+    assert(Snapshots.readAt(spark, t).count() === 21L)
+    assert(Snapshots.readAt(spark, t).filter(col("id") === 500L).count() === 1L)
+  }
+
   test("append-only source advance fast-forwards; conflicting advance refuses") {
     val base = freshBase()
     val t = mkSrc(base)

@@ -211,6 +211,18 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() === 4L)
   }
 
+  test("TRUNCATE TABLE: one transactional commit, history time-travels") {
+    val t = mkSliced("t19")
+    spark.sql("TRUNCATE TABLE graft.t19")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t19").as[Long].head() === 0L)
+    // one commit, not a directory wipe: pre-truncate state still reads
+    assert(Snapshots.currentVersion(spark, t) === 5L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t19 VERSION AS OF 4")
+      .as[Long].head() === 40L)
+    spark.sql("INSERT INTO graft.t19 VALUES (1, 's0', 2)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t19").as[Long].head() === 1L)
+  }
+
   test("CALL maintain: binpack + verified checkpoint + vacuum as one sweep") {
     val t = mkSliced("t18")
     val r = spark.sql("CALL graft.system.maintain('t18')").collect().head
