@@ -51,10 +51,26 @@ class CdcSourceProvider extends StreamSourceProvider {
     params.getOrElse(k, throw new IllegalArgumentException(
       s"graft-cdc source needs option '$k'"))
 
+  /** The `table` option accepts a filesystem path OR a catalog-qualified
+    * name (`<catalog>.<ns...>.<table>` — any dotted value without a
+    * path separator): names resolve through the session's registered
+    * `spark.sql.catalog.<catalog>.root`, so the streaming subscriber
+    * names tables THE SAME WAY its batch SQL does. */
+  private def resolveTable(spark: org.apache.spark.sql.SparkSession,
+                           v: String): String =
+    if (v.contains('/') || !v.contains('.')) v
+    else {
+      val parts = v.split('.')
+      spark.conf.getOption(s"spark.sql.catalog.${parts.head}.root") match {
+        case Some(root) => (root +: parts.tail).mkString("/")
+        case None => v // a dotted directory name, not a catalog reference
+      }
+    }
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
                             providerName: String,
                             params: Map[String, String]): (String, StructType) = {
-    val table = required(params, "table")
+    val table = resolveTable(ctx.sparkSession, required(params, "table"))
     val keys = required(params, "keys").split(',').toSeq
     val sc = Snapshots.tableSchema(ctx.sparkSession, table).getOrElse(
       throw new IllegalArgumentException(
@@ -65,7 +81,8 @@ class CdcSourceProvider extends StreamSourceProvider {
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             params: Map[String, String]): Source =
-    new CdcSource(ctx.sparkSession, required(params, "table"),
+    new CdcSource(ctx.sparkSession,
+      resolveTable(ctx.sparkSession, required(params, "table")),
       required(params, "keys").split(',').toSeq, required(params, "feed"))
 }
 
@@ -92,8 +109,17 @@ class SnapshotSinkProvider extends org.apache.spark.sql.sources.StreamSinkProvid
                           partitionColumns: Seq[String],
                           outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
-    val table = params.getOrElse("table", throw new IllegalArgumentException(
+    // same name resolution as the source: a catalog-qualified name works
+    // wherever a path does (CdcSourceProvider.resolveTable semantics)
+    val raw = params.getOrElse("table", throw new IllegalArgumentException(
       "graft snapshot sink needs option 'table'"))
+    val table =
+      if (raw.contains('/') || !raw.contains('.')) raw
+      else {
+        val parts = raw.split('.')
+        ctx.sparkSession.conf.getOption(s"spark.sql.catalog.${parts.head}.root")
+          .map(root => (root +: parts.tail).mkString("/")).getOrElse(raw)
+      }
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit =
         Snapshots.commitBatchOnce(data.sparkSession, table, batchId,

@@ -18,6 +18,39 @@ class CdcStreamSpec extends SparkSpec {
     spark.readStream.format("graft.streaming.CdcSourceProvider")
       .option("table", t).option("keys", "id").option("feed", feed).load()
 
+  test("catalog-qualified names resolve in the stream source and sink") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cdcname").toString
+    spark.conf.set("spark.sql.catalog.gcdc", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcdc.root", base)
+    val t = s"$base/named"
+    Snapshots.commitAppend(Seq((1L, 10L), (2L, 20L)).toDF("id", "m").coalesce(1),
+      t, recordSchema = true)
+    // source by catalog name — the same identifier batch SQL uses
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val q = spark.readStream.format("graft.streaming.CdcSourceProvider")
+      .option("table", "gcdc.named").option("keys", "id")
+      .option("feed", s"$base/feed").load()
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("id").collect().foreach(r => got.add(r.getLong(0))); ()
+      }.start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(got.iterator().asScala.toSet === Set(1L, 2L))
+    // sink by catalog name
+    val src = s"$base/in"
+    Seq((7L, 70L)).toDF("id", "m").coalesce(1).write.parquet(s"$src/s0")
+    val schema = spark.read.parquet(s"$src/s0").schema
+    val w = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(src)
+      .writeStream.format("graft.streaming.SnapshotSinkProvider")
+      .option("table", "gcdc.sunk").option("checkpointLocation", s"$base/ckpt2")
+      .trigger(Trigger.AvailableNow()).start()
+    w.awaitTermination()
+    assert(spark.sql("SELECT id FROM gcdc.sunk").as[Long].collect().toSeq === Seq(7L))
+  }
+
   test("offsets are table versions: a second run from the checkpoint sees only new commits") {
     val base = java.nio.file.Files.createTempDirectory("graft_cdcs").toString
     val t = s"$base/tbl"; val feed = s"$base/feed"
