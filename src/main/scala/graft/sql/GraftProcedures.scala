@@ -144,13 +144,20 @@ object GraftProcedures {
         Seq(Snapshots.currentVersion(s, path), packed.toLong, ck, expired, vacuumed)
       }),
     mkDef("clone", "zero-copy WAP clone: stage risky changes on a full table in O(metadata)",
-      Seq(in("source", S), in("dest", S), inDef("version", L, "0")),
+      Seq(in("source", S), in("dest", S), inDef("version", L, "0"),
+        inDef("ref", S, "''")),
       StructType(Seq(
         DataTypes.createStructField("version", L, false),
         DataTypes.createStructField("base", L, false))))(
       (s, root, in) => {
         val src = tbl(root, in, 0)
-        val v = if (in.getLong(2) > 0) Some(in.getLong(2)) else None
+        // ref (a TAG name) beats version beats current — cloning the
+        // 'v2-curated' corpus by name is the reproducibility story
+        val ref = in.getUTF8String(3).toString
+        val v =
+          if (ref.nonEmpty) Some(Snapshots.tagVersion(s, src, ref))
+          else if (in.getLong(2) > 0) Some(in.getLong(2))
+          else None
         val cloned = graft.io.Wap.clone(s, src,
           s"$root/${in.getUTF8String(1).toString}", v)
         Seq(cloned, v.getOrElse(Snapshots.currentVersion(s, src)))

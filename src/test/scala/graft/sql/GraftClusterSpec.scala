@@ -197,6 +197,38 @@ class GraftClusterSpec extends SparkSpec {
       s"temporal-dim pruning failed: $scanInfo")
   }
 
+  test("retrofit: ALTER TABLE SET write.cluster.by clusters every later write") {
+    root
+    // an UNPARTITIONED table picks up clustering mid-life through the
+    // ordinary property surface — no recreate, next writes cluster
+    spark.sql("CREATE TABLE gclu.c10 (id BIGINT, src STRING)")
+    (1 to 100).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "src")
+      .createOrReplaceTempView("c10_in")
+    spark.sql("INSERT INTO gclu.c10 SELECT * FROM c10_in") // pre-retrofit: unclustered
+    spark.sql("ALTER TABLE gclu.c10 SET TBLPROPERTIES ('write.cluster.by'='src')")
+    withRangeFiles {
+      spark.sql("INSERT OVERWRITE gclu.c10 SELECT * FROM c10_in")
+    }
+    GraftScanInfo.last = None
+    assert(spark.sql("SELECT count(*) AS n FROM gclu.c10 WHERE src = 's2'")
+      .as[Long].head() === 25L)
+    assert(scanInfo.candidates < scanInfo.total,
+      s"retrofit overwrite must cluster + stat, got $scanInfo")
+  }
+
+  test("clone at a tag: CALL clone(..., ref) pins the named corpus") {
+    root
+    spark.sql("CREATE TABLE gclu.c11 (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO gclu.c11 VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"CALL gclu.system.tag('c11', 'curated', ${Snapshots.currentVersion(spark, s"$root/c11")})")
+    spark.sql("INSERT INTO gclu.c11 VALUES (3, 'c')")
+    val r = spark.sql("CALL gclu.system.clone('c11', 'c11fork', 0, 'curated')")
+      .collect().head
+    assert(r.getLong(1) === 2L) // base = the tagged version
+    assert(spark.sql("SELECT count(*) AS n FROM gclu.c11fork").as[Long].head() === 2L)
+    assert(spark.sql("SELECT count(*) AS n FROM gclu.c11").as[Long].head() === 3L)
+  }
+
   test("bucket() refuses with the bloom-index pointer; unknown column refuses") {
     root
     val e = intercept[Exception](spark.sql(
