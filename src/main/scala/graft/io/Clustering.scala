@@ -98,7 +98,11 @@ object Clustering {
     val k = exprs.size
     val bits = math.min(16, 63 / k)
     val maxZ = (1L << bits) - 1
-    val named = exprs.zipWithIndex.map { case (e, i) => (e, s"__zd_$i") }
+    // helper names carry a per-write nonce: a user column literally
+    // named __zd_0 must survive the final drop untouched
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val zcol = s"__z_$nonce"
+    val named = exprs.zipWithIndex.map { case (e, i) => (e, s"__zd_${nonce}_$i") }
     val widened = named.foldLeft(df) { case (d, (e, n)) => d.withColumn(n, e) }
     val isString = named.map { case (_, n) => n -> (widened.schema(n).dataType == StringType) }.toMap
     // string dims: per-batch ordered dictionary (bounded), like OPTIMIZE
@@ -146,10 +150,10 @@ object Clustering {
             lit(0L))
         }
       }
-      d.withColumn("__z", Layout.zValueK(zdims, bits))
-        .repartitionByRange(col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z" +: named.map(_._2) ++: named.collect {
+      d.withColumn(zcol, Layout.zValueK(zdims, bits))
+        .repartitionByRange(col(zcol))
+        .sortWithinPartitions(zcol)
+        .drop(zcol +: named.map(_._2) ++: named.collect {
           case (_, n) if isString(n) => s"__zr_$n" }: _*)
     }
   }
