@@ -118,6 +118,24 @@ object Wap {
     * that could CONFLICT with the staged rewrite) refuses loudly;
     * refusal beats invented merge semantics. */
   def publish(spark: SparkSession, dst: String): PublishResult = {
+    // a writer landing between resolve and commit is the NORMAL race for
+    // this operation (publish exists to end a staging window on a live
+    // table) — retry the WHOLE derivation: each attempt re-resolves the
+    // head and re-validates the add-only condition, so a retried publish
+    // is exactly as safe as a first-try one; lost attempts' rehome dirs
+    // are vacuum food like every lost optimistic writer's
+    var attempts = 0
+    while (true) {
+      try return publishOnce(spark, dst)
+      catch {
+        case _: Snapshots.ConcurrentCommitException if attempts < 20 =>
+          attempts += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def publishOnce(spark: SparkSession, dst: String): PublishResult = {
     val props = Snapshots.tableProperties(spark, dst)
     val src = props.getOrElse("wap.source", throw new IllegalArgumentException(
       s"$dst is not a WAP clone (no wap.source property); Wap.clone creates one"))

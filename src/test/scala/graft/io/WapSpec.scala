@@ -104,6 +104,34 @@ class WapSpec extends SparkSpec {
     assert(Snapshots.readAt(spark, t).filter(col("id") === 500L).count() === 1L)
   }
 
+  test("publish retries through a racing appender: staged change + every append survive") {
+    val base = freshBase()
+    val t = mkSrc(base)
+    val c = s"$base/stageR"
+    Wap.clone(spark, t, c)
+    Snapshots.deleteWhere(spark, c, col("id") <= 10, prune = Some(("id", "1", "10")))
+    // an ingest thread keeps appending while the publish races it
+    val appender = new Thread(() => {
+      (0 until 5).foreach { i =>
+        Snapshots.commitAppend(
+          Seq((1000L + i, "s0", 0L)).toDF("id", "src", "m").coalesce(1), t)
+        Thread.sleep(15)
+      }
+    })
+    appender.start()
+    Thread.sleep(20)
+    val r = Wap.publish(spark, c)
+    appender.join()
+    val ids = Snapshots.readAt(spark, t).select("id").as[Long].collect().toSet
+    // the staged delete held...
+    assert(!(1L to 10L).exists(ids))
+    // ...and NO append was lost: each either fast-forwarded through the
+    // publish or committed after it
+    assert((0 until 5).forall(i => ids(1000L + i)),
+      s"lost appends: ${(0 until 5).map(1000L + _).filterNot(ids)}")
+    assert(r.removed >= 1)
+  }
+
   test("append-only source advance fast-forwards; conflicting advance refuses") {
     val base = freshBase()
     val t = mkSrc(base)
