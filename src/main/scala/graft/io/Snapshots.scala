@@ -1872,8 +1872,19 @@ object Snapshots {
     // point lookups never fall back to conservative reads
     val bloomParts = bloomIndexedColumns(spark, table, v).flatMap(c =>
       bloomSidecarFor(spark, table, parts, c, bloomFpp, sc))
+    // the binpacked files INHERIT the retired files' stat coverage (zone
+    // maps re-stamped for the new layout, row counts iff the smalls
+    // carried them) — compaction must never be the operation that turns
+    // pruning or metadata COUNT(*) off; explicit statsCols add on top
+    val retiredStats = fileStats(spark, table, Some(v))
+      .filter(st => small.exists(_._1 == st.path))
+    val statCols = (retiredStats.map(_.column)
+      .filterNot(reservedStat) ++ statsCols).distinct
+    val keepRowCounts = retiredStats.exists(_.column == RowsStat)
     val nv = commit(spark, table, adds = parts, removes = small.map(_._1),
-      baseVersion = Some(v), stats = computeStats(spark, dir, parts, statsCols),
+      baseVersion = Some(v),
+      stats = computeStats(spark, dir, parts, statCols) ++
+        (if (keepRowCounts) rowCountStats(spark, dir, parts) else Nil),
       bloomAdds = bloomParts)
     CompactSmallResult(nv, small.size, parts.size, files.size - small.size)
   }

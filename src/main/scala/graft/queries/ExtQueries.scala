@@ -3229,7 +3229,7 @@ object ExtQueries {
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
-    x145Spec, x146Spec, st30Spec, x147Spec, x148Spec)
+    x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -7646,4 +7646,66 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS dim2_pruned_ok,
            |       CAST(1 AS BIGINT) AS dim1_pruned_ok
            |FROM s3, lo""".stripMargin))
+
+  /** x149: THE NIGHTLY SWEEP FROM SQL — `CALL graft.system.maintain`
+    * composes the maintenance a 100 TB table actually runs (binpack the
+    * small-file tail → verified checkpoint → opt-in age expiry → vacuum)
+    * as ONE statement. A 6-fragment ingest tail binpacks in one
+    * transactional commit (`packed_ok`); the rewritten files INHERIT the
+    * retired files' stat coverage — zone maps re-stamped, row counts
+    * kept — so compaction never turns pruning or metadata COUNT(*) off
+    * (`stats_kept_ok` pins doc_id zone maps on every live file, and the
+    * post-sweep `fast_n`); with keep_days = 0 nothing expires, so the
+    * pre-sweep version still time-travels (`travel_ok`). The oracle is
+    * the per-source rollup — compaction must be byte-invisible to
+    * queries. */
+  private def x149Spec: QuerySpec =
+    QuerySpec("x149_sql_maintain",
+      (s, d) => {
+        import graft.io.Snapshots
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w = maxId / 6 + 1
+        val tmp = java.nio.file.Files.createTempDirectory("graft_maint_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val tbl = s"$tmp/t"
+        (0 until 6).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w)
+              .coalesce(1),
+            tbl, recordSchema = i == 0, statsCols = Seq("doc_id"),
+            recordRowCounts = true)
+        }
+        val n0 = docs.count()
+        val preV = Snapshots.currentVersion(s, tbl)
+        val m = s.sql(s"CALL $cat.system.maintain('t')").collect().head
+        val packedOk = if (m.getLong(1) == 6L) 1L else 0L
+        val live = Snapshots.liveFiles(s, tbl).toSet
+        val withIdStat = Snapshots.fileStats(s, tbl)
+          .filter(st => st.column == "doc_id" && live(st.path)).map(_.path).toSet
+        val statsKeptOk = if (withIdStat == live) 1L else 0L
+        val fastN = s.sql(s"SELECT count(*) AS n FROM $cat.t").collect().head.getLong(0)
+        val travelOk = if (s.sql(
+          s"SELECT count(*) AS n FROM $cat.t VERSION AS OF $preV")
+          .collect().head.getLong(0) == n0) 1L else 0L
+        s.sql(s"""SELECT source, count(*) AS n_docs,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t GROUP BY source""".stripMargin)
+          .withColumn("fast_n", lit(fastN))
+          .withColumn("packed_ok", lit(packedOk))
+          .withColumn("stats_kept_ok", lit(statsKeptOk))
+          .withColumn("travel_ok", lit(travelOk))
+          .orderBy("source")
+      },
+      Some("""WITH tot AS (SELECT count(*) AS n FROM documents)
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       tot.n AS fast_n,
+           |       CAST(1 AS BIGINT) AS packed_ok,
+           |       CAST(1 AS BIGINT) AS stats_kept_ok,
+           |       CAST(1 AS BIGINT) AS travel_ok
+           |FROM documents, tot GROUP BY source, tot.n ORDER BY source""".stripMargin))
 }
