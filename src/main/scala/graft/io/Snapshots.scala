@@ -407,7 +407,17 @@ object Snapshots {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     if (statsCols.isEmpty || parts.isEmpty) return Nil
     val raw = spark.read.parquet(dir)
-    val dtypes = statsCols.map(c => c -> raw.schema(c).dataType.simpleString).toMap
+    // session-zoned TIMESTAMP stats render under the WRITE session's time
+    // zone (`cast AS STRING`); stamp that zone into the dtype so a READ
+    // session in a different zone declines the comparison instead of
+    // producing false-negative prunes ([[statZoneOk]]). Legacy plain
+    // "timestamp" stats predate the stamp and mean the documented UTC
+    // convention. date / timestamp_ntz render zone-free and stay bare.
+    val writeZone = spark.sessionState.conf.sessionLocalTimeZone
+    val dtypes = statsCols.map { c =>
+      val s = raw.schema(c).dataType.simpleString
+      c -> (if (s == "timestamp") s"timestamp@$writeZone" else s)
+    }.toMap
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c")))
@@ -520,8 +530,30 @@ object Snapshots {
         Some(java.lang.Double.compare(a.toDouble, b.toDouble))
       case d if d.startsWith("decimal") => Some(BigDecimal(a).compare(BigDecimal(b)))
       case "string" | "date" | "timestamp" | "timestamp_ntz" => Some(a.compare(b))
+      case d if d.startsWith("timestamp@") => Some(a.compare(b))
       case _ => None
     }
+
+  /** Is this stat's string encoding comparable under `readZone`? Session-
+    * zoned TIMESTAMP stats were rendered under the WRITE session's zone
+    * (stamped as `timestamp@<zone>` by [[computeStats]]; legacy bare
+    * "timestamp" means the documented UTC convention). A read session in
+    * a different zone renders its filter literals differently, so the
+    * lexicographic comparison would silently drop matching files — the
+    * verdict sites drop the STAT instead (conservatively scanned, never
+    * wrong). Every non-session-zoned dtype is always comparable. */
+  private[graft] def statZoneOk(dtype: String, readZone: String): Boolean = {
+    def same(a: String, b: String): Boolean = a == b ||
+      (try java.time.ZoneId.of(a).normalized() == java.time.ZoneId.of(b).normalized()
+       catch { case _: Exception => false })
+    if (dtype == "timestamp") same("UTC", readZone)
+    else if (dtype.startsWith("timestamp@")) same(dtype.drop("timestamp@".length), readZone)
+    else true
+  }
+
+  /** The read-session zone the verdict sites gate session-zoned stats on. */
+  private[graft] def sessionZone(spark: SparkSession): String =
+    spark.sessionState.conf.sessionLocalTimeZone
 
   /** Can a file whose recorded [min,max] for the stat's dtype intersect
     * [lo,hi]? Dtypes without a defined stat order are conservatively
@@ -539,8 +571,10 @@ object Snapshots {
   def pruneFiles(spark: SparkSession, table: String, column: String,
                  lo: String, hi: String,
                  version: Option[Long] = None): (Seq[String], Seq[String]) = {
+    val zone = sessionZone(spark)
     val stats = fileStats(spark, table, version)
-      .filter(_.column == column).map(st => st.path -> st).toMap
+      .filter(st => st.column == column && statZoneOk(st.dtype, zone))
+      .map(st => st.path -> st).toMap
     liveFiles(spark, table, version).partition { p =>
       stats.get(p).forall(statIntersects(_, lo, hi))
     }
@@ -583,7 +617,9 @@ object Snapshots {
                        ranges: Seq[(String, String, String)],
                        version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, table))
+    val zone = sessionZone(spark)
     val stats = fileStats(spark, table, Some(v))
+      .filter(st => statZoneOk(st.dtype, zone))
       .groupBy(_.column).map { case (c, xs) => c -> xs.map(st => st.path -> st).toMap }
     val scan = liveFiles(spark, table, Some(v)).filter { p =>
       ranges.forall { case (c, lo, hi) =>
@@ -836,6 +872,244 @@ object Snapshots {
       stats = computeStats(spark, dir, parts, statCols) ++
         (if (keepRowCounts) rowCountStats(spark, dir, parts) else Nil),
       notes = note.toSeq ++ extraNotes, dvAdds = dvParts)
+    DeleteResult(version, touched, live.size - touched.size)
+  }
+
+  /** One clause of a generalized MERGE's WHEN MATCHED list, applied in
+    * declaration order: the FIRST clause whose condition holds claims a
+    * matched target row; a matched row no clause claims passes through
+    * unchanged. Conditions and update expressions are Columns over the
+    * aliased merge namespace — `t.<col>` reads the target row, `s.<col>`
+    * the source row (`functions.col("t.x")` / a SQL rule's re-qualified
+    * reference). A null condition counts as not-held (SQL three-valued
+    * WHEN ... AND). */
+  sealed trait MatchedClause {
+    def condition: Option[org.apache.spark.sql.Column]
+  }
+
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, …` — PARTIAL-ROW:
+    * columns absent from `set` keep their target value. Key columns may
+    * not be assigned (a key rewrite is a delete + insert, not an update —
+    * the keyed-merge algebra has no defined mapping for it). */
+  final case class MatchedUpdate(condition: Option[org.apache.spark.sql.Column],
+                                 set: Map[String, org.apache.spark.sql.Column])
+      extends MatchedClause
+
+  /** `WHEN MATCHED [AND cond] THEN DELETE`. */
+  final case class MatchedDelete(
+      condition: Option[org.apache.spark.sql.Column] = None) extends MatchedClause
+
+  /** `WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs)` —
+    * table columns absent from `values` insert NULL (the SQL
+    * unlisted-column rule). Conditions and values see `s.<col>` only
+    * (there is no target row to reference). Source rows no insert clause
+    * claims are dropped. */
+  final case class NotMatchedInsert(condition: Option[org.apache.spark.sql.Column],
+                                    values: Map[String, org.apache.spark.sql.Column])
+
+  /** Generalized COPY-ON-WRITE MERGE — the full SQL clause algebra
+    * ([[mergeInto]] is the unconditioned full-row special case):
+    *
+    * {{{
+    *   MERGE INTO t USING s ON keys
+    *     WHEN MATCHED AND s.op = 'D' THEN DELETE
+    *     WHEN MATCHED THEN UPDATE SET m = t.m + s.delta
+    *     WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (id, m) VALUES (s.id, s.delta)
+    * }}}
+    *
+    * Matched rows take the FIRST applicable matched clause; unmatched
+    * source rows take the first applicable insert clause; everything else
+    * passes through. One transactional commit with the same file
+    * discipline as [[mergeInto]]: `pruneOn` zone-maps the candidate set
+    * to the source's own key bounds, only files actually holding matched
+    * keys rewrite (a CDC batch touching a narrow key range rewrites
+    * O(overlapping files), not O(table)), untouched files stay
+    * byte-identical, live deletion vectors fold exactly as in
+    * [[mergeInto]] (tombstoned keys count as NOT matched — their ghost
+    * rows drop physically from any rewritten file, never resurrect).
+    *
+    * The source must be key-unique (the standard SQL MERGE cardinality
+    * rule — checked with one aggregation over the CHANGE-sized source)
+    * and must carry the key columns; other source columns are free (a CDC
+    * `op` column need not exist in the table). Concurrency: committed
+    * against the version the reads resolved at — a racing writer wins and
+    * this throws [[ConcurrentCommitException]] (re-derive, retry). */
+  def mergeIntoWhen(spark: SparkSession, table: String, source: DataFrame,
+                    keys: Seq[String],
+                    matched: Seq[MatchedClause],
+                    notMatched: Seq[NotMatchedInsert],
+                    pruneOn: Option[String] = None,
+                    note: Option[String] = None): DeleteResult = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, when}
+    require(keys.nonEmpty, "mergeIntoWhen needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    matched.foreach {
+      case MatchedUpdate(_, set) => keys.foreach(k => require(!set.contains(k),
+        s"MERGE may not assign key column '$k' — delete + insert instead"))
+      case _ =>
+    }
+    require(keys.forall(source.columns.contains),
+      s"MERGE source must carry the key columns (${keys.mkString(", ")})")
+    val v = currentVersion(spark, table)
+    val live = liveFiles(spark, table, Some(v))
+    val sc = tableSchema(spark, table, Some(v))
+    val dvLive = liveDvFiles(spark, table, Some(v))
+    val dv = dvKeys(spark, table, Some(v))
+    dv.foreach { case (_, dvCols) =>
+      require(dvCols.sorted == keys.sorted,
+        s"live deletion vectors of $table are keyed on ${dvCols.mkString(",")}; " +
+          s"mergeIntoWhen must use the same keys to fold them (got ${keys.mkString(",")})")
+    }
+    val schemaOf: StructType = sc.getOrElse {
+      if (live.nonEmpty) spark.read.parquet(live: _*).schema else source.schema
+    }
+    val cols = schemaOf.fieldNames.toSeq
+    // standard SQL MERGE cardinality rule: a key-duplicated source would
+    // claim one target row twice
+    val dups = source.groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    if (dups.nonEmpty) throw new IllegalArgumentException(
+      s"MERGE source has duplicate keys (${keys.mkString(", ")} = " +
+        s"${dups.head.toSeq.init.mkString(",")}): a target row would be " +
+        "claimed twice (standard SQL MERGE cardinality violation)")
+
+    def typed(c: String, e: org.apache.spark.sql.Column) =
+      e.cast(schemaOf(c).dataType).as(c)
+    // first-applicable-clause algebra over an ordered clause list:
+    // applicable_i = gate AND cond_i AND NOT (cond_1 OR … OR cond_{i-1});
+    // null conditions coalesce to false (SQL three-valued WHEN ... AND)
+    def applicability(gate: org.apache.spark.sql.Column,
+                      conds: Seq[Option[org.apache.spark.sql.Column]])
+        : Seq[org.apache.spark.sql.Column] = {
+      var prior: org.apache.spark.sql.Column = lit(false)
+      conds.map { c =>
+        val ci = coalesce(c.getOrElse(lit(true)), lit(false))
+        val a = gate && ci && !prior
+        prior = prior || ci
+        a
+      }
+    }
+    // the not-matched source rows mapped through the first applicable
+    // insert clause (rows no clause claims drop); output in table schema
+    def insertsOf(unmatched: DataFrame): DataFrame =
+      if (notMatched.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf)
+      else {
+        val s = unmatched.alias("s")
+        val apps = applicability(lit(true), notMatched.map(_.condition))
+        val outCols = cols.map { c =>
+          val pairs = notMatched.zip(apps).map { case (cl, a) =>
+            (a, cl.values.getOrElse(c, lit(null)))
+          }
+          typed(c, pairs.tail.foldLeft(when(pairs.head._1, pairs.head._2)) {
+            case (acc, (a, e)) => acc.when(a, e)
+          }) // no otherwise: unclaimed rows are filtered out below anyway
+        }
+        s.filter(apps.reduce(_ || _)).select(outCols: _*)
+      }
+
+    if (live.isEmpty && dvLive.isEmpty) {
+      // empty table: every source row is NOT matched
+      val ins = insertsOf(source)
+      if (ins.isEmpty) return DeleteResult(v, Nil, 0)
+      val version = commitAppend(ins, table,
+        recordSchema = sc.isEmpty, notes = note.toSeq)
+      return DeleteResult(version, Nil, 0)
+    }
+    val candidates = pruneOn match {
+      case Some(c) =>
+        val b = source.agg(min(col(c)).cast("string"), max(col(c)).cast("string")).first()
+        if (b.isNullAt(0)) Nil // all-null prune keys: no row can match
+        else pruneFiles(spark, table, c, b.getString(0), b.getString(1), Some(v))._1
+      case None => live
+    }
+    def read(files: Seq[String]) =
+      sc.map(spark.read.schema).getOrElse(spark.read).parquet(files: _*)
+    val keySet = source.select(keys.map(col): _*).distinct()
+    // touched detection reads RAW on purpose (see [[mergeInto]]): a file
+    // whose only matching rows are tombstoned ghosts must still rewrite,
+    // or folding the dv below would resurrect the ghost
+    val touched =
+      if (candidates.isEmpty || (matched.isEmpty && dvLive.isEmpty)) Nil
+      else {
+        val byName = candidates.map(p => new Path(p).getName -> p).toMap
+        read(candidates).withColumn("__f", input_file_name())
+          .join(keySet, keys, "left_semi")
+          .select("__f").distinct().collect().toSeq
+          .flatMap(r => byName.get(new Path(r.getString(0)).getName))
+      }
+    val matchedOut: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else {
+        val tgt = applyDv(spark, table, Some(v), read(touched)).alias("t")
+        val s = source.withColumn("__graft_m", lit(1)).alias("s")
+        val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+        val j = tgt.join(s, joinCond, "left_outer")
+        val gate = col("s.__graft_m").isNotNull
+        val apps = applicability(gate, matched.map(_.condition))
+        val deleted = matched.zip(apps)
+          .collect { case (_: MatchedDelete, a) => a }
+          .foldLeft(lit(false))(_ || _)
+        val outCols = cols.map { c =>
+          val base = col(s"t.$c")
+          val updates = matched.zip(apps)
+            .collect { case (u: MatchedUpdate, a) => (a, u.set.getOrElse(c, base)) }
+          val e = updates.foldRight(base) { case ((a, ue), rest) => when(a, ue).otherwise(rest) }
+          typed(c, e)
+        }
+        Some(j.filter(!deleted).select(outCols: _*))
+      }
+    // NOT matched = key absent from the LIVE (dv-resolved) view; the
+    // candidate set covers every file the source's key range can reach,
+    // so candidate keys decide membership completely
+    val unmatchedSrc =
+      if (candidates.isEmpty) source
+      else source.join(
+        applyDv(spark, table, Some(v), read(candidates))
+          .select(keys.map(col): _*).distinct(),
+        keys, "left_anti")
+    val inserts = insertsOf(unmatchedSrc)
+    val out = matchedOut.map(_.unionByName(inserts)).getOrElse(inserts)
+    if (touched.isEmpty && inserts.isEmpty)
+      return DeleteResult(v, Nil, live.size) // nothing claimed: no commit
+    // stat/clustering inheritance: identical to [[mergeInto]]
+    val touchedSet = touched.toSet
+    val touchedStats = fileStats(spark, table, Some(v))
+      .filter(st => touchedSet(st.path))
+    val (outClustered, clusterCols) = Clustering.forWrite(spark, table, out)
+    val statCols = (touchedStats.map(_.column)
+      .filterNot(reservedStat) ++ clusterCols).distinct
+    val keepRowCounts = touchedStats.exists(_.column == RowsStat) ||
+      clusterCols.nonEmpty
+    val dir = s"$table/data/mergew-${java.util.UUID.randomUUID().toString}"
+    outClustered.write.parquet(dir)
+    val f = fs(spark, table)
+    val parts = f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+    // dv fold: tombstones for source keys retire (their ghosts dropped in
+    // the rewrite above); survivors rewrite into one fresh dv. When no
+    // file was touched, no source key appears in any candidate file, so
+    // the fold would be the identity — skip it and keep the dv as-is.
+    val dvParts =
+      if (dvLive.isEmpty || touched.isEmpty) Nil
+      else {
+        val survivors = dv.get._1.dropDuplicates(keys).join(keySet, keys, "left_anti")
+        val dvDir = s"$table/data/dv-${java.util.UUID.randomUUID().toString}"
+        survivors.coalesce(1).write.parquet(dvDir)
+        val ps = f.listStatus(new Path(dvDir)).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .map(_.getPath.toString)
+        if (spark.read.parquet(ps: _*).isEmpty) Nil else ps
+      }
+    val version = commit(spark, table, adds = parts,
+      removes = touched ++ (if (dvParts.nonEmpty || (dvLive.nonEmpty && touched.nonEmpty)) dvLive else Nil),
+      baseVersion = Some(v),
+      stats = computeStats(spark, dir, parts, statCols) ++
+        (if (keepRowCounts) rowCountStats(spark, dir, parts) else Nil),
+      notes = note.toSeq, dvAdds = dvParts)
     DeleteResult(version, touched, live.size - touched.size)
   }
 
@@ -2183,15 +2457,21 @@ object Snapshots {
     * exactly, so the re-stamped lexicographic zone maps prune as tightly
     * as a numeric dim's). A byte-prefix image would collapse under shared
     * prefixes (every "src…" tenant lands on one z-value); the rank is
-    * immune. The dictionary is a broadcast join, its build one distinct
-    * aggregation per string dim at OPTIMIZE time; cardinality is bounded
-    * (≤ 2^20) because a clustering key IS a low/mid-cardinality attribute
-    * (tenant, source, domain) — a near-unique string should cluster
-    * through its own numeric key instead. Null strings rank lowest. */
+    * immune. The rank builds DISTRIBUTED (two-phase bucketed prefix sums:
+    * deterministic sampled boundaries, ≤256 bucket counts folded to
+    * offsets, within-bucket row_number — only boundaries and counts touch
+    * the driver) and joins back as a broadcast; cardinality is bounded
+    * (≤ 2^20, the broadcast bound) because a clustering key IS a low/mid-
+    * cardinality attribute (tenant, source, domain) — a near-unique
+    * string should cluster through its own numeric key instead. NUMERIC
+    * dimensions rank through equi-depth quantile buckets, so a skewed
+    * domain (lognormal ids) spreads over the full z-range instead of
+    * collapsing into the cells a min-max scale would give it. Null
+    * values rank lowest on every dim. */
   def optimizeZorder(spark: SparkSession, table: String, cols: Seq[String],
                      targetFiles: Int, bits: Int,
                      bloomFpp: Double): OptimizeResult = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, col, floor, greatest, least, lit, max, min}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, floor, lit}
     val v = currentVersion(spark, table)
     val files = liveFiles(spark, table, Some(v))
     if (files.isEmpty) return OptimizeResult(v, 0, 0)
@@ -2200,61 +2480,101 @@ object Snapshots {
     val base = readAt(spark, table, Some(v))
     val stringDims = cols.filter(c =>
       base.schema(c).dataType == org.apache.spark.sql.types.StringType)
-    // NUMERIC dims min-max-scale into [0, 2^bits) before interleaving:
-    // [[Layout.zValueK]] masks each dimension to its low `bits` bits, so
-    // an unnormalized id domain >= 2^bits would cluster by value MOD
-    // 2^bits — every file then spans the whole value range and the
-    // zone-map pruning this rewrite exists for silently degrades. The
-    // scale is order-preserving (all z-ordering needs: the re-stamped
-    // zone maps record REAL values, so pruning stays exact); skew costs
-    // z-granularity, not correctness, and repartitionByRange re-balances
-    // rows regardless. One min/max aggregation over all numeric dims.
+    // NUMERIC dims map through an EQUI-DEPTH bucket index (approxQuantile
+    // boundaries → [[graft.functions.ArrayExprs.lowerBoundCount]]) before
+    // interleaving: [[Layout.zValueK]] masks each dimension to its low
+    // `bits` bits, so an unnormalized id domain >= 2^bits would cluster
+    // by value MOD 2^bits; and the previous min-max scale collapsed a
+    // SKEWED domain (lognormal ids) into a handful of z-cells — the
+    // quantile rank is immune to both, like the string dims' rank. The
+    // mapping is monotone (all z-ordering needs: the re-stamped zone maps
+    // record REAL values, so pruning stays exact); sketch jitter only
+    // nudges bucket boundaries, never their order. ONE multi-column
+    // quantile pass over all numeric dims; nulls rank lowest.
     val numericDims = cols.filterNot(stringDims.contains)
-    val bounds: Map[String, (Double, Double)] =
+    val nb = math.min(1 << bits, 4096)
+    val numBounds: Map[String, Array[Double]] =
       if (numericDims.isEmpty) Map.empty
       else {
-        val aggs = numericDims.flatMap(c => Seq(
-          min(col(c).cast("double")), max(col(c).cast("double"))))
-        val r = base.agg(aggs.head, aggs.tail: _*).first()
-        numericDims.zipWithIndex.map { case (c, i) =>
-          c -> (if (r.isNullAt(2 * i)) (0.0, 0.0)
-                else (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
-        }.toMap
+        val probs = (1 until nb).map(_.toDouble / nb).toArray
+        val asDouble = base.select(numericDims.map(c =>
+          col(c).cast("double").as(c)): _*)
+        numericDims.zip(asDouble.stat.approxQuantile(
+            numericDims.toArray, probs, 1.0 / (4 * nb)))
+          .map { case (c, bs) => c -> bs.distinct.sorted }.toMap
       }
-    val maxZ = (1L << bits) - 1
-    def scaledNumeric(c: String): org.apache.spark.sql.Column = {
-      val (mn, mx) = bounds(c)
-      if (!(mx > mn)) lit(0L) // constant / all-null dim: one z-value
-      else coalesce(
-        least(lit(maxZ), greatest(lit(0L), floor(
-          (col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(maxZ.toDouble)))),
-        lit(0L)) // null dim values rank lowest, like null strings
+    def bucketedNumeric(c: String): org.apache.spark.sql.Column = {
+      val bs = numBounds(c)
+      if (bs.isEmpty) lit(0L) // constant / all-null dim: one z-value
+      else {
+        // spread the bucket index over the FULL [0, 2^bits) range (same
+        // scale the string rank applies): a low-cardinality dim would
+        // otherwise occupy only the low interleave bits and the z-order
+        // would degenerate to a sort on the wider dim
+        val nBkts = bs.length + 1
+        coalesce(floor(
+          graft.functions.ArrayExprs.lowerBoundCount(
+            col(c).cast("double"),
+            org.apache.spark.sql.functions.typedLit(bs.toSeq)).cast("long") *
+            lit(1L << bits) / lit(nBkts)).cast("long"),
+          lit(0L)) // null dim values rank lowest, like null strings
+      }
     }
+    // STRING dims rank DISTRIBUTED (the former sorted-distinct collect
+    // materialized up to 2^20 values on the driver): deterministic sampled
+    // bucket boundaries (bounded driver footprint), per-bucket counts fold
+    // to exclusive offsets (≤ #buckets rows — the [[graft.ops.PrefixSum]]
+    // two-phase shape), and the global rank is offset + within-bucket
+    // row_number. Only boundaries and bucket counts ever reach the driver.
     val ranked = stringDims.foldLeft(base) { (df, c) =>
-      // cardinality bound enforced BEFORE anything lands on the driver: a
-      // near-unique string dim fails here from one distributed sketch
-      // instead of after materializing a million-row collect (the exact
-      // check below still guards sketch error at the boundary)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{element_at, filter, row_number, size, typedLit}
+      // cardinality bound enforced from one distributed sketch: the rank
+      // table must stay broadcastable for the join back (a near-unique
+      // string should cluster through its own numeric key instead)
       val approx = df.agg(org.apache.spark.sql.functions
         .approx_count_distinct(col(c), 0.02)).first().getLong(0)
       require(approx <= (1L << 20) * 11 / 10,
         s"z-order string dim '$c' has ~$approx distinct values — " +
           "cluster a near-unique string through a numeric key instead")
-      val vals = df.select(col(c)).filter(col(c).isNotNull)
-        .distinct().orderBy(col(c)).collect().map(_.getString(0))
-      require(vals.length <= (1 << 20),
-        s"z-order string dim '$c' has ${vals.length} distinct values — " +
+      val d = df.select(col(c)).filter(col(c).isNotNull).distinct()
+      val sample = d.sample(withReplacement = false,
+          math.min(1.0, 8192.0 / math.max(approx, 1L).toDouble), seed = 42L)
+        .orderBy(col(c)).collect().map(_.getString(0))
+      val nBkts = 256
+      val bs: Array[String] =
+        if (sample.isEmpty) Array.empty
+        else (1 until nBkts)
+          .map(i => sample((i.toLong * sample.length / nBkts).toInt))
+          .distinct.sorted.toArray
+      val bkt =
+        if (bs.isEmpty) lit(0)
+        else size(filter(typedLit(bs.toSeq), b => b < col(c)))
+      val withB = d.withColumn("__bkt", bkt)
+      // per-bucket totals → exclusive offsets on ≤ nBkts rows; `d` is
+      // deterministic (distinct over immutable files, literal boundaries),
+      // so the counts stay valid for the rank job below
+      val counts = withB.groupBy("__bkt")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("__tot"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offs = new Array[Long](bs.length + 1)
+      var acc = 0L
+      for (b <- 0 to bs.length) { offs(b) = acc; acc += counts.getOrElse(b, 0L) }
+      val n = math.max(acc, 1L)
+      require(n <= (1L << 20),
+        s"z-order string dim '$c' has $acc distinct values — " +
           "cluster a near-unique string through a numeric key instead")
-      val n = math.max(vals.length, 1)
-      val rdf = spark.createDataFrame(
-        vals.toIndexedSeq.zipWithIndex.map { case (s, i) =>
-          (s, i.toLong * (1L << bits) / n)
-        }).toDF(c, s"__zr_$c")
+      val rank = element_at(typedLit(offs.toSeq), col("__bkt") + 1) +
+        row_number().over(Window.partitionBy("__bkt").orderBy(col(c))) - 1
+      val rdf = withB
+        .withColumn(s"__zr_$c",
+          floor(rank * lit(1L << bits) / lit(n)).cast("long"))
+        .select(col(c), col(s"__zr_$c"))
       df.join(broadcast(rdf), Seq(c), "left")
     }
     val zdims = cols.map(c =>
       if (stringDims.contains(c)) coalesce(col(s"__zr_$c"), lit(0L))
-      else scaledNumeric(c))
+      else bucketedNumeric(c))
     ranked
       .withColumn("__z", Layout.zValueK(zdims, bits))
       .repartitionByRange(targetFiles, col("__z"))
@@ -2273,9 +2593,22 @@ object Snapshots {
     val sc = tableSchema(spark, table, Some(v))
     val bloomParts = idxCols.flatMap(c =>
       bloomSidecarFor(spark, table, parts, c, bloomFpp, sc))
+    // compaction must never turn pruning off: the rewritten files inherit
+    // every stat column the retired files carried (same rule as
+    // [[compactSmall]]/[[rewriteWhere]]), not just the z-order dims — one
+    // OPTIMIZE on a table whose inserts recorded __rows/zone maps would
+    // otherwise silently demote metadata COUNT(*) to a full scan and drop
+    // pruning on every non-clustered stat'd column
+    val retired = files.toSet
+    val retiredStats = fileStats(spark, table, Some(v))
+      .filter(st => retired(st.path))
+    val statCols = (cols ++ retiredStats.map(_.column).filterNot(reservedStat)).distinct
+    val keepRowCounts = retiredStats.exists(_.column == RowsStat)
     val nv = commit(spark, table, adds = parts,
       removes = files ++ dvs ++ oldSidecars, baseVersion = Some(v),
-      stats = computeStats(spark, dir, parts, cols), bloomAdds = bloomParts)
+      stats = computeStats(spark, dir, parts, statCols) ++
+        (if (keepRowCounts) rowCountStats(spark, dir, parts) else Nil),
+      bloomAdds = bloomParts)
     OptimizeResult(nv, files.size, parts.size)
   }
 

@@ -62,8 +62,24 @@ object Wap {
       case t  => t
     }
 
+  /** Legacy pin name (pre-`wap.pin` clones recorded nothing, so their
+    * publish/abandon recomputes this shape). New clones uniquify with a
+    * full-path hash — two same-leaf clones of one base (`/a/stage` and
+    * `/b/stage`) must not collide on the source tag. */
   private def pinName(dst: String, base: Long): String =
     s"wap-${sanitize(new Path(dst).getName)}-v$base"
+
+  private def uniquePinName(dst: String, base: Long): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(new Path(dst).toString.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    s"${pinName(dst, base)}-$h"
+  }
+
+  /** The clone's recorded pin (`wap.pin` prop), falling back to the
+    * legacy deterministic name for clones made before the prop existed. */
+  private def pinOf(props: Map[String, String], dst: String): String =
+    props.getOrElse("wap.pin", pinName(dst, props("wap.base").toLong))
 
   /** Zero-copy clone of `src`@`version` (default current) into the new
     * table `dst`. Returns the clone's version (always 1). */
@@ -76,21 +92,32 @@ object Wap {
       s"version $v of $src does not exist")
     // pin FIRST: once the tag holds, expiry cannot cross the base, so
     // every file the clone is about to reference stays resolvable
-    Snapshots.tag(spark, src, pinName(dst, v), Some(v))
-    // carried zone maps keep pruning live on the clone from its first
-    // read; __bytes is re-recorded by commit() itself for the add set
-    val carried = Snapshots.fileStats(spark, src, Some(v))
-      .filterNot(_.column == Snapshots.BytesStat)
-    Snapshots.commit(spark, dst,
-      adds = Snapshots.liveFiles(spark, src, Some(v)),
-      dvAdds = Snapshots.liveDvFiles(spark, src, Some(v)),
-      bloomAdds = Snapshots.liveBloomFiles(spark, src, Some(v)),
-      schemaJson = Snapshots.tableSchema(spark, src, Some(v)).map(_.json),
-      stats = carried,
-      notes = Seq(s"wap-clone:$src@$v"),
-      props = Snapshots.tableProperties(spark, src, Some(v)).toSeq
-        .map { case (k, pv) => k -> Some(pv) } ++
-        Seq("wap.source" -> Some(src), "wap.base" -> Some(v.toString)))
+    val pin = uniquePinName(dst, v)
+    Snapshots.tag(spark, src, pin, Some(v))
+    try {
+      // carried zone maps keep pruning live on the clone from its first
+      // read; __bytes is re-recorded by commit() itself for the add set
+      val carried = Snapshots.fileStats(spark, src, Some(v))
+        .filterNot(_.column == Snapshots.BytesStat)
+      Snapshots.commit(spark, dst,
+        adds = Snapshots.liveFiles(spark, src, Some(v)),
+        dvAdds = Snapshots.liveDvFiles(spark, src, Some(v)),
+        bloomAdds = Snapshots.liveBloomFiles(spark, src, Some(v)),
+        schemaJson = Snapshots.tableSchema(spark, src, Some(v)).map(_.json),
+        stats = carried,
+        notes = Seq(s"wap-clone:$src@$v"),
+        props = Snapshots.tableProperties(spark, src, Some(v)).toSeq
+          .map { case (k, pv) => k -> Some(pv) } ++
+          Seq("wap.source" -> Some(src), "wap.base" -> Some(v.toString),
+            "wap.pin" -> Some(pin)))
+    } catch {
+      case t: Throwable =>
+        // a failed clone must not leak its lifecycle pin (it would block
+        // source expiry until manually retracted)
+        try Snapshots.retractTag(spark, src, pin)
+        catch { case r: Throwable => t.addSuppressed(r) }
+        throw t
+    }
   }
 
   /** Hard-link (local) or copy (object stores) `from` under `toDir`,
@@ -190,7 +217,7 @@ object Wap {
       notes = Seq(s"wap-publish:$dst@$dstV"))
     // the publish commit now holds the shared files live — the lifecycle
     // pin has done its job
-    Snapshots.retractTag(spark, src, pinName(dst, base))
+    Snapshots.retractTag(spark, src, pinOf(props, dst))
     PublishResult(version, adds.size, removes.size, rehomed.size)
   }
 
@@ -201,6 +228,6 @@ object Wap {
     val props = Snapshots.tableProperties(spark, dst)
     val src = props.getOrElse("wap.source", throw new IllegalArgumentException(
       s"$dst is not a WAP clone"))
-    Snapshots.retractTag(spark, src, pinName(dst, props("wap.base").toLong))
+    Snapshots.retractTag(spark, src, pinOf(props, dst))
   }
 }

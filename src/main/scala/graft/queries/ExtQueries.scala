@@ -3229,7 +3229,7 @@ object ExtQueries {
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
-    x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec)
+    x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -7708,4 +7708,97 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS stats_kept_ok,
            |       CAST(1 AS BIGINT) AS travel_ok
            |FROM documents, tot GROUP BY source, tot.n ORDER BY source""".stripMargin))
+
+  /** x150: CONDITIONED / MULTI-ACTION / PARTIAL-ROW MERGE — the CDC
+    * consumer statement every changefeed writes on day one:
+    * `WHEN MATCHED AND s.op = 'D' THEN DELETE / WHEN MATCHED THEN UPDATE
+    * SET c = t.c + s.delta / WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT
+    * (...)`, routed through [[graft.io.Snapshots.mergeIntoWhen]]'s clause
+    * algebra (first applicable clause wins, partial SET reads both the
+    * `t.` and `s.` namespaces, unclaimed source rows drop) as ONE
+    * transactional commit with the keyed-merge file discipline
+    * (`one_commit` pins it; GraftDmlSpec pins precedence and pruning).
+    * The batch holds matched deletes, matched updates, fresh inserts, and
+    * delete-ops for absent keys (must no-op) in one statement; the oracle
+    * replays the clause algebra relationally in DuckDB. */
+  private def x150Spec: QuerySpec =
+    QuerySpec("x150_sql_merge_when",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mergewhen_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val tbl = s"$tmp/t"
+        val w = maxId / 4 + 1
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1),
+            tbl, recordSchema = i == 0, statsCols = Seq("doc_id"),
+            recordRowCounts = true)
+        }
+        // the CDC batch: op/delta derived deterministically from doc_id so
+        // the oracle can regenerate the same batch relationally
+        val src = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 15 === 0, "D").otherwise("U").as("op"),
+            (col("doc_id") % 97).as("delta"))
+          .unionByName(docs.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + maxId + 1).as("doc_id"),
+              when(col("doc_id") % 22 === 0, "D").otherwise("U").as("op"),
+              (col("doc_id") % 97).as("delta")))
+        src.createOrReplaceTempView("x150_src")
+        s.sql(s"""MERGE INTO $cat.t t USING x150_src s ON t.doc_id = s.doc_id
+                 |WHEN MATCHED AND s.op = 'D' THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + s.delta
+                 |WHEN NOT MATCHED AND s.op <> 'D' THEN
+                 |  INSERT (doc_id, source, n_chars) VALUES (s.doc_id, 'cdc', s.delta)"""
+          .stripMargin)
+        val oneCommit = if (Snapshots.currentVersion(s, tbl) == 5L) 1L else 0L
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 |CAST(sum(CASE WHEN source = 'cdc' THEN 1 ELSE 0 END) AS BIGINT)
+                 |  AS cdc_rows,
+                 |CAST(sum(CASE WHEN doc_id % 15 = 0 AND doc_id <= $maxId
+                 |              THEN 1 ELSE 0 END) AS BIGINT) AS ghost_rows
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("one_commit", lit(oneCommit))
+      },
+      Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+           |src AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 15 = 0 THEN 'D' ELSE 'U' END AS op,
+           |         doc_id % 97 AS delta
+           |  FROM documents WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + m + 1,
+           |         CASE WHEN doc_id % 22 = 0 THEN 'D' ELSE 'U' END,
+           |         doc_id % 97
+           |  FROM documents, mx WHERE doc_id % 11 = 0
+           |),
+           |kept AS (
+           |  SELECT t.doc_id, t.source,
+           |         CASE WHEN s.doc_id IS NOT NULL
+           |              THEN t.n_chars + s.delta ELSE t.n_chars END AS n_chars
+           |  FROM documents t LEFT JOIN src s ON t.doc_id = s.doc_id
+           |  WHERE s.doc_id IS NULL OR s.op <> 'D'
+           |),
+           |ins AS (
+           |  SELECT s.doc_id, 'cdc' AS source, s.delta AS n_chars
+           |  FROM src s LEFT JOIN documents t ON t.doc_id = s.doc_id
+           |  WHERE t.doc_id IS NULL AND s.op <> 'D'
+           |),
+           |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+           |SELECT count(*) AS n_rows,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(sum(CASE WHEN source = 'cdc' THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS cdc_rows,
+           |       CAST(sum(CASE WHEN doc_id % 15 = 0
+           |                     AND doc_id <= (SELECT m FROM mx)
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS ghost_rows,
+           |       CAST(1 AS BIGINT) AS one_commit
+           |FROM final""".stripMargin))
 }

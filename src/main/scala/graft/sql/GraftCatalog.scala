@@ -561,7 +561,23 @@ final class GraftScanBuilder(table: GraftTable)
     * query every time-series user runs — then opens ZERO data files at
     * any table size. Anything not provably exact declines and plans
     * normally; pruning may be conservative, aggregates may not. */
+  // memoized per ScanBuilder: Spark invokes supportCompletePushDown then
+  // pushAggregation with the same Aggregation instance, and the manifest
+  // replay inside (liveFiles + fileStats + liveDvFiles) is the expensive
+  // part — compute once, reuse in both callbacks
+  private var minMaxMemo: Option[(AnyRef, Option[Seq[GraftAggScan.Agg]])] = None
+
   private def minMaxPush(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[GraftAggScan.Agg]] = minMaxMemo match {
+    case Some((k, v)) if k eq agg => v
+    case _ =>
+      val v = minMaxPushCompute(agg)
+      minMaxMemo = Some((agg, v))
+      v
+  }
+
+  private def minMaxPushCompute(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[Seq[GraftAggScan.Agg]] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
@@ -807,7 +823,9 @@ final class GraftScan(table: GraftTable, required: StructType,
     val candidates =
       if (filters.isEmpty || live.size >= threshold) live
       else {
+        val zone = spark.sessionState.conf.sessionLocalTimeZone
         val byFile = all.filterNot(st => Snapshots.reservedStat(st.column))
+          .filter(st => Snapshots.statZoneOk(st.dtype, zone))
           .groupBy(_.path).map { case (p, xs) => p -> xs.map(st => st.column -> st).toMap }
         live.filter { p =>
           val st = byFile.getOrElse(p, Map.empty[String, Snapshots.FileStat])
@@ -887,8 +905,11 @@ object GraftScan {
     * generic lexicographic statCompare stays order-correct. Runs ON THE
     * DRIVER before any verdict path — the distributed executor-side
     * verdicts then see plain strings and never need a SparkSession.
-    * Assumes write and read sessions share a time zone (this repo pins
-    * UTC); typed temporal stats would remove that caveat. */
+    * Write/read zone divergence is handled at the verdict sites: stats
+    * are zone-stamped (`timestamp@<zone>`, [[Snapshots.statZoneOk]]) and
+    * a stat whose write zone differs from this session's is dropped
+    * before any comparison — conservatively scanned, never falsely
+    * pruned. */
   def encodeTemporal(filters: Array[Filter], zone: java.time.ZoneId): Array[Filter] = {
     def ts(i: java.time.Instant): String = {
       val ldt = java.time.LocalDateTime.ofInstant(i, zone)
@@ -1047,7 +1068,9 @@ final class GraftRelation(ctx: SQLContext, table: GraftTable,
     var candidates =
       if (filters.isEmpty) live
       else if (live.size < threshold) {
+        val zone = spark.sessionState.conf.sessionLocalTimeZone
         val statsByFile = Snapshots.fileStats(spark, table.path, Some(v))
+          .filter(st => Snapshots.statZoneOk(st.dtype, zone))
           .groupBy(_.path).map { case (p, xs) => p -> xs.map(st => st.column -> st).toMap }
         live.filter { p =>
           val stats = statsByFile.getOrElse(p, Map.empty)
@@ -1056,13 +1079,14 @@ final class GraftRelation(ctx: SQLContext, table: GraftTable,
       } else {
         import spark.implicits._
         val fs = pruneBy // closure-clean copy (v1 Filters are serializable)
+        val zone = spark.sessionState.conf.sessionLocalTimeZone
         val liveSet = spark.sparkContext.broadcast(live.toSet)
         val sources = Snapshots.statSourceManifests(spark, table.path, Some(v))
         // stats are immutable per (path, column): any duplicate wins, so
         // the executor-side fold needs no ordered replay
         val pruned = spark.read.textFile(sources: _*)
           .flatMap(Snapshots.parseStatLine)
-          .filter(st => liveSet.value(st.path))
+          .filter(st => liveSet.value(st.path) && Snapshots.statZoneOk(st.dtype, zone))
           .groupByKey(_.path)
           .mapGroups { (p, sts) =>
             val m = sts.map(st => st.column -> st).toMap

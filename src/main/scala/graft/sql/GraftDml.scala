@@ -48,12 +48,18 @@ import graft.io.Snapshots
   * version — the optimistic-concurrency contract every library mutator
   * documents).
   *
+  * MERGE takes the FULL clause algebra: conditioned actions (`WHEN
+  * MATCHED AND s.op = 'D' THEN DELETE`), multiple ordered matched
+  * clauses (first applicable wins), partial-row `SET c = expr` over the
+  * `t.`/`s.` namespace, and conditioned inserts — the unconditioned
+  * full-row shapes keep the cheaper keyed-upsert fast path
+  * ([[Snapshots.mergeInto]]); everything else routes to
+  * [[Snapshots.mergeIntoWhen]].
+  *
   * Deliberate refusals (loud, with the rewrite to use instead): subquery
-  * predicates, nested-field assignments, conditioned / non-star MERGE
-  * actions that are not full-row `c = s.c` sets, and
-  * `WHEN NOT MATCHED BY SOURCE` — each either has no defined mapping
-  * onto the library's keyed-merge algebra or belongs in the USING
-  * subquery (pre-shape the source; the engine merges whole rows).
+  * predicates, nested-field assignments, and `WHEN NOT MATCHED BY
+  * SOURCE` outside the full-sync triple — each has no defined mapping
+  * onto the library's keyed-merge algebra.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -77,15 +83,21 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     * expression survives the plan boundary. Subqueries cannot (their
     * plans are bound to THIS query's analysis) — refuse loudly. */
   private def unresolve(e: Expression): Expression = {
-    if (e.exists(_.isInstanceOf[SubqueryExpression]))
-      throw new UnsupportedOperationException(
-        "graft SQL DML does not support subqueries in SET or WHERE; " +
-          "materialize the subquery (temp view + MERGE) instead")
     // BETWEEN et al. resolve to `With`/common-expression dedup nodes whose
     // refs carry resolved dataTypes — they cannot survive an attribute
     // unresolve (dataType calls on the rewritten tree throw). Inline the
     // definitions first: the library re-optimizes the expression anyway.
-    val inlined = e.transformUp {
+    inlineWith(e).transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
+  }
+
+  private def inlineWith(e: Expression): Expression = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      throw new UnsupportedOperationException(
+        "graft SQL DML does not support subqueries in SET or WHERE; " +
+          "materialize the subquery (temp view + MERGE) instead")
+    e.transformUp {
       case w: org.apache.spark.sql.catalyst.expressions.With =>
         val defs = w.defs.map(d => d.id -> d.child).toMap
         w.child.transformUp {
@@ -93,10 +105,21 @@ object GraftDmlRule extends Rule[LogicalPlan] {
             defs(r.id)
         }
     }
-    inlined.transform {
+  }
+
+  /** [[unresolve]] for the MERGE clause namespace: target attributes
+    * re-qualify as `t.<name>`, source attributes as `s.<name>` — the
+    * aliases [[Snapshots.mergeIntoWhen]] resolves its clause Columns
+    * against. Same With-inlining and subquery refusal. */
+  private def unresolveMerge(e: Expression, target: AttributeSet,
+                             source: AttributeSet): Expression =
+    inlineWith(e).transform {
+      case a: AttributeReference if target.contains(a) =>
+        UnresolvedAttribute(Seq("t", a.name))
+      case a: AttributeReference if source.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     }
-  }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -230,51 +253,95 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables; " +
           "ALTER TABLE ADD COLUMNS first, then MERGE")
       val keys = mergeKeys(cond, target.outputSet, source.outputSet)
-      def fullRow(as: Seq[Assignment], what: String): Unit =
-        if (!identityAssignments(as, source.outputSet))
+      // FAST PATH — the unconditioned full-row shapes ([[Snapshots
+      // .mergeInto]]'s keyed upsert, no clause algebra, no outer join):
+      // one star/identity UPDATE, one star/identity INSERT, or both
+      val simpleUpdate = matched match {
+        case Seq() => Some(false)
+        case Seq(a: UpdateStarAction) if a.condition.isEmpty => Some(true)
+        case Seq(a: UpdateAction) if a.condition.isEmpty &&
+            identityAssignments(a.assignments, source.outputSet) => Some(true)
+        case _ => None
+      }
+      val simpleInsert = notMatched match {
+        case Seq() => Some(false)
+        case Seq(a: InsertStarAction) if a.condition.isEmpty => Some(true)
+        case Seq(a: InsertAction) if a.condition.isEmpty &&
+            identityAssignments(a.assignments, source.outputSet) => Some(true)
+        case _ => None
+      }
+      (simpleUpdate, simpleInsert) match {
+        case (Some(du), Some(di)) if du || di =>
+          val mode =
+            if (fullSync) {
+              if (!(du && di)) throw new UnsupportedOperationException(
+                "WHEN NOT MATCHED BY SOURCE THEN DELETE needs the full-sync " +
+                  "triple: add WHEN MATCHED THEN UPDATE SET * and " +
+                  "WHEN NOT MATCHED THEN INSERT *")
+              "full_sync"
+            }
+            else if (du && di) "both"
+            else if (du) "matched_only"
+            else "insert_only"
+          GraftMergeCommand(t.path, source, keys, mode)
+        case (Some(false), Some(false)) =>
           throw new UnsupportedOperationException(
-            s"graft MERGE supports $what as the full-row copy " +
-              "(THEN UPDATE SET * / THEN INSERT *, or explicit c = s.c for " +
-              "every column); compute derived values in the USING subquery")
-      def unconditioned(c: Option[Expression], what: String): Unit =
-        if (c.nonEmpty) throw new UnsupportedOperationException(
-          s"conditioned $what (WHEN ... AND <cond>) is not supported; " +
-            "filter the source in the USING subquery")
-      val doesUpdate = matched match {
-        case Seq()                      => false
-        case Seq(a: UpdateStarAction)   => unconditioned(a.condition, "WHEN MATCHED"); true
-        case Seq(a: UpdateAction) =>
-          unconditioned(a.condition, "WHEN MATCHED")
-          fullRow(a.assignments, "WHEN MATCHED ... UPDATE")
-          true
-        case other => throw new UnsupportedOperationException(
-          s"graft MERGE supports one unconditioned WHEN MATCHED THEN " +
-            s"UPDATE action, got $other")
+            "MERGE needs at least one WHEN MATCHED or WHEN NOT MATCHED action")
+        case _ =>
+          // GENERAL PATH — conditioned / multi-action / partial-row
+          // clauses route to [[Snapshots.mergeIntoWhen]]'s clause algebra
+          if (fullSync) throw new UnsupportedOperationException(
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE combines only with the " +
+              "unconditioned full-sync triple (UPDATE SET * / INSERT *); " +
+              "use UPDATE/DELETE for conditioned target-side sweeps")
+          val ts = target.outputSet; val ss = source.outputSet
+          def qcol(e: Expression): org.apache.spark.sql.Column =
+            DmlShim.column(unresolveMerge(e, ts, ss))
+          // a key assigned its own matched source value (`id = s.id` —
+          // what SET * expands to) is the identity under the ON equality
+          // and drops silently; any OTHER key assignment refuses inside
+          // the library (key rewrites have no keyed-merge mapping)
+          def keyIdentity(k: AttributeReference, v: Expression): Boolean =
+            keys.contains(k.name) && (v match {
+              case a: AttributeReference => ss.contains(a) && a.name == k.name
+              case _                     => false
+            })
+          def setOf(as: Seq[Assignment], what: String,
+                    dropKeyIdentity: Boolean): Map[String, org.apache.spark.sql.Column] =
+            as.collect {
+              case Assignment(k: AttributeReference, value)
+                  if !(dropKeyIdentity && keyIdentity(k, value)) =>
+                k.name -> qcol(value)
+              case Assignment(other, _) if !other.isInstanceOf[AttributeReference] =>
+                throw new UnsupportedOperationException(
+                  s"graft MERGE $what assigns top-level columns only, got $other")
+            }.toMap
+          def starSet(dropKeys: Boolean): Map[String, org.apache.spark.sql.Column] =
+            target.output.filterNot(a => dropKeys && keys.contains(a.name))
+              .map(a => a.name ->
+                DmlShim.column(UnresolvedAttribute(Seq("s", a.name)))).toMap
+          val mts: Seq[Snapshots.MatchedClause] = matched.map {
+            case a: UpdateStarAction =>
+              Snapshots.MatchedUpdate(a.condition.map(qcol), starSet(dropKeys = true))
+            case a: UpdateAction =>
+              Snapshots.MatchedUpdate(a.condition.map(qcol),
+                setOf(a.assignments, "UPDATE", dropKeyIdentity = true))
+            case a: DeleteAction =>
+              Snapshots.MatchedDelete(a.condition.map(qcol))
+            case other => throw new UnsupportedOperationException(
+              s"unsupported WHEN MATCHED action $other")
+          }
+          val nms: Seq[Snapshots.NotMatchedInsert] = notMatched.map {
+            case a: InsertStarAction =>
+              Snapshots.NotMatchedInsert(a.condition.map(qcol), starSet(dropKeys = false))
+            case a: InsertAction =>
+              Snapshots.NotMatchedInsert(a.condition.map(qcol),
+                setOf(a.assignments, "INSERT", dropKeyIdentity = false))
+            case other => throw new UnsupportedOperationException(
+              s"unsupported WHEN NOT MATCHED action $other")
+          }
+          GraftMergeWhenCommand(t.path, source, keys, mts, nms)
       }
-      val doesInsert = notMatched match {
-        case Seq()                      => false
-        case Seq(a: InsertStarAction)   => unconditioned(a.condition, "WHEN NOT MATCHED"); true
-        case Seq(a: InsertAction) =>
-          unconditioned(a.condition, "WHEN NOT MATCHED")
-          fullRow(a.assignments, "WHEN NOT MATCHED ... INSERT")
-          true
-        case other => throw new UnsupportedOperationException(
-          s"graft MERGE supports one unconditioned WHEN NOT MATCHED THEN " +
-            s"INSERT action, got $other")
-      }
-      if (!doesUpdate && !doesInsert) throw new UnsupportedOperationException(
-        "MERGE needs WHEN MATCHED THEN UPDATE and/or WHEN NOT MATCHED THEN INSERT")
-      if (fullSync && !(doesUpdate && doesInsert))
-        throw new UnsupportedOperationException(
-          "WHEN NOT MATCHED BY SOURCE THEN DELETE needs the full-sync " +
-            "triple: add WHEN MATCHED THEN UPDATE SET * and " +
-            "WHEN NOT MATCHED THEN INSERT *")
-      val mode =
-        if (fullSync) "full_sync"
-        else if (doesUpdate && doesInsert) "both"
-        else if (doesUpdate) "matched_only"
-        else "insert_only"
-      GraftMergeCommand(t.path, source, keys, mode)
   }
 }
 
@@ -373,6 +440,34 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
             .select(keys.map(col): _*).distinct(), keys, "left_anti")
       }
       Snapshots.mergeInto(spark, path, up, keys, pruneOn = Some(keys.head))
+    }
+    Seq.empty
+  }
+}
+
+/** Conditioned / multi-action / partial-row `MERGE INTO` →
+  * [[Snapshots.mergeIntoWhen]]: the full SQL clause algebra (`WHEN
+  * MATCHED AND cond THEN DELETE`, ordered clause precedence, partial
+  * `SET c = expr`, conditioned inserts) with the same one-commit /
+  * zone-map-pruned file discipline as the fast path. Clause conditions
+  * and expressions ride as opaque Columns over the `t.` / `s.` merge
+  * namespace (re-resolved by the library against its own pruned reads —
+  * the [[GraftUpdateCommand]] pattern); the source plan is this query's
+  * analyzed USING subquery. Cardinality and key-assignment rules enforce
+  * inside the library call. */
+case class GraftMergeWhenCommand(path: String, source: LogicalPlan,
+                                 keys: Seq[String],
+                                 matched: Seq[Snapshots.MatchedClause],
+                                 notMatched: Seq[Snapshots.NotMatchedInsert])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTable.refuseMvDml(spark, path, "MERGE INTO")
+    val src = DmlShim.ofRows(spark, source)
+    GraftDmlRetry.retry {
+      Snapshots.mergeIntoWhen(spark, path, src, keys, matched, notMatched,
+        pruneOn = Some(keys.head))
     }
     Seq.empty
   }

@@ -104,10 +104,18 @@ object GraftProcedures {
         val target =
           if (in.getLong(2) > 0) in.getLong(2).toInt
           else {
-            val fsys = new org.apache.hadoop.fs.Path(path)
+            // sum the __bytes stats commits already record — zero
+            // per-file getFileStatus RPCs on the common path (exactly
+            // what t$files reads them for); only legacy files missing
+            // the stat fall back to a metadata RPC each
+            val live = Snapshots.liveFiles(s, path)
+            val recorded = Snapshots.fileStats(s, path)
+              .filter(_.column == Snapshots.BytesStat)
+              .map(st => st.path -> st.min.toLong).toMap
+            lazy val fsys = new org.apache.hadoop.fs.Path(path)
               .getFileSystem(s.sparkContext.hadoopConfiguration)
-            val bytes = Snapshots.liveFiles(s, path).map(p =>
-              fsys.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).sum
+            val bytes = live.map(p => recorded.getOrElse(p,
+              fsys.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen)).sum
             math.max(1, math.ceil(bytes / (512.0 * 1024 * 1024)).toInt)
           }
         val r = Snapshots.optimizeZorder(s, path, cols, target,

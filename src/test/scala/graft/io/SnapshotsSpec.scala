@@ -397,6 +397,79 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.pruneFiles(spark, t, "a", "0", "30000000")._1.size === 1)
   }
 
+  test("optimizeZorder equi-depth numeric rank: lognormal skew still prunes bands") {
+    val t = tmpTable()
+    // heavily skewed id domain: min-max scaling would collapse ~all rows
+    // into the lowest z-cells (the whole range is dominated by a few huge
+    // outliers) and band reads at the dense low end would prune nothing
+    val rnd = new scala.util.Random(7)
+    val vals = (0 until 2048).map(_ =>
+      math.max(1L, math.exp(rnd.nextGaussian() * 3.0 + 5.0).toLong))
+    val pts = vals.zipWithIndex.map { case (v, i) => (v, (i % 16).toLong) }
+      .toDF("a", "b")
+    Snapshots.commitAppend(pts.coalesce(4), t,
+      recordSchema = true, statsCols = Seq("a", "b"))
+    val before = Snapshots.readAt(spark, t).as[(Long, Long)].collect().sorted
+    Snapshots.optimizeZorder(spark, t, "a", "b", targetFiles = 8, bits = 16)
+    assert(Snapshots.readAt(spark, t).as[(Long, Long)].collect().sorted
+      === before)
+    // a band at the dense low end (half the rows by count, a sliver of
+    // the value range) opens a strict subset of the files
+    val med = vals.sorted.apply(vals.length / 2)
+    val (scan, skip) = Snapshots.pruneFiles(spark, t, "a", "1", med.toString)
+    assert(skip.nonEmpty, s"scan=${scan.size} skip=${skip.size}")
+    assert(Snapshots.readPruned(spark, t, "a", "1", med.toString)
+      .filter(col("a") <= med).count() === vals.count(_ <= med))
+  }
+
+  test("optimizeZorder inherits retired stat coverage: __rows and non-dim zone maps survive") {
+    val t = tmpTable()
+    val pts = (0 until 256).map(i => (i.toLong, (i % 16).toLong, (255 - i).toLong))
+      .toDF("a", "b", "d")
+    Snapshots.commitAppend(pts.coalesce(4), t, recordSchema = true,
+      statsCols = Seq("a", "b", "d"), recordRowCounts = true)
+    Snapshots.optimizeZorder(spark, t, "a", "b", targetFiles = 4, bits = 8)
+    val live = Snapshots.liveFiles(spark, t).toSet
+    val stats = Snapshots.fileStats(spark, t)
+    // OPTIMIZE must never turn pruning (or metadata COUNT(*)) off: every
+    // rewritten file carries the stat columns the retired files carried,
+    // including the non-clustered 'd' and the reserved __rows
+    assert(live.forall(p => stats.exists(st => st.path == p && st.column == "d")))
+    assert(live.forall(p =>
+      stats.exists(st => st.path == p && st.column == Snapshots.RowsStat)))
+    assert(Snapshots.fastCount(spark, t) === 256L)
+    assert(Snapshots.readPruned(spark, t, "d", "0", "63")
+      .filter(col("d") <= 63).count() === 64)
+  }
+
+  test("temporal zone maps: a read session in a different zone declines pruning, never false-prunes") {
+    val t = tmpTable()
+    val pts = Seq("2024-01-01 01:00:00", "2024-01-01 06:00:00",
+      "2024-06-01 01:00:00", "2024-06-01 06:00:00")
+      .toDF("s").select(to_timestamp(col("s")).as("ts"))
+    // two files with disjoint ts ranges, zone maps recorded under UTC
+    Snapshots.commitAppend(pts.filter(col("ts") < lit("2024-03-01")).coalesce(1),
+      t, recordSchema = true, statsCols = Seq("ts"))
+    Snapshots.commitAppend(pts.filter(col("ts") >= lit("2024-03-01")).coalesce(1),
+      t, statsCols = Seq("ts"))
+    // the stamp records the write zone
+    assert(Snapshots.fileStats(spark, t).filter(_.column == "ts")
+      .forall(_.dtype == "timestamp@UTC"))
+    // same-zone read: the January band prunes the June file
+    val (scanU, skipU) =
+      Snapshots.pruneFiles(spark, t, "ts", "2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    assert(scanU.size === 1 && skipU.size === 1)
+    // a read session in another zone renders literals differently — the
+    // verdict declines (both files scanned) instead of silently dropping
+    // matching rows
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val (scanN, skipN) =
+        Snapshots.pruneFiles(spark, t, "ts", "2024-01-01 00:00:00", "2024-01-02 00:00:00")
+      assert(scanN.size === 2 && skipN.isEmpty)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("optimizeZorder on an empty table is a no-op") {
     val t = tmpTable()
     val res = Snapshots.optimizeZorder(spark, t, "a", "b", targetFiles = 4)

@@ -171,4 +171,21 @@ class WapSpec extends SparkSpec {
     assert(Snapshots.tableProperties(spark, c2)(Clustering.Prop) === "src")
     assert(Snapshots.tableProperties(spark, c2)("wap.source") === t2)
   }
+
+  test("same-leaf clones into different parents coexist; abandon retracts each pin") {
+    val base = freshBase()
+    val t = mkSrc(base)
+    val a = s"$base/teamA/stage"; val b = s"$base/teamB/stage"
+    // both clones pin the same source at the same base with the same leaf
+    // name — the full-path uniquifier keeps the pins distinct
+    Wap.clone(spark, t, a)
+    Wap.clone(spark, t, b)
+    val pins = Snapshots.tags(spark, t).keys.filter(_.startsWith("wap-"))
+    assert(pins.size === 2, s"pins=$pins")
+    // each clone records its own pin; abandoning one leaves the other held
+    Wap.abandon(spark, a)
+    assert(Snapshots.tags(spark, t).keys.count(_.startsWith("wap-")) === 1)
+    Wap.abandon(spark, b)
+    assert(Snapshots.tags(spark, t).keys.count(_.startsWith("wap-")) === 0)
+  }
 }

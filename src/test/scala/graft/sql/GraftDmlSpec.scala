@@ -171,12 +171,6 @@ class GraftDmlSpec extends SparkSpec {
     }
     assert(dup.getMessage.contains("duplicate keys"), dup.getMessage)
     Seq((11L, "a", 1L)).toDF("id", "src", "m").createOrReplaceTempView("r1_one")
-    val cond = intercept[Exception] {
-      spark.sql("""MERGE INTO gd.r1 t USING r1_one s ON t.id = s.id
-                   WHEN MATCHED AND s.m > 0 THEN UPDATE SET *
-                   WHEN NOT MATCHED THEN INSERT *""")
-    }
-    assert(cond.getMessage.contains("USING subquery"), cond.getMessage)
     val sub = intercept[Exception] {
       spark.sql("UPDATE gd.r1 SET m = 0 WHERE id IN (SELECT id FROM r1_one)")
     }
@@ -187,5 +181,56 @@ class GraftDmlSpec extends SparkSpec {
                    WHEN NOT MATCHED BY SOURCE THEN DELETE""")
     }
     assert(bySrc.getMessage.contains("BY SOURCE"), bySrc.getMessage)
+  }
+
+  test("MERGE clause algebra: conditioned DELETE + partial UPDATE + conditioned INSERT") {
+    val t = mk("cw1")
+    Seq((3L, "D", 0L), (5L, "U", 999L), (100L, "U", 7L), (200L, "D", 8L))
+      .toDF("id", "op", "delta").createOrReplaceTempView("cw1_src")
+    val before = Snapshots.liveFiles(spark, t).toSet
+    spark.sql("""MERGE INTO gd.cw1 t USING cw1_src s ON t.id = s.id
+                 WHEN MATCHED AND s.op = 'D' THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET m = t.m + s.delta
+                 WHEN NOT MATCHED AND s.op <> 'D' THEN
+                   INSERT (id, src, m) VALUES (s.id, 'new', s.delta)""")
+    val rows = spark.sql("SELECT id, src, m FROM gd.cw1")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!rows.contains(3L))                    // conditioned delete
+    assert(rows(5L) === (("s2", 10L + 999L)))     // partial SET reads t and s
+    assert(rows(100L) === (("new", 7L)))          // conditioned insert
+    assert(!rows.contains(200L))                  // op='D' unmatched drops
+    assert(rows(7L) === (("s1", 14L)))            // pass-through
+    assert(rows.size === 40)
+    // key-pruned CoW: ids 3,5 share file 1 — exactly one data file rewrote
+    assert((before intersect Snapshots.liveFiles(spark, t).toSet).size === 3)
+    // one commit; pre-merge version still time-travels
+    assert(Snapshots.currentVersion(spark, t) === 5L)
+    assert(spark.sql("SELECT count(*) AS c FROM gd.cw1 VERSION AS OF 4")
+      .as[Long].head() === 40L)
+  }
+
+  test("MERGE clause precedence: first applicable matched clause wins") {
+    mk("cw2")
+    Seq((1L, 5L), (2L, 50L)).toDF("id", "x").createOrReplaceTempView("cw2_src")
+    spark.sql("""MERGE INTO gd.cw2 t USING cw2_src s ON t.id = s.id
+                 WHEN MATCHED AND s.x < 10 THEN UPDATE SET m = -1
+                 WHEN MATCHED THEN UPDATE SET m = -2""")
+    val m = spark.sql("SELECT id, m FROM gd.cw2 WHERE id <= 2")
+      .as[(Long, Long)].collect().toMap
+    assert(m === Map(1L -> -1L, 2L -> -2L))
+  }
+
+  test("MERGE conditioned star actions: UPDATE SET * / INSERT * under WHEN ... AND") {
+    mk("cw3")
+    Seq((4L, "up", 1000L), (4000L, "in", 2000L), (9L, "skip", 0L))
+      .toDF("id", "src", "m").createOrReplaceTempView("cw3_src")
+    spark.sql("""MERGE INTO gd.cw3 t USING cw3_src s ON t.id = s.id
+                 WHEN MATCHED AND s.src = 'up' THEN UPDATE SET *
+                 WHEN NOT MATCHED AND s.src = 'in' THEN INSERT *""")
+    val rows = spark.sql("SELECT id, src, m FROM gd.cw3")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(4L) === (("up", 1000L)))
+    assert(rows(4000L) === (("in", 2000L)))
+    assert(rows(9L) === (("s0", 18L))) // condition false: untouched
   }
 }
