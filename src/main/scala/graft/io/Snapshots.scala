@@ -939,7 +939,8 @@ object Snapshots {
                     matched: Seq[MatchedClause],
                     notMatched: Seq[NotMatchedInsert],
                     pruneOn: Option[String] = None,
-                    note: Option[String] = None): DeleteResult = {
+                    note: Option[String] = None,
+                    prune: Option[(String, String, String)] = None): DeleteResult = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, when}
     require(keys.nonEmpty, "mergeIntoWhen needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty,
@@ -1018,12 +1019,21 @@ object Snapshots {
         recordSchema = sc.isEmpty, notes = note.toSeq)
       return DeleteResult(version, Nil, 0)
     }
-    val candidates = pruneOn match {
+    val candidates0 = pruneOn match {
       case Some(c) =>
         val b = source.agg(min(col(c)).cast("string"), max(col(c)).cast("string")).first()
         if (b.isNullAt(0)) Nil // all-null prune keys: no row can match
         else pruneFiles(spark, table, c, b.getString(0), b.getString(1), Some(v))._1
       case None => live
+    }
+    // an extra caller-asserted bound (e.g. the plain outer conjuncts of a
+    // subquery DELETE) intersects the candidate set: a matched row can
+    // only change where BOTH bounds can hold
+    val candidates = prune match {
+      case Some((c, lo, hi)) =>
+        val keep = pruneFiles(spark, table, c, lo, hi, Some(v))._1.toSet
+        candidates0.filter(keep)
+      case None => candidates0
     }
     def read(files: Seq[String]) =
       sc.map(spark.read.schema).getOrElse(spark.read).parquet(files: _*)
@@ -1062,12 +1072,14 @@ object Snapshots {
         Some(j.filter(!deleted).select(outCols: _*))
       }
     // NOT matched = key absent from the LIVE (dv-resolved) view; the
-    // candidate set covers every file the source's key range can reach,
-    // so candidate keys decide membership completely
+    // pruneOn candidate set covers every file the source's key range can
+    // reach, so ITS keys decide membership completely (the extra `prune`
+    // bound above only narrows which matched rows can CHANGE — a key in a
+    // file it excludes is still matched, never an insert)
     val unmatchedSrc =
-      if (candidates.isEmpty) source
+      if (candidates0.isEmpty) source
       else source.join(
-        applyDv(spark, table, Some(v), read(candidates))
+        applyDv(spark, table, Some(v), read(candidates0))
           .select(keys.map(col): _*).distinct(),
         keys, "left_anti")
     val inserts = insertsOf(unmatchedSrc)

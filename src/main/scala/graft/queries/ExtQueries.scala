@@ -3229,7 +3229,8 @@ object ExtQueries {
     x129Spec, x130Spec, st25Spec, x131Spec, x132Spec, st26Spec, x133Spec,
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
-    x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec)
+    x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
+    x152Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -7801,4 +7802,70 @@ object ExtQueries {
            |                     THEN 1 ELSE 0 END) AS BIGINT) AS ghost_rows,
            |       CAST(1 AS BIGINT) AS one_commit
            |FROM final""".stripMargin))
+
+  /** x152: SUBQUERY PREDICATES IN DML — `DELETE FROM t WHERE k IN
+    * (SELECT …) AND k BETWEEN a AND b` and `UPDATE … WHERE k IN
+    * (SELECT …)` rewrite onto the keyed-merge semi-join shape
+    * ([[graft.sql.GraftDmlInCommand]]): the subquery's distinct values
+    * become the merge source (its own key bounds prune candidates), the
+    * plain outer conjuncts ride as the matched clause's condition AND as
+    * an extra zone-map bound intersecting the candidate set — `pruned_ok`
+    * pins that the banded delete left files outside the band untouched.
+    * One transactional commit per statement (`commits_ok`); the oracle
+    * replays both statements relationally in DuckDB. */
+  private def x152Spec: QuerySpec =
+    QuerySpec("x152_sql_dml_subquery",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_dmlsub_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+        docs.createOrReplaceTempView("x152_docs")
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val half = maxId / 2
+        val tbl = s"$tmp/t"
+        val w = maxId / 4 + 1
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1),
+            tbl, recordSchema = i == 0, statsCols = Seq("doc_id"),
+            recordRowCounts = true)
+        }
+        val before = Snapshots.liveFiles(s, tbl).toSet
+        s.sql(s"""DELETE FROM $cat.t
+                 |WHERE doc_id IN (SELECT doc_id FROM x152_docs WHERE n_chars % 7 = 0)
+                 |  AND doc_id BETWEEN 0 AND $half""".stripMargin)
+        // the outer band bound intersects the candidate set: the files
+        // wholly above `half` are never rewritten
+        val untouched = (before intersect Snapshots.liveFiles(s, tbl).toSet).size
+        val prunedOk = if (untouched >= 2) 1L else 0L
+        s.sql(s"""UPDATE $cat.t SET n_chars = n_chars + 100000
+                 |WHERE doc_id IN (SELECT doc_id FROM x152_docs WHERE source = 'src2')"""
+          .stripMargin)
+        val commitsOk = if (Snapshots.currentVersion(s, tbl) == 6L) 1L else 0L
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("pruned_ok", lit(prunedOk))
+          .withColumn("commits_ok", lit(commitsOk))
+      },
+      Some("""WITH half AS (SELECT max(doc_id) // 2 AS h FROM documents),
+           |kept AS (
+           |  SELECT doc_id, source, n_chars FROM documents, half
+           |  WHERE NOT (n_chars % 7 = 0 AND doc_id BETWEEN 0 AND h)
+           |),
+           |upd AS (
+           |  SELECT doc_id,
+           |         n_chars + CASE WHEN source = 'src2'
+           |                        THEN 100000 ELSE 0 END AS n_chars
+           |  FROM kept
+           |)
+           |SELECT count(*) AS n_rows,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS pruned_ok,
+           |       CAST(1 AS BIGINT) AS commits_ok
+           |FROM upd""".stripMargin))
 }

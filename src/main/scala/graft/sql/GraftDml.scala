@@ -97,7 +97,17 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       throw new UnsupportedOperationException(
         "graft SQL DML does not support subqueries in SET or WHERE; " +
           "materialize the subquery (temp view + MERGE) instead")
+    inlineWithOnly(e)
+  }
+
+  private def inlineWithOnly(e: Expression): Expression =
     e.transformUp {
+      // BETWEEN et al. are RuntimeReplaceable — their semantics live in
+      // `replacement` (often a With/common-expression tree); expand first
+      // so the conjunct matchers below see plain >= / <= nodes
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+        r.replacement
+    }.transformUp {
       case w: org.apache.spark.sql.catalyst.expressions.With =>
         val defs = w.defs.map(d => d.id -> d.child).toMap
         w.child.transformUp {
@@ -105,7 +115,6 @@ object GraftDmlRule extends Rule[LogicalPlan] {
             defs(r.id)
         }
     }
-  }
 
   /** [[unresolve]] for the MERGE clause namespace: target attributes
     * re-qualify as `t.<name>`, source attributes as `s.<name>` — the
@@ -126,6 +135,39 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     case x         => Seq(x)
   }
 
+  /** Decompose a DML WHERE containing a subquery into the keyed-merge
+    * rewrite's inputs: exactly ONE top-level uncorrelated `(k, …) IN
+    * (SELECT …)` conjunct over target columns (the subquery plan becomes
+    * the merge SOURCE, its distinct rows the key set), plus the plain
+    * conjuncts re-qualified to the `t.` namespace as the clause condition
+    * and — when they bound a column — an extra zone-map bound for the
+    * candidate set. Everything else (NOT IN, EXISTS, correlation, a
+    * subquery under OR) refuses loudly: each either has no sound
+    * semi-join mapping (NOT IN's three-valued null rule) or no
+    * keyed-merge shape. */
+  private def subqueryShape(cond: Expression, target: AttributeSet)
+      : (LogicalPlan, Seq[String], Option[org.apache.spark.sql.Column],
+         Option[(String, String, String)]) = {
+    import org.apache.spark.sql.catalyst.expressions.{InSubquery, ListQuery}
+    val parts = conjuncts(cond)
+    val (subs, plain) = parts.partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    subs match {
+      case Seq(InSubquery(values, q: ListQuery)) if q.outerAttrs.isEmpty &&
+          values.forall(v => v.isInstanceOf[AttributeReference] &&
+            target.contains(v.asInstanceOf[AttributeReference])) =>
+        val keys = values.map(_.asInstanceOf[AttributeReference].name)
+        val plainCond = plain.reduceOption(And).map(e =>
+          DmlShim.column(unresolveMerge(e, target, AttributeSet.empty)))
+        (q.plan, keys, plainCond, plain.reduceOption(And).flatMap(pruneBound))
+      case _ => throw new UnsupportedOperationException(
+        "graft SQL DML supports subqueries only as one top-level " +
+          "uncorrelated `col IN (SELECT ...)` conjunct over table columns " +
+          "(rewritten to the keyed-merge semi-join); NOT IN / EXISTS / " +
+          "correlated or OR-nested subqueries have no sound keyed " +
+          "mapping — materialize the subquery (temp view + MERGE) instead")
+    }
+  }
+
   /** A literal rendered in the zone-map stat encoding, ONLY for types
     * whose Catalyst-internal value prints the same way the stats were
     * recorded (`cast("string")`): plain numerics and strings. Timestamps
@@ -137,6 +179,21 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Matches any CONSTANT side of a comparison as a folded Literal — the
+    * analyzer leaves literals behind type-coercion Casts
+    * (`id >= CAST(1 AS BIGINT)`), which a bare `l: Literal` pattern
+    * misses and the bound silently degrades to unpruned. */
+  private object FoldedLit {
+    def unapply(e: Expression): Option[Literal] = e match {
+      case l: Literal => Some(l)
+      case _ if e.foldable && e.deterministic =>
+        try Some(Literal.create(
+          e.eval(org.apache.spark.sql.catalyst.InternalRow.empty), e.dataType))
+        catch { case _: Exception => None }
+      case _ => None
+    }
+  }
+
   /** A SOUND zone-map prune bound implied by the condition: from the
     * top-level conjuncts (each MUST hold), per-column closed bounds —
     * equality gives [v, v], a >=/<= pair gives [lo, hi]. The first column
@@ -146,26 +203,28 @@ object GraftDmlRule extends Rule[LogicalPlan] {
   private[sql] def pruneBound(cond: Expression): Option[(String, String, String)] = {
     val lo = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val hi = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    conjuncts(cond).foreach {
-      case EqualTo(a: AttributeReference, l: Literal) =>
+    // BETWEEN analyzes to a With/common-expression node — inline it so
+    // its >= / <= conjuncts are visible to the matcher below
+    conjuncts(inlineWithOnly(cond)).foreach {
+      case EqualTo(a: AttributeReference, FoldedLit(l)) =>
         literalStat(l).foreach { v => lo(a.name) = v; hi(a.name) = v }
-      case EqualTo(l: Literal, a: AttributeReference) =>
+      case EqualTo(FoldedLit(l), a: AttributeReference) =>
         literalStat(l).foreach { v => lo(a.name) = v; hi(a.name) = v }
-      case GreaterThan(a: AttributeReference, l: Literal) =>
+      case GreaterThan(a: AttributeReference, FoldedLit(l)) =>
         literalStat(l).foreach(lo(a.name) = _)
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+      case GreaterThanOrEqual(a: AttributeReference, FoldedLit(l)) =>
         literalStat(l).foreach(lo(a.name) = _)
-      case LessThan(a: AttributeReference, l: Literal) =>
+      case LessThan(a: AttributeReference, FoldedLit(l)) =>
         literalStat(l).foreach(hi(a.name) = _)
-      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+      case LessThanOrEqual(a: AttributeReference, FoldedLit(l)) =>
         literalStat(l).foreach(hi(a.name) = _)
-      case LessThan(l: Literal, a: AttributeReference) =>
+      case LessThan(FoldedLit(l), a: AttributeReference) =>
         literalStat(l).foreach(lo(a.name) = _)
-      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+      case LessThanOrEqual(FoldedLit(l), a: AttributeReference) =>
         literalStat(l).foreach(lo(a.name) = _)
-      case GreaterThan(l: Literal, a: AttributeReference) =>
+      case GreaterThan(FoldedLit(l), a: AttributeReference) =>
         literalStat(l).foreach(hi(a.name) = _)
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+      case GreaterThanOrEqual(FoldedLit(l), a: AttributeReference) =>
         literalStat(l).foreach(hi(a.name) = _)
       case _ =>
     }
@@ -212,23 +271,49 @@ object GraftDmlRule extends Rule[LogicalPlan] {
           assignments.forall(a => a.key.resolved && a.value.resolved) &&
           condition.forall(_.resolved) =>
       val t = graftTarget(target).get
-      val assigns = assignments.map {
-        case Assignment(k: AttributeReference, v) => k.name -> unresolve(v)
-        case Assignment(other, _) => throw new UnsupportedOperationException(
-          s"graft SQL UPDATE assigns top-level columns only, got $other")
+      condition.filter(_.exists(_.isInstanceOf[SubqueryExpression])) match {
+        case Some(cond) =>
+          // `UPDATE ... WHERE k IN (SELECT ...)` → keyed-merge rewrite
+          val (sub, keys, plainOpt, bound) = subqueryShape(cond, target.outputSet)
+          val set = assignments.map {
+            case Assignment(k: AttributeReference, value) =>
+              k.name -> DmlShim.column(
+                unresolveMerge(value, target.outputSet, AttributeSet.empty))
+            case Assignment(other, _) => throw new UnsupportedOperationException(
+              s"graft SQL UPDATE assigns top-level columns only, got $other")
+          }.toMap
+          GraftDmlInCommand(t.path, sub, keys,
+            Seq(Snapshots.MatchedUpdate(plainOpt, set)), bound)
+        case None =>
+          val assigns = assignments.map {
+            case Assignment(k: AttributeReference, v) => k.name -> unresolve(v)
+            case Assignment(other, _) => throw new UnsupportedOperationException(
+              s"graft SQL UPDATE assigns top-level columns only, got $other")
+          }
+          GraftUpdateCommand(t.path,
+            assigns.map { case (n, e) => n -> DmlShim.column(e) },
+            condition.map(e => DmlShim.column(unresolve(e))),
+            condition.flatMap(pruneBound))
       }
-      GraftUpdateCommand(t.path,
-        assigns.map { case (n, e) => n -> DmlShim.column(e) },
-        condition.map(e => DmlShim.column(unresolve(e))),
-        condition.flatMap(pruneBound))
 
     case DeleteFromTable(target, condition)
         if graftTarget(target).isDefined && target.resolved && condition.resolved =>
-      // the SupportsDelete path only accepts exactly-translatable v1
-      // predicates; this command carries the FULL Catalyst expression, so
-      // `WHERE id % 10 = 7` deletes instead of refusing
-      GraftDeleteCommand(graftTarget(target).get.path,
-        DmlShim.column(unresolve(condition)), pruneBound(condition))
+      if (condition.exists(_.isInstanceOf[SubqueryExpression])) {
+        // `DELETE FROM t WHERE k IN (SELECT ...)` → the semi-join source
+        // shape MERGE already uses: the subquery's distinct values become
+        // the merge source, the plain outer conjuncts ride as the matched
+        // clause's condition AND as an extra zone-map bound on the
+        // candidate set
+        val t = graftTarget(target).get
+        val (sub, keys, plainOpt, bound) = subqueryShape(condition, target.outputSet)
+        GraftDmlInCommand(t.path, sub, keys,
+          Seq(Snapshots.MatchedDelete(plainOpt)), bound)
+      } else
+        // the SupportsDelete path only accepts exactly-translatable v1
+        // predicates; this command carries the FULL Catalyst expression, so
+        // `WHERE id % 10 = 7` deletes instead of refusing
+        GraftDeleteCommand(graftTarget(target).get.path,
+          DmlShim.column(unresolve(condition)), pruneBound(condition))
 
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource, _)
         if graftTarget(target).isDefined && target.resolved &&
@@ -440,6 +525,37 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
             .select(keys.map(col): _*).distinct(), keys, "left_anti")
       }
       Snapshots.mergeInto(spark, path, up, keys, pruneOn = Some(keys.head))
+    }
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM t WHERE k IN (SELECT …)` / `UPDATE t SET … WHERE k IN
+  * (SELECT …)` → [[Snapshots.mergeIntoWhen]] with the subquery's DISTINCT
+  * rows as the merge source and a single matched clause (DELETE or the
+  * UPDATE's assignments) carrying the plain outer conjuncts as its
+  * condition. The source's own key bounds prune candidates (`pruneOn`),
+  * the outer conjuncts' bound intersects them (`prune`) — a subquery
+  * naming a narrow key range rewrites O(overlapping files), not
+  * O(table). Null subquery values drop (IN's equality never holds on
+  * null); distinct() satisfies the keyed-merge cardinality rule. */
+case class GraftDmlInCommand(path: String, sub: LogicalPlan,
+                             keys: Seq[String],
+                             matched: Seq[Snapshots.MatchedClause],
+                             prune: Option[(String, String, String)])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(sub)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTable.refuseMvDml(spark, path, "subquery DML")
+    val raw = DmlShim.ofRows(spark, sub)
+    require(raw.columns.length == keys.length,
+      s"IN subquery returns ${raw.columns.length} columns for " +
+        s"${keys.length} key columns (${keys.mkString(", ")})")
+    val src = raw.toDF(keys: _*).na.drop("any", keys).distinct()
+    GraftDmlRetry.retry {
+      Snapshots.mergeIntoWhen(spark, path, src, keys, matched, Nil,
+        pruneOn = Some(keys.head), prune = prune)
     }
     Seq.empty
   }

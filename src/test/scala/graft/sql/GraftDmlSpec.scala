@@ -171,16 +171,48 @@ class GraftDmlSpec extends SparkSpec {
     }
     assert(dup.getMessage.contains("duplicate keys"), dup.getMessage)
     Seq((11L, "a", 1L)).toDF("id", "src", "m").createOrReplaceTempView("r1_one")
+    // subqueries in SET have no keyed rewrite; EXISTS/NOT IN likewise
     val sub = intercept[Exception] {
-      spark.sql("UPDATE gd.r1 SET m = 0 WHERE id IN (SELECT id FROM r1_one)")
+      spark.sql("UPDATE gd.r1 SET m = (SELECT max(m) FROM r1_one) WHERE id = 1")
     }
     assert(sub.getMessage.contains("subquer"), sub.getMessage)
+    val ex = intercept[Exception] {
+      spark.sql("DELETE FROM gd.r1 WHERE EXISTS (SELECT 1 FROM r1_one)")
+    }
+    assert(ex.getMessage.contains("IN (SELECT"), ex.getMessage)
     val bySrc = intercept[Exception] {
       spark.sql("""MERGE INTO gd.r1 t USING r1_one s ON t.id = s.id
                    WHEN MATCHED THEN UPDATE SET *
                    WHEN NOT MATCHED BY SOURCE THEN DELETE""")
     }
     assert(bySrc.getMessage.contains("BY SOURCE"), bySrc.getMessage)
+  }
+
+  test("DELETE WHERE id IN (subquery): semi-join rewrite, outer conjuncts prune and filter") {
+    val t = mk("sq1")
+    // subquery names keys 5,6,15,25,999 (999 absent); outer conjunct
+    // m > 10 excludes id=5 (m=10) — and bounds the candidate set
+    Seq(5L, 6L, 15L, 25L, 999L).toDF("k").createOrReplaceTempView("sq1_keys")
+    val before = Snapshots.liveFiles(spark, t).toSet
+    spark.sql("DELETE FROM gd.sq1 WHERE id IN (SELECT k FROM sq1_keys) AND m > 10 AND id BETWEEN 1 AND 20")
+    val ids = spark.sql("SELECT id FROM gd.sq1").as[Long].collect().toSet
+    assert(!ids(6L) && !ids(15L))       // in list, cond holds
+    assert(ids(5L))                     // m = 10 fails the plain conjunct
+    assert(ids(25L))                    // excluded by id BETWEEN 1 AND 20
+    assert(ids.size === 38)
+    // the outer bound intersects candidates: files 3-4 untouched
+    assert((before intersect Snapshots.liveFiles(spark, t).toSet).size >= 2)
+    assert(Snapshots.currentVersion(spark, t) === 5L) // one commit
+  }
+
+  test("UPDATE WHERE id IN (subquery): assignments read old values, nulls in list ignored") {
+    val t = mk("sq2")
+    Seq(Some(7L), Some(33L), None).toDF("k").createOrReplaceTempView("sq2_keys")
+    spark.sql("UPDATE gd.sq2 SET m = m + 1000 WHERE id IN (SELECT k FROM sq2_keys)")
+    val m = spark.sql("SELECT id, m FROM gd.sq2").as[(Long, Long)].collect().toMap
+    assert(m(7L) === 1014L && m(33L) === 1066L)
+    assert(m(8L) === 16L) // untouched
+    assert(Snapshots.currentVersion(spark, t) === 5L)
   }
 
   test("MERGE clause algebra: conditioned DELETE + partial UPDATE + conditioned INSERT") {
