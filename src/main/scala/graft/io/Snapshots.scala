@@ -389,8 +389,7 @@ object Snapshots {
     val missing = live.filterNot(counted.contains)
     val scanned =
       if (missing.isEmpty) 0L
-      else tableSchema(spark, table, Some(v)).map(spark.read.schema)
-        .getOrElse(spark.read).parquet(missing: _*).count()
+      else schemaRead(spark, table, Some(v), missing).count()
     live.flatMap(counted.get).sum + scanned
   }
 
@@ -406,7 +405,19 @@ object Snapshots {
                                   statsCols: Seq[String]): Seq[FileStat] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     if (statsCols.isEmpty || parts.isEmpty) return Nil
-    val raw = spark.read.parquet(dir)
+    val raw0 = spark.read.parquet(dir)
+    // inherited stat columns may name a column the rewrite no longer
+    // carries (ALTER DROP COLUMN): skip them, never throw
+    val present = raw0.schema.fieldNames.toSet
+    val keep = statsCols.filter(present)
+    if (keep.isEmpty) return Nil
+    return computeStatsOn(spark, raw0, parts, keep)
+  }
+
+  private def computeStatsOn(spark: SparkSession, raw: DataFrame,
+                             parts: Seq[String],
+                             statsCols: Seq[String]): Seq[FileStat] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     // session-zoned TIMESTAMP stats render under the WRITE session's time
     // zone (`cast AS STRING`); stamp that zone into the dtype so a READ
     // session in a different zone declines the comparison instead of
@@ -471,7 +482,15 @@ object Snapshots {
     checkpointVersions(spark, table).filter(_ <= v).sorted.lastOption.foreach { c =>
       fold(readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json")))
     }
-    out.toSeq
+    // metadata-only RENAME: stats recorded under the old PHYSICAL name
+    // surface under the current LOGICAL name, so pruning (and stat
+    // inheritance through rewrites) keeps working across the rename —
+    // within any one file only one generation of the name exists
+    val phys2log = columnMapping(spark, table, Some(v))
+      .collect { case (l, p) if l != p => p -> l }
+    if (phys2log.isEmpty) out.toSeq
+    else out.toSeq.map(st =>
+      phys2log.get(st.column).map(l => st.copy(column = l)).getOrElse(st))
   }
 
   /** The manifest files whose "stat" lines cover everything live at
@@ -604,7 +623,7 @@ object Snapshots {
         s"all files of $table pruned and no recorded schema; pass readAt instead"))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     } else applyDv(spark, table, version,
-      sc.map(spark.read.schema).getOrElse(spark.read).parquet(files: _*))
+      schemaRead(spark, table, version, files))
   }
 
   /** Read only the live files whose zone maps can intersect EVERY
@@ -703,8 +722,7 @@ object Snapshots {
       case None              => live
     }
     if (candidates.isEmpty) return MorDeleteResult(v, 0L, None)
-    val sc = tableSchema(spark, table, Some(v))
-    val raw = sc.map(spark.read.schema).getOrElse(spark.read).parquet(candidates: _*)
+    val raw = schemaRead(spark, table, Some(v), candidates)
     // already-tombstoned rows don't re-tombstone (keeps the dv minimal and
     // the delete idempotent); null-keyed rows can't be equality-deleted
     val matched = applyDv(spark, table, Some(v), raw)
@@ -812,8 +830,7 @@ object Snapshots {
         else pruneFiles(spark, table, c, b.getString(0), b.getString(1), Some(v))._1
       case None => live
     }
-    def read(files: Seq[String]) =
-      sc.map(spark.read.schema).getOrElse(spark.read).parquet(files: _*)
+    def read(files: Seq[String]) = schemaRead(spark, table, Some(v), files)
     val keySet = up.select(keys.map(col): _*).distinct()
     val touched =
       if (candidates.isEmpty) Nil
@@ -1035,8 +1052,7 @@ object Snapshots {
         candidates0.filter(keep)
       case None => candidates0
     }
-    def read(files: Seq[String]) =
-      sc.map(spark.read.schema).getOrElse(spark.read).parquet(files: _*)
+    def read(files: Seq[String]) = schemaRead(spark, table, Some(v), files)
     val keySet = source.select(keys.map(col): _*).distinct()
     // touched detection reads RAW on purpose (see [[mergeInto]]): a file
     // whose only matching rows are tombstoned ghosts must still rewrite,
@@ -1143,8 +1159,7 @@ object Snapshots {
     }
     if (candidates.isEmpty) return DeleteResult(v, Nil, live.size)
     val sc = tableSchema(spark, table, Some(v))
-    def read(files: Seq[String]) =
-      sc.map(spark.read.schema).getOrElse(spark.read).parquet(files: _*)
+    def read(files: Seq[String]) = schemaRead(spark, table, Some(v), files)
     val byName = candidates.map(p => new Path(p).getName -> p).toMap
     // the match check ignores tombstoned rows (a file whose only matches
     // are MoR-deleted ghosts has nothing live to rewrite); __f binds to
@@ -1220,6 +1235,85 @@ object Snapshots {
         catch {
           case _: ConcurrentCommitException if attempts < 50 => attempts += 1
         }
+    }
+  }
+
+  /** Property key recording LOGICAL→PHYSICAL column renames
+    * (`new=old,new2=old2`): `ALTER TABLE RENAME COLUMN` is metadata-only,
+    * so files written before the rename keep the old physical name —
+    * the mapping lets one scan serve both generations
+    * ([[schemaRead]]) and keeps their zone maps pruning under the new
+    * name ([[fileStats]] translates). */
+  val MappingProp = "graft.column.mapping"
+
+  /** Property key accumulating PHYSICAL names of dropped columns still
+    * potentially present in live files — re-adding such a name would
+    * silently resurrect the dropped data from old files, so ALTER ADD
+    * refuses it ([[graft.sql.GraftCatalog]]). */
+  val DroppedProp = "graft.columns.dropped"
+
+  /** logical→physical rename mapping as of `version` (identity entries
+    * never recorded). Immutable per (table, version) — memoized, because
+    * every read/stat path consults it. */
+  def columnMapping(spark: SparkSession, table: String,
+                    version: Option[Long] = None): Map[String, String] = {
+    val v = version.getOrElse(currentVersion(spark, table))
+    val key = (table, v)
+    val cached = mappingCache.get(key)
+    if (cached != null) cached
+    else {
+      val m = tableProperties(spark, table, Some(v)).get(MappingProp)
+        .map(_.split(',').toSeq.map(_.trim).filter(_.contains("="))
+          .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
+          .toMap).getOrElse(Map.empty)
+      if (mappingCache.size > 65536) mappingCache.clear()
+      mappingCache.put(key, m)
+      m
+    }
+  }
+
+  private val mappingCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Map[String, String]]()
+
+  /** Mapping-aware schema read of table data `files` — the shared tail
+    * of every pruned/full read. With no rename mapping this is the plain
+    * recorded-schema read. With one, the schema widens with each renamed
+    * column's PHYSICAL name so files from BOTH sides of the metadata-only
+    * rename resolve in ONE parquet scan: old files populate the physical
+    * field (the logical is absent → null), new files the logical, and the
+    * logical value is `coalesce(logical, physical)`. Dropped columns are
+    * simply absent from the schema — files unrewritten, reads project
+    * them away. */
+  private[graft] def schemaRead(spark: SparkSession, table: String,
+                                version: Option[Long],
+                                files: Seq[String]): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, table))
+    schemaReadWith(spark, tableSchema(spark, table, Some(v)),
+      columnMapping(spark, table, Some(v)), files)
+  }
+
+  private[graft] def schemaReadWith(spark: SparkSession,
+                                    sc: Option[StructType],
+                                    mapping: Map[String, String],
+                                    files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    sc match {
+      case None => spark.read.parquet(files: _*)
+      case Some(s) if mapping.forall { case (l, p) =>
+          p == l || !s.fieldNames.contains(l) } =>
+        spark.read.schema(s).parquet(files: _*)
+      case Some(s) =>
+        val extra = mapping.collect {
+          case (lg, ph) if s.fieldNames.contains(lg) && ph != lg =>
+            org.apache.spark.sql.types.StructField(ph, s(lg).dataType, nullable = true)
+        }
+        val wide = StructType(s.fields.map(_.copy(nullable = true)) ++ extra)
+        spark.read.schema(wide).parquet(files: _*).select(s.fields.map { f =>
+          mapping.get(f.name).filter(_ != f.name) match {
+            case Some(ph) => coalesce(col(f.name), col(ph)).as(f.name)
+            case None     => col(f.name)
+          }
+        }: _*)
     }
   }
 
@@ -1449,10 +1543,10 @@ object Snapshots {
         s"version ${version.getOrElse(0L)} of $table is empty; pass a schema"))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     } else {
-      val r = sc.map(spark.read.schema).getOrElse(spark.read)
       // merge-on-read: live deletion vectors resolve at read time — time
       // travel to a pre-delete version sees no dv and reads the full set
-      applyDv(spark, table, version, r.parquet(files: _*))
+      applyDv(spark, table, version, schemaReadWith(spark, sc,
+        columnMapping(spark, table, version), files))
     }
   }
 
@@ -1485,7 +1579,8 @@ object Snapshots {
     val sc = tableSchema(spark, table, Some(math.max(v1, v2)))
     def read(files: Set[String], v: Long): DataFrame =
       if (files.isEmpty) readAt(spark, table, Some(v), schema = sc).limit(0)
-      else sc.map(spark.read.schema).getOrElse(spark.read).parquet(files.toSeq: _*)
+      else schemaReadWith(spark, sc,
+        columnMapping(spark, table, Some(math.max(v1, v2))), files.toSeq)
     // each side resolves its own deletion vectors (merge-on-read: a
     // tombstoned row is not part of that version)
     val dvF1 = liveDvFiles(spark, table, Some(v1)).toSet
@@ -2147,8 +2242,8 @@ object Snapshots {
     // raw read (NOT dv-resolved — see doc) under the recorded schema, so
     // shape-divergent pre-evolution files binpack to the evolved shape
     val sc = tableSchema(spark, table, Some(v))
-    val reader = sc.map(spark.read.schema).getOrElse(spark.read)
-    reader.parquet(small.map(_._1): _*).coalesce(outFiles).write.parquet(dir)
+    schemaRead(spark, table, Some(v), small.map(_._1))
+      .coalesce(outFiles).write.parquet(dir)
     val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
@@ -2269,7 +2364,7 @@ object Snapshots {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
     import spark.implicits._
     if (files.isEmpty) return Nil
-    val keyed = sc.map(spark.read.schema).getOrElse(spark.read).parquet(files: _*)
+    val keyed = schemaReadWith(spark, sc, columnMapping(spark, table), files)
       .select(input_file_name().as("f"), col(column).cast("string").as("k"))
       .filter(col("k").isNotNull)
     val sizes = keyed.groupBy("f").agg(count(lit(1)).as("n")).as[(String, Long)]
@@ -2370,8 +2465,7 @@ object Snapshots {
           s"readPoint on empty/fully-pruned $table needs a recorded schema"))
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       } else {
-        val r = sc.map(spark.read.schema).getOrElse(spark.read).parquet(candidates: _*)
-        applyDv(spark, table, Some(v), r)
+        applyDv(spark, table, Some(v), schemaRead(spark, table, Some(v), candidates))
       }
     base.filter(col(column).cast("string").isin(probes: _*))
   }

@@ -3230,7 +3230,7 @@ object ExtQueries {
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
-    x152Spec)
+    x151Spec, x152Spec, x153Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -7802,6 +7802,119 @@ object ExtQueries {
            |                     THEN 1 ELSE 0 END) AS BIGINT) AS ghost_rows,
            |       CAST(1 AS BIGINT) AS one_commit
            |FROM final""".stripMargin))
+
+  /** x153: NAMED BRANCHES — the experiment workflow over the tag + WAP
+    * machinery ([[graft.io.Branches]]): `CALL branch` forks the table
+    * zero-copy (the source holds a lifecycle pin at the fork base), the
+    * branch takes SQL DML through its own addressable identifier
+    * (`cat.t._branches.curate`) while the SOURCE serves production reads
+    * untouched AND keeps ingesting (the fast-forward case), the branch
+    * head reads through `VERSION AS OF 'curate'`, and `CALL fast_forward`
+    * publishes the staged curation as ONE atomic commit that carries the
+    * source's append-only advance through. Audit counts pin every
+    * intermediate state; the oracle replays the final relation. */
+  private def x153Spec: QuerySpec =
+    QuerySpec("x153_sql_branch_publish",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_branch_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+        val n0 = docs.count()
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val tbl = s"$tmp/t"
+        val w = maxId / 4 + 1
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1),
+            tbl, recordSchema = i == 0, statsCols = Seq("doc_id"))
+        }
+        s.sql(s"CALL $cat.system.branch('t', 'curate')")
+        // curation stages on the branch…
+        s.sql(s"DELETE FROM $cat.t._branches.curate WHERE n_chars % 5 = 0")
+        // …while ingest keeps appending to the SOURCE
+        s.sql(s"INSERT INTO $cat.t VALUES (${maxId + 1}, 'late', 42)")
+        // audit: branch head through the ref; source untouched by staging
+        val auditBranch = s.sql(
+          s"SELECT count(*) AS n FROM $cat.t VERSION AS OF 'curate'")
+          .collect().head.getLong(0)
+        val auditSrc = s.sql(s"SELECT count(*) AS n FROM $cat.t")
+          .collect().head.getLong(0)
+        val srcOk = if (auditSrc == n0 + 1) 1L else 0L
+        s.sql(s"CALL $cat.system.fast_forward('t', 'curate')")
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("audit_branch", lit(auditBranch))
+          .withColumn("src_ok", lit(srcOk))
+      },
+      Some("""WITH kept AS (SELECT * FROM documents WHERE n_chars % 5 <> 0)
+           |SELECT (SELECT count(*) FROM kept) + 1 AS n_rows,
+           |       (SELECT CAST(sum(n_chars) AS BIGINT) FROM kept) + 42 AS sum_chars,
+           |       (SELECT count(*) FROM kept) AS audit_branch,
+           |       CAST(1 AS BIGINT) AS src_ok""".stripMargin))
+
+  /** x151: METADATA-ONLY COLUMN EVOLUTION — `ALTER TABLE RENAME COLUMN`
+    * and `DROP COLUMN` without touching a single data file (the Iceberg
+    * name-mapping shape): the rename records logical→physical in the
+    * `graft.column.mapping` property, one scan serves files from both
+    * sides of it ([[graft.io.Snapshots.schemaRead]] widens the schema
+    * and coalesces), old files' zone maps keep pruning under the NEW
+    * name (`pruned_ok` pins a banded read still skipping files), `AS OF`
+    * below the evolution serves the OLD name (`old_name_ok`), and the
+    * drop projects the column away with files unrewritten (`meta_only`
+    * pins the live set byte-identical across both ALTERs). The oracle
+    * replays the surviving relation on raw documents. */
+  private def x151Spec: QuerySpec =
+    QuerySpec("x151_sql_alter_rename_drop",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_altrd_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val tbl = s"$tmp/t"
+        val w = maxId / 4 + 1
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1),
+            tbl, recordSchema = i == 0, statsCols = Seq("doc_id"),
+            recordRowCounts = true)
+        }
+        val before = Snapshots.liveFiles(s, tbl).toSet
+        val preSkip = Snapshots.pruneFiles(s, tbl, "doc_id", "0", (w - 1).toString)._2.size
+        s.sql(s"ALTER TABLE $cat.t RENAME COLUMN doc_id TO doc")
+        s.sql(s"ALTER TABLE $cat.t DROP COLUMN source")
+        // both ALTERs were metadata-only
+        val metaOnly = if (Snapshots.liveFiles(s, tbl).toSet == before) 1L else 0L
+        // zone maps recorded under the old physical name prune under the new
+        val postSkip = Snapshots.pruneFiles(s, tbl, "doc", "0", (w - 1).toString)._2.size
+        val prunedOk = if (postSkip == preSkip && postSkip == 3) 1L else 0L
+        // AS OF below the evolution serves the old shape
+        val oldShape = s.sql(s"SELECT * FROM $cat.t VERSION AS OF 4").columns.toSeq
+        val oldNameOk = if (oldShape == Seq("doc_id", "source", "n_chars")) 1L else 0L
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(doc) AS BIGINT) AS sum_ids,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t WHERE doc BETWEEN 0 AND ${w - 1}""".stripMargin)
+          .withColumn("meta_only", lit(metaOnly))
+          .withColumn("pruned_ok", lit(prunedOk))
+          .withColumn("old_name_ok", lit(oldNameOk))
+      },
+      Some("""WITH w AS (SELECT max(doc_id) // 4 + 1 AS w FROM documents)
+           |SELECT count(*) AS n_rows,
+           |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS meta_only,
+           |       CAST(1 AS BIGINT) AS pruned_ok,
+           |       CAST(1 AS BIGINT) AS old_name_ok
+           |FROM documents, w WHERE doc_id BETWEEN 0 AND w - 1""".stripMargin))
 
   /** x152: SUBQUERY PREDICATES IN DML — `DELETE FROM t WHERE k IN
     * (SELECT …) AND k BETWEEN a AND b` and `UPDATE … WHERE k IN

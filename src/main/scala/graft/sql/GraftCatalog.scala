@@ -174,23 +174,36 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       }
   }
 
-  /** `VERSION AS OF x` — a TAG name first, then a version number (the
-    * Iceberg ref-before-snapshot-id order: [[Snapshots.tag]] imposes no
-    * naming rule, so a tag legitimately named '123' must win over
-    * version 123 — resolving numbers first would silently read the
-    * wrong snapshot). A non-tag, non-numeric (or empty) string rejects
-    * with both failed resolutions named. */
+  /** `VERSION AS OF x` — a TAG name first, then a BRANCH name, then a
+    * version number (the Iceberg ref-before-snapshot-id order:
+    * [[Snapshots.tag]] imposes no naming rule, so a tag legitimately
+    * named '123' must win over version 123 — resolving numbers first
+    * would silently read the wrong snapshot; [[graft.io.Branches]]
+    * refuses tag-shadowing names at create, so tag-then-branch is
+    * unambiguous). A branch ref reads the BRANCH's current head — the
+    * live fork, not a frozen version. A non-ref, non-numeric (or empty)
+    * string rejects with the failed resolutions named. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = tablePath(ident)
     if (!exists(path)) throw new NoSuchTableException(ident)
-    val v = Snapshots.tags(spark, path).getOrElse(version, {
-      require(version.nonEmpty && version.forall(_.isDigit),
-        s"'$version' is neither a tag on $path nor a version number")
-      version.toLong
-    })
-    require(v == 0 || Snapshots.versions(spark, path).contains(v),
-      s"version $v of $path does not exist")
-    new GraftTable(path, s"$ident@v$v", v)
+    Snapshots.tags(spark, path).get(version) match {
+      case Some(v) =>
+        require(v == 0 || Snapshots.versions(spark, path).contains(v),
+          s"version $v of $path does not exist")
+        new GraftTable(path, s"$ident@v$v", v)
+      case None if version.nonEmpty && !version.forall(_.isDigit) &&
+          graft.io.Branches.list(spark, path).contains(version) =>
+        val bp = graft.io.Branches.path(path, version)
+        new GraftTable(bp, s"$ident@$version",
+          Snapshots.currentVersion(spark, bp))
+      case None =>
+        require(version.nonEmpty && version.forall(_.isDigit),
+          s"'$version' is neither a tag nor a branch on $path nor a version number")
+        val v = version.toLong
+        require(v == 0 || Snapshots.versions(spark, path).contains(v),
+          s"version $v of $path does not exist")
+        new GraftTable(path, s"$ident@v$v", v)
+    }
   }
 
   /** `TIMESTAMP AS OF t` — Spark hands micros since epoch. */
@@ -231,32 +244,103 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private def userProps(properties: util.Map[String, String]): Map[String, String] =
     properties.asScala.toMap -- Seq("provider", "location", "owner", "external")
 
-  /** ALTER TABLE: `SET TBLPROPERTIES` / `UNSET TBLPROPERTIES` / `ADD
-    * COLUMNS` — each one transactional commit (properties fold last-wins
-    * in the manifest, [[Snapshots.tableProperties]]; a new column is a
-    * schema stamp, the x95 evolution machinery: old files read
-    * null-padded, `AS OF` below the evolution serves the old shape).
-    * Everything else — drops, renames, type changes — refuses: files are
-    * immutable and positional renames would silently re-map history. */
+  /** ALTER TABLE: `SET/UNSET TBLPROPERTIES`, `ADD COLUMNS`,
+    * `RENAME COLUMN`, `DROP COLUMN` — each one transactional commit
+    * (properties fold last-wins in the manifest; a schema change is a
+    * schema stamp, the x95 evolution machinery: `AS OF` below the
+    * evolution serves the old shape).
+    *
+    * RENAME is METADATA-ONLY: files keep the old physical name; the
+    * `graft.column.mapping` property ([[Snapshots.MappingProp]]) carries
+    * logical→physical so one scan serves both generations
+    * ([[Snapshots.schemaRead]]) and old files' zone maps keep pruning
+    * under the new name ([[Snapshots.fileStats]] translates). DROP is
+    * metadata-only too: files unrewritten, reads project the column
+    * away; its physical name is quarantined
+    * ([[Snapshots.DroppedProp]]) so a later ADD cannot silently
+    * resurrect the dropped data from old files. Type changes refuse:
+    * files are immutable. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = tablePath(ident)
     if (!exists(path)) throw new NoSuchTableException(ident)
-    val propChanges: Seq[(String, Option[String])] = changes.collect {
+    var propChanges: Seq[(String, Option[String])] = changes.collect {
       case s: TableChange.SetProperty    => s.property -> Some(s.value)
       case r: TableChange.RemoveProperty => r.property -> None
     }
     val addCols = changes.collect { case a: TableChange.AddColumn => a }
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     val other = changes.filterNot(c => c.isInstanceOf[TableChange.SetProperty] ||
       c.isInstanceOf[TableChange.RemoveProperty] ||
-      c.isInstanceOf[TableChange.AddColumn])
+      c.isInstanceOf[TableChange.AddColumn] ||
+      c.isInstanceOf[TableChange.RenameColumn] ||
+      c.isInstanceOf[TableChange.DeleteColumn])
     if (other.nonEmpty) throw new UnsupportedOperationException(
-      s"graft tables support ALTER TABLE SET/UNSET TBLPROPERTIES and ADD " +
-        s"COLUMNS only (files are immutable; history keeps its shape) — " +
+      s"graft tables support ALTER TABLE SET/UNSET TBLPROPERTIES, ADD " +
+        s"COLUMNS, RENAME COLUMN and DROP COLUMN only (files are " +
+        s"immutable; type changes would re-map history) — " +
         s"got ${other.mkString(", ")}")
-    val schemaJson = if (addCols.isEmpty) None else {
-      val cur = Snapshots.tableSchema(spark, path).getOrElse(
+    val schemaChanges = addCols.nonEmpty || renames.nonEmpty || drops.nonEmpty
+    val schemaJson = if (!schemaChanges) None else {
+      var cur = Snapshots.tableSchema(spark, path).getOrElse(
         throw new UnsupportedOperationException(
-          s"$path records no schema; ADD COLUMNS needs a schema-stamped table"))
+          s"$path records no schema; schema evolution needs a " +
+            "schema-stamped table"))
+      val props = Snapshots.tableProperties(spark, path)
+      var mapping = Snapshots.columnMapping(spark, path)
+      var dropped = props.get(Snapshots.DroppedProp)
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+      // columns a live deletion vector keys on cannot change name or
+      // drop — the tombstone join would silently stop resolving
+      lazy val dvKeyCols: Set[String] = {
+        val dvs = Snapshots.liveDvFiles(spark, path)
+        if (dvs.isEmpty) Set.empty
+        else spark.read.parquet(dvs: _*).columns.toSet
+      }
+      def physOf(logical: String): String = mapping.getOrElse(logical, logical)
+      renames.foreach { r =>
+        require(r.fieldNames().length == 1,
+          s"nested RENAME COLUMN is not supported: ${r.fieldNames().mkString(".")}")
+        val from = r.fieldNames().head; val to = r.newName()
+        require(cur.fieldNames.contains(from), s"no such column: $from")
+        require(!cur.fieldNames.contains(to), s"column $to already exists")
+        require(!dropped.contains(to) && !mapping.valuesIterator.contains(to),
+          s"cannot rename to '$to': old files still carry data under that " +
+            "physical name (OPTIMIZE to purge, or pick another name)")
+        require(!dvKeyCols.contains(from),
+          s"cannot rename '$from': live deletion vectors key on it " +
+            "(compact to fold them first)")
+        val phys = physOf(from)
+        mapping = (mapping - from) ++ (if (phys == to) Nil else Seq(to -> phys))
+        cur = StructType(cur.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+        // clustered tables keep clustering through the rename
+        props.get(graft.io.Clustering.Prop)
+          .filter(spec => graft.io.Clustering.parse(spec).exists(_._2 == from))
+          .foreach { spec =>
+            val renamed = graft.io.Clustering.parse(spec).map {
+              case (fn, c) =>
+                val c2 = if (c == from) to else c
+                if (fn.isEmpty) c2 else s"$fn($c2)"
+            }.mkString(",")
+            propChanges ++= Seq(graft.io.Clustering.Prop -> Some(renamed))
+          }
+      }
+      drops.foreach { d =>
+        require(d.fieldNames().length == 1,
+          s"nested DROP COLUMN is not supported: ${d.fieldNames().mkString(".")}")
+        val name = d.fieldNames().head
+        require(cur.fieldNames.contains(name), s"no such column: $name")
+        require(cur.fields.length > 1, "cannot drop the last column")
+        require(!dvKeyCols.contains(name),
+          s"cannot drop '$name': live deletion vectors key on it " +
+            "(compact to fold them first)")
+        require(!graft.io.Clustering.statCols(spark, path).contains(name),
+          s"cannot drop cluster column '$name': change write.cluster.by first")
+        dropped = (dropped :+ physOf(name)).distinct
+        mapping -= name
+        cur = StructType(cur.fields.filterNot(_.name == name))
+      }
       val added = addCols.map { a =>
         require(a.fieldNames().length == 1,
           s"nested ADD COLUMNS is not supported: ${a.fieldNames().mkString(".")}")
@@ -267,8 +351,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           "FIRST/AFTER positions are not supported; new columns append")
         require(!cur.fieldNames.contains(a.fieldNames().head),
           s"column ${a.fieldNames().head} already exists")
+        require(!dropped.contains(a.fieldNames().head) &&
+          !mapping.valuesIterator.contains(a.fieldNames().head),
+          s"cannot add '${a.fieldNames().head}': old files still carry " +
+            "data under that physical name and would resurrect it " +
+            "(OPTIMIZE to purge, or pick another name)")
         org.apache.spark.sql.types.StructField(
           a.fieldNames().head, a.dataType(), nullable = true)
+      }
+      if (renames.nonEmpty || drops.nonEmpty) {
+        propChanges ++= Seq(Snapshots.MappingProp -> (
+          if (mapping.isEmpty) None
+          else Some(mapping.map { case (l, p) => s"$l=$p" }.mkString(","))))
+        propChanges ++= Seq(Snapshots.DroppedProp -> (
+          if (dropped.isEmpty) None else Some(dropped.mkString(","))))
       }
       Some(StructType(cur.fields ++ added).json)
     }
@@ -1080,6 +1176,10 @@ final class GraftRelation(ctx: SQLContext, table: GraftTable,
         import spark.implicits._
         val fs = pruneBy // closure-clean copy (v1 Filters are serializable)
         val zone = spark.sessionState.conf.sessionLocalTimeZone
+        // physical→logical stat-name translation across metadata-only
+        // renames (same rule as the driver path's Snapshots.fileStats)
+        val phys2log = Snapshots.columnMapping(spark, table.path, Some(v))
+          .collect { case (l, p) if l != p => p -> l }
         val liveSet = spark.sparkContext.broadcast(live.toSet)
         val sources = Snapshots.statSourceManifests(spark, table.path, Some(v))
         // stats are immutable per (path, column): any duplicate wins, so
@@ -1087,6 +1187,8 @@ final class GraftRelation(ctx: SQLContext, table: GraftTable,
         val pruned = spark.read.textFile(sources: _*)
           .flatMap(Snapshots.parseStatLine)
           .filter(st => liveSet.value(st.path) && Snapshots.statZoneOk(st.dtype, zone))
+          .map(st => phys2log.get(st.column)
+            .map(l => st.copy(column = l)).getOrElse(st))
           .groupByKey(_.path)
           .mapGroups { (p, sts) =>
             val m = sts.map(st => st.column -> st).toMap

@@ -243,6 +243,34 @@ object GraftProcedures {
       Seq(in("table", S)),
       StructType(Seq(DataTypes.createStructField("rows", L, false))))(
       (s, root, in) => Seq(Snapshots.fastCount(s, tbl(root, in, 0)))),
+    mkDef("branch",
+      "fork the table as a named branch (zero-copy WAP clone; read via " +
+        "VERSION AS OF '<name>', write via <table>._branches.<name>)",
+      Seq(in("table", S), in("name", S), inDef("version", L, "0")),
+      StructType(Seq(DataTypes.createStructField("version", L, false))))(
+      (s, root, in) => Seq(graft.io.Branches.create(s, tbl(root, in, 0),
+        in.getUTF8String(1).toString,
+        Some(in.getLong(2)).filter(_ > 0)))),
+    mkDef("fast_forward",
+      "publish a branch back into its table as ONE atomic commit " +
+        "(append-only advances fast-forward; conflicts refuse) and close it",
+      Seq(in("table", S), in("name", S)),
+      StructType(Seq(
+        DataTypes.createStructField("version", L, false),
+        DataTypes.createStructField("added", L, false),
+        DataTypes.createStructField("removed", L, false))))(
+      (s, root, in) => {
+        val r = graft.io.Branches.merge(s, tbl(root, in, 0),
+          in.getUTF8String(1).toString)
+        Seq(r.version, r.added.toLong, r.removed.toLong)
+      }),
+    mkDef("drop_branch", "abandon a branch: retract its pin, delete its directory",
+      Seq(in("table", S), in("name", S)),
+      StructType(Seq(DataTypes.createStructField("dropped", L, false))))(
+      (s, root, in) => {
+        graft.io.Branches.drop(s, tbl(root, in, 0), in.getUTF8String(1).toString)
+        Seq(1L)
+      }),
     mkDef("create_mv",
       "create an INCREMENTALLY MAINTAINED view of `GROUP BY dims` aggregates " +
         "over a source table's change feed; the spec persists as table " +

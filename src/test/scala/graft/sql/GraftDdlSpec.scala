@@ -108,10 +108,81 @@ class GraftDdlSpec extends SparkSpec {
     spark.sql("INSERT INTO gdl.ev1 VALUES (99, 'sx', 0, 0.5, 'fresh')")
     assert(spark.sql("SELECT note FROM gdl.ev1 WHERE id = 99").as[String].head() === "fresh")
     assert(spark.sql("SELECT count(*) AS n FROM gdl.ev1").as[Long].head() === 41L)
-    // refusals: drop / rename / type change / NOT NULL / nested
-    intercept[Exception] { spark.sql("ALTER TABLE gdl.ev1 DROP COLUMN note") }
-    intercept[Exception] { spark.sql("ALTER TABLE gdl.ev1 RENAME COLUMN note TO note2") }
+    // refusal: type changes would re-map immutable files
     intercept[Exception] {
       spark.sql("ALTER TABLE gdl.ev1 ALTER COLUMN score TYPE STRING") }
+  }
+
+  test("RENAME COLUMN is metadata-only: both file generations read, zone maps keep pruning") {
+    val t = mk("rn1")
+    val before = Snapshots.liveFiles(spark, t).toSet
+    spark.sql("ALTER TABLE gdl.rn1 RENAME COLUMN id TO doc_id")
+    // metadata-only: no file rewritten, one commit
+    assert(Snapshots.liveFiles(spark, t).toSet === before)
+    assert(Snapshots.currentVersion(spark, t) === 5L)
+    assert(spark.sql("SELECT * FROM gdl.rn1").columns.toSeq ===
+      Seq("doc_id", "src", "m"))
+    // old files serve values under the NEW name
+    assert(spark.sql("SELECT sum(doc_id) AS s FROM gdl.rn1").as[Long].head()
+      === (1L to 40L).sum)
+    // writes after the rename land under the new name; mixed generations
+    // resolve in one scan
+    spark.sql("INSERT INTO gdl.rn1 VALUES (99, 'sx', 0)")
+    assert(spark.sql("SELECT count(*) AS n FROM gdl.rn1 WHERE doc_id = 99")
+      .as[Long].head() === 1L)
+    // zone maps recorded under the OLD physical name still prune under
+    // the new logical name (the stat-less post-rename insert file is
+    // conservatively scanned, as ever)
+    val (scan, skip) = Snapshots.pruneFiles(spark, t, "doc_id", "11", "20")
+    assert(skip.size === 3, s"scan=$scan skip=$skip")
+    // SQL filter pushes through too
+    assert(spark.sql("SELECT sum(m) AS s FROM gdl.rn1 WHERE doc_id BETWEEN 11 AND 20")
+      .as[Long].head() === (11L to 20L).map(_ * 2).sum)
+    // AS OF below the evolution serves the OLD name
+    assert(spark.sql("SELECT * FROM gdl.rn1 VERSION AS OF 4").columns.toSeq ===
+      Seq("id", "src", "m"))
+    assert(spark.sql("SELECT sum(id) AS s FROM gdl.rn1 VERSION AS OF 4")
+      .as[Long].head() === (1L to 40L).sum)
+    // DML on the renamed column works (CoW rewrite heals the generation)
+    spark.sql("UPDATE gdl.rn1 SET m = 0 WHERE doc_id BETWEEN 1 AND 10")
+    assert(spark.sql("SELECT sum(m) AS s FROM gdl.rn1 WHERE doc_id <= 10")
+      .as[Long].head() === 0L)
+  }
+
+  test("DROP COLUMN is metadata-only: files unrewritten, reads project away; resurrection refused") {
+    val t = mk("dr1")
+    val before = Snapshots.liveFiles(spark, t).toSet
+    spark.sql("ALTER TABLE gdl.dr1 DROP COLUMN src")
+    assert(Snapshots.liveFiles(spark, t).toSet === before)
+    assert(spark.sql("SELECT * FROM gdl.dr1").columns.toSeq === Seq("id", "m"))
+    assert(spark.sql("SELECT sum(m) AS s FROM gdl.dr1").as[Long].head()
+      === (1L to 40L).map(_ * 2).sum)
+    // AS OF below still serves the dropped column
+    assert(spark.sql("SELECT src FROM gdl.dr1 VERSION AS OF 4 WHERE id = 1")
+      .as[String].head() === "s1")
+    // re-adding the same name would resurrect old data from live files
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gdl.dr1 ADD COLUMNS (src STRING)") }
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
+    // a fresh name is fine, and inserts under the narrowed schema work
+    spark.sql("ALTER TABLE gdl.dr1 ADD COLUMNS (tag STRING)")
+    spark.sql("INSERT INTO gdl.dr1 VALUES (99, 0, 'fresh')")
+    assert(spark.sql("SELECT tag FROM gdl.dr1 WHERE id = 99").as[String].head()
+      === "fresh")
+  }
+
+  test("rename chains and rename-after-drop guards") {
+    val t = mk("rn2")
+    spark.sql("ALTER TABLE gdl.rn2 RENAME COLUMN m TO metric")
+    spark.sql("ALTER TABLE gdl.rn2 RENAME COLUMN metric TO measure")
+    // chained rename: the mapping carries the ORIGINAL physical name
+    assert(Snapshots.columnMapping(spark, t) === Map("measure" -> "m"))
+    assert(spark.sql("SELECT sum(measure) AS s FROM gdl.rn2").as[Long].head()
+      === (1L to 40L).map(_ * 2).sum)
+    // renaming another column to a live physical name would collide with
+    // the old files' data
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gdl.rn2 RENAME COLUMN src TO m") }
+    assert(e.getMessage.contains("physical name"), e.getMessage)
   }
 }
