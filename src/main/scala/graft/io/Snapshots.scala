@@ -2500,16 +2500,40 @@ object Snapshots {
                                smallFiles: Int, dvFiles: Int, dvKeys: Long,
                                bloomSidecars: Int, versionsRetained: Int,
                                checkpoints: Int, tags: Map[String, Long],
-                               schemaRecorded: Boolean)
+                               schemaRecorded: Boolean,
+                               clusterSpec: Option[String],
+                               unclusteredFiles: Int)
 
   def detail(spark: SparkSession, table: String,
              smallBytes: Long = 32L * 1024 * 1024): TableDetail = {
     val f = fs(spark, table)
     val v = currentVersion(spark, table)
     val live = liveFiles(spark, table, Some(v))
-    val sizes = live.map(p => f.getFileStatus(new Path(p)).getLen)
+    val stats = fileStats(spark, table, Some(v))
+    // sizes from the recorded __bytes stats (zero per-file RPCs on the
+    // common path); filesystem fallback only for legacy commits
+    val recorded = stats.filter(_.column == BytesStat)
+      .map(st => st.path -> st.min.toLong).toMap
+    val sizes = live.map(p => recorded.getOrElse(p,
+      f.getFileStatus(new Path(p)).getLen))
     val dvs = liveDvFiles(spark, table, Some(v))
     val dvKeys = if (dvs.isEmpty) 0L else spark.read.parquet(dvs: _*).count()
+    // the LAYOUT SPLIT a cluster-spec evolution leaves behind: files
+    // missing a zone map on any CURRENT cluster source column were
+    // written under an older spec (or none) — they still prune on their
+    // own recorded stats, but not on the new spec's; OPTIMIZE heals the
+    // split and drives this back to 0
+    val spec = tableProperties(spark, table, Some(v)).get(Clustering.Prop)
+    val unclustered = spec match {
+      case None => 0
+      case Some(sp) =>
+        val srcCols = Clustering.parse(sp).map(_._2).distinct.toSet
+        val covered = stats.filter(st => srcCols(st.column))
+          .groupBy(_.path).collect {
+            case (p, sts) if srcCols.subsetOf(sts.map(_.column).toSet) => p
+          }.toSet
+        live.count(!covered(_))
+    }
     TableDetail(
       version = v,
       files = live.size,
@@ -2521,7 +2545,9 @@ object Snapshots {
       versionsRetained = versions(spark, table).size,
       checkpoints = checkpointVersions(spark, table).size,
       tags = tags(spark, table),
-      schemaRecorded = tableSchema(spark, table, Some(v)).isDefined)
+      schemaRecorded = tableSchema(spark, table, Some(v)).isDefined,
+      clusterSpec = spec,
+      unclusteredFiles = unclustered)
   }
 
   /** Outcome of an [[optimizeZorder]]: the committed version and the

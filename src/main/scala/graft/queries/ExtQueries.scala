@@ -7325,6 +7325,27 @@ object ExtQueries {
             .collect().head
           val i2 = graft.sql.GraftScanInfo.last.get
           val owPrunedOk = if (i2.candidates < i2.total) 1L else 0L
+          // PARTITION-SPEC EVOLUTION: flip the cluster spec to doc_id —
+          // validated at the ALTER, announced in the history notes, and
+          // surfaced as the t$detail layout split. New writes cluster by
+          // the new spec (a banded id read prunes); the pre-evolution
+          // files keep their source stats and count as unclustered until
+          // OPTIMIZE would heal them.
+          s.sql(s"ALTER TABLE $cat.pd SET TBLPROPERTIES ('write.cluster.by'='doc_id')")
+          s.sql(s"""INSERT INTO $cat.pd
+                   |SELECT doc_id, source, CAST(n_chars AS BIGINT)
+                   |FROM x145_docs WHERE doc_id > $half""".stripMargin)
+          val det = s.sql(
+            s"SELECT cluster_spec, unclustered_files FROM $cat.`pd$$detail`")
+            .collect().head
+          val splitOk = if (det.getString(0) == "doc_id" && det.getInt(1) > 0) 1L else 0L
+          graft.sql.GraftScanInfo.last = None
+          val three = s.sql(s"""SELECT count(*) AS n_docs
+                               |FROM $cat.pd WHERE doc_id > $half
+                               |AND doc_id <= ${half + half / 4}""".stripMargin)
+            .collect().head
+          val i3 = graft.sql.GraftScanInfo.last.get
+          val evolvePrunedOk = if (i3.candidates < i3.total) 1L else 0L
           s.sql(s"""SELECT source, count(*) AS n_docs,
                    |CAST(sum(n_chars) AS BIGINT) AS sum_chars
                    |FROM $cat.pd GROUP BY source""".stripMargin)
@@ -7332,8 +7353,11 @@ object ExtQueries {
             .withColumn("one_chars", lit(one.getLong(1)))
             .withColumn("ow_n", lit(two.getLong(0)))
             .withColumn("ow_chars", lit(two.getLong(1)))
+            .withColumn("band_n", lit(three.getLong(0)))
             .withColumn("pruned_ok", lit(prunedOk))
             .withColumn("ow_pruned_ok", lit(owPrunedOk))
+            .withColumn("split_ok", lit(splitOk))
+            .withColumn("evolve_pruned_ok", lit(evolvePrunedOk))
             .orderBy("source")
         } finally s.conf.set(aqe, prev)
       },
@@ -7341,15 +7365,20 @@ object ExtQueries {
            |one AS (SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS c
            |        FROM documents WHERE source = 'src3'),
            |ow AS (SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS c
-           |       FROM documents, half WHERE source = 'src3' AND doc_id <= h)
+           |       FROM documents, half WHERE source = 'src3' AND doc_id <= h),
+           |band AS (SELECT count(*) AS n FROM documents, half
+           |         WHERE doc_id > h AND doc_id <= h + h // 4)
            |SELECT source, count(*) AS n_docs,
            |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            |       one.n AS one_n, one.c AS one_chars,
            |       ow.n AS ow_n, ow.c AS ow_chars,
+           |       band.n AS band_n,
            |       CAST(1 AS BIGINT) AS pruned_ok,
-           |       CAST(1 AS BIGINT) AS ow_pruned_ok
-           |FROM documents, half, one, ow WHERE doc_id <= h
-           |GROUP BY source, one.n, one.c, ow.n, ow.c
+           |       CAST(1 AS BIGINT) AS ow_pruned_ok,
+           |       CAST(1 AS BIGINT) AS split_ok,
+           |       CAST(1 AS BIGINT) AS evolve_pruned_ok
+           |FROM documents, half, one, ow, band
+           |GROUP BY source, one.n, one.c, ow.n, ow.c, band.n
            |ORDER BY source""".stripMargin))
 
   /** x146: AGGREGATES FROM METADATA, WITH THE EXACTNESS GATE — unfiltered

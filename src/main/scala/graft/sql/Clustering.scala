@@ -67,6 +67,30 @@ object Clustering {
     Some(parts.mkString(","))
   }
 
+  /** Validate a `write.cluster.by` value against the table schema — the
+    * same rules CREATE's `PARTITIONED BY` enforces, applied when the
+    * spec EVOLVES through `ALTER TABLE SET TBLPROPERTIES`: a typo'd
+    * column or an unservable transform must refuse at the ALTER, not
+    * silently stop clustering every later write. */
+  def validateSpec(spec: String, schema: StructType): Unit =
+    graft.io.Clustering.parse(spec).foreach {
+      case ("", c) =>
+        require(schema.fieldNames.contains(c),
+          s"write.cluster.by references unknown column '$c'")
+      case (fn, c) if graft.io.Clustering.temporalFns(fn) =>
+        require(schema.fieldNames.contains(c),
+          s"write.cluster.by references unknown column '$c'")
+        require(schema(c).dataType == TimestampType || schema(c).dataType == DateType,
+          s"$fn($c) needs a timestamp/date column, got ${schema(c).dataType.simpleString}")
+      case ("bucket", c) => throw new UnsupportedOperationException(
+        s"bucket() is not supported — zone maps cannot prune hash buckets; " +
+          s"cluster on the column itself and CALL graft.system.bloom_index " +
+          s"('$c') for point lookups")
+      case (fn, c) => throw new UnsupportedOperationException(
+        s"unsupported write.cluster.by transform '$fn($c)' " +
+          "(identity, years, months, days, hours)")
+    }
+
   /** The spec re-expressed as DSv2 transforms (Table.partitioning). */
   def transforms(spec: String): Array[Transform] =
     graft.io.Clustering.parse(spec).map {

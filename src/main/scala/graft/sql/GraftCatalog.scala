@@ -368,8 +368,23 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       }
       Some(StructType(cur.fields ++ added).json)
     }
+    // cluster-spec EVOLUTION through the ordinary property surface:
+    // re-validate against the current schema (a typo'd spec must refuse
+    // at the ALTER, not silently stop clustering later writes) and
+    // announce the layout split in the commit notes — `t$detail`'s
+    // `unclustered_files` then tracks how much of the live set predates
+    // the new spec until OPTIMIZE heals it
+    val evolveNotes = propChanges.collect {
+      case (p, v) if p == graft.io.Clustering.Prop =>
+        v.foreach { spec =>
+          Snapshots.tableSchema(spark, path)
+            .foreach(Clustering.validateSpec(spec, _))
+        }
+        val old = Snapshots.tableProperties(spark, path).get(p)
+        s"cluster-evolve:${old.getOrElse("(none)")}->${v.getOrElse("(none)")}"
+    }
     Snapshots.commit(spark, path, adds = Nil, schemaJson = schemaJson,
-      props = propChanges,
+      props = propChanges, notes = evolveNotes,
       baseVersion = Some(Snapshots.currentVersion(spark, path)))
     loadTable(ident)
   }

@@ -72,7 +72,9 @@ object GraftMetaTable {
       StructField("versions_retained", IntegerType, nullable = false),
       StructField("checkpoints", IntegerType, nullable = false),
       StructField("retention_floor", LongType, nullable = false),
-      StructField("schema_recorded", BooleanType, nullable = false)))
+      StructField("schema_recorded", BooleanType, nullable = false),
+      StructField("cluster_spec", StringType, nullable = true),
+      StructField("unclustered_files", IntegerType, nullable = false)))
   }
 
   def rowsFor(spark: SparkSession, path: String, kind: String): Seq[Row] =
@@ -106,7 +108,8 @@ object GraftMetaTable {
         val d = Snapshots.detail(spark, path)
         Seq(Row(d.version, d.files, d.bytes, d.smallFiles, d.dvFiles,
           d.dvKeys, d.bloomSidecars, d.versionsRetained, d.checkpoints,
-          Snapshots.retentionHorizon(spark, path), d.schemaRecorded))
+          Snapshots.retentionHorizon(spark, path), d.schemaRecorded,
+          d.clusterSpec.orNull, d.unclusteredFiles))
     }
 }
 

@@ -239,4 +239,54 @@ class GraftClusterSpec extends SparkSpec {
     assert(e2.getMessage.contains("unknown column") ||
       e2.getMessage.contains("Couldn't find column"))
   }
+
+  test("spec evolution timeline: old files keep pruning on the old spec, new writes cluster by the new, OPTIMIZE heals the split") {
+    root
+    spark.sql("""CREATE TABLE gclu.ce (id BIGINT, src STRING, m BIGINT)
+                |PARTITIONED BY (src)""".stripMargin)
+    (1 to 200).map(i => (i.toLong, s"s${i % 4}", i * 2L)).toDF("id", "src", "m")
+      .createOrReplaceTempView("ce_in")
+    withRangeFiles {
+      spark.sql("INSERT INTO gclu.ce SELECT * FROM ce_in WHERE id <= 100")
+    }
+    val t = s"$root/ce"
+    // EVOLVE the spec: later writes cluster by id instead of src
+    spark.sql("ALTER TABLE gclu.ce SET TBLPROPERTIES ('write.cluster.by'='id')")
+    // the evolution commit is announced in the history notes
+    assert(Snapshots.notes(spark, t).exists(_.startsWith("cluster-evolve:src->id")),
+      Snapshots.notes(spark, t).mkString("; "))
+    withRangeFiles {
+      spark.sql("INSERT INTO gclu.ce SELECT * FROM ce_in WHERE id > 100")
+    }
+    // t$detail surfaces the layout split: the pre-evolution files carry
+    // src stats but no id stats
+    val d = spark.sql(s"SELECT cluster_spec, unclustered_files FROM gclu.`ce$$detail`")
+      .collect().head
+    assert(d.getString(0) === "id")
+    assert(d.getInt(1) > 0, "pre-evolution files must show as unclustered")
+    // OLD files still prune on the OLD spec column…
+    GraftScanInfo.last = None
+    assert(spark.sql("SELECT count(*) AS n FROM gclu.ce WHERE src = 's2' AND id <= 100")
+      .as[Long].head() === 25L)
+    assert(scanInfo.candidates < scanInfo.total, s"old-spec prune: $scanInfo")
+    // …and NEW files prune on the NEW spec column
+    GraftScanInfo.last = None
+    assert(spark.sql("SELECT count(*) AS n FROM gclu.ce WHERE id BETWEEN 101 AND 120")
+      .as[Long].head() === 20L)
+    assert(scanInfo.candidates < scanInfo.total, s"new-spec prune: $scanInfo")
+    // one OPTIMIZE heals the split completely
+    spark.sql("CALL gclu.system.optimize('ce')")
+    val d2 = spark.sql(s"SELECT unclustered_files FROM gclu.`ce$$detail`")
+      .collect().head
+    assert(d2.getInt(0) === 0, "OPTIMIZE must close the layout split")
+    assert(spark.sql("SELECT sum(m) AS s FROM gclu.ce").as[Long].head()
+      === (1L to 200L).map(_ * 2).sum)
+    // an invalid evolution refuses at the ALTER
+    val bad = intercept[Exception](spark.sql(
+      "ALTER TABLE gclu.ce SET TBLPROPERTIES ('write.cluster.by'='nope')"))
+    assert(bad.getMessage.contains("unknown column"), bad.getMessage)
+    val badFn = intercept[Exception](spark.sql(
+      "ALTER TABLE gclu.ce SET TBLPROPERTIES ('write.cluster.by'='days(src)')"))
+    assert(badFn.getMessage.contains("timestamp/date"), badFn.getMessage)
+  }
 }
