@@ -763,6 +763,92 @@ object Snapshots {
       }, prune)
   }
 
+  /** COPY-ON-WRITE ANTI-JOIN MUTATION — the `NOT IN (SELECT …)` /
+    * `NOT EXISTS (…)` DML shape: delete (or, with `assignments`, update)
+    * every live row whose key does NOT appear in `source`, optionally
+    * gated by `extraCond` (the statement's plain outer conjuncts). The
+    * inverse of the keyed-merge semi-join ([[mergeIntoWhen]] with a
+    * matched clause): membership is decided by ONE distributed left
+    * join against the DISTINCT source keys — never a per-row `isin`
+    * literal, so a 100 TB table against a million-key subquery is one
+    * shuffle (AQE broadcasts the key set when it is small).
+    *
+    * Null algebra is the caller's to pick, because SQL's two anti forms
+    * disagree: under `NOT EXISTS` a null target key never equals any
+    * source key, so the row is UNMATCHED and mutates
+    * (`nullKeyMutates = true`); under `NOT IN` a null target key makes
+    * the predicate UNKNOWN and the row survives
+    * (`nullKeyMutates = false`). Null SOURCE keys are dropped here
+    * (they can equality-match nothing); `NOT IN`'s stronger rule — any
+    * null in the subquery voids the whole statement — is enforced by
+    * the SQL command before calling ([[graft.sql.GraftDmlAntiCommand]]).
+    *
+    * Candidates cannot be pruned by the SOURCE's key bounds (a missing
+    * key can be anywhere), but the `prune` bound from the plain
+    * conjuncts still narrows the candidate files by zone maps before
+    * any read; within them, only files actually holding a mutating row
+    * are rewritten — same file discipline, stat inheritance, clustering
+    * preservation, and optimistic-concurrency contract as
+    * [[deleteWhere]]/[[updateWhere]]. */
+  def mutateAnti(spark: SparkSession, table: String, source: DataFrame,
+                 keys: Seq[String], nullKeyMutates: Boolean,
+                 extraCond: Option[org.apache.spark.sql.Column],
+                 assignments: Seq[(String, org.apache.spark.sql.Column)],
+                 prune: Option[(String, String, String)] = None): DeleteResult = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, when}
+    require(keys.nonEmpty, "mutateAnti needs at least one key column")
+    require(source.columns.length == keys.length,
+      s"anti-join source returns ${source.columns.length} columns for " +
+        s"${keys.length} key columns (${keys.mkString(", ")})")
+    val v = currentVersion(spark, table)
+    val live = liveFiles(spark, table, Some(v))
+    val candidates = prune match {
+      case Some((c, lo, hi)) => pruneFiles(spark, table, c, lo, hi, Some(v))._1
+      case None              => live
+    }
+    if (candidates.isEmpty) return DeleteResult(v, Nil, live.size)
+    val sc = tableSchema(spark, table, Some(v))
+    def read(files: Seq[String]) = schemaRead(spark, table, Some(v), files)
+    // source keys land under reserved names so bare target-column
+    // references in extraCond/assignments stay unambiguous after the join
+    val keyCols = keys.indices.map(i => s"__graft_k$i")
+    val keySet = source.toDF(keyCols: _*).na.drop("any").distinct()
+      .withColumn("__graft_m", lit(1))
+    def joined(df: DataFrame): DataFrame = {
+      val jc = keys.zip(keyCols).map { case (k, kk) => col(k) === col(kk) }
+        .reduce(_ && _)
+      df.join(keySet, jc, "left_outer")
+    }
+    // the per-row mutation predicate AFTER the join: no source match,
+    // the caller's null-key rule, and the (three-valued, null=false)
+    // plain conjuncts
+    def predOf: org.apache.spark.sql.Column = {
+      val noMatch = col("__graft_m").isNull
+      val nullGuard =
+        if (nullKeyMutates) lit(true)
+        else keys.map(col(_).isNotNull).reduce(_ && _)
+      coalesce(extraCond.getOrElse(lit(true)), lit(false)) && noMatch && nullGuard
+    }
+    val byName = candidates.map(p => new Path(p).getName -> p).toMap
+    val touched = joined(applyDv(spark, table, Some(v),
+        read(candidates).withColumn("__f", input_file_name())))
+      .filter(predOf)
+      .groupBy(col("__f")).agg(count(lit(1)))
+      .collect().toSeq
+      .flatMap(r => byName.get(new Path(r.getString(0)).getName))
+    if (touched.isEmpty) return DeleteResult(v, Nil, live.size)
+    val cols = sc.map(_.fieldNames.toSeq).getOrElse(
+      spark.read.parquet(live: _*).columns.toSeq)
+    val j = joined(applyDv(spark, table, Some(v), read(touched)))
+    val out =
+      if (assignments.isEmpty) j.filter(!predOf).select(cols.map(col): _*)
+      else assignments.foldLeft(j) { case (d, (c, e)) =>
+        d.withColumn(c, when(predOf, e).otherwise(col(c)))
+      }.select(cols.map(col): _*)
+    commitCowRewrite(spark, table, v, out, touched,
+      if (assignments.isEmpty) "delete" else "update", live.size)
+  }
+
   /** COPY-ON-WRITE keyed MERGE (SCD1 upsert) — `MERGE INTO table USING
     * updates ON keys WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
     * INSERT *` as one transactional commit: every live row whose key
@@ -1171,22 +1257,32 @@ object Snapshots {
       .collect().toSeq
       .flatMap(r => byName.get(new Path(r.getString(0)).getName))
     if (touched.isEmpty) return DeleteResult(v, Nil, live.size)
-    // which columns carried zone maps on the touched files → recompute
-    // them for the rewritten files so future mutations keep pruning
-    // (reserved pseudo-stats excluded: bytes re-record in commit(), row
-    // counts recompute iff the touched files carried them); clustered
-    // tables re-cluster the rewritten rows so layout never decays
+    commitCowRewrite(spark, table, v,
+      rewrite(applyDv(spark, table, Some(v), read(touched))),
+      touched, kind, live.size)
+  }
+
+  /** Shared tail of every copy-on-write row mutation
+    * ([[rewriteWhere]]/[[mutateAnti]]): write the rewritten rows of the
+    * touched files and commit them in (removes = touched), inheriting
+    * the touched files' zone-map coverage so future mutations keep
+    * pruning (reserved pseudo-stats excluded: bytes re-record in
+    * commit(), row counts recompute iff the touched files carried
+    * them); clustered tables re-cluster the rewritten rows so layout
+    * never decays. Ghosts drop from the rewritten files too (the dv
+    * stays live for the untouched files — suppressing an already-absent
+    * key is a no-op). */
+  private def commitCowRewrite(spark: SparkSession, table: String, v: Long,
+                               out: DataFrame, touched: Seq[String],
+                               kind: String, liveSize: Int): DeleteResult = {
     val touchedStats = fileStats(spark, table, Some(v))
       .filter(st => touched.contains(st.path))
-    val (rewritten, clusterCols) = Clustering.forWrite(spark, table,
-      rewrite(applyDv(spark, table, Some(v), read(touched))))
+    val (rewritten, clusterCols) = Clustering.forWrite(spark, table, out)
     val statCols = (touchedStats.map(_.column)
       .filterNot(reservedStat) ++ clusterCols).distinct
     val keepRowCounts = touchedStats.exists(_.column == RowsStat) ||
       clusterCols.nonEmpty
     val dir = s"$table/data/$kind-${java.util.UUID.randomUUID().toString}"
-    // ghosts drop from the rewritten files too (the dv stays live for the
-    // untouched files — suppressing an already-absent key is a no-op)
     rewritten.write.parquet(dir)
     val f = fs(spark, table)
     val parts = f.listStatus(new Path(dir)).toSeq
@@ -1196,7 +1292,7 @@ object Snapshots {
       baseVersion = Some(v),
       stats = computeStats(spark, dir, parts, statCols) ++
         (if (keepRowCounts) rowCountStats(spark, dir, parts) else Nil))
-    DeleteResult(version, touched, live.size - touched.size)
+    DeleteResult(version, touched, liveSize - touched.size)
   }
 
   /** Exactly-once micro-batch append: write `df` under the DETERMINISTIC

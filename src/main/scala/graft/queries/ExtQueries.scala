@@ -3230,7 +3230,7 @@ object ExtQueries {
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
-    x151Spec, x152Spec, x153Spec)
+    x151Spec, x152Spec, x153Spec, x154Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -8010,4 +8010,84 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS pruned_ok,
            |       CAST(1 AS BIGINT) AS commits_ok
            |FROM upd""".stripMargin))
+
+  /** x154: EXISTS / NOT EXISTS / NOT IN PREDICATES IN DML — the full
+    * anti-join side of the subquery-DML surface ([[graft.sql
+    * .GraftDmlAntiCommand]] / [[graft.io.Snapshots.mutateAnti]]):
+    * a correlated `DELETE … WHERE EXISTS (… WHERE s.k = doc_id AND …)`
+    * decorrelates onto the x152 semi-join shape; `UPDATE … WHERE NOT
+    * EXISTS (…) AND doc_id BETWEEN …` mutates the UNMATCHED keys through
+    * one distributed left join (never a collected `isin` literal), with
+    * the plain band conjunct still zone-map pruning candidate files
+    * (`pruned_ok` pins files wholly above the band untouched); and a
+    * `NOT IN (SELECT …)` whose subquery yields a NULL enforces SQL's
+    * three-valued rule — the statement is a provable no-op, not a
+    * table-clearing bug (`noop_ok` pins the version unchanged). The
+    * oracle replays the surviving algebra relationally in DuckDB. */
+  private def x154Spec: QuerySpec =
+    QuerySpec("x154_sql_dml_exists",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_dmlanti_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+        docs.createOrReplaceTempView("x154_docs")
+        // distinct column names so the correlation really reaches OUT
+        // (an inner `doc_id` would shadow the target's)
+        docs.select(col("doc_id").as("k"), col("source").as("src"),
+            col("n_chars").as("nc"))
+          .createOrReplaceTempView("x154_src")
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val half = maxId / 2
+        val tbl = s"$tmp/t"
+        val w = maxId / 4 + 1
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1),
+            tbl, recordSchema = i == 0, statsCols = Seq("doc_id"),
+            recordRowCounts = true)
+        }
+        // correlated EXISTS with an inner predicate → semi-join delete
+        s.sql(s"""DELETE FROM $cat.t WHERE EXISTS (
+                 |  SELECT 1 FROM x154_src s
+                 |  WHERE s.k = doc_id AND s.nc % 11 = 0)""".stripMargin)
+        val before = Snapshots.liveFiles(s, tbl).toSet
+        // NOT EXISTS + band: anti-join update, band prunes candidates
+        s.sql(s"""UPDATE $cat.t SET n_chars = n_chars + 500000
+                 |WHERE NOT EXISTS (
+                 |    SELECT 1 FROM x154_src s
+                 |    WHERE s.k = doc_id AND s.src = 'src1')
+                 |  AND doc_id BETWEEN 0 AND $half""".stripMargin)
+        val untouched = (before intersect Snapshots.liveFiles(s, tbl).toSet).size
+        val prunedOk = if (untouched >= 2) 1L else 0L
+        val vBefore = Snapshots.currentVersion(s, tbl)
+        // NOT IN with a NULL in the subquery: three-valued no-op
+        s.sql(s"""DELETE FROM $cat.t WHERE doc_id NOT IN (
+                 |  SELECT CASE WHEN n_chars % 13 = 0 THEN NULL ELSE doc_id END
+                 |  FROM x154_docs)""".stripMargin)
+        val noopOk = if (Snapshots.currentVersion(s, tbl) == vBefore) 1L else 0L
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("pruned_ok", lit(prunedOk))
+          .withColumn("noop_ok", lit(noopOk))
+      },
+      Some("""WITH half AS (SELECT max(doc_id) // 2 AS h FROM documents),
+           |after1 AS (SELECT doc_id, source, n_chars FROM documents
+           |           WHERE n_chars % 11 <> 0),
+           |after2 AS (
+           |  SELECT doc_id,
+           |         n_chars + CASE WHEN source <> 'src1'
+           |                         AND doc_id BETWEEN 0 AND h
+           |                        THEN 500000 ELSE 0 END AS n_chars
+           |  FROM after1, half
+           |)
+           |SELECT count(*) AS n_rows,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS pruned_ok,
+           |       CAST(1 AS BIGINT) AS noop_ok
+           |FROM after2""".stripMargin))
 }

@@ -135,35 +135,125 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     case x         => Seq(x)
   }
 
-  /** Decompose a DML WHERE containing a subquery into the keyed-merge
-    * rewrite's inputs: exactly ONE top-level uncorrelated `(k, …) IN
-    * (SELECT …)` conjunct over target columns (the subquery plan becomes
-    * the merge SOURCE, its distinct rows the key set), plus the plain
-    * conjuncts re-qualified to the `t.` namespace as the clause condition
-    * and — when they bound a column — an extra zone-map bound for the
-    * candidate set. Everything else (NOT IN, EXISTS, correlation, a
-    * subquery under OR) refuses loudly: each either has no sound
-    * semi-join mapping (NOT IN's three-valued null rule) or no
-    * keyed-merge shape. */
-  private def subqueryShape(cond: Expression, target: AttributeSet)
-      : (LogicalPlan, Seq[String], Option[org.apache.spark.sql.Column],
-         Option[(String, String, String)]) = {
-    import org.apache.spark.sql.catalyst.expressions.{InSubquery, ListQuery}
+  /** The keyed rewrite a DML subquery predicate decomposed into: the
+    * subquery-derived source plan whose rows become the key set, the
+    * target key column names, and the statement's PLAIN outer conjuncts
+    * (raw — each call site re-qualifies for its namespace) plus the
+    * zone-map bound they imply. `SemiShape` mutates rows whose key IS in
+    * the set (`IN` / correlated `EXISTS` → [[GraftDmlInCommand]]);
+    * `AntiShape` mutates rows whose key is NOT (`NOT IN` / `NOT EXISTS`
+    * → [[GraftDmlAntiCommand]]), carrying each form's null algebra. */
+  private sealed trait SubShape {
+    def sub: LogicalPlan; def keys: Seq[String]
+    def plain: Option[Expression]; def bound: Option[(String, String, String)]
+  }
+  private case class SemiShape(sub: LogicalPlan, keys: Seq[String],
+      plain: Option[Expression], bound: Option[(String, String, String)])
+      extends SubShape
+  private case class AntiShape(sub: LogicalPlan, keys: Seq[String],
+      nullKeyMutates: Boolean, checkSourceNulls: Boolean,
+      plain: Option[Expression], bound: Option[(String, String, String)])
+      extends SubShape
+
+  /** Decorrelate an `EXISTS (SELECT … WHERE inner = outer AND …)` plan
+    * whose correlation is a conjunction of equality predicates in its
+    * top Filter: the correlated equalities lift out as the join keys
+    * (outer target column names), the rest of the subquery becomes the
+    * key-set source projected to the inner sides. Any correlation this
+    * shape can't express — an outer reference below the top Filter,
+    * under OR, in a non-equality — refuses loudly (no sound keyed
+    * mapping). */
+  private def existsShape(plan: LogicalPlan, target: AttributeSet)
+      : (LogicalPlan, Seq[String]) = {
+    import org.apache.spark.sql.catalyst.expressions.OuterReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    def refuse(why: String) = throw new UnsupportedOperationException(
+      s"graft SQL DML supports correlated EXISTS/NOT EXISTS only when the " +
+        s"correlation is a conjunction of `inner = outer` equalities in the " +
+        s"subquery's top-level WHERE ($why); materialize the subquery " +
+        "(temp view + MERGE) instead")
+    def peel(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => peel(c)
+      case Project(_, c)       => peel(c) // EXISTS cares about cardinality only
+      case other               => other
+    }
+    def hasOuter(p: LogicalPlan): Boolean =
+      p.collectFirst { case n if n.expressions
+        .exists(_.exists(_.isInstanceOf[OuterReference])) => n }.nonEmpty
+    peel(plan) match {
+      case Filter(cond, child) =>
+        val pairs = scala.collection.mutable.ArrayBuffer
+          .empty[(AttributeReference, String)]
+        val rest = conjuncts(cond).filter {
+          case EqualTo(i: AttributeReference, OuterReference(o: AttributeReference))
+              if target.contains(o) && child.outputSet.contains(i) =>
+            pairs += ((i, o.name)); false
+          case EqualTo(OuterReference(o: AttributeReference), i: AttributeReference)
+              if target.contains(o) && child.outputSet.contains(i) =>
+            pairs += ((i, o.name)); false
+          case _ => true
+        }
+        if (pairs.isEmpty) refuse("no correlated equality found")
+        if (rest.exists(_.exists(_.isInstanceOf[OuterReference])))
+          refuse("an outer reference survives outside the equalities")
+        if (hasOuter(child))
+          refuse("an outer reference sits below the top-level WHERE")
+        val outers = pairs.map(_._2).toSeq
+        if (outers.distinct != outers)
+          refuse("one target column correlates against two inner columns")
+        val src = rest.reduceOption(And).map(Filter(_, child)).getOrElse(child)
+        (Project(pairs.map(_._1).toSeq, src), outers)
+      case _ => refuse("the subquery has no top-level WHERE")
+    }
+  }
+
+  /** Decompose a DML WHERE containing a subquery into a [[SubShape]]:
+    * exactly ONE top-level subquery conjunct in one of the four keyed
+    * forms — uncorrelated `(k, …) IN (SELECT …)` over target columns,
+    * single-column uncorrelated `k NOT IN (SELECT …)`, or correlated
+    * `EXISTS` / `NOT EXISTS` with equality correlation ([[existsShape]])
+    * — plus the plain conjuncts and the zone-map bound they imply.
+    * Everything else (tuple NOT IN with its per-column null rule, a
+    * subquery under OR, non-equality correlation) refuses loudly: each
+    * has no sound keyed mapping. */
+  private def subqueryShape(cond: Expression, target: AttributeSet): SubShape = {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ListQuery, Not}
     val parts = conjuncts(cond)
     val (subs, plain) = parts.partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    val plainE = plain.reduceOption(And)
+    val bound = plainE.flatMap(pruneBound)
+    def targetKeys(values: Seq[Expression]): Option[Seq[String]] =
+      if (values.forall(v => v.isInstanceOf[AttributeReference] &&
+          target.contains(v.asInstanceOf[AttributeReference])))
+        Some(values.map(_.asInstanceOf[AttributeReference].name))
+      else None
     subs match {
       case Seq(InSubquery(values, q: ListQuery)) if q.outerAttrs.isEmpty &&
-          values.forall(v => v.isInstanceOf[AttributeReference] &&
-            target.contains(v.asInstanceOf[AttributeReference])) =>
-        val keys = values.map(_.asInstanceOf[AttributeReference].name)
-        val plainCond = plain.reduceOption(And).map(e =>
-          DmlShim.column(unresolveMerge(e, target, AttributeSet.empty)))
-        (q.plan, keys, plainCond, plain.reduceOption(And).flatMap(pruneBound))
+          targetKeys(values).isDefined =>
+        SemiShape(q.plan, targetKeys(values).get, plainE, bound)
+      case Seq(e: Exists) if e.outerAttrs.nonEmpty =>
+        val (src, keys) = existsShape(e.plan, target)
+        SemiShape(src, keys, plainE, bound)
+      case Seq(Not(InSubquery(values, q: ListQuery))) if q.outerAttrs.isEmpty &&
+          values.length == 1 && targetKeys(values).isDefined =>
+        // NOT IN's three-valued null rules: a null subquery value voids
+        // the statement (checked at run time), a null target key never
+        // mutates. Tuple NOT IN (per-column null mixing) refuses below.
+        AntiShape(q.plan, targetKeys(values).get, nullKeyMutates = false,
+          checkSourceNulls = true, plainE, bound)
+      case Seq(Not(e: Exists)) if e.outerAttrs.nonEmpty =>
+        // NOT EXISTS: a null target key equality-matches nothing, so the
+        // row IS unmatched and mutates
+        val (src, keys) = existsShape(e.plan, target)
+        AntiShape(src, keys, nullKeyMutates = true,
+          checkSourceNulls = false, plainE, bound)
       case _ => throw new UnsupportedOperationException(
-        "graft SQL DML supports subqueries only as one top-level " +
-          "uncorrelated `col IN (SELECT ...)` conjunct over table columns " +
-          "(rewritten to the keyed-merge semi-join); NOT IN / EXISTS / " +
-          "correlated or OR-nested subqueries have no sound keyed " +
+        "graft SQL DML supports one top-level subquery conjunct in keyed " +
+          "form: `(k, …) IN (SELECT …)` / single-column `k NOT IN " +
+          "(SELECT …)` (both uncorrelated) over table columns, or " +
+          "EXISTS / NOT EXISTS correlated by equality — rewritten to the " +
+          "keyed-merge semi/anti-join; tuple NOT IN, OR-nested or " +
+          "non-equality-correlated subqueries have no sound keyed " +
           "mapping — materialize the subquery (temp view + MERGE) instead")
     }
   }
@@ -273,17 +363,34 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       val t = graftTarget(target).get
       condition.filter(_.exists(_.isInstanceOf[SubqueryExpression])) match {
         case Some(cond) =>
-          // `UPDATE ... WHERE k IN (SELECT ...)` → keyed-merge rewrite
-          val (sub, keys, plainOpt, bound) = subqueryShape(cond, target.outputSet)
-          val set = assignments.map {
-            case Assignment(k: AttributeReference, value) =>
-              k.name -> DmlShim.column(
-                unresolveMerge(value, target.outputSet, AttributeSet.empty))
-            case Assignment(other, _) => throw new UnsupportedOperationException(
-              s"graft SQL UPDATE assigns top-level columns only, got $other")
-          }.toMap
-          GraftDmlInCommand(t.path, sub, keys,
-            Seq(Snapshots.MatchedUpdate(plainOpt, set)), bound)
+          // `UPDATE ... WHERE k [NOT] IN (SELECT ...) / [NOT] EXISTS (...)`
+          // → keyed-merge semi/anti rewrite
+          subqueryShape(cond, target.outputSet) match {
+            case SemiShape(sub, keys, plainE, bound) =>
+              val plainOpt = plainE.map(e => DmlShim.column(
+                unresolveMerge(e, target.outputSet, AttributeSet.empty)))
+              val set = assignments.map {
+                case Assignment(k: AttributeReference, value) =>
+                  k.name -> DmlShim.column(
+                    unresolveMerge(value, target.outputSet, AttributeSet.empty))
+                case Assignment(other, _) => throw new UnsupportedOperationException(
+                  s"graft SQL UPDATE assigns top-level columns only, got $other")
+              }.toMap
+              GraftDmlInCommand(t.path, sub, keys,
+                Seq(Snapshots.MatchedUpdate(plainOpt, set)), bound)
+            case AntiShape(sub, keys, nullMut, srcNulls, plainE, bound) =>
+              // anti side resolves against the plain target namespace
+              // ([[Snapshots.mutateAnti]] — no t./s. aliases)
+              val set = assignments.map {
+                case Assignment(k: AttributeReference, v) =>
+                  k.name -> DmlShim.column(unresolve(v))
+                case Assignment(other, _) => throw new UnsupportedOperationException(
+                  s"graft SQL UPDATE assigns top-level columns only, got $other")
+              }
+              GraftDmlAntiCommand(t.path, sub, keys, set,
+                plainE.map(e => DmlShim.column(unresolve(e))), bound,
+                nullKeyMutates = nullMut, checkSourceNulls = srcNulls)
+          }
         case None =>
           val assigns = assignments.map {
             case Assignment(k: AttributeReference, v) => k.name -> unresolve(v)
@@ -299,15 +406,23 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     case DeleteFromTable(target, condition)
         if graftTarget(target).isDefined && target.resolved && condition.resolved =>
       if (condition.exists(_.isInstanceOf[SubqueryExpression])) {
-        // `DELETE FROM t WHERE k IN (SELECT ...)` → the semi-join source
-        // shape MERGE already uses: the subquery's distinct values become
-        // the merge source, the plain outer conjuncts ride as the matched
-        // clause's condition AND as an extra zone-map bound on the
-        // candidate set
+        // `DELETE FROM t WHERE k [NOT] IN (SELECT ...) / [NOT] EXISTS (…)`
+        // → the keyed semi/anti-join source shape MERGE already uses: the
+        // subquery's distinct values become the source, the plain outer
+        // conjuncts ride as the clause condition AND as an extra zone-map
+        // bound on the candidate set
         val t = graftTarget(target).get
-        val (sub, keys, plainOpt, bound) = subqueryShape(condition, target.outputSet)
-        GraftDmlInCommand(t.path, sub, keys,
-          Seq(Snapshots.MatchedDelete(plainOpt)), bound)
+        subqueryShape(condition, target.outputSet) match {
+          case SemiShape(sub, keys, plainE, bound) =>
+            val plainOpt = plainE.map(e => DmlShim.column(
+              unresolveMerge(e, target.outputSet, AttributeSet.empty)))
+            GraftDmlInCommand(t.path, sub, keys,
+              Seq(Snapshots.MatchedDelete(plainOpt)), bound)
+          case AntiShape(sub, keys, nullMut, srcNulls, plainE, bound) =>
+            GraftDmlAntiCommand(t.path, sub, keys, Nil,
+              plainE.map(e => DmlShim.column(unresolve(e))), bound,
+              nullKeyMutates = nullMut, checkSourceNulls = srcNulls)
+        }
       } else
         // the SupportsDelete path only accepts exactly-translatable v1
         // predicates; this command carries the FULL Catalyst expression, so
@@ -556,6 +671,44 @@ case class GraftDmlInCommand(path: String, sub: LogicalPlan,
     GraftDmlRetry.retry {
       Snapshots.mergeIntoWhen(spark, path, src, keys, matched, Nil,
         pruneOn = Some(keys.head), prune = prune)
+    }
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM t WHERE k NOT IN (SELECT …)` / `… WHERE NOT EXISTS (…)`
+  * (and the UPDATE twins) → [[Snapshots.mutateAnti]]: the subquery's
+  * distinct values become the anti-join key set, rows WITHOUT a match
+  * mutate. Each form's null algebra rides in: NOT IN's
+  * whole-statement-voiding null check runs here against the CHANGE-sized
+  * source (one short-circuit scan), its null-target-key immunity and NOT
+  * EXISTS's opposite rule ride as `nullKeyMutates`. The plain outer
+  * conjuncts gate per-row and prune candidate files by zone maps — the
+  * source's own bounds cannot (a missing key can be anywhere). */
+case class GraftDmlAntiCommand(path: String, sub: LogicalPlan,
+                               keys: Seq[String],
+                               assignments: Seq[(String, org.apache.spark.sql.Column)],
+                               plainCond: Option[org.apache.spark.sql.Column],
+                               prune: Option[(String, String, String)],
+                               nullKeyMutates: Boolean,
+                               checkSourceNulls: Boolean)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(sub)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTable.refuseMvDml(spark, path, "subquery DML")
+    val raw = DmlShim.ofRows(spark, sub)
+    require(raw.columns.length == keys.length,
+      s"subquery returns ${raw.columns.length} columns for " +
+        s"${keys.length} key columns (${keys.mkString(", ")})")
+    // SQL NOT IN three-valued rule: one NULL in the subquery makes
+    // `k NOT IN (…)` never TRUE — the whole statement is a no-op
+    if (checkSourceNulls && !raw.filter(
+        raw.columns.map(c => col(c).isNull).reduce(_ || _)).isEmpty)
+      return Seq.empty
+    GraftDmlRetry.retry {
+      Snapshots.mutateAnti(spark, path, raw, keys, nullKeyMutates,
+        plainCond, assignments, prune)
     }
     Seq.empty
   }

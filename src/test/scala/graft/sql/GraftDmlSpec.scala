@@ -265,4 +265,87 @@ class GraftDmlSpec extends SparkSpec {
     assert(rows(4000L) === (("in", 2000L)))
     assert(rows(9L) === (("s0", 18L))) // condition false: untouched
   }
+
+  test("DELETE WHERE EXISTS (correlated equality): decorrelates to the semi-join rewrite") {
+    val t = mk("ex1")
+    Seq((6L, 1L), (15L, 1L), (16L, 0L), (999L, 1L)).toDF("k", "flag")
+      .createOrReplaceTempView("ex1_src")
+    spark.sql("""DELETE FROM gd.ex1
+                 WHERE EXISTS (SELECT 1 FROM ex1_src s WHERE s.k = id AND s.flag = 1)""")
+    val ids = spark.sql("SELECT id FROM gd.ex1").as[Long].collect().toSet
+    assert(!ids(6L) && !ids(15L)) // correlated match, inner flag holds
+    assert(ids(16L))              // inner predicate fails: survives
+    assert(ids.size === 38)
+    assert(Snapshots.currentVersion(spark, t) === 5L) // one commit
+  }
+
+  test("DELETE WHERE NOT EXISTS: anti-join rewrite keeps only matched keys") {
+    val t = mk("nx1")
+    // keep ids 1..10 and 21..30 (and a ghost key 999 matching nothing)
+    ((1L to 10L) ++ (21L to 30L) :+ 999L).toDF("k")
+      .createOrReplaceTempView("nx1_keys")
+    spark.sql("""DELETE FROM gd.nx1
+                 WHERE NOT EXISTS (SELECT 1 FROM nx1_keys s WHERE s.k = id)""")
+    val ids = spark.sql("SELECT id FROM gd.nx1").as[Long].collect().toSet
+    assert(ids === ((1L to 10L) ++ (21L to 30L)).toSet)
+    assert(Snapshots.currentVersion(spark, t) === 5L)
+  }
+
+  test("UPDATE WHERE NOT EXISTS AND band: plain conjuncts gate rows and prune files") {
+    val t = mk("nx2")
+    (1L to 5L).toDF("k").createOrReplaceTempView("nx2_keys")
+    val before = Snapshots.liveFiles(spark, t).toSet
+    spark.sql("""UPDATE gd.nx2 SET m = -1
+                 WHERE NOT EXISTS (SELECT 1 FROM nx2_keys s WHERE s.k = id)
+                   AND id BETWEEN 1 AND 10""")
+    val m = spark.sql("SELECT id, m FROM gd.nx2").as[(Long, Long)].collect().toMap
+    (1L to 5L).foreach(i => assert(m(i) === i * 2))   // matched: untouched
+    (6L to 10L).foreach(i => assert(m(i) === -1L))    // unmatched in band
+    (11L to 40L).foreach(i => assert(m(i) === i * 2)) // outside the band
+    // the band bound pruned candidates: files 2-4 never rewritten
+    assert((before intersect Snapshots.liveFiles(spark, t).toSet).size === 3)
+    assert(Snapshots.currentVersion(spark, t) === 5L)
+  }
+
+  test("NOT IN: deletes unlisted keys; one NULL in the subquery voids the statement") {
+    val t = mk("ni1")
+    ((1L to 30L) :+ 999L).toDF("k").createOrReplaceTempView("ni1_keys")
+    spark.sql("DELETE FROM gd.ni1 WHERE id NOT IN (SELECT k FROM ni1_keys)")
+    assert(spark.sql("SELECT count(*) AS n FROM gd.ni1").as[Long].head() === 30L)
+    assert(Snapshots.currentVersion(spark, t) === 5L)
+    // SQL three-valued rule: a NULL in the list makes NOT IN never TRUE
+    ((1L to 5L).map(Option(_)) :+ Option.empty[Long]).toDF("k")
+      .createOrReplaceTempView("ni1_null")
+    spark.sql("DELETE FROM gd.ni1 WHERE id NOT IN (SELECT k FROM ni1_null)")
+    assert(spark.sql("SELECT count(*) AS n FROM gd.ni1").as[Long].head() === 30L)
+    assert(Snapshots.currentVersion(spark, t) === 5L) // no-op: no commit
+  }
+
+  test("NOT IN null-key immunity vs NOT EXISTS null-key deletion") {
+    val t = s"$root/nk1"
+    Snapshots.commitAppend(
+      Seq((Option(1L), 10L), (Option(2L), 20L), (Option.empty[Long], 30L))
+        .toDF("id", "m").coalesce(1), t, recordSchema = true)
+    Seq(1L).toDF("k").createOrReplaceTempView("nk1_keys")
+    // NOT IN: null id is UNKNOWN, survives
+    spark.sql("DELETE FROM gd.nk1 WHERE id NOT IN (SELECT k FROM nk1_keys)")
+    assert(spark.sql("SELECT sum(m) AS s FROM gd.nk1").as[Long].head() === 40L)
+    // NOT EXISTS: null id equality-matches nothing → unmatched → deleted
+    spark.sql("""DELETE FROM gd.nk1
+                 WHERE NOT EXISTS (SELECT 1 FROM nk1_keys s WHERE s.k = id)""")
+    assert(spark.sql("SELECT sum(m) AS s FROM gd.nk1").as[Long].head() === 10L)
+  }
+
+  test("anti/correlation refusals: tuple NOT IN, non-equality correlation") {
+    mk("rf2")
+    Seq((1L, 1L)).toDF("a", "b").createOrReplaceTempView("rf2_src")
+    val tup = intercept[Exception] {
+      spark.sql("DELETE FROM gd.rf2 WHERE (id, m) NOT IN (SELECT a, b FROM rf2_src)")
+    }
+    assert(tup.getMessage.contains("NOT IN"), tup.getMessage)
+    val ineq = intercept[Exception] {
+      spark.sql("DELETE FROM gd.rf2 WHERE EXISTS (SELECT 1 FROM rf2_src s WHERE s.a < id)")
+    }
+    assert(ineq.getMessage.contains("equalit"), ineq.getMessage)
+  }
 }
