@@ -57,4 +57,59 @@ object Packing {
         size(slice(col("__tk"), col("__cs") + 1, lit(chunkSize))).cast("long").as("n_chunk_tokens"),
         array_join(slice(col("__tk"), col("__cs") + 1, lit(chunkSize)), " ").as("chunk_text"))
   }
+
+  /** NO-STRADDLE greedy bin packing — the other published packing layout
+    * ([[packWindows]] is concat-and-chunk, where documents split across
+    * window cuts; here documents pack WHOLE and a doc that would overflow
+    * the open bin closes it — the fine-tuning / long-context layout where
+    * cutting a document mid-way is not acceptable).
+    *
+    * Greedy packing is inherently sequential, so the distributed form
+    * shards the corpus deterministically (`id % shards`) and packs each
+    * shard independently: rows pre-shuffle by shard, sort by (shard, id)
+    * within partitions, and ONE partition-local streaming pass runs the
+    * accumulator (a window cannot express a capacity-reset fold —
+    * `mapPartitions` is the honest Spark shape). Every shard packs in
+    * parallel; waste is bounded by one open bin per shard, vanishing at
+    * corpus scale. An oversized document (> capacity) occupies a bin
+    * alone. Null ids drop (no place in the deterministic order); null
+    * token counts pack as 0.
+    *
+    * Output: one row per document — `(id, n_tokens, shard, bin)`, `bin`
+    * counting from 0 within its shard. Deterministic given unique ids. */
+  def packGreedy(df: DataFrame, id: Column, nTokens: Column,
+                 capacity: Long, shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(capacity >= 1 && shards >= 1)
+    val base = df
+      .select(id.as("id"), nTokens.cast("long").as("n_tokens"))
+      .filter(col("id").isNotNull)
+      .na.fill(0L, Seq("n_tokens"))
+      .withColumn("shard", pmod(col("id"), lit(shards.toLong)))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("shard", LongType, nullable = false),
+      StructField("bin", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    base.mapPartitions { rows =>
+      // several shards can share a partition (hash co-location): state
+      // resets at every shard change; within a shard rows arrive id-sorted
+      var curShard = -1L
+      var bin = 0L
+      var acc = 0L
+      rows.map { r =>
+        val docId = r.getLong(0)
+        val n = r.getLong(1)
+        val shard = r.getLong(2)
+        if (shard != curShard) { curShard = shard; bin = 0L; acc = 0L }
+        if (acc > 0 && acc + n > capacity) { bin += 1; acc = n }
+        else acc += n
+        Row(docId, n, shard, bin)
+      }
+    }(enc)
+  }
 }

@@ -3230,7 +3230,7 @@ object ExtQueries {
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
-    x151Spec, x152Spec, x153Spec, x154Spec)
+    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -8090,4 +8090,40 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS pruned_ok,
            |       CAST(1 AS BIGINT) AS noop_ok
            |FROM after2""".stripMargin))
+
+  /** x155: SEQUENCE PACKING, NO-STRADDLE GREEDY BINS ([[graft.ext
+    * .Packing.packGreedy]]) — documents packed whole into 512-token
+    * bins, greedy first-fit in id order within 32 deterministic shards
+    * (`doc_id % 32`). The fold is shard-local sequential state executed
+    * as one partition-local pass per shard — the honest distributed
+    * form of an inherently sequential algorithm (every shard packs in
+    * parallel; waste is bounded by one open bin per shard). The oracle
+    * replays the accumulator with a DuckDB recursive CTE stepping the
+    * per-shard row number. */
+  private def x155Spec: QuerySpec =
+    QuerySpec("x155_pack_greedy",
+      (s, d) => graft.ext.Packing.packGreedy(
+          Tables.documents(s, d), col("doc_id"),
+          size(split(col("text"), " ", -1)), capacity = 512L, shards = 32)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE t AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+           |         doc_id % 32 AS shard
+           |  FROM documents),
+           |r AS (SELECT shard, doc_id, n,
+           |        row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           |      FROM t),
+           |p AS (
+           |  SELECT shard, doc_id, n, rn, CAST(0 AS BIGINT) AS bin, n AS acc
+           |  FROM r WHERE rn = 1
+           |  UNION ALL
+           |  SELECT r.shard, r.doc_id, r.n, r.rn,
+           |         CASE WHEN p.acc > 0 AND p.acc + r.n > 512
+           |              THEN p.bin + 1 ELSE p.bin END,
+           |         CASE WHEN p.acc > 0 AND p.acc + r.n > 512
+           |              THEN r.n ELSE p.acc + r.n END
+           |  FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+           |SELECT doc_id, n AS n_tokens, shard, bin
+           |FROM p ORDER BY doc_id""".stripMargin))
 }

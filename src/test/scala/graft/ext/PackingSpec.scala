@@ -59,4 +59,37 @@ class PackingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out === Seq((1L, 0L, 2L), (2L, 5L, 1L), (3L, 5L, 2L)))
   }
+
+  test("packGreedy: capacity reset, oversized doc alone, shard-local bins") {
+    // one shard (ids all ≡ 1 mod 32): 3+4 fit in bin0 (cap 8), 2 would
+    // make 9 → bin1; 20 oversized → bin2 alone; 5 → bin3
+    val df = Seq((1L, 3L), (33L, 4L), (65L, 2L), (97L, 20L), (129L, 5L))
+      .toDF("id", "n")
+    val r = Packing.packGreedy(df, col("id"), col("n"), capacity = 8L)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r.values.map(_._1).toSet === Set(1L)) // one shard
+    assert(r(1L)._2 === 0L && r(33L)._2 === 0L)
+    assert(r(65L)._2 === 1L)
+    assert(r(97L)._2 === 2L)
+    assert(r(129L)._2 === 3L)
+  }
+
+  test("packGreedy: shards pack independently; multi-doc bins never exceed capacity") {
+    val df = (1L to 200L).map(i => (i, (i % 7) + 1)).toDF("id", "n")
+    val out = Packing.packGreedy(df, col("id"), col("n"), capacity = 10L, shards = 8)
+    val over = out.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("m"))
+      .filter(col("fill") > 10 && col("m") > 1).count()
+    assert(over === 0L)
+    assert(out.count() === 200L) // every doc present exactly once
+    assert(out.select("shard").distinct().count() === 8L)
+  }
+
+  test("packGreedy: null ids drop, null token counts pack as zero") {
+    val df = Seq((Option(1L), Option(3L)), (Option(33L), Option.empty[Long]),
+      (Option.empty[Long], Option(5L))).toDF("id", "n")
+    val r = Packing.packGreedy(df, col("id"), col("n"), capacity = 8L)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r === Map(1L -> 0L, 33L -> 0L)) // empty doc joins the open bin
+  }
 }
