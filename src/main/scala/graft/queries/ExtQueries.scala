@@ -3230,7 +3230,7 @@ object ExtQueries {
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
-    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec)
+    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -8126,4 +8126,70 @@ object ExtQueries {
            |  FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
            |SELECT doc_id, n AS n_tokens, shard, bin
            |FROM p ORDER BY doc_id""".stripMargin))
+
+  /** x156: METADATA-ONLY TYPE WIDENING — `ALTER TABLE … ALTER COLUMN c
+    * TYPE BIGINT` on int columns (and float→double) without touching a
+    * data file: the schema stamp re-records the column wide, Spark 4's
+    * parquet readers promote the old INT32 pages at scan time
+    * (SPARK-40876), zone maps recorded under the narrow dtype keep
+    * pruning banded reads (`pruned_ok` pins the same skip count before
+    * and after), an INSERT of a value int could never hold lands
+    * (`wide_ok`), and `AS OF` below the evolution serves the narrow
+    * shape (`old_shape_ok`). `meta_only` pins the live set
+    * byte-identical across both ALTERs. The oracle replays the surviving
+    * relation plus the inserted row on raw documents. */
+  private def x156Spec: QuerySpec =
+    QuerySpec("x156_sql_alter_widen",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_widen_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id").cast("int").as("doc_id"),
+            col("n_chars").cast("int").as("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getInt(0).toLong
+        val tbl = s"$tmp/t"
+        val w = maxId / 4 + 1
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1),
+            tbl, recordSchema = i == 0, statsCols = Seq("doc_id"),
+            recordRowCounts = true)
+        }
+        val before = Snapshots.liveFiles(s, tbl).toSet
+        val preSkip = Snapshots.pruneFiles(s, tbl, "doc_id", "0", (w - 1).toString)._2.size
+        s.sql(s"ALTER TABLE $cat.t ALTER COLUMN doc_id TYPE BIGINT")
+        s.sql(s"ALTER TABLE $cat.t ALTER COLUMN n_chars TYPE BIGINT")
+        val metaOnly = if (Snapshots.liveFiles(s, tbl).toSet == before) 1L else 0L
+        // narrow-dtype zone maps still prune under the wide read
+        val postSkip = Snapshots.pruneFiles(s, tbl, "doc_id", "0", (w - 1).toString)._2.size
+        val prunedOk = if (postSkip == preSkip && postSkip == 3) 1L else 0L
+        // a value int could never hold
+        s.sql(s"INSERT INTO $cat.t VALUES (9999999999, 7)")
+        val wideOk = if (s.sql(s"SELECT max(doc_id) AS m FROM $cat.t")
+          .collect().head.getLong(0) == 9999999999L) 1L else 0L
+        val oldShape = s.sql(s"SELECT * FROM $cat.t VERSION AS OF 4").schema
+        val oldShapeOk = if (oldShape("doc_id").dataType ==
+            org.apache.spark.sql.types.IntegerType &&
+          oldShape("n_chars").dataType ==
+            org.apache.spark.sql.types.IntegerType) 1L else 0L
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("meta_only", lit(metaOnly))
+          .withColumn("pruned_ok", lit(prunedOk))
+          .withColumn("wide_ok", lit(wideOk))
+          .withColumn("old_shape_ok", lit(oldShapeOk))
+      },
+      Some("""SELECT count(*) + 1 AS n_rows,
+           |       CAST(sum(doc_id) + 9999999999 AS BIGINT) AS sum_ids,
+           |       CAST(sum(n_chars) + 7 AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS meta_only,
+           |       CAST(1 AS BIGINT) AS pruned_ok,
+           |       CAST(1 AS BIGINT) AS wide_ok,
+           |       CAST(1 AS BIGINT) AS old_shape_ok
+           |FROM documents""".stripMargin))
 }

@@ -270,17 +270,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val addCols = changes.collect { case a: TableChange.AddColumn => a }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    val widens = changes.collect { case u: TableChange.UpdateColumnType => u }
     val other = changes.filterNot(c => c.isInstanceOf[TableChange.SetProperty] ||
       c.isInstanceOf[TableChange.RemoveProperty] ||
       c.isInstanceOf[TableChange.AddColumn] ||
       c.isInstanceOf[TableChange.RenameColumn] ||
-      c.isInstanceOf[TableChange.DeleteColumn])
+      c.isInstanceOf[TableChange.DeleteColumn] ||
+      c.isInstanceOf[TableChange.UpdateColumnType])
     if (other.nonEmpty) throw new UnsupportedOperationException(
       s"graft tables support ALTER TABLE SET/UNSET TBLPROPERTIES, ADD " +
-        s"COLUMNS, RENAME COLUMN and DROP COLUMN only (files are " +
-        s"immutable; type changes would re-map history) — " +
-        s"got ${other.mkString(", ")}")
-    val schemaChanges = addCols.nonEmpty || renames.nonEmpty || drops.nonEmpty
+        s"COLUMNS, RENAME COLUMN, DROP COLUMN and widening ALTER COLUMN " +
+        s"TYPE only (files are immutable; other changes would re-map " +
+        s"history) — got ${other.mkString(", ")}")
+    val schemaChanges = addCols.nonEmpty || renames.nonEmpty ||
+      drops.nonEmpty || widens.nonEmpty
     val schemaJson = if (!schemaChanges) None else {
       var cur = Snapshots.tableSchema(spark, path).getOrElse(
         throw new UnsupportedOperationException(
@@ -340,6 +343,40 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         dropped = (dropped :+ physOf(name)).distinct
         mapping -= name
         cur = StructType(cur.fields.filterNot(_.name == name))
+      }
+      // METADATA-ONLY TYPE WIDENING (the Iceberg type-promotion set that
+      // Spark 4's parquet readers resolve at scan time, SPARK-40876): the
+      // schema stamp re-records the column wide, existing files stay
+      // byte-identical and read promoted, zone maps keep pruning (the
+      // stat comparator already treats the integral chain and float/
+      // double uniformly — old files compare under their recorded narrow
+      // dtype, new bounds parse in it), and `AS OF` below the evolution
+      // serves the narrow type from the stamp history. Narrowings and
+      // re-mappings refuse: files are immutable.
+      widens.foreach { u =>
+        require(u.fieldNames().length == 1,
+          s"nested ALTER COLUMN is not supported: ${u.fieldNames().mkString(".")}")
+        val name = u.fieldNames().head
+        require(cur.fieldNames.contains(name), s"no such column: $name")
+        import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+        val from = cur(name).dataType
+        val to = u.newDataType()
+        val ok = (from, to) match {
+          case (ByteType, ShortType | IntegerType | LongType) => true
+          case (ShortType, IntegerType | LongType)            => true
+          case (IntegerType, LongType)                        => true
+          case (FloatType, DoubleType)                        => true
+          case _                                              => false
+        }
+        require(ok, s"ALTER COLUMN TYPE supports WIDENING only " +
+          s"(tinyint→smallint→int→bigint, float→double); got " +
+          s"${from.simpleString} → ${to.simpleString} — files are " +
+          "immutable and a narrowing or re-mapping would corrupt history")
+        require(!dvKeyCols.contains(name),
+          s"cannot widen '$name': live deletion vectors key on it " +
+            "(compact to fold them first)")
+        cur = StructType(cur.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f))
       }
       val added = addCols.map { a =>
         require(a.fieldNames().length == 1,

@@ -185,4 +185,39 @@ class GraftDdlSpec extends SparkSpec {
       spark.sql("ALTER TABLE gdl.rn2 RENAME COLUMN src TO m") }
     assert(e.getMessage.contains("physical name"), e.getMessage)
   }
+
+  test("ALTER COLUMN TYPE widening: metadata-only, mixed generations promote, pruning holds") {
+    val t = s"$root/w1"
+    (0 until 2).foreach { i =>
+      Snapshots.commitAppend(
+        (i * 10 + 1 to i * 10 + 10).map(x => (x, x.toFloat / 2)).toDF("id", "v")
+          .coalesce(1),
+        t, recordSchema = i == 0, statsCols = Seq("id"))
+    }
+    val before = Snapshots.liveFiles(spark, t).toSet
+    spark.sql("ALTER TABLE gdl.w1 ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE gdl.w1 ALTER COLUMN v TYPE DOUBLE")
+    assert(Snapshots.liveFiles(spark, t).toSet === before) // metadata-only
+    // the widened schema accepts values the narrow type could not hold
+    spark.sql("INSERT INTO gdl.w1 VALUES (9999999999, 0.5)")
+    val got = spark.sql("SELECT max(id) AS m, sum(v) AS s FROM gdl.w1")
+      .as[(Long, Double)].head()
+    assert(got._1 === 9999999999L)
+    assert(math.abs(got._2 - ((1 to 20).map(_.toDouble / 2).sum + 0.5)) < 1e-9)
+    // zone maps recorded under the narrow dtype still prune banded reads
+    val (_, skip) = Snapshots.pruneFiles(spark, t, "id", "1", "10")
+    assert(skip.nonEmpty)
+    // AS OF below the evolution serves the narrow shape
+    val old = spark.sql("SELECT * FROM gdl.w1 VERSION AS OF 2").schema
+    assert(old("id").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(old("v").dataType === org.apache.spark.sql.types.FloatType)
+    // narrowing refuses loudly (Spark's analyzer gate: not an up-cast)
+    val nar = intercept[Exception] {
+      spark.sql("ALTER TABLE gdl.w1 ALTER COLUMN id TYPE INT") }
+    assert(nar.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), nar.getMessage)
+    // float→string IS a Spark up-cast but re-maps bytes: our gate refuses
+    val str = intercept[Exception] {
+      spark.sql("ALTER TABLE gdl.w1 ALTER COLUMN v TYPE STRING") }
+    assert(str.getMessage.contains("WIDENING"), str.getMessage)
+  }
 }
