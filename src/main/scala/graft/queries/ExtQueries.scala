@@ -3230,7 +3230,7 @@ object ExtQueries {
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
-    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec)
+    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -8191,5 +8191,63 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS pruned_ok,
            |       CAST(1 AS BIGINT) AS wide_ok,
            |       CAST(1 AS BIGINT) AS old_shape_ok
+           |FROM documents""".stripMargin))
+
+  /** x157: COLUMN DEFAULT VALUES — `ADD COLUMNS (c … DEFAULT v)` backfills
+    * the whole table with ZERO rewrites (`meta_only` pins the live set
+    * byte-identical): the default rides the schema stamp as the standard
+    * CURRENT_DEFAULT/EXISTS_DEFAULT field metadata, Spark's parquet
+    * readers fill the column in files that predate it (SPARK-38334
+    * existence defaults), INSERTs omitting the column fill
+    * CURRENT_DEFAULT while an explicit NULL stays NULL, and `SET
+    * DEFAULT` re-points future inserts only — history keeps the frozen
+    * fill (the SQL-standard CURRENT/EXISTS split). The oracle replays
+    * the fills relationally over raw documents. */
+  private def x157Spec: QuerySpec =
+    QuerySpec("x157_sql_add_default",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_defs_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val tbl = s"$tmp/t"
+        val w = maxId / 4 + 1
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1),
+            tbl, recordSchema = i == 0, statsCols = Seq("doc_id"),
+            recordRowCounts = true)
+        }
+        val before = Snapshots.liveFiles(s, tbl).toSet
+        s.sql(s"""ALTER TABLE $cat.t ADD COLUMNS (
+                 |  tier STRING DEFAULT 'bronze',
+                 |  weight BIGINT DEFAULT 100)""".stripMargin)
+        val metaOnly = if (Snapshots.liveFiles(s, tbl).toSet == before) 1L else 0L
+        // omitted columns fill CURRENT_DEFAULT; explicit NULL stays NULL
+        s.sql(s"INSERT INTO $cat.t (doc_id, n_chars) VALUES (${maxId + 1}, 11)")
+        s.sql(s"INSERT INTO $cat.t VALUES (${maxId + 2}, 22, NULL, 5)")
+        // SET DEFAULT re-points future inserts; history keeps 'bronze'
+        s.sql(s"ALTER TABLE $cat.t ALTER COLUMN tier SET DEFAULT 'silver'")
+        s.sql(s"INSERT INTO $cat.t (doc_id, n_chars) VALUES (${maxId + 3}, 33)")
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 |CAST(sum(weight) AS BIGINT) AS sum_weight,
+                 |CAST(sum(CASE WHEN tier = 'bronze' THEN 1 ELSE 0 END) AS BIGINT) AS n_bronze,
+                 |CAST(sum(CASE WHEN tier = 'silver' THEN 1 ELSE 0 END) AS BIGINT) AS n_silver,
+                 |CAST(sum(CASE WHEN tier IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulltier
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("meta_only", lit(metaOnly))
+      },
+      Some("""SELECT count(*) + 3 AS n_rows,
+           |       CAST(sum(n_chars) + 66 AS BIGINT) AS sum_chars,
+           |       CAST(count(*) * 100 + 100 + 5 + 100 AS BIGINT) AS sum_weight,
+           |       count(*) + 1 AS n_bronze,
+           |       CAST(1 AS BIGINT) AS n_silver,
+           |       CAST(1 AS BIGINT) AS n_nulltier,
+           |       CAST(1 AS BIGINT) AS meta_only
            |FROM documents""".stripMargin))
 }

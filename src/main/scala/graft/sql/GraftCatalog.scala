@@ -223,6 +223,41 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * record as the `write.cluster.by` property; writers range-cluster and
     * zone-map on it, the scan prunes on it — hidden partitioning with no
     * directory layout. */
+  /** COLUMN DEFAULT VALUES are supported end-to-end: declared at CREATE
+    * or ADD COLUMN, they ride in the schema stamp as the standard
+    * `CURRENT_DEFAULT` / `EXISTS_DEFAULT` field metadata — the analyzer
+    * fills omitted INSERT columns from CURRENT_DEFAULT, and Spark's
+    * parquet readers fill the column in files that PREDATE it from
+    * EXISTS_DEFAULT (SPARK-38334 existence defaults), so an ADD COLUMN
+    * … DEFAULT backfills 100 TB of history with zero rewrites while an
+    * explicit NULL inserted later stays NULL (the fill applies only to
+    * files physically missing the column). EXISTS_DEFAULT freezes the
+    * CONSTANT value at declaration time; a later SET DEFAULT changes
+    * future inserts only — the SQL-standard split. */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** The standard default-value field metadata from a declared default:
+    * CURRENT_DEFAULT keeps the user's SQL text (future inserts re-fold
+    * it), EXISTS_DEFAULT freezes the folded constant (what pre-existing
+    * rows must forever read as). */
+  private def defaultMeta(dv: org.apache.spark.sql.connector.catalog.ColumnDefaultValue,
+                          base: org.apache.spark.sql.types.Metadata)
+      : org.apache.spark.sql.types.Metadata = {
+    val frozen = Option(dv.getValue)
+      .map(lv => org.apache.spark.sql.catalyst.expressions
+        .Literal(lv.value, lv.dataType).sql)
+      .orElse(Option(dv.getSql))
+      .getOrElse(throw new UnsupportedOperationException(
+        s"column default carries neither a folded value nor SQL text: $dv"))
+    new org.apache.spark.sql.types.MetadataBuilder().withMetadata(base)
+      .putString("CURRENT_DEFAULT", Option(dv.getSql).getOrElse(frozen))
+      .putString("EXISTS_DEFAULT", frozen)
+      .build()
+  }
+
   override def createTable(ident: Identifier,
                            columns: Array[org.apache.spark.sql.connector.catalog.Column],
                            partitions: Array[Transform],
@@ -230,8 +265,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val path = tablePath(ident)
     if (exists(path))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
-    val schema = StructType(columns.map(c =>
-      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+    val schema = StructType(columns.map { c =>
+      val f = org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)
+      Option(c.defaultValue()).map(dv =>
+        f.copy(metadata = defaultMeta(dv, f.metadata))).getOrElse(f)
+    })
     val clusterProp = Clustering.specOf(partitions, schema)
       .map(Clustering.Prop -> Some(_))
     Snapshots.commit(spark, path, adds = Nil, schemaJson = Some(schema.json),
@@ -271,19 +309,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     val widens = changes.collect { case u: TableChange.UpdateColumnType => u }
+    val defSets = changes.collect {
+      case u: TableChange.UpdateColumnDefaultValue => u }
     val other = changes.filterNot(c => c.isInstanceOf[TableChange.SetProperty] ||
       c.isInstanceOf[TableChange.RemoveProperty] ||
       c.isInstanceOf[TableChange.AddColumn] ||
       c.isInstanceOf[TableChange.RenameColumn] ||
       c.isInstanceOf[TableChange.DeleteColumn] ||
-      c.isInstanceOf[TableChange.UpdateColumnType])
+      c.isInstanceOf[TableChange.UpdateColumnType] ||
+      c.isInstanceOf[TableChange.UpdateColumnDefaultValue])
     if (other.nonEmpty) throw new UnsupportedOperationException(
       s"graft tables support ALTER TABLE SET/UNSET TBLPROPERTIES, ADD " +
-        s"COLUMNS, RENAME COLUMN, DROP COLUMN and widening ALTER COLUMN " +
-        s"TYPE only (files are immutable; other changes would re-map " +
-        s"history) — got ${other.mkString(", ")}")
+        s"COLUMNS, RENAME COLUMN, DROP COLUMN, widening ALTER COLUMN " +
+        s"TYPE and SET/DROP DEFAULT only (files are immutable; other " +
+        s"changes would re-map history) — got ${other.mkString(", ")}")
     val schemaChanges = addCols.nonEmpty || renames.nonEmpty ||
-      drops.nonEmpty || widens.nonEmpty
+      drops.nonEmpty || widens.nonEmpty || defSets.nonEmpty
     val schemaJson = if (!schemaChanges) None else {
       var cur = Snapshots.tableSchema(spark, path).getOrElse(
         throw new UnsupportedOperationException(
@@ -378,6 +419,28 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         cur = StructType(cur.fields.map(f =>
           if (f.name == name) f.copy(dataType = to) else f))
       }
+      // ALTER COLUMN SET/DROP DEFAULT: CURRENT_DEFAULT only — future
+      // inserts change, EXISTS_DEFAULT stays frozen (rows that predate
+      // the column must forever read the value declared WITH it)
+      defSets.foreach { u =>
+        require(u.fieldNames().length == 1,
+          s"nested ALTER COLUMN is not supported: ${u.fieldNames().mkString(".")}")
+        val name = u.fieldNames().head
+        require(cur.fieldNames.contains(name), s"no such column: $name")
+        cur = StructType(cur.fields.map { f =>
+          if (f.name != name) f
+          else {
+            val b = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            Option(u.newCurrentDefault())
+              .flatMap(dv => Option(dv.getSql)).filter(_.nonEmpty) match {
+              case Some(sql) => b.putString("CURRENT_DEFAULT", sql)
+              case None      => b.remove("CURRENT_DEFAULT")
+            }
+            f.copy(metadata = b.build())
+          }
+        })
+      }
       val added = addCols.map { a =>
         require(a.fieldNames().length == 1,
           s"nested ADD COLUMNS is not supported: ${a.fieldNames().mkString(".")}")
@@ -393,8 +456,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           s"cannot add '${a.fieldNames().head}': old files still carry " +
             "data under that physical name and would resurrect it " +
             "(OPTIMIZE to purge, or pick another name)")
-        org.apache.spark.sql.types.StructField(
+        val f = org.apache.spark.sql.types.StructField(
           a.fieldNames().head, a.dataType(), nullable = true)
+        // ADD COLUMN … DEFAULT v: the default metadata makes every
+        // pre-existing file serve v through the reader's existence
+        // fill — a 100 TB backfill with zero rewrites
+        Option(a.defaultValue()).map(dv =>
+          f.copy(metadata = defaultMeta(dv, f.metadata))).getOrElse(f)
       }
       if (renames.nonEmpty || drops.nonEmpty) {
         propChanges ++= Seq(Snapshots.MappingProp -> (

@@ -220,4 +220,44 @@ class GraftDdlSpec extends SparkSpec {
       spark.sql("ALTER TABLE gdl.w1 ALTER COLUMN v TYPE STRING") }
     assert(str.getMessage.contains("WIDENING"), str.getMessage)
   }
+
+  test("ADD COLUMN DEFAULT: old files serve the frozen default with zero rewrites") {
+    val t = s"$root/df1"
+    spark.sql("CREATE TABLE gdl.df1 (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO gdl.df1 VALUES (1, 'a'), (2, 'b')")
+    val before = Snapshots.liveFiles(spark, t).toSet
+    spark.sql("ALTER TABLE gdl.df1 ADD COLUMNS (tier STRING DEFAULT 'bronze')")
+    // metadata-only: no file rewritten, yet old rows read the default
+    assert(Snapshots.liveFiles(spark, t).toSet === before)
+    assert(spark.sql("SELECT id, tier FROM gdl.df1 ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "bronze"), (2L, "bronze")))
+    // INSERT omitting the column fills CURRENT_DEFAULT; explicit NULL stays
+    spark.sql("INSERT INTO gdl.df1 (id, s) VALUES (3, 'c')")
+    spark.sql("INSERT INTO gdl.df1 VALUES (4, 'd', NULL)")
+    val got = spark.sql("SELECT id, tier FROM gdl.df1 ORDER BY id")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(got === Seq((1L, Some("bronze")), (2L, Some("bronze")),
+      (3L, Some("bronze")), (4L, None)))
+    // SET DEFAULT changes future inserts only; history keeps the frozen fill
+    spark.sql("ALTER TABLE gdl.df1 ALTER COLUMN tier SET DEFAULT 'silver'")
+    spark.sql("INSERT INTO gdl.df1 (id, s) VALUES (5, 'e')")
+    val after = spark.sql("SELECT id, tier FROM gdl.df1 ORDER BY id")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(after === Seq((1L, Some("bronze")), (2L, Some("bronze")),
+      (3L, Some("bronze")), (4L, None), (5L, Some("silver"))))
+    // DROP DEFAULT: inserts fill NULL again; old fills stay frozen
+    spark.sql("ALTER TABLE gdl.df1 ALTER COLUMN tier DROP DEFAULT")
+    spark.sql("INSERT INTO gdl.df1 (id, s) VALUES (6, 'f')")
+    assert(spark.sql("SELECT tier FROM gdl.df1 WHERE id IN (1, 6) ORDER BY id")
+      .as[Option[String]].collect().toSeq === Seq(Some("bronze"), None))
+  }
+
+  test("CREATE TABLE with DEFAULT: inserts omitting the column fill it") {
+    spark.sql("CREATE TABLE gdl.df2 (id BIGINT, qty BIGINT DEFAULT 7)")
+    spark.sql("INSERT INTO gdl.df2 (id) VALUES (1)")
+    spark.sql("INSERT INTO gdl.df2 VALUES (2, 9)")
+    assert(spark.sql("SELECT id, qty FROM gdl.df2 ORDER BY id")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 7L), (2L, 9L)))
+  }
 }
