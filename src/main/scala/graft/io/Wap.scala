@@ -136,14 +136,27 @@ object Wap {
   }
 
   /** Publish the clone's live state into its source as ONE atomic swap
-    * commit, expressed AGAINST THE CLONE'S BASE: files the clone dropped
-    * from its base view retire, files it created land (rehomed), and —
-    * the fast-forward case — files the source APPENDED after the base
-    * stay live, so the ingest-keeps-appending-while-curation-stages
-    * pattern publishes without a re-clone. Any non-add-only source
-    * advance (a delete, a compaction, a new deletion vector — anything
-    * that could CONFLICT with the staged rewrite) refuses loudly;
-    * refusal beats invented merge semantics. */
+    * commit — a THREE-WAY MERGE at file granularity against the clone's
+    * base (the git model: base = the cloned version, ours = the source's
+    * current head, theirs = the clone):
+    *
+    *  - files only ONE side touched merge cleanly: source appends stay
+    *    live (the ingest-keeps-appending-while-curation-stages pattern
+    *    publishes without a re-clone), source-side removals stand, the
+    *    clone's own adds land (rehomed) and its removals retire;
+    *  - files BOTH sides removed/rewrote CONFLICT and refuse loudly
+    *    with the file list (row-level intent is unknowable at publish
+    *    time; re-clone from the current head and re-apply) — the same
+    *    file-level conflict rule Iceberg/Delta commit validation uses;
+    *  - deletion-vector streams merge one-sided only (both sides adding
+    *    tombstones have unknowable key overlap → conflict);
+    *  - a schema evolved on ONE side carries through; evolved on both
+    *    to different shapes → conflict.
+    *
+    * Caveat (same as every file-granularity MVCC): two sides touching
+    * DISJOINT files can still conflict semantically (e.g. both insert
+    * the same key into different files) — key-level invariants are the
+    * caller's, exactly as in Iceberg snapshot isolation. */
   def publish(spark: SparkSession, dst: String): PublishResult = {
     // a writer landing between resolve and commit is the NORMAL race for
     // this operation (publish exists to end a staging window on a live
@@ -171,20 +184,37 @@ object Wap {
     val srcLive = Snapshots.liveFiles(spark, src, Some(base)).toSet
     val srcDv = Snapshots.liveDvFiles(spark, src, Some(base)).toSet
     val srcBloom = Snapshots.liveBloomFiles(spark, src, Some(base)).toSet
-    if (cur != base) {
-      val nowLive = Snapshots.liveFiles(spark, src, Some(cur)).toSet
-      val nowDv = Snapshots.liveDvFiles(spark, src, Some(cur)).toSet
-      val addOnly = srcLive.subsetOf(nowLive) && nowDv == srcDv
-      if (!addOnly) throw new IllegalStateException(
-        s"$src advanced to v$cur past the clone's base v$base with " +
-          "removals or deletion vectors — those may conflict with the " +
-          "staged rewrite; re-clone from the current version and " +
-          "re-apply the staged changes (append-only advances fast-forward)")
-    }
+    val nowLive = if (cur == base) srcLive
+      else Snapshots.liveFiles(spark, src, Some(cur)).toSet
+    val nowDv = if (cur == base) srcDv
+      else Snapshots.liveDvFiles(spark, src, Some(cur)).toSet
+    val nowBloom = if (cur == base) srcBloom
+      else Snapshots.liveBloomFiles(spark, src, Some(cur)).toSet
     val dstV = Snapshots.currentVersion(spark, dst)
     val dstLive = Snapshots.liveFiles(spark, dst, Some(dstV))
     val dstDv = Snapshots.liveDvFiles(spark, dst, Some(dstV))
     val dstBloom = Snapshots.liveBloomFiles(spark, dst, Some(dstV))
+    // three-way conflict detection at file granularity: a base file both
+    // sides removed was REWRITTEN twice with unknowable row intent
+    val dataConflicts = (srcLive -- nowLive) intersect (srcLive -- dstLive.toSet)
+    val bloomConflicts = (srcBloom -- nowBloom) intersect (srcBloom -- dstBloom.toSet)
+    val srcDvChanged = nowDv != srcDv
+    val branchDvChanged = dstDv.toSet != srcDv
+    if (dataConflicts.nonEmpty || bloomConflicts.nonEmpty ||
+        (srcDvChanged && branchDvChanged)) {
+      val what =
+        if (dataConflicts.nonEmpty)
+          s"both rewrote base data files: ${dataConflicts.take(4).mkString(", ")}" +
+            (if (dataConflicts.size > 4) s" (+${dataConflicts.size - 4} more)" else "")
+        else if (bloomConflicts.nonEmpty)
+          s"both rewrote bloom sidecars: ${bloomConflicts.take(4).mkString(", ")}"
+        else "both sides added deletion vectors (tombstone key overlap unknowable)"
+      throw new IllegalStateException(
+        s"publish conflict: $src advanced to v$cur past the clone's base " +
+          s"v$base and $what; re-clone from the current version and " +
+          "re-apply the staged changes (changes to DISJOINT files merge " +
+          "cleanly — this refusal is a real double-rewrite)")
+    }
     // rehome clone-created files into the source's own data dir so the
     // source never references a staging path
     val f = fsOf(spark, src)
@@ -197,8 +227,12 @@ object Wap {
     val adds = dstLive.filterNot(srcLive).map(place(_, srcLive))
     val dvAdds = dstDv.filterNot(srcDv).map(place(_, srcDv))
     val bloomAdds = dstBloom.filterNot(srcBloom).map(place(_, srcBloom))
-    val removes = (srcLive -- dstLive.toSet).toSeq ++
-      (srcDv -- dstDv.toSet).toSeq ++ (srcBloom -- dstBloom.toSet).toSeq
+    // the clone's removals apply to what is STILL live at the head —
+    // base files the source itself already retired need (and tolerate)
+    // no second removal
+    val removes = ((srcLive -- dstLive.toSet) intersect nowLive).toSeq ++
+      ((srcDv -- dstDv.toSet) intersect nowDv).toSeq ++
+      ((srcBloom -- dstBloom.toSet) intersect nowBloom).toSeq
     // zone maps for the published adds travel with the rehome (every add
     // was rehomed by construction — it is a file the source didn't have);
     // __bytes re-records inside commit() for the new paths
@@ -206,13 +240,20 @@ object Wap {
       .filterNot(_.column == Snapshots.BytesStat)
       .filter(st => rehomed.contains(st.path))
       .map(st => st.copy(path = rehomed(st.path)))
-    // a schema evolved in the clone stamps the source at publish
+    // schema three-way: evolved on one side carries; both→different refuses
     val dstSchema = Snapshots.tableSchema(spark, dst, Some(dstV))
     val srcSchema = Snapshots.tableSchema(spark, src, Some(cur))
+    val baseSchema = Snapshots.tableSchema(spark, src, Some(base))
+    if (dstSchema != baseSchema && srcSchema != baseSchema &&
+        dstSchema != srcSchema)
+      throw new IllegalStateException(
+        s"publish conflict: both $src (v$base→v$cur) and the clone $dst " +
+          "evolved the schema to different shapes; re-clone and re-apply")
     val version = Snapshots.commit(spark, src,
       adds = adds, removes = removes, dvAdds = dvAdds, bloomAdds = bloomAdds,
       baseVersion = Some(cur),
-      schemaJson = if (dstSchema != srcSchema) dstSchema.map(_.json) else None,
+      schemaJson = if (dstSchema != baseSchema && dstSchema != srcSchema)
+        dstSchema.map(_.json) else None,
       stats = stats,
       notes = Seq(s"wap-publish:$dst@$dstV"))
     // the publish commit now holds the shared files live — the lifecycle

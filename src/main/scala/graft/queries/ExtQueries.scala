@@ -3230,7 +3230,7 @@ object ExtQueries {
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
-    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec)
+    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -8250,4 +8250,78 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS n_nulltier,
            |       CAST(1 AS BIGINT) AS meta_only
            |FROM documents""".stripMargin))
+
+  /** x158: THREE-WAY BRANCH MERGE — divergent branches merge at file
+    * granularity ([[graft.io.Wap.publish]], the git model over the
+    * manifest): a branch REWRITE (banded DELETE touching file 0) merges
+    * cleanly into a source that itself rewrote a DISJOINT file (banded
+    * DELETE on file 3) — both row-level changes land in one atomic
+    * commit, files neither side touched stay byte-identical
+    * (`untouched_ok`) — while a branch and source rewriting the SAME
+    * base file is a detected conflict: the merge refuses loudly naming
+    * the double-rewritten files and the branch's staging never leaks
+    * into the source (`conflict_ok`). This upgrades x153's
+    * fast-forward-or-refuse to Iceberg-style validation: refusals are
+    * REAL conflicts only. The oracle replays the surviving row algebra. */
+  private def x158Spec: QuerySpec =
+    QuerySpec("x158_sql_branch_merge3",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_merge3_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val tbl = s"$tmp/t"
+        val w = maxId / 4 + 1
+        val h = w / 2
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1),
+            tbl, recordSchema = i == 0, statsCols = Seq("doc_id"),
+            recordRowCounts = true)
+        }
+        val before = Snapshots.liveFiles(s, tbl).toSet
+        s.sql(s"CALL $cat.system.branch('t', 'exp')")
+        // branch rewrites file 0; source rewrites file 3 — disjoint
+        s.sql(s"DELETE FROM $cat.t._branches.exp WHERE doc_id BETWEEN 0 AND $h")
+        s.sql(s"DELETE FROM $cat.t WHERE doc_id >= ${3 * w} AND n_chars % 3 = 0")
+        s.sql(s"CALL $cat.system.fast_forward('t', 'exp')")
+        // files neither side touched (1 and 2) survived byte-identical
+        val untouchedOk =
+          if ((before intersect Snapshots.liveFiles(s, tbl).toSet).size == 2) 1L
+          else 0L
+        // branch and source rewriting the SAME file: detected conflict
+        s.sql(s"CALL $cat.system.branch('t', 'exp2')")
+        s.sql(s"DELETE FROM $cat.t._branches.exp2 WHERE doc_id = ${w + 1}")
+        s.sql(s"DELETE FROM $cat.t WHERE doc_id = ${w + 2}")
+        val conflictOk =
+          try { s.sql(s"CALL $cat.system.fast_forward('t', 'exp2')"); 0L }
+          catch {
+            case e: Exception if e.getMessage != null &&
+              e.getMessage.contains("re-clone") => 1L
+            case _: Exception => 0L
+          }
+        s.sql(s"CALL $cat.system.drop_branch('t', 'exp2')")
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("untouched_ok", lit(untouchedOk))
+          .withColumn("conflict_ok", lit(conflictOk))
+      },
+      Some("""WITH p AS (SELECT max(doc_id) // 4 + 1 AS w,
+           |              (max(doc_id) // 4 + 1) // 2 AS h FROM documents),
+           |kept AS (
+           |  SELECT doc_id, n_chars FROM documents, p
+           |  WHERE NOT (doc_id BETWEEN 0 AND h)
+           |    AND NOT (doc_id >= 3 * w AND n_chars % 3 = 0)
+           |    AND doc_id <> w + 2
+           |)
+           |SELECT count(*) AS n_rows,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS untouched_ok,
+           |       CAST(1 AS BIGINT) AS conflict_ok
+           |FROM kept""".stripMargin))
 }

@@ -91,17 +91,23 @@ class WapSpec extends SparkSpec {
       .coalesce(1), b, statsCols = Seq("id"))
     Wap.publish(spark, a) // wins: 20 rows live
     assert(Snapshots.readAt(spark, t).count() === 20L)
-    // B's base is stale AND A's publish REMOVED files → refuse, not merge
-    val e = intercept[IllegalStateException] { Wap.publish(spark, b) }
-    assert(e.getMessage.contains("re-clone"))
-    // the sanctioned path: re-clone from the current version, restage
-    val b2 = s"$base/stageB2"
-    Wap.clone(spark, t, b2)
-    Snapshots.commitAppend(Seq((500L, "s2", 1000L)).toDF("id", "src", "m")
-      .coalesce(1), b2, statsCols = Seq("id"))
-    Wap.publish(spark, b2)
+    // B's base is stale and A's publish removed files — but B touched
+    // DISJOINT files (a pure append), so the three-way merge lands it
+    // cleanly: both changes survive, no re-clone needed
+    Wap.publish(spark, b)
     assert(Snapshots.readAt(spark, t).count() === 21L)
     assert(Snapshots.readAt(spark, t).filter(col("id") === 500L).count() === 1L)
+    assert(Snapshots.readAt(spark, t).filter(col("id") <= 10).count() === 0L)
+    // a REAL conflict — two clones rewriting the SAME base file — refuses
+    val c1 = s"$base/stageC1"; val c2 = s"$base/stageC2"
+    Wap.clone(spark, t, c1)
+    Wap.clone(spark, t, c2)
+    Snapshots.deleteWhere(spark, c1, col("id") === 11L, prune = Some(("id", "11", "11")))
+    Snapshots.deleteWhere(spark, c2, col("id") === 12L, prune = Some(("id", "12", "12")))
+    Wap.publish(spark, c1)
+    val e = intercept[IllegalStateException] { Wap.publish(spark, c2) }
+    assert(e.getMessage.contains("re-clone") &&
+      e.getMessage.contains("rewrote base data files"), e.getMessage)
   }
 
   test("publish retries through a racing appender: staged change + every append survive") {
@@ -147,7 +153,8 @@ class WapSpec extends SparkSpec {
     assert(Snapshots.readAt(spark, t).filter(col("id") === 999L).count() === 1L)
     assert(Snapshots.readAt(spark, t).filter(col("id") <= 10).count() === 0L)
     assert(r.removed === 1) // the quarter file the staged delete dropped
-    // a CONFLICTING advance (deletion vector) refuses
+    // a one-sided deletion-vector advance merges (the clone staged no dv
+    // change of its own); the dv survives the publish
     val tc = s"$base/src3"
     (0 until 2).foreach { i =>
       Snapshots.commitAppend(
@@ -156,9 +163,25 @@ class WapSpec extends SparkSpec {
     }
     val c3 = s"$base/stage5"
     Wap.clone(spark, tc, c3)
+    Snapshots.commitAppend(Seq((777L, "v777")).toDF("id", "s").coalesce(1), c3)
     Snapshots.deleteWhereMor(spark, tc, col("id") === 1L, Seq("id"))
-    val e = intercept[IllegalStateException] { Wap.publish(spark, c3) }
-    assert(e.getMessage.contains("re-clone"))
+    Wap.publish(spark, c3)
+    assert(Snapshots.readAt(spark, tc).filter(col("id") === 1L).count() === 0L)
+    assert(Snapshots.readAt(spark, tc).filter(col("id") === 777L).count() === 1L)
+    // BOTH sides adding deletion vectors is a real conflict: refuses
+    val td = s"$base/src5"
+    (0 until 2).foreach { i =>
+      Snapshots.commitAppend(
+        (i * 10 + 1 to i * 10 + 10).map(x => (x.toLong, s"v$x")).toDF("id", "s")
+          .coalesce(1), td, recordSchema = i == 0)
+    }
+    val c5 = s"$base/stage6"
+    Wap.clone(spark, td, c5)
+    Snapshots.deleteWhereMor(spark, td, col("id") === 1L, Seq("id"))
+    Snapshots.deleteWhereMor(spark, c5, col("id") === 2L, Seq("id"))
+    val e = intercept[IllegalStateException] { Wap.publish(spark, c5) }
+    assert(e.getMessage.contains("re-clone") &&
+      e.getMessage.contains("deletion vectors"), e.getMessage)
     // a clustered source's clone inherits write.cluster.by (props carried)
     val t2 = s"$base/src2"
     Snapshots.commitAppend(
