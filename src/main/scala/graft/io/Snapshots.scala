@@ -347,6 +347,10 @@ object Snapshots {
     val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
+    // CHECK constraints gate between data write and manifest commit: a
+    // violation aborts with the files unreferenced (vacuum food)
+    if (parts.nonEmpty)
+      Constraints.validate(spark, table, spark.read.parquet(parts: _*), "appended")
     commit(spark, table, adds = parts,
       schemaJson = if (recordSchema) Some(df.schema.json) else None,
       stats = computeStats(spark, dir, parts, statsCols) ++
@@ -957,6 +961,9 @@ object Snapshots {
     val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
+    // CHECK constraints gate the merged change before anything commits
+    if (parts.nonEmpty)
+      Constraints.validate(spark, table, spark.read.parquet(parts: _*), "merged")
     // fold: tombstones for keys this batch re-upserts retire with the old
     // dv files; survivors are rewritten into ONE fresh dv (O(tombstones))
     val dvParts =
@@ -1203,6 +1210,9 @@ object Snapshots {
     val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
+    // CHECK constraints gate the merged change before anything commits
+    if (parts.nonEmpty)
+      Constraints.validate(spark, table, spark.read.parquet(parts: _*), "merged")
     // dv fold: tombstones for source keys retire (their ghosts dropped in
     // the rewrite above); survivors rewrite into one fresh dv. When no
     // file was touched, no source key appears in any candidate file, so
@@ -1288,6 +1298,10 @@ object Snapshots {
     val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
+    // UPDATE-shaped rewrites can introduce new row content: CHECK
+    // constraints validate the change files before anything commits
+    if (kind != "delete" && parts.nonEmpty)
+      Constraints.validate(spark, table, spark.read.parquet(parts: _*), kind)
     val version = commit(spark, table, adds = parts, removes = touched,
       baseVersion = Some(v),
       stats = computeStats(spark, dir, parts, statCols) ++
@@ -1320,6 +1334,9 @@ object Snapshots {
         if (clusterCols.isEmpty) Nil
         else computeStats(spark, dir, parts, clusterCols) ++
           rowCountStats(spark, dir, parts)
+      // streaming ingest honors CHECK constraints like any other writer
+      if (parts.nonEmpty)
+        Constraints.validate(spark, table, spark.read.parquet(parts: _*), "ingested")
       // an append is derivation-free, so losing a version race to a
       // concurrent writer (the ingest-vs-compaction pair every real
       // pipeline runs) just means re-resolving the next version — the

@@ -3230,7 +3230,7 @@ object ExtQueries {
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
-    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec)
+    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -8324,4 +8324,70 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS untouched_ok,
            |       CAST(1 AS BIGINT) AS conflict_ok
            |FROM kept""".stripMargin))
+
+  /** x159: CHECK CONSTRAINTS — engine-enforced row invariants
+    * ([[graft.io.Constraints]]): `ADD CONSTRAINT … CHECK` validates the
+    * existing rows once (column-pruned O(table), the declaration cost
+    * every engine pays) and refuses when history violates
+    * (`bad_add_ok`); after that EVERY write path gates its O(change)
+    * slice between data write and manifest commit — a violating INSERT
+    * aborts with nothing committed (`ins_blocked_ok` pins the version
+    * unchanged), a violating UPDATE likewise (`upd_blocked_ok`), clean
+    * writes land, and DROP CONSTRAINT lifts the gate. Validation reads
+    * back the freshly written change files in ONE aggregation pass per
+    * write — the producing plan is never computed twice, cost is
+    * O(change) not O(table). The oracle replays the surviving rows. */
+  private def x159Spec: QuerySpec =
+    QuerySpec("x159_sql_check_constraint",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_check_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val tbl = s"$tmp/t"
+        val w = maxId / 4 + 1
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1),
+            tbl, recordSchema = i == 0, statsCols = Seq("doc_id"),
+            recordRowCounts = true)
+        }
+        // declaring a constraint history violates refuses
+        val badAdd =
+          try { s.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT too_big CHECK (n_chars > 100000)"); 0L }
+          catch { case e: Exception
+            if e.getMessage.contains("existing rows") => 1L }
+        s.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT chars_nonneg CHECK (n_chars >= 0)")
+        val v0 = Snapshots.currentVersion(s, tbl)
+        val insBlocked =
+          try { s.sql(s"INSERT INTO $cat.t VALUES (${maxId + 1}, -1)"); 0L }
+          catch { case e: Exception
+            if e.getMessage.contains("chars_nonneg") &&
+              Snapshots.currentVersion(s, tbl) == v0 => 1L }
+        val updBlocked =
+          try { s.sql(s"UPDATE $cat.t SET n_chars = -n_chars - 1 WHERE doc_id = 3"); 0L }
+          catch { case e: Exception
+            if e.getMessage.contains("chars_nonneg") &&
+              Snapshots.currentVersion(s, tbl) == v0 => 1L }
+        // clean writes land through the gate
+        s.sql(s"INSERT INTO $cat.t VALUES (${maxId + 1}, 11)")
+        s.sql(s"UPDATE $cat.t SET n_chars = n_chars + 1000 WHERE doc_id = 3")
+        s.sql(s"ALTER TABLE $cat.t DROP CONSTRAINT chars_nonneg")
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("bad_add_ok", lit(badAdd))
+          .withColumn("ins_blocked_ok", lit(insBlocked))
+          .withColumn("upd_blocked_ok", lit(updBlocked))
+      },
+      Some("""SELECT count(*) + 1 AS n_rows,
+           |       CAST(sum(n_chars) + 11 + 1000 AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS bad_add_ok,
+           |       CAST(1 AS BIGINT) AS ins_blocked_ok,
+           |       CAST(1 AS BIGINT) AS upd_blocked_ok
+           |FROM documents""".stripMargin))
 }

@@ -236,8 +236,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * future inserts only — the SQL-standard split. */
   override def capabilities()
       : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   /** The standard default-value field metadata from a declared default:
     * CURRENT_DEFAULT keeps the user's SQL text (future inserts re-fold
@@ -311,18 +314,59 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val widens = changes.collect { case u: TableChange.UpdateColumnType => u }
     val defSets = changes.collect {
       case u: TableChange.UpdateColumnDefaultValue => u }
+    val conAdds = changes.collect { case a: TableChange.AddConstraint => a }
+    val conDrops = changes.collect { case d: TableChange.DropConstraint => d }
     val other = changes.filterNot(c => c.isInstanceOf[TableChange.SetProperty] ||
       c.isInstanceOf[TableChange.RemoveProperty] ||
       c.isInstanceOf[TableChange.AddColumn] ||
       c.isInstanceOf[TableChange.RenameColumn] ||
       c.isInstanceOf[TableChange.DeleteColumn] ||
       c.isInstanceOf[TableChange.UpdateColumnType] ||
-      c.isInstanceOf[TableChange.UpdateColumnDefaultValue])
+      c.isInstanceOf[TableChange.UpdateColumnDefaultValue] ||
+      c.isInstanceOf[TableChange.AddConstraint] ||
+      c.isInstanceOf[TableChange.DropConstraint])
     if (other.nonEmpty) throw new UnsupportedOperationException(
       s"graft tables support ALTER TABLE SET/UNSET TBLPROPERTIES, ADD " +
         s"COLUMNS, RENAME COLUMN, DROP COLUMN, widening ALTER COLUMN " +
-        s"TYPE and SET/DROP DEFAULT only (files are immutable; other " +
-        s"changes would re-map history) — got ${other.mkString(", ")}")
+        s"TYPE, SET/DROP DEFAULT and ADD/DROP CONSTRAINT … CHECK only " +
+        s"(files are immutable; other changes would re-map history) — " +
+        s"got ${other.mkString(", ")}")
+    // ADD CONSTRAINT … CHECK: validate the EXISTING live rows once (the
+    // inherent O(table) cost every engine pays at declaration — column-
+    // pruned to the predicate's columns), then record the predicate SQL
+    // as a property; every later write validates its own O(change) slice
+    // ([[graft.io.Constraints]]). Other constraint kinds (UNIQUE/PK/FK)
+    // have no distributed enforcement story worth faking — refuse.
+    conAdds.foreach { a =>
+      a.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          val name = c.name()
+          require(name.nonEmpty && !name.contains("="),
+            s"constraint name '$name' must be non-empty without '='")
+          val existing = graft.io.Constraints.of(spark, path).toMap
+          require(!existing.contains(name),
+            s"constraint '$name' already exists on $path")
+          val sql = Option(c.predicateSql()).getOrElse(
+            throw new UnsupportedOperationException(
+              s"CHECK constraint '$name' carries no predicate SQL"))
+          val bad = graft.io.Constraints
+            .violations(Snapshots.readAt(spark, path), sql).limit(1).count()
+          require(bad == 0,
+            s"cannot add CHECK constraint '$name' ($sql): existing rows " +
+              s"of $path violate it")
+          propChanges ++= Seq(
+            graft.io.Constraints.Prefix + name -> Some(sql))
+        case otherC => throw new UnsupportedOperationException(
+          s"graft tables enforce CHECK constraints only, got $otherC")
+      }
+    }
+    conDrops.foreach { d =>
+      val existing = graft.io.Constraints.of(spark, path).toMap
+      if (!existing.contains(d.name()) && !d.ifExists())
+        throw new IllegalArgumentException(
+          s"no such constraint '${d.name()}' on $path")
+      propChanges ++= Seq(graft.io.Constraints.Prefix + d.name() -> None)
+    }
     val schemaChanges = addCols.nonEmpty || renames.nonEmpty ||
       drops.nonEmpty || widens.nonEmpty || defSets.nonEmpty
     val schemaJson = if (!schemaChanges) None else {
@@ -354,6 +398,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         require(!dvKeyCols.contains(from),
           s"cannot rename '$from': live deletion vectors key on it " +
             "(compact to fold them first)")
+        val fromCons = graft.io.Constraints.mentioning(spark, path, from)
+        require(fromCons.isEmpty,
+          s"cannot rename '$from': CHECK constraint(s) " +
+            s"${fromCons.mkString(", ")} reference it (DROP CONSTRAINT first)")
         val phys = physOf(from)
         mapping = (mapping - from) ++ (if (phys == to) Nil else Seq(to -> phys))
         cur = StructType(cur.fields.map(f =>
@@ -381,6 +429,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             "(compact to fold them first)")
         require(!graft.io.Clustering.statCols(spark, path).contains(name),
           s"cannot drop cluster column '$name': change write.cluster.by first")
+        val nameCons = graft.io.Constraints.mentioning(spark, path, name)
+        require(nameCons.isEmpty,
+          s"cannot drop '$name': CHECK constraint(s) " +
+            s"${nameCons.mkString(", ")} reference it (DROP CONSTRAINT first)")
         dropped = (dropped :+ physOf(name)).distinct
         mapping -= name
         cur = StructType(cur.fields.filterNot(_.name == name))
@@ -557,6 +609,17 @@ final class GraftTable(val path: String, ident: String, val pinnedVersion: Long)
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
+  /** Recorded CHECK constraints, surfaced through the DSv2 constraint
+    * API (DESCRIBE et al.); enforcement is engine-side on every write
+    * path ([[graft.io.Constraints]]). */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    graft.io.Constraints.of(SparkSession.active, path).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   /** Manifest-recorded table properties, pinned like everything else
     * (SHOW TBLPROPERTIES reads these). */
   override def properties(): util.Map[String, String] =
@@ -661,6 +724,10 @@ object GraftTable {
       val parts = f.listStatus(p).toSeq
         .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
         .map(_.getPath.toString)
+      // CHECK constraints gate the overwrite content before the swap
+      if (parts.nonEmpty)
+        graft.io.Constraints.validate(spark, path,
+          spark.read.parquet(parts: _*), "overwritten")
       try {
         Snapshots.commit(spark, path, adds = parts,
           removes = removes, baseVersion = Some(v),

@@ -260,4 +260,45 @@ class GraftDdlSpec extends SparkSpec {
     assert(spark.sql("SELECT id, qty FROM gdl.df2 ORDER BY id")
       .as[(Long, Long)].collect().toSeq === Seq((1L, 7L), (2L, 9L)))
   }
+
+  test("CHECK constraints: declaration validates history, writes gate O(change), NULL passes") {
+    val t = mk("ck1")
+    spark.sql("ALTER TABLE gdl.ck1 ADD CONSTRAINT m_pos CHECK (m > 0)")
+    // a violating INSERT aborts with NOTHING committed
+    val v0 = Snapshots.currentVersion(spark, t)
+    val bad = intercept[Exception] {
+      spark.sql("INSERT INTO gdl.ck1 VALUES (100, 'sx', -5)") }
+    assert(bad.getMessage.contains("m_pos"), bad.getMessage)
+    assert(Snapshots.currentVersion(spark, t) === v0)
+    assert(spark.sql("SELECT count(*) AS n FROM gdl.ck1").as[Long].head() === 40L)
+    // a clean INSERT lands
+    spark.sql("INSERT INTO gdl.ck1 VALUES (100, 'sx', 5), (101, 'sy', 6)")
+    assert(spark.sql("SELECT count(*) AS n FROM gdl.ck1").as[Long].head() === 42L)
+    // NULL passes the CHECK (SQL three-valued rule) — nullable table
+    spark.sql("CREATE TABLE gdl.ck2 (id BIGINT, m BIGINT)")
+    spark.sql("ALTER TABLE gdl.ck2 ADD CONSTRAINT m_pos CHECK (m > 0)")
+    spark.sql("INSERT INTO gdl.ck2 VALUES (1, 5), (2, NULL)")
+    assert(spark.sql("SELECT count(*) AS n FROM gdl.ck2").as[Long].head() === 2L)
+    // UPDATE cannot smuggle a violation in
+    val badUp = intercept[Exception] {
+      spark.sql("UPDATE gdl.ck1 SET m = -m WHERE id = 5") }
+    assert(badUp.getMessage.contains("m_pos"), badUp.getMessage)
+    // MERGE honors the gate too
+    Seq((5L, "s2", -7L)).toDF("id", "src", "m").createOrReplaceTempView("ck1_bad")
+    val badMg = intercept[Exception] {
+      spark.sql("""MERGE INTO gdl.ck1 t USING ck1_bad s ON t.id = s.id
+                   WHEN MATCHED THEN UPDATE SET *""") }
+    assert(badMg.getMessage.contains("m_pos"), badMg.getMessage)
+    // declaring a constraint existing rows violate refuses
+    val badAdd = intercept[Exception] {
+      spark.sql("ALTER TABLE gdl.ck1 ADD CONSTRAINT m_huge CHECK (m > 1000)") }
+    assert(badAdd.getMessage.contains("existing rows"), badAdd.getMessage)
+    // renaming a constrained column refuses; DROP CONSTRAINT frees it
+    val badRn = intercept[Exception] {
+      spark.sql("ALTER TABLE gdl.ck1 RENAME COLUMN m TO metric") }
+    assert(badRn.getMessage.contains("m_pos"), badRn.getMessage)
+    spark.sql("ALTER TABLE gdl.ck1 DROP CONSTRAINT m_pos")
+    spark.sql("UPDATE gdl.ck1 SET m = -1 WHERE id = 5") // now allowed
+    assert(spark.sql("SELECT m FROM gdl.ck1 WHERE id = 5").as[Long].head() === -1L)
+  }
 }
