@@ -3230,7 +3230,7 @@ object ExtQueries {
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
-    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec)
+    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -8389,5 +8389,53 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS bad_add_ok,
            |       CAST(1 AS BIGINT) AS ins_blocked_ok,
            |       CAST(1 AS BIGINT) AS upd_blocked_ok
+           |FROM documents""".stripMargin))
+
+  /** x160: IDENTITY COLUMNS — `GENERATED ALWAYS/BY DEFAULT AS IDENTITY`
+    * with engine-side assignment ([[graft.sql.GraftWriteBuilder]]): ids
+    * mint in the SAME plan that writes the files against a transactional
+    * high watermark that advances in the SAME commit — racing writers
+    * re-derive, so two inserts can never mint the same id; the contract
+    * is uniqueness + direction (gaps allowed, the SQL-standard identity
+    * shape), so the oracle pins the INVARIANTS: distinct count equals
+    * row count (`unique_ok`), every id at/above START (`min_ok`), the
+    * second batch strictly above the first (`order_ok`), and GENERATED
+    * ALWAYS refusing an explicit value with nothing committed
+    * (`always_ok`). */
+  private def x160Spec: QuerySpec =
+    QuerySpec("x160_sql_identity",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ident_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        Tables.documents(s, d)
+          .select(col("n_chars").cast("long").as("nc"))
+          .createOrReplaceTempView("x160_docs")
+        s.sql(s"""CREATE TABLE $cat.t (
+                 |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1000),
+                 |  batch STRING, n_chars BIGINT)""".stripMargin)
+        s.sql(s"INSERT INTO $cat.t (batch, n_chars) SELECT 'b1', nc FROM x160_docs")
+        s.sql(s"INSERT INTO $cat.t (batch, n_chars) VALUES ('b2', 1), ('b2', 2), ('b2', 3)")
+        val alwaysOk =
+          try { s.sql(s"INSERT INTO $cat.t VALUES (9, 'bx', 0)"); 0L }
+          catch { case e: Exception
+            if e.getMessage != null && e.getMessage.contains("IDENTITY") => 1L }
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 |CAST(CASE WHEN count(DISTINCT id) = count(*) THEN 1 ELSE 0 END AS BIGINT) AS unique_ok,
+                 |CAST(CASE WHEN min(id) >= 1000 THEN 1 ELSE 0 END AS BIGINT) AS min_ok,
+                 |CAST(CASE WHEN (SELECT min(id) FROM $cat.t WHERE batch = 'b2') >
+                 |          (SELECT max(id) FROM $cat.t WHERE batch = 'b1')
+                 |     THEN 1 ELSE 0 END AS BIGINT) AS order_ok
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("always_ok", lit(alwaysOk))
+      },
+      Some("""SELECT count(*) + 3 AS n_rows,
+           |       CAST(sum(n_chars) + 6 AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS unique_ok,
+           |       CAST(1 AS BIGINT) AS min_ok,
+           |       CAST(1 AS BIGINT) AS order_ok,
+           |       CAST(1 AS BIGINT) AS always_ok
            |FROM documents""".stripMargin))
 }

@@ -240,7 +240,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** The standard default-value field metadata from a declared default:
     * CURRENT_DEFAULT keeps the user's SQL text (future inserts re-fold
@@ -269,9 +271,25 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     if (exists(path))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     val schema = StructType(columns.map { c =>
-      val f = org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)
-      Option(c.defaultValue()).map(dv =>
-        f.copy(metadata = defaultMeta(dv, f.metadata))).getOrElse(f)
+      val f0 = org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)
+      val f1 = Option(c.defaultValue()).map(dv =>
+        f0.copy(metadata = defaultMeta(dv, f0.metadata))).getOrElse(f0)
+      // GENERATED … AS IDENTITY rides the schema stamp under Spark's own
+      // identity metadata keys; assignment happens engine-side at INSERT
+      // ([[GraftWriteBuilder]]) against a transactional high watermark
+      Option(c.identityColumnSpec()).map { is =>
+        require(c.dataType == org.apache.spark.sql.types.LongType ||
+          c.dataType == org.apache.spark.sql.types.IntegerType,
+          s"IDENTITY column ${c.name} must be BIGINT or INT, got ${c.dataType.simpleString}")
+        import org.apache.spark.sql.catalyst.util.IdentityColumn
+        f1.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f1.metadata)
+          .putLong(IdentityColumn.IDENTITY_INFO_START, is.getStart)
+          .putLong(IdentityColumn.IDENTITY_INFO_STEP, is.getStep)
+          .putBoolean(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+            is.isAllowExplicitInsert)
+          .build())
+      }.getOrElse(f1)
     })
     val clusterProp = Clustering.specOf(partitions, schema)
       .map(Clustering.Prop -> Some(_))
@@ -764,13 +782,102 @@ final class GraftWriteBuilder(table: GraftTable)
           val spark = data.sparkSession
           val cols = table.schema.fieldNames.toIndexedSeq
           val df = data.toDF(cols: _*) // positional, the INSERT contract
-          if (!(overwrite || ovr)) {
+          val idFields = table.schema.fields.filter(
+            org.apache.spark.sql.catalyst.util.IdentityColumn.isIdentityColumn)
+          if (idFields.nonEmpty)
+            GraftWriteBuilder.insertWithIdentity(spark, table, df,
+              idFields.toSeq, overwrite || ovr)
+          else if (!(overwrite || ovr)) {
             val (clustered, statCols) = graft.io.Clustering.forWrite(spark, table.path, df)
             Snapshots.commitAppend(clustered, table.path,
               statsCols = statCols, recordRowCounts = statCols.nonEmpty)
           } else GraftTable.overwrite(spark, table.path, df)
         }
       }
+  }
+}
+
+/** IDENTITY assignment — engine-side, transactional, gap-tolerant (the
+  * SQL-standard contract is uniqueness + direction, not density):
+  *
+  *  - values generate as `watermark + step * monotonically_increasing_id()`
+  *    inside the SAME plan that writes the files — one pass, no
+  *    double-compute of the producing query;
+  *  - the high watermark (`graft.identity.<col>.next`) advances in the
+  *    SAME commit as the data against the version the assignment read —
+  *    a RACING identity insert throws [[Snapshots.ConcurrentCommitException]]
+  *    and re-derives with fresh values, so two writers can never mint the
+  *    same id (the lost attempt's files are vacuum food);
+  *  - the watermark re-reads from the WRITTEN files (column-pruned
+  *    max/min), so explicit `BY DEFAULT` values push it past themselves;
+  *  - `GENERATED ALWAYS` refuses explicit values per row via a zero-pass
+  *    in-plan guard (`raise_error`), `BY DEFAULT` fills only NULLs. */
+object GraftWriteBuilder {
+  private def nextProp(col: String) = s"graft.identity.$col.next"
+
+  private[sql] def insertWithIdentity(spark: SparkSession, table: GraftTable,
+                                      df: org.apache.spark.sql.DataFrame,
+                                      idFields: Seq[org.apache.spark.sql.types.StructField],
+                                      ovr: Boolean): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.util.IdentityColumn
+    val path = table.path
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val v = Snapshots.currentVersion(spark, path)
+      val props = Snapshots.tableProperties(spark, path, Some(v))
+      val specs = idFields.map(f => f -> IdentityColumn.getIdentityInfo(f).get)
+      val filled = specs.foldLeft(df) { case (d, (f, is)) =>
+        val next = props.get(nextProp(f.name)).map(_.toLong).getOrElse(is.getStart)
+        val gen = (lit(next) + lit(is.getStep) * monotonically_increasing_id())
+          .cast(f.dataType)
+        val e =
+          if (is.isAllowExplicitInsert) coalesce(col(f.name), gen)
+          else when(col(f.name).isNotNull, raise_error(lit(
+            s"GENERATED ALWAYS AS IDENTITY column '${f.name}' cannot be " +
+              "assigned an explicit value")).cast(f.dataType)).otherwise(gen)
+        d.withColumn(f.name, e)
+      }
+      val (clustered, statCols) = graft.io.Clustering.forWrite(spark, path, filled)
+      val dir = s"$path/data/${java.util.UUID.randomUUID()}"
+      clustered.write.parquet(dir)
+      val p = new Path(dir)
+      val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts = fsys.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString)
+      if (parts.isEmpty) return // empty batch: nothing to mint or commit
+      // watermark from the WRITTEN files (one column-pruned agg)
+      val rb = spark.read.parquet(parts: _*)
+      val aggs = specs.map { case (f, is) =>
+        (if (is.getStep >= 0) max(col(f.name)) else min(col(f.name))).as(f.name) }
+      val row = rb.agg(aggs.head, aggs.tail: _*).first()
+      val propUps = specs.zipWithIndex.collect {
+        case ((f, is), i) if !row.isNullAt(i) =>
+          nextProp(f.name) ->
+            Some((row.getAs[Number](i).longValue + is.getStep).toString)
+      }
+      graft.io.Constraints.validate(spark, path, rb, "inserted")
+      val removes =
+        if (!ovr) Nil
+        else Snapshots.liveFiles(spark, path, Some(v)) ++
+          Snapshots.liveDvFiles(spark, path, Some(v)) ++
+          Snapshots.liveBloomFiles(spark, path, Some(v))
+      try {
+        Snapshots.commit(spark, path, adds = parts, removes = removes,
+          baseVersion = Some(v), props = propUps,
+          stats = Snapshots.computeStats(spark, dir, parts, statCols) ++
+            (if (statCols.nonEmpty) Snapshots.rowCountStats(spark, dir, parts)
+             else Nil))
+        done = true
+      } catch {
+        // a racing writer may have minted the same ids: re-derive against
+        // the fresh watermark (the lost attempt's dir is vacuum food)
+        case _: Snapshots.ConcurrentCommitException if attempts < 20 =>
+          attempts += 1
+      }
+    }
   }
 }
 
