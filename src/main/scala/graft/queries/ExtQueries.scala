@@ -3230,7 +3230,7 @@ object ExtQueries {
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
-    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec)
+    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -8438,4 +8438,55 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS order_ok,
            |       CAST(1 AS BIGINT) AS always_ok
            |FROM documents""".stripMargin))
+
+  /** x161: GENERATED COLUMNS — `GENERATED ALWAYS AS (expr)` computed
+    * engine-side in the SAME plan that writes the files
+    * ([[graft.sql.GraftWriteBuilder.applyGenerated]], zero extra
+    * passes): omitted values compute from the row, an explicit value
+    * must MATCH the expression or the write fails per row with nothing
+    * committed (`mismatch_ok` pins count unchanged — the Delta
+    * validation shape), and downstream queries GROUP BY the generated
+    * column exactly as if the user had written the expression. The
+    * oracle recomputes the generated values relationally. */
+  private def x161Spec: QuerySpec =
+    QuerySpec("x161_sql_generated",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_gen_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+          .createOrReplaceTempView("x161_docs")
+        s.sql(s"""CREATE TABLE $cat.t (
+                 |  doc_id BIGINT, n_chars BIGINT,
+                 |  bucket BIGINT GENERATED ALWAYS AS (n_chars % 10),
+                 |  label STRING GENERATED ALWAYS AS
+                 |    (concat('b', CAST(n_chars % 10 AS STRING))))""".stripMargin)
+        s.sql(s"""INSERT INTO $cat.t (doc_id, n_chars)
+                 |SELECT doc_id, nc FROM x161_docs""".stripMargin)
+        val n0 = s.sql(s"SELECT count(*) AS n FROM $cat.t").collect().head.getLong(0)
+        val mismatchOk =
+          try { s.sql(s"INSERT INTO $cat.t VALUES (-1, 13, 99, 'b3')"); 0L }
+          catch { case e: Exception if e.getMessage != null =>
+            val n1 = s.sql(s"SELECT count(*) AS n FROM $cat.t")
+              .collect().head.getLong(0)
+            if (n1 == n0) 1L else 0L }
+        // a MATCHING explicit row lands
+        s.sql(s"INSERT INTO $cat.t VALUES (-1, 13, 3, 'b3')")
+        s.sql(s"""SELECT label, count(*) AS n_docs,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t GROUP BY label""".stripMargin)
+          .withColumn("mismatch_ok", lit(mismatchOk))
+          .orderBy("label")
+      },
+      Some("""WITH t AS (
+           |  SELECT n_chars FROM documents
+           |  UNION ALL SELECT 13
+           |)
+           |SELECT 'b' || CAST(n_chars % 10 AS VARCHAR) AS label,
+           |       count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS mismatch_ok
+           |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
 }

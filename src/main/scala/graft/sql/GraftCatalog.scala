@@ -242,7 +242,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   /** The standard default-value field metadata from a declared default:
     * CURRENT_DEFAULT keeps the user's SQL text (future inserts re-fold
@@ -274,6 +276,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       val f0 = org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)
       val f1 = Option(c.defaultValue()).map(dv =>
         f0.copy(metadata = defaultMeta(dv, f0.metadata))).getOrElse(f0)
+      // GENERATED ALWAYS AS (expr) rides the schema stamp under Spark's
+      // generation-expression key; computation happens engine-side at
+      // INSERT ([[GraftWriteBuilder.applyGenerated]])
+      val f2 = Option(c.generationExpression()).map { ge =>
+        f1.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f1.metadata)
+          .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
+            .GENERATION_EXPRESSION_METADATA_KEY, ge)
+          .build())
+      }.getOrElse(f1)
       // GENERATED … AS IDENTITY rides the schema stamp under Spark's own
       // identity metadata keys; assignment happens engine-side at INSERT
       // ([[GraftWriteBuilder]]) against a transactional high watermark
@@ -282,14 +294,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           c.dataType == org.apache.spark.sql.types.IntegerType,
           s"IDENTITY column ${c.name} must be BIGINT or INT, got ${c.dataType.simpleString}")
         import org.apache.spark.sql.catalyst.util.IdentityColumn
-        f1.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f1.metadata)
+        f2.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f2.metadata)
           .putLong(IdentityColumn.IDENTITY_INFO_START, is.getStart)
           .putLong(IdentityColumn.IDENTITY_INFO_STEP, is.getStep)
           .putBoolean(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
             is.isAllowExplicitInsert)
           .build())
-      }.getOrElse(f1)
+      }.getOrElse(f2)
     })
     val clusterProp = Clustering.specOf(partitions, schema)
       .map(Clustering.Prop -> Some(_))
@@ -787,11 +799,15 @@ final class GraftWriteBuilder(table: GraftTable)
           if (idFields.nonEmpty)
             GraftWriteBuilder.insertWithIdentity(spark, table, df,
               idFields.toSeq, overwrite || ovr)
-          else if (!(overwrite || ovr)) {
-            val (clustered, statCols) = graft.io.Clustering.forWrite(spark, table.path, df)
-            Snapshots.commitAppend(clustered, table.path,
-              statsCols = statCols, recordRowCounts = statCols.nonEmpty)
-          } else GraftTable.overwrite(spark, table.path, df)
+          else {
+            val gen = GraftWriteBuilder.applyGenerated(table, df)
+            if (!(overwrite || ovr)) {
+              val (clustered, statCols) =
+                graft.io.Clustering.forWrite(spark, table.path, gen)
+              Snapshots.commitAppend(clustered, table.path,
+                statsCols = statCols, recordRowCounts = statCols.nonEmpty)
+            } else GraftTable.overwrite(spark, table.path, gen)
+          }
         }
       }
   }
@@ -815,6 +831,30 @@ final class GraftWriteBuilder(table: GraftTable)
 object GraftWriteBuilder {
   private def nextProp(col: String) = s"graft.identity.$col.next"
 
+  /** GENERATED ALWAYS AS (expr) computation — in-plan, zero extra
+    * passes: omitted (NULL) values compute from the row's other columns;
+    * an explicit value must MATCH the expression or the write fails per
+    * row (`raise_error`, the Delta validation shape). Expressions may
+    * reference only non-generated columns (enforced by Spark at CREATE). */
+  private[sql] def applyGenerated(table: GraftTable,
+                                  df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.util.GeneratedColumn
+    table.schema.fields.foldLeft(df) { (d, f) =>
+      GeneratedColumn.getGenerationExpression(f) match {
+        case None => d
+        case Some(ge) =>
+          val e = expr(ge).cast(f.dataType)
+          d.withColumn(f.name,
+            when(col(f.name).isNotNull && !(col(f.name) <=> e),
+              raise_error(lit(s"GENERATED column '${f.name}' value does " +
+                s"not match its expression ($ge)")).cast(f.dataType))
+              .otherwise(coalesce(col(f.name), e)))
+      }
+    }
+  }
+
   private[sql] def insertWithIdentity(spark: SparkSession, table: GraftTable,
                                       df: org.apache.spark.sql.DataFrame,
                                       idFields: Seq[org.apache.spark.sql.types.StructField],
@@ -828,7 +868,7 @@ object GraftWriteBuilder {
       val v = Snapshots.currentVersion(spark, path)
       val props = Snapshots.tableProperties(spark, path, Some(v))
       val specs = idFields.map(f => f -> IdentityColumn.getIdentityInfo(f).get)
-      val filled = specs.foldLeft(df) { case (d, (f, is)) =>
+      val filled0 = specs.foldLeft(df) { case (d, (f, is)) =>
         val next = props.get(nextProp(f.name)).map(_.toLong).getOrElse(is.getStart)
         val gen = (lit(next) + lit(is.getStep) * monotonically_increasing_id())
           .cast(f.dataType)
@@ -839,6 +879,9 @@ object GraftWriteBuilder {
               "assigned an explicit value")).cast(f.dataType)).otherwise(gen)
         d.withColumn(f.name, e)
       }
+      // generated columns compute AFTER identity fill (they may reference
+      // the freshly minted ids)
+      val filled = applyGenerated(table, filled0)
       val (clustered, statCols) = graft.io.Clustering.forWrite(spark, path, filled)
       val dir = s"$path/data/${java.util.UUID.randomUUID()}"
       clustered.write.parquet(dir)
