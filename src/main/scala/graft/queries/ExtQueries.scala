@@ -3230,7 +3230,7 @@ object ExtQueries {
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
-    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec)
+    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, st31Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -8489,4 +8489,57 @@ object ExtQueries {
            |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            |       CAST(1 AS BIGINT) AS mismatch_ok
            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** st31: STREAMING DECONTAMINATION GATE ([[graft.streaming
+    * .DecontamGate]]) — eval-set admission control at ingest: documents
+    * stream in three micro-batches, any doc sharing ≥2 5-gram
+    * occurrences with the STATIC benchmark corpus (docs with doc_id %
+    * 37 == 0) drops at the gate, keepers append with their overlap
+    * signal. The benchmark gram universe builds once and persists
+    * (broadcast per batch — O(batch grams) each, no state store); the
+    * stateless verdicts make crash replay idempotent. The oracle
+    * replays the gram join and the admission rule over the batch
+    * table. */
+  private def st31Spec: QuerySpec =
+    QuerySpec("st31_stream_decontam_gate",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val src = Staging.slicedSource("decong", d) { tmp =>
+          (0 until 3).foreach { r =>
+            Staging.writeSlice(docs.filter(col("doc_id") % 3 === r),
+              s"$tmp/src/slice$r")
+          }
+          Seq("slice0", "slice1", "slice2")
+        }
+        val bench = Tables.documents(s, d).filter(col("doc_id") % 37 === 0)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_decong_run").toString
+        Staging.drainTuning(s, src, 3) {
+          val q = graft.streaming.DecontamGate.start(s,
+            s.readStream
+              .schema(org.apache.spark.sql.types.StructType.fromDDL(
+                "doc_id BIGINT, text STRING"))
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(s"$src/src"),
+            bench, col("text"),
+            outDir = s"$tmp/out", checkpoint = s"$tmp/ckpt",
+            k = 5, minHits = 2)
+          q.awaitTermination()
+        }
+        s.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+          .select(col("doc_id"), col("bench_hits"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+           |       FROM documents),
+           |g AS (SELECT doc_id, list_transform(range(1, len(t) - 3),
+           |        i -> array_to_string(t[i:i+4], ' ')) AS g
+           |      FROM t),
+           |be AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % 37 = 0),
+           |tg AS (SELECT doc_id, unnest(g) AS gram FROM g),
+           |h AS (SELECT tg.doc_id, count(*) AS bench_hits
+           |      FROM tg JOIN be ON tg.gram = be.gram GROUP BY 1)
+           |SELECT t.doc_id, CAST(coalesce(h.bench_hits, 0) AS BIGINT) AS bench_hits
+           |FROM t LEFT JOIN h USING (doc_id)
+           |WHERE coalesce(h.bench_hits, 0) < 2
+           |ORDER BY doc_id""".stripMargin))
 }
