@@ -3230,7 +3230,7 @@ object ExtQueries {
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
-    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, st31Spec)
+    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, st31Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -8489,6 +8489,52 @@ object ExtQueries {
            |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            |       CAST(1 AS BIGINT) AS mismatch_ok
            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** x162: DROP TABLE — the lifecycle's missing end: deletes the table
+    * tree (the SQL contract), REFUSING while other consumers still share
+    * its files — a live branch (`branch_guard_ok`) or an outstanding WAP
+    * clone must merge, publish or drop first, otherwise they would
+    * dangle on deleted data. After the guards clear, the drop lands, the
+    * name is immediately reusable (`recreate_ok` pins a fresh table
+    * under the old name serving only its own rows), and a dropped name
+    * resolves as missing, not as ghost-data (`gone_ok`). The oracle
+    * replays the surviving second-generation relation. */
+  private def x162Spec: QuerySpec =
+    QuerySpec("x162_sql_drop_table",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_drop_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+          .createOrReplaceTempView("x162_docs")
+        s.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, n_chars BIGINT)")
+        s.sql(s"INSERT INTO $cat.t SELECT doc_id, nc FROM x162_docs")
+        s.sql(s"CALL $cat.system.branch('t', 'exp')")
+        val branchGuard =
+          try { s.sql(s"DROP TABLE $cat.t"); 0L }
+          catch { case e: Exception
+            if e.getMessage != null && e.getMessage.contains("branch") => 1L }
+        s.sql(s"CALL $cat.system.drop_branch('t', 'exp')")
+        s.sql(s"DROP TABLE $cat.t")
+        val goneOk =
+          try { s.sql(s"SELECT count(*) FROM $cat.t").collect(); 0L }
+          catch { case _: Exception => 1L }
+        // the name is immediately reusable for a FRESH table
+        s.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, n_chars BIGINT)")
+        s.sql(s"INSERT INTO $cat.t SELECT doc_id, nc FROM x162_docs WHERE nc % 2 = 0")
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("branch_guard_ok", lit(branchGuard))
+          .withColumn("gone_ok", lit(goneOk))
+      },
+      Some("""SELECT count(*) AS n_rows,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS branch_guard_ok,
+           |       CAST(1 AS BIGINT) AS gone_ok
+           |FROM documents WHERE n_chars % 2 = 0""".stripMargin))
 
   /** st31: STREAMING DECONTAMINATION GATE ([[graft.streaming
     * .DecontamGate]]) — eval-set admission control at ingest: documents

@@ -63,9 +63,10 @@ import graft.io.Snapshots
   * CREATE TABLE / CTAS work (an empty schema-stamped v1, then ordinary
   * transactional appends); row-level DML (MERGE/DELETE/UPDATE) stays
   * with the transactional library API, which is where the multi-writer
-  * discipline lives — `alterTable`/`dropTable`/`renameTable` throw
-  * (history is the product; dropping it is an operator decision made
-  * outside SQL). MAINTENANCE is SQL: the catalog is also a
+  * discipline lives. DROP TABLE deletes the tree once no branch or WAP
+  * clone still shares its files; `renameTable` throws (a directory move
+  * is non-atomic on object stores — clone + publish instead).
+  * MAINTENANCE is SQL: the catalog is also a
   * `ProcedureCatalog`, so
   * `CALL graft.system.optimize('t', 'a,b', 16)`, `compact_small`,
   * `bloom_index`, `checkpoint`, `expire`, `vacuum`, `restore`, `tag`,
@@ -576,11 +577,32 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+  /** DROP TABLE — deletes the table tree (manifest + data; destructive,
+    * exactly the SQL contract). Refuses while OTHER tables still share
+    * its files: live branches (each holds a lifecycle pin) and
+    * outstanding WAP clones (`wap-` pins) must merge, publish or drop
+    * first — otherwise the clone/branch would dangle on deleted data.
+    * User tags die with the table (they pin versions, not consumers). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = tablePath(ident)
+    if (!exists(path)) return false
+    val branches = graft.io.Branches.list(spark, path)
+    if (branches.nonEmpty) throw new IllegalStateException(
+      s"cannot DROP $path: live branches ${branches.mkString(", ")} — " +
+        "fast_forward or drop_branch them first")
+    val pins = Snapshots.tags(spark, path).keys.filter(_.startsWith("wap-"))
+    if (pins.nonEmpty) throw new IllegalStateException(
+      s"cannot DROP $path: outstanding WAP clones hold lifecycle pins " +
+        s"(${pins.mkString(", ")}) — publish or abandon them first")
+    val p = new Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(p, true)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    throw new UnsupportedOperationException(
+      "graft tables do not rename: a directory move is non-atomic on " +
+        "object stores; CALL clone + publish to re-home a table's state")
 
   /** Maintenance procedures (`CALL graft.system.optimize('t', …)` etc.) —
     * the writes that ARE exposed through SQL run the same transactional

@@ -301,4 +301,20 @@ class GraftDdlSpec extends SparkSpec {
     spark.sql("UPDATE gdl.ck1 SET m = -1 WHERE id = 5") // now allowed
     assert(spark.sql("SELECT m FROM gdl.ck1 WHERE id = 5").as[Long].head() === -1L)
   }
+
+  test("DROP TABLE deletes the tree; refuses while a branch shares files; name reusable") {
+    root // force the catalog registration
+    spark.sql("CREATE TABLE gdl.dt1 (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO gdl.dt1 VALUES (1, 'a')")
+    spark.sql("CALL gdl.system.branch('dt1', 'exp')")
+    val e = intercept[Exception] { spark.sql("DROP TABLE gdl.dt1") }
+    assert(e.getMessage.contains("branch"), e.getMessage)
+    spark.sql("CALL gdl.system.drop_branch('dt1', 'exp')")
+    spark.sql("DROP TABLE gdl.dt1")
+    assert(!new java.io.File(s"$root/dt1").exists())
+    spark.sql("CREATE TABLE gdl.dt1 (x BIGINT)") // the name is reusable
+    spark.sql("INSERT INTO gdl.dt1 VALUES (7)")
+    assert(spark.sql("SELECT x FROM gdl.dt1").as[Long].head() === 7L)
+    spark.sql("DROP TABLE gdl.dt1")
+  }
 }
