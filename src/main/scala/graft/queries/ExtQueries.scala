@@ -3230,7 +3230,7 @@ object ExtQueries {
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
-    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, st31Spec)
+    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, st31Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -8535,6 +8535,54 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS branch_guard_ok,
            |       CAST(1 AS BIGINT) AS gone_ok
            |FROM documents WHERE n_chars % 2 = 0""".stripMargin))
+
+  /** x163: ANALYZE → COST-BASED OPTIMIZATION ([[graft.io.ColStats]]) —
+    * `CALL analyze('t', 'cols')` records per-column NDV (one HLL
+    * aggregation pass, never a distinct shuffle per column), null count
+    * and length moments as transactional properties; the scan reports
+    * them through DSv2 `columnStats()`, so with `spark.sql.cbo.enabled`
+    * the optimizer's attribute stats carry real NDVs (`cbo_ok` pins
+    * distinctCount present in the optimized plan) — the input join
+    * reordering needs at 100 TB. `ndv_ok` pins the sketch within 10% of
+    * the exact count; results never depend on stats. */
+  private def x163Spec: QuerySpec =
+    QuerySpec("x163_sql_analyze",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_analyze_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("nc"))
+          .createOrReplaceTempView("x163_docs")
+        s.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, source STRING, n_chars BIGINT)")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM x163_docs")
+        s.sql(s"CALL $cat.system.analyze('t', 'doc_id,source')")
+        val exactSrc = s.sql(s"SELECT count(DISTINCT source) AS n FROM $cat.t")
+          .collect().head.getLong(0)
+        val st = graft.io.ColStats.of(s, s"$tmp/t")
+        val ndvOk = if (math.abs(st("source")._1 - exactSrc) <=
+          math.max(1L, exactSrc / 10)) 1L else 0L
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        val cboOk = try {
+          val stats = s.sql(s"SELECT doc_id, source FROM $cat.t")
+            .queryExecution.optimizedPlan.stats.attributeStats
+          if (stats.toSeq.exists { case (a, cs) =>
+            a.name == "source" && cs.distinctCount.isDefined }) 1L else 0L
+        } finally s.conf.set("spark.sql.cbo.enabled", "false")
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |count(DISTINCT source) AS n_sources,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("ndv_ok", lit(ndvOk))
+          .withColumn("cbo_ok", lit(cboOk))
+      },
+      Some("""SELECT count(*) AS n_rows,
+           |       count(DISTINCT source) AS n_sources,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS ndv_ok,
+           |       CAST(1 AS BIGINT) AS cbo_ok
+           |FROM documents""".stripMargin))
 
   /** st31: STREAMING DECONTAMINATION GATE ([[graft.streaming
     * .DecontamGate]]) — eval-set admission control at ingest: documents

@@ -1301,9 +1301,34 @@ final class GraftScan(table: GraftTable, required: StructType,
     val rowEst =
       if (rows.size == candidates.size && candidates.nonEmpty) OptionalLong.of(rows.sum)
       else OptionalLong.empty()
+    // recorded column stats (CALL analyze — [[graft.io.ColStats]]) ride
+    // into the optimizer: with spark.sql.cbo.enabled the join reorder
+    // sees real NDVs instead of guessing. Read at the PINNED version so
+    // stats time-travel with the data they describe.
+    val colStats: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      graft.io.ColStats.of(spark, table.path, Some(v)).foreach {
+        case (c, (ndv, nulls, avgL, maxL)) =>
+          m.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): OptionalLong = OptionalLong.of(ndv)
+              override def nullCount(): OptionalLong = OptionalLong.of(nulls)
+              override def avgLen(): OptionalLong = OptionalLong.of(avgL)
+              override def maxLen(): OptionalLong = OptionalLong.of(maxL)
+            })
+      }
+      m
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): OptionalLong = byteEst
       override def numRows(): OptionalLong = rowEst
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 

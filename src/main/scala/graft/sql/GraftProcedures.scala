@@ -243,6 +243,15 @@ object GraftProcedures {
       Seq(in("table", S)),
       StructType(Seq(DataTypes.createStructField("rows", L, false))))(
       (s, root, in) => Seq(Snapshots.fastCount(s, tbl(root, in, 0)))),
+    mkDef("analyze",
+      "record per-column NDV/null/length statistics for the cost-based " +
+        "optimizer (one aggregation pass; stats ride as transactional " +
+        "properties and report through the scan's columnStats)",
+      Seq(in("table", S), in("columns", S)),
+      StructType(Seq(DataTypes.createStructField("analyzed", L, false))))(
+      (s, root, in) => Seq(graft.io.ColStats.analyze(s, tbl(root, in, 0),
+        in.getUTF8String(1).toString.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq).size.toLong)),
     mkDef("branch",
       "fork the table as a named branch (zero-copy WAP clone; read via " +
         "VERSION AS OF '<name>', write via <table>._branches.<name>)",
