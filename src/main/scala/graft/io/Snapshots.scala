@@ -853,6 +853,58 @@ object Snapshots {
       if (assignments.isEmpty) "delete" else "update", live.size)
   }
 
+  /** PREDICATE OVERWRITE — the Delta `replaceWhere` / Iceberg
+    * overwrite-filter shape: atomically replace exactly the rows
+    * matching `cond` with `df`, as ONE transactional commit. The
+    * backfill primitive (recompute one day/source/band and swap it in):
+    * zone maps prune candidate files before any read, only files
+    * actually holding matching rows rewrite (their non-matching rows
+    * pass through), untouched files stay byte-identical, and the new
+    * data lands in the same commit — readers see the old slice or the
+    * new slice, never neither. The caller asserts `df`'s rows belong
+    * inside the predicate (checked: rows of `df` violating `cond`
+    * refuse — a backfill that leaks outside its slice would silently
+    * double rows on the next backfill). */
+  def replaceWhere(spark: SparkSession, table: String,
+                   cond: org.apache.spark.sql.Column, df: DataFrame,
+                   prune: Option[(String, String, String)] = None): DeleteResult = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, not}
+    val v = currentVersion(spark, table)
+    val live = liveFiles(spark, table, Some(v))
+    val sc = tableSchema(spark, table, Some(v))
+    val cols = sc.map(_.fieldNames.toSeq).getOrElse(
+      if (live.nonEmpty) spark.read.parquet(live: _*).columns.toSeq
+      else df.columns.toSeq)
+    require(df.columns.sorted.sameElements(cols.sorted),
+      s"replaceWhere data must match the table schema " +
+        s"(${cols.sorted.mkString(",")}), got ${df.columns.sorted.mkString(",")}")
+    val in = df.select(cols.map(col): _*)
+    val leaked = in.filter(not(coalesce(cond, lit(false)))).limit(1).count()
+    require(leaked == 0,
+      "replaceWhere data contains rows OUTSIDE the replace predicate — " +
+        "a leaking backfill would double those rows on the next run")
+    val candidates = prune match {
+      case Some((c, lo, hi)) => pruneFiles(spark, table, c, lo, hi, Some(v))._1
+      case None              => live
+    }
+    def read(files: Seq[String]) = schemaRead(spark, table, Some(v), files)
+    val byName = candidates.map(p => new Path(p).getName -> p).toMap
+    val touched =
+      if (candidates.isEmpty) Nil
+      else applyDv(spark, table, Some(v),
+          read(candidates).withColumn("__f", input_file_name()))
+        .filter(coalesce(cond, lit(false)))
+        .groupBy(col("__f")).agg(count(lit(1)))
+        .collect().toSeq
+        .flatMap(r => byName.get(new Path(r.getString(0)).getName))
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(applyDv(spark, table, Some(v), read(touched))
+        .filter(not(coalesce(cond, lit(false)))).select(cols.map(col): _*))
+    val out = survivors.map(_.unionByName(in)).getOrElse(in)
+    commitCowRewrite(spark, table, v, out, touched, "replace", live.size)
+  }
+
   /** COPY-ON-WRITE keyed MERGE (SCD1 upsert) — `MERGE INTO table USING
     * updates ON keys WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
     * INSERT *` as one transactional commit: every live row whose key

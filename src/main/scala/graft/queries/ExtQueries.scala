@@ -3230,7 +3230,7 @@ object ExtQueries {
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
-    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, st31Spec)
+    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, x164Spec, st31Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -8583,6 +8583,71 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS ndv_ok,
            |       CAST(1 AS BIGINT) AS cbo_ok
            |FROM documents""".stripMargin))
+
+  /** x164: PREDICATE OVERWRITE ([[graft.io.Snapshots.replaceWhere]], the
+    * Delta `replaceWhere` / Iceberg overwrite-filter shape through
+    * `df.writeTo(t).overwrite(cond)`) — the backfill primitive:
+    * recompute one band and swap it in as ONE transactional commit
+    * (`one_commit_ok`); zone maps prune candidate files so the three
+    * files outside the band never rewrite (`pruned_ok`); data leaking
+    * OUTSIDE the predicate refuses with nothing committed (`leak_ok` —
+    * a leaking backfill would double rows on the next run); time travel
+    * below the replace serves the old slice. The oracle replays the
+    * band swap relationally. */
+  private def x164Spec: QuerySpec =
+    QuerySpec("x164_sql_replace_where",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_rw_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val tbl = s"$tmp/t"
+        val w = maxId / 4 + 1
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1),
+            tbl, recordSchema = i == 0, statsCols = Seq("doc_id"),
+            recordRowCounts = true)
+        }
+        val before = Snapshots.liveFiles(s, tbl).toSet
+        val v0 = Snapshots.currentVersion(s, tbl)
+        // the backfill: band 0..w-1 recomputes with doubled n_chars
+        docs.filter(col("doc_id") < w)
+          .select(col("doc_id"), (col("n_chars") * 2).as("n_chars"))
+          .writeTo(s"$cat.t")
+          .overwrite(col("doc_id") >= 0 && col("doc_id") <= w - 1)
+        val oneCommit = if (Snapshots.currentVersion(s, tbl) == v0 + 1) 1L else 0L
+        val prunedOk =
+          if ((before intersect Snapshots.liveFiles(s, tbl).toSet).size == 3) 1L
+          else 0L
+        val leakOk =
+          try {
+            docs.limit(1)
+              .select((col("doc_id") + maxId + 100).as("doc_id"), col("n_chars"))
+              .writeTo(s"$cat.t").overwrite(col("doc_id") <= 5)
+            0L
+          } catch { case e: Exception
+            if e.getMessage != null && e.getMessage.contains("OUTSIDE") &&
+              Snapshots.currentVersion(s, tbl) == v0 + 1 => 1L }
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("one_commit_ok", lit(oneCommit))
+          .withColumn("pruned_ok", lit(prunedOk))
+          .withColumn("leak_ok", lit(leakOk))
+      },
+      Some("""WITH w AS (SELECT max(doc_id) // 4 + 1 AS w FROM documents)
+           |SELECT count(*) AS n_rows,
+           |       CAST(sum(CASE WHEN doc_id < w THEN n_chars * 2
+           |                     ELSE n_chars END) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS one_commit_ok,
+           |       CAST(1 AS BIGINT) AS pruned_ok,
+           |       CAST(1 AS BIGINT) AS leak_ok
+           |FROM documents, w""".stripMargin))
 
   /** st31: STREAMING DECONTAMINATION GATE ([[graft.streaming
     * .DecontamGate]]) — eval-set admission control at ingest: documents

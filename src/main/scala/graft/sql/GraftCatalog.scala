@@ -659,7 +659,7 @@ final class GraftTable(val path: String, ident: String, val pinnedVersion: Long)
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   /** Recorded CHECK constraints, surfaced through the DSv2 constraint
     * API (DESCRIBE et al.); enforcement is engine-side on every write
@@ -799,13 +799,29 @@ object GraftTable {
   * .commitAppend]] — add-only, so racing writers both land); INSERT
   * OVERWRITE = one swap commit (new files in, current live set + dvs +
   * bloom sidecars out) under optimistic concurrency with re-resolve
-  * retries. Columns resolve positionally against the table schema (the
-  * SQL INSERT contract); the recorded schema stays authoritative. */
+  * retries; `df.writeTo(t).overwrite(cond)` / static-partition
+  * overwrite = the PREDICATE overwrite ([[Snapshots.replaceWhere]] —
+  * the Delta replaceWhere shape: exactly the matching rows swap for the
+  * new data in one commit, zone maps prune the candidate files, data
+  * leaking outside the predicate refuses). Columns resolve positionally
+  * against the table schema (the SQL INSERT contract); the recorded
+  * schema stays authoritative. */
 final class GraftWriteBuilder(table: GraftTable)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var overwrite = false
+  private var replaceFilters: Option[Array[Filter]] = None
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    // AlwaysTrue (or empty) is the full INSERT OVERWRITE swap
+    val meaningful = filters.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (meaningful.isEmpty) overwrite = true
+    else replaceFilters = Some(meaningful)
+    this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
@@ -818,17 +834,31 @@ final class GraftWriteBuilder(table: GraftTable)
           val df = data.toDF(cols: _*) // positional, the INSERT contract
           val idFields = table.schema.fields.filter(
             org.apache.spark.sql.catalyst.util.IdentityColumn.isIdentityColumn)
-          if (idFields.nonEmpty)
-            GraftWriteBuilder.insertWithIdentity(spark, table, df,
-              idFields.toSeq, overwrite || ovr)
-          else {
-            val gen = GraftWriteBuilder.applyGenerated(table, df)
-            if (!(overwrite || ovr)) {
-              val (clustered, statCols) =
-                graft.io.Clustering.forWrite(spark, table.path, gen)
-              Snapshots.commitAppend(clustered, table.path,
-                statsCols = statCols, recordRowCounts = statCols.nonEmpty)
-            } else GraftTable.overwrite(spark, table.path, gen)
+          replaceFilters match {
+            case Some(fs) =>
+              // predicate overwrite: every filter must translate EXACTLY
+              // (replacing too little or too much is data corruption)
+              val conds = fs.map(f => GraftScan.toColumn(f).getOrElse(
+                throw new UnsupportedOperationException(
+                  s"replaceWhere filter $f has no exact translation; " +
+                    "rewrite the predicate or use MERGE")))
+              val cond = conds.reduce(_ && _)
+              val gen = GraftWriteBuilder.applyGenerated(table, df)
+              GraftDmlRetry.retry {
+                Snapshots.replaceWhere(spark, table.path, cond, gen,
+                  prune = GraftWriteBuilder.filterBound(fs))
+              }
+            case None if idFields.nonEmpty =>
+              GraftWriteBuilder.insertWithIdentity(spark, table, df,
+                idFields.toSeq, overwrite || ovr)
+            case None =>
+              val gen = GraftWriteBuilder.applyGenerated(table, df)
+              if (!(overwrite || ovr)) {
+                val (clustered, statCols) =
+                  graft.io.Clustering.forWrite(spark, table.path, gen)
+                Snapshots.commitAppend(clustered, table.path,
+                  statsCols = statCols, recordRowCounts = statCols.nonEmpty)
+              } else GraftTable.overwrite(spark, table.path, gen)
           }
         }
       }
@@ -852,6 +882,31 @@ final class GraftWriteBuilder(table: GraftTable)
   *    in-plan guard (`raise_error`), `BY DEFAULT` fills only NULLs. */
 object GraftWriteBuilder {
   private def nextProp(col: String) = s"graft.identity.$col.next"
+
+  /** A SOUND zone-map bound implied by v1 overwrite filters: per-column
+    * closed bounds from equality / one-sided comparisons on stat-encodable
+    * literals (the [[GraftDmlRule.pruneBound]] rule over the v1 shape);
+    * the first column with both sides wins. */
+  private[sql] def filterBound(fs: Array[Filter]): Option[(String, String, String)] = {
+    import org.apache.spark.sql.sources._
+    def enc(v: Any): Option[String] = v match {
+      case null => None
+      case _: Int | _: Long | _: Short | _: Byte | _: Double | _: Float |
+           _: String => Some(v.toString)
+      case _ => None
+    }
+    val lo = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val hi = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    fs.foreach {
+      case EqualTo(c, v) => enc(v).foreach { s => lo(c) = s; hi(c) = s }
+      case GreaterThan(c, v)        => enc(v).foreach(lo(c) = _)
+      case GreaterThanOrEqual(c, v) => enc(v).foreach(lo(c) = _)
+      case LessThan(c, v)           => enc(v).foreach(hi(c) = _)
+      case LessThanOrEqual(c, v)    => enc(v).foreach(hi(c) = _)
+      case _ =>
+    }
+    lo.keys.find(hi.contains).map(c => (c, lo(c), hi(c)))
+  }
 
   /** GENERATED ALWAYS AS (expr) computation — in-plan, zero extra
     * passes: omitted (NULL) values compute from the row's other columns;

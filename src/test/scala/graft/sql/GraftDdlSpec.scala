@@ -302,6 +302,34 @@ class GraftDdlSpec extends SparkSpec {
     assert(spark.sql("SELECT m FROM gdl.ck1 WHERE id = 5").as[Long].head() === -1L)
   }
 
+  test("replaceWhere: predicate overwrite swaps exactly the matching slice in one commit") {
+    val t = mk("rw1")
+    val before = Snapshots.liveFiles(spark, t).toSet
+    val v0 = Snapshots.currentVersion(spark, t)
+    // recompute the 11-20 band: rows 11-20 swap for 3 fresh rows
+    Seq((11L, "s0", -1L), (12L, "s0", -2L), (20L, "s2", -3L))
+      .toDF("id", "src", "m")
+      .writeTo("gdl.rw1").overwrite(col("id") >= 11 && col("id") <= 20)
+    assert(Snapshots.currentVersion(spark, t) === v0 + 1) // ONE commit
+    val ids = spark.sql("SELECT id FROM gdl.rw1").as[Long].collect().toSet
+    assert(ids === ((1L to 10L) ++ (21L to 40L) ++ Seq(11L, 12L, 20L)).toSet)
+    assert(spark.sql("SELECT sum(m) AS s FROM gdl.rw1 WHERE id BETWEEN 11 AND 20")
+      .as[Long].head() === -6L)
+    // the band bound pruned: the three files outside it never rewrote
+    assert((before intersect Snapshots.liveFiles(spark, t).toSet).size === 3)
+    // data leaking outside the predicate refuses, nothing committed
+    val e = intercept[Exception] {
+      Seq((999L, "sx", 0L)).toDF("id", "src", "m")
+        .writeTo("gdl.rw1").overwrite(col("id") <= 5)
+    }
+    assert(e.getMessage.contains("OUTSIDE"), e.getMessage)
+    assert(Snapshots.currentVersion(spark, t) === v0 + 1)
+    // time travel below the replace sees the old slice
+    assert(spark.sql(s"SELECT sum(m) AS s FROM gdl.rw1 VERSION AS OF $v0 " +
+      "WHERE id BETWEEN 11 AND 20").as[Long].head() ===
+      (11L to 20L).map(_ * 2).sum)
+  }
+
   test("DROP TABLE deletes the tree; refuses while a branch shares files; name reusable") {
     root // force the catalog registration
     spark.sql("CREATE TABLE gdl.dt1 (id BIGINT, s STRING)")
