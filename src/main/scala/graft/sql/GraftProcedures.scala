@@ -262,7 +262,8 @@ object GraftProcedures {
         Some(in.getLong(2)).filter(_ > 0)))),
     mkDef("fast_forward",
       "publish a branch back into its table as ONE atomic commit " +
-        "(append-only advances fast-forward; conflicts refuse) and close it",
+        "(three-way merge at file granularity: disjoint-file changes land, " +
+        "double-rewrites refuse) and close it",
       Seq(in("table", S), in("name", S)),
       StructType(Seq(
         DataTypes.createStructField("version", L, false),
