@@ -491,4 +491,17 @@ class PlanSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(view.select("grp", "sum_m").as[(String, Long)].collect().toMap === direct)
   }
+
+  test("x155: greedy packing is ONE shard shuffle + a partition-local pass, no sort, no cartesian") {
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.documents(spark, d)
+    val p = graft.ext.Packing.packGreedy(df, col("doc_id"),
+      size(split(col("text"), " ", -1)), capacity = 512L, shards = 32)
+      .queryExecution.executedPlan.toString
+    assert(exchanges(p) <= 1, s"expected exactly the shard repartition:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-shard order comes from sortWithinPartitions — NO global Sort
+    // exchange (a range Exchange would mean a cluster-wide sort)
+    assert(!p.contains("rangepartitioning"), s"no global sort expected:\n$p")
+  }
 }

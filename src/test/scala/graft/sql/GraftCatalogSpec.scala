@@ -272,17 +272,20 @@ class GraftCatalogSpec extends SparkSpec {
           "WHERE id > 35 AND src = 's1'").as[Long].head())
   }
 
-  test("nested namespaces map to directories; DDL is refused; unknown table rejects") {
+  test("nested namespaces map to directories; DROP works there; unknown table rejects") {
     val t = s"$root/ns/t6"
     Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "s").coalesce(1), t,
       recordSchema = true)
     assert(spark.sql("SELECT count(*) AS n FROM graft.ns.t6").as[Long].head() === 1L)
-    intercept[Exception] { spark.sql("DROP TABLE graft.ns.t6") }
     intercept[Exception] { spark.sql("SELECT * FROM graft.no_such").collect() }
     // a racing writer's commit is invisible to an already-analyzed query
     // (version pinned at load) but a fresh query sees it
     Snapshots.commitAppend(Seq((2L, "b")).toDF("id", "s").coalesce(1), t)
     assert(spark.sql("SELECT count(*) AS n FROM graft.ns.t6").as[Long].head() === 2L)
+    // DROP TABLE resolves through nested namespaces too
+    spark.sql("DROP TABLE graft.ns.t6")
+    assert(!new java.io.File(t).exists())
+    intercept[Exception] { spark.sql("SELECT * FROM graft.ns.t6").collect() }
   }
 
   test("VERSION AS OF resolves tags BEFORE version numbers; bad refs reject") {
