@@ -879,10 +879,6 @@ object Snapshots {
       s"replaceWhere data must match the table schema " +
         s"(${cols.sorted.mkString(",")}), got ${df.columns.sorted.mkString(",")}")
     val in = df.select(cols.map(col): _*)
-    val leaked = in.filter(not(coalesce(cond, lit(false)))).limit(1).count()
-    require(leaked == 0,
-      "replaceWhere data contains rows OUTSIDE the replace predicate — " +
-        "a leaking backfill would double those rows on the next run")
     val candidates = prune match {
       case Some((c, lo, hi)) => pruneFiles(spark, table, c, lo, hi, Some(v))._1
       case None              => live
@@ -897,12 +893,55 @@ object Snapshots {
         .groupBy(col("__f")).agg(count(lit(1)))
         .collect().toSeq
         .flatMap(r => byName.get(new Path(r.getString(0)).getName))
-    val survivors =
-      if (touched.isEmpty) None
-      else Some(applyDv(spark, table, Some(v), read(touched))
-        .filter(not(coalesce(cond, lit(false)))).select(cols.map(col): _*))
-    val out = survivors.map(_.unionByName(in)).getOrElse(in)
-    commitCowRewrite(spark, table, v, out, touched, "replace", live.size)
+    // the NEW data writes to its own dir FIRST, so the leak check (rows
+    // outside the predicate would double on the next backfill) and the
+    // CHECK-constraint gate both read the WRITTEN files — the producing
+    // plan is computed exactly once; a refused write's files are
+    // unreferenced vacuum food, exactly like a lost optimistic writer
+    val f = fs(spark, table)
+    val newDir = s"$table/data/replace-${java.util.UUID.randomUUID().toString}"
+    val (inClustered, clusterCols0) = Clustering.forWrite(spark, table, in)
+    inClustered.write.parquet(newDir)
+    val newParts = f.listStatus(new Path(newDir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+    if (newParts.nonEmpty) {
+      val rb = spark.read.parquet(newParts: _*)
+      require(rb.filter(not(coalesce(cond, lit(false)))).limit(1).count() == 0,
+        "replaceWhere data contains rows OUTSIDE the replace predicate — " +
+          "a leaking backfill would double those rows on the next run; " +
+          "nothing was committed")
+      Constraints.validate(spark, table, rb, "replaced")
+    }
+    // survivors of the touched files rewrite separately (already-valid
+    // rows — no re-validation), inheriting the touched stat coverage
+    val touchedStats = fileStats(spark, table, Some(v))
+      .filter(st => touched.contains(st.path))
+    val statCols = (touchedStats.map(_.column)
+      .filterNot(reservedStat) ++ clusterCols0).distinct
+    val keepRowCounts = touchedStats.exists(_.column == RowsStat) ||
+      clusterCols0.nonEmpty
+    val survDir = s"$table/data/replace-${java.util.UUID.randomUUID().toString}"
+    val survParts =
+      if (touched.isEmpty) Nil
+      else {
+        val (survClustered, _) = Clustering.forWrite(spark, table,
+          applyDv(spark, table, Some(v), read(touched))
+            .filter(not(coalesce(cond, lit(false)))).select(cols.map(col): _*))
+        survClustered.write.parquet(survDir)
+        f.listStatus(new Path(survDir)).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .map(_.getPath.toString)
+      }
+    val version = commit(spark, table, adds = newParts ++ survParts,
+      removes = touched, baseVersion = Some(v),
+      stats = computeStats(spark, newDir, newParts, statCols) ++
+        computeStats(spark, survDir, survParts, statCols) ++
+        (if (keepRowCounts)
+          rowCountStats(spark, newDir, newParts) ++
+            rowCountStats(spark, survDir, survParts)
+         else Nil))
+    DeleteResult(version, touched, live.size - touched.size)
   }
 
   /** COPY-ON-WRITE keyed MERGE (SCD1 upsert) — `MERGE INTO table USING
