@@ -8146,8 +8146,12 @@ object ExtQueries {
         val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        // int-ranged ids at ANY SF: benchdata replica-shifts doc_id past
+        // 2^31, so the int fixture derives `doc_id % 1e9` (collisions are
+        // harmless — widening has no key semantics; the oracle replays
+        // the same modulo)
         val docs = Tables.documents(s, d)
-          .select(col("doc_id").cast("int").as("doc_id"),
+          .select((col("doc_id") % 1000000000L).cast("int").as("doc_id"),
             col("n_chars").cast("int").as("n_chars"))
         val maxId = docs.agg(max(col("doc_id"))).first().getInt(0).toLong
         val tbl = s"$tmp/t"
@@ -8185,7 +8189,7 @@ object ExtQueries {
           .withColumn("old_shape_ok", lit(oldShapeOk))
       },
       Some("""SELECT count(*) + 1 AS n_rows,
-           |       CAST(sum(doc_id) + 9999999999 AS BIGINT) AS sum_ids,
+           |       CAST(sum(doc_id % 1000000000) + 9999999999 AS BIGINT) AS sum_ids,
            |       CAST(sum(n_chars) + 7 AS BIGINT) AS sum_chars,
            |       CAST(1 AS BIGINT) AS meta_only,
            |       CAST(1 AS BIGINT) AS pruned_ok,
@@ -8293,10 +8297,16 @@ object ExtQueries {
         val untouchedOk =
           if ((before intersect Snapshots.liveFiles(s, tbl).toSet).size == 2) 1L
           else 0L
-        // branch and source rewriting the SAME file: detected conflict
+        // branch and source rewriting the SAME file: detected conflict.
+        // EXISTING ids from file 1's band (benchdata ids are replica-
+        // shifted with gaps — synthetic positions would delete nothing
+        // and dissolve the conflict, the x127 lesson)
+        val b1 = docs.filter(col("doc_id") >= w && col("doc_id") < 2 * w)
+          .agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val idA = b1.getLong(0); val idB = b1.getLong(1)
         s.sql(s"CALL $cat.system.branch('t', 'exp2')")
-        s.sql(s"DELETE FROM $cat.t._branches.exp2 WHERE doc_id = ${w + 1}")
-        s.sql(s"DELETE FROM $cat.t WHERE doc_id = ${w + 2}")
+        s.sql(s"DELETE FROM $cat.t._branches.exp2 WHERE doc_id = $idA")
+        s.sql(s"DELETE FROM $cat.t WHERE doc_id = $idB")
         val conflictOk =
           try { s.sql(s"CALL $cat.system.fast_forward('t', 'exp2')"); 0L }
           catch {
@@ -8317,7 +8327,8 @@ object ExtQueries {
            |  SELECT doc_id, n_chars FROM documents, p
            |  WHERE NOT (doc_id BETWEEN 0 AND h)
            |    AND NOT (doc_id >= 3 * w AND n_chars % 3 = 0)
-           |    AND doc_id <> w + 2
+           |    AND doc_id <> (SELECT max(d2.doc_id) FROM documents d2, p
+           |                   WHERE d2.doc_id >= p.w AND d2.doc_id < 2 * p.w)
            |)
            |SELECT count(*) AS n_rows,
            |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
