@@ -853,6 +853,36 @@ object Snapshots {
       if (assignments.isEmpty) "delete" else "update", live.size)
   }
 
+  /** Schema-evolution ADD COLUMNS as a library call (the `ALTER TABLE
+    * ADD COLUMNS` core, shared with MERGE WITH SCHEMA EVOLUTION): append
+    * nullable fields to the schema stamp in one metadata commit, with
+    * the same resurrection guards as the SQL surface — a name an earlier
+    * DROP quarantined (or that still backs a renamed logical column)
+    * refuses, or old files would silently serve the dead data under the
+    * new column. */
+  def addColumns(spark: SparkSession, table: String,
+                 fields: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(fields.nonEmpty, "addColumns needs at least one field")
+    val sc = tableSchema(spark, table).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$table records no schema; schema evolution needs a schema-stamped table"))
+    val props = tableProperties(spark, table)
+    val dropped = props.get(DroppedProp)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    val mapping = columnMapping(spark, table)
+    fields.foreach { f =>
+      require(!sc.fieldNames.contains(f.name), s"column ${f.name} already exists")
+      require(!dropped.contains(f.name) && !mapping.valuesIterator.contains(f.name),
+        s"cannot add '${f.name}': old files still carry data under that " +
+          "physical name and would resurrect it (OPTIMIZE to purge, or " +
+          "pick another name)")
+    }
+    commit(spark, table, adds = Nil,
+      schemaJson = Some(StructType(
+        sc.fields ++ fields.map(_.copy(nullable = true))).json),
+      notes = Seq(s"evolve-add:${fields.map(_.name).mkString(",")}"))
+  }
+
   /** PREDICATE OVERWRITE — the Delta `replaceWhere` / Iceberg
     * overwrite-filter shape: atomically replace exactly the rows
     * matching `cond` with `df`, as ONE transactional commit. The

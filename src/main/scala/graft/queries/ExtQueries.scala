@@ -3230,7 +3230,7 @@ object ExtQueries {
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
-    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, x164Spec, st31Spec)
+    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, x164Spec, x165Spec, st31Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -8712,4 +8712,66 @@ object ExtQueries {
            |FROM t LEFT JOIN h USING (doc_id)
            |WHERE coalesce(h.bench_hits, 0) < 2
            |ORDER BY doc_id""".stripMargin))
+
+  /** x165: MERGE WITH SCHEMA EVOLUTION — the CDC day-one wall after
+    * conditioned clauses (x150): the source gained a column, and the
+    * star merge evolves the table in place ([[graft.sql
+    * .GraftMergeCommand]] → [[graft.io.Snapshots.addColumns]]): the new
+    * column lands as one nullable metadata commit with the ADD COLUMNS
+    * resurrection guards, existing untouched rows read it as NULL (zero
+    * rewrites of history), matched and inserted rows carry the source
+    * values, and `AS OF` below the evolution serves the old shape
+    * (`old_shape_ok`). The oracle replays the upsert + evolution
+    * relationally. */
+  private def x165Spec: QuerySpec =
+    QuerySpec("x165_sql_merge_evolve",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mevo_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val tbl = s"$tmp/t"
+        val w = maxId / 4 + 1
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1),
+            tbl, recordSchema = i == 0, statsCols = Seq("doc_id"),
+            recordRowCounts = true)
+        }
+        val v0 = Snapshots.currentVersion(s, tbl)
+        // the evolved CDC batch: every third doc updated with a new
+        // `lang` column, plus one brand-new row
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), (col("n_chars") + 1).as("n_chars"),
+            concat(lit("l"), (col("doc_id") % 4).cast("string")).as("lang"))
+          .unionByName(s.range(1).select((lit(maxId) + 1).as("doc_id"),
+            lit(7L).as("n_chars"), lit("new").as("lang")))
+          .createOrReplaceTempView("x165_src")
+        s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t t USING x165_src s
+                 |ON t.doc_id = s.doc_id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val oldShapeOk =
+          if (s.sql(s"SELECT * FROM $cat.t VERSION AS OF $v0").columns.toSeq ==
+            Seq("doc_id", "n_chars")) 1L else 0L
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 |CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulllang,
+                 |CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("old_shape_ok", lit(oldShapeOk))
+      },
+      Some("""SELECT count(*) + 1 AS n_rows,
+           |       CAST(sum(CASE WHEN doc_id % 3 = 0 THEN n_chars + 1
+           |                     ELSE n_chars END) + 7 AS BIGINT) AS sum_chars,
+           |       CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)
+           |            AS BIGINT) AS n_nulllang,
+           |       CAST((SELECT count(DISTINCT doc_id % 4) FROM documents
+           |             WHERE doc_id % 3 = 0) + 1 AS BIGINT) AS n_langs,
+           |       CAST(1 AS BIGINT) AS old_shape_ok
+           |FROM documents""".stripMargin))
 }

@@ -449,9 +449,6 @@ object GraftDmlRule extends Rule[LogicalPlan] {
             s"INSERT * / BY SOURCE DELETE), got $other; " +
             "use UPDATE/DELETE for target-side sweeps")
       }
-      if (m.withSchemaEvolution) throw new UnsupportedOperationException(
-        "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables; " +
-          "ALTER TABLE ADD COLUMNS first, then MERGE")
       val keys = mergeKeys(cond, target.outputSet, source.outputSet)
       // FAST PATH — the unconditioned full-row shapes ([[Snapshots
       // .mergeInto]]'s keyed upsert, no clause algebra, no outer join):
@@ -483,13 +480,19 @@ object GraftDmlRule extends Rule[LogicalPlan] {
             else if (du && di) "both"
             else if (du) "matched_only"
             else "insert_only"
-          GraftMergeCommand(t.path, source, keys, mode)
+          GraftMergeCommand(t.path, source, keys, mode,
+            evolveSchema = m.withSchemaEvolution)
         case (Some(false), Some(false)) =>
           throw new UnsupportedOperationException(
             "MERGE needs at least one WHEN MATCHED or WHEN NOT MATCHED action")
         case _ =>
           // GENERAL PATH — conditioned / multi-action / partial-row
           // clauses route to [[Snapshots.mergeIntoWhen]]'s clause algebra
+          if (m.withSchemaEvolution) throw new UnsupportedOperationException(
+            "MERGE WITH SCHEMA EVOLUTION supports the unconditioned " +
+              "star shapes (UPDATE SET * / INSERT *) only — conditioned " +
+              "or partial clauses were analyzed against the pre-evolution " +
+              "shape; ALTER TABLE ADD COLUMNS first, then MERGE")
           if (fullSync) throw new UnsupportedOperationException(
             "WHEN NOT MATCHED BY SOURCE THEN DELETE combines only with the " +
               "unconditioned full-sync triple (UPDATE SET * / INSERT *); " +
@@ -605,13 +608,24 @@ case class GraftDeleteCommand(path: String,
   * SQL MERGE error on a source that matches one target row twice — one
   * aggregation over the CHANGE-sized source, never the table. */
 case class GraftMergeCommand(path: String, source: LogicalPlan,
-                             keys: Seq[String], mode: String)
+                             keys: Seq[String], mode: String,
+                             evolveSchema: Boolean = false)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
     GraftTable.refuseMvDml(spark, path, "MERGE INTO")
     val src = DmlShim.ofRows(spark, source)
+    // MERGE WITH SCHEMA EVOLUTION: source columns the table lacks evolve
+    // the schema stamp first (nullable, one metadata commit with the
+    // ADD COLUMNS resurrection guards) — existing rows read the new
+    // columns as NULL, then the ordinary keyed merge lands the data
+    if (evolveSchema) {
+      val have = Snapshots.tableSchema(spark, path).map(_.fieldNames.toSet)
+        .getOrElse(Set.empty)
+      val missing = src.schema.fields.filterNot(f => have(f.name)).toSeq
+      if (missing.nonEmpty) Snapshots.addColumns(spark, path, missing)
+    }
     val cols = Snapshots.tableSchema(spark, path).map(_.fieldNames.toSeq)
       .getOrElse(src.columns.toSeq)
     require(cols.forall(src.columns.contains),
