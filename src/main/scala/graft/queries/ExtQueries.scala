@@ -3230,7 +3230,7 @@ object ExtQueries {
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
-    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, x164Spec, x165Spec, st31Spec)
+    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, x164Spec, x165Spec, x166Spec, st31Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -8774,4 +8774,108 @@ object ExtQueries {
            |             WHERE doc_id % 3 = 0) + 1 AS BIGINT) AS n_langs,
            |       CAST(1 AS BIGINT) AS old_shape_ok
            |FROM documents""".stripMargin))
+
+  /** x166: CORPUS-CURATION E2E — the round's features composed as the
+    * pipeline a training-data user actually runs, end to end in one
+    * query: quality gate (token floor) → benchmark decontamination
+    * (5-gram overlap vs the doc_id%37 eval set — [[graft.ext
+    * .Contamination]]) → exact dedup (md5, first-id wins) → INSERT into
+    * a governed snapshot table (IDENTITY sequence numbers mint
+    * engine-side; a CHECK constraint guards the token floor at the
+    * storage layer — `blocked_ok` pins a violating insert aborting with
+    * nothing committed) → greedy 512-token packing of the admitted set
+    * ([[graft.ext.Packing.packGreedy]]). The oracle replays the whole
+    * admission algebra plus the packing accumulator relationally. */
+  private def x166Spec: QuerySpec =
+    QuerySpec("x166_corpus_e2e",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_e2e_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+        // 1. quality gate: token floor
+        val quality = docs.filter(col("n_tokens") >= 20)
+        // 2. decontamination vs the eval slice (>= 2 shared 5-grams drops)
+        val bench = docs.filter(col("doc_id") % 37 === 0)
+        val bad = graft.ext.Contamination.contaminatedDocs(
+            quality, col("doc_id"), col("text"), bench, col("text"), k = 5)
+          .filter(col("n_grams") >= 2).select(col("id").as("__bad"))
+        val clean = quality.join(bad, col("doc_id") === col("__bad"), "left_anti")
+        // 3. exact dedup: first doc_id per md5(text)
+        val deduped = clean
+          .withColumn("__rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+          .filter(col("__rk") === 1).drop("__rk")
+        deduped.select(col("doc_id"), col("n_tokens"))
+          .createOrReplaceTempView("x166_admitted")
+        // 4. the governed corpus table: identity sequence + CHECK floor
+        s.sql(s"""CREATE TABLE $cat.corpus (
+                 |  seq BIGINT GENERATED ALWAYS AS IDENTITY,
+                 |  doc_id BIGINT, n_tokens BIGINT)""".stripMargin)
+        s.sql(s"ALTER TABLE $cat.corpus ADD CONSTRAINT tok_floor CHECK (n_tokens >= 20)")
+        s.sql(s"""INSERT INTO $cat.corpus (doc_id, n_tokens)
+                 |SELECT doc_id, n_tokens FROM x166_admitted""".stripMargin)
+        val blockedOk =
+          try { s.sql(s"INSERT INTO $cat.corpus (doc_id, n_tokens) VALUES (-1, 3)"); 0L }
+          catch { case e: Exception
+            if e.getMessage != null && e.getMessage.contains("tok_floor") => 1L }
+        // 5. greedy packing of the admitted set
+        val bins = graft.ext.Packing.packGreedy(
+            s.table(s"$cat.corpus"), col("doc_id"), col("n_tokens"),
+            capacity = 512L, shards = 32)
+          .select((col("shard") * 10000000L + col("bin")).as("gbin"))
+          .agg(count_distinct(col("gbin")).as("n_bins")).first().getLong(0)
+        s.sql(s"""SELECT count(*) AS n_docs,
+                 |CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                 |CAST(CASE WHEN count(DISTINCT seq) = count(*)
+                 |          THEN 1 ELSE 0 END AS BIGINT) AS seq_unique_ok
+                 |FROM $cat.corpus""".stripMargin)
+          .withColumn("n_bins", lit(bins))
+          .withColumn("blocked_ok", lit(blockedOk))
+      },
+      Some("""WITH RECURSIVE d AS (
+           |  SELECT doc_id, text,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |q AS (SELECT * FROM d WHERE n_tokens >= 20),
+           |tq AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM q),
+           |g AS (SELECT doc_id, list_transform(range(1, len(t) - 3),
+           |        i -> array_to_string(t[i:i+4], ' ')) AS g
+           |      FROM tq),
+           |tb AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+           |       FROM d WHERE doc_id % 37 = 0),
+           |gb AS (SELECT DISTINCT unnest(list_transform(range(1, len(t) - 3),
+           |         i -> array_to_string(t[i:i+4], ' '))) AS gram FROM tb),
+           |th AS (SELECT doc_id, unnest(g) AS gram FROM g),
+           |hit AS (SELECT th.doc_id, count(DISTINCT th.gram) AS n
+           |        FROM th JOIN gb ON th.gram = gb.gram GROUP BY 1),
+           |clean AS (SELECT q.* FROM q LEFT JOIN hit USING (doc_id)
+           |          WHERE coalesce(hit.n, 0) < 2),
+           |dedup AS (SELECT * FROM clean
+           |          QUALIFY row_number() OVER (PARTITION BY md5(text)
+           |                                     ORDER BY doc_id) = 1),
+           |adm AS (SELECT doc_id, n_tokens, doc_id % 32 AS shard FROM dedup),
+           |r AS (SELECT shard, doc_id, n_tokens,
+           |        row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           |      FROM adm),
+           |p AS (
+           |  SELECT shard, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS bin,
+           |         n_tokens AS acc
+           |  FROM r WHERE rn = 1
+           |  UNION ALL
+           |  SELECT r.shard, r.doc_id, r.n_tokens, r.rn,
+           |         CASE WHEN p.acc > 0 AND p.acc + r.n_tokens > 512
+           |              THEN p.bin + 1 ELSE p.bin END,
+           |         CASE WHEN p.acc > 0 AND p.acc + r.n_tokens > 512
+           |              THEN r.n_tokens ELSE p.acc + r.n_tokens END
+           |  FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+           |SELECT (SELECT count(*) FROM dedup) AS n_docs,
+           |       (SELECT CAST(sum(n_tokens) AS BIGINT) FROM dedup) AS sum_tokens,
+           |       CAST(1 AS BIGINT) AS seq_unique_ok,
+           |       (SELECT count(DISTINCT shard * 10000000 + bin) FROM p) AS n_bins,
+           |       CAST(1 AS BIGINT) AS blocked_ok""".stripMargin))
 }
