@@ -3230,7 +3230,7 @@ object ExtQueries {
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
-    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, x164Spec, x165Spec, x166Spec, st31Spec)
+    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, x164Spec, x165Spec, x166Spec, x167Spec, st31Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -8878,4 +8878,72 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS seq_unique_ok,
            |       (SELECT count(DISTINCT shard * 10000000 + bin) FROM p) AS n_bins,
            |       CAST(1 AS BIGINT) AS blocked_ok""".stripMargin))
+
+  /** x167: SCALAR SUBQUERIES IN DML — `UPDATE … SET c = (SELECT …)` and
+    * `WHERE c > (SELECT …)` with uncorrelated scalars: each evaluates
+    * ONCE at run time (SQL's statement-snapshot contract, reused across
+    * optimistic retries) and substitutes as a typed literal, so the
+    * mutation itself keeps the full zone-map prune + match-checked CoW
+    * discipline (`pruned_ok` pins files outside the scalar-derived band
+    * untouched — the bound comes from the SUBSTITUTED literal). An empty
+    * scalar yields NULL → UNKNOWN → no rows mutate (`noop_ok`). The
+    * oracle replays the scalars relationally. */
+  private def x167Spec: QuerySpec =
+    QuerySpec("x167_sql_dml_scalar",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_scalar_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        docs.createOrReplaceTempView("x167_docs")
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val tbl = s"$tmp/t"
+        val w = maxId / 4 + 1
+        (0 until 4).foreach { i =>
+          Snapshots.commitAppend(
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1),
+            tbl, recordSchema = i == 0, statsCols = Seq("doc_id"),
+            recordRowCounts = true)
+        }
+        val before = Snapshots.liveFiles(s, tbl).toSet
+        // the scalar drives the band: min(doc_id)+half-width
+        s.sql(s"""UPDATE $cat.t
+                 |SET n_chars = n_chars + (SELECT max(n_chars) FROM x167_docs)
+                 |WHERE doc_id <= (SELECT min(doc_id) + ${w / 2} FROM x167_docs)"""
+          .stripMargin)
+        val prunedOk =
+          if ((before intersect Snapshots.liveFiles(s, tbl).toSet).size == 3) 1L
+          else 0L
+        // DELETE with a scalar threshold
+        s.sql(s"""DELETE FROM $cat.t
+                 |WHERE n_chars > (SELECT max(n_chars) FROM x167_docs)""".stripMargin)
+        // empty scalar: UNKNOWN predicate, provable no-op
+        val v0 = Snapshots.currentVersion(s, tbl)
+        s.sql(s"""DELETE FROM $cat.t
+                 |WHERE n_chars > (SELECT n_chars FROM x167_docs WHERE 1 = 0)"""
+          .stripMargin)
+        val noopOk = if (Snapshots.currentVersion(s, tbl) == v0) 1L else 0L
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("pruned_ok", lit(prunedOk))
+          .withColumn("noop_ok", lit(noopOk))
+      },
+      Some("""WITH p AS (SELECT (max(doc_id) // 4 + 1) // 2 AS hw,
+           |              min(doc_id) AS lo, max(n_chars) AS mx FROM documents),
+           |upd AS (
+           |  SELECT doc_id,
+           |         n_chars + CASE WHEN doc_id <= lo + hw THEN mx ELSE 0 END
+           |           AS n_chars
+           |  FROM documents, p
+           |),
+           |kept AS (SELECT upd.* FROM upd, p WHERE NOT (upd.n_chars > p.mx))
+           |SELECT count(*) AS n_rows,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS pruned_ok,
+           |       CAST(1 AS BIGINT) AS noop_ok
+           |FROM kept""".stripMargin))
 }

@@ -135,6 +135,20 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     case x         => Seq(x)
   }
 
+  /** Lift UNCORRELATED scalar subqueries out of a DML expression: each
+    * becomes a `__graft_scalar_<i>` placeholder the command evaluates ONCE
+    * at run time and substitutes as a typed literal (SQL scalar-subquery
+    * semantics: >1 row errors, 0 rows yields NULL). Correlated scalars
+    * keep refusing — per-row evaluation has no keyed rewrite. */
+  private def stripScalars(e: Expression,
+      acc: scala.collection.mutable.ArrayBuffer[LogicalPlan]): Expression =
+    e.transformUp {
+      case sq: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+          if sq.outerAttrs.isEmpty =>
+        acc += sq.plan
+        UnresolvedAttribute.quoted(s"__graft_scalar_${acc.size - 1}")
+    }
+
   /** The keyed rewrite a DML subquery predicate decomposed into: the
     * subquery-derived source plan whose rows become the key set, the
     * target key column names, and the statement's PLAIN outer conjuncts
@@ -361,7 +375,20 @@ object GraftDmlRule extends Rule[LogicalPlan] {
           assignments.forall(a => a.key.resolved && a.value.resolved) &&
           condition.forall(_.resolved) =>
       val t = graftTarget(target).get
-      condition.filter(_.exists(_.isInstanceOf[SubqueryExpression])) match {
+      // uncorrelated SCALAR subqueries in SET or WHERE lift out first:
+      // they evaluate once at run time and substitute as typed literals
+      val scalarPlans = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+      val sAssignments = assignments.map(a =>
+        Assignment(a.key, stripScalars(a.value, scalarPlans)))
+      val sCondition = condition.map(stripScalars(_, scalarPlans))
+      if (scalarPlans.nonEmpty &&
+          (sCondition.exists(_.exists(_.isInstanceOf[SubqueryExpression])) ||
+            sAssignments.exists(_.value.exists(_.isInstanceOf[SubqueryExpression]))))
+        throw new UnsupportedOperationException(
+          "graft SQL UPDATE supports scalar subqueries OR one keyed " +
+            "IN/EXISTS predicate, not both in one statement; " +
+            "materialize one side (temp view) instead")
+      sCondition.filter(_.exists(_.isInstanceOf[SubqueryExpression])) match {
         case Some(cond) =>
           // `UPDATE ... WHERE k [NOT] IN (SELECT ...) / [NOT] EXISTS (...)`
           // → keyed-merge semi/anti rewrite
@@ -392,20 +419,28 @@ object GraftDmlRule extends Rule[LogicalPlan] {
                 nullKeyMutates = nullMut, checkSourceNulls = srcNulls)
           }
         case None =>
-          val assigns = assignments.map {
+          val assigns = sAssignments.map {
             case Assignment(k: AttributeReference, v) => k.name -> unresolve(v)
             case Assignment(other, _) => throw new UnsupportedOperationException(
               s"graft SQL UPDATE assigns top-level columns only, got $other")
           }
           GraftUpdateCommand(t.path,
             assigns.map { case (n, e) => n -> DmlShim.column(e) },
-            condition.map(e => DmlShim.column(unresolve(e))),
-            condition.flatMap(pruneBound))
+            sCondition.map(e => DmlShim.column(unresolve(e))),
+            sCondition.flatMap(pruneBound), scalars = scalarPlans.toSeq)
       }
 
     case DeleteFromTable(target, condition)
         if graftTarget(target).isDefined && target.resolved && condition.resolved =>
-      if (condition.exists(_.isInstanceOf[SubqueryExpression])) {
+      val delScalars = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+      val delCond = stripScalars(condition, delScalars)
+      if (delScalars.nonEmpty &&
+          delCond.exists(_.isInstanceOf[SubqueryExpression]))
+        throw new UnsupportedOperationException(
+          "graft SQL DELETE supports scalar subqueries OR one keyed " +
+            "IN/EXISTS predicate, not both in one statement; " +
+            "materialize one side (temp view) instead")
+      if (delCond.exists(_.isInstanceOf[SubqueryExpression])) {
         // `DELETE FROM t WHERE k [NOT] IN (SELECT ...) / [NOT] EXISTS (…)`
         // → the keyed semi/anti-join source shape MERGE already uses: the
         // subquery's distinct values become the source, the plain outer
@@ -426,9 +461,11 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       } else
         // the SupportsDelete path only accepts exactly-translatable v1
         // predicates; this command carries the FULL Catalyst expression, so
-        // `WHERE id % 10 = 7` deletes instead of refusing
+        // `WHERE id % 10 = 7` deletes instead of refusing. Uncorrelated
+        // scalar subqueries lifted out above substitute at run time.
         GraftDeleteCommand(graftTarget(target).get.path,
-          DmlShim.column(unresolve(condition)), pruneBound(condition))
+          DmlShim.column(unresolve(delCond)), pruneBound(delCond),
+          scalars = delScalars.toSeq)
 
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource, _)
         if graftTarget(target).isDefined && target.resolved &&
@@ -570,18 +607,54 @@ private object GraftDmlRetry {
 case class GraftUpdateCommand(path: String,
                               assignments: Seq[(String, org.apache.spark.sql.Column)],
                               condition: Option[org.apache.spark.sql.Column],
-                              prune: Option[(String, String, String)])
+                              prune: Option[(String, String, String)],
+                              scalars: Seq[LogicalPlan] = Nil)
     extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = scalars
+
   // the name-referencing Columns ride as OPAQUE values (never Expression
   // fields: CheckAnalysis walks a command's expressions and would reject
   // the deliberately-unresolved attribute names the library re-resolves)
   override def run(spark: SparkSession): Seq[Row] = {
     GraftTable.refuseMvDml(spark, path, "UPDATE")
+    val sub = GraftScalars.substitutor(spark, scalars)
     GraftDmlRetry.retry {
-      Snapshots.updateWhere(spark, path, condition.getOrElse(lit(true)),
-        assignments, prune)
+      Snapshots.updateWhere(spark, path,
+        sub(condition.getOrElse(lit(true))),
+        assignments.map { case (n, c) => n -> sub(c) }, prune)
     }
     Seq.empty
+  }
+}
+
+/** Run-time evaluation of lifted scalar subqueries (SQL semantics: one
+  * column, at most one row — zero rows yields NULL), substituted into
+  * the statement's Columns as typed literals. Each scalar evaluates
+  * ONCE per statement and the value is reused across optimistic
+  * retries — SQL's read-once-at-statement-snapshot contract. */
+private object GraftScalars {
+  def substitutor(spark: SparkSession,
+                  scalars: Seq[LogicalPlan])
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    if (scalars.isEmpty) identity
+    else {
+      val lits: Map[String, Expression] = scalars.zipWithIndex.map {
+        case (plan, i) =>
+          val df = DmlShim.ofRows(spark, plan)
+          require(df.columns.length == 1,
+            s"scalar subquery must return one column, got ${df.columns.length}")
+          val rows = df.limit(2).collect()
+          if (rows.length > 1) throw new IllegalArgumentException(
+            "scalar subquery returned more than one row")
+          val dt = df.schema.fields(0).dataType
+          val v = if (rows.isEmpty || rows(0).isNullAt(0)) null else rows(0).get(0)
+          s"__graft_scalar_$i" -> Literal.create(v, dt)
+      }.toMap
+      c => DmlShim.column(DmlShim.expression(c).transformUp {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+            lits.contains(a.name) => lits(a.name)
+      })
+    }
   }
 }
 
@@ -590,11 +663,15 @@ case class GraftUpdateCommand(path: String,
   * path runs, minus the v1-translatability ceiling). */
 case class GraftDeleteCommand(path: String,
                               condition: org.apache.spark.sql.Column,
-                              prune: Option[(String, String, String)])
+                              prune: Option[(String, String, String)],
+                              scalars: Seq[LogicalPlan] = Nil)
     extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = scalars
+
   override def run(spark: SparkSession): Seq[Row] = {
+    val sub = GraftScalars.substitutor(spark, scalars)
     GraftDmlRetry.retry {
-      GraftTable.sqlDelete(spark, path, condition, prune)
+      GraftTable.sqlDelete(spark, path, sub(condition), prune)
     }
     Seq.empty
   }

@@ -171,9 +171,13 @@ class GraftDmlSpec extends SparkSpec {
     }
     assert(dup.getMessage.contains("duplicate keys"), dup.getMessage)
     Seq((11L, "a", 1L)).toDF("id", "src", "m").createOrReplaceTempView("r1_one")
-    // subqueries in SET have no keyed rewrite; EXISTS/NOT IN likewise
+    // an UNCORRELATED scalar in SET now works (evaluated once, literal);
+    // a CORRELATED scalar keeps refusing — no keyed rewrite
+    spark.sql("UPDATE gd.r1 SET m = (SELECT max(m) FROM r1_one) WHERE id = 1")
+    assert(spark.sql("SELECT m FROM gd.r1 WHERE id = 1").as[Long].head() === 1L)
     val sub = intercept[Exception] {
-      spark.sql("UPDATE gd.r1 SET m = (SELECT max(m) FROM r1_one) WHERE id = 1")
+      spark.sql("""UPDATE gd.r1 t SET m =
+                   (SELECT max(m) FROM r1_one s WHERE s.id = t.id)""")
     }
     assert(sub.getMessage.contains("subquer"), sub.getMessage)
     val ex = intercept[Exception] {
@@ -334,6 +338,28 @@ class GraftDmlSpec extends SparkSpec {
     spark.sql("""DELETE FROM gd.nk1
                  WHERE NOT EXISTS (SELECT 1 FROM nk1_keys s WHERE s.k = id)""")
     assert(spark.sql("SELECT sum(m) AS s FROM gd.nk1").as[Long].head() === 10L)
+  }
+
+  test("scalar subqueries in SET and WHERE: evaluate once, substitute as literals") {
+    val t = mk("sc1")
+    Seq(100L, 200L).toDF("v").createOrReplaceTempView("sc1_scalars")
+    // SET from an uncorrelated scalar; WHERE compares against another
+    spark.sql("""UPDATE gd.sc1
+                 SET m = (SELECT max(v) FROM sc1_scalars)
+                 WHERE id <= (SELECT count(*) FROM sc1_scalars)""")
+    val m = spark.sql("SELECT id, m FROM gd.sc1 WHERE id <= 4")
+      .as[(Long, Long)].collect().toMap
+    assert(m === Map(1L -> 200L, 2L -> 200L, 3L -> 6L, 4L -> 8L))
+    // DELETE with a scalar threshold
+    spark.sql("DELETE FROM gd.sc1 WHERE m > (SELECT min(v) FROM sc1_scalars)")
+    assert(spark.sql("SELECT count(*) AS n FROM gd.sc1").as[Long].head() === 38L)
+    // empty scalar yields NULL → predicate UNKNOWN → no rows deleted
+    spark.sql("DELETE FROM gd.sc1 WHERE m > (SELECT v FROM sc1_scalars WHERE v > 999)")
+    assert(spark.sql("SELECT count(*) AS n FROM gd.sc1").as[Long].head() === 38L)
+    // >1 row errors (the SQL scalar contract)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gd.sc1 SET m = (SELECT v FROM sc1_scalars) WHERE id = 3") }
+    assert(e.getMessage.contains("more than one row"), e.getMessage)
   }
 
   test("anti/correlation refusals: tuple NOT IN, non-equality correlation") {
