@@ -310,6 +310,21 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     // BETWEEN analyzes to a With/common-expression node — inline it so
     // its >= / <= conjuncts are visible to the matcher below
     conjuncts(inlineWithOnly(cond)).foreach {
+      // a literal IN-list implies col ∈ [min, max] of the list — the
+      // point-DML case (`WHERE id IN (5, 9)` rewrites O(overlapping
+      // files)); numeric lists order numerically, strings refuse a mixed
+      // bound only through literalStat's encodability gate
+      case org.apache.spark.sql.catalyst.expressions.In(
+          a: AttributeReference, values) if values.nonEmpty &&
+          values.forall(v => FoldedLit.unapply(v).exists(l =>
+            l.value != null && literalStat(l).isDefined)) =>
+        val enc = values.flatMap(v => FoldedLit.unapply(v).flatMap(literalStat))
+        val ordered = a.dataType match {
+          case LongType | IntegerType | ShortType | ByteType |
+               DoubleType | FloatType => enc.sortBy(_.toDouble)
+          case _ => enc.sorted
+        }
+        lo(a.name) = ordered.head; hi(a.name) = ordered.last
       case EqualTo(a: AttributeReference, FoldedLit(l)) =>
         literalStat(l).foreach { v => lo(a.name) = v; hi(a.name) = v }
       case EqualTo(FoldedLit(l), a: AttributeReference) =>

@@ -330,6 +330,22 @@ class GraftDdlSpec extends SparkSpec {
       (11L to 20L).map(_ * 2).sum)
   }
 
+  test("streaming ingest honors CHECK constraints: a violating micro-batch aborts uncommitted") {
+    val t = mk("ck3")
+    spark.sql("ALTER TABLE gdl.ck3 ADD CONSTRAINT m_pos CHECK (m > 0)")
+    val v0 = Snapshots.currentVersion(spark, t)
+    Snapshots.commitBatchOnce(spark, t, 0L,
+      Seq((100L, "sx", 5L)).toDF("id", "src", "m"))
+    assert(Snapshots.currentVersion(spark, t) === v0 + 1)
+    val e = intercept[Exception] {
+      Snapshots.commitBatchOnce(spark, t, 1L,
+        Seq((101L, "sy", -5L)).toDF("id", "src", "m")) }
+    assert(e.getMessage.contains("m_pos"), e.getMessage)
+    // nothing committed: the bad batch's files are unreferenced orphans
+    assert(Snapshots.currentVersion(spark, t) === v0 + 1)
+    assert(spark.sql("SELECT count(*) AS n FROM gdl.ck3").as[Long].head() === 41L)
+  }
+
   test("DROP TABLE deletes the tree; refuses while a branch shares files; name reusable") {
     root // force the catalog registration
     spark.sql("CREATE TABLE gdl.dt1 (id BIGINT, s STRING)")

@@ -340,6 +340,18 @@ class GraftDmlSpec extends SparkSpec {
     assert(spark.sql("SELECT sum(m) AS s FROM gd.nk1").as[Long].head() === 10L)
   }
 
+  test("IN-list DML derives a zone-map bound: point updates rewrite O(overlapping files)") {
+    val t = mk("in1")
+    val before = Snapshots.liveFiles(spark, t).toSet
+    spark.sql("UPDATE gd.in1 SET m = -1 WHERE id IN (12, 15, 18)")
+    // all three keys live in file 2 (ids 11-20): files 1/3/4 untouched
+    assert((before intersect Snapshots.liveFiles(spark, t).toSet).size === 3)
+    assert(spark.sql("SELECT sum(m) AS s FROM gd.in1 WHERE id IN (12, 15, 18)")
+      .as[Long].head() === -3L)
+    spark.sql("DELETE FROM gd.in1 WHERE id IN (31, 40)")
+    assert(spark.sql("SELECT count(*) AS n FROM gd.in1").as[Long].head() === 38L)
+  }
+
   test("scalar subqueries in SET and WHERE: evaluate once, substitute as literals") {
     val t = mk("sc1")
     Seq(100L, 200L).toDF("v").createOrReplaceTempView("sc1_scalars")
