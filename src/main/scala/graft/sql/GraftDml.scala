@@ -56,10 +56,15 @@ import graft.io.Snapshots
   * ([[Snapshots.mergeInto]]); everything else routes to
   * [[Snapshots.mergeIntoWhen]].
   *
-  * Deliberate refusals (loud, with the rewrite to use instead): subquery
-  * predicates, nested-field assignments, and `WHEN NOT MATCHED BY
-  * SOURCE` outside the full-sync triple — each has no defined mapping
-  * onto the library's keyed-merge algebra.
+  * Subqueries: `IN (SELECT …)` / correlated `EXISTS` rewrite onto the
+  * keyed-merge semi-join, `NOT IN` / `NOT EXISTS` onto the anti-join
+  * mutator (each with its SQL null algebra), and uncorrelated SCALAR
+  * subqueries in SET/WHERE evaluate once at run time and substitute as
+  * typed literals. Deliberate refusals (loud, with the rewrite to use
+  * instead): correlated scalars, tuple NOT IN, OR-nested subqueries,
+  * nested-field assignments, and `WHEN NOT MATCHED BY SOURCE` outside
+  * the full-sync triple — each has no defined mapping onto the
+  * library's keyed-merge algebra.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
