@@ -835,6 +835,11 @@ final class GraftWriteBuilder(table: GraftTable)
           val idFields = table.schema.fields.filter(
             org.apache.spark.sql.catalyst.util.IdentityColumn.isIdentityColumn)
           replaceFilters match {
+            case Some(_) if idFields.nonEmpty =>
+              throw new UnsupportedOperationException(
+                "replaceWhere on an IDENTITY table is ambiguous (the " +
+                  "replacement rows would need fresh ids minted mid-swap); " +
+                  "DELETE the band then INSERT, or MERGE by key instead")
             case Some(fs) =>
               // predicate overwrite: every filter must translate EXACTLY
               // (replacing too little or too much is data corruption)

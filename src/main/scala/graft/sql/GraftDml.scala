@@ -717,7 +717,7 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
     // the schema stamp first (nullable, one metadata commit with the
     // ADD COLUMNS resurrection guards) — existing rows read the new
     // columns as NULL, then the ordinary keyed merge lands the data
-    if (evolveSchema) {
+    if (evolveSchema) GraftDmlRetry.retry {
       val have = Snapshots.tableSchema(spark, path).map(_.fieldNames.toSet)
         .getOrElse(Set.empty)
       val missing = src.schema.fields.filterNot(f => have(f.name)).toSeq
