@@ -83,7 +83,7 @@ object Packing {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     require(capacity >= 1 && shards >= 1)
     val base = df
-      .select(id.as("id"), nTokens.cast("long").as("n_tokens"))
+      .select(id.cast("long").as("id"), nTokens.cast("long").as("n_tokens"))
       .filter(col("id").isNotNull)
       .na.fill(0L, Seq("n_tokens"))
       .withColumn("shard", pmod(col("id"), lit(shards.toLong)))

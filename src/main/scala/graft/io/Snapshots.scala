@@ -761,10 +761,16 @@ object Snapshots {
                   prune: Option[(String, String, String)] = None): DeleteResult = {
     import org.apache.spark.sql.functions.{col, when}
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    // ONE simultaneous projection, not a withColumn fold: SQL UPDATE
+    // evaluates every SET expression AND the WHERE against the OLD row,
+    // so `SET x = y, y = x` swaps and a condition on an assigned column
+    // gates the later assignments correctly (a fold would feed each
+    // assignment the previous one's output)
+    val am = assignments.toMap
     rewriteWhere(spark, table, cond, "update",
-      df => assignments.foldLeft(df) { case (d, (c, e)) =>
-        d.withColumn(c, when(cond, e).otherwise(col(c)))
-      }, prune)
+      df => df.select(df.columns.toSeq.map(c =>
+        am.get(c).map(e => when(cond, e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))): _*), prune)
   }
 
   /** COPY-ON-WRITE ANTI-JOIN MUTATION — the `NOT IN (SELECT …)` /
@@ -825,11 +831,14 @@ object Snapshots {
     }
     // the per-row mutation predicate AFTER the join: no source match,
     // the caller's null-key rule, and the (three-valued, null=false)
-    // plain conjuncts
+    // plain conjuncts. SQL edge: `k NOT IN (empty set)` is TRUE for
+    // EVERY row including k IS NULL (FALSE-never-UNKNOWN over no
+    // elements), so the null-key guard lifts when the key set is empty.
+    val emptyKeySet = keySet.isEmpty
     def predOf: org.apache.spark.sql.Column = {
       val noMatch = col("__graft_m").isNull
       val nullGuard =
-        if (nullKeyMutates) lit(true)
+        if (nullKeyMutates || emptyKeySet) lit(true)
         else keys.map(col(_).isNotNull).reduce(_ && _)
       coalesce(extraCond.getOrElse(lit(true)), lit(false)) && noMatch && nullGuard
     }
@@ -844,11 +853,14 @@ object Snapshots {
     val cols = sc.map(_.fieldNames.toSeq).getOrElse(
       spark.read.parquet(live: _*).columns.toSeq)
     val j = joined(applyDv(spark, table, Some(v), read(touched)))
+    // one simultaneous projection (the [[updateWhere]] rule): every
+    // assignment and the predicate read the OLD row
+    val am = assignments.toMap
     val out =
       if (assignments.isEmpty) j.filter(!predOf).select(cols.map(col): _*)
-      else assignments.foldLeft(j) { case (d, (c, e)) =>
-        d.withColumn(c, when(predOf, e).otherwise(col(c)))
-      }.select(cols.map(col): _*)
+      else j.select(cols.map(c =>
+        am.get(c).map(e => when(predOf, e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))): _*)
     commitCowRewrite(spark, table, v, out, touched,
       if (assignments.isEmpty) "delete" else "update", live.size)
   }

@@ -291,9 +291,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       // identity metadata keys; assignment happens engine-side at INSERT
       // ([[GraftWriteBuilder]]) against a transactional high watermark
       Option(c.identityColumnSpec()).map { is =>
-        require(c.dataType == org.apache.spark.sql.types.LongType ||
-          c.dataType == org.apache.spark.sql.types.IntegerType,
-          s"IDENTITY column ${c.name} must be BIGINT or INT, got ${c.dataType.simpleString}")
+        // BIGINT only: the minting expression rides
+        // monotonically_increasing_id(), whose partition-encoded values
+        // exceed 2^33 — an INT identity would overflow (ANSI crash) or
+        // wrap to DUPLICATE ids (the one invariant the feature promises)
+        require(c.dataType == org.apache.spark.sql.types.LongType,
+          s"IDENTITY column ${c.name} must be BIGINT, got ${c.dataType.simpleString}")
         import org.apache.spark.sql.catalyst.util.IdentityColumn
         f2.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f2.metadata)
@@ -972,35 +975,51 @@ object GraftWriteBuilder {
       val parts = fsys.listStatus(p).toSeq
         .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
         .map(_.getPath.toString)
-      if (parts.isEmpty) return // empty batch: nothing to mint or commit
-      // watermark from the WRITTEN files (one column-pruned agg)
-      val rb = spark.read.parquet(parts: _*)
-      val aggs = specs.map { case (f, is) =>
-        (if (is.getStep >= 0) max(col(f.name)) else min(col(f.name))).as(f.name) }
-      val row = rb.agg(aggs.head, aggs.tail: _*).first()
-      val propUps = specs.zipWithIndex.collect {
-        case ((f, is), i) if !row.isNullAt(i) =>
-          nextProp(f.name) ->
-            Some((row.getAs[Number](i).longValue + is.getStep).toString)
-      }
-      graft.io.Constraints.validate(spark, path, rb, "inserted")
-      val removes =
-        if (!ovr) Nil
-        else Snapshots.liveFiles(spark, path, Some(v)) ++
-          Snapshots.liveDvFiles(spark, path, Some(v)) ++
-          Snapshots.liveBloomFiles(spark, path, Some(v))
-      try {
-        Snapshots.commit(spark, path, adds = parts, removes = removes,
-          baseVersion = Some(v), props = propUps,
-          stats = Snapshots.computeStats(spark, dir, parts, statCols) ++
-            (if (statCols.nonEmpty) Snapshots.rowCountStats(spark, dir, parts)
-             else Nil))
-        done = true
-      } catch {
-        // a racing writer may have minted the same ids: re-derive against
-        // the fresh watermark (the lost attempt's dir is vacuum food)
-        case _: Snapshots.ConcurrentCommitException if attempts < 20 =>
-          attempts += 1
+      if (parts.isEmpty) {
+        // nothing minted — but an OVERWRITE of an empty source must
+        // still truncate, exactly like the non-identity path
+        if (!ovr) return
+        try {
+          Snapshots.commit(spark, path, adds = Nil,
+            removes = Snapshots.liveFiles(spark, path, Some(v)) ++
+              Snapshots.liveDvFiles(spark, path, Some(v)) ++
+              Snapshots.liveBloomFiles(spark, path, Some(v)),
+            baseVersion = Some(v))
+          return
+        } catch {
+          case _: Snapshots.ConcurrentCommitException if attempts < 20 =>
+            attempts += 1
+        }
+      } else {
+        // watermark from the WRITTEN files (one column-pruned agg)
+        val rb = spark.read.parquet(parts: _*)
+        val aggs = specs.map { case (f, is) =>
+          (if (is.getStep >= 0) max(col(f.name)) else min(col(f.name))).as(f.name) }
+        val row = rb.agg(aggs.head, aggs.tail: _*).first()
+        val propUps = specs.zipWithIndex.collect {
+          case ((f, is), i) if !row.isNullAt(i) =>
+            nextProp(f.name) ->
+              Some((row.getAs[Number](i).longValue + is.getStep).toString)
+        }
+        graft.io.Constraints.validate(spark, path, rb, "inserted")
+        val removes =
+          if (!ovr) Nil
+          else Snapshots.liveFiles(spark, path, Some(v)) ++
+            Snapshots.liveDvFiles(spark, path, Some(v)) ++
+            Snapshots.liveBloomFiles(spark, path, Some(v))
+        try {
+          Snapshots.commit(spark, path, adds = parts, removes = removes,
+            baseVersion = Some(v), props = propUps,
+            stats = Snapshots.computeStats(spark, dir, parts, statCols) ++
+              (if (statCols.nonEmpty) Snapshots.rowCountStats(spark, dir, parts)
+               else Nil))
+          done = true
+        } catch {
+          // a racing writer may have minted the same ids: re-derive against
+          // the fresh watermark (the lost attempt's dir is vacuum food)
+          case _: Snapshots.ConcurrentCommitException if attempts < 20 =>
+            attempts += 1
+        }
       }
     }
   }

@@ -154,6 +154,52 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         UnresolvedAttribute.quoted(s"__graft_scalar_${acc.size - 1}")
     }
 
+  /** ENGINE-GOVERNED columns (IDENTITY, GENERATED) have write-path
+    * invariants only the INSERT path enforces (minting, expression
+    * recomputation) — a keyed MERGE or an UPDATE assignment would bypass
+    * them and silently corrupt the very invariants the features promise
+    * (duplicate ids past a stale watermark, generated values diverging
+    * from their expressions). Refuse loudly with the rewrite to use. */
+  private def governedFields(t: GraftTable) = {
+    import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn}
+    t.schema.fields.filter(f =>
+      IdentityColumn.isIdentityColumn(f) || GeneratedColumn.isGeneratedColumn(f))
+  }
+
+  private def guardMergeGoverned(t: GraftTable): Unit = {
+    val g = governedFields(t)
+    if (g.nonEmpty) throw new UnsupportedOperationException(
+      s"MERGE INTO a table with IDENTITY/GENERATED columns " +
+        s"(${g.map(_.name).mkString(", ")}) is not supported — the keyed " +
+        "merge cannot mint identities or recompute generated values; " +
+        "INSERT (which mints/computes) plus DELETE, or drop the governed " +
+        "columns, instead")
+  }
+
+  private def guardUpdateGoverned(t: GraftTable,
+                                  assigned: Seq[String]): Unit = {
+    import org.apache.spark.sql.catalyst.util.GeneratedColumn
+    val g = governedFields(t).map(_.name).toSet
+    assigned.filter(g).foreach { c =>
+      throw new UnsupportedOperationException(
+        s"UPDATE may not assign engine-governed column '$c' (IDENTITY " +
+          "values mint at INSERT; GENERATED values are derived)")
+    }
+    // updating a column a generation expression READS would stale the
+    // generated value relative to its expression
+    t.schema.fields.flatMap(f =>
+      GeneratedColumn.getGenerationExpression(f).map(f.name -> _)).foreach {
+      case (gen, exprSql) =>
+        assigned.find(c => java.util.regex.Pattern.compile(
+          "(^|[^A-Za-z0-9_`])" + java.util.regex.Pattern.quote(c) +
+            "($|[^A-Za-z0-9_`])").matcher(exprSql).find()).foreach { c =>
+          throw new UnsupportedOperationException(
+            s"UPDATE of '$c' would stale GENERATED column '$gen' " +
+              s"($exprSql); update through DELETE + INSERT instead")
+        }
+    }
+  }
+
   /** The keyed rewrite a DML subquery predicate decomposed into: the
     * subquery-derived source plan whose rows become the key set, the
     * target key column names, and the statement's PLAIN outer conjuncts
@@ -303,6 +349,19 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** A column reference by NAME — resolved (AttributeReference) or the
+    * single-part unresolved form the scalar-substitution path re-derives
+    * bounds from after run-time literal substitution. */
+  private object AttrName {
+    def unapply(e: Expression): Option[(String, org.apache.spark.sql.types.DataType)] =
+      e match {
+        case a: AttributeReference => Some((a.name, a.dataType))
+        case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+          Some((a.name, org.apache.spark.sql.types.NullType))
+        case _ => None
+      }
+  }
+
   /** A SOUND zone-map prune bound implied by the condition: from the
     * top-level conjuncts (each MUST hold), per-column closed bounds —
     * equality gives [v, v], a >=/<= pair gives [lo, hi]. The first column
@@ -325,31 +384,34 @@ object GraftDmlRule extends Rule[LogicalPlan] {
             l.value != null && literalStat(l).isDefined)) =>
         val enc = values.flatMap(v => FoldedLit.unapply(v).flatMap(literalStat))
         val ordered = a.dataType match {
-          case LongType | IntegerType | ShortType | ByteType |
-               DoubleType | FloatType => enc.sortBy(_.toDouble)
+          // integral lists sort as longs (a double sort loses precision
+          // above 2^53 and can INVERT the bound — wrong pruning)
+          case LongType | IntegerType | ShortType | ByteType =>
+            enc.sortBy(_.toLong)
+          case DoubleType | FloatType => enc.sortBy(_.toDouble)
           case _ => enc.sorted
         }
         lo(a.name) = ordered.head; hi(a.name) = ordered.last
-      case EqualTo(a: AttributeReference, FoldedLit(l)) =>
-        literalStat(l).foreach { v => lo(a.name) = v; hi(a.name) = v }
-      case EqualTo(FoldedLit(l), a: AttributeReference) =>
-        literalStat(l).foreach { v => lo(a.name) = v; hi(a.name) = v }
-      case GreaterThan(a: AttributeReference, FoldedLit(l)) =>
-        literalStat(l).foreach(lo(a.name) = _)
-      case GreaterThanOrEqual(a: AttributeReference, FoldedLit(l)) =>
-        literalStat(l).foreach(lo(a.name) = _)
-      case LessThan(a: AttributeReference, FoldedLit(l)) =>
-        literalStat(l).foreach(hi(a.name) = _)
-      case LessThanOrEqual(a: AttributeReference, FoldedLit(l)) =>
-        literalStat(l).foreach(hi(a.name) = _)
-      case LessThan(FoldedLit(l), a: AttributeReference) =>
-        literalStat(l).foreach(lo(a.name) = _)
-      case LessThanOrEqual(FoldedLit(l), a: AttributeReference) =>
-        literalStat(l).foreach(lo(a.name) = _)
-      case GreaterThan(FoldedLit(l), a: AttributeReference) =>
-        literalStat(l).foreach(hi(a.name) = _)
-      case GreaterThanOrEqual(FoldedLit(l), a: AttributeReference) =>
-        literalStat(l).foreach(hi(a.name) = _)
+      case EqualTo(AttrName(n, _), FoldedLit(l)) =>
+        literalStat(l).foreach { v => lo(n) = v; hi(n) = v }
+      case EqualTo(FoldedLit(l), AttrName(n, _)) =>
+        literalStat(l).foreach { v => lo(n) = v; hi(n) = v }
+      case GreaterThan(AttrName(n, _), FoldedLit(l)) =>
+        literalStat(l).foreach(lo(n) = _)
+      case GreaterThanOrEqual(AttrName(n, _), FoldedLit(l)) =>
+        literalStat(l).foreach(lo(n) = _)
+      case LessThan(AttrName(n, _), FoldedLit(l)) =>
+        literalStat(l).foreach(hi(n) = _)
+      case LessThanOrEqual(AttrName(n, _), FoldedLit(l)) =>
+        literalStat(l).foreach(hi(n) = _)
+      case LessThan(FoldedLit(l), AttrName(n, _)) =>
+        literalStat(l).foreach(lo(n) = _)
+      case LessThanOrEqual(FoldedLit(l), AttrName(n, _)) =>
+        literalStat(l).foreach(lo(n) = _)
+      case GreaterThan(FoldedLit(l), AttrName(n, _)) =>
+        literalStat(l).foreach(hi(n) = _)
+      case GreaterThanOrEqual(FoldedLit(l), AttrName(n, _)) =>
+        literalStat(l).foreach(hi(n) = _)
       case _ =>
     }
     lo.keys.find(hi.contains).map(c => (c, lo(c), hi(c)))
@@ -395,6 +457,8 @@ object GraftDmlRule extends Rule[LogicalPlan] {
           assignments.forall(a => a.key.resolved && a.value.resolved) &&
           condition.forall(_.resolved) =>
       val t = graftTarget(target).get
+      guardUpdateGoverned(t, assignments.map(_.key).collect {
+        case a: AttributeReference => a.name })
       // uncorrelated SCALAR subqueries in SET or WHERE lift out first:
       // they evaluate once at run time and substitute as typed literals
       val scalarPlans = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
@@ -491,6 +555,7 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         if graftTarget(target).isDefined && target.resolved &&
           source.resolved && cond.resolved =>
       val t = graftTarget(target).get
+      guardMergeGoverned(t)
       // WHEN NOT MATCHED BY SOURCE THEN DELETE is accepted ONLY in the
       // full-sync triple (UPDATE SET * + INSERT * + BY SOURCE DELETE):
       // matched rows come from the source, unmatched targets drop,
@@ -638,10 +703,16 @@ case class GraftUpdateCommand(path: String,
   override def run(spark: SparkSession): Seq[Row] = {
     GraftTable.refuseMvDml(spark, path, "UPDATE")
     val sub = GraftScalars.substitutor(spark, scalars)
+    val cond = sub(condition.getOrElse(lit(true)))
+    // scalar substitution can expose a bound plan time couldn't see
+    // (`WHERE id <= (SELECT …)` becomes `id <= <literal>`): re-derive so
+    // the mutation prunes O(overlapping files), not O(table)
+    val bound =
+      if (scalars.isEmpty) prune
+      else prune.orElse(GraftDmlRule.pruneBound(DmlShim.expression(cond)))
     GraftDmlRetry.retry {
-      Snapshots.updateWhere(spark, path,
-        sub(condition.getOrElse(lit(true))),
-        assignments.map { case (n, c) => n -> sub(c) }, prune)
+      Snapshots.updateWhere(spark, path, cond,
+        assignments.map { case (n, c) => n -> sub(c) }, bound)
     }
     Seq.empty
   }
@@ -690,8 +761,12 @@ case class GraftDeleteCommand(path: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val sub = GraftScalars.substitutor(spark, scalars)
+    val cond = sub(condition)
+    val bound =
+      if (scalars.isEmpty) prune
+      else prune.orElse(GraftDmlRule.pruneBound(DmlShim.expression(cond)))
     GraftDmlRetry.retry {
-      GraftTable.sqlDelete(spark, path, sub(condition), prune)
+      GraftTable.sqlDelete(spark, path, cond, bound)
     }
     Seq.empty
   }

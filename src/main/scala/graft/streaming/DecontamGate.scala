@@ -49,16 +49,21 @@ object DecontamGate {
         val parts =
           if (batchPartitions > 0) batchPartitions
           else spark.sparkContext.defaultParallelism
-        val b = batch.repartition(parts)
-        val hits = b
-          .select(col("doc_id"), explode(TextAnalysis.ngrams(col("text"), k)).as("__g"))
-          .join(broadcast(benchGrams), Seq("__g"), "inner")
-          .groupBy("doc_id").agg(count(lit(1)).as("bench_hits"))
-        val kept = b
-          .join(hits, Seq("doc_id"), "left")
-          .withColumn("bench_hits", coalesce(col("bench_hits"), lit(0L)))
-          .filter(col("bench_hits") < minHits)
-        kept.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+        // the batch feeds TWO branches (the gram explode and the final
+        // keep join) — cache it so the source is read and repartitioned
+        // once per micro-batch, not twice
+        val b = batch.repartition(parts).persist()
+        try {
+          val hits = b
+            .select(col("doc_id"), explode(TextAnalysis.ngrams(col("text"), k)).as("__g"))
+            .join(broadcast(benchGrams), Seq("__g"), "inner")
+            .groupBy("doc_id").agg(count(lit(1)).as("bench_hits"))
+          val kept = b
+            .join(hits, Seq("doc_id"), "left")
+            .withColumn("bench_hits", coalesce(col("bench_hits"), lit(0L)))
+            .filter(col("bench_hits") < minHits)
+          kept.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+        } finally b.unpersist()
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -340,6 +340,65 @@ class GraftDmlSpec extends SparkSpec {
     assert(spark.sql("SELECT sum(m) AS s FROM gd.nk1").as[Long].head() === 10L)
   }
 
+  test("UPDATE swap semantics: every SET expression reads the OLD row") {
+    val t = mk("sw1")
+    spark.sql("UPDATE gd.sw1 SET m = id, id = m WHERE id = 5")
+    // old row (id=5, m=10): SQL swaps — id becomes 10, m becomes 5
+    val r = spark.sql("SELECT id, m FROM gd.sw1 WHERE m = 5")
+      .as[(Long, Long)].collect().toSeq
+    assert(r === Seq((10L, 5L)), r.toString)
+    assert(Snapshots.currentVersion(spark, t) === 5L)
+  }
+
+  test("anti-UPDATE multi-assignment reads old values too (simultaneous projection)") {
+    val t = mk("sw2")
+    Seq(1L).toDF("k").createOrReplaceTempView("sw2_keys")
+    // unmatched rows (id != 1) in the band: m = id AND id = m must swap
+    spark.sql("""UPDATE gd.sw2 SET m = id, id = m
+                 WHERE NOT EXISTS (SELECT 1 FROM sw2_keys s WHERE s.k = id)
+                   AND id = 7""")
+    val r = spark.sql("SELECT id, m FROM gd.sw2 WHERE m = 7")
+      .as[(Long, Long)].collect().toSeq
+    assert(r === Seq((14L, 7L)), r.toString)
+    assert(Snapshots.currentVersion(spark, t) === 5L)
+  }
+
+  test("NOT IN over an EMPTY subquery deletes every row, null keys included") {
+    val t = s"$root/ni2"
+    Snapshots.commitAppend(
+      Seq((Option(1L), 1L), (Option.empty[Long], 2L)).toDF("id", "m").coalesce(1),
+      t, recordSchema = true)
+    spark.sql("DELETE FROM gd.ni2 WHERE id NOT IN (SELECT id FROM gd.ni2 WHERE 1 = 0)")
+    // SQL: k NOT IN (empty set) is TRUE for EVERY row, even k IS NULL
+    assert(spark.sql("SELECT count(*) AS n FROM gd.ni2").as[Long].head() === 0L)
+  }
+
+  test("governed columns refuse MERGE and UPDATE assignment (identity/generated)") {
+    val r = java.nio.file.Files.createTempDirectory("graft_gov").toString
+    spark.conf.set("spark.sql.catalog.gov", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gov.root", r)
+    spark.sql("""CREATE TABLE gov.t (
+      id BIGINT GENERATED ALWAYS AS IDENTITY, a BIGINT,
+      b BIGINT GENERATED ALWAYS AS (a * 2))""")
+    spark.sql("INSERT INTO gov.t (a) VALUES (1)")
+    Seq((1L, 5L, 10L)).toDF("id", "a", "b").createOrReplaceTempView("gov_src")
+    val mg = intercept[Exception] {
+      spark.sql("""MERGE INTO gov.t t USING gov_src s ON t.id = s.id
+                   WHEN MATCHED THEN UPDATE SET *
+                   WHEN NOT MATCHED THEN INSERT *""") }
+    assert(mg.getMessage.contains("IDENTITY/GENERATED"), mg.getMessage)
+    val ua = intercept[Exception] {
+      spark.sql("UPDATE gov.t SET id = 99 WHERE a = 1") }
+    assert(ua.getMessage.contains("engine-governed"), ua.getMessage)
+    val ub = intercept[Exception] {
+      spark.sql("UPDATE gov.t SET b = 99 WHERE a = 1") }
+    assert(ub.getMessage.contains("engine-governed"), ub.getMessage)
+    // updating a column a generation expression READS refuses too
+    val uc = intercept[Exception] {
+      spark.sql("UPDATE gov.t SET a = 7 WHERE a = 1") }
+    assert(uc.getMessage.contains("stale"), uc.getMessage)
+  }
+
   test("IN-list DML derives a zone-map bound: point updates rewrite O(overlapping files)") {
     val t = mk("in1")
     val before = Snapshots.liveFiles(spark, t).toSet
