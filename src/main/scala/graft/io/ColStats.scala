@@ -46,8 +46,21 @@ object ColStats {
     val props = cols.zipWithIndex.map { case (c, i) =>
       val ndv = row.getLong(i * 4)
       val nulls = if (row.isNullAt(i * 4 + 1)) 0L else row.getLong(i * 4 + 1)
-      val avgLen = row.getLong(i * 4 + 2)
-      val maxLen = row.getLong(i * 4 + 3)
+      // fixed-width types report their physical width, not the string-
+      // image digit count (a BIGINT is 8 bytes, not "avg 7 digits") —
+      // sizeInBytes-derived estimates stay honest; variable-width types
+      // (strings, binaries, arrays) keep the measured image lengths
+      val fixedW: Option[Long] = df.schema(c).dataType match {
+        case t @ (_: org.apache.spark.sql.types.NumericType |
+                  org.apache.spark.sql.types.BooleanType |
+                  org.apache.spark.sql.types.DateType |
+                  org.apache.spark.sql.types.TimestampType |
+                  org.apache.spark.sql.types.TimestampNTZType) =>
+          Some(t.defaultSize.toLong)
+        case _ => None
+      }
+      val avgLen = fixedW.getOrElse(row.getLong(i * 4 + 2))
+      val maxLen = fixedW.getOrElse(row.getLong(i * 4 + 3))
       (Prefix + c) -> Some(s"ndv=$ndv;nulls=$nulls;avglen=$avgLen;" +
         s"maxlen=$maxLen;asof=$v")
     }

@@ -761,6 +761,12 @@ object Snapshots {
                   prune: Option[(String, String, String)] = None): DeleteResult = {
     import org.apache.spark.sql.functions.{col, when}
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    // SQL rejects duplicate SET targets (`SET x = 1, x = 2`) — the toMap
+    // below would silently keep only the last one
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      s"duplicate assignment targets: ${assignments.map(_._1)
+        .groupBy(identity).collect { case (c, v) if v.size > 1 => c }
+        .mkString(", ")}")
     // ONE simultaneous projection, not a withColumn fold: SQL UPDATE
     // evaluates every SET expression AND the WHERE against the OLD row,
     // so `SET x = y, y = x` swaps and a condition on an assigned column

@@ -200,15 +200,32 @@ object Wap {
     val bloomConflicts = (srcBloom -- nowBloom) intersect (srcBloom -- dstBloom.toSet)
     val srcDvChanged = nowDv != srcDv
     val branchDvChanged = dstDv.toSet != srcDv
+    // dv tombstones are KEY-based (applyDv joins by key), so a dv change
+    // on one side conflicts not only with the other side's dv changes but
+    // with the other side's base-file rewrites too: a source dv-delete of
+    // key k merged over a clone CoW-rewrite that UPDATED k would keep the
+    // tombstone live and silently suppress the rewritten row (and
+    // symmetrically, a clone tombstone over a source rewrite)
+    val srcBaseChanged = (srcLive -- nowLive).nonEmpty
+    val dstBaseChanged = (srcLive -- dstLive.toSet).nonEmpty
+    val dvCross = (srcDvChanged && dstBaseChanged) ||
+      (branchDvChanged && srcBaseChanged)
     if (dataConflicts.nonEmpty || bloomConflicts.nonEmpty ||
-        (srcDvChanged && branchDvChanged)) {
+        (srcDvChanged && branchDvChanged) || dvCross) {
       val what =
         if (dataConflicts.nonEmpty)
           s"both rewrote base data files: ${dataConflicts.take(4).mkString(", ")}" +
             (if (dataConflicts.size > 4) s" (+${dataConflicts.size - 4} more)" else "")
         else if (bloomConflicts.nonEmpty)
           s"both rewrote bloom sidecars: ${bloomConflicts.take(4).mkString(", ")}"
-        else "both sides added deletion vectors (tombstone key overlap unknowable)"
+        else if (srcDvChanged && branchDvChanged)
+          "both sides added deletion vectors (tombstone key overlap unknowable)"
+        else if (srcDvChanged && dstBaseChanged)
+          "the source added deletion vectors while the clone rewrote base " +
+            "files (a source tombstone could suppress a clone-rewritten row)"
+        else
+          "the clone added deletion vectors while the source rewrote base " +
+            "files (a clone tombstone could suppress a source-rewritten row)"
       throw new IllegalStateException(
         s"publish conflict: $src advanced to v$cur past the clone's base " +
           s"v$base and $what; re-clone from the current version and " +

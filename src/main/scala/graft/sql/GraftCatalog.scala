@@ -338,6 +338,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = tablePath(ident)
     if (!exists(path)) throw new NoSuchTableException(ident)
+    // PIN the version every validation below reads at, and commit against
+    // it: ADD CONSTRAINT validates existing rows, so a writer landing
+    // between validation and commit would have validated against the OLD
+    // constraint set — the pinned baseVersion makes that race a loud
+    // ConcurrentCommitException (re-run the ALTER) instead of a silently
+    // unvalidated constraint
+    val pinnedV = Snapshots.currentVersion(spark, path)
     var propChanges: Seq[(String, Option[String])] = changes.collect {
       case s: TableChange.SetProperty    => s.property -> Some(s.value)
       case r: TableChange.RemoveProperty => r.property -> None
@@ -384,7 +391,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             throw new UnsupportedOperationException(
               s"CHECK constraint '$name' carries no predicate SQL"))
           val bad = graft.io.Constraints
-            .violations(Snapshots.readAt(spark, path), sql).limit(1).count()
+            .violations(Snapshots.readAt(spark, path, Some(pinnedV)), sql)
+            .limit(1).count()
           require(bad == 0,
             s"cannot add CHECK constraint '$name' ($sql): existing rows " +
               s"of $path violate it")
@@ -576,7 +584,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     }
     Snapshots.commit(spark, path, adds = Nil, schemaJson = schemaJson,
       props = propChanges, notes = evolveNotes,
-      baseVersion = Some(Snapshots.currentVersion(spark, path)))
+      baseVersion = Some(pinnedV))
     loadTable(ident)
   }
 
@@ -998,8 +1006,17 @@ object GraftWriteBuilder {
         val row = rb.agg(aggs.head, aggs.tail: _*).first()
         val propUps = specs.zipWithIndex.collect {
           case ((f, is), i) if !row.isNullAt(i) =>
-            nextProp(f.name) ->
-              Some((row.getAs[Number](i).longValue + is.getStep).toString)
+            // MONOTONIC watermark: a GENERATED BY DEFAULT insert of
+            // explicit ids BELOW the current watermark (a backfill) must
+            // never move it backwards, or later inserts would re-mint
+            // already-issued ids — the one invariant identity promises
+            val cur = props.get(nextProp(f.name)).map(_.toLong)
+              .getOrElse(is.getStart)
+            val written = row.getAs[Number](i).longValue + is.getStep
+            val mono =
+              if (is.getStep >= 0) math.max(cur, written)
+              else math.min(cur, written)
+            nextProp(f.name) -> Some(mono.toString)
         }
         graft.io.Constraints.validate(spark, path, rb, "inserted")
         val removes =

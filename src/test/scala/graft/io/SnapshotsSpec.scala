@@ -260,6 +260,15 @@ class SnapshotsSpec extends SparkSpec {
     assert(scan.size <= 2 && scan.nonEmpty)
   }
 
+  test("updateWhere rejects duplicate assignment targets") {
+    val t = slicedTable()
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, t, col("id") === 1L,
+        Seq("id" -> lit(1L), "id" -> lit(2L)))
+    }
+    assert(e.getMessage.contains("duplicate assignment"), e.getMessage)
+  }
+
   test("updateWhere with no matches commits nothing") {
     val t = slicedTable()
     val v = Snapshots.currentVersion(spark, t)

@@ -195,6 +195,39 @@ class WapSpec extends SparkSpec {
     assert(Snapshots.tableProperties(spark, c2)("wap.source") === t2)
   }
 
+  test("a dv advance on one side conflicts with a base rewrite on the other") {
+    val base = freshBase()
+    // source MoR-deletes key k while the clone CoW-rewrites the file
+    // holding k: merging would keep the source tombstone live over the
+    // clone's rewritten row — a silently lost update, so publish refuses
+    val t = s"$base/srcx"
+    (0 until 2).foreach { i =>
+      Snapshots.commitAppend(
+        (i * 10 + 1 to i * 10 + 10).map(x => (x.toLong, x * 2L)).toDF("id", "m")
+          .coalesce(1), t, recordSchema = i == 0)
+    }
+    val c = s"$base/stagex"
+    Wap.clone(spark, t, c)
+    Snapshots.updateWhere(spark, c, col("id") === 3L, Seq("m" -> lit(999L)))
+    Snapshots.deleteWhereMor(spark, t, col("id") === 3L, Seq("id"))
+    val e = intercept[IllegalStateException] { Wap.publish(spark, c) }
+    assert(e.getMessage.contains("deletion vectors") &&
+      e.getMessage.contains("rewrote base"), e.getMessage)
+    // symmetric: a clone tombstone over a source CoW rewrite refuses too
+    val t2 = s"$base/srcy"
+    (0 until 2).foreach { i =>
+      Snapshots.commitAppend(
+        (i * 10 + 1 to i * 10 + 10).map(x => (x.toLong, x * 2L)).toDF("id", "m")
+          .coalesce(1), t2, recordSchema = i == 0)
+    }
+    val c2 = s"$base/stagey"
+    Wap.clone(spark, t2, c2)
+    Snapshots.deleteWhereMor(spark, c2, col("id") === 3L, Seq("id"))
+    Snapshots.updateWhere(spark, t2, col("id") === 3L, Seq("m" -> lit(111L)))
+    val e2 = intercept[IllegalStateException] { Wap.publish(spark, c2) }
+    assert(e2.getMessage.contains("deletion vectors"), e2.getMessage)
+  }
+
   test("same-leaf clones into different parents coexist; abandon retracts each pin") {
     val base = freshBase()
     val t = mkSrc(base)

@@ -44,6 +44,17 @@ class ColStatsSpec extends SparkSpec {
       .as[Long].head() === 7L)
   }
 
+  test("fixed-width columns report physical width, not string-image digits") {
+    val t = s"$root/tw"
+    Snapshots.commitAppend(
+      (1L to 100L).map(i => (i * 100000L, s"name$i")).toDF("id", "nm")
+        .coalesce(1), t, recordSchema = true)
+    ColStats.analyze(spark, t, Seq("id", "nm"))
+    val st = ColStats.of(spark, t)
+    assert(st("id")._3 === 8L && st("id")._4 === 8L, st("id").toString) // BIGINT = 8 bytes
+    assert(st("nm")._3 >= 5L && st("nm")._4 >= 6L, st("nm").toString)  // strings keep image lengths
+  }
+
   test("stats time-travel: AS OF below the analyze sees none") {
     val t = s"$root/t2"
     Snapshots.commitAppend(
