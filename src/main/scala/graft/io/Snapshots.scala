@@ -871,6 +871,232 @@ object Snapshots {
       if (assignments.isEmpty) "delete" else "update", live.size)
   }
 
+  /** One keyed gate of a [[mutateKeyed]] mutation — the decomposed form
+    * of one subquery conjunct in a DML WHERE (or one correlated scalar in
+    * an UPDATE SET). `keys` name TARGET columns; `source` provides the
+    * key set positionally. */
+  sealed trait KeyedGate {
+    def source: DataFrame; def keys: Seq[String]
+  }
+  /** `k IN (SELECT …)` / correlated `EXISTS`: rows whose key appears in
+    * the source may mutate. Null source keys drop (IN/= never holds on
+    * null); an empty source means no row mutates. */
+  final case class SemiGate(source: DataFrame, keys: Seq[String])
+      extends KeyedGate
+  /** `k NOT IN (SELECT …)` / `NOT EXISTS`: rows whose key does NOT appear
+    * may mutate, with the caller's null-target-key rule (see
+    * [[mutateAnti]]'s null algebra — `NOT IN`'s statement-voiding source
+    * nulls are the SQL command's to enforce before calling). */
+  final case class AntiGate(source: DataFrame, keys: Seq[String],
+                            nullKeyMutates: Boolean) extends KeyedGate
+  /** A correlated-scalar ENRICHMENT: left-join the key-unique source
+    * (keys + ONE value column, positionally) and expose the per-row value
+    * to the assignment expressions under `valueName` — unmatched keys see
+    * `emptyValue` (the aggregate's empty-input value: NULL for max/min/
+    * sum, 0 for count). Contributes no predicate. */
+  final case class EnrichGate(source: DataFrame, keys: Seq[String],
+                              valueName: String,
+                              emptyValue: org.apache.spark.sql.Column)
+      extends KeyedGate
+
+  /** GENERALIZED KEYED COPY-ON-WRITE MUTATION — several keyed gates
+    * composed by AND in ONE transactional commit: the multi-subquery DML
+    * shape (`WHERE k IN (SELECT …) AND k2 NOT IN (SELECT …) AND plain`)
+    * and the correlated-scalar UPDATE (`SET v = (SELECT agg FROM s WHERE
+    * s.k = t.k)`). A row mutates iff `extraCond` holds AND every
+    * [[SemiGate]] matches AND every [[AntiGate]] does not; [[EnrichGate]]
+    * values feed the assignments. Empty `assignments` deletes.
+    *
+    * Scale shape: membership is decided by ONE distributed left join per
+    * gate against its DISTINCT keys (AQE broadcasts small sets) — never
+    * per-row `isin` literals. Candidates prune by zone maps twice over:
+    * the plain conjuncts' `prune` bound AND the first semi gate's own key
+    * range (its source bounds where a match can live — the
+    * [[mergeIntoWhen]] `pruneOn` discipline; anti/enrich gates cannot
+    * prune, a missing key can be anywhere). Only files actually holding a
+    * mutating row rewrite; untouched files stay byte-identical. */
+  def mutateKeyed(spark: SparkSession, table: String, gates: Seq[KeyedGate],
+                  extraCond: Option[org.apache.spark.sql.Column],
+                  assignments: Seq[(String, org.apache.spark.sql.Column)],
+                  prune: Option[(String, String, String)] = None): DeleteResult = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, max, min, when}
+    require(gates.nonEmpty, "mutateKeyed needs at least one gate")
+    gates.foreach { g =>
+      require(g.keys.nonEmpty, "every gate needs at least one key column")
+      val want = g.keys.length + (g match { case _: EnrichGate => 1; case _ => 0 })
+      require(g.source.columns.length == want,
+        s"gate source returns ${g.source.columns.length} columns for " +
+          s"${g.keys.length} key columns (${g.keys.mkString(", ")})" +
+          (g match { case _: EnrichGate => " + 1 value column"; case _ => "" }))
+    }
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      "duplicate assignment targets")
+    val v = currentVersion(spark, table)
+    val live = liveFiles(spark, table, Some(v))
+    val candidates0 = prune match {
+      case Some((c, lo, hi)) => pruneFiles(spark, table, c, lo, hi, Some(v))._1
+      case None              => live
+    }
+    // the first semi gate's source key range narrows candidates further:
+    // a row can only mutate where that gate's keys can live
+    val candidates = gates.collectFirst { case g: SemiGate => g } match {
+      case Some(sg) =>
+        val kc = sg.source.columns.head
+        val b = sg.source.agg(min(col(kc)).cast("string"),
+          max(col(kc)).cast("string")).first()
+        if (b.isNullAt(0)) Nil // empty/all-null semi keys: nothing matches
+        else {
+          val keep = pruneFiles(spark, table, sg.keys.head,
+            b.getString(0), b.getString(1), Some(v))._1.toSet
+          candidates0.filter(keep)
+        }
+      case None => candidates0
+    }
+    if (candidates.isEmpty) return DeleteResult(v, Nil, live.size)
+    val sc = tableSchema(spark, table, Some(v))
+    def read(files: Seq[String]) = schemaRead(spark, table, Some(v), files)
+    // per-gate reserved-named key sets so bare target-column references in
+    // extraCond/assignments stay unambiguous after the joins
+    val prepped = gates.zipWithIndex.map { case (g, i) =>
+      val kCols = g.keys.indices.map(j => s"__graft_g${i}_k$j")
+      val marker = s"__graft_g${i}_m"
+      val vCol = s"__graft_g${i}_v"
+      val ks = g match {
+        case _: EnrichGate =>
+          // key-unique contract: a duplicated key would multiply target
+          // rows through the join (and SQL's scalar subquery would error)
+          val renamed = g.source.toDF(kCols :+ vCol: _*).na.drop("any", kCols)
+          val dups = renamed.groupBy(kCols.map(col): _*)
+            .count().filter(col("count") > 1).limit(1).collect()
+          if (dups.nonEmpty) throw new IllegalArgumentException(
+            "correlated scalar subquery returned more than one row for " +
+              s"correlation key ${dups.head.toSeq.init.mkString(",")}")
+          renamed.withColumn(marker, lit(1))
+        case _ =>
+          g.source.toDF(kCols: _*).na.drop("any").distinct()
+            .withColumn(marker, lit(1))
+      }
+      (g, ks, kCols, marker, vCol)
+    }
+    // SQL edge (see [[mutateAnti]]): `k NOT IN (empty set)` is TRUE for
+    // every row including k IS NULL, so the null-key guard lifts per-gate
+    val emptySet = prepped.map { case (g, ks, _, _, _) =>
+      g match { case _: AntiGate => ks.isEmpty; case _ => false }
+    }
+    def joined(df: DataFrame): DataFrame =
+      prepped.foldLeft(df) { case (d, (g, ks, kCols, _, _)) =>
+        val jc = g.keys.zip(kCols).map { case (k, kk) => col(k) === col(kk) }
+          .reduce(_ && _)
+        d.join(ks, jc, "left_outer")
+      }
+    def withValues(j: DataFrame): DataFrame =
+      prepped.foldLeft(j) { case (d, (g, _, _, marker, vCol)) =>
+        g match {
+          case e: EnrichGate => d.withColumn(e.valueName,
+            when(col(marker).isNotNull, col(vCol)).otherwise(e.emptyValue))
+          case _ => d
+        }
+      }
+    def predOf: org.apache.spark.sql.Column = {
+      val gatePreds = prepped.zip(emptySet).map {
+        case ((g, _, _, marker, _), empty) => g match {
+          case _: SemiGate => col(marker).isNotNull
+          case AntiGate(_, keys, nullMut) =>
+            val nullGuard =
+              if (nullMut || empty) lit(true)
+              else keys.map(col(_).isNotNull).reduce(_ && _)
+            col(marker).isNull && nullGuard
+          case _: EnrichGate => lit(true)
+        }
+      }
+      (coalesce(extraCond.getOrElse(lit(true)), lit(false)) +: gatePreds)
+        .reduce(_ && _)
+    }
+    val byName = candidates.map(p => new Path(p).getName -> p).toMap
+    val touched = joined(applyDv(spark, table, Some(v),
+        read(candidates).withColumn("__f", input_file_name())))
+      .filter(predOf)
+      .groupBy(col("__f")).agg(count(lit(1)))
+      .collect().toSeq
+      .flatMap(r => byName.get(new Path(r.getString(0)).getName))
+    if (touched.isEmpty) return DeleteResult(v, Nil, live.size)
+    val cols = sc.map(_.fieldNames.toSeq).getOrElse(
+      spark.read.parquet(live: _*).columns.toSeq)
+    val j = withValues(joined(applyDv(spark, table, Some(v), read(touched))))
+    // one simultaneous projection (the [[updateWhere]] rule): every
+    // assignment and the predicate read the OLD row
+    val am = assignments.toMap
+    val out =
+      if (assignments.isEmpty) j.filter(!predOf).select(cols.map(col): _*)
+      else j.select(cols.map(c =>
+        am.get(c).map(e => when(predOf, e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))): _*)
+    commitCowRewrite(spark, table, v, out, touched,
+      if (assignments.isEmpty) "delete" else "update", live.size)
+  }
+
+  /** STAGED-PREDICATE COPY-ON-WRITE MUTATION — the materialize fallback
+    * for DML predicates carrying uncorrelated subqueries with no keyed
+    * decomposition (tuple `NOT IN`, subqueries under `OR`): the caller
+    * stages each subquery plan (so `cond` is self-contained and stable),
+    * and the predicate evaluates IN PLACE inside the candidate reads —
+    * Spark's own subquery planning turns each membership test into a
+    * distributed join (null-aware anti join for NOT IN), so a million-key
+    * subquery is one shuffle, never a literal list.
+    *
+    * File discipline as everywhere: zone maps prune candidates by the
+    * plain conjuncts' `prune` bound, only files actually holding a
+    * matching row rewrite. The rewrite tags candidate rows with a row id
+    * over an EAGER local checkpoint: the passthrough side anti-joins the
+    * matched ids instead of negating the predicate (SQL's
+    * NULL-condition-keeps-the-row rule without nesting a predicate
+    * subquery under NOT/COALESCE, which Spark cannot plan). */
+  def mutateStaged(spark: SparkSession, table: String,
+                   cond: org.apache.spark.sql.Column,
+                   assignments: Seq[(String, org.apache.spark.sql.Column)],
+                   prune: Option[(String, String, String)] = None): DeleteResult = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, monotonically_increasing_id}
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      "duplicate assignment targets")
+    val v = currentVersion(spark, table)
+    val live = liveFiles(spark, table, Some(v))
+    val candidates = prune match {
+      case Some((c, lo, hi)) => pruneFiles(spark, table, c, lo, hi, Some(v))._1
+      case None              => live
+    }
+    if (candidates.isEmpty) return DeleteResult(v, Nil, live.size)
+    val sc = tableSchema(spark, table, Some(v))
+    def read(files: Seq[String]) = schemaRead(spark, table, Some(v), files)
+    val byName = candidates.map(p => new Path(p).getName -> p).toMap
+    val touched = applyDv(spark, table, Some(v),
+        read(candidates).withColumn("__f", input_file_name()))
+      .filter(cond) // Filter keeps TRUE only — SQL's null-is-false rule
+      .groupBy(col("__f")).agg(count(lit(1)))
+      .collect().toSeq
+      .flatMap(r => byName.get(new Path(r.getString(0)).getName))
+    if (touched.isEmpty) return DeleteResult(v, Nil, live.size)
+    val cols = sc.map(_.fieldNames.toSeq).getOrElse(
+      spark.read.parquet(live: _*).columns.toSeq)
+    val tagged = applyDv(spark, table, Some(v), read(touched))
+      .withColumn("__graft_rid", monotonically_increasing_id())
+      .localCheckpoint()
+    val matched = tagged.filter(cond)
+    def keep = tagged.join(matched.select("__graft_rid"),
+      Seq("__graft_rid"), "left_anti").select(cols.map(col): _*)
+    val out =
+      if (assignments.isEmpty) keep
+      else {
+        val am = assignments.toMap
+        // SQL UPDATE evaluates every SET expression against the OLD row;
+        // matched and passthrough rows rewrite as separate branches so
+        // the predicate never has to evaluate inside a projection
+        matched.select(cols.map(c =>
+          am.get(c).map(_.as(c)).getOrElse(col(c))): _*).unionByName(keep)
+      }
+    commitCowRewrite(spark, table, v, out, touched,
+      if (assignments.isEmpty) "delete" else "update", live.size)
+  }
+
   /** Schema-evolution ADD COLUMNS as a library call (the `ALTER TABLE
     * ADD COLUMNS` core, shared with MERGE WITH SCHEMA EVOLUTION): append
     * nullable fields to the schema stamp in one metadata commit, with

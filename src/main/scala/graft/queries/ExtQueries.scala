@@ -3230,7 +3230,8 @@ object ExtQueries {
     x134Spec, st27Spec, x135Spec, x136Spec, x137Spec, st28Spec, x138Spec,
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
-    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, x164Spec, x165Spec, x166Spec, x167Spec, st31Spec)
+    x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, x164Spec, x165Spec, x166Spec, x167Spec, st31Spec,
+    x168Spec, x169Spec, x171Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -8946,4 +8947,240 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS pruned_ok,
            |       CAST(1 AS BIGINT) AS noop_ok
            |FROM kept""".stripMargin))
+
+  /** Stage a 4-file graft catalog table of (doc_id, source, n_chars) from
+    * `documents`, zone-mapped on doc_id — the shared fixture of the SQL
+    * DML extension queries. Returns (catalog name, table path, maxId). */
+  private def dmlFixture(s: SparkSession, d: String, view: String)
+      : (String, String, Long) = {
+    import graft.io.Snapshots
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dml_run").toString
+    val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+    docs.createOrReplaceTempView(view)
+    val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+    val tbl = s"$tmp/t"
+    val w = maxId / 4 + 1
+    (0 until 4).foreach { i =>
+      Snapshots.commitAppend(
+        docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1),
+        tbl, recordSchema = i == 0, statsCols = Seq("doc_id"),
+        recordRowCounts = true)
+    }
+    (cat, tbl, maxId)
+  }
+
+  /** x168: MULTI-SUBQUERY CONJUNCTS IN ONE DML WHERE — `DELETE … WHERE k
+    * IN (SELECT …) AND NOT EXISTS (…) AND band` and the UPDATE twin with
+    * `IN … AND NOT IN …` compose as ONE [[graft.io.Snapshots.mutateKeyed]]
+    * gate chain: each conjunct is its own distributed key-set join (semi
+    * or anti), the plain band still zone-map-prunes candidate files
+    * (`pruned_ok`), and one commit lands per statement. NOT IN's
+    * three-valued rule survives composition: a NULL in its subquery makes
+    * the conjunct never TRUE, so the whole ANDed statement is a provable
+    * no-op (`noop_ok`). Oracle replays the algebra relationally. */
+  private def x168Spec: QuerySpec =
+    QuerySpec("x168_sql_dml_multi",
+      (s, d) => {
+        import graft.io.Snapshots
+        val (cat, tbl, maxId) = dmlFixture(s, d, "x168_docs")
+        val half = maxId / 2
+        val before = Snapshots.liveFiles(s, tbl).toSet
+        // semi AND anti AND band in one statement: delete banded rows with
+        // n_chars % 5 = 0 unless their doc carries source 'src1'
+        s.sql(s"""DELETE FROM $cat.t
+                 |WHERE doc_id IN (SELECT doc_id FROM x168_docs WHERE n_chars % 5 = 0)
+                 |  AND NOT EXISTS (SELECT 1 FROM x168_docs d2
+                 |                  WHERE d2.doc_id = t.doc_id AND d2.source = 'src1')
+                 |  AND doc_id BETWEEN 0 AND $half""".stripMargin)
+        val prunedOk =
+          if ((before intersect Snapshots.liveFiles(s, tbl).toSet).size >= 1) 1L
+          else 0L
+        // IN + NOT IN composed in the UPDATE twin
+        s.sql(s"""UPDATE $cat.t SET n_chars = n_chars + 100000
+                 |WHERE doc_id IN (SELECT doc_id FROM x168_docs WHERE source = 'src2')
+                 |  AND doc_id NOT IN (SELECT doc_id FROM x168_docs WHERE n_chars % 3 = 0)"""
+          .stripMargin)
+        // NOT IN null-voiding survives composition: provable no-op
+        val v0 = Snapshots.currentVersion(s, tbl)
+        s.sql(s"""DELETE FROM $cat.t
+                 |WHERE doc_id IN (SELECT doc_id FROM x168_docs)
+                 |  AND doc_id NOT IN (SELECT CASE WHEN n_chars % 2 = 0 THEN NULL
+                 |                            ELSE doc_id END FROM x168_docs)"""
+          .stripMargin)
+        val noopOk = if (Snapshots.currentVersion(s, tbl) == v0) 1L else 0L
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("pruned_ok", lit(prunedOk))
+          .withColumn("noop_ok", lit(noopOk))
+      },
+      Some("""WITH half AS (SELECT max(doc_id) // 2 AS h FROM documents),
+           |kept AS (
+           |  SELECT * FROM documents, half
+           |  WHERE NOT (n_chars % 5 = 0
+           |             AND NOT EXISTS (SELECT 1 FROM documents d2
+           |                             WHERE d2.doc_id = documents.doc_id
+           |                               AND d2.source = 'src1')
+           |             AND doc_id BETWEEN 0 AND h)
+           |),
+           |upd AS (
+           |  SELECT doc_id,
+           |         n_chars + CASE WHEN source = 'src2'
+           |                         AND NOT (n_chars % 3 = 0)
+           |                        THEN 100000 ELSE 0 END AS n_chars
+           |  FROM kept
+           |)
+           |SELECT count(*) AS n_rows,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS pruned_ok,
+           |       CAST(1 AS BIGINT) AS noop_ok
+           |FROM upd""".stripMargin))
+
+  /** x169: CORRELATED SCALAR SUBQUERIES IN UPDATE SET — `SET v = (SELECT
+    * agg FROM s WHERE s.k = t.k)` decorrelates into a per-key aggregate
+    * left-joined in as a [[graft.io.Snapshots.EnrichGate]] (the standard
+    * enrichment update, one distributed join, never per-row re-execution).
+    * SQL's empty-group semantics hold by CONSTRUCTION: the aggregate
+    * evaluates once over an empty input to learn its unmatched-key value
+    * — NULL for max (`nulls_after` pins rows that got it), 0 for count
+    * (the classic COUNT bug, `zeros_after`) — and the >1-row-per-key
+    * error of the non-aggregate form is enforced (`err_ok`). DuckDB
+    * replays the correlated scalars natively. */
+  private def x169Spec: QuerySpec =
+    QuerySpec("x169_sql_dml_corr_scalar",
+      (s, d) => {
+        val (cat, tbl, maxId) = dmlFixture(s, d, "x169_docs")
+        val half = maxId / 2
+        // per-source filtered max; sources with no qualifying doc → NULL
+        s.sql("""SELECT source AS src, n_chars AS nc FROM x169_docs""")
+          .createOrReplaceTempView("x169_side")
+        s.sql(s"""UPDATE $cat.t
+                 |SET n_chars = (SELECT max(nc) FROM x169_side s
+                 |               WHERE s.src = source AND s.nc % 7 = 0)
+                 |WHERE doc_id <= $half""".stripMargin)
+        val nullsAfter = s.sql(
+          s"SELECT count(*) AS n FROM $cat.t WHERE n_chars IS NULL").first().getLong(0)
+        // count form: unmatched keys get 0, not NULL
+        s.sql(s"""UPDATE $cat.t
+                 |SET n_chars = (SELECT count(*) FROM x169_side s
+                 |               WHERE s.src = source AND s.nc > 900)
+                 |WHERE doc_id > $half""".stripMargin)
+        val zerosAfter = s.sql(
+          s"SELECT count(*) AS n FROM $cat.t WHERE doc_id > $half AND n_chars = 0")
+          .first().getLong(0)
+        // the non-aggregate form errors when a correlation key has >1 row
+        val errOk =
+          try {
+            s.sql(s"""UPDATE $cat.t
+                     |SET n_chars = (SELECT nc FROM x169_side s WHERE s.src = source)
+                     |WHERE doc_id <= 2""".stripMargin)
+            0L
+          } catch { case e: Exception
+              if e.getMessage != null && e.getMessage.contains("more than one row") => 1L }
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("nulls_after", lit(nullsAfter))
+          .withColumn("zeros_after", lit(zerosAfter))
+          .withColumn("err_ok", lit(errOk))
+      },
+      Some("""WITH half AS (SELECT max(doc_id) // 2 AS h FROM documents),
+           |u1 AS (
+           |  SELECT doc_id, source,
+           |         CASE WHEN doc_id <= h THEN
+           |           (SELECT max(d2.n_chars) FROM documents d2
+           |            WHERE d2.source = documents.source AND d2.n_chars % 7 = 0)
+           |         ELSE n_chars END AS n_chars
+           |  FROM documents, half
+           |),
+           |nulls_after AS (SELECT count(*) AS n FROM u1 WHERE n_chars IS NULL),
+           |u2 AS (
+           |  SELECT u1.doc_id,
+           |         CASE WHEN u1.doc_id > h THEN
+           |           (SELECT count(*) FROM documents d2
+           |            WHERE d2.source = u1.source AND d2.n_chars > 900)
+           |         ELSE u1.n_chars END AS n_chars
+           |  FROM u1, half
+           |),
+           |zeros_after AS (
+           |  SELECT count(*) AS n FROM u2, half
+           |  WHERE u2.doc_id > h AND u2.n_chars = 0)
+           |SELECT count(*) AS n_rows,
+           |       CAST(sum(u2.n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(nulls_after.n AS BIGINT) AS nulls_after,
+           |       CAST(zeros_after.n AS BIGINT) AS zeros_after,
+           |       CAST(1 AS BIGINT) AS err_ok
+           |FROM u2, nulls_after, zeros_after
+           |GROUP BY nulls_after.n, zeros_after.n""".stripMargin))
+
+  /** x171: STAGED-SUBQUERY DML FALLBACK — the shapes with no keyed
+    * decomposition (tuple `NOT IN` with its per-column null mixing,
+    * subqueries under `OR`) auto-materialize: each uncorrelated subquery
+    * stages once ([[graft.sql.GraftDmlStagedCommand]]) and the FULL
+    * predicate evaluates in place inside the candidate reads — Spark's
+    * own planning turns each membership test into a distributed
+    * (null-aware) join. The plain band conjunct still prunes candidate
+    * files (`pruned_ok`); a NULL inside the tuple subquery makes every
+    * potentially-matching comparison UNKNOWN → provable no-op
+    * (`noop_ok`). Oracle replays tuple NOT IN as its null-free NOT
+    * EXISTS equivalent. */
+  private def x171Spec: QuerySpec =
+    QuerySpec("x171_sql_dml_staged",
+      (s, d) => {
+        import graft.io.Snapshots
+        val (cat, tbl, maxId) = dmlFixture(s, d, "x171_docs")
+        val half = maxId / 2
+        val before = Snapshots.liveFiles(s, tbl).toSet
+        // tuple NOT IN + band: banded rows whose (source, n_chars) pair is
+        // not among the even-length pairs delete (data is null-free, so
+        // the NOT EXISTS replay below is exact)
+        s.sql(s"""DELETE FROM $cat.t
+                 |WHERE (source, n_chars) NOT IN
+                 |      (SELECT source, n_chars FROM x171_docs WHERE n_chars % 2 = 0)
+                 |  AND doc_id <= $half""".stripMargin)
+        val prunedOk =
+          if ((before intersect Snapshots.liveFiles(s, tbl).toSet).size >= 1) 1L
+          else 0L
+        // OR-nested subquery conjunct in the UPDATE twin
+        s.sql(s"""UPDATE $cat.t SET n_chars = n_chars + 50000
+                 |WHERE doc_id IN (SELECT doc_id FROM x171_docs WHERE source = 'src3')
+                 |   OR doc_id > ${maxId - 5}""".stripMargin)
+        // a NULL inside the tuple subquery: every row that could match is
+        // UNKNOWN, definite non-matches are FALSE → nothing deletes
+        val v0 = Snapshots.currentVersion(s, tbl)
+        s.sql(s"""DELETE FROM $cat.t
+                 |WHERE (doc_id, n_chars) NOT IN
+                 |      (SELECT doc_id, NULL FROM x171_docs)""".stripMargin)
+        val noopOk = if (Snapshots.currentVersion(s, tbl) == v0) 1L else 0L
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("pruned_ok", lit(prunedOk))
+          .withColumn("noop_ok", lit(noopOk))
+      },
+      Some("""WITH half AS (SELECT max(doc_id) // 2 AS h FROM documents),
+           |kept AS (
+           |  SELECT * FROM documents, half
+           |  WHERE NOT (doc_id <= h
+           |             AND NOT EXISTS (SELECT 1 FROM documents d2
+           |                             WHERE d2.n_chars % 2 = 0
+           |                               AND d2.source = documents.source
+           |                               AND d2.n_chars = documents.n_chars))
+           |),
+           |mx AS (SELECT max(doc_id) AS m FROM documents),
+           |upd AS (
+           |  SELECT doc_id,
+           |         n_chars + CASE WHEN source = 'src3' OR doc_id > m - 5
+           |                        THEN 50000 ELSE 0 END AS n_chars
+           |  FROM kept, mx
+           |)
+           |SELECT count(*) AS n_rows,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS pruned_ok,
+           |       CAST(1 AS BIGINT) AS noop_ok
+           |FROM upd""".stripMargin))
 }

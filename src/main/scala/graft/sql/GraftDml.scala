@@ -105,6 +105,17 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     inlineWithOnly(e)
   }
 
+  /** [[unresolve]] for the MATERIALIZE fallback: attribute references
+    * OUTSIDE subquery plans unresolve as usual, but uncorrelated subquery
+    * expressions stay — their plans are self-contained analyzed subtrees
+    * (transform never descends into a `PlanExpression`'s plan), staged
+    * once per statement at run time ([[GraftStager]]) and re-planned by
+    * Spark's own subquery machinery inside the library's reads. */
+  private def unresolveKeepSubq(e: Expression): Expression =
+    inlineWithOnly(e).transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
+
   private def inlineWithOnly(e: Expression): Expression =
     e.transformUp {
       // BETWEEN et al. are RuntimeReplaceable — their semantics live in
@@ -272,56 +283,227 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** Decompose a DML WHERE containing a subquery into a [[SubShape]]:
-    * exactly ONE top-level subquery conjunct in one of the four keyed
-    * forms — uncorrelated `(k, …) IN (SELECT …)` over target columns,
-    * single-column uncorrelated `k NOT IN (SELECT …)`, or correlated
-    * `EXISTS` / `NOT EXISTS` with equality correlation ([[existsShape]])
-    * — plus the plain conjuncts and the zone-map bound they imply.
-    * Everything else (tuple NOT IN with its per-column null rule, a
-    * subquery under OR, non-equality correlation) refuses loudly: each
-    * has no sound keyed mapping. */
-  private def subqueryShape(cond: Expression, target: AttributeSet): SubShape = {
+  /** The multi-conjunct keyed shape: several subquery conjuncts ANDed in
+    * one DML WHERE, each independently in keyed form — composed as one
+    * [[Snapshots.mutateKeyed]] gate chain (semi- AND anti-join the
+    * target in one transactional rewrite). */
+  private case class MultiShape(
+      semis: Seq[(LogicalPlan, Seq[String])],
+      antis: Seq[(LogicalPlan, Seq[String], Boolean, Boolean)],
+      plain: Option[Expression], bound: Option[(String, String, String)])
+
+  private sealed trait DmlShapes
+  private case class Single(shape: SubShape) extends DmlShapes
+  private case class Multi(shape: MultiShape) extends DmlShapes
+  /** No keyed mapping, but every subquery is uncorrelated: stage each
+    * subquery result and evaluate the predicate in place (conf-gated
+    * fallback — the automated form of the old "materialize the subquery"
+    * refusal message). */
+  private case object Materialize extends DmlShapes
+
+  /** Classify ONE subquery conjunct into its keyed form — uncorrelated
+    * `(k, …) IN (SELECT …)` over target columns, single-column
+    * uncorrelated `k NOT IN (SELECT …)`, or correlated `EXISTS` /
+    * `NOT EXISTS` with equality correlation ([[existsShape]]). Left =
+    * semi (plan, keys); Right = anti (plan, keys, nullKeyMutates,
+    * checkSourceNulls). None = not a keyed form. */
+  private def classifyConjunct(c: Expression, target: AttributeSet)
+      : Option[Either[(LogicalPlan, Seq[String]),
+                      (LogicalPlan, Seq[String], Boolean, Boolean)]] = {
     import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ListQuery, Not}
-    val parts = conjuncts(cond)
-    val (subs, plain) = parts.partition(_.exists(_.isInstanceOf[SubqueryExpression]))
-    val plainE = plain.reduceOption(And)
-    val bound = plainE.flatMap(pruneBound)
     def targetKeys(values: Seq[Expression]): Option[Seq[String]] =
       if (values.forall(v => v.isInstanceOf[AttributeReference] &&
           target.contains(v.asInstanceOf[AttributeReference])))
         Some(values.map(_.asInstanceOf[AttributeReference].name))
       else None
-    subs match {
-      case Seq(InSubquery(values, q: ListQuery)) if q.outerAttrs.isEmpty &&
+    c match {
+      case InSubquery(values, q: ListQuery) if q.outerAttrs.isEmpty &&
           targetKeys(values).isDefined =>
-        SemiShape(q.plan, targetKeys(values).get, plainE, bound)
-      case Seq(e: Exists) if e.outerAttrs.nonEmpty =>
+        Some(Left((q.plan, targetKeys(values).get)))
+      case e: Exists if e.outerAttrs.nonEmpty =>
         val (src, keys) = existsShape(e.plan, target)
-        SemiShape(src, keys, plainE, bound)
-      case Seq(Not(InSubquery(values, q: ListQuery))) if q.outerAttrs.isEmpty &&
+        Some(Left((src, keys)))
+      case Not(InSubquery(values, q: ListQuery)) if q.outerAttrs.isEmpty &&
           values.length == 1 && targetKeys(values).isDefined =>
         // NOT IN's three-valued null rules: a null subquery value voids
         // the statement (checked at run time), a null target key never
-        // mutates. Tuple NOT IN (per-column null mixing) refuses below.
-        AntiShape(q.plan, targetKeys(values).get, nullKeyMutates = false,
-          checkSourceNulls = true, plainE, bound)
-      case Seq(Not(e: Exists)) if e.outerAttrs.nonEmpty =>
+        // mutates. Tuple NOT IN (per-column null mixing) stages instead.
+        Some(Right((q.plan, targetKeys(values).get, false, true)))
+      case Not(e: Exists) if e.outerAttrs.nonEmpty =>
         // NOT EXISTS: a null target key equality-matches nothing, so the
         // row IS unmatched and mutates
         val (src, keys) = existsShape(e.plan, target)
-        AntiShape(src, keys, nullKeyMutates = true,
-          checkSourceNulls = false, plainE, bound)
-      case _ => throw new UnsupportedOperationException(
-        "graft SQL DML supports one top-level subquery conjunct in keyed " +
-          "form: `(k, …) IN (SELECT …)` / single-column `k NOT IN " +
-          "(SELECT …)` (both uncorrelated) over table columns, or " +
-          "EXISTS / NOT EXISTS correlated by equality — rewritten to the " +
-          "keyed-merge semi/anti-join; tuple NOT IN, OR-nested or " +
-          "non-equality-correlated subqueries have no sound keyed " +
-          "mapping — materialize the subquery (temp view + MERGE) instead")
+        Some(Right((src, keys, true, false)))
+      case _ => None
     }
   }
+
+  /** Decompose a DML WHERE containing subqueries: every top-level
+    * subquery conjunct in keyed form ([[classifyConjunct]]) maps onto the
+    * keyed-merge semi/anti algebra — ONE conjunct keeps the specialized
+    * single-shape commands, several compose as a [[MultiShape]] gate
+    * chain. Shapes with no keyed mapping (tuple NOT IN, a subquery under
+    * OR) fall back to [[Materialize]] when every subquery is uncorrelated
+    * (stage + evaluate in place); non-equality correlation refuses —
+    * an outer-referencing plan cannot be transplanted. */
+  private def subqueryShape(cond: Expression, target: AttributeSet): DmlShapes = {
+    val parts = conjuncts(cond)
+    val (subs, plain) = parts.partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    val plainE = plain.reduceOption(And)
+    val bound = plainE.flatMap(pruneBound)
+    val classified = subs.map(c => classifyConjunct(c, target))
+    if (classified.nonEmpty && classified.forall(_.isDefined)) {
+      val shapes = classified.map(_.get)
+      if (shapes.length == 1) Single(shapes.head match {
+        case Left((p, k)) => SemiShape(p, k, plainE, bound)
+        case Right((p, k, nm, cs)) => AntiShape(p, k, nm, cs, plainE, bound)
+      })
+      else Multi(MultiShape(
+        shapes.collect { case Left(x) => x },
+        shapes.collect { case Right(x) => x }, plainE, bound))
+    } else {
+      // no keyed mapping: stage-and-evaluate works iff nothing inside
+      // references the outer row (an uncorrelated plan is self-contained)
+      val allUncorrelated = cond.collect {
+        case sq: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+          sq.outerAttrs.isEmpty
+        case q: org.apache.spark.sql.catalyst.expressions.ListQuery =>
+          q.outerAttrs.isEmpty
+        case e: org.apache.spark.sql.catalyst.expressions.Exists =>
+          e.outerAttrs.isEmpty
+        case _: SubqueryExpression => false
+      }.forall(identity)
+      if (allUncorrelated && conf.getConfString(
+          "spark.sql.graft.dml.materializeSubqueries", "true") == "true")
+        Materialize
+      else throw new UnsupportedOperationException(
+        "graft SQL DML supports subquery conjuncts in keyed form: " +
+          "`(k, …) IN (SELECT …)` / single-column `k NOT IN (SELECT …)` " +
+          "(both uncorrelated) over table columns, or EXISTS / NOT EXISTS " +
+          "correlated by equality — rewritten to the keyed-merge " +
+          "semi/anti-join (several such conjuncts compose). Uncorrelated " +
+          "tuple NOT IN / OR-nested subqueries auto-materialize unless " +
+          "spark.sql.graft.dml.materializeSubqueries=false; " +
+          "non-equality-correlated subqueries have no sound mapping — " +
+          "materialize the subquery (temp view + MERGE) instead")
+    }
+  }
+
+  /** One decorrelated scalar-subquery enrichment for an UPDATE SET (the
+    * `SET v = (SELECT agg FROM s WHERE s.k = t.k)` shape): `plan` outputs
+    * the correlation keys (reserved `__graft_ck*` aliases) plus ONE value
+    * column, key-unique when the subquery aggregates; `emptyPlan`
+    * evaluates the aggregate over an EMPTY input once at run time — the
+    * exact SQL value an unmatched key sees (NULL for max/min/sum, 0 for
+    * count — the classic COUNT-bug handled by construction, not by a
+    * hardcoded aggregate list). */
+  private[sql] case class DmlEnrichSource(plan: LogicalPlan,
+      keys: Seq[String], valueName: String,
+      emptyPlan: Option[LogicalPlan],
+      valueType: org.apache.spark.sql.types.DataType)
+
+  /** Decorrelate a scalar subquery in UPDATE SET whose correlation is a
+    * conjunction of `inner = outer` equalities in its top-level WHERE —
+    * the two standard enrichment shapes:
+    *
+    *  - `(SELECT agg(expr) FROM s WHERE s.k = t.k [AND …])` → group the
+    *    filtered subquery by the inner keys (one row per key by
+    *    construction);
+    *  - `(SELECT expr FROM s WHERE s.k = t.k [AND …])` → the raw keyed
+    *    rows; SQL's >1-row-per-key error enforces inside
+    *    [[Snapshots.mutateKeyed]]'s key-uniqueness check (slightly eager:
+    *    it errors on any duplicated subquery key, matched or not).
+    *
+    * Anything else — outer refs below the WHERE / under OR / in the
+    * select list, non-equality correlation — refuses loudly. */
+  private def corrScalarShape(
+      sq: org.apache.spark.sql.catalyst.expressions.ScalarSubquery,
+      target: AttributeSet, idx: Int): DmlEnrichSource = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression, OuterReference}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, Project}
+    def refuse(why: String) = throw new UnsupportedOperationException(
+      "graft SQL UPDATE supports a correlated scalar subquery in SET only " +
+        "as `(SELECT [agg(]expr[)] FROM s WHERE s.k = t.k [AND …])` — " +
+        s"equality correlation in the subquery's top-level WHERE ($why); " +
+        "materialize the subquery (temp view + MERGE) instead")
+    def peel(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => peel(c)
+      case other               => other
+    }
+    def hasOuter(p: LogicalPlan): Boolean =
+      p.collectFirst { case n if n.expressions
+        .exists(_.exists(_.isInstanceOf[OuterReference])) => n }.nonEmpty
+    // lift the correlation equalities out of the filter condition
+    def lift(cond: Expression, child: LogicalPlan)
+        : (Seq[(AttributeReference, String)], Option[Expression]) = {
+      val pairs = scala.collection.mutable.ArrayBuffer
+        .empty[(AttributeReference, String)]
+      val rest = conjuncts(cond).filter {
+        case EqualTo(i: AttributeReference, OuterReference(o: AttributeReference))
+            if target.contains(o) && child.outputSet.contains(i) =>
+          pairs += ((i, o.name)); false
+        case EqualTo(OuterReference(o: AttributeReference), i: AttributeReference)
+            if target.contains(o) && child.outputSet.contains(i) =>
+          pairs += ((i, o.name)); false
+        case _ => true
+      }
+      if (pairs.isEmpty) refuse("no correlated equality found")
+      if (rest.exists(_.exists(_.isInstanceOf[OuterReference])))
+        refuse("an outer reference survives outside the equalities")
+      if (hasOuter(child))
+        refuse("an outer reference sits below the top-level WHERE")
+      val outers = pairs.map(_._2).toSeq
+      if (outers.distinct != outers)
+        refuse("one target column correlates against two inner columns")
+      (pairs.toSeq, rest.reduceOption(And))
+    }
+    def keyAliases(pairs: Seq[(AttributeReference, String)]): Seq[NamedExpression] =
+      pairs.zipWithIndex.map { case ((i, _), j) => Alias(i, s"__graft_ck$j")() }
+    val valueName = s"__graft_csq_$idx"
+    peel(sq.plan) match {
+      case Aggregate(Seq(), Seq(aggExpr: NamedExpression), fchild, _) =>
+        peel(fchild) match {
+          case Filter(cond, child) =>
+            if (aggExpr.exists(_.isInstanceOf[OuterReference]))
+              refuse("an outer reference inside the aggregate expression")
+            val (pairs, rest) = lift(cond, child)
+            val src = rest.map(Filter(_, child)).getOrElse(child)
+            DmlEnrichSource(
+              Aggregate(pairs.map(_._1), keyAliases(pairs) :+ aggExpr, src),
+              pairs.map(_._2), valueName,
+              Some(Aggregate(Nil, Seq(aggExpr), LocalRelation(child.output))),
+              sq.dataType)
+          case _ => refuse("the aggregate has no top-level WHERE")
+        }
+      case Project(Seq(valueExpr: NamedExpression), fchild) =>
+        peel(fchild) match {
+          case Filter(cond, child) =>
+            if (valueExpr.exists(_.isInstanceOf[OuterReference]))
+              refuse("an outer reference inside the select list")
+            val (pairs, rest) = lift(cond, child)
+            val src = rest.map(Filter(_, child)).getOrElse(child)
+            DmlEnrichSource(
+              Project(keyAliases(pairs) :+ valueExpr, src),
+              pairs.map(_._2), valueName, None, sq.dataType)
+          case _ => refuse("the subquery has no top-level WHERE")
+        }
+      case _ => refuse("unsupported subquery shape")
+    }
+  }
+
+  /** Lift CORRELATED scalar subqueries out of an UPDATE SET expression:
+    * each decorrelates ([[corrScalarShape]]) into an enrich source and
+    * leaves a reserved value-name reference behind — re-resolved against
+    * the enrich join inside [[Snapshots.mutateKeyed]]. */
+  private def stripCorrScalars(e: Expression, target: AttributeSet,
+      acc: scala.collection.mutable.ArrayBuffer[DmlEnrichSource]): Expression =
+    e.transformUp {
+      case sq: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+          if sq.outerAttrs.nonEmpty =>
+        val shape = corrScalarShape(sq, target, acc.size)
+        acc += shape
+        UnresolvedAttribute.quoted(shape.valueName)
+    }
 
   /** A literal rendered in the zone-map stat encoding, ONLY for types
     * whose Catalyst-internal value prints the same way the stats were
@@ -459,25 +641,57 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       val t = graftTarget(target).get
       guardUpdateGoverned(t, assignments.map(_.key).collect {
         case a: AttributeReference => a.name })
-      // uncorrelated SCALAR subqueries in SET or WHERE lift out first:
-      // they evaluate once at run time and substitute as typed literals
+      // uncorrelated SCALAR subqueries in SET or WHERE lift out first
+      // (evaluate once at run time, substitute as typed literals); then
+      // CORRELATED scalars in SET decorrelate into enrich sources
       val scalarPlans = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
-      val sAssignments = assignments.map(a =>
-        Assignment(a.key, stripScalars(a.value, scalarPlans)))
+      val enrichShapes = scala.collection.mutable.ArrayBuffer.empty[DmlEnrichSource]
+      val sAssignments = assignments.map(a => Assignment(a.key,
+        stripCorrScalars(stripScalars(a.value, scalarPlans), target.outputSet,
+          enrichShapes)))
       val sCondition = condition.map(stripScalars(_, scalarPlans))
       if (scalarPlans.nonEmpty &&
-          (sCondition.exists(_.exists(_.isInstanceOf[SubqueryExpression])) ||
+          (enrichShapes.nonEmpty ||
+            sCondition.exists(_.exists(_.isInstanceOf[SubqueryExpression])) ||
             sAssignments.exists(_.value.exists(_.isInstanceOf[SubqueryExpression]))))
         throw new UnsupportedOperationException(
-          "graft SQL UPDATE supports scalar subqueries OR one keyed " +
-            "IN/EXISTS predicate, not both in one statement; " +
+          "graft SQL UPDATE supports uncorrelated scalar subqueries OR " +
+            "keyed/correlated subquery forms, not both in one statement; " +
             "materialize one side (temp view) instead")
-      sCondition.filter(_.exists(_.isInstanceOf[SubqueryExpression])) match {
+      def plainSet: Seq[(String, org.apache.spark.sql.Column)] =
+        sAssignments.map {
+          case Assignment(k: AttributeReference, v) =>
+            k.name -> DmlShim.column(unresolve(v))
+          case Assignment(other, _) => throw new UnsupportedOperationException(
+            s"graft SQL UPDATE assigns top-level columns only, got $other")
+        }
+      if (enrichShapes.nonEmpty) {
+        // `SET v = (SELECT agg FROM s WHERE s.k = t.k)` — the enrichment
+        // update: decorrelated per-key sources left-join in and the
+        // assignments read the per-row value (NULL / the aggregate's
+        // empty-input value for unmatched keys). Composes with keyed
+        // WHERE subqueries — everything is one mutateKeyed gate chain.
+        val (semis, antis, plainE, bound) = sCondition match {
+          case Some(c) if c.exists(_.isInstanceOf[SubqueryExpression]) =>
+            subqueryShape(c, target.outputSet) match {
+              case Single(SemiShape(p, k, pe, b)) => (Seq((p, k)), Nil, pe, b)
+              case Single(AntiShape(p, k, nm, cs, pe, b)) =>
+                (Nil, Seq((p, k, nm, cs)), pe, b)
+              case Multi(ms) => (ms.semis, ms.antis, ms.plain, ms.bound)
+              case Materialize => throw new UnsupportedOperationException(
+                "a correlated scalar in SET cannot combine with non-keyed " +
+                  "WHERE subqueries; materialize one side (temp view) instead")
+            }
+          case c => (Nil, Nil, c, c.flatMap(pruneBound))
+        }
+        GraftDmlMultiCommand(t.path, semis, antis, enrichShapes.toSeq,
+          plainSet, plainE.map(e => DmlShim.column(unresolve(e))), bound)
+      } else sCondition.filter(_.exists(_.isInstanceOf[SubqueryExpression])) match {
         case Some(cond) =>
           // `UPDATE ... WHERE k [NOT] IN (SELECT ...) / [NOT] EXISTS (...)`
           // → keyed-merge semi/anti rewrite
           subqueryShape(cond, target.outputSet) match {
-            case SemiShape(sub, keys, plainE, bound) =>
+            case Single(SemiShape(sub, keys, plainE, bound)) =>
               val plainOpt = plainE.map(e => DmlShim.column(
                 unresolveMerge(e, target.outputSet, AttributeSet.empty)))
               val set = assignments.map {
@@ -489,27 +703,23 @@ object GraftDmlRule extends Rule[LogicalPlan] {
               }.toMap
               GraftDmlInCommand(t.path, sub, keys,
                 Seq(Snapshots.MatchedUpdate(plainOpt, set)), bound)
-            case AntiShape(sub, keys, nullMut, srcNulls, plainE, bound) =>
+            case Single(AntiShape(sub, keys, nullMut, srcNulls, plainE, bound)) =>
               // anti side resolves against the plain target namespace
               // ([[Snapshots.mutateAnti]] — no t./s. aliases)
-              val set = assignments.map {
-                case Assignment(k: AttributeReference, v) =>
-                  k.name -> DmlShim.column(unresolve(v))
-                case Assignment(other, _) => throw new UnsupportedOperationException(
-                  s"graft SQL UPDATE assigns top-level columns only, got $other")
-              }
-              GraftDmlAntiCommand(t.path, sub, keys, set,
+              GraftDmlAntiCommand(t.path, sub, keys, plainSet,
                 plainE.map(e => DmlShim.column(unresolve(e))), bound,
                 nullKeyMutates = nullMut, checkSourceNulls = srcNulls)
+            case Multi(ms) =>
+              // several keyed conjuncts → one mutateKeyed gate chain
+              GraftDmlMultiCommand(t.path, ms.semis, ms.antis, Nil, plainSet,
+                ms.plain.map(e => DmlShim.column(unresolve(e))), ms.bound)
+            case Materialize =>
+              // stage each uncorrelated subquery and evaluate in place
+              GraftDmlStagedCommand(t.path, plainSet,
+                DmlShim.column(unresolveKeepSubq(cond)), pruneBound(cond))
           }
         case None =>
-          val assigns = sAssignments.map {
-            case Assignment(k: AttributeReference, v) => k.name -> unresolve(v)
-            case Assignment(other, _) => throw new UnsupportedOperationException(
-              s"graft SQL UPDATE assigns top-level columns only, got $other")
-          }
-          GraftUpdateCommand(t.path,
-            assigns.map { case (n, e) => n -> DmlShim.column(e) },
+          GraftUpdateCommand(t.path, plainSet,
             sCondition.map(e => DmlShim.column(unresolve(e))),
             sCondition.flatMap(pruneBound), scalars = scalarPlans.toSeq)
       }
@@ -532,15 +742,22 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         // bound on the candidate set
         val t = graftTarget(target).get
         subqueryShape(condition, target.outputSet) match {
-          case SemiShape(sub, keys, plainE, bound) =>
+          case Single(SemiShape(sub, keys, plainE, bound)) =>
             val plainOpt = plainE.map(e => DmlShim.column(
               unresolveMerge(e, target.outputSet, AttributeSet.empty)))
             GraftDmlInCommand(t.path, sub, keys,
               Seq(Snapshots.MatchedDelete(plainOpt)), bound)
-          case AntiShape(sub, keys, nullMut, srcNulls, plainE, bound) =>
+          case Single(AntiShape(sub, keys, nullMut, srcNulls, plainE, bound)) =>
             GraftDmlAntiCommand(t.path, sub, keys, Nil,
               plainE.map(e => DmlShim.column(unresolve(e))), bound,
               nullKeyMutates = nullMut, checkSourceNulls = srcNulls)
+          case Multi(ms) =>
+            GraftDmlMultiCommand(t.path, ms.semis, ms.antis, Nil, Nil,
+              ms.plain.map(e => DmlShim.column(unresolve(e))), ms.bound)
+          case Materialize =>
+            GraftDmlStagedCommand(t.path, Nil,
+              DmlShim.column(unresolveKeepSubq(condition)),
+              pruneBound(condition))
         }
       } else
         // the SupportsDelete path only accepts exactly-translatable v1
@@ -898,6 +1115,114 @@ case class GraftDmlAntiCommand(path: String, sub: LogicalPlan,
     }
     Seq.empty
   }
+}
+
+/** MULTI-GATE keyed DML — several subquery conjuncts ANDed in one WHERE
+  * (`WHERE k IN (SELECT …) AND k2 NOT IN (SELECT …) AND plain`) and/or
+  * correlated scalars in SET → ONE [[Snapshots.mutateKeyed]] call: each
+  * semi/anti conjunct becomes a gate (its own distributed key-set join),
+  * each correlated scalar an enrich gate, the plain conjuncts gate
+  * per-row and bound the candidate files; empty `assignments` deletes.
+  * Null algebra per gate matches the single-shape commands: `NOT IN`'s
+  * statement-voiding source-null rule short-circuits here (one
+  * change-sized scan per NOT IN source), the per-gate null-key rules ride
+  * into the gates. */
+case class GraftDmlMultiCommand(path: String,
+    semis: Seq[(LogicalPlan, Seq[String])],
+    antis: Seq[(LogicalPlan, Seq[String], Boolean, Boolean)],
+    enrich: Seq[GraftDmlRule.DmlEnrichSource],
+    assignments: Seq[(String, org.apache.spark.sql.Column)],
+    plainCond: Option[org.apache.spark.sql.Column],
+    prune: Option[(String, String, String)])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] =
+    semis.map(_._1) ++ antis.map(_._1) ++ enrich.map(_.plan)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTable.refuseMvDml(spark, path, "subquery DML")
+    val semiGates = semis.map { case (plan, keys) =>
+      val raw = DmlShim.ofRows(spark, plan)
+      require(raw.columns.length == keys.length,
+        s"IN subquery returns ${raw.columns.length} columns for " +
+          s"${keys.length} key columns (${keys.mkString(", ")})")
+      Snapshots.SemiGate(raw, keys)
+    }
+    val antiGates = antis.map { case (plan, keys, nullMut, srcNulls) =>
+      val raw = DmlShim.ofRows(spark, plan)
+      require(raw.columns.length == keys.length,
+        s"subquery returns ${raw.columns.length} columns for " +
+          s"${keys.length} key columns (${keys.mkString(", ")})")
+      // SQL NOT IN three-valued rule: one NULL in the subquery makes the
+      // conjunct never TRUE — the whole ANDed statement is a no-op
+      if (srcNulls && !raw.filter(
+          raw.columns.map(c => col(c).isNull).reduce(_ || _)).isEmpty)
+        return Seq.empty
+      Snapshots.AntiGate(raw, keys, nullKeyMutates = nullMut)
+    }
+    val enrichGates = enrich.map { e =>
+      val raw = DmlShim.ofRows(spark, e.plan) // __graft_ck*…, value (last)
+      val emptyVal: org.apache.spark.sql.Column = e.emptyPlan match {
+        case Some(p) =>
+          // the aggregate over EMPTY input — evaluated once, the exact
+          // SQL value an unmatched correlation key sees
+          val r = DmlShim.ofRows(spark, p).first()
+          DmlShim.column(Literal.create(
+            if (r.isNullAt(0)) null else r.get(0), e.valueType))
+        case None => lit(null).cast(e.valueType)
+      }
+      Snapshots.EnrichGate(raw, e.keys, e.valueName, emptyVal)
+    }
+    GraftDmlRetry.retry {
+      Snapshots.mutateKeyed(spark, path,
+        semiGates ++ antiGates ++ enrichGates, plainCond, assignments, prune)
+    }
+    Seq.empty
+  }
+}
+
+/** STAGED-SUBQUERY DML — the materialize fallback for uncorrelated
+  * subquery shapes with no keyed mapping (tuple `NOT IN` with its
+  * per-column null mixing, subqueries under `OR`): each subquery plan
+  * stages ONCE per statement ([[GraftStager]] — local checkpoint, SQL's
+  * read-once-at-statement-snapshot contract, reused across optimistic
+  * retries), then the FULL predicate evaluates in place inside the
+  * library's candidate reads — Spark's own subquery planning turns each
+  * membership test into a distributed join. The automated form of the
+  * old "materialize the subquery (temp view + MERGE)" refusal;
+  * `spark.sql.graft.dml.materializeSubqueries=false` restores the
+  * refusal. */
+case class GraftDmlStagedCommand(path: String,
+    assignments: Seq[(String, org.apache.spark.sql.Column)],
+    condition: org.apache.spark.sql.Column,
+    prune: Option[(String, String, String)])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTable.refuseMvDml(spark, path, "subquery DML")
+    val staged = GraftStager.stage(spark, condition)
+    GraftDmlRetry.retry {
+      Snapshots.mutateStaged(spark, path, staged, assignments, prune)
+    }
+    Seq.empty
+  }
+}
+
+/** Stage every uncorrelated subquery inside a DML predicate: evaluate its
+  * plan to an eager local checkpoint and swap the checkpointed plan in —
+  * self-contained (no exprIds shared with the original statement's
+  * analysis), stable across re-evaluations and optimistic retries. */
+private object GraftStager {
+  import org.apache.spark.sql.catalyst.expressions.{Exists, ListQuery}
+  def stage(spark: SparkSession,
+            c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    DmlShim.column(DmlShim.expression(c).transformUp {
+      case q: ListQuery if q.outerAttrs.isEmpty =>
+        q.copy(plan =
+          DmlShim.ofRows(spark, q.plan).localCheckpoint().queryExecution.analyzed)
+      case e: Exists if e.outerAttrs.isEmpty =>
+        e.copy(plan =
+          DmlShim.ofRows(spark, e.plan).localCheckpoint().queryExecution.analyzed)
+    })
 }
 
 /** Conditioned / multi-action / partial-row `MERGE INTO` →

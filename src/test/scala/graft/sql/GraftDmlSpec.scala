@@ -171,19 +171,15 @@ class GraftDmlSpec extends SparkSpec {
     }
     assert(dup.getMessage.contains("duplicate keys"), dup.getMessage)
     Seq((11L, "a", 1L)).toDF("id", "src", "m").createOrReplaceTempView("r1_one")
-    // an UNCORRELATED scalar in SET now works (evaluated once, literal);
-    // a CORRELATED scalar keeps refusing — no keyed rewrite
+    // an UNCORRELATED scalar in SET works (evaluated once, literal)
     spark.sql("UPDATE gd.r1 SET m = (SELECT max(m) FROM r1_one) WHERE id = 1")
     assert(spark.sql("SELECT m FROM gd.r1 WHERE id = 1").as[Long].head() === 1L)
+    // a correlated scalar whose correlation is NOT an equality refuses
     val sub = intercept[Exception] {
       spark.sql("""UPDATE gd.r1 t SET m =
-                   (SELECT max(m) FROM r1_one s WHERE s.id = t.id)""")
+                   (SELECT max(m) FROM r1_one s WHERE s.id < t.id)""")
     }
-    assert(sub.getMessage.contains("subquer"), sub.getMessage)
-    val ex = intercept[Exception] {
-      spark.sql("DELETE FROM gd.r1 WHERE EXISTS (SELECT 1 FROM r1_one)")
-    }
-    assert(ex.getMessage.contains("IN (SELECT"), ex.getMessage)
+    assert(sub.getMessage.contains("equalit"), sub.getMessage)
     val bySrc = intercept[Exception] {
       spark.sql("""MERGE INTO gd.r1 t USING r1_one s ON t.id = s.id
                    WHEN MATCHED THEN UPDATE SET *
@@ -433,16 +429,128 @@ class GraftDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("more than one row"), e.getMessage)
   }
 
-  test("anti/correlation refusals: tuple NOT IN, non-equality correlation") {
+  test("tuple NOT IN auto-materializes (conf-gated); non-equality correlation refuses") {
     mk("rf2")
-    Seq((1L, 1L)).toDF("a", "b").createOrReplaceTempView("rf2_src")
-    val tup = intercept[Exception] {
-      spark.sql("DELETE FROM gd.rf2 WHERE (id, m) NOT IN (SELECT a, b FROM rf2_src)")
-    }
-    assert(tup.getMessage.contains("NOT IN"), tup.getMessage)
+    Seq((1L, 2L)).toDF("a", "b").createOrReplaceTempView("rf2_src")
+    // with the fallback disabled, the old refusal stands
+    spark.conf.set("spark.sql.graft.dml.materializeSubqueries", "false")
+    try {
+      val tup = intercept[Exception] {
+        spark.sql("DELETE FROM gd.rf2 WHERE (id, m) NOT IN (SELECT a, b FROM rf2_src)")
+      }
+      assert(tup.getMessage.contains("NOT IN"), tup.getMessage)
+    } finally
+      spark.conf.set("spark.sql.graft.dml.materializeSubqueries", "true")
+    // with it on (default): stage + evaluate in place — Spark's own
+    // null-aware tuple semantics. Row (1, m=2) matches (1, 2) → survives
+    // the NOT IN; every other row deletes.
+    spark.sql("DELETE FROM gd.rf2 WHERE (id, m) NOT IN (SELECT a, b FROM rf2_src)")
+    assert(spark.sql("SELECT id, m FROM gd.rf2").as[(Long, Long)]
+      .collect().toSeq === Seq((1L, 2L)))
+    // non-equality-correlated EXISTS still refuses (outer-referencing
+    // plans cannot be transplanted)
+    val t2 = mk("rf3")
     val ineq = intercept[Exception] {
-      spark.sql("DELETE FROM gd.rf2 WHERE EXISTS (SELECT 1 FROM rf2_src s WHERE s.a < id)")
+      spark.sql("DELETE FROM gd.rf3 WHERE EXISTS (SELECT 1 FROM rf2_src s WHERE s.a < id)")
     }
     assert(ineq.getMessage.contains("equalit"), ineq.getMessage)
+  }
+
+  test("multi-subquery conjuncts compose: IN + NOT EXISTS in one DML WHERE") {
+    val t = mk("mc1")
+    Seq(5L, 15L, 25L).toDF("k").createOrReplaceTempView("mc1_in")
+    Seq(15L).toDF("k2").createOrReplaceTempView("mc1_ex")
+    val before = Snapshots.liveFiles(spark, t).toSet
+    // semi AND anti in one statement: ids in {5,15,25} minus {15} delete
+    spark.sql("""DELETE FROM gd.mc1 WHERE id IN (SELECT k FROM mc1_in)
+                 AND NOT EXISTS (SELECT 1 FROM mc1_ex e WHERE e.k2 = id)""")
+    val ids = spark.sql("SELECT id FROM gd.mc1").as[Long].collect().toSet
+    assert(ids === ((1L to 40L).toSet -- Set(5L, 25L)))
+    // the first semi gate's key range pruned candidates: ids 5..25 span
+    // files 1-3, file 4 (31-40) stayed byte-identical
+    assert(Snapshots.liveFiles(spark, t).toSet.intersect(before).size >= 1)
+    // UPDATE with IN + NOT IN + a plain band; the band bounds the rewrite
+    Seq(3L, 7L, 33L).toDF("k").createOrReplaceTempView("mc1_in2")
+    Seq(7L).toDF("k2").createOrReplaceTempView("mc1_ex2")
+    val live2 = Snapshots.liveFiles(spark, t).toSet
+    spark.sql("""UPDATE gd.mc1 SET m = -1 WHERE id IN (SELECT k FROM mc1_in2)
+                 AND id NOT IN (SELECT k2 FROM mc1_ex2) AND id <= 10""")
+    val neg = spark.sql("SELECT id FROM gd.mc1 WHERE m = -1").as[Long]
+      .collect().toSet
+    assert(neg === Set(3L)) // 7 blocked by NOT IN, 33 blocked by the band
+    // only the file holding ids 1-10 rewrote
+    assert(Snapshots.liveFiles(spark, t).toSet.intersect(live2).size ===
+      live2.size - 1)
+  }
+
+  test("multi-conjunct NOT IN: a null in its subquery voids the whole statement") {
+    val t = mk("mc2")
+    Seq(5L, 6L).toDF("k").createOrReplaceTempView("mc2_in")
+    Seq(Some(6L), None).toDF("k2").createOrReplaceTempView("mc2_null")
+    val v = Snapshots.currentVersion(spark, t)
+    // the NOT IN conjunct is never TRUE under a null source value, so the
+    // ANDed statement mutates nothing — three-valued logic survives
+    // composition
+    spark.sql("""DELETE FROM gd.mc2 WHERE id IN (SELECT k FROM mc2_in)
+                 AND id NOT IN (SELECT k2 FROM mc2_null)""")
+    assert(Snapshots.currentVersion(spark, t) === v)
+    assert(spark.sql("SELECT count(*) AS n FROM gd.mc2").as[Long].head() === 40L)
+  }
+
+  test("UPDATE SET correlated scalar: per-key aggregate, empty-input value for unmatched") {
+    // nullable m: an unmatched key's scalar is NULL, and assigning NULL to
+    // a non-nullable column correctly errors (alignment AssertNotNull) —
+    // so this table declares m nullable
+    val t = s"$root/cs1"
+    Snapshots.commitAppend(
+      (1L to 40L).map(x => (x, x * 2L)).toDF("id", "m")
+        .select(col("id"), when(col("m") > 0L, col("m")).as("m"))
+        .coalesce(1), t, recordSchema = true, statsCols = Seq("id"))
+    Seq((1L, 10L), (1L, 20L), (3L, 7L)).toDF("k", "v")
+      .createOrReplaceTempView("cs1_src")
+    // max: unmatched keys get NULL (scalar-over-empty)
+    spark.sql("""UPDATE gd.cs1 SET m = (SELECT max(v) FROM cs1_src s WHERE s.k = id)
+                 WHERE id <= 3""")
+    val got = spark.sql("SELECT id, m FROM gd.cs1 WHERE id <= 3 ORDER BY id")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got === Seq((1L, Some(20L)), (2L, None), (3L, Some(7L))), got.toString)
+    // rows outside the WHERE untouched
+    assert(spark.sql("SELECT m FROM gd.cs1 WHERE id = 4").as[Long].head() === 8L)
+    // count: unmatched keys get 0, not NULL (the classic COUNT bug —
+    // handled by evaluating the aggregate over empty input, not a list)
+    spark.sql("""UPDATE gd.cs1 SET m = (SELECT count(*) FROM cs1_src s WHERE s.k = id)
+                 WHERE id <= 3""")
+    val got2 = spark.sql("SELECT id, m FROM gd.cs1 WHERE id <= 3 ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got2 === Seq((1L, 2L), (2L, 0L), (3L, 1L)), got2.toString)
+    // non-aggregate correlated scalar: >1 row per key errors (SQL rule)
+    val e = intercept[Exception] {
+      spark.sql("""UPDATE gd.cs1 SET m = (SELECT v FROM cs1_src s WHERE s.k = id)
+                   WHERE id <= 3""")
+    }
+    assert(e.getMessage.contains("more than one row"), e.getMessage)
+    // …but a key-unique non-aggregate form works
+    Seq((2L, 99L)).toDF("k", "v").createOrReplaceTempView("cs1_uni")
+    spark.sql("""UPDATE gd.cs1 SET m = (SELECT v FROM cs1_uni s WHERE s.k = id)
+                 WHERE id IN (2, 3)""")
+    val got3 = spark.sql("SELECT id, m FROM gd.cs1 WHERE id <= 3 ORDER BY id")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got3 === Seq((1L, Some(2L)), (2L, Some(99L)), (3L, None)), got3.toString)
+  }
+
+  test("staged fallback: OR-nested subquery conjuncts evaluate in place") {
+    val t = mk("sg1")
+    Seq(5L).toDF("k").createOrReplaceTempView("sg1_in")
+    spark.sql("DELETE FROM gd.sg1 WHERE id IN (SELECT k FROM sg1_in) OR id = 35")
+    val ids = spark.sql("SELECT id FROM gd.sg1").as[Long].collect().toSet
+    assert(ids === ((1L to 40L).toSet -- Set(5L, 35L)))
+    // staged UPDATE: matched rows take the SET, null/false rows pass through
+    spark.sql("""UPDATE gd.sg1 SET m = 0
+                 WHERE id IN (SELECT k + 1 FROM sg1_in) OR id > 38""")
+    val zeros = spark.sql("SELECT id FROM gd.sg1 WHERE m = 0").as[Long]
+      .collect().toSet
+    assert(zeros === Set(6L, 39L, 40L))
+    assert(spark.sql("SELECT sum(m) AS s FROM gd.sg1").as[Long].head() ===
+      ((1L to 40L).toSet -- Set(5L, 35L, 6L, 39L, 40L)).map(_ * 2).sum)
   }
 }
