@@ -3231,7 +3231,7 @@ object ExtQueries {
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
     x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, x164Spec, x165Spec, x166Spec, x167Spec, st31Spec,
-    x168Spec, x169Spec, x171Spec)
+    x168Spec, x169Spec, x170Spec, x171Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -9116,6 +9116,60 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS err_ok
            |FROM u2, nulls_after, zeros_after
            |GROUP BY nulls_after.n, zeros_after.n""".stripMargin))
+
+  /** x170: LOGICAL VIEWS (`CREATE [OR REPLACE] VIEW` / `DROP VIEW`) —
+    * view text + schema stored as catalog metadata
+    * ([[graft.sql.GraftCatalog]]'s ViewCatalog surface), reads expand the
+    * text late-bound ([[graft.sql.GraftViewReadRule]]): after a DELETE on
+    * the base table the view serves the new state while `VERSION AS OF`
+    * reads of the table underneath are unaffected (`asof_ok`). Name
+    * collisions with tables refuse both ways (`collision_ok`), DML
+    * against a view refuses loudly (`dml_refused_ok`), and CREATE OR
+    * REPLACE swaps the definition the next read sees. The oracle replays
+    * the final view query relationally. */
+  private def x170Spec: QuerySpec =
+    QuerySpec("x170_sql_views",
+      (s, d) => {
+        import graft.io.Snapshots
+        val (cat, tbl, _) = dmlFixture(s, d, "x170_docs")
+        s.sql(s"""CREATE VIEW $cat.v AS
+                 |SELECT source, count(*) AS n_docs,
+                 |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t GROUP BY source""".stripMargin)
+        val v0 = Snapshots.currentVersion(s, tbl)
+        val before = s.sql(s"SELECT CAST(sum(sum_chars) AS BIGINT) FROM $cat.v")
+          .first().getLong(0)
+        // mutate the base: the view must re-read (late binding), AS OF of
+        // the base table must not
+        s.sql(s"DELETE FROM $cat.t WHERE n_chars % 2 = 1")
+        val asofOk = if (s.sql(
+            s"SELECT CAST(sum(n_chars) AS BIGINT) FROM $cat.t VERSION AS OF $v0")
+          .first().getLong(0) == before) 1L else 0L
+        val collisionOk =
+          try { s.sql(s"CREATE VIEW $cat.t AS SELECT 1 AS one"); 0L }
+          catch { case e: Exception
+              if e.getMessage.contains("already exists") => 1L }
+        val dmlRefusedOk =
+          try { s.sql(s"DELETE FROM $cat.v WHERE n_docs = 0"); 0L }
+          catch { case e: Exception if e.getMessage.contains("VIEW") => 1L }
+        s.sql(s"""CREATE OR REPLACE VIEW $cat.v AS
+                 |SELECT source, count(*) AS n_docs,
+                 |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t WHERE n_chars % 3 = 0 GROUP BY source"""
+          .stripMargin)
+        s.sql(s"SELECT source, n_docs, sum_chars FROM $cat.v ORDER BY source")
+          .withColumn("asof_ok", lit(asofOk))
+          .withColumn("collision_ok", lit(collisionOk))
+          .withColumn("dml_refused_ok", lit(dmlRefusedOk))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS asof_ok,
+           |       CAST(1 AS BIGINT) AS collision_ok,
+           |       CAST(1 AS BIGINT) AS dml_refused_ok
+           |FROM documents
+           |WHERE NOT (n_chars % 2 = 1) AND n_chars % 3 = 0
+           |GROUP BY source ORDER BY source""".stripMargin))
 
   /** x171: STAGED-SUBQUERY DML FALLBACK — the shapes with no keyed
     * decomposition (tuple `NOT IN` with its per-column null mixing,

@@ -77,7 +77,8 @@ import graft.io.Snapshots
   * Reference analog: the `latest/` stable-read surface (`DP:482-488`) —
   * the "just query it" entry point — generalized to versioned SQL.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -273,6 +274,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val path = tablePath(ident)
     if (exists(path))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
     val schema = StructType(columns.map { c =>
       val f0 = org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)
       val f1 = Option(c.defaultValue()).map(dv =>
@@ -614,6 +618,152 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     throw new UnsupportedOperationException(
       "graft tables do not rename: a directory move is non-atomic on " +
         "object stores; CALL clone + publish to re-home a table's state")
+
+  // ──────────────────────────────────────────────────────────────────
+  // LOGICAL VIEWS (`CREATE [OR REPLACE] VIEW cat.v AS SELECT …`) — the
+  // DSv2 ViewCatalog surface: a view is stored VIEW TEXT plus the
+  // analysis-time schema, persisted as one JSON metadata file under
+  // `<namespace>/_views/<name>.json` (temp-write + atomic rename).
+  // Resolution re-parses the text at READ time against the session —
+  // exactly the SQL standard's late-binding contract — so a view over a
+  // graft table keeps seeing the table's current version while AS OF
+  // reads of the table underneath are unaffected. DML against a view
+  // fails resolution (a view is never a Table, so UPDATE/MERGE/DELETE
+  // cannot bind it as a target). Names are one flat space with tables:
+  // creating either over the other refuses.
+  // ──────────────────────────────────────────────────────────────────
+  import org.apache.spark.sql.connector.catalog.{View, ViewChange, ViewInfo}
+
+  private case class ViewMeta(sql: String, currentCatalog: String,
+      currentNamespace: Seq[String], schemaJson: String,
+      queryColumnNames: Seq[String], columnAliases: Seq[String],
+      columnComments: Seq[String], properties: Map[String, String])
+
+  private def viewPath(ident: Identifier): Path =
+    new Path(((root +: ident.namespace().toSeq) :+ "_views").mkString("/") +
+      s"/${ident.name()}.json")
+
+  private def viewFs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readViewMeta(ident: Identifier): Option[ViewMeta] = {
+    val p = viewPath(ident)
+    val f = viewFs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      Some(org.json4s.jackson.Serialization.read[ViewMeta](s))
+    }
+  }
+
+  private def writeViewMeta(ident: Identifier, m: ViewMeta): Unit = {
+    val p = viewPath(ident)
+    val f = viewFs(p)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".${ident.name()}.${java.util.UUID.randomUUID()}.tmp")
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val out = f.create(tmp, true)
+    try out.write(org.json4s.jackson.Serialization.write(m)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p)) throw new IllegalStateException(
+      s"could not publish view metadata for $ident")
+  }
+
+  private class GraftView(ident: Identifier, m: ViewMeta) extends View {
+    override def name(): String = ident.toString
+    override def query(): String = m.sql
+    override def currentCatalog(): String = m.currentCatalog
+    override def currentNamespace(): Array[String] = m.currentNamespace.toArray
+    override def schema(): StructType =
+      org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[StructType]
+    override def queryColumnNames(): Array[String] = m.queryColumnNames.toArray
+    override def columnAliases(): Array[String] = m.columnAliases.toArray
+    override def columnComments(): Array[String] = m.columnComments.toArray
+    override def properties(): util.Map[String, String] = m.properties.asJava
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    viewFs(viewPath(ident)).exists(viewPath(ident))
+
+  override def loadView(ident: Identifier): View =
+    readViewMeta(ident).map(new GraftView(ident, _)).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val dir = new Path(((root +: namespace.toSeq) :+ "_views").mkString("/"))
+    val f = viewFs(dir)
+    if (!f.exists(dir)) Array.empty
+    else f.listStatus(dir).toSeq.filter(_.isFile)
+      .map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(n => Identifier.of(namespace.toArray, n.stripSuffix(".json")))
+      .toArray
+  }
+
+  private def metaOf(info: ViewInfo): ViewMeta =
+    ViewMeta(info.sql(), info.currentCatalog(),
+      info.currentNamespace().toSeq, info.schema().json,
+      info.queryColumnNames().toSeq, info.columnAliases().toSeq,
+      info.columnComments().toSeq, info.properties().asScala.toMap)
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    if (exists(tablePath(ident)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    writeViewMeta(ident, metaOf(info))
+    loadView(ident)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident()
+    if (exists(tablePath(ident)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    if (!orCreate && !viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    writeViewMeta(ident, metaOf(info))
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val m = readViewMeta(ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val props = changes.foldLeft(m.properties) {
+      case (ps, s: ViewChange.SetProperty)    => ps + (s.property() -> s.value())
+      case (ps, r: ViewChange.RemoveProperty) => ps - r.property()
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft views support SET/UNSET TBLPROPERTIES only, got $other")
+    }
+    writeViewMeta(ident, m.copy(properties = props))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val p = viewPath(ident)
+    val f = viewFs(p)
+    f.exists(p) && f.delete(p, false)
+  }
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    val m = readViewMeta(from).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from))
+    if (exists(tablePath(to)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(to)
+    if (viewExists(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(to)
+    writeViewMeta(to, m)
+    dropView(from)
+  }
 
   /** Maintenance procedures (`CALL graft.system.optimize('t', …)` etc.) —
     * the writes that ARE exposed through SQL run the same transactional

@@ -67,8 +67,13 @@ import graft.io.Snapshots
   * library's keyed-merge algebra.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(_ => GraftDmlRule)
+    // logical views: parser interception (view DDL) + read expansion —
+    // see [[GraftViewDdl]] for why OSS Spark can't route these natively
+    ext.injectParser((_, delegate) => new GraftViewParser(delegate))
+    ext.injectResolutionRule(s => GraftViewReadRule(s))
+  }
 }
 
 object GraftDmlRule extends Rule[LogicalPlan] {

@@ -1,0 +1,279 @@
+package graft.sql
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, ShowViews, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graft.DmlShim
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** LOGICAL VIEWS for graft catalogs (`CREATE [OR REPLACE] VIEW cat.v AS
+  * SELECT …`, `DROP VIEW`, `SHOW VIEWS`, reads through the view).
+  *
+  * OSS Spark 4.1's `ResolveSessionCatalog` refuses view DDL against any
+  * non-session catalog unconditionally — the `ViewCatalog` connector API
+  * exists but nothing routes to it — so this module wires the statements
+  * the way external engines did before native support: a PARSER
+  * interceptor rewrites the view DDL nodes whose identifier targets a
+  * graft catalog into library commands (before the analyzer can reach
+  * its hardcoded refusal), and a RESOLUTION rule expands reads of a
+  * stored view into its re-analyzed view text. Storage and semantics
+  * live behind the standard `ViewCatalog` interface on [[GraftCatalog]],
+  * so a future Spark that does route natively needs no storage change.
+  *
+  * Resolution is LATE-BINDING (the SQL standard's contract): the stored
+  * view text re-analyzes at every read in the view's own stored
+  * catalog/namespace context — single-part table names qualify against
+  * where the view was created (never the reader's temp views), CTE names
+  * inside the text are left alone, a table evolved or time-traveled
+  * underneath is simply re-read. Self-referencing views refuse with a
+  * cycle error. DML against a view fails Spark's own target checks (a
+  * view never resolves to a Table). */
+object GraftViewDdl {
+
+  private[sql] def isGraftCatalog(spark: SparkSession, name: String): Boolean =
+    spark.conf.getOption(s"spark.sql.catalog.$name")
+      .contains("graft.sql.GraftCatalog")
+
+  private def graftViewCatalog(spark: SparkSession, name: String): GraftCatalog =
+    spark.sessionState.catalogManager.catalog(name).asInstanceOf[GraftCatalog]
+
+  private def identOf(parts: Seq[String]): Identifier =
+    Identifier.of(parts.drop(1).init.toArray, parts.last)
+
+  /** Rewrite a parsed plan's graft-catalog view DDL into library
+    * commands; None = not ours, hand back to Spark untouched. */
+  def intercept(spark: SparkSession, plan: LogicalPlan): Option[LogicalPlan] =
+    plan match {
+      case cv @ CreateView(UnresolvedIdentifier(parts, _), cols, comment, _,
+          props, originalText, _, allowExisting, replace, _)
+          if parts.length >= 2 && isGraftCatalog(spark, parts.head) =>
+        val text = originalText.getOrElse(
+          throw new UnsupportedOperationException(
+            "graft CREATE VIEW needs the original query text"))
+        Some(GraftCreateViewCommand(parts, text,
+          cols.map { case (n, c) => (n, c) },
+          comment, props, allowExisting, replace))
+      case DropView(UnresolvedIdentifier(parts, _), ifExists)
+          if parts.length >= 2 && isGraftCatalog(spark, parts.head) =>
+        Some(GraftDropViewCommand(parts, ifExists))
+      case sv @ ShowViews(UnresolvedNamespace(parts, _), pattern, output)
+          if parts.nonEmpty && isGraftCatalog(spark, parts.head) =>
+        Some(GraftShowViewsCommand(parts, pattern, output))
+      case d @ org.apache.spark.sql.catalyst.plans.logical.DescribeRelation(
+          tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+          _, _, output)
+          if tv.multipartIdentifier.length >= 2 &&
+            isGraftCatalog(spark, tv.multipartIdentifier.head) &&
+            viewMetaExists(spark, tv.multipartIdentifier) =>
+        Some(GraftDescribeViewCommand(tv.multipartIdentifier, output))
+      case _ => None
+    }
+
+  private def viewMetaExists(spark: SparkSession, parts: Seq[String]): Boolean =
+    try graftViewCatalog(spark, parts.head).viewExists(identOf(parts))
+    catch { case _: Exception => false }
+
+  /** `CREATE [OR REPLACE] VIEW cat[.ns].v [(col [COMMENT …], …)]
+    * [COMMENT …] [TBLPROPERTIES …] AS query` — analyzes the query NOW
+    * (name resolution errors surface at creation, the SQL contract),
+    * records the TEXT plus the analysis-time schema and session context
+    * through [[GraftCatalog]]'s ViewCatalog surface. */
+  case class GraftCreateViewCommand(nameParts: Seq[String], sql: String,
+      userCols: Seq[(String, Option[String])], comment: Option[String],
+      properties: Map[String, String], allowExisting: Boolean,
+      replace: Boolean) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = graftViewCatalog(spark, nameParts.head)
+      val ident = identOf(nameParts)
+      if (allowExisting && cat.viewExists(ident)) return Seq.empty
+      val analyzed = DmlShim.ofRows(spark,
+        spark.sessionState.sqlParser.parsePlan(sql))
+      val qSchema = analyzed.schema
+      if (userCols.nonEmpty) require(userCols.length == qSchema.length,
+        s"CREATE VIEW column list has ${userCols.length} names for a " +
+          s"${qSchema.length}-column query")
+      val schema =
+        if (userCols.isEmpty) qSchema
+        else StructType(qSchema.fields.zip(userCols).map {
+          case (f, (n, _)) => f.copy(name = n) })
+      val cm = spark.sessionState.catalogManager
+      val allProps = properties ++ comment.map("comment" -> _)
+      val info = new ViewInfo(ident, sql, cm.currentCatalog.name(),
+        cm.currentNamespace, schema,
+        qSchema.fieldNames,
+        if (userCols.isEmpty) Array.empty else userCols.map(_._1).toArray,
+        if (userCols.isEmpty) Array.empty
+        else userCols.map(_._2.orNull).toArray,
+        allProps.asJava)
+      if (replace) cat.replaceView(info, true) else cat.createView(info)
+      Seq.empty
+    }
+  }
+
+  case class GraftDropViewCommand(nameParts: Seq[String], ifExists: Boolean)
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = graftViewCatalog(spark, nameParts.head)
+      if (!cat.dropView(identOf(nameParts)) && !ifExists)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchViewException(identOf(nameParts))
+      Seq.empty
+    }
+  }
+
+  case class GraftDescribeViewCommand(nameParts: Seq[String],
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = graftViewCatalog(spark, nameParts.head).loadView(identOf(nameParts))
+      v.schema().fields.toSeq.map(f =>
+        Row(f.name, f.dataType.simpleString,
+          f.getComment().orNull)) :+
+        Row("", "", null) :+ Row("# View Text", v.query(), null)
+    }
+  }
+
+  case class GraftShowViewsCommand(nsParts: Seq[String],
+      pattern: Option[String], override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = graftViewCatalog(spark, nsParts.head)
+      val ns = nsParts.drop(1)
+      cat.listViews(ns: _*).toSeq
+        .map(_.name())
+        .filter(n => pattern.forall(p =>
+          org.apache.spark.sql.catalyst.util.StringUtils
+            .filterPattern(Seq(n), p).nonEmpty))
+        .sorted
+        .map(n => Row(ns.mkString("."), n, false))
+    }
+  }
+}
+
+/** Parser interceptor: delegate everything, post-process `parsePlan` so
+  * graft-catalog view DDL never reaches `ResolveSessionCatalog`'s
+  * unconditional v2-view refusal. */
+class GraftViewParser(delegate: ParserInterface) extends ParserInterface {
+  private def post(plan: LogicalPlan): LogicalPlan =
+    GraftViewDdl.intercept(SparkSession.active, plan).getOrElse(plan)
+  override def parsePlan(sqlText: String): LogicalPlan =
+    post(delegate.parsePlan(sqlText))
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: ParameterContext): LogicalPlan =
+    post(delegate.parsePlanWithParameters(sqlText, ctx))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** Read-side view expansion: an [[UnresolvedRelation]] naming a stored
+  * graft view becomes its re-analyzed view text (nested analysis in the
+  * view's stored session context — the late-binding SQL contract). */
+case class GraftViewReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    // DML cannot target a view — refuse BEFORE the relation expands
+    // (resolveOperators is top-down, so the parent command matches first;
+    // without this, the expanded plan could reach a connector rewrite
+    // that silently mutates the base table through the view)
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable
+        if isView(d.table) => refuseDml("DELETE FROM", d.table)
+    case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable
+        if isView(u.table) => refuseDml("UPDATE", u.table)
+    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+        if isView(m.targetTable) => refuseDml("MERGE INTO", m.targetTable)
+    case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+        if isView(i.table) => refuseDml("INSERT INTO", i.table)
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length >= 2 &&
+          GraftViewDdl.isGraftCatalog(spark, u.multipartIdentifier.head) &&
+          viewOf(u.multipartIdentifier).isDefined =>
+      expand(u.multipartIdentifier)
+  }
+
+  private def relParts(p: LogicalPlan): Option[Seq[String]] = p match {
+    case SubqueryAlias(_, c)   => relParts(c)
+    case u: UnresolvedRelation => Some(u.multipartIdentifier)
+    case _                     => None
+  }
+
+  private def isView(p: LogicalPlan): Boolean = relParts(p).exists(parts =>
+    parts.length >= 2 && GraftViewDdl.isGraftCatalog(spark, parts.head) &&
+      viewOf(parts).isDefined)
+
+  private def refuseDml(what: String, target: LogicalPlan): Nothing =
+    throw new UnsupportedOperationException(
+      s"$what a VIEW (${relParts(target).get.mkString(".")}) is not " +
+        "supported — graft views are logical view text, not updatable; " +
+        "run the DML against the base table")
+
+  private def viewOf(parts: Seq[String]) = {
+    val cat = spark.sessionState.catalogManager.catalog(parts.head)
+      .asInstanceOf[GraftCatalog]
+    val ident = Identifier.of(parts.drop(1).init.toArray, parts.last)
+    if (cat.viewExists(ident)) Some(cat.loadView(ident)) else None
+  }
+
+  private def expand(parts: Seq[String]): LogicalPlan = {
+    val key = parts.mkString(".")
+    val inFlight = GraftViewReadRule.resolving.get()
+    if (inFlight(key)) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "RECURSIVE_VIEW",
+      messageParameters = Map("viewIdent" -> key, "newPath" -> key))
+    GraftViewReadRule.resolving.set(inFlight + key)
+    try {
+      val v = viewOf(parts).get
+      val parsed = spark.sessionState.sqlParser.parsePlan(v.query)
+      // CTE names defined in the view text stay as-is; other single-part
+      // relations qualify against the view's STORED context, never the
+      // reader's current catalog or temp views
+      val cteNames: Set[String] = parsed.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+          w.cteRelations.map(_._1.toLowerCase)
+      }.flatten.toSet
+      val qualified = parsed.transform {
+        case ur: UnresolvedRelation
+            if ur.multipartIdentifier.length == 1 &&
+              !cteNames(ur.multipartIdentifier.head.toLowerCase) =>
+          ur.copy(multipartIdentifier =
+            (v.currentCatalog +: v.currentNamespace().toSeq) :+
+              ur.multipartIdentifier.head)
+      }
+      val aliased =
+        if (v.columnAliases().isEmpty) qualified
+        else UnresolvedSubqueryColumnAliases(v.columnAliases().toSeq, qualified)
+      // nested full analysis (the engine pattern for view expansion):
+      // the fragment resolves completely — CTE substitution included —
+      // before splicing into the outer plan
+      val analyzed = spark.sessionState.analyzer.execute(aliased)
+      SubqueryAlias(parts.last, analyzed)
+    } finally GraftViewReadRule.resolving.set(inFlight)
+  }
+}
+
+object GraftViewReadRule {
+  /** Views being expanded on this thread — the recursive-view guard. */
+  private val resolving = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+}
