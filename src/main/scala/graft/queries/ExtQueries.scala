@@ -3231,7 +3231,7 @@ object ExtQueries {
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
     x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, x164Spec, x165Spec, x166Spec, x167Spec, st31Spec,
-    x168Spec, x169Spec, x170Spec, x171Spec)
+    x168Spec, x169Spec, x170Spec, x171Spec, x172Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -9237,4 +9237,97 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS pruned_ok,
            |       CAST(1 AS BIGINT) AS noop_ok
            |FROM upd""".stripMargin))
+
+  /** x172: EQUI-HEIGHT HISTOGRAMS FOR THE CBO ([[graft.io.ColStats]],
+    * `CALL analyze(t, cols, histogram_bins)`) — NDV-uniform estimation
+    * prices every value of a skewed column identically (a 95/5 band
+    * column: each band "is" 5%), so the optimizer can't tell a rare-band
+    * probe from a hot-band scan. `histogram_bins > 1` records per-numeric-
+    * column equi-height histograms (one percentile_approx sweep + one
+    * range-conditioned HLL pass — two aggregations total, O(rows), no
+    * shuffle-per-bin) that ride as transactional properties and feed
+    * Spark's own `FilterEstimation` through the DSv2 scan's
+    * `columnStats().histogram()`. Pins: `range_ok` — ANALYZE records true
+    * numeric min/max (without a range, Catalyst prices EVERY equality as
+    * out-of-range = 0 rows, worse than no stats); `hist_ok` — 64 bins
+    * recorded; `skew_ok` — under CBO the rare band's row estimate drops
+    * ≥3× below the NDV-uniform estimate while the hot band's rises above
+    * it; `acc_ok` — the rare-band estimate lands within 3× of the true
+    * count. At 100 TB this is the difference between broadcasting a
+    * rare-slice probe side and shuffle-joining 5% of the corpus on a
+    * uniform guess. Results never depend on stats — the returned
+    * aggregates replay relationally in the oracle. */
+  private def x172Spec: QuerySpec =
+    QuerySpec("x172_sql_histogram",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_hist_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        // skewed band from doc_id: ~95% band 0, bands 1..19 share the rest
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(20)) =!= 19, lit(0L))
+            .otherwise(floor(pmod(col("doc_id"), lit(380)) / 20) + 1)
+            .cast("long").as("band"),
+          col("n_chars").cast("long").as("n_chars"))
+        Snapshots.commitAppend(docs.repartition(2), s"$tmp/t",
+          recordSchema = true, recordRowCounts = true)
+        def estRows(band: Long): BigInt = {
+          val p = s.sql(s"SELECT doc_id FROM $cat.t WHERE band = $band")
+            .queryExecution.optimizedPlan
+          p.collect {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.stats.rowCount.getOrElse(BigInt(-1))
+          }.headOption.getOrElse(BigInt(-1))
+        }
+        val trueRare = docs.filter(col("band") === 19).count()
+        val cboPrev = s.conf.get("spark.sql.cbo.enabled")
+        val (rangeOk, histOk, skewOk, accOk) = try {
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          // NDV-only: min/max must be recorded or the estimate is 0 rows
+          s.sql(s"CALL $cat.system.analyze('t', 'doc_id,band,n_chars')")
+          val r = graft.io.ColStats.rangeOf(s, s"$tmp/t")
+          val rangeOk =
+            if (r.get("band").contains((0.0, 19.0)) && estRows(19) > 0) 1L
+            else 0L
+          val estU = estRows(19) // NDV-uniform: every band prices the same
+          s.sql(s"CALL $cat.system.analyze('t', 'doc_id,band,n_chars', 64)")
+          val h = graft.io.ColStats.histOf(s, s"$tmp/t")
+          val histOk =
+            if (h.get("band").exists(_._2.size == 64)) 1L else 0L
+          val (estRare, estHot) = (estRows(19), estRows(0))
+          val skewOk =
+            if (estU > 0 && estRare * 3 <= estU && estHot > estU) 1L else 0L
+          val accOk =
+            if (estRare <= trueRare * 3 && estRare * 3 >= trueRare) 1L
+            else 0L
+          (rangeOk, histOk, skewOk, accOk)
+        } finally s.conf.set("spark.sql.cbo.enabled", cboPrev)
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |count(DISTINCT band) AS n_bands,
+                 |CAST(sum(CASE WHEN band = 19 THEN 1 ELSE 0 END) AS BIGINT)
+                 |  AS n_rare,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("range_ok", lit(rangeOk))
+          .withColumn("hist_ok", lit(histOk))
+          .withColumn("skew_ok", lit(skewOk))
+          .withColumn("acc_ok", lit(accOk))
+      },
+      Some("""WITH b AS (
+           |  SELECT CASE WHEN doc_id % 20 <> 19 THEN 0
+           |              ELSE (doc_id % 380) // 20 + 1 END AS band,
+           |         n_chars
+           |  FROM documents)
+           |SELECT count(*) AS n_rows,
+           |       count(DISTINCT band) AS n_bands,
+           |       CAST(sum(CASE WHEN band = 19 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_rare,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS range_ok,
+           |       CAST(1 AS BIGINT) AS hist_ok,
+           |       CAST(1 AS BIGINT) AS skew_ok,
+           |       CAST(1 AS BIGINT) AS acc_ok
+           |FROM b""".stripMargin))
 }

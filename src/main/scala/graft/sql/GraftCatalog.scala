@@ -1557,14 +1557,73 @@ final class GraftScan(table: GraftTable, required: StructType,
       val m = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      // equi-height histograms (ANALYZE … histogram_bins) ride along:
+      // under CBO, FilterEstimation prices skewed predicates from the
+      // real value distribution instead of NDV-uniform — the difference
+      // between broadcasting a rare-band probe and shuffle-joining it
+      val hists = graft.io.ColStats.histOf(spark, table.path, Some(v))
+      // true min/max recorded by ANALYZE, falling back to the histogram's
+      // outer boundaries; boxed to the column's own type
+      // (FilterEstimation's range check needs them typed, and with NDV
+      // but NO range it prices every literal as out-of-range = 0 rows)
+      val ranges = graft.io.ColStats.rangeOf(spark, table.path, Some(v))
+      def typedVal(d: Double, c: String): Option[Object] =
+        table.schema.fields.find(_.name == c).map(_.dataType).flatMap {
+          case org.apache.spark.sql.types.LongType =>
+            Some(java.lang.Long.valueOf(d.toLong))
+          case org.apache.spark.sql.types.IntegerType =>
+            Some(java.lang.Integer.valueOf(d.toInt))
+          case org.apache.spark.sql.types.ShortType =>
+            Some(java.lang.Short.valueOf(d.toShort))
+          case org.apache.spark.sql.types.ByteType =>
+            Some(java.lang.Byte.valueOf(d.toByte))
+          case org.apache.spark.sql.types.DoubleType =>
+            Some(java.lang.Double.valueOf(d))
+          case org.apache.spark.sql.types.FloatType =>
+            Some(java.lang.Float.valueOf(d.toFloat))
+          case _ => None
+        }
       graft.io.ColStats.of(spark, table.path, Some(v)).foreach {
         case (c, (ndv, nulls, avgL, maxL)) =>
+          val minMax: Option[(Object, Object)] = ranges.get(c)
+            .orElse(hists.get(c).collect {
+              case (_, bs) if bs.nonEmpty => (bs.head._1, bs.last._2)
+            })
+            .flatMap { case (lo, hi) =>
+              typedVal(lo, c).zip(typedVal(hi, c)).headOption
+            }
+          val hist: java.util.Optional[
+              org.apache.spark.sql.connector.read.colstats.Histogram] =
+            hists.get(c) match {
+              case Some((h, bs)) if bs.nonEmpty => java.util.Optional.of(
+                new org.apache.spark.sql.connector.read.colstats.Histogram {
+                  override def height(): Double = h
+                  override def bins(): Array[
+                      org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                    bs.map { case (binLo, binHi, binNdv) =>
+                      new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                        override def lo(): Double = binLo
+                        override def hi(): Double = binHi
+                        override def ndv(): Long = binNdv
+                      }
+                    }.toArray
+                })
+              case _ => java.util.Optional.empty()
+            }
           m.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
               override def distinctCount(): OptionalLong = OptionalLong.of(ndv)
               override def nullCount(): OptionalLong = OptionalLong.of(nulls)
               override def avgLen(): OptionalLong = OptionalLong.of(avgL)
               override def maxLen(): OptionalLong = OptionalLong.of(maxL)
+              override def min(): java.util.Optional[Object] =
+                minMax.map(mm => java.util.Optional.of(mm._1))
+                  .getOrElse(java.util.Optional.empty())
+              override def max(): java.util.Optional[Object] =
+                minMax.map(mm => java.util.Optional.of(mm._2))
+                  .getOrElse(java.util.Optional.empty())
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] = hist
             })
       }
       m

@@ -246,12 +246,15 @@ object GraftProcedures {
     mkDef("analyze",
       "record per-column NDV/null/length statistics for the cost-based " +
         "optimizer (one aggregation pass; stats ride as transactional " +
-        "properties and report through the scan's columnStats)",
-      Seq(in("table", S), in("columns", S)),
+        "properties and report through the scan's columnStats); " +
+        "histogram_bins > 1 additionally records equi-height histograms " +
+        "on numeric columns for skew-honest selectivity",
+      Seq(in("table", S), in("columns", S), inDef("histogram_bins", L, "0")),
       StructType(Seq(DataTypes.createStructField("analyzed", L, false))))(
       (s, root, in) => Seq(graft.io.ColStats.analyze(s, tbl(root, in, 0),
         in.getUTF8String(1).toString.split(',').map(_.trim)
-          .filter(_.nonEmpty).toSeq).size.toLong)),
+          .filter(_.nonEmpty).toSeq,
+        histogramBins = in.getLong(2).toInt).size.toLong)),
     mkDef("branch",
       "fork the table as a named branch (zero-copy WAP clone; read via " +
         "VERSION AS OF '<name>', write via <table>._branches.<name>)",

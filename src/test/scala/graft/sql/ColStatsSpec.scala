@@ -29,6 +29,10 @@ class ColStatsSpec extends SparkSpec {
     assert(math.abs(st("id")._1 - 1000L) <= 100L, st("id").toString)
     assert(math.abs(st("cat")._1 - 7L) <= 1L, st("cat").toString)
     assert(st("cat")._2 === 0L) // no nulls
+    // numeric columns ALWAYS record true min/max: FilterEstimation's
+    // range check prices equality predicates as 0 rows without one
+    assert(ColStats.rangeOf(spark, t).get("id").contains((1.0, 1000.0)))
+    assert(!ColStats.rangeOf(spark, t).contains("cat")) // strings: none
     // with CBO on, the optimized plan carries per-attribute distinctCount
     spark.conf.set("spark.sql.cbo.enabled", "true")
     try {
@@ -53,6 +57,69 @@ class ColStatsSpec extends SparkSpec {
     val st = ColStats.of(spark, t)
     assert(st("id")._3 === 8L && st("id")._4 === 8L, st("id").toString) // BIGINT = 8 bytes
     assert(st("nm")._3 >= 5L && st("nm")._4 >= 6L, st("nm").toString)  // strings keep image lengths
+  }
+
+  test("equi-height histogram: skew-honest selectivity flips the join per the value") {
+    val t = s"$root/th"
+    // 95% band 0, bands 1..19 share 5% — the NDV-uniform estimate prices
+    // every band at 5%, the histogram prices each at its real share
+    val fact = (1L to 50000L).map { x =>
+      val band = if (x % 20 != 19) 0L else (x % 380) / 20 + 1
+      (x, band, s"s${x % 5}", x * 2)
+    }.toDF("id", "band", "src", "m").repartition(2)
+    Snapshots.commitAppend(fact, t, recordSchema = true, recordRowCounts = true)
+    val cboPrev = spark.conf.get("spark.sql.cbo.enabled")
+    val thrPrev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    def filtEst(band: Long): BigInt = spark.sql(
+      s"SELECT src FROM gcs.th WHERE band = $band").queryExecution
+      .optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.stats.sizeInBytes
+      }.head
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // NDV only (no histogram): every band prices at 1/ndv — measure
+      // that uniform estimate and pin the broadcast threshold UNDER it
+      spark.sql("CALL gcs.system.analyze('th', 'band,src,m')")
+      val estUniform = filtEst(19)
+      assert(estUniform === filtEst(0)) // NDV-uniform: bands indistinguishable
+      val threshold = estUniform / 3
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+      // dim sized comfortably over the threshold so it never broadcasts
+      val dimT = s"$root/thd"
+      Snapshots.commitAppend(
+        (0 until 5).map(i => (s"s$i", s"cat$i", "x" * (threshold.toInt / 2)))
+          .toDF("src", "cat", "pad").coalesce(1),
+        dimT, recordSchema = true, recordRowCounts = true)
+      spark.sql("CALL gcs.system.analyze('thd', 'src,cat,pad')")
+      def planOf(band: Long) = spark.sql(
+        s"""SELECT d.cat, count(*) AS n, sum(length(d.pad)) AS pl
+           |FROM gcs.th f JOIN gcs.thd d ON f.src = d.src
+           |WHERE f.band = $band GROUP BY d.cat""".stripMargin).queryExecution
+      // rare band looks like 5% of the table — over threshold, no broadcast
+      assert(!planOf(19).executedPlan.toString.contains("BroadcastHashJoin"))
+      // with the histogram: the rare band prices at its real share (~0.26%)
+      // and the fact side broadcasts; the hot band still shuffle-joins
+      spark.sql("CALL gcs.system.analyze('th', 'band,src,m', 64)")
+      val hist = ColStats.histOf(spark, t)
+      assert(hist.contains("band") && hist("band")._2.size === 64, hist.keys.toString)
+      assert(hist("band")._2.head._3 >= 1L) // empty bins still describe 1 value
+      // the estimates behind the flip: rare << threshold << common
+      assert(filtEst(19) < threshold, s"${filtEst(19)} vs $threshold")
+      assert(filtEst(0) > threshold, s"${filtEst(0)} vs $threshold")
+      assert(planOf(19).executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(!planOf(0).executedPlan.toString.contains("BroadcastHashJoin"))
+      // results are stats-independent: both plans return identical rows
+      val rare = spark.sql(
+        """SELECT d.cat, count(*) AS n FROM gcs.th f JOIN gcs.thd d
+          |ON f.src = d.src WHERE f.band = 19 GROUP BY d.cat ORDER BY d.cat"""
+          .stripMargin).as[(String, Long)].collect().toSeq
+      assert(rare.map(_._2).sum === (1L to 50000L)
+        .count(x => x % 20 == 19 && (x % 380) / 20 + 1 == 19))
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", cboPrev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thrPrev)
+    }
   }
 
   test("stats time-travel: AS OF below the analyze sees none") {
