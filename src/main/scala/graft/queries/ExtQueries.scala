@@ -3231,7 +3231,7 @@ object ExtQueries {
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
     x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, x164Spec, x165Spec, x166Spec, x167Spec, st31Spec,
-    x168Spec, x169Spec, x170Spec, x171Spec, x172Spec)
+    x168Spec, x169Spec, x170Spec, x171Spec, x172Spec, st32Spec, x173Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -9330,4 +9330,229 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS skew_ok,
            |       CAST(1 AS BIGINT) AS acc_ok
            |FROM b""".stripMargin))
+
+  /** st32: STREAMING WRITE-AUDIT-PUBLISH ([[graft.streaming
+    * .SnapshotSinkProvider]] `.option("branch", …)` composed with
+    * [[graft.io.Branches]]) — the audit-then-publish discipline for
+    * streaming ingest: each drain lands its micro-batches in a WAP
+    * branch forked lazily from the table's current version, the MAIN
+    * table stays byte-for-byte untouched while the drain runs and is
+    * audited (`frozen_ok` pins version AND content), reads of the branch
+    * head go through `VERSION AS OF '<branch>'` (`audit_ok`), and
+    * `CALL fast_forward` publishes the whole drain as ONE atomic commit
+    * (`publish_atomic` pins exactly +1 version; the branch closes,
+    * `closed_ok`). Crash-restart mid-drain resumes on the live branch
+    * with no duplicates — checkpoint offsets plus the branch's own
+    * batch-dir ledger (`resume_ok`). The NEXT drain on the same
+    * checkpoint re-forks from the just-published state automatically and
+    * publishes its own increment (`refork_ok`) — fork→ingest→audit→
+    * publish per drain, no code between cycles. Oracle: the per-source
+    * rollup of all documents. */
+  private def st32Spec: QuerySpec =
+    QuerySpec("st32_stream_branch_wap",
+      (s, d) => {
+        import graft.io.{Branches, Snapshots}
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val w = maxId / 4 + 1
+        def part(i: Int) =
+          docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stwap_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val tbl = s"$tmp/t"
+        // part 0 is the table's pre-existing production content
+        Snapshots.commitAppend(part(0).coalesce(1), tbl, recordSchema = true,
+          statsCols = Seq("doc_id"), recordRowCounts = true)
+        val p0 = part(0).count()
+        def arrive(i: Int): Unit = {
+          part(i).coalesce(1).write.parquet(s"$tmp/src/s$i")
+          new java.io.File(s"$tmp/src/s$i").listFiles()
+            .foreach(_.setLastModified(1700000000000L + i * 60000L))
+        }
+        val schema = docs.schema
+        def drain(): Unit = {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).option("recursiveFileLookup", "true")
+            .parquet(s"$tmp/src")
+            .writeStream.format("graft.streaming.SnapshotSinkProvider")
+            .option("table", tbl).option("branch", "ingest")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        def mainCount() =
+          s.sql(s"SELECT count(*) FROM $cat.t").collect().head.getLong(0)
+        def branchCount() =
+          s.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'ingest'")
+            .collect().head.getLong(0)
+        val vMain = Snapshots.currentVersion(s, tbl)
+        arrive(1); drain()
+        // "crash" between the two file arrivals: the second drain is a
+        // restart on the same checkpoint — offsets + the branch's batch
+        // ledger resume with no duplicates
+        arrive(2); drain()
+        val resumeOk =
+          if (branchCount() == part(0).unionAll(part(1)).unionAll(part(2)).count())
+            1L else 0L
+        val frozenOk = if (Snapshots.currentVersion(s, tbl) == vMain &&
+          mainCount() == p0) 1L else 0L
+        val auditOk = if (branchCount() > mainCount()) 1L else 0L
+        s.sql(s"CALL $cat.system.fast_forward('t', 'ingest')")
+        val publishAtomic =
+          if (Snapshots.currentVersion(s, tbl) == vMain + 1 &&
+            mainCount() == part(0).unionAll(part(1)).unionAll(part(2)).count())
+            1L else 0L
+        val closedOk = if (Branches.list(s, tbl).isEmpty) 1L else 0L
+        // next cycle: same checkpoint, new files — the sink re-forks from
+        // the published state and the second publish lands the increment
+        arrive(3); drain()
+        val vPub1 = Snapshots.currentVersion(s, tbl)
+        val reforkFrozen = if (mainCount() ==
+          part(0).unionAll(part(1)).unionAll(part(2)).count()) 1L else 0L
+        s.sql(s"CALL $cat.system.fast_forward('t', 'ingest')")
+        val reforkOk = if (reforkFrozen == 1L &&
+          Snapshots.currentVersion(s, tbl) == vPub1 + 1) 1L else 0L
+        s.sql(s"""SELECT source, count(*) AS n_docs,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t GROUP BY source""".stripMargin)
+          .withColumn("frozen_ok", lit(frozenOk))
+          .withColumn("resume_ok", lit(resumeOk))
+          .withColumn("audit_ok", lit(auditOk))
+          .withColumn("publish_atomic", lit(publishAtomic))
+          .withColumn("closed_ok", lit(closedOk))
+          .withColumn("refork_ok", lit(reforkOk))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS frozen_ok,
+           |       CAST(1 AS BIGINT) AS resume_ok,
+           |       CAST(1 AS BIGINT) AS audit_ok,
+           |       CAST(1 AS BIGINT) AS publish_atomic,
+           |       CAST(1 AS BIGINT) AS closed_ok,
+           |       CAST(1 AS BIGINT) AS refork_ok
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
+  /** x173: SQL-SURFACE E2E CAPSTONE — the x166 curation workflow driven
+    * PURELY through SQL, regression-pinning the whole catalog in one
+    * query: `CREATE TABLE` with a column DEFAULT (omitted on seed
+    * INSERT, `default_ok`) → engine-enforced `CHECK` constraint →
+    * `CREATE VIEW` over the table → `CALL branch` fork → `MERGE INTO`
+    * the BRANCH (update + insert arms) → `DELETE` on the branch with a
+    * subquery conjunct ANDed to a plain band (the round's composed-DML
+    * path) → the CHECK gate holding ON THE FORK (`blocked_ok` — clones
+    * carry constraints) → main frozen through all of it (`frozen_ok`) →
+    * `CALL fast_forward` publish as ONE commit (`publish_atomic`) → the
+    * late-bound view serving the published state (`view_ok`) → `CALL
+    * analyze(…, 32)` → CBO attribute stats carrying NDV + min/max + the
+    * equi-height histogram (`cbo_ok`). The oracle replays the MERGE and
+    * DELETE algebra relationally. */
+  private def x173Spec: QuerySpec =
+    QuerySpec("x173_sql_e2e",
+      (s, d) => {
+        import graft.io.{Branches, Snapshots}
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sqle2e_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+          .createOrReplaceTempView("x173_docs")
+        s.sql(s"""CREATE TABLE $cat.corpus (doc_id BIGINT, source STRING,
+                 |n_chars BIGINT, lang STRING DEFAULT 'und')""".stripMargin)
+        s.sql(s"ALTER TABLE $cat.corpus ADD CONSTRAINT chars_pos CHECK (n_chars >= 0)")
+        s.sql(s"""CREATE VIEW $cat.rollup AS
+                 |SELECT source, count(*) AS n_docs,
+                 |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.corpus GROUP BY source""".stripMargin)
+        // seed omits lang — the DEFAULT fills it
+        s.sql(s"""INSERT INTO $cat.corpus (doc_id, source, n_chars)
+                 |SELECT * FROM x173_docs WHERE doc_id % 3 = 0""".stripMargin)
+        val seedN = s.sql(s"SELECT count(*) FROM $cat.corpus").collect().head.getLong(0)
+        val defaultOk = if (s.sql(
+          s"SELECT count(*) FROM $cat.corpus WHERE lang = 'und'")
+          .collect().head.getLong(0) == seedN) 1L else 0L
+        val tbl = s"$tmp/corpus"
+        val v0 = Snapshots.currentVersion(s, tbl)
+        // curation happens on a branch; main serves reads untouched
+        s.sql(s"CALL $cat.system.branch('corpus', 'cur')")
+        s.sql(s"""MERGE INTO $cat.corpus._branches.cur t
+                 |USING (SELECT * FROM x173_docs WHERE doc_id % 3 <= 1) u
+                 |ON t.doc_id = u.doc_id
+                 |WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars + 1000
+                 |WHEN NOT MATCHED THEN INSERT (doc_id, source, n_chars, lang)
+                 |  VALUES (u.doc_id, u.source, u.n_chars, 'new')""".stripMargin)
+        s.sql(s"""DELETE FROM $cat.corpus._branches.cur
+                 |WHERE doc_id IN (SELECT doc_id FROM x173_docs WHERE source = 'src5')
+                 |  AND doc_id % 2 = 0""".stripMargin)
+        // the CHECK gate travels with the fork
+        val blockedOk =
+          try { s.sql(s"""INSERT INTO $cat.corpus._branches.cur
+                         |(doc_id, source, n_chars) VALUES (-1, 'x', -5)"""
+                  .stripMargin); 0L }
+          catch { case e: Exception
+            if e.getMessage != null && e.getMessage.contains("chars_pos") => 1L }
+        val frozenOk = if (Snapshots.currentVersion(s, tbl) == v0 &&
+          s.sql(s"SELECT count(*) FROM $cat.corpus").collect().head.getLong(0)
+            == seedN) 1L else 0L
+        s.sql(s"CALL $cat.system.fast_forward('corpus', 'cur')")
+        val publishAtomic = if (Snapshots.currentVersion(s, tbl) == v0 + 1 &&
+          Branches.list(s, tbl).isEmpty) 1L else 0L
+        // the view is late-bound: it serves the published state
+        val viewN = s.sql(s"SELECT CAST(sum(n_docs) AS BIGINT) FROM $cat.rollup")
+          .collect().head.getLong(0)
+        val directN = s.sql(s"SELECT count(*) FROM $cat.corpus")
+          .collect().head.getLong(0)
+        val viewOk = if (viewN == directN && directN != seedN) 1L else 0L
+        // stats for the optimizer: NDV + min/max + equi-height histogram
+        s.sql(s"CALL $cat.system.analyze('corpus', 'doc_id,n_chars', 32)")
+        val cboPrev = s.conf.get("spark.sql.cbo.enabled")
+        val cboOk = try {
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          val as = s.sql(s"SELECT doc_id, n_chars FROM $cat.corpus")
+            .queryExecution.optimizedPlan.stats.attributeStats
+          if (as.toSeq.exists { case (a, cs) => a.name == "n_chars" &&
+            cs.distinctCount.isDefined && cs.min.isDefined &&
+            cs.histogram.isDefined }) 1L else 0L
+        } finally s.conf.set("spark.sql.cbo.enabled", cboPrev)
+        s.sql(s"SELECT * FROM $cat.rollup")
+          .withColumn("default_ok", lit(defaultOk))
+          .withColumn("blocked_ok", lit(blockedOk))
+          .withColumn("frozen_ok", lit(frozenOk))
+          .withColumn("publish_atomic", lit(publishAtomic))
+          .withColumn("view_ok", lit(viewOk))
+          .withColumn("cbo_ok", lit(cboOk))
+          .orderBy("source")
+      },
+      Some("""WITH seed AS (SELECT doc_id, source, n_chars FROM documents
+           |              WHERE doc_id % 3 = 0),
+           |u AS (SELECT doc_id, source, n_chars FROM documents
+           |      WHERE doc_id % 3 <= 1),
+           |merged AS (
+           |  SELECT s.doc_id, s.source, u.n_chars + 1000 AS n_chars
+           |  FROM seed s JOIN u ON s.doc_id = u.doc_id
+           |  UNION ALL
+           |  SELECT s.doc_id, s.source, s.n_chars FROM seed s
+           |  WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.doc_id = s.doc_id)
+           |  UNION ALL
+           |  SELECT u.doc_id, u.source, u.n_chars FROM u
+           |  WHERE NOT EXISTS (SELECT 1 FROM seed s WHERE s.doc_id = u.doc_id)),
+           |final AS (
+           |  SELECT * FROM merged
+           |  WHERE NOT (doc_id IN (SELECT doc_id FROM documents
+           |                        WHERE source = 'src5')
+           |             AND doc_id % 2 = 0))
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS default_ok,
+           |       CAST(1 AS BIGINT) AS blocked_ok,
+           |       CAST(1 AS BIGINT) AS frozen_ok,
+           |       CAST(1 AS BIGINT) AS publish_atomic,
+           |       CAST(1 AS BIGINT) AS view_ok,
+           |       CAST(1 AS BIGINT) AS cbo_ok
+           |FROM final GROUP BY source ORDER BY source""".stripMargin))
 }

@@ -103,7 +103,22 @@ class CdcSourceProvider extends StreamSourceProvider {
   * data dirs — a replayed batch that already committed is skipped, one
   * that crashed mid-write overwrites its own directory). The same gate
   * [[SnapshotIngest.start]] runs via foreachBatch, exposed as a format
-  * so plain `writeStream` pipelines compose without code. */
+  * so plain `writeStream` pipelines compose without code.
+  *
+  * With `.option("branch", name)` the stream lands in a WAP BRANCH of
+  * the table instead of the table itself — streaming write-audit-publish,
+  * the audit-then-publish discipline production ingest wants: the branch
+  * forks from the table's CURRENT version at the first non-empty batch
+  * of a drain (O(metadata), [[graft.io.Branches.create]]), every batch
+  * commits to the branch while the main table serves reads UNTOUCHED,
+  * and after the drain is audited, `CALL fast_forward(t, branch)` (or
+  * [[graft.io.Branches.merge]]) publishes the whole drain as ONE atomic
+  * commit. The branch closes on publish; the NEXT drain re-forks from
+  * the just-published state automatically — each drain is one
+  * fork→ingest→audit→publish cycle. Crash-restart mid-drain resumes on
+  * the live branch exactly like plain ingest (checkpoint offsets + the
+  * branch's own batch-dir ledger); a replayed batch that already
+  * committed to the branch is skipped. */
 class SnapshotSinkProvider extends org.apache.spark.sql.sources.StreamSinkProvider {
   override def createSink(ctx: SQLContext, params: Map[String, String],
                           partitionColumns: Seq[String],
@@ -120,11 +135,27 @@ class SnapshotSinkProvider extends org.apache.spark.sql.sources.StreamSinkProvid
         ctx.sparkSession.conf.getOption(s"spark.sql.catalog.${parts.head}.root")
           .map(root => (root +: parts.tail).mkString("/")).getOrElse(raw)
       }
+    val branch = params.get("branch")
     new org.apache.spark.sql.execution.streaming.Sink {
-      override def addBatch(batchId: Long, data: DataFrame): Unit =
-        Snapshots.commitBatchOnce(data.sparkSession, table, batchId,
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val s = data.sparkSession
+        val target = branch match {
+          case Some(b) =>
+            // fork lazily at the first batch of a drain; after a publish
+            // closed the branch, the next drain re-forks from the
+            // just-published state (existence check is O(metadata) and
+            // a crash between fork and first commit just re-finds the
+            // already-created branch)
+            if (!graft.io.Branches.list(s, table).contains(b))
+              graft.io.Branches.create(s, table, b)
+            graft.io.Branches.path(table, b)
+          case None => table
+        }
+        Snapshots.commitBatchOnce(s, target, batchId,
           org.apache.spark.sql.graft.StreamShim.asBatch(data))
-      override def toString: String = s"GraftSnapshotSink($table)"
+      }
+      override def toString: String =
+        s"GraftSnapshotSink($table${branch.fold("")("@" + _)})"
     }
   }
 }

@@ -148,4 +148,48 @@ class CdcStreamSpec extends SparkSpec {
     assert(view() === direct())
     assert(Snapshots.currentVersion(spark, vt) === vAfter)
   }
+
+  test("branch sink: lazy fork, main frozen, resume without dups, re-fork after publish") {
+    import graft.io.Branches
+    val base = java.nio.file.Files.createTempDirectory("graft_brsink").toString
+    val t = s"$base/tbl"; val src = s"$base/in"
+    Snapshots.commitAppend(Seq((1L, 10L)).toDF("id", "m").coalesce(1),
+      t, recordSchema = true)
+    val schema = Seq((0L, 0L)).toDF("id", "m").schema
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).option("recursiveFileLookup", "true")
+        .parquet(src)
+        .writeStream.format("graft.streaming.SnapshotSinkProvider")
+        .option("table", t).option("branch", "ing")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // an empty drain forks nothing — no branch until a batch lands
+    new java.io.File(src).mkdirs()
+    drain()
+    assert(Branches.list(spark, t) === Nil)
+    Seq((2L, 20L)).toDF("id", "m").coalesce(1).write.parquet(s"$src/s0")
+    val v0 = Snapshots.currentVersion(spark, t)
+    drain()
+    assert(Branches.list(spark, t) === Seq("ing"))
+    assert(Snapshots.currentVersion(spark, t) === v0) // main frozen
+    // restart on the same checkpoint: only the new file lands
+    Seq((3L, 30L)).toDF("id", "m").coalesce(1).write.parquet(s"$src/s1")
+    drain()
+    assert(Snapshots.readAt(spark, Branches.path(t, "ing")).count() === 3L)
+    Branches.merge(spark, t, "ing")
+    assert(Snapshots.currentVersion(spark, t) === v0 + 1)
+    assert(Branches.list(spark, t) === Nil) // closed on publish
+    // next drain re-forks from the published state
+    Seq((4L, 40L)).toDF("id", "m").coalesce(1).write.parquet(s"$src/s2")
+    drain()
+    assert(Branches.list(spark, t) === Seq("ing"))
+    assert(Snapshots.readAt(spark, Branches.path(t, "ing")).count() === 4L)
+    assert(Snapshots.readAt(spark, t).count() === 3L)
+    Branches.merge(spark, t, "ing")
+    assert(Snapshots.readAt(spark, t)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
 }
