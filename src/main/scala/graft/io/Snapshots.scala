@@ -1382,6 +1382,12 @@ object Snapshots {
   final case class NotMatchedInsert(condition: Option[org.apache.spark.sql.Column],
                                     values: Map[String, org.apache.spark.sql.Column])
 
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE` clauses
+    * reuse [[MatchedUpdate]]/[[MatchedDelete]] with the gate inverted:
+    * they apply to LIVE TARGET rows whose key has no source match, and
+    * their conditions/update expressions may reference `t.<col>` only
+    * (there is no source row — Spark's analyzer enforces the same). */
+
   /** Generalized COPY-ON-WRITE MERGE — the full SQL clause algebra
     * ([[mergeInto]] is the unconditioned full-row special case):
     *
@@ -1393,7 +1399,10 @@ object Snapshots {
     * }}}
     *
     * Matched rows take the FIRST applicable matched clause; unmatched
-    * source rows take the first applicable insert clause; everything else
+    * source rows take the first applicable insert clause; live target
+    * rows with NO source match take the first applicable `bySource`
+    * clause (`WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE`
+    * — the target-side sweep of an incremental sync); everything else
     * passes through. One transactional commit with the same file
     * discipline as [[mergeInto]]: `pruneOn` zone-maps the candidate set
     * to the source's own key bounds, only files actually holding matched
@@ -1402,6 +1411,12 @@ object Snapshots {
     * byte-identical, live deletion vectors fold exactly as in
     * [[mergeInto]] (tombstoned keys count as NOT matched — their ghost
     * rows drop physically from any rewritten file, never resurrect).
+    *
+    * `bySource` detection is necessarily one dv-resolved anti-join pass
+    * over ALL live files (key ABSENCE has no zone-map bound — any file
+    * may hold an unmatched row), but only files holding a row some
+    * bySource clause CLAIMS (key unmatched AND a condition holds)
+    * rewrite — a conditioned sweep still rewrites O(claimed files).
     *
     * The source must be key-unique (the standard SQL MERGE cardinality
     * rule — checked with one aggregation over the CHANGE-sized source)
@@ -1415,12 +1430,13 @@ object Snapshots {
                     notMatched: Seq[NotMatchedInsert],
                     pruneOn: Option[String] = None,
                     note: Option[String] = None,
-                    prune: Option[(String, String, String)] = None): DeleteResult = {
+                    prune: Option[(String, String, String)] = None,
+                    bySource: Seq[MatchedClause] = Nil): DeleteResult = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, when}
     require(keys.nonEmpty, "mergeIntoWhen needs at least one key column")
-    require(matched.nonEmpty || notMatched.nonEmpty,
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
-    matched.foreach {
+    (matched ++ bySource).foreach {
       case MatchedUpdate(_, set) => keys.foreach(k => require(!set.contains(k),
         s"MERGE may not assign key column '$k' — delete + insert instead"))
       case _ =>
@@ -1524,21 +1540,41 @@ object Snapshots {
           .select("__f").distinct().collect().toSeq
           .flatMap(r => byName.get(new Path(r.getString(0)).getName))
       }
-    val matchedOut: Option[DataFrame] =
-      if (touched.isEmpty) None
+    // bySource detection: key ABSENCE has no zone-map bound, so every
+    // live file is a candidate — but detection is dv-resolved (a
+    // tombstoned ghost is not a live unmatched row) and only files
+    // holding a row some clause CLAIMS rewrite
+    val bySourceTouched =
+      if (bySource.isEmpty || live.isEmpty) Nil
       else {
-        val tgt = applyDv(spark, table, Some(v), read(touched)).alias("t")
+        val claim = bySource
+          .map(cl => coalesce(cl.condition.getOrElse(lit(true)), lit(false)))
+          .reduce(_ || _)
+        val byName = live.map(p => new Path(p).getName -> p).toMap
+        applyDv(spark, table, Some(v),
+            read(live).withColumn("__f", input_file_name())).alias("t")
+          .join(keySet, keys, "left_anti")
+          .filter(claim)
+          .select("__f").distinct().collect().toSeq
+          .flatMap(r => byName.get(new Path(r.getString(0)).getName))
+      }
+    val touchedAll = (touched ++ bySourceTouched).distinct
+    val matchedOut: Option[DataFrame] =
+      if (touchedAll.isEmpty) None
+      else {
+        val tgt = applyDv(spark, table, Some(v), read(touchedAll)).alias("t")
         val s = source.withColumn("__graft_m", lit(1)).alias("s")
         val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
         val j = tgt.join(s, joinCond, "left_outer")
         val gate = col("s.__graft_m").isNotNull
         val apps = applicability(gate, matched.map(_.condition))
-        val deleted = matched.zip(apps)
+        val appsBs = applicability(!gate, bySource.map(_.condition))
+        val deleted = (matched.zip(apps) ++ bySource.zip(appsBs))
           .collect { case (_: MatchedDelete, a) => a }
           .foldLeft(lit(false))(_ || _)
         val outCols = cols.map { c =>
           val base = col(s"t.$c")
-          val updates = matched.zip(apps)
+          val updates = (matched.zip(apps) ++ bySource.zip(appsBs))
             .collect { case (u: MatchedUpdate, a) => (a, u.set.getOrElse(c, base)) }
           val e = updates.foldRight(base) { case ((a, ue), rest) => when(a, ue).otherwise(rest) }
           typed(c, e)
@@ -1558,10 +1594,10 @@ object Snapshots {
         keys, "left_anti")
     val inserts = insertsOf(unmatchedSrc)
     val out = matchedOut.map(_.unionByName(inserts)).getOrElse(inserts)
-    if (touched.isEmpty && inserts.isEmpty)
+    if (touchedAll.isEmpty && inserts.isEmpty)
       return DeleteResult(v, Nil, live.size) // nothing claimed: no commit
     // stat/clustering inheritance: identical to [[mergeInto]]
-    val touchedSet = touched.toSet
+    val touchedSet = touchedAll.toSet
     val touchedStats = fileStats(spark, table, Some(v))
       .filter(st => touchedSet(st.path))
     val (outClustered, clusterCols) = Clustering.forWrite(spark, table, out)
@@ -1594,12 +1630,12 @@ object Snapshots {
         if (spark.read.parquet(ps: _*).isEmpty) Nil else ps
       }
     val version = commit(spark, table, adds = parts,
-      removes = touched ++ (if (dvParts.nonEmpty || (dvLive.nonEmpty && touched.nonEmpty)) dvLive else Nil),
+      removes = touchedAll ++ (if (dvParts.nonEmpty || (dvLive.nonEmpty && touched.nonEmpty)) dvLive else Nil),
       baseVersion = Some(v),
       stats = computeStats(spark, dir, parts, statCols) ++
         (if (keepRowCounts) rowCountStats(spark, dir, parts) else Nil),
       notes = note.toSeq, dvAdds = dvParts)
-    DeleteResult(version, touched, live.size - touched.size)
+    DeleteResult(version, touchedAll, live.size - touchedAll.size)
   }
 
   /** Shared copy-on-write core of [[deleteWhere]]/[[updateWhere]]: find

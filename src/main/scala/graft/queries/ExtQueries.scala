@@ -3231,7 +3231,8 @@ object ExtQueries {
     x139Spec, x140Spec, x141Spec, x142Spec, st29Spec, x143Spec, x144Spec,
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
     x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, x164Spec, x165Spec, x166Spec, x167Spec, st31Spec,
-    x168Spec, x169Spec, x170Spec, x171Spec, x172Spec, st32Spec, x173Spec)
+    x168Spec, x169Spec, x170Spec, x171Spec, x172Spec, st32Spec, x173Spec,
+    x174Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -9175,13 +9176,16 @@ object ExtQueries {
     * decomposition (tuple `NOT IN` with its per-column null mixing,
     * subqueries under `OR`) auto-materialize: each uncorrelated subquery
     * stages once ([[graft.sql.GraftDmlStagedCommand]]) and the FULL
-    * predicate evaluates in place inside the candidate reads — Spark's
-    * own planning turns each membership test into a distributed
-    * (null-aware) join. The plain band conjunct still prunes candidate
-    * files (`pruned_ok`); a NULL inside the tuple subquery makes every
-    * potentially-matching comparison UNKNOWN → provable no-op
-    * (`noop_ok`). Oracle replays tuple NOT IN as its null-free NOT
-    * EXISTS equivalent. */
+    * predicate evaluates in place inside the candidate reads. Tuple
+    * IN/NOT IN rewrites into its exact three-valued null-pattern
+    * expansion of equi ExistenceJoins (GraftStager.decompose) — Spark's
+    * native planning of a multi-column null-aware anti join is a
+    * BroadcastNestedLoopJoin, a measured 51× cliff at 10× data
+    * (ProbeStaged: 790 s → 5.9 s at sf10). The plain band conjunct
+    * still prunes candidate files (`pruned_ok`); a NULL inside the
+    * tuple subquery makes every potentially-matching comparison
+    * UNKNOWN → provable no-op (`noop_ok`). Oracle replays tuple NOT IN
+    * as its null-free NOT EXISTS equivalent. */
   private def x171Spec: QuerySpec =
     QuerySpec("x171_sql_dml_staged",
       (s, d) => {
@@ -9555,4 +9559,79 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS view_ok,
            |       CAST(1 AS BIGINT) AS cbo_ok
            |FROM final GROUP BY source ORDER BY source""".stripMargin))
+
+  /** x174: MERGE `WHEN NOT MATCHED BY SOURCE` SWEEPS — the Delta-parity
+    * target-side arm of an incremental sync ([[graft.io.Snapshots
+    * .mergeIntoWhen]] `bySource`): live target rows with NO source match
+    * take the first applicable BY SOURCE clause (conditioned DELETE /
+    * UPDATE referencing target columns only — the match gate inverted in
+    * the same left-outer rewrite, one transactional commit per
+    * statement, `one_commit_ok`). Detection is one dv-resolved anti-join
+    * pass over live files (key ABSENCE has no zone-map bound) but only
+    * files holding a CLAIMED row rewrite — a narrow sweep leaves the
+    * other files byte-identical (`pruned_ok`); a NULL condition claims
+    * nothing (three-valued, `noop_ok`). First-applicable ordering across
+    * the DELETE-then-UPDATE clause list is replayed relationally by the
+    * oracle. */
+  private def x174Spec: QuerySpec =
+    QuerySpec("x174_sql_merge_by_source",
+      (s, d) => {
+        import graft.io.Snapshots
+        val (cat, tbl, maxId) = dmlFixture(s, d, "x174_docs")
+        val w = maxId / 4 + 1
+        val before = Snapshots.liveFiles(s, tbl).toSet
+        // narrow sweep: claims only top-band rows — the three other
+        // files hold unmatched rows but no claimed ones, never rewrite
+        s.sql(s"""MERGE INTO $cat.t t
+                 |USING (SELECT * FROM x174_docs WHERE doc_id < $w) u
+                 |ON t.doc_id = u.doc_id
+                 |WHEN NOT MATCHED BY SOURCE
+                 |  AND t.doc_id >= ${3 * w} AND t.doc_id % 5 = 0
+                 |THEN DELETE""".stripMargin)
+        val prunedOk =
+          if ((before intersect Snapshots.liveFiles(s, tbl).toSet).size == 3) 1L
+          else 0L
+        // the full sweep algebra: matched update + BY SOURCE delete +
+        // BY SOURCE update, first-applicable
+        val v0 = Snapshots.currentVersion(s, tbl)
+        s.sql(s"""MERGE INTO $cat.t t
+                 |USING (SELECT * FROM x174_docs WHERE doc_id % 3 = 0) u
+                 |ON t.doc_id = u.doc_id
+                 |WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars + 1000
+                 |WHEN NOT MATCHED BY SOURCE AND t.source = 'src7' THEN DELETE
+                 |WHEN NOT MATCHED BY SOURCE AND t.n_chars % 2 = 0
+                 |  THEN UPDATE SET n_chars = t.n_chars + 7""".stripMargin)
+        val oneCommitOk =
+          if (Snapshots.currentVersion(s, tbl) == v0 + 1) 1L else 0L
+        // NULL BY SOURCE condition: provable no-op, nothing commits
+        val v1 = Snapshots.currentVersion(s, tbl)
+        s.sql(s"""MERGE INTO $cat.t t USING x174_docs u
+                 |ON t.doc_id = u.doc_id
+                 |WHEN NOT MATCHED BY SOURCE AND t.n_chars > t.n_chars + NULL
+                 |THEN DELETE""".stripMargin)
+        val noopOk = if (Snapshots.currentVersion(s, tbl) == v1) 1L else 0L
+        s.sql(s"""SELECT source, count(*) AS n_docs,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t GROUP BY source""".stripMargin)
+          .withColumn("pruned_ok", lit(prunedOk))
+          .withColumn("one_commit_ok", lit(oneCommitOk))
+          .withColumn("noop_ok", lit(noopOk))
+          .orderBy("source")
+      },
+      Some("""WITH wv AS (SELECT max(doc_id) // 4 + 1 AS w FROM documents),
+           |a AS (SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+           |      FROM documents d, wv
+           |      WHERE NOT (d.doc_id >= 3 * wv.w AND d.doc_id % 5 = 0)),
+           |b AS (SELECT doc_id, source,
+           |             CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+           |                  WHEN n_chars % 2 = 0 THEN n_chars + 7
+           |                  ELSE n_chars END AS n_chars
+           |      FROM a
+           |      WHERE NOT (doc_id % 3 <> 0 AND source = 'src7'))
+           |SELECT source, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS pruned_ok,
+           |       CAST(1 AS BIGINT) AS one_commit_ok,
+           |       CAST(1 AS BIGINT) AS noop_ok
+           |FROM b GROUP BY source ORDER BY source""".stripMargin))
 }

@@ -60,11 +60,14 @@ import graft.io.Snapshots
   * keyed-merge semi-join, `NOT IN` / `NOT EXISTS` onto the anti-join
   * mutator (each with its SQL null algebra), and uncorrelated SCALAR
   * subqueries in SET/WHERE evaluate once at run time and substitute as
-  * typed literals. Deliberate refusals (loud, with the rewrite to use
-  * instead): correlated scalars, tuple NOT IN, OR-nested subqueries,
-  * nested-field assignments, and `WHEN NOT MATCHED BY SOURCE` outside
-  * the full-sync triple — each has no defined mapping onto the
-  * library's keyed-merge algebra.
+  * typed literals. `WHEN NOT MATCHED BY SOURCE` maps two ways: the
+  * unconditioned-DELETE + star triple is the full-sync overwrite swap;
+  * every other combination (conditioned DELETE, UPDATE sweeps) routes
+  * to the clause algebra with the match gate inverted. Deliberate
+  * refusals (loud, with the rewrite to use instead): non-aggregate
+  * correlated scalars with >1 row per key, and nested-field
+  * assignments — each has no defined mapping onto the library's
+  * keyed-merge algebra.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -778,20 +781,16 @@ object GraftDmlRule extends Rule[LogicalPlan] {
           source.resolved && cond.resolved =>
       val t = graftTarget(target).get
       guardMergeGoverned(t)
-      // WHEN NOT MATCHED BY SOURCE THEN DELETE is accepted ONLY in the
-      // full-sync triple (UPDATE SET * + INSERT * + BY SOURCE DELETE):
-      // matched rows come from the source, unmatched targets drop,
-      // unmatched sources insert — the result IS the source, so the
-      // statement maps to one overwrite swap commit. Any other BY SOURCE
-      // combination has no mapping onto the keyed-merge algebra.
+      // An unconditioned BY SOURCE DELETE alongside the star shapes is
+      // the FULL-SYNC triple (UPDATE SET * + INSERT * + BY SOURCE
+      // DELETE): matched rows come from the source, unmatched targets
+      // drop, unmatched sources insert — the result IS the source, so
+      // the statement maps to one overwrite swap commit. Every other BY
+      // SOURCE combination (conditioned DELETE, UPDATE sweeps) routes to
+      // the general clause algebra below.
       val fullSync = bySource match {
-        case Seq() => false
         case Seq(d: DeleteAction) if d.condition.isEmpty => true
-        case other => throw new UnsupportedOperationException(
-          s"graft MERGE supports WHEN NOT MATCHED BY SOURCE only as an " +
-            s"unconditioned DELETE in the full-sync triple (UPDATE SET * / " +
-            s"INSERT * / BY SOURCE DELETE), got $other; " +
-            "use UPDATE/DELETE for target-side sweeps")
+        case _ => false
       }
       val keys = mergeKeys(cond, target.outputSet, source.outputSet)
       // FAST PATH — the unconditioned full-row shapes ([[Snapshots
@@ -812,35 +811,31 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         case _ => None
       }
       (simpleUpdate, simpleInsert) match {
-        case (Some(du), Some(di)) if du || di =>
+        // the complete full-sync triple maps to ONE overwrite swap (the
+        // result IS the source); lesser BY SOURCE combinations fall to
+        // the general clause algebra below
+        case (Some(true), Some(true)) if fullSync =>
+          GraftMergeCommand(t.path, source, keys, "full_sync",
+            evolveSchema = m.withSchemaEvolution)
+        case (Some(du), Some(di)) if (du || di) && bySource.isEmpty =>
           val mode =
-            if (fullSync) {
-              if (!(du && di)) throw new UnsupportedOperationException(
-                "WHEN NOT MATCHED BY SOURCE THEN DELETE needs the full-sync " +
-                  "triple: add WHEN MATCHED THEN UPDATE SET * and " +
-                  "WHEN NOT MATCHED THEN INSERT *")
-              "full_sync"
-            }
-            else if (du && di) "both"
+            if (du && di) "both"
             else if (du) "matched_only"
             else "insert_only"
           GraftMergeCommand(t.path, source, keys, mode,
             evolveSchema = m.withSchemaEvolution)
-        case (Some(false), Some(false)) =>
+        case (Some(false), Some(false)) if bySource.isEmpty =>
           throw new UnsupportedOperationException(
             "MERGE needs at least one WHEN MATCHED or WHEN NOT MATCHED action")
         case _ =>
-          // GENERAL PATH — conditioned / multi-action / partial-row
-          // clauses route to [[Snapshots.mergeIntoWhen]]'s clause algebra
+          // GENERAL PATH — conditioned / multi-action / partial-row /
+          // BY SOURCE clauses route to [[Snapshots.mergeIntoWhen]]'s
+          // clause algebra
           if (m.withSchemaEvolution) throw new UnsupportedOperationException(
             "MERGE WITH SCHEMA EVOLUTION supports the unconditioned " +
               "star shapes (UPDATE SET * / INSERT *) only — conditioned " +
               "or partial clauses were analyzed against the pre-evolution " +
               "shape; ALTER TABLE ADD COLUMNS first, then MERGE")
-          if (fullSync) throw new UnsupportedOperationException(
-            "WHEN NOT MATCHED BY SOURCE THEN DELETE combines only with the " +
-              "unconditioned full-sync triple (UPDATE SET * / INSERT *); " +
-              "use UPDATE/DELETE for conditioned target-side sweeps")
           val ts = target.outputSet; val ss = source.outputSet
           def qcol(e: Expression): org.apache.spark.sql.Column =
             DmlShim.column(unresolveMerge(e, ts, ss))
@@ -887,7 +882,18 @@ object GraftDmlRule extends Rule[LogicalPlan] {
             case other => throw new UnsupportedOperationException(
               s"unsupported WHEN NOT MATCHED action $other")
           }
-          GraftMergeWhenCommand(t.path, source, keys, mts, nms)
+          // BY SOURCE clauses see target columns only (Spark's analyzer
+          // enforces it); the library inverts the match gate for them
+          val bss: Seq[Snapshots.MatchedClause] = bySource.map {
+            case a: DeleteAction =>
+              Snapshots.MatchedDelete(a.condition.map(qcol))
+            case a: UpdateAction =>
+              Snapshots.MatchedUpdate(a.condition.map(qcol),
+                setOf(a.assignments, "BY SOURCE UPDATE", dropKeyIdentity = false))
+            case other => throw new UnsupportedOperationException(
+              s"unsupported WHEN NOT MATCHED BY SOURCE action $other")
+          }
+          GraftMergeWhenCommand(t.path, source, keys, mts, nms, bss)
       }
   }
 }
@@ -1215,9 +1221,32 @@ case class GraftDmlStagedCommand(path: String,
 /** Stage every uncorrelated subquery inside a DML predicate: evaluate its
   * plan to an eager local checkpoint and swap the checkpointed plan in —
   * self-contained (no exprIds shared with the original statement's
-  * analysis), stable across re-evaluations and optimistic retries. */
+  * analysis), stable across re-evaluations and optimistic retries.
+  *
+  * Tuple (and OR-nested single-column) IN/NOT IN additionally DECOMPOSE
+  * into hash-joinable form: Spark plans a multi-column null-aware anti
+  * join as BroadcastNestedLoopJoin — O(candidates × subquery), a
+  * measured 51× cliff at 10× data (ProbeStaged) — so the staged
+  * membership test rewrites into its exact three-valued expansion over
+  * NULL PATTERNS, every term an EQUI semi join on a struct of the
+  * non-null columns:
+  *
+  *   IN = CASE WHEN <all vals non-null AND exact match in the fully
+  *                   non-null subquery rows>                 THEN true
+  *             WHEN <some (P,Q) pattern pair possibly-matches: the
+  *                   subquery rows with null pattern P equal the row on
+  *                   every column outside P∪Q, Q = the row's own null
+  *                   pattern>                                THEN null
+  *             ELSE false END
+  *
+  * P ranges over patterns PRESENT in the staged result (one cheap
+  * aggregation over the checkpoint — almost always just "no nulls"),
+  * Q over all 2^k outer patterns, gated per row by IS NULL checks, so
+  * Spark plans one hash ExistenceJoin per term instead of one nested
+  * loop over everything. Arity is capped (terms ≤ 32); beyond it the
+  * original in-place shape stands. */
 private object GraftStager {
-  import org.apache.spark.sql.catalyst.expressions.{Exists, ListQuery}
+  import org.apache.spark.sql.catalyst.expressions.{And, CaseWhen, CreateNamedStruct, Exists, Expression, InSubquery, IsNotNull, IsNull, ListQuery, Literal, Or}
   def stage(spark: SparkSession,
             c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     DmlShim.column(DmlShim.expression(c).transformUp {
@@ -1227,7 +1256,61 @@ private object GraftStager {
       case e: Exists if e.outerAttrs.isEmpty =>
         e.copy(plan =
           DmlShim.ofRows(spark, e.plan).localCheckpoint().queryExecution.analyzed)
+      // transformUp: the ListQuery child was checkpoint-staged above
+      case in @ InSubquery(values, q) if q.outerAttrs.isEmpty &&
+          values.length >= 1 && values.length <= 4 =>
+        decompose(spark, values, q).getOrElse(in)
     })
+
+  private def decompose(spark: SparkSession, values: Seq[Expression],
+                        q: ListQuery): Option[Expression] = {
+    import org.apache.spark.sql.functions.{col, isnull, struct}
+    val ck = DmlShim.ofRows(spark, q.plan) // LogicalRDD: already materialized
+    val scols = ck.columns.toSeq
+    val k = values.length
+    if (scols.length != k) return None
+    // null patterns PRESENT in the staged result (small: ≤ 2^k rows out)
+    val pats: Seq[Seq[Boolean]] = ck
+      .groupBy(scols.zipWithIndex.map { case (c, i) =>
+        isnull(col(c)).as(s"__n$i") }: _*)
+      .count().collect().toSeq.map(r => (0 until k).map(r.getBoolean))
+    if (pats.size * (1 << k) > 32) return None // arity cap: keep in-place
+    def subqueryPlan(p: Seq[Boolean], keep: Seq[Int]) =
+      ck.filter((0 until k).map(i =>
+          if (p(i)) col(scols(i)).isNull else col(scols(i)).isNotNull)
+          .reduce(_ && _))
+        .select(struct(keep.map(i => col(scols(i)).as(s"f$i")): _*).as("__t"))
+        .distinct().queryExecution.analyzed
+    def inTerm(p: Seq[Boolean], keep: Seq[Int]): Expression =
+      InSubquery(
+        Seq(CreateNamedStruct(
+          keep.toSeq.flatMap(i => Seq(Literal(s"f$i"), values(i))))),
+        ListQuery(subqueryPlan(p, keep)))
+    val allNN = values.map(IsNotNull(_): Expression).reduceLeft(And(_, _))
+    val noNulls = Seq.fill(k)(false)
+    val existsEq: Expression =
+      if (pats.contains(noNulls)) And(allNN, inTerm(noNulls, 0 until k))
+      else Literal.FalseLiteral
+    val qSubsets = (0 until (1 << k)).map(m =>
+      (0 until k).filter(i => (m & (1 << i)) != 0))
+    val possTerms: Seq[Expression] = for {
+      p <- pats
+      qs <- qSubsets
+      if !(p == noNulls && qs.isEmpty) // that term IS existsEq
+    } yield {
+      val qcheck = (0 until k).map(i =>
+        if (qs.contains(i)) IsNull(values(i)): Expression
+        else IsNotNull(values(i)): Expression).reduceLeft(And(_, _))
+      val keep = (0 until k).filter(i => !p(i) && !qs.contains(i))
+      if (keep.isEmpty) qcheck // any row of this P-slice possibly matches
+      else And(qcheck, inTerm(p, keep))
+    }
+    val poss = possTerms.reduceOption(Or(_, _)).getOrElse(Literal.FalseLiteral)
+    Some(CaseWhen(
+      Seq(existsEq -> Literal.TrueLiteral,
+        poss -> Literal(null, org.apache.spark.sql.types.BooleanType)),
+      Some(Literal.FalseLiteral)))
+  }
 }
 
 /** Conditioned / multi-action / partial-row `MERGE INTO` →
@@ -1243,7 +1326,8 @@ private object GraftStager {
 case class GraftMergeWhenCommand(path: String, source: LogicalPlan,
                                  keys: Seq[String],
                                  matched: Seq[Snapshots.MatchedClause],
-                                 notMatched: Seq[Snapshots.NotMatchedInsert])
+                                 notMatched: Seq[Snapshots.NotMatchedInsert],
+                                 bySource: Seq[Snapshots.MatchedClause] = Nil)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
@@ -1252,7 +1336,7 @@ case class GraftMergeWhenCommand(path: String, source: LogicalPlan,
     val src = DmlShim.ofRows(spark, source)
     GraftDmlRetry.retry {
       Snapshots.mergeIntoWhen(spark, path, src, keys, matched, notMatched,
-        pruneOn = Some(keys.head))
+        pruneOn = Some(keys.head), bySource = bySource)
     }
     Seq.empty
   }
