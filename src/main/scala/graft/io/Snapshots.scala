@@ -339,7 +339,10 @@ object Snapshots {
                    recordSchema: Boolean = false,
                    statsCols: Seq[String] = Nil,
                    notes: Seq[String] = Nil,
-                   recordRowCounts: Boolean = false): Long = {
+                   recordRowCounts: Boolean = false,
+                   propsOf: Seq[String] => Seq[(String, Option[String])] =
+                     _ => Nil,
+                   baseVersion: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val dir = s"$table/data/${java.util.UUID.randomUUID().toString}"
     df.write.parquet(dir)
@@ -351,8 +354,11 @@ object Snapshots {
     // violation aborts with the files unreferenced (vacuum food)
     if (parts.nonEmpty)
       Constraints.validate(spark, table, spark.read.parquet(parts: _*), "appended")
-    commit(spark, table, adds = parts,
+    commit(spark, table, adds = parts, baseVersion = baseVersion,
       schemaJson = if (recordSchema) Some(df.schema.json) else None,
+      // propsOf sees the freshly written parts — the identity-watermark
+      // hook (a caller deriving property updates from the written data)
+      props = propsOf(parts),
       stats = computeStats(spark, dir, parts, statsCols) ++
         (if (recordRowCounts) rowCountStats(spark, dir, parts) else Nil),
       notes = notes)
@@ -1432,7 +1438,8 @@ object Snapshots {
                     note: Option[String] = None,
                     prune: Option[(String, String, String)] = None,
                     bySource: Seq[MatchedClause] = Nil): DeleteResult = {
-    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, when}
+    import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, max, min, monotonically_increasing_id, raise_error, when}
+    import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn}
     require(keys.nonEmpty, "mergeIntoWhen needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
@@ -1457,6 +1464,96 @@ object Snapshots {
       if (live.nonEmpty) spark.read.parquet(live: _*).schema else source.schema
     }
     val cols = schemaOf.fieldNames.toSeq
+    // ENGINE-GOVERNED columns (IDENTITY / GENERATED) participate in
+    // MERGE the way they do in INSERT: insert-arm rows mint identities
+    // against the transactional high watermark (advanced in the SAME
+    // commit — racing writers hit the optimistic gate and re-derive) and
+    // compute/validate generated values; update arms may not assign
+    // them, nor a column a generation expression reads (the value would
+    // go stale relative to its expression)
+    val idSpecs = schemaOf.fields.toSeq
+      .filter(IdentityColumn.isIdentityColumn)
+      .map(f => f -> IdentityColumn.getIdentityInfo(f).get)
+    val genExprs = schemaOf.fields.toSeq.flatMap(f =>
+      GeneratedColumn.getGenerationExpression(f).map(f.name -> _))
+    val governedNames = idSpecs.map(_._1.name).toSet ++ genExprs.map(_._1)
+    (matched ++ bySource).foreach {
+      case MatchedUpdate(_, set) =>
+        set.keys.find(governedNames).foreach(c =>
+          throw new UnsupportedOperationException(
+            s"MERGE may not assign engine-governed column '$c' (IDENTITY " +
+              "values mint at insert; GENERATED values derive — update " +
+              "their source columns and the engine recomputes)"))
+      case _ =>
+    }
+    val genNames = genExprs.map(_._1).toSet
+    // GENERATED columns RECOMPUTE from the row's NEW values in every
+    // rewrite (the Delta semantic): an update to a source column can
+    // never stale the derived one. Recomputation over passthrough rows
+    // is the identity — every write path already validated their stored
+    // values against the expression.
+    def recomputed(ge: String,
+                   newVal: Map[String, org.apache.spark.sql.Column])
+        : org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.graft.DmlShim
+      DmlShim.column(DmlShim.parseExpression(spark, ge).transformUp {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if u.nameParts.size == 1 && newVal.contains(u.nameParts.head) =>
+          DmlShim.expression(newVal(u.nameParts.head))
+      })
+    }
+    val propsV =
+      if (idSpecs.isEmpty) Map.empty[String, String]
+      else tableProperties(spark, table, Some(v))
+    def identityProp(c: String) = s"graft.identity.$c.next"
+    // insert-arm governed fill: identical algebra to the INSERT path
+    // (GraftWriteBuilder.insertWithIdentity) — ALWAYS refuses explicit
+    // values per row in-plan, BY DEFAULT coalesces, generated columns
+    // compute after identity (they may reference the minted ids)
+    def governFill(ins: DataFrame): DataFrame = {
+      val filled0 = idSpecs.foldLeft(ins) { case (d, (f, is)) =>
+        val next = propsV.get(identityProp(f.name)).map(_.toLong)
+          .getOrElse(is.getStart)
+        val minted = (lit(next) + lit(is.getStep) * monotonically_increasing_id())
+          .cast(f.dataType)
+        val e =
+          if (is.isAllowExplicitInsert) coalesce(col(f.name), minted)
+          else when(col(f.name).isNotNull, raise_error(lit(
+            s"GENERATED ALWAYS AS IDENTITY column '${f.name}' cannot be " +
+              "assigned an explicit value")).cast(f.dataType)).otherwise(minted)
+        d.withColumn(f.name, e)
+      }
+      genExprs.foldLeft(filled0) { case (d, (name, ge)) =>
+        val e = expr(ge).cast(schemaOf(name).dataType)
+        d.withColumn(name,
+          when(col(name).isNotNull && !(col(name) <=> e),
+            raise_error(lit(s"GENERATED column '$name' value does not " +
+              s"match its expression ($ge)")).cast(schemaOf(name).dataType))
+            .otherwise(coalesce(col(name), e)))
+      }
+    }
+    // monotonic watermark advance from the WRITTEN files, folded into the
+    // same commit (one column-pruned agg; rewritten rows carry ids at or
+    // below the watermark, so max/min over everything is safe)
+    def identityProps(parts: Seq[String]): Seq[(String, Option[String])] =
+      if (idSpecs.isEmpty || parts.isEmpty) Nil
+      else {
+        val rb = spark.read.parquet(parts: _*)
+        val aggs = idSpecs.map { case (f, is) =>
+          (if (is.getStep >= 0) max(col(f.name)) else min(col(f.name)))
+            .as(f.name) }
+        val row = rb.agg(aggs.head, aggs.tail: _*).first()
+        idSpecs.zipWithIndex.collect {
+          case ((f, is), i) if !row.isNullAt(i) =>
+            val cur = propsV.get(identityProp(f.name)).map(_.toLong)
+              .getOrElse(is.getStart)
+            val written = row.getAs[Number](i).longValue + is.getStep
+            val mono =
+              if (is.getStep >= 0) math.max(cur, written)
+              else math.min(cur, written)
+            identityProp(f.name) -> Some(mono.toString)
+        }
+      }
     // standard SQL MERGE cardinality rule: a key-duplicated source would
     // claim one target row twice
     val dups = source.groupBy(keys.map(col): _*)
@@ -1504,10 +1601,14 @@ object Snapshots {
 
     if (live.isEmpty && dvLive.isEmpty) {
       // empty table: every source row is NOT matched
-      val ins = insertsOf(source)
+      val ins = governFill(insertsOf(source))
       if (ins.isEmpty) return DeleteResult(v, Nil, 0)
       val version = commitAppend(ins, table,
-        recordSchema = sc.isEmpty, notes = note.toSeq)
+        recordSchema = sc.isEmpty, notes = note.toSeq,
+        propsOf = identityProps,
+        // identity watermarks must advance against the version the fill
+        // read, or a racing insert could double-mint
+        baseVersion = if (idSpecs.nonEmpty) Some(v) else None)
       return DeleteResult(version, Nil, 0)
     }
     val candidates0 = pruneOn match {
@@ -1572,12 +1673,18 @@ object Snapshots {
         val deleted = (matched.zip(apps) ++ bySource.zip(appsBs))
           .collect { case (_: MatchedDelete, a) => a }
           .foldLeft(lit(false))(_ || _)
+        val newVal: Map[String, org.apache.spark.sql.Column] =
+          cols.filterNot(genNames).map { c =>
+            val base = col(s"t.$c")
+            val updates = (matched.zip(apps) ++ bySource.zip(appsBs))
+              .collect { case (u: MatchedUpdate, a) => (a, u.set.getOrElse(c, base)) }
+            c -> updates.foldRight(base) { case ((a, ue), rest) =>
+              when(a, ue).otherwise(rest) }
+          }.toMap
+        val genOf = genExprs.toMap
         val outCols = cols.map { c =>
-          val base = col(s"t.$c")
-          val updates = (matched.zip(apps) ++ bySource.zip(appsBs))
-            .collect { case (u: MatchedUpdate, a) => (a, u.set.getOrElse(c, base)) }
-          val e = updates.foldRight(base) { case ((a, ue), rest) => when(a, ue).otherwise(rest) }
-          typed(c, e)
+          if (genNames(c)) typed(c, recomputed(genOf(c), newVal))
+          else typed(c, newVal(c))
         }
         Some(j.filter(!deleted).select(outCols: _*))
       }
@@ -1592,7 +1699,7 @@ object Snapshots {
         applyDv(spark, table, Some(v), read(candidates0))
           .select(keys.map(col): _*).distinct(),
         keys, "left_anti")
-    val inserts = insertsOf(unmatchedSrc)
+    val inserts = governFill(insertsOf(unmatchedSrc))
     val out = matchedOut.map(_.unionByName(inserts)).getOrElse(inserts)
     if (touchedAll.isEmpty && inserts.isEmpty)
       return DeleteResult(v, Nil, live.size) // nothing claimed: no commit
@@ -1631,7 +1738,7 @@ object Snapshots {
       }
     val version = commit(spark, table, adds = parts,
       removes = touchedAll ++ (if (dvParts.nonEmpty || (dvLive.nonEmpty && touched.nonEmpty)) dvLive else Nil),
-      baseVersion = Some(v),
+      baseVersion = Some(v), props = identityProps(parts),
       stats = computeStats(spark, dir, parts, statCols) ++
         (if (keepRowCounts) rowCountStats(spark, dir, parts) else Nil),
       notes = note.toSeq, dvAdds = dvParts)

@@ -3232,7 +3232,7 @@ object ExtQueries {
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
     x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, x164Spec, x165Spec, x166Spec, x167Spec, st31Spec,
     x168Spec, x169Spec, x170Spec, x171Spec, x172Spec, st32Spec, x173Spec,
-    x174Spec)
+    x174Spec, x175Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -9634,4 +9634,105 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS one_commit_ok,
            |       CAST(1 AS BIGINT) AS noop_ok
            |FROM b GROUP BY source ORDER BY source""".stripMargin))
+
+  /** x175: MERGE INTO GOVERNED TABLES (IDENTITY + GENERATED through the
+    * clause algebra — [[graft.io.Snapshots.mergeIntoWhen]] governed
+    * fill): the CDC upsert a production corpus table actually takes.
+    * Insert arms MINT identity values against the transactional high
+    * watermark (advanced in the SAME commit — `mint_above_ok` pins every
+    * new seq strictly above the pre-merge max, `seq_unique_ok` pins
+    * global uniqueness) and COMPUTE generated columns; update arms keep
+    * the row's identity (`kept_seq_ok`) and RECOMPUTE generated columns
+    * from the row's new values (the Delta semantic — `gen_ok` pins
+    * n2 = n_chars * 2 over every row after the merge, including the
+    * updated ones); assigning a governed column in an update arm, or an
+    * explicit value to an ALWAYS identity in an insert arm, refuses with
+    * nothing committed (`blocked_ok`). The oracle replays the upsert
+    * algebra relationally. */
+  private def x175Spec: QuerySpec =
+    QuerySpec("x175_sql_merge_governed",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_gov_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+          .createOrReplaceTempView("x175_docs")
+        s.sql(s"""CREATE TABLE $cat.corpus (
+                 |  seq BIGINT GENERATED ALWAYS AS IDENTITY,
+                 |  doc_id BIGINT, n_chars BIGINT,
+                 |  n2 BIGINT GENERATED ALWAYS AS (n_chars * 2))""".stripMargin)
+        s.sql(s"""INSERT INTO $cat.corpus (doc_id, n_chars)
+                 |SELECT * FROM x175_docs WHERE doc_id % 3 = 0""".stripMargin)
+        val pre = s.sql(s"SELECT doc_id, seq FROM $cat.corpus")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val preMax = pre.values.max
+        s.sql(s"""MERGE INTO $cat.corpus t
+                 |USING (SELECT * FROM x175_docs WHERE doc_id % 3 <= 1) u
+                 |ON t.doc_id = u.doc_id
+                 |WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars + 1000
+                 |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars)
+                 |  VALUES (u.doc_id, u.n_chars)""".stripMargin)
+        val post = s.sql(s"SELECT doc_id, seq FROM $cat.corpus")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val seqUniqueOk =
+          if (post.values.toSeq.distinct.size == post.size) 1L else 0L
+        val keptOk = if (pre.forall { case (k, sq) => post(k) == sq }) 1L else 0L
+        val mintAboveOk =
+          if (post.filterNot(kv => pre.contains(kv._1)).values
+            .forall(_ > preMax)) 1L else 0L
+        val genOk = if (s.sql(
+          s"SELECT count(*) FROM $cat.corpus WHERE n2 <> n_chars * 2")
+          .first().getLong(0) == 0L) 1L else 0L
+        val tbl = s"$tmp/corpus"
+        val v0 = Snapshots.currentVersion(s, tbl)
+        val b1 =
+          try { s.sql(s"""MERGE INTO $cat.corpus t USING x175_docs u
+                         |ON t.doc_id = u.doc_id
+                         |WHEN MATCHED THEN UPDATE SET seq = 0""".stripMargin); 0L }
+          catch { case e: Exception
+            if e.getMessage != null && e.getMessage.contains("governed") => 1L }
+        val b2 =
+          try { s.sql(s"""MERGE INTO $cat.corpus t
+                         |USING (SELECT CAST(-1 AS BIGINT) AS doc_id,
+                         |              CAST(1 AS BIGINT) AS n_chars) u
+                         |ON t.doc_id = u.doc_id
+                         |WHEN NOT MATCHED THEN INSERT (seq, doc_id, n_chars)
+                         |  VALUES (0, u.doc_id, u.n_chars)""".stripMargin); 0L }
+          catch { case e: Exception
+            if e.getMessage != null &&
+              e.getMessage.contains("GENERATED ALWAYS") => 1L }
+        val blockedOk =
+          if (b1 == 1L && b2 == 1L && Snapshots.currentVersion(s, tbl) == v0) 1L
+          else 0L
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 |CAST(sum(n2) AS BIGINT) AS sum_n2
+                 |FROM $cat.corpus""".stripMargin)
+          .withColumn("seq_unique_ok", lit(seqUniqueOk))
+          .withColumn("kept_seq_ok", lit(keptOk))
+          .withColumn("mint_above_ok", lit(mintAboveOk))
+          .withColumn("gen_ok", lit(genOk))
+          .withColumn("blocked_ok", lit(blockedOk))
+      },
+      Some("""WITH seed AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+           |              FROM documents WHERE doc_id % 3 = 0),
+           |u AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+           |      FROM documents WHERE doc_id % 3 <= 1),
+           |m AS (
+           |  SELECT s.doc_id, COALESCE(u.n_chars + 1000, s.n_chars) AS n_chars
+           |  FROM seed s LEFT JOIN u ON s.doc_id = u.doc_id
+           |  UNION ALL
+           |  SELECT doc_id, n_chars FROM u WHERE doc_id % 3 = 1)
+           |SELECT count(*) AS n_rows,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(sum(n_chars * 2) AS BIGINT) AS sum_n2,
+           |       CAST(1 AS BIGINT) AS seq_unique_ok,
+           |       CAST(1 AS BIGINT) AS kept_seq_ok,
+           |       CAST(1 AS BIGINT) AS mint_above_ok,
+           |       CAST(1 AS BIGINT) AS gen_ok,
+           |       CAST(1 AS BIGINT) AS blocked_ok
+           |FROM m""".stripMargin))
 }

@@ -185,16 +185,6 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       IdentityColumn.isIdentityColumn(f) || GeneratedColumn.isGeneratedColumn(f))
   }
 
-  private def guardMergeGoverned(t: GraftTable): Unit = {
-    val g = governedFields(t)
-    if (g.nonEmpty) throw new UnsupportedOperationException(
-      s"MERGE INTO a table with IDENTITY/GENERATED columns " +
-        s"(${g.map(_.name).mkString(", ")}) is not supported — the keyed " +
-        "merge cannot mint identities or recompute generated values; " +
-        "INSERT (which mints/computes) plus DELETE, or drop the governed " +
-        "columns, instead")
-  }
-
   private def guardUpdateGoverned(t: GraftTable,
                                   assigned: Seq[String]): Unit = {
     import org.apache.spark.sql.catalyst.util.GeneratedColumn
@@ -214,7 +204,8 @@ object GraftDmlRule extends Rule[LogicalPlan] {
             "($|[^A-Za-z0-9_`])").matcher(exprSql).find()).foreach { c =>
           throw new UnsupportedOperationException(
             s"UPDATE of '$c' would stale GENERATED column '$gen' " +
-              s"($exprSql); update through DELETE + INSERT instead")
+              s"($exprSql); use MERGE (its update arm recomputes " +
+              "generated columns) or DELETE + INSERT")
         }
     }
   }
@@ -780,7 +771,15 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         if graftTarget(target).isDefined && target.resolved &&
           source.resolved && cond.resolved =>
       val t = graftTarget(target).get
-      guardMergeGoverned(t)
+      // IDENTITY/GENERATED targets take MERGE through the general clause
+      // path, where the library mints/computes on the insert arm exactly
+      // like INSERT (watermark advanced in the same commit), recomputes
+      // generated values on update arms, and refuses update-arm
+      // assignments to governed columns. Star shapes the analyzer could
+      // expand arrive as explicit assignments and flow through the same
+      // guards (an expanded `seq = s.seq` on ALWAYS identity refuses per
+      // row; BY DEFAULT accepts it like INSERT).
+      val governed = governedFields(t)
       // An unconditioned BY SOURCE DELETE alongside the star shapes is
       // the FULL-SYNC triple (UPDATE SET * + INSERT * + BY SOURCE
       // DELETE): matched rows come from the source, unmatched targets
@@ -814,10 +813,11 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         // the complete full-sync triple maps to ONE overwrite swap (the
         // result IS the source); lesser BY SOURCE combinations fall to
         // the general clause algebra below
-        case (Some(true), Some(true)) if fullSync =>
+        case (Some(true), Some(true)) if fullSync && governed.isEmpty =>
           GraftMergeCommand(t.path, source, keys, "full_sync",
             evolveSchema = m.withSchemaEvolution)
-        case (Some(du), Some(di)) if (du || di) && bySource.isEmpty =>
+        case (Some(du), Some(di)) if (du || di) && bySource.isEmpty &&
+            governed.isEmpty =>
           val mode =
             if (du && di) "both"
             else if (du) "matched_only"

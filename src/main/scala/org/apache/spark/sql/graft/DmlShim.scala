@@ -29,4 +29,13 @@ object DmlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Parse an expression string to its catalyst tree EAGERLY —
+    * `functions.expr` wraps the text in a lazy `SqlExpression` node, so a
+    * caller that must TRANSFORM the tree (e.g. substituting a GENERATED
+    * column's source references with their post-update values) parses
+    * through the session parser instead. */
+  def parseExpression(spark: SparkSession, sql: String): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parseExpression(sql)
 }

@@ -419,11 +419,13 @@ class GraftDmlSpec extends SparkSpec {
       b BIGINT GENERATED ALWAYS AS (a * 2))""")
     spark.sql("INSERT INTO gov.t (a) VALUES (1)")
     Seq((1L, 5L, 10L)).toDF("id", "a", "b").createOrReplaceTempView("gov_src")
+    // star UPDATE expands to explicit assignments of the governed
+    // columns — the clause-level guard refuses them by name
     val mg = intercept[Exception] {
       spark.sql("""MERGE INTO gov.t t USING gov_src s ON t.id = s.id
                    WHEN MATCHED THEN UPDATE SET *
                    WHEN NOT MATCHED THEN INSERT *""") }
-    assert(mg.getMessage.contains("IDENTITY/GENERATED"), mg.getMessage)
+    assert(mg.getMessage.contains("engine-governed"), mg.getMessage)
     val ua = intercept[Exception] {
       spark.sql("UPDATE gov.t SET id = 99 WHERE a = 1") }
     assert(ua.getMessage.contains("engine-governed"), ua.getMessage)
