@@ -761,6 +761,54 @@ object Snapshots {
     * rewritten files are re-stamped so later mutations keep pruning.
     * The MERGE-style "UPDATE WHERE" half of the mutation surface;
     * key-join upserts live in [[graft.ops.Upsert]]. */
+  /** GENERATED-column generation expressions recorded in the schema
+    * stamp: column → expression SQL. */
+  private def generationExprs(schema: Option[StructType]): Map[String, String] =
+    schema.map(_.fields.toSeq.flatMap(f =>
+      org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(f).map(f.name -> _)).toMap)
+      .getOrElse(Map.empty)
+
+  /** Re-derive a GENERATED column from the row's NEW values: the
+    * generation expression parses eagerly and its source-column
+    * references substitute with the post-update value expressions. */
+  private def recomputeGenerated(spark: SparkSession, ge: String,
+      newVal: Map[String, org.apache.spark.sql.Column])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.DmlShim
+    DmlShim.column(DmlShim.parseExpression(spark, ge).transformUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if u.nameParts.size == 1 && newVal.contains(u.nameParts.head) =>
+        DmlShim.expression(newVal(u.nameParts.head))
+    })
+  }
+
+  /** The simultaneous UPDATE projection every rewrite shares, with
+    * GENERATED RECOMPUTE (the Delta semantic — updating a source column
+    * can never stale the derived one): non-generated columns take their
+    * (optionally gated) assignment, generated columns re-derive from
+    * the NEW values. Recomputation over unchanged rows is the identity:
+    * every write path validates stored values against the expression. */
+  private def updateProjection(spark: SparkSession,
+      schema: Option[StructType], cols: Seq[String],
+      am: Map[String, org.apache.spark.sql.Column],
+      gated: (String, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.col
+    val gen = generationExprs(schema)
+    val newVal = cols.filterNot(gen.contains)
+      .map(c => c -> am.get(c).map(e => gated(c, e)).getOrElse(col(c))).toMap
+    cols.map { c =>
+      gen.get(c) match {
+        case Some(ge) =>
+          val e = recomputeGenerated(spark, ge, newVal)
+          schema.map(s => e.cast(s(c).dataType)).getOrElse(e).as(c)
+        case None => newVal(c).as(c)
+      }
+    }
+  }
+
   def updateWhere(spark: SparkSession, table: String,
                   cond: org.apache.spark.sql.Column,
                   assignments: Seq[(String, org.apache.spark.sql.Column)],
@@ -779,10 +827,10 @@ object Snapshots {
     // gates the later assignments correctly (a fold would feed each
     // assignment the previous one's output)
     val am = assignments.toMap
+    val sc = tableSchema(spark, table)
     rewriteWhere(spark, table, cond, "update",
-      df => df.select(df.columns.toSeq.map(c =>
-        am.get(c).map(e => when(cond, e).otherwise(col(c)).as(c))
-          .getOrElse(col(c))): _*), prune)
+      df => df.select(updateProjection(spark, sc, df.columns.toSeq, am,
+        (c, e) => when(cond, e).otherwise(col(c))): _*), prune)
   }
 
   /** COPY-ON-WRITE ANTI-JOIN MUTATION — the `NOT IN (SELECT …)` /
@@ -866,13 +914,13 @@ object Snapshots {
       spark.read.parquet(live: _*).columns.toSeq)
     val j = joined(applyDv(spark, table, Some(v), read(touched)))
     // one simultaneous projection (the [[updateWhere]] rule): every
-    // assignment and the predicate read the OLD row
+    // assignment and the predicate read the OLD row; generated columns
+    // recompute from the NEW values
     val am = assignments.toMap
     val out =
       if (assignments.isEmpty) j.filter(!predOf).select(cols.map(col): _*)
-      else j.select(cols.map(c =>
-        am.get(c).map(e => when(predOf, e).otherwise(col(c)).as(c))
-          .getOrElse(col(c))): _*)
+      else j.select(updateProjection(spark, sc, cols, am,
+        (c, e) => when(predOf, e).otherwise(col(c))): _*)
     commitCowRewrite(spark, table, v, out, touched,
       if (assignments.isEmpty) "delete" else "update", live.size)
   }
@@ -1030,13 +1078,13 @@ object Snapshots {
       spark.read.parquet(live: _*).columns.toSeq)
     val j = withValues(joined(applyDv(spark, table, Some(v), read(touched))))
     // one simultaneous projection (the [[updateWhere]] rule): every
-    // assignment and the predicate read the OLD row
+    // assignment and the predicate read the OLD row; generated columns
+    // recompute from the NEW values
     val am = assignments.toMap
     val out =
       if (assignments.isEmpty) j.filter(!predOf).select(cols.map(col): _*)
-      else j.select(cols.map(c =>
-        am.get(c).map(e => when(predOf, e).otherwise(col(c)).as(c))
-          .getOrElse(col(c))): _*)
+      else j.select(updateProjection(spark, sc, cols, am,
+        (c, e) => when(predOf, e).otherwise(col(c))): _*)
     commitCowRewrite(spark, table, v, out, touched,
       if (assignments.isEmpty) "delete" else "update", live.size)
   }
@@ -1095,9 +1143,10 @@ object Snapshots {
         val am = assignments.toMap
         // SQL UPDATE evaluates every SET expression against the OLD row;
         // matched and passthrough rows rewrite as separate branches so
-        // the predicate never has to evaluate inside a projection
-        matched.select(cols.map(c =>
-          am.get(c).map(_.as(c)).getOrElse(col(c))): _*).unionByName(keep)
+        // the predicate never has to evaluate inside a projection;
+        // generated columns recompute from the matched rows' NEW values
+        matched.select(updateProjection(spark, sc, cols, am,
+          (_, e) => e): _*).unionByName(keep)
       }
     commitCowRewrite(spark, table, v, out, touched,
       if (assignments.isEmpty) "delete" else "update", live.size)
@@ -1487,21 +1536,6 @@ object Snapshots {
       case _ =>
     }
     val genNames = genExprs.map(_._1).toSet
-    // GENERATED columns RECOMPUTE from the row's NEW values in every
-    // rewrite (the Delta semantic): an update to a source column can
-    // never stale the derived one. Recomputation over passthrough rows
-    // is the identity — every write path already validated their stored
-    // values against the expression.
-    def recomputed(ge: String,
-                   newVal: Map[String, org.apache.spark.sql.Column])
-        : org.apache.spark.sql.Column = {
-      import org.apache.spark.sql.graft.DmlShim
-      DmlShim.column(DmlShim.parseExpression(spark, ge).transformUp {
-        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-            if u.nameParts.size == 1 && newVal.contains(u.nameParts.head) =>
-          DmlShim.expression(newVal(u.nameParts.head))
-      })
-    }
     val propsV =
       if (idSpecs.isEmpty) Map.empty[String, String]
       else tableProperties(spark, table, Some(v))
@@ -1683,7 +1717,7 @@ object Snapshots {
           }.toMap
         val genOf = genExprs.toMap
         val outCols = cols.map { c =>
-          if (genNames(c)) typed(c, recomputed(genOf(c), newVal))
+          if (genNames(c)) typed(c, recomputeGenerated(spark, genOf(c), newVal))
           else typed(c, newVal(c))
         }
         Some(j.filter(!deleted).select(outCols: _*))

@@ -194,20 +194,9 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         s"UPDATE may not assign engine-governed column '$c' (IDENTITY " +
           "values mint at INSERT; GENERATED values are derived)")
     }
-    // updating a column a generation expression READS would stale the
-    // generated value relative to its expression
-    t.schema.fields.flatMap(f =>
-      GeneratedColumn.getGenerationExpression(f).map(f.name -> _)).foreach {
-      case (gen, exprSql) =>
-        assigned.find(c => java.util.regex.Pattern.compile(
-          "(^|[^A-Za-z0-9_`])" + java.util.regex.Pattern.quote(c) +
-            "($|[^A-Za-z0-9_`])").matcher(exprSql).find()).foreach { c =>
-          throw new UnsupportedOperationException(
-            s"UPDATE of '$c' would stale GENERATED column '$gen' " +
-              s"($exprSql); use MERGE (its update arm recomputes " +
-              "generated columns) or DELETE + INSERT")
-        }
-    }
+    // updating a column a generation expression READS is fine: every
+    // UPDATE-shaped rewrite recomputes generated columns from the row's
+    // NEW values (Snapshots.updateProjection — the Delta semantic)
   }
 
   /** The keyed rewrite a DML subquery predicate decomposed into: the

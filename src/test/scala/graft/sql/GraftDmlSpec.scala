@@ -432,10 +432,23 @@ class GraftDmlSpec extends SparkSpec {
     val ub = intercept[Exception] {
       spark.sql("UPDATE gov.t SET b = 99 WHERE a = 1") }
     assert(ub.getMessage.contains("engine-governed"), ub.getMessage)
-    // updating a column a generation expression READS refuses too
-    val uc = intercept[Exception] {
-      spark.sql("UPDATE gov.t SET a = 7 WHERE a = 1") }
-    assert(uc.getMessage.contains("stale"), uc.getMessage)
+    // updating a column a generation expression READS recomputes the
+    // generated value from the NEW row (the Delta semantic), and the
+    // identity survives the rewrite
+    spark.sql("UPDATE gov.t SET a = 7 WHERE a = 1")
+    assert(spark.sql("SELECT id, a, b FROM gov.t")
+      .as[(Long, Long, Long)].collect().toSeq === Seq((1L, 7L, 14L)))
+    // the keyed (subquery) UPDATE path recomputes too
+    Seq(1L).toDF("k").createOrReplaceTempView("gov_keys")
+    spark.sql("UPDATE gov.t SET a = a + 1 WHERE id IN (SELECT k FROM gov_keys)")
+    assert(spark.sql("SELECT a, b FROM gov.t")
+      .as[(Long, Long)].collect().toSeq === Seq((8L, 16L)))
+    // and the staged (tuple NOT IN) path
+    Seq((0L, 0L)).toDF("x", "y").createOrReplaceTempView("gov_none")
+    spark.sql("""UPDATE gov.t SET a = a + 1
+                 WHERE (a, id) NOT IN (SELECT x, y FROM gov_none)""")
+    assert(spark.sql("SELECT a, b FROM gov.t")
+      .as[(Long, Long)].collect().toSeq === Seq((9L, 18L)))
   }
 
   test("IN-list DML derives a zone-map bound: point updates rewrite O(overlapping files)") {
