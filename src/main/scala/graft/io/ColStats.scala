@@ -26,10 +26,12 @@ object ColStats {
   val HistPrefix = "graft.colhist."
 
   /** Is this a type whose range (min/max) and equi-height histogram we
-    * record? Plain integral/fractional numerics only: the catalyst
-    * estimator's histograms are double ranges, and its range checks need
-    * typed min/max — double round-trips are exact for these types, not
-    * for decimals or temporal internals. */
+    * record? Plain integral/fractional numerics, plus DATE and TIMESTAMP
+    * through their internal numeric form (days / micros since epoch —
+    * what Catalyst's estimator prices them as): the estimator's
+    * histograms are double ranges, and its range checks need typed
+    * min/max — double round-trips are exact for all of these (micros
+    * since epoch ≈ 1.7e15 < 2^53), not for decimals or strings. */
   private def histogramable(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
       case org.apache.spark.sql.types.LongType |
@@ -37,9 +39,23 @@ object ColStats {
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.DoubleType |
-           org.apache.spark.sql.types.FloatType => true
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType => true
       case _ => false
     }
+
+  /** The column's ESTIMATOR-NUMERIC image: the value Catalyst's
+    * FilterEstimation actually prices — plain numerics cast, dates as
+    * days since epoch, timestamps as micros since epoch. */
+  private def numRep(c: org.apache.spark.sql.Column,
+                     dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = dt match {
+    case org.apache.spark.sql.types.DateType => unix_date(c).cast("double")
+    case org.apache.spark.sql.types.TimestampType =>
+      unix_micros(c).cast("double")
+    case _ => c.cast("double")
+  }
 
   /** One aggregation pass over the live table: per column NDV
     * (approx_count_distinct), null count, avg/max string-image length,
@@ -78,11 +94,11 @@ object ColStats {
         coalesce(max(length(col(c).cast("string"))), lit(0))
           .cast("long").as(s"__maxlen_$c"))
     } ++ rangeCols.flatMap { c =>
-      Seq(min(col(c).cast("double")).as(s"__min_$c"),
-        max(col(c).cast("double")).as(s"__max_$c"))
+      val n = numRep(col(c), df.schema(c).dataType)
+      Seq(min(n).as(s"__min_$c"), max(n).as(s"__max_$c"))
     } ++ histCols.flatMap { c =>
-      Seq(percentile_approx(col(c).cast("double"), lit(pcts.toArray),
-            lit(10000)).as(s"__pct_$c"),
+      Seq(percentile_approx(numRep(col(c), df.schema(c).dataType),
+            lit(pcts.toArray), lit(10000)).as(s"__pct_$c"),
         count(col(c)).as(s"__cnt_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).first()
@@ -130,7 +146,7 @@ object ColStats {
         if (info.isEmpty) Nil
         else {
           val binAggs = info.flatMap { case (c, bs, _) =>
-            val d = col(c).cast("double")
+            val d = numRep(col(c), df.schema(c).dataType)
             (0 until histogramBins).map { i =>
               val cond =
                 if (i == 0) d >= bs(0) && d <= bs(1)

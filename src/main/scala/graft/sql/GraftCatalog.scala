@@ -1581,6 +1581,13 @@ final class GraftScan(table: GraftTable, required: StructType,
             Some(java.lang.Double.valueOf(d))
           case org.apache.spark.sql.types.FloatType =>
             Some(java.lang.Float.valueOf(d.toFloat))
+          // temporals box to their CATALYST-INTERNAL numeric — what
+          // transformV2Stats forwards verbatim into ColumnStat min/max
+          // and FilterEstimation prices (days / micros since epoch)
+          case org.apache.spark.sql.types.DateType =>
+            Some(java.lang.Integer.valueOf(d.toInt))
+          case org.apache.spark.sql.types.TimestampType =>
+            Some(java.lang.Long.valueOf(d.toLong))
           case _ => None
         }
       graft.io.ColStats.of(spark, table.path, Some(v)).foreach {

@@ -122,6 +122,57 @@ class ColStatsSpec extends SparkSpec {
     }
   }
 
+  test("date/timestamp histograms: temporal skew prices at its real share") {
+    val t = s"$root/td"
+    // 95% of rows on one hot day; days 1..19 share the rest
+    val rows = (1L to 20000L).map { i =>
+      val day = if (i % 20 != 19) 0 else ((i % 380) / 20 + 1).toInt
+      val d = java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, 1).plusDays(day))
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2026, 1, 1, 0, 0).plusDays(day).plusSeconds(i % 60))
+      (i, d, ts)
+    }
+    Snapshots.commitAppend(rows.toDF("id", "d", "ts").repartition(2), t,
+      recordSchema = true, recordRowCounts = true)
+    spark.sql("CALL gcs.system.analyze('td', 'd,ts', 32)")
+    // ranges + histograms recorded through the temporal numeric image
+    val r = ColStats.rangeOf(spark, t)
+    assert(r.contains("d") && r.contains("ts"), r.keys.toString)
+    assert(r("d")._1 === java.time.LocalDate.of(2026, 1, 1).toEpochDay.toDouble)
+    val h = ColStats.histOf(spark, t)
+    assert(h.contains("d") && h.contains("ts"), h.keys.toString)
+    val cboPrev = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // the optimizer's attribute stats carry min/max + histogram for
+      // BOTH temporal columns
+      val attrs = spark.sql("SELECT d, ts FROM gcs.td")
+        .queryExecution.optimizedPlan.stats.attributeStats
+        .toSeq.map { case (a, cs) => a.name -> cs }.toMap
+      assert(attrs("d").min.isDefined && attrs("d").histogram.isDefined,
+        attrs("d").toString)
+      assert(attrs("ts").min.isDefined && attrs("ts").histogram.isDefined,
+        attrs("ts").toString)
+      // skew-honest: the rare day estimates far below the hot day
+      def est(day: String): BigInt = spark.sql(
+        s"SELECT id FROM gcs.td WHERE d = DATE'$day'").queryExecution
+        .optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.stats.rowCount.getOrElse(BigInt(-1))
+        }.head
+      val (hot, rare) = (est("2026-01-01"), est("2026-01-20"))
+      assert(hot > 0 && rare > 0, s"hot=$hot rare=$rare")
+      assert(rare * 3 <= hot, s"hot=$hot rare=$rare")
+      // true shares: hot 19000, rare ~52 — the estimate should be
+      // within an order of magnitude of each
+      assert(hot > BigInt(5000) && rare < BigInt(1000), s"hot=$hot rare=$rare")
+    } finally spark.conf.set("spark.sql.cbo.enabled", cboPrev)
+    // results never depend on stats
+    assert(spark.sql("SELECT count(*) FROM gcs.td WHERE d = DATE'2026-01-20'")
+      .as[Long].head() === (1L to 20000L).count(i =>
+        i % 20 == 19 && (i % 380) / 20 + 1 == 19))
+  }
+
   test("stats time-travel: AS OF below the analyze sees none") {
     val t = s"$root/t2"
     Snapshots.commitAppend(
