@@ -677,8 +677,21 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       } else sCondition.filter(_.exists(_.isInstanceOf[SubqueryExpression])) match {
         case Some(cond) =>
           // `UPDATE ... WHERE k [NOT] IN (SELECT ...) / [NOT] EXISTS (...)`
-          // → keyed-merge semi/anti rewrite
-          subqueryShape(cond, target.outputSet) match {
+          // → keyed-merge semi/anti rewrite. Assigning the
+          // decomposition's own key column is valid SQL (`SET a = a + 1
+          // WHERE a IN (SELECT …)` — membership reads the OLD row): the
+          // keyed-MERGE rewrite forbids key assignment, so that one
+          // shape re-routes through the mutateKeyed gate chain — the
+          // same distributed semi join, membership decided before the
+          // simultaneous projection, no key restriction (the anti and
+          // multi paths already run there).
+          val assignedNames = assignments.map(_.key).collect {
+            case a: AttributeReference => a.name }.toSet
+          (subqueryShape(cond, target.outputSet) match {
+            case Single(s: SemiShape) if s.keys.exists(assignedNames) =>
+              Multi(MultiShape(Seq((s.sub, s.keys)), Nil, s.plain, s.bound))
+            case other => other
+          }) match {
             case Single(SemiShape(sub, keys, plainE, bound)) =>
               val plainOpt = plainE.map(e => DmlShim.column(
                 unresolveMerge(e, target.outputSet, AttributeSet.empty)))

@@ -610,6 +610,30 @@ class GraftDmlSpec extends SparkSpec {
       ((1L to 40L).toSet -- Set(5L, 35L, 6L, 39L, 40L)).map(_ * 2).sum)
   }
 
+  test("UPDATE may assign the column its own IN-subquery keys on (gate-chain re-route)") {
+    val t = mk("ka1")
+    // `SET a = a + 1 WHERE a IN (SELECT …)` is valid SQL: membership
+    // reads the OLD row; the keyed-merge rewrite can't assign its key,
+    // so the statement re-routes through the mutateKeyed gate chain
+    Seq(24L, 44L).toDF("k").createOrReplaceTempView("ka1_keys")
+    spark.sql("UPDATE gd.ka1 SET m = m + 1, id = id + 100 WHERE id IN (SELECT k FROM ka1_keys)")
+    val got = spark.sql("SELECT id, m FROM gd.ka1 WHERE id > 100 OR id = 24")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((124L, 49L)), got.toString) // id 24: m 48->49, id +100
+    assert(spark.sql("SELECT count(*) FROM gd.ka1").as[Long].head() === 40L)
+    // anti (NOT IN) key assignment always worked (mutateAnti)
+    spark.sql("""UPDATE gd.ka1 SET id = id + 1000
+                 WHERE id NOT IN (SELECT id FROM gd.ka1 WHERE id <= 40)""")
+    assert(spark.sql("SELECT id FROM gd.ka1 WHERE id > 1000").as[Long]
+      .collect().toSeq === Seq(1124L))
+    // correlated EXISTS + key assignment re-routes the same way
+    Seq(33L).toDF("k").createOrReplaceTempView("ka1_keys2")
+    spark.sql("""UPDATE gd.ka1 t SET id = id + 2000
+                 WHERE EXISTS (SELECT 1 FROM ka1_keys2 s WHERE s.k = t.id)""")
+    assert(spark.sql("SELECT id FROM gd.ka1 WHERE id > 2000").as[Long]
+      .collect().toSeq === Seq(2033L))
+  }
+
   test("staged tuple NOT IN: exact three-valued nulls on BOTH sides, hash-join decomposed") {
     // the decomposition (GraftStager.decompose) must reproduce SQL's
     // tuple semantics exactly: a row deletes iff for EVERY subquery row
