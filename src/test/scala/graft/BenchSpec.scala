@@ -86,6 +86,47 @@ class BenchSpec extends AnyFunSuite {
     assert(!json.exists(c => c < ' '))
   }
 
+  test("isOutlier needs both the relative and the absolute gate") {
+    // 36× phantom of graded-r15 x110: clearly an outlier
+    assert(Bench.isOutlier(34.5, 0.96))
+    // big relative jump but tiny absolute delta: sub-100ms jitter, not load
+    assert(!Bench.isOutlier(0.25, 0.1))
+    // big absolute delta but <1.5× relative: normal variance on a slow query
+    assert(!Bench.isOutlier(13.0, 10.0))
+    // both gates crossed
+    assert(Bench.isOutlier(3.2, 2.0))
+    // boundary: exactly 1.5× is not an outlier
+    assert(!Bench.isOutlier(1.5, 1.0))
+  }
+
+  test("loadRefQueries reads a registry's numeric queries map, tolerates junk") {
+    val dir = java.nio.file.Files.createTempDirectory("benchref")
+    val good = dir.resolve("ref.json")
+    java.nio.file.Files.writeString(good,
+      """{"metric":"total","value":3.0,"queries":{"q1":1.5,"q2":null,"q3":0.25},"failed":1}""")
+    val m = Bench.loadRefQueries(good.toString)
+    assert(m == Map("q1" -> 1.5, "q3" -> 0.25), "null entries (failed queries) are skipped")
+    assert(Bench.loadRefQueries(dir.resolve("missing.json").toString).isEmpty)
+    val bad = dir.resolve("bad.json")
+    java.nio.file.Files.writeString(bad, "not json at all {")
+    assert(Bench.loadRefQueries(bad.toString).isEmpty)
+    val noQueries = dir.resolve("nq.json")
+    java.nio.file.Files.writeString(noQueries, """{"metric":"total","value":1.0}""")
+    assert(Bench.loadRefQueries(noQueries.toString).isEmpty)
+  }
+
+  test("renderJson records remeasured and outliers_remaining") {
+    val r = Bench.QueryResult("q", Seq(1.0), None)
+    val json = Bench.renderJson(Seq(r), 1, "/d", "local[1]", "1",
+      remeasured = Seq("x110", "st21"), outliersRemaining = Seq("x110"))
+    assert(json.contains(""""remeasured":["x110","st21"]"""))
+    assert(json.contains(""""outliers_remaining":["x110"]"""))
+    // default: empty arrays, record still valid
+    val plain = Bench.renderJson(Seq(r), 1, "/d", "local[1]", "1")
+    assert(plain.contains(""""remeasured":[]"""))
+    assert(plain.contains(""""outliers_remaining":[]"""))
+  }
+
   test("renderJson escapes newlines and quotes in error messages") {
     val r = Bench.QueryResult("q", Seq.empty, Some("line1\nline2\t\"quoted\""))
     val json = Bench.renderJson(Seq(r), 1, "/d", "local[1]", "1")
