@@ -950,7 +950,8 @@ object Snapshots {
     * sum, 0 for count). Contributes no predicate. */
   final case class EnrichGate(source: DataFrame, keys: Seq[String],
                               valueName: String,
-                              emptyValue: org.apache.spark.sql.Column)
+                              emptyValue: org.apache.spark.sql.Column,
+                              what: String = "correlated scalar subquery")
       extends KeyedGate
 
   /** GENERALIZED KEYED COPY-ON-WRITE MUTATION — several keyed gates
@@ -1016,15 +1017,15 @@ object Snapshots {
       val marker = s"__graft_g${i}_m"
       val vCol = s"__graft_g${i}_v"
       val ks = g match {
-        case _: EnrichGate =>
+        case eg: EnrichGate =>
           // key-unique contract: a duplicated key would multiply target
           // rows through the join (and SQL's scalar subquery would error)
           val renamed = g.source.toDF(kCols :+ vCol: _*).na.drop("any", kCols)
           val dups = renamed.groupBy(kCols.map(col): _*)
             .count().filter(col("count") > 1).limit(1).collect()
           if (dups.nonEmpty) throw new IllegalArgumentException(
-            "correlated scalar subquery returned more than one row for " +
-              s"correlation key ${dups.head.toSeq.init.mkString(",")}")
+            s"${eg.what} returned more than one row for correlation key " +
+              dups.head.toSeq.init.mkString(","))
           renamed.withColumn(marker, lit(1))
         case _ =>
           g.source.toDF(kCols: _*).na.drop("any").distinct()

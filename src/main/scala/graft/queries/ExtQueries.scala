@@ -3232,7 +3232,7 @@ object ExtQueries {
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
     x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, x164Spec, x165Spec, x166Spec, x167Spec, st31Spec,
     x168Spec, x169Spec, x170Spec, x171Spec, x172Spec, st32Spec, x173Spec,
-    x174Spec, x175Spec)
+    x174Spec, x175Spec, x176Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -9735,4 +9735,66 @@ object ExtQueries {
            |       CAST(1 AS BIGINT) AS gen_ok,
            |       CAST(1 AS BIGINT) AS blocked_ok
            |FROM m""".stripMargin))
+
+  /** x176: MULTI-TABLE DML — `UPDATE t SET … FROM s WHERE …` and
+    * `DELETE FROM t USING s WHERE …` (the Postgres/Delta join-DML
+    * surface; Spark's grammar has neither). [[graft.sql.GraftJoinDml]]
+    * desugars each into a matched-only merge and
+    * [[graft.sql.GraftDmlRule]] decomposes the mixed equality+residual
+    * condition onto ONE [[graft.io.Snapshots.mutateKeyed]] gate chain:
+    * the cross-name key equality is a compound-key semi join,
+    * source-only residuals pre-filter the source, target-only residuals
+    * gate per-row and zone-map-prune candidate files, and every source
+    * column the SET reads joins in as an enrich gate whose key-uniqueness
+    * check enforces the Delta multi-match rule (`err_ok` pins the
+    * ambiguous-source error; a multi-match feeding no SET is harmless).
+    * Oracle replays both statements relationally. */
+  private def x176Spec: QuerySpec =
+    QuerySpec("x176_sql_dml_join",
+      (s, d) => {
+        val (cat, tbl, maxId) = dmlFixture(s, d, "x176_docs")
+        val half = maxId / 2
+        // the side source: the documents' own (key, value, tag) triple
+        s.sql("SELECT doc_id AS k, n_chars AS v, source AS src FROM x176_docs")
+          .createOrReplaceTempView("x176_side")
+        // UPDATE … FROM: cross-name key + source residual + target band
+        s.sql(s"""UPDATE $cat.t SET n_chars = n_chars + s.v
+                 |FROM x176_side s
+                 |WHERE doc_id = s.k AND s.src = 'src1' AND doc_id <= $half"""
+          .stripMargin)
+        // DELETE … USING: source residual + target band
+        s.sql(s"""DELETE FROM $cat.t USING x176_side s
+                 |WHERE doc_id = s.k AND s.v % 7 = 0 AND doc_id > $half"""
+          .stripMargin)
+        // ambiguous source match (two source rows feed one SET) errors
+        s.sql("""SELECT * FROM x176_side UNION ALL SELECT * FROM x176_side""")
+          .createOrReplaceTempView("x176_dup")
+        val errOk =
+          try {
+            s.sql(s"UPDATE $cat.t SET n_chars = d.v FROM x176_dup d WHERE doc_id = d.k")
+            0L
+          } catch { case e: Exception
+              if e.getMessage != null &&
+                e.getMessage.contains("ambiguous source match") => 1L }
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t""".stripMargin)
+          .withColumn("err_ok", lit(errOk))
+      },
+      Some("""WITH half AS (SELECT max(doc_id) // 2 AS h FROM documents),
+           |u1 AS (
+           |  SELECT doc_id, n_chars +
+           |           CASE WHEN source = 'src1' AND doc_id <= h
+           |                THEN n_chars ELSE 0 END AS n_chars,
+           |         n_chars AS orig, h
+           |  FROM documents, half
+           |),
+           |kept AS (
+           |  SELECT * FROM u1
+           |  WHERE NOT (orig % 7 = 0 AND doc_id > h)
+           |)
+           |SELECT count(*) AS n_rows,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS err_ok
+           |FROM kept""".stripMargin))
 }

@@ -388,7 +388,8 @@ object GraftDmlRule extends Rule[LogicalPlan] {
   private[sql] case class DmlEnrichSource(plan: LogicalPlan,
       keys: Seq[String], valueName: String,
       emptyPlan: Option[LogicalPlan],
-      valueType: org.apache.spark.sql.types.DataType)
+      valueType: org.apache.spark.sql.types.DataType,
+      what: String = "correlated scalar subquery")
 
   /** Decorrelate a scalar subquery in UPDATE SET whose correlation is a
     * conjunction of `inner = outer` equalities in its top-level WHERE —
@@ -609,6 +610,117 @@ object GraftDmlRule extends Rule[LogicalPlan] {
           s"got $other — pre-shape the source in the USING subquery")
     }.distinct
 
+  /** JOIN-SHAPE DML — the matched-only merge whose ON is not the pure
+    * same-name equi conjunction [[mergeKeys]] demands: `target = source`
+    * equality pairs under ANY names plus one-sided residual conjuncts.
+    * This is what `UPDATE … FROM` / `DELETE … USING` desugar to
+    * ([[GraftJoinDml]]), and it widens hand-written matched-only MERGE
+    * the same way. Decomposes onto ONE [[Snapshots.mutateKeyed]] gate
+    * chain:
+    *
+    *  - the equality pairs form a compound-key [[Snapshots.SemiGate]]
+    *    (one distributed semi join decides membership — never per-row);
+    *  - source-only residuals filter the source BEFORE the gates, so
+    *    they narrow membership AND the ambiguity check;
+    *  - target-only residuals gate per-row and zone-map-prune candidate
+    *    files ([[pruneBound]]);
+    *  - a mixed target×source residual refuses loudly — a per-pair
+    *    predicate has no keyed mapping (use MERGE clause conditions);
+    *  - each source column a SET expression reads joins in as an
+    *    [[Snapshots.EnrichGate]], whose key-uniqueness check IS the
+    *    multi-match refusal (the Delta MERGE semantic: error when two
+    *    source rows would feed one target row's SET). A multi-match
+    *    that feeds nothing — DELETE, or a SET reading no source
+    *    column — is unambiguous and allowed (the Postgres behavior).
+    *
+    * None = not the matched-only single-unconditioned-action shape
+    * (the caller rethrows [[mergeKeys]]' refusal, which names the
+    * clause-algebra alternatives). */
+  private def joinShapeDml(m: MergeIntoTable, t: GraftTable,
+      target: LogicalPlan, source: LogicalPlan): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    if (m.notMatchedActions.nonEmpty || m.notMatchedBySourceActions.nonEmpty ||
+        m.withSchemaEvolution) return None
+    val action: Either[Seq[Assignment], Unit] = m.matchedActions match {
+      case Seq(a: UpdateAction) if a.condition.isEmpty => Left(a.assignments)
+      case Seq(a: DeleteAction) if a.condition.isEmpty => Right(())
+      case _                                           => return None
+    }
+    if (m.mergeCondition.exists(_.isInstanceOf[SubqueryExpression])) return None
+    val ts = target.outputSet; val ss = source.outputSet
+    def refuse(why: String) = throw new UnsupportedOperationException(
+      s"join-DML (UPDATE … FROM / DELETE … USING / matched-only MERGE) $why")
+    val pairs = scala.collection.mutable.ArrayBuffer
+      .empty[(String, AttributeReference)]
+    val srcRes = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    val tgtRes = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    conjuncts(inlineWithOnly(m.mergeCondition)).foreach {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if ts.contains(a) && ss.contains(b) => pairs += ((a.name, b))
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if ts.contains(a) && ss.contains(b) => pairs += ((a.name, b))
+      case e if e.references.subsetOf(ts) => tgtRes += e
+      case e if e.references.subsetOf(ss) => srcRes += e
+      case e => refuse(s"cannot map the mixed target×source conjunct " +
+        s"`${e.sql}`: only `target = source` equalities join the two " +
+        "sides; pre-shape the comparison into the source subquery or " +
+        "use MERGE with clause conditions")
+    }
+    if (pairs.isEmpty) refuse(
+      "needs at least one `target = source` column equality join key")
+    val tNames = pairs.map(_._1).toSeq
+    if (tNames.distinct.size != tNames.size) refuse(
+      "joins one target column against two source columns — " +
+        "deduplicate the equalities in the source subquery")
+    val filteredSrc = srcRes.reduceOption(And)
+      .map(Filter(_, source)).getOrElse(source)
+    val semiPlan = Project(pairs.map(_._2).toSeq, filteredSrc)
+    val plainE = tgtRes.reduceOption(And)
+    val plainCol = plainE.map(e => DmlShim.column(unresolve(e)))
+    val bound = plainE.flatMap(pruneBound)
+    action match {
+      case Right(_) =>
+        Some(GraftDmlMultiCommand(t.path, Seq((semiPlan, tNames)), Nil,
+          Nil, Nil, plainCol, bound))
+      case Left(assignments) =>
+        guardUpdateGoverned(t, assignments.map(_.key).collect {
+          case a: AttributeReference => a.name })
+        // each DISTINCT source column the SET reads becomes one enrich
+        // join under a reserved name; the assignment expressions rewrite
+        // onto those names and re-resolve against the enriched candidates
+        val srcRefs = scala.collection.mutable.LinkedHashMap
+          .empty[org.apache.spark.sql.catalyst.expressions.ExprId,
+                 (AttributeReference, String)]
+        assignments.foreach(_.value.foreach {
+          case a: AttributeReference if ss.contains(a) =>
+            if (!srcRefs.contains(a.exprId))
+              srcRefs(a.exprId) = (a, s"__graft_jsrc_${srcRefs.size}")
+          case _ =>
+        })
+        val keyAliases = pairs.toSeq.zipWithIndex.map {
+          case ((_, sa), j) => Alias(sa, s"__graft_ck$j")() }
+        val enrich = srcRefs.values.toSeq.map { case (attr, name) =>
+          DmlEnrichSource(
+            Project(keyAliases :+ Alias(attr, name)(), filteredSrc),
+            tNames, name, None, attr.dataType,
+            what = "UPDATE … FROM: ambiguous source match — the source")
+        }
+        val setList = assignments.map {
+          case Assignment(k: AttributeReference, v) =>
+            val subbed = v.transform {
+              case a: AttributeReference if ss.contains(a) =>
+                UnresolvedAttribute.quoted(srcRefs(a.exprId)._2)
+            }
+            k.name -> DmlShim.column(unresolve(subbed))
+          case Assignment(other, _) => throw new UnsupportedOperationException(
+            s"graft SQL UPDATE assigns top-level columns only, got $other")
+        }
+        Some(GraftDmlMultiCommand(t.path, Seq((semiPlan, tNames)), Nil,
+          enrich, setList, plainCol, bound))
+    }
+  }
+
   /** Is this assignment list the identity full-row copy `c = s.c`?
     * (What the analyzer expands `UPDATE SET *` / `INSERT *` into when it
     * aligns the command, and what a user writes by hand.) */
@@ -793,7 +905,15 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         case Seq(d: DeleteAction) if d.condition.isEmpty => true
         case _ => false
       }
-      val keys = mergeKeys(cond, target.outputSet, source.outputSet)
+      val keysOrErr =
+        try Right(mergeKeys(cond, target.outputSet, source.outputSet))
+        catch { case e: UnsupportedOperationException => Left(e) }
+      keysOrErr match {
+        // ON is not the same-name equi conjunction: matched-only merges
+        // (including the UPDATE … FROM / DELETE … USING desugarings)
+        // decompose onto the keyed gate chain instead
+        case Left(err) => joinShapeDml(m, t, target, source).getOrElse(throw err)
+        case Right(keys) =>
       // FAST PATH — the unconditioned full-row shapes ([[Snapshots
       // .mergeInto]]'s keyed upsert, no clause algebra, no outer join):
       // one star/identity UPDATE, one star/identity INSERT, or both
@@ -896,6 +1016,7 @@ object GraftDmlRule extends Rule[LogicalPlan] {
               s"unsupported WHEN NOT MATCHED BY SOURCE action $other")
           }
           GraftMergeWhenCommand(t.path, source, keys, mts, nms, bss)
+      }
       }
   }
 }
@@ -1183,7 +1304,7 @@ case class GraftDmlMultiCommand(path: String,
             if (r.isNullAt(0)) null else r.get(0), e.valueType))
         case None => lit(null).cast(e.valueType)
       }
-      Snapshots.EnrichGate(raw, e.keys, e.valueName, emptyVal)
+      Snapshots.EnrichGate(raw, e.keys, e.valueName, emptyVal, e.what)
     }
     GraftDmlRetry.retry {
       Snapshots.mutateKeyed(spark, path,

@@ -159,15 +159,22 @@ object GraftViewDdl {
 
 /** Parser interceptor: delegate everything, post-process `parsePlan` so
   * graft-catalog view DDL never reaches `ResolveSessionCatalog`'s
-  * unconditional v2-view refusal. */
+  * unconditional v2-view refusal. Statements Spark's grammar rejects get
+  * one fallback try as join-DML (`UPDATE … FROM` / `DELETE … USING`,
+  * [[GraftJoinDml]]) before the original parse error stands. */
 class GraftViewParser(delegate: ParserInterface) extends ParserInterface {
   private def post(plan: LogicalPlan): LogicalPlan =
     GraftViewDdl.intercept(SparkSession.active, plan).getOrElse(plan)
+  private def orJoinDml(sqlText: String)(parse: => LogicalPlan): LogicalPlan =
+    try parse catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        GraftJoinDml.tryParse(sqlText, delegate).getOrElse(throw e)
+    }
   override def parsePlan(sqlText: String): LogicalPlan =
-    post(delegate.parsePlan(sqlText))
+    orJoinDml(sqlText)(post(delegate.parsePlan(sqlText)))
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan =
-    post(delegate.parsePlanWithParameters(sqlText, ctx))
+    orJoinDml(sqlText)(post(delegate.parsePlanWithParameters(sqlText, ctx)))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -656,4 +656,88 @@ class GraftDmlSpec extends SparkSpec {
     // (the hash-join SHAPE and its cost law are pinned by ProbeStaged:
     // 790 s -> 5.9 s at sf10; here we pin the semantics)
   }
+
+  // ---- join-DML: UPDATE … FROM / DELETE … USING (GraftJoinDml +
+  // GraftDmlRule.joinShapeDml → one mutateKeyed gate chain) ----
+
+  test("UPDATE … FROM: cross-name key, source+target residuals, one commit, pruned files") {
+    val t = mk("jf1")
+    Seq((11L, 1000L, "U"), (12L, 2000L, "D"), (31L, 3000L, "U"))
+      .toDF("k", "v", "op").createOrReplaceTempView("jf1_src")
+    val before = Snapshots.liveFiles(spark, t).toSet
+    // only id=11 qualifies: 12 fails s.op='U', 31 fails the target band
+    spark.sql("""UPDATE gd.jf1 SET m = s.v + m
+                 FROM jf1_src s
+                 WHERE id = s.k AND s.op = 'U' AND id BETWEEN 11 AND 20""")
+    assert(Snapshots.currentVersion(spark, t) === 5L) // ONE commit
+    // the target band zone-map-prunes: three of four files untouched
+    assert((before intersect Snapshots.liveFiles(spark, t).toSet).size === 3)
+    val want = (1L to 40L).map(x => if (x == 11) 1000L + x * 2 else x * 2).sum
+    assert(spark.sql("SELECT sum(m) AS s FROM gd.jf1").as[Long].head() === want)
+  }
+
+  test("DELETE … USING: semi-join delete; multi-match is harmless for DELETE") {
+    val t = mk("jd1")
+    // duplicate source keys: deleting a row matched twice is unambiguous
+    Seq((5L, "a"), (5L, "b"), (17L, "a"), (99L, "a"))
+      .toDF("k", "tag").createOrReplaceTempView("jd1_src")
+    spark.sql("DELETE FROM gd.jd1 USING jd1_src s WHERE id = s.k")
+    assert(spark.sql("SELECT count(*) AS n FROM gd.jd1").as[Long].head() === 38L)
+    assert(spark.sql("SELECT count(*) AS n FROM gd.jd1 WHERE id IN (5, 17)")
+      .as[Long].head() === 0L)
+    assert(Snapshots.currentVersion(spark, t) === 5L)
+  }
+
+  test("UPDATE … FROM: ambiguous source match (two rows feed one SET) errors") {
+    mk("jf2")
+    Seq((5L, 10L), (5L, 20L)).toDF("k", "v").createOrReplaceTempView("jf2_src")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gd.jf2 SET m = s.v FROM jf2_src s WHERE id = s.k")
+    }
+    assert(e.getMessage.contains("ambiguous source match"))
+    // …but the same multi-match with a SET that reads no source column is
+    // unambiguous and applies once
+    spark.sql("UPDATE gd.jf2 SET m = -1 FROM jf2_src s WHERE id = s.k")
+    assert(spark.sql("SELECT m FROM gd.jf2 WHERE id = 5").as[Long].head() === -1L)
+  }
+
+  test("join-DML refusals: mixed residual, missing WHERE, no key equality") {
+    mk("jf3")
+    Seq((1L, 2L)).toDF("k", "v").createOrReplaceTempView("jf3_src")
+    val mixed = intercept[Exception] {
+      spark.sql("DELETE FROM gd.jf3 USING jf3_src s WHERE id = s.k AND m > s.v")
+    }
+    assert(mixed.getMessage.contains("mixed target×source conjunct"))
+    val noWhere = intercept[Exception] {
+      spark.sql("UPDATE gd.jf3 SET m = 0 FROM jf3_src s")
+    }
+    assert(noWhere.getMessage.contains("requires a WHERE"))
+    val noKey = intercept[Exception] {
+      spark.sql("DELETE FROM gd.jf3 USING jf3_src s WHERE m > 100 AND s.v < 5")
+    }
+    assert(noKey.getMessage.contains("column equality join key"))
+    // a garbage statement still surfaces the PARSER's error, not ours
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("UPDATE gd.jf3 GARBAGE HERE")
+    }
+  }
+
+  test("UPDATE … FROM: subquery source with alias; matched-only MERGE widens too") {
+    val t = mk("jf4")
+    Seq((21L, 7L, true), (22L, 8L, false))
+      .toDF("key", "delta", "keep").createOrReplaceTempView("jf4_src")
+    spark.sql("""UPDATE gd.jf4 SET m = m + s.d
+                 FROM (SELECT key AS kk, delta AS d FROM jf4_src WHERE keep) s
+                 WHERE id = s.kk""")
+    assert(spark.sql("SELECT m FROM gd.jf4 WHERE id = 21").as[Long].head() === 49L)
+    assert(spark.sql("SELECT m FROM gd.jf4 WHERE id = 22").as[Long].head() === 44L)
+    // hand-written matched-only MERGE with a cross-name ON + residual now
+    // routes through the same gate chain instead of refusing
+    spark.sql("""MERGE INTO gd.jf4 t USING jf4_src s ON t.id = s.key AND s.keep
+                 WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT count(*) AS n FROM gd.jf4 WHERE id = 21")
+      .as[Long].head() === 0L)
+    assert(spark.sql("SELECT count(*) AS n FROM gd.jf4").as[Long].head() === 39L)
+    assert(Snapshots.currentVersion(spark, t) === 6L)
+  }
 }
