@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 /** COST-LAW PROBE: equi-height histogram estimation quality and ANALYZE
   * cost vs table size. For a 95/5-skewed band column it prints, per
   * scale: the ANALYZE wall time with and without histograms (pinning the
-  * two-aggregation-pass law — histogram cost is O(rows), amortized into
-  * the same shape as plain ANALYZE, never a per-bin shuffle) and the
+  * ONE-aggregation-pass law — boundaries from percentile_approx and
+  * per-bin NDVs from a KMV distinct-value sample ride the same pass as
+  * plain ANALYZE; round-16 fix, previously a second range-conditioned
+  * HLL pass measured 3–9× plain) and the
   * optimizer's row estimate for a rare band under (a) no stats, (b)
   * NDV+min/max, (c) 64-bin histogram, against the true count. The
   * histogram estimate should track truth within small factors while the

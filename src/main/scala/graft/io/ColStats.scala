@@ -70,10 +70,12 @@ object ColStats {
     * under CBO, which is worse than no stats at all.
     *
     * With `histogramBins > 1`, numeric columns additionally record an
-    * EQUI-HEIGHT HISTOGRAM (`graft.colhist.<col>`): bin boundaries from
-    * one `percentile_approx` sweep (same pass), per-bin distinct counts
-    * from one second pass of range-conditioned `approx_count_distinct`
-    * sketches. Histograms are what makes selectivity on SKEWED predicates
+    * EQUI-HEIGHT HISTOGRAM (`graft.colhist.<col>`) from the SAME single
+    * pass: bin boundaries from a `percentile_approx` sweep, per-bin
+    * distinct counts from a KMV distinct-value sample
+    * ([[graft.functions.KmvValues]]) read back at the driver — exact for
+    * low-NDV columns, ~1/√(samples-per-bin) relative error otherwise.
+    * Histograms are what makes selectivity on SKEWED predicates
     * honest — NDV-uniform estimation prices every value of a 95/5 column
     * identically, a histogram prices the hot value at its real share —
     * and they feed Spark's own `FilterEstimation` through the scan's
@@ -97,9 +99,15 @@ object ColStats {
       val n = numRep(col(c), df.schema(c).dataType)
       Seq(min(n).as(s"__min_$c"), max(n).as(s"__max_$c"))
     } ++ histCols.flatMap { c =>
-      Seq(percentile_approx(numRep(col(c), df.schema(c).dataType),
-            lit(pcts.toArray), lit(10000)).as(s"__pct_$c"),
-        count(col(c)).as(s"__cnt_$c"))
+      val n = numRep(col(c), df.schema(c).dataType)
+      // boundary precision scales with the bin count: rank error 1/acc
+      // stays ≤ 1/40 of a bin's width — the default 10000 pays sketch
+      // compaction cost for resolution 64 bins can't use
+      val acc = math.min(10000, math.max(1000, histogramBins * 40))
+      Seq(percentile_approx(n, lit(pcts.toArray), lit(acc)).as(s"__pct_$c"),
+        count(col(c)).as(s"__cnt_$c"),
+        graft.functions.KmvSketch.kmvValues(n, kmvK(histogramBins))
+          .as(s"__kmv_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).first()
     val v = Snapshots.currentVersion(spark, table)
@@ -131,41 +139,47 @@ object ColStats {
       (Prefix + c) -> Some(s"ndv=$ndv;nulls=$nulls;avglen=$avgLen;" +
         s"maxlen=$maxLen;asof=$v$range")
     }
-    // per-bin distinct counts: ONE second pass, histogramBins
-    // range-conditioned HLL sketches per histogram column
+    // per-bin distinct counts answered from the SAME pass: each histogram
+    // column's KMV sketch ([[graft.functions.KmvValues]]) is a uniform
+    // sample of its DISTINCT values, so `ndv_bin ≈ ndv_total × |sample ∩
+    // bin| / |sample|` — and EXACT when the column's NDV ≤ k (the sketch
+    // holds every distinct value, which covers the skewed low-cardinality
+    // columns histograms exist for). The previous form — a second O(rows)
+    // pass of range-conditioned `approx_count_distinct(when(cond, d))`,
+    // one imperative HLL buffer per (column, bin) — measured 3–9× the
+    // plain-ANALYZE cost (ProbeHist, 15.4 s vs 1.7 s at 20M rows);
+    // ANALYZE with histograms is now ONE aggregation pass, the same
+    // shape as ANALYZE without them.
     val histProps: Seq[(String, Option[String])] =
       if (histCols.isEmpty) Nil
       else {
         val base = cols.length * 4 + rangeCols.length * 2
-        val info = histCols.zipWithIndex.flatMap { case (c, i) =>
-          val bs = row.getSeq[Double](base + i * 2)
-          val cnt = row.getLong(base + i * 2 + 1)
+        histCols.zipWithIndex.flatMap { case (c, i) =>
+          val bs = row.getSeq[Double](base + i * 3)
+          val cnt = row.getLong(base + i * 3 + 1)
           if (bs == null || bs.isEmpty || cnt == 0) None
-          else Some((c, bs, cnt))
-        }
-        if (info.isEmpty) Nil
-        else {
-          val binAggs = info.flatMap { case (c, bs, _) =>
-            val d = numRep(col(c), df.schema(c).dataType)
-            (0 until histogramBins).map { i =>
-              val cond =
-                if (i == 0) d >= bs(0) && d <= bs(1)
-                else d > bs(i) && d <= bs(i + 1)
-              approx_count_distinct(when(cond, d)).as(s"__hb_${c}_$i")
+          else {
+            val sample = row.getSeq[Double](base + i * 3 + 2).toArray.sorted
+            val exact = sample.length < kmvK(histogramBins)
+            val ndvCol = math.max(1L, row.getLong(cols.indexOf(c) * 4))
+            def inBin(b: Int): Long = {
+              // bin 0 = [bs(0), bs(1)], bin b = (bs(b), bs(b+1)]
+              val from = if (b == 0) lowerBound(sample, bs(0))
+                         else upperBound(sample, bs(b))
+              val until = upperBound(sample, bs(b + 1))
+              math.max(0, until - from).toLong
             }
-          }
-          val binRow = df.agg(binAggs.head, binAggs.tail: _*).first()
-          var off = 0
-          info.map { case (c, bs, cnt) =>
-            val bins = (0 until histogramBins).map { i =>
+            val bins = (0 until histogramBins).map { b =>
+              val n = inBin(b)
+              val est =
+                if (exact) n
+                else math.round(ndvCol.toDouble * n / sample.length)
               // an empty bin (duplicated boundary) still describes one
               // value for the estimator — never a 0-ndv division
-              val ndvB = math.max(1L, binRow.getLong(off + i))
-              s"${bs(i)}:${bs(i + 1)}:$ndvB"
+              s"${bs(b)}:${bs(b + 1)}:${math.max(1L, est)}"
             }.mkString("|")
-            off += histogramBins
-            (HistPrefix + c) -> Some(
-              s"height=${cnt.toDouble / histogramBins};asof=$v;bins=$bins")
+            Some((HistPrefix + c) -> Some(
+              s"height=${cnt.toDouble / histogramBins};asof=$v;bins=$bins"))
           }
         }
       }
@@ -174,6 +188,31 @@ object ColStats {
         (if (histCols.nonEmpty) s" hist=${histCols.mkString(",")}x$histogramBins"
          else "")))
     cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i * 4) }.toMap
+  }
+
+  /** KMV sketch size: ≥64 expected distinct-value samples per bin at the
+    * requested bin count (≈12% per-bin relative error), bounded so the
+    * aggregation buffer stays small (8192 × 16 B = 128 KiB/column). */
+  private def kmvK(bins: Int): Int = math.min(8192, math.max(1024, bins * 64))
+
+  /** First index in sorted `xs` with xs(i) >= x. */
+  private def lowerBound(xs: Array[Double], x: Double): Int = {
+    var lo = 0; var hi = xs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (xs(mid) < x) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** First index in sorted `xs` with xs(i) > x. */
+  private def upperBound(xs: Array[Double], x: Double): Int = {
+    var lo = 0; var hi = xs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (xs(mid) <= x) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   /** Recorded equi-height histograms at `version` (default current):
