@@ -86,6 +86,45 @@ object ProbeJoinStats {
       f""""smj_s":$smj%.3f,"time_ratio":${smj / bcast}%.2f,""" +
       f""""bcast_shuffle_bytes":$bcastBytes,"smj_shuffle_bytes":$smjBytes,""" +
       f""""shuffle_ratio":${smjBytes.toDouble / math.max(bcastBytes, 1)}%.1f,"runs":$runs}""")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    // SKEWED-KEY JOIN OUTPUT ESTIMATE (the x177 shape): a 95/5 band fact
+    // joined to a rare-bands dim. NDV-uniform join estimation prices the
+    // output as rows×rows/ndv; with histograms on BOTH key columns
+    // Spark's JoinEstimation switches to per-bin overlap arithmetic and
+    // the rare-band join prices at its real share — the estimate that
+    // decides whether the join RESULT broadcasts downstream.
+    val fact2 = docs.select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(20)) =!= 19, lit(0L))
+        .otherwise(floor(pmod(col("doc_id"), lit(380)) / 20) + 1)
+        .cast("long").as("band"),
+      col("n_chars"))
+    graft.io.Snapshots.commitAppend(fact2.repartition(8), s"$tmp/sfact",
+      recordSchema = true, recordRowCounts = true)
+    graft.io.Snapshots.commitAppend(
+      fact2.filter(col("band") >= 10).select(col("band")).distinct().coalesce(1),
+      s"$tmp/srdim", recordSchema = true, recordRowCounts = true)
+    val trueJ = fact2.filter(col("band") >= 10).count()
+    val innerSql = """SELECT f.doc_id, f.n_chars
+                      FROM pjs.sfact f JOIN pjs.srdim d ON f.band = d.band"""
+    def jEst(): BigInt = spark.sql(innerSql).queryExecution.optimizedPlan
+      .stats.rowCount.getOrElse(BigInt(-1))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.sql("CALL pjs.system.analyze('sfact', 'band,n_chars')")
+    spark.sql("CALL pjs.system.analyze('srdim', 'band')")
+    val estNdv = jEst()
+    val t0h = System.nanoTime()
+    spark.sql("CALL pjs.system.analyze('sfact', 'band,n_chars', 64)")
+    spark.sql("CALL pjs.system.analyze('srdim', 'band', 64)")
+    val analyzeHistS = (System.nanoTime() - t0h) / 1e9
+    val estHist = jEst()
+    spark.conf.set("spark.sql.cbo.enabled", "false")
+    println(f"""{"probe":"join_stats_skew","sf":"$sfDir","true_join":$trueJ,""" +
+      f""""est_ndv":$estNdv,"est_hist":$estHist,""" +
+      f""""ndv_over":${estNdv.toDouble / trueJ}%.1f,""" +
+      f""""hist_over":${estHist.toDouble / trueJ}%.2f,""" +
+      f""""analyze_hist_s":$analyzeHistS%.2f}""")
     spark.stop()
   }
 }

@@ -3232,7 +3232,7 @@ object ExtQueries {
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
     x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, x164Spec, x165Spec, x166Spec, x167Spec, st31Spec,
     x168Spec, x169Spec, x170Spec, x171Spec, x172Spec, st32Spec, x173Spec,
-    x174Spec, x175Spec, x176Spec)
+    x174Spec, x175Spec, x176Spec, x177Spec, x178Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -9797,4 +9797,163 @@ object ExtQueries {
            |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            |       CAST(1 AS BIGINT) AS err_ok
            |FROM kept""".stripMargin))
+
+  /** x177: HISTOGRAM-FED JOIN CARDINALITY — the skewed-key join whose
+    * OUTPUT estimate (not just its filter selectivity) prices from the
+    * recorded equi-height histograms: Spark's `JoinEstimation` switches
+    * from the NDV-uniform formula to per-bin overlap arithmetic when both
+    * join attributes carry histograms, and this engine's scans feed them
+    * through DSv2 `columnStats().histogram()` ([[graft.sql.GraftScan]]).
+    * The fixture joins a 95/5-skewed band fact against a rare-bands dim:
+    * NDV-uniform prices the join output as rows×rows/ndv (19× over
+    * truth, `ndv_over_ok`), the histogram prices the rare bands at their
+    * real share (`hist_est_ok`), and the broadcast threshold is
+    * SELF-CALIBRATED between the two output-size estimates so the
+    * downstream join against the full fact provably flips: NDV stats →
+    * one broadcast (the tiny dim only, `ndv_plan_ok`), histogram stats →
+    * two (the join RESULT now fits under the threshold,
+    * `hist_plan_ok`). This is the 100 TB decision: whether a skew-probe
+    * join's result re-shuffles the big table or rides a broadcast.
+    * Oracle replays the data result relationally; estimates never change
+    * results (`n_rows`/`sum_chars` identical under both regimes). */
+  private def x177Spec: QuerySpec =
+    QuerySpec("x177_sql_join_hist",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_jh_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        // fact: documents with a deterministic 95/5-skewed band (95% band
+        // 0; bands 1..19 share the rest) — DuckDB re-derives it exactly
+        val fact = Tables.documents(s, d).select(
+          col("doc_id"),
+          when(pmod(col("doc_id"), lit(20)) =!= 19, lit(0L))
+            .otherwise(floor(pmod(col("doc_id"), lit(380)) / 20) + 1)
+            .cast("long").as("band"),
+          col("n_chars").cast("long").as("n_chars"))
+        Snapshots.commitAppend(fact.repartition(4), s"$tmp/fact",
+          recordSchema = true, recordRowCounts = true)
+        Snapshots.commitAppend(
+          fact.filter(col("band") >= 10).select(col("band")).distinct().coalesce(1),
+          s"$tmp/rdim", recordSchema = true, recordRowCounts = true)
+        val trueJ = fact.filter(col("band") >= 10).count()
+        val inner = s"""SELECT f.doc_id, f.n_chars
+                       |FROM $cat.fact f JOIN $cat.rdim d ON f.band = d.band"""
+          .stripMargin
+        val full = s"""SELECT count(*) AS n_rows,
+                      |CAST(sum(e.n_chars) AS BIGINT) AS sum_chars
+                      |FROM ($inner) j JOIN $cat.fact e ON j.doc_id = e.doc_id"""
+          .stripMargin
+        def jStats(): (BigInt, BigInt) = {
+          val st = s.sql(inner).queryExecution.optimizedPlan.stats
+          (st.rowCount.getOrElse(BigInt(-1)), st.sizeInBytes)
+        }
+        def nBcast(): Int =
+          "BroadcastHashJoin".r.findAllIn(
+            s.sql(full).queryExecution.executedPlan.toString).length
+        val cboPrev = s.conf.get("spark.sql.cbo.enabled")
+        val thrPrev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val (flags, res) =
+          try {
+            s.conf.set("spark.sql.cbo.enabled", "true")
+            // NDV-only stats first: the uniform formula way over-prices
+            s.sql(s"CALL $cat.system.analyze('fact', 'band,n_chars')")
+            s.sql(s"CALL $cat.system.analyze('rdim', 'band')")
+            val (estNdv, sizeNdv) = jStats()
+            val ndvOverOk = if (estNdv >= BigInt(3) * trueJ) 1L else 0L
+            // threshold between the two regimes' output sizes: the NDV
+            // estimate must keep the join result OVER it
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+              (sizeNdv / 4).toString)
+            val ndvPlanOk = if (nBcast() == 1) 1L else 0L
+            // histograms: the join output prices at the rare bands' share
+            s.sql(s"CALL $cat.system.analyze('fact', 'band,n_chars', 64)")
+            s.sql(s"CALL $cat.system.analyze('rdim', 'band', 64)")
+            val (estHist, sizeHist) = jStats()
+            val histEstOk =
+              if (estHist >= BigInt(1) && estHist <= BigInt(4) * trueJ &&
+                BigInt(3) * estHist <= estNdv) 1L else 0L
+            val histPlanOk =
+              if (sizeHist * 4 <= sizeNdv && nBcast() == 2) 1L else 0L
+            ((ndvOverOk, ndvPlanOk, histEstOk, histPlanOk), s.sql(full))
+          } finally {
+            s.conf.set("spark.sql.cbo.enabled", cboPrev)
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", thrPrev)
+          }
+        res
+          .withColumn("ndv_over_ok", lit(flags._1))
+          .withColumn("ndv_plan_ok", lit(flags._2))
+          .withColumn("hist_est_ok", lit(flags._3))
+          .withColumn("hist_plan_ok", lit(flags._4))
+      },
+      Some("""WITH fact AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 20 <> 19 THEN 0
+           |              ELSE doc_id % 380 // 20 + 1 END AS band,
+           |         CAST(n_chars AS BIGINT) AS n_chars
+           |  FROM documents
+           |),
+           |rdim AS (SELECT DISTINCT band FROM fact WHERE band >= 10)
+           |SELECT count(*) AS n_rows,
+           |       CAST(sum(e.n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(1 AS BIGINT) AS ndv_over_ok,
+           |       CAST(1 AS BIGINT) AS ndv_plan_ok,
+           |       CAST(1 AS BIGINT) AS hist_est_ok,
+           |       CAST(1 AS BIGINT) AS hist_plan_ok
+           |FROM fact f JOIN rdim d ON f.band = d.band
+           |JOIN fact e ON f.doc_id = e.doc_id""".stripMargin))
+
+  /** x178: RANGE-CORRELATED EXISTS IN DML — `DELETE … WHERE EXISTS
+    * (SELECT 1 FROM iv WHERE t.k BETWEEN iv.lo AND iv.hi)` and the
+    * NOT-EXISTS UPDATE twin. Non-equality correlation has no keyed
+    * rewrite, so the statement routes through the staged fallback with a
+    * TRANSPLANT ([[graft.sql.GraftStager]]): the subquery's uncorrelated
+    * child checkpoints once (statement-snapshot, reused across retries),
+    * the outer references un-resolve to bare column names, and the
+    * library's candidate reads re-analyze the EXISTS — Spark re-binds
+    * the names and plans the membership test itself. Outer names a
+    * subquery column would shadow refuse (capture hazard). Oracle
+    * replays both correlated subqueries natively in DuckDB. */
+  private def x178Spec: QuerySpec =
+    QuerySpec("x178_sql_dml_range_exists",
+      (s, d) => {
+        val (cat, tbl, maxId) = dmlFixture(s, d, "x178_docs")
+        val m = maxId + 1
+        s.sql(s"""SELECT doc_id * 7 % $m AS lo, doc_id * 7 % $m + 40 AS hi
+                 |FROM x178_docs WHERE doc_id % 97 = 0""".stripMargin)
+          .createOrReplaceTempView("x178_iv")
+        s.sql(s"""DELETE FROM $cat.t t
+                 |WHERE EXISTS (SELECT 1 FROM x178_iv v
+                 |              WHERE t.doc_id BETWEEN v.lo AND v.hi)"""
+          .stripMargin)
+        s.sql(s"""UPDATE $cat.t t SET n_chars = n_chars + 1000
+                 |WHERE NOT EXISTS (SELECT 1 FROM x178_iv v
+                 |                  WHERE t.n_chars BETWEEN v.lo AND v.hi)
+                 |  AND doc_id <= ${maxId / 2}""".stripMargin)
+        s.sql(s"""SELECT count(*) AS n_rows,
+                 |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 |FROM $cat.t""".stripMargin)
+      },
+      Some("""WITH m AS (SELECT max(doc_id) + 1 AS mm FROM documents),
+           |iv AS (
+           |  SELECT doc_id * 7 % mm AS lo, doc_id * 7 % mm + 40 AS hi
+           |  FROM documents, m WHERE doc_id % 97 = 0
+           |),
+           |kept AS (
+           |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents t
+           |  WHERE NOT EXISTS (SELECT 1 FROM iv
+           |                    WHERE t.doc_id BETWEEN iv.lo AND iv.hi)
+           |),
+           |u AS (
+           |  SELECT doc_id,
+           |         n_chars + CASE WHEN doc_id <= (SELECT (mm - 1) // 2 FROM m)
+           |                         AND NOT EXISTS (SELECT 1 FROM iv
+           |                           WHERE kept.n_chars BETWEEN iv.lo AND iv.hi)
+           |                        THEN 1000 ELSE 0 END AS n_chars
+           |  FROM kept
+           |)
+           |SELECT count(*) AS n_rows,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM u""".stripMargin))
 }

@@ -124,7 +124,7 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     }
 
-  private def inlineWithOnly(e: Expression): Expression =
+  private[sql] def inlineWithOnly(e: Expression): Expression =
     e.transformUp {
       // BETWEEN et al. are RuntimeReplaceable — their semantics live in
       // `replacement` (often a With/common-expression tree); expand first
@@ -309,8 +309,16 @@ object GraftDmlRule extends Rule[LogicalPlan] {
           targetKeys(values).isDefined =>
         Some(Left((q.plan, targetKeys(values).get)))
       case e: Exists if e.outerAttrs.nonEmpty =>
-        val (src, keys) = existsShape(e.plan, target)
-        Some(Left((src, keys)))
+        // equality correlation → keyed; range/other correlation falls to
+        // the staged transplant when the shape allows it (None → the
+        // caller's Materialize fallback), else the refusal stands
+        try {
+          val (src, keys) = existsShape(e.plan, target)
+          Some(Left((src, keys)))
+        } catch {
+          case ex: UnsupportedOperationException
+              if GraftStager.transplantable(e, target) => None
+        }
       case Not(InSubquery(values, q: ListQuery)) if q.outerAttrs.isEmpty &&
           values.length == 1 && targetKeys(values).isDefined =>
         // NOT IN's three-valued null rules: a null subquery value voids
@@ -320,8 +328,13 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       case Not(e: Exists) if e.outerAttrs.nonEmpty =>
         // NOT EXISTS: a null target key equality-matches nothing, so the
         // row IS unmatched and mutates
-        val (src, keys) = existsShape(e.plan, target)
-        Some(Right((src, keys, true, false)))
+        try {
+          val (src, keys) = existsShape(e.plan, target)
+          Some(Right((src, keys, true, false)))
+        } catch {
+          case ex: UnsupportedOperationException
+              if GraftStager.transplantable(e, target) => None
+        }
       case _ => None
     }
   }
@@ -350,18 +363,20 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         shapes.collect { case Left(x) => x },
         shapes.collect { case Right(x) => x }, plainE, bound))
     } else {
-      // no keyed mapping: stage-and-evaluate works iff nothing inside
-      // references the outer row (an uncorrelated plan is self-contained)
-      val allUncorrelated = cond.collect {
+      // no keyed mapping: stage-and-evaluate works iff every subquery is
+      // self-contained — uncorrelated, or a correlated EXISTS whose
+      // correlation TRANSPLANTS (outer refs confined to the top-level
+      // WHERE under names the library's re-read can re-bind)
+      val allStageable = cond.collect {
         case sq: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
           sq.outerAttrs.isEmpty
         case q: org.apache.spark.sql.catalyst.expressions.ListQuery =>
           q.outerAttrs.isEmpty
         case e: org.apache.spark.sql.catalyst.expressions.Exists =>
-          e.outerAttrs.isEmpty
+          e.outerAttrs.isEmpty || GraftStager.transplantable(e, target)
         case _: SubqueryExpression => false
       }.forall(identity)
-      if (allUncorrelated && conf.getConfString(
+      if (allStageable && conf.getConfString(
           "spark.sql.graft.dml.materializeSubqueries", "true") == "true")
         Materialize
       else throw new UnsupportedOperationException(
@@ -370,10 +385,12 @@ object GraftDmlRule extends Rule[LogicalPlan] {
           "(both uncorrelated) over table columns, or EXISTS / NOT EXISTS " +
           "correlated by equality — rewritten to the keyed-merge " +
           "semi/anti-join (several such conjuncts compose). Uncorrelated " +
-          "tuple NOT IN / OR-nested subqueries auto-materialize unless " +
-          "spark.sql.graft.dml.materializeSubqueries=false; " +
-          "non-equality-correlated subqueries have no sound mapping — " +
-          "materialize the subquery (temp view + MERGE) instead")
+          "tuple NOT IN / OR-nested subqueries and range-correlated " +
+          "EXISTS (outer references in the subquery's top-level WHERE " +
+          "under non-shadowed names) auto-materialize unless " +
+          "spark.sql.graft.dml.materializeSubqueries=false; other " +
+          "correlation shapes have no sound mapping — materialize the " +
+          "subquery (temp view + MERGE) instead")
     }
   }
 
@@ -1368,7 +1385,7 @@ case class GraftDmlStagedCommand(path: String,
   * Spark plans one hash ExistenceJoin per term instead of one nested
   * loop over everything. Arity is capped (terms ≤ 32); beyond it the
   * original in-place shape stands. */
-private object GraftStager {
+private[sql] object GraftStager {
   import org.apache.spark.sql.catalyst.expressions.{And, CaseWhen, CreateNamedStruct, Exists, Expression, InSubquery, IsNotNull, IsNull, ListQuery, Literal, Or}
   def stage(spark: SparkSession,
             c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -1379,11 +1396,84 @@ private object GraftStager {
       case e: Exists if e.outerAttrs.isEmpty =>
         e.copy(plan =
           DmlShim.ofRows(spark, e.plan).localCheckpoint().queryExecution.analyzed)
+      case e: Exists if e.outerAttrs.nonEmpty =>
+        transplant(spark, e)
       // transformUp: the ListQuery child was checkpoint-staged above
       case in @ InSubquery(values, q) if q.outerAttrs.isEmpty &&
           values.length >= 1 && values.length <= 4 =>
         decompose(spark, values, q).getOrElse(in)
     })
+
+  /** RANGE-CORRELATED EXISTS shape: peel alias/Project wrappers (EXISTS
+    * cares about cardinality only — refuse if a peeled Project itself
+    * reads the outer row), then the top-level `Filter(cond, child)` where
+    * ALL outer references live in `cond`, each names a TARGET column, and
+    * no outer name is shadowed by a `child` output column (the transplant
+    * re-binds by NAME; a shadowing inner column would silently capture
+    * it). `child` is fully uncorrelated. */
+  private def shapeOf(e: Exists,
+      target: Option[AttributeSet]): Option[(Expression, LogicalPlan)] = {
+    import org.apache.spark.sql.catalyst.expressions.OuterReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    def hasOuter(p: LogicalPlan): Boolean =
+      p.collectFirst { case n if n.expressions
+        .exists(_.exists(_.isInstanceOf[OuterReference])) => n }.nonEmpty
+    def peel(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => peel(c)
+      case pr @ Project(list, c)
+          if !list.exists(_.exists(_.isInstanceOf[OuterReference])) => peel(c)
+      case other => other
+    }
+    peel(e.plan) match {
+      case Filter(cond, child) if !hasOuter(child) =>
+        val outers = cond.collect {
+          case OuterReference(a: AttributeReference) => a
+        }
+        val childNames = child.output.map(_.name).toSet
+        val ok = outers.nonEmpty &&
+          outers.forall(a => target.forall(_.contains(a)) && !childNames(a.name))
+        if (ok) Some((cond, child)) else None
+      case _ => None
+    }
+  }
+
+  /** Can this correlated EXISTS evaluate inside the library's own reads
+    * after a by-name re-bind? (The classification gate for the staged
+    * fallback — [[transplant]] is the run-time counterpart.) */
+  def transplantable(e: Exists, target: AttributeSet): Boolean =
+    shapeOf(e, Some(target)).isDefined
+
+  /** Stage a RANGE-CORRELATED EXISTS: checkpoint the uncorrelated child
+    * once (SQL's read-once-at-statement-snapshot contract, reused across
+    * optimistic retries), un-resolve each outer reference to its bare
+    * column NAME, and hand back an Exists the library's candidate reads
+    * re-analyze — Spark's own subquery resolution re-binds the names
+    * against the new outer scope and plans the membership test as a
+    * join. Scale note: a non-equi correlation plans as a nested-loop
+    * join over O(candidates × staged source); zone maps still bound the
+    * candidates, and the equality-correlated forms keep their keyed
+    * hash-join rewrite — this path exists for the shapes that previously
+    * refused outright. */
+  private def transplant(spark: SparkSession, e: Exists): Exists = {
+    import org.apache.spark.sql.catalyst.expressions.OuterReference
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    // membership of the outer refs in the TARGET was validated at rule
+    // time (transplantable); by run time unresolveKeepSubq may have
+    // rewritten the outerAttrs field, so only the shape re-checks here
+    val (cond, child) = shapeOf(e, None).getOrElse(
+      throw new UnsupportedOperationException(
+      "graft SQL DML supports a non-equality-correlated EXISTS only when " +
+        "every outer reference sits in the subquery's top-level WHERE " +
+        "under a name no subquery column shadows; materialize the " +
+        "subquery (temp view + MERGE) instead"))
+    val ck = DmlShim.ofRows(spark, child).localCheckpoint()
+      .queryExecution.analyzed
+    val cond2 = GraftDmlRule.inlineWithOnly(cond).transform {
+      case OuterReference(a: AttributeReference) =>
+        UnresolvedAttribute.quoted(a.name)
+    }
+    e.copy(plan = Filter(cond2, ck), outerAttrs = Nil)
+  }
 
   private def decompose(spark: SparkSession, values: Seq[Expression],
                         q: ListQuery): Option[Expression] = {

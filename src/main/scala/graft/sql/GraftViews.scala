@@ -74,6 +74,13 @@ object GraftViewDdl {
             isGraftCatalog(spark, tv.multipartIdentifier.head) &&
             viewMetaExists(spark, tv.multipartIdentifier) =>
         Some(GraftDescribeViewCommand(tv.multipartIdentifier, output))
+      case org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable(
+          tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+          _, output)
+          if tv.multipartIdentifier.length >= 2 &&
+            isGraftCatalog(spark, tv.multipartIdentifier.head) &&
+            viewMetaExists(spark, tv.multipartIdentifier) =>
+        Some(GraftShowCreateViewCommand(tv.multipartIdentifier, output))
       case _ => None
     }
 
@@ -137,6 +144,38 @@ object GraftViewDdl {
         Row(f.name, f.dataType.simpleString,
           f.getComment().orNull)) :+
         Row("", "", null) :+ Row("# View Text", v.query(), null)
+    }
+  }
+
+  /** `SHOW CREATE TABLE cat.v` on a stored view: reconstruct runnable
+    * DDL from the recorded metadata — the explicit column list (with
+    * comments) exactly when one was given at create time, the view
+    * comment, user TBLPROPERTIES sorted for determinism, and the stored
+    * query text verbatim. */
+  case class GraftShowCreateViewCommand(nameParts: Seq[String],
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = graftViewCatalog(spark, nameParts.head).loadView(identOf(nameParts))
+      def qid(id: String) = "`" + id.replace("`", "``") + "`"
+      def qstr(s: String) = "'" + s.replace("'", "''") + "'"
+      val name = nameParts.map(qid).mkString(".")
+      val aliases = v.columnAliases()
+      val comments = v.columnComments()
+      val colList =
+        if (aliases == null || aliases.isEmpty) ""
+        else aliases.zipWithIndex.map { case (a, i) =>
+          qid(a) + comments.lift(i).flatMap(Option(_))
+            .map(c => s" COMMENT ${qstr(c)}").getOrElse("")
+        }.mkString(" (", ", ", ")")
+      val props = v.properties().asScala.toMap
+      val comment = props.get("comment")
+        .map(c => s"\nCOMMENT ${qstr(c)}").getOrElse("")
+      val rest = props - "comment"
+      val tblProps =
+        if (rest.isEmpty) ""
+        else rest.toSeq.sorted.map { case (k, pv) => s"${qstr(k)} = ${qstr(pv)}" }
+          .mkString("\nTBLPROPERTIES (", ", ", ")")
+      Seq(Row(s"CREATE VIEW $name$colList$comment$tblProps AS\n${v.query()}"))
     }
   }
 

@@ -503,13 +503,21 @@ class GraftDmlSpec extends SparkSpec {
     spark.sql("DELETE FROM gd.rf2 WHERE (id, m) NOT IN (SELECT a, b FROM rf2_src)")
     assert(spark.sql("SELECT id, m FROM gd.rf2").as[(Long, Long)]
       .collect().toSeq === Seq((1L, 2L)))
-    // non-equality-correlated EXISTS still refuses (outer-referencing
-    // plans cannot be transplanted)
+    // non-equality-correlated EXISTS now stages via the transplant —
+    // refusal only remains behind the conf gate (and for shapes the
+    // transplant can't re-bind, pinned in the range-correlated test)
     val t2 = mk("rf3")
-    val ineq = intercept[Exception] {
-      spark.sql("DELETE FROM gd.rf3 WHERE EXISTS (SELECT 1 FROM rf2_src s WHERE s.a < id)")
-    }
-    assert(ineq.getMessage.contains("equalit"), ineq.getMessage)
+    spark.conf.set("spark.sql.graft.dml.materializeSubqueries", "false")
+    try {
+      val ineq = intercept[Exception] {
+        spark.sql("DELETE FROM gd.rf3 WHERE EXISTS (SELECT 1 FROM rf2_src s WHERE s.a < id)")
+      }
+      assert(ineq.getMessage.contains("materialize"), ineq.getMessage)
+    } finally
+      spark.conf.set("spark.sql.graft.dml.materializeSubqueries", "true")
+    // s.a = 1: every id > 1 has a witness and deletes; id = 1 survives
+    spark.sql("DELETE FROM gd.rf3 WHERE EXISTS (SELECT 1 FROM rf2_src s WHERE s.a < id)")
+    assert(spark.sql("SELECT id FROM gd.rf3").as[Long].collect().toSeq === Seq(1L))
   }
 
   test("multi-subquery conjuncts compose: IN + NOT EXISTS in one DML WHERE") {
@@ -655,6 +663,35 @@ class GraftDmlSpec extends SparkSpec {
       Set(1L, 2L, 3L, 4L, 5L))
     // (the hash-join SHAPE and its cost law are pinned by ProbeStaged:
     // 790 s -> 5.9 s at sf10; here we pin the semantics)
+  }
+
+  test("range-correlated EXISTS stages: transplanted into the candidate reads") {
+    val t = mk("rc1")
+    // intervals: [10, 14] and [30, 33]; rows whose id falls inside one
+    // (after scaling) delete. Non-equality correlation: id BETWEEN lo AND hi.
+    Seq((10L, 14L), (30L, 33L)).toDF("lo", "hi").createOrReplaceTempView("rc1_iv")
+    spark.sql("""DELETE FROM gd.rc1 t
+                 WHERE EXISTS (SELECT 1 FROM rc1_iv v
+                               WHERE t.id BETWEEN v.lo AND v.hi)""")
+    assert(spark.sql("SELECT id FROM gd.rc1").as[Long].collect().toSet ===
+      ((1L to 40L).toSet -- (10L to 14L) -- (30L to 33L)))
+    // NOT EXISTS twin with an extra band conjunct: update ids 20..25 NOT
+    // covered by any interval
+    spark.sql("""UPDATE gd.rc1 t SET m = -1
+                 WHERE NOT EXISTS (SELECT 1 FROM rc1_iv v
+                                   WHERE t.id BETWEEN v.lo AND v.hi)
+                   AND id BETWEEN 20 AND 25""")
+    assert(spark.sql("SELECT count(*) AS n FROM gd.rc1 WHERE m = -1")
+      .as[Long].head() === 6L)
+    // a shadowed outer name still refuses (the transplant would capture)
+    Seq((1L, 2L)).toDF("id", "hi").createOrReplaceTempView("rc1_bad")
+    val e = intercept[Exception] {
+      spark.sql("""DELETE FROM gd.rc1 t
+                   WHERE EXISTS (SELECT 1 FROM rc1_bad v
+                                 WHERE t.id > v.hi AND t.m > v.id)""")
+    }
+    assert(e.getMessage.contains("materialize the subquery") ||
+      e.getMessage.contains("no sound mapping"), e.getMessage)
   }
 
   // ---- join-DML: UPDATE … FROM / DELETE … USING (GraftJoinDml +

@@ -119,4 +119,31 @@ class GraftViewsSpec extends SparkSpec {
     val e2 = intercept[Exception] { spark.sql("SELECT * FROM gvw.v8").collect() }
     assert(e2.getMessage.contains("cannot be found"), e2.getMessage)
   }
+
+  test("SHOW CREATE TABLE on a view: runnable DDL round-trip") {
+    mk("t8")
+    spark.sql("""CREATE VIEW gvw.v9 (grp COMMENT 'the group', total)
+                |COMMENT 'per-group totals'
+                |TBLPROPERTIES ('owner' = 'pipeline', 'tier' = 'gold')
+                |AS SELECT src, sum(m) AS sm FROM gvw.t8 GROUP BY src""".stripMargin)
+    val ddl = spark.sql("SHOW CREATE TABLE gvw.v9").collect().head.getString(0)
+    assert(ddl.startsWith("CREATE VIEW `gvw`.`v9`"), ddl)
+    assert(ddl.contains("`grp` COMMENT 'the group'"), ddl)
+    assert(ddl.contains("`total`"), ddl)
+    assert(ddl.contains("COMMENT 'per-group totals'"), ddl)
+    assert(ddl.contains("'owner' = 'pipeline'") && ddl.contains("'tier' = 'gold'"), ddl)
+    assert(ddl.contains("AS\nSELECT src, sum(m) AS sm FROM gvw.t8 GROUP BY src"), ddl)
+    val want = spark.sql("SELECT * FROM gvw.v9 ORDER BY grp")
+      .as[(String, Long)].collect().toSeq
+    // the emitted DDL is RUNNABLE: drop, re-create from it, same result
+    spark.sql("DROP VIEW gvw.v9")
+    spark.sql(ddl)
+    assert(spark.sql("SELECT * FROM gvw.v9 ORDER BY grp")
+      .as[(String, Long)].collect().toSeq === want)
+    assert(spark.sql("SELECT grp FROM gvw.v9").columns.toSeq === Seq("grp"))
+    // a minimal view (no column list / comment / props) stays minimal
+    spark.sql("CREATE VIEW gvw.v10 AS SELECT id FROM gvw.t8")
+    val ddl2 = spark.sql("SHOW CREATE TABLE gvw.v10").collect().head.getString(0)
+    assert(ddl2 === "CREATE VIEW `gvw`.`v10` AS\nSELECT id FROM gvw.t8", ddl2)
+  }
 }
