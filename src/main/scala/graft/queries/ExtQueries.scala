@@ -3232,7 +3232,7 @@ object ExtQueries {
     x145Spec, x146Spec, st30Spec, x147Spec, x148Spec, x149Spec, x150Spec,
     x151Spec, x152Spec, x153Spec, x154Spec, x155Spec, x156Spec, x157Spec, x158Spec, x159Spec, x160Spec, x161Spec, x162Spec, x163Spec, x164Spec, x165Spec, x166Spec, x167Spec, st31Spec,
     x168Spec, x169Spec, x170Spec, x171Spec, x172Spec, st32Spec, x173Spec,
-    x174Spec, x175Spec, x176Spec, x177Spec, x178Spec)
+    x174Spec, x175Spec, x176Spec, x177Spec, x178Spec, x179Spec)
 
   // robots.txt politeness gate (RFC 9309) over a planted policy: group
   // selection (specific agent beats *), longest-match rules, $ anchors,
@@ -9920,8 +9920,14 @@ object ExtQueries {
       (s, d) => {
         val (cat, tbl, maxId) = dmlFixture(s, d, "x178_docs")
         val m = maxId + 1
+        // BOUNDED interval set (~50 at any scale): the transplanted
+        // EXISTS plans as a nested-loop join over candidates × intervals,
+        // so the probe list must stay O(1) in the data — the realistic
+        // blocklist shape. An interval set growing with the table would
+        // make the statement quadratic by construction.
+        val div = math.max(97L, maxId / 50)
         s.sql(s"""SELECT doc_id * 7 % $m AS lo, doc_id * 7 % $m + 40 AS hi
-                 |FROM x178_docs WHERE doc_id % 97 = 0""".stripMargin)
+                 |FROM x178_docs WHERE doc_id % $div = 0""".stripMargin)
           .createOrReplaceTempView("x178_iv")
         s.sql(s"""DELETE FROM $cat.t t
                  |WHERE EXISTS (SELECT 1 FROM x178_iv v
@@ -9935,10 +9941,12 @@ object ExtQueries {
                  |CAST(sum(n_chars) AS BIGINT) AS sum_chars
                  |FROM $cat.t""".stripMargin)
       },
-      Some("""WITH m AS (SELECT max(doc_id) + 1 AS mm FROM documents),
+      Some("""WITH m AS (SELECT max(doc_id) + 1 AS mm,
+           |                    greatest(97, (max(doc_id)) // 50) AS dv
+           |             FROM documents),
            |iv AS (
            |  SELECT doc_id * 7 % mm AS lo, doc_id * 7 % mm + 40 AS hi
-           |  FROM documents, m WHERE doc_id % 97 = 0
+           |  FROM documents, m WHERE doc_id % dv = 0
            |),
            |kept AS (
            |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents t
@@ -9956,4 +9964,54 @@ object ExtQueries {
            |SELECT count(*) AS n_rows,
            |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
            |FROM u""".stripMargin))
+
+  /** x179: AUTO-REFRESH MATERIALIZED VIEW — `create_mv(…, auto_refresh
+    * => 'true')` records `mv.auto`, and every READ of the view folds any
+    * unapplied source versions first ([[graft.sql.GraftCatalog]]
+    * freshness-on-read): two SQL DML mutations land on the source and
+    * the view is simply SELECTed — no `refresh_mv` call anywhere — yet
+    * the aggregate observes both. Deferred maintenance is the 100 TB
+    * posture: work runs when someone reads (amortized by the
+    * exactly-once note ledger — a fresh view costs one metadata check),
+    * never per source commit. Oracle replays the mutations and the
+    * GROUP BY relationally. */
+  private def x179Spec: QuerySpec =
+    QuerySpec("x179_sql_mv_auto",
+      (s, d) => {
+        import graft.io.Snapshots
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mva_run").toString
+        val cat = s"graft_${tmp.hashCode.toHexString.takeRight(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("long").as("n_chars"))
+        Snapshots.commitAppend(docs.repartition(2), s"$tmp/src",
+          recordSchema = true, statsCols = Seq("doc_id"),
+          recordRowCounts = true)
+        s.sql(s"""CALL $cat.system.create_mv('mv', 'src', 'doc_id',
+                 |'source', 'n_chars', '', '', 'true')""".stripMargin)
+        s.sql(s"DELETE FROM $cat.src WHERE doc_id % 3 = 0")
+        s.sql(s"UPDATE $cat.src SET n_chars = n_chars + 10 WHERE doc_id % 5 = 0")
+        // NO refresh_mv: the read itself catches the view up; reading
+        // again must not move the view's version (fresh = metadata check)
+        val out = s.sql(s"""SELECT source, n_rows,
+                           |CAST(sum_n_chars AS BIGINT) AS sum_n_chars
+                           |FROM $cat.mv ORDER BY source""".stripMargin)
+        out.collect()
+        val v0 = Snapshots.currentVersion(s, s"$tmp/mv")
+        s.sql(s"SELECT count(*) FROM $cat.mv").collect()
+        val freshOk = if (Snapshots.currentVersion(s, s"$tmp/mv") == v0) 1L else 0L
+        out.withColumn("fresh_ok", lit(freshOk))
+      },
+      Some("""WITH m AS (
+           |  SELECT source,
+           |         CAST(n_chars AS BIGINT) +
+           |           CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 0 END AS n_chars
+           |  FROM documents WHERE doc_id % 3 <> 0
+           |)
+           |SELECT source, count(*) AS n_rows,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+           |       CAST(1 AS BIGINT) AS fresh_ok
+           |FROM m GROUP BY source ORDER BY source""".stripMargin))
 }

@@ -129,8 +129,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (!exists(path)) throw new NoSuchTableException(ident)
     cutVersion(ident, path) match {
       case Some(v) => new GraftTable(path, s"$ident@cut$v", v)
-      case None => new GraftTable(path, ident.toString,
-        Snapshots.currentVersion(spark, path)) // pinned: one query, one snapshot
+      case None =>
+        // FRESHNESS-ON-READ for auto-refresh MVs (`create_mv(…,
+        // auto_refresh => 'true')`): fold any unapplied source versions
+        // BEFORE pinning, so every read observes a view current with its
+        // source — the deferred-maintenance contract (refresh work runs
+        // when someone reads, amortized by the exactly-once note ledger:
+        // a fresh view costs one metadata check, racing readers
+        // serialize through the optimistic commit, and per-source-commit
+        // write amplification never happens). Time-travel / cut reads
+        // above bypass it (reading the past must not mutate the present).
+        if (Snapshots.tableProperties(spark, path).get("mv.auto")
+            .contains("true"))
+          GraftProcedures.refreshMv(spark, root, path)
+        new GraftTable(path, ident.toString,
+          Snapshots.currentVersion(spark, path)) // pinned: one query, one snapshot
     }
   }
 

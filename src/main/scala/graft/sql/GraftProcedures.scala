@@ -290,7 +290,7 @@ object GraftProcedures {
         "properties and `SELECT * FROM <catalog>.<view>` reads it",
       Seq(in("view", S), in("source", S), in("keys", S), in("dims", S),
         inDef("measures", S, "''"), inDef("min_max", S, "''"),
-        inDef("approx_distinct", S, "''")),
+        inDef("approx_distinct", S, "''"), inDef("auto_refresh", S, "''")),
       StructType(Seq(
         DataTypes.createStructField("view_version", L, false),
         DataTypes.createStructField("versions_applied", L, false))))(
@@ -302,10 +302,14 @@ object GraftProcedures {
         require(Snapshots.versions(s, s"$root/$sourceRel").nonEmpty,
           s"source table $root/$sourceRel does not exist")
         def strOf(i: Int) = in.getUTF8String(i).toString
+        require(strOf(7).isEmpty || Seq("true", "false").contains(strOf(7)),
+          s"auto_refresh must be 'true' or 'false', got '${strOf(7)}'")
         val props = Seq(
           "mv.source" -> sourceRel, "mv.keys" -> strOf(2), "mv.dims" -> strOf(3),
           "mv.measures" -> strOf(4), "mv.minmax" -> strOf(5),
-          "mv.distinct" -> strOf(6)).filter(_._2.nonEmpty)
+          "mv.distinct" -> strOf(6),
+          "mv.auto" -> (if (strOf(7) == "true") "true" else ""))
+          .filter(_._2.nonEmpty)
         Snapshots.commit(s, view, adds = Nil,
           props = props.map { case (k, v) => k -> Some(v) })
         val applied = refreshMv(s, root, view)
@@ -332,7 +336,7 @@ object GraftProcedures {
     * materializes under `<view>/_feed` — outside `data/`/`_index`, so
     * vacuum never touches it and the view table's own commits stay the
     * only ledger. */
-  private def refreshMv(s: SparkSession, root: String, view: String): Seq[Long] = {
+  private[sql] def refreshMv(s: SparkSession, root: String, view: String): Seq[Long] = {
     val props = Snapshots.tableProperties(s, view)
     val sourceRel = props.getOrElse("mv.source",
       throw new IllegalArgumentException(

@@ -76,4 +76,43 @@ class GraftMvSpec extends SparkSpec {
     spark.sql("CALL gmv.system.refresh_mv('mv2')")
     assert(agg() === ((10L, 20L, 2L)))
   }
+
+  test("auto_refresh MV: every read observes a view current with its source") {
+    val src = s"$root/ev3"
+    Snapshots.commitAppend(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "g", "v").coalesce(1),
+      src, recordSchema = true)
+    spark.sql(
+      "CALL gmv.system.create_mv('mv3', 'ev3', 'id', 'g', 'v', '', '', 'true')")
+    def view(): Seq[(String, Long)] =
+      spark.sql("SELECT g, sum_v FROM gmv.mv3 ORDER BY g")
+        .as[(String, Long)].collect().toSeq
+    assert(view() === Seq(("a", 10L), ("b", 20L)))
+    // mutate the source; the NEXT READ folds it — no manual refresh_mv
+    Snapshots.mergeInto(spark, src, Seq((3L, "a", 5L)).toDF("id", "g", "v"),
+      keys = Seq("id"))
+    assert(view() === Seq(("a", 15L), ("b", 20L)))
+    Snapshots.deleteWhere(spark, src, col("id") === 2L)
+    assert(view() === Seq(("a", 15L)))
+    // a fresh view costs one metadata check: reading twice does not
+    // advance the view's version
+    val v0 = Snapshots.currentVersion(spark, s"$root/mv3")
+    view(); view()
+    assert(Snapshots.currentVersion(spark, s"$root/mv3") === v0)
+    // time travel reads the recorded past and must NOT refresh
+    Snapshots.commitAppend(Seq((4L, "c", 7L)).toDF("id", "g", "v").coalesce(1),
+      src, recordSchema = false)
+    assert(spark.sql(s"SELECT g, sum_v FROM gmv.mv3 VERSION AS OF $v0 ORDER BY g")
+      .as[(String, Long)].collect().toSeq === Seq(("a", 15L)))
+    assert(Snapshots.currentVersion(spark, s"$root/mv3") === v0)
+    // …and the next current read catches up
+    assert(view() === Seq(("a", 15L), ("c", 7L)))
+    // a non-auto MV (mv1/mv2 shape) never refreshes on read: pinned by
+    // the bad-arg guard + default
+    val e = intercept[Exception] {
+      spark.sql("CALL gmv.system.create_mv('mv4', 'ev3', 'id', 'g', 'v', '', '', 'yes')")
+        .collect()
+    }
+    assert(e.getMessage.contains("auto_refresh"), e.getMessage)
+  }
 }
