@@ -65,11 +65,27 @@ object Classifier {
                     iters: Int, lrDen: Long = 10L): DataFrame = {
     require(iters >= 1 && lrDen >= 1, s"bad training knobs ($iters, $lrDen)")
     val spark = feats.sparkSession
-    val f = feats.persist(StorageLevel.MEMORY_AND_DISK)
+    // Pre-partition the feature and label tables by `id` ONCE (guide §2.4
+    // "two operations keyed the same way can often share one exchange"):
+    // every iteration aggregates margins by id and joins features ⇄
+    // margins ⇄ labels on id, which un-partitioned costs two full
+    // feature-table shuffles per iteration — O(iters × data) shuffle
+    // bytes. Hash-partitioned-and-persisted, the per-id aggregation and
+    // both id joins reuse the cached layout (margins inherit it through
+    // the broadcast join + aggregation), so the loop's only remaining
+    // exchange is the bucket-sized gradient reduce: one data shuffle
+    // total, regardless of iteration count. DATA-CONDITIONAL: below
+    // ~200k labeled docs the id-joins plan as broadcasts (no shuffle to
+    // save — verified in the one-iteration plan: both id-joins are
+    // BroadcastHashJoin at small scale), so the upfront shuffle would be
+    // pure cost; the layout only pays in the sort-merge regime.
     val lbl = labels.select(col("id"), col("y").cast("double").as("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val gradDen = lrDen * lbl.count() // mean-gradient normalization
+    val nLbl = lbl.count()
+    val gradDen = lrDen * nLbl // mean-gradient normalization
     require(gradDen > 0, "trainLogistic needs at least one labeled doc")
+    val f = (if (nLbl >= 200000L) feats.repartition(col("id")) else feats)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collect {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd

@@ -63,19 +63,58 @@ object LinkGraph {
     // node table; the per-iteration algebra is otherwise identical.
     val nodes0 = w.select(col("src").as("node"))
       .unionByName(w.select(col("dst").as("node"))).distinct()
+    // __dang (no outgoing edges) is a STATIC per-node fact — computed once
+    // here and carried on the node/rank tables, so the per-iteration
+    // dangling-mass aggregate is a FILTER over the checkpointed rank
+    // vector instead of an anti-join against `srcs` (whose plan re-derived
+    // w → outw from the RAW edge list every iteration: one full edge scan
+    // + shuffle per round that the cache never served — at web scale,
+    // iters × O(|E|) wasted work; guide §2.4 "remove shuffles outright")
     val nodes = (seeds match {
       case None => nodes0.withColumn("__seed", lit(1L))
       case Some(sd) => nodes0.join(
           broadcast(sd.select(col(sd.columns.head).as("node"), lit(1L).as("__seed"))),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("__seed"), lit(0L)).as("__seed"))
-    }).persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
+    }).join(outw.select(col("src").as("node"), lit(1L).as("__out")), Seq("node"), "left")
+      .select(col("node"), col("__seed"),
+        col("__out").isNull.cast("long").as("__dang"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodesWide = nodes
+    val n = nodesWide.count()
     if (n == 0) { ew.unpersist(); return nodes.select(col("node"), lit(0L).as("rank_pico")) }
+
+    // SCALE-ADAPTIVE iteration width (guide §2): every round shuffles the
+    // rank vector (O(nodes) rows of ~24 bytes) and scans the cached node
+    // and edge tables, so round cost is (stages × partitions) of task
+    // launches once partitions stop carrying real data. Derive the width
+    // from the measured node count (~100k nodes per partition, floored at
+    // 1, capped at the session setting so a big graph still gets the
+    // configured width). Conf alone is NOT enough: a cached session-width
+    // table anchors every downstream join at that width regardless of the
+    // conf (EnsureRequirements matches the existing partitioning) — which
+    // is exactly what profiling showed (conf-only sizing left the
+    // 2,676-task iteration schedule untouched). So the node cache is
+    // RE-ANCHORED: one node-sized repartition out of the wide cache into
+    // an iterParts-wide cache that the whole loop joins against. Restored
+    // in the finally — the session conf is shared.
+    val prevParts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    val sessionWidth = scala.util.Try(prevParts.toLong).getOrElse(200L)
+    val iterParts = math.min(sessionWidth, n / 100000L + 1L)
+    edges.sparkSession.conf.set("spark.sql.shuffle.partitions", iterParts)
+    val nodesIter =
+      if (iterParts >= sessionWidth) nodesWide // already at the right width
+      else {
+        val ni = nodesWide.repartition(col("node"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        ni.count() // fill from the wide cache — one node-sized shuffle
+        nodesWide.unpersist(blocking = false)
+        ni
+      }
+    val finalRanks = try {
     // teleport denominator: every node (uniform mode) or the seed count
-    val k = seeds.map(_ => nodes.filter(col("__seed") === 1L).count()).getOrElse(n)
+    val k = seeds.map(_ => nodesIter.filter(col("__seed") === 1L).count()).getOrElse(n)
     require(k > 0, "personalized PageRank needs at least one seed present in the graph")
-    val srcs = outw.select(col("src").as("node"))
     val base = (scale - dampNum * scale / dampDen) / k // teleport share, exact ints
 
     def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
@@ -84,12 +123,12 @@ object LinkGraph {
       }
 
     var ranks = init match {
-      case None => nodes.select(col("node"), col("__seed"),
+      case None => nodesIter.select(col("node"), col("__seed"), col("__dang"),
         lit(scale / n).as("rank")).localCheckpoint(true)
       case Some(prev) =>
-        val r0 = nodes.join(prev.select(col("node"), col("rank_pico").as("__pr")),
+        val r0 = nodesIter.join(prev.select(col("node"), col("rank_pico").as("__pr")),
             Seq("node"), "left")
-          .select(col("node"), col("__seed"),
+          .select(col("node"), col("__seed"), col("__dang"),
             coalesce(col("__pr"), lit(scale / n)).as("rank"))
           .localCheckpoint(true)
         // `releaseInit`: the warm-start ranks are folded into r0 above, so
@@ -108,11 +147,13 @@ object LinkGraph {
       val contrib = ew.join(ranks, ew("src") === ranks("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("(rank * w) div outw")).as("c"))
-      val dangling = ranks.join(srcs, Seq("node"), "left_anti")
+      // dangling mass: a filter over the (checkpointed) rank vector — the
+      // __dang flag was joined once at build time
+      val dangling = ranks.filter(col("__dang") === 1L)
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      val next = nodesIter.join(contrib, Seq("node"), "left")
         .crossJoin(dangling) // one-row scalar — broadcast, not a real cross
-        .select(col("node"), col("__seed"),
+        .select(col("node"), col("__seed"), col("__dang"),
           (expr(s"if(__seed = 1L, ${base}L, 0L)") +
             expr(s"($dampNum * (coalesce(c, 0L) + if(__seed = 1L, dm div ${k}L, 0L))) div $dampDen"))
           .as("rank"))
@@ -123,9 +164,11 @@ object LinkGraph {
       ranksRdds = nextRdds
       i += 1
     }
+    ranks
+    } finally edges.sparkSession.conf.set("spark.sql.shuffle.partitions", prevParts)
     ew.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    ranks.select(col("node"), col("rank").cast("long").as("rank_pico"))
+    nodesIter.unpersist(blocking = false)
+    finalRanks.select(col("node"), col("rank").cast("long").as("rank_pico"))
   }
 
   /** The unrolled-iteration CTE block of the oracle, prefixed so multiple
@@ -230,8 +273,13 @@ object LinkGraph {
         greatest(col(src), col(dst)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+    // partitioned by the join key ONCE: every round joins labels on `nb`,
+    // so the cached layout already satisfies the join's distribution and
+    // only the (node-sized) label table moves per round — without this
+    // the adjacency re-shuffles every iteration (guide §2.4)
     val adj = e.select(col("u").as("node"), col("v").as("nb"))
       .unionAll(e.select(col("v").as("node"), col("u").as("nb")))
+      .repartition(col("nb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collect {

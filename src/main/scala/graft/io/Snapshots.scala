@@ -151,6 +151,36 @@ object Snapshots {
     finally in.close()
   }
 
+  /** Parsed-manifest cache. Every metadata accessor (live set, schema,
+    * properties, stats, notes, history) replays the manifest log from
+    * scratch, and a multi-statement SQL session replays it per statement —
+    * profiled at sf0.1, the lifecycle fixtures spend ~half their wall in
+    * driver-side gaps of which repeated manifest open+read+parse is a
+    * steady component, and on an object store each re-read is a GET.
+    * Commit manifests are write-once (create-exclusive publish, only
+    * expiry ever deletes them), so their parsed form is cacheable;
+    * checkpoint files can be REWRITTEN in place (the damaged-checkpoint
+    * repair path), so entries validate against (length, mtime) before
+    * being served — one cheap metadata call instead of open+read+parse.
+    * The cache is capacity-bounded and cleared wholesale on overflow
+    * (manifests are KBs; 64 Ki entries bounds it at tens of MB). */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[(String, String)])]()
+
+  private def parsedManifest(f: FileSystem, p: Path): Seq[(String, String)] = {
+    val st = f.getFileStatus(p) // same FileNotFoundException contract as open()
+    val key = p.toString
+    val hit = manifestCache.get(key)
+    if (hit != null && hit._1 == st.getLen && hit._2 == st.getModificationTime)
+      hit._3
+    else {
+      val parsed = readLines(f, p).flatMap(parseLine)
+      if (manifestCache.size > 65536) manifestCache.clear()
+      manifestCache.put(key, (st.getLen, st.getModificationTime, parsed))
+      parsed
+    }
+  }
+
   /** Create-exclusive PUBLISH — THE commit primitive. The manifest must be
     * either ABSENT or COMPLETE: a concurrent reader that lists the new
     * version mid-write and replays an empty/partial v-file would derive a
@@ -359,25 +389,9 @@ object Snapshots {
       // propsOf sees the freshly written parts — the identity-watermark
       // hook (a caller deriving property updates from the written data)
       props = propsOf(parts),
-      stats = computeStats(spark, dir, parts, statsCols) ++
-        (if (recordRowCounts) rowCountStats(spark, dir, parts) else Nil),
+      stats = computeStats(spark, dir, parts, statsCols,
+        withRowCounts = recordRowCounts),
       notes = notes)
-  }
-
-  /** Per-file exact row counts over a freshly written dir — one
-    * input_file_name-grouped count, collected at O(#files) like
-    * [[computeStats]]. */
-  private[graft] def rowCountStats(spark: SparkSession, dir: String,
-                                   parts: Seq[String]): Seq[FileStat] = {
-    import org.apache.spark.sql.functions.{count, input_file_name, lit}
-    if (parts.isEmpty) return Nil
-    val byName = parts.map(p => new Path(p).getName -> p).toMap
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("__f")).agg(count(lit(1)).as("__n"))
-      .collect().toSeq.flatMap { r =>
-        byName.get(new Path(r.getString(0)).getName).map(p =>
-          FileStat(p, RowsStat, "bigint", r.getLong(1).toString, r.getLong(1).toString))
-      }
   }
 
   /** COUNT(*) from manifest metadata — zero data files opened for every
@@ -409,25 +423,30 @@ object Snapshots {
     * Scan-file URIs are matched back to the listed part paths by file
     * name: Spark part names embed the write job's UUID, so they are
     * unique across the table's lifetime. All-null files emit no stat
-    * (conservatively unprunable). */
+    * (conservatively unprunable). `withRowCounts` folds the per-file
+    * exact row count ([[RowsStat]]) into the SAME aggregation pass —
+    * previously a second O(written files) scan job per commit; every
+    * commit that records both now reads its fresh files once. */
   private[graft] def computeStats(spark: SparkSession, dir: String,
                                   parts: Seq[String],
-                                  statsCols: Seq[String]): Seq[FileStat] = {
+                                  statsCols: Seq[String],
+                                  withRowCounts: Boolean = false): Seq[FileStat] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-    if (statsCols.isEmpty || parts.isEmpty) return Nil
+    if (parts.isEmpty || (statsCols.isEmpty && !withRowCounts)) return Nil
     val raw0 = spark.read.parquet(dir)
     // inherited stat columns may name a column the rewrite no longer
     // carries (ALTER DROP COLUMN): skip them, never throw
     val present = raw0.schema.fieldNames.toSet
     val keep = statsCols.filter(present)
-    if (keep.isEmpty) return Nil
-    return computeStatsOn(spark, raw0, parts, keep)
+    if (keep.isEmpty && !withRowCounts) return Nil
+    return computeStatsOn(spark, raw0, parts, keep, withRowCounts)
   }
 
   private def computeStatsOn(spark: SparkSession, raw: DataFrame,
                              parts: Seq[String],
-                             statsCols: Seq[String]): Seq[FileStat] = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+                             statsCols: Seq[String],
+                             withRowCounts: Boolean = false): Seq[FileStat] = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     // session-zoned TIMESTAMP stats render under the WRITE session's time
     // zone (`cast AS STRING`); stamp that zone into the dtype so a READ
     // session in a different zone declines the comparison instead of
@@ -441,7 +460,8 @@ object Snapshots {
     }.toMap
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
-      max(col(c)).cast("string").as(s"__max_$c")))
+      max(col(c)).cast("string").as(s"__max_$c"))) ++
+      (if (withRowCounts) Seq(count(lit(1)).as("__n")) else Nil)
     val byName = parts.map(p => new Path(p).getName -> p).toMap
     raw.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -456,7 +476,10 @@ object Snapshots {
             if (lo == null || hi == null ||
                 lo.contains(StatSep) || hi.contains(StatSep)) None
             else Some(FileStat(p, c, dtypes(c), lo, hi))
-          }
+          } ++ (if (withRowCounts) {
+            val n = r.getLong(1 + 2 * statsCols.length).toString
+            Seq(FileStat(p, RowsStat, "bigint", n, n))
+          } else Nil)
         }
       }
   }
@@ -472,8 +495,8 @@ object Snapshots {
     val live = liveFiles(spark, table, Some(v)).toSet
     val seen = scala.collection.mutable.HashSet.empty[(String, String)]
     val out = scala.collection.mutable.ArrayBuffer.empty[FileStat]
-    def fold(lines: Seq[String]): Unit =
-      lines.flatMap(parseLine).foreach {
+    def fold(lines: Seq[(String, String)]): Unit =
+      lines.foreach {
         case ("stat", payload) =>
           payload.split(StatSep, 5) match {
             case Array(p, cl, dt, lo, hi)
@@ -484,13 +507,13 @@ object Snapshots {
         case _ =>
       }
     versions(spark, table).filter(_ <= v).foreach { c =>
-      fold(readLines(f, new Path(f"${manifestDir(table)}/v$c%010d.json")))
+      fold(parsedManifest(f, new Path(f"${manifestDir(table)}/v$c%010d.json")))
     }
     // full-state checkpoints carry the live files' stats forward across
     // [[expireVersions]]; pre-expiry the commits above already held them
     // (stats are immutable per (path, column), so the dedup is exact)
     checkpointVersions(spark, table).filter(_ <= v).sorted.lastOption.foreach { c =>
-      fold(readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json")))
+      fold(parsedManifest(f, new Path(f"${manifestDir(table)}/c$c%010d.json")))
     }
     // metadata-only RENAME: stats recorded under the old PHYSICAL name
     // surface under the current LOGICAL name, so pruning (and stat
@@ -1265,12 +1288,10 @@ object Snapshots {
       }
     val version = commit(spark, table, adds = newParts ++ survParts,
       removes = touched, baseVersion = Some(v),
-      stats = computeStats(spark, newDir, newParts, statCols) ++
-        computeStats(spark, survDir, survParts, statCols) ++
-        (if (keepRowCounts)
-          rowCountStats(spark, newDir, newParts) ++
-            rowCountStats(spark, survDir, survParts)
-         else Nil))
+      stats = computeStats(spark, newDir, newParts, statCols,
+          withRowCounts = keepRowCounts) ++
+        computeStats(spark, survDir, survParts, statCols,
+          withRowCounts = keepRowCounts))
     DeleteResult(version, touched, live.size - touched.size)
   }
 
@@ -1400,8 +1421,8 @@ object Snapshots {
       }
     val version = commit(spark, table, adds = parts,
       removes = touched ++ dvLive, baseVersion = Some(v),
-      stats = computeStats(spark, dir, parts, statCols) ++
-        (if (keepRowCounts) rowCountStats(spark, dir, parts) else Nil),
+      stats = computeStats(spark, dir, parts, statCols,
+        withRowCounts = keepRowCounts),
       notes = note.toSeq ++ extraNotes, dvAdds = dvParts)
     DeleteResult(version, touched, live.size - touched.size)
   }
@@ -1774,8 +1795,8 @@ object Snapshots {
     val version = commit(spark, table, adds = parts,
       removes = touchedAll ++ (if (dvParts.nonEmpty || (dvLive.nonEmpty && touched.nonEmpty)) dvLive else Nil),
       baseVersion = Some(v), props = identityProps(parts),
-      stats = computeStats(spark, dir, parts, statCols) ++
-        (if (keepRowCounts) rowCountStats(spark, dir, parts) else Nil),
+      stats = computeStats(spark, dir, parts, statCols,
+        withRowCounts = keepRowCounts),
       notes = note.toSeq, dvAdds = dvParts)
     DeleteResult(version, touchedAll, live.size - touchedAll.size)
   }
@@ -1847,8 +1868,8 @@ object Snapshots {
       Constraints.validate(spark, table, spark.read.parquet(parts: _*), kind)
     val version = commit(spark, table, adds = parts, removes = touched,
       baseVersion = Some(v),
-      stats = computeStats(spark, dir, parts, statCols) ++
-        (if (keepRowCounts) rowCountStats(spark, dir, parts) else Nil))
+      stats = computeStats(spark, dir, parts, statCols,
+        withRowCounts = keepRowCounts))
     DeleteResult(version, touched, liveSize - touched.size)
   }
 
@@ -1875,8 +1896,7 @@ object Snapshots {
         .map(_.getPath.toString)
       val stats =
         if (clusterCols.isEmpty) Nil
-        else computeStats(spark, dir, parts, clusterCols) ++
-          rowCountStats(spark, dir, parts)
+        else computeStats(spark, dir, parts, clusterCols, withRowCounts = true)
       // streaming ingest honors CHECK constraints like any other writer
       if (parts.nonEmpty)
         Constraints.validate(spark, table, spark.read.parquet(parts: _*), "ingested")
@@ -1983,16 +2003,16 @@ object Snapshots {
     val f = fs(spark, table)
     val v = version.getOrElse(currentVersion(spark, table))
     versions(spark, table).filter(_ <= v).sorted.reverse.view.flatMap { c =>
-      readLines(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))
-        .flatMap(parseLine).collectFirst { case ("schema", s) =>
+      parsedManifest(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))
+        .collectFirst { case ("schema", s) =>
           org.apache.spark.sql.types.DataType.fromJson(s).asInstanceOf[StructType]
         }
     }.headOption.orElse {
       // stamps committed before an [[expireVersions]] horizon survive in
       // the full-state checkpoint (the commits that carried them are gone)
       checkpointVersions(spark, table).filter(_ <= v).sorted.reverse.view.flatMap { c =>
-        readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
-          .flatMap(parseLine).collectFirst { case ("schema", s) =>
+        parsedManifest(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
+          .collectFirst { case ("schema", s) =>
             org.apache.spark.sql.types.DataType.fromJson(s).asInstanceOf[StructType]
           }
       }.headOption
@@ -2020,8 +2040,8 @@ object Snapshots {
     }.sorted.lastOption
     val known = names.flatMap { case CommitFile(c) => Some(c.toLong); case _ => None }.toSet
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def fold(lines: Seq[String]): Unit =
-      lines.flatMap(parseLine).foreach {
+    def fold(lines: Seq[(String, String)]): Unit =
+      lines.foreach {
         case ("prop", payload) => payload.split(StatSep, 2) match {
           case Array(k, value) => out(k) = value
           case Array(k)        => out.remove(k)
@@ -2029,9 +2049,9 @@ object Snapshots {
         }
         case _ =>
       }
-    ckpt.foreach(c => fold(readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))))
+    ckpt.foreach(c => fold(parsedManifest(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))))
     (ckpt.getOrElse(0L) + 1 to v).filter(known).foreach(c =>
-      fold(readLines(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))))
+      fold(parsedManifest(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))))
     out.toMap
   }
 
@@ -2053,8 +2073,8 @@ object Snapshots {
       s"version $v of $table does not exist")
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     ckpt.foreach { c =>
-      readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
-        .flatMap(parseLine).foreach {
+      parsedManifest(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
+        .foreach {
           // checkpoints carry "add" (data) and "dv" (tombstone) lines;
           // only the data files belong to the live set
           case ("add", p) => live += p
@@ -2063,8 +2083,8 @@ object Snapshots {
     }
     val from = ckpt.getOrElse(0L) + 1
     (from to v).filter(known).foreach { c =>
-      readLines(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))
-        .flatMap(parseLine).foreach {
+      parsedManifest(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))
+        .foreach {
           case ("add", p)    => live += p
           case ("remove", p) => live -= p
           case _             =>
@@ -2092,13 +2112,13 @@ object Snapshots {
     val known = names.flatMap { case CommitFile(c) => Some(c.toLong); case _ => None }.toSet
     val dv = scala.collection.mutable.LinkedHashSet.empty[String]
     ckpt.foreach { c =>
-      readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
-        .flatMap(parseLine).foreach { case ("dv", p) => dv += p; case _ => }
+      parsedManifest(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
+        .foreach { case ("dv", p) => dv += p; case _ => }
     }
     val from = ckpt.getOrElse(0L) + 1
     (from to v).filter(known).foreach { c =>
-      readLines(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))
-        .flatMap(parseLine).foreach {
+      parsedManifest(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))
+        .foreach {
           case ("dv", p)     => dv += p
           case ("remove", p) => dv -= p
           case _             =>
@@ -2126,13 +2146,13 @@ object Snapshots {
     val known = names.flatMap { case CommitFile(c) => Some(c.toLong); case _ => None }.toSet
     val bl = scala.collection.mutable.LinkedHashSet.empty[String]
     ckpt.foreach { c =>
-      readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
-        .flatMap(parseLine).foreach { case ("bloom", p) => bl += p; case _ => }
+      parsedManifest(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
+        .foreach { case ("bloom", p) => bl += p; case _ => }
     }
     val from = ckpt.getOrElse(0L) + 1
     (from to v).filter(known).foreach { c =>
-      readLines(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))
-        .flatMap(parseLine).foreach {
+      parsedManifest(f, new Path(f"${manifestDir(table)}/v$c%010d.json"))
+        .foreach {
           case ("bloom", p)  => bl += p
           case ("remove", p) => bl -= p
           case _             =>
@@ -2408,7 +2428,9 @@ object Snapshots {
       lines.flatMap(parseLine).groupBy(_._1).map { case (a, xs) =>
         a -> xs.map(_._2).toSet
       }
-    val got = byAction(readLines(f, p))
+    val got = parsedManifest(f, p).groupBy(_._1).map { case (a, xs) =>
+      a -> xs.map(_._2).toSet
+    }
     val want = byAction(expected)
     // notes compare as sets here (duplicate ledger entries collapse under
     // Set, but the ledger is append-only strings — a stale checkpoint is
@@ -2436,8 +2458,8 @@ object Snapshots {
     val f = fs(spark, table)
     val known = versions(spark, table)
     def commitNotes(vs: Seq[Long]): Seq[String] = vs.flatMap { v =>
-      readLines(f, new Path(f"${manifestDir(table)}/v$v%010d.json"))
-        .flatMap(parseLine).collect { case ("note", s) => s }
+      parsedManifest(f, new Path(f"${manifestDir(table)}/v$v%010d.json"))
+        .collect { case ("note", s) => s }
     }
     // commits are numbered from 1 and only expiry deletes manifests, so a
     // missing v1 is THE signal that history was truncated below a
@@ -2447,8 +2469,8 @@ object Snapshots {
     (truncated, ckpt) match {
       case (false, _) | (true, None) => commitNotes(known.filter(_ <= version))
       case (true, Some(c)) =>
-        val prefix = readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
-          .flatMap(parseLine).collect { case ("note", s) => s }
+        val prefix = parsedManifest(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
+          .collect { case ("note", s) => s }
         prefix ++ commitNotes(known.filter(v => v > c && v <= version))
     }
   }
@@ -2482,8 +2504,8 @@ object Snapshots {
       var adds = 0; var removes = 0; var dvs = 0; var schema = false
       var ts = 0L
       val notes = scala.collection.mutable.ArrayBuffer.empty[String]
-      readLines(f, new Path(f"${manifestDir(table)}/v$v%010d.json"))
-        .flatMap(parseLine).foreach {
+      parsedManifest(f, new Path(f"${manifestDir(table)}/v$v%010d.json"))
+        .foreach {
           case ("add", _)    => adds += 1
           case ("remove", _) => removes += 1
           case ("dv", _)     => dvs += 1
@@ -2513,8 +2535,8 @@ object Snapshots {
     // version that could include the file is itself expired — that
     // distinction is what lets expiry actually free storage.
     versions(spark, table).foreach { v =>
-      readLines(f, new Path(f"${manifestDir(table)}/v$v%010d.json"))
-        .flatMap(parseLine).foreach {
+      parsedManifest(f, new Path(f"${manifestDir(table)}/v$v%010d.json"))
+        .foreach {
           case ("add", p)   => referenced += p
           case ("dv", p)    => referenced += p
           case ("bloom", p) => referenced += p
@@ -2522,8 +2544,8 @@ object Snapshots {
         }
     }
     checkpointVersions(spark, table).foreach { c =>
-      readLines(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
-        .flatMap(parseLine).foreach {
+      parsedManifest(f, new Path(f"${manifestDir(table)}/c$c%010d.json"))
+        .foreach {
           case ("add", p)   => referenced += p
           case ("dv", p)    => referenced += p
           case ("bloom", p) => referenced += p
@@ -2826,7 +2848,7 @@ object Snapshots {
     * ts lines existed (second-granular locally, fs-dependent generally). */
   private def commitTs(f: FileSystem, table: String, v: Long): Long = {
     val p = new Path(f"${manifestDir(table)}/v$v%010d.json")
-    readLines(f, p).flatMap(parseLine)
+    parsedManifest(f, p)
       .collectFirst { case ("ts", s) => s.toLong }
       .getOrElse(f.getFileStatus(p).getModificationTime)
   }
@@ -2920,8 +2942,8 @@ object Snapshots {
     val keepRowCounts = retiredStats.exists(_.column == RowsStat)
     val nv = commit(spark, table, adds = parts, removes = small.map(_._1),
       baseVersion = Some(v),
-      stats = computeStats(spark, dir, parts, statCols) ++
-        (if (keepRowCounts) rowCountStats(spark, dir, parts) else Nil),
+      stats = computeStats(spark, dir, parts, statCols,
+        withRowCounts = keepRowCounts),
       bloomAdds = bloomParts)
     CompactSmallResult(nv, small.size, parts.size, files.size - small.size)
   }
@@ -3394,8 +3416,8 @@ object Snapshots {
     val keepRowCounts = retiredStats.exists(_.column == RowsStat)
     val nv = commit(spark, table, adds = parts,
       removes = files ++ dvs ++ oldSidecars, baseVersion = Some(v),
-      stats = computeStats(spark, dir, parts, statCols) ++
-        (if (keepRowCounts) rowCountStats(spark, dir, parts) else Nil),
+      stats = computeStats(spark, dir, parts, statCols,
+        withRowCounts = keepRowCounts),
       bloomAdds = bloomParts)
     OptimizeResult(nv, files.size, parts.size)
   }

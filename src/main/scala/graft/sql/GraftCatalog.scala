@@ -957,9 +957,8 @@ object GraftTable {
       try {
         Snapshots.commit(spark, path, adds = parts,
           removes = removes, baseVersion = Some(v),
-          stats = Snapshots.computeStats(spark, dir, parts, statCols) ++
-            (if (statCols.nonEmpty) Snapshots.rowCountStats(spark, dir, parts)
-             else Nil))
+          stats = Snapshots.computeStats(spark, dir, parts, statCols,
+            withRowCounts = statCols.nonEmpty))
         done = true
       } catch {
         case _: Snapshots.ConcurrentCommitException if attempts < 20 =>
@@ -1190,9 +1189,8 @@ object GraftWriteBuilder {
         try {
           Snapshots.commit(spark, path, adds = parts, removes = removes,
             baseVersion = Some(v), props = propUps,
-            stats = Snapshots.computeStats(spark, dir, parts, statCols) ++
-              (if (statCols.nonEmpty) Snapshots.rowCountStats(spark, dir, parts)
-               else Nil))
+            stats = Snapshots.computeStats(spark, dir, parts, statCols,
+              withRowCounts = statCols.nonEmpty))
           done = true
         } catch {
           // a racing writer may have minted the same ids: re-derive against
