@@ -23,6 +23,78 @@ object Cleaning {
   def percentileOf(c: Column, p: Double, exact: Boolean = true): Column =
     if (exact) percentile(c, lit(p)) else percentile_approx(c, lit(p), lit(10000))
 
+  /** EXACT scalar percentile by distributed sort + global-rank selection —
+    * the scale-safe replacement for a GLOBAL `percentile(c, p)` aggregate
+    * (per-group percentiles keep the aggregate: their state parallelizes
+    * across groups).
+    *
+    * Why: the built-in exact `percentile` is an imperative aggregate that
+    * builds a value→count OpenHashMap per partition and merges EVERY map
+    * in the single final-aggregation task — on a mostly-distinct numeric
+    * column the merge deserializes the whole column into one task (the
+    * single-reducer bottleneck locally; an OOM at 100 TB — the documented
+    * mitigation was falling back to approx). Sorted selection keeps every
+    * step partition-parallel and bounded: project + null-filter the one
+    * column, cache it, count, total-order sort (range shuffle), global
+    * index, and collect exactly the ≤2·|ps| boundary rows.
+    *
+    * Bit-parity: reproduces `Percentile.getPercentile` exactly —
+    * `position = (n−1)·p`, `lower = ⌊position⌋`, `higher = ⌈position⌉`,
+    * result `(higher−position)·v_lo + (position−lower)·v_hi` in the same
+    * double operations, values converted to double only at the end (the
+    * aggregate's `toDoubleValue` order), equal-rank / equal-value
+    * short-circuits included — pinned bit-for-bit against the aggregate
+    * over randomized data in CleaningSpec.
+    *
+    * Returns one result per requested p (None = no non-null input). */
+  def percentilesSelect(df: DataFrame, c: Column,
+                        ps: Seq[Double]): Seq[Option[Double]] = {
+    import org.apache.spark.storage.StorageLevel
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), s"percentages out of [0,1]: $ps")
+    val proj = df.select(c.as("__v")).where(col("__v").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = proj.count()
+      if (n == 0) return ps.map(_ => None)
+      def toDoubleValue(a: Any): Double = a match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case d: java.math.BigDecimal               => d.doubleValue()
+        case x: Number                             => x.doubleValue()
+      }
+      val wanted: Map[Double, (Long, Long, Double)] = ps.map { p =>
+        val position = (n - 1).toDouble * p
+        p -> (position.floor.toLong, position.ceil.toLong, position)
+      }.toMap
+      val ranks = wanted.values.flatMap(t => Seq(t._1, t._2)).toSet
+      // InternalRow path: `.rdd` would convert every row to an external
+      // Row (measured ~0.2 s per call at 600k rows); extracting the one
+      // value per InternalRow is the lean conversion. Extraction happens
+      // BEFORE zipWithIndex — the scan reuses its UnsafeRow buffer, so the
+      // row reference must not outlive the iterator step.
+      val dt = proj.schema.head.dataType
+      val picked: Map[Long, Any] = proj.orderBy(col("__v"))
+        .queryExecution.toRdd.map(_.get(0, dt)).zipWithIndex()
+        .filter(x => ranks.contains(x._2))
+        .collect().map { case (v, i) => i -> v }.toMap
+      ps.map { p =>
+        val (lower, higher, position) = wanted(p)
+        val lv = picked(lower)
+        Some(
+          if (higher == lower) toDoubleValue(lv)
+          else {
+            val hv = picked(higher)
+            if (hv == lv) toDoubleValue(lv)
+            else (higher.toDouble - position) * toDoubleValue(lv) +
+              (position - lower.toDouble) * toDoubleValue(hv)
+          })
+      }
+    } finally proj.unpersist(blocking = false)
+  }
+
+  /** [[percentilesSelect]] for one percentage. */
+  def percentileSelect(df: DataFrame, c: Column, p: Double): Option[Double] =
+    percentilesSelect(df, c, Seq(p)).head
+
   /** C1 — median imputation for several numeric columns in ONE aggregation
     * pass (pandas `fillna(col.median())`, `DP:86-95`). Exact interpolating
     * median, nulls excluded — matches pandas.
@@ -31,6 +103,13 @@ object Cleaning {
     val present = cols.filter(df.columns.contains)
     if (present.isEmpty) df
     else {
+      // stays on the one-pass percentile AGGREGATE deliberately: imputed
+      // columns are low-cardinality counts/codes (quantities, rate codes),
+      // where the aggregate's value map is tiny and its map-side combine
+      // beats a sort — measured: routing the single-column case through
+      // [[percentilesSelect]] cost q24 ~+0.3 s. The selection path is for
+      // CONTINUOUS columns (caps, MAD), where the map degenerates to the
+      // whole column in one merge task.
       val aggs = present.map(c => percentileOf(col(c), 0.5, exact).as(c))
       val row = df.agg(aggs.head, aggs.tail: _*).first()
       // exact percentile returns DOUBLE; percentile_approx returns the
@@ -98,9 +177,15 @@ object Cleaning {
     */
   def quantileCap(df: DataFrame, target: String, bad: Column, basis: Column,
                   q: Double, exact: Boolean = true): DataFrame = {
-    val cap = df.agg(percentileOf(basis, q, exact)).first() match {
-      case r if r.isNullAt(0) => return df
-      case r                  => r.get(0).asInstanceOf[Number].doubleValue()
+    val capOpt =
+      if (exact) percentileSelect(df, basis, q) // sorted selection, no map-merge
+      else df.agg(percentileOf(basis, q, exact)).first() match {
+        case r if r.isNullAt(0) => None
+        case r                  => Some(r.get(0).asInstanceOf[Number].doubleValue())
+      }
+    val cap = capOpt match {
+      case None    => return df
+      case Some(v) => v
     }
     // cast back: the double quantile literal must not widen a float32
     // column (float32 end-to-end parity, SURVEY §7.5.4)
@@ -155,12 +240,17 @@ object Cleaning {
     * rather than special-cased. */
   def madOutlierFilter(df: DataFrame, target: String, k: Double = 3.5,
                        exact: Boolean = true): DataFrame = {
-    val med = df.agg(percentileOf(col(target), 0.5, exact)).first() match {
-      case r if r.isNullAt(0) => return df.filter(lit(false)) // all null: nothing survives
-      case r                  => r.get(0).asInstanceOf[Number].doubleValue()
+    def scalar(c: Column): Option[Double] =
+      if (exact) percentileSelect(df, c, 0.5) // sorted selection, no map-merge
+      else df.agg(percentileOf(c, 0.5, exact)).first() match {
+        case r if r.isNullAt(0) => None
+        case r                  => Some(r.get(0).asInstanceOf[Number].doubleValue())
+      }
+    val med = scalar(col(target)) match {
+      case None    => return df.filter(lit(false)) // all null: nothing survives
+      case Some(m) => m
     }
-    val mad = df.agg(percentileOf(abs(col(target) - med), 0.5, exact)).first()
-      .get(0).asInstanceOf[Number].doubleValue()
+    val mad = scalar(abs(col(target) - med)).get
     df.filter(abs(col(target) - med) <= k * mad)
   }
 

@@ -138,7 +138,7 @@ object CoreQueries {
     QuerySpec("q09_quantile_cap",
       (s, d) => {
         val li = Tables.lineitem(s, d)
-        val p99 = math.rint(li.agg(percentile(col("l_extendedprice"), lit(0.99))).first().getDouble(0) * 100) / 100.0
+        val p99 = math.rint(Cleaning.percentileSelect(li, col("l_extendedprice"), 0.99).get * 100) / 100.0
         li.withColumn("capped", when(col("l_extendedprice") > p99, lit(p99)).otherwise(col("l_extendedprice")))
           .groupBy("l_returnflag")
           .agg(moneySum(col("capped")).as("capped_total"),
@@ -354,7 +354,7 @@ object CoreQueries {
         // (+2.2s) costs more than recomputing the dedup shuffle (1.7s) at
         // this scale; on a cluster with a wider upstream you'd persist here
         val deduped = Dedup.exact(imputed)
-        val p99 = math.rint(deduped.agg(percentile(col("p"), lit(0.99))).first().getDouble(0) * 100) / 100.0
+        val p99 = math.rint(Cleaning.percentileSelect(deduped, col("p"), 0.99).get * 100) / 100.0
         val capped = deduped.withColumn("p", when(col("p") > p99, lit(p99)).otherwise(col("p")))
         capped.filter(col("q") > 2)
           .groupBy("f")

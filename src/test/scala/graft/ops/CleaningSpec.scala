@@ -162,4 +162,39 @@ class CleaningSpec extends SparkSpec {
     val approx = df.agg(Cleaning.percentileOf($"v", 0.99, exact = false)).first().getDouble(0)
     assert(math.abs(exact - approx) / exact < 0.01)
   }
+
+  test("percentilesSelect is BIT-identical to the exact percentile aggregate") {
+    // the sorted-selection path replaces the aggregate on scalar call
+    // sites, so any last-ulp divergence would flip boundary rows of a
+    // downstream filter and break oracle hashes — require exact ==
+    val rnd = new scala.util.Random(20260819)
+    val pcts = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.95, 0.99, 1.0)
+    // doubles with duplicates, negatives, and skew
+    val doubles = Seq.fill(5000)(math.floor(rnd.nextDouble() * 2000 - 500) / 4.0) ++
+      Seq.fill(50)(rnd.nextDouble() * 1e9)
+    val dDf = rnd.shuffle(doubles).toDF("v")
+    val aggD = dDf.agg(
+      percentile($"v", typedLit(pcts)).as("ps")).first().getSeq[Double](0)
+    val selD = Cleaning.percentilesSelect(dDf, $"v", pcts).map(_.get)
+    pcts.indices.foreach { i =>
+      assert(java.lang.Double.doubleToRawLongBits(aggD(i)) ===
+        java.lang.Double.doubleToRawLongBits(selD(i)),
+        s"double mismatch at p=${pcts(i)}: agg=${aggD(i)} sel=${selD(i)}")
+    }
+    // longs (integral toDoubleValue at the end, not before the sort)
+    val longs = Seq.fill(3000)(rnd.nextLong() % 100000L)
+    val lDf = rnd.shuffle(longs).toDF("v")
+    val aggL = lDf.agg(percentile($"v", typedLit(pcts)).as("ps"))
+      .first().getSeq[Double](0)
+    val selL = Cleaning.percentilesSelect(lDf, $"v", pcts).map(_.get)
+    pcts.indices.foreach(i => assert(
+      java.lang.Double.doubleToRawLongBits(aggL(i)) ===
+        java.lang.Double.doubleToRawLongBits(selL(i)),
+      s"long mismatch at p=${pcts(i)}"))
+    // edges: single row, all-equal, all-null
+    assert(Cleaning.percentileSelect(Seq(7.0).toDF("v"), $"v", 0.5) === Some(7.0))
+    assert(Cleaning.percentileSelect(Seq(3.0, 3.0, 3.0).toDF("v"), $"v", 0.75) === Some(3.0))
+    assert(Cleaning.percentileSelect(
+      Seq[Option[Double]](None, None).toDF("v"), $"v", 0.5) === None)
+  }
 }
