@@ -35,11 +35,14 @@ object ProbeQueryJobs {
     val nTasks = new AtomicInteger(0)
     val nStages = new AtomicInteger(0)
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val inFlight = new AtomicInteger(0)
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        nJobs.incrementAndGet(); jobStart.put(e.jobId, System.nanoTime())
+        nJobs.incrementAndGet(); inFlight.incrementAndGet()
+        jobStart.put(e.jobId, System.nanoTime())
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        inFlight.decrementAndGet()
         val t0 = jobStart.remove(e.jobId)
         if (t0 != null) jobWallNs.addAndGet(System.nanoTime() - t0)
       }
@@ -60,6 +63,37 @@ object ProbeQueryJobs {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // GAP SAMPLER: every 10 ms, when no Spark job is in flight (the
+    // listener's in-flight counter is ~0), record the main thread's top
+    // interesting frame — attributes the driver-side gap (wall − Σ job
+    // wall) to planning / manifest IO / commit glue by code location.
+    val mainThread = Thread.currentThread()
+    val gapFrames = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val sampling = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pyDumped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling.get() && inFlight.get() == 0) {
+          val st = mainThread.getStackTrace
+          val top = st.find { f =>
+            val c = f.getClassName
+            (c.startsWith("org.apache.spark") || c.startsWith("graft")) &&
+              !c.contains("ProbeQueryJobs")
+          }
+          top.foreach { f =>
+            val key = s"${f.getClassName.stripPrefix("org.apache.spark.")}.${f.getMethodName}"
+            gapFrames.merge(key, 1, (a, b) => a + b)
+            if (key.contains("Python") && pyDumped.compareAndSet(false, true))
+              System.err.println("[gap] PYTHON STACK:\n  " +
+                st.take(40).mkString("\n  "))
+          }
+        }
+        Thread.sleep(10)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+
     // warmup identical to Bench
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.queries.Registry.queries("q02_pricing_summary")(spark, sfDir).count()
@@ -78,6 +112,7 @@ object ProbeQueryJobs {
       Thread.sleep(400)
       nJobs.set(0); jobWallNs.set(0L); taskTimeMs.set(0L)
       shuffleRead.set(0L); shuffleWrite.set(0L); nTasks.set(0); nStages.set(0)
+      gapFrames.clear(); sampling.set(true)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -86,7 +121,14 @@ object ProbeQueryJobs {
           println(s"$name FAILED: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
       }
       val wall = (System.nanoTime() - t0) / 1e9
+      sampling.set(false)
       Thread.sleep(400)
+      if (sys.env.contains("SPARK_GRAFT_PROBE_GAP")) {
+        import scala.jdk.CollectionConverters._
+        gapFrames.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (k, c) =>
+          println(f"    gap $c%4d  $k")
+        }
+      }
       val jw = jobWallNs.get() / 1e9
       println(f"$name%-32s $wall%8.2f ${nJobs.get()}%5d $jw%8.2f ${wall - jw}%7.2f ${taskTimeMs.get() / 60000.0}%8.2f ${nTasks.get()}%6d ${nStages.get()}%6d ${shuffleRead.get() / 1e6}%7.1f ${shuffleWrite.get() / 1e6}%7.1f")
       spark.catalog.clearCache()

@@ -439,7 +439,107 @@ object Snapshots {
     val present = raw0.schema.fieldNames.toSet
     val keep = statsCols.filter(present)
     if (keep.isEmpty && !withRowCounts) return Nil
-    return computeStatsOn(spark, raw0, parts, keep, withRowCounts)
+    // METADATA-ONLY fast path (guide §6 — the Iceberg manifest contract):
+    // the parquet writer already recorded per-row-group min/max and row
+    // counts in the file FOOTERS, so for dtypes whose footer values render
+    // identically to the scan's `cast AS STRING` (integrals, float/double,
+    // date) the stats pass needs no Spark job and re-reads no data —
+    // O(#files) footer reads instead of an O(written bytes) scan per
+    // commit. Strings (footer min/max may be truncated), timestamps
+    // (session-zone rendering), decimals, and any footer with missing or
+    // NaN-polluted statistics fall back to the exact scan pass.
+    footerStats(spark, raw0.schema, parts, keep, withRowCounts) match {
+      case Some(st) => st
+      case None     => computeStatsOn(spark, raw0, parts, keep, withRowCounts)
+    }
+  }
+
+  /** [[computeStats]]'s footer fast path: Some(stats) when EVERY requested
+    * column of every part file has usable footer statistics of a safely
+    * renderable dtype, None → caller falls back to the scan. Rendering
+    * matches the scan pass's `cast(col AS STRING)` exactly for the
+    * accepted dtypes (Long/Int/Short/Byte → decimal string, Double/Float
+    * → java toString, Date → ISO local date), so pruning comparisons see
+    * identical values either way. */
+  private def footerStats(spark: SparkSession, schema: StructType,
+                          parts: Seq[String], statsCols: Seq[String],
+                          withRowCounts: Boolean): Option[Seq[FileStat]] = {
+    import org.apache.spark.sql.types._
+    val safe = statsCols.forall(c => schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType | DateType => true
+      case _ => false
+    })
+    if (!safe) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    def render(dt: DataType, v: Any): Option[String] = (dt, v) match {
+      case (LongType, x: java.lang.Long)       => Some(x.toString)
+      case (IntegerType | ShortType | ByteType, x: java.lang.Integer) =>
+        Some(x.toString)
+      case (DoubleType, x: java.lang.Double) =>
+        if (x.isNaN) None else Some(x.toString)
+      case (FloatType, x: java.lang.Float) =>
+        if (x.isNaN) None else Some(x.toString)
+      case (DateType, x: java.lang.Integer) =>
+        Some(java.time.LocalDate.ofEpochDay(x.longValue()).toString)
+      case _ => None
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[FileStat]
+    for (p <- parts) {
+      val footer =
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter finally r.close()
+        } catch { case _: Exception => return None }
+      val blocks = footer.getBlocks
+      if (withRowCounts) {
+        var n = 0L
+        blocks.forEach(b => n += b.getRowCount)
+        out += FileStat(p, RowsStat, "bigint", n.toString, n.toString)
+      }
+      for (c <- statsCols) {
+        val dt = schema(c).dataType
+        var lo: Any = null; var hi: Any = null
+        var nonNull = 0L; var usable = true
+        blocks.forEach { b =>
+          val cc = b.getColumns.stream()
+            .filter(x => x.getPath.toDotString == c).findFirst()
+          if (!cc.isPresent) usable = false
+          else {
+            val st = cc.get.getStatistics
+            if (st == null || !st.isNumNullsSet) usable = false
+            else {
+              val nn = cc.get.getValueCount - st.getNumNulls
+              if (nn > 0) {
+                if (!st.hasNonNullValue) usable = false
+                else {
+                  nonNull += nn
+                  val mn = st.genericGetMin; val mx = st.genericGetMax
+                  if (lo == null ||
+                      st.comparator.asInstanceOf[java.util.Comparator[Any]]
+                        .compare(mn, lo) < 0) lo = mn
+                  if (hi == null ||
+                      st.comparator.asInstanceOf[java.util.Comparator[Any]]
+                        .compare(mx, hi) > 0) hi = mx
+                }
+              }
+            }
+          }
+        }
+        if (!usable) return None
+        if (nonNull > 0) {
+          (render(dt, lo), render(dt, hi)) match {
+            case (Some(a), Some(b))
+                if !a.contains(StatSep) && !b.contains(StatSep) =>
+              out += FileStat(p, c, dt.simpleString, a, b)
+            case _ => return None // NaN or unrenderable → exact scan pass
+          }
+        } // all-null column in this file: no stat (conservatively unprunable)
+      }
+    }
+    Some(out.toSeq)
   }
 
   private def computeStatsOn(spark: SparkSession, raw: DataFrame,

@@ -192,6 +192,52 @@ class SnapshotsSpec extends SparkSpec {
     assert(viaPruned === (210L to 260L).toSet)
   }
 
+  test("footer fast path: stats identical to the scan pass across dtypes, nulls, NaN fallback") {
+    // the footer path must be bit-identical to the scan's cast-AS-STRING
+    // rendering, or pruning comparisons would diverge between commits
+    // that took different paths
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstat").toString
+    val data = Seq(
+      (1L, 7, -2.5d, 3.25f, java.sql.Date.valueOf("2020-02-29"), Option(9L)),
+      (2L, -40, 1.0e9d, -0.0f, java.sql.Date.valueOf("1999-12-31"), None),
+      (3L, 0, 0.125d, 7.5f, java.sql.Date.valueOf("2020-02-29"), Option(-3L)))
+      .toDF("l", "i", "d", "f", "dt", "on")
+    data.repartition(2).write.parquet(s"$dir/p")
+    val parts = new java.io.File(s"$dir/p").listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(_.getAbsolutePath).toSeq
+    val cols = Seq("l", "i", "d", "f", "dt", "on")
+    val viaFooter = Snapshots.computeStats(spark, s"$dir/p", parts, cols,
+      withRowCounts = true)
+    // force the scan pass by including a STRING column (unsafe dtype)
+    val dataS = data.withColumn("s", concat(lit("v"), col("l")))
+    dataS.repartition(2).write.parquet(s"$dir/q")
+    val partsQ = new java.io.File(s"$dir/q").listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(_.getAbsolutePath).toSeq
+    val viaScan = Snapshots.computeStats(spark, s"$dir/q", partsQ, cols :+ "s",
+      withRowCounts = true)
+    def key(st: Snapshots.FileStat) = (st.column, st.dtype, st.min, st.max)
+    // same logical rows in both dirs → identical per-column global bounds
+    def bounds(sts: Seq[Snapshots.FileStat], c: String) = {
+      val s = sts.filter(_.column == c)
+      (s.map(_.min).min, s.map(_.max).max, s.head.dtype)
+    }
+    cols.foreach { c =>
+      assert(bounds(viaFooter, c) === bounds(viaScan, c), s"column $c")
+    }
+    assert(viaFooter.filter(_.column == Snapshots.RowsStat).map(_.min.toLong).sum === 3L)
+    // NaN poisons footer ordering → the NaN frame must take the scan path
+    // and still record SOMETHING sane (scan min/max of doubles with NaN)
+    val nan = Seq(1.0d, Double.NaN, 2.0d).toDF("d")
+    nan.coalesce(1).write.parquet(s"$dir/n")
+    val partsN = new java.io.File(s"$dir/n").listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(_.getAbsolutePath).toSeq
+    val nanStats = Snapshots.computeStats(spark, s"$dir/n", partsN, Seq("d"))
+    assert(nanStats.nonEmpty) // fell back, did not silently drop
+  }
+
   test("zone maps: a file with no stat for the column is conservatively scanned") {
     val t = slicedTable()
     // an unstamped commit (no statsCols) — must never be pruned
