@@ -370,8 +370,14 @@ object TextDedup {
     // materialize the (two-longs-per-row) edge list once: every round joins
     // it, and without the persist each round would recompute the upstream
     // pair pipeline (e.g. the whole MinHash-LSH run) from scratch
+    // keyed by the round-join key `v` ONCE (guide §2.4): every hash-min
+    // round joins `edges.v = labels.node`, and a checkpointed label table
+    // reports UnknownPartitioning, so an unkeyed edge cache re-shuffled
+    // the EDGE LIST every round — keyed, rounds shuffle only the
+    // node-sized label table
     val edges = pairs.select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .unionByName(pairs.select(col("id_b").cast("long").as("u"), col("id_a").cast("long").as("v")))
+      .repartition(col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Dataset.unpersist can't release localCheckpoint blocks (it only talks
     // to the CacheManager), so superseded rounds are freed by unpersisting
@@ -399,8 +405,21 @@ object TextDedup {
       edges.unpersist()
       return labels
     }
+    // SCALE-ADAPTIVE round width (same rule as LinkGraph.pageRankPico):
+    // every round shuffles node-sized label tables; width derives from the
+    // measured node count instead of the session constant, so a small
+    // label set stops paying sessionWidth task launches per stage while a
+    // big one keeps the configured width. The label count is a cheap scan
+    // of the already-checkpointed blocks. Restored in the finally.
+    val n = labels.count()
+    val sess = nodes.sparkSession
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    val sessionWidth = scala.util.Try(prevParts.toLong).getOrElse(200L)
+    val iterParts = math.min(sessionWidth, n / 100000L + 1L)
+    sess.conf.set("spark.sql.shuffle.partitions", iterParts)
     var it = 0
     var done = false
+    try {
     while (!done && it < maxIters) {
       val nbrMin = edges.join(labels, edges("v") === labels("node"))
         .groupBy(col("u")).agg(min(col("comp")).as("__nbrComp"))
@@ -432,6 +451,7 @@ object TextDedup {
       prevSum = s
       it += 1
     }
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
     edges.unpersist()
     if (!done) {
       release(labelRdds)
