@@ -94,10 +94,23 @@ object ViewMaintenance {
     val noted = Snapshots.notes(spark, viewTable).toSet
     val pending = (1L to cur).filterNot(v => noted.contains(noteFor(v)))
     if (pending.isEmpty) Seq.empty
-    else applyDeltaBatch(spark, sourceTable, viewTable,
-      spark.read.option("mergeSchema", "true")
-        .parquet(pending.map(x => f"$feedDir/v$x%010d"): _*),
-      keys, dims, measures, minMax, distinct)
+    else {
+      // the CDC shape is a pure function of the source's recorded schema
+      // ([[ChangeFeed.cdcSchema]]), so read the pending dirs under that
+      // explicit schema instead of `mergeSchema=true` — schema merging
+      // opens every dir's footers and unions them on the driver, O(lagged
+      // versions) metadata work per catch-up that the derived schema
+      // answers for free (dirs written before a widening commit resolve
+      // null-padded, same as the merge)
+      val sc = Snapshots.tableSchema(spark, sourceTable)
+      val read = sc match {
+        case Some(s) => spark.read.schema(ChangeFeed.cdcSchema(s, keys))
+        case None    => spark.read.option("mergeSchema", "true")
+      }
+      applyDeltaBatch(spark, sourceTable, viewTable,
+        read.parquet(pending.map(x => f"$feedDir/v$x%010d"): _*),
+        keys, dims, measures, minMax, distinct)
+    }
   }
 
   /** Fold ONE batch of CDC rows — any set of whole feed versions, e.g. a
