@@ -26,6 +26,12 @@ object ProbeQueryJobs {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // headroom measurement only: how much of a fixture's wall is AQE
+    // per-stage orchestration? (the shipped change is data-conditional)
+    if (sys.env.contains("SPARK_GRAFT_PROBE_NOAQE"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sys.env.get("SPARK_GRAFT_PROBE_SHUFFLE").foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n))
 
     val nJobs = new AtomicInteger(0)
     val jobWallNs = new AtomicLong(0L)
@@ -36,15 +42,29 @@ object ProbeQueryJobs {
     val nStages = new AtomicInteger(0)
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val inFlight = new AtomicInteger(0)
+    // SPARK_GRAFT_PROBE_JOBS=1: per-job trace (callsite + wall) — which
+    // ACTIONS a fixture runs, for hunting redundant jobs
+    val traceJobs = sys.env.contains("SPARK_GRAFT_PROBE_JOBS")
+    val jobSite = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         nJobs.incrementAndGet(); inFlight.incrementAndGet()
         jobStart.put(e.jobId, System.nanoTime())
+        if (traceJobs) {
+          // the last stage's name carries the action's callsite
+          val d = e.stageInfos.lastOption.map(_.name).getOrElse("?")
+          jobSite.put(e.jobId, d)
+        }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         inFlight.decrementAndGet()
         val t0 = jobStart.remove(e.jobId)
-        if (t0 != null) jobWallNs.addAndGet(System.nanoTime() - t0)
+        if (t0 != null) {
+          val ns = System.nanoTime() - t0
+          jobWallNs.addAndGet(ns)
+          if (traceJobs)
+            println(f"    job ${e.jobId}%4d ${ns / 1e9}%7.3f  ${Option(jobSite.remove(e.jobId)).getOrElse("?")}")
+        }
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         nStages.incrementAndGet()
@@ -87,6 +107,23 @@ object ProbeQueryJobs {
               System.err.println("[gap] PYTHON STACK:\n  " +
                 st.take(40).mkString("\n  "))
           }
+          // main blocked in awaitTermination tells us nothing about WHERE
+          // a streaming drain's between-job time goes — attribute it to
+          // the microbatch ("stream execution") thread's own top frame
+          if (top.exists(_.getMethodName == "awaitTermination")) {
+            import scala.jdk.CollectionConverters._
+            Thread.getAllStackTraces.asScala.foreach { case (t, frames) =>
+              if (t.getName.startsWith("stream execution thread"))
+                frames.find { f =>
+                  val c = f.getClassName
+                  c.startsWith("org.apache.spark") || c.startsWith("graft")
+                }.foreach { f =>
+                  val key = "st: " + f.getClassName.stripPrefix("org.apache.spark.") +
+                    "." + f.getMethodName
+                  gapFrames.merge(key, 1, (a, b) => a + b)
+                }
+            }
+          }
         }
         Thread.sleep(10)
       }
@@ -125,7 +162,7 @@ object ProbeQueryJobs {
       Thread.sleep(400)
       if (sys.env.contains("SPARK_GRAFT_PROBE_GAP")) {
         import scala.jdk.CollectionConverters._
-        gapFrames.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (k, c) =>
+        gapFrames.asScala.toSeq.sortBy(-_._2).take(20).foreach { case (k, c) =>
           println(f"    gap $c%4d  $k")
         }
       }

@@ -39,9 +39,35 @@ object ChangeFeed {
   private def cursorPath(outDir: String) = s"$outDir/_cursor"
 
   /** The feed's cursor: the last table version whose diff has been
-    * materialized (0 = nothing consumed yet). */
+    * materialized (0 = nothing consumed yet). The cursor FILE's first
+    * line is the version; an optional second line records the feed's CDC
+    * schema as of that sync (sources with a recorded schema), which lets
+    * [[read]] enumerate the dirs under ONE explicit schema instead of
+    * `mergeSchema` — schema merging opens every dir's footers in a
+    * driver-coordinated job, O(acknowledged versions) metadata work per
+    * read that the recorded shape answers for free. */
   def cursor(spark: SparkSession, outDir: String): Long =
-    Sinks.readText(spark, cursorPath(outDir)).map(_.trim.toLong).getOrElse(0L)
+    Sinks.readText(spark, cursorPath(outDir))
+      .map(_.linesIterator.next().trim.toLong).getOrElse(0L)
+
+  /** The CDC schema the last sync recorded in the cursor file, if any.
+    * Dirs acknowledged by that cursor were all written at or before it,
+    * and recorded schemas only widen, so reading every acknowledged dir
+    * under this shape equals the mergeSchema union (older dirs
+    * null-pad). */
+  private def cursorSchema(spark: SparkSession, outDir: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    Sinks.readText(spark, cursorPath(outDir)).flatMap { txt =>
+      val it = txt.linesIterator
+      if (!it.hasNext) None
+      else {
+        it.next()
+        if (!it.hasNext) None
+        else scala.util.Try(
+          org.apache.spark.sql.types.DataType.fromJson(it.next())
+            .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+      }
+    }
 
   /** Materialize diffs for every version in (cursor, currentVersion]
     * under `outDir/v<version>/`, stamped with a `version` column, then
@@ -64,10 +90,15 @@ object ChangeFeed {
     val now = Snapshots.currentVersion(spark, table)
     val vs = (from + 1) to now
     if (vs.isEmpty) return Seq.empty
+    // feed dirs follow the same write-then-acknowledge discipline as
+    // snapshot data (the cursor is the atomicity point; a crashed sync's
+    // partial dir is overwritten wholesale on replay), so they take the
+    // same direct-rename committer ([[Snapshots.writeData]])
     if (vs.size == 1) {
-      Snapshots.rowDiff(spark, table, now - 1, now, keys)
-        .withColumn("version", lit(now))
-        .write.mode("overwrite").parquet(f"$outDir/v$now%010d")
+      Snapshots.writeData(
+        Snapshots.rowDiff(spark, table, now - 1, now, keys)
+          .withColumn("version", lit(now)),
+        f"$outDir/v$now%010d", overwrite = true)
     } else {
       import scala.concurrent.{Await, ExecutionContext, Future}
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -75,14 +106,20 @@ object ChangeFeed {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try Await.result(Future.sequence(vs.map { v =>
         Future {
-          Snapshots.rowDiff(spark, table, v - 1, v, keys)
-            .withColumn("version", lit(v))
-            .write.mode("overwrite").parquet(f"$outDir/v$v%010d")
+          Snapshots.writeData(
+            Snapshots.rowDiff(spark, table, v - 1, v, keys)
+              .withColumn("version", lit(v)),
+            f"$outDir/v$v%010d", overwrite = true)
         }
       }), scala.concurrent.duration.Duration.Inf)
       finally pool.shutdown()
     }
-    Sinks.writeText(spark, cursorPath(outDir), now.toString)
+    // record the feed's CDC shape with the cursor (one write — the
+    // cursor is still the single acknowledgment object): sources with a
+    // recorded schema let readers skip mergeSchema entirely
+    val schemaLine = Snapshots.tableSchema(spark, table)
+      .map(sc => "\n" + cdcSchema(sc, keys).json).getOrElse("")
+    Sinks.writeText(spark, cursorPath(outDir), now.toString + schemaLine)
     vs
   }
 
@@ -105,7 +142,10 @@ object ChangeFeed {
     require(cur > 0, s"change feed at $outDir has no acknowledged versions yet " +
       "(cursor=0); use readOrEmpty for early-polling consumers")
     val dirs = (1L to cur).map(v => f"$outDir/v$v%010d")
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    cursorSchema(spark, outDir) match {
+      case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
+      case None     => spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    }
   }
 
   /** The feed's row shape for a table with recorded schema `sc` and CDC

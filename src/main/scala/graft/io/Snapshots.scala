@@ -81,6 +81,55 @@ object Snapshots {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Every snapshot DATA-FILE write goes through this. The table's
+    * atomicity point is the manifest publish ([[commit]]'s create-
+    * exclusive v-file) — data files are invisible until it lands — so
+    * the write itself needs no two-phase directory commit:
+    * FileOutputCommitter algorithm 2 renames each task's output straight
+    * into the destination (dropping the O(files) driver-side merge pass
+    * of job commit), and the _SUCCESS marker is skipped (every reader
+    * resolves files through the manifest, never through markers; the
+    * part listings filter to `part-*` regardless). Partial files from a
+    * failed job stay unreferenced — [[vacuum]] food, exactly like a lost
+    * optimistic writer. */
+  private[graft] def writeData(df: DataFrame, dir: String,
+                               overwrite: Boolean = false): Unit = {
+    val w = df.write
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    (if (overwrite) w.mode("overwrite") else w).parquet(dir)
+  }
+
+  /** The part files of a freshly written data dir, WITH their listing
+    * status — callers pass the lengths to [[commit]] (`addLens`) so the
+    * byte stats never re-list the directory. */
+  private[graft] def listParts(f: FileSystem, dir: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+
+  private[graft] def lensOf(sts: Seq[org.apache.hadoop.fs.FileStatus]): Map[String, Long] =
+    sts.map(s => s.getPath.toString -> s.getLen).toMap
+
+  /** Exact row count of freshly written parquet files from their FOOTERS —
+    * O(#files) metadata reads, no Spark job (the writer already counted
+    * every row group). None when any footer is unreadable (caller falls
+    * back to a scan count). */
+  private def footerRowCount(spark: SparkSession, parts: Seq[String]): Option[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var n = 0L
+    for (p <- parts) {
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.forEach(b => n += b.getRowCount)
+        finally r.close()
+      } catch { case _: Exception => return None }
+    }
+    Some(n)
+  }
+
   private def manifestDir(table: String) = s"$table/_manifest"
   private val CommitFile = """v(\d{10})\.json""".r
   private val CheckpointFile = """c(\d{10})\.json""".r
@@ -277,19 +326,27 @@ object Snapshots {
              notes: Seq[String] = Nil,
              dvAdds: Seq[String] = Nil,
              bloomAdds: Seq[String] = Nil,
-             props: Seq[(String, Option[String])] = Nil): Long = {
+             props: Seq[(String, Option[String])] = Nil,
+             addLens: Map[String, Long] = Map.empty): Long = {
     val f = fs(spark, table)
     f.mkdirs(new Path(manifestDir(table)))
     val next = baseVersion.getOrElse(currentVersion(spark, table)) + 1
     // every added data file gets a __bytes stat recorded AT COMMIT TIME
     // (one listStatus per write dir — writers put a commit's parts in one
     // directory, so this is ~1 metadata RPC, the Iceberg file-size-in-
-    // manifest contract). The SQL scan's SupportsReportStatistics sums
-    // these so join planning sees real sizes (auto-broadcast of small
-    // tables) without touching data files. A missing listing entry just
-    // skips the stat — sizes are an estimate surface, never correctness.
+    // manifest contract; callers that already LISTED the fresh dir pass
+    // the lengths through `addLens` and skip even that one call). The SQL
+    // scan's SupportsReportStatistics sums these so join planning sees
+    // real sizes (auto-broadcast of small tables) without touching data
+    // files. A missing listing entry just skips the stat — sizes are an
+    // estimate surface, never correctness.
+    val (knownAdds, unknownAdds) = adds.partition(addLens.contains)
     val sizeStats: Seq[FileStat] =
-      adds.groupBy(p => new Path(p).getParent).toSeq.flatMap { case (dir, ps) =>
+      knownAdds.map { p =>
+        val len = addLens(p).toString
+        FileStat(p, BytesStat, "bigint", len, len)
+      } ++
+      unknownAdds.groupBy(p => new Path(p).getParent).toSeq.flatMap { case (dir, ps) =>
         val byName = ps.map(p => new Path(p).getName -> p).toMap
         try f.listStatus(dir).toSeq
           .filter(s => s.isFile && byName.contains(s.getPath.getName))
@@ -375,11 +432,10 @@ object Snapshots {
                    baseVersion: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val dir = s"$table/data/${java.util.UUID.randomUUID().toString}"
-    df.write.parquet(dir)
+    writeData(df, dir)
     val f = fs(spark, table)
-    val parts = f.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString)
+    val partsSt = listParts(f, dir)
+    val parts = partsSt.map(_.getPath.toString)
     // CHECK constraints gate between data write and manifest commit: a
     // violation aborts with the files unreferenced (vacuum food)
     if (parts.nonEmpty)
@@ -391,7 +447,7 @@ object Snapshots {
       props = propsOf(parts),
       stats = computeStats(spark, dir, parts, statsCols,
         withRowCounts = recordRowCounts),
-      notes = notes)
+      notes = notes, addLens = lensOf(partsSt))
   }
 
   /** COUNT(*) from manifest metadata — zero data files opened for every
@@ -863,12 +919,12 @@ object Snapshots {
       .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .select(keys.map(col): _*).distinct()
     val dir = s"$table/data/dv-${java.util.UUID.randomUUID().toString}"
-    matched.coalesce(1).write.parquet(dir)
+    writeData(matched.coalesce(1), dir)
     val f = fs(spark, table)
-    val parts = f.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString)
-    val cnt = spark.read.parquet(parts: _*).count() // O(tombstone) re-read
+    val parts = listParts(f, dir).map(_.getPath.toString)
+    // tombstone count from the fresh files' FOOTERS — no re-read job
+    val cnt = footerRowCount(spark, parts)
+      .getOrElse(spark.read.parquet(parts: _*).count())
     if (cnt == 0) return MorDeleteResult(v, 0L, None) // orphan dir: vacuum food
     val version = commit(spark, table, adds = Nil, baseVersion = Some(v),
       dvAdds = parts)
@@ -1354,10 +1410,9 @@ object Snapshots {
     val f = fs(spark, table)
     val newDir = s"$table/data/replace-${java.util.UUID.randomUUID().toString}"
     val (inClustered, clusterCols0) = Clustering.forWrite(spark, table, in)
-    inClustered.write.parquet(newDir)
-    val newParts = f.listStatus(new Path(newDir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString)
+    writeData(inClustered, newDir)
+    val newPartsSt = listParts(f, newDir)
+    val newParts = newPartsSt.map(_.getPath.toString)
     if (newParts.nonEmpty) {
       val rb = spark.read.parquet(newParts: _*)
       require(rb.filter(not(coalesce(cond, lit(false)))).limit(1).count() == 0,
@@ -1375,23 +1430,23 @@ object Snapshots {
     val keepRowCounts = touchedStats.exists(_.column == RowsStat) ||
       clusterCols0.nonEmpty
     val survDir = s"$table/data/replace-${java.util.UUID.randomUUID().toString}"
-    val survParts =
+    val survPartsSt =
       if (touched.isEmpty) Nil
       else {
         val (survClustered, _) = Clustering.forWrite(spark, table,
           applyDv(spark, table, Some(v), read(touched))
             .filter(not(coalesce(cond, lit(false)))).select(cols.map(col): _*))
-        survClustered.write.parquet(survDir)
-        f.listStatus(new Path(survDir)).toSeq
-          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-          .map(_.getPath.toString)
+        writeData(survClustered, survDir)
+        listParts(f, survDir)
       }
+    val survParts = survPartsSt.map(_.getPath.toString)
     val version = commit(spark, table, adds = newParts ++ survParts,
       removes = touched, baseVersion = Some(v),
       stats = computeStats(spark, newDir, newParts, statCols,
           withRowCounts = keepRowCounts) ++
         computeStats(spark, survDir, survParts, statCols,
-          withRowCounts = keepRowCounts))
+          withRowCounts = keepRowCounts),
+      addLens = lensOf(newPartsSt ++ survPartsSt))
     DeleteResult(version, touched, live.size - touched.size)
   }
 
@@ -1498,11 +1553,10 @@ object Snapshots {
     val keepRowCounts = touchedStats.exists(_.column == RowsStat) ||
       clusterCols.nonEmpty
     val dir = s"$table/data/merge-${java.util.UUID.randomUUID().toString}"
-    outClustered.write.parquet(dir)
+    writeData(outClustered, dir)
     val f = fs(spark, table)
-    val parts = f.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString)
+    val partsSt = listParts(f, dir)
+    val parts = partsSt.map(_.getPath.toString)
     // CHECK constraints gate the merged change before anything commits
     if (parts.nonEmpty)
       Constraints.validate(spark, table, spark.read.parquet(parts: _*), "merged")
@@ -1513,17 +1567,20 @@ object Snapshots {
       else {
         val survivors = dv.get._1.dropDuplicates(keys).join(keySet, keys, "left_anti")
         val dvDir = s"$table/data/dv-${java.util.UUID.randomUUID().toString}"
-        survivors.coalesce(1).write.parquet(dvDir)
-        val ps = f.listStatus(new Path(dvDir)).toSeq
-          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-          .map(_.getPath.toString)
-        if (spark.read.parquet(ps: _*).isEmpty) Nil else ps
+        writeData(survivors.coalesce(1), dvDir)
+        val ps = listParts(f, dvDir).map(_.getPath.toString)
+        // emptiness from the fresh files' footers — no re-read job
+        if (footerRowCount(spark, ps)
+              .map(_ == 0L)
+              .getOrElse(spark.read.parquet(ps: _*).isEmpty)) Nil
+        else ps
       }
     val version = commit(spark, table, adds = parts,
       removes = touched ++ dvLive, baseVersion = Some(v),
       stats = computeStats(spark, dir, parts, statCols,
         withRowCounts = keepRowCounts),
-      notes = note.toSeq ++ extraNotes, dvAdds = dvParts)
+      notes = note.toSeq ++ extraNotes, dvAdds = dvParts,
+      addLens = lensOf(partsSt))
     DeleteResult(version, touched, live.size - touched.size)
   }
 
@@ -1869,11 +1926,10 @@ object Snapshots {
     val keepRowCounts = touchedStats.exists(_.column == RowsStat) ||
       clusterCols.nonEmpty
     val dir = s"$table/data/mergew-${java.util.UUID.randomUUID().toString}"
-    outClustered.write.parquet(dir)
+    writeData(outClustered, dir)
     val f = fs(spark, table)
-    val parts = f.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString)
+    val partsSt = listParts(f, dir)
+    val parts = partsSt.map(_.getPath.toString)
     // CHECK constraints gate the merged change before anything commits
     if (parts.nonEmpty)
       Constraints.validate(spark, table, spark.read.parquet(parts: _*), "merged")
@@ -1886,18 +1942,21 @@ object Snapshots {
       else {
         val survivors = dv.get._1.dropDuplicates(keys).join(keySet, keys, "left_anti")
         val dvDir = s"$table/data/dv-${java.util.UUID.randomUUID().toString}"
-        survivors.coalesce(1).write.parquet(dvDir)
-        val ps = f.listStatus(new Path(dvDir)).toSeq
-          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-          .map(_.getPath.toString)
-        if (spark.read.parquet(ps: _*).isEmpty) Nil else ps
+        writeData(survivors.coalesce(1), dvDir)
+        val ps = listParts(f, dvDir).map(_.getPath.toString)
+        // emptiness from the fresh files' footers — no re-read job
+        if (footerRowCount(spark, ps)
+              .map(_ == 0L)
+              .getOrElse(spark.read.parquet(ps: _*).isEmpty)) Nil
+        else ps
       }
     val version = commit(spark, table, adds = parts,
       removes = touchedAll ++ (if (dvParts.nonEmpty || (dvLive.nonEmpty && touched.nonEmpty)) dvLive else Nil),
       baseVersion = Some(v), props = identityProps(parts),
       stats = computeStats(spark, dir, parts, statCols,
         withRowCounts = keepRowCounts),
-      notes = note.toSeq, dvAdds = dvParts)
+      notes = note.toSeq, dvAdds = dvParts,
+      addLens = lensOf(partsSt))
     DeleteResult(version, touchedAll, live.size - touchedAll.size)
   }
 
@@ -1957,11 +2016,10 @@ object Snapshots {
     val keepRowCounts = touchedStats.exists(_.column == RowsStat) ||
       clusterCols.nonEmpty
     val dir = s"$table/data/$kind-${java.util.UUID.randomUUID().toString}"
-    rewritten.write.parquet(dir)
+    writeData(rewritten, dir)
     val f = fs(spark, table)
-    val parts = f.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString)
+    val partsSt = listParts(f, dir)
+    val parts = partsSt.map(_.getPath.toString)
     // UPDATE-shaped rewrites can introduce new row content: CHECK
     // constraints validate the change files before anything commits
     if (kind != "delete" && parts.nonEmpty)
@@ -1969,7 +2027,8 @@ object Snapshots {
     val version = commit(spark, table, adds = parts, removes = touched,
       baseVersion = Some(v),
       stats = computeStats(spark, dir, parts, statCols,
-        withRowCounts = keepRowCounts))
+        withRowCounts = keepRowCounts),
+      addLens = lensOf(partsSt))
     DeleteResult(version, touched, liveSize - touched.size)
   }
 
@@ -1989,11 +2048,10 @@ object Snapshots {
       // mapped like any other write — streaming ingest must not be the
       // path that quietly erodes pruning
       val (clustered, clusterCols) = Clustering.forWrite(spark, table, df)
-      clustered.write.mode("overwrite").parquet(dir)
+      writeData(clustered, dir, overwrite = true)
       val f = fs(spark, table)
-      val parts = f.listStatus(new Path(dir)).toSeq
-        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .map(_.getPath.toString)
+      val partsSt = listParts(f, dir)
+      val parts = partsSt.map(_.getPath.toString)
       val stats =
         if (clusterCols.isEmpty) Nil
         else computeStats(spark, dir, parts, clusterCols, withRowCounts = true)
@@ -2007,7 +2065,11 @@ object Snapshots {
       var attempts = 0
       var committed = parts.isEmpty
       while (!committed)
-        try { commit(spark, table, adds = parts, stats = stats); committed = true }
+        try {
+          commit(spark, table, adds = parts, stats = stats,
+            addLens = lensOf(partsSt))
+          committed = true
+        }
         catch {
           case _: ConcurrentCommitException if attempts < 50 => attempts += 1
         }
@@ -2796,12 +2858,11 @@ object Snapshots {
     // anti-join materializes once and the read path stops paying it)
     if (files.size <= targetFiles && dvs.isEmpty) return v
     val dir = s"$table/data/compact-${java.util.UUID.randomUUID().toString}"
-    readAt(spark, table, Some(v)) // dv-resolved: tombstoned rows fold out
-      .repartition(targetFiles).write.parquet(dir)
+    writeData(readAt(spark, table, Some(v)) // dv-resolved: tombstones fold out
+      .repartition(targetFiles), dir)
     val f = fs(spark, table)
-    val parts = f.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString)
+    val partsSt = listParts(f, dir)
+    val parts = partsSt.map(_.getPath.toString)
     // a full rewrite orphans every bloom sidecar entry (all data files
     // retire), so the index refreshes IN the same commit: new sidecars
     // for the new files, old sidecars retired — reads keep pruning with
@@ -2813,7 +2874,8 @@ object Snapshots {
     val bloomParts = idxCols.flatMap(c =>
       bloomSidecarFor(spark, table, parts, c, bloomFpp, sc))
     commit(spark, table, adds = parts, removes = files ++ dvs ++ oldSidecars,
-      baseVersion = Some(v), bloomAdds = bloomParts)
+      baseVersion = Some(v), bloomAdds = bloomParts,
+      addLens = lensOf(partsSt))
   }
 
   /** RESTORE the table to the content of `toVersion` as a NEW commit —
@@ -3020,11 +3082,10 @@ object Snapshots {
     // raw read (NOT dv-resolved — see doc) under the recorded schema, so
     // shape-divergent pre-evolution files binpack to the evolved shape
     val sc = tableSchema(spark, table, Some(v))
-    schemaRead(spark, table, Some(v), small.map(_._1))
-      .coalesce(outFiles).write.parquet(dir)
-    val parts = f.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString)
+    writeData(schemaRead(spark, table, Some(v), small.map(_._1))
+      .coalesce(outFiles), dir)
+    val partsSt = listParts(f, dir)
+    val parts = partsSt.map(_.getPath.toString)
     // untouched files keep their sidecar coverage (old sidecars stay
     // live; entries for the retired small files are stale and ignored);
     // the binpacked files get fresh coverage in the same commit, so
@@ -3044,7 +3105,7 @@ object Snapshots {
       baseVersion = Some(v),
       stats = computeStats(spark, dir, parts, statCols,
         withRowCounts = keepRowCounts),
-      bloomAdds = bloomParts)
+      bloomAdds = bloomParts, addLens = lensOf(partsSt))
     CompactSmallResult(nv, small.size, parts.size, files.size - small.size)
   }
 
@@ -3170,16 +3231,13 @@ object Snapshots {
     val bcNames = spark.sparkContext.broadcast(
       files.map(p => new Path(p).getName -> p).toMap)
     val dir = s"$table/_index/bloom-${java.util.UUID.randomUUID().toString}"
-    blooms.map { case (f, b) =>
+    writeData(blooms.map { case (f, b) =>
       val name = f.substring(f.lastIndexOf('/') + 1)
       (bcNames.value.getOrElse(name, name), column, b)
     }.toDF("data_file", "column", "bloom")
-      .coalesce(1)
-      .write.parquet(dir)
+      .coalesce(1), dir)
     val f = fs(spark, table)
-    f.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString)
+    listParts(f, dir).map(_.getPath.toString)
   }
 
   /** The columns the live bloom index serves at `version` — one
@@ -3485,16 +3543,14 @@ object Snapshots {
     val zdims = cols.map(c =>
       if (stringDims.contains(c)) coalesce(col(s"__zr_$c"), lit(0L))
       else bucketedNumeric(c))
-    ranked
+    writeData(ranked
       .withColumn("__z", Layout.zValueK(zdims, bits))
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z" +: stringDims.map(c => s"__zr_$c"): _*)
-      .write.parquet(dir)
+      .drop("__z" +: stringDims.map(c => s"__zr_$c"): _*), dir)
     val f = fs(spark, table)
-    val parts = f.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString)
+    val partsSt = listParts(f, dir)
+    val parts = partsSt.map(_.getPath.toString)
     // the layout rewrite retires every data file, so the bloom index
     // refreshes in the SAME commit (see [[compact]]) — OPTIMIZE leaves
     // point lookups pruning, not waiting for the next index build
@@ -3518,7 +3574,7 @@ object Snapshots {
       removes = files ++ dvs ++ oldSidecars, baseVersion = Some(v),
       stats = computeStats(spark, dir, parts, statCols,
         withRowCounts = keepRowCounts),
-      bloomAdds = bloomParts)
+      bloomAdds = bloomParts, addLens = lensOf(partsSt))
     OptimizeResult(nv, files.size, parts.size)
   }
 

@@ -143,7 +143,13 @@ object ViewMaintenance {
     // the common case: derive once, merge once, ledger covers the batch.
     var attempts = 0
     var done = false
-    while (!done) {
+    // change-sized frames materialized per attempt ([[localCheckpoint]])
+    // — released before the next attempt / on exit
+    val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); ckpts += c; c
+    }
+    while (!done) try {
       val noted = Snapshots.notes(spark, viewTable).toSet
       val pending = batchVersions.filterNot(v => noted.contains(noteFor(v)))
       if (pending.isEmpty) done = true
@@ -203,6 +209,14 @@ object ViewMaintenance {
         val merged: DataFrame =
           if (minMax.isEmpty && distinct.isEmpty) joined.select(baseCols: _*)
           else {
+            // the delta pipeline (CDC read → signed union → groupBy →
+            // view semi-join → outer join) is consumed by THREE separate
+            // actions below (the dirty-group emptiness probe, the dirty
+            // bounds agg, and the final merge — which itself evaluates
+            // its source 2–3×, [[Snapshots.mergeInto]]): materialize the
+            // change-sized `joined` once instead of re-deriving it per
+            // action (guide §5 — it is O(affected groups), never table-
+            // sized). Unpersisted by the caller-side finally below.
             // a group is DIRTY when a deleted value could have invalidated
             // non-subtractable state: it could have been a stored min/max
             // bound (≤ min or ≥ max — or the group has NO stored bound,
@@ -232,7 +246,7 @@ object ViewMaintenance {
                   .otherwise(when(st.isNull, ins).when(ins.isNull, st)
                     .otherwise(hll_union(st, ins))).as(s"hll_$m")
               }
-            val j = joined.withColumn("__dirty", dirty)
+            val j = ckpt(joined.withColumn("__dirty", dirty))
             val clean = j.filter(!col("__dirty")).select(baseCols ++ cleanMm: _*)
             val dirtyGroups = j.filter(col("__dirty"))
             if (dirtyGroups.isEmpty) clean
@@ -265,8 +279,12 @@ object ViewMaintenance {
             }
           }
         try {
+          // the merge evaluates its source 2–3× (prune bounds, key-set
+          // semi-join, rewrite — [[Snapshots.mergeInto]]); hand it the
+          // MATERIALIZED change-sized result instead of the live plan
           Snapshots.mergeInto(spark, viewTable,
-            merged.select(viewCols(dims, measures, minMax, distinct).map(col): _*),
+            ckpt(merged.select(
+              viewCols(dims, measures, minMax, distinct).map(col): _*)),
             keys = dims, extraNotes = pending.map(noteFor))
           appliedNow ++= pending
           done = true
@@ -275,6 +293,9 @@ object ViewMaintenance {
             attempts += 1
         }
       }
+    } finally {
+      ckpts.foreach(_.unpersist(blocking = false))
+      ckpts.clear()
     }
     appliedNow.toSeq
   }

@@ -944,12 +944,11 @@ object GraftTable {
         Snapshots.liveDvFiles(spark, path, Some(v)) ++
         Snapshots.liveBloomFiles(spark, path, Some(v))
       val dir = s"$path/data/${java.util.UUID.randomUUID()}"
-      clustered.write.parquet(dir)
+      Snapshots.writeData(clustered, dir)
       val p = new Path(dir)
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val parts = f.listStatus(p).toSeq
-        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .map(_.getPath.toString)
+      val partsSt = Snapshots.listParts(f, dir)
+      val parts = partsSt.map(_.getPath.toString)
       // CHECK constraints gate the overwrite content before the swap
       if (parts.nonEmpty)
         graft.io.Constraints.validate(spark, path,
@@ -958,7 +957,8 @@ object GraftTable {
         Snapshots.commit(spark, path, adds = parts,
           removes = removes, baseVersion = Some(v),
           stats = Snapshots.computeStats(spark, dir, parts, statCols,
-            withRowCounts = statCols.nonEmpty))
+            withRowCounts = statCols.nonEmpty),
+          addLens = Snapshots.lensOf(partsSt))
         done = true
       } catch {
         case _: Snapshots.ConcurrentCommitException if attempts < 20 =>
@@ -1139,12 +1139,11 @@ object GraftWriteBuilder {
       val filled = applyGenerated(table, filled0)
       val (clustered, statCols) = graft.io.Clustering.forWrite(spark, path, filled)
       val dir = s"$path/data/${java.util.UUID.randomUUID()}"
-      clustered.write.parquet(dir)
+      Snapshots.writeData(clustered, dir)
       val p = new Path(dir)
       val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val parts = fsys.listStatus(p).toSeq
-        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .map(_.getPath.toString)
+      val partsSt = Snapshots.listParts(fsys, dir)
+      val parts = partsSt.map(_.getPath.toString)
       if (parts.isEmpty) {
         // nothing minted — but an OVERWRITE of an empty source must
         // still truncate, exactly like the non-identity path
@@ -1190,7 +1189,8 @@ object GraftWriteBuilder {
           Snapshots.commit(spark, path, adds = parts, removes = removes,
             baseVersion = Some(v), props = propUps,
             stats = Snapshots.computeStats(spark, dir, parts, statCols,
-              withRowCounts = statCols.nonEmpty))
+              withRowCounts = statCols.nonEmpty),
+            addLens = Snapshots.lensOf(partsSt))
           done = true
         } catch {
           // a racing writer may have minted the same ids: re-derive against
