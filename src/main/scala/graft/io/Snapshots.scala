@@ -216,6 +216,12 @@ object Snapshots {
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[(String, String)])]()
 
+  /** Test hook: the cached parse for a manifest path, if any — pins that
+    * in-place rewrites (checkpoint repair) never leave a stale entry
+    * behind ([[checkpointAt]]'s explicit invalidation). */
+  private[io] def cachedManifestLines(path: String): Option[Seq[(String, String)]] =
+    Option(manifestCache.get(path)).map(_._3)
+
   private def parsedManifest(f: FileSystem, p: Path): Seq[(String, String)] = {
     val st = f.getFileStatus(p) // same FileNotFoundException contract as open()
     val key = p.toString
@@ -394,6 +400,14 @@ object Snapshots {
         }
     val path = new Path(f"${manifestDir(table)}/v$next%010d.json")
     if (!writeExclusive(f, path, lines)) throw ConcurrentCommitException(table, next)
+    // pre-populate the parsed cache: the very next statement's metadata
+    // replay re-reads this fresh manifest otherwise (one read+parse per
+    // commit saved; validation still goes through getFileStatus)
+    try {
+      val st = f.getFileStatus(path)
+      manifestCache.put(path.toString,
+        (st.getLen, st.getModificationTime, lines.flatMap(parseLine)))
+    } catch { case _: java.io.IOException => () }
     next
   }
 
@@ -2545,6 +2559,12 @@ object Snapshots {
         val anchored = known.headOption.exists(_ > 1L) // truncated history
         if (anchored && version <= known.head) throw e // the anchor itself
         f.delete(p, false)
+        // the repair REWRITES this path in place — drop the parsed-cache
+        // entry explicitly: a fresh file of identical byte length landing
+        // within the same mtime granule (1 s local fs, PUT-time on object
+        // stores) would otherwise validate against the squatter's entry
+        // and serve the stale parse
+        manifestCache.remove(p.toString)
         val fresh = checkpointLines(spark, table, version)
         // lost create races here are benign: any winner also derived from
         // the squatter-free history, so the content verifies either way

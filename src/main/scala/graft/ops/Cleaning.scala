@@ -212,12 +212,16 @@ object Cleaning {
     * to Catalyst's choice instead of forcing a giant broadcast. */
   def quantileCapByGroup(df: DataFrame, groupCols: Seq[String], target: String,
                          q: Double, exact: Boolean = true,
-                         broadcastCaps: Boolean = true): DataFrame = {
+                         broadcastCaps: Boolean = true,
+                         sortedSelection: Boolean = false): DataFrame = {
     require(groupCols.nonEmpty, "quantileCapByGroup needs at least one group column")
     val gName = groupCols.map(c => c -> s"__g_$c").toMap
-    val capsRaw = df.groupBy(groupCols.map(col): _*)
-      .agg(percentileOf(col(target), q, exact).as("__cap"))
-      .select(groupCols.map(c => col(c).as(gName(c))) :+ col("__cap"): _*)
+    val capsRaw = (
+      if (exact && sortedSelection)
+        groupedPercentileSelect(df, groupCols, target, q)
+      else df.groupBy(groupCols.map(col): _*)
+        .agg(percentileOf(col(target), q, exact).as("__cap"))
+    ).select(groupCols.map(c => col(c).as(gName(c))) :+ col("__cap"): _*)
     val caps = if (broadcastCaps) broadcast(capsRaw) else capsRaw
     val cond = groupCols.map(c => col(c) <=> col(gName(c))).reduce(_ && _)
     df.join(caps, cond, "left")
@@ -225,6 +229,56 @@ object Cleaning {
         when(col(target) > col("__cap"), col("__cap")).otherwise(col(target))
           .cast(df.schema(target).dataType))
       .drop("__cap" +: groupCols.map(gName): _*)
+  }
+
+  /** Per-group EXACT percentile by rank selection — the FEW-FAT-GROUPS
+    * alternative to the per-group `percentile` AGGREGATE. The aggregate
+    * parallelizes across groups but builds a value→count map per group in
+    * ONE reducer's hands: with few groups of continuous values the map
+    * degenerates to the whole group's column in a single task (the same
+    * single-reducer shape [[percentilesSelect]] removed for the global
+    * scalar). Selection instead sorts within hash partitions of the group
+    * key (`row_number` streams — O(1) task memory) and aggregates only
+    * the ≤2 boundary rows per group; the group-count window rides the
+    * same exchange. Trade-off, measured and documented: the aggregate's
+    * map-side combine wins on low-cardinality values (duplicates
+    * collapse before the shuffle), selection wins on continuous values /
+    * few fat groups — pick per call site; parity is bit-exact either way
+    * (CleaningSpec pins both paths to identical doubles, including the
+    * equal-rank / equal-value short-circuits on the ORIGINAL values).
+    * Returns one `(groupCols…, __cap)` row per group with ≥1 non-null
+    * target (all-null groups yield no row — callers' left join leaves
+    * them uncapped, exactly like the aggregate's null percentile). */
+  private def groupedPercentileSelect(df: DataFrame, groupCols: Seq[String],
+                                      target: String, q: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(groupCols.map(col) :+ col(target): _*)
+      .where(col(target).isNotNull)
+    val byG = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = v
+      .withColumn("__r", row_number().over(byG.orderBy(col(target))).cast("long") - 1)
+      .withColumn("__n", count(lit(1)).over(byG))
+    // Percentile.getPercentile bit-parity: position = (n−1)·q (doubles),
+    // lower/higher = floor/ceil; equal ranks or equal ORIGINAL values
+    // short-circuit before any double conversion; otherwise interpolate
+    // in the aggregate's exact operation order.
+    val pos = (col("__n") - 1).cast("double") * lit(q)
+    val boundary = ranked
+      .filter(col("__r") === floor(pos) || col("__r") === ceil(pos))
+      .withColumn("__pos", pos)
+    boundary.groupBy(groupCols.map(col): _*)
+      .agg(
+        max(when(col("__r") === floor(col("__pos")), col(target))).as("__lov"),
+        max(when(col("__r") === ceil(col("__pos")), col(target))).as("__hiv"),
+        max(col("__pos")).as("__p"))
+      .withColumn("__cap", {
+        val lo = col("__lov").cast("double"); val hi = col("__hiv").cast("double")
+        when(col("__p") === floor(col("__p")), lo)
+          .when(col("__lov") === col("__hiv"), lo)
+          .otherwise((ceil(col("__p")) - col("__p")) * lo +
+            (col("__p") - floor(col("__p"))) * hi)
+      })
+      .select(groupCols.map(col) :+ col("__cap"): _*)
   }
 
   /** Robust outlier filter by modified z-score: keep rows where

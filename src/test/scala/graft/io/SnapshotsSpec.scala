@@ -1217,6 +1217,36 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Snapshots.readAt(spark, t, Some(2)) }
   }
 
+  test("checkpoint repair invalidates the parsed-manifest cache (no stale entry survives the in-place rewrite)") {
+    val t = tmpTable()
+    (1 to 3).foreach(i =>
+      Snapshots.commitAppend(df(i * 10 to i * 10 + 1).coalesce(1), t,
+        recordSchema = true, statsCols = Seq("id")))
+    val ckPath = s"$t/_manifest/c0000000003.json"
+    // squatter: stale v1 live set, no schema/stats — same shape as the
+    // repair test above; warm the cache ON the squatter first (that is
+    // the dangerous state: a rewrite of identical length landing in the
+    // same mtime granule would validate against this entry forever)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(ckPath),
+      Snapshots.liveFiles(spark, t, Some(1))
+        .map(p => s"""{"a":"add","p":"$p"}""").mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+    // expiry's checkpoint verification parses (and caches) the squatter,
+    // then repairs it in place — the repair must drop that cache entry
+    // before republishing, or a same-length same-mtime-granule rewrite
+    // would serve the squatter's parse forever
+    Snapshots.expireVersions(spark, t, keepFrom = 3)
+    // after the repair the cache must hold the REPAIRED full state for
+    // this path (or nothing) — never the squatter's add-only parse
+    val cached = Snapshots.cachedManifestLines(
+      new org.apache.hadoop.fs.Path(ckPath).toString)
+    assert(cached.forall(ls => ls.exists(_._1 == "schema")),
+      s"stale squatter parse survived the in-place repair: $cached")
+    // and readers resolve the repaired state
+    assert(Snapshots.readAt(spark, t).count() === 6L)
+  }
+
   test("notes: duplicates and ascending order survive checkpoint and expiry") {
     val t = tmpTable()
     Snapshots.commitAppend(df(1 to 2).coalesce(1), t, recordSchema = true,

@@ -197,4 +197,44 @@ class CleaningSpec extends SparkSpec {
     assert(Cleaning.percentileSelect(
       Seq[Option[Double]](None, None).toDF("v"), $"v", 0.5) === None)
   }
+
+  test("quantileCapByGroup sortedSelection is BIT-identical to the grouped aggregate") {
+    // the selection strategy exists for few/fat groups at scale (the
+    // per-group value-map otherwise lands one group per reducer task);
+    // results must match the aggregate path bit-for-bit, including the
+    // equal-rank / equal-value short-circuits and the all-null group
+    val rnd = new scala.util.Random(20260819)
+    for (q <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      // 3 fat groups + a null-keyed group + an all-null-value group;
+      // duplicates and negatives included
+      val rows = (1 to 4000).map { i =>
+        val g: java.lang.Long = i % 5 match {
+          case 4 => null
+          case k => java.lang.Long.valueOf(k % 3)
+        }
+        val v: java.lang.Double =
+          if (i % 6 == 0) null
+          else java.lang.Double.valueOf(math.floor(rnd.nextDouble() * 400 - 100) / 8.0)
+        (g, v)
+      } ++ Seq((java.lang.Long.valueOf(9L), null: java.lang.Double)) // all-null group
+      val df = rnd.shuffle(rows).toDF("g", "v")
+      val agg = Cleaning.quantileCapByGroup(df, Seq("g"), "v", q)
+        .orderBy($"g".asc_nulls_last, $"v".asc_nulls_last).collect()
+      val sel = Cleaning.quantileCapByGroup(df, Seq("g"), "v", q,
+        sortedSelection = true)
+        .orderBy($"g".asc_nulls_last, $"v".asc_nulls_last).collect()
+      assert(agg.length === sel.length, s"row count mismatch at q=$q")
+      agg.zip(sel).foreach { case (a, s) =>
+        assert(a === s, s"row mismatch at q=$q: agg=$a sel=$s")
+      }
+    }
+    // long targets: conversion to double happens AFTER selection
+    val lf = rnd.shuffle((1 to 500).map(i =>
+      (i % 2L, rnd.nextLong() % 10000L))).toDF("g", "v")
+    val la = Cleaning.quantileCapByGroup(lf, Seq("g"), "v", 0.73)
+      .orderBy($"g", $"v").collect()
+    val ls = Cleaning.quantileCapByGroup(lf, Seq("g"), "v", 0.73,
+      sortedSelection = true).orderBy($"g", $"v").collect()
+    la.zip(ls).foreach { case (a, s) => assert(a === s) }
+  }
 }
