@@ -54,21 +54,31 @@ object ExactSubstr {
         .select(col("id"), col("__s.p").as("p"), col("__s.key").as("key"))
       val dups = sh.groupBy("key").agg(count(lit(1)).as("__n"))
         .filter(col("__n") > 1).select("key")
-      val covered = sh.join(dups, Seq("key"))
+      // covered positions collapse to ONE set per document — O(repeated
+      // positions) rows. The previous shape posexploded the ENTIRE corpus
+      // token stream, anti-joined it against the covered pairs and
+      // re-aggregated every document's kept tokens: two extra exchanges
+      // whose volume was the whole corpus, paid even when nothing
+      // repeats. The rebuild is now a per-row array projection over the
+      // token array the scan already carries: `array_except` over the
+      // position range is hash-based (O(tokens + covered) per document,
+      // no quadratic membership scan), and its result keeps the ascending
+      // probe order (array_sort pins the contract). Worst-case task
+      // memory is the covered-position set of one document — strictly
+      // smaller than the old path's per-document collect_list of kept
+      // (pos, token) structs.
+      val cov = sh.join(dups, Seq("key"))
         .select(col("id"), explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
-        .distinct()
-      val toks = base.select(col("id"), posexplode(t).as(Seq("pos", "w")))
-      val rebuilt = toks.join(covered, Seq("id", "pos"), "left_anti")
-        .groupBy("id")
-        .agg(concat_ws(" ", transform(
-            array_sort(collect_list(struct(col("pos"), col("w")))),
-            s => s.getField("w"))).as("__clean"),
-          count(lit(1)).as("__nk"))
-      val out = base.select(col("id"), size(t).cast("long").as("__n"))
-        .join(rebuilt, Seq("id"), "left")
+        .groupBy("id").agg(collect_set(col("pos")).as("__cov"))
+      val keepPos = array_sort(
+        array_except(sequence(lit(0), size(t) - 1), col("__cov")))
+      val cleanToks =
+        when(col("__cov").isNull, t)
+          .otherwise(transform(keepPos, i => element_at(t, i + 1)))
+      val out = base.join(cov, Seq("id"), "left")
         .select(col("id"),
-          coalesce(col("__clean"), lit("")).as("clean_text"),
-          (col("__n") - coalesce(col("__nk"), lit(0L))).as("n_removed"))
+          concat_ws(" ", cleanToks).as("clean_text"),
+          (size(t) - size(cleanToks)).cast("long").as("n_removed"))
       if (materialize) out.localCheckpoint(true) else out
     } finally base.unpersist(blocking = false)
   }

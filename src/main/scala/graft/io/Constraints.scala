@@ -60,6 +60,45 @@ object Constraints {
     }
   }
 
+  /** Ride the table's CHECK constraints ON the write itself: returns the
+    * frame to write (instrumented with an [[org.apache.spark.sql
+    * .Observation]] when constraints exist — plus any caller-supplied
+    * `extraAggs`, e.g. a leak-check or identity watermark) and a check
+    * thunk to call AFTER the write and BEFORE the manifest commit.
+    *
+    * Same contract as [[validate]], one read cheaper: the metrics are
+    * computed by the write job as rows flow to the files, so the
+    * (possibly TB-sized at 100 TB) change is never re-read. ABORT TIMING
+    * IS UNCHANGED — the files are fully written and still unreferenced
+    * when the thunk throws; a violation leaves orphans for
+    * [[Snapshots.vacuum]], exactly like the read-back gate did. The
+    * aggregates are max/min-shaped, so a retried or speculated task
+    * re-contributing its rows cannot change the verdict. The thunk
+    * returns the observed row (constraint flags first, `extraAggs`
+    * after) for callers that fused their own metrics in; it never
+    * blocks, because the write action has already completed. */
+  def observed(spark: SparkSession, table: String, df: DataFrame,
+               what: String, extraAggs: Seq[org.apache.spark.sql.Column] = Nil)
+      : (DataFrame, () => Map[String, Any]) = {
+    val cs = of(spark, table)
+    if (cs.isEmpty && extraAggs.isEmpty) return (df, () => Map.empty)
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_checks_${java.util.UUID.randomUUID().toString.take(8)}")
+    val aggs = cs.map { case (n, sql) =>
+      max(when(!coalesce(expr(sql), lit(true)), 1L).otherwise(0L)).as(n)
+    } ++ extraAggs
+    val instrumented = df.observe(obs, aggs.head, aggs.tail: _*)
+    (instrumented, () => {
+      val row = obs.get
+      cs.find(c => row.get(c._1).exists(v => v != null && v == 1L)).foreach { c =>
+        throw new IllegalArgumentException(
+          s"CHECK constraint '${c._1}' (${c._2}) violated by $what " +
+            s"rows of $table; nothing was committed")
+      }
+      row
+    })
+  }
+
   /** The word-boundary guard column evolution uses: does any constraint's
     * predicate SQL mention `column`? (Renaming or dropping a constrained
     * column would silently break the stored predicate — refuse and point

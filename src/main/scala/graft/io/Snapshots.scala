@@ -446,14 +446,16 @@ object Snapshots {
                    baseVersion: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val dir = s"$table/data/${java.util.UUID.randomUUID().toString}"
-    writeData(df, dir)
+    // CHECK constraints ride the write job itself ([[Constraints
+    // .observed]]) and gate between data write and manifest commit: a
+    // violation aborts with the files unreferenced (vacuum food) — same
+    // abort point as the old read-back pass, one O(change) read cheaper
+    val (inst, check) = Constraints.observed(spark, table, df, "appended")
+    writeData(inst, dir)
+    check()
     val f = fs(spark, table)
     val partsSt = listParts(f, dir)
     val parts = partsSt.map(_.getPath.toString)
-    // CHECK constraints gate between data write and manifest commit: a
-    // violation aborts with the files unreferenced (vacuum food)
-    if (parts.nonEmpty)
-      Constraints.validate(spark, table, spark.read.parquet(parts: _*), "appended")
     commit(spark, table, adds = parts, baseVersion = baseVersion,
       schemaJson = if (recordSchema) Some(df.schema.json) else None,
       // propsOf sees the freshly written parts — the identity-watermark
@@ -1424,17 +1426,22 @@ object Snapshots {
     val f = fs(spark, table)
     val newDir = s"$table/data/replace-${java.util.UUID.randomUUID().toString}"
     val (inClustered, clusterCols0) = Clustering.forWrite(spark, table, in)
-    writeData(inClustered, newDir)
+    // leak check AND CHECK constraints ride the write job as observed
+    // metrics (two read-back jobs per replaceWhere fused away); both
+    // still gate BEFORE the manifest commit — a refusal leaves the fresh
+    // files unreferenced, exactly as before
+    import org.apache.spark.sql.functions.{max, when}
+    val (inst, check) = Constraints.observed(spark, table, inClustered,
+      "replaced", extraAggs = Seq(
+        max(when(not(coalesce(cond, lit(false))), 1L).otherwise(0L)).as("__leak")))
+    writeData(inst, newDir)
+    val observed = check()
+    require(!observed.get("__leak").exists(v => v != null && v == 1L),
+      "replaceWhere data contains rows OUTSIDE the replace predicate — " +
+        "a leaking backfill would double those rows on the next run; " +
+        "nothing was committed")
     val newPartsSt = listParts(f, newDir)
     val newParts = newPartsSt.map(_.getPath.toString)
-    if (newParts.nonEmpty) {
-      val rb = spark.read.parquet(newParts: _*)
-      require(rb.filter(not(coalesce(cond, lit(false)))).limit(1).count() == 0,
-        "replaceWhere data contains rows OUTSIDE the replace predicate — " +
-          "a leaking backfill would double those rows on the next run; " +
-          "nothing was committed")
-      Constraints.validate(spark, table, rb, "replaced")
-    }
     // survivors of the touched files rewrite separately (already-valid
     // rows — no re-validation), inheriting the touched stat coverage
     val touchedStats = fileStats(spark, table, Some(v))
@@ -1567,13 +1574,13 @@ object Snapshots {
     val keepRowCounts = touchedStats.exists(_.column == RowsStat) ||
       clusterCols.nonEmpty
     val dir = s"$table/data/merge-${java.util.UUID.randomUUID().toString}"
-    writeData(outClustered, dir)
+    // CHECK constraints ride the write; the gate still sits before commit
+    val (inst, check) = Constraints.observed(spark, table, outClustered, "merged")
+    writeData(inst, dir)
+    check()
     val f = fs(spark, table)
     val partsSt = listParts(f, dir)
     val parts = partsSt.map(_.getPath.toString)
-    // CHECK constraints gate the merged change before anything commits
-    if (parts.nonEmpty)
-      Constraints.validate(spark, table, spark.read.parquet(parts: _*), "merged")
     // fold: tombstones for keys this batch re-upserts retire with the old
     // dv files; survivors are rewritten into ONE fresh dv (O(tombstones))
     val dvParts =
@@ -1940,13 +1947,13 @@ object Snapshots {
     val keepRowCounts = touchedStats.exists(_.column == RowsStat) ||
       clusterCols.nonEmpty
     val dir = s"$table/data/mergew-${java.util.UUID.randomUUID().toString}"
-    writeData(outClustered, dir)
+    // CHECK constraints ride the write; the gate still sits before commit
+    val (inst, check) = Constraints.observed(spark, table, outClustered, "merged")
+    writeData(inst, dir)
+    check()
     val f = fs(spark, table)
     val partsSt = listParts(f, dir)
     val parts = partsSt.map(_.getPath.toString)
-    // CHECK constraints gate the merged change before anything commits
-    if (parts.nonEmpty)
-      Constraints.validate(spark, table, spark.read.parquet(parts: _*), "merged")
     // dv fold: tombstones for source keys retire (their ghosts dropped in
     // the rewrite above); survivors rewrite into one fresh dv. When no
     // file was touched, no source key appears in any candidate file, so
@@ -2030,14 +2037,16 @@ object Snapshots {
     val keepRowCounts = touchedStats.exists(_.column == RowsStat) ||
       clusterCols.nonEmpty
     val dir = s"$table/data/$kind-${java.util.UUID.randomUUID().toString}"
-    writeData(rewritten, dir)
+    // UPDATE-shaped rewrites can introduce new row content: CHECK
+    // constraints ride the write and gate before anything commits
+    val (inst, check) =
+      if (kind != "delete") Constraints.observed(spark, table, rewritten, kind)
+      else (rewritten, () => Map.empty[String, Any])
+    writeData(inst, dir)
+    check()
     val f = fs(spark, table)
     val partsSt = listParts(f, dir)
     val parts = partsSt.map(_.getPath.toString)
-    // UPDATE-shaped rewrites can introduce new row content: CHECK
-    // constraints validate the change files before anything commits
-    if (kind != "delete" && parts.nonEmpty)
-      Constraints.validate(spark, table, spark.read.parquet(parts: _*), kind)
     val version = commit(spark, table, adds = parts, removes = touched,
       baseVersion = Some(v),
       stats = computeStats(spark, dir, parts, statCols,
@@ -2062,16 +2071,17 @@ object Snapshots {
       // mapped like any other write — streaming ingest must not be the
       // path that quietly erodes pruning
       val (clustered, clusterCols) = Clustering.forWrite(spark, table, df)
-      writeData(clustered, dir, overwrite = true)
+      // streaming ingest honors CHECK constraints like any other writer —
+      // observed on the write, gated before the commit
+      val (inst, check) = Constraints.observed(spark, table, clustered, "ingested")
+      writeData(inst, dir, overwrite = true)
+      check()
       val f = fs(spark, table)
       val partsSt = listParts(f, dir)
       val parts = partsSt.map(_.getPath.toString)
       val stats =
         if (clusterCols.isEmpty) Nil
         else computeStats(spark, dir, parts, clusterCols, withRowCounts = true)
-      // streaming ingest honors CHECK constraints like any other writer
-      if (parts.nonEmpty)
-        Constraints.validate(spark, table, spark.read.parquet(parts: _*), "ingested")
       // an append is derivation-free, so losing a version race to a
       // concurrent writer (the ingest-vs-compaction pair every real
       // pipeline runs) just means re-resolving the next version — the

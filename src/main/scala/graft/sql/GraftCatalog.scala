@@ -944,15 +944,17 @@ object GraftTable {
         Snapshots.liveDvFiles(spark, path, Some(v)) ++
         Snapshots.liveBloomFiles(spark, path, Some(v))
       val dir = s"$path/data/${java.util.UUID.randomUUID()}"
-      Snapshots.writeData(clustered, dir)
+      // CHECK constraints ride the write (fresh Observation per attempt —
+      // one attaches to exactly one action); the gate still precedes the
+      // swap commit
+      val (inst, check) =
+        graft.io.Constraints.observed(spark, path, clustered, "overwritten")
+      Snapshots.writeData(inst, dir)
+      check()
       val p = new Path(dir)
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val partsSt = Snapshots.listParts(f, dir)
       val parts = partsSt.map(_.getPath.toString)
-      // CHECK constraints gate the overwrite content before the swap
-      if (parts.nonEmpty)
-        graft.io.Constraints.validate(spark, path,
-          spark.read.parquet(parts: _*), "overwritten")
       try {
         Snapshots.commit(spark, path, adds = parts,
           removes = removes, baseVersion = Some(v),
@@ -1139,7 +1141,19 @@ object GraftWriteBuilder {
       val filled = applyGenerated(table, filled0)
       val (clustered, statCols) = graft.io.Clustering.forWrite(spark, path, filled)
       val dir = s"$path/data/${java.util.UUID.randomUUID()}"
-      Snapshots.writeData(clustered, dir)
+      // the identity WATERMARK aggregates and the CHECK constraints both
+      // ride the write as observed metrics (the written change was
+      // previously re-read twice: once for the watermark agg, once for
+      // validation); min/max are idempotent under task retries and the
+      // gates still precede the commit
+      val wmAggs = specs.map { case (f, is) =>
+        (if (is.getStep >= 0) max(col(f.name)) else min(col(f.name)))
+          .as(s"__wm_${f.name}")
+      }
+      val (inst, check) = graft.io.Constraints.observed(
+        spark, path, clustered, "inserted", extraAggs = wmAggs)
+      Snapshots.writeData(inst, dir)
+      val observedRow = check()
       val p = new Path(dir)
       val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val partsSt = Snapshots.listParts(fsys, dir)
@@ -1160,26 +1174,22 @@ object GraftWriteBuilder {
             attempts += 1
         }
       } else {
-        // watermark from the WRITTEN files (one column-pruned agg)
-        val rb = spark.read.parquet(parts: _*)
-        val aggs = specs.map { case (f, is) =>
-          (if (is.getStep >= 0) max(col(f.name)) else min(col(f.name))).as(f.name) }
-        val row = rb.agg(aggs.head, aggs.tail: _*).first()
-        val propUps = specs.zipWithIndex.collect {
-          case ((f, is), i) if !row.isNullAt(i) =>
+        // watermark from the OBSERVED write metrics (no re-read)
+        val propUps = specs.collect {
+          case (f, is) if observedRow.get(s"__wm_${f.name}").exists(_ != null) =>
             // MONOTONIC watermark: a GENERATED BY DEFAULT insert of
             // explicit ids BELOW the current watermark (a backfill) must
             // never move it backwards, or later inserts would re-mint
             // already-issued ids — the one invariant identity promises
             val cur = props.get(nextProp(f.name)).map(_.toLong)
               .getOrElse(is.getStart)
-            val written = row.getAs[Number](i).longValue + is.getStep
+            val written = observedRow(s"__wm_${f.name}")
+              .asInstanceOf[Number].longValue + is.getStep
             val mono =
               if (is.getStep >= 0) math.max(cur, written)
               else math.min(cur, written)
             nextProp(f.name) -> Some(mono.toString)
         }
-        graft.io.Constraints.validate(spark, path, rb, "inserted")
         val removes =
           if (!ovr) Nil
           else Snapshots.liveFiles(spark, path, Some(v)) ++
