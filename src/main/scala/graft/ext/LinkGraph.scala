@@ -102,6 +102,16 @@ object LinkGraph {
     val sessionWidth = scala.util.Try(prevParts.toLong).getOrElse(200L)
     val iterParts = math.min(sessionWidth, n / 100000L + 1L)
     edges.sparkSession.conf.set("spark.sql.shuffle.partitions", iterParts)
+    // DATA-CONDITIONAL adaptive-planning gate, keyed on the measured node
+    // count like the width itself: at iterParts == 1 every exchange in the
+    // loop body is a single partition — AQE has nothing to coalesce and no
+    // skew to split, but still re-optimizes the plan and materializes it
+    // stage-by-stage on EVERY iteration (~90 ms/round of pure driver work
+    // in the profile). Wider graphs keep AQE untouched. Restored in the
+    // same finally as the width.
+    val prevAqe = edges.sparkSession.conf.get("spark.sql.adaptive.enabled")
+    if (iterParts == 1L)
+      edges.sparkSession.conf.set("spark.sql.adaptive.enabled", "false")
     val nodesIter =
       if (iterParts >= sessionWidth) nodesWide // already at the right width
       else {
@@ -165,7 +175,10 @@ object LinkGraph {
       i += 1
     }
     ranks
-    } finally edges.sparkSession.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      edges.sparkSession.conf.set("spark.sql.shuffle.partitions", prevParts)
+      edges.sparkSession.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
     ew.unpersist(blocking = false)
     nodesIter.unpersist(blocking = false)
     finalRanks.select(col("node"), col("rank").cast("long").as("rank_pico"))

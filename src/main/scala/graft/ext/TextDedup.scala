@@ -417,6 +417,12 @@ object TextDedup {
     val sessionWidth = scala.util.Try(prevParts.toLong).getOrElse(200L)
     val iterParts = math.min(sessionWidth, n / 100000L + 1L)
     sess.conf.set("spark.sql.shuffle.partitions", iterParts)
+    // same data-conditional gate as pageRankPico: at the measured width of
+    // one partition per exchange, adaptive re-planning has nothing to
+    // coalesce or skew-split — it only adds a planning round + a job per
+    // exchange to EVERY CC round. Wider label sets keep AQE untouched.
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled")
+    if (iterParts == 1L) sess.conf.set("spark.sql.adaptive.enabled", "false")
     var it = 0
     var done = false
     try {
@@ -451,7 +457,10 @@ object TextDedup {
       prevSum = s
       it += 1
     }
-    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+      sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
     edges.unpersist()
     if (!done) {
       release(labelRdds)

@@ -935,7 +935,11 @@ object Snapshots {
       .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .select(keys.map(col): _*).distinct()
     val dir = s"$table/data/dv-${java.util.UUID.randomUUID().toString}"
-    writeData(matched.coalesce(1), dir)
+    // candidate + dv bytes are manifest-known: size-gated plan policy
+    withSizedPlan(spark, knownBytesOf(spark, table, v,
+      candidates ++ liveDvFiles(spark, table, Some(v)))) {
+      writeData(matched.coalesce(1), dir)
+    }
     val f = fs(spark, table)
     val parts = listParts(f, dir).map(_.getPath.toString)
     // tombstone count from the fresh files' FOOTERS — no re-read job
@@ -1981,6 +1985,53 @@ object Snapshots {
     DeleteResult(version, touchedAll, live.size - touchedAll.size)
   }
 
+  /** Exact on-disk byte total of `files` from the manifest's recorded
+    * `__bytes` stats at `version` — None when any file lacks one (caller
+    * keeps the session plan policy). Metadata-only: the stats replay is
+    * served by the parsed-manifest cache. */
+  private def knownBytesOf(spark: SparkSession, table: String, v: Long,
+                           files: Seq[String]): Option[Long] = {
+    if (files.isEmpty) return Some(0L)
+    val sizes = fileStats(spark, table, Some(v))
+      .filter(st => st.column == BytesStat)
+      .map(st => st.path -> st.min.toLong).toMap
+    val known = files.flatMap(sizes.get)
+    if (known.size == files.size) Some(known.sum) else None
+  }
+
+  /** Run `body` under a plan policy sized for a KNOWN-small input: when
+    * `knownBytes` — the exact on-disk size of every file the body reads,
+    * from the manifest — fits inside ONE AQE advisory partition, adaptive
+    * re-planning has nothing to coalesce and no skew to split; it only
+    * adds a planning round and an extra job per exchange to a statement
+    * whose whole input is one partition's worth of bytes. Such bodies run
+    * with AQE off and a byte-derived shuffle width. Anything larger (or
+    * of unknown size: None) keeps the session policy untouched — the gate
+    * is the data's real byte size, never a constant tuned to a host.
+    * (Same data-conditional pattern as the pagerank/CC iteration width
+    * and the classifier's broadcast regime.) */
+  private def withSizedPlan[A](spark: SparkSession,
+                               knownBytes: Option[Long])(body: => A): A = {
+    val advisory = scala.util.Try(spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+      .getOrElse(64L * 1024 * 1024)
+    knownBytes match {
+      case Some(b) if b <= advisory =>
+        val conf = spark.conf
+        val prevAqe = conf.get("spark.sql.adaptive.enabled")
+        val prevParts = conf.get("spark.sql.shuffle.partitions")
+        val width = math.min(b / (4L * 1024 * 1024) + 1L,
+          scala.util.Try(prevParts.toLong).getOrElse(200L))
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", width)
+        try body finally {
+          conf.set("spark.sql.adaptive.enabled", prevAqe)
+          conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      case _ => body
+    }
+  }
+
   /** Shared copy-on-write core of [[deleteWhere]]/[[updateWhere]]: find
     * the files `cond` actually touches (zone-map pruned, then a match
     * check so stat false positives are never rewritten), rewrite them
@@ -2001,19 +2052,26 @@ object Snapshots {
     val sc = tableSchema(spark, table, Some(v))
     def read(files: Seq[String]) = schemaRead(spark, table, Some(v), files)
     val byName = candidates.map(p => new Path(p).getName -> p).toMap
-    // the match check ignores tombstoned rows (a file whose only matches
-    // are MoR-deleted ghosts has nothing live to rewrite); __f binds to
-    // the scan BEFORE the dv anti-join so the file attribution is exact
-    val touched = applyDv(spark, table, Some(v),
-        read(candidates).withColumn("__f", input_file_name()))
-      .filter(coalesce(cond, lit(false)))
-      .groupBy(col("__f")).agg(count(lit(1)))
-      .collect().toSeq
-      .flatMap(r => byName.get(new Path(r.getString(0)).getName))
-    if (touched.isEmpty) return DeleteResult(v, Nil, live.size)
-    commitCowRewrite(spark, table, v,
-      rewrite(applyDv(spark, table, Some(v), read(touched))),
-      touched, kind, live.size)
+    // every byte this statement reads is manifest-known (candidate files +
+    // their dvs), so both the match check and the rewrite run under the
+    // size-gated plan policy ([[withSizedPlan]])
+    val kb = knownBytesOf(spark, table, v,
+      candidates ++ liveDvFiles(spark, table, Some(v)))
+    withSizedPlan(spark, kb) {
+      // the match check ignores tombstoned rows (a file whose only matches
+      // are MoR-deleted ghosts has nothing live to rewrite); __f binds to
+      // the scan BEFORE the dv anti-join so the file attribution is exact
+      val touched = applyDv(spark, table, Some(v),
+          read(candidates).withColumn("__f", input_file_name()))
+        .filter(coalesce(cond, lit(false)))
+        .groupBy(col("__f")).agg(count(lit(1)))
+        .collect().toSeq
+        .flatMap(r => byName.get(new Path(r.getString(0)).getName))
+      if (touched.isEmpty) DeleteResult(v, Nil, live.size)
+      else commitCowRewrite(spark, table, v,
+        rewrite(applyDv(spark, table, Some(v), read(touched))),
+        touched, kind, live.size)
+    }
   }
 
   /** Shared tail of every copy-on-write row mutation

@@ -57,21 +57,32 @@ object MergeGate {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val note = batchNote(writer, batchId)
-        var attempts = 0
-        var committed = false
-        while (!committed) {
-          if (Snapshots.notes(spark, table).contains(note) || batch.isEmpty)
-            committed = true
-          else
-            try {
-              Snapshots.mergeInto(spark, table, batch, keys, pruneOn = pruneOn,
-                note = Some(note))
+        // the merge evaluates its updates 2–4× (prune bounds, key-set
+        // semi-join, rewrite, dv fold — [[Snapshots.mergeInto]]), and each
+        // evaluation re-reads the staged input files: materialize the
+        // batch ONCE per trigger. Batch data never changes across commit
+        // retries (only table state does), so the checkpoint stays valid
+        // for the whole loop. Released before the trigger returns.
+        val b = batch.localCheckpoint(true)
+        try {
+          var attempts = 0
+          var committed = false
+          while (!committed) {
+            if (Snapshots.notes(spark, table).contains(note) || b.isEmpty)
               committed = true
-            } catch {
-              case _: Snapshots.ConcurrentCommitException if attempts < maxRetries =>
-                attempts += 1
-            }
-        }
+            else
+              try {
+                Snapshots.mergeInto(spark, table, b, keys, pruneOn = pruneOn,
+                  note = Some(note))
+                committed = true
+              } catch {
+                case _: Snapshots.ConcurrentCommitException if attempts < maxRetries =>
+                  attempts += 1
+              }
+          }
+        } finally b.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(blocking = false))
       }
       .trigger(Trigger.AvailableNow())
       .start()
