@@ -182,7 +182,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("n_chars"), s"documents scan must prune unreferenced columns:\n$p")
   }
 
-  test("x66 shape: span removal is digest equi-joins + a positions-only anti join") {
+  test("x66 shape: span removal is digest equi-joins + per-doc covered sets — the corpus token stream never shuffles") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, d)
     val p = graft.ext.ExactSubstr.removeRepeatedSpans(docs, col("doc_id"),
@@ -190,8 +190,18 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("LeftAnti"), s"keep filter must be an anti join:\n$p")
     assert(p.contains("partial_count"), s"shingle agg must map-side combine:\n$p")
+    // covered positions collapse to ONE set per doc (partial collect_set =
+    // map-side combined) and the rebuild is a per-row array projection —
+    // the old shape's corpus-wide posexplode + (id, pos) anti join + kept-
+    // token re-aggregation must stay gone
+    assert(p.contains("partial_collect_set"),
+      s"covered positions must aggregate map-side into per-doc sets:\n$p")
+    assert(!p.contains("LeftAnti"),
+      s"the keep filter is an array_except projection, not an anti join:\n$p")
+    assert(!p.contains("posexplode"),
+      s"the corpus token stream must never explode:\n$p")
+    assert(p.contains("array_except"), s"rebuild must be the hash-based array projection:\n$p")
   }
 
   test("x79: BM25 serve broadcasts query terms; top-k is the bounded agg, not a window") {
