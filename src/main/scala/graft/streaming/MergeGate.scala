@@ -60,29 +60,33 @@ object MergeGate {
         // the merge evaluates its updates 2–4× (prune bounds, key-set
         // semi-join, rewrite, dv fold — [[Snapshots.mergeInto]]), and each
         // evaluation re-reads the staged input files: materialize the
-        // batch ONCE per trigger. Batch data never changes across commit
-        // retries (only table state does), so the checkpoint stays valid
-        // for the whole loop. Released before the trigger returns.
-        val b = batch.localCheckpoint(true)
-        try {
-          var attempts = 0
-          var committed = false
-          while (!committed) {
-            if (Snapshots.notes(spark, table).contains(note) || b.isEmpty)
-              committed = true
-            else
-              try {
-                Snapshots.mergeInto(spark, table, b, keys, pruneOn = pruneOn,
-                  note = Some(note))
+        // batch ONCE per trigger (after the free ledger check — a replayed
+        // batch must not pay the materialization). Batch data never
+        // changes across commit retries (only table state does), so the
+        // checkpoint stays valid for the whole loop. Released before the
+        // trigger returns.
+        if (!Snapshots.notes(spark, table).contains(note)) {
+          val b = batch.localCheckpoint(true)
+          try {
+            var attempts = 0
+            var committed = b.isEmpty
+            while (!committed) {
+              if (Snapshots.notes(spark, table).contains(note))
                 committed = true
-              } catch {
-                case _: Snapshots.ConcurrentCommitException if attempts < maxRetries =>
-                  attempts += 1
-              }
-          }
-        } finally b.queryExecution.analyzed.collect {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-        }.foreach(_.unpersist(blocking = false))
+              else
+                try {
+                  Snapshots.mergeInto(spark, table, b, keys, pruneOn = pruneOn,
+                    note = Some(note))
+                  committed = true
+                } catch {
+                  case _: Snapshots.ConcurrentCommitException if attempts < maxRetries =>
+                    attempts += 1
+                }
+            }
+          } finally b.queryExecution.analyzed.collect {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+          }.foreach(_.unpersist(blocking = false))
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()

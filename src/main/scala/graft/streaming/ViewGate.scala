@@ -37,28 +37,31 @@ object ViewGate {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val note = MergeGate.batchNote(writer, batchId)
-        // materialize the batch once — the merge evaluates its updates
-        // 2–4×, each a re-read of the staged input ([[MergeGate]])
-        val b = batch.localCheckpoint(true)
-        try {
-          var attempts = 0
-          var committed = false
-          while (!committed) {
-            if (Snapshots.notes(spark, table).contains(note) || b.isEmpty)
-              committed = true
-            else
-              try {
-                Snapshots.mergeInto(spark, table, b, keys, pruneOn = pruneOn,
-                  note = Some(note))
+        // materialize the batch once (after the free ledger check) — the
+        // merge evaluates its updates 2–4×, each a re-read of the staged
+        // input ([[MergeGate]])
+        if (!Snapshots.notes(spark, table).contains(note)) {
+          val b = batch.localCheckpoint(true)
+          try {
+            var attempts = 0
+            var committed = b.isEmpty
+            while (!committed) {
+              if (Snapshots.notes(spark, table).contains(note))
                 committed = true
-              } catch {
-                case _: Snapshots.ConcurrentCommitException if attempts < maxRetries =>
-                  attempts += 1
-              }
-          }
-        } finally b.queryExecution.analyzed.collect {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-        }.foreach(_.unpersist(blocking = false))
+              else
+                try {
+                  Snapshots.mergeInto(spark, table, b, keys, pruneOn = pruneOn,
+                    note = Some(note))
+                  committed = true
+                } catch {
+                  case _: Snapshots.ConcurrentCommitException if attempts < maxRetries =>
+                    attempts += 1
+                }
+            }
+          } finally b.queryExecution.analyzed.collect {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+          }.foreach(_.unpersist(blocking = false))
+        }
         ViewMaintenance.maintain(spark, table, keys, dims, measures,
           feedDir, viewTable)
         ()
